@@ -1,13 +1,449 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators._
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2, re-expressed over the testdata
+  * star schema. Column names are aligned byte-for-byte between the Spark
+  * result and the oracle SQL (the driver sorts columns by name and
+  * hash-compares values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the E1-shaped pipeline finale — CFD over the event stream
+    * (SURVEY §2.3 A1) at sf=0.001. Driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_cfd")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared sub-plans ----------------------------------------------------
+
+  /** Per-order lead-time frame: commitment = o_orderdate, departure =
+    * max(l_shipdate) over the order's lines (T4's arrival/commitment/
+    * departure semantics mapped onto the order lifecycle).
+    */
+  private def orderLeadTimes(s: SparkSession, dir: String): DataFrame = {
+    val departures = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("departure"))
+    Tables.orders(s, dir)
+      .join(departures, col("o_orderkey") === col("l_orderkey"))
+  }
+
+  private val leadTimeOracleCte =
+    """d AS (
+      |  SELECT o_orderpriority,
+      |         date_diff('day', CAST(o_orderdate AS DATE), CAST(departure AS DATE)) AS lead
+      |  FROM orders
+      |  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS departure FROM lineitem GROUP BY 1) li
+      |    ON o_orderkey = l_orderkey)""".stripMargin
+
+  // ---- query registry ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1-S4: scan with filter pushdown + column projection + range predicate.
+    "q01_scan_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    }),
+
+    // Core aggregation (pricing-summary shape): order-independent exact sums.
+    "q02_agg_pricing" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        exactSum(col("l_quantity"), 2).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        (exactSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (exactSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // 3-way join + top-N: broadcast the small dimension side.
+    "q03_join_topn" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // T2/T3: keep-on-change dedupe of consecutive revisions.
+    "q04_dedupe_consecutive" -> ((s, dir) => {
+      ConsecutiveDedupe.keepOnChange(Tables.events(s, dir),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("event_type"))
+        .select("user_id", "event_id", "ts", "event_type")
+    }),
+
+    // A1: cumulative flow diagram (calculate_cfd.sql semantics).
+    "q05_cfd" -> ((s, dir) => {
+      Cfd.cfd(Tables.events(s, dir), col("event_type"), to_date(col("ts")),
+        Seq("purchase"))
+    }),
+
+    // §2.5: gap sessionization (session-window analog).
+    "q06_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(Tables.events(s, dir), col("user_id"), col("ts"),
+        col("event_id"), gapMinutes = 30)
+    }),
+
+    // Dedup (exact): content-hash duplicate groups.
+    "q07_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+    }),
+
+    // Text analysis: surface stats + quality score.
+    "q08_text_stats" -> ((s, dir) => {
+      TextAnalysis.textStats(Tables.documents(s, dir), col("text"))
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "n_chars_measured",
+          "sum_token_len", "uniq_ratio", "quality_score")
+    }),
+
+    // Text analysis: stopword-profile language ID.
+    "q09_lang_id" -> ((s, dir) => {
+      TextAnalysis.languageId(Tables.documents(s, dir), col("text"))
+        .select("doc_id", "lang", "score_en", "score_es", "predicted_lang")
+    }),
+
+    // Similarity search: exact brute-force cosine top-k.
+    "q10_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // A6: lead-time percentiles/average per class of service.
+    "q11_leadtime_stats" -> ((s, dir) => {
+      Insights.leadTimeStats(orderLeadTimes(s, dir), col("o_orderpriority"),
+        col("o_orderdate"), col("departure"))
+    }),
+
+    // A2: weekly throughput run-chart quartiles.
+    "q12_throughput_quartiles" -> ((s, dir) => {
+      Insights.throughputQuartiles(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("o_orderdate"))
+    }),
+
+    // A5: profile of work (share per bucket).
+    "q13_profile_of_work" -> ((s, dir) => {
+      Insights.profileOfWork(Tables.orders(s, dir), col("o_orderpriority"))
+        .withColumnRenamed("bucket", "o_orderpriority")
+    }),
+
+    // A3: expedite percentage of the class-of-service distribution.
+    "q14_expedite_pct" -> ((s, dir) => {
+      Insights.expeditePct(Tables.orders(s, dir), col("o_orderpriority") === "1-URGENT")
+    }),
+
+    // A7: threshold-subscription evaluation against a computed forecast.
+    "q15_threshold_eval" -> ((s, dir) => {
+      import s.implicits._
+      val subs = Seq(
+        ("1-URGENT", "up", 5.0, 30.0),
+        ("2-HIGH", "down", 3.0, 25.0),
+        ("3-MEDIUM", "both", 2.0, 28.0),
+        ("4-NOT SPECIFIED", "up", 10.0, 40.0),
+        ("5-LOW", "down", 1.0, 35.0)
+      ).toDF("o_orderpriority", "direction", "threshold", "target_value")
+      val predicted = orderLeadTimes(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(
+          datediff(col("departure").cast("date"), col("o_orderdate").cast("date")),
+          lit(0.85)).as("predicted_value"))
+      Insights.evaluateThresholds(subs, predicted, "o_orderpriority")
+    }),
+
+    // T19: deleted-item reconciliation (anti-join): store-side customers with
+    // no expedite-class order in the source snapshot.
+    "q16_deleted_items" -> ((s, dir) => {
+      Reconcile.deletedItems(Tables.customer(s, dir),
+          Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey"), col("o_custkey"))
+        .select("c_custkey")
+    }),
+
+    // A9: reingest key synthesis (two join paths, union, distinct).
+    "q17_reingest_keys" -> ((s, dir) => {
+      val byCustomer = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(concat(lit("state#"), col("c_mktsegment"), lit("/"),
+          col("o_orderkey").cast("string")).as("s3_key"))
+      val byPriority = Tables.orders(s, dir)
+        .select(concat(lit("ctx#"), col("o_orderpriority"), lit("/"),
+          col("o_orderkey").cast("string")).as("s3_key"))
+      byCustomer.unionByName(byPriority).distinct()
+    }),
+
+    // T13: unmapped-workflow-step detection + automap defaults.
+    "q18_unmapped_steps" -> ((s, dir) => {
+      import s.implicits._
+      val steps = Seq("click", "view", "purchase", "signup").toDF("name")
+      Reconcile.unmappedSteps(Tables.events(s, dir), col("event_type"),
+        steps, col("name"))
+    }),
+
+    // T9: flagged-interval fill over the revision stream.
+    "q19_flagged_fill" -> ((s, dir) => {
+      FlaggedIntervals.fill(Tables.events(s, dir), col("user_id"),
+          Seq(col("ts"), col("event_id")),
+          col("event_type") === "error", col("event_type") === "purchase")
+        .select("user_id", "event_id", "flagged")
+    }),
+
+    // T11: polymorphic JSON field extraction.
+    "q20_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+    }),
+
+    // Tumbling-window aggregation (streaming-equivalent day/hour bucketing).
+    "q21_hourly_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
+    }),
+
+    // Dedup (near): word-bigram Jaccard pairs via shingle inverted index.
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 2, threshold = 0.3)
+    }),
+
+    // Dedup (near): embedding-cosine pairs, brute force baseline.
+    "q23_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.35)
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_topn" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_dedupe_consecutive" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+        |      FROM events)
+        |WHERE pe IS NULL OR pe <> event_type""".stripMargin,
+
+    "q05_cfd" ->
+      """WITH daily AS (
+        |  SELECT event_type AS state, CAST(ts AS DATE) AS flomatikasnapshotdate, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT state, flomatikasnapshotdate,
+        |  CAST(SUM(n) OVER (PARTITION BY state ORDER BY flomatikasnapshotdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS numberofitems
+        |FROM daily WHERE state IN ('purchase')
+        |UNION ALL
+        |SELECT state, flomatikasnapshotdate, n AS numberofitems
+        |FROM daily WHERE state NOT IN ('purchase')""".stripMargin,
+
+    "q06_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |  FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q07_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q08_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+        |  ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) *
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS quality_score
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    "q09_lang_id" ->
+      """SELECT doc_id, lang, score_en, score_es,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es >= score_zh AND score_es > 0 THEN 'es'
+        |       WHEN score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+        |       WHEN score_zh > 0 THEN 'zh'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','los','y','en','es'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','de','les','et','en','est'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('的','是','在','了','和'))) AS BIGINT) AS score_zh
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents))""".stripMargin,
+
+    "q10_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, c.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q11_leadtime_stats" ->
+      s"""WITH $leadTimeOracleCte
+         |SELECT o_orderpriority,
+         |  quantile_cont(lead, 0.5) AS lead_p50,
+         |  quantile_cont(lead, 0.85) AS lead_p85,
+         |  CAST(SUM(CAST(lead AS DECIMAL(38,0))) AS DOUBLE)/COUNT(lead) AS lead_avg,
+         |  COUNT(*) AS n_items
+         |FROM d GROUP BY 1""".stripMargin,
+
+    "q12_throughput_quartiles" ->
+      """WITH w AS (
+        |  SELECT date_trunc('week', o_orderdate) AS wk, COUNT(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT MIN(n) AS min_weekly,
+        |  quantile_cont(n, 0.25) AS q1, quantile_cont(n, 0.5) AS q2,
+        |  quantile_cont(n, 0.75) AS q3, COUNT(*) AS n_weeks
+        |FROM w""".stripMargin,
+
+    "q13_profile_of_work" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) * 100 / (SUM(COUNT(*)) OVER ()), 2) AS pct
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q14_expedite_pct" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_expedite,
+        |  COUNT(*) AS n_total,
+        |  ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) * 100 / COUNT(*), 2) AS expedite_pct
+        |FROM orders""".stripMargin,
+
+    "q15_threshold_eval" ->
+      s"""WITH subs AS (
+         |  SELECT p AS o_orderpriority, dir AS direction,
+         |         CAST(thr AS DOUBLE) AS threshold, CAST(tgt AS DOUBLE) AS target_value
+         |  FROM (VALUES ('1-URGENT','up',5.0,30.0), ('2-HIGH','down',3.0,25.0),
+         |               ('3-MEDIUM','both',2.0,28.0), ('4-NOT SPECIFIED','up',10.0,40.0),
+         |               ('5-LOW','down',1.0,35.0)) AS t(p, dir, thr, tgt)),
+         |$leadTimeOracleCte,
+         |pred AS (SELECT o_orderpriority, quantile_cont(lead, 0.85) AS predicted_value FROM d GROUP BY 1)
+         |SELECT o_orderpriority, direction, threshold, target_value, predicted_value,
+         |  target_value - predicted_value AS diff,
+         |  CASE direction WHEN 'up' THEN (target_value - predicted_value) > threshold
+         |                 WHEN 'down' THEN (predicted_value - target_value) > threshold
+         |                 ELSE abs(target_value - predicted_value) > threshold END AS notify
+         |FROM subs JOIN pred USING (o_orderpriority)""".stripMargin,
+
+    "q16_deleted_items" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q17_reingest_keys" ->
+      """SELECT DISTINCT s3_key FROM (
+        |  SELECT 'state#' || c_mktsegment || '/' || CAST(o_orderkey AS VARCHAR) AS s3_key
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'ctx#' || o_orderpriority || '/' || CAST(o_orderkey AS VARCHAR) AS s3_key
+        |  FROM orders)""".stripMargin,
+
+    "q18_unmapped_steps" ->
+      """SELECT event_type AS state, 9999 AS step_order, 'queue' AS state_type, false AS active
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |WHERE event_type NOT IN ('click','view','purchase','signup')""".stripMargin,
+
+    "q19_flagged_fill" ->
+      """SELECT user_id, event_id,
+        |  COALESCE(last_value(CASE WHEN event_type = 'error' THEN 1
+        |                           WHEN event_type = 'purchase' THEN 0 END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) = 1 AS flagged
+        |FROM events""".stripMargin,
+
+    "q20_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+        |FROM events""".stripMargin,
+
+    "q21_hourly_rollup" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) >= 0.3""".stripMargin,
+
+    "q23_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35""".stripMargin
+  )
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector/set kernels that sit inside
+  * O(n²) pair loops. Both implement `doGenCode`, so they stay inside
+  * whole-stage codegen: the pair loop compiles to a primitive Java loop with
+  * no boxing and no interpreted-eval tree walk — the difference between
+  * ~100µs and ~0.2µs per candidate pair.
+  */
+object VectorExpressions {
+
+  /** Sequential-order dot product over two `array<double>` columns.
+    * Accumulation order matches a left fold / DuckDB's `list_dot_product`,
+    * so oracle comparisons are bit-exact.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toDoubleArray()
+      val y = b.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |double[] $x = $a.toDoubleArray();
+           |double[] $y = $b.toDoubleArray();
+           |int $n = Math.min($x.length, $y.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Intersection cardinality of two sorted `array<long>` columns
+    * (two-pointer merge). The exact-verification kernel behind n-gram
+    * Jaccard: O(|a|+|b|) per pair.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toLongArray()
+      val y = b.asInstanceOf[ArrayData].toLongArray()
+      var i = 0
+      var j = 0
+      var c = 0L
+      while (i < x.length && j < y.length) {
+        if (x(i) < y(j)) i += 1
+        else if (x(i) > y(j)) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        s"""
+           |long[] $x = $a.toLongArray();
+           |long[] $y = $b.toLongArray();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $x.length && $j < $y.length) {
+           |  if ($x[$i] < $y[$j]) { $i++; }
+           |  else if ($x[$i] > $y[$j]) { $j++; }
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  import org.apache.spark.sql.GraftColumnShim.{column, expression}
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{tokens => tok}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token/char statistics, quality scoring, n-gram
+  * language ID, and document fingerprinting.
+  *
+  * All pure column expressions — whole-stage-codegen'd, no UDFs, no
+  * shuffles (per-row work scales embarrassingly at 100 TB).
+  */
+object TextAnalysis {
+
+  /** Per-document surface statistics + a simple quality score
+    * (length/stopword-ratio heuristics, the shape of reference-style quality
+    * gates).
+    */
+  def textStats(docs: DataFrame, text: Column): DataFrame = {
+    // Materialize tokens as an attribute: interpreted HOFs re-evaluate
+    // non-attribute subtrees per lambda element (O(tokens²) otherwise).
+    val ts = col("__toks")
+    docs.withColumn("__toks", tok(text))
+      .withColumn("n_tokens", size(ts).cast("long"))
+      .withColumn("n_uniq_tokens", size(array_distinct(ts)).cast("long"))
+      .withColumn("n_chars_measured", length(text).cast("long"))
+      .withColumn("sum_token_len",
+        aggregate(transform(ts, t => length(t)), lit(0L),
+          (a, b) => a + b.cast("long")))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(ts)).cast("double") / size(ts), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), size(ts).cast("double") / lit(100.0)) *
+          (size(array_distinct(ts)).cast("double") / size(ts)), 6))
+      .drop("__toks")
+  }
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "en", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language ID: count stopword hits per language, predict the argmax with
+    * a fixed language preference order on ties ("en" > "es" > "fr" > "zh" >
+    * unknown).
+    */
+  def languageId(docs: DataFrame, text: Column): DataFrame = {
+    val ts = col("__toks")
+    val langs = Seq("en", "es", "fr", "zh")
+    val scored = langs.foldLeft(docs.withColumn("__toks", tok(text))) { (df, lang) =>
+      df.withColumn(s"score_$lang",
+        size(filter(ts, t => t.isInCollection(stopwords(lang)))).cast("long"))
+    }
+    // argmax with a fixed preference order on ties: en > es > fr > zh
+    val predicted =
+      when(col("score_en") >= col("score_es") && col("score_en") >= col("score_fr") &&
+        col("score_en") >= col("score_zh") && col("score_en") > 0, "en")
+        .when(col("score_es") >= col("score_fr") && col("score_es") >= col("score_zh") &&
+          col("score_es") > 0, "es")
+        .when(col("score_fr") >= col("score_zh") && col("score_fr") > 0, "fr")
+        .when(col("score_zh") > 0, "zh")
+        .otherwise("unknown")
+    scored.withColumn("predicted_lang", predicted).drop("__toks")
+  }
+
+  /** Content-defined fingerprint: md5 of the whitespace-normalized,
+    * lowercased text — the exact-dup key that survives formatting noise.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (space-joined), the unit for Jaccard/MinHash.
+    *
+    * IMPORTANT for callers: pass a *materialized tokens attribute* (a column
+    * produced by a prior projection), not a nested `split(...)` expression —
+    * interpreted higher-order functions re-evaluate non-attribute
+    * subexpressions per lambda element, turning shingling O(tokens²).
+    */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    array_distinct(
+      when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
+
+  /** Convenience composition of [[tokens]] + [[shinglesFromTokens]] — only
+    * for small inputs; prefer the two-step form on large tables.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tok(text), n)
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression conversion —
+  * the standard extension-library pattern for exposing custom Catalyst
+  * expressions as `Column`s (classic, non-Connect execution path).
+  */
+object GraftColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
