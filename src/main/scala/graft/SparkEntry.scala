@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
+import graft.model._
 import graft.operators._
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -41,7 +42,96 @@ object SparkEntry {
       |  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS departure FROM lineitem GROUP BY 1) li
       |    ON o_orderkey = l_orderkey)""".stripMargin
 
-  // ---- query registry ------------------------------------------------------
+  /** The event stream viewed as a work-item changelog: each user is a work
+    * item, event types are workflow steps (signup=1, view=2, click=3,
+    * purchase=4; arrival/commitment/departure points at 1/3/4).
+    */
+  private val eventsWorkflow = WorkflowDef("events-wf", Seq(
+    WorkflowStepDef("signup", "signup", 1),
+    WorkflowStepDef("view", "view", 2),
+    WorkflowStepDef("click", "click", 3),
+    WorkflowStepDef("purchase", "purchase", 4)),
+    WorkflowEventsDef(1, 3, 4))
+
+  private def eventRevisions(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+      .select(col("user_id").cast("string").as("workItemId"),
+        lit("events-wf").as("workflowId"),
+        col("event_id").cast("int").as("revision"),
+        col("event_type").as("statusId"), col("event_type").as("statusName"),
+        col("ts").as("changedDate"), lit("state_change").as("revisionType"))
+      .as[WorkItemRevision]
+  }
+
+  /** Exact SQL mirror of the T4 kernel for the events workflow (no
+    * before-arrival band): arrival = first arrival-band revision; commitment
+    * = first commitment-band revision with no later same-day arrival-band
+    * revision; departure = first departure-band revision after the last
+    * non-departure revision; delayed iff the last revision is arrival-band
+    * on a different day than commitment; then the fallback/clamp chain.
+    */
+  private val eventDatesOracleCte =
+    """revs AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type IN ('signup','view') THEN 'arrival'
+      |         WHEN event_type = 'click' THEN 'commitment' ELSE 'departure' END AS band,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type IN ('signup','view','click','purchase')),
+      |last_rev AS (
+      |  SELECT user_id, band AS last_band, CAST(ts AS DATE) AS last_day,
+      |         rn AS last_rn, event_id AS last_event
+      |  FROM (SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM revs)
+      |  WHERE rn = mx),
+      |arr AS (SELECT user_id, MIN(ts) AS arrival0 FROM revs WHERE band = 'arrival' GROUP BY 1),
+      |cmt AS (
+      |  SELECT user_id, commitment0, crn, cday FROM (
+      |    SELECT r.user_id, r.ts AS commitment0, r.rn AS crn, CAST(r.ts AS DATE) AS cday,
+      |           row_number() OVER (PARTITION BY r.user_id ORDER BY r.rn) AS k
+      |    FROM revs r
+      |    WHERE r.band = 'commitment' AND NOT EXISTS (
+      |      SELECT 1 FROM revs f WHERE f.user_id = r.user_id AND f.rn > r.rn
+      |        AND f.band = 'arrival' AND CAST(f.ts AS DATE) = CAST(r.ts AS DATE)))
+      |  WHERE k = 1),
+      |lastnd AS (SELECT user_id, MAX(rn) AS last_nd FROM revs WHERE band <> 'departure' GROUP BY 1),
+      |dep AS (
+      |  SELECT r.user_id, MIN(r.ts) AS departure0
+      |  FROM revs r LEFT JOIN lastnd n ON r.user_id = n.user_id
+      |  WHERE r.band = 'departure' AND r.rn > COALESCE(n.last_nd, 0)
+      |  GROUP BY 1),
+      |raw AS (
+      |  SELECT u.user_id, a.arrival0, c.commitment0, d.departure0,
+      |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
+      |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
+      |         THEN true ELSE false END AS is_delayed,
+      |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
+      |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
+      |         THEN l.last_event END AS delayed_event
+      |  FROM (SELECT DISTINCT user_id FROM revs) u
+      |  LEFT JOIN arr a ON u.user_id = a.user_id
+      |  LEFT JOIN cmt c ON u.user_id = c.user_id
+      |  LEFT JOIN dep d ON u.user_id = d.user_id
+      |  LEFT JOIN last_rev l ON u.user_id = l.user_id),
+      |fb AS (
+      |  SELECT user_id, is_delayed, delayed_event, departure0,
+      |    COALESCE(arrival0, commitment0, departure0) AS arrival1,
+      |    CASE WHEN COALESCE(arrival0, commitment0, departure0) IS NOT NULL
+      |              AND commitment0 IS NULL AND departure0 IS NOT NULL
+      |         THEN COALESCE(arrival0, commitment0, departure0)
+      |         ELSE commitment0 END AS commitment1
+      |  FROM raw),
+      |ev AS (
+      |  SELECT user_id, is_delayed, delayed_event,
+      |    CAST(CASE WHEN commitment2 IS NOT NULL AND arrival1 IS NOT NULL AND arrival1 > commitment2
+      |              THEN commitment2 ELSE arrival1 END AS TIMESTAMP) AS arrival,
+      |    CAST(commitment2 AS TIMESTAMP) AS commitment,
+      |    CAST(departure0 AS TIMESTAMP) AS departure
+      |  FROM (
+      |    SELECT *, CASE WHEN commitment1 IS NOT NULL AND departure0 IS NOT NULL
+      |                        AND commitment1 > departure0
+      |                   THEN departure0 ELSE commitment1 END AS commitment2
+      |    FROM fb))""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1-S4: scan with filter pushdown + column projection + range predicate.
@@ -226,6 +316,29 @@ object SparkEntry {
     "q23_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), threshold = 0.35)
+    }),
+
+    // T4: the event-date extraction kernel (flatMapGroups) over the event
+    // stream viewed as work-item changelogs.
+    "q24_event_dates" -> ((s, dir) => {
+      EventDateExtractor.extract(eventRevisions(s, dir),
+          Map(eventsWorkflow.workflowId -> eventsWorkflow))
+        .select(col("workItemId").cast("long").as("user_id"),
+          col("arrival"), col("commitment"), col("departure"),
+          col("isDelayed").as("is_delayed"),
+          col("delayedRevision").cast("long").as("delayed_event"))
+    }),
+
+    // T7: point-in-time state-category classification of every event against
+    // its item's event dates (stateCategoryRelativeToDate).
+    "q25_state_category_asof" -> ((s, dir) => {
+      val dates = queries("q24_event_dates")(s, dir)
+      Tables.events(s, dir).join(broadcast(dates), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          when(col("arrival").isNull || col("ts") < col("arrival"), "preceding")
+            .when(col("commitment").isNull || col("ts") < col("commitment"), "proposed")
+            .when(col("departure").isNull || col("ts") < col("departure"), "inprogress")
+            .otherwise("completed").as("category"))
     })
   )
 
@@ -444,6 +557,20 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_dot_product(a.e, b.e) /
-        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35""".stripMargin
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35""".stripMargin,
+
+    "q24_event_dates" ->
+      s"""WITH $eventDatesOracleCte
+         |SELECT user_id, arrival, commitment, departure, is_delayed, delayed_event
+         |FROM ev""".stripMargin,
+
+    "q25_state_category_asof" ->
+      s"""WITH $eventDatesOracleCte
+         |SELECT e.event_id, e.user_id,
+         |  CASE WHEN ev.arrival IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.arrival THEN 'preceding'
+         |       WHEN ev.commitment IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.commitment THEN 'proposed'
+         |       WHEN ev.departure IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.departure THEN 'inprogress'
+         |       ELSE 'completed' END AS category
+         |FROM events e LEFT JOIN ev ON e.user_id = ev.user_id""".stripMargin
   )
 }
