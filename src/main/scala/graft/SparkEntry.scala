@@ -339,10 +339,74 @@ object SparkEntry {
             .when(col("commitment").isNull || col("ts") < col("commitment"), "proposed")
             .when(col("departure").isNull || col("ts") < col("departure"), "inprogress")
             .otherwise("completed").as("category"))
+    }),
+
+    // Dedup (near): MinHash + LSH banding (shingle→minhash→band→bucket-join).
+    "q26_minhash_lsh" -> ((s, dir) => {
+      Sketches.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 2, bands = 4, rowsPerBand = 4, minEstSim = 0.25)
+    }),
+
+    // Dedup (near): SimHash signatures per document.
+    "q27_simhash" -> ((s, dir) => {
+      Sketches.simhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
+    // Dedup (near): SimHash hamming-distance pairs.
+    "q28_simhash_pairs" -> ((s, dir) => {
+      Sketches.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        maxHamming = 2)
+    }),
+
+    // Text analysis: document fingerprints (rolling hash + normalized md5).
+    "q29_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("__codes", transform(
+          filter(split(col("text"), ""), c => c =!= ""),
+          c => ascii(c).cast("long")))
+        .select(col("doc_id"),
+          aggregate(col("__codes"), lit(0L),
+            (acc, x) => (acc * 31L + x) % 1000000007L).as("rolling_fp"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("norm_md5"))
     })
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** MinHash signature CTE chain, generated from the same constants the
+    * Spark operator uses (Sketches.MinhashA/B).
+    */
+  private def minhashSigCtes: String = {
+    val p = Sketches.MinhashPrime
+    val mh = (0 until 16).map(i =>
+      s"MIN((sid*${Sketches.MinhashA(i)}+${Sketches.MinhashB(i)})%$p) AS mh$i").mkString(", ")
+    s"""sh AS (
+       |  SELECT doc_id AS doc, unnest(list_distinct(
+       |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END)) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+       |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+       |         FROM (SELECT DISTINCT shingle FROM sh)),
+       |enc AS (SELECT doc, sid FROM sh JOIN dict USING (shingle)),
+       |sig AS (SELECT doc, $mh FROM enc GROUP BY doc)""".stripMargin
+  }
+
+  /** SimHash signature CTE chain (31-bit, unigram tokens, same mix as
+    * Sketches.simhashSignatures).
+    */
+  private def simhashSigCte: String = {
+    val sums = (0 until 31).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val bits = (0 until 31).map(i =>
+      s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    s"""toks AS (SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+       |tdict AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS sid
+       |          FROM (SELECT DISTINCT token FROM toks)),
+       |tenc AS (SELECT doc, (sid*1299721+104729)%${Sketches.MinhashPrime} AS h FROM toks JOIN tdict USING (token)),
+       |tsums AS (SELECT doc, $sums FROM tenc GROUP BY doc),
+       |simsig AS (SELECT doc AS doc_id, CAST($bits AS BIGINT) AS simhash FROM tsums)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -571,6 +635,42 @@ object SparkEntry {
          |       WHEN ev.commitment IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.commitment THEN 'proposed'
          |       WHEN ev.departure IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.departure THEN 'inprogress'
          |       ELSE 'completed' END AS category
-         |FROM events e LEFT JOIN ev ON e.user_id = ev.user_id""".stripMargin
+         |FROM events e LEFT JOIN ev ON e.user_id = ev.user_id""".stripMargin,
+
+    "q26_minhash_lsh" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc, $b AS band, concat_ws(':', mh${4*b}, mh${4*b+1}, mh${4*b+2}, mh${4*b+3}) AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      val matches = (0 until 16).map(i =>
+        s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashSigCtes,
+         |bandrows AS ($bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM bandrows a JOIN bandrows b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc)
+         |SELECT id_a, id_b, CAST(($matches) AS DOUBLE)/16 AS est_sim
+         |FROM cand JOIN sig sa ON id_a = sa.doc JOIN sig sb ON id_b = sb.doc
+         |WHERE CAST(($matches) AS DOUBLE)/16 >= 0.25""".stripMargin
+    },
+
+    "q27_simhash" ->
+      s"""WITH $simhashSigCte
+         |SELECT doc_id, simhash FROM simsig""".stripMargin,
+
+    "q28_simhash_pairs" ->
+      s"""WITH $simhashSigCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, x) -> (a*31 + x) % 1000000007) AS rolling_fp,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents""".stripMargin
   )
 }
