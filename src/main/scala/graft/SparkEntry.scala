@@ -369,6 +369,36 @@ object SparkEntry {
           aggregate(col("__codes"), lit(0L),
             (acc, x) => (acc * 31L + x) % 1000000007L).as("rolling_fp"),
           TextAnalysis.normalizedFingerprint(col("text")).as("norm_md5"))
+    }),
+
+    // Similarity search, scale path: IVF cell assignment + within-cell top-k.
+    "q30_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        vectors = emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 3)
+    }),
+
+    // A8 + A4/A6: wide insights-snapshot row per class of service.
+    "q31_insights_snapshot" -> ((s, dir) => {
+      val asOf = lit("2001-09-01").cast("timestamp_ntz")
+      val o = Tables.orders(s, dir)
+      val open = col("o_orderstatus") === "O"
+      val base = o.groupBy(col("o_orderpriority")).agg(
+        sum(when(open, 1).otherwise(0)).as("wip_count"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("throughput_total"),
+        (sum(when(open, datediff(asOf.cast("date"), col("o_orderdate").cast("date"))
+          .cast("decimal(38,0)"))).cast("double") /
+          sum(when(open, 1))).as("wip_age_avg"))
+      val lead = Insights.leadTimeStats(orderLeadTimes(s, dir),
+        col("o_orderpriority"), col("o_orderdate"), col("departure"))
+        .select(col("o_orderpriority"), col("lead_p85"), col("lead_avg"))
+      base.join(lead, "o_orderpriority")
+        .withColumn("flow_debt", round(lit(100.0) * col("wip_age_avg") / col("lead_p85"), 2))
+        .withColumn("demand_over_capacity_pct",
+          round(lit(100.0) * col("wip_count") / col("throughput_total"), 2))
     })
   )
 
@@ -671,6 +701,47 @@ object SparkEntry {
         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |    (a, x) -> (a*31 + x) % 1000000007) AS rolling_fp,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q30_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |assign AS (
+        |  SELECT vec_id, e, nrm, cid AS cell FROM (
+        |    SELECT a.vec_id, a.e, a.nrm, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_dot_product(a.e, c.e)/(a.nrm*c.nrm) DESC, c.vec_id) AS rn
+        |    FROM vn a JOIN vn c ON c.vec_id < 8)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, x.e)/(q.nrm*x.nrm) AS cos
+        |  FROM assign q JOIN assign x ON q.cell = x.cell AND x.vec_id <> q.vec_id
+        |  WHERE q.vec_id >= 10 AND q.vec_id < 20)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q31_insights_snapshot" ->
+      s"""WITH $leadTimeOracleCte,
+         |base AS (
+         |  SELECT o_orderpriority,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS wip_count,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS throughput_total,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+         |          THEN CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS DECIMAL(38,0)) END) AS DOUBLE)
+         |      / SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS wip_age_avg
+         |  FROM orders GROUP BY 1),
+         |lead AS (
+         |  SELECT o_orderpriority, quantile_cont(lead, 0.85) AS lead_p85,
+         |    CAST(SUM(CAST(lead AS DECIMAL(38,0))) AS DOUBLE)/COUNT(lead) AS lead_avg
+         |  FROM d GROUP BY 1)
+         |SELECT base.*, lead.lead_p85, lead.lead_avg,
+         |  ROUND(CAST(100.0 AS DOUBLE) * wip_age_avg / lead_p85, 2) AS flow_debt,
+         |  ROUND(CAST(100.0 AS DOUBLE) * wip_count / throughput_total, 2) AS demand_over_capacity_pct
+         |FROM base JOIN lead USING (o_orderpriority)""".stripMargin
   )
 }

@@ -17,6 +17,43 @@ import graft.functions.VectorExpressions.dot_product
   */
 object Similarity {
 
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine, tie-break on centroid id), then search only within the query's
+    * cell. Centroids here are fixed seed vectors — deterministic
+    * assignment-only IVF; a production deployment would train them with
+    * k-means|| and add multi-probe, without changing the pipeline shape.
+    * The centroid set is broadcast; the assignment pass is one map-side
+    * cross product per vector (|C| dot products); the search join shuffles
+    * on the cell id.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              id: Column, vec: Column, k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String, nrmAs: String) =
+      df.select(id.as(idAs), vec.cast("array<double>").as(vecAs))
+        .withColumn(nrmAs, sqrt(dot_product(col(vecAs), col(vecAs))))
+    val c = prep(centroids, "cid", "cv", "cn")
+    val v = prep(vectors, "vid", "vv", "vn")
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("__cos").desc, col("cid"))
+    val assigned = v.crossJoin(broadcast(c))
+      .withColumn("__cos", dot_product(col("vv"), col("cv")) / (col("vn") * col("cn")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("vv"), col("vn"), col("cid").as("cell"))
+    val q = queries.select(id.as("query_id")).join(
+      assigned.withColumnRenamed("vid", "query_id"), "query_id")
+    val scored = q.select(col("query_id"), col("vv").as("qv"), col("vn").as("qn"), col("cell"))
+      .join(assigned, Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cosine", dot_product(col("qv"), col("vv")) / (col("qn") * col("vn")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact top-k neighbors per query vector (self-matches excluded),
     * deterministic tie-break on neighbor id.
     */

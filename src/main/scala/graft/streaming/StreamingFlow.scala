@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.sources.MergeWriter
+
+/** Structured Streaming skin over the batch operators — the reference's
+  * SQS micro-batch + watermark semantics (SURVEY §2.5) re-expressed:
+  *
+  *  - EventBridge rate schedules → `Trigger.ProcessingTime`;
+  *  - `nextRunStartFrom` high-watermark per datasource → source offsets +
+  *    event-time watermark;
+  *  - FIFO-per-key queues → state partitioned by key in
+  *    `flatMapGroupsWithState`;
+  *  - at-least-once SQS delivery + DB unique keys → idempotent
+  *    `foreachBatch` MERGE on the natural key (L2).
+  */
+object StreamingFlow {
+
+  /** Tumbling-window event counts with a watermark — the streaming analog
+    * of the CFD date bucketing (A1). Late rows beyond the watermark are
+    * dropped, matching the reference's daily re-extract tolerance.
+    */
+  def windowedCounts(events: DataFrame, ts: Column, key: Column,
+                     windowDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(ts.toString(), watermarkDelay)
+      .groupBy(window(ts, windowDuration), key)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Gap-based session aggregation via `session_window` — the streaming
+    * twin of the batch Sessionize operator.
+    */
+  def sessionAgg(events: DataFrame, ts: Column, key: Column,
+                 gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(ts.toString(), watermarkDelay)
+      .groupBy(session_window(ts, gap), key)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Custom per-key state: running per-user revision counter and latest
+    * state — the `KeyValueGroupedDataset.flatMapGroupsWithState` shape the
+    * reference's per-item Lambda state machine maps to.
+    */
+  case class EventIn(userId: Long, eventType: String, tsMillis: Long)
+  case class UserState(nEvents: Long, lastType: String)
+  case class UserUpdate(userId: Long, nEvents: Long, lastType: String)
+
+  def runningUserState(events: org.apache.spark.sql.Dataset[EventIn])
+    : org.apache.spark.sql.Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[UserState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsMillis)
+          val prev = state.getOption.getOrElse(UserState(0L, ""))
+          val next = sorted.foldLeft(prev) { (s, e) => UserState(s.nEvents + 1, e.eventType) }
+          state.update(next)
+          Iterator.single(UserUpdate(userId, next.nEvents, next.lastType))
+      }
+  }
+
+  /** Idempotent streaming load: every micro-batch is MERGEd into the target
+    * on its natural key, so replays (at-least-once) are harmless — the L2
+    * semantics (`snapshot_load_processor_aurora.ts:25-70`).
+    */
+  def mergeSink(stream: DataFrame, tablePath: String, keys: Seq[String],
+                checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        MergeWriter.merge(spark, tablePath,
+          MergeWriter.dedupeOnKey(batch, keys, Seq(col(keys.last))), keys)
+      }
+      .start()
+}
