@@ -70,10 +70,18 @@ object Dedup {
     val arr = sets.select(col("doc").cast("long"), col("sids"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
     val side = spark.sparkContext.broadcast(arr)
+    // The inner pair loop is hand-rolled (no iterator combinators, no
+    // per-pair boxing): in a long-lived JVM the generic Function1/Iterator
+    // call sites go megamorphic after many queries and stop inlining, which
+    // costs 20-30× on a per-pair closure chain.
     spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
       val as = side.value
+      val pre = threshold - 1e-6
       it.flatMap { case (bId, bSids) =>
-        as.iterator.takeWhile(_._1 < bId).flatMap { case (aId, aSids) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var ai = 0
+        while (ai < as.length && as(ai)._1 < bId) {
+          val aSids = as(ai)._2
           var i = 0; var j = 0; var c = 0L
           while (i < aSids.length && j < bSids.length) {
             if (aSids(i) < bSids(j)) i += 1
@@ -83,12 +91,13 @@ object Dedup {
           val raw = c.toDouble / (aSids.length + bSids.length - c)
           // BigDecimal rounding costs ~4.5µs/pair — only round candidates
           // that can still pass after rounding (half-up adds < 5e-7).
-          if (raw < threshold - 1e-6) None
-          else {
+          if (raw >= pre) {
             val jac = roundHalfUp6(raw)
-            if (jac >= threshold) Some((aId, bId, jac)) else None
+            if (jac >= threshold) out += ((as(ai)._1, bId, jac))
           }
+          ai += 1
         }
+        out
       }
     }.toDF("id_a", "id_b", "jaccard")
   }
@@ -115,14 +124,35 @@ object Dedup {
     val slices = spark.sparkContext.defaultParallelism
     docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
-      .flatMap { case (d, t) =>
-        val toks = t.trim.split("\\s+")
-        val grams =
-          if (toks.length < n) Array(toks.mkString(" "))
-          else toks.sliding(n).map(_.mkString(" ")).toArray
-        grams.distinct.iterator.map(g => (d, g))
-      }
+      .flatMap { case (d, t) => Dedup.distinctShingles(t, n).map(g => (d, g)) }
       .toDF("doc", "shingle")
+  }
+
+  /** Distinct space-joined word n-grams, built with tight loops (aged-JVM
+    * safe — see allPairsJaccard note).
+    */
+  private[graft] def distinctShingles(t: String, n: Int): Array[String] = {
+    val toks = t.trim.split("\\s+")
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) seen.add(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
   }
 
   private def invertedIndexJaccard(docs: DataFrame, id: Column, text: Column,
@@ -158,18 +188,23 @@ object Dedup {
     val side = spark.sparkContext.broadcast(arr)
     spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
       val as = side.value
+      val pre = threshold - 1e-6
       it.flatMap { case (bId, bVec, bNrm) =>
-        as.iterator.takeWhile(_._1 < bId).flatMap { case (aId, aVec, aNrm) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var ai = 0
+        while (ai < as.length && as(ai)._1 < bId) {
+          val aVec = as(ai)._2
           val n = math.min(aVec.length, bVec.length)
           var s = 0.0; var i = 0
           while (i < n) { s += aVec(i) * bVec(i); i += 1 }
-          val raw = s / (aNrm * bNrm)
-          if (raw < threshold - 1e-6) None
-          else {
+          val raw = s / (as(ai)._3 * bNrm)
+          if (raw >= pre) {
             val cos = roundHalfUp6(raw)
-            if (cos >= threshold) Some((aId, bId, cos)) else None
+            if (cos >= threshold) out += ((as(ai)._1, bId, cos))
           }
+          ai += 1
         }
+        out
       }
     }.toDF("id_a", "id_b", "cosine")
   }

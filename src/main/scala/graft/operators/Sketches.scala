@@ -40,13 +40,8 @@ object Sketches {
     val slices = spark.sparkContext.defaultParallelism
     val sh = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
-      .flatMap { case (d, t) =>
-        val toks = t.trim.split("\\s+")
-        val grams =
-          if (toks.length < n) Array(toks.mkString(" "))
-          else toks.sliding(n).map(_.mkString(" ")).toArray
-        grams.distinct.iterator.map(g => (d, g))
-      }.toDF("doc", "shingle")
+      .flatMap { case (d, t) => Dedup.distinctShingles(t, n).map(g => (d, g)) }
+      .toDF("doc", "shingle")
     val dict = sh.select(col("shingle")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
     sh.join(broadcast(dict), "shingle").select(col("doc"), col("sid"))
@@ -121,14 +116,33 @@ object Sketches {
     agged.select(col("doc"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance of signatures ≤ maxHamming. */
+  /** SimHash near-dup pairs: hamming distance of signatures ≤ maxHamming.
+    * Signatures are one long per doc, so the pair scan runs as a broadcast
+    * + tight per-partition loop (a DF self-join would evaluate the
+    * hamming predicate interpreted inside the nested-loop join condition —
+    * ~100× slower per pair).
+    */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int, bits: Int = 31): DataFrame = {
-    val sig = simhashSignatures(docs, id, text, bits)
-    sig.as("a").join(sig.as("b"), col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slices = spark.sparkContext.defaultParallelism
+    val arr = simhashSignatures(docs, id, text, bits)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val side = spark.sparkContext.broadcast(arr)
+    spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
+      val as = side.value
+      it.flatMap { case (bId, bSig) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var ai = 0
+        while (ai < as.length && as(ai)._1 < bId) {
+          val h = java.lang.Long.bitCount(as(ai)._2 ^ bSig).toLong
+          if (h <= maxHamming) out += ((as(ai)._1, bId, h))
+          ai += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "hamming")
   }
 
   /** Polynomial rolling hash (Karp–Rabin) of the full text: fold over

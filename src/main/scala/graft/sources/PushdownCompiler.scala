@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** Predicate/projection pushdown compilers for live REST datasources — the
+  * query strings a DataSourceV2 connector's `SupportsPushDownFilters` would
+  * emit. Formats mirror the reference byte-for-byte:
+  *
+  *  - JQL (S2): `src/jiracloud/data/jc_issue.ts:734-776` `setupQueryFilter`,
+  *    sort `:810-812`;
+  *  - OData (S7): `src/azureboards/data/ab_query.ts:152-232`, surrogate
+  *    date keys `src/utils/date_utils.ts:27-33`, field-name escaping
+  *    `ab_query.ts:249-254`.
+  *
+  * Against the parquet testdata these predicates are unnecessary (Catalyst
+  * pushes filters into the scan), but a live connector needs the manual
+  * compile.
+  */
+object PushdownCompiler {
+
+  /** JQL incremental filter: watermark + saved-filter membership +
+    * per-project issue-type pairs + exclude-completed-before.
+    */
+  def jqlFilter(changedSinceMillis: Long,
+                filterIds: Seq[String] = Seq.empty,
+                projectIssueTypes: Seq[(String, Seq[String])] = Seq.empty,
+                excludeCompletedBeforeMillis: Option[Long] = None): String = {
+    val filters = scala.collection.mutable.ArrayBuffer(s"updated > $changedSinceMillis")
+    if (filterIds.nonEmpty)
+      filters += s"and filter in (${filterIds.mkString(",")})"
+    val projectFilters = projectIssueTypes.collect {
+      case (projectId, types) if types.nonEmpty =>
+        s"(project in ($projectId) and issuetype in (${types.mkString(",")}))"
+    }
+    if (projectFilters.nonEmpty)
+      filters += s"and (${projectFilters.mkString(" or ")})"
+    excludeCompletedBeforeMillis.foreach { ts =>
+      filters += s"and (resolved is EMPTY OR resolved >= $ts)"
+    }
+    filters.mkString(" ")
+  }
+
+  /** Sort pushdown so incremental resumption is correct (S4). */
+  val jqlSort: String = "order by updated asc"
+
+  /** Surrogate date key yyyyMMdd (`date_utils.ts:27-33`). */
+  def surrogateDateKey(epochMillis: Long): String =
+    DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+      .format(Instant.ofEpochMilli(epochMillis))
+
+  /** OData `$filter` for the WorkItems / WorkItemRevisions entity sets. */
+  def odataFilter(changedSinceMillis: Long,
+                  entity: String, // "WorkItems" | "WorkItemRevisions"
+                  areaIds: Seq[String] = Seq.empty,
+                  workItemTypes: Seq[String] = Seq.empty,
+                  excludeCompletedBeforeMillis: Option[Long] = None): String = {
+    val filters = scala.collection.mutable.ArrayBuffer(
+      s"ChangedDateSK ge ${surrogateDateKey(changedSinceMillis)}")
+    if (entity == "WorkItemRevisions")
+      filters += s"and (RevisedDateSK eq null or RevisedDateSK gt ${surrogateDateKey(changedSinceMillis)})"
+    if (workItemTypes.nonEmpty)
+      filters += s"AND workitemtype in(${workItemTypes.map(t => "\"" + t + "\"").mkString(",")})"
+    if (areaIds.nonEmpty)
+      filters += s"AND Area/AreaId in (${areaIds.mkString(",")})"
+    if (entity == "WorkItems")
+      excludeCompletedBeforeMillis.foreach { ts =>
+        filters += s"and (ClosedDateSK eq null or ClosedDateSK ge ${surrogateDateKey(ts)})"
+      }
+    filters.mkString(" ")
+  }
+
+  /** OData custom-field name escaping: `.`→`_`, `-`→`__002D`
+    * (`ab_query.ts:249-254`).
+    */
+  def odataEscapeFieldName(name: String): String =
+    name.replace(".", "_").replace("-", "__002D")
+}
