@@ -399,6 +399,16 @@ object SparkEntry {
         .withColumn("flow_debt", round(lit(100.0) * col("wip_age_avg") / col("lead_p85"), 2))
         .withColumn("demand_over_capacity_pct",
           round(lit(100.0) * col("wip_count") / col("throughput_total"), 2))
+    }),
+
+    // End-to-end dedup: greedy keep-list — a document is dropped iff it has
+    // a near-dup (bigram jaccard ≥ 0.3) with a smaller id.
+    "q32_dedup_keeplist" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 2, threshold = 0.3)
+      Tables.documents(s, dir)
+        .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
     })
   )
 
@@ -742,6 +752,23 @@ object SparkEntry {
          |SELECT base.*, lead.lead_p85, lead.lead_avg,
          |  ROUND(CAST(100.0 AS DOUBLE) * wip_age_avg / lead_p85, 2) AS flow_debt,
          |  ROUND(CAST(100.0 AS DOUBLE) * wip_count / throughput_total, 2) AS demand_over_capacity_pct
-         |FROM base JOIN lead USING (o_orderpriority)""".stripMargin
+         |FROM base JOIN lead USING (o_orderpriority)""".stripMargin,
+
+    "q32_dedup_keeplist" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT id_b FROM p
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) >= 0.3)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
   )
 }
