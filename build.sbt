@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slowdowns until flushing recovers).
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // Every query compiles fresh whole-stage-codegen classes; with 30+
+  // sequential queries the C2 queue backlogs and late queries run
+  // interpreted. More compiler threads drain the queue.
+  "-XX:CICompilerCount=12",
 )

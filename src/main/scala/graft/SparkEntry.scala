@@ -409,6 +409,15 @@ object SparkEntry {
       Tables.documents(s, dir)
         .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
+    }),
+
+    // Training-data quality gate: keep documents passing length/diversity
+    // thresholds (the actionable form of the q08 quality score).
+    "q33_quality_filter" -> ((s, dir) => {
+      TextAnalysis.textStats(Tables.documents(s, dir), col("text"))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+          col("uniq_ratio") >= 0.3)
+        .select("doc_id", "n_tokens", "uniq_ratio")
     })
   )
 
@@ -769,6 +778,13 @@ object SparkEntry {
         |  SELECT DISTINCT id_b FROM p
         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) >= 0.3)
-        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)""".stripMargin,
+
+    "q33_quality_filter" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |WHERE len(toks) BETWEEN 20 AND 120
+        |  AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3""".stripMargin
   )
 }

@@ -31,7 +31,7 @@ class RevisionPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     WorkflowStepDef("3", "Done", 3)),
     WorkflowEventsDef(1, 2, 3))
 
-  private lazy val raw = spark.read.json(
+  private lazy val raw = graft.sources.RawItems.read(spark,
     getClass.getResource("/raw_items.jsonl").getPath)
   private lazy val revisions = RevisionPipeline.explodeChangelog(raw)
   private lazy val dates = RevisionPipeline

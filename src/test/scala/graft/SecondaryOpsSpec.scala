@@ -123,6 +123,18 @@ class SecondaryOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mr.count() == 1 && commits.count() == 2 && bridge.count() == 2 && p.count() == 1)
   }
 
+  test("T18: sprint transform flattens context x board x sprint") {
+    import spark.implicits._
+    val cb = Seq(("ctx1", "b1"), ("ctx1", "b2"), ("ctx2", "b1"))
+      .toDF("contextId", "boardId")
+    val bs = Seq(("b1", "s1", "Sprint 1", "2024-01-01", "2024-01-14"),
+      ("b2", "s2", "Sprint 2", "2024-01-01", "2024-01-14"))
+      .toDF("boardId", "sprintId", "sprintName", "startDate", "endDate")
+    val out = SecondaryTransforms.sprints(cb, bs).collect()
+      .map(r => (r.getAs[String]("contextId"), r.getAs[String]("sprintId"))).toSet
+    assert(out == Set(("ctx1", "s1"), ("ctx1", "s2"), ("ctx2", "s1")))
+  }
+
   test("A11/A12: scheduler fan-outs") {
     import spark.implicits._
     val ds = Seq(
