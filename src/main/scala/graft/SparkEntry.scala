@@ -333,7 +333,8 @@ object SparkEntry {
     // its item's event dates (stateCategoryRelativeToDate).
     "q25_state_category_asof" -> ((s, dir) => {
       val dates = queries("q24_event_dates")(s, dir)
-      Tables.events(s, dir).join(broadcast(dates), Seq("user_id"), "left")
+      // dates has item cardinality — shuffle join; AQE broadcasts if small
+      Tables.events(s, dir).join(dates, Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"),
           when(col("arrival").isNull || col("ts") < col("arrival"), "preceding")
             .when(col("commitment").isNull || col("ts") < col("commitment"), "proposed")

@@ -177,10 +177,13 @@ object RevisionPipeline {
     val steps = stepRows.toDF("__sid", "__sname", "stateOrder", "stateType")
     val b = EventDateExtractor.bands(wf)
 
+    // eventDates has work-item cardinality — NOT a broadcastable dimension
+    // at scale. Shuffle join on the item key (AQE will still broadcast it
+    // when the actual size is small).
     val withDates = allRevisions.join(
-      broadcast(eventDates.select(col("workItemId"),
+      eventDates.select(col("workItemId"),
         col("arrival"), col("commitment"), col("departure"),
-        col("delayedRevision"))),
+        col("delayedRevision")),
       Seq("workItemId"), "left")
 
     val joined = withDates
@@ -274,11 +277,11 @@ object RevisionPipeline {
       col("fields.project.id").as("projectId"),
       parent.as("parentId"),
       to_timestamp(col("fields.updated")).cast("timestamp_ntz").as("changedDate"))
-      .join(broadcast(eventDates
+      .join(eventDates // item-cardinality side: shuffle join, AQE decides
         .withColumnRenamed("arrival", "arrivalDate")
         .withColumnRenamed("commitment", "commitmentDate")
         .withColumnRenamed("departure", "departureDate")
-        .select("workItemId", "arrivalDate", "commitmentDate", "departureDate", "isDelayed")),
+        .select("workItemId", "arrivalDate", "commitmentDate", "departureDate", "isDelayed"),
         Seq("workItemId"), "left")
       .withColumn("stateCategory",
         when(col("departureDate").isNotNull, "completed")

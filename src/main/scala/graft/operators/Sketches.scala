@@ -44,7 +44,9 @@ object Sketches {
       .toDF("doc", "shingle")
     val dict = sh.select(col("shingle")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
-    sh.join(broadcast(dict), "shingle").select(col("doc"), col("sid"))
+    // vocab scales with the corpus — shuffle join on the shingle; AQE
+    // broadcasts when the dictionary is actually small
+    sh.join(dict, "shingle").select(col("doc"), col("sid"))
   }
 
   /** MinHash signatures: one row per doc with columns mh0..mh{k-1},
@@ -106,7 +108,7 @@ object Sketches {
     val dict = toks.select(col("token")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("token"))).cast("long"))
     val h = (col("sid") * lit(1299721L) + lit(104729L)) % MinhashPrime
-    val enc = toks.join(broadcast(dict), "token").select(col("doc"), h.as("h"))
+    val enc = toks.join(dict, "token").select(col("doc"), h.as("h"))
     val sums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     }
