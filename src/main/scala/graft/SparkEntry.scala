@@ -425,35 +425,34 @@ object SparkEntry {
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** MinHash signature CTE chain, generated from the same constants the
-    * Spark operator uses (Sketches.MinhashA/B).
+    * Spark operator uses (Sketches.MinhashA/B) over the same dictionary-free
+    * 31-bit polynomial shingle hash (TextHash.poly / its list_reduce twin).
     */
   private def minhashSigCtes: String = {
     val p = Sketches.MinhashPrime
     val mh = (0 until 16).map(i =>
       s"MIN((sid*${Sketches.MinhashA(i)}+${Sketches.MinhashB(i)})%$p) AS mh$i").mkString(", ")
+    val h = graft.functions.TextHash.duckdbPoly("shingle", graft.functions.TextHash.Mod31)
     s"""sh AS (
        |  SELECT doc_id AS doc, unnest(list_distinct(
        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
        |         ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END)) AS shingle
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
-       |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-       |         FROM (SELECT DISTINCT shingle FROM sh)),
-       |enc AS (SELECT doc, sid FROM sh JOIN dict USING (shingle)),
+       |enc AS (SELECT doc, $h AS sid FROM sh),
        |sig AS (SELECT doc, $mh FROM enc GROUP BY doc)""".stripMargin
   }
 
-  /** SimHash signature CTE chain (31-bit, unigram tokens, same mix as
-    * Sketches.simhashSignatures).
+  /** SimHash signature CTE chain (31-bit, unigram tokens, same poly-hash +
+    * mix as Sketches.simhashSignatures).
     */
   private def simhashSigCte: String = {
     val sums = (0 until 31).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
     val bits = (0 until 31).map(i =>
       s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    val h = graft.functions.TextHash.duckdbPoly("token", graft.functions.TextHash.Mod31)
     s"""toks AS (SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
-       |tdict AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS sid
-       |          FROM (SELECT DISTINCT token FROM toks)),
-       |tenc AS (SELECT doc, (sid*1299721+104729)%${Sketches.MinhashPrime} AS h FROM toks JOIN tdict USING (token)),
+       |tenc AS (SELECT doc, (($h)*${Sketches.SimhashMulA}+${Sketches.SimhashAddB})%${Sketches.MinhashPrime} AS h FROM toks),
        |tsums AS (SELECT doc, $sums FROM tenc GROUP BY doc),
        |simsig AS (SELECT doc AS doc_id, CAST($bits AS BIGINT) AS simhash FROM tsums)""".stripMargin
   }

@@ -2,24 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExpressions.dot_product
+import graft.functions.TextHash
+import graft.functions.VectorExpressions.{dot_product, sorted_intersect_count}
 
 /** Deduplication operators for a training-data pipeline over `documents`.
   *
   * Exact dedup is a hash-groupBy (one shuffle on the content hash — uniform
-  * keys, no skew, scales linearly). Near-dup has two physical strategies
-  * with identical semantics:
+  * keys, no skew, scales linearly).
   *
-  *  - all-pairs: dictionary-encode shingles to sorted long arrays, compare
-  *    every (a < b) pair with a primitive two-pointer intersection kernel.
-  *    O(n²) pairs but each pair costs ~|shingles| long comparisons — right
-  *    when n is bounded (a partition, an LSH bucket, a candidate set).
-  *  - inverted index: explode shingles and self-join on the shingle (the
-  *    classic candidate generator) — right at scale where n² is infeasible
-  *    and shared-shingle candidates are sparse.
-  *
-  * The MinHash/LSH pipeline (banding) composes with the all-pairs verifier:
-  * LSH buckets are small, so the exact kernel runs inside each bucket.
+  * N-gram Jaccard near-dup is EXACT and fully distributed via prefix
+  * filtering (the set-similarity-join technique of PPJoin/AllPairs): order
+  * every document's shingles by ascending global frequency; a pair with
+  * Jaccard ≥ t must share a shingle inside both documents' first
+  * `|S| − ⌈t·|S|⌉ + 1` shingles in that order (pigeonhole on the overlap
+  * bound |A∩B| ≥ t·max(|A|,|B|)). So the candidate join only explodes the
+  * short, rare-shingle prefixes — precisely the opposite of the stopword
+  * shingles that blow up a naive inverted index — and verification is a
+  * codegen'd two-pointer intersection over the full sorted sets. Complete
+  * recall, no driver-side pass, every stage a plain shuffle.
   */
 object Dedup {
 
@@ -30,106 +30,85 @@ object Dedup {
     docs.groupBy(md5(text).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
-  /** Distinct word n-gram shingles per doc, dictionary-encoded to sorted
-    * long-id arrays: `(doc, sids sorted array<long>)`.
+  /** `(doc, sid)` rows: distinct word n-gram shingles per document encoded
+    * with the 57-bit polynomial hash (collision odds ~1e-8 at a 1M-shingle
+    * vocabulary — nothing multiplies these ids, so the full width is
+    * available). Built in a typed flatMap: a sliding window over whitespace
+    * tokens compiles to plain JIT'd Scala — interpreted higher-order
+    * Catalyst expressions (transform/slice/concat_ws) cost ~100µs per
+    * shingle. Semantics match [[TextAnalysis.shinglesFromTokens]]: distinct
+    * space-joined n-grams, the whole text as one shingle when shorter than
+    * n tokens.
     */
-  private def shingleSets(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val sh = explodedShingles(docs, id, text, n)
-    val dict = sh.select(col("shingle")).distinct()
-      .withColumn("sid", monotonically_increasing_id())
-    sh.join(dict, "shingle")
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("sid"))).as("sids"))
-  }
-
-  /** N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold). */
-  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        n: Int, threshold: Double,
-                        allPairsLimit: Long = 100000L): DataFrame = {
-    val sets = shingleSets(docs, id, text, n)
-    if (docs.count() <= allPairsLimit) allPairsJaccard(sets, threshold)
-    else invertedIndexJaccard(docs, id, text, n, threshold)
-  }
-
-  /** All-pairs strategy over encoded shingle sets.
-    *
-    * A DataFrame self-join would fold the expensive predicate into the
-    * nested-loop join condition, where Spark evaluates it with interpreted
-    * (non-codegen) expressions — ~100µs/pair. Instead: the bounded side
-    * (≤ allPairsLimit rows, enforced by the caller) is collected once,
-    * broadcast, and redistributed — so the expensive shingle derivation runs
-    * exactly once, and the O(n²) pair scan is a tight JIT'd per-partition
-    * loop spread across all cores. This is the rare case where
-    * `mapPartitions` beats the declarative plan, and it is exactly the
-    * within-bucket verifier an LSH pipeline needs at 100 TB.
-    */
-  private def allPairsJaccard(sets: DataFrame, threshold: Double): DataFrame = {
-    val spark = sets.sparkSession
-    import spark.implicits._
-    val slices = spark.sparkContext.defaultParallelism
-    val arr = sets.select(col("doc").cast("long"), col("sids"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-    val side = spark.sparkContext.broadcast(arr)
-    // The inner pair loop is hand-rolled (no iterator combinators, no
-    // per-pair boxing): in a long-lived JVM the generic Function1/Iterator
-    // call sites go megamorphic after many queries and stop inlining, which
-    // costs 20-30× on a per-pair closure chain.
-    spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
-      val as = side.value
-      val pre = threshold - 1e-6
-      it.flatMap { case (bId, bSids) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var ai = 0
-        while (ai < as.length && as(ai)._1 < bId) {
-          val aSids = as(ai)._2
-          var i = 0; var j = 0; var c = 0L
-          while (i < aSids.length && j < bSids.length) {
-            if (aSids(i) < bSids(j)) i += 1
-            else if (aSids(i) > bSids(j)) j += 1
-            else { c += 1; i += 1; j += 1 }
-          }
-          val raw = c.toDouble / (aSids.length + bSids.length - c)
-          // BigDecimal rounding costs ~4.5µs/pair — only round candidates
-          // that can still pass after rounding (half-up adds < 5e-7).
-          if (raw >= pre) {
-            val jac = roundHalfUp6(raw)
-            if (jac >= threshold) out += ((as(ai)._1, bId, jac))
-          }
-          ai += 1
-        }
-        out
-      }
-    }.toDF("id_a", "id_b", "jaccard")
-  }
-
-  /** Same rounding as Spark's `round(x, 6)` / DuckDB's `ROUND(x, 6)`:
-    * decimal HALF_UP — keeps kernel output bit-identical to the SQL oracle.
-    */
-  private def roundHalfUp6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  /** Inverted-index strategy: candidates share ≥1 shingle; intersection size
-    * falls out of the pair count; union = |A| + |B| − |A∩B|.
-    */
-  /** `(doc, shingle)` rows, built in a typed flatMap: a sliding window over
-    * whitespace tokens compiles to plain JIT'd Scala — interpreted
-    * higher-order Catalyst expressions (transform/slice/concat_ws) cost
-    * ~100µs per shingle and serialize on small scans. Semantics match
-    * [[TextAnalysis.shinglesFromTokens]]: distinct space-joined n-grams, the
-    * whole text as one shingle when shorter than n tokens.
-    */
-  private def explodedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  private def hashedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val slices = spark.sparkContext.defaultParallelism
     docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
-      .flatMap { case (d, t) => Dedup.distinctShingles(t, n).map(g => (d, g)) }
-      .toDF("doc", "shingle")
+      .flatMap { case (d, t) =>
+        // distinct strings can collide to one sid; dedupe after hashing so
+        // set sizes are consistent with the encoded sets
+        val hs = distinctShingles(t, n).map(g => TextHash.poly(g, TextHash.Mod57))
+        java.util.Arrays.sort(hs)
+        var w = 0
+        var i = 0
+        while (i < hs.length) {
+          if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+          i += 1
+        }
+        hs.take(w).iterator.map(h => (d, h))
+      }
+      .toDF("doc", "sid")
   }
 
-  /** Distinct space-joined word n-grams, built with tight loops (aged-JVM
-    * safe — see allPairsJaccard note).
+  /** N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold),
+    * exact, via prefix filtering. Requires threshold > 0 (a zero threshold
+    * has no prefix bound — and an all-pairs result at that point is the
+    * cross product, which no strategy saves).
+    *
+    * Plan shape: shingle+hash flatMap → frequency groupBy (map-side
+    * combinable) → per-doc sort by (freq, sid) → prefix self-join on the
+    * shingle id → distinct candidates → two shuffle joins to fetch both
+    * sorted sets → codegen'd `sorted_intersect_count` verify. At 100 TB
+    * every shuffle key here (sid within prefixes, doc id) is high
+    * cardinality and skew-resistant: frequent shingles sort to the END of
+    * each document's ordering and thus out of the prefixes.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "prefix filtering requires threshold > 0")
+    val sh = hashedShingles(docs, id, text, n)
+    val freq = sh.groupBy(col("sid")).agg(count(lit(1)).as("freq"))
+    // one struct array per doc, ordered by (freq asc, sid asc): rarest first
+    val ordered = sh.join(freq, "sid")
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("sid")))).as("fs"))
+      .select(col("doc"),
+        col("fs.sid").as("by_freq"),                       // prefix order
+        array_sort(col("fs.sid")).as("sids"),              // verify order
+        size(col("fs")).as("sz"))
+    // prefix length = |S| − ⌈t·|S|⌉ + 1
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val prefixes = ordered.select(col("doc"), col("sz"),
+        explode(slice(col("by_freq"), lit(1), prefixLen)).as("sid"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+    val sets = ordered.select(col("doc"), col("sids"))
+    cand
+      .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sids", "sids_a"), "id_a")
+      .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sids", "sids_b"), "id_b")
+      .withColumn("inter", sorted_intersect_count(col("sids_a"), col("sids_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sids_a")) + size(col("sids_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Distinct space-joined word n-grams, built with tight loops (generic
+    * Iterator/Function1 call sites go megamorphic in a long-lived JVM and
+    * stop inlining — hand-rolled loops keep the kernel monomorphic).
     */
   private[graft] def distinctShingles(t: String, n: Int): Array[String] = {
     val toks = t.trim.split("\\s+")
@@ -155,57 +134,39 @@ object Dedup {
     out
   }
 
-  private def invertedIndexJaccard(docs: DataFrame, id: Column, text: Column,
-                                   n: Int, threshold: Double): DataFrame = {
-    val sh = explodedShingles(docs, id, text, n)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** Embedding cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    * Norms are computed once per vector, not once per pair; the per-pair
-    * work is a single primitive-array dot product.
+  /** Embedding cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),
+    * exact, distributed block-nested-loop: vectors are assigned to
+    * `blocks` groups by id, the small (gᵃ ≤ gᵇ) block-pair list is
+    * broadcast, and each block pair evaluates its cross product with a
+    * codegen'd dot product in the projection (NOT in a join condition,
+    * where Spark would evaluate it interpreted per pair). The O(n²) pair
+    * work is inherent to an exact threshold join; this spreads it evenly
+    * across the cluster with no driver-side pass — at 100 TB you put an
+    * LSH/IVF candidate filter in front (see [[Similarity.ivfTopK]] and
+    * [[Sketches.lshCandidates]]) and run the same verify inside buckets.
     */
   def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val slices = spark.sparkContext.defaultParallelism
-    val arr = emb.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    val v = emb.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    val side = spark.sparkContext.broadcast(arr)
-    spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
-      val as = side.value
-      val pre = threshold - 1e-6
-      it.flatMap { case (bId, bVec, bNrm) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var ai = 0
-        while (ai < as.length && as(ai)._1 < bId) {
-          val aVec = as(ai)._2
-          val n = math.min(aVec.length, bVec.length)
-          var s = 0.0; var i = 0
-          while (i < n) { s += aVec(i) * bVec(i); i += 1 }
-          val raw = s / (as(ai)._3 * bNrm)
-          if (raw >= pre) {
-            val cos = roundHalfUp6(raw)
-            if (cos >= threshold) out += ((as(ai)._1, bId, cos))
-          }
-          ai += 1
-        }
-        out
-      }
-    }.toDF("id_a", "id_b", "cosine")
+      .withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
+    val blockPairs = (for {
+      ga <- 0 until blocks
+      gb <- ga until blocks
+    } yield (ga, gb)).toDF("ga", "gb")
+    val a = v.select(col("g").as("ga"), col("id").as("id_x"),
+      col("v").as("v_x"), col("nrm").as("n_x"))
+    val b = v.select(col("g").as("gb"), col("id").as("id_y"),
+      col("v").as("v_y"), col("nrm").as("n_y"))
+    a.join(broadcast(blockPairs), "ga")
+      .join(b, "gb")
+      .filter(col("ga") =!= col("gb") || col("id_x") < col("id_y"))
+      .withColumn("cosine", round(
+        dot_product(col("v_x"), col("v_y")) / (col("n_x") * col("n_y")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("cosine"))
   }
 }

@@ -1,19 +1,22 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextHash
 
 /** Sketch-based near-dup operators for the training-data pipeline:
-  * MinHash + LSH banding and SimHash. Both are built on a deterministic
-  * dictionary encoding (rank of the shingle/token in sorted order) so the
-  * DuckDB oracle can reproduce the signatures bit-for-bit — a production
-  * deployment would swap the rank dictionary for a 64-bit string hash
-  * without touching the pipeline shape.
+  * MinHash + LSH banding and SimHash.
+  *
+  * Both are built on the dictionary-free [[TextHash.poly]] encoding
+  * (shingle/token → 31-bit polynomial hash), which the DuckDB oracle
+  * reproduces bit-for-bit with `list_reduce`. There is no vocabulary
+  * distinct, no dictionary join, and no global window anywhere in the
+  * pipeline — per-document shingling and hashing are embarrassingly
+  * parallel, and the only shuffles are the per-doc signature aggregation
+  * (map-side combinable) and the LSH bucket join (near-uniform keys).
   *
   * Scale shape: signatures are one narrow row per document (k small ints);
-  * the LSH candidate join shuffles on (band, bandKey) — band keys are
-  * near-uniform, so the join scales linearly while restricting the
+  * the LSH candidate join shuffles on (band, bandKey), restricting the
   * quadratic verification to same-bucket candidates.
   */
 object Sketches {
@@ -29,24 +32,23 @@ object Sketches {
     1803590426L, 643761100L, 1631415421L, 471586095L, 1459240416L, 299411090L,
     1287065411L, 127236085L, 1114890406L, 2102544727L, 942715401L, 1930369722L)
 
-  /** (doc, sid) pairs: distinct word n-gram shingles dictionary-encoded by
-    * their rank in sorted shingle order (deterministic across engines).
-    * The rank window is global but runs over the *vocabulary*, which is
-    * orders of magnitude smaller than the corpus.
+  // SimHash per-token mixer constants (shared with the oracle CTE).
+  val SimhashMulA = 1299721L
+  val SimhashAddB = 104729L
+
+  /** (doc, sid) pairs: distinct word n-gram shingles per document, encoded
+    * with the 31-bit polynomial hash. Pure flatMap — no dictionary.
     */
-  private def rankedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  private def hashedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val slices = spark.sparkContext.defaultParallelism
-    val sh = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+    docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
-      .flatMap { case (d, t) => Dedup.distinctShingles(t, n).map(g => (d, g)) }
-      .toDF("doc", "shingle")
-    val dict = sh.select(col("shingle")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
-    // vocab scales with the corpus — shuffle join on the shingle; AQE
-    // broadcasts when the dictionary is actually small
-    sh.join(dict, "shingle").select(col("doc"), col("sid"))
+      .flatMap { case (d, t) =>
+        Dedup.distinctShingles(t, n).map(g => (d, TextHash.poly(g, TextHash.Mod31)))
+      }
+      .toDF("doc", "sid")
   }
 
   /** MinHash signatures: one row per doc with columns mh0..mh{k-1},
@@ -55,7 +57,7 @@ object Sketches {
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, k: Int = 16): DataFrame = {
-    val enc = rankedShingles(docs, id, text, n)
+    val enc = hashedShingles(docs, id, text, n)
     val aggs = (0 until k).map { i =>
       min((col("sid") * MinhashA(i) + MinhashB(i)) % MinhashPrime).as(s"mh$i")
     }
@@ -72,15 +74,7 @@ object Sketches {
                       minEstSim: Double = 0.0): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(docs, id, text, n, k)
-    val bandRows = (0 until bands).map { bnd =>
-      val key = concat_ws(":",
-        (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}")): _*)
-      sig.select(col("doc"), lit(bnd).as("band"), key.as("band_key"))
-    }.reduce(_ unionByName _)
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+    val cand = lshCandidates(sig, bands, rowsPerBand)
     val matches = (0 until k).map(i =>
       when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -92,8 +86,25 @@ object Sketches {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one LSH band of
+    * a minhash signature frame (columns doc, mh0..mh{k-1}). The shuffle key
+    * (band, band_key) is near-uniform; the distinct bounds duplicate
+    * candidates from multi-band matches.
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { bnd =>
+      val key = concat_ws(":",
+        (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}")): _*)
+      sig.select(col("doc"), lit(bnd).as("band"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+  }
+
   /** SimHash signatures over unigram tokens (with multiplicity): token →
-    * rank-id → mixed 31-bit hash h; bit i of the signature is set iff
+    * 31-bit poly hash → mixed hash h; bit i of the signature is set iff
     * Σ_tokens (bit_i(h) ? +1 : −1) > 0.
     */
   def simhashSignatures(docs: DataFrame, id: Column, text: Column,
@@ -101,14 +112,15 @@ object Sketches {
     val spark = docs.sparkSession
     import spark.implicits._
     val slices = spark.sparkContext.defaultParallelism
-    val toks = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+    val enc = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
-      .flatMap { case (d, t) => t.trim.split("\\s+").iterator.map(w => (d, w)) }
-      .toDF("doc", "token")
-    val dict = toks.select(col("token")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("token"))).cast("long"))
-    val h = (col("sid") * lit(1299721L) + lit(104729L)) % MinhashPrime
-    val enc = toks.join(dict, "token").select(col("doc"), h.as("h"))
+      .flatMap { case (d, t) =>
+        t.trim.split("\\s+").iterator.map { w =>
+          val sid = TextHash.poly(w, TextHash.Mod31)
+          (d, (sid * SimhashMulA + SimhashAddB) % MinhashPrime)
+        }
+      }
+      .toDF("doc", "h")
     val sums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     }
@@ -118,33 +130,35 @@ object Sketches {
     agged.select(col("doc"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance of signatures ≤ maxHamming.
-    * Signatures are one long per doc, so the pair scan runs as a broadcast
-    * + tight per-partition loop (a DF self-join would evaluate the
-    * hamming predicate interpreted inside the nested-loop join condition —
-    * ~100× slower per pair).
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, found by
+    * hamming-chunk banding (Gionis-style): split the signature into
+    * maxHamming+1 disjoint bit chunks — any pair within distance maxHamming
+    * must agree on at least one whole chunk (pigeonhole), so candidates =
+    * equi-join on (chunk index, chunk value) with **guaranteed complete
+    * recall**, then verify `bit_count(xor) ≤ maxHamming` exactly. Fully
+    * declarative: the join shuffles on near-uniform chunk keys; the verify
+    * runs codegen'd built-ins. No driver-side pass anywhere.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int, bits: Int = 31): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val slices = spark.sparkContext.defaultParallelism
-    val arr = simhashSignatures(docs, id, text, bits)
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val side = spark.sparkContext.broadcast(arr)
-    spark.createDataset(arr.toIndexedSeq).repartition(slices).mapPartitions { it =>
-      val as = side.value
-      it.flatMap { case (bId, bSig) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var ai = 0
-        while (ai < as.length && as(ai)._1 < bId) {
-          val h = java.lang.Long.bitCount(as(ai)._2 ^ bSig).toLong
-          if (h <= maxHamming) out += ((as(ai)._1, bId, h))
-          ai += 1
-        }
-        out
-      }
-    }.toDF("id_a", "id_b", "hamming")
+    val sig = simhashSignatures(docs, id, text, bits)
+    val nChunks = maxHamming + 1
+    val width = (bits + nChunks - 1) / nChunks
+    val chunkRows = (0 until nChunks).map { c =>
+      sig.select(col("doc"), lit(c).as("chunk"),
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1).as("chunk_val"))
+    }.reduce(_ unionByName _)
+    val cand = chunkRows.as("a").join(chunkRows.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+    cand
+      .join(sig.withColumnRenamed("doc", "id_a").withColumnRenamed("simhash", "sig_a"), "id_a")
+      .join(sig.withColumnRenamed("doc", "id_b").withColumnRenamed("simhash", "sig_b"), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Polynomial rolling hash (Karp–Rabin) of the full text: fold over
