@@ -42,6 +42,18 @@ case class WorkItemRevision(
     changedDate: LocalDateTime,
     revisionType: String = "state_change")
 
+/** All-primitive revision row for the distributed event-date kernel hot
+  * path: epoch-micros `Long` instead of `LocalDateTime` (no object boxing
+  * at the deserialization boundary).
+  */
+case class RevCompact(
+    workItemId: String,
+    workflowId: String,
+    revision: Int,
+    statusId: String,
+    statusName: String,
+    changedMicros: Long)
+
 /** Result row of event-date extraction (`EventDates`,
   * `event_date_extractor.ts:28-39`). Point orders are None when the band has
   * no steps (the reference's `Math.min()` of an empty list = Infinity).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.time.LocalDateTime
+import java.time.{LocalDateTime, ZoneOffset}
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model._
@@ -16,6 +16,13 @@ import graft.model._
   * order-dependent per-entity logic). The shuffle key is the work-item id
   * (high cardinality → even distribution); per-item history is bounded, so
   * the O(n²) lookahead is a non-issue at any scale.
+  *
+  * The distributed kernel runs on PRIMITIVE rows ([[RevCompact]]: strings +
+  * epoch-micros long) and int band codes — the round-1 version's
+  * LocalDateTime + Option object encoders cost ~100µs/row at the input
+  * boundary; the semantics are identical and the rich-typed [[eventDates]]
+  * wrapper (used by the golden/property tests) delegates to the same
+  * primitive kernel, so the two paths cannot diverge.
   *
   * Semantics (mirrored exactly, see the reference's own comment block
   * `:126-141`):
@@ -34,6 +41,17 @@ import graft.model._
   *    arrival ≤ commitment ≤ departure (`:348-365`).
   */
 object EventDateExtractor {
+
+  /** Sentinel for "no date" in the primitive kernel. */
+  private final val NoDate = Long.MinValue
+  private final val MicrosPerDay = 86400000000L
+
+  // band codes
+  private final val BandBefore = 0
+  private final val BandArrival = 1
+  private final val BandCommitment = 2
+  private final val BandDeparture = 3
+  private final val BandUnknown = -1
 
   /** Step-key bands; keys are (id, name) pairs per IsSameWorkflowStepKey. */
   private[operators] case class Bands(
@@ -62,6 +80,35 @@ object EventDateExtractor {
       arrival.map(_.order).minOption,
       commitment.map(_.order).minOption,
       departure.map(_.order).minOption)
+  }
+
+  /** Per-workflow compiled lookup: (statusId, statusName) → band code, plus
+    * step order for the current-step category. Serializable; built once on
+    * the driver and shipped with the task closure.
+    */
+  private[operators] final class CompiledWorkflow(wf: WorkflowDef) extends Serializable {
+    private val bandByKey = new java.util.HashMap[String, Int]()
+    private val orderByKey = new java.util.HashMap[String, Int]()
+    val b: Bands = bands(wf)
+    wf.steps.foreach { s =>
+      val k = s.id + '\u0000' + s.name
+      orderByKey.put(k, s.order)
+      val band =
+        if (b.before((s.id, s.name))) BandBefore
+        else if (b.arrival((s.id, s.name))) BandArrival
+        else if (b.commitment((s.id, s.name))) BandCommitment
+        else BandDeparture
+      bandByKey.put(k, band)
+    }
+    def bandOf(statusId: String, statusName: String): Int = {
+      val v = bandByKey.get(statusId + '\u0000' + statusName)
+      if (v == 0 && !bandByKey.containsKey(statusId + '\u0000' + statusName)) BandUnknown
+      else v
+    }
+    def orderOf(statusId: String, statusName: String): Option[Int] = {
+      val k = statusId + '\u0000' + statusName
+      if (orderByKey.containsKey(k)) Some(orderByKey.get(k)) else None
+    }
   }
 
   /** Step-order classification (process_revision_utils.ts:82-114). */
@@ -99,53 +146,58 @@ object EventDateExtractor {
     else StateCategories.Completed
   }
 
-  private def sameDay(a: LocalDateTime, b: LocalDateTime): Boolean =
-    a.toLocalDate == b.toLocalDate
+  private[operators] def toMicros(d: LocalDateTime): Long =
+    d.toEpochSecond(ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
 
-  /** The T4 kernel: pure, golden-testable.
-    *
-    * @param currentStepOrder order of the item's current workflow step, used
-    *                         only for the reported `stepCategory`
+  private[operators] def fromMicros(m: Long): LocalDateTime =
+    LocalDateTime.ofEpochSecond(Math.floorDiv(m, 1000000L),
+      (Math.floorMod(m, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+
+  /** UTC calendar-day compare on epoch micros — same day iff the floored
+    * day ordinal matches (mirrors luxon `hasSame('day')` on UTC values).
     */
-  def eventDates(revisions0: Seq[WorkItemRevision], wf: WorkflowDef,
-                 currentStepOrder: Option[Int] = None): EventDatesRow = {
-    val b = bands(wf)
-    // stable ascending sort by changedDate (ties keep input order, matching
-    // the reference's stable Array.sort on toMillis)
-    val revs = revisions0.sortBy(_.changedDate)(
-      Ordering.fromLessThan[LocalDateTime](_.isBefore(_))).toIndexedSeq
+  private def sameDay(a: Long, b: Long): Boolean =
+    Math.floorDiv(a, MicrosPerDay) == Math.floorDiv(b, MicrosPerDay)
 
-    var arrival: Option[LocalDateTime] = None
-    var commitment: Option[LocalDateTime] = None
-    var departure: Option[LocalDateTime] = None
+  /** The T4 kernel over primitive parallel arrays, sorted ascending by
+    * micros (stable — ties keep input order, matching the reference's
+    * stable Array.sort on toMillis). Returns
+    * (arrival, commitment, departure, isDelayed, delayedRevision):
+    * [[NoDate]] / -1 are the "none" sentinels.
+    */
+  private def kernel(bandOf: Array[Int], micros: Array[Long], revIds: Array[Int])
+    : (Long, Long, Long, Boolean, Int) = {
+    var arrival = NoDate
+    var commitment = NoDate
+    var departure = NoDate
     var isDelayed = false
-    var delayedRevision: Option[Int] = None
+    var delayedRevision = -1
+    val n = micros.length
 
     var i = 0
-    while (i < revs.length) {
-      val cur = revs(i)
-      val key = (cur.statusId, cur.statusName)
+    while (i < n) {
+      val band = bandOf(i)
 
-      if (b.before(key) && arrival.isDefined && commitment.isEmpty && departure.isEmpty)
-        arrival = None
+      if (band == BandBefore && arrival != NoDate && commitment == NoDate && departure == NoDate)
+        arrival = NoDate
 
-      if (arrival.isEmpty && b.arrival(key))
-        arrival = Some(cur.changedDate)
+      if (arrival == NoDate && band == BandArrival)
+        arrival = micros(i)
 
-      if (commitment.isEmpty && b.commitment(key)) {
+      if (commitment == NoDate && band == BandCommitment) {
         var ignoreSameDayDelay = false
         var delayed = false
-        var delayedRev: Option[Int] = None
+        var delayedRev = -1
+        val cur = micros(i)
         var j = i + 1
-        while (j < revs.length) {
-          val fut = revs(j)
-          val fkey = (fut.statusId, fut.statusName)
-          if (b.arrival(fkey) || b.before(fkey)) {
-            if (!sameDay(fut.changedDate, cur.changedDate)) {
+        while (j < n) {
+          val fb = bandOf(j)
+          if (fb == BandArrival || fb == BandBefore) {
+            if (!sameDay(micros(j), cur)) {
               delayed = true
-              delayedRev = Some(fut.revision)
+              delayedRev = revIds(j)
             } else delayed = false
-            if (!ignoreSameDayDelay && sameDay(fut.changedDate, cur.changedDate))
+            if (!ignoreSameDayDelay && sameDay(micros(j), cur))
               ignoreSameDayDelay = true
           } else delayed = false
           j += 1
@@ -154,7 +206,7 @@ object EventDateExtractor {
         // every candidate before the final decision (reference :273-277)
         isDelayed = false
         if (!ignoreSameDayDelay) {
-          commitment = Some(cur.changedDate)
+          commitment = cur
           if (delayed) {
             isDelayed = true
             delayedRevision = delayedRev
@@ -162,32 +214,63 @@ object EventDateExtractor {
         }
       }
 
-      if (departure.isEmpty && b.departure(key)) {
+      if (departure == NoDate && band == BandDeparture) {
         var ignore = false
         var j = i + 1
-        while (j < revs.length) {
-          val fkey = (revs(j).statusId, revs(j).statusName)
-          if (b.arrival(fkey) || b.commitment(fkey) || b.before(fkey)) ignore = true
+        while (j < n) {
+          val fb = bandOf(j)
+          if (fb == BandArrival || fb == BandCommitment || fb == BandBefore) ignore = true
           j += 1
         }
-        if (!ignore) departure = Some(cur.changedDate)
+        if (!ignore) departure = micros(i)
       }
       i += 1
     }
 
-    if ((departure.isDefined || commitment.isDefined) && arrival.isEmpty)
-      arrival = commitment.orElse(departure)
-    if (arrival.isDefined && commitment.isEmpty && departure.isDefined)
+    if ((departure != NoDate || commitment != NoDate) && arrival == NoDate)
+      arrival = if (commitment != NoDate) commitment else departure
+    if (arrival != NoDate && commitment == NoDate && departure != NoDate)
       commitment = arrival
-    if (commitment.isDefined && departure.isDefined && commitment.get.isAfter(departure.get))
+    if (commitment != NoDate && departure != NoDate && commitment > departure)
       commitment = departure
-    if (commitment.isDefined && arrival.isDefined && arrival.get.isAfter(commitment.get))
+    if (commitment != NoDate && arrival != NoDate && arrival > commitment)
       arrival = commitment
 
+    (arrival, commitment, departure, isDelayed, if (isDelayed) delayedRevision else -1)
+  }
+
+  /** Rich-typed T4 entry point: pure, golden-testable. Delegates to the
+    * primitive kernel (single implementation of the semantics).
+    *
+    * @param currentStepOrder order of the item's current workflow step, used
+    *                         only for the reported `stepCategory`
+    */
+  def eventDates(revisions0: Seq[WorkItemRevision], wf: WorkflowDef,
+                 currentStepOrder: Option[Int] = None): EventDatesRow = {
+    val cw = new CompiledWorkflow(wf)
+    val sorted = revisions0.sortBy(_.changedDate)(
+      Ordering.fromLessThan[LocalDateTime](_.isBefore(_))).toIndexedSeq
+    val n = sorted.length
+    val bandArr = new Array[Int](n)
+    val micros = new Array[Long](n)
+    val revIds = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = sorted(i)
+      bandArr(i) = cw.bandOf(r.statusId, r.statusName)
+      micros(i) = toMicros(r.changedDate)
+      revIds(i) = r.revision
+      i += 1
+    }
+    val (a, c, d, delayed, delayedRev) = kernel(bandArr, micros, revIds)
+    val b = cw.b
     EventDatesRow(
       workItemId = revisions0.headOption.map(_.workItemId).getOrElse(""),
-      arrival = arrival, commitment = commitment, departure = departure,
-      isDelayed = isDelayed, delayedRevision = if (isDelayed) delayedRevision else None,
+      arrival = if (a == NoDate) None else Some(fromMicros(a)),
+      commitment = if (c == NoDate) None else Some(fromMicros(c)),
+      departure = if (d == NoDate) None else Some(fromMicros(d)),
+      isDelayed = delayed,
+      delayedRevision = if (delayed) Some(delayedRev) else None,
       stepCategory = currentStepOrder.map(o =>
         stepCategory(o, b.arrivalPointOrder, b.commitmentPointOrder, b.departurePointOrder)),
       arrivalPointOrder = b.arrivalPointOrder,
@@ -201,28 +284,71 @@ object EventDateExtractor {
   def isDelayedSnapshot(dates: EventDatesRow, revision: Int): Boolean =
     dates.delayedRevision.exists(revision >= _)
 
-  /** Distributed driver: one [[EventDatesRow]] per work item.
+  /** Distributed driver over primitive rows — the fast path. One
+    * [[EventDatesRow]] per work item (output is item-cardinality, so its
+    * richer encoding is off the hot path; the per-revision input rows are
+    * all-primitive).
     *
     * Workflows are a driver-side map (config dimension — small by nature)
-    * captured in the closure, i.e. broadcast with the task binary. The
-    * current step for `stepCategory` is the step of the latest revision.
+    * compiled to band-lookup tables and captured in the closure, i.e.
+    * broadcast with the task binary. The current step for `stepCategory` is
+    * the step of the latest revision.
+    */
+  def extractCompact(revisions: Dataset[RevCompact],
+                     workflows: Map[String, WorkflowDef]): Dataset[EventDatesRow] = {
+    val spark: SparkSession = revisions.sparkSession
+    import spark.implicits._
+    val compiled: Map[String, CompiledWorkflow] =
+      workflows.map { case (k, wf) => k -> new CompiledWorkflow(wf) }
+    revisions.groupByKey(_.workItemId).flatMapGroups { (id, it) =>
+      val arr = it.toArray
+      compiled.get(arr(0).workflowId) match {
+        case None => Iterator.empty
+        case Some(cw) =>
+          java.util.Arrays.sort(arr, new java.util.Comparator[RevCompact] {
+            override def compare(x: RevCompact, y: RevCompact): Int =
+              java.lang.Long.compare(x.changedMicros, y.changedMicros)
+          }) // TimSort: stable on ties, matching the reference's stable sort
+          val n = arr.length
+          val bandArr = new Array[Int](n)
+          val micros = new Array[Long](n)
+          val revIds = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val r = arr(i)
+            bandArr(i) = cw.bandOf(r.statusId, r.statusName)
+            micros(i) = r.changedMicros
+            revIds(i) = r.revision
+            i += 1
+          }
+          val (a, c, d, delayed, delayedRev) = kernel(bandArr, micros, revIds)
+          val last = arr(n - 1)
+          val b = cw.b
+          Iterator.single(EventDatesRow(
+            workItemId = id,
+            arrival = if (a == NoDate) None else Some(fromMicros(a)),
+            commitment = if (c == NoDate) None else Some(fromMicros(c)),
+            departure = if (d == NoDate) None else Some(fromMicros(d)),
+            isDelayed = delayed,
+            delayedRevision = if (delayed) Some(delayedRev) else None,
+            stepCategory = cw.orderOf(last.statusId, last.statusName).map(o =>
+              stepCategory(o, b.arrivalPointOrder, b.commitmentPointOrder, b.departurePointOrder)),
+            arrivalPointOrder = b.arrivalPointOrder,
+            commitmentPointOrder = b.commitmentPointOrder,
+            departurePointOrder = b.departurePointOrder))
+      }
+    }
+  }
+
+  /** Rich-typed distributed driver (compatibility shim over
+    * [[extractCompact]] — prefer the compact path for large inputs).
     */
   def extract(revisions: Dataset[WorkItemRevision],
               workflows: Map[String, WorkflowDef]): Dataset[EventDatesRow] = {
     val spark: SparkSession = revisions.sparkSession
     import spark.implicits._
-    revisions.groupByKey(_.workItemId).flatMapGroups { (id, it) =>
-      val revs = it.toSeq
-      workflows.get(revs.head.workflowId) match {
-        case None => Iterator.empty
-        case Some(wf) =>
-          val sorted = revs.sortBy(_.changedDate)(
-            Ordering.fromLessThan[LocalDateTime](_.isBefore(_)))
-          val curOrder = wf.steps
-            .find(s => s.id == sorted.last.statusId && s.name == sorted.last.statusName)
-            .map(_.order)
-          Iterator.single(eventDates(revs, wf, curOrder).copy(workItemId = id))
-      }
-    }
+    extractCompact(revisions.map(r => RevCompact(
+      r.workItemId, r.workflowId, r.revision, r.statusId, r.statusName,
+      toMicros(r.changedDate))), workflows)
   }
 }
