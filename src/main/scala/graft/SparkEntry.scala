@@ -65,73 +65,173 @@ object SparkEntry {
       .as[WorkItemRevision]
   }
 
-  /** Exact SQL mirror of the T4 kernel for the events workflow (no
-    * before-arrival band): arrival = first arrival-band revision; commitment
-    * = first commitment-band revision with no later same-day arrival-band
-    * revision; departure = first departure-band revision after the last
-    * non-departure revision; delayed iff the last revision is arrival-band
-    * on a different day than commitment; then the fallback/clamp chain.
+  /** q24's result frame, persisted and shared with q25 so the kernel runs
+    * once per (session, sf-dir) even when both queries execute in one run.
     */
-  private val eventDatesOracleCte =
-    """revs AS (
-      |  SELECT user_id, event_id, ts,
-      |    CASE WHEN event_type IN ('signup','view') THEN 'arrival'
-      |         WHEN event_type = 'click' THEN 'commitment' ELSE 'departure' END AS band,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  private val datesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def eventDatesFrame(s: SparkSession, dir: String): DataFrame =
+    datesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      EventDateExtractor.extract(eventRevisions(s, dir),
+          Map(eventsWorkflow.workflowId -> eventsWorkflow))
+        .select(col("workItemId").cast("long").as("user_id"),
+          col("arrival"), col("commitment"), col("departure"),
+          col("isDelayed").as("is_delayed"),
+          col("delayedRevision").cast("long").as("delayed_event"))
+        .persist())
+
+  /** Exact SQL mirror of the T4 kernel (for workflows with no
+    * before-arrival band), parameterized by a source selecting
+    * `(uid, rid, ts, band)` revision rows: arrival = first arrival-band
+    * revision; commitment = first commitment-band revision with no later
+    * same-day arrival-band revision; departure = first departure-band
+    * revision after the last non-departure revision; delayed iff the last
+    * revision is arrival-band on a different day than commitment; then the
+    * fallback/clamp chain. Final CTE `edev` has columns
+    * (uid, is_delayed, delayed_rid, arrival, commitment, departure).
+    */
+  private def eventDatesCteFrom(srcSql: String): String =
+    s"""edrevs AS (
+       |  SELECT uid, rid, ts, band,
+       |    row_number() OVER (PARTITION BY uid ORDER BY ts, rid) AS rn
+       |  FROM ($srcSql)),
+       |edlast AS (
+       |  SELECT uid, band AS last_band, CAST(ts AS DATE) AS last_day,
+       |         rn AS last_rn, rid AS last_rid
+       |  FROM (SELECT *, max(rn) OVER (PARTITION BY uid) AS mx FROM edrevs)
+       |  WHERE rn = mx),
+       |edarr AS (SELECT uid, MIN(ts) AS arrival0 FROM edrevs WHERE band = 'arrival' GROUP BY 1),
+       |edcmt AS (
+       |  SELECT uid, commitment0, crn, cday FROM (
+       |    SELECT r.uid, r.ts AS commitment0, r.rn AS crn, CAST(r.ts AS DATE) AS cday,
+       |           row_number() OVER (PARTITION BY r.uid ORDER BY r.rn) AS k
+       |    FROM edrevs r
+       |    WHERE r.band = 'commitment' AND NOT EXISTS (
+       |      SELECT 1 FROM edrevs f WHERE f.uid = r.uid AND f.rn > r.rn
+       |        AND f.band = 'arrival' AND CAST(f.ts AS DATE) = CAST(r.ts AS DATE)))
+       |  WHERE k = 1),
+       |edlastnd AS (SELECT uid, MAX(rn) AS last_nd FROM edrevs WHERE band <> 'departure' GROUP BY 1),
+       |eddep AS (
+       |  SELECT r.uid, MIN(r.ts) AS departure0
+       |  FROM edrevs r LEFT JOIN edlastnd n ON r.uid = n.uid
+       |  WHERE r.band = 'departure' AND r.rn > COALESCE(n.last_nd, 0)
+       |  GROUP BY 1),
+       |edraw AS (
+       |  SELECT u.uid, a.arrival0, c.commitment0, d.departure0,
+       |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
+       |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
+       |         THEN true ELSE false END AS is_delayed,
+       |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
+       |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
+       |         THEN l.last_rid END AS delayed_rid
+       |  FROM (SELECT DISTINCT uid FROM edrevs) u
+       |  LEFT JOIN edarr a ON u.uid = a.uid
+       |  LEFT JOIN edcmt c ON u.uid = c.uid
+       |  LEFT JOIN eddep d ON u.uid = d.uid
+       |  LEFT JOIN edlast l ON u.uid = l.uid),
+       |edfb AS (
+       |  SELECT uid, is_delayed, delayed_rid, departure0,
+       |    COALESCE(arrival0, commitment0, departure0) AS arrival1,
+       |    CASE WHEN COALESCE(arrival0, commitment0, departure0) IS NOT NULL
+       |              AND commitment0 IS NULL AND departure0 IS NOT NULL
+       |         THEN COALESCE(arrival0, commitment0, departure0)
+       |         ELSE commitment0 END AS commitment1
+       |  FROM edraw),
+       |edev AS (
+       |  SELECT uid, is_delayed, delayed_rid,
+       |    CAST(CASE WHEN commitment2 IS NOT NULL AND arrival1 IS NOT NULL AND arrival1 > commitment2
+       |              THEN commitment2 ELSE arrival1 END AS TIMESTAMP) AS arrival,
+       |    CAST(commitment2 AS TIMESTAMP) AS commitment,
+       |    CAST(departure0 AS TIMESTAMP) AS departure
+       |  FROM (
+       |    SELECT *, CASE WHEN commitment1 IS NOT NULL AND departure0 IS NOT NULL
+       |                        AND commitment1 > departure0
+       |                   THEN departure0 ELSE commitment1 END AS commitment2
+       |    FROM edfb))""".stripMargin
+
+  /** The q24/q25 instance: revisions = status events straight off `events`
+    * (rid = event_id), bands per [[eventsWorkflow]].
+    */
+  private val eventDatesOracleCte = eventDatesCteFrom(
+    """SELECT user_id AS uid, event_id AS rid, ts,
+      |  CASE WHEN event_type IN ('signup','view') THEN 'arrival'
+      |       WHEN event_type = 'click' THEN 'commitment' ELSE 'departure' END AS band
+      |FROM events WHERE event_type IN ('signup','view','click','purchase')""".stripMargin)
+
+  // ---- E1 pipeline fixture (q34-q36): raw Jira-shaped items from events ----
+
+  /** Workflow for the raw-item fixture (same step orders/points as
+    * [[eventsWorkflow]], varied state types for the snapshot columns).
+    */
+  private val rawWorkflow = WorkflowDef("raw-wf", Seq(
+    WorkflowStepDef("signup", "signup", 1, stateType = "queue"),
+    WorkflowStepDef("view", "view", 2, stateType = "queue"),
+    WorkflowStepDef("click", "click", 3, stateType = "active"),
+    WorkflowStepDef("purchase", "purchase", 4, stateType = "queue")),
+    WorkflowEventsDef(1, 3, 4))
+
+  /** Exploded revision stream of the raw-item fixture, persisted per
+    * (session, sf-dir) — shared by q34/q35/q36.
+    */
+  private val rawRevsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def rawRevisions(s: SparkSession, dir: String): DataFrame =
+    rawRevsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      RevisionPipeline.explodeChangelog(
+        graft.sources.RawItemsFixture.parsed(Tables.events(s, dir))).persist())
+
+  /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
+    * `rrev` holds every revision row the explode emits (tracked changes,
+    * flag-removal markers, synthesized revision-0 state+assignee pair).
+    */
+  private val rawRevsOracleCte =
+    """rstat AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), 'signup') AS prev
       |  FROM events WHERE event_type IN ('signup','view','click','purchase')),
-      |last_rev AS (
-      |  SELECT user_id, band AS last_band, CAST(ts AS DATE) AS last_day,
-      |         rn AS last_rn, event_id AS last_event
-      |  FROM (SELECT *, max(rn) OVER (PARTITION BY user_id) AS mx FROM revs)
-      |  WHERE rn = mx),
-      |arr AS (SELECT user_id, MIN(ts) AS arrival0 FROM revs WHERE band = 'arrival' GROUP BY 1),
-      |cmt AS (
-      |  SELECT user_id, commitment0, crn, cday FROM (
-      |    SELECT r.user_id, r.ts AS commitment0, r.rn AS crn, CAST(r.ts AS DATE) AS cday,
-      |           row_number() OVER (PARTITION BY r.user_id ORDER BY r.rn) AS k
-      |    FROM revs r
-      |    WHERE r.band = 'commitment' AND NOT EXISTS (
-      |      SELECT 1 FROM revs f WHERE f.user_id = r.user_id AND f.rn > r.rn
-      |        AND f.band = 'arrival' AND CAST(f.ts AS DATE) = CAST(r.ts AS DATE)))
-      |  WHERE k = 1),
-      |lastnd AS (SELECT user_id, MAX(rn) AS last_nd FROM revs WHERE band <> 'departure' GROUP BY 1),
-      |dep AS (
-      |  SELECT r.user_id, MIN(r.ts) AS departure0
-      |  FROM revs r LEFT JOIN lastnd n ON r.user_id = n.user_id
-      |  WHERE r.band = 'departure' AND r.rn > COALESCE(n.last_nd, 0)
-      |  GROUP BY 1),
-      |raw AS (
-      |  SELECT u.user_id, a.arrival0, c.commitment0, d.departure0,
-      |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
-      |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
-      |         THEN true ELSE false END AS is_delayed,
-      |    CASE WHEN c.commitment0 IS NOT NULL AND l.last_rn > c.crn
-      |              AND l.last_band = 'arrival' AND l.last_day <> c.cday
-      |         THEN l.last_event END AS delayed_event
-      |  FROM (SELECT DISTINCT user_id FROM revs) u
-      |  LEFT JOIN arr a ON u.user_id = a.user_id
-      |  LEFT JOIN cmt c ON u.user_id = c.user_id
-      |  LEFT JOIN dep d ON u.user_id = d.user_id
-      |  LEFT JOIN last_rev l ON u.user_id = l.user_id),
-      |fb AS (
-      |  SELECT user_id, is_delayed, delayed_event, departure0,
-      |    COALESCE(arrival0, commitment0, departure0) AS arrival1,
-      |    CASE WHEN COALESCE(arrival0, commitment0, departure0) IS NOT NULL
-      |              AND commitment0 IS NULL AND departure0 IS NOT NULL
-      |         THEN COALESCE(arrival0, commitment0, departure0)
-      |         ELSE commitment0 END AS commitment1
-      |  FROM raw),
-      |ev AS (
-      |  SELECT user_id, is_delayed, delayed_event,
-      |    CAST(CASE WHEN commitment2 IS NOT NULL AND arrival1 IS NOT NULL AND arrival1 > commitment2
-      |              THEN commitment2 ELSE arrival1 END AS TIMESTAMP) AS arrival,
-      |    CAST(commitment2 AS TIMESTAMP) AS commitment,
-      |    CAST(departure0 AS TIMESTAMP) AS departure
-      |  FROM (
-      |    SELECT *, CASE WHEN commitment1 IS NOT NULL AND departure0 IS NOT NULL
-      |                        AND commitment1 > departure0
-      |                   THEN departure0 ELSE commitment1 END AS commitment2
-      |    FROM fb))""".stripMargin
+      |rerr AS (
+      |  SELECT user_id, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ern
+      |  FROM events WHERE event_type = 'error'),
+      |rsign AS (SELECT user_id, COUNT(*) AS n_signup FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |rbase AS (SELECT user_id, MIN(ts) - INTERVAL 1 HOUR AS created FROM events GROUP BY 1),
+      |rrev AS (
+      |  SELECT user_id AS uid, event_id + 1 AS rid, ts AS changed_ts,
+      |    event_type AS status_id, event_type AS status_name, event_type AS status_text,
+      |    'state_change' AS rtype, CAST(NULL AS VARCHAR) AS assignee, false AS flag_bit,
+      |    prev AS from_id, prev AS from_string
+      |  FROM rstat
+      |  UNION ALL
+      |  SELECT user_id, event_id + 1, ts,
+      |    'u' || CAST(event_id % 7 AS VARCHAR), 'user-' || CAST(event_id % 7 AS VARCHAR), '',
+      |    'assignee_change', 'user-' || CAST(event_id % 7 AS VARCHAR), false, '', ''
+      |  FROM rstat WHERE event_type = 'signup'
+      |  UNION ALL
+      |  SELECT user_id, event_id + 1, ts, 'flag', 'Impediment', '',
+      |    'flagged', CAST(NULL AS VARCHAR), true, '', ''
+      |  FROM rerr WHERE ern % 2 = 1
+      |  UNION ALL
+      |  SELECT user_id, event_id + 1, ts, 'flagged', 'flagged', 'flagged',
+      |    'flagged', CAST(NULL AS VARCHAR), false, 'flag', 'Impediment'
+      |  FROM rerr WHERE ern % 2 = 0
+      |  UNION ALL
+      |  SELECT user_id, 0, created, 'signup', 'signup', 'signup',
+      |    'state_change', CAST(NULL AS VARCHAR), false, 'signup', ''
+      |  FROM rbase
+      |  UNION ALL
+      |  SELECT b.user_id, 0, b.created, 'signup', 'signup', 'signup',
+      |    'assignee_change', CASE WHEN s.n_signup IS NOT NULL THEN '' END,
+      |    false, 'signup', ''
+      |  FROM rbase b LEFT JOIN rsign s ON b.user_id = s.user_id)""".stripMargin
+
+  /** Event-dates chain over the fixture's state-change revisions (includes
+    * the synthesized revision 0). Bands per [[rawWorkflow]].
+    */
+  private val rawEventDatesCte = eventDatesCteFrom(
+    """SELECT uid, rid, changed_ts AS ts,
+      |  CASE WHEN status_id IN ('signup','view') THEN 'arrival'
+      |       WHEN status_id = 'click' THEN 'commitment' ELSE 'departure' END AS band
+      |FROM rrev WHERE rtype = 'state_change'""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1-S4: scan with filter pushdown + column projection + range predicate.
@@ -320,19 +420,12 @@ object SparkEntry {
 
     // T4: the event-date extraction kernel (flatMapGroups) over the event
     // stream viewed as work-item changelogs.
-    "q24_event_dates" -> ((s, dir) => {
-      EventDateExtractor.extract(eventRevisions(s, dir),
-          Map(eventsWorkflow.workflowId -> eventsWorkflow))
-        .select(col("workItemId").cast("long").as("user_id"),
-          col("arrival"), col("commitment"), col("departure"),
-          col("isDelayed").as("is_delayed"),
-          col("delayedRevision").cast("long").as("delayed_event"))
-    }),
+    "q24_event_dates" -> ((s, dir) => eventDatesFrame(s, dir)),
 
     // T7: point-in-time state-category classification of every event against
     // its item's event dates (stateCategoryRelativeToDate).
     "q25_state_category_asof" -> ((s, dir) => {
-      val dates = queries("q24_event_dates")(s, dir)
+      val dates = eventDatesFrame(s, dir) // persisted — shared with q24
       // dates has item cardinality — shuffle join; AQE broadcasts if small
       Tables.events(s, dir).join(dates, Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"),
@@ -419,6 +512,49 @@ object SparkEntry {
         .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
           col("uniq_ratio") >= 0.3)
         .select("doc_id", "n_tokens", "uniq_ratio")
+    }),
+
+    // T1: the E1 changelog explode over raw Jira-shaped JSON documents —
+    // tracked field changes, flag-removal markers, synthesized revision 0.
+    "q34_changelog_explode" -> ((s, dir) => {
+      rawRevisions(s, dir).select(
+        col("workItemId").as("work_item_id"),
+        col("revision").cast("long").as("revision"),
+        col("changedDate").as("changed_date"),
+        col("statusId").as("status_id"),
+        col("statusName").as("status_name"),
+        col("statusText").as("status_text"),
+        col("type").as("rev_type"),
+        col("assignee"),
+        col("blockedReason").as("blocked_reason"),
+        col("discardedReason").as("discarded_reason"),
+        col("flagged"),
+        col("from").as("from_id"),
+        col("fromString").as("from_string"))
+    }),
+
+    // T1→T4→T8→T9: the full E1 snapshot pipeline — explode, event-date
+    // kernel, snapshot construction with step lookup, point-in-time state
+    // category, delayed stamping, and the flagged-interval fill.
+    "q35_snapshot_pipeline" -> ((s, dir) => {
+      val revs = rawRevisions(s, dir)
+      val dates = RevisionPipeline.eventDatesFor(revs,
+        Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
+      RevisionPipeline.snapshots(revs, dates.toDF(), rawWorkflow).select(
+        col("workItemId").as("work_item_id"),
+        col("revision").cast("long").as("revision"),
+        col("type").as("rev_type"),
+        col("flomatikaSnapshotDate").as("snapshot_date"),
+        col("changedDate").as("changed_date"),
+        col("statusId").as("status_id"),
+        col("statusName").as("status_name"),
+        col("stateOrder").cast("int").as("state_order"),
+        col("stateType").as("state_type"),
+        col("stepCategory").as("step_category"),
+        col("stateCategory").as("state_category"),
+        col("isDelayed").as("is_delayed"),
+        col("flagged"),
+        col("assignee"))
     })
   )
 
@@ -674,8 +810,9 @@ object SparkEntry {
 
     "q24_event_dates" ->
       s"""WITH $eventDatesOracleCte
-         |SELECT user_id, arrival, commitment, departure, is_delayed, delayed_event
-         |FROM ev""".stripMargin,
+         |SELECT uid AS user_id, arrival, commitment, departure, is_delayed,
+         |  delayed_rid AS delayed_event
+         |FROM edev""".stripMargin,
 
     "q25_state_category_asof" ->
       s"""WITH $eventDatesOracleCte
@@ -684,7 +821,7 @@ object SparkEntry {
          |       WHEN ev.commitment IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.commitment THEN 'proposed'
          |       WHEN ev.departure IS NULL OR CAST(e.ts AS TIMESTAMP) < ev.departure THEN 'inprogress'
          |       ELSE 'completed' END AS category
-         |FROM events e LEFT JOIN ev ON e.user_id = ev.user_id""".stripMargin,
+         |FROM events e LEFT JOIN edev ev ON e.user_id = ev.uid""".stripMargin,
 
     "q26_minhash_lsh" -> {
       val bands = (0 until 4).map(b =>
@@ -785,6 +922,74 @@ object SparkEntry {
         |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |WHERE len(toks) BETWEEN 20 AND 120
-        |  AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3""".stripMargin
+        |  AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3""".stripMargin,
+
+    "q34_changelog_explode" ->
+      s"""WITH $rawRevsOracleCte
+         |SELECT 'ITEM-' || CAST(uid AS VARCHAR) AS work_item_id,
+         |  CAST(rid AS BIGINT) AS revision,
+         |  CAST(changed_ts AS TIMESTAMP) AS changed_date,
+         |  status_id, status_name, status_text, rtype AS rev_type, assignee,
+         |  CAST(NULL AS VARCHAR) AS blocked_reason,
+         |  CAST(NULL AS VARCHAR) AS discarded_reason,
+         |  flag_bit AS flagged, from_id, from_string
+         |FROM rrev""".stripMargin,
+
+    "q35_snapshot_pipeline" ->
+      s"""WITH $rawRevsOracleCte,
+         |$rawEventDatesCte,
+         |steps(sid, sname, sorder, stype) AS (VALUES
+         |  ('signup','signup',1,'queue'), ('view','view',2,'queue'),
+         |  ('click','click',3,'active'), ('purchase','purchase',4,'queue')),
+         |sj AS (
+         |  SELECT r.uid, r.rid, r.changed_ts, r.status_id, r.status_name,
+         |    r.status_text, r.rtype, r.assignee, r.flag_bit,
+         |    CASE WHEN r.rtype = 'state_change' THEN s.sorder ELSE -999 END AS state_order,
+         |    CASE WHEN r.rtype = 'state_change' THEN s.stype ELSE 'not applicable' END AS state_type,
+         |    CASE WHEN r.rtype <> 'state_change' THEN 'not applicable'
+         |         WHEN s.sorder < 1 THEN 'preceding'
+         |         WHEN s.sorder < 3 THEN 'proposed'
+         |         WHEN s.sorder < 4 THEN 'inprogress'
+         |         ELSE 'completed' END AS step_category,
+         |    CASE WHEN e.arrival IS NULL OR CAST(r.changed_ts AS TIMESTAMP) < e.arrival THEN 'preceding'
+         |         WHEN e.commitment IS NULL OR CAST(r.changed_ts AS TIMESTAMP) < e.commitment THEN 'proposed'
+         |         WHEN e.departure IS NULL OR CAST(r.changed_ts AS TIMESTAMP) < e.departure THEN 'inprogress'
+         |         ELSE 'completed' END AS state_category,
+         |    (e.delayed_rid IS NOT NULL AND r.rid >= e.delayed_rid) AS is_delayed
+         |  FROM rrev r
+         |  LEFT JOIN steps s ON r.rtype = 'state_change'
+         |    AND r.status_id = s.sid AND r.status_name = s.sname
+         |  LEFT JOIN edev e ON r.uid = e.uid),
+         |inh AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN rtype = 'state_change' THEN struct_pack(
+         |        changed_ts := changed_ts, status_id := status_id,
+         |        status_name := status_name, state_order := state_order,
+         |        state_type := state_type, step_category := step_category,
+         |        state_category := state_category, assignee := assignee,
+         |        is_delayed := is_delayed) END IGNORE NULLS)
+         |      OVER (PARTITION BY uid ORDER BY rid
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         |    COALESCE(last_value(CASE WHEN rtype = 'flagged' AND flag_bit THEN 1
+         |                             WHEN rtype = 'flagged' AND NOT flag_bit THEN 0 END IGNORE NULLS)
+         |      OVER (PARTITION BY uid ORDER BY rid
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) = 1 AS interval_flag
+         |  FROM sj),
+         |flagfix AS (SELECT *, (rtype = 'flagged' AND prev IS NOT NULL) AS inherit FROM inh)
+         |SELECT 'ITEM-' || CAST(uid AS VARCHAR) AS work_item_id,
+         |  CAST(rid AS BIGINT) AS revision, rtype AS rev_type,
+         |  CAST(changed_ts AS TIMESTAMP) AS snapshot_date,
+         |  CAST(CASE WHEN inherit THEN prev.changed_ts ELSE changed_ts END AS TIMESTAMP) AS changed_date,
+         |  CASE WHEN inherit THEN prev.status_id ELSE status_id END AS status_id,
+         |  CASE WHEN inherit THEN prev.status_name ELSE status_name END AS status_name,
+         |  CAST(CASE WHEN inherit THEN prev.state_order ELSE state_order END AS INTEGER) AS state_order,
+         |  CASE WHEN rtype = 'flagged' AND prev IS NULL THEN 'queue'
+         |       WHEN inherit THEN prev.state_type ELSE state_type END AS state_type,
+         |  CASE WHEN inherit THEN prev.step_category ELSE step_category END AS step_category,
+         |  CASE WHEN inherit THEN prev.state_category ELSE state_category END AS state_category,
+         |  CASE WHEN inherit THEN prev.is_delayed ELSE is_delayed END AS is_delayed,
+         |  interval_flag AS flagged,
+         |  CASE WHEN inherit THEN prev.assignee ELSE assignee END AS assignee
+         |FROM flagfix""".stripMargin
   )
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -55,9 +54,11 @@ object Insights {
     */
   def profileOfWork(df: DataFrame, bucket: Column): DataFrame = {
     val counts = df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
-    val total = Window.partitionBy()
-    counts
-      .withColumn("pct", round(col("n") * lit(100.0) / sum(col("n")).over(total), 2))
+    // total via broadcast cross-join of a 1-row aggregate (not a global
+    // window, which would single-partition the frame)
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("pct", round(col("n") * lit(100.0) / col("n_total"), 2))
       .select(col("bucket"), col("n"), col("pct"))
   }
 
