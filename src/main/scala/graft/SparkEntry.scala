@@ -555,8 +555,56 @@ object SparkEntry {
         col("isDelayed").as("is_delayed"),
         col("flagged"),
         col("assignee"))
+    }),
+
+    // T10: the full current-state translate — parent resolution chain
+    // (parent.key ∥ parent-link ∥ epic-link), workItemTypeMap SLE/level
+    // lookup, current-step state type/order, isItemFlagged all-fields scan.
+    "q36_states_translate" -> ((s, dir) => {
+      val raw = graft.sources.RawItemsFixture.parsed(Tables.events(s, dir))
+      val revs = rawRevisions(s, dir)
+      val dates = RevisionPipeline.eventDatesFor(revs,
+        Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
+      RevisionPipeline.states(raw, dates.toDF(), "org-1", "ds-1",
+          typeMaps = rawTypeMaps, workflow = Some(rawWorkflow),
+          epicLinkFieldId = Some("customfield_10014"))
+        .select(
+          col("workItemId").as("work_item_id"),
+          col("title"),
+          col("workItemType").as("work_item_type"),
+          col("state"),
+          col("stateType").as("state_type"),
+          col("stateOrder").as("state_order"),
+          col("assignedTo").as("assigned_to"),
+          col("projectId").as("project_id"),
+          col("parentId").as("parent_id"),
+          col("flomatikaWorkItemTypeId").as("flomatika_type_id"),
+          col("flomatikaWorkItemTypeLevel").as("type_level"),
+          col("flomatikaWorkItemTypeServiceLevelExpectationInDays").as("sle_days"),
+          col("flagged"),
+          col("changedDate").as("changed_date"),
+          col("arrivalDate").as("arrival_date"),
+          col("commitmentDate").as("commitment_date"),
+          col("departureDate").as("departure_date"),
+          col("isDelayed").as("is_delayed"),
+          col("stepCategory").as("step_category"),
+          col("stateCategory").as("state_category"),
+          col("partitionKey").as("partition_key"),
+          col("sortKey").as("sort_key"))
     })
   )
+
+  /** workItemTypeMap fixture dimension: keyed on (project, raw type name);
+    * SLE varies by project so the oracle proves the pair key matters.
+    */
+  private val rawTypeMaps: Seq[RevisionPipeline.TypeMapEntry] = for {
+    p <- Seq("1000", "1001")
+    (t, id, lvl, sle) <- Seq(
+      ("Story", "wit-story", "Portfolio", 14),
+      ("Bug", "wit-bug", "Team", 7),
+      ("Task", "wit-task", "Individual", 5))
+  } yield RevisionPipeline.TypeMapEntry(p, t, id, "Normalized " + t, lvl,
+    sle + (if (p == "1001") 1 else 0))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -990,6 +1038,79 @@ object SparkEntry {
          |  CASE WHEN inherit THEN prev.is_delayed ELSE is_delayed END AS is_delayed,
          |  interval_flag AS flagged,
          |  CASE WHEN inherit THEN prev.assignee ELSE assignee END AS assignee
-         |FROM flagfix""".stripMargin
+         |FROM flagfix""".stripMargin,
+
+    "q36_states_translate" ->
+      s"""WITH $rawRevsOracleCte,
+         |$rawEventDatesCte,
+         |ucur AS (
+         |  SELECT uid, event_type AS cur_status FROM (
+         |    SELECT user_id AS uid, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE event_type IN ('signup','view','click','purchase')) WHERE rn = 1),
+         |uass AS (
+         |  SELECT uid, 'user-' || CAST(event_id % 7 AS VARCHAR) AS assigned_to FROM (
+         |    SELECT user_id AS uid, event_id,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+         |uerr AS (SELECT user_id AS uid, COUNT(*) % 2 = 1 AS flagged
+         |         FROM events WHERE event_type = 'error' GROUP BY 1),
+         |uupd AS (SELECT user_id AS uid, MAX(ts) AS updated FROM events GROUP BY 1),
+         |tm(tproj, ttype, tid, tdisplay, tlevel, tsle) AS (VALUES
+         |  ('1000','Story','wit-story','Normalized Story','Portfolio',14),
+         |  ('1000','Bug','wit-bug','Normalized Bug','Team',7),
+         |  ('1000','Task','wit-task','Normalized Task','Individual',5),
+         |  ('1001','Story','wit-story','Normalized Story','Portfolio',15),
+         |  ('1001','Bug','wit-bug','Normalized Bug','Team',8),
+         |  ('1001','Task','wit-task','Normalized Task','Individual',6)),
+         |wsteps(sid2, sorder2, stype2) AS (VALUES
+         |  ('signup',1,'queue'), ('view',2,'queue'),
+         |  ('click',3,'active'), ('purchase',4,'queue')),
+         |ubase AS (
+         |  SELECT u.uid,
+         |    coalesce(c.cur_status, 'signup') AS cur_status,
+         |    a.assigned_to,
+         |    coalesce(er.flagged, false) AS flagged,
+         |    u.updated,
+         |    '100' || CAST(u.uid % 2 AS VARCHAR) AS project_id,
+         |    CASE WHEN u.uid % 3 = 0 THEN 'Story'
+         |         WHEN u.uid % 3 = 1 THEN 'Bug' ELSE 'Task' END AS raw_type,
+         |    CASE WHEN u.uid % 3 = 0 THEN 'ITEM-' || CAST(u.uid % 7 AS VARCHAR)
+         |         WHEN u.uid % 3 = 1 THEN 'PL-' || CAST(u.uid % 13 AS VARCHAR)
+         |         WHEN u.uid % 2 = 0 THEN 'EPIC-' || CAST(u.uid % 11 AS VARCHAR)
+         |    END AS parent_id
+         |  FROM uupd u
+         |  LEFT JOIN ucur c ON u.uid = c.uid
+         |  LEFT JOIN uass a ON u.uid = a.uid
+         |  LEFT JOIN uerr er ON u.uid = er.uid)
+         |SELECT 'ITEM-' || CAST(b.uid AS VARCHAR) AS work_item_id,
+         |  'Item ' || CAST(b.uid AS VARCHAR) AS title,
+         |  t.tdisplay AS work_item_type,
+         |  b.cur_status AS state,
+         |  s.stype2 AS state_type,
+         |  CAST(s.sorder2 AS VARCHAR) AS state_order,
+         |  b.assigned_to,
+         |  b.project_id,
+         |  b.parent_id,
+         |  t.tid AS flomatika_type_id,
+         |  t.tlevel AS type_level,
+         |  t.tsle AS sle_days,
+         |  b.flagged,
+         |  CAST(b.updated AS TIMESTAMP) AS changed_date,
+         |  e.arrival AS arrival_date,
+         |  e.commitment AS commitment_date,
+         |  e.departure AS departure_date,
+         |  e.is_delayed,
+         |  CASE WHEN s.sorder2 < 1 THEN 'preceding' WHEN s.sorder2 < 3 THEN 'proposed'
+         |       WHEN s.sorder2 < 4 THEN 'inprogress' ELSE 'completed' END AS step_category,
+         |  CASE WHEN e.departure IS NOT NULL THEN 'completed'
+         |       WHEN e.commitment IS NOT NULL THEN 'inprogress'
+         |       WHEN e.arrival IS NOT NULL THEN 'proposed' ELSE 'preceding' END AS state_category,
+         |  'state#org-1' AS partition_key,
+         |  'ds-1#ITEM-' || CAST(b.uid AS VARCHAR) AS sort_key
+         |FROM ubase b
+         |LEFT JOIN tm t ON b.project_id = t.tproj AND b.raw_type = t.ttype
+         |LEFT JOIN wsteps s ON b.cur_status = s.sid2
+         |LEFT JOIN edev e ON b.uid = e.uid""".stripMargin
   )
 }

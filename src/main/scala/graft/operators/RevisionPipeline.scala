@@ -255,33 +255,136 @@ object RevisionPipeline {
       .otherwise("invalid")
   }
 
-  /** T10 (subset) — current-state rows (`revision_processor.ts:831-941`):
-    * one row per item with event dates, category by date presence, parent
-    * resolution, and the synthesized partition/sort keys used for the MERGE
-    * (`state_load_processor_aurora.ts:49-50`).
+  /** A (projectId, typeName) → normalized-type row of the workItemTypeMap
+    * dimension (`work_item_type_aurora.ts:53-93`; SLE/level lookup
+    * `revision_processor.ts:843-874`).
+    */
+  case class TypeMapEntry(
+      projectId: String,
+      typeName: String,
+      workItemTypeId: String,
+      displayName: String,
+      level: String,
+      serviceLevelExpectationInDays: Int)
+
+  /** Field names whose presence marks an item flagged
+    * (`revision_processor.ts:24-28` flaggedFieldNames: the Jira Flagged
+    * custom-field option values, locale variants included).
+    */
+  val FlaggedValues: Set[String] = Set("Impediment", "Impedimento")
+
+  /** `isItemFlagged` (`revision_processor.ts:1038-1053`): scan ALL fields;
+    * flagged iff any field value is a non-empty array whose first element's
+    * `value` is a flagged marker. The scan is genuinely dynamic (fields are
+    * `[propName: string]: any`), so it runs as a UDF over the fields JSON.
+    */
+  private[graft] def isItemFlaggedJson(fieldsJson: String): Boolean = {
+    if (fieldsJson == null) return false
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(fieldsJson)
+    val it = root.fields()
+    var flagged = false
+    while (it.hasNext && !flagged) {
+      val v = it.next().getValue
+      if (v.isArray && v.size() > 0 && v.get(0).has("value") &&
+        FlaggedValues.contains(v.get(0).get("value").asText()))
+        flagged = true
+    }
+    flagged
+  }
+
+  /** T10 — current-state rows (`revision_processor.ts:831-941`
+    * translateWorkItem): one row per item with
+    *
+    *  - the parent resolution chain (`:879-898`): `fields.parent.key` ∥
+    *    Jira-server parent-link field ∥ epic-link custom field;
+    *  - workItemTypeMap lookup (`:843-874`): normalized type id/name,
+    *    level, SLE days — broadcast dimension join on (project, type);
+    *  - current workflow step → state/stateType/stateOrder;
+    *  - `isItemFlagged` all-fields scan (`:1038-1053`);
+    *  - event dates, category by date presence, stepCategory;
+    *  - the synthesized partition/sort keys used for the MERGE
+    *    (`state_load_processor_aurora.ts:49-50`).
     */
   def states(raw: DataFrame, eventDates: DataFrame,
-             orgId: String, datasourceId: String): DataFrame = {
+             orgId: String, datasourceId: String,
+             typeMaps: Seq[TypeMapEntry] = Seq.empty,
+             workflow: Option[WorkflowDef] = None,
+             parentLinkFieldId: String = "customfield_15503",
+             epicLinkFieldId: Option[String] = None): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
     val fieldNames = raw.schema("fields").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-    // parent resolution chain (`:884-898`): parent.key ∥ epic-link field
-    val parent =
+    def fieldOrNull(name: String) =
+      if (fieldNames.contains(name)) col("fields").getField(name).cast("string")
+      else lit(null).cast("string")
+    // parent resolution chain (`:879-898`)
+    val parentKey =
       if (fieldNames.contains("parent")) col("fields.parent.key")
       else lit(null).cast("string")
-    raw.select(
+    val parent = coalesce(parentKey, fieldOrNull(parentLinkFieldId),
+      epicLinkFieldId.map(fieldOrNull).getOrElse(lit(null).cast("string")))
+
+    val flaggedUdf = udf(isItemFlaggedJson _)
+
+    val base = raw.select(
       col("key").as("workItemId"),
       col("fields.summary").as("title"),
-      col("fields.issuetype.name").as("workItemType"),
+      col("fields.issuetype.name").as("rawItemType"),
+      col("fields.status.id").as("__curSid"),
       col("fields.status.name").as("state"),
       col("fields.assignee.displayName").as("assignedTo"),
       col("fields.project.id").as("projectId"),
       parent.as("parentId"),
+      flaggedUdf(to_json(col("fields"))).as("flagged"),
       to_timestamp(col("fields.updated")).cast("timestamp_ntz").as("changedDate"))
+
+    // current workflow step → stateType/stateOrder (`workflowStep` input
+    // of translateWorkItem; step identity is the (id, name) pair)
+    val withStep = workflow match {
+      case None =>
+        base.withColumn("stateType", lit(null).cast("string"))
+          .withColumn("stateOrder", lit(null).cast("string"))
+      case Some(wf) =>
+        val steps = wf.steps.map(s => (s.id, s.name, s.order, s.stateType))
+          .toDF("__sid", "__sname", "__sorder", "__stype")
+        base.join(broadcast(steps),
+            col("__curSid") === col("__sid") && col("state") === col("__sname"), "left")
+          .withColumn("stateType", col("__stype"))
+          .withColumn("stateOrder", col("__sorder").cast("string"))
+          .drop("__sid", "__sname", "__sorder", "__stype")
+    }
+
+    // workItemTypeMap dimension join (broadcast: config-sized by nature)
+    val withType =
+      if (typeMaps.isEmpty)
+        withStep.withColumn("flomatikaWorkItemTypeId", lit(null).cast("string"))
+          .withColumn("workItemType", col("rawItemType"))
+          .withColumn("flomatikaWorkItemTypeLevel", lit(null).cast("string"))
+          .withColumn("flomatikaWorkItemTypeServiceLevelExpectationInDays",
+            lit(null).cast("int"))
+      else {
+        val tm = typeMaps
+          .map(t => (t.projectId, t.typeName, t.workItemTypeId, t.displayName,
+            t.level, t.serviceLevelExpectationInDays))
+          .toDF("__tproj", "__ttype", "flomatikaWorkItemTypeId",
+            "__tdisplay", "flomatikaWorkItemTypeLevel",
+            "flomatikaWorkItemTypeServiceLevelExpectationInDays")
+        withStep.join(broadcast(tm),
+            col("projectId") === col("__tproj") &&
+              col("rawItemType") === col("__ttype"), "left")
+          .withColumn("workItemType", coalesce(col("__tdisplay"), col("rawItemType")))
+          .drop("__tproj", "__ttype", "__tdisplay")
+      }
+
+    withType
       .join(eventDates // item-cardinality side: shuffle join, AQE decides
         .withColumnRenamed("arrival", "arrivalDate")
         .withColumnRenamed("commitment", "commitmentDate")
         .withColumnRenamed("departure", "departureDate")
-        .select("workItemId", "arrivalDate", "commitmentDate", "departureDate", "isDelayed"),
+        .select("workItemId", "arrivalDate", "commitmentDate", "departureDate",
+          "isDelayed", "stepCategory"),
         Seq("workItemId"), "left")
       .withColumn("stateCategory",
         when(col("departureDate").isNotNull, "completed")
@@ -290,5 +393,6 @@ object RevisionPipeline {
           .otherwise("preceding"))
       .withColumn("partitionKey", concat(lit("state#"), lit(orgId)))
       .withColumn("sortKey", concat(lit(datasourceId), lit("#"), col("workItemId")))
+      .drop("__curSid", "rawItemType")
   }
 }
