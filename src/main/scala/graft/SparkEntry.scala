@@ -591,6 +591,64 @@ object SparkEntry {
           col("stateCategory").as("state_category"),
           col("partitionKey").as("partition_key"),
           col("sortKey").as("sort_key"))
+    }),
+
+    // A6 + A8: the FULL wide insights-snapshot row (every metric of the
+    // reference's insights_snapshots DDL computed natively).
+    "q37_insights_wide" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      // a line is "late" when shipped >100 days after the order arrived —
+      // the l_commitdate analog for this synthetic schema
+      val liJo = li.join(o.select(col("o_orderkey").as("lo_key"),
+          col("o_orderdate").as("lo_date"), col("o_orderstatus").as("lo_status")),
+        col("l_orderkey") === col("lo_key"))
+      val lineAgg = liJo.groupBy(col("l_orderkey")).agg(
+        max(col("l_shipdate")).as("departure"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_return"),
+        max(when(col("l_shipdate") > col("lo_date") + expr("INTERVAL 100 DAYS"), 1)
+          .otherwise(0)).as("has_late"))
+      val items = o.join(lineAgg, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("o_orderpriority").as("class_of_service"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Portfolio")
+            .otherwise("Team").as("level"),
+          when(col("o_orderstatus") === "F", "completed")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("discarded").as("status"),
+          col("o_orderdate").as("arrival_date"),
+          col("departure").as("departure_date"),
+          datediff(col("departure").cast("date"), col("o_orderdate").cast("date"))
+            .as("lead_days"),
+          datediff(col("departure").cast("date"), col("first_ship").cast("date"))
+            .as("active_days"),
+          (col("has_return") === 1).as("is_blocked"),
+          (col("has_late") === 1).as("is_late"),
+          when(col("o_orderpriority") === "1-URGENT", 70).otherwise(90).as("sle_days"))
+      val delayReasons = liJo
+        .filter(col("lo_status") === "O" &&
+          col("l_shipdate") > col("lo_date") + expr("INTERVAL 100 DAYS"))
+        .select(col("l_returnflag").as("reason"))
+      Insights.wideSnapshot(items, delayReasons,
+          asOf = lit("2001-09-01").cast("timestamp_ntz"),
+          staleAgeDays = 1825,
+          windowStart = lit("1996-01-01").cast("timestamp_ntz"),
+          windowEnd = lit("1997-12-31").cast("timestamp_ntz"),
+          expediteClass = "1-URGENT", fixedDateClass = "2-HIGH",
+          intangibleClass = "5-LOW", standardClass = "3-MEDIUM",
+          valueClasses = Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .select("lead_time_85", "lead_time_team_avg", "lead_time_portfolio_85",
+          "lead_time_portfolio_avg", "wip_count", "wip_age_85", "wip_age_avg",
+          "total_throughput", "capacity", "flow_efficiency", "fitness_level",
+          "lead_time_target_met", "flow_debt", "stale_work", "blockers",
+          "delayed_items_count", "discarded_after_start", "demand",
+          "value_demand", "inflow", "outflow", "expedite_pcnt",
+          "demand_over_capacity_percent", "inflow_outflow_percent",
+          "lead_time_predictability", "throughput_predictability",
+          "average_throughput", "quantile_first", "quantile_second",
+          "quantile_third", "quantile_fourth", "profile_of_work",
+          "key_sources_of_delay")
     })
   )
 
@@ -1111,6 +1169,91 @@ object SparkEntry {
          |FROM ubase b
          |LEFT JOIN tm t ON b.project_id = t.tproj AND b.raw_type = t.ttype
          |LEFT JOIN wsteps s ON b.cur_status = s.sid2
-         |LEFT JOIN edev e ON b.uid = e.uid""".stripMargin
+         |LEFT JOIN edev e ON b.uid = e.uid""".stripMargin,
+
+    "q37_insights_wide" ->
+      """WITH la AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS departure, MIN(l_shipdate) AS first_ship,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY THEN 1 ELSE 0 END) AS has_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |it AS (
+        |  SELECT o_orderpriority AS cos,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'Portfolio' ELSE 'Team' END AS lvl,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'completed'
+        |         WHEN o_orderstatus = 'O' THEN 'open' ELSE 'discarded' END AS status,
+        |    o_orderdate AS arrival, departure,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(departure AS DATE)) AS lead,
+        |    date_diff('day', CAST(first_ship AS DATE), CAST(departure AS DATE)) AS active,
+        |    has_return = 1 AS is_blocked, has_late = 1 AS is_late,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 70 ELSE 90 END AS sle
+        |  FROM orders JOIN la ON o_orderkey = l_orderkey),
+        |m AS (SELECT
+        |  quantile_cont(CASE WHEN status = 'completed' AND lvl <> 'Portfolio' THEN lead END, 0.85) AS lead_time_85,
+        |  quantile_cont(CASE WHEN status = 'completed' AND lvl <> 'Portfolio' THEN lead END, 0.5) AS lead_p50,
+        |  CAST(SUM(CASE WHEN status = 'completed' AND lvl <> 'Portfolio' THEN CAST(lead AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN status = 'completed' AND lvl <> 'Portfolio' THEN 1 ELSE 0 END) AS lead_time_team_avg,
+        |  quantile_cont(CASE WHEN status = 'completed' AND lvl = 'Portfolio' THEN lead END, 0.85) AS lead_time_portfolio_85,
+        |  CAST(SUM(CASE WHEN status = 'completed' AND lvl = 'Portfolio' THEN CAST(lead AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN status = 'completed' AND lvl = 'Portfolio' THEN 1 ELSE 0 END) AS lead_time_portfolio_avg,
+        |  CAST(SUM(CASE WHEN status = 'open' THEN 1 ELSE 0 END) AS BIGINT) AS wip_count,
+        |  quantile_cont(CASE WHEN status = 'open' THEN date_diff('day', CAST(arrival AS DATE), DATE '2001-09-01') END, 0.85) AS wip_age_85,
+        |  CAST(SUM(CASE WHEN status = 'open' THEN CAST(date_diff('day', CAST(arrival AS DATE), DATE '2001-09-01') AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN status = 'open' THEN 1 ELSE 0 END) AS wip_age_avg,
+        |  CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS total_throughput,
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN status = 'completed' THEN CAST(active AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN status = 'completed' THEN CAST(lead AS DECIMAL(38,0)) END) AS DOUBLE), 2) AS flow_efficiency,
+        |  ROUND(100.0 * SUM(CASE WHEN status = 'completed' AND lead <= sle THEN 1 ELSE 0 END)
+        |    / SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END), 2) AS fitness_level,
+        |  CAST(SUM(CASE WHEN status = 'open' AND date_diff('day', CAST(arrival AS DATE), DATE '2001-09-01') > 1825 THEN 1 ELSE 0 END) AS BIGINT) AS stale_work,
+        |  CAST(SUM(CASE WHEN status = 'open' AND is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS blockers,
+        |  CAST(SUM(CASE WHEN status = 'open' AND is_late THEN 1 ELSE 0 END) AS BIGINT) AS delayed_items_count,
+        |  CAST(SUM(CASE WHEN status = 'discarded' THEN 1 ELSE 0 END) AS BIGINT) AS discarded_after_start,
+        |  COUNT(*) AS demand,
+        |  ROUND(100.0 * SUM(CASE WHEN cos IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) / COUNT(*), 2) AS value_demand,
+        |  CAST(SUM(CASE WHEN arrival BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS inflow,
+        |  CAST(SUM(CASE WHEN status = 'completed' AND departure BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS outflow,
+        |  ROUND(CASE WHEN SUM(CASE WHEN cos = '1-URGENT' THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(SUM(CASE WHEN cos = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / SUM(CASE WHEN cos IN ('1-URGENT','2-HIGH','5-LOW','3-MEDIUM') THEN 1 ELSE 0 END)
+        |    ELSE 0.0 END, 6) AS expedite_pcnt
+        |  FROM it),
+        |wk AS (
+        |  SELECT date_trunc('week', departure) AS week, COUNT(*) AS n
+        |  FROM it WHERE status = 'completed' GROUP BY 1),
+        |w AS (
+        |  SELECT CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) / COUNT(n) AS average_throughput,
+        |    quantile_cont(n, 0.25) AS quantile_first, quantile_cont(n, 0.5) AS quantile_second,
+        |    quantile_cont(n, 0.75) AS quantile_third, quantile_cont(n, 1.0) AS quantile_fourth
+        |  FROM wk),
+        |powe AS (SELECT cos, COUNT(*) AS n FROM it WHERE status = 'completed' GROUP BY 1),
+        |pow AS (
+        |  SELECT '{' || string_agg('"' || cos || '":' ||
+        |      printf('%.2f', ROUND(CAST(n AS DOUBLE) * 100 / (SELECT SUM(n) FROM powe), 2)),
+        |      ',' ORDER BY cos) || '}' AS profile_of_work
+        |  FROM powe),
+        |dr AS (
+        |  SELECT l_returnflag AS reason, COUNT(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O' AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |  GROUP BY 1),
+        |ks AS (
+        |  SELECT '{"keySourcesOfDelay":["' || string_agg(reason, '","' ORDER BY n DESC, reason) || '"]}' AS key_sources_of_delay
+        |  FROM (SELECT * FROM dr ORDER BY n DESC, reason LIMIT 3))
+        |SELECT m.lead_time_85, m.lead_time_team_avg, m.lead_time_portfolio_85,
+        |  m.lead_time_portfolio_avg, m.wip_count, m.wip_age_85, m.wip_age_avg,
+        |  m.total_throughput, m.total_throughput AS capacity, m.flow_efficiency,
+        |  m.fitness_level, m.fitness_level AS lead_time_target_met,
+        |  ROUND(100.0 * m.wip_age_avg / m.lead_time_85, 2) AS flow_debt,
+        |  m.stale_work, m.blockers, m.delayed_items_count, m.discarded_after_start,
+        |  m.demand, m.value_demand, m.inflow, m.outflow, m.expedite_pcnt,
+        |  ROUND(100.0 * m.demand / m.total_throughput, 2) AS demand_over_capacity_percent,
+        |  ROUND(100.0 * m.inflow / m.outflow, 2) AS inflow_outflow_percent,
+        |  CASE WHEN m.lead_time_85 <= 2.0 * m.lead_p50 THEN 'High' ELSE 'Low' END AS lead_time_predictability,
+        |  CASE WHEN w.quantile_third - w.quantile_first <= 0.5 * w.quantile_second THEN 'High' ELSE 'Low' END AS throughput_predictability,
+        |  w.average_throughput, w.quantile_first, w.quantile_second,
+        |  w.quantile_third, w.quantile_fourth,
+        |  pow.profile_of_work, ks.key_sources_of_delay
+        |FROM m, w, pow, ks""".stripMargin
   )
 }
