@@ -649,6 +649,71 @@ object SparkEntry {
           "average_throughput", "quantile_first", "quantile_second",
           "quantile_third", "quantile_fourth", "profile_of_work",
           "key_sources_of_delay")
+    }),
+
+    // T2: all four ADO dedupe-consecutive families over an ADO-shaped
+    // revision stream — state, null-safe assignee, blocked with the
+    // unblocked-prefix skip + flagged stamping, custom field with the
+    // non-null filter.
+    "q38_ado_dedupe" -> ((s, dir) => {
+      val arev = Tables.events(s, dir).select(
+        col("user_id").as("WorkItemId"),
+        col("event_id").as("Revision"),
+        col("event_type").as("State"),
+        struct(when(pmod(col("event_id"), lit(11)) =!= 0,
+          concat(lit("user-"), pmod(col("event_id"), lit(5)))).as("UserName"))
+          .as("AssignedTo"),
+        when(col("event_type") === "error", "Yes")
+          .when(pmod(col("event_id"), lit(2)) === 0, "No").as("Custom_Blocked"),
+        when(pmod(col("event_id"), lit(5)) =!= 0,
+          concat(lit("v"), pmod(col("event_id"), lit(3)))).as("CF1"))
+      def shape(df: DataFrame, family: String, value: Column, flagged: Column) =
+        df.select(col("WorkItemId").as("work_item_id"),
+          col("Revision").as("revision"), lit(family).as("family"),
+          value.as("value"), flagged.cast("boolean").as("flagged"))
+      val noFlag = lit(null).cast("boolean")
+      shape(AdoDedupe.stateChanges(arev), "state", col("State"), noFlag)
+        .unionByName(shape(AdoDedupe.assigneeChanges(arev), "assignee",
+          col("assignee"), noFlag))
+        .unionByName(shape(AdoDedupe.blockedChanges(arev, "Custom_Blocked"),
+          "blocked", col("Custom_Blocked"), col("flagged")))
+        .unionByName(shape(AdoDedupe.customFieldChanges(arev, "CF1"),
+          "custom", col("fieldValue"), noFlag))
+    }),
+
+    // E2 + A10: context-membership refresh — stale membership written, then
+    // a refresh overwrites only the touched context partitions (upsert +
+    // anti-delete in one shot); the query returns the table READ BACK from
+    // disk, so the dynamic-partition-overwrite semantics are what's checked.
+    "q39_membership_refresh" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-cwim").toString + "/cwim"
+      val refreshed = Seq("1-URGENT", "2-HIGH")
+      val stale = o.filter(col("o_orderpriority").isin(refreshed: _*))
+        .select(col("o_orderkey").as("work_item_id"),
+          col("o_orderpriority").as("context_id"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select(col("o_orderkey").as("work_item_id"),
+            lit("legacy").as("context_id")))
+      sources.MergeWriter.overwritePartitions(path, stale, "context_id")
+      val fresh = o.filter(col("o_orderpriority").isin(refreshed: _*) &&
+          col("o_totalprice") > 150000)
+        .select(col("o_orderkey").as("work_item_id"),
+          col("o_orderpriority").as("context_id"))
+      sources.MergeWriter.overwritePartitions(path, fresh, "context_id")
+      s.read.parquet(path).select(col("context_id"), col("work_item_id"))
+    }),
+
+    // Multimodal: binary payload column + deterministic feature kernel
+    // (documents text as UTF-8 bytes; the decode body is the documented
+    // stub, reproducible in the oracle — ASCII-only docs so byte == char).
+    "q40_multimodal_features" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      val assets = Multimodal.toAssets(ascii, col("doc_id"), col("text"), "text/plain")
+      val feats = Multimodal.extractImageFeatures(assets, dim = 8)
+      feats.select(Seq(col("asset_id")) ++
+        (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
     })
   )
 
@@ -1254,6 +1319,73 @@ object SparkEntry {
         |  w.average_throughput, w.quantile_first, w.quantile_second,
         |  w.quantile_third, w.quantile_fourth,
         |  pow.profile_of_work, ks.key_sources_of_delay
-        |FROM m, w, pow, ks""".stripMargin
+        |FROM m, w, pow, ks""".stripMargin,
+
+    "q38_ado_dedupe" ->
+      """WITH arev AS (
+        |  SELECT user_id AS wid, event_id AS rev, event_type AS state,
+        |    CASE WHEN event_id % 11 <> 0 THEN 'user-' || CAST(event_id % 5 AS VARCHAR) END AS assignee,
+        |    CASE WHEN event_type = 'error' THEN 'Yes'
+        |         WHEN event_id % 2 = 0 THEN 'No' END AS blocked,
+        |    CASE WHEN event_id % 5 <> 0 THEN 'v' || CAST(event_id % 3 AS VARCHAR) END AS cf
+        |  FROM events),
+        |sded AS (
+        |  SELECT wid, rev, 'state' AS family, state AS value, CAST(NULL AS BOOLEAN) AS flagged
+        |  FROM (SELECT wid, rev, state,
+        |          lag(state) OVER w AS p, row_number() OVER w AS rn
+        |        FROM arev WINDOW w AS (PARTITION BY wid ORDER BY rev))
+        |  WHERE rn = 1 OR p IS DISTINCT FROM state),
+        |aded AS (
+        |  SELECT wid, rev, 'assignee' AS family, assignee AS value, CAST(NULL AS BOOLEAN) AS flagged
+        |  FROM (SELECT wid, rev, assignee,
+        |          lag(assignee) OVER w AS p, row_number() OVER w AS rn
+        |        FROM arev WINDOW w AS (PARTITION BY wid ORDER BY rev))
+        |  WHERE rn = 1 OR p IS DISTINCT FROM assignee),
+        |bstart AS (
+        |  SELECT wid, MIN(CASE WHEN blocked IS NOT NULL AND blocked <> 'No' THEN rev END) AS start
+        |  FROM arev GROUP BY 1),
+        |bded AS (
+        |  SELECT wid, rev, 'blocked' AS family, blocked AS value,
+        |    (blocked IS NOT NULL AND blocked <> 'No') AS flagged
+        |  FROM (SELECT a.wid, a.rev, a.blocked,
+        |          lag(a.blocked) OVER w AS p, row_number() OVER w AS rn
+        |        FROM arev a JOIN bstart s ON a.wid = s.wid
+        |        WHERE s.start IS NOT NULL AND a.rev >= s.start
+        |        WINDOW w AS (PARTITION BY a.wid ORDER BY a.rev))
+        |  WHERE rn = 1 OR p IS DISTINCT FROM blocked),
+        |cded AS (
+        |  SELECT wid, rev, 'custom' AS family, cf AS value, CAST(NULL AS BOOLEAN) AS flagged
+        |  FROM (SELECT wid, rev, cf,
+        |          lag(cf) OVER w AS p, row_number() OVER w AS rn
+        |        FROM arev WHERE cf IS NOT NULL
+        |        WINDOW w AS (PARTITION BY wid ORDER BY rev))
+        |  WHERE rn = 1 OR p IS DISTINCT FROM cf)
+        |SELECT wid AS work_item_id, rev AS revision, family, value, flagged
+        |FROM (SELECT * FROM sded UNION ALL SELECT * FROM aded
+        |      UNION ALL SELECT * FROM bded UNION ALL SELECT * FROM cded)""".stripMargin,
+
+    "q39_membership_refresh" ->
+      """SELECT 'legacy' AS context_id, o_orderkey AS work_item_id
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderpriority, o_orderkey
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 150000""".stripMargin,
+
+    "q40_multimodal_features" -> {
+      val feats = (0 until 8).map { i =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(list_filter(range(len(codes)), j -> j % 8 = $i),
+           |      j -> codes[j+1])),
+           |    (a, x) -> (a*131 + x) % 1000003) AS FLOAT) / CAST(1000003 AS FLOAT) AS f$i""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT doc_id AS asset_id,
+         |    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS codes
+         |  FROM documents WHERE regexp_full_match(text, '[\\x00-\\x7F]*'))
+         |SELECT asset_id,
+         |$feats
+         |FROM c""".stripMargin
+    }
   )
 }

@@ -61,7 +61,15 @@ object AdoDedupe {
       .withColumn("flagged", blocking)
   }
 
+  /** Custom-field dedupe (`:112-145`): only revisions with a NON-NULL field
+    * value are eligible (both the first kept row and every change) — the
+    * reference skips null-valued rows without keeping them, so the stream
+    * is null-filtered BEFORE the keep-on-change pass (on the filtered
+    * stream, previous-raw equals previous-kept, making `lag` exact). Kept
+    * rows carry `fieldValue` = the field's value.
+    */
   def customFieldChanges(revisions: DataFrame, field: String): DataFrame =
-    keepOnChangeNullSafe(revisions, Seq(col("WorkItemId")),
-      Seq(col("Revision")), col(field))
+    keepOnChangeNullSafe(revisions.filter(col(field).isNotNull),
+      Seq(col("WorkItemId")), Seq(col("Revision")), col(field))
+      .withColumn("fieldValue", col(field))
 }

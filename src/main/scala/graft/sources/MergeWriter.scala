@@ -59,9 +59,18 @@ object MergeWriter {
     val staging = new Path(tablePath + ".staging-" + UUID.randomUUID())
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val backup = new Path(tablePath + ".old-" + UUID.randomUUID())
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(staging, target)
-    if (fs.exists(backup)) fs.delete(backup, true)
+    // rename reports failure by RETURNING FALSE on HDFS/object-store
+    // semantics — a swallowed false here would silently no-op the merge
+    // (or lose the live table between the two renames), so fail loudly and
+    // restore the backup if the swap-in did not happen.
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, backup))
+      throw new java.io.IOException(s"merge: rename $target -> $backup failed")
+    if (!fs.rename(staging, target)) {
+      if (hadTarget) fs.rename(backup, target) // best-effort restore
+      throw new java.io.IOException(s"merge: rename $staging -> $target failed")
+    }
+    if (hadTarget) fs.delete(backup, true)
   }
 
   /** A10: rebuild membership per context and overwrite only the touched

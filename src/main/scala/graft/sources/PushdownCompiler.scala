@@ -75,4 +75,28 @@ object PushdownCompiler {
     */
   def odataEscapeFieldName(name: String): String =
     name.replace(".", "_").replace("-", "__002D")
+
+  /** S3 — column-projection compile (`jc_issue.ts:656-728`
+    * `setupQuerySelect`): the field list a connector's
+    * `SupportsPushDownRequiredColumns` would emit. Order is the
+    * reference's: fixed fields (+ flagged field), then privacy-gated
+    * fields, then custom-field configs, then field-map sources. Duplicates
+    * are preserved (the reference joins the raw concatenation).
+    */
+  def jqlSelect(ingestAssignee: Boolean = false,
+                ingestTitle: Boolean = false,
+                flaggedFieldName: Option[String] = None,
+                customFieldNames: Seq[String] = Seq.empty,
+                fieldMapFieldNames: Seq[String] = Seq.empty): String = {
+    val fixed = Seq(
+      "id", "key", "updated", "status", "issuetype", "created",
+      "statuscategorychangedate", "changelog", "parent",
+      "customfield_15503", // parent link on Jira server
+      "project", "issuelinks", "resolution")
+    val privateFields =
+      (if (ingestAssignee) Seq("assignee") else Seq.empty) ++
+        (if (ingestTitle) Seq("summary") else Seq.empty)
+    (fixed ++ flaggedFieldName.toSeq ++ privateFields ++
+      customFieldNames ++ fieldMapFieldNames).mkString(",")
+  }
 }

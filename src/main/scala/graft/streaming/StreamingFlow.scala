@@ -66,16 +66,24 @@ object StreamingFlow {
   /** Idempotent streaming load: every micro-batch is MERGEd into the target
     * on its natural key, so replays (at-least-once) are harmless — the L2
     * semantics (`snapshot_load_processor_aurora.ts:25-70`).
+    *
+    * @param versionCol ingestion-order / version column used to pick the
+    *   winner among intra-batch duplicate keys. It must NOT be part of the
+    *   key (a key column is constant within its window partition, which
+    *   would make the "last write wins" choice arbitrary).
     */
   def mergeSink(stream: DataFrame, tablePath: String, keys: Seq[String],
-                checkpointDir: String): StreamingQuery =
+                versionCol: Column, checkpointDir: String): StreamingQuery = {
+    require(!keys.exists(k => versionCol.toString == k || versionCol.toString == s"'$k"),
+      s"versionCol $versionCol must not be one of the merge keys $keys")
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         MergeWriter.merge(spark, tablePath,
-          MergeWriter.dedupeOnKey(batch, keys, Seq(col(keys.last))), keys)
+          MergeWriter.dedupeOnKey(batch, keys, Seq(versionCol)), keys)
       }
       .start()
+  }
 }

@@ -71,6 +71,23 @@ class SecondaryOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PushdownCompiler.jqlSort == "order by updated asc")
   }
 
+  test("S3: JQL projection compile assembles the reference field list") {
+    // fixed ∪ flagged ∪ privateFields ∪ customFieldConfigs ∪ fieldMaps, in
+    // the reference's concatenation order (jc_issue.ts:656-728)
+    val sel = PushdownCompiler.jqlSelect(
+      ingestAssignee = true, ingestTitle = true,
+      flaggedFieldName = Some("customfield_10021"),
+      customFieldNames = Seq("customfield_10014", "customfield_10029"),
+      fieldMapFieldNames = Seq("customfield_777"))
+    assert(sel == "id,key,updated,status,issuetype,created," +
+      "statuscategorychangedate,changelog,parent,customfield_15503," +
+      "project,issuelinks,resolution,customfield_10021,assignee,summary," +
+      "customfield_10014,customfield_10029,customfield_777")
+    // privacy flags off → no assignee/summary
+    val minimal = PushdownCompiler.jqlSelect()
+    assert(!minimal.contains("assignee") && !minimal.contains("summary"))
+  }
+
   test("S7: OData filter compile with surrogate keys and escaping") {
     val f = PushdownCompiler.odataFilter(
       changedSinceMillis = 1700000000000L, // 2023-11-14 UTC

@@ -68,7 +68,8 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("stream").toString
     val input = MemoryStream[(String, Int, String)]
     val df = input.toDF().toDF("key", "rev", "v")
-    val q = StreamingFlow.mergeSink(df, s"$dir/table", Seq("key", "rev"), s"$dir/ckpt")
+    val q = StreamingFlow.mergeSink(df, s"$dir/table", Seq("key", "rev"),
+      org.apache.spark.sql.functions.col("v"), s"$dir/ckpt")
     input.addData(("A", 1, "a1"), ("B", 1, "b1"))
     q.processAllAvailable()
     // replay A rev1 (at-least-once) + genuinely new A rev2
