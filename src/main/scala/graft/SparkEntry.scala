@@ -176,9 +176,21 @@ object SparkEntry {
   private val rawRevsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def rawRevisions(s: SparkSession, dir: String): DataFrame =
-    rawRevsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      RevisionPipeline.explodeChangelog(
-        graft.sources.RawItemsFixture.parsed(Tables.events(s, dir))).persist())
+    rawRevsCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      // persist the parsed raw frame: the explode walks it from several
+      // union branches, and without the pin each branch re-runs the whole
+      // fixture construction (windows + JSON round-trip)
+      val parsed = graft.sources.RawItemsFixture.parsed(Tables.events(s, dir)).persist()
+      RevisionPipeline.explodeChangelog(parsed).persist()
+    })
+
+  /** q22's exact Jaccard pairs, persisted and shared with q32. */
+  private val jacPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame =
+    jacPairsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), n = 2, threshold = 0.3).persist())
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
@@ -406,11 +418,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 2).as("sum_value"))
     }),
 
-    // Dedup (near): word-bigram Jaccard pairs via shingle inverted index.
-    "q22_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
-        col("text"), n = 2, threshold = 0.3)
-    }),
+    // Dedup (near): exact word-bigram Jaccard pairs; the physical strategy
+    // (prefix filter vs blocked all-pairs) is picked from a corpus stat.
+    "q22_ngram_jaccard" -> ((s, dir) => jaccardPairsFrame(s, dir)),
 
     // Dedup (near): embedding-cosine pairs, brute force baseline.
     "q23_embedding_neardup" -> ((s, dir) => {
@@ -498,8 +508,7 @@ object SparkEntry {
     // End-to-end dedup: greedy keep-list — a document is dropped iff it has
     // a near-dup (bigram jaccard ≥ 0.3) with a smaller id.
     "q32_dedup_keeplist" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
-        col("text"), n = 2, threshold = 0.3)
+      val pairs = jaccardPairsFrame(s, dir) // persisted — shared with q22
       Tables.documents(s, dir)
         .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
@@ -714,6 +723,56 @@ object SparkEntry {
       val feats = Multimodal.extractImageFeatures(assets, dim = 8)
       feats.select(Seq(col("asset_id")) ++
         (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+    }),
+
+    // T11: polymorphic custom-field extraction over the raw JSON — every
+    // branch of the reference's shape dispatch (object-with-value /
+    // object-with-name / scalar / JSON null → 'null' / array of strings)
+    // plus a plain scalar config field that is absent for half the items.
+    "q41_custom_fields" -> ((s, dir) => {
+      val json = graft.sources.RawItemsFixture.asJson(Tables.events(s, dir))
+      Translate.customFields(json,
+          get_json_object(col("raw_json"), "$.key"),
+          get_json_object(col("raw_json"), "$.fields"),
+          Seq(("customfield_10029", "Class of Service", "string"),
+            ("customfield_10014", "Epic Link", "string")))
+        .select(col("workItemId").as("work_item_id"),
+          col("datasourceFieldName").as("field_name"),
+          col("displayName").as("display_name"),
+          col("datasourceFieldValue").as("field_value"),
+          col("type").as("field_type"))
+    }),
+
+    // T12: linked-items translation (issuelinks → {outward∥inward, key}).
+    "q42_linked_items" -> ((s, dir) => {
+      val parsed = graft.sources.RawItemsFixture.parsed(Tables.events(s, dir))
+      parsed.select(col("key").as("work_item_id"),
+          explode(Translate.linkedItems(col("fields.issuelinks"))).as("l"))
+        .select(col("work_item_id"), col("l.type").as("link_type"),
+          col("l.workItemId").as("linked_id"))
+    }),
+
+    // L1/L3: the custom-field load's delete-then-upsert transactional
+    // shape — two load rounds through the keyed MERGE writer, then the
+    // table read back: reloaded items keep ONLY their new rows (stale
+    // fields deleted), untouched items keep their round-1 rows, and the
+    // inline (workItemId, name, value) dedupe collapses duplicates.
+    "q43_customfield_load" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-cfload")
+        .toString + "/customFields"
+      val wid = concat(lit("W"), pmod(col("o_orderkey"), lit(20)))
+      val round1 = o.select(wid.as("workItemId"),
+          lit("priority").as("name"), col("o_orderpriority").as("value"))
+        .unionByName(o.select(wid.as("workItemId"),
+          lit("status").as("name"), col("o_orderstatus").as("value")))
+      sources.MergeWriter.loadCustomFields(s, path, round1)
+      val round2 = o.filter(pmod(col("o_orderkey"), lit(20)) < 8)
+        .select(wid.as("workItemId"), lit("priority").as("name"),
+          concat(lit("R2-"), col("o_orderpriority")).as("value"))
+      sources.MergeWriter.loadCustomFields(s, path, round2)
+      s.read.parquet(path)
+        .select(col("workItemId").as("work_item_id"), col("name"), col("value"))
     })
   )
 
@@ -1386,6 +1445,52 @@ object SparkEntry {
          |SELECT asset_id,
          |$feats
          |FROM c""".stripMargin
-    }
+    },
+
+    "q41_custom_fields" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+        |cf29 AS (
+        |  SELECT uid, 'Expedite' AS v FROM u WHERE uid % 5 = 0
+        |  UNION ALL SELECT uid, 'Standard' FROM u WHERE uid % 5 = 1
+        |  UNION ALL SELECT uid, 'plain' FROM u WHERE uid % 5 = 2
+        |  UNION ALL SELECT uid, 'null' FROM u WHERE uid % 5 = 3
+        |  UNION ALL SELECT uid, 'a' FROM u WHERE uid % 5 = 4
+        |  UNION ALL SELECT uid, 'b' FROM u WHERE uid % 5 = 4),
+        |cf14 AS (
+        |  SELECT uid, 'EPIC-' || CAST(uid % 11 AS VARCHAR) AS v FROM u WHERE uid % 2 = 0)
+        |SELECT 'ITEM-' || CAST(uid AS VARCHAR) AS work_item_id,
+        |  'customfield_10029' AS field_name, 'Class of Service' AS display_name,
+        |  v AS field_value, 'string' AS field_type
+        |FROM cf29
+        |UNION ALL
+        |SELECT 'ITEM-' || CAST(uid AS VARCHAR), 'customfield_10014', 'Epic Link',
+        |  v, 'string'
+        |FROM cf14""".stripMargin,
+
+    "q42_linked_items" ->
+      """WITH u AS (SELECT DISTINCT user_id AS uid FROM events)
+        |SELECT 'ITEM-' || CAST(uid AS VARCHAR) AS work_item_id,
+        |  'blocks' AS link_type, 'ITEM-' || CAST(uid % 9 AS VARCHAR) AS linked_id
+        |FROM u WHERE uid % 4 = 0
+        |UNION ALL
+        |SELECT 'ITEM-' || CAST(uid AS VARCHAR), 'clones',
+        |  'ITEM-' || CAST(uid % 5 AS VARCHAR)
+        |FROM u WHERE uid % 4 IN (0, 1)""".stripMargin,
+
+    "q43_customfield_load" ->
+      """WITH r1 AS (
+        |  SELECT DISTINCT 'W' || CAST(o_orderkey % 20 AS VARCHAR) AS wid,
+        |    'priority' AS name, o_orderpriority AS value FROM orders
+        |  UNION
+        |  SELECT DISTINCT 'W' || CAST(o_orderkey % 20 AS VARCHAR),
+        |    'status', o_orderstatus FROM orders),
+        |r2 AS (
+        |  SELECT DISTINCT 'W' || CAST(o_orderkey % 20 AS VARCHAR) AS wid,
+        |    'priority' AS name, 'R2-' || o_orderpriority AS value
+        |  FROM orders WHERE o_orderkey % 20 < 8)
+        |SELECT wid AS work_item_id, name, value FROM r1
+        |WHERE wid NOT IN (SELECT wid FROM r2)
+        |UNION ALL
+        |SELECT wid, name, value FROM r2""".stripMargin
   )
 }

@@ -62,48 +62,121 @@ object Dedup {
       .toDF("doc", "sid")
   }
 
-  /** N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold),
-    * exact, via prefix filtering. Requires threshold > 0 (a zero threshold
-    * has no prefix bound — and an all-pairs result at that point is the
-    * cross product, which no strategy saves).
+  /** Physical strategy for the exact Jaccard self-join. The best shape is a
+    * property of the CORPUS, not the engine:
     *
-    * Plan shape: shingle+hash flatMap → frequency groupBy (map-side
-    * combinable) → per-doc sort by (freq, sid) → prefix self-join on the
-    * shingle id → distinct candidates → two shuffle joins to fetch both
-    * sorted sets → codegen'd `sorted_intersect_count` verify. At 100 TB
-    * every shuffle key here (sid within prefixes, doc id) is high
-    * cardinality and skew-resistant: frequent shingles sort to the END of
-    * each document's ordering and thus out of the prefixes.
+    *  - [[PrefixFilter]] (PPJoin/AllPairs): right for natural text, where
+    *    the vocabulary is Zipf-shaped — rare shingles exist, prefixes are
+    *    selective, candidates stay near-linear.
+    *  - [[AllPairsBlocked]]: right when the vocabulary is SMALL relative to
+    *    the corpus (every shingle is hot). Prefix filtering degenerates to
+    *    ~all pairs anyway but pays candidate-join + distinct + two fetch
+    *    joins on the way; the blocked plan goes straight to the pair
+    *    stream — block-pair equi-join (no pair-list shuffle, rows stream
+    *    through codegen) verified by `sorted_intersect_count`, with the
+    *    size-ratio prune `t·max(|A|,|B|) ≤ min(|A|,|B|)` ahead of the
+    *    intersection.
+    *  - [[AutoStrategy]]: decide from a corpus statistic (distinct-shingle
+    *    count over the postings frame that both paths build anyway — a
+    *    sub-second stats job, the same move a cost-based optimizer makes).
+    */
+  sealed trait JaccardStrategy
+  case object PrefixFilter extends JaccardStrategy
+  final case class AllPairsBlocked(blocks: Int = 64) extends JaccardStrategy
+  final case class AutoStrategy(vocabCutoff: Long = 1 << 14) extends JaccardStrategy
+
+  /** N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold),
+    * exact under every strategy — the strategy changes the plan shape, not
+    * the result. Requires threshold > 0 (a zero threshold has no prefix or
+    * size bound — the result at that point is the cross product, which no
+    * strategy saves).
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        n: Int, threshold: Double): DataFrame = {
-    require(threshold > 0, "prefix filtering requires threshold > 0")
+                        n: Int, threshold: Double,
+                        strategy: JaccardStrategy = AutoStrategy()): DataFrame = {
+    require(threshold > 0, "similarity join requires threshold > 0")
     val sh = hashedShingles(docs, id, text, n)
-    val freq = sh.groupBy(col("sid")).agg(count(lit(1)).as("freq"))
-    // one struct array per doc, ordered by (freq asc, sid asc): rarest first
-    val ordered = sh.join(freq, "sid")
-      .groupBy(col("doc"))
-      .agg(array_sort(collect_list(struct(col("freq"), col("sid")))).as("fs"))
-      .select(col("doc"),
-        col("fs.sid").as("by_freq"),                       // prefix order
-        array_sort(col("fs.sid")).as("sids"),              // verify order
-        size(col("fs")).as("sz"))
-    // prefix length = |S| − ⌈t·|S|⌉ + 1
-    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    val prefixes = ordered.select(col("doc"), col("sz"),
-        explode(slice(col("by_freq"), lit(1), prefixLen)).as("sid"))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sid") === col("b.sid") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
-    val sets = ordered.select(col("doc"), col("sids"))
-    cand
-      .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sids", "sids_a"), "id_a")
-      .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sids", "sids_b"), "id_b")
-      .withColumn("inter", sorted_intersect_count(col("sids_a"), col("sids_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sids_a")) + size(col("sids_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    strategy match {
+      case AutoStrategy(cutoff) =>
+        val vocab = sh.select(col("sid")).distinct().count()
+        val chosen = if (vocab <= cutoff) AllPairsBlocked() else PrefixFilter
+        jaccardFrom(sh, threshold, chosen)
+      case s => jaccardFrom(sh, threshold, s)
+    }
+  }
+
+  private def jaccardFrom(sh: DataFrame, threshold: Double,
+                          strategy: JaccardStrategy): DataFrame = strategy match {
+    case AllPairsBlocked(blocks) =>
+      val spark = sh.sparkSession
+      import spark.implicits._
+      val sets = sh.groupBy(col("doc"))
+        .agg(array_sort(collect_list(col("sid"))).as("sids"))
+        .select(col("doc"), col("sids"), size(col("sids")).as("sz"))
+        .withColumn("g", pmod(col("doc"), lit(blocks)).cast("int"))
+      val blockPairs = (for {
+        ga <- 0 until blocks
+        gb <- ga until blocks
+      } yield (ga, gb)).toDF("ga", "gb")
+      val a = sets.select(col("g").as("ga"), col("doc").as("id_x"),
+        col("sids").as("s_x"), col("sz").as("z_x"))
+      val b = sets.select(col("g").as("gb"), col("doc").as("id_y"),
+        col("sids").as("s_y"), col("sz").as("z_y"))
+      // pin the join to `blocks` explicit partitions: the join INPUTS are
+      // tiny (one row per doc) so AQE would coalesce them to one task, but
+      // the pair blow-up happens INSIDE the join — parallelism must be
+      // sized to the output. User repartitioning survives AQE.
+      a.join(broadcast(blockPairs), "ga")
+        .repartition(blocks, col("gb"))
+        .join(b.repartition(blocks, col("gb")), "gb")
+        .filter(col("ga") =!= col("gb") || col("id_x") < col("id_y"))
+        // size-ratio prune BEFORE the intersection kernel
+        .filter(col("z_x") >= ceil(lit(threshold) * col("z_y")) &&
+          col("z_y") >= ceil(lit(threshold) * col("z_x")))
+        .withColumn("inter", sorted_intersect_count(col("s_x"), col("s_y")))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("z_x") + col("z_y") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
+
+    case _ =>
+      // PPJoin-style prefix filtering: shingle+hash flatMap → frequency
+      // groupBy (map-side combinable) → per-doc sort by (freq, sid) →
+      // prefix self-join on the shingle id → distinct candidates →
+      // size-ratio prune → two shuffle joins to fetch both sorted sets →
+      // codegen'd `sorted_intersect_count` verify. At 100 TB every shuffle
+      // key here (sid within prefixes, doc id) is high cardinality and
+      // skew-resistant: frequent shingles sort to the END of each
+      // document's ordering and thus out of the prefixes.
+      val threshold0 = threshold
+      val freq = sh.groupBy(col("sid")).agg(count(lit(1)).as("freq"))
+      // one struct array per doc, ordered by (freq asc, sid asc): rarest first
+      val ordered = sh.join(freq, "sid")
+        .groupBy(col("doc"))
+        .agg(array_sort(collect_list(struct(col("freq"), col("sid")))).as("fs"))
+        .select(col("doc"),
+          col("fs.sid").as("by_freq"),                       // prefix order
+          array_sort(col("fs.sid")).as("sids"),              // verify order
+          size(col("fs")).as("sz"))
+      // prefix length = |S| − ⌈t·|S|⌉ + 1
+      val prefixLen = (col("sz") - ceil(lit(threshold0) * col("sz")) + 1).cast("int")
+      val prefixes = ordered.select(col("doc"), col("sz"),
+          explode(slice(col("by_freq"), lit(1), prefixLen)).as("sid"))
+      val cand = prefixes.as("a").join(prefixes.as("b"),
+          col("a.sid") === col("b.sid") && col("a.doc") < col("b.doc") &&
+            col("a.sz") >= ceil(lit(threshold0) * col("b.sz")) &&
+            col("b.sz") >= ceil(lit(threshold0) * col("a.sz")))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+      val sets = ordered.select(col("doc"), col("sids"))
+      cand
+        .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sids", "sids_a"), "id_a")
+        .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sids", "sids_b"), "id_b")
+        .withColumn("inter", sorted_intersect_count(col("sids_a"), col("sids_b")))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("sids_a")) + size(col("sids_b")) - col("inter")), 6))
+        .filter(col("jaccard") >= threshold0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Distinct space-joined word n-grams, built with tight loops (generic

@@ -73,6 +73,18 @@ object MergeWriter {
     if (hadTarget) fs.delete(backup, true)
   }
 
+  /** L1/L3 — the custom-field load's transactional shape
+    * (`state_load_processor_aurora.ts:39-113`): per incoming item, delete
+    * ALL existing custom-field rows and insert the new set, deduped inline
+    * on (workItemId, name, value). Replacing by item key is exactly a MERGE
+    * keyed on the item id where every incoming row of that item survives —
+    * stale fields of reloaded items disappear, untouched items keep theirs.
+    */
+  def loadCustomFields(spark: SparkSession, tablePath: String,
+                       incoming: DataFrame): Unit =
+    merge(spark, tablePath,
+      incoming.dropDuplicates("workItemId", "name", "value"), Seq("workItemId"))
+
   /** A10: rebuild membership per context and overwrite only the touched
     * partitions (dynamic partition overwrite ≡ the reference's
     * upsert + anti-delete in one transaction).

@@ -53,7 +53,14 @@ object RawItemsFixture {
       StructField("created", StringType),
       StructField("items", ArrayType(changeItem))))
     val flagEntry = StructType(Seq(StructField("value", StringType)))
+    val issueKey = StructType(Seq(StructField("key", StringType)))
+    val link = StructType(Seq(
+      StructField("type", StructType(Seq(
+        StructField("inward", StringType), StructField("outward", StringType)))),
+      StructField("outwardIssue", issueKey),
+      StructField("inwardIssue", issueKey)))
     val fields = StructType(Seq(
+      StructField("issuelinks", ArrayType(link)),
       StructField("created", StringType),
       StructField("updated", StringType),
       StructField("summary", StringType),
@@ -130,10 +137,38 @@ object RawItemsFixture {
       .groupBy(col("user_id")).agg(collect_list(col("h")).as("histories"))
 
     val uid = col("user_id")
+
+    // T12 fodder: issuelinks — two links (outward + inward) for uid%4=0,
+    // one inward link for uid%4=1, none otherwise.
+    val linkType = (in: String, out: String) =>
+      struct(lit(in).as("inward"), lit(out).as("outward"))
+    val outLink = struct(
+      linkType("is blocked by", "blocks").as("type"),
+      struct(concat(lit("ITEM-"), pmod(uid, lit(9))).as("key")).as("outwardIssue"),
+      lit(null).cast("struct<key:string>").as("inwardIssue"))
+    val inLink = struct(
+      linkType("clones", "is cloned by").as("type"),
+      lit(null).cast("struct<key:string>").as("outwardIssue"),
+      struct(concat(lit("ITEM-"), pmod(uid, lit(5))).as("key")).as("inwardIssue"))
+    val issuelinks = when(pmod(uid, lit(4)) === 0, array(outLink, inLink))
+      .when(pmod(uid, lit(4)) === 1, array(inLink))
+
+    // T11 fodder: a genuinely polymorphic custom-field value, spliced into
+    // the JSON as a raw snippet (a typed struct column cannot hold mixed
+    // shapes): object-with-value / object-with-name / scalar string /
+    // JSON null / array of strings, by uid%5.
+    val polySnippet = when(pmod(uid, lit(5)) === 0, "{\"value\":\"Expedite\"}")
+      .when(pmod(uid, lit(5)) === 1, "{\"name\":\"Standard\"}")
+      .when(pmod(uid, lit(5)) === 2, "\"plain\"")
+      .when(pmod(uid, lit(5)) === 3, "null")
+      .otherwise("[\"a\",\"b\"]")
+
     base.join(hists, Seq("user_id"), "left")
-      .select(to_json(struct(
+      .select(replace(to_json(struct(
         concat(lit("ITEM-"), uid).as("key"),
         struct(
+          issuelinks.as("issuelinks"),
+          lit("__POLY__").as("customfield_10029"),
           date_format(col("min_ts") - expr("INTERVAL 1 HOUR"), TsFmt).as("created"),
           date_format(col("max_ts"), TsFmt).as("updated"),
           concat(lit("Item "), uid).as("summary"),
@@ -156,7 +191,8 @@ object RawItemsFixture {
           when(coalesce(pmod(col("n_err"), lit(2)), lit(0)) === 1,
             array(struct(lit("Impediment").as("value")))).as("customfield_10021")
         ).as("fields"),
-        struct(col("histories")).as("changelog"))).as("raw_json"))
+        struct(col("histories")).as("changelog"))),
+        lit("\"__POLY__\""), polySnippet).as("raw_json"))
   }
 
   /** Parse the JSON documents back into the typed raw-item frame — the

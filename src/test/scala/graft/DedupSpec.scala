@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** The exact Jaccard join must return identical pairs under every physical
+  * strategy — the strategy changes the plan shape, never the result.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    // deterministic corpus: overlapping word sequences from a small
+    // vocabulary plus some unique-vocab docs for the prefix path
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0 until 60).map { i =>
+      val toks = (0 until 12).map(j => words((i * 7 + j * (1 + i % 3)) % words.length))
+      val uniq = if (i % 5 == 0) Seq(s"unique$i") else Seq.empty
+      (i.toLong, (toks ++ uniq).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def pairsWith(strategy: Dedup.JaccardStrategy): Set[(Long, Long, Double)] =
+    Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 2, threshold = 0.3, strategy = strategy)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("prefix-filter and blocked all-pairs strategies agree exactly") {
+    val prefix = pairsWith(Dedup.PrefixFilter)
+    val blocked = pairsWith(Dedup.AllPairsBlocked(blocks = 8))
+    val auto = pairsWith(Dedup.AutoStrategy())
+    assert(prefix.nonEmpty, "fixture should produce at least one near-dup pair")
+    assert(prefix == blocked)
+    assert(auto == prefix)
+  }
+}
