@@ -30,10 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Spark whole-stage codegen generates many classes; the JDK default
   // 240 MB code cache fills mid-run, silently disabling the JIT (20-50x
   // slowdowns until flushing recovers).
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
-  // Every query compiles fresh whole-stage-codegen classes; with 30+
+  // Every query compiles fresh whole-stage-codegen classes; with 40+
   // sequential queries the C2 queue backlogs and late queries run
   // interpreted. More compiler threads drain the queue.
-  "-XX:CICompilerCount=12",
+  "-XX:CICompilerCount=16",
 )

@@ -773,6 +773,97 @@ object SparkEntry {
       sources.MergeWriter.loadCustomFields(s, path, round2)
       s.read.parquet(path)
         .select(col("workItemId").as("work_item_id"), col("name"), col("value"))
+    }),
+
+    // T14: exclude-completed-before (calendar-day comparison on departure).
+    "q44_exclude_completed" -> ((s, dir) => {
+      SecondaryTransforms.excludeCompletedBefore(orderLeadTimes(s, dir),
+          col("departure"), lit("1995-06-15").cast("timestamp_ntz"))
+        .select(col("o_orderkey"))
+    }),
+
+    // T15: seeded demo anonymization — lorem title + pseudonym pool from a
+    // deterministic engine-portable id hash, org rewrite.
+    "q45_anonymize" -> ((s, dir) => {
+      val seeded = (c: Column) =>
+        pmod(c.cast("long") * lit(1103527591L) + lit(456789L), lit(2147483647L))
+      SecondaryTransforms.anonymizeDemo(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"),
+              col("c_nationkey").cast("string").as("c_contact"),
+              col("c_mktsegment")),
+          col("c_custkey"), "c_name", "c_contact", "c_mktsegment", "demo-org",
+          hashOf = seeded)
+        .select(col("c_custkey"), col("c_name").as("anon_title"),
+          col("c_contact").as("anon_assignee"), col("c_mktsegment").as("org"))
+    }),
+
+    // T16: conditional field-map copy (all-conditions-true chain).
+    "q46_field_map_copy" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .withColumn("priority_flag", lit(null).cast("string"))
+      Translate.conditionalFieldCopy(base, "o_orderpriority", "priority_flag",
+          Seq(("o_orderstatus", "O")))
+        .select(col("o_orderkey"), col("priority_flag"))
+    }),
+
+    // T18: sprint transform — (context→boards) × (board→sprints) flatten.
+    "q47_sprint_transform" -> ((s, dir) => {
+      val contextBoards = Tables.nation(s, dir)
+        .select(concat(lit("ctx-"), col("n_name")).as("contextId"),
+          col("n_nationkey").as("boardId"))
+      val boardSprints = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+        .select(pmod(col("o_custkey"), lit(25)).as("boardId"),
+          col("o_orderkey").as("sprintId"),
+          concat(lit("Sprint "), col("o_orderkey")).as("sprintName"),
+          col("o_orderdate").as("startDate"),
+          (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("endDate"))
+      SecondaryTransforms.sprints(contextBoards, boardSprints)
+        .select(col("contextId").as("context_id"), col("boardId").as("board_id"),
+          col("sprintId").as("sprint_id"), col("sprintName").as("sprint_name"),
+          col("startDate").as("start_date"), col("endDate").as("end_date"))
+    }),
+
+    // T20: version-control transform — MR + nested commits → the
+    // normalized MR/commit/bridge tables, joined back for the check.
+    "q48_vc_transform" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      // one commit per distinct (order, line, part, supp) — the raw lines
+      // can repeat the pair, so group with max(shipdate) for determinism
+      val commits = li.join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("authoredDate"))
+        .select(col("l_orderkey"),
+          struct(
+            md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))).as("sha"),
+            col("authoredDate"),
+            concat(lit("dev-"), pmod(col("l_suppkey"), lit(7))).as("authorName")).as("c"))
+        .groupBy(col("l_orderkey")).agg(collect_list(col("c")).as("commits"))
+      val mrs = o.join(commits, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("mrId"),
+          pmod(col("o_custkey"), lit(10)).as("projectId"),
+          concat(lit("MR "), col("o_orderkey")).as("title"),
+          col("o_orderstatus").as("state"),
+          col("o_orderdate").as("createdAt"),
+          lit(null).cast("timestamp_ntz").as("mergedAt"),
+          col("commits"))
+      val pipelines = o.select(col("o_orderkey").as("pipelineId"),
+        pmod(col("o_custkey"), lit(10)).as("projectId"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("startedAt"),
+        lit(null).cast("timestamp_ntz").as("finishedAt"))
+      val (mergeRequests, commitRows, bridge, _) =
+        SecondaryTransforms.vcTables(mrs, pipelines)
+      bridge
+        .join(commitRows, "sha")
+        .join(mergeRequests.select(col("mrId"), col("projectId"), col("state")), "mrId")
+        .select(col("mrId").as("mr_id"), col("sha"),
+          col("authorName").as("author_name"),
+          col("authoredDate").as("authored_date"),
+          col("projectId").as("project_id"), col("state"))
     })
   )
 
@@ -1491,6 +1582,58 @@ object SparkEntry {
         |SELECT wid AS work_item_id, name, value FROM r1
         |WHERE wid NOT IN (SELECT wid FROM r2)
         |UNION ALL
-        |SELECT wid, name, value FROM r2""".stripMargin
+        |SELECT wid, name, value FROM r2""".stripMargin,
+
+    "q44_exclude_completed" ->
+      """SELECT o_orderkey
+        |FROM orders
+        |JOIN (SELECT l_orderkey, MAX(l_shipdate) AS departure FROM lineitem GROUP BY 1) li
+        |  ON o_orderkey = l_orderkey
+        |WHERE CAST(departure AS DATE) >= DATE '1995-06-15'""".stripMargin,
+
+    "q45_anonymize" -> {
+      val words = "['lorem','ipsum','dolor','sit','amet','consectetur'," +
+        "'adipiscing','elit','sed','do','eiusmod','tempor']"
+      val names = "['Alex Doe','Sam Roe','Jes Poe','Kim Moe']"
+      val lorem = (0 until 5)
+        .map(i => s"($words)[CAST((h + $i) % 12 AS INTEGER) + 1]")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH h AS (
+         |  SELECT c_custkey,
+         |    (c_custkey * 1103527591 + 456789) % 2147483647 AS h
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  $lorem AS anon_title,
+         |  ($names)[CAST(h % 4 AS INTEGER) + 1] AS anon_assignee,
+         |  'demo-org' AS org
+         |FROM h""".stripMargin
+    },
+
+    "q46_field_map_copy" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS priority_flag
+        |FROM orders""".stripMargin,
+
+    "q47_sprint_transform" ->
+      """SELECT 'ctx-' || n_name AS context_id,
+        |  n_nationkey AS board_id, o_orderkey AS sprint_id,
+        |  'Sprint ' || CAST(o_orderkey AS VARCHAR) AS sprint_name,
+        |  CAST(o_orderdate AS TIMESTAMP) AS start_date,
+        |  CAST(o_orderdate + INTERVAL 14 DAY AS TIMESTAMP) AS end_date
+        |FROM nation JOIN orders ON o_custkey % 25 = n_nationkey
+        |WHERE o_orderkey % 50 = 0""".stripMargin,
+
+    "q48_vc_transform" ->
+      """SELECT o_orderkey AS mr_id,
+        |  md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |    || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS sha,
+        |  'dev-' || CAST(l_suppkey % 7 AS VARCHAR) AS author_name,
+        |  CAST(MAX(l_shipdate) AS TIMESTAMP) AS authored_date,
+        |  o_custkey % 10 AS project_id,
+        |  o_orderstatus AS state
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 20 = 0
+        |GROUP BY o_orderkey, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  o_custkey, o_orderstatus""".stripMargin
   )
 }

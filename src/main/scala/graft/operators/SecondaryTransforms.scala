@@ -32,10 +32,16 @@ object SecondaryTransforms {
     * derived from the item id hash, assignee → pseudonym pool, org
     * rewrite. The reference's random lorem is made reproducible so demo
     * streams are oracle-comparable.
+    *
+    * @param hashOf non-negative deterministic hash of the id driving the
+    *   pseudonym choice; defaults to `abs(xxhash64(id))` (fast, engine
+    *   native). Pass an engine-portable hash when cross-engine
+    *   reproducibility of the pseudonyms themselves matters.
     */
   def anonymizeDemo(df: DataFrame, id: Column, title: String, assignee: String,
-                    orgCol: String, demoOrgId: String): DataFrame = {
-    val h = abs(xxhash64(id))
+                    orgCol: String, demoOrgId: String,
+                    hashOf: Column => Column = c => abs(xxhash64(c))): DataFrame = {
+    val h = hashOf(id)
     val lorem = concat_ws(" ",
       (0 until 5).map(i => element_at(
         typedLit(LoremWords), (pmod(h + i, lit(LoremWords.size)) + 1).cast("int"))): _*)
