@@ -184,6 +184,15 @@ object SparkEntry {
       RevisionPipeline.explodeChangelog(parsed).persist()
     })
 
+  /** Fixture event dates, persisted — shared by q35 and q36. */
+  private val rawDatesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def rawEventDates(s: SparkSession, dir: String): DataFrame =
+    rawDatesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      RevisionPipeline.eventDatesFor(rawRevisions(s, dir),
+        Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
+        .toDF().persist())
+
   /** q22's exact Jaccard pairs, persisted and shared with q32. */
   private val jacPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -547,9 +556,8 @@ object SparkEntry {
     // category, delayed stamping, and the flagged-interval fill.
     "q35_snapshot_pipeline" -> ((s, dir) => {
       val revs = rawRevisions(s, dir)
-      val dates = RevisionPipeline.eventDatesFor(revs,
-        Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
-      RevisionPipeline.snapshots(revs, dates.toDF(), rawWorkflow).select(
+      val dates = rawEventDates(s, dir) // persisted — shared with q36
+      RevisionPipeline.snapshots(revs, dates, rawWorkflow).select(
         col("workItemId").as("work_item_id"),
         col("revision").cast("long").as("revision"),
         col("type").as("rev_type"),
@@ -571,10 +579,8 @@ object SparkEntry {
     // lookup, current-step state type/order, isItemFlagged all-fields scan.
     "q36_states_translate" -> ((s, dir) => {
       val raw = graft.sources.RawItemsFixture.parsed(Tables.events(s, dir))
-      val revs = rawRevisions(s, dir)
-      val dates = RevisionPipeline.eventDatesFor(revs,
-        Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
-      RevisionPipeline.states(raw, dates.toDF(), "org-1", "ds-1",
+      val dates = rawEventDates(s, dir) // persisted — shared with q35
+      RevisionPipeline.states(raw, dates, "org-1", "ds-1",
           typeMaps = rawTypeMaps, workflow = Some(rawWorkflow),
           epicLinkFieldId = Some("customfield_10014"))
         .select(

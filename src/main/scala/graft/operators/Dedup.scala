@@ -10,16 +10,22 @@ import graft.functions.VectorExpressions.{dot_product, sorted_intersect_count}
   * Exact dedup is a hash-groupBy (one shuffle on the content hash — uniform
   * keys, no skew, scales linearly).
   *
-  * N-gram Jaccard near-dup is EXACT and fully distributed via prefix
-  * filtering (the set-similarity-join technique of PPJoin/AllPairs): order
-  * every document's shingles by ascending global frequency; a pair with
-  * Jaccard ≥ t must share a shingle inside both documents' first
-  * `|S| − ⌈t·|S|⌉ + 1` shingles in that order (pigeonhole on the overlap
-  * bound |A∩B| ≥ t·max(|A|,|B|)). So the candidate join only explodes the
-  * short, rare-shingle prefixes — precisely the opposite of the stopword
-  * shingles that blow up a naive inverted index — and verification is a
-  * codegen'd two-pointer intersection over the full sorted sets. Complete
-  * recall, no driver-side pass, every stage a plain shuffle.
+  * N-gram Jaccard near-dup is EXACT and fully distributed under either of
+  * two physical strategies (see [[Dedup.JaccardStrategy]]):
+  *
+  *  - prefix filtering (the set-similarity-join technique of
+  *    PPJoin/AllPairs): order every document's shingles by ascending
+  *    global frequency; a pair with Jaccard ≥ t must share a shingle
+  *    inside both documents' first `|S| − ⌈t·|S|⌉ + 1` shingles in that
+  *    order (pigeonhole on the overlap bound |A∩B| ≥ t·max(|A|,|B|)) —
+  *    selective exactly when the vocabulary is Zipf-shaped;
+  *  - a blocked all-pairs join with size-ratio pruning and the same
+  *    codegen'd two-pointer intersection — the better plan when the
+  *    vocabulary is small and every shingle is hot (prefixes degenerate
+  *    to ~everything and only add candidate-join overhead).
+  *
+  * Both have complete recall, no driver-side pass, every stage a plain
+  * shuffle; [[Dedup.AutoStrategy]] picks by a distinct-shingle stats job.
   */
 object Dedup {
 

@@ -112,4 +112,39 @@ class RevisionPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("PROJ-1").getAs[String]("sortKey") == "ds-1#PROJ-1")
     assert(rows("PROJ-1").getAs[String]("assignedTo") == "Alice")
   }
+
+  test("T10: parent chain, type-map lookup, current step, flagged scan") {
+    val st = RevisionPipeline.states(raw, dates, "org-1", "ds-1",
+      typeMaps = Seq(RevisionPipeline.TypeMapEntry(
+        "10000", "Story", "wit-story", "Normalized Story", "Team", 14)),
+      workflow = Some(wf),
+      epicLinkFieldId = Some("customfield_10014"))
+    val rows = st.collect().map(r => r.getAs[String]("workItemId") -> r).toMap
+    // parent resolution chain: parent.key ∥ parent-link ∥ epic-link
+    assert(rows("PROJ-1").getAs[String]("parentId") == "PROJ-100")
+    assert(rows("PROJ-2").getAs[String]("parentId") == "PL-7")
+    assert(rows("PROJ-3").getAs[String]("parentId") == "EPIC-3")
+    // type map: normalized name, level, SLE days
+    assert(rows("PROJ-1").getAs[String]("workItemType") == "Normalized Story")
+    assert(rows("PROJ-1").getAs[String]("flomatikaWorkItemTypeLevel") == "Team")
+    assert(rows("PROJ-1").getAs[Int](
+      "flomatikaWorkItemTypeServiceLevelExpectationInDays") == 14)
+    // current workflow step → stateType/stateOrder (string, per reference)
+    assert(rows("PROJ-2").getAs[String]("stateOrder") == "2")
+    // isItemFlagged: only PROJ-2 carries [{value: Impediment}]
+    assert(!rows("PROJ-1").getAs[Boolean]("flagged"))
+    assert(rows("PROJ-2").getAs[Boolean]("flagged"))
+    assert(!rows("PROJ-3").getAs[Boolean]("flagged"))
+  }
+
+  test("isItemFlagged scans any field shape safely") {
+    assert(RevisionPipeline.isItemFlaggedJson(
+      """{"a": 1, "cf": [{"value": "Impediment"}]}"""))
+    assert(RevisionPipeline.isItemFlaggedJson(
+      """{"cf": [{"value": "Impedimento"}]}"""))
+    assert(!RevisionPipeline.isItemFlaggedJson(
+      """{"cf": [{"value": "Other"}], "links": [{"key": "X"}], "n": null}"""))
+    assert(!RevisionPipeline.isItemFlaggedJson("""{"cf": []}"""))
+    assert(!RevisionPipeline.isItemFlaggedJson(null))
+  }
 }
