@@ -919,6 +919,17 @@ object SparkEntry {
       SecondaryTransforms.notificationGroups(subs)
         .select(col("orgId").as("org_id"), col("obeyaRoomId").as("obeya_room_id"),
           concat_ws(",", sort_array(col("subscriptionIds"))).as("subscription_ids"))
+    }),
+
+    // Similarity, trained path: IVF with two Lloyd iterations (decimal-
+    // accumulated means, bit-reproducible) and 2-cell multi-probe.
+    "q52_ann_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        vectors = emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 3, iterations = 2, probes = 2)
     })
   )
 
@@ -1711,6 +1722,54 @@ object SparkEntry {
         |  'room-' || CAST(c_custkey % 7 AS VARCHAR) AS obeya_room_id,
         |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS subscription_ids
         |FROM customer
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q52_ann_kmeans" -> {
+      // one Lloyd iteration: assign to nearest centroid (cosine, tie cid),
+      // recompute centroids as decimal-exact element-wise means
+      def lloyd(cIn: String, aOut: String, mOut: String, cOut: String) =
+        s"""$aOut AS (
+           |  SELECT vec_id, e, nrm, cid AS cell FROM (
+           |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+           |    FROM vn a, $cIn c) WHERE rn = 1),
+           |$mOut AS (
+           |  SELECT cell, u.pos AS pos,
+           |    CAST(SUM(CAST(u.val AS DECIMAL(38,15))) AS DOUBLE)/COUNT(*) AS m
+           |  FROM $aOut, UNNEST(list_transform(range(len(e)),
+           |    i -> struct_pack(pos := i, val := e[i+1]))) AS t(u)
+           |  GROUP BY 1, 2),
+           |$cOut AS (
+           |  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
+           |    SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM $mOut GROUP BY 1))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vn WHERE vec_id < 8),
+         |${lloyd("c0", "a1", "m1", "c1")},
+         |${lloyd("c1", "a2", "m2", "c2")},
+         |af AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn a, c2 c) WHERE rn = 1),
+         |qc AS (
+         |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS cell FROM (
+         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn a, c2 c WHERE a.vec_id >= 10 AND a.vec_id < 20) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.query_id, x.vec_id AS neighbor_id,
+         |    list_dot_product(q.qe, x.e)/(q.qn*x.nrm) AS cos
+         |  FROM qc q JOIN af x ON q.cell = x.cell AND x.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin
+    }
   )
 }

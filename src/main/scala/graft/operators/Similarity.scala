@@ -17,22 +17,53 @@ import graft.functions.VectorExpressions.dot_product
   */
 object Similarity {
 
-  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
-    * cosine, tie-break on centroid id), then search only within the query's
-    * cell. Centroids here are fixed seed vectors — deterministic
-    * assignment-only IVF; a production deployment would train them with
-    * k-means|| and add multi-probe, without changing the pipeline shape.
-    * The centroid set is broadcast; the assignment pass is one map-side
-    * cross product per vector (|C| dot products); the search join shuffles
-    * on the cell id.
+  private def prepVecs(df: DataFrame, id: Column, vec: Column,
+                       idAs: String, vecAs: String, nrmAs: String) =
+    df.select(id.as(idAs), vec.cast("array<double>").as(vecAs))
+      .withColumn(nrmAs, sqrt(dot_product(col(vecAs), col(vecAs))))
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (argmax cosine, tie on centroid id), then recompute each centroid as
+    * the element-wise mean of its members. Means accumulate in decimals
+    * (order-independent) so the trained centroids are bit-reproducible.
+    * Cells that lose all members disappear (standard Lloyd on cosine).
+    *
+    * Shapes: centroid set broadcast; assignment is |C| dot products per
+    * vector map-side; the mean is a (cell, position) groupBy — all
+    * map-side combinable, nothing driver-bound.
+    */
+  private[operators] def kmeansStep(v: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid")).orderBy(col("__cos").desc, col("cid"))
+    val assigned = v.crossJoin(broadcast(c))
+      .withColumn("__cos", dot_product(col("vv"), col("cv")) / (col("vn") * col("cn")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vid"), col("vv"), col("cid").as("cell"))
+    val perPos = assigned
+      .select(col("cell"), posexplode(col("vv")).as(Seq("pos", "val")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("val").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("m"))
+    perPos.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .select(col("cell").as("cid"), col("cv"))
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+  }
+
+  /** IVF ANN: train centroids with `iterations` Lloyd steps from the seed
+    * set, assign every vector to its nearest cell, then search each query's
+    * top-`probes` cells only. `iterations = 0, probes = 1` is
+    * assignment-only IVF (deterministic baseline); multi-probe trades one
+    * more |C|-scan per query for recall, never touching the pipeline
+    * shape. The centroid set is broadcast; the assignment pass is one
+    * map-side cross product per vector (|C| dot products); the search join
+    * shuffles on the cell id.
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
-              id: Column, vec: Column, k: Int): DataFrame = {
-    def prep(df: DataFrame, idAs: String, vecAs: String, nrmAs: String) =
-      df.select(id.as(idAs), vec.cast("array<double>").as(vecAs))
-        .withColumn(nrmAs, sqrt(dot_product(col(vecAs), col(vecAs))))
-    val c = prep(centroids, "cid", "cv", "cn")
-    val v = prep(vectors, "vid", "vv", "vn")
+              id: Column, vec: Column, k: Int,
+              iterations: Int = 0, probes: Int = 1): DataFrame = {
+    val c0 = prepVecs(centroids, id, vec, "cid", "cv", "cn")
+    val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
+    val c = (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc))
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("__cos").desc, col("cid"))
     val assigned = v.crossJoin(broadcast(c))
@@ -40,9 +71,17 @@ object Similarity {
       .withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
       .select(col("vid"), col("vv"), col("vn"), col("cid").as("cell"))
-    val q = queries.select(id.as("query_id")).join(
-      assigned.withColumnRenamed("vid", "query_id"), "query_id")
-    val scored = q.select(col("query_id"), col("vv").as("qv"), col("vn").as("qn"), col("cell"))
+    // query → probed cells: rank ALL cells per query, keep the top `probes`
+    val qv = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cid"))
+    val probed = qv.crossJoin(broadcast(c))
+      .withColumn("__cos", dot_product(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val scored = probed
       .join(assigned, Seq("cell"))
       .filter(col("vid") =!= col("query_id"))
       .withColumn("cosine", dot_product(col("qv"), col("vv")) / (col("qn") * col("vn")))
