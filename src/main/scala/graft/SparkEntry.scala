@@ -930,6 +930,17 @@ object SparkEntry {
         centroids = emb.filter(col("vec_id") < 8),
         queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
         col("vec_id"), col("embedding"), k = 3, iterations = 2, probes = 2)
+    }),
+
+    // §2.5: the streaming tumbling-window aggregation run in batch mode —
+    // the watermark+window expression is identical in both runtimes, so
+    // the oracle pins the streaming aggregation's semantics.
+    "q53_windowed_counts" -> ((s, dir) => {
+      streaming.StreamingFlow.windowedCounts(Tables.events(s, dir),
+          col("ts"), col("event_type"), "1 hour", "0 seconds")
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n_events"))
     })
   )
 
@@ -1770,6 +1781,12 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin
-    }
+    },
+
+    "q53_windowed_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3""".stripMargin
   )
 }
