@@ -25,7 +25,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val warmQueries = Seq("q22_ngram_jaccard", "q23_embedding_neardup",
       "q24_event_dates", "q26_minhash_lsh", "q28_simhash_pairs",
-      "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate")
+      "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate",
+      "q49_snapshot_upsert", "q52_ann_kmeans", "q53_windowed_counts")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       warmQueries.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()

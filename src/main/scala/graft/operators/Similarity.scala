@@ -63,7 +63,11 @@ object Similarity {
               iterations: Int = 0, probes: Int = 1): DataFrame = {
     val c0 = prepVecs(centroids, id, vec, "cid", "cv", "cn")
     val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
-    val c = (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc))
+    // persist the trained centroid set (centroid-count rows — tiny at any
+    // scale): it is referenced by both the assignment and the probe pass,
+    // which would otherwise each re-run the whole Lloyd chain
+    val c = if (iterations == 0) c0
+      else (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc)).persist()
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("__cos").desc, col("cid"))
     val assigned = v.crossJoin(broadcast(c))
