@@ -131,10 +131,14 @@ object Dedup {
       // pin the join to `blocks` explicit partitions: the join INPUTS are
       // tiny (one row per doc) so AQE would coalesce them to one task, but
       // the pair blow-up happens INSIDE the join — parallelism must be
-      // sized to the output. User repartitioning survives AQE.
+      // sized to the output. User repartitioning survives AQE. The merge
+      // hint keeps the SAME sort-merge plan at every scale (both sides are
+      // data-scale — broadcasting either is wrong at 100 TB, and a
+      // scale-stable plan means a small-scale warmup compiles the same
+      // generated classes the big run executes).
       a.join(broadcast(blockPairs), "ga")
         .repartition(blocks, col("gb"))
-        .join(b.repartition(blocks, col("gb")), "gb")
+        .join(b.repartition(blocks, col("gb")).hint("merge"), "gb")
         .filter(col("ga") =!= col("gb") || col("id_x") < col("id_y"))
         // size-ratio prune BEFORE the intersection kernel
         .filter(col("z_x") >= ceil(lit(threshold) * col("z_y")) &&
