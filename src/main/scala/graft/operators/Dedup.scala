@@ -36,7 +36,7 @@ object Dedup {
     docs.groupBy(md5(text).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
-  /** `(doc, sid)` rows: distinct word n-gram shingles per document encoded
+  /** `(doc, sid, sz)` rows: distinct word n-gram shingles per document encoded
     * with the 57-bit polynomial hash (collision odds ~1e-8 at a 1M-shingle
     * vocabulary — nothing multiplies these ids, so the full width is
     * available). Built in a typed flatMap: a sliding window over whitespace
@@ -44,7 +44,10 @@ object Dedup {
     * Catalyst expressions (transform/slice/concat_ws) cost ~100µs per
     * shingle. Semantics match [[TextAnalysis.shinglesFromTokens]]: distinct
     * space-joined n-grams, the whole text as one shingle when shorter than
-    * n tokens.
+    * n tokens. `sz` is the document's distinct-shingle count, stamped on
+    * every posting row while it is known for free in the flatMap — strategies
+    * that need per-doc sizes read it off the row instead of paying a
+    * groupBy-and-join round trip.
     */
   private def hashedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -63,9 +66,9 @@ object Dedup {
           if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
           i += 1
         }
-        hs.take(w).iterator.map(h => (d, h))
+        hs.take(w).iterator.map(h => (d, h, w))
       }
-      .toDF("doc", "sid")
+      .toDF("doc", "sid", "sz")
   }
 
   /** Physical strategy for the exact Jaccard self-join. The best shape is a
@@ -74,21 +77,40 @@ object Dedup {
     *  - [[PrefixFilter]] (PPJoin/AllPairs): right for natural text, where
     *    the vocabulary is Zipf-shaped — rare shingles exist, prefixes are
     *    selective, candidates stay near-linear.
-    *  - [[AllPairsBlocked]]: right when the vocabulary is SMALL relative to
-    *    the corpus (every shingle is hot). Prefix filtering degenerates to
-    *    ~all pairs anyway but pays candidate-join + distinct + two fetch
-    *    joins on the way; the blocked plan goes straight to the pair
-    *    stream — block-pair equi-join (no pair-list shuffle, rows stream
-    *    through codegen) verified by `sorted_intersect_count`, with the
-    *    size-ratio prune `t·max(|A|,|B|) ≤ min(|A|,|B|)` ahead of the
-    *    intersection.
+    *  - [[CountJoin]]: the standard exact set-similarity plan when prefixes
+    *    degenerate (small, hot vocabulary): self-join the postings on the
+    *    shingle id, count co-occurrences per ordered doc pair — that count
+    *    IS |A∩B|, so no per-pair array intersection and no doc-set arrays
+    *    are ever built. Two shuffles (join on `sid`, map-side-combinable
+    *    groupBy on the pair), both on high-cardinality keys. Pair rows that
+    *    share no shingle never exist, which is exactly right for any
+    *    threshold > 0.
+    *  - [[AllPairsBlocked]]: a blocked all-pairs sort-merge join with
+    *    size-ratio pruning and a codegen'd two-pointer intersection — kept
+    *    for corpora where per-doc shingle sets are large but pair counts
+    *    explode the count-join's joined-row stream (|A∩B| rows per pair vs
+    *    1 row per pair carrying two arrays).
+    *  - [[BitsetBlocked]]: the small-vocabulary SPECIALIST. When the whole
+    *    corpus vocabulary fits a fixed bitmask (≤ `vocabCutoff` distinct
+    *    shingles → ≤ 2 KB per doc), encode every document's shingle set as
+    *    packed longs, tile documents into blocks, and evaluate each tile
+    *    pair in a tight flatMap loop: the intersection is popcount-of-AND
+    *    over ~⌈V/64⌉ words — an order of magnitude less work per pair than
+    *    a two-pointer array merge, and with NO per-pair join-row overhead
+    *    (the O(n²) pair stream never exists as Catalyst rows, only as loop
+    *    iterations inside ~B²/2 tile-pair tasks). The vocabulary dictionary
+    *    is optimizer metadata (≤ cutoff longs), not data — collecting it is
+    *    the same class of move as AutoStrategy's stats job.
     *  - [[AutoStrategy]]: decide from a corpus statistic (distinct-shingle
-    *    count over the postings frame that both paths build anyway — a
+    *    count over the postings frame that every path builds anyway — a
     *    sub-second stats job, the same move a cost-based optimizer makes).
+    *    Small vocabulary → [[BitsetBlocked]], else [[PrefixFilter]].
     */
   sealed trait JaccardStrategy
   case object PrefixFilter extends JaccardStrategy
+  case object CountJoin extends JaccardStrategy
   final case class AllPairsBlocked(blocks: Int = 64) extends JaccardStrategy
+  final case class BitsetBlocked(blocks: Int = 64) extends JaccardStrategy
   final case class AutoStrategy(vocabCutoff: Long = 1 << 14) extends JaccardStrategy
 
   /** N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold),
@@ -101,11 +123,14 @@ object Dedup {
                         n: Int, threshold: Double,
                         strategy: JaccardStrategy = AutoStrategy()): DataFrame = {
     require(threshold > 0, "similarity join requires threshold > 0")
-    val sh = hashedShingles(docs, id, text, n)
+    // persist the postings: the stats job (AutoStrategy) and both branches
+    // of every self-join strategy scan this frame — one narrow row per
+    // (doc, shingle), built once. Registered for session-scoped cleanup.
+    val sh = graft.CacheRegistry.persist(hashedShingles(docs, id, text, n))
     strategy match {
       case AutoStrategy(cutoff) =>
         val vocab = sh.select(col("sid")).distinct().count()
-        val chosen = if (vocab <= cutoff) AllPairsBlocked() else PrefixFilter
+        val chosen = if (vocab <= cutoff) BitsetBlocked() else PrefixFilter
         jaccardFrom(sh, threshold, chosen)
       case s => jaccardFrom(sh, threshold, s)
     }
@@ -113,6 +138,118 @@ object Dedup {
 
   private def jaccardFrom(sh: DataFrame, threshold: Double,
                           strategy: JaccardStrategy): DataFrame = strategy match {
+    case BitsetBlocked(blocks) =>
+      val spark = sh.sparkSession
+      import spark.implicits._
+      // The vocabulary dictionary: bounded by construction (this strategy is
+      // only right when the vocab is tiny), so the collect is optimizer
+      // metadata — the data-scale frames never leave the executors.
+      val dict: Array[Long] = sh.select(col("sid")).distinct().as[Long].collect()
+      java.util.Arrays.sort(dict)
+      val bcDict = spark.sparkContext.broadcast(dict)
+      val words = (dict.length + 63) >> 6
+      // one packed-bitmask row per doc, built in a single narrow shuffle of
+      // the persisted postings; z = |set| (post-hash-dedupe, same as sz)
+      val masks = sh.select(col("doc"), col("sid")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (d, it) =>
+          val dd = bcDict.value
+          val m = new Array[Long](words)
+          var z = 0
+          while (it.hasNext) {
+            val idx = java.util.Arrays.binarySearch(dd, it.next()._2)
+            if (idx >= 0) {
+              val w = idx >> 6
+              val bit = 1L << (idx & 63)
+              if ((m(w) & bit) == 0L) { m(w) |= bit; z += 1 }
+            }
+          }
+          (d, ((d % blocks) + blocks).toInt % blocks, z, m)
+        }.toDF("id", "g", "z", "mask")
+      val tiles = masks.groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("z"), col("mask"))).as("docs"))
+      val blockPairs = (for {
+        ga <- 0 until blocks
+        gb <- ga until blocks
+      } yield (ga, gb)).toDF("ga", "gb")
+      val k = spark.sparkContext.defaultParallelism * 4
+      val t0 = threshold
+      // ~B²/2 tile-pair rows, round-robin spread so every core gets an even
+      // share of the O(n²) loop; the repartition survives AQE (the inputs
+      // are tiny but the LOOP inside each row is the real work).
+      val paired = blockPairs
+        .join(tiles.select(col("g").as("ga"), col("docs").as("da")), "ga")
+        .join(tiles.select(col("g").as("gb"), col("docs").as("db")), "gb")
+        .repartition(k)
+      paired
+        .select(col("ga"), col("gb"), col("da"), col("db"))
+        .as[(Int, Int, Array[(Long, Int, Array[Long])], Array[(Long, Int, Array[Long])])]
+        .flatMap { case (ga, gb, da, db) =>
+          val same = ga == gb
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Int)]
+          var i = 0
+          while (i < da.length) {
+            val (ida, za, ma) = da(i)
+            val loA = math.ceil(t0 * za)
+            var j = if (same) i + 1 else 0
+            while (j < db.length) {
+              val (idb, zb, mb) = db(j)
+              if (za >= math.ceil(t0 * zb) && zb >= loA) {
+                var inter = 0L
+                var w = 0
+                while (w < ma.length) {
+                  inter += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
+                }
+                // emit a SUPERSET near the boundary (1e-6 slack); the exact
+                // decision is the Catalyst round() below, bit-identical to
+                // every other strategy and the oracle
+                if (inter > 0 &&
+                    inter.toDouble / (za + zb - inter) >= t0 - 1e-6) {
+                  out += ((math.min(ida, idb), math.max(ida, idb), inter, za, zb))
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+        .toDF("id_a", "id_b", "inter", "z_a", "z_b")
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("z_a") + col("z_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    case CountJoin =>
+      // |A∩B| = number of shingles the pair co-occurs under. The join and
+      // the pair-count agg are the whole plan: no arrays, no intersection
+      // kernel. Sizes ride the posting rows (stamped in the flatMap), so
+      // the size-ratio prune runs per JOINED ROW — before the agg — and
+      // the Jaccard filter needs no extra joins afterwards.
+      //
+      // AQE sizes post-shuffle partitions by join INPUT (1 row per
+      // posting), but the blow-up happens inside the join (one output row
+      // per shared shingle per pair): pin the partition count with explicit
+      // repartitioning, which survives AQE. The merge hint keeps the same
+      // sort-merge shape at every scale.
+      val k = sh.sparkSession.sparkContext.defaultParallelism * 2
+      val l = sh.select(col("sid"), col("doc").as("id_a"), col("sz").as("z_a"))
+        .repartition(k, col("sid"))
+      val r = sh.select(col("sid"), col("doc").as("id_b"), col("sz").as("z_b"))
+        .repartition(k, col("sid")).hint("merge")
+      l.join(r, "sid")
+        .filter(col("id_a") < col("id_b") &&
+          col("z_a") >= ceil(lit(threshold) * col("z_b")) &&
+          col("z_b") >= ceil(lit(threshold) * col("z_a")))
+        // z_a/z_b are functionally dependent on the ids — grouping on them
+        // too keeps them available without a re-join
+        .groupBy(col("id_a"), col("id_b"), col("z_a"), col("z_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("z_a") + col("z_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+
     case AllPairsBlocked(blocks) =>
       val spark = sh.sparkSession
       import spark.implicits._

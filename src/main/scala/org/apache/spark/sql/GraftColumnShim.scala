@@ -9,4 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stable session identifier (`sessionUUID` is `private[sql]`). */
+  def sessionUUID(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "id#" + System.identityHashCode(other)
+  }
 }

@@ -34,12 +34,16 @@ class DedupSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  test("prefix-filter and blocked all-pairs strategies agree exactly") {
+  test("all four Jaccard strategies agree exactly") {
     val prefix = pairsWith(Dedup.PrefixFilter)
     val blocked = pairsWith(Dedup.AllPairsBlocked(blocks = 8))
+    val counted = pairsWith(Dedup.CountJoin)
+    val bitset = pairsWith(Dedup.BitsetBlocked(blocks = 8))
     val auto = pairsWith(Dedup.AutoStrategy())
     assert(prefix.nonEmpty, "fixture should produce at least one near-dup pair")
     assert(prefix == blocked)
+    assert(counted == prefix)
+    assert(bitset == prefix)
     assert(auto == prefix)
   }
 }
