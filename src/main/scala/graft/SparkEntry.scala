@@ -988,17 +988,19 @@ object SparkEntry {
        |sig AS (SELECT doc, $mh FROM enc GROUP BY doc)""".stripMargin
   }
 
-  /** SimHash signature CTE chain (31-bit, unigram tokens, same poly-hash +
-    * mix as Sketches.simhashSignatures).
+  /** SimHash signature CTE chain (63-bit, unigram tokens, same poly-hash +
+    * mix as Sketches.simhashSignatures — the 31-bit sid × 32-bit-prime
+    * multiplier stays inside signed-64 range in both engines).
     */
   private def simhashSigCte: String = {
-    val sums = (0 until 31).map(i =>
+    val nb = Sketches.SimhashBits
+    val sums = (0 until nb).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
-    val bits = (0 until 31).map(i =>
+    val bits = (0 until nb).map(i =>
       s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
     val h = graft.functions.TextHash.duckdbPoly("token", graft.functions.TextHash.Mod31)
     s"""toks AS (SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
-       |tenc AS (SELECT doc, (($h)*${Sketches.SimhashMulA}+${Sketches.SimhashAddB})%${Sketches.MinhashPrime} AS h FROM toks),
+       |tenc AS (SELECT doc, (($h)*${Sketches.SimhashMulA}+${Sketches.SimhashAddB})%${Sketches.SimhashMod} AS h FROM toks),
        |tsums AS (SELECT doc, $sums FROM tenc GROUP BY doc),
        |simsig AS (SELECT doc AS doc_id, CAST($bits AS BIGINT) AS simhash FROM tsums)""".stripMargin
   }

@@ -32,9 +32,18 @@ object Sketches {
     1803590426L, 643761100L, 1631415421L, 471586095L, 1459240416L, 299411090L,
     1287065411L, 127236085L, 1114890406L, 2102544727L, 942715401L, 1930369722L)
 
-  // SimHash per-token mixer constants (shared with the oracle CTE).
-  val SimhashMulA = 1299721L
+  // SimHash per-token mixer constants (shared with the oracle CTE): a
+  // 32-bit prime multiplier (2^32−5) against a 63-bit prime modulus
+  // (2^63−25) keeps sid·a+b inside the signed-64 range in BOTH engines
+  // (max 31-bit sid × (2^32−5) ≈ 2^63 − 1.7e15) while the mixed hash spans
+  // all 63 signature bits — at maxHamming=2 each banding chunk then keys on
+  // 21 bits, so bucket sizes stay sub-linear in corpus size (a 31-bit
+  // signature left only ~10 bits per chunk and the candidate join grew
+  // quadratically).
+  val SimhashMulA = 4294967291L
   val SimhashAddB = 104729L
+  val SimhashMod = 9223372036854775783L
+  val SimhashBits = 63
 
   /** (doc, sid) pairs: distinct word n-gram shingles per document, encoded
     * with the 31-bit polynomial hash. Pure flatMap — no dictionary.
@@ -73,7 +82,11 @@ object Sketches {
                       n: Int = 2, bands: Int = 4, rowsPerBand: Int = 4,
                       minEstSim: Double = 0.0): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(docs, id, text, n, k)
+    // the signature frame feeds every band branch of the candidate join
+    // plus both verify joins (~6 plan copies): ReuseExchange dedupes the
+    // shuffle write but re-runs the post-shuffle aggregation per branch —
+    // persist the (1 narrow row per doc) frame instead
+    val sig = graft.CacheRegistry.persist(minhashSignatures(docs, id, text, n, k))
     val cand = lshCandidates(sig, bands, rowsPerBand)
     val matches = (0 until k).map(i =>
       when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
@@ -104,11 +117,11 @@ object Sketches {
   }
 
   /** SimHash signatures over unigram tokens (with multiplicity): token →
-    * 31-bit poly hash → mixed hash h; bit i of the signature is set iff
-    * Σ_tokens (bit_i(h) ? +1 : −1) > 0.
+    * 31-bit poly hash → 63-bit mixed hash h; bit i of the signature is set
+    * iff Σ_tokens (bit_i(h) ? +1 : −1) > 0.
     */
   def simhashSignatures(docs: DataFrame, id: Column, text: Column,
-                        bits: Int = 31): DataFrame = {
+                        bits: Int = SimhashBits): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val slices = spark.sparkContext.defaultParallelism
@@ -117,7 +130,7 @@ object Sketches {
       .flatMap { case (d, t) =>
         t.trim.split("\\s+").iterator.map { w =>
           val sid = TextHash.poly(w, TextHash.Mod31)
-          (d, (sid * SimhashMulA + SimhashAddB) % MinhashPrime)
+          (d, (sid * SimhashMulA + SimhashAddB) % SimhashMod)
         }
       }
       .toDF("doc", "h")
@@ -140,8 +153,10 @@ object Sketches {
     * runs codegen'd built-ins. No driver-side pass anywhere.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int, bits: Int = 31): DataFrame = {
-    val sig = simhashSignatures(docs, id, text, bits)
+                   maxHamming: Int, bits: Int = SimhashBits): DataFrame = {
+    // one narrow row per doc, scanned by every banding branch and both
+    // verify joins (~5 plan copies otherwise) — persist it once
+    val sig = graft.CacheRegistry.persist(simhashSignatures(docs, id, text, bits))
     val nChunks = maxHamming + 1
     val width = (bits + nChunks - 1) / nChunks
     val chunkRows = (0 until nChunks).map { c =>
