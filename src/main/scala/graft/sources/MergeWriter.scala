@@ -41,37 +41,85 @@ object MergeWriter {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Key-hash bucket column maintained on every merge target. It is a
+    * physical layout detail: [[readTable]] strips it on the way out.
+    */
+  val BucketCol = "__bucket"
+
   /** MERGE: rows in `incoming` replace existing rows with the same key;
     * all other existing rows survive. Equivalent to
     * `MERGE INTO target USING incoming ON keys WHEN MATCHED UPDATE WHEN NOT
     * MATCHED INSERT`.
+    *
+    * The table is laid out partitioned by `hash(keys) % buckets`, so a
+    * merge reads and rewrites ONLY the buckets containing incoming keys —
+    * I/O per batch is O(touched buckets), not O(table). This is the shape a
+    * lakehouse MERGE has (Delta/Iceberg rewrite matched files); on a real
+    * deployment `buckets` is sized so one bucket ≈ a few file groups. The
+    * per-partition replace rides the committer's staged write + commit, the
+    * same machinery as [[overwritePartitions]]; cross-bucket commit is not
+    * table-atomic, but every load through here is keyed and idempotent
+    * (dedupe + natural keys, the reference's at-least-once contract), so a
+    * replayed batch converges.
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
-            keys: Seq[String]): Unit = {
+            keys: Seq[String], buckets: Int = 64): Unit = {
+    require(keys.nonEmpty, "merge requires at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
-    val merged =
-      if (fs.exists(target)) {
-        val existing = spark.read.parquet(tablePath)
-        existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(incoming.select(existing.columns.map(col).toIndexedSeq: _*))
-      } else incoming
-    val staging = new Path(tablePath + ".staging-" + UUID.randomUUID())
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val backup = new Path(tablePath + ".old-" + UUID.randomUUID())
-    // rename reports failure by RETURNING FALSE on HDFS/object-store
-    // semantics — a swallowed false here would silently no-op the merge
-    // (or lose the live table between the two renames), so fail loudly and
-    // restore the backup if the swap-in did not happen.
-    val hadTarget = fs.exists(target)
-    if (hadTarget && !fs.rename(target, backup))
-      throw new java.io.IOException(s"merge: rename $target -> $backup failed")
-    if (!fs.rename(staging, target)) {
-      if (hadTarget) fs.rename(backup, target) // best-effort restore
-      throw new java.io.IOException(s"merge: rename $staging -> $target failed")
-    }
-    if (hadTarget) fs.delete(backup, true)
+    val inc = incoming
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+      .persist()
+    try {
+      if (!fs.exists(target)) {
+        inc.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tablePath)
+      } else {
+        val existingAll = spark.read.parquet(tablePath)
+        if (existingAll.columns.contains(BucketCol)) {
+          // bounded metadata collect: ≤ `buckets` values, never data-scale
+          val touched = inc.select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
+          if (touched.nonEmpty) {
+            // partition pruning limits the scan to the touched buckets
+            val existing = existingAll.filter(col(BucketCol).isin(touched: _*))
+            val survivors = existing
+              .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            survivors
+              .unionByName(inc.select(existing.columns.map(col).toIndexedSeq: _*))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(BucketCol)
+              .parquet(tablePath)
+          }
+        } else {
+          // legacy unbucketed table: migrate with one full rewrite through a
+          // staged swap, after which merges are bucket-local
+          val survivors = existingAll
+            .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+          val merged = survivors
+            .unionByName(inc.select(survivors.columns.map(col).toIndexedSeq: _*))
+          val staging = new Path(tablePath + ".staging-" + UUID.randomUUID())
+          merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+            .parquet(staging.toString)
+          val backup = new Path(tablePath + ".old-" + UUID.randomUUID())
+          // rename reports failure by RETURNING FALSE on HDFS/object-store
+          // semantics — fail loudly and restore if the swap-in didn't happen
+          if (!fs.rename(target, backup))
+            throw new java.io.IOException(s"merge: rename $target -> $backup failed")
+          if (!fs.rename(staging, target)) {
+            fs.rename(backup, target) // best-effort restore
+            throw new java.io.IOException(s"merge: rename $staging -> $target failed")
+          }
+          fs.delete(backup, true)
+        }
+      }
+    } finally { inc.unpersist(); () }
   }
+
+  /** Read a merge-maintained table without its physical bucket column. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).drop(BucketCol)
 
   /** L1/L3 — the custom-field load's transactional shape
     * (`state_load_processor_aurora.ts:39-113`): per incoming item, delete

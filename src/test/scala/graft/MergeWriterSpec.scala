@@ -40,6 +40,33 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("merge rewrites only buckets containing incoming keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bmerge").toString + "/t"
+    val v1 = (0 until 64).map(i => (s"k$i", i)).toDF("k", "v")
+    MergeWriter.merge(spark, dir, v1, Seq("k"), buckets = 8)
+    def filesByBucket(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(MergeWriter.BucketCol + "="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = filesByBucket()
+    assert(before.size > 1, "fixture should span several buckets")
+
+    MergeWriter.merge(spark, dir, Seq(("k0", 100)).toDF("k", "v"), Seq("k"), buckets = 8)
+    val after = filesByBucket()
+    val changed = before.keys.filter(b => before(b) != after.getOrElse(b, Set.empty[String]))
+    assert(changed.size == 1, s"exactly one bucket should be rewritten, got $changed")
+
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Int]("v")).toMap
+    assert(rows.size == 64 && rows("k0") == 100 && rows("k1") == 1)
+    assert(!MergeWriter.readTable(spark, dir).columns.contains(MergeWriter.BucketCol))
+  }
+
   test("dedupeOnKey keeps the newest row per key") {
     import spark.implicits._
     val batch = Seq(("A", 1, "old"), ("A", 2, "new"), ("B", 1, "only"))
