@@ -65,6 +65,25 @@ object SparkEntry {
       .as[WorkItemRevision]
   }
 
+  /** Per-JVM scratch root for the load-style queries' staging tables: one
+    * tree, removed on JVM exit, instead of an unbounded trail of
+    * per-invocation temp dirs under /tmp across bench + verify runs.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** q24's result frame, persisted and shared with q25 so the kernel runs
     * once per (session, sf-dir) even when both queries execute in one run.
     */
@@ -714,7 +733,7 @@ object SparkEntry {
     // disk, so the dynamic-partition-overwrite semantics are what's checked.
     "q39_membership_refresh" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-cwim").toString + "/cwim"
+      val path = scratchDir("graft-cwim") + "/cwim"
       val refreshed = Seq("1-URGENT", "2-HIGH")
       val stale = o.filter(col("o_orderpriority").isin(refreshed: _*))
         .select(col("o_orderkey").as("work_item_id"),
@@ -777,8 +796,7 @@ object SparkEntry {
     // inline (workItemId, name, value) dedupe collapses duplicates.
     "q43_customfield_load" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-cfload")
-        .toString + "/customFields"
+      val path = scratchDir("graft-cfload") + "/customFields"
       val wid = concat(lit("W"), pmod(col("o_orderkey"), lit(20)))
       val round1 = o.select(wid.as("workItemId"),
           lit("priority").as("name"), col("o_orderpriority").as("value"))
@@ -890,8 +908,7 @@ object SparkEntry {
     // intact (the at-least-once idempotency contract).
     "q49_snapshot_upsert" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-snap")
-        .toString + "/snapshots"
+      val path = scratchDir("graft-snap") + "/snapshots"
       val keys = Seq("user_id", "event_id")
       val b1 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
         .select(col("user_id"), col("event_id"),
@@ -953,6 +970,144 @@ object SparkEntry {
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
           col("event_type"), col("n_events"))
+    }),
+
+    // L4: sprint + sprint↔workItem-map load (`sprint_load_processor_aurora
+    // .ts:31-57,60-79`) — sprint dim upserted twice (round 2 renames a
+    // subset), the map loaded then REPLAYED verbatim (at-least-once
+    // delivery must be a no-op), both through the bucketed keyed merge;
+    // the read-back join proves the final table states.
+    "q54_sprint_load" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      val path = scratchDir("graft-sprint")
+      val sprints1 = o.select(lit("org-1").as("org_id"),
+        col("o_orderkey").as("sprint_id"),
+        concat(lit("Sprint "), col("o_orderkey")).as("sprint_name"),
+        col("o_orderdate").as("start_date"))
+      sources.MergeWriter.merge(s, path + "/sprints", sprints1,
+        Seq("org_id", "sprint_id"))
+      val sprints2 = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(lit("org-1").as("org_id"), col("o_orderkey").as("sprint_id"),
+          concat(lit("Sprint R2 "), col("o_orderkey")).as("sprint_name"),
+          col("o_orderdate").as("start_date"))
+      sources.MergeWriter.merge(s, path + "/sprints", sprints2,
+        Seq("org_id", "sprint_id"))
+      val maps = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(50)) === 0)
+        .select(lit("org-1").as("org_id"), col("l_orderkey").as("sprint_id"),
+          concat(lit("W"), pmod(col("l_partkey"), lit(500))).as("work_item_id"))
+        .dropDuplicates()
+      val mapKeys = Seq("org_id", "sprint_id", "work_item_id")
+      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys)
+      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys) // replay
+      sources.MergeWriter.readTable(s, path + "/sprints")
+        .join(sources.MergeWriter.readTable(s, path + "/maps"),
+          Seq("org_id", "sprint_id"))
+        .select(col("sprint_id"), col("sprint_name"), col("work_item_id"))
+    }),
+
+    // L5: VC bulk insert-or-update (`src/data/vc_data.ts`) — merge_requests
+    // updated in a second round (completed MRs flip to state 'merged'),
+    // pipelines loaded once; read-back joins the two tables.
+    "q55_vc_load" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      val path = scratchDir("graft-vc")
+      val mr1 = o.select(col("o_orderkey").as("mr_id"),
+        pmod(col("o_custkey"), lit(10)).as("project_id"),
+        col("o_orderstatus").as("state"),
+        col("o_orderdate").as("created_at"))
+      sources.MergeWriter.merge(s, path + "/mrs", mr1, Seq("mr_id"))
+      val mr2 = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("mr_id"),
+          pmod(col("o_custkey"), lit(10)).as("project_id"),
+          lit("merged").as("state"),
+          col("o_orderdate").as("created_at"))
+      sources.MergeWriter.merge(s, path + "/mrs", mr2, Seq("mr_id"))
+      val pipes = o.select(col("o_orderkey").as("pipeline_id"),
+        col("o_orderstatus").as("status"))
+      sources.MergeWriter.merge(s, path + "/pipelines", pipes, Seq("pipeline_id"))
+      sources.MergeWriter.readTable(s, path + "/mrs")
+        .join(sources.MergeWriter.readTable(s, path + "/pipelines")
+            .select(col("pipeline_id").as("mr_id"),
+              col("status").as("pipeline_status")),
+          Seq("mr_id"))
+        .select(col("mr_id"), col("project_id"), col("state"),
+          col("pipeline_status"))
+    }),
+
+    // L6: insights-snapshot save (`src/flomatika_app/data/fl_insights.ts`)
+    // — wide metric rows upserted on (view, org, context); round 2
+    // recomputes two contexts over a narrower scope and replaces only them.
+    "q56_insights_save" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = scratchDir("graft-insights") + "/insights_snapshots"
+      val keys = Seq("view_id", "org_id", "context_id")
+      def widen(base: DataFrame) = base
+        .groupBy(pmod(col("o_custkey"), lit(5)).as("context_id"))
+        .agg(count(lit(1)).as("wip_count"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("throughput"))
+        .select(lit("view-1").as("view_id"), lit("org-1").as("org_id"),
+          col("context_id"), col("wip_count"), col("throughput"))
+      sources.MergeWriter.merge(s, path, widen(o), keys)
+      sources.MergeWriter.merge(s, path,
+        widen(o.filter(col("o_orderpriority") === "1-URGENT" &&
+          pmod(col("o_custkey"), lit(5)) < 2)), keys)
+      sources.MergeWriter.readTable(s, path)
+        .select(col("view_id"), col("org_id"), col("context_id"),
+          col("wip_count"), col("throughput"))
+    }),
+
+    // L7: workflow-step write-back (`unmapped_workflow_step.ts:106-118`) —
+    // detected unmapped states upserted into the step dim with
+    // order=9999/queue/inactive; a second detection pass against the
+    // extended dim finds nothing (its merge is a no-op), and the read-back
+    // shows seed + auto-mapped rows.
+    "q57_step_writeback" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratchDir("graft-steps") + "/workflowSteps"
+      val seed = Seq(("signup", 0), ("click", 1), ("view", 2), ("purchase", 3))
+        .toDF("state", "step_order")
+        .withColumn("state_type", lit("active"))
+        .withColumn("active", lit(true))
+      sources.MergeWriter.merge(s, path, seed, Seq("state"))
+      def detect() = Reconcile.unmappedSteps(Tables.events(s, dir),
+          col("event_type"),
+          sources.MergeWriter.readTable(s, path)
+            .select(col("state").as("step_name")),
+          col("step_name"))
+        .select(col("state"), col("step_order"), col("state_type"), col("active"))
+      sources.MergeWriter.merge(s, path, detect(), Seq("state"))
+      sources.MergeWriter.merge(s, path, detect(), Seq("state")) // now empty
+      sources.MergeWriter.readTable(s, path)
+        .select(col("state"), col("step_order"), col("state_type"), col("active"))
+    }),
+
+    // §2.5 watermark: nextRunStartFrom = max(updated) per datasource,
+    // persisted through the keyed merge and advanced monotonically across
+    // two batches; batch 2 is the INCREMENTAL scan `updated > stored mark`
+    // driven by the checkpoint read back from disk. Output = final mark +
+    // how many rows the incremental pass processed per datasource.
+    "q58_watermark_advance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(4)).as("datasource_id"),
+          col("ts"), col("event_id"))
+      val path = scratchDir("graft-wm") + "/datasources"
+      val cut = lit("2024-01-18 00:00:00").cast("timestamp_ntz")
+      operators.Watermarks.advance(s, path,
+        ev.filter(col("ts") <= cut), col("datasource_id"), col("ts"))
+      val marks = operators.Watermarks.currentMarks(s, path)
+      val batch2 = operators.Watermarks.incremental(ev, col("datasource_id"),
+        col("ts"), marks)
+      operators.Watermarks.advance(s, path, batch2, col("datasource_id"), col("ts"))
+      // a replay of the stale batch-1 marks must NOT regress the watermark
+      operators.Watermarks.advance(s, path,
+        ev.filter(col("ts") <= cut), col("datasource_id"), col("ts"))
+      sources.MergeWriter.readTable(s, path)
+        .join(batch2.groupBy(col("datasource_id"))
+            .agg(count(lit(1)).as("n_incremental")),
+          Seq("datasource_id"))
+        .select(col("datasource_id"), col("next_run_start_from"),
+          col("n_incremental"))
     })
   )
 
@@ -1801,6 +1956,64 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
         |  event_type, COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q54_sprint_load" ->
+      """WITH sp AS (
+        |  SELECT o_orderkey AS sprint_id,
+        |    CASE WHEN o_orderkey % 100 = 0
+        |         THEN 'Sprint R2 ' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE 'Sprint ' || CAST(o_orderkey AS VARCHAR) END AS sprint_name
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |mp AS (
+        |  SELECT DISTINCT l_orderkey AS sprint_id,
+        |    'W' || CAST(l_partkey % 500 AS VARCHAR) AS work_item_id
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT sp.sprint_id, sprint_name, work_item_id
+        |FROM sp JOIN mp ON sp.sprint_id = mp.sprint_id""".stripMargin,
+
+    "q55_vc_load" ->
+      """SELECT o_orderkey AS mr_id, o_custkey % 10 AS project_id,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'merged' ELSE o_orderstatus END AS state,
+        |  o_orderstatus AS pipeline_status
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
+
+    "q56_insights_save" ->
+      """WITH r1 AS (
+        |  SELECT o_custkey % 5 AS context_id, COUNT(*) AS wip_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS throughput
+        |  FROM orders GROUP BY 1),
+        |r2 AS (
+        |  SELECT o_custkey % 5 AS context_id, COUNT(*) AS wip_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS throughput
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 5 < 2 GROUP BY 1)
+        |SELECT 'view-1' AS view_id, 'org-1' AS org_id, context_id, wip_count, throughput
+        |FROM r2
+        |UNION ALL
+        |SELECT 'view-1', 'org-1', context_id, wip_count, throughput
+        |FROM r1 WHERE context_id NOT IN (SELECT context_id FROM r2)""".stripMargin,
+
+    "q57_step_writeback" ->
+      """SELECT * FROM (VALUES
+        |  ('signup', 0, 'active', true), ('click', 1, 'active', true),
+        |  ('view', 2, 'active', true), ('purchase', 3, 'active', true))
+        |  AS seed(state, step_order, state_type, active)
+        |UNION ALL
+        |SELECT DISTINCT event_type, 9999, 'queue', false FROM events
+        |WHERE event_type NOT IN ('signup','click','view','purchase')""".stripMargin,
+
+    "q58_watermark_advance" ->
+      """WITH wm1 AS (
+        |  SELECT user_id % 4 AS datasource_id, MAX(ts) AS wm
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-18 00:00:00' GROUP BY 1),
+        |b2 AS (
+        |  SELECT e.user_id % 4 AS datasource_id, e.ts
+        |  FROM events e JOIN wm1 ON e.user_id % 4 = wm1.datasource_id
+        |  WHERE e.ts > wm1.wm)
+        |SELECT datasource_id,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS next_run_start_from,
+        |  COUNT(*) AS n_incremental
+        |FROM b2 GROUP BY 1""".stripMargin
   )
 }
