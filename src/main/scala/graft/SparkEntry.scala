@@ -1108,6 +1108,22 @@ object SparkEntry {
           Seq("datasource_id"))
         .select(col("datasource_id"), col("next_run_start_from"),
           col("n_incremental"))
+    }),
+
+    // S1-S4 through a REAL DataSourceV2 connector: the raw-item JSON drop
+    // is read via `graft-jira` (TableProvider + SupportsPushDownFilters +
+    // SupportsPushDownRequiredColumns); the watermark, project and type
+    // predicates are pushed INTO the source, re-compiled to the reference's
+    // JQL string in the scan (visible in explain), and enforced by the
+    // reader, which parses only the pruned columns.
+    "q59_connector_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-conn")
+      rawItemsJson(s, dir).select(col("raw_json"))
+        .write.mode("overwrite").text(path)
+      s.read.format("graft-jira").option("path", path).load()
+        .filter(col("updated") > "2024-01-25T00:00:00.000000" &&
+          col("project") === "1000" && col("issue_type").isin("Story", "Bug"))
+        .select(col("key").as("work_item_id"), col("status"), col("issue_type"))
     })
   )
 
@@ -2014,6 +2030,25 @@ object SparkEntry {
         |SELECT datasource_id,
         |  CAST(MAX(ts) AS TIMESTAMP) AS next_run_start_from,
         |  COUNT(*) AS n_incremental
-        |FROM b2 GROUP BY 1""".stripMargin
+        |FROM b2 GROUP BY 1""".stripMargin,
+
+    "q59_connector_scan" ->
+      """WITH base AS (
+        |  SELECT user_id, MAX(ts) AS updated FROM events GROUP BY 1),
+        |ls AS (
+        |  SELECT user_id, event_type AS cur FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('signup','view','click','purchase'))
+        |  WHERE rn = 1)
+        |SELECT 'ITEM-' || CAST(b.user_id AS VARCHAR) AS work_item_id,
+        |  coalesce(ls.cur, 'signup') AS status,
+        |  CASE WHEN b.user_id % 3 = 0 THEN 'Story'
+        |       WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END AS issue_type
+        |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id
+        |WHERE b.updated > TIMESTAMP '2024-01-25 00:00:00'
+        |  AND b.user_id % 2 = 0
+        |  AND (CASE WHEN b.user_id % 3 = 0 THEN 'Story'
+        |            WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END) IN ('Story','Bug')""".stripMargin
   )
 }
