@@ -1124,6 +1124,38 @@ object SparkEntry {
         .filter(col("updated") > "2024-01-25T00:00:00.000000" &&
           col("project") === "1000" && col("issue_type").isin("Story", "Bug"))
         .select(col("key").as("work_item_id"), col("status"), col("issue_type"))
+    }),
+
+    // T13 two-pass automap (`unmapped_workflow_step.ts:76-118`): pass 1
+    // detects status (id, name) pairs missing from the step dim (here the
+    // dim is seeded WITHOUT 'purchase') and upserts them with
+    // order=9999/queue/inactive; pass 2 re-runs the revision translate
+    // against the EXTENDED dim read back from disk — every revision now
+    // maps, and the formerly-unmapped state carries the automapped step
+    // attributes.
+    "q60_automap_retranslate" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratchDir("graft-automap") + "/workflowSteps"
+      val seed = Seq(("signup", "signup", 1, "queue"), ("view", "view", 2, "queue"),
+          ("click", "click", 3, "active"))
+        .toDF("id", "name", "step_order", "state_type")
+        .withColumn("active", lit(true))
+      sources.MergeWriter.merge(s, path, seed, Seq("id", "name"))
+      val revs = rawRevisions(s, dir).filter(col("type") === "state_change")
+      val unmapped = revs.select(col("statusId").as("id"), col("statusName").as("name"))
+        .distinct()
+        .join(broadcast(sources.MergeWriter.readTable(s, path)
+          .select(col("id"), col("name"))), Seq("id", "name"), "left_anti")
+        .withColumn("step_order", lit(9999))
+        .withColumn("state_type", lit("queue"))
+        .withColumn("active", lit(false))
+      sources.MergeWriter.merge(s, path, unmapped, Seq("id", "name"))
+      val dim2 = sources.MergeWriter.readTable(s, path)
+      revs.join(broadcast(dim2),
+          revs("statusId") === dim2("id") && revs("statusName") === dim2("name"))
+        .groupBy(col("name").as("state"), col("step_order"), col("state_type"),
+          col("active"))
+        .agg(count(lit(1)).as("n_revisions"))
     })
   )
 
@@ -2049,6 +2081,19 @@ object SparkEntry {
         |WHERE b.updated > TIMESTAMP '2024-01-25 00:00:00'
         |  AND b.user_id % 2 = 0
         |  AND (CASE WHEN b.user_id % 3 = 0 THEN 'Story'
-        |            WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END) IN ('Story','Bug')""".stripMargin
+        |            WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END) IN ('Story','Bug')""".stripMargin,
+
+    "q60_automap_retranslate" ->
+      s"""WITH $rawRevsOracleCte,
+         |cnt AS (
+         |  SELECT status_name AS state, COUNT(*) AS n_revisions
+         |  FROM rrev WHERE rtype = 'state_change' GROUP BY 1)
+         |SELECT state,
+         |  CASE state WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+         |             WHEN 'click' THEN 3 ELSE 9999 END AS step_order,
+         |  CASE state WHEN 'click' THEN 'active' ELSE 'queue' END AS state_type,
+         |  state IN ('signup','view','click') AS active,
+         |  n_revisions
+         |FROM cnt""".stripMargin
   )
 }
