@@ -84,20 +84,34 @@ object SparkEntry {
   private def scratchDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** Evict every frame this session memoized or persisted (the shared
+    * fixture/kernel frames below plus operator-internal persists routed
+    * through [[CacheRegistry]]). A long-lived server calls this on session
+    * retirement; the bench/verify mains run one session per JVM and rely on
+    * process exit.
+    */
+  def clearCaches(s: SparkSession): Unit = {
+    val key = CacheRegistry.sessionKey(s)
+    Seq(datesCache, rawJsonCache, rawParsedCache, rawRevsCache,
+        rawDatesCache, jacPairsCache)
+      .foreach(_.keySet.removeIf(_._1 == key))
+    CacheRegistry.clear(s)
+  }
+
   /** q24's result frame, persisted and shared with q25 so the kernel runs
     * once per (session, sf-dir) even when both queries execute in one run.
     */
   private val datesCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def eventDatesFrame(s: SparkSession, dir: String): DataFrame =
-    datesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    datesCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       EventDateExtractor.extract(eventRevisions(s, dir),
           Map(eventsWorkflow.workflowId -> eventsWorkflow))
         .select(col("workItemId").cast("long").as("user_id"),
           col("arrival"), col("commitment"), col("departure"),
           col("isDelayed").as("is_delayed"),
           col("delayedRevision").cast("long").as("delayed_event"))
-        .persist())
+        .transform(CacheRegistry.persist))
 
   /** Exact SQL mirror of the T4 kernel (for workflows with no
     * before-arrival band), parameterized by a source selecting
@@ -196,41 +210,41 @@ object SparkEntry {
   // JSON and parsed frames once per (session, sf-dir) so no query re-runs
   // the fixture construction (windows + JSON round-trip) from scratch.
   private val rawJsonCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def rawItemsJson(s: SparkSession, dir: String): DataFrame =
-    rawJsonCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      graft.sources.RawItemsFixture.asJson(Tables.events(s, dir)).persist())
+    rawJsonCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      graft.sources.RawItemsFixture.asJson(Tables.events(s, dir)).transform(CacheRegistry.persist))
 
   private val rawParsedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def rawItemsParsed(s: SparkSession, dir: String): DataFrame =
-    rawParsedCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    rawParsedCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       rawItemsJson(s, dir)
         .select(from_json(col("raw_json"), graft.sources.RawItemsFixture.schema).as("r"))
-        .select("r.*").persist())
+        .select("r.*").transform(CacheRegistry.persist))
 
   private val rawRevsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def rawRevisions(s: SparkSession, dir: String): DataFrame =
-    rawRevsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      RevisionPipeline.explodeChangelog(rawItemsParsed(s, dir)).persist())
+    rawRevsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      RevisionPipeline.explodeChangelog(rawItemsParsed(s, dir)).transform(CacheRegistry.persist))
 
   /** Fixture event dates, persisted — shared by q35 and q36. */
   private val rawDatesCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def rawEventDates(s: SparkSession, dir: String): DataFrame =
-    rawDatesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    rawDatesCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       RevisionPipeline.eventDatesFor(rawRevisions(s, dir),
         Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
-        .toDF().persist())
+        .toDF().transform(CacheRegistry.persist))
 
   /** q22's exact Jaccard pairs, persisted and shared with q32. */
   private val jacPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame =
-    jacPairsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    jacPairsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
-        col("text"), n = 2, threshold = 0.3).persist())
+        col("text"), n = 2, threshold = 0.3).transform(CacheRegistry.persist))
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,

@@ -34,6 +34,14 @@ object TextHash {
 
   /** Polynomial codepoint hash, iterating Unicode code points (matching
     * DuckDB's `unicode()` over `string_split(s, '')`).
+    *
+    * Cross-engine bit-identity assumes every grapheme cluster is a single
+    * code point (true for ASCII and most Latin text, and for the synthetic
+    * corpora here): DuckDB's `string_split(s, '')` yields grapheme
+    * clusters and `unicode()` returns only the FIRST code point of one,
+    * while this fold consumes every code point — combining marks or emoji
+    * ZWJ sequences would diverge. For non-ASCII corpora, normalize (e.g.
+    * NFC + strip marks) identically on both sides before hashing.
     */
   def poly(s: String, mod: Long): Long = {
     var acc = 0L

@@ -65,9 +65,11 @@ object Similarity {
     val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
     // persist the trained centroid set (centroid-count rows — tiny at any
     // scale): it is referenced by both the assignment and the probe pass,
-    // which would otherwise each re-run the whole Lloyd chain
+    // which would otherwise each re-run the whole Lloyd chain. Registered
+    // with the session's CacheRegistry so callers can reclaim storage.
     val c = if (iterations == 0) c0
-      else (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc)).persist()
+      else graft.CacheRegistry.persist(
+        (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc)))
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("__cos").desc, col("cid"))
     val assigned = v.crossJoin(broadcast(c))
