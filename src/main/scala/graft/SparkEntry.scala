@@ -999,21 +999,21 @@ object SparkEntry {
         concat(lit("Sprint "), col("o_orderkey")).as("sprint_name"),
         col("o_orderdate").as("start_date"))
       sources.MergeWriter.merge(s, path + "/sprints", sprints1,
-        Seq("org_id", "sprint_id"))
+        Seq("org_id", "sprint_id"), buckets = 8)
       val sprints2 = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
         .select(lit("org-1").as("org_id"), col("o_orderkey").as("sprint_id"),
           concat(lit("Sprint R2 "), col("o_orderkey")).as("sprint_name"),
           col("o_orderdate").as("start_date"))
       sources.MergeWriter.merge(s, path + "/sprints", sprints2,
-        Seq("org_id", "sprint_id"))
+        Seq("org_id", "sprint_id"), buckets = 8)
       val maps = Tables.lineitem(s, dir)
         .filter(pmod(col("l_orderkey"), lit(50)) === 0)
         .select(lit("org-1").as("org_id"), col("l_orderkey").as("sprint_id"),
           concat(lit("W"), pmod(col("l_partkey"), lit(500))).as("work_item_id"))
         .dropDuplicates()
       val mapKeys = Seq("org_id", "sprint_id", "work_item_id")
-      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys)
-      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys) // replay
+      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys, buckets = 8)
+      sources.MergeWriter.merge(s, path + "/maps", maps, mapKeys, buckets = 8) // replay
       sources.MergeWriter.readTable(s, path + "/sprints")
         .join(sources.MergeWriter.readTable(s, path + "/maps"),
           Seq("org_id", "sprint_id"))
@@ -1030,16 +1030,16 @@ object SparkEntry {
         pmod(col("o_custkey"), lit(10)).as("project_id"),
         col("o_orderstatus").as("state"),
         col("o_orderdate").as("created_at"))
-      sources.MergeWriter.merge(s, path + "/mrs", mr1, Seq("mr_id"))
+      sources.MergeWriter.merge(s, path + "/mrs", mr1, Seq("mr_id"), buckets = 8)
       val mr2 = o.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("mr_id"),
           pmod(col("o_custkey"), lit(10)).as("project_id"),
           lit("merged").as("state"),
           col("o_orderdate").as("created_at"))
-      sources.MergeWriter.merge(s, path + "/mrs", mr2, Seq("mr_id"))
+      sources.MergeWriter.merge(s, path + "/mrs", mr2, Seq("mr_id"), buckets = 8)
       val pipes = o.select(col("o_orderkey").as("pipeline_id"),
         col("o_orderstatus").as("status"))
-      sources.MergeWriter.merge(s, path + "/pipelines", pipes, Seq("pipeline_id"))
+      sources.MergeWriter.merge(s, path + "/pipelines", pipes, Seq("pipeline_id"), buckets = 8)
       sources.MergeWriter.readTable(s, path + "/mrs")
         .join(sources.MergeWriter.readTable(s, path + "/pipelines")
             .select(col("pipeline_id").as("mr_id"),
@@ -1062,10 +1062,10 @@ object SparkEntry {
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("throughput"))
         .select(lit("view-1").as("view_id"), lit("org-1").as("org_id"),
           col("context_id"), col("wip_count"), col("throughput"))
-      sources.MergeWriter.merge(s, path, widen(o), keys)
+      sources.MergeWriter.merge(s, path, widen(o), keys, buckets = 8)
       sources.MergeWriter.merge(s, path,
         widen(o.filter(col("o_orderpriority") === "1-URGENT" &&
-          pmod(col("o_custkey"), lit(5)) < 2)), keys)
+          pmod(col("o_custkey"), lit(5)) < 2)), keys, buckets = 8)
       sources.MergeWriter.readTable(s, path)
         .select(col("view_id"), col("org_id"), col("context_id"),
           col("wip_count"), col("throughput"))
@@ -1083,15 +1083,15 @@ object SparkEntry {
         .toDF("state", "step_order")
         .withColumn("state_type", lit("active"))
         .withColumn("active", lit(true))
-      sources.MergeWriter.merge(s, path, seed, Seq("state"))
+      sources.MergeWriter.merge(s, path, seed, Seq("state"), buckets = 4)
       def detect() = Reconcile.unmappedSteps(Tables.events(s, dir),
           col("event_type"),
           sources.MergeWriter.readTable(s, path)
             .select(col("state").as("step_name")),
           col("step_name"))
         .select(col("state"), col("step_order"), col("state_type"), col("active"))
-      sources.MergeWriter.merge(s, path, detect(), Seq("state"))
-      sources.MergeWriter.merge(s, path, detect(), Seq("state")) // now empty
+      sources.MergeWriter.merge(s, path, detect(), Seq("state"), buckets = 4)
+      sources.MergeWriter.merge(s, path, detect(), Seq("state"), buckets = 4) // now empty
       sources.MergeWriter.readTable(s, path)
         .select(col("state"), col("step_order"), col("state_type"), col("active"))
     }),
@@ -1154,7 +1154,7 @@ object SparkEntry {
           ("click", "click", 3, "active"))
         .toDF("id", "name", "step_order", "state_type")
         .withColumn("active", lit(true))
-      sources.MergeWriter.merge(s, path, seed, Seq("id", "name"))
+      sources.MergeWriter.merge(s, path, seed, Seq("id", "name"), buckets = 4)
       val revs = rawRevisions(s, dir).filter(col("type") === "state_change")
       val unmapped = revs.select(col("statusId").as("id"), col("statusName").as("name"))
         .distinct()
@@ -1163,13 +1163,46 @@ object SparkEntry {
         .withColumn("step_order", lit(9999))
         .withColumn("state_type", lit("queue"))
         .withColumn("active", lit(false))
-      sources.MergeWriter.merge(s, path, unmapped, Seq("id", "name"))
+      sources.MergeWriter.merge(s, path, unmapped, Seq("id", "name"), buckets = 4)
       val dim2 = sources.MergeWriter.readTable(s, path)
       revs.join(broadcast(dim2),
           revs("statusId") === dim2("id") && revs("statusName") === dim2("name"))
         .groupBy(col("name").as("state"), col("step_order"), col("state_type"),
           col("active"))
         .agg(count(lit(1)).as("n_revisions"))
+    }),
+
+    // §2.5, REAL streaming machinery under oracle: the events table is
+    // re-served as a file stream consumed 1 file per micro-batch
+    // (Trigger.AvailableNow ⇒ terminates when drained), the windowed
+    // aggregation carries state ACROSS micro-batches, and every batch's
+    // updated windows flow through the idempotent foreachBatch MERGE sink.
+    // The read-back table must equal the one-shot batch aggregation (q53's
+    // oracle), proving incremental state + update-mode emission + keyed
+    // merge compose to exactly-once results over at-least-once machinery.
+    "q61_streaming_merge" -> ((s, dir) => {
+      val root = scratchDir("graft-stream")
+      val src = root + "/in"
+      // event-time columns must be instants (TIMESTAMP) for withWatermark;
+      // session TZ is UTC so the wall-clock values are unchanged
+      val batchInput = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("event_id"))
+      batchInput.repartition(4).write.mode("overwrite").parquet(src)
+      val windows = streaming.StreamingFlow.windowedCounts(
+          streaming.StreamingFlow.fileStream(s, src, batchInput.schema,
+            maxFilesPerTrigger = 2),
+          col("ts"), col("event_type"), "1 hour", "40 days")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("window.end").cast("timestamp_ntz").as("window_end"),
+          col("event_type"), col("n_events"))
+      val q = streaming.StreamingFlow.mergeSink(windows, root + "/counts",
+        Seq("window_start", "event_type"), col("n_events"), root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/counts")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"))
     })
   )
 
@@ -2108,6 +2141,12 @@ object SparkEntry {
          |  CASE state WHEN 'click' THEN 'active' ELSE 'queue' END AS state_type,
          |  state IN ('signup','view','click') AS active,
          |  n_revisions
-         |FROM cnt""".stripMargin
+         |FROM cnt""".stripMargin,
+
+    "q61_streaming_merge" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -29,7 +29,7 @@ object Watermarks {
     * (greatest of stored and observed), new datasources are inserted.
     */
   def advance(spark: SparkSession, checkpointPath: String, batch: DataFrame,
-              datasource: Column, updated: Column): Unit = {
+              datasource: Column, updated: Column, buckets: Int = 8): Unit = {
     val observed = nextRunStartFrom(batch, datasource, updated)
     val fs = new org.apache.hadoop.fs.Path(checkpointPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -39,7 +39,7 @@ object Watermarks {
           .groupBy(col("datasource_id"))
           .agg(max(col("next_run_start_from")).as("next_run_start_from"))
       else observed
-    MergeWriter.merge(spark, checkpointPath, merged, Seq("datasource_id"))
+    MergeWriter.merge(spark, checkpointPath, merged, Seq("datasource_id"), buckets)
   }
 
   /** Current marks as a local map — the checkpoint dim is metadata-sized

@@ -72,7 +72,11 @@ object MergeWriter {
       .persist()
     try {
       if (!fs.exists(target)) {
-        inc.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tablePath)
+        // cluster by bucket before the partitioned write: each bucket's
+        // rows land wholly in one task → one file per bucket, not one per
+        // upstream partition (small-file compaction, standard MERGE hygiene)
+        inc.repartition(col(BucketCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tablePath)
       } else {
         val existingAll = spark.read.parquet(tablePath)
         if (existingAll.columns.contains(BucketCol)) {
@@ -86,6 +90,7 @@ object MergeWriter {
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
             survivors
               .unionByName(inc.select(existing.columns.map(col).toIndexedSeq: _*))
+              .repartition(col(BucketCol))
               .write.mode(SaveMode.Overwrite)
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(BucketCol)
@@ -100,7 +105,8 @@ object MergeWriter {
           val merged = survivors
             .unionByName(inc.select(survivors.columns.map(col).toIndexedSeq: _*))
           val staging = new Path(tablePath + ".staging-" + UUID.randomUUID())
-          merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          merged.repartition(col(BucketCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
             .parquet(staging.toString)
           val backup = new Path(tablePath + ".old-" + UUID.randomUUID())
           // rename reports failure by RETURNING FALSE on HDFS/object-store

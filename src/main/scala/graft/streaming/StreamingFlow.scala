@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 import graft.sources.MergeWriter
 
 /** Structured Streaming skin over the batch operators — the reference's
@@ -73,10 +74,11 @@ object StreamingFlow {
     *   would make the "last write wins" choice arbitrary).
     */
   def mergeSink(stream: DataFrame, tablePath: String, keys: Seq[String],
-                versionCol: Column, checkpointDir: String): StreamingQuery = {
+                versionCol: Column, checkpointDir: String,
+                trigger: Option[Trigger] = None): StreamingQuery = {
     require(!keys.exists(k => versionCol.toString == k || versionCol.toString == s"'$k"),
       s"versionCol $versionCol must not be one of the merge keys $keys")
-    stream.writeStream
+    val writer = stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -84,6 +86,17 @@ object StreamingFlow {
         MergeWriter.merge(spark, tablePath,
           MergeWriter.dedupeOnKey(batch, keys, Seq(versionCol)), keys)
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
   }
+
+  /** File-fed streaming source with a bounded micro-batch size — the shape
+    * of the reference's SQS batches of 50 over the S3 raw-item drop
+    * (`serverless.yml:238-251`): each trigger consumes up to
+    * `maxFilesPerTrigger` newly arrived files.
+    */
+  def fileStream(spark: SparkSession, srcDir: String, schema: StructType,
+                 maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
 }
