@@ -1203,6 +1203,15 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, root + "/counts")
         .select(col("window_start"), col("window_end"), col("event_type"),
           col("n_events"))
+    }),
+
+    // Similarity, scale path: SRP/hyperplane-LSH near-dup — the sketch
+    // front-end that replaces q23's exact-but-quadratic block loop at
+    // 100 TB: signatures map-side, candidates from a banded bucket join,
+    // exact cosine verified only inside buckets.
+    "q62_srp_neardup" -> ((s, dir) => {
+      Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.35, bits = 32, bands = 4)
     })
   )
 
@@ -2147,6 +2156,35 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
         |  event_type, COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q62_srp_neardup" -> {
+      // bit p of the SRP signature: sign of the left-to-right double fold
+      // of e·w_p with the deterministic LCG plane grid (same constants and
+      // summation order as Similarity.srpSignatures)
+      val bitTerms = (0 until 32).map { p =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(64), j -> e[j+1] *
+           |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
+           |    (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
+         |bandrows AS (
+         |  SELECT vec_id, band, (srp_sig >> (band*8)) & 255 AS band_key
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM bandrows a JOIN bandrows bb
+         |    ON a.band = bb.band AND a.band_key = bb.band_key AND a.vec_id < bb.vec_id)
+         |SELECT id_a, id_b,
+         |  ROUND(list_dot_product(va.e, vb.e) /
+         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+         |FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+         |WHERE ROUND(list_dot_product(va.e, vb.e) /
+         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.35""".stripMargin
+    }
   )
 }

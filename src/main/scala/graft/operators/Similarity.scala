@@ -121,4 +121,82 @@ object Similarity {
       .withColumn("cosine", round(col("cosine"), 6))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  // SRP mixer constants, shared with the oracle CTE: plane weights are the
+  // deterministic pseudo-random grid w(p,j) = lcg(p·D+j)/M − 0.5.
+  val SrpMulA = 1103515245L
+  val SrpAddB = 12345L
+  val SrpMod = 2147483647L
+
+  /** Signed-random-projection (SRP/hyperplane-LSH) signatures: bit p of the
+    * signature is sign(v · w_p) where w_p is a deterministic pseudo-random
+    * hyperplane. cos(θ) similarity maps to Hamming agreement
+    * (P[bit match] = 1 − θ/π, Charikar's rounding scheme), so banding the
+    * bits gives cosine-near-dup candidates exactly like MinHash bands give
+    * Jaccard candidates. Embarrassingly parallel (no dictionary, no
+    * shuffle); the dot products accumulate left-to-right in doubles so the
+    * DuckDB oracle reproduces the signature bit-for-bit.
+    */
+  def srpSignatures(emb: DataFrame, id: Column, vec: Column,
+                    bits: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nBits = bits
+    emb.select(id.cast("long"), vec.cast("array<double>")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (i, v) =>
+          val arr = v.toArray
+          val d = arr.length
+          var sig = 0L
+          var p = 0
+          while (p < nBits) {
+            var acc = 0.0
+            var j = 0
+            while (j < d) {
+              val w = ((SrpMulA * (p.toLong * d + j) + SrpAddB) % SrpMod).toDouble /
+                SrpMod.toDouble - 0.5
+              acc += arr(j) * w
+              j += 1
+            }
+            if (acc > 0) sig |= 1L << p
+            p += 1
+          }
+          (i, sig)
+        }
+      }.toDF("id", "srp_sig")
+  }
+
+  /** The 100 TB front-end for embedding near-dup that
+    * [[Dedup.embeddingNearDupPairs]]'s exact block-nested-loop cannot be:
+    * SRP signatures → banded bucket join (near-uniform keys) → exact
+    * cosine verify INSIDE buckets only. Sub-quadratic end to end; recall
+    * is the standard LSH trade (raise bands/bits to tighten), and every
+    * surviving pair carries its exact verified cosine.
+    */
+  def srpNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+                      threshold: Double, bits: Int = 32,
+                      bands: Int = 4): DataFrame = {
+    val v = graft.CacheRegistry.persist(
+      emb.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v")))))
+    val sig = graft.CacheRegistry.persist(
+      srpSignatures(emb, id, vec, bits))
+    val width = bits / bands
+    val bandRows = (0 until bands).map { b =>
+      sig.select(col("id"), lit(b).as("band"),
+        shiftright(col("srp_sig"), b * width)
+          .bitwiseAND((1L << width) - 1).as("band_key"))
+    }.reduce(_ unionByName _)
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cosine", round(
+        dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }
