@@ -24,6 +24,14 @@ object CacheRegistry {
   /** Persist `df` (MEMORY_AND_DISK) and track it for [[clear]]. */
   def persist(df: DataFrame): DataFrame = {
     df.persist()
+    register(df)
+  }
+
+  /** Track an ALREADY-persisted frame for [[clear]] (for operators that
+    * manage persistence inside an iterative loop and hand back the final
+    * persisted result).
+    */
+  def register(df: DataFrame): DataFrame = {
     handles
       .computeIfAbsent(sessionKey(df.sparkSession),
         _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]()))

@@ -1212,6 +1212,17 @@ object SparkEntry {
     "q62_srp_neardup" -> ((s, dir) => {
       Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), threshold = 0.35, bits = 32, bands = 4)
+    }),
+
+    // Transitive dedup clusters: connected components (min-label
+    // propagation, O(diameter) shuffle rounds) over the exact
+    // bigram-Jaccard near-dup pair graph — shares q22's persisted pairs.
+    // This is the cluster semantics a keep-one-survivor dedup needs; the
+    // greedy q32 keep-list is the non-transitive approximation.
+    "q63_dedup_components" -> ((s, dir) => {
+      Dedup.connectedComponents(jaccardPairsFrame(s, dir),
+          col("id_a"), col("id_b"))
+        .select(col("u").as("doc_id"), col("comp"))
     })
   )
 
@@ -2185,6 +2196,30 @@ object SparkEntry {
          |FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
          |WHERE ROUND(list_dot_product(va.e, vb.e) /
          |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.35""".stripMargin
-    }
+    },
+
+    // Independent formulation: transitive closure by recursive CTE (the
+    // engine uses iterative min-label propagation — same fixpoint).
+    "q63_dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) >= 0.3),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM ed
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u)
+        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u""".stripMargin
   )
 }

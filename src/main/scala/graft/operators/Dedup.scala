@@ -354,6 +354,96 @@ object Dedup {
     out
   }
 
+  /** Train/test contamination check: for each held-out document, the
+    * fraction of its distinct word n-gram shingles that appear anywhere in
+    * the training corpus — the standard benchmark-leakage screen run
+    * before training on web-scale corpora.
+    *
+    * Plan shape: both sides become `(doc, sid)` postings via the same
+    * 57-bit polynomial shingle hash as the Jaccard join; the train side is
+    * reduced to DISTINCT shingle ids (map-side combinable), then a
+    * LEFT SEMI join on `sid` marks each test posting hit and a per-doc
+    * count/size ratio comes out of one combinable aggregation. Every
+    * shuffle keys on the high-cardinality shingle id or doc id — no skew,
+    * no broadcast of anything data-scale, linear at 100 TB.
+    */
+  def contamination(train: DataFrame, test: DataFrame, id: Column, text: Column,
+                    n: Int): DataFrame = {
+    val testPost = hashedShingles(test, id, text, n)
+    val trainSids = hashedShingles(train, id, text, n).select(col("sid")).distinct()
+    val hits = testPost.join(trainSids, Seq("sid"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hit"))
+    testPost.select(col("doc"), col("sz")).distinct()
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("sz").cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Connected components over an undirected near-dup pair graph:
+    * `(id, comp)` with `comp` = minimum id reachable from `id`. This is the
+    * TRANSITIVE dedup-cluster semantics a training-data pipeline actually
+    * needs (the reference keep-list drop of "anything paired with a smaller
+    * id" is not transitive-safe: a–b and b–c near-dups with disjoint a,c
+    * must still land in one cluster so exactly one survivor is kept; cf.
+    * the `uniqBy` dedupe passes in
+    * `reference/src/jiracloud/process/extract_state_processor.ts:459-466`
+    * generalized to similarity edges).
+    *
+    * Physical shape: min-label propagation. Labels start as `comp(u)=u`;
+    * each round propagates every neighbor's current label across the edge
+    * list and keeps the per-node minimum. Rounds to converge = graph
+    * diameter — near-dup graphs are unions of small dense clusters, so
+    * 2-4 rounds in practice; each round is one shuffle join on the node id
+    * plus a map-side-combinable `min` aggregation, so the cost at 100 TB is
+    * O(diameter) well-partitioned shuffles of the (persisted) edge list,
+    * never a collect. (For adversarial long-chain graphs the alternating
+    * large-star/small-star scheme halves path lengths per round — O(log n)
+    * rounds — but pays two joins per round; diameter-bounded label
+    * propagation is the right default for dedup-shaped graphs.)
+    *
+    * The per-round convergence check (`changed == 0`) is a scalar
+    * aggregate — the same class of driver-side move as AutoStrategy's
+    * stats job, not a data-scale collect. Throws if `maxIter` rounds do
+    * not converge rather than returning non-final labels.
+    */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+                          maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
+    // both orientations, deduped: propagation below is one-directional
+    val edges = graft.CacheRegistry.persist(
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("comp", col("u"))
+    var prev: DataFrame = null
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges
+        .join(labels.select(col("u").as("v"), col("comp")), "v")
+        .select(col("u"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
+        .persist()
+      // materialize `next` and count label improvements in one pass over
+      // the old frame; 0 improvements = fixpoint
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "u")
+        .filter(col("comp") < col("old")).count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // final frame stays persisted for the consumer; registered for
+    // session-scoped cleanup like every other operator-owned cache
+    graft.CacheRegistry.register(labels)
+    labels
+  }
+
   /** Embedding cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),
     * exact, distributed block-nested-loop: vectors are assigned to
     * `blocks` groups by id, the small (gᵃ ≤ gᵇ) block-pair list is

@@ -46,4 +46,25 @@ class DedupSpec extends AnyFunSuite {
     assert(bitset == prefix)
     assert(auto == prefix)
   }
+
+  test("connectedComponents finds transitive clusters the greedy keep-list misses") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1-3 edge), chain 10-11, singleton edge pair 20-21,
+    // and a cycle 30-31-32-30
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("connectedComponents handles a long path within the iteration budget") {
+    import spark.implicits._
+    // path 0-1-2-...-12: worst-case diameter for label propagation
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 13 && comp.values.forall(_ == 0L))
+  }
 }
