@@ -72,7 +72,7 @@ object Bench {
     // whichever member runs first; only the group sum (and the total) is a
     // standalone cost. Declared so per-query numbers aren't misread.
     val sharedFrames =
-      """[["q22_ngram_jaccard","q32_dedup_keeplist"],
+      """[["q22_ngram_jaccard","q32_dedup_keeplist","q63_dedup_components","q65_dedup_survivors"],
         |["q24_event_dates","q25_state_category_asof"],
         |["q34_changelog_explode","q35_snapshot_pipeline","q36_states_translate","q41_custom_fields","q42_linked_items","q59_connector_scan","q60_automap_retranslate"]]"""
         .stripMargin.replaceAll("\n\\s*", "")

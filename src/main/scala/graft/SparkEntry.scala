@@ -93,7 +93,7 @@ object SparkEntry {
   def clearCaches(s: SparkSession): Unit = {
     val key = CacheRegistry.sessionKey(s)
     Seq(datesCache, rawJsonCache, rawParsedCache, rawRevsCache,
-        rawDatesCache, jacPairsCache)
+        rawDatesCache, jacPairsCache, compCache)
       .foreach(_.keySet.removeIf(_._1 == key))
     CacheRegistry.clear(s)
   }
@@ -238,13 +238,24 @@ object SparkEntry {
         Map(rawWorkflow.workflowId -> rawWorkflow), rawWorkflow.workflowId)
         .toDF().transform(CacheRegistry.persist))
 
-  /** q22's exact Jaccard pairs, persisted and shared with q32. */
+  /** q22's exact Jaccard pairs, persisted and shared with q32/q63/q65. */
   private val jacPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def jaccardPairsFrame(s: SparkSession, dir: String): DataFrame =
     jacPairsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
         col("text"), n = 2, threshold = 0.3).transform(CacheRegistry.persist))
+
+  /** q63's transitive dedup-cluster labels (persisted inside
+    * connectedComponents), memoized so q65's survivor selection reuses the
+    * propagation fixpoint instead of re-running it.
+    */
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def dedupComponentsFrame(s: SparkSession, dir: String): DataFrame =
+    compCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      Dedup.connectedComponents(jaccardPairsFrame(s, dir),
+        col("id_a"), col("id_b")))
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
@@ -1220,9 +1231,31 @@ object SparkEntry {
     // This is the cluster semantics a keep-one-survivor dedup needs; the
     // greedy q32 keep-list is the non-transitive approximation.
     "q63_dedup_components" -> ((s, dir) => {
-      Dedup.connectedComponents(jaccardPairsFrame(s, dir),
-          col("id_a"), col("id_b"))
+      dedupComponentsFrame(s, dir)
         .select(col("u").as("doc_id"), col("comp"))
+    }),
+
+    // Contamination screen: for each held-out document (every 5th id), the
+    // fraction of its distinct bigram shingles that appear anywhere in the
+    // training split — the standard pre-training benchmark-leakage check.
+    // Train side reduces to DISTINCT shingle ids (map-side combinable),
+    // then one left-semi join on the high-cardinality shingle id.
+    "q64_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        test = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        col("doc_id"), col("text"), n = 2)
+    }),
+
+    // End-to-end corpus dedup finale: one survivor per transitive cluster —
+    // q63's component labels joined to q33's quality metrics, keeping the
+    // highest-quality member per cluster (tie on min id). Shares BOTH
+    // persisted frames (q22 pairs, q63 components).
+    "q65_dedup_survivors" -> ((s, dir) => {
+      Dedup.survivorPerCluster(dedupComponentsFrame(s, dir),
+        TextAnalysis.textStats(Tables.documents(s, dir), col("text")),
+        col("doc_id"), col("quality_score"))
     })
   )
 
@@ -2220,6 +2253,59 @@ object SparkEntry {
         |  SELECT u, v FROM ed
         |  UNION
         |  SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u)
-        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u""".stripMargin
+        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u""".stripMargin,
+
+    "q64_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |train AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 5 <> 0),
+        |test AS (SELECT doc_id, shingle FROM e WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY 1),
+        |hit AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit FROM test
+        |  WHERE shingle IN (SELECT shingle FROM train) GROUP BY 1)
+        |SELECT sz.doc_id, CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / sz.n_shingles, 6) AS contamination
+        |FROM sz LEFT JOIN hit ON sz.doc_id = hit.doc_id""".stripMargin,
+
+    // Same transitive closure as q63, then the survivor pick: max quality
+    // (q08's score formula), tie on min doc id, per component.
+    "q65_dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.s + sb.s - inter), 6) >= 0.3),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM ed
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+        |q AS (
+        |  SELECT doc_id, ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) *
+        |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6) AS quality_score
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |m AS (
+        |  SELECT c.comp, c.doc_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY c.comp ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+        |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT comp AS cluster_id, doc_id AS survivor_id,
+        |  CAST(n_members AS BIGINT) AS n_members, quality_score
+        |FROM m WHERE rn = 1""".stripMargin
   )
 }

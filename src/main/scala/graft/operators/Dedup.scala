@@ -369,7 +369,9 @@ object Dedup {
     */
   def contamination(train: DataFrame, test: DataFrame, id: Column, text: Column,
                     n: Int): DataFrame = {
-    val testPost = hashedShingles(test, id, text, n)
+    // both the hit count and the per-doc size read the test postings —
+    // persist so the shingle flatMap runs once (session-scoped cleanup)
+    val testPost = graft.CacheRegistry.persist(hashedShingles(test, id, text, n))
     val trainSids = hashedShingles(train, id, text, n).select(col("sid")).distinct()
     val hits = testPost.join(trainSids, Seq("sid"), "left_semi")
       .groupBy(col("doc")).agg(count(lit(1)).as("n_hit"))
@@ -410,6 +412,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val e0 = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
     // both orientations, deduped: propagation below is one-directional
     val edges = graft.CacheRegistry.persist(
@@ -419,29 +423,76 @@ object Dedup {
     var prev: DataFrame = null
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val prop = edges
-        .join(labels.select(col("u").as("v"), col("comp")), "v")
-        .select(col("u"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("u")).agg(min(col("comp")).as("comp"))
-        .persist()
-      // materialize `next` and count label improvements in one pass over
-      // the old frame; 0 improvements = fixpoint
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "u")
-        .filter(col("comp") < col("old")).count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
-      labels = next
-      converged = changed == 0
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        val prop = edges
+          .join(labels.select(col("u").as("v"), col("comp")), "v")
+          .select(col("u"), col("comp"))
+        // fold the convergence signal into the SAME action that
+        // materializes the round: carry each node's previous label through
+        // the min-agg and count improvements in an accumulator while the
+        // rows stream out — one job per round, not two. Task retries can
+        // only OVER-count (a spurious extra round that converges next
+        // time), never under-count a real improvement to a false fixpoint.
+        val acc = spark.sparkContext.longAccumulator(s"ccChanged$it")
+        val merged = labels.withColumn("old", col("comp"))
+          .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
+          .groupBy(col("u"))
+          .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+          .as[(Long, Long, Long)]
+          .map { case (u, c, o) => if (c < o) acc.add(1L); (u, c) }
+          .toDF("u", "comp")
+        // truncate lineage periodically: each round's plan chains on the
+        // previous persisted round, so a cache eviction late in a
+        // high-diameter run would otherwise recompute the whole chain
+        val next = (if (it % 5 == 4) merged.localCheckpoint() else merged)
+          .persist()
+        next.count() // materialize; acc is final after this action
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = next
+        labels = next
+        converged = acc.value == 0L
+        it += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    } catch {
+      case e: Throwable =>
+        // don't leak the last round's untracked cache on failure
+        if (prev != null) prev.unpersist(blocking = false)
+        throw e
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // final frame stays persisted for the consumer; registered for
     // session-scoped cleanup like every other operator-owned cache
     graft.CacheRegistry.register(labels)
     labels
+  }
+
+  /** One survivor per transitive dedup cluster: join the component labels
+    * from [[connectedComponents]] to a per-document quality score and keep,
+    * per cluster, the highest-quality member (ties broken on the minimum
+    * id) — the end-to-end "dedup a corpus" semantics (transitive clusters →
+    * exactly one kept document), generalizing the reference's `uniqBy`
+    * passes (`reference/src/jiracloud/process/extract_state_processor.ts:459-466`)
+    * from equality keys to similarity clusters.
+    *
+    * Plan shape: one shuffle join on the doc id, one window partitioned by
+    * the cluster label (high-cardinality — clusters are small by
+    * construction in dedup graphs, so no partition skew), one
+    * map-side-combinable member count. Nothing driver-bound at 100 TB.
+    */
+  def survivorPerCluster(components: DataFrame, quality: DataFrame,
+                         qId: Column, score: Column): DataFrame = {
+    val q = quality.select(qId.cast("long").as("u"), score.as("__score"))
+    val scored = components.select(col("u"), col("comp")).join(q, "u")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("__score").desc, col("u"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .filter(col("__rn") === 1)
+      .select(col("comp").as("cluster_id"), col("u").as("survivor_id"),
+        col("n_members"), col("__score").as("quality_score"))
   }
 
   /** Embedding cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),

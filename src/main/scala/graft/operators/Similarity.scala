@@ -144,18 +144,38 @@ object Similarity {
     val nBits = bits
     emb.select(id.cast("long"), vec.cast("array<double>")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
+        // the plane grid w(p,j) is a pure function of (bits, d): derive it
+        // ONCE per (partition, dimensionality) instead of re-running the
+        // LCG multiply+mod per vector element — same constants, identical
+        // signatures, ~2× less kernel arithmetic. Keyed by d because the
+        // grid is row-major over the vector's own dimensionality.
+        val grids = new java.util.HashMap[Int, Array[Double]]()
+        def gridFor(d: Int): Array[Double] = {
+          var g = grids.get(d)
+          if (g == null) {
+            g = new Array[Double](nBits * d)
+            var k = 0
+            while (k < g.length) {
+              g(k) = ((SrpMulA * k + SrpAddB) % SrpMod).toDouble /
+                SrpMod.toDouble - 0.5
+              k += 1
+            }
+            grids.put(d, g)
+          }
+          g
+        }
         it.map { case (i, v) =>
           val arr = v.toArray
           val d = arr.length
+          val g = gridFor(d)
           var sig = 0L
           var p = 0
           while (p < nBits) {
             var acc = 0.0
+            val base = p * d
             var j = 0
             while (j < d) {
-              val w = ((SrpMulA * (p.toLong * d + j) + SrpAddB) % SrpMod).toDouble /
-                SrpMod.toDouble - 0.5
-              acc += arr(j) * w
+              acc += arr(j) * g(base + j)
               j += 1
             }
             if (acc > 0) sig |= 1L << p

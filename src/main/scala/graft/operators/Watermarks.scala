@@ -47,10 +47,22 @@ object Watermarks {
     * incremental filter stable across subsequent [[advance]] writes (a lazy
     * re-read of the checkpoint path would see the post-advance marks).
     */
+  /** Hard ceiling on the checkpoint dim pinned by [[currentMarks]]: the
+    * table has one row per DATASOURCE — anything past this is a misuse on a
+    * data-scale frame, which must fail loudly, not OOM the driver.
+    */
+  val MaxMarks = 1000000
+
   def currentMarks(spark: SparkSession, checkpointPath: String): DataFrame = {
     val t = MergeWriter.readTable(spark, checkpointPath)
       .select(col("datasource_id"), col("next_run_start_from"))
-    spark.createDataFrame(java.util.Arrays.asList(t.collect(): _*), t.schema)
+    // limit-then-collect: the guard trips on the (bounded) prefix instead
+    // of pulling an unbounded frame into driver memory first
+    val rows = t.limit(MaxMarks + 1).collect()
+    require(rows.length <= MaxMarks,
+      s"currentMarks pins the checkpoint dim locally (one row per datasource); " +
+        s"$checkpointPath has > $MaxMarks rows — not a checkpoint table")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), t.schema)
   }
 
   /** The incremental scan: rows strictly after each datasource's stored

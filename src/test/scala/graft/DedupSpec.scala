@@ -67,4 +67,42 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 13 && comp.values.forall(_ == 0L))
   }
+
+  test("contamination reports exact per-document shingle-overlap fractions") {
+    import spark.implicits._
+    val train = Seq(
+      (100L, "a b x"),          // shingles {a b, b x}
+      (101L, "p q r")           // shingles {p q, q r}
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a b x"),            // both shingles in train -> 1.0
+      (2L, "a b c"),            // {a b} hit, {b c} miss -> 0.5
+      (3L, "u v w"),            // no overlap -> 0.0
+      (4L, "q")                 // short doc: one whole-text shingle, miss -> 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test, col("doc_id"), col("text"), n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("survivorPerCluster keeps the max-quality member, tie on min id") {
+    import spark.implicits._
+    // two clusters: {1,2,3} with 2 the best; {10,11} tied -> min id 10
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("u", "comp")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (3L, 0.6), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.survivorPerCluster(comps, quality,
+        col("doc_id"), col("quality_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.5)))
+  }
 }
