@@ -1256,8 +1256,110 @@ object SparkEntry {
       Dedup.survivorPerCluster(dedupComponentsFrame(s, dir),
         TextAnalysis.textStats(Tables.documents(s, dir), col("text")),
         col("doc_id"), col("quality_score"))
+    }),
+
+    // §2.5 session windows under REAL streaming: gap sessions accumulate
+    // and MERGE in the state store across micro-batches (1 file/trigger),
+    // and append mode emits each session exactly once when the event-time
+    // watermark finalizes it. Two far-future sentinel rows (their own
+    // trailing micro-batches) advance the watermark past every real
+    // session — the standard punctuation/heartbeat flush — so the merged
+    // sink must equal one-shot batch sessionization of the whole table
+    // under session_window's gap rule (merge iff gap < 30 min, window_end
+    // = last event + gap).
+    "q66_streaming_sessions" -> ((s, dir) => {
+      val root = scratchDir("graft-sess")
+      val src = root + "/in"
+      val batchInput = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("user_id").cast("long").as("user_id"))
+      batchInput.repartition(4).write.mode("overwrite").parquet(src)
+      import s.implicits._
+      def partNames() = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+      val dataNames = partNames()
+      Seq("2030-01-01 00:00:00").toDF("t")
+        .select(col("t").cast("timestamp").as("ts"), lit(-1L).as("user_id"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val s1Names = partNames() -- dataNames
+      Seq("2031-01-01 00:00:00").toDF("t")
+        .select(col("t").cast("timestamp").as("ts"), lit(-1L).as("user_id"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val s2Names = partNames() -- dataNames -- s1Names
+      // sentinels must ARRIVE last: their part files carry their own write
+      // UUIDs, so name order alone could schedule them first — which would
+      // advance the watermark ahead of the data and drop it all as late
+      orderStreamFiles(src, tail = Seq(s1Names, s2Names))
+      val sessions = streaming.StreamingFlow.sessionAgg(
+          streaming.StreamingFlow.fileStream(s, src, batchInput.schema,
+            maxFilesPerTrigger = 1),
+          col("ts"), col("user_id"), "30 minutes", "40 days")
+        .select(col("session_window.start").cast("timestamp_ntz").as("window_start"),
+          col("session_window.end").cast("timestamp_ntz").as("window_end"),
+          col("user_id"), col("n_events"))
+      val q = streaming.StreamingFlow.mergeSink(sessions, root + "/sessions",
+        Seq("user_id", "window_start"), col("n_events"), root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/sessions")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("window_start"), col("window_end"),
+          col("n_events"))
+    }),
+
+    // §2.5 custom keyed state under REAL streaming: the per-item Lambda
+    // state machine as flatMapGroupsWithState — a running per-user event
+    // counter + latest event type carried across micro-batches. Input
+    // files are event-time range-ordered (FIFO arrival, the reference's
+    // per-key SQS FIFO queues), each batch appends one update row per
+    // touched user, and the keyed merge (version = the monotone counter)
+    // must converge to the one-shot batch aggregate.
+    "q67_streaming_user_state" -> ((s, dir) => {
+      import s.implicits._
+      val root = scratchDir("graft-ustate")
+      val src = root + "/in"
+      val batchInput = Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("userId"),
+          col("event_type").as("eventType"),
+          unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      batchInput.repartitionByRange(4, col("tsMicros"))
+        .write.mode("overwrite").parquet(src)
+      orderStreamFiles(src)
+      val updates = streaming.StreamingFlow.runningUserState(
+        streaming.StreamingFlow.fileStream(s, src, batchInput.schema,
+          maxFilesPerTrigger = 1).as[streaming.StreamingFlow.EventIn]).toDF()
+      val q = streaming.StreamingFlow.mergeSink(updates, root + "/state",
+        Seq("userId"), col("nEvents"), root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/state")
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("lastType").as("last_type"))
     })
   )
+
+  /** Stamp a stream-source directory's part files with strictly increasing
+    * mtimes in file-name order (FileStreamSource consumes oldest-first):
+    * one parquet job writes all parts within the same clock tick, so
+    * without this the micro-batch arrival order — which the streaming
+    * oracles above deliberately depend on (range files = FIFO arrival,
+    * sentinel files = trailing watermark punctuation) — would be
+    * arbitrary.
+    */
+  private def orderStreamFiles(dir: String, tail: Seq[Set[String]] = Nil): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val tailRank = tail.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> (i + 1)) }.toMap
+    val sorted = parts.sortBy(f => (tailRank.getOrElse(f.getName, 0), f.getName))
+    val base = System.currentTimeMillis() - 7200L * 1000
+    sorted.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L); ()
+    }
+  }
 
   /** workItemTypeMap fixture dimension: keyed on (project, raw type name);
     * SLE varies by project so the oracle proves the pair key matters.
@@ -2306,6 +2408,37 @@ object SparkEntry {
         |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
         |SELECT comp AS cluster_id, doc_id AS survivor_id,
         |  CAST(n_members AS BIGINT) AS n_members, quality_score
-        |FROM m WHERE rn = 1""".stripMargin
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // session_window's gap rule: a new session starts when the gap to the
+    // previous event is >= 30 min (windows [ts, ts+gap) merge only on
+    // OVERLAP); window_end = last event + gap.
+    "q66_streaming_sessions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS window_start,
+        |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS window_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q67_streaming_user_state" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_type DESC) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT c.user_id, c.n_events, l.event_type AS last_type
+        |FROM c JOIN l ON c.user_id = l.user_id AND l.rn = 1""".stripMargin
   )
 }

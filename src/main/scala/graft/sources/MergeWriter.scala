@@ -71,6 +71,11 @@ object MergeWriter {
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
       .persist()
     try {
+      // merging zero rows is a no-op — and must not CREATE the table: an
+      // empty partitioned write leaves a schema-less directory (just
+      // _SUCCESS) that poisons every later read. Streaming append sinks
+      // routinely deliver empty early batches (nothing finalized yet).
+      if (inc.isEmpty) return
       if (!fs.exists(target)) {
         // cluster by bucket before the partitioned write: each bucket's
         // rows land wholly in one task → one file per bucket, not one per

@@ -44,7 +44,7 @@ object StreamingFlow {
     * state — the `KeyValueGroupedDataset.flatMapGroupsWithState` shape the
     * reference's per-item Lambda state machine maps to.
     */
-  case class EventIn(userId: Long, eventType: String, tsMillis: Long)
+  case class EventIn(userId: Long, eventType: String, tsMicros: Long)
   case class UserState(nEvents: Long, lastType: String)
   case class UserUpdate(userId: Long, nEvents: Long, lastType: String)
 
@@ -56,7 +56,9 @@ object StreamingFlow {
       .flatMapGroupsWithState[UserState, UserUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[UserState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsMillis)
+          // deterministic within-batch order: event time, then type (the
+          // tie-break makes `lastType` well-defined even on equal stamps)
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventType))
           val prev = state.getOption.getOrElse(UserState(0L, ""))
           val next = sorted.foldLeft(prev) { (s, e) => UserState(s.nEvents + 1, e.eventType) }
           state.update(next)
@@ -73,13 +75,20 @@ object StreamingFlow {
     *   key (a key column is constant within its window partition, which
     *   would make the "last write wins" choice arbitrary).
     */
+  /** @param mode Update (default) re-emits windows as they change — right
+    *   for monotone aggregates whose latest value wins on the key; Append
+    *   emits each key once when the watermark finalizes it — required for
+    *   session windows, whose identity (window start) can change while open
+    *   as late members merge sessions.
+    */
   def mergeSink(stream: DataFrame, tablePath: String, keys: Seq[String],
                 versionCol: Column, checkpointDir: String,
-                trigger: Option[Trigger] = None): StreamingQuery = {
+                trigger: Option[Trigger] = None,
+                mode: OutputMode = OutputMode.Update()): StreamingQuery = {
     require(!keys.exists(k => versionCol.toString == k || versionCol.toString == s"'$k"),
       s"versionCol $versionCol must not be one of the merge keys $keys")
     val writer = stream.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(mode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
