@@ -1338,8 +1338,68 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, root + "/state")
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("lastType").as("last_type"))
+    }),
+
+    // S7 through a REAL DataSourceV2 connector (`graft-ado`): the
+    // watermark arrives in surrogate-key space (`ChangedDateSK ge
+    // yyyymmdd`), the type/area predicates and the completed-before
+    // exclusion `(ClosedDateSK eq null or ClosedDateSK ge ...)` are pushed
+    // INTO the source, re-compiled to the reference's OData $filter string
+    // (visible in explain), and enforced by a reader that parses only the
+    // pruned columns.
+    "q68_ado_connector_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-ado")
+      adoItemsJson(s, dir).write.mode("overwrite").text(path)
+      s.read.format("graft-ado").option("path", path).load()
+        .filter(col("changed_date_sk") >= 20240125L &&
+          col("work_item_type").isin("Story", "Bug") &&
+          col("area_id").isin(1L, 2L, 3L) &&
+          (col("closed_date_sk").isNull || col("closed_date_sk") >= 20240120L))
+        .select(col("work_item_id"), col("work_item_type"), col("area_id"),
+          col("state"))
+    }),
+
+    // S5: the filter-membership ids-only scan (`jc_issue.ts:151-272`
+    // getIdsFromFilter) — project ONLY the item key through `graft-jira`
+    // with a membership predicate pushed into the source; the reader
+    // parses a single JSON field per item (pruned=key in explain).
+    "q69_connector_idscan" -> ((s, dir) => {
+      val path = scratchDir("graft-conn-ids")
+      rawItemsJson(s, dir).select(col("raw_json"))
+        .write.mode("overwrite").text(path)
+      s.read.format("graft-jira").option("path", path).load()
+        .filter(col("status") === "purchase")
+        .select(col("key").as("work_item_id"))
     })
   )
+
+  /** ADO-Analytics-shaped raw-item drop built from `events`: one JSON
+    * document per work item with the Analytics field names, surrogate date
+    * keys (`date_utils.ts:27-33`), and a ClosedDateSK only for items whose
+    * stream reached `purchase`.
+    */
+  private def adoItemsJson(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val last = ev
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("state"))
+    ev.groupBy(col("user_id")).agg(
+        max(col("ts")).as("changed_ts"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("closed_ts"))
+      .join(last, "user_id")
+      .select(to_json(struct(
+        concat(lit("WI-"), col("user_id").cast("string")).as("WorkItemId"),
+        when(pmod(col("user_id"), lit(3)) === 0, "Story")
+          .when(pmod(col("user_id"), lit(3)) === 1, "Bug")
+          .otherwise("Task").as("WorkItemType"),
+        pmod(col("user_id"), lit(7)).cast("long").as("AreaId"),
+        date_format(col("changed_ts"), "yyyyMMdd").cast("long").as("ChangedDateSK"),
+        date_format(col("closed_ts"), "yyyyMMdd").cast("long").as("ClosedDateSK"),
+        col("state").as("State"))).as("raw_json"))
+  }
 
   /** Stamp a stream-source directory's part files with strictly increasing
     * mtimes in file-name order (FileStreamSource consumes oldest-first):
@@ -2439,6 +2499,44 @@ object SparkEntry {
         |  FROM events),
         |c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
         |SELECT c.user_id, c.n_events, l.event_type AS last_type
-        |FROM c JOIN l ON c.user_id = l.user_id AND l.rn = 1""".stripMargin
+        |FROM c JOIN l ON c.user_id = l.user_id AND l.rn = 1""".stripMargin,
+
+    "q68_ado_connector_scan" ->
+      """WITH agg AS (
+        |  SELECT user_id, MAX(ts) AS changed_ts,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS closed_ts
+        |  FROM events GROUP BY 1),
+        |ls AS (
+        |  SELECT user_id, event_type AS state FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |f AS (
+        |  SELECT 'WI-' || CAST(a.user_id AS VARCHAR) AS work_item_id,
+        |    CASE WHEN a.user_id % 3 = 0 THEN 'Story'
+        |         WHEN a.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END AS work_item_type,
+        |    a.user_id % 7 AS area_id,
+        |    CAST(strftime(a.changed_ts, '%Y%m%d') AS BIGINT) AS changed_date_sk,
+        |    CAST(strftime(a.closed_ts, '%Y%m%d') AS BIGINT) AS closed_date_sk,
+        |    ls.state
+        |  FROM agg a JOIN ls ON a.user_id = ls.user_id)
+        |SELECT work_item_id, work_item_type, area_id, state
+        |FROM f
+        |WHERE changed_date_sk >= 20240125
+        |  AND work_item_type IN ('Story','Bug')
+        |  AND area_id IN (1, 2, 3)
+        |  AND (closed_date_sk IS NULL OR closed_date_sk >= 20240120)""".stripMargin,
+
+    "q69_connector_idscan" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events),
+        |ls AS (
+        |  SELECT user_id, event_type AS cur FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('signup','view','click','purchase'))
+        |  WHERE rn = 1)
+        |SELECT 'ITEM-' || CAST(b.user_id AS VARCHAR) AS work_item_id
+        |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id
+        |WHERE coalesce(ls.cur, 'signup') = 'purchase'""".stripMargin
   )
 }

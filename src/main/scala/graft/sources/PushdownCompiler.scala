@@ -76,6 +76,33 @@ object PushdownCompiler {
   def odataEscapeFieldName(name: String): String =
     name.replace(".", "_").replace("-", "__002D")
 
+  /** OData sort pushdown (`ab_query.ts:236-238` `setupOrderBy`). */
+  val odataOrderBy: String = "ChangedDate asc"
+
+  /** OData `$select` compile (`ab_query.ts:256-300` `setupQuerySelect`):
+    * fixed field list, then escaped custom-field configs, then field-map
+    * sources, then privacy-gated Title.
+    */
+  def odataSelect(customFieldNames: Seq[String] = Seq.empty,
+                  fieldMapFieldNames: Seq[String] = Seq.empty,
+                  ingestTitle: Boolean = false): String = {
+    val fixed = Seq("WorkItemId", "WorkItemType", "ChangedDate",
+      "ChangedDateSK", "State", "StateCategory", "Area", "CreatedDate",
+      "Revision", "ClosedDate", "ParentWorkItemId", "Reason")
+    (fixed ++ customFieldNames.map(odataEscapeFieldName) ++
+      fieldMapFieldNames ++ (if (ingestTitle) Seq("Title") else Nil))
+      .mkString(",")
+  }
+
+  /** Inverse of [[surrogateDateKey]] for connectors that receive the
+    * pushed predicate in surrogate-key space and need the millis form the
+    * filter compiler takes.
+    */
+  def surrogateKeyToMillis(sk: Long): Long =
+    java.time.LocalDate.parse(sk.toString,
+        DateTimeFormatter.ofPattern("yyyyMMdd"))
+      .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+
   /** S3 — column-projection compile (`jc_issue.ts:656-728`
     * `setupQuerySelect`): the field list a connector's
     * `SupportsPushDownRequiredColumns` would emit. Order is the

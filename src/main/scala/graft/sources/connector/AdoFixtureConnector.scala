@@ -1,0 +1,217 @@
+package graft.sources.connector
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.PushdownCompiler
+
+/** DataSourceV2 connector over an ADO-Analytics-shaped raw-item JSON drop
+  * that makes the S7 OData pushdown compiler REAL (the `graft-jira` twin of
+  * S2/S3): Catalyst's pushed filters are re-compiled into the reference's
+  * OData `$filter` string — including the surrogate `ChangedDateSK ge
+  * yyyymmdd` key (`src/azureboards/data/ab_query.ts:152-232` via
+  * [[PushdownCompiler.odataFilter]], key format
+  * `src/utils/date_utils.ts:27-33`), the `workitemtype in(...)` and
+  * `Area/AreaId in (...)` predicates, and the
+  * `(ClosedDateSK eq null or ClosedDateSK ge ...)` completed-before
+  * exclusion — and the pruned column set into the `$select` field list
+  * (`ab_query.ts:256-300` via [[PushdownCompiler.odataSelect]]). Both
+  * appear in the scan's explain output exactly where a live Analytics
+  * reader would send them, and the pushdown is ENFORCED: the reader
+  * evaluates the pushed predicates and parses only the required columns.
+  *
+  * Layout: one JSON document per line, one input partition per file —
+  * a live deployment pages the Analytics OData feed instead.
+  */
+class AdoFixtureProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ado"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AdoFixtureTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new AdoFixtureTable(properties.get("path"))
+}
+
+object AdoFixtureTable {
+  /** The flat work-item view the WorkItems entity set returns. */
+  val schema: StructType = StructType(Seq(
+    StructField("work_item_id", StringType),
+    StructField("work_item_type", StringType),
+    StructField("area_id", LongType),
+    StructField("changed_date_sk", LongType),
+    StructField("closed_date_sk", LongType),
+    StructField("state", StringType)))
+
+  private val longFields = Set("area_id", "changed_date_sk", "closed_date_sk")
+
+  /** Connector column → raw-drop JSON field (the ADO Analytics names). */
+  val adoFieldNames: Map[String, String] = Map(
+    "work_item_id" -> "WorkItemId", "work_item_type" -> "WorkItemType",
+    "area_id" -> "AreaId", "changed_date_sk" -> "ChangedDateSK",
+    "closed_date_sk" -> "ClosedDateSK", "state" -> "State")
+
+  /** Compile the pushed filter set into the reference's OData string. */
+  private[graft] def compileOData(pushed: Seq[Filter]): String = {
+    val changedSince = pushed.collectFirst {
+      case GreaterThanOrEqual("changed_date_sk", v: Long) =>
+        PushdownCompiler.surrogateKeyToMillis(v)
+    }.getOrElse(0L)
+    val types = pushed.collect {
+      case EqualTo("work_item_type", v: String) => Seq(v)
+      case In("work_item_type", vs) => vs.toSeq.map(_.toString)
+    }.flatten
+    val areas = pushed.collect {
+      case EqualTo("area_id", v: Long) => Seq(v.toString)
+      case In("area_id", vs) => vs.toSeq.map(_.toString)
+    }.flatten
+    val excludeBefore = pushed.collectFirst {
+      case Or(IsNull("closed_date_sk"),
+              GreaterThanOrEqual("closed_date_sk", v: Long)) =>
+        PushdownCompiler.surrogateKeyToMillis(v)
+    }
+    PushdownCompiler.odataFilter(changedSince, "WorkItems",
+      areaIds = areas, workItemTypes = types,
+      excludeCompletedBeforeMillis = excludeBefore)
+  }
+
+  private[graft] def supported(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual(a, _) if longFields.contains(a) => true
+    case EqualTo(a, _) if schema.fieldNames.contains(a) => true
+    case In(a, _) if schema.fieldNames.contains(a) => true
+    case IsNotNull(a) if schema.fieldNames.contains(a) => true
+    case IsNull(a) if schema.fieldNames.contains(a) => true
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private[graft] def eval(f: Filter, get: String => Any): Boolean = f match {
+    case GreaterThanOrEqual(a, v: Long) =>
+      val x = get(a); x != null && x.asInstanceOf[Long] >= v
+    case EqualTo(a, v) => val x = get(a); x != null && x == v
+    case In(a, vs) => val x = get(a); x != null && vs.contains(x)
+    case IsNotNull(a) => get(a) != null
+    case IsNull(a) => get(a) == null
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case _ => true
+  }
+}
+
+class AdoFixtureTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-ado(`$path`)"
+  override def schema(): StructType = AdoFixtureTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AdoFixtureScanBuilder(path)
+}
+
+class AdoFixtureScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = AdoFixtureTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(AdoFixtureTable.supported)
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(AdoFixtureTable.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new AdoFixtureScan(path, required, pushed)
+}
+
+class AdoFixtureScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** What a live Analytics reader would send — shown by `.explain()`. */
+  override def description(): String = {
+    val select = "$select=" + PushdownCompiler.odataSelect() + " | pruned=" +
+      required.fieldNames.map(AdoFixtureTable.adoFieldNames).mkString(",")
+    s"GraftAdoFixture odata=[$$filter=${AdoFixtureTable.compileOData(pushed.toSeq)}" +
+      s" | $$orderby=${PushdownCompiler.odataOrderBy}] " +
+      s"fields=[$select] PushedFilters: [${pushed.mkString(", ")}]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Array.empty
+    else files.filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+      .map(f => AdoFilePartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AdoFixtureReaderFactory(required, pushed)
+}
+
+case class AdoFilePartition(file: String) extends InputPartition
+
+class AdoFixtureReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AdoFileReader(partition.asInstanceOf[AdoFilePartition].file, required, pushed)
+}
+
+/** Streams one JSON-lines file; parses only the fields the pruned schema
+  * needs (typed: surrogate keys and area ids as longs), applies the pushed
+  * predicates source-side.
+  */
+class AdoFileReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private def fieldValue(root: JsonNode, name: String): Any = {
+    val n = root.get(AdoFixtureTable.adoFieldNames(name))
+    if (n == null || n.isNull) null
+    else name match {
+      case "area_id" | "changed_date_sk" | "closed_date_sk" => n.asLong()
+      case _ => n.asText()
+    }
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val root = mapper.readTree(line)
+        val get = (n: String) => fieldValue(root, n)
+        if (pushed.forall(AdoFixtureTable.eval(_, get))) {
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            val v = get(required.fields(i).name)
+            vals(i) = v match {
+              case null => null
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+        }
+      }
+    }
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

@@ -71,4 +71,70 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(project,1000)"), plan)
   }
+
+  test("S5 ids-only scan prunes the read to the single key column") {
+    val dir = writeFixture()
+    val df = spark.read.format("graft-jira").option("path", dir).load()
+      .filter(col("status") === "Doing")
+      .select("key")
+    val plan = df.queryExecution.executedPlan.toString
+    // the reader parses ONLY key+status (status for the pushed predicate
+    // evaluation is source-side; the OUTPUT schema is key alone)
+    assert(plan.contains("pruned=key"), plan)
+    assert(plan.contains("EqualTo(status,Doing)"), plan)
+    assert(df.collect().map(_.getString(0)).toSet == Set("B-1"))
+  }
+
+  private def writeAdoFixture(): String = {
+    val dir = Files.createTempDirectory("ado-src").toString
+    def item(id: String, tpe: String, area: Long, changed: Long,
+             closed: Option[Long], state: String) =
+      s"""{"WorkItemId":"$id","WorkItemType":"$tpe","AreaId":$area,""" +
+        s""""ChangedDateSK":$changed,""" +
+        closed.map(c => s""""ClosedDateSK":$c,""").getOrElse("") +
+        s""""State":"$state"}"""
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.json"), java.util.Arrays.asList(
+      item("WI-1", "Story", 1, 20240110L, None, "Active"),
+      item("WI-2", "Bug", 2, 20240120L, Some(20240105L), "Closed")))
+    Files.write(java.nio.file.Paths.get(dir, "part-00001.json"), java.util.Arrays.asList(
+      item("WI-3", "Story", 1, 20240125L, Some(20240125L), "Closed"),
+      item("WI-4", "Task", 1, 20240126L, None, "Active")))
+    dir
+  }
+
+  test("ADO connector compiles pushed filters to the reference OData string") {
+    val dir = writeAdoFixture()
+    val df = spark.read.format("graft-ado").option("path", dir).load()
+      .filter(col("changed_date_sk") >= 20240115L &&
+        col("work_item_type").isin("Story", "Bug") &&
+        (col("closed_date_sk").isNull || col("closed_date_sk") >= 20240110L))
+      .select("work_item_id", "state")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAdoFixture"), plan)
+    assert(plan.contains("$filter=ChangedDateSK ge 20240115"), plan)
+    assert(plan.contains("""workitemtype in("Story","Bug")"""), plan)
+    assert(plan.contains("ClosedDateSK eq null or ClosedDateSK ge 20240110"), plan)
+    assert(plan.contains("$orderby=ChangedDate asc"), plan)
+    // WI-2 excluded (closed 20240105 < 20240110), WI-4 excluded (Task)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set("WI-3" -> "Closed"))
+  }
+
+  test("ADO OData compile matches the standalone S7 compile for the same predicate") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull, Or}
+    import graft.sources.connector.AdoFixtureTable
+    val odata = AdoFixtureTable.compileOData(Seq(
+      GreaterThanOrEqual("changed_date_sk", 20240115L),
+      In("work_item_type", Array("Story", "Bug")),
+      In("area_id", Array(1L, 2L)),
+      Or(IsNull("closed_date_sk"), GreaterThanOrEqual("closed_date_sk", 20240110L))))
+    val expected = PushdownCompiler.odataFilter(
+      PushdownCompiler.surrogateKeyToMillis(20240115L), "WorkItems",
+      areaIds = Seq("1", "2"), workItemTypes = Seq("Story", "Bug"),
+      excludeCompletedBeforeMillis =
+        Some(PushdownCompiler.surrogateKeyToMillis(20240110L)))
+    assert(odata == expected)
+    assert(odata.startsWith("ChangedDateSK ge 20240115"))
+    assert(odata.contains("Area/AreaId in (1,2)"))
+  }
 }
