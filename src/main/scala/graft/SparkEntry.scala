@@ -832,7 +832,7 @@ object SparkEntry {
         .select(wid.as("workItemId"), lit("priority").as("name"),
           concat(lit("R2-"), col("o_orderpriority")).as("value"))
       sources.MergeWriter.loadCustomFields(s, path, round2)
-      s.read.parquet(path)
+      sources.MergeWriter.readTable(s, path)
         .select(col("workItemId").as("work_item_id"), col("name"), col("value"))
     }),
 
@@ -948,7 +948,8 @@ object SparkEntry {
           concat(lit("r2-"), col("event_type")).as("payload"), lit(1).as("ver"))
       sources.MergeWriter.merge(s, path,
         sources.MergeWriter.dedupeOnKey(b2, keys, Seq(col("ver"))), keys)
-      s.read.parquet(path).select("user_id", "event_id", "payload", "ver")
+      sources.MergeWriter.readTable(s, path)
+        .select("user_id", "event_id", "payload", "ver")
     }),
 
     // A11: scheduler fan-out — enabled datasources with a runType.

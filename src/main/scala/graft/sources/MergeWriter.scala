@@ -1,8 +1,9 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,9 +24,26 @@ import org.apache.spark.sql.functions._
   *    anti-delete ≡ replace the partition).
   *
   * On a lakehouse deployment these become `MERGE INTO` on Delta/Iceberg;
-  * the read-dedupe-swap below reproduces the semantics on plain parquet.
-  * The swap is staged-write + rename so a failed job never leaves a
-  * half-written table.
+  * this writer reproduces the semantics — INCLUDING table-atomic commit —
+  * on plain parquet with the same design those formats use:
+  *
+  *  - data files are immutable and live under per-merge EPOCH directories
+  *    (`e-<uuid>/__bucket=K/...`), one subdir per key-hash bucket;
+  *  - a versioned MANIFEST (`_manifest-<n>.json`) maps every bucket to the
+  *    epoch holding its current data; readers resolve the highest manifest;
+  *  - a merge writes only the touched buckets into a fresh epoch, then
+  *    commits by writing the next manifest via an atomic rename. A crash at
+  *    ANY point before the rename leaves an orphan epoch that no reader
+  *    ever sees; after the rename the new table state is fully visible.
+  *    This is exactly Iceberg's snapshot commit / Delta's log entry, scaled
+  *    down to one JSON file.
+  *
+  * I/O per merge is O(touched buckets), not O(table): the manifest prunes
+  * the read to the touched buckets' directories, and untouched buckets keep
+  * their old epoch pointers. The last [[KeepManifests]] manifests (and every
+  * epoch they reference) survive commits, so readers planned against the
+  * previous version keep working; older manifests and unreferenced epochs
+  * are garbage-collected after each commit.
   */
 object MergeWriter {
 
@@ -41,96 +59,213 @@ object MergeWriter {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Key-hash bucket column maintained on every merge target. It is a
-    * physical layout detail: [[readTable]] strips it on the way out.
+  /** Key-hash bucket column — a physical layout detail: epoch directories
+    * are partitioned by it and [[readTable]] never exposes it.
     */
   val BucketCol = "__bucket"
+
+  private val ManifestPrefix = "_manifest-"
+
+  /** How many committed versions stay readable after a merge. Two covers
+    * the single-writer contract: plans built against the previous version
+    * remain valid through the next commit.
+    */
+  val KeepManifests = 2
+
+  private case class Manifest(version: Long, buckets: Int,
+                              epochs: Map[Int, String])
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestFiles(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(ManifestPrefix) &&
+        p.getName.endsWith(".json"))
+      .map(p => (p.getName.stripPrefix(ManifestPrefix)
+        .stripSuffix(".json").toLong, p))
+      .sortBy(_._1)
+
+  private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest = {
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, StandardCharsets.UTF_8))
+    val epochs = scala.collection.mutable.Map.empty[Int, String]
+    node.get("epochs").fields().forEachRemaining { e =>
+      epochs(e.getKey.toInt) = e.getValue.asText()
+    }
+    Manifest(version, node.get("buckets").asInt(), epochs.toMap)
+  }
+
+  private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
+    manifestFiles(fs, dir).lastOption.map { case (v, p) => readManifest(fs, v, p) }
+
+  /** Atomic commit: stage the manifest JSON under a dot-file (invisible to
+    * readers), then rename into place — the one atomic operation in the
+    * protocol. Rename-over-existing fails on HDFS semantics, which also
+    * makes two racing committers fail loudly rather than lose a version.
+    */
+  private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
+    val body = new StringBuilder()
+      .append("{\"buckets\":").append(m.buckets).append(",\"epochs\":{")
+      .append(m.epochs.toSeq.sortBy(_._1)
+        .map { case (b, e) => "\"" + b + "\":\"" + e + "\"" }.mkString(","))
+      .append("}}").toString()
+    val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(dir, f"$ManifestPrefix${m.version}%016d.json")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"merge: manifest commit $target failed (concurrent writer?)")
+    }
+  }
+
+  /** Post-commit garbage collection: keep the last [[KeepManifests]]
+    * manifests and every epoch they reference; delete older manifests,
+    * unreferenced epochs, and stale staging files. Crash-safe — anything
+    * missed is collected by a later merge.
+    */
+  private def gc(fs: FileSystem, dir: Path): Unit = {
+    val manifests = manifestFiles(fs, dir)
+    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - KeepManifests))
+    val referenced = keep.flatMap { case (v, p) =>
+      readManifest(fs, v, p).epochs.values
+    }.toSet
+    drop.foreach { case (_, p) => fs.delete(p, false) }
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n))
+        fs.delete(st.getPath, true)
+      if (!st.isDirectory && n.startsWith(".tmp-manifest-"))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
+    s"$tablePath/$epoch/$BucketCol=$bucket"
+
+  /** Table-root contents that predate the manifest protocol (a plain or
+    * `__bucket=`-partitioned parquet table).
+    */
+  private def legacyData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      (st.isDirectory && n.startsWith(BucketCol + "=")) ||
+        (!st.isDirectory && n.startsWith("part-"))
+    }
 
   /** MERGE: rows in `incoming` replace existing rows with the same key;
     * all other existing rows survive. Equivalent to
     * `MERGE INTO target USING incoming ON keys WHEN MATCHED UPDATE WHEN NOT
-    * MATCHED INSERT`.
+    * MATCHED INSERT`, committed atomically via the manifest protocol above.
     *
-    * The table is laid out partitioned by `hash(keys) % buckets`, so a
-    * merge reads and rewrites ONLY the buckets containing incoming keys —
-    * I/O per batch is O(touched buckets), not O(table). This is the shape a
-    * lakehouse MERGE has (Delta/Iceberg rewrite matched files); on a real
-    * deployment `buckets` is sized so one bucket ≈ a few file groups. The
-    * per-partition replace rides the committer's staged write + commit, the
-    * same machinery as [[overwritePartitions]]; cross-bucket commit is not
-    * table-atomic, but every load through here is keyed and idempotent
-    * (dedupe + natural keys, the reference's at-least-once contract), so a
-    * replayed batch converges.
+    * `buckets` applies on table creation; an existing table keeps its
+    * stored bucket count (changing it would reshuffle every key).
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(tablePath)
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    // legacy pre-manifest table: migrate with one full rewrite into the
+    // manifest layout, then merge bucket-locally ever after
+    if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(BucketCol + "="))
+          fs.delete(st.getPath, true)
+        if (!st.isDirectory && (n.startsWith("part-") || n == "_SUCCESS"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val m = currentManifest(fs, dir)
+    val nb = m.map(_.buckets).getOrElse(buckets)
     val inc = incoming
-      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     try {
-      // merging zero rows is a no-op — and must not CREATE the table: an
-      // empty partitioned write leaves a schema-less directory (just
-      // _SUCCESS) that poisons every later read. Streaming append sinks
-      // routinely deliver empty early batches (nothing finalized yet).
+      // merging zero rows is a no-op — and must not CREATE the table.
+      // Streaming append sinks routinely deliver empty early batches.
       if (inc.isEmpty) return
-      if (!fs.exists(target)) {
-        // cluster by bucket before the partitioned write: each bucket's
-        // rows land wholly in one task → one file per bucket, not one per
-        // upstream partition (small-file compaction, standard MERGE hygiene)
-        inc.repartition(col(BucketCol))
-          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tablePath)
-      } else {
-        val existingAll = spark.read.parquet(tablePath)
-        if (existingAll.columns.contains(BucketCol)) {
+      m match {
+        case None =>
+          writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
+            keys, nb, None)
+        case Some(man) =>
           // bounded metadata collect: ≤ `buckets` values, never data-scale
           val touched = inc.select(col(BucketCol)).distinct()
             .collect().map(_.getInt(0)).toIndexedSeq
-          if (touched.nonEmpty) {
-            // partition pruning limits the scan to the touched buckets
-            val existing = existingAll.filter(col(BucketCol).isin(touched: _*))
-            val survivors = existing
-              .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            survivors
-              .unionByName(inc.select(existing.columns.map(col).toIndexedSeq: _*))
-              .repartition(col(BucketCol))
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(BucketCol)
-              .parquet(tablePath)
+          // manifest-level pruning: read ONLY the touched buckets' dirs
+          val existingPaths = touched.flatMap(b =>
+            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+          val survivors =
+            if (existingPaths.isEmpty) None
+            else Some(spark.read.parquet(existingPaths: _*)
+              .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+          val merged = survivors match {
+            case None => inc.drop(BucketCol)
+            case Some(sv) =>
+              sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
-        } else {
-          // legacy unbucketed table: migrate with one full rewrite through a
-          // staged swap, after which merges are bucket-local
-          val survivors = existingAll
-            .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
-          val merged = survivors
-            .unionByName(inc.select(survivors.columns.map(col).toIndexedSeq: _*))
-          val staging = new Path(tablePath + ".staging-" + UUID.randomUUID())
-          merged.repartition(col(BucketCol))
-            .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-            .parquet(staging.toString)
-          val backup = new Path(tablePath + ".old-" + UUID.randomUUID())
-          // rename reports failure by RETURNING FALSE on HDFS/object-store
-          // semantics — fail loudly and restore if the swap-in didn't happen
-          if (!fs.rename(target, backup))
-            throw new java.io.IOException(s"merge: rename $target -> $backup failed")
-          if (!fs.rename(staging, target)) {
-            fs.rename(backup, target) // best-effort restore
-            throw new java.io.IOException(s"merge: rename $staging -> $target failed")
-          }
-          fs.delete(backup, true)
-        }
+          writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb, Some(man))
       }
+      gc(fs, dir)
     } finally { inc.unpersist(); () }
   }
 
-  /** Read a merge-maintained table without its physical bucket column. */
-  def readTable(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).drop(BucketCol)
+  /** Write `rows` (bucket column recomputed from the keys) into a fresh
+    * epoch directory, then commit the next manifest version pointing the
+    * written buckets at it. Nothing is visible until the commit rename.
+    */
+  private def writeEpochAndCommit(spark: SparkSession, fs: FileSystem,
+                                  tablePath: String, rows: DataFrame,
+                                  keys: Seq[String], buckets: Int,
+                                  prev: Option[Manifest]): Unit = {
+    val epoch = "e-" + UUID.randomUUID()
+    val data = rows
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+    // cluster by bucket before the partitioned write: each bucket's rows
+    // land wholly in one task → one file per bucket (small-file hygiene)
+    data.repartition(col(BucketCol))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      .parquet(s"$tablePath/$epoch")
+    val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").toInt)
+    val epochs = prev.map(_.epochs).getOrElse(Map.empty) ++
+      written.map(_ -> epoch)
+    commitManifest(fs, new Path(tablePath),
+      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs))
+  }
+
+  /** Read a merge-maintained table at its latest committed version (or a
+    * pre-manifest/plain parquet directory, for compatibility), without the
+    * physical bucket column.
+    */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)) match {
+      case Some(m) =>
+        val paths = m.epochs.toSeq.sortBy(_._1)
+          .map { case (b, e) => bucketPath(tablePath, e, b) }
+        spark.read.parquet(paths: _*)
+      case None => spark.read.parquet(tablePath).drop(BucketCol)
+    }
+  }
+
+  /** Test/inspection hook: the latest committed bucket→epoch mapping. */
+  private[graft] def currentEpochs(spark: SparkSession,
+                                   tablePath: String): Map[Int, String] = {
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)).map(_.epochs).getOrElse(Map.empty)
+  }
 
   /** L1/L3 — the custom-field load's transactional shape
     * (`state_load_processor_aurora.ts:39-113`): per incoming item, delete

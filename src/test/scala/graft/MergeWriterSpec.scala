@@ -25,19 +25,19 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1 = Seq(("state#org", "ds#A", "To Do", 1), ("state#org", "ds#B", "To Do", 1))
       .toDF("partitionKey", "sortKey", "state", "rev")
     MergeWriter.merge(spark, dir, v1, Seq("partitionKey", "sortKey"))
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(MergeWriter.readTable(spark, dir).count() == 2)
 
     // update A, insert C
     val v2 = Seq(("state#org", "ds#A", "Done", 2), ("state#org", "ds#C", "To Do", 1))
       .toDF("partitionKey", "sortKey", "state", "rev")
     MergeWriter.merge(spark, dir, v2, Seq("partitionKey", "sortKey"))
-    val rows = spark.read.parquet(dir).collect()
+    val rows = MergeWriter.readTable(spark, dir).collect()
       .map(r => r.getAs[String]("sortKey") -> r.getAs[String]("state")).toMap
     assert(rows == Map("ds#A" -> "Done", "ds#B" -> "To Do", "ds#C" -> "To Do"))
 
     // at-least-once replay of the same batch changes nothing (L2 semantics)
     MergeWriter.merge(spark, dir, v2, Seq("partitionKey", "sortKey"))
-    assert(spark.read.parquet(dir).count() == 3)
+    assert(MergeWriter.readTable(spark, dir).count() == 3)
   }
 
   test("merge rewrites only buckets containing incoming keys") {
@@ -45,26 +45,85 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("bmerge").toString + "/t"
     val v1 = (0 until 64).map(i => (s"k$i", i)).toDF("k", "v")
     MergeWriter.merge(spark, dir, v1, Seq("k"), buckets = 8)
-    def filesByBucket(): Map[String, Set[String]] = {
-      val root = new java.io.File(dir)
-      root.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith(MergeWriter.BucketCol + "="))
-        .map(d => d.getName -> d.listFiles().map(_.getName)
-          .filter(_.endsWith(".parquet")).toSet)
-        .toMap
-    }
-    val before = filesByBucket()
+    val before = MergeWriter.currentEpochs(spark, dir)
     assert(before.size > 1, "fixture should span several buckets")
 
     MergeWriter.merge(spark, dir, Seq(("k0", 100)).toDF("k", "v"), Seq("k"), buckets = 8)
-    val after = filesByBucket()
-    val changed = before.keys.filter(b => before(b) != after.getOrElse(b, Set.empty[String]))
+    val after = MergeWriter.currentEpochs(spark, dir)
+    // exactly one bucket's epoch pointer moved; the rest still point at
+    // the original epoch's immutable files
+    val changed = before.keys.filter(b => before(b) != after(b))
     assert(changed.size == 1, s"exactly one bucket should be rewritten, got $changed")
 
     val rows = MergeWriter.readTable(spark, dir).collect()
       .map(r => r.getAs[String]("k") -> r.getAs[Int]("v")).toMap
     assert(rows.size == 64 && rows("k0") == 100 && rows("k1") == 1)
     assert(!MergeWriter.readTable(spark, dir).columns.contains(MergeWriter.BucketCol))
+  }
+
+  test("a crashed merge (epoch written, manifest not committed) is invisible") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("crash").toString + "/t"
+    val v1 = (0 until 16).map(i => (s"k$i", i)).toDF("k", "v")
+    MergeWriter.merge(spark, dir, v1, Seq("k"), buckets = 4)
+    val committed = MergeWriter.readTable(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+    // simulate a writer dying AFTER its epoch data is fully on disk but
+    // BEFORE the manifest rename: readers must keep seeing the old table
+    val orphan = s"$dir/e-orphan-${java.util.UUID.randomUUID()}"
+    Seq(("k0", 999), ("kX", 999)).toDF("k", "v")
+      .withColumn(MergeWriter.BucketCol, lit(0))
+      .write.partitionBy(MergeWriter.BucketCol).parquet(orphan)
+    val seen = MergeWriter.readTable(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(seen == committed, "uncommitted epoch leaked into reads")
+
+    // the next successful merge garbage-collects the orphan
+    MergeWriter.merge(spark, dir, Seq(("k1", 101)).toDF("k", "v"), Seq("k"), buckets = 4)
+    assert(!new java.io.File(orphan).exists(), "orphan epoch should be GC'd")
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 16 && rows("k1") == 101 && rows("k0") == 0)
+  }
+
+  test("commits keep the last versions readable and GC the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gc").toString + "/t"
+    def manifests() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_manifest-")).sorted.toSeq
+    def epochs() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("e-")).toSet
+
+    (1 to 4).foreach { i =>
+      MergeWriter.merge(spark, dir,
+        Seq((s"k$i", i)).toDF("k", "v"), Seq("k"), buckets = 2)
+    }
+    assert(manifests().size == MergeWriter.KeepManifests,
+      s"old manifests should be pruned, got ${manifests()}")
+    // every epoch on disk is referenced by a kept manifest
+    val referenced = MergeWriter.currentEpochs(spark, dir).values.toSet
+    assert(referenced.subsetOf(epochs()))
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows == Map("k1" -> 1, "k2" -> 2, "k3" -> 3, "k4" -> 4))
+  }
+
+  test("a legacy pre-manifest table is migrated on first merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("legacy").toString + "/t"
+    // old layout: __bucket= partition dirs at the table root
+    (0 until 8).map(i => (s"k$i", i)).toDF("k", "v")
+      .withColumn(MergeWriter.BucketCol, pmod(hash(col("k")), lit(4)))
+      .write.partitionBy(MergeWriter.BucketCol).parquet(dir)
+    MergeWriter.merge(spark, dir, Seq(("k0", 100)).toDF("k", "v"),
+      Seq("k"), buckets = 4)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 8 && rows("k0") == 100 && rows("k7") == 7)
+    // root-level legacy partition dirs are gone after migration
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.startsWith(MergeWriter.BucketCol + "=")))
   }
 
   test("dedupeOnKey keeps the newest row per key") {

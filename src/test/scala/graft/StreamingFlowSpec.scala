@@ -76,7 +76,7 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     input.addData(("A", 1, "a1"), ("A", 2, "a2"))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(s"$dir/table").collect()
+    val rows = graft.sources.MergeWriter.readTable(spark, s"$dir/table").collect()
       .map(r => (r.getAs[String]("key"), r.getAs[Int]("rev"))).toSet
     assert(rows == Set(("A", 1), ("A", 2), ("B", 1)))
   }
