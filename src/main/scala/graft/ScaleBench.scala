@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale-slope rehearsal (~10× the sf0.1 documents/embeddings/
+  * events tables) for the heavy dedup/sketch/streaming family, plus a
+  * Zipf-vocabulary corpus that must flip [[operators.Dedup.AutoStrategy]]
+  * from the small-vocab bitset specialist to prefix filtering.
+  *
+  *   runMain graft.ScaleBench [baseSfDir] [workDir]
+  *
+  * Generates (deterministically) if absent:
+  *  - `rep10/`: sf0.1 replicated 10× — documents duplicated verbatim
+  *    (vocabulary CONSTANT, the natural 10× of this generator; every
+  *    replica group is a true dup cluster), embeddings perturbed with
+  *    deterministic hash noise (replica groups become near-dup clusters,
+  *    not exact copies), events with 10× the user keys;
+  *  - `zipf/`: 50k docs of 50 tokens drawn log-uniformly from a 200k-word
+  *    vocabulary (freq(rank) ∝ 1/rank, i.e. Zipf), 10% of docs emitted
+  *    twice with a one-token change — rare shingles exist, so prefix
+  *    filtering is the near-linear exact plan.
+  *
+  * Prints one JSON line per (dir, query) with wall seconds; the sf0.1
+  * pass runs first in the same JVM so slopes are same-conditions ratios.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft-scale")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val rep = s"$work/rep10"
+    val zipf = s"$work/zipf"
+    val reps = 10
+
+    if (!new java.io.File(s"$rep/documents.parquet").exists()) {
+      val r = explode(sequence(lit(0), lit(reps - 1))).as("r")
+      Tables.documents(spark, base).select(col("doc_id"), col("text"), r)
+        .select((col("doc_id") + col("r") * 1000000L).as("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$rep/documents.parquet")
+      // deterministic per-(replica, dim) noise keeps replica groups
+      // near-dup (cos ~0.95) instead of exact copies
+      Tables.embeddings(spark, base)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), r)
+        .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
+          when(col("r") === 0, col("e")).otherwise(
+            zip_with(col("e"),
+              transform(sequence(lit(0), size(col("e")) - 1),
+                j => (pmod(hash(col("vec_id") + col("r") * 1000000L, j), lit(1000))
+                  .cast("double") / 1000.0 - 0.5) * 0.06),
+              (x, n) => x + n)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$rep/embeddings.parquet")
+      Tables.events(spark, base)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"), col("props"), r)
+        .select((col("event_id") + col("r") * 100000000L).as("event_id"),
+          (col("user_id") + col("r") * 1000000L).as("user_id"),
+          col("event_type"), col("ts"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$rep/events.parquet")
+    }
+
+    if (!new java.io.File(s"$zipf/documents.parquet").exists()) {
+      val nDocs = 50000
+      val docLen = 50
+      val vocab = 200000
+      // freq(rank) ∝ 1/rank: rank = floor(exp(u·lnV)) on a per-(doc,pos)
+      // deterministic uniform from the 64-bit mix of (doc, pos)
+      val docs = spark.range(0, nDocs).toDF("doc_id")
+        .select(col("doc_id"), transform(sequence(lit(0), lit(docLen - 1)),
+          p => concat(lit("t"),
+            floor(exp((pmod(xxhash64(col("doc_id"), p), lit(1000000))
+              .cast("double") / 1000000.0) * log(lit(vocab.toDouble))))
+              .cast("long"))).as("toks"))
+        .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      // 10% true near-dups: re-emit with one token replaced
+      val dups = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "tX").as("text"))
+      docs.unionByName(dups)
+        .write.mode("overwrite").parquet(s"$zipf/documents.parquet")
+    }
+
+    def vocabOf(dir: String): Long =
+      Tables.documents(spark, dir)
+        .select(explode(operators.TextAnalysis.shingles(col("text"), 2)).as("s"))
+        .agg(countDistinct(col("s"))).as[Long].head()
+
+    def time(dir: String, name: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"dir":"$dir","query":"$name","sec":$sec%.2f,"rows":$n}""")
+    }
+
+    println(s"""{"vocab_sf01":${vocabOf(base)},"vocab_rep10":${vocabOf(rep)},"vocab_zipf":${vocabOf(zipf)}}""")
+    val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
+      "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
+      "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions")
+    heavy.foreach(q => time(base, q))
+    heavy.foreach(q => time(rep, q))
+    time(zipf, "q22_ngram_jaccard")
+    spark.stop()
+  }
+}

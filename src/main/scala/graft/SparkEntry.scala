@@ -1371,6 +1371,23 @@ object SparkEntry {
       s.read.format("graft-jira").option("path", path).load()
         .filter(col("status") === "purchase")
         .select(col("key").as("work_item_id"))
+    }),
+
+    // Token budgeting: BPE-ish token counts (GPT-2-style pre-tokenizer
+    // regex — contractions, letter runs, digit runs, punctuation runs)
+    // over the punctuation-rich JSON props column, next to the whitespace
+    // count. Pure codegen'd per-row expressions, no shuffle.
+    "q70_bpe_tokens" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("event_id"),
+        TextAnalysis.bpeTokenCount(col("props")).as("n_bpe_tokens"),
+        size(graft.functions.tokens(col("props"))).cast("long").as("n_ws_tokens"))
+    }),
+
+    // Sequence packing precursor: overlapping token-window chunking of
+    // every document (32-token windows, stride 16) — one narrow explode.
+    "q71_chunking" -> ((s, dir) => {
+      TextAnalysis.chunk(Tables.documents(s, dir), col("doc_id"), col("text"),
+        chunkSize = 32, stride = 16)
     })
   )
 
@@ -2538,6 +2555,27 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT 'ITEM-' || CAST(b.user_id AS VARCHAR) AS work_item_id
         |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id
-        |WHERE coalesce(ls.cur, 'signup') = 'purchase'""".stripMargin
+        |WHERE coalesce(ls.cur, 'signup') = 'purchase'""".stripMargin,
+
+    // Same RE2-safe pre-tokenizer regex on both engines (the leading
+    // apostrophe is SQL-doubled).
+    "q70_bpe_tokens" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props,
+        |    '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split_regex(trim(props), '\s+')) AS BIGINT) AS n_ws_tokens
+        |FROM events""".stripMargin,
+
+    "q71_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(((len(toks) - 1) // 16) + 1)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin
   )
 }

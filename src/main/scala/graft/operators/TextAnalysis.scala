@@ -74,6 +74,40 @@ object TextAnalysis {
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** GPT-2-style pre-tokenizer pattern, RE2-safe (no lookahead) so the
+    * DuckDB oracle evaluates the identical regex: contraction suffixes,
+    * letter runs, digit runs, punctuation runs. Counting its matches is
+    * the standard cheap token-budget estimate a training-data pipeline
+    * stamps on every document before packing.
+    */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: matches of [[BpeTokenPattern]] — punctuation and
+    * digit runs count separately from words, unlike whitespace tokens.
+    * Pure codegen'd expression, no shuffle.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
+  /** Token-window chunking — the sequence-packing precursor: each document
+    * becomes overlapping windows of `chunkSize` whitespace tokens starting
+    * every `stride` tokens (last windows may be short). One narrow
+    * explode, no shuffle; chunk counts scale with corpus size, never with
+    * driver memory.
+    */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            chunkSize: Int, stride: Int): DataFrame = {
+    val ts = col("__toks")
+    docs.withColumn("__toks", tok(text))
+      .select(id, posexplode(transform(
+        sequence(lit(0), floor((size(ts) - 1) / stride).cast("int")),
+        i => slice(ts, i * stride + lit(1), lit(chunkSize)))).as(Seq("chunk_id", "__c")))
+      .select(id, col("chunk_id").cast("long"),
+        concat_ws(" ", col("__c")).as("chunk_text"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Word n-gram shingles (space-joined), the unit for Jaccard/MinHash.
     *
     * IMPORTANT for callers: pass a *materialized tokens attribute* (a column
