@@ -22,7 +22,12 @@ object Bench {
     // class population and degrades the tail of the run instead
     // (code-cache/metaspace pressure), measured 2026-08-12. The timed loop
     // below still does 100% of its own sf-dir work (per-dir caches).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // sf0.01, not sf0.001: the typed-flatMap kernels (bitset Jaccard
+    // tiles, shingle hashing) need enough loop iterations for C2 to
+    // tier them up — a 50-doc corpus leaves them interpreted and the
+    // first timed sf0.1 query pays the compile (measured 6.4 s cold vs
+    // 2.5 s steady for q22, 2026-08-13)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     val warmQueries = Seq("q22_ngram_jaccard", "q23_embedding_neardup",
       "q24_event_dates", "q26_minhash_lsh", "q28_simhash_pairs",
       "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate",

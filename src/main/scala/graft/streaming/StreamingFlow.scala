@@ -85,8 +85,18 @@ object StreamingFlow {
                 versionCol: Column, checkpointDir: String,
                 trigger: Option[Trigger] = None,
                 mode: OutputMode = OutputMode.Update()): StreamingQuery = {
-    require(!keys.exists(k => versionCol.toString == k || versionCol.toString == s"'$k"),
-      s"versionCol $versionCol must not be one of the merge keys $keys")
+    // a versionCol built ONLY from key columns is constant within its key
+    // partition, making the last-write-wins pick arbitrary. Check the
+    // expression's leaf attributes (catches aliases and arithmetic over a
+    // key, which a string comparison would miss).
+    val leafAttrs = org.apache.spark.sql.GraftColumnShim.catalystTree(versionCol)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }
+    require(leafAttrs.isEmpty || !leafAttrs.forall(keys.contains),
+      s"versionCol $versionCol references only merge key columns $keys — " +
+        "it cannot order duplicates within a key")
     val writer = stream.writeStream
       .outputMode(mode)
       .option("checkpointLocation", checkpointDir)

@@ -10,6 +10,13 @@ object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fully-converted Catalyst tree (not the lazy `ColumnNodeExpression`
+    * wrapper [[expression]] returns), so callers can pattern-match node
+    * types — e.g. collect the leaf attribute names a column references.
+    */
+  def catalystTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Stable session identifier (`sessionUUID` is `private[sql]`). */
   def sessionUUID(s: SparkSession): String = s match {
     case c: classic.SparkSession => c.sessionUUID

@@ -62,6 +62,20 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("mergeSink rejects a version column built only from merge keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("guard").toString
+    val input = MemoryStream[(String, Int, String)]
+    val df = input.toDF().toDF("key", "rev", "v")
+    // an alias of a key slips past a name comparison; the attribute check
+    // must still reject it
+    intercept[IllegalArgumentException] {
+      StreamingFlow.mergeSink(df, s"$dir/t", Seq("key"),
+        col("key").as("disguised"), s"$dir/c")
+    }
+  }
+
   test("foreachBatch merge sink is idempotent on replayed keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
