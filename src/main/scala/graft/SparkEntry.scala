@@ -1388,6 +1388,19 @@ object SparkEntry {
     "q71_chunking" -> ((s, dir) => {
       TextAnalysis.chunk(Tables.documents(s, dir), col("doc_id"), col("text"),
         chunkSize = 32, stride = 16)
+    }),
+
+    // Multimodal frame sampling end to end: binary payloads → every-2nd
+    // fixed-size byte "frame" (the container parsing is the documented
+    // stub; the chunk/explode plumbing and per-frame feature kernel are
+    // real) → per-frame length + byte checksum. ASCII-only docs so the
+    // oracle recomputes the bytes as characters.
+    "q72_multimodal_frames" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      val assets = Multimodal.toAssets(ascii, col("doc_id"), col("text"), "video/fake")
+      Multimodal.frameByteStats(
+        Multimodal.sampleFrames(assets, frameBytes = 16, everyNth = 2))
     })
   )
 
@@ -2576,6 +2589,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |  array_to_string(toks[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text,
         |  CAST(len(toks[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT) AS n_chunk_tokens
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Frames = every-2nd 16-byte window; ASCII-only filter makes the
+    // character math equal the byte math.
+    "q72_multimodal_frames" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |f AS (
+        |  SELECT asset_id, text,
+        |    unnest(range(0, greatest(1, length(text) // 16), 2)) AS frame_idx
+        |  FROM c)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx*16+1 AS INT), 16)) AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
+        |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
+        |FROM f""".stripMargin
   )
 }

@@ -87,6 +87,24 @@ object Multimodal {
       }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
+  /** Per-frame byte statistics over [[sampleFrames]] output — the shape of
+    * a per-frame feature kernel (length + byte checksum standing in for a
+    * frame embedding). Partition-local, no shuffle.
+    */
+  def frameByteStats(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("asset_id"), col("frame_idx"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, idx, b) =>
+        val bb = if (b == null) Array.emptyByteArray else b
+        var sum = 0L
+        var i = 0
+        while (i < bb.length) { sum += bb(i) & 0xff; i += 1 }
+        (id, idx, bb.length.toLong, sum)
+      }.toDF("asset_id", "frame_idx", "n_bytes", "byte_sum")
+  }
+
   /** Metadata-only resize: records the target dimensions without touching
     * payload bytes (the real pixel resample is the decoder's job).
     */

@@ -49,6 +49,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2, 4))
   }
 
+  test("frame byte stats report exact per-frame length and checksum") {
+    val stats = Multimodal.frameByteStats(
+        Multimodal.sampleFrames(assets, frameBytes = 4, everyNth = 2))
+      .filter(col("asset_id") === 1L).collect()
+      .map(r => r.getAs[Int]("frame_idx") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("byte_sum")))).toMap
+    // payload is a known ASCII string: checksum = sum of char codes
+    val bytes = Multimodal.payloadOf("payload-one-abcdefgh")
+    def sumOf(from: Int, until: Int) =
+      bytes.slice(from, until).map(_.toLong).sum
+    assert(stats == Map(
+      0 -> ((4L, sumOf(0, 4))), 2 -> ((4L, sumOf(8, 12))),
+      4 -> ((4L, sumOf(16, 20)))))
+  }
+
   test("resize target updates metadata only") {
     val resized = Multimodal.withResizeTarget(assets, 224, 224)
     val m = resized.select(col("meta.width"), col("meta.height"), col("content"))
