@@ -42,7 +42,7 @@ object ScaleBench {
     val zipf = s"$work/zipf"
     val reps = 10
 
-    if (!new java.io.File(s"$rep/documents.parquet").exists()) {
+    if (!new java.io.File(s"$rep/embeddings.parquet").exists()) {
       val r = explode(sequence(lit(0), lit(reps - 1))).as("r")
       Tables.documents(spark, base).select(col("doc_id"), col("text"), r)
         .select((col("doc_id") + col("r") * 1000000L).as("doc_id"), col("text"))
@@ -57,7 +57,9 @@ object ScaleBench {
               transform(sequence(lit(0), size(col("e")) - 1),
                 j => (pmod(hash(col("vec_id") + col("r") * 1000000L, j), lit(1000))
                   .cast("double") / 1000.0 - 0.5) * 0.06),
-              (x, n) => x + n)).as("embedding"))
+              (x, n) => x + n))
+            .cast("array<float>") // match the real table's native width
+            .as("embedding"))
         .write.mode("overwrite").parquet(s"$rep/embeddings.parquet")
       Tables.events(spark, base)
         .select(col("event_id"), col("user_id"), col("event_type"),

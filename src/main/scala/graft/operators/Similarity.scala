@@ -196,9 +196,23 @@ object Similarity {
   def srpNearDupPairs(emb: DataFrame, id: Column, vec: Column,
                       threshold: Double, bits: Int = 32,
                       bands: Int = 4): DataFrame = {
+    // keep the verify-side vectors in their NATIVE width: the two
+    // candidate joins shuffle millions of pair rows carrying arrays, and
+    // when the source column is float, widening float→double after the
+    // join is bit-identical to widening before it (every float is exactly
+    // representable) at half the shuffle bytes. Double sources stay
+    // double — never narrow. Norms are computed in doubles either way,
+    // as the oracle does.
+    val nativeFloat = emb.select(vec.as("__v")).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val wireType = if (nativeFloat) "array<float>" else "array<double>"
     val v = graft.CacheRegistry.persist(
-      emb.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot_product(col("v"), col("v")))))
+      emb.select(id.cast("long").as("id"), vec.cast(wireType).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v").cast("array<double>"),
+          col("v").cast("array<double>")))))
     val sig = graft.CacheRegistry.persist(
       srpSignatures(emb, id, vec, bits))
     val width = bits / bands
@@ -215,7 +229,8 @@ object Similarity {
       .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", round(
-        dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+        dot_product(col("v_a").cast("array<double>"), col("v_b").cast("array<double>")) /
+          (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
