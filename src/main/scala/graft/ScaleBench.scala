@@ -42,7 +42,9 @@ object ScaleBench {
     val zipf = s"$work/zipf"
     val reps = 10
 
-    if (!new java.io.File(s"$rep/embeddings.parquet").exists()) {
+    // guard on the LAST artifact written, so a crash mid-generation
+    // regenerates instead of leaving a permanently half-built dataset
+    if (!new java.io.File(s"$rep/events.parquet").exists()) {
       val r = explode(sequence(lit(0), lit(reps - 1))).as("r")
       Tables.documents(spark, base).select(col("doc_id"), col("text"), r)
         .select((col("doc_id") + col("r") * 1000000L).as("doc_id"), col("text"))
@@ -92,8 +94,13 @@ object ScaleBench {
     }
 
     def vocabOf(dir: String): Long =
+      // materialize tokens as an attribute first — the one-step
+      // shingles(text, n) convenience re-tokenizes per lambda element
+      // (O(tokens²) interpreted HOF), unaffordable at the 10× corpus
       Tables.documents(spark, dir)
-        .select(explode(operators.TextAnalysis.shingles(col("text"), 2)).as("s"))
+        .select(graft.functions.tokens(col("text")).as("__toks"))
+        .select(explode(
+          operators.TextAnalysis.shinglesFromTokens(col("__toks"), 2)).as("s"))
         .agg(countDistinct(col("s"))).as[Long].head()
 
     def time(dir: String, name: String): Unit = {

@@ -447,7 +447,10 @@ object Dedup {
         // high-diameter run would otherwise recompute the whole chain
         val next = (if (it % 5 == 4) merged.localCheckpoint() else merged)
           .persist()
-        next.count() // materialize; acc is final after this action
+        // materialize (acc is final after this action); a mid-action
+        // failure must reclaim THIS round's partially-cached blocks too
+        try next.count()
+        catch { case e: Throwable => next.unpersist(blocking = false); throw e }
         if (prev != null) prev.unpersist(blocking = false)
         prev = next
         labels = next

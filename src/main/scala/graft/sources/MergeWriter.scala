@@ -103,9 +103,12 @@ object MergeWriter {
     manifestFiles(fs, dir).lastOption.map { case (v, p) => readManifest(fs, v, p) }
 
   /** Atomic commit: stage the manifest JSON under a dot-file (invisible to
-    * readers), then rename into place — the one atomic operation in the
-    * protocol. Rename-over-existing fails on HDFS semantics, which also
-    * makes two racing committers fail loudly rather than lose a version.
+    * readers), then publish it with an atomic no-overwrite primitive — on
+    * a local filesystem a POSIX hard link (`link(2)` refuses an existing
+    * target, unlike `rename(2)`, which silently replaces it), on HDFS-like
+    * stores the rename, whose contract refuses overwrite. Either way a
+    * racing or replayed committer targeting the same version fails loudly
+    * instead of clobbering a committed manifest.
     */
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
     val body = new StringBuilder()
@@ -117,16 +120,28 @@ object MergeWriter {
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(dir, f"$ManifestPrefix${m.version}%016d.json")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    val localRoot = Option(fs.getUri).forall(_.getScheme == "file")
+    val won =
+      if (localRoot) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    if (localRoot || !won) fs.delete(tmp, false)
+    if (!won)
       throw new java.io.IOException(
         s"merge: manifest commit $target failed (concurrent writer?)")
-    }
   }
 
   /** Post-commit garbage collection: keep the last [[KeepManifests]]
     * manifests and every epoch they reference; delete older manifests,
-    * unreferenced epochs, and stale staging files. Crash-safe — anything
+    * unreferenced epochs, stale staging files, and any root-level
+    * pre-manifest leftovers (a manifest existing means migration
+    * committed — the legacy files are dead weight even if the migrating
+    * process crashed before its own cleanup). Crash-safe — anything
     * missed is collected by a later merge.
     */
   private def gc(fs: FileSystem, dir: Path): Unit = {
@@ -140,7 +155,10 @@ object MergeWriter {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n))
         fs.delete(st.getPath, true)
-      if (!st.isDirectory && n.startsWith(".tmp-manifest-"))
+      if (st.isDirectory && n.startsWith(BucketCol + "="))
+        fs.delete(st.getPath, true)
+      if (!st.isDirectory && (n.startsWith(".tmp-manifest-") ||
+          n.startsWith("part-") || n == "_SUCCESS"))
         fs.delete(st.getPath, false)
     }
   }
@@ -174,15 +192,10 @@ object MergeWriter {
     // legacy pre-manifest table: migrate with one full rewrite into the
     // manifest layout, then merge bucket-locally ever after
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+      // the root-level legacy files are reclaimed by gc() after this
+      // merge commits (and by any later merge if this process dies first)
       val legacy = spark.read.parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith(BucketCol + "="))
-          fs.delete(st.getPath, true)
-        if (!st.isDirectory && (n.startsWith("part-") || n == "_SUCCESS"))
-          fs.delete(st.getPath, false)
-      }
     }
     val m = currentManifest(fs, dir)
     val nb = m.map(_.buckets).getOrElse(buckets)

@@ -76,9 +76,13 @@ object AdoFixtureTable {
       case EqualTo("area_id", v: Long) => Seq(v.toString)
       case In("area_id", vs) => vs.toSeq.map(_.toString)
     }.flatten
+    // Catalyst preserves the user's disjunct order — accept both
     val excludeBefore = pushed.collectFirst {
       case Or(IsNull("closed_date_sk"),
               GreaterThanOrEqual("closed_date_sk", v: Long)) =>
+        PushdownCompiler.surrogateKeyToMillis(v)
+      case Or(GreaterThanOrEqual("closed_date_sk", v: Long),
+              IsNull("closed_date_sk")) =>
         PushdownCompiler.surrogateKeyToMillis(v)
     }
     PushdownCompiler.odataFilter(changedSince, "WorkItems",

@@ -94,8 +94,11 @@ object StreamingFlow {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
       }
-    require(leafAttrs.isEmpty || !leafAttrs.forall(keys.contains),
-      s"versionCol $versionCol references only merge key columns $keys — " +
+    // no leaf attributes (a literal) is just as partition-constant as a
+    // key-only expression — both make the last-write-wins pick arbitrary
+    require(leafAttrs.nonEmpty && !leafAttrs.forall(keys.contains),
+      s"versionCol $versionCol is constant within a key partition " +
+        s"(literal or built only from merge keys $keys) — " +
         "it cannot order duplicates within a key")
     val writer = stream.writeStream
       .outputMode(mode)

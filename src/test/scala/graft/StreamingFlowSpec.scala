@@ -74,6 +74,10 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamingFlow.mergeSink(df, s"$dir/t", Seq("key"),
         col("key").as("disguised"), s"$dir/c")
     }
+    // a literal is constant within every key partition — equally arbitrary
+    intercept[IllegalArgumentException] {
+      StreamingFlow.mergeSink(df, s"$dir/t", Seq("key"), lit(1), s"$dir/c")
+    }
   }
 
   test("foreachBatch merge sink is idempotent on replayed keys") {
