@@ -1401,6 +1401,51 @@ object SparkEntry {
       val assets = Multimodal.toAssets(ascii, col("doc_id"), col("text"), "video/fake")
       Multimodal.frameByteStats(
         Multimodal.sampleFrames(assets, frameBytes = 16, everyNth = 2))
+    }),
+
+    // The reference's daily ETL cycle as ONE flow (S1/S2 + §2.5 + L1):
+    // round 1 ingests everything that had "arrived" by a cut through the
+    // graft-jira connector and merges it into the states table; round 2 is
+    // the true incremental run — `updated > storedMark` compiled from the
+    // on-disk watermark and PUSHED INTO the connector scan; round 3
+    // replays round 1's stale input verbatim (at-least-once delivery):
+    // the keyed merge makes it a content no-op and the monotonic advance
+    // cannot regress the mark. Output = final states + final watermark.
+    "q73_incremental_etl_loop" -> ((s, dir) => {
+      val root = scratchDir("graft-loop")
+      val wmPath = root + "/datasources"
+      val statesPath = root + "/states"
+      val connPath = root + "/raw"
+      rawItemsJson(s, dir).select(col("raw_json"))
+        .write.mode("overwrite").text(connPath)
+      val cut = "2024-01-20T00:00:00.000000"
+
+      def storedMark(): Option[String] =
+        if (!new java.io.File(wmPath).exists()) None
+        else operators.Watermarks.currentMarks(s, wmPath).collect()
+          .find(_.getString(0) == "jira").map(_.getString(1))
+
+      def runRound(arrivalCap: Option[String], useMark: Boolean): Unit = {
+        val src = s.read.format("graft-jira").option("path", connPath).load()
+        val capped = arrivalCap.fold(src)(c => src.filter(col("updated") <= c))
+        val batch = (if (useMark) storedMark() else None)
+          .fold(capped)(m => capped.filter(col("updated") > m))
+          .select(col("key"), col("status"), col("issue_type"), col("updated"))
+        sources.MergeWriter.merge(s, statesPath,
+          sources.MergeWriter.dedupeOnKey(batch, Seq("key"), Seq(col("updated"))),
+          Seq("key"), buckets = 8)
+        operators.Watermarks.advance(s, wmPath,
+          batch.withColumn("ds", lit("jira")), col("ds"), col("updated"))
+      }
+      runRound(Some(cut), useMark = true)  // initial load up to the cut
+      runRound(None, useMark = true)       // incremental: updated > mark
+      runRound(Some(cut), useMark = false) // stale at-least-once replay
+      val wm = operators.Watermarks.currentMarks(s, wmPath)
+        .select(col("next_run_start_from"))
+      sources.MergeWriter.readTable(s, statesPath)
+        .crossJoin(broadcast(wm))
+        .select(col("key").as("work_item_id"), col("status"),
+          col("issue_type"), col("next_run_start_from"))
     })
   )
 
@@ -2606,6 +2651,24 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(
         |    string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Final state after initial + incremental + stale-replay rounds must
+    // equal one latest row per item, with the watermark at the global max
+    // updated stamp (ISO micros format, as the raw fixture serializes).
+    "q73_incremental_etl_loop" ->
+      """WITH base AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY 1),
+        |ls AS (
+        |  SELECT user_id, event_type AS cur FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('signup','view','click','purchase'))
+        |  WHERE rn = 1)
+        |SELECT 'ITEM-' || CAST(b.user_id AS VARCHAR) AS work_item_id,
+        |  coalesce(ls.cur, 'signup') AS status,
+        |  CASE WHEN b.user_id % 3 = 0 THEN 'Story'
+        |       WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END AS issue_type,
+        |  (SELECT strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%f') FROM events) AS next_run_start_from
+        |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id""".stripMargin
   )
 }
