@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bpe token count splits contractions, digits and punctuation runs") {
+    import spark.implicits._
+    val got = Seq(
+      ("don't stop", 3L),         // don | 't | stop
+      ("""{"k": 69}""", 5L),      // {" | k | ": | 69 | }
+      ("plain words here", 3L),
+      ("x2020-01 !!", 5L)         // x | 2020 | - | 01 | !!
+    ).toDF("text", "expect")
+    val rows = got.select(col("text"), col("expect"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (t, e, n) => assert(n == e, s"for '$t'") }
+  }
+
+  test("chunk windows tile every document with the stride/size invariants") {
+    import spark.implicits._
+    // token counts around the boundary cases: < size, = size, > size
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),    // 5 tokens -> 1 chunk
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")),   // 32 -> chunks at 0,16
+      (3L, (1 to 50).map(i => s"w$i").mkString(" ")),   // 50 -> 0,16,32,48
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, col("doc_id"), col("text"),
+        chunkSize = 32, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = chunks.groupBy(_._1)
+    val nTokens = Map(1L -> 5, 2L -> 32, 3L -> 50, 4L -> 1)
+    nTokens.foreach { case (d, n) =>
+      val cs = byDoc(d).sortBy(_._2)
+      // chunk count = floor((n-1)/stride)+1
+      assert(cs.length == (n - 1) / 16 + 1, s"doc $d")
+      cs.foreach { case (_, cid, text, len) =>
+        val start = cid * 16
+        assert(len == math.min(32, n - start), s"doc $d chunk $cid")
+        assert(text.split(" ").length.toLong == len)
+      }
+      // every token position is covered by at least one chunk
+      val covered = cs.flatMap { case (_, cid, _, len) =>
+        (cid * 16) until (cid * 16 + len) }.toSet
+      assert(covered == (0L until n.toLong).toSet, s"doc $d coverage")
+    }
+  }
+
+  test("contamination of a corpus against itself is exactly 1.0") {
+    import spark.implicits._
+    val docs = (0 until 30)
+      .map(i => (i.toLong, (0 to 10).map(j => s"t${(i * 3 + j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.contamination(docs, docs,
+        col("doc_id"), col("text"), n = 2)
+      .select(col("contamination")).collect().map(_.getDouble(0))
+    assert(rows.length == 30 && rows.forall(_ == 1.0))
+  }
+}
