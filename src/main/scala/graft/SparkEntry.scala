@@ -1446,6 +1446,25 @@ object SparkEntry {
         .crossJoin(broadcast(wm))
         .select(col("key").as("work_item_id"), col("status"),
           col("issue_type"), col("next_run_start_from"))
+    }),
+
+    // Skew mitigation: the events→type-dim join keys on event_type — a
+    // handful of values over the whole fact table, the canonical hot-key
+    // shape. The salted join spreads each hot key across 8 reducers and
+    // must be result-identical to the plain join (the oracle).
+    "q74_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("signup", "acquisition"), ("view", "engagement"),
+        ("click", "engagement"), ("purchase", "revenue"),
+        ("error", "ops"), ("refund", "revenue"))
+        .toDF("event_type", "category")
+        // keep the shuffle path the salting targets (broadcast would
+        // sidestep the skew entirely — and the demonstration)
+        .hint("merge")
+      operators.Skew.saltedJoin(Tables.events(s, dir), dim,
+          Seq("event_type"), col("event_id"), n = 8)
+        .select(col("event_id"), col("event_type"), col("category"))
     })
   )
 
@@ -2669,6 +2688,15 @@ object SparkEntry {
         |  CASE WHEN b.user_id % 3 = 0 THEN 'Story'
         |       WHEN b.user_id % 3 = 1 THEN 'Bug' ELSE 'Task' END AS issue_type,
         |  (SELECT strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%f') FROM events) AS next_run_start_from
-        |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id""".stripMargin
+        |FROM base b LEFT JOIN ls ON b.user_id = ls.user_id""".stripMargin,
+
+    "q74_salted_join" ->
+      """SELECT e.event_id, e.event_type, d.category
+        |FROM events e
+        |JOIN (VALUES ('signup','acquisition'), ('view','engagement'),
+        |             ('click','engagement'), ('purchase','revenue'),
+        |             ('error','ops'), ('refund','revenue'))
+        |  AS d(event_type, category)
+        |  ON e.event_type = d.event_type""".stripMargin
   )
 }
