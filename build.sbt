@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // catalog-backed tables (bucketed-join demo) must not drop a
+  // spark-warehouse dir into the repo root
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Spark whole-stage codegen generates many classes; the JDK default
   // 240 MB code cache fills mid-run, silently disabling the JIT (20-50x

@@ -1465,6 +1465,30 @@ object SparkEntry {
       operators.Skew.saltedJoin(Tables.events(s, dir), dim,
           Seq("event_type"), col("event_id"), n = 8)
         .select(col("event_id"), col("event_type"), col("category"))
+    }),
+
+    // Co-located bucketed join: both fact tables written bucketed (and
+    // sorted) on the join key into catalog-backed external tables — the
+    // join then needs NO shuffle on either side (BucketSpec asserts the
+    // exchange-free plan). At 100 TB this is the pre-partitioning that
+    // turns every orders⋈lineitem into a local merge.
+    "q75_bucketed_join" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode).toString
+      val ot = s"graft_bko_$tag"
+      val lt = s"graft_bkl_$tag"
+      if (!s.catalog.tableExists(ot)) {
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .write.option("path", scratchDir("graft-bko"))
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+          .write.option("path", scratchDir("graft-bkl"))
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      }
+      s.table(ot).join(s.table(lt),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum(col("l_quantity"), 2).as("sum_qty"))
     })
   )
 
@@ -2697,6 +2721,12 @@ object SparkEntry {
         |             ('click','engagement'), ('purchase','revenue'),
         |             ('error','ops'), ('refund','revenue'))
         |  AS d(event_type, category)
-        |  ON e.event_type = d.event_type""".stripMargin
+        |  ON e.event_type = d.event_type""".stripMargin,
+
+    "q75_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin
   )
 }
