@@ -103,6 +103,36 @@ object PushdownCompiler {
         DateTimeFormatter.ofPattern("yyyyMMdd"))
       .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
 
+  /** S9 — GitLab GraphQL merge-request scan compile
+    * (`src/git_data_extractor/gitlab_extractor.ts:285-323`): the
+    * incremental predicate rides the `updatedAfter` variable (the
+    * per-entity `nextRunStartFrom` watermark), only `state: merged` MRs
+    * are fetched, and `sort: UPDATED_ASC` makes cursor paging resumable —
+    * the GraphQL form of the S2/S7 watermark pushdown.
+    */
+  def gitlabMergeRequestsQuery(fields: Seq[String] = Seq(
+      "id", "iid", "mergeCommitSha", "title", "targetBranch", "sourceBranch",
+      "createdAt", "updatedAt", "mergedAt")): String =
+    s"""query GetMergeRequests($$projectPath: ID!, $$updatedAfter: Time, $$after: String) {
+       |  project(fullPath: $$projectPath) {
+       |    mergeRequests(state: merged, updatedAfter: $$updatedAfter, after: $$after, sort: UPDATED_ASC) {
+       |      pageInfo { hasNextPage endCursor }
+       |      nodes { ${fields.mkString(" ")} }
+       |    }
+       |  }
+       |}""".stripMargin
+
+  /** The variables payload for [[gitlabMergeRequestsQuery]]: watermark in
+    * ISO form, cursor null on the first page
+    * (`gitlab_extractor.ts:333-341`).
+    */
+  def gitlabVariables(projectPath: String, updatedAfterIso: String,
+                      afterCursor: Option[String] = None): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"projectPath":${q(projectPath)},"updatedAfter":${q(updatedAfterIso)},""" +
+      s""""after":${afterCursor.map(q).getOrElse("null")}}"""
+  }
+
   /** S3 — column-projection compile (`jc_issue.ts:656-728`
     * `setupQuerySelect`): the field list a connector's
     * `SupportsPushDownRequiredColumns` would emit. Order is the

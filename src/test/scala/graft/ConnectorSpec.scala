@@ -120,6 +120,20 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set("WI-3" -> "Closed"))
   }
 
+  test("S9 GitLab GraphQL compile carries the watermark, merged-state and resumable sort") {
+    val doc = PushdownCompiler.gitlabMergeRequestsQuery()
+    assert(doc.contains("state: merged"))
+    assert(doc.contains("updatedAfter: $updatedAfter"))
+    assert(doc.contains("sort: UPDATED_ASC"))
+    assert(doc.contains("pageInfo { hasNextPage endCursor }"))
+    assert(doc.contains("mergeCommitSha") && doc.contains("updatedAt"))
+    val vars = PushdownCompiler.gitlabVariables(
+      "group/repo", "2024-01-20T00:00:00.000Z", Some("cursor\"x"))
+    assert(vars ==
+      """{"projectPath":"group/repo","updatedAfter":"2024-01-20T00:00:00.000Z","after":"cursor\"x"}""")
+    assert(PushdownCompiler.gitlabVariables("p", "t").endsWith(""""after":null}"""))
+  }
+
   test("ADO OData compile matches the standalone S7 compile for the same predicate") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull, Or}
     import graft.sources.connector.AdoFixtureTable
