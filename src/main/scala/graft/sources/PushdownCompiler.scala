@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
@@ -131,6 +132,39 @@ object PushdownCompiler {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"projectPath":${q(projectPath)},"updatedAfter":${q(updatedAfterIso)},""" +
       s""""after":${afterCursor.map(q).getOrElse("null")}}"""
+  }
+
+  /** The Kanbanize card-scan field list
+    * (`src/kanbanize/extract_state_processor.ts:107-123`).
+    */
+  val kanbanizeCardFields: Seq[String] = Seq(
+    "card_id", "title", "type_id", "created_at", "revision",
+    "last_modified", "board_id", "workflow_id", "column_id", "owner_user_id")
+
+  /** S8 — Kanbanize card-scan query params
+    * (`extract_state_processor.ts:158-204,307-310`): the incremental
+    * watermark rides `last_modified_from` (URL-encoded ISO), page/per_page
+    * drive the REST paging, and the two modes mirror the reference — the
+    * full card scan expands transitions+custom_fields over the field list,
+    * the membership refresh projects only (card_id, workflow_id, type_id).
+    */
+  def kanbanizeCardParams(lastModifiedFromIso: String, page: Int,
+                          perPage: Int = 1000,
+                          workflowIds: Seq[String] = Seq.empty,
+                          membershipOnly: Boolean = false): String = {
+    val params = scala.collection.mutable.LinkedHashMap(
+      "last_modified_from" -> java.net.URLEncoder.encode(
+        lastModifiedFromIso, StandardCharsets.UTF_8),
+      "per_page" -> perPage.toString,
+      "page" -> page.toString)
+    if (!membershipOnly) {
+      params("expand") = "transitions,custom_fields"
+      params("fields") = kanbanizeCardFields.mkString(",")
+    } else {
+      params("fields") = "card_id,workflow_id,type_id"
+    }
+    if (workflowIds.nonEmpty) params("workflow_ids") = workflowIds.mkString(",")
+    params.map { case (k, v) => s"$k=$v" }.mkString("&")
   }
 
   /** S3 — column-projection compile (`jc_issue.ts:656-728`

@@ -134,6 +134,21 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PushdownCompiler.gitlabVariables("p", "t").endsWith(""""after":null}"""))
   }
 
+  test("S8 Kanbanize card-scan params carry the watermark, paging and both field modes") {
+    val full = PushdownCompiler.kanbanizeCardParams(
+      "2024-01-20T00:00:00.000+00:00", page = 2, perPage = 200,
+      workflowIds = Seq("11", "12"))
+    assert(full ==
+      "last_modified_from=2024-01-20T00%3A00%3A00.000%2B00%3A00&per_page=200&page=2" +
+        "&expand=transitions,custom_fields" +
+        "&fields=card_id,title,type_id,created_at,revision,last_modified,board_id,workflow_id,column_id,owner_user_id" +
+        "&workflow_ids=11,12")
+    val membership = PushdownCompiler.kanbanizeCardParams(
+      "2024-01-20T00:00:00.000+00:00", page = 1, membershipOnly = true)
+    assert(membership.contains("fields=card_id,workflow_id,type_id"))
+    assert(!membership.contains("expand="))
+  }
+
   test("ADO OData compile matches the standalone S7 compile for the same predicate") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull, Or}
     import graft.sources.connector.AdoFixtureTable
