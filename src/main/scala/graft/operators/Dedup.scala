@@ -470,6 +470,94 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star scheme of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): large-star hangs every
+    * larger-than-center neighbor off the neighborhood minimum, small-star
+    * re-hangs the smaller ones, and alternating the two halves path
+    * lengths per round — O(log n) rounds on ANY graph shape, where
+    * [[connectedComponents]]' label propagation needs O(diameter). The
+    * default stays label propagation (dedup graphs are diameter-bounded
+    * unions of dense clusters and it runs one job per round); this is the
+    * documented alternative for adversarial long-chain graphs, and the
+    * spec proves both produce identical labels.
+    *
+    * Each half-round is one groupBy + one self-join on the node id — all
+    * high-cardinality shuffles, nothing driver-bound. Convergence = the
+    * edge multiset reaches its star-forest fixpoint (checked exactly).
+    */
+  def connectedComponentsStar(pairs: DataFrame, a: Column, b: Column,
+                              maxIter: Int = 35): DataFrame = {
+    val e0 = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    // large-star: center on EVERY node (both orientations); m = min of the
+    // closed neighborhood; re-hang the larger neighbors onto m
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      nb.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: center on the larger endpoint; re-hang the smaller
+    // neighbors (and the center) onto the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // localCheckpoint every round, not just persist: each round's plan
+    // nests the previous one SEVERAL times (two star halves + the
+    // fixpoint exceptAll), so without lineage truncation the logical plan
+    // grows exponentially with rounds and the analyzer chokes long before
+    // the data does
+    var edges = e0.distinct().localCheckpoint()
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
+    var it = 0
+    try {
+      while (!converged && it < maxIter) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val cnt = next.count()
+        // exact fixpoint: same multiset of (u, v) edges (both frames are
+        // distinct sets, so equal counts + empty difference suffices)
+        converged = cnt == prevCnt && next.exceptAll(edges).isEmpty
+        edges.unpersist(blocking = false)
+        edges = next
+        prevCnt = cnt
+        it += 1
+      }
+      require(converged || prevCnt == 0L,
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    } catch {
+      case e: Throwable =>
+        edges.unpersist(blocking = false)
+        throw e
+    }
+    // fixpoint edges form a star forest: (node → root) for every non-root;
+    // roots label themselves. The final edge frame stays persisted (and
+    // session-registered) — unpersisting it before the labels materialize
+    // would hand consumers the whole iteration chain to recompute.
+    graft.CacheRegistry.register(edges)
+    val labels = edges
+      .unionByName(edges.select(col("v").as("u"), col("v")).distinct())
+      .withColumnRenamed("v", "comp")
+    graft.CacheRegistry.register(labels.persist())
+    labels
+  }
+
   /** One survivor per transitive dedup cluster: join the component labels
     * from [[connectedComponents]] to a per-document quality score and keep,
     * per cluster, the highest-quality member (ties broken on the minimum

@@ -134,6 +134,16 @@ object PushdownCompiler {
       s""""after":${afterCursor.map(q).getOrElse("null")}}"""
   }
 
+  /** OData `$expand` compile (`ab_query.ts:238-248` `setupQueryExpand`):
+    * fixed expansions plus the privacy-gated assignee.
+    */
+  def odataExpand(ingestAssignee: Boolean = false): String = {
+    val fixed = Seq("Area($select=AreaPath)", "Links",
+      "Project($Select=ProjectId,ProjectName)")
+    (fixed ++ (if (ingestAssignee) Seq("AssignedTo($select=UserName)") else Nil))
+      .mkString(",")
+  }
+
   /** The Kanbanize card-scan field list
     * (`src/kanbanize/extract_state_processor.ts:107-123`).
     */

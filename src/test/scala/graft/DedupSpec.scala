@@ -68,6 +68,28 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 13 && comp.values.forall(_ == 0L))
   }
 
+  test("star contraction labels every graph shape identically to label propagation") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // chains, cycle, singleton pairs (the label-propagation fixture)
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+        (30L, 31L), (31L, 32L), (30L, 32L)),
+      // worst-case path for propagation, easy for star contraction
+      (0L until 20L).map(i => (i, i + 1)),
+      // two dense clusters bridged by one edge + reversed/duplicate edges
+      (for { a <- 40L to 44L; b <- (a + 1) to 44L } yield (a, b)) ++
+        (for { a <- 50L to 54L; b <- (a + 1) to 54L } yield (b, a)) ++
+        Seq((44L, 50L), (44L, 50L)))
+    fixtures.foreach { pairs =>
+      val df = pairs.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(df, col("id_a"), col("id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(df, col("id_a"), col("id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"fixture $pairs")
+    }
+  }
+
   test("contamination reports exact per-document shingle-overlap fractions") {
     import spark.implicits._
     val train = Seq(
