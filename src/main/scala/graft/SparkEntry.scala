@@ -1489,6 +1489,18 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           exactSum(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // Embedding-side transitive dedup clusters (the q63 semantics over the
+    // SRP-LSH pair graph), labeled by STAR CONTRACTION — the O(log n)
+    // alternative to label propagation, here under the oracle (the spec
+    // already proves both produce identical labels).
+    "q76_embedding_clusters" -> ((s, dir) => {
+      Dedup.connectedComponentsStar(
+          Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
+            col("embedding"), threshold = 0.35, bits = 32, bands = 4),
+          col("id_a"), col("id_b"))
+        .select(col("u").as("vec_id"), col("comp"))
     })
   )
 
@@ -1553,6 +1565,39 @@ object SparkEntry {
     sle + (if (p == "1001") 1 else 0))
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** SRP signature/candidate/verified-pair CTE chain (shared by q62/q76):
+    * bit p of the signature is the sign of the left-to-right double fold
+    * of e·w_p with the deterministic LCG plane grid (same constants and
+    * summation order as Similarity.srpSignatures); candidates from the
+    * 4×8-bit band join; `srp_pairs` carries the exact verified cosine.
+    */
+  private def srpPairsOracleCtes: String = {
+    val bitTerms = (0 until 32).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(64), j -> e[j+1] *
+         |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
+         |    (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
+       |bandrows AS (
+       |  SELECT vec_id, band, (srp_sig >> (band*8)) & 255 AS band_key
+       |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM bandrows a JOIN bandrows bb
+       |    ON a.band = bb.band AND a.band_key = bb.band_key AND a.vec_id < bb.vec_id),
+       |srp_pairs AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(list_dot_product(va.e, vb.e) /
+       |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+       |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+       |  WHERE ROUND(list_dot_product(va.e, vb.e) /
+       |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.35)""".stripMargin
+  }
 
   /** MinHash signature CTE chain, generated from the same constants the
     * Spark operator uses (Sketches.MinhashA/B) over the same dictionary-free
@@ -2483,34 +2528,9 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
-    "q62_srp_neardup" -> {
-      // bit p of the SRP signature: sign of the left-to-right double fold
-      // of e·w_p with the deterministic LCG plane grid (same constants and
-      // summation order as Similarity.srpSignatures)
-      val bitTerms = (0 until 32).map { p =>
-        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |    list_transform(range(64), j -> e[j+1] *
-           |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
-           |    (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END""".stripMargin
-      }.mkString(" + ")
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
-         |bandrows AS (
-         |  SELECT vec_id, band, (srp_sig >> (band*8)) & 255 AS band_key
-         |  FROM sig, (SELECT unnest(range(4)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
-         |  FROM bandrows a JOIN bandrows bb
-         |    ON a.band = bb.band AND a.band_key = bb.band_key AND a.vec_id < bb.vec_id)
-         |SELECT id_a, id_b,
-         |  ROUND(list_dot_product(va.e, vb.e) /
-         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
-         |FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
-         |WHERE ROUND(list_dot_product(va.e, vb.e) /
-         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.35""".stripMargin
-    },
+    "q62_srp_neardup" ->
+      s"""WITH $srpPairsOracleCtes
+         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
 
     // Independent formulation: transitive closure by recursive CTE (the
     // engine uses iterative min-label propagation — same fixpoint).
@@ -2727,6 +2747,18 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Transitive closure over the SRP pair graph (same independent
+    // recursive-CTE formulation as q63 — the engine uses star contraction).
+    "q76_embedding_clusters" ->
+      s"""WITH RECURSIVE $srpPairsOracleCtes,
+         |ed AS (SELECT id_a AS u, id_b AS w FROM srp_pairs
+         |       UNION SELECT id_b, id_a FROM srp_pairs),
+         |reach(u, w) AS (
+         |  SELECT u, w FROM ed
+         |  UNION
+         |  SELECT r.u, e2.w FROM reach r JOIN ed e2 ON r.w = e2.u)
+         |SELECT u AS vec_id, LEAST(u, MIN(w)) AS comp FROM reach GROUP BY u""".stripMargin
   )
 }
