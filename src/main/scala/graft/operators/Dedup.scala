@@ -415,57 +415,48 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val e0 = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
-    // both orientations, deduped: propagation below is one-directional
-    val edges = graft.CacheRegistry.persist(
-      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    // both orientations, deduped: propagation below is one-directional.
+    // localCheckpoint (not just persist): every round's plan references
+    // `labels` TWICE (the union and the propagate-join), so after k rounds
+    // the logical plan holds 2^k copies of whatever it chains on — with a
+    // complex upstream pair plan (an LSH candidate chain) the ANALYZER
+    // becomes the bottleneck long before the data does (measured 58 s vs
+    // 6 s on a 501-pair graph). Truncating to a flat scan at the input and
+    // after every round keeps plan size constant per round.
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
     var labels = edges.select(col("u")).distinct()
-      .withColumn("comp", col("u"))
-    var prev: DataFrame = null
+      .withColumn("comp", col("u")).localCheckpoint()
     var converged = false
     var it = 0
-    try {
-      while (!converged && it < maxIter) {
-        val prop = edges
-          .join(labels.select(col("u").as("v"), col("comp")), "v")
-          .select(col("u"), col("comp"))
-        // fold the convergence signal into the SAME action that
-        // materializes the round: carry each node's previous label through
-        // the min-agg and count improvements in an accumulator while the
-        // rows stream out — one job per round, not two. Task retries can
-        // only OVER-count (a spurious extra round that converges next
-        // time), never under-count a real improvement to a false fixpoint.
-        val acc = spark.sparkContext.longAccumulator(s"ccChanged$it")
-        val merged = labels.withColumn("old", col("comp"))
-          .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
-          .groupBy(col("u"))
-          .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
-          .as[(Long, Long, Long)]
-          .map { case (u, c, o) => if (c < o) acc.add(1L); (u, c) }
-          .toDF("u", "comp")
-        // truncate lineage periodically: each round's plan chains on the
-        // previous persisted round, so a cache eviction late in a
-        // high-diameter run would otherwise recompute the whole chain
-        val next = (if (it % 5 == 4) merged.localCheckpoint() else merged)
-          .persist()
-        // materialize (acc is final after this action); a mid-action
-        // failure must reclaim THIS round's partially-cached blocks too
-        try next.count()
-        catch { case e: Throwable => next.unpersist(blocking = false); throw e }
-        if (prev != null) prev.unpersist(blocking = false)
-        prev = next
-        labels = next
-        converged = acc.value == 0L
-        it += 1
-      }
-      require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    } catch {
-      case e: Throwable =>
-        // don't leak the last round's untracked cache on failure
-        if (prev != null) prev.unpersist(blocking = false)
-        throw e
+    while (!converged && it < maxIter) {
+      val prop = edges
+        .join(labels.select(col("u").as("v"), col("comp")), "v")
+        .select(col("u"), col("comp"))
+      // fold the convergence signal into the SAME action that
+      // materializes the round: carry each node's previous label through
+      // the min-agg and count improvements in an accumulator while the
+      // rows stream out — one job per round, not two. Task retries can
+      // only OVER-count (a spurious extra round that converges next
+      // time), never under-count a real improvement to a false fixpoint.
+      val acc = spark.sparkContext.longAccumulator(s"ccChanged$it")
+      val merged = labels.withColumn("old", col("comp"))
+        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
+        .groupBy(col("u"))
+        .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+        .as[(Long, Long, Long)]
+        .map { case (u, c, o) => if (c < o) acc.add(1L); (u, c) }
+        .toDF("u", "comp")
+      // eager localCheckpoint = the round's one materializing action
+      // (acc is final after it) + lineage truncation; checkpointed RDDs
+      // are reclaimed by the ContextCleaner once unreferenced
+      labels = merged.localCheckpoint()
+      converged = acc.value == 0L
+      it += 1
     }
-    // final frame stays persisted for the consumer; registered for
-    // session-scoped cleanup like every other operator-owned cache
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the final frame is checkpoint-cached; registered for session-scoped
+    // cleanup like every other operator-owned cache
     graft.CacheRegistry.register(labels)
     labels
   }
@@ -523,13 +514,22 @@ object Dedup {
     // fixpoint exceptAll), so without lineage truncation the logical plan
     // grows exponentially with rounds and the analyzer chokes long before
     // the data does
+    // size the per-round materialization to the FRAME, not the session:
+    // star rounds on an already-small pair graph would otherwise pay the
+    // full shuffle-partition task count per round (pure fixed overhead —
+    // measured 14.6 s for a 501-pair graph at 32 partitions)
+    def sized(df: DataFrame, rows: Long): DataFrame = {
+      val parts = math.max(1L, math.min(
+        df.sparkSession.sparkContext.defaultParallelism.toLong, rows / 100000L + 1))
+      df.coalesce(parts.toInt)
+    }
     var edges = e0.distinct().localCheckpoint()
     var prevCnt = edges.count()
     var converged = prevCnt == 0L
     var it = 0
     try {
       while (!converged && it < maxIter) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val next = sized(smallStar(largeStar(edges)), prevCnt).localCheckpoint()
         val cnt = next.count()
         // exact fixpoint: same multiset of (u, v) edges (both frames are
         // distinct sets, so equal counts + empty difference suffices)
