@@ -1428,14 +1428,19 @@ object SparkEntry {
       def runRound(arrivalCap: Option[String], useMark: Boolean): Unit = {
         val src = s.read.format("graft-jira").option("path", connPath).load()
         val capped = arrivalCap.fold(src)(c => src.filter(col("updated") <= c))
+        // persist: both the merge and the watermark advance consume the
+        // batch — without it each round re-parses the raw drop twice
         val batch = (if (useMark) storedMark() else None)
           .fold(capped)(m => capped.filter(col("updated") > m))
           .select(col("key"), col("status"), col("issue_type"), col("updated"))
-        sources.MergeWriter.merge(s, statesPath,
-          sources.MergeWriter.dedupeOnKey(batch, Seq("key"), Seq(col("updated"))),
-          Seq("key"), buckets = 8)
-        operators.Watermarks.advance(s, wmPath,
-          batch.withColumn("ds", lit("jira")), col("ds"), col("updated"))
+          .persist()
+        try {
+          sources.MergeWriter.merge(s, statesPath,
+            sources.MergeWriter.dedupeOnKey(batch, Seq("key"), Seq(col("updated"))),
+            Seq("key"), buckets = 8)
+          operators.Watermarks.advance(s, wmPath,
+            batch.withColumn("ds", lit("jira")), col("ds"), col("updated"))
+        } finally { batch.unpersist(blocking = false); () }
       }
       runRound(Some(cut), useMark = true)  // initial load up to the cut
       runRound(None, useMark = true)       // incremental: updated > mark
@@ -1473,7 +1478,9 @@ object SparkEntry {
     // exchange-free plan). At 100 TB this is the pre-partitioning that
     // turns every orders⋈lineitem into a local merge.
     "q75_bucketed_join" -> ((s, dir) => {
-      val tag = math.abs(dir.hashCode).toString
+      // the dir IS the table identity — a hash would collide across dirs
+      // in one session (and math.abs(Int.MinValue) is still negative)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val ot = s"graft_bko_$tag"
       val lt = s"graft_bkl_$tag"
       if (!s.catalog.tableExists(ot)) {

@@ -429,6 +429,12 @@ object Dedup {
       .withColumn("comp", col("u")).localCheckpoint()
     var converged = false
     var it = 0
+    // hybrid round storage: persist+count most rounds (explicitly
+    // reclaimable the moment the next round lands), localCheckpoint every
+    // third (bounds the plan at ≤ 2³ copies of a FLAT scan — each round
+    // references `labels` twice, so unbounded chaining grows the plan
+    // 2^k-fold; checkpointed RDDs are reclaimed by the ContextCleaner)
+    var prevPersisted: DataFrame = null
     while (!converged && it < maxIter) {
       val prop = edges
         .join(labels.select(col("u").as("v"), col("comp")), "v")
@@ -447,10 +453,18 @@ object Dedup {
         .as[(Long, Long, Long)]
         .map { case (u, c, o) => if (c < o) acc.add(1L); (u, c) }
         .toDF("u", "comp")
-      // eager localCheckpoint = the round's one materializing action
-      // (acc is final after it) + lineage truncation; checkpointed RDDs
-      // are reclaimed by the ContextCleaner once unreferenced
-      labels = merged.localCheckpoint()
+      val truncate = it % 3 == 2
+      val next =
+        if (truncate) merged.localCheckpoint() // eager: materializes too
+        else {
+          val n = merged.persist()
+          try n.count()
+          catch { case e: Throwable => n.unpersist(blocking = false); throw e }
+          n
+        }
+      if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
+      prevPersisted = if (truncate) null else next
+      labels = next
       converged = acc.value == 0L
       it += 1
     }
@@ -479,8 +493,13 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, a: Column, b: Column,
                               maxIter: Int = 35): DataFrame = {
-    val e0 = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    val eAll = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
+    // every node mentioned in the input must appear in the output — a node
+    // whose only row is a self-pair has no star edges but still labels
+    // itself (label propagation keeps it; star contraction must too)
+    val nodes = eAll.select(col("u"))
+      .unionByName(eAll.select(col("v").as("u"))).distinct()
+    val e0 = eAll.filter(col("u") =!= col("v"))
 
     // large-star: center on EVERY node (both orientations); m = min of the
     // closed neighborhood; re-hang the larger neighbors onto m
@@ -523,13 +542,25 @@ object Dedup {
         df.sparkSession.sparkContext.defaultParallelism.toLong, rows / 100000L + 1))
       df.coalesce(parts.toInt)
     }
+    // hybrid round storage, as in [[connectedComponents]]: persist+count
+    // most rounds (explicitly reclaimable), localCheckpoint every third
+    // (bounds plan growth — the fixpoint check references the previous
+    // round alongside the two star halves)
     var edges = e0.distinct().localCheckpoint()
     var prevCnt = edges.count()
     var converged = prevCnt == 0L
     var it = 0
     try {
       while (!converged && it < maxIter) {
-        val next = sized(smallStar(largeStar(edges)), prevCnt).localCheckpoint()
+        val nextRaw = sized(smallStar(largeStar(edges)), prevCnt)
+        val next =
+          if (it % 3 == 2) nextRaw.localCheckpoint()
+          else {
+            val n = nextRaw.persist()
+            try n.count()
+            catch { case e: Throwable => n.unpersist(blocking = false); throw e }
+            n
+          }
         val cnt = next.count()
         // exact fixpoint: same multiset of (u, v) edges (both frames are
         // distinct sets, so equal counts + empty difference suffices)
@@ -547,13 +578,15 @@ object Dedup {
         throw e
     }
     // fixpoint edges form a star forest: (node → root) for every non-root;
-    // roots label themselves. The final edge frame stays persisted (and
-    // session-registered) — unpersisting it before the labels materialize
-    // would hand consumers the whole iteration chain to recompute.
+    // roots — and nodes with no star edge (self-paired singletons) —
+    // label themselves. The final edge frame stays registered —
+    // unpersisting it before the labels materialize would hand consumers
+    // the whole iteration chain to recompute.
     graft.CacheRegistry.register(edges)
-    val labels = edges
-      .unionByName(edges.select(col("v").as("u"), col("v")).distinct())
-      .withColumnRenamed("v", "comp")
+    val nonRoot = edges.withColumnRenamed("v", "comp")
+    val labels = nonRoot
+      .unionByName(nodes.join(nonRoot.select(col("u")), Seq("u"), "left_anti")
+        .withColumn("comp", col("u")))
     graft.CacheRegistry.register(labels.persist())
     labels
   }

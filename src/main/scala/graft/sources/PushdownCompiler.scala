@@ -129,13 +129,25 @@ object PushdownCompiler {
     */
   def gitlabVariables(projectPath: String, updatedAfterIso: String,
                       afterCursor: Option[String] = None): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape — the cursor is an opaque server-provided
+    // token, so control characters must not reach the payload raw
+    def q(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     s"""{"projectPath":${q(projectPath)},"updatedAfter":${q(updatedAfterIso)},""" +
       s""""after":${afterCursor.map(q).getOrElse("null")}}"""
   }
 
   /** OData `$expand` compile (`ab_query.ts:238-248` `setupQueryExpand`):
-    * fixed expansions plus the privacy-gated assignee.
+    * fixed expansions plus the privacy-gated assignee. The capital-S
+    * `$Select` on Project mirrors the reference byte-for-byte (Analytics
+    * accepts it; fidelity to the wire format the reference sends wins).
     */
   def odataExpand(ingestAssignee: Boolean = false): String = {
     val fixed = Seq("Area($select=AreaPath)", "Links",

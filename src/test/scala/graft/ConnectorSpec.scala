@@ -134,6 +134,15 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PushdownCompiler.gitlabVariables("p", "t").endsWith(""""after":null}"""))
   }
 
+  test("S7 $expand mirrors the reference expansion list byte-for-byte") {
+    // the capital-S $Select on Project is the reference's own casing
+    // (ab_query.ts:241) — wire-format fidelity is the contract here
+    assert(PushdownCompiler.odataExpand() ==
+      "Area($select=AreaPath),Links,Project($Select=ProjectId,ProjectName)")
+    assert(PushdownCompiler.odataExpand(ingestAssignee = true)
+      .endsWith(",AssignedTo($select=UserName)"))
+  }
+
   test("S8 Kanbanize card-scan params carry the watermark, paging and both field modes") {
     val full = PushdownCompiler.kanbanizeCardParams(
       "2024-01-20T00:00:00.000+00:00", page = 2, perPage = 200,

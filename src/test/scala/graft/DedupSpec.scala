@@ -71,9 +71,11 @@ class DedupSpec extends AnyFunSuite {
   test("star contraction labels every graph shape identically to label propagation") {
     import spark.implicits._
     val fixtures = Seq(
-      // chains, cycle, singleton pairs (the label-propagation fixture)
+      // chains, cycle, singleton pairs (the label-propagation fixture),
+      // plus a node whose ONLY row is a self-pair — it must still label
+      // itself under both algorithms
       Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
-        (30L, 31L), (31L, 32L), (30L, 32L)),
+        (30L, 31L), (31L, 32L), (30L, 32L), (7L, 7L)),
       // worst-case path for propagation, easy for star contraction
       (0L until 20L).map(i => (i, i + 1)),
       // two dense clusters bridged by one edge + reversed/duplicate edges
