@@ -83,7 +83,15 @@ object Bench {
         |["q24_event_dates","q25_state_category_asof"],
         |["q34_changelog_explode","q35_snapshot_pipeline","q36_states_translate","q41_custom_fields","q42_linked_items","q59_connector_scan","q60_automap_retranslate","q69_connector_idscan","q73_incremental_etl_loop"]]"""
         .stripMargin.replaceAll("\n\\s*", "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shared_frames":$sharedFrames,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shared_frames":$sharedFrames,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to disk: the driver captures only the log TAIL, which
+    // has truncated the per-query numbers out of past round artifacts
+    try {
+      val out = java.nio.file.Paths.get("target/bench_results.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] result file write failed: $e") }
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
     spark.stop()
   }

@@ -1416,7 +1416,13 @@ object SparkEntry {
     // on-disk watermark and PUSHED INTO the connector scan; round 3
     // replays round 1's stale input verbatim (at-least-once delivery):
     // the keyed merge makes it a content no-op and the monotonic advance
-    // cannot regress the mark. Output = final states + final watermark.
+    // cannot regress the mark. (The replay no-op leans on a fixture
+    // property: the raw drop carries one latest-only row per item, so a
+    // stale batch re-delivers values the merge already holds. True
+    // out-of-order replay safety — an older version arriving AFTER a
+    // newer one — would need a version-guarded merge that keeps the
+    // stored row when incoming.updated <= stored.updated.)
+    // Output = final states + final watermark.
     "q73_incremental_etl_loop" -> ((s, dir) => {
       val root = scratchDir("graft-loop")
       val wmPath = root + "/datasources"

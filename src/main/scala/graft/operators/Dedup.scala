@@ -468,6 +468,12 @@ object Dedup {
       converged = acc.value == 0L
       it += 1
     }
+    // non-convergence must not leak the last round's cache: the final
+    // frame is persisted (or checkpointed) but not yet registered, so an
+    // exhausted-iterations throw would leave an untracked cached frame in
+    // a long-lived session
+    if (!converged && prevPersisted != null)
+      prevPersisted.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // the final frame is checkpoint-cached; registered for session-scoped
     // cleanup like every other operator-owned cache
@@ -555,10 +561,23 @@ object Dedup {
     try {
       while (!converged && it < maxIter) {
         val next = sized(smallStar(largeStar(edges)), prevCnt).localCheckpoint()
-        val cnt = next.count()
-        // exact fixpoint: same multiset of (u, v) edges (both frames are
-        // distinct sets, so equal counts + empty difference suffices)
-        converged = cnt == prevCnt && next.exceptAll(edges).isEmpty
+        // exact fixpoint in ONE job (was count + exceptAll = two): both
+        // frames are distinct edge sets, so tagging each side and
+        // comparing per-(u,v) multiplicities in a two-level aggregate
+        // over the two flat checkpointed scans yields the new count AND
+        // the symmetric difference size together — one job per half-round
+        // (the checkpoint materialization plus this check per full round)
+        val stats = next.select(col("u"), col("v"), lit(1L).as("n"), lit(0L).as("o"))
+          .unionByName(edges.select(col("u"), col("v"), lit(0L).as("n"), lit(1L).as("o")))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("n")).as("n"), sum(col("o")).as("o"))
+          .agg(sum(col("n")).as("cnt"),
+            sum(when(col("n") =!= col("o"), 1L).otherwise(0L)).as("ndiff"))
+          .head()
+        val cnt = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        // ndiff == 0 ⇒ identical multisets (which implies cnt == prevCnt);
+        // null ⇒ both sides empty, also a fixpoint
+        converged = stats.isNullAt(1) || stats.getLong(1) == 0L
         edges.unpersist(blocking = false)
         edges = next
         prevCnt = cnt

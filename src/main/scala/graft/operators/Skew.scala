@@ -30,9 +30,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBy: Column, n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    val b = big.withColumn("__salt", pmod(hash(saltBy), lit(n)))
-    val sm = small.withColumn("__salt",
+    // the salt column must not collide with user data: withColumn would
+    // silently REPLACE an existing column of the same name (corrupting the
+    // join) and the final drop would remove the user's column
+    val salt = Iterator.from(0).map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(c => !big.columns.contains(c) && !small.columns.contains(c)).get
+    val b = big.withColumn(salt, pmod(hash(saltBy), lit(n)))
+    val sm = small.withColumn(salt,
       explode(sequence(lit(0), lit(n - 1))))
-    b.join(sm, keys :+ "__salt").drop("__salt")
+    b.join(sm, keys :+ salt).drop(salt)
   }
 }

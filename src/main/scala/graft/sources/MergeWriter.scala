@@ -83,8 +83,13 @@ object MergeWriter {
     else fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestPrefix) &&
         p.getName.endsWith(".json"))
-      .map(p => (p.getName.stripPrefix(ManifestPrefix)
-        .stripSuffix(".json").toLong, p))
+      // a stray non-numeric manifest-like name (someone's _manifest-backup
+      // .json) must not take every read and merge of the table down with a
+      // NumberFormatException — skip it, it is not part of the protocol
+      .flatMap { p =>
+        scala.util.Try(p.getName.stripPrefix(ManifestPrefix)
+          .stripSuffix(".json").toLong).toOption.map(v => (v, p))
+      }
       .sortBy(_._1)
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest = {
@@ -183,6 +188,13 @@ object MergeWriter {
     *
     * `buckets` applies on table creation; an existing table keeps its
     * stored bucket count (changing it would reshuffle every key).
+    *
+    * Concurrency contract: ONE writer per table path. The version-CAS
+    * commit makes a racing committer fail loudly (never corrupt), but the
+    * loser's staged epoch is reclaimed by the winner's [[gc]] — concurrent
+    * merges on one table are detected, not supported. Readers are safe
+    * throughout ([[KeepManifests]] keeps the previous version's epochs
+    * alive through the next commit).
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64): Unit = {

@@ -108,7 +108,11 @@ object AdoFixtureTable {
     case IsNotNull(a) => get(a) != null
     case IsNull(a) => get(a) == null
     case Or(l, r) => eval(l, get) || eval(r, get)
-    case _ => true
+    // Spark trusts accepted DSv2 pushed filters (they are NOT re-evaluated
+    // post-scan), so a supported()/eval desync must fail loudly instead of
+    // silently returning extra rows
+    case f => throw new IllegalStateException(
+      s"graft-ado: accepted but unevaluable pushed filter $f")
   }
 }
 

@@ -98,7 +98,10 @@ object JiraFixtureTable {
     case EqualTo(a, v: String) => get(a) == v
     case In(a, vs) => vs.exists(v => get(a) == String.valueOf(v))
     case IsNotNull(a) => get(a) != null
-    case _ => true
+    // accepted pushed filters are never re-checked by Spark — a
+    // supported()/eval desync must fail loudly, not widen the result
+    case f => throw new IllegalStateException(
+      s"graft-jira: accepted but unevaluable pushed filter $f")
   }
 }
 

@@ -68,6 +68,29 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 13 && comp.values.forall(_ == 0L))
   }
 
+  test("connectedComponents non-convergence throws without leaking a cached frame") {
+    import spark.implicits._
+    // a path needs ~diameter rounds; maxIter = 1 forces the exhausted-
+    // iterations throw, which must unpersist the final round's frame
+    // (checkpointed RDDs are reclaimed by the ContextCleaner; persisted
+    // frames must not linger untracked in a long-lived session)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"), maxIter = 1)
+    }
+    // the explicit unpersist is async, and the round checkpoints are
+    // reclaimed by the ContextCleaner once unreferenced — nudge the GC
+    // and poll until the cache set returns to its pre-call state
+    val deadline = System.nanoTime() + 20L * 1000000000L
+    def leaked() = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .nonEmpty
+    while (leaked() && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(!leaked(), "non-convergence leaked a persisted frame")
+  }
+
   test("star contraction labels every graph shape identically to label propagation") {
     import spark.implicits._
     val fixtures = Seq(
