@@ -1518,8 +1518,95 @@ object SparkEntry {
       Dedup.connectedComponentsStar(srpPairsFrame(s, dir),
           col("id_a"), col("id_b"))
         .select(col("u").as("vec_id"), col("comp"))
+    }),
+
+    // S8 through a REAL DataSourceV2 connector (`graft-kbz`): the
+    // incremental watermark is pushed into the source and re-compiled to
+    // the reference's card-scan query string — `last_modified_from`
+    // URL-encoded ISO plus `workflow_ids` membership (visible in explain
+    // next to the full-scan `expand=transitions,custom_fields` field
+    // list) — and enforced by a reader that parses only the pruned
+    // columns. The membership-only projection mode
+    // (`fields=card_id,workflow_id,type_id`) is asserted in ConnectorSpec.
+    "q77_kbz_connector_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-kbz")
+      kbzCardsJson(s, dir).write.mode("overwrite").text(path)
+      s.read.format("graft-kbz").option("path", path).load()
+        .filter(col("last_modified") > "2024-01-25T00:00:00.000000" &&
+          col("workflow_id").isin(1L, 2L) && col("owner_user_id").isNotNull)
+        .select(col("card_id"), col("title"), col("type_id"),
+          col("workflow_id"), col("column_id"), col("revision"))
+    }),
+
+    // S9 through a REAL DataSourceV2 connector (`graft-gitlab`): the
+    // incremental watermark and project membership are pushed into the
+    // source and re-compiled to the reference's GraphQL request — the
+    // `updatedAfter`/`projectPath` variables payload next to the
+    // `state: merged, sort: UPDATED_ASC` query document (both visible in
+    // explain) — and enforced by a reader that parses only the pruned
+    // columns. Rows feed the T20/L5 VC transforms downstream (q48/q55).
+    "q78_gitlab_connector_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-gitlab")
+      gitlabMrsJson(s, dir).write.mode("overwrite").text(path)
+      s.read.format("graft-gitlab").option("path", path).load()
+        .filter(col("updated_at") > "1995-06-01T00:00:00.000000" &&
+          col("project_path") === "org/proj-3")
+        .select(col("mr_id"), col("iid"), col("merge_commit_sha"),
+          col("title"), col("source_branch"), col("merged_at"))
     })
   )
+
+  /** Kanbanize-shaped card drop built from `events`: one JSON document per
+    * card with the reference's snake_case field names
+    * (`extract_state_processor.ts:107-123`) — created/modified from the
+    * event-time range, revision = event count, board/workflow/column/type
+    * from deterministic id residues, and an absent `owner_user_id` on
+    * every 13th card (the API omits unset fields).
+    */
+  private def kbzCardsJson(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    Tables.events(s, dir).groupBy(col("user_id")).agg(
+        min(col("ts")).as("created_ts"),
+        max(col("ts")).as("modified_ts"),
+        count(lit(1)).as("n_revs"))
+      .select(to_json(struct(
+        col("user_id").cast("long").as("card_id"),
+        concat(lit("Card "), col("user_id")).as("title"),
+        pmod(col("user_id"), lit(5)).cast("long").as("type_id"),
+        date_format(col("created_ts"), tsFmt).as("created_at"),
+        col("n_revs").as("revision"),
+        date_format(col("modified_ts"), tsFmt).as("last_modified"),
+        pmod(col("user_id"), lit(3)).cast("long").as("board_id"),
+        pmod(col("user_id"), lit(4)).cast("long").as("workflow_id"),
+        pmod(col("user_id"), lit(6)).cast("long").as("column_id"),
+        when(pmod(col("user_id"), lit(13)) =!= 0,
+          pmod(col("user_id"), lit(11)).cast("long")).as("owner_user_id")))
+        .as("raw_json"))
+  }
+
+  /** GitLab-GraphQL-shaped merge-request drop built from `orders`: one MR
+    * node JSON document per sampled order with the GraphQL camelCase field
+    * names (`gitlab_extractor.ts:299-310`) — all `merged` (the query's
+    * fixed state), updated two days and merged one day after creation.
+    */
+  private def gitlabMrsJson(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(to_json(struct(
+        concat(lit("gid://gitlab/MergeRequest/"), col("o_orderkey")).as("id"),
+        col("o_orderkey").cast("long").as("iid"),
+        md5(col("o_orderkey").cast("string")).as("mergeCommitSha"),
+        concat(lit("MR "), col("o_orderkey")).as("title"),
+        lit("main").as("targetBranch"),
+        concat(lit("feature/"), pmod(col("o_custkey"), lit(10))).as("sourceBranch"),
+        date_format(col("o_orderdate").cast("timestamp"), tsFmt).as("createdAt"),
+        date_format(col("o_orderdate").cast("timestamp")
+          + expr("INTERVAL 2 DAY"), tsFmt).as("updatedAt"),
+        date_format(col("o_orderdate").cast("timestamp")
+          + expr("INTERVAL 1 DAY"), tsFmt).as("mergedAt"),
+        concat(lit("org/proj-"), pmod(col("o_custkey"), lit(10))).as("projectPath")))
+        .as("raw_json"))
+  }
 
   /** ADO-Analytics-shaped raw-item drop built from `events`: one JSON
     * document per work item with the Analytics field names, surrogate date
@@ -2776,6 +2863,41 @@ object SparkEntry {
          |  SELECT u, w FROM ed
          |  UNION
          |  SELECT r.u, e2.w FROM reach r JOIN ed e2 ON r.w = e2.u)
-         |SELECT u AS vec_id, LEAST(u, MIN(w)) AS comp FROM reach GROUP BY u""".stripMargin
+         |SELECT u AS vec_id, LEAST(u, MIN(w)) AS comp FROM reach GROUP BY u""".stripMargin,
+
+    // Recompute the Kanbanize card fixture from events, then apply the
+    // predicates the connector pushes (watermark on max event time,
+    // workflow membership, owner present).
+    "q77_kbz_connector_scan" ->
+      """WITH agg AS (
+        |  SELECT user_id, MAX(ts) AS modified_ts, COUNT(*) AS n_revs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id AS card_id,
+        |  'Card ' || CAST(user_id AS VARCHAR) AS title,
+        |  user_id % 5 AS type_id,
+        |  user_id % 4 AS workflow_id,
+        |  user_id % 6 AS column_id,
+        |  n_revs AS revision
+        |FROM agg
+        |WHERE modified_ts > TIMESTAMP '2024-01-25 00:00:00'
+        |  AND user_id % 4 IN (1, 2)
+        |  AND user_id % 13 <> 0""".stripMargin,
+
+    // Recompute the GitLab MR fixture from orders, then apply the
+    // predicates the connector pushes (updatedAfter watermark,
+    // projectPath membership).
+    "q78_gitlab_connector_scan" ->
+      """SELECT 'gid://gitlab/MergeRequest/' || CAST(o_orderkey AS VARCHAR) AS mr_id,
+        |  o_orderkey AS iid,
+        |  md5(CAST(o_orderkey AS VARCHAR)) AS merge_commit_sha,
+        |  'MR ' || CAST(o_orderkey AS VARCHAR) AS title,
+        |  'feature/' || CAST(o_custkey % 10 AS VARCHAR) AS source_branch,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY,
+        |           '%Y-%m-%dT%H:%M:%S.%f') AS merged_at
+        |FROM orders
+        |WHERE o_orderkey % 20 = 0
+        |  AND CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY
+        |      > TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_custkey % 10 = 3""".stripMargin
   )
 }

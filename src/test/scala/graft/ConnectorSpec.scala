@@ -158,6 +158,102 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!membership.contains("expand="))
   }
 
+  private def writeKbzFixture(): String = {
+    val dir = Files.createTempDirectory("kbz-src").toString
+    def card(id: Long, wf: Long, modified: String, owner: Option[Long]) =
+      s"""{"card_id":$id,"title":"Card $id","type_id":${id % 5},""" +
+        s""""created_at":"2024-01-01T00:00:00.000000","revision":3,""" +
+        s""""last_modified":"$modified","board_id":${id % 3},""" +
+        s""""workflow_id":$wf,"column_id":${id % 6}""" +
+        owner.map(o => s""","owner_user_id":$o""").getOrElse("") + "}"
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.json"), java.util.Arrays.asList(
+      card(1, 11, "2024-01-10T00:00:00.000000", Some(7)),
+      card(2, 11, "2024-01-20T00:00:00.000000", Some(8))))
+    Files.write(java.nio.file.Paths.get(dir, "part-00001.json"), java.util.Arrays.asList(
+      card(3, 12, "2024-01-25T00:00:00.000000", None),
+      card(4, 13, "2024-01-26T00:00:00.000000", Some(9))))
+    dir
+  }
+
+  test("Kanbanize connector compiles pushed filters to the reference card-scan params") {
+    val dir = writeKbzFixture()
+    val df = spark.read.format("graft-kbz").option("path", dir).load()
+      .filter(col("last_modified") > "2024-01-15T00:00:00.000000" &&
+        col("workflow_id").isin(11L, 12L))
+      .select("card_id", "title", "workflow_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftKbzFixture"), plan)
+    // watermark URL-encoded into last_modified_from, membership into
+    // workflow_ids, full-scan mode expands transitions+custom_fields
+    assert(plan.contains(
+      "last_modified_from=2024-01-15T00%3A00%3A00.000000"), plan)
+    assert(plan.contains("workflow_ids=11,12"), plan)
+    assert(plan.contains("expand=transitions,custom_fields"), plan)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((2L, "Card 2", 11L), (3L, "Card 3", 12L)))
+  }
+
+  test("Kanbanize membership-only projection compiles the reference refresh mode") {
+    val dir = writeKbzFixture()
+    // projecting nothing beyond (card_id, workflow_id, type_id) must flip
+    // the compile to the membership refresh (extract_state_processor.ts:185-198)
+    val df = spark.read.format("graft-kbz").option("path", dir).load()
+      .select("card_id", "workflow_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("fields=card_id,workflow_id,type_id"), plan)
+    assert(!plan.contains("expand="), plan)
+    assert(plan.contains("pruned=card_id,workflow_id"), plan)
+    assert(df.collect().length == 4)
+    // a wider projection keeps the full-scan mode
+    val full = spark.read.format("graft-kbz").option("path", dir).load()
+      .select("card_id", "title")
+      .queryExecution.executedPlan.toString
+    assert(full.contains("expand=transitions,custom_fields"), full)
+  }
+
+  test("Kanbanize null semantics: absent owner stays null and IsNotNull is enforced") {
+    val dir = writeKbzFixture()
+    val df = spark.read.format("graft-kbz").option("path", dir).load()
+      .filter(col("owner_user_id").isNotNull)
+      .select("card_id")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  private def writeGitlabFixture(): String = {
+    val dir = Files.createTempDirectory("gitlab-src").toString
+    def mr(iid: Long, path: String, updated: String) =
+      s"""{"id":"gid://gitlab/MergeRequest/$iid","iid":$iid,""" +
+        s""""mergeCommitSha":"sha$iid","title":"MR $iid",""" +
+        s""""targetBranch":"main","sourceBranch":"feature/$iid",""" +
+        s""""createdAt":"2024-01-01T00:00:00.000000","updatedAt":"$updated",""" +
+        s""""mergedAt":"$updated","projectPath":"$path"}"""
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.json"), java.util.Arrays.asList(
+      mr(1, "org/a", "2024-01-10T00:00:00.000000"),
+      mr(2, "org/a", "2024-01-20T00:00:00.000000")))
+    Files.write(java.nio.file.Paths.get(dir, "part-00001.json"), java.util.Arrays.asList(
+      mr(3, "org/b", "2024-01-25T00:00:00.000000")))
+    dir
+  }
+
+  test("GitLab connector compiles pushed filters to the reference GraphQL request") {
+    val dir = writeGitlabFixture()
+    val df = spark.read.format("graft-gitlab").option("path", dir).load()
+      .filter(col("updated_at") > "2024-01-15T00:00:00.000000" &&
+        col("project_path") === "org/a")
+      .select("iid", "title", "source_branch")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftGitlabFixture"), plan)
+    // the watermark rides the updatedAfter variable, membership rides
+    // projectPath; the document itself pins merged state + resumable sort
+    assert(plan.contains(
+      """variables=[{"projectPath":"org/a","updatedAfter":"2024-01-15T00:00:00.000000","after":null}]"""),
+      plan)
+    assert(plan.contains("state: merged"), plan)
+    assert(plan.contains("sort: UPDATED_ASC"), plan)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((2L, "MR 2", "feature/2")))
+  }
+
   test("ADO OData compile matches the standalone S7 compile for the same predicate") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, IsNull, Or}
     import graft.sources.connector.AdoFixtureTable
