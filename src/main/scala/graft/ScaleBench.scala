@@ -111,9 +111,25 @@ object ScaleBench {
     }
 
     println(s"""{"vocab_sf01":${vocabOf(base)},"vocab_rep10":${vocabOf(rep)},"vocab_zipf":${vocabOf(zipf)}}""")
+    // SRP candidate volume, narrow vs wide band keys, on the dense-replica
+    // corpus: the 8-bit keys of 32/4 have a random collision floor of
+    // bands·n²/256 that swamps the candidate set at rep10 scale; the
+    // 16-bit keys of 64/4 push the same floor out 256×, so candidates
+    // collapse to ≈ the true replica pairs (the q81 configuration).
+    def srpCand(dir: String, bits: Int, bands: Int): Unit = {
+      val t0 = System.nanoTime()
+      val n = operators.Similarity.srpCandidatePairs(
+        Tables.embeddings(spark, dir), col("vec_id"), col("embedding"),
+        bits = bits, bands = bands).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"dir":"$dir","srp_candidates":"$bits/$bands","sec":$sec%.2f,"rows":$n}""")
+    }
+    srpCand(rep, 32, 4)
+    srpCand(rep, 64, 4)
     val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
-      "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions")
+      "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions",
+      "q81_srp_wide_replicas")
     heavy.foreach(q => time(base, q))
     heavy.foreach(q => time(rep, q))
     time(zipf, "q22_ngram_jaccard")

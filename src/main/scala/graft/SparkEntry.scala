@@ -1553,8 +1553,43 @@ object SparkEntry {
           col("project_path") === "org/proj-3")
         .select(col("mr_id"), col("iid"), col("merge_commit_sha"),
           col("title"), col("source_branch"), col("merged_at"))
+    }),
+
+    // The WIDE-KEY SRP configuration (64-bit signatures, 4×16-bit bands)
+    // over a dense-replica corpus — the scale regime q62's 8-bit band
+    // keys cannot survive: with only 256 buckets per band the random
+    // collision floor `bands·n²/2^width` swamps the candidate set by
+    // ~20k vectors, while 16-bit keys push it out 256×. Wide keys lose
+    // recall on moderate-cosine pairs (p^16 vs p^8), so q62 keeps 32/4
+    // for the table's 0.35-threshold pairs and THIS query is the
+    // high-threshold dense-replica path: three deterministic replicas
+    // per vector (±0.01/dim arithmetic noise, cos ≈ 0.999 within a
+    // replica group), threshold 0.9.
+    "q81_srp_wide_replicas" -> ((s, dir) => {
+      Similarity.srpNearDupPairs(replicaEmbeddings(s, dir),
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, bits = 64, bands = 4)
     })
   )
+
+  /** Three deterministic replicas per embedding: replica 0 verbatim,
+    * replicas 1-2 with pure-arithmetic ±0.01/dim noise keyed on
+    * (base id, replica, dim) — reproduced exactly by the DuckDB oracle
+    * (same integer residue and double fold on both engines).
+    */
+  private def replicaEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("bid"),
+        col("embedding").cast("array<double>").as("e"),
+        explode(sequence(lit(0L), lit(2L))).as("r"))
+      // 1e8 stride: must clear ScaleBench's rep10 ids (base + r·1e6)
+      .select((col("bid") + col("r") * 100000000L).as("vec_id"),
+        when(col("r") === 0, col("e")).otherwise(
+          zip_with(col("e"),
+            transform(sequence(lit(0L), size(col("e")).cast("long") - 1),
+              j => (pmod(col("bid") * 31 + col("r") * 7 + j * 13, lit(1000))
+                .cast("double") / 1000.0 - 0.5) * 0.02),
+            (x, n) => x + n)).as("embedding"))
 
   /** Kanbanize-shaped card drop built from `events`: one JSON document per
     * card with the reference's snake_case field names
@@ -1670,26 +1705,34 @@ object SparkEntry {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
-  /** SRP signature/candidate/verified-pair CTE chain (shared by q62/q76):
-    * bit p of the signature is the sign of the left-to-right double fold
-    * of e·w_p with the deterministic LCG plane grid (same constants and
-    * summation order as Similarity.srpSignatures); candidates from the
-    * 4×8-bit band join; `srp_pairs` carries the exact verified cosine.
+  /** SRP signature/candidate/verified-pair CTE chain, parameterized by the
+    * source CTE (must define `v(vec_id, e)` with e a double list), the
+    * signature geometry, and the verify threshold: bit p of the signature
+    * is the sign of the left-to-right double fold of e·w_p with the
+    * deterministic LCG plane grid (same constants and summation order as
+    * Similarity.srpSignatures); candidates from the bits/bands band join;
+    * `srp_pairs` carries the exact verified cosine.
     */
-  private def srpPairsOracleCtes: String = {
-    val bitTerms = (0 until 32).map { p =>
+  private def srpOracleCtes(srcCte: String, bits: Int, bands: Int,
+                            threshold: Double): String = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bitTerms = (0 until bits).map { p =>
+      // DuckDB refuses 1<<63 (signed overflow); the sign-bit term is the
+      // INT64-min literal, the exact two's-complement value 1L<<63 is in
+      // the Scala kernel
+      val term = if (p == 63) "CAST(-9223372036854775808 AS BIGINT)"
+        else s"(CAST(1 AS BIGINT) << $p)"
       s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform(range(64), j -> e[j+1] *
          |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
-         |    (a, x) -> a + x) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END""".stripMargin
+         |    (a, x) -> a + x) > 0 THEN $term ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString(" + ")
-    s"""v AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
+    s"""$srcCte,
        |sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
        |bandrows AS (
-       |  SELECT vec_id, band, (srp_sig >> (band*8)) & 255 AS band_key
-       |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+       |  SELECT vec_id, band, (srp_sig >> (band*$width)) & $mask AS band_key
+       |  FROM sig, (SELECT unnest(range($bands)) AS band) b),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
        |  FROM bandrows a JOIN bandrows bb
@@ -1700,8 +1743,34 @@ object SparkEntry {
        |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
        |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
        |  WHERE ROUND(list_dot_product(va.e, vb.e) /
-       |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.35)""".stripMargin
+       |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= $threshold)""".stripMargin
   }
+
+  /** The q62/q76 chain: raw embeddings, 32-bit/4-band signatures,
+    * threshold 0.35 — recall-tuned for the table's moderate-cosine pairs.
+    */
+  private def srpPairsOracleCtes: String = srpOracleCtes(
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings)""".stripMargin,
+    bits = 32, bands = 4, threshold = 0.35)
+
+  /** The q81 chain: three deterministic replicas per vector (±0.01/dim
+    * arithmetic noise on replicas 1-2), 64-bit/4-band signatures (16-bit
+    * band keys), threshold 0.9 — the dense-replica scale configuration.
+    */
+  private def srpWideOracleCtes: String = srpOracleCtes(
+    """vb AS (
+      |  SELECT vec_id AS bid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT bid + r*100000000 AS vec_id,
+      |    CASE WHEN r = 0 THEN e0 ELSE
+      |      list_transform(range(len(e0)), j -> e0[j+1] +
+      |        (CAST((bid*31 + r*7 + j*13) % 1000 AS DOUBLE)/1000.0 - 0.5) * 0.02)
+      |    END AS e
+      |  FROM vb CROSS JOIN (SELECT unnest(range(3)) AS r) rr)""".stripMargin,
+    bits = 64, bands = 4, threshold = 0.9)
 
   /** MinHash signature CTE chain, generated from the same constants the
     * Spark operator uses (Sketches.MinhashA/B) over the same dictionary-free
@@ -2898,6 +2967,10 @@ object SparkEntry {
         |WHERE o_orderkey % 20 = 0
         |  AND CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY
         |      > TIMESTAMP '1995-06-01 00:00:00'
-        |  AND o_custkey % 10 = 3""".stripMargin
+        |  AND o_custkey % 10 = 3""".stripMargin,
+
+    "q81_srp_wide_replicas" ->
+      s"""WITH $srpWideOracleCtes
+         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin
   )
 }

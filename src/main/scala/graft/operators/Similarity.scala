@@ -193,6 +193,33 @@ object Similarity {
     * is the standard LSH trade (raise bands/bits to tighten), and every
     * surviving pair carries its exact verified cosine.
     */
+  /** The banded candidate stage of [[srpNearDupPairs]], exposed for
+    * instrumentation: distinct (id_a < id_b) pairs sharing at least one
+    * band key. Candidate volume ≈ true near-dup pairs + the random
+    * collision floor `bands · n² / 2^(bits/bands)` — at large n the band
+    * KEY WIDTH dominates: 8-bit keys (32/4) give only 256 buckets per
+    * band and the floor swamps everything by ~20k vectors, while 16-bit
+    * keys (64/4) push the same floor out 256×. The wide config loses
+    * recall on moderate-cosine pairs (p^16 vs p^8), so it is the
+    * dense-replica/high-threshold scale choice, not a universal default.
+    */
+  def srpCandidatePairs(emb: DataFrame, id: Column, vec: Column,
+                        bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0 && bits >= 1 && bits <= 64,
+      s"bits=$bits must be a multiple of bands=$bands and fit one long")
+    val sig = graft.CacheRegistry.persist(srpSignatures(emb, id, vec, bits))
+    val width = bits / bands
+    val bandRows = (0 until bands).map { b =>
+      sig.select(col("id"), lit(b).as("band"),
+        shiftright(col("srp_sig"), b * width)
+          .bitwiseAND((1L << width) - 1).as("band_key"))
+    }.reduce(_ unionByName _)
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
   def srpNearDupPairs(emb: DataFrame, id: Column, vec: Column,
                       threshold: Double, bits: Int = 32,
                       bands: Int = 4): DataFrame = {
@@ -213,19 +240,7 @@ object Similarity {
       emb.select(id.cast("long").as("id"), vec.cast(wireType).as("v"))
         .withColumn("nrm", sqrt(dot_product(col("v").cast("array<double>"),
           col("v").cast("array<double>")))))
-    val sig = graft.CacheRegistry.persist(
-      srpSignatures(emb, id, vec, bits))
-    val width = bits / bands
-    val bandRows = (0 until bands).map { b =>
-      sig.select(col("id"), lit(b).as("band"),
-        shiftright(col("srp_sig"), b * width)
-          .bitwiseAND((1L << width) - 1).as("band_key"))
-    }.reduce(_ unionByName _)
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
+    srpCandidatePairs(emb, id, vec, bits, bands)
       .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", round(
