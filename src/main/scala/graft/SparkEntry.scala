@@ -93,7 +93,8 @@ object SparkEntry {
   def clearCaches(s: SparkSession): Unit = {
     val key = CacheRegistry.sessionKey(s)
     Seq(datesCache, rawJsonCache, rawParsedCache, rawRevsCache,
-        rawDatesCache, jacPairsCache, compCache, srpPairsCache)
+        rawDatesCache, jacPairsCache, compCache, srpPairsCache,
+        ivfCentroidsCache)
       .foreach(_.keySet.removeIf(_._1 == key))
     CacheRegistry.clear(s)
   }
@@ -265,6 +266,19 @@ object SparkEntry {
       Similarity.srpNearDupPairs(Tables.embeddings(s, dir), col("vec_id"),
         col("embedding"), threshold = 0.35, bits = 32, bands = 4)
         .transform(CacheRegistry.persist))
+
+  /** q52's trained IVF centroid frame (2 Lloyd iterations from the first 8
+    * vectors), persisted inside ivfTrain and memoized so q79's semantic
+    * dedup reuses the same centroids instead of re-training.
+    */
+  private val ivfCentroidsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def ivfCentroidsFrame(s: SparkSession, dir: String): DataFrame =
+    ivfCentroidsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTrain(emb, emb.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), iterations = 2)
+    })
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
@@ -989,11 +1003,11 @@ object SparkEntry {
     // accumulated means, bit-reproducible) and 2-cell multi-probe.
     "q52_ann_kmeans" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
+      Similarity.ivfTopKPretrained(
         vectors = emb,
-        centroids = emb.filter(col("vec_id") < 8),
+        trained = ivfCentroidsFrame(s, dir),
         queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
-        col("vec_id"), col("embedding"), k = 3, iterations = 2, probes = 2)
+        col("vec_id"), col("embedding"), k = 3, probes = 2)
     }),
 
     // §2.5: the streaming tumbling-window aggregation run in batch mode —
@@ -1555,6 +1569,32 @@ object SparkEntry {
           col("title"), col("source_branch"), col("merged_at"))
     }),
 
+    // Semantic dedup over IVF cells — the standard embedding-dedup recipe
+    // and the q65 analog for vectors: assign every vector to its trained
+    // IVF cell (q52's persisted centroids, shared), run the exact cosine
+    // verify INSIDE cells only (the cell partition bounds the O(n²) to
+    // per-cell blocks — at 100 TB cell count scales with the corpus and
+    // this is a bucketed self-join, never a global cross product), feed
+    // the verified pairs to connected components, and keep one survivor
+    // per transitive cluster — the most CENTRAL member (max cosine to its
+    // cell centroid, tie min id).
+    "q79_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = CacheRegistry.persist(
+        Similarity.ivfAssignCells(emb, ivfCentroidsFrame(s, dir),
+            col("vec_id"), col("embedding"))
+          .withColumn("q", round(col("centroid_cos"), 6)))
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+        .filter(round(graft.functions.VectorExpressions.dot_product(
+            col("x.vv"), col("y.vv")) / (col("x.vn") * col("y.vn")), 6) >= 0.35)
+        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      Dedup.survivorPerCluster(comps,
+        a.select(col("vid").as("doc_id"), col("q")),
+        col("doc_id"), col("q"))
+    }),
+
     // The WIDE-KEY SRP configuration (64-bit signatures, 4×16-bit bands)
     // over a dense-replica corpus — the scale regime q62's 8-bit band
     // keys cannot survive: with only 256 buckets per band the random
@@ -1744,6 +1784,45 @@ object SparkEntry {
        |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
        |  WHERE ROUND(list_dot_product(va.e, vb.e) /
        |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) >= $threshold)""".stripMargin
+  }
+
+  /** Trained-IVF CTE chain (shared by q52/q79): two decimal-exact Lloyd
+    * iterations from the first 8 vectors (the mirror of
+    * Similarity.ivfTrain with iterations = 2), then `af` assigns every
+    * vector to its nearest trained cell — CTEs v, vn, c0, c1, c2, af.
+    */
+  private def ivfTrainedOracleCtes: String = {
+    // one Lloyd iteration: assign to nearest centroid (cosine, tie cid),
+    // recompute centroids as decimal-exact element-wise means
+    def lloyd(cIn: String, aOut: String, mOut: String, cOut: String) =
+      s"""$aOut AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn a, $cIn c) WHERE rn = 1),
+         |$mOut AS (
+         |  SELECT cell, u.pos AS pos,
+         |    CAST(SUM(CAST(u.val AS DECIMAL(38,15))) AS DOUBLE)/COUNT(*) AS m
+         |  FROM $aOut, UNNEST(list_transform(range(len(e)),
+         |    i -> struct_pack(pos := i, val := e[i+1]))) AS t(u)
+         |  GROUP BY 1, 2),
+         |$cOut AS (
+         |  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
+         |    SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM $mOut GROUP BY 1))""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vn WHERE vec_id < 8),
+       |${lloyd("c0", "a1", "m1", "c1")},
+       |${lloyd("c1", "a2", "m2", "c2")},
+       |af AS (
+       |  SELECT vec_id, e, nrm, cid AS cell FROM (
+       |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+       |    FROM vn a, c2 c) WHERE rn = 1)""".stripMargin
   }
 
   /** The q62/q76 chain: raw embeddings, 32-bit/4-band signatures,
@@ -2551,38 +2630,8 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
-    "q52_ann_kmeans" -> {
-      // one Lloyd iteration: assign to nearest centroid (cosine, tie cid),
-      // recompute centroids as decimal-exact element-wise means
-      def lloyd(cIn: String, aOut: String, mOut: String, cOut: String) =
-        s"""$aOut AS (
-           |  SELECT vec_id, e, nrm, cid AS cell FROM (
-           |    SELECT a.vec_id, a.e, a.nrm, c.cid,
-           |      row_number() OVER (PARTITION BY a.vec_id
-           |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
-           |    FROM vn a, $cIn c) WHERE rn = 1),
-           |$mOut AS (
-           |  SELECT cell, u.pos AS pos,
-           |    CAST(SUM(CAST(u.val AS DECIMAL(38,15))) AS DOUBLE)/COUNT(*) AS m
-           |  FROM $aOut, UNNEST(list_transform(range(len(e)),
-           |    i -> struct_pack(pos := i, val := e[i+1]))) AS t(u)
-           |  GROUP BY 1, 2),
-           |$cOut AS (
-           |  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
-           |    SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM $mOut GROUP BY 1))""".stripMargin
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vn WHERE vec_id < 8),
-         |${lloyd("c0", "a1", "m1", "c1")},
-         |${lloyd("c1", "a2", "m2", "c2")},
-         |af AS (
-         |  SELECT vec_id, e, nrm, cid AS cell FROM (
-         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
-         |    FROM vn a, c2 c) WHERE rn = 1),
+    "q52_ann_kmeans" ->
+      s"""WITH $ivfTrainedOracleCtes,
          |qc AS (
          |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS cell FROM (
          |    SELECT a.vec_id, a.e, a.nrm, c.cid,
@@ -2596,8 +2645,7 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 3""".stripMargin
-    },
+         |WHERE rank <= 3""".stripMargin,
 
     "q53_windowed_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -2971,6 +3019,36 @@ object SparkEntry {
 
     "q81_srp_wide_replicas" ->
       s"""WITH $srpWideOracleCtes
-         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin
+         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Semantic dedup: same trained-IVF chain as q52, exact verify inside
+    // cells, recursive-CTE transitive closure (the q63/q76 formulation),
+    // survivor = max centroid-cosine per cluster (tie min id).
+    "q79_semantic_dedup" ->
+      s"""WITH RECURSIVE $ivfTrainedOracleCtes,
+         |qual AS (
+         |  SELECT a.vec_id, a.cell, a.e, a.nrm,
+         |    ROUND(list_dot_product(a.e, c.ce)/(a.nrm*c.cn), 6) AS q
+         |  FROM af a JOIN c2 c ON a.cell = c.cid),
+         |prs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM qual x JOIN qual y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ROUND(list_dot_product(x.e, y.e)/(x.nrm*y.nrm), 6) >= 0.35),
+         |ed AS (SELECT id_a AS u, id_b AS w FROM prs
+         |       UNION SELECT id_b, id_a FROM prs),
+         |reach(u, w) AS (
+         |  SELECT u, w FROM ed
+         |  UNION
+         |  SELECT r.u, e2.w FROM reach r JOIN ed e2 ON r.w = e2.u),
+         |cmp AS (SELECT u, LEAST(u, MIN(w)) AS comp FROM reach GROUP BY u)
+         |SELECT comp AS cluster_id, vec_id AS survivor_id, n_members,
+         |  q AS quality_score
+         |FROM (
+         |  SELECT c.comp, qu.vec_id, qu.q,
+         |    row_number() OVER (PARTITION BY c.comp
+         |      ORDER BY qu.q DESC, qu.vec_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+         |  FROM cmp c JOIN qual qu ON c.u = qu.vec_id)
+         |WHERE rn = 1""".stripMargin
   )
 }

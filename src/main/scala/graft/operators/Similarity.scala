@@ -58,25 +58,59 @@ object Similarity {
     * map-side cross product per vector (|C| dot products); the search join
     * shuffles on the cell id.
     */
-  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
-              id: Column, vec: Column, k: Int,
-              iterations: Int = 0, probes: Int = 1): DataFrame = {
-    val c0 = prepVecs(centroids, id, vec, "cid", "cv", "cn")
-    val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
-    // persist the trained centroid set (centroid-count rows — tiny at any
-    // scale): it is referenced by both the assignment and the probe pass,
-    // which would otherwise each re-run the whole Lloyd chain. Registered
-    // with the session's CacheRegistry so callers can reclaim storage.
-    val c = if (iterations == 0) c0
-      else graft.CacheRegistry.persist(
+  /** Train IVF centroids: `iterations` Lloyd steps from the seed set.
+    * Returns the centroid frame (cid, cv, cn); trained sets are persisted
+    * (centroid-count rows — tiny at any scale) and registered with the
+    * session's CacheRegistry so callers can reclaim storage.
+    */
+  def ivfTrain(vectors: DataFrame, seeds: DataFrame, id: Column, vec: Column,
+               iterations: Int): DataFrame = {
+    val c0 = prepVecs(seeds, id, vec, "cid", "cv", "cn")
+    if (iterations == 0) c0
+    else {
+      val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
+      graft.CacheRegistry.persist(
         (0 until iterations).foldLeft(c0)((cc, _) => kmeansStep(v, cc)))
+    }
+  }
+
+  /** Assign every vector to its nearest cell (argmax cosine, tie on cid)
+    * against a trained centroid frame from [[ivfTrain]]. Returns
+    * (vid, vv, vn, cell, centroid_cos) — the centroid cosine doubles as a
+    * centrality score (used by semantic dedup's survivor selection). The
+    * centroid set is broadcast; assignment is |C| dot products per vector,
+    * map-side, no shuffle of the vector table.
+    */
+  def ivfAssignCells(vectors: DataFrame, trained: DataFrame,
+                     id: Column, vec: Column): DataFrame = {
+    val v = prepVecs(vectors, id, vec, "vid", "vv", "vn")
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("__cos").desc, col("cid"))
-    val assigned = v.crossJoin(broadcast(c))
+    v.crossJoin(broadcast(trained))
       .withColumn("__cos", dot_product(col("vv"), col("cv")) / (col("vn") * col("cn")))
       .withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
-      .select(col("vid"), col("vv"), col("vn"), col("cid").as("cell"))
+      .select(col("vid"), col("vv"), col("vn"), col("cid").as("cell"),
+        col("__cos").as("centroid_cos"))
+  }
+
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              id: Column, vec: Column, k: Int,
+              iterations: Int = 0, probes: Int = 1): DataFrame =
+    ivfTopKPretrained(vectors,
+      ivfTrain(vectors, centroids, id, vec, iterations), queries,
+      id, vec, k, probes)
+
+  /** [[ivfTopK]] against an already-trained centroid frame (shared across
+    * queries — training once and reusing the persisted centroids is the
+    * point of the split).
+    */
+  def ivfTopKPretrained(vectors: DataFrame, trained: DataFrame,
+                        queries: DataFrame, id: Column, vec: Column, k: Int,
+                        probes: Int = 1): DataFrame = {
+    val c = trained
+    val assigned = ivfAssignCells(vectors, c, id, vec)
+      .select(col("vid"), col("vv"), col("vn"), col("cell"))
     // query → probed cells: rank ALL cells per query, keep the top `probes`
     val qv = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
