@@ -1595,6 +1595,33 @@ object SparkEntry {
         col("doc_id"), col("q"))
     }),
 
+    // IVF recall instrumentation: recall@3 of the multi-probe IVF search
+    // against the exact brute-force baseline, swept over probes ∈ {1,2,4}
+    // on the shared trained centroids — pins that the multi-probe knob
+    // does what it claims (recall must be non-decreasing in probes, and
+    // the oracle pins the exact hit counts).
+    "q80_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      val exact = CacheRegistry.persist(
+        Similarity.bruteForceTopK(queries, emb, col("vec_id"), col("embedding"),
+            col("vec_id"), col("embedding"), k = 3)
+          .select(col("query_id"), col("neighbor_id")))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      val trained = ivfCentroidsFrame(s, dir)
+      Seq(1, 2, 4).map { p =>
+        Similarity.ivfTopKPretrained(emb, trained, queries,
+            col("vec_id"), col("embedding"), k = 3, probes = p)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p.toLong).as("probes"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(denom))
+        .select(col("probes"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"))
+    }),
+
     // The WIDE-KEY SRP configuration (64-bit signatures, 4×16-bit bands)
     // over a dense-replica corpus — the scale regime q62's 8-bit band
     // keys cannot survive: with only 256 buckets per band the random
@@ -3049,6 +3076,45 @@ object SparkEntry {
          |      ORDER BY qu.q DESC, qu.vec_id) AS rn,
          |    COUNT(*) OVER (PARTITION BY c.comp) AS n_members
          |  FROM cmp c JOIN qual qu ON c.u = qu.vec_id)
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin,
+
+    // Exact top-3 baseline vs the probed IVF search at probes 1/2/4 over
+    // the same trained centroids; recall = hits/exact per probe setting.
+    "q80_ivf_recall" ->
+      s"""WITH $ivfTrainedOracleCtes,
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.e, x.e)/(q.nrm*x.nrm) DESC, x.vec_id) AS rank
+         |    FROM vn q JOIN vn x ON x.vec_id <> q.vec_id
+         |    WHERE q.vec_id >= 10 AND q.vec_id < 20) WHERE rank <= 3),
+         |qprob AS (
+         |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS cell,
+         |    rn AS probe_rank FROM (
+         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn a, c2 c WHERE a.vec_id >= 10 AND a.vec_id < 20) WHERE rn <= 4),
+         |probes AS (SELECT unnest([1, 2, 4]) AS p),
+         |ivf AS (
+         |  SELECT p, query_id, neighbor_id FROM (
+         |    SELECT pr.p, q.query_id, x.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY pr.p, q.query_id
+         |        ORDER BY list_dot_product(q.qe, x.e)/(q.qn*x.nrm) DESC, x.vec_id) AS rank
+         |    FROM probes pr
+         |    JOIN qprob q ON q.probe_rank <= pr.p
+         |    JOIN af x ON q.cell = x.cell AND x.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |hits AS (
+         |  SELECT i.p, COUNT(*) AS n_hits
+         |  FROM ivf i JOIN exact e
+         |    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY 1)
+         |SELECT CAST(pr.p AS BIGINT) AS probes,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
+         |        (SELECT COUNT(*) FROM exact), 6) AS recall
+         |FROM probes pr LEFT JOIN hits h ON pr.p = h.p""".stripMargin
   )
 }
