@@ -1636,6 +1636,21 @@ object SparkEntry {
       Similarity.srpNearDupPairs(replicaEmbeddings(s, dir),
         col("vec_id"), col("embedding"),
         threshold = 0.9, bits = 64, bands = 4)
+    }),
+
+    // Multimodal with a REAL container parse: ASCII docs are wrapped in
+    // actual RIFF/WAVE containers (canonical 44-byte header + data chunk,
+    // built byte-exact), and WavPcmDecoder walks the chunk list — magic,
+    // PCM fmt geometry, data bounds — to frame ONLY the data region in
+    // blockAlign×16-byte frames (every 2nd). The oracle recomputes the
+    // frame stats from the text alone, so a decoder that mis-locates the
+    // data chunk by even one byte hash-mismatches.
+    "q82_wav_frames" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      val assets = Multimodal.toWavAssets(ascii, col("doc_id"), col("text"))
+      Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
+        Multimodal.WavPcmDecoder(samplesPerFrame = 16), everyNth = 2))
     })
   )
 
@@ -3115,6 +3130,24 @@ object SparkEntry {
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  ROUND(CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
          |        (SELECT COUNT(*) FROM exact), 6) AS recall
-         |FROM probes pr LEFT JOIN hits h ON pr.p = h.p""".stripMargin
+         |FROM probes pr LEFT JOIN hits h ON pr.p = h.p""".stripMargin,
+
+    // The data chunk is exactly the ASCII text, so frame stats over the
+    // parsed WAV must equal frame stats computed from the text directly
+    // (same window formulation as q72).
+    "q82_wav_frames" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |f AS (
+        |  SELECT asset_id, text,
+        |    unnest(range(0, greatest(1, length(text) // 16), 2)) AS frame_idx
+        |  FROM c)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx*16+1 AS INT), 16)) AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
+        |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
+        |FROM f""".stripMargin
   )
 }

@@ -11,14 +11,98 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / resize / frame-sample run as
   * partition-local batch kernels.
   *
-  * STUB NOTICE: no image/audio codecs exist in this environment, so the
-  * `decode` kernels below produce deterministic pseudo-features derived
-  * from the bytes (clearly marked). Everything around them — schema,
-  * batching, partitioning, output shapes — is the real pipeline: swapping
-  * the stub for an actual decoder (JNI/OpenCV, or `mapInPandas` + PIL on
-  * PySpark) changes only the kernel body.
+  * STUB NOTICE (features only): no image/audio codecs exist in this
+  * environment, so the FEATURE kernels below (`extractImageFeatures`)
+  * produce deterministic byte-derived pseudo-features standing in for a
+  * decoder+CNN. Container parsing itself is REAL where the format is pure
+  * byte math: [[Multimodal.WavPcmDecoder]] walks an actual RIFF/WAVE chunk
+  * list (magic, fmt geometry, data chunk bounds) with no codec dependency;
+  * [[Multimodal.FixedWindowDecoder]] remains the format-agnostic fallback.
+  * Everything around the kernels — schema, batching, partitioning, output
+  * shapes — is the real pipeline: swapping a stub for an actual decoder
+  * (JNI/OpenCV, or `mapInPandas` + PIL on PySpark) changes only the kernel
+  * body.
   */
 object Multimodal {
+
+  /** Pluggable container parsing behind [[sampleFrames]]: a decoder turns
+    * one payload into (frame_idx, frame_bytes) rows, sampling every
+    * `everyNth` frame. Implementations must be serializable (they ship to
+    * executors inside the flatMap kernel).
+    */
+  trait FrameDecoder extends Serializable {
+    def frames(bytes: Array[Byte], everyNth: Int): Iterator[(Int, Array[Byte])]
+  }
+
+  /** Format-agnostic fallback: fixed-size byte windows over the whole
+    * payload (no container parsing — the documented stub geometry).
+    */
+  final case class FixedWindowDecoder(frameBytes: Int) extends FrameDecoder {
+    override def frames(bytes: Array[Byte], everyNth: Int): Iterator[(Int, Array[Byte])] =
+      windowed(bytes, 0, if (bytes == null) 0 else bytes.length, frameBytes, everyNth)
+  }
+
+  /** Shared window geometry: `max(1, len/frameBytes)` frames over
+    * [off, off+len), the last kept frame clipped at the region end.
+    */
+  private def windowed(b0: Array[Byte], off: Int, len: Int, frameBytes: Int,
+                       everyNth: Int): Iterator[(Int, Array[Byte])] = {
+    val b = if (b0 == null) Array.emptyByteArray else b0
+    val nFrames = math.max(1, len / math.max(1, frameBytes))
+    (0 until nFrames by everyNth).iterator.map { f =>
+      val start = off + f * frameBytes
+      val end = math.min(off + len, start + frameBytes)
+      (f, java.util.Arrays.copyOfRange(b, math.min(start, off + len), end))
+    }
+  }
+
+  /** REAL pure-JVM container parse (no codec libs — RIFF is pure byte
+    * math): validates the `RIFF….WAVE` magic, walks the chunk list
+    * (4-byte id + little-endian u32 size, word-aligned), reads the sample
+    * geometry from the `fmt ` chunk (PCM format, block align), bounds the
+    * payload to the `data` chunk, and emits frames of
+    * `blockAlign × samplesPerFrame` bytes from the data region only —
+    * header and any non-data chunks (LIST/INFO, fact, …) are skipped by
+    * construction. Malformed containers fail loudly.
+    */
+  final case class WavPcmDecoder(samplesPerFrame: Int) extends FrameDecoder {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, StandardCharsets.US_ASCII)
+
+    override def frames(bytes: Array[Byte], everyNth: Int): Iterator[(Int, Array[Byte])] = {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      require(b.length >= 44 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE",
+        s"WavPcmDecoder: not a RIFF/WAVE container (${b.length} bytes)")
+      var blockAlign = -1
+      var dataOff = -1
+      var dataLen = -1
+      var o = 12
+      while (o + 8 <= b.length && (blockAlign < 0 || dataOff < 0)) {
+        val id = fourcc(b, o)
+        val size = le32(b, o + 4)
+        require(size >= 0 && o + 8 + size <= b.length,
+          s"WavPcmDecoder: chunk '$id' overruns the container")
+        if (id == "fmt ") {
+          require(size >= 16 && le16(b, o + 8) == 1,
+            "WavPcmDecoder: only uncompressed PCM (format 1) is supported")
+          blockAlign = le16(b, o + 8 + 12)
+          require(blockAlign > 0, "WavPcmDecoder: zero block align")
+        } else if (id == "data") {
+          dataOff = o + 8
+          dataLen = size
+        }
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(blockAlign > 0 && dataOff >= 0,
+        "WavPcmDecoder: missing fmt or data chunk")
+      windowed(b, dataOff, dataLen, blockAlign * samplesPerFrame, everyNth)
+    }
+  }
 
   /** Canonical schema for a multimodal asset row. */
   val assetSchema: StructType = StructType(Seq(
@@ -66,25 +150,61 @@ object Multimodal {
       }.toDF("asset_id", "features")
   }
 
-  /** Video frame sampling: every `everyNth` "frame" becomes a row
-    * (asset_id, frame_idx, frame_bytes). The chunking is real; the frame
-    * boundaries are a STUB (fixed-size byte windows standing in for
-    * container parsing).
+  /** Frame sampling behind a pluggable [[FrameDecoder]]: every `everyNth`
+    * frame becomes a row (asset_id, frame_idx, frame_bytes). The
+    * chunk/explode plumbing is partition-local and format-independent;
+    * frame boundaries come from the decoder ([[WavPcmDecoder]] = real
+    * container geometry, [[FixedWindowDecoder]] = stub windows).
     */
-  def sampleFrames(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+  def sampleFrames(assets: DataFrame, decoder: FrameDecoder,
+                   everyNth: Int): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val b = if (bytes == null) Array.emptyByteArray else bytes
-        val nFrames = math.max(1, b.length / math.max(1, frameBytes))
-        (0 until nFrames by everyNth).iterator.map { f =>
-          val start = f * frameBytes
-          val end = math.min(b.length, start + frameBytes)
-          (id, f, java.util.Arrays.copyOfRange(b, math.min(start, b.length), end))
-        }
+        decoder.frames(bytes, everyNth).map { case (f, fb) => (id, f, fb) }
       }.toDF("asset_id", "frame_idx", "frame_bytes")
+  }
+
+  /** [[sampleFrames]] with the fixed-window fallback decoder. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame =
+    sampleFrames(assets, FixedWindowDecoder(frameBytes), everyNth)
+
+  /** Build REAL single-channel 8-bit PCM WAV containers around a text
+    * payload (canonical 44-byte RIFF header + data chunk; pure byte math,
+    * byte-exact little-endian fields) — the ingest fixture that lets
+    * [[WavPcmDecoder]] exercise an actual container parse end to end.
+    */
+  def toWavAssets(df: DataFrame, id: Column, text: Column,
+                  sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+      .map { case (i, t) =>
+        val data = (if (t == null) "" else t).getBytes(StandardCharsets.UTF_8)
+        val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+        bb.putInt(36 + data.length)
+        bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+        bb.putInt(16)
+        bb.putShort(1)                   // PCM
+        bb.putShort(1)                   // mono
+        bb.putInt(sampleRate)
+        bb.putInt(sampleRate)            // byte rate (8-bit mono)
+        bb.putShort(1)                   // block align
+        bb.putShort(8)                   // bits per sample
+        bb.put("data".getBytes(StandardCharsets.US_ASCII))
+        bb.putInt(data.length)
+        bb.put(data)
+        (i, bb.array(), data.length.toLong * 1000L / sampleRate)
+      }.toDF("asset_id", "content", "dur")
+      .select(col("asset_id"), col("content"),
+        struct(lit("audio/wav").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("dur").as("duration_ms")).as("meta"))
   }
 
   /** Per-frame byte statistics over [[sampleFrames]] output — the shape of

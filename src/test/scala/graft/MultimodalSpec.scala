@@ -64,6 +64,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       4 -> ((4L, sumOf(16, 20)))))
   }
 
+  test("WavPcmDecoder frames the data chunk of a generated container") {
+    import spark.implicits._
+    val df = Seq((7L, "abcdefghijklmnopqrst")).toDF("id", "data") // 20 bytes
+    val wav = Multimodal.toWavAssets(df, col("id"), col("data"))
+    // duration metadata comes from the data length / sample rate
+    assert(wav.select(col("meta.mime"), col("meta.duration_ms")).collect()
+      .head.toSeq == Seq("audio/wav", 20L * 1000 / 8000))
+    val frames = Multimodal.frameByteStats(Multimodal.sampleFrames(wav,
+        Multimodal.WavPcmDecoder(samplesPerFrame = 4), everyNth = 1))
+      .collect()
+      .map(r => r.getAs[Int]("frame_idx") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("byte_sum")))).toMap
+    val bytes = Multimodal.payloadOf("abcdefghijklmnopqrst")
+    def sumOf(from: Int, until: Int) = bytes.slice(from, until).map(_.toLong).sum
+    // frames cover the DATA region only — 'a' is frame 0 byte 0, not the
+    // RIFF header; 20 data bytes / 4 = 5 frames
+    assert(frames == (0 until 5)
+      .map(f => f -> ((4L, sumOf(f * 4, f * 4 + 4)))).toMap)
+  }
+
+  test("WavPcmDecoder walks past non-data chunks and rejects malformed containers") {
+    import spark.implicits._
+    // hand-built container with a LIST chunk BETWEEN fmt and data: a
+    // parser that assumes data at offset 44 reads garbage; the chunk walk
+    // must skip it (including the odd-size word-alignment pad)
+    val data = "0123456789".getBytes("US-ASCII")
+    val list = "xyz".getBytes("US-ASCII") // odd size → 1 pad byte
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + list.length + 1 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(bb.capacity - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(list.length).put(list).put(0.toByte)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val decoder = Multimodal.WavPcmDecoder(samplesPerFrame = 5)
+    val frames = decoder.frames(bb.array(), 1).toList
+    assert(frames.map { case (f, b) => f -> new String(b, "US-ASCII") } ==
+      List(0 -> "01234", 1 -> "56789"))
+    // malformed: bad magic / truncated chunk fail loudly
+    intercept[IllegalArgumentException] {
+      decoder.frames("not a wav at all, definitely not 44 bytes....".getBytes, 1)
+    }
+    val truncated = java.util.Arrays.copyOfRange(bb.array(), 0, 40)
+    intercept[IllegalArgumentException] { decoder.frames(truncated, 1) }
+  }
+
   test("resize target updates metadata only") {
     val resized = Multimodal.withResizeTarget(assets, 224, 224)
     val m = resized.select(col("meta.width"), col("meta.height"), col("content"))
