@@ -80,6 +80,7 @@ object Bench {
     val sharedFrames =
       """[["q22_ngram_jaccard","q32_dedup_keeplist","q63_dedup_components","q65_dedup_survivors"],
         |["q62_srp_neardup","q76_embedding_clusters"],
+        |["q52_ann_kmeans","q79_semantic_dedup","q80_ivf_recall"],
         |["q24_event_dates","q25_state_category_asof"],
         |["q34_changelog_explode","q35_snapshot_pipeline","q36_states_translate","q41_custom_fields","q42_linked_items","q59_connector_scan","q60_automap_retranslate","q69_connector_idscan","q73_incremental_etl_loop"]]"""
         .stripMargin.replaceAll("\n\\s*", "")

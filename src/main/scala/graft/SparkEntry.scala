@@ -1651,8 +1651,49 @@ object SparkEntry {
       val assets = Multimodal.toWavAssets(ascii, col("doc_id"), col("text"))
       Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
         Multimodal.WavPcmDecoder(samplesPerFrame = 16), everyNth = 2))
+    }),
+
+    // S6 — the field-metadata scan (`jc_issue.ts:118-148` getFields): the
+    // reference GETs the full `/field` list (no predicate — a config-scale
+    // scan) and the custom-field bootstrap matches configured field NAMES
+    // to their datasource ids. Here: a /field-shaped JSON drop (id, name,
+    // custom, schema.type) read with an explicit schema, the configured
+    // name set resolved to (field_id, field_type) — the rows
+    // customFieldConfigs stores (`full_ddl.sql:228-240`).
+    "q83_field_metadata_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-fields")
+      fieldMetaJson(s, dir).write.mode("overwrite").text(path)
+      val fieldSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("custom",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("schema",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("type",
+              org.apache.spark.sql.types.StringType))))))
+      s.read.schema(fieldSchema).json(path)
+        .filter(col("custom") && col("name").isin("signup", "click", "purchase"))
+        .select(col("id").as("field_id"), col("name").as("field_name"),
+          col("schema.type").as("field_type"))
     })
   )
+
+  /** Jira `/field`-response-shaped metadata drop derived from the event
+    * types: one JSON document per field with (id, name, custom,
+    * schema.type) — the shape `getFields` returns.
+    */
+  private def fieldMetaJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type")).distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+      .select(to_json(struct(
+        concat(lit("customfield_"), (col("rk") + 10000).cast("string")).as("id"),
+        col("event_type").as("name"),
+        lit(true).as("custom"),
+        struct(lit("string").as("type")).as("schema"))).as("raw_json"))
 
   /** Three deterministic replicas per embedding: replica 0 verbatim,
     * replicas 1-2 with pure-arithmetic ±0.01/dim noise keyed on
@@ -3148,6 +3189,16 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(
         |    string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Recompute the /field drop from the distinct event types and resolve
+    // the configured names to ids.
+    "q83_field_metadata_scan" ->
+      """WITH et AS (SELECT DISTINCT event_type FROM events),
+        |rk AS (SELECT event_type,
+        |         row_number() OVER (ORDER BY event_type) AS rk FROM et)
+        |SELECT 'customfield_' || CAST(10000 + rk AS VARCHAR) AS field_id,
+        |  event_type AS field_name, 'string' AS field_type
+        |FROM rk WHERE event_type IN ('signup', 'click', 'purchase')""".stripMargin
   )
 }
