@@ -1434,8 +1434,7 @@ object SparkEntry {
     // property: the raw drop carries one latest-only row per item, so a
     // stale batch re-delivers values the merge already holds. True
     // out-of-order replay safety — an older version arriving AFTER a
-    // newer one — would need a version-guarded merge that keeps the
-    // stored row when incoming.updated <= stored.updated.)
+    // newer one — is MergeWriter.mergeVersioned, proven in q84.)
     // Output = final states + final watermark.
     "q73_incremental_etl_loop" -> ((s, dir) => {
       val root = scratchDir("graft-loop")
@@ -1678,6 +1677,36 @@ object SparkEntry {
         .filter(col("custom") && col("name").isin("signup", "click", "purchase"))
         .select(col("id").as("field_id"), col("name").as("field_name"),
           col("schema.type").as("field_type"))
+    }),
+
+    // L1 hardened for OUT-OF-ORDER at-least-once delivery: the keyed merge
+    // of q73 is a content no-op only when a replayed batch carries rows
+    // the table already holds; mergeVersioned guards on the version column
+    // so a genuinely STALE batch replayed AFTER a newer merge (reordered
+    // SQS redelivery, a retried extract round) leaves the newer rows
+    // untouched. Round 1 loads the pre-cut state, round 2 the full state,
+    // round 3 replays round 1 — the final table must equal round 2.
+    "q84_versioned_merge" -> ((s, dir) => {
+      val path = scratchDir("graft-vmerge") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      val b1 = latest(ev.filter(col("ver") <= cut))
+      val b2 = latest(ev)
+      sources.MergeWriter.mergeVersioned(s, path, b1, Seq("user_id"), "ver", buckets = 8)
+      sources.MergeWriter.mergeVersioned(s, path, b2, Seq("user_id"), "ver", buckets = 8)
+      // the stale replay: older versions arriving after newer ones
+      sources.MergeWriter.mergeVersioned(s, path, b1, Seq("user_id"), "ver", buckets = 8)
+      sources.MergeWriter.readTable(s, path)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
     })
   )
 
@@ -3199,6 +3228,16 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY event_type) AS rk FROM et)
         |SELECT 'customfield_' || CAST(10000 + rk AS VARCHAR) AS field_id,
         |  event_type AS field_name, 'string' AS field_type
-        |FROM rk WHERE event_type IN ('signup', 'click', 'purchase')""".stripMargin
+        |FROM rk WHERE event_type IN ('signup', 'click', 'purchase')""".stripMargin,
+
+    // The stale replay must not regress: final table = per-user overall
+    // latest event (what round 2 loaded).
+    "q84_versioned_merge" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin
   )
 }

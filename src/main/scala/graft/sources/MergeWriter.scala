@@ -244,6 +244,81 @@ object MergeWriter {
     } finally { inc.unpersist(); () }
   }
 
+  /** Version-guarded MERGE for out-of-order at-least-once delivery: like
+    * [[merge]], but a matched row is replaced ONLY when the incoming
+    * version is strictly newer — a stale batch replayed AFTER a newer
+    * merge (reordered SQS redelivery, a retried extract round) leaves the
+    * stored row untouched instead of regressing it. Ties keep the stored
+    * row, so replaying the exact batch that produced a row is a no-op.
+    * Same single-writer contract, bucket pruning, and atomic manifest
+    * commit as [[merge]].
+    */
+  def mergeVersioned(spark: SparkSession, tablePath: String,
+                     incoming: DataFrame, keys: Seq[String], versionCol: String,
+                     buckets: Int = 64): Unit = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(incoming.columns.contains(versionCol),
+      s"mergeVersioned: incoming frame lacks version column '$versionCol'")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
+    }
+    val m = currentManifest(fs, dir)
+    val nb = m.map(_.buckets).getOrElse(buckets)
+    val inc = incoming
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      .persist()
+    try {
+      if (inc.isEmpty) return
+      m match {
+        case None =>
+          // a fresh table has no stored versions to guard; intra-batch
+          // duplicates still resolve newest-first
+          writeEpochAndCommit(spark, fs, tablePath,
+            newestPerKey(inc.drop(BucketCol), keys, versionCol, pri = None),
+            keys, nb, None)
+        case Some(man) =>
+          val touched = inc.select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toIndexedSeq
+          val existingPaths = touched.flatMap(b =>
+            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+          val existing =
+            if (existingPaths.isEmpty) None
+            else Some(spark.read.parquet(existingPaths: _*))
+          // one frame, newest version per key wins; on version ties the
+          // stored row (__pri 0) outranks the incoming one
+          val all = existing match {
+            case None => inc.drop(BucketCol).withColumn("__pri", lit(1))
+            case Some(ex) =>
+              val incCols = ex.columns.map(col).toIndexedSeq
+              ex.withColumn("__pri", lit(0))
+                .unionByName(inc.select(incCols: _*).withColumn("__pri", lit(1)))
+          }
+          writeEpochAndCommit(spark, fs, tablePath,
+            newestPerKey(all.drop(BucketCol), keys, versionCol, pri = Some("__pri")),
+            keys, nb, Some(man))
+      }
+      gc(fs, dir)
+    } finally { inc.unpersist(); () }
+  }
+
+  /** Newest row per key: window on the bucketed key set ordered by version
+    * desc (then writer priority: stored before incoming on ties). The
+    * window partitions on the full key — high cardinality, no skew risk
+    * beyond what the keys already carry.
+    */
+  private def newestPerKey(rows: DataFrame, keys: Seq[String],
+                           versionCol: String, pri: Option[String]): DataFrame = {
+    val order = col(versionCol).desc +: pri.map(col(_).asc).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(order: _*)
+    rows.withColumn("__vrn", row_number().over(w))
+      .filter(col("__vrn") === 1)
+      .drop("__vrn").drop(pri.toSeq: _*)
+  }
+
   /** Write `rows` (bucket column recomputed from the keys) into a fresh
     * epoch directory, then commit the next manifest version pointing the
     * written buckets at it. Nothing is visible until the commit rename.

@@ -40,6 +40,38 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, dir).count() == 3)
   }
 
+  test("mergeVersioned refuses to regress rows on stale out-of-order replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vmerge").toString + "/t"
+    val old = Seq(("A", "v-old", 1L), ("B", "v-old", 1L)).toDF("k", "s", "ver")
+    val newer = Seq(("A", "v-new", 5L)).toDF("k", "s", "ver")
+    MergeWriter.mergeVersioned(spark, dir, old, Seq("k"), "ver", buckets = 4)
+    MergeWriter.mergeVersioned(spark, dir, newer, Seq("k"), "ver", buckets = 4)
+    // the STALE batch arrives after the newer merge: plain merge would set
+    // A back to v-old; the version guard must keep v-new
+    MergeWriter.mergeVersioned(spark, dir, old, Seq("k"), "ver", buckets = 4)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("s"), r.getAs[Long]("ver")))
+      .toSet
+    assert(rows == Set(("A", "v-new", 5L), ("B", "v-old", 1L)))
+
+    // version TIE keeps the stored row (exact-replay idempotence)
+    MergeWriter.mergeVersioned(spark, dir,
+      Seq(("A", "v-tie", 5L)).toDF("k", "s", "ver"), Seq("k"), "ver", buckets = 4)
+    val a = MergeWriter.readTable(spark, dir).filter(col("k") === "A")
+      .collect().map(_.getAs[String]("s")).toSeq
+    assert(a == Seq("v-new"))
+
+    // intra-batch duplicates on a fresh table resolve newest-first
+    val dir2 = Files.createTempDirectory("vmerge2").toString + "/t"
+    MergeWriter.mergeVersioned(spark, dir2,
+      Seq(("X", "v1", 1L), ("X", "v2", 2L)).toDF("k", "s", "ver"),
+      Seq("k"), "ver", buckets = 4)
+    assert(MergeWriter.readTable(spark, dir2).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("s"))).toSeq ==
+      Seq("X" -> "v2"))
+  }
+
   test("merge rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bmerge").toString + "/t"
