@@ -803,7 +803,7 @@ object SparkEntry {
     // stub, reproducible in the oracle — ASCII-only docs so byte == char).
     "q40_multimodal_features" -> ((s, dir) => {
       val ascii = Tables.documents(s, dir)
-        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
       val assets = Multimodal.toAssets(ascii, col("doc_id"), col("text"), "text/plain")
       val feats = Multimodal.extractImageFeatures(assets, dim = 8)
       feats.select(Seq(col("asset_id")) ++
@@ -1417,7 +1417,7 @@ object SparkEntry {
     // oracle recomputes the bytes as characters.
     "q72_multimodal_frames" -> ((s, dir) => {
       val ascii = Tables.documents(s, dir)
-        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
       val assets = Multimodal.toAssets(ascii, col("doc_id"), col("text"), "video/fake")
       Multimodal.frameByteStats(
         Multimodal.sampleFrames(assets, frameBytes = 16, everyNth = 2))
@@ -1608,8 +1608,11 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id")))
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       val trained = ivfCentroidsFrame(s, dir)
+      // assignment is probes-independent: compute once, reuse per setting
+      val assigned = CacheRegistry.persist(
+        Similarity.ivfAssignCells(emb, trained, col("vec_id"), col("embedding")))
       Seq(1, 2, 4).map { p =>
-        Similarity.ivfTopKPretrained(emb, trained, queries,
+        Similarity.ivfTopKAssigned(assigned, trained, queries,
             col("vec_id"), col("embedding"), k = 3, probes = p)
           .select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1646,7 +1649,7 @@ object SparkEntry {
     // data chunk by even one byte hash-mismatches.
     "q82_wav_frames" -> ((s, dir) => {
       val ascii = Tables.documents(s, dir)
-        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
       val assets = Multimodal.toWavAssets(ascii, col("doc_id"), col("text"))
       Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
         Multimodal.WavPcmDecoder(samplesPerFrame = 16), everyNth = 2))

@@ -85,7 +85,9 @@ object Multimodal {
       while (o + 8 <= b.length && (blockAlign < 0 || dataOff < 0)) {
         val id = fourcc(b, o)
         val size = le32(b, o + 4)
-        require(size >= 0 && o + 8 + size <= b.length,
+        // compare in Long: a corrupt ~2^31 chunk size must hit this
+        // require, not wrap negative and crash later in the array copy
+        require(size >= 0 && o + 8 + size.toLong <= b.length,
           s"WavPcmDecoder: chunk '$id' overruns the container")
         if (id == "fmt ") {
           require(size >= 16 && le16(b, o + 8) == 1,

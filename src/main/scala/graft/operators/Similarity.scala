@@ -107,9 +107,19 @@ object Similarity {
     */
   def ivfTopKPretrained(vectors: DataFrame, trained: DataFrame,
                         queries: DataFrame, id: Column, vec: Column, k: Int,
-                        probes: Int = 1): DataFrame = {
+                        probes: Int = 1): DataFrame =
+    ivfTopKAssigned(ivfAssignCells(vectors, trained, id, vec), trained,
+      queries, id, vec, k, probes)
+
+  /** [[ivfTopKPretrained]] against an already-assigned vector frame (from
+    * [[ivfAssignCells]]) — assignment is independent of `probes`, so a
+    * probes sweep computes it once and reuses the persisted frame.
+    */
+  def ivfTopKAssigned(assignedCells: DataFrame, trained: DataFrame,
+                      queries: DataFrame, id: Column, vec: Column, k: Int,
+                      probes: Int = 1): DataFrame = {
     val c = trained
-    val assigned = ivfAssignCells(vectors, c, id, vec)
+    val assigned = assignedCells
       .select(col("vid"), col("vv"), col("vn"), col("cell"))
     // query → probed cells: rank ALL cells per query, keep the top `probes`
     val qv = queries.select(id.as("query_id"), vec.cast("array<double>").as("qv"))
@@ -239,8 +249,10 @@ object Similarity {
     */
   def srpCandidatePairs(emb: DataFrame, id: Column, vec: Column,
                         bits: Int = 32, bands: Int = 4): DataFrame = {
-    require(bits % bands == 0 && bits >= 1 && bits <= 64,
-      s"bits=$bits must be a multiple of bands=$bands and fit one long")
+    require(bits % bands == 0 && bits >= 1 && bits <= 64 && bits / bands < 64,
+      s"bits=$bits must be a multiple of bands=$bands, fit one long, and " +
+        "give bands narrower than 64 bits (a 64-bit mask shift would wrap " +
+        "to 0 and silently degrade the band join to a full cross product)")
     val sig = graft.CacheRegistry.persist(srpSignatures(emb, id, vec, bits))
     val width = bits / bands
     val bandRows = (0 until bands).map { b =>

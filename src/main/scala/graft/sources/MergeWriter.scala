@@ -311,7 +311,13 @@ object MergeWriter {
     */
   private def newestPerKey(rows: DataFrame, keys: Seq[String],
                            versionCol: String, pri: Option[String]): DataFrame = {
-    val order = col(versionCol).desc +: pri.map(col(_).asc).toSeq
+    // final tie-break on a stable content hash: two DISTINCT same-version
+    // incoming rows for one key must resolve to the same survivor on
+    // every run and every task retry, not whichever row the shuffle
+    // presents first
+    val contentCols = rows.columns.filterNot(pri.contains).sorted.map(col)
+    val order = (col(versionCol).desc +: pri.map(col(_).asc).toSeq) :+
+      xxhash64(contentCols.toIndexedSeq: _*).asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(order: _*)
     rows.withColumn("__vrn", row_number().over(w))

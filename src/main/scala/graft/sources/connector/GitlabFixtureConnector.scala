@@ -85,7 +85,11 @@ object GitlabFixtureTable {
     case GreaterThan("updated_at", _: String) => true
     case EqualTo(a, _: String) if schema.fieldNames.contains(a) => true
     case EqualTo(a, _: Long) if a == "iid" => true
-    case In(a, vs) if schema.fieldNames.contains(a) =>
+    // a project_path MEMBERSHIP stays residual: the GraphQL request takes
+    // ONE projectPath variable (the reference loops projects), so pushing
+    // In here would enforce a predicate the explain-visible compile does
+    // not carry — the engine re-filters instead
+    case In(a, vs) if schema.fieldNames.contains(a) && a != "project_path" =>
       vs.forall(v => v.isInstanceOf[String] || v.isInstanceOf[Long])
     case IsNotNull(a) if schema.fieldNames.contains(a) => true
     case IsNull(a) if schema.fieldNames.contains(a) => true

@@ -82,7 +82,7 @@ class DedupSpec extends AnyFunSuite {
     // the explicit unpersist is async, and the round checkpoints are
     // reclaimed by the ContextCleaner once unreferenced — nudge the GC
     // and poll until the cache set returns to its pre-call state
-    val deadline = System.nanoTime() + 20L * 1000000000L
+    val deadline = System.nanoTime() + 30L * 1000000000L
     def leaked() = (spark.sparkContext.getPersistentRDDs.keySet -- before)
       .nonEmpty
     while (leaked() && System.nanoTime() < deadline) {
