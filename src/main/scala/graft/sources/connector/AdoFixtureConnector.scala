@@ -2,18 +2,12 @@ package graft.sources.connector
 
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.PushdownCompiler
 
@@ -30,7 +24,8 @@ import graft.sources.PushdownCompiler
   * (`ab_query.ts:256-300` via [[PushdownCompiler.odataSelect]]). Both
   * appear in the scan's explain output exactly where a live Analytics
   * reader would send them, and the pushdown is ENFORCED: the reader
-  * evaluates the pushed predicates and parses only the required columns.
+  * evaluates the pushed predicates and parses only the required columns
+  * (scaffold shared via [[FixtureFormat]]).
   *
   * Layout: one JSON document per line, one input partition per file —
   * a live deployment pages the Analytics OData feed instead.
@@ -41,12 +36,14 @@ class AdoFixtureProvider extends TableProvider with DataSourceRegister {
     AdoFixtureTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new AdoFixtureTable(properties.get("path"))
+    new FixtureTable(AdoFixtureTable, properties.get("path"))
 }
 
-object AdoFixtureTable {
+object AdoFixtureTable extends FixtureFormat {
+  override val shortName: String = "graft-ado"
+
   /** The flat work-item view the WorkItems entity set returns. */
-  val schema: StructType = StructType(Seq(
+  override val schema: StructType = StructType(Seq(
     StructField("work_item_id", StringType),
     StructField("work_item_type", StringType),
     StructField("area_id", LongType),
@@ -90,7 +87,7 @@ object AdoFixtureTable {
       excludeCompletedBeforeMillis = excludeBefore)
   }
 
-  private[graft] def supported(f: Filter): Boolean = f match {
+  override def supported(f: Filter): Boolean = f match {
     case GreaterThanOrEqual(a, _) if longFields.contains(a) => true
     case EqualTo(a, _) if schema.fieldNames.contains(a) => true
     case In(a, _) if schema.fieldNames.contains(a) => true
@@ -100,7 +97,7 @@ object AdoFixtureTable {
     case _ => false
   }
 
-  private[graft] def eval(f: Filter, get: String => Any): Boolean = f match {
+  override def eval(f: Filter, get: String => Any): Boolean = f match {
     case GreaterThanOrEqual(a, v: Long) =>
       val x = get(a); x != null && x.asInstanceOf[Long] >= v
     case EqualTo(a, v) => val x = get(a); x != null && x == v
@@ -114,112 +111,20 @@ object AdoFixtureTable {
     case f => throw new IllegalStateException(
       s"graft-ado: accepted but unevaluable pushed filter $f")
   }
-}
 
-class AdoFixtureTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-ado(`$path`)"
-  override def schema(): StructType = AdoFixtureTable.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AdoFixtureScanBuilder(path)
-}
-
-class AdoFixtureScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var required: StructType = AdoFixtureTable.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, residual) = filters.partition(AdoFixtureTable.supported)
-    pushed = sup
-    residual
+  override def fieldValue(root: JsonNode, name: String): Any = {
+    val n = root.get(adoFieldNames(name))
+    if (n == null || n.isNull) null
+    else if (longFields.contains(name)) n.asLong()
+    else n.asText()
   }
-  override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(AdoFixtureTable.schema.fields
-      .filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new AdoFixtureScan(path, required, pushed)
-}
-
-class AdoFixtureScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
 
   /** What a live Analytics reader would send — shown by `.explain()`. */
-  override def description(): String = {
+  override def describe(pushed: Seq[Filter], required: StructType): String = {
     val select = "$select=" + PushdownCompiler.odataSelect() + " | pruned=" +
-      required.fieldNames.map(AdoFixtureTable.adoFieldNames).mkString(",")
-    s"GraftAdoFixture odata=[$$filter=${AdoFixtureTable.compileOData(pushed.toSeq)}" +
+      required.fieldNames.map(adoFieldNames).mkString(",")
+    s"GraftAdoFixture odata=[$$filter=${compileOData(pushed)}" +
       s" | $$orderby=${PushdownCompiler.odataOrderBy}] " +
       s"fields=[$select] PushedFilters: [${pushed.mkString(", ")}]"
   }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName)
-      .map(f => AdoFilePartition(f.getAbsolutePath): InputPartition)
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AdoFixtureReaderFactory(required, pushed)
-}
-
-case class AdoFilePartition(file: String) extends InputPartition
-
-class AdoFixtureReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AdoFileReader(partition.asInstanceOf[AdoFilePartition].file, required, pushed)
-}
-
-/** Streams one JSON-lines file; parses only the fields the pruned schema
-  * needs (typed: surrogate keys and area ids as longs), applies the pushed
-  * predicates source-side.
-  */
-class AdoFileReader(file: String, required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
-  private var current: InternalRow = _
-
-  private def fieldValue(root: JsonNode, name: String): Any = {
-    val n = root.get(AdoFixtureTable.adoFieldNames(name))
-    if (n == null || n.isNull) null
-    else name match {
-      case "area_id" | "changed_date_sk" | "closed_date_sk" => n.asLong()
-      case _ => n.asText()
-    }
-  }
-
-  override def next(): Boolean = {
-    current = null
-    while (current == null && it.hasNext) {
-      val line = it.next()
-      if (line.nonEmpty) {
-        val root = mapper.readTree(line)
-        val get = (n: String) => fieldValue(root, n)
-        if (pushed.forall(AdoFixtureTable.eval(_, get))) {
-          val vals = new Array[Any](required.length)
-          var i = 0
-          while (i < required.length) {
-            val v = get(required.fields(i).name)
-            vals(i) = v match {
-              case null => null
-              case s: String => UTF8String.fromString(s)
-              case other => other
-            }
-            i += 1
-          }
-          current = new GenericInternalRow(vals)
-        }
-      }
-    }
-    current != null
-  }
-  override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
 }

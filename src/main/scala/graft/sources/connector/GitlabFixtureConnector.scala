@@ -2,18 +2,12 @@ package graft.sources.connector
 
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.PushdownCompiler
 
@@ -27,9 +21,10 @@ import graft.sources.PushdownCompiler
   * (`state: merged` is part of the query, not a pushable predicate). The
   * compiled query + JSON-escaped variables payload appear in the scan's
   * explain output exactly as the reference's axios POST body sends them,
-  * and the pushdown is ENFORCED: the reader evaluates the pushed predicates
-  * and parses only the required columns. Scanned rows feed the existing VC
-  * transforms (T20 `vcTables` / L5 loads) downstream.
+  * and the pushdown is ENFORCED by the shared [[FixtureFormat]] scaffold:
+  * the reader evaluates the pushed predicates and parses only the required
+  * columns. Scanned rows feed the existing VC transforms (T20 `vcTables` /
+  * L5 loads) downstream.
   *
   * Layout: one MR node JSON document per line (GraphQL camelCase field
   * names), one input partition per file — a live deployment walks the
@@ -42,15 +37,17 @@ class GitlabFixtureProvider extends TableProvider with DataSourceRegister {
     GitlabFixtureTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new GitlabFixtureTable(properties.get("path"))
+    new FixtureTable(GitlabFixtureTable, properties.get("path"))
 }
 
-object GitlabFixtureTable {
+object GitlabFixtureTable extends FixtureFormat {
+  override val shortName: String = "graft-gitlab"
+
   /** The flat MR view the reference's node field list selects
     * (`gitlab_extractor.ts:299-310`), plus the project path the outer
     * query keys on.
     */
-  val schema: StructType = StructType(Seq(
+  override val schema: StructType = StructType(Seq(
     StructField("mr_id", StringType),
     StructField("iid", LongType),
     StructField("merge_commit_sha", StringType),
@@ -81,7 +78,7 @@ object GitlabFixtureTable {
     PushdownCompiler.gitlabVariables(projectPath, updatedAfter)
   }
 
-  private[graft] def supported(f: Filter): Boolean = f match {
+  override def supported(f: Filter): Boolean = f match {
     case GreaterThan("updated_at", _: String) => true
     case EqualTo(a, _: String) if schema.fieldNames.contains(a) => true
     case EqualTo(a, _: Long) if a == "iid" => true
@@ -96,7 +93,7 @@ object GitlabFixtureTable {
     case _ => false
   }
 
-  private[graft] def eval(f: Filter, get: String => Any): Boolean = f match {
+  override def eval(f: Filter, get: String => Any): Boolean = f match {
     case GreaterThan("updated_at", v: String) =>
       val x = get("updated_at") // ISO-8601 sorts chronologically
       x != null && x.asInstanceOf[String] > v
@@ -109,114 +106,24 @@ object GitlabFixtureTable {
     case f => throw new IllegalStateException(
       s"graft-gitlab: accepted but unevaluable pushed filter $f")
   }
-}
 
-class GitlabFixtureTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-gitlab(`$path`)"
-  override def schema(): StructType = GitlabFixtureTable.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GitlabFixtureScanBuilder(path)
-}
-
-class GitlabFixtureScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var required: StructType = GitlabFixtureTable.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, residual) = filters.partition(GitlabFixtureTable.supported)
-    pushed = sup
-    residual
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(GitlabFixtureTable.schema.fields
-      .filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new GitlabFixtureScan(path, required, pushed)
-}
-
-class GitlabFixtureScan(path: String, required: StructType,
-                        pushed: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  /** The POST body a live GraphQL reader would send — shown by
-    * `.explain()`. The query is compressed to one line so the whole
-    * request fits the plan string.
-    */
-  override def description(): String = {
-    val query = PushdownCompiler.gitlabMergeRequestsQuery()
-      .replaceAll("\\s+", " ")
-    s"GraftGitlabFixture graphql=[$query]" +
-      s" variables=[${GitlabFixtureTable.compileVariables(pushed.toSeq)}]" +
-      s" pruned=${required.fieldNames.map(GitlabFixtureTable.gqlFieldNames).mkString(",")}" +
-      s" PushedFilters: [${pushed.mkString(", ")}]"
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName)
-      .map(f => GitlabFilePartition(f.getAbsolutePath): InputPartition)
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GitlabFixtureReaderFactory(required, pushed)
-}
-
-case class GitlabFilePartition(file: String) extends InputPartition
-
-class GitlabFixtureReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GitlabFileReader(partition.asInstanceOf[GitlabFilePartition].file,
-      required, pushed)
-}
-
-/** Streams one JSON-lines file; parses only the fields the pruned schema
-  * needs (iid as long), applies the pushed predicates source-side.
-  */
-class GitlabFileReader(file: String, required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
-  private var current: InternalRow = _
-
-  private def fieldValue(root: JsonNode, name: String): Any = {
-    val n = root.get(GitlabFixtureTable.gqlFieldNames(name))
+  override def fieldValue(root: JsonNode, name: String): Any = {
+    val n = root.get(gqlFieldNames(name))
     if (n == null || n.isNull) null
     else if (name == "iid") n.asLong()
     else n.asText()
   }
 
-  override def next(): Boolean = {
-    current = null
-    while (current == null && it.hasNext) {
-      val line = it.next()
-      if (line.nonEmpty) {
-        val root = mapper.readTree(line)
-        val get = (n: String) => fieldValue(root, n)
-        if (pushed.forall(GitlabFixtureTable.eval(_, get))) {
-          val vals = new Array[Any](required.length)
-          var i = 0
-          while (i < required.length) {
-            val v = get(required.fields(i).name)
-            vals(i) = v match {
-              case null => null
-              case s: String => UTF8String.fromString(s)
-              case other => other
-            }
-            i += 1
-          }
-          current = new GenericInternalRow(vals)
-        }
-      }
-    }
-    current != null
+  /** The POST body a live GraphQL reader would send — shown by
+    * `.explain()`. The query is compressed to one line so the whole
+    * request fits the plan string.
+    */
+  override def describe(pushed: Seq[Filter], required: StructType): String = {
+    val query = PushdownCompiler.gitlabMergeRequestsQuery()
+      .replaceAll("\\s+", " ")
+    s"GraftGitlabFixture graphql=[$query]" +
+      s" variables=[${compileVariables(pushed)}]" +
+      s" pruned=${required.fieldNames.map(gqlFieldNames).mkString(",")}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
   }
-  override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
 }

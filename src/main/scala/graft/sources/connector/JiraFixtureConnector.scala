@@ -5,18 +5,12 @@ import java.time.format.DateTimeFormatter
 import java.time.ZoneOffset
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
-
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.PushdownCompiler
 
@@ -29,7 +23,8 @@ import graft.sources.PushdownCompiler
   * appear in the scan's explain output exactly where a live REST reader
   * would send them. Against JSON files the compiled strings are
   * descriptive, but the pushdown is also ENFORCED: the reader evaluates the
-  * pushed predicates and parses only the required columns.
+  * pushed predicates and parses only the required columns (scaffold shared
+  * via [[FixtureFormat]]).
   *
   * Layout: one JSON document per line (the shape
   * [[graft.sources.RawItemsFixture]] serializes), one input partition per
@@ -42,12 +37,14 @@ class JiraFixtureProvider extends TableProvider with DataSourceRegister {
     JiraFixtureTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new JiraFixtureTable(properties.get("path"))
+    new FixtureTable(JiraFixtureTable, properties.get("path"))
 }
 
-object JiraFixtureTable {
+object JiraFixtureTable extends FixtureFormat {
+  override val shortName: String = "graft-jira"
+
   /** The flat issue view a JQL search returns for the fixed field list. */
-  val schema: StructType = StructType(Seq(
+  override val schema: StructType = StructType(Seq(
     StructField("key", StringType),
     StructField("project", StringType),
     StructField("issue_type", StringType),
@@ -84,7 +81,7 @@ object JiraFixtureTable {
       " " + PushdownCompiler.jqlSort
   }
 
-  private[graft] def supported(f: Filter): Boolean = f match {
+  override def supported(f: Filter): Boolean = f match {
     case GreaterThan("updated", _: String) => true
     case EqualTo(a, _: String) if schema.fieldNames.contains(a) => true
     case In(a, _) if schema.fieldNames.contains(a) => true
@@ -92,9 +89,10 @@ object JiraFixtureTable {
     case _ => false
   }
 
-  private[graft] def eval(f: Filter, get: String => String): Boolean = f match {
+  override def eval(f: Filter, get: String => Any): Boolean = f match {
     case GreaterThan("updated", v: String) =>
-      val u = get("updated"); u != null && u > v // ISO-8601 sorts chronologically
+      val u = get("updated") // ISO-8601 sorts chronologically
+      u != null && u.asInstanceOf[String] > v
     case EqualTo(a, v: String) => get(a) == v
     case In(a, vs) => vs.exists(v => get(a) == String.valueOf(v))
     case IsNotNull(a) => get(a) != null
@@ -103,81 +101,11 @@ object JiraFixtureTable {
     case f => throw new IllegalStateException(
       s"graft-jira: accepted but unevaluable pushed filter $f")
   }
-}
-
-class JiraFixtureTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-jira(`$path`)"
-  override def schema(): StructType = JiraFixtureTable.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JiraFixtureScanBuilder(path)
-}
-
-class JiraFixtureScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var required: StructType = JiraFixtureTable.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, residual) = filters.partition(JiraFixtureTable.supported)
-    pushed = sup
-    residual // the engine re-evaluates only what the source can't handle
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve table column order; Catalyst may ask in projection order
-    required = StructType(JiraFixtureTable.schema.fields
-      .filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new JiraFixtureScan(path, required, pushed)
-}
-
-class JiraFixtureScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  /** What a live reader would send — shown by `.explain()` on the scan. */
-  override def description(): String = {
-    val select = PushdownCompiler.jqlSelect() + " | pruned=" +
-      required.fieldNames.map(JiraFixtureTable.jiraFieldNames).mkString(",")
-    s"GraftJiraFixture jql=[${JiraFixtureTable.compileJql(pushed.toSeq)}] " +
-      s"fields=[$select] PushedFilters: [${pushed.mkString(", ")}]"
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName)
-      .map(f => JiraFilePartition(f.getAbsolutePath): InputPartition)
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JiraFixtureReaderFactory(required, pushed)
-}
-
-case class JiraFilePartition(file: String) extends InputPartition
-
-class JiraFixtureReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JiraFileReader(partition.asInstanceOf[JiraFilePartition].file, required, pushed)
-}
-
-/** Streams one JSON-lines file; parses only the fields the pruned schema
-  * needs, applies the pushed predicates source-side.
-  */
-class JiraFileReader(file: String, required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
-  private var current: InternalRow = _
 
   private def str(n: JsonNode): String =
     if (n == null || n.isNull) null else n.asText()
 
-  private def fieldValue(root: JsonNode, name: String): String = name match {
+  override def fieldValue(root: JsonNode, name: String): Any = name match {
     case "key" => str(root.get("key"))
     case "project" =>
       val f = root.get("fields")
@@ -194,27 +122,11 @@ class JiraFileReader(file: String, required: StructType, pushed: Array[Filter])
     case _ => null
   }
 
-  override def next(): Boolean = {
-    current = null
-    while (current == null && it.hasNext) {
-      val line = it.next()
-      if (line.nonEmpty) {
-        val root = mapper.readTree(line)
-        val get = (n: String) => fieldValue(root, n)
-        if (pushed.forall(JiraFixtureTable.eval(_, get))) {
-          val vals = new Array[Any](required.length)
-          var i = 0
-          while (i < required.length) {
-            val v = get(required.fields(i).name)
-            vals(i) = if (v == null) null else UTF8String.fromString(v)
-            i += 1
-          }
-          current = new GenericInternalRow(vals)
-        }
-      }
-    }
-    current != null
+  /** What a live reader would send — shown by `.explain()` on the scan. */
+  override def describe(pushed: Seq[Filter], required: StructType): String = {
+    val select = PushdownCompiler.jqlSelect() + " | pruned=" +
+      required.fieldNames.map(jiraFieldNames).mkString(",")
+    s"GraftJiraFixture jql=[${compileJql(pushed)}] " +
+      s"fields=[$select] PushedFilters: [${pushed.mkString(", ")}]"
   }
-  override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
 }
