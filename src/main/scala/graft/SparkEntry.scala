@@ -1682,6 +1682,32 @@ object SparkEntry {
           col("schema.type").as("field_type"))
     }),
 
+    // S8's MEMBERSHIP-ONLY scan mode end to end (+ A10): the reference's
+    // contextWorkItemMaps refresh scans cards with
+    // `fields=card_id,workflow_id,type_id` (`extract_state_processor
+    // .ts:185-198`) and rebuilds membership per context. Round 1 seeds
+    // the full card→workflow map; round 2 re-scans workflows 1-2 through
+    // graft-kbz — the 3-column projection flips the compiled params to
+    // the membership mode, the workflow membership is pushed — applies a
+    // type remap, and overwrites ONLY the touched workflow partitions.
+    // The read-back proves the upsert + anti-delete semantics.
+    "q85_kbz_membership_refresh" -> ((s, dir) => {
+      val drop = scratchDir("graft-kbz-m")
+      kbzCardsJson(s, dir).write.mode("overwrite").text(drop)
+      val tbl = scratchDir("graft-kbz-cwim") + "/maps"
+      def scan() = s.read.format("graft-kbz").option("path", drop).load()
+      sources.MergeWriter.overwritePartitions(tbl,
+        scan().select(col("card_id"), col("workflow_id"), col("type_id")),
+        "workflow_id")
+      sources.MergeWriter.overwritePartitions(tbl,
+        scan().filter(col("workflow_id").isin(1L, 2L))
+          .select(col("card_id"), col("workflow_id"),
+            (col("type_id") + 10).as("type_id")),
+        "workflow_id")
+      s.read.parquet(tbl).select(col("card_id"),
+        col("workflow_id").cast("long").as("workflow_id"), col("type_id"))
+    }),
+
     // L1 hardened for OUT-OF-ORDER at-least-once delivery: the keyed merge
     // of q73 is a content no-op only when a replayed batch carries rows
     // the table already holds; mergeVersioned guards on the version column
@@ -3232,6 +3258,17 @@ object SparkEntry {
         |SELECT 'customfield_' || CAST(10000 + rk AS VARCHAR) AS field_id,
         |  event_type AS field_name, 'string' AS field_type
         |FROM rk WHERE event_type IN ('signup', 'click', 'purchase')""".stripMargin,
+
+    // Partitions 1-2 carry the round-2 remap, 0 and 3 keep round 1.
+    "q85_kbz_membership_refresh" ->
+      """WITH cards AS (
+        |  SELECT user_id AS card_id, user_id % 4 AS workflow_id,
+        |    user_id % 5 AS type_id
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT card_id, workflow_id,
+        |  CASE WHEN workflow_id IN (1, 2) THEN type_id + 10
+        |       ELSE type_id END AS type_id
+        |FROM cards""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).
