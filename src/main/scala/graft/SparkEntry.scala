@@ -1708,6 +1708,63 @@ object SparkEntry {
         col("workflow_id").cast("long").as("workflow_id"), col("type_id"))
     }),
 
+    // PII scrubbing — a curation pass every training corpus needs:
+    // deterministic synthetic contact lines are appended (the corpus
+    // itself is PII-free), then emails and IPv4 literals are redacted
+    // with per-document match counts. The oracle runs the SAME patterns
+    // through RE2, so the engines' regex semantics are pinned against
+    // each other.
+    "q86_pii_redaction" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."), pmod(col("doc_id"), lit(200)),
+          lit(".7")).as("text"))
+      TextAnalysis.redactPii(withPii, col("doc_id"), col("text"))
+    }),
+
+    // Deterministic stratified train/val/test split (80/10/10): the split
+    // assignment is a pure LCG residue of the doc id — reproducible on
+    // any engine, stable under re-runs and repartitioning (never rand()),
+    // stratified here by document-length bucket. The standard
+    // split-without-a-shuffle recipe for a 100 TB corpus.
+    "q87_stratified_split" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
+      Tables.documents(s, dir)
+        .select(floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"),
+          when(h < 1717986917L, "train")       // floor(0.8 * 2^31-1)
+            .when(h < 1932735282L, "val")      // floor(0.9 * 2^31-1)
+            .otherwise("test").as("split"))
+        .groupBy(col("len_bucket"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Per-group document cap — the "at most K docs per domain/source"
+    // curation rule: keep 20 documents per length bucket, chosen by a
+    // deterministic hash order (not rand() — task retries must keep the
+    // same survivors). One window on the group key.
+    "q88_per_group_cap" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("len_bucket")).orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20)
+        .select(col("doc_id"), col("len_bucket"))
+    }),
+
+    // Sequence packing: non-overlapping 16-token chunks packed into
+    // 48-token training sequences per document — chunk k goes to bin
+    // floor(tokens-before-k / 48). The distributed approximation of
+    // greedy packing (contiguous, ≤ one chunk overflow per bin).
+    "q89_sequence_packing" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunk(Tables.documents(s, dir),
+        col("doc_id"), col("text"), chunkSize = 16, stride = 16)
+      TextAnalysis.packChunks(chunks, col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens"), capacity = 48)
+    }),
+
     // L1 hardened for OUT-OF-ORDER at-least-once delivery: the keyed merge
     // of q73 is a content no-op only when a replayed batch carries rows
     // the table already holds; mergeVersioned guards on the version column
@@ -3278,6 +3335,64 @@ object SparkEntry {
         |  SELECT user_id, event_type, ts,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    // Same patterns through RE2 ('g' = global replace; DuckDB defaults to
+    // first-match-only).
+    "q86_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |      '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p""".stripMargin,
+
+    "q87_stratified_split" ->
+      """SELECT CAST(floor(length(text)/128.0) AS BIGINT) AS len_bucket,
+        |  CASE WHEN (doc_id*1103515245 + 12345) % 2147483647 < 1717986917 THEN 'train'
+        |       WHEN (doc_id*1103515245 + 12345) % 2147483647 < 1932735282 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q88_per_group_cap" ->
+      """SELECT doc_id, len_bucket FROM (
+        |  SELECT doc_id,
+        |    CAST(floor(length(text)/128.0) AS BIGINT) AS len_bucket,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(floor(length(text)/128.0) AS BIGINT)
+        |      ORDER BY (doc_id*1103515245 + 12345) % 2147483647, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    // 16/16 chunking (the q71 formulation, non-overlapping), then bin =
+    // floor(prior-tokens / 48) per document.
+    "q89_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(((len(toks) - 1) // 16) + 1)) AS chunk_id
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    CAST(len(toks[chunk_id*16+1 : chunk_id*16+16]) AS BIGINT) AS n_toks
+        |  FROM c),
+        |pr AS (
+        |  SELECT doc_id, chunk_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM ch)
+        |SELECT doc_id, CAST(floor(prior/48.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM pr GROUP BY 1, 2""".stripMargin
   )
 }

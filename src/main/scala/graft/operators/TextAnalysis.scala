@@ -108,6 +108,48 @@ object TextAnalysis {
         size(col("__c")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Email-address pattern, expressible identically in Java regex (Spark)
+    * and RE2 (the oracle) — unambiguous greedy character classes, so both
+    * engines find the same matches.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4-literal pattern (word-bounded; RE2 supports \b). */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing for a training corpus: redact email addresses and IPv4
+    * literals, reporting per-document match counts. Emails are replaced
+    * FIRST (the placeholder carries no digits, so the IP pass cannot
+    * re-match inside it). Pure codegen'd per-row expressions, no shuffle;
+    * extend the pattern list for fuller coverage (phone formats are
+    * locale-ambiguous and deliberately out of this deterministic core).
+    */
+  def redactPii(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id,
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("redacted"))
+
+  /** Fixed-budget contiguous sequence packing over [[chunk]] output: chunk
+    * k of a document goes to bin `floor(tokens-before-k / capacity)` — the
+    * distributed approximation of greedy packing (exact greedy is
+    * inherently sequential; this keeps chunks contiguous and lets a bin
+    * overflow by at most one chunk). One window on the document id + one
+    * map-side-combinable aggregation — nothing driver-bound, and the
+    * window key is the id (high cardinality, no skew).
+    */
+  def packChunks(chunks: DataFrame, id: Column, chunkId: Column,
+                 nTokens: Column, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(chunkId)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks.withColumn("__prior", coalesce(sum(nTokens).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__prior") / lit(capacity.toDouble)).cast("long"))
+      .groupBy(id, col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(nTokens).as("n_tokens"))
+  }
+
   /** Word n-gram shingles (space-joined), the unit for Jaccard/MinHash.
     *
     * IMPORTANT for callers: pass a *materialized tokens attribute* (a column
