@@ -57,6 +57,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii replaces every email and IPv4 literal and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.io and c.d+x@e-f.org from 192.168.0.1 then 10.0.0.255"),
+      (2L, "no pii here at all"),
+      (3L, "version 1.2 is not an ip, 1.2.3.4.5 contains one")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "mail <EMAIL> and <EMAIL> from <IP> then <IP>")))
+    assert(got(2L) == ((0L, 0L, "no pii here at all")))
+    // "1.2.3.4.5": the word-bounded pattern matches the leading 1.2.3.4
+    assert(got(3L)._2 == 1L && got(3L)._3.contains("<IP>.5"))
+  }
+
+  test("packChunks bins contiguous chunks by prior-token budget") {
+    import spark.implicits._
+    // doc 1: chunk token counts 4,4,4,3 with capacity 8 → priors
+    // 0,4,8,12 → bins 0,0,1,1; doc 2: single short chunk → bin 0
+    val chunks = Seq(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 3L),
+      (2L, 0L, 2L)
+    ).toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val got = TextAnalysis.packChunks(chunks, col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens"), capacity = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> ((2L, 8L)), (1L, 1L) -> ((2L, 7L)),
+      (2L, 0L) -> ((1L, 2L))))
+  }
+
   test("contamination of a corpus against itself is exactly 1.0") {
     import spark.implicits._
     val docs = (0 until 30)
