@@ -1728,7 +1728,7 @@ object SparkEntry {
     // stratified here by document-length bucket. The standard
     // split-without-a-shuffle recipe for a 100 TB corpus.
     "q87_stratified_split" -> ((s, dir) => {
-      val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
+      val h = lcgResidue(col("doc_id"))
       Tables.documents(s, dir)
         .select(floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"),
           when(h < 1717986917L, "train")       // floor(0.8 * 2^31-1)
@@ -1741,16 +1741,18 @@ object SparkEntry {
     // Per-group document cap — the "at most K docs per domain/source"
     // curation rule: keep 20 documents per length bucket, chosen by a
     // deterministic hash order (not rand() — task retries must keep the
-    // same survivors). One window on the group key.
+    // same survivors). The group key here is deliberately LOW-cardinality
+    // (a few dozen length buckets), the shape that kills a naive global
+    // window at scale — [[operators.Caps.perGroupCap]] runs a narrow
+    // per-partition partial top-K first, so the final window sees at most
+    // K·partitions rows per bucket instead of the whole corpus.
     "q88_per_group_cap" -> ((s, dir) => {
-      val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("len_bucket")).orderBy(h.asc, col("doc_id").asc)
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 20)
+      Caps.perGroupCap(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"),
+            lcgResidue(col("doc_id")).as("__h")),
+        groupCols = Seq("len_bucket"), orderCols = Seq("__h", "doc_id"), k = 20)
         .select(col("doc_id"), col("len_bucket"))
     }),
 
@@ -1795,6 +1797,17 @@ object SparkEntry {
           col("ver").as("version_ts"))
     })
   )
+
+  /** Deterministic LCG residue of a non-negative id column — the engine-
+    * portable pseudo-random orderer behind q87/q88. The id is mod-reduced
+    * BEFORE the multiply so every intermediate stays far inside Int64 on
+    * both engines: Spark wraps Int64 silently but DuckDB raises on
+    * overflow (and its `%` follows the dividend sign after a wrap), so
+    * unreduced ids beyond ~8.4e9 would break engine parity — latent at
+    * 100 TB scale, invisible at fixture scale.
+    */
+  private def lcgResidue(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * 1103515245L + 12345L, lit(2147483647L))
 
   /** Jira `/field`-response-shaped metadata drop derived from the event
     * types: one JSON document per field with (id, name, custom,
@@ -3356,10 +3369,12 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM p""".stripMargin,
 
+    // The id is mod-reduced before the LCG multiply on both engines (see
+    // lcgResidue) so no intermediate can overflow Int64 in DuckDB.
     "q87_stratified_split" ->
       """SELECT CAST(floor(length(text)/128.0) AS BIGINT) AS len_bucket,
-        |  CASE WHEN (doc_id*1103515245 + 12345) % 2147483647 < 1717986917 THEN 'train'
-        |       WHEN (doc_id*1103515245 + 12345) % 2147483647 < 1932735282 THEN 'val'
+        |  CASE WHEN ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647 < 1717986917 THEN 'train'
+        |       WHEN ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647 < 1932735282 THEN 'val'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
@@ -3370,7 +3385,7 @@ object SparkEntry {
         |    CAST(floor(length(text)/128.0) AS BIGINT) AS len_bucket,
         |    row_number() OVER (
         |      PARTITION BY CAST(floor(length(text)/128.0) AS BIGINT)
-        |      ORDER BY (doc_id*1103515245 + 12345) % 2147483647, doc_id) AS rn
+        |      ORDER BY ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647, doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin,
 
     // 16/16 chunking (the q71 formulation, non-overlapping), then bin =

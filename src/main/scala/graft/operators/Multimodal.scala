@@ -66,6 +66,9 @@ object Multimodal {
     * construction. Malformed containers fail loudly.
     */
   final case class WavPcmDecoder(samplesPerFrame: Int) extends FrameDecoder {
+    require(samplesPerFrame > 0,
+      s"WavPcmDecoder: samplesPerFrame must be positive, got $samplesPerFrame")
+
     private def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], o: Int): Int =
@@ -102,7 +105,10 @@ object Multimodal {
       }
       require(blockAlign > 0 && dataOff >= 0,
         "WavPcmDecoder: missing fmt or data chunk")
-      windowed(b, dataOff, dataLen, blockAlign * samplesPerFrame, everyNth)
+      // checked multiply: a huge samplesPerFrame must fail loudly here,
+      // not wrap negative and feed windowed() a nonsense frame size
+      windowed(b, dataOff, dataLen,
+        math.multiplyExact(blockAlign, samplesPerFrame), everyNth)
     }
   }
 

@@ -141,6 +141,7 @@ object TextAnalysis {
     */
   def packChunks(chunks: DataFrame, id: Column, chunkId: Column,
                  nTokens: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(chunkId)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -199,6 +199,8 @@ object MergeWriter {
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    require(!incoming.columns.contains(BucketCol),
+      s"merge: incoming frame must not contain reserved column '$BucketCol'")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     // legacy pre-manifest table: migrate with one full rewrite into the
@@ -259,6 +261,12 @@ object MergeWriter {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(incoming.columns.contains(versionCol),
       s"mergeVersioned: incoming frame lacks version column '$versionCol'")
+    // the merge machinery owns these names; silently withColumn-replacing
+    // a caller's column of the same name would corrupt its data (the
+    // saltedJoin collision class) — fail loudly instead
+    Seq("__pri", "__vrn", BucketCol).foreach(c =>
+      require(!incoming.columns.contains(c),
+        s"mergeVersioned: incoming frame must not contain reserved column '$c'"))
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
