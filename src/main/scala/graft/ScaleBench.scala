@@ -28,6 +28,10 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft-scale")
+    // optional third arg: comma list of sections (vocab,srp,heavy,zipf,
+    // cap,cellband) — default runs everything
+    val sections = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("vocab", "srp", "heavy", "zipf", "cap", "cellband"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -110,7 +114,8 @@ object ScaleBench {
       println(f"""{"dir":"$dir","query":"$name","sec":$sec%.2f,"rows":$n}""")
     }
 
-    println(s"""{"vocab_sf01":${vocabOf(base)},"vocab_rep10":${vocabOf(rep)},"vocab_zipf":${vocabOf(zipf)}}""")
+    if (sections("vocab"))
+      println(s"""{"vocab_sf01":${vocabOf(base)},"vocab_rep10":${vocabOf(rep)},"vocab_zipf":${vocabOf(zipf)}}""")
     // SRP candidate volume, narrow vs wide band keys, on the dense-replica
     // corpus: the 8-bit keys of 32/4 have a random collision floor of
     // bands·n²/256 that swamps the candidate set at rep10 scale; the
@@ -124,15 +129,73 @@ object ScaleBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"dir":"$dir","srp_candidates":"$bits/$bands","sec":$sec%.2f,"rows":$n}""")
     }
-    srpCand(rep, 32, 4)
-    srpCand(rep, 64, 4)
+    if (sections("srp")) {
+      srpCand(rep, 32, 4)
+      srpCand(rep, 64, 4)
+    }
+
+    // round 6, q88 shape: per-group cap on a SINGLE-group corpus — the
+    // pathological key the naive global window funnels through one task.
+    // Caps.perGroupCap runs a narrow partial first; compare directly.
+    def capBench(dir: String): Unit = {
+      def corpus = Tables.documents(spark, dir).select(col("doc_id"),
+        lit(0L).as("grp"),
+        pmod(xxhash64(col("doc_id")), lit(1000000007L)).as("ord"))
+      val t0 = System.nanoTime()
+      val n = operators.Caps.perGroupCap(corpus,
+        Seq("grp"), Seq("ord", "doc_id"), 20).count()
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("ord").asc, col("doc_id").asc)
+      val t1 = System.nanoTime()
+      val n2 = corpus.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20).count()
+      val s2 = (System.nanoTime() - t1) / 1e9
+      println(f"""{"dir":"$dir","cap_two_phase_sec":$s1%.2f,"cap_naive_window_sec":$s2%.2f,"rows":$n,"naive_rows":$n2}""")
+    }
+    // base runs twice: the first pass pays the C2 compile of the Row-codec
+    // mapPartitions kernel — the second is the comparable warmed number
+    if (sections("cap")) { capBench(base); capBench(base); capBench(rep) }
+
+    // round 6, q79 shape: candidate volume of the in-cell verify, cell-only
+    // self-join vs cell ∧ SRP-band sub-blocking, over the SAME trained
+    // centroids (8 seeds, 2 Lloyd iterations — deliberately under-
+    // provisioned at rep10 so the fixed-k quadratic term is visible).
+    def cellCand(dir: String): Unit = {
+      val emb = Tables.embeddings(spark, dir)
+      val trained = operators.Similarity.ivfTrain(emb,
+        emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        iterations = 2)
+      val a = CacheRegistry.persist(operators.Similarity.ivfAssignCells(
+        emb, trained, col("vec_id"), col("embedding")))
+      val t0 = System.nanoTime()
+      val nCell = a.as("x").join(a.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+        .count()
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val bandRows = operators.Similarity.srpBandRows(emb, col("vec_id"),
+        col("embedding"), bits = 32, bands = 4)
+      val av = a.join(bandRows, col("vid") === col("id"))
+        .select(col("vid"), col("cell"), col("band"), col("band_key"))
+      val t1 = System.nanoTime()
+      val nBand = av.as("x").join(av.as("y"),
+          col("x.cell") === col("y.cell") && col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") && col("x.vid") < col("y.vid"))
+        .select(col("x.vid"), col("y.vid")).distinct().count()
+      val s2 = (System.nanoTime() - t1) / 1e9
+      println(f"""{"dir":"$dir","cell_only_candidates":$nCell,"cell_only_sec":$s1%.2f,"cell_band_candidates":$nBand,"cell_band_sec":$s2%.2f}""")
+    }
+    if (sections("cellband")) { cellCand(base); cellCand(rep) }
+
     val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
       "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions",
       "q81_srp_wide_replicas")
-    heavy.foreach(q => time(base, q))
-    heavy.foreach(q => time(rep, q))
-    time(zipf, "q22_ngram_jaccard")
+    if (sections("heavy")) {
+      heavy.foreach(q => time(base, q))
+      heavy.foreach(q => time(rep, q))
+    }
+    if (sections("zipf")) time(zipf, "q22_ngram_jaccard")
     spark.stop()
   }
 }

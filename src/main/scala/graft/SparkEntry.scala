@@ -1570,24 +1570,37 @@ object SparkEntry {
 
     // Semantic dedup over IVF cells — the standard embedding-dedup recipe
     // and the q65 analog for vectors: assign every vector to its trained
-    // IVF cell (q52's persisted centroids, shared), run the exact cosine
-    // verify INSIDE cells only (the cell partition bounds the O(n²) to
-    // per-cell blocks — at 100 TB cell count scales with the corpus and
-    // this is a bucketed self-join, never a global cross product), feed
-    // the verified pairs to connected components, and keep one survivor
-    // per transitive cluster — the most CENTRAL member (max cosine to its
-    // cell centroid, tie min id).
+    // IVF cell (q52's persisted centroids, shared), find candidates as
+    // same cell AND same SRP band bucket, exact-cosine-verify only those,
+    // feed the verified pairs to connected components, and keep one
+    // survivor per transitive cluster — the most CENTRAL member (max
+    // cosine to its cell centroid, tie min id). The SRP sub-blocking is
+    // the load-bearing scale property: a cell-only self-join is O(Σ cell²)
+    // and quadratic again whenever the centroid count lags the corpus;
+    // composing the cell key with the band key bounds the verify by
+    // band-bucket size and makes the shuffle key high-cardinality even at
+    // a fixed (under-provisioned) k.
     "q79_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val a = CacheRegistry.persist(
         Similarity.ivfAssignCells(emb, ivfCentroidsFrame(s, dir),
             col("vec_id"), col("embedding"))
           .withColumn("q", round(col("centroid_cos"), 6)))
-      val pairs = a.as("x").join(a.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+      val bandRows = Similarity.srpBandRows(emb, col("vec_id"),
+        col("embedding"), bits = 32, bands = 4)
+      val av = a.join(bandRows, col("vid") === col("id"))
+        .select(col("vid"), col("cell"), col("band"), col("band_key"))
+      val cand = av.as("x").join(av.as("y"),
+          col("x.cell") === col("y.cell") && col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") && col("x.vid") < col("y.vid"))
+        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b")).distinct()
+      val v = a.select(col("vid"), col("vv"), col("vn"))
+      val pairs = cand
+        .join(v.select(col("vid").as("id_a"), col("vv").as("va"), col("vn").as("na")), "id_a")
+        .join(v.select(col("vid").as("id_b"), col("vv").as("vb"), col("vn").as("nb")), "id_b")
         .filter(round(graft.functions.VectorExpressions.dot_product(
-            col("x.vv"), col("y.vv")) / (col("x.vn") * col("y.vn")), 6) >= 0.35)
-        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+            col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.35)
+        .select(col("id_a"), col("id_b"))
       val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
       Dedup.survivorPerCluster(comps,
         a.select(col("vid").as("doc_id"), col("q")),
@@ -1965,7 +1978,17 @@ object SparkEntry {
     * `srp_pairs` carries the exact verified cosine.
     */
   private def srpOracleCtes(srcCte: String, bits: Int, bands: Int,
-                            threshold: Double): String = {
+                            threshold: Double): String =
+    s"""$srcCte,
+       |${srpSigChainCtes(bits, bands, threshold)}""".stripMargin
+
+  /** The signature→bandrows→cand→srp_pairs tail of [[srpOracleCtes]],
+    * for oracles that already define the `v(vec_id, e)` source CTE in a
+    * wider chain (q79 appends it to the trained-IVF CTEs and intersects
+    * `srp_pairs` with the cell assignment).
+    */
+  private def srpSigChainCtes(bits: Int, bands: Int,
+                              threshold: Double): String = {
     val width = bits / bands
     val mask = (1L << width) - 1
     val bitTerms = (0 until bits).map { p =>
@@ -1979,8 +2002,7 @@ object SparkEntry {
          |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
          |    (a, x) -> a + x) > 0 THEN $term ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString(" + ")
-    s"""$srcCte,
-       |sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
+    s"""sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
        |bandrows AS (
        |  SELECT vec_id, band, (srp_sig >> (band*$width)) & $mask AS band_key
        |  FROM sig, (SELECT unnest(range($bands)) AS band) b),
@@ -3232,19 +3254,24 @@ object SparkEntry {
       s"""WITH $srpWideOracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
 
-    // Semantic dedup: same trained-IVF chain as q52, exact verify inside
-    // cells, recursive-CTE transitive closure (the q63/q76 formulation),
-    // survivor = max centroid-cosine per cluster (tie min id).
+    // Semantic dedup: same trained-IVF chain as q52, SRP band keys from
+    // the shared sig chain, candidates = same cell AND same band bucket
+    // (srp_pairs ∩ cell agreement), recursive-CTE transitive closure (the
+    // q63/q76 formulation), survivor = max centroid-cosine per cluster
+    // (tie min id).
     "q79_semantic_dedup" ->
       s"""WITH RECURSIVE $ivfTrainedOracleCtes,
+         |${srpSigChainCtes(bits = 32, bands = 4, threshold = 0.35)},
          |qual AS (
          |  SELECT a.vec_id, a.cell, a.e, a.nrm,
          |    ROUND(list_dot_product(a.e, c.ce)/(a.nrm*c.cn), 6) AS q
          |  FROM af a JOIN c2 c ON a.cell = c.cid),
          |prs AS (
-         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM qual x JOIN qual y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |  WHERE ROUND(list_dot_product(x.e, y.e)/(x.nrm*y.nrm), 6) >= 0.35),
+         |  SELECT p.id_a, p.id_b
+         |  FROM srp_pairs p
+         |  JOIN af x ON x.vec_id = p.id_a
+         |  JOIN af y ON y.vec_id = p.id_b
+         |  WHERE x.cell = y.cell),
          |ed AS (SELECT id_a AS u, id_b AS w FROM prs
          |       UNION SELECT id_b, id_a FROM prs),
          |reach(u, w) AS (

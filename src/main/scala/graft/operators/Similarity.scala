@@ -247,19 +247,32 @@ object Similarity {
     * recall on moderate-cosine pairs (p^16 vs p^8), so it is the
     * dense-replica/high-threshold scale choice, not a universal default.
     */
-  def srpCandidatePairs(emb: DataFrame, id: Column, vec: Column,
-                        bits: Int = 32, bands: Int = 4): DataFrame = {
+  /** The per-vector band keys of the SRP banding scheme: one row per
+    * (id, band) with the band's key slice of the signature. This is the
+    * composable blocking primitive — join band rows on (band, band_key)
+    * for pure SRP candidates ([[srpCandidatePairs]]), or compose the key
+    * with another blocking column (q79 joins on cell ∧ band ∧ band_key to
+    * sub-block IVF cells so the in-cell verify survives a fixed centroid
+    * count). Signatures are persisted (one long per vector).
+    */
+  def srpBandRows(emb: DataFrame, id: Column, vec: Column,
+                  bits: Int = 32, bands: Int = 4): DataFrame = {
     require(bits % bands == 0 && bits >= 1 && bits <= 64 && bits / bands < 64,
       s"bits=$bits must be a multiple of bands=$bands, fit one long, and " +
         "give bands narrower than 64 bits (a 64-bit mask shift would wrap " +
         "to 0 and silently degrade the band join to a full cross product)")
     val sig = graft.CacheRegistry.persist(srpSignatures(emb, id, vec, bits))
     val width = bits / bands
-    val bandRows = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       sig.select(col("id"), lit(b).as("band"),
         shiftright(col("srp_sig"), b * width)
           .bitwiseAND((1L << width) - 1).as("band_key"))
     }.reduce(_ unionByName _)
+  }
+
+  def srpCandidatePairs(emb: DataFrame, id: Column, vec: Column,
+                        bits: Int = 32, bands: Int = 4): DataFrame = {
+    val bandRows = srpBandRows(emb, id, vec, bits, bands)
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
