@@ -1808,6 +1808,89 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
         .select(col("user_id"), col("event_type").as("state"),
           col("ver").as("version_ts"))
+    }),
+
+    // Kanbanize END-TO-END incremental flow — the q73 analog for S8,
+    // closing the last connector lifecycle asymmetry: the reference's
+    // path is watermarked card scan → T3 transition dedupe → T8 snapshot
+    // frames → load (`kanbanize/extract_state_processor.ts:419-533` →
+    // `transform_processor.ts:209-312`). Three rounds through the
+    // graft-kbz connector: round 1 ingests cards arrived by a cut (the
+    // watermark predicate is pushed and compiled into the reference's
+    // `last_modified_from` card-scan param, explain-visible as in q77),
+    // round 2 is the true incremental scan (`last_modified > stored
+    // mark`), round 3 replays round 1's stale batch — at-least-once
+    // delivery that mergeVersioned (keyed (card_id, revision), versioned
+    // by the card's last_modified) absorbs without regressing newer rows.
+    // Per batch, the changed cards' transition history is T3-deduped
+    // (keepOnChange) and framed as T8 snapshot rows with the workflow
+    // step mapping. Output = final snapshots table + final watermark.
+    "q90_kbz_incremental_flow" -> ((s, dir) => {
+      val root = scratchDir("graft-kbz-loop")
+      val wmPath = root + "/datasources"
+      val snapPath = root + "/snapshots"
+      val drop = root + "/raw"
+      kbzCardsJson(s, dir).write.mode("overwrite").text(drop)
+      val cut = "2024-01-20T00:00:00.000000"
+
+      def storedMark(): Option[String] =
+        if (!new java.io.File(wmPath).exists()) None
+        else operators.Watermarks.currentMarks(s, wmPath).collect()
+          .find(_.getString(0) == "kanbanize").map(_.getString(1))
+
+      def runRound(arrivalCap: Option[String], useMark: Boolean): Unit = {
+        val src = s.read.format("graft-kbz").option("path", drop).load()
+        val capped = arrivalCap.fold(src)(c => src.filter(col("last_modified") <= c))
+        // cards whose state changed since the stored mark — the compiled
+        // last_modified_from pushdown; both the snapshot build and the
+        // watermark advance consume the batch, so persist it
+        val cards = (if (useMark) storedMark() else None)
+          .fold(capped)(m => capped.filter(col("last_modified") > m))
+          .select(col("card_id"), col("type_id"), col("workflow_id"),
+            col("last_modified"))
+          .persist()
+        try {
+          // T3: the changed cards' full transition stream off the event
+          // log, consecutive same-column duplicates dropped
+          val trans = ConsecutiveDedupe.keepOnChange(
+            Tables.events(s, dir)
+              .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+              .join(cards.select(col("card_id")),
+                col("user_id") === col("card_id"), "left_semi"),
+            Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("event_type"))
+          // T8 frame: one snapshot row per surviving transition with the
+          // workflow step columns, versioned by the card's last_modified
+          val wRev = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          val snaps = trans
+            .withColumn("revision", row_number().over(wRev).cast("long"))
+            .join(cards, col("user_id") === col("card_id"))
+            .select(col("card_id"), col("revision"),
+              to_date(col("ts")).as("snapshot_date"),
+              col("event_type").as("column_state"),
+              when(col("event_type") === "signup", 1L)
+                .when(col("event_type") === "view", 2L)
+                .when(col("event_type") === "click", 3L)
+                .otherwise(4L).as("state_order"),
+              when(col("event_type").isin("signup", "view"), "proposed")
+                .when(col("event_type") === "click", "inprogress")
+                .otherwise("completed").as("step_category"),
+              col("type_id"), col("workflow_id"),
+              col("last_modified").as("version_ts"))
+          sources.MergeWriter.mergeVersioned(s, snapPath, snaps,
+            Seq("card_id", "revision"), "version_ts", buckets = 8)
+          operators.Watermarks.advance(s, wmPath,
+            cards.withColumn("ds", lit("kanbanize")), col("ds"),
+            col("last_modified"))
+        } finally { cards.unpersist(blocking = false); () }
+      }
+      runRound(Some(cut), useMark = true)  // initial load up to the cut
+      runRound(None, useMark = true)       // incremental: last_modified > mark
+      runRound(Some(cut), useMark = false) // stale at-least-once replay
+      val wm = operators.Watermarks.currentMarks(s, wmPath)
+        .select(col("next_run_start_from"))
+      sources.MergeWriter.readTable(s, snapPath)
+        .crossJoin(broadcast(wm))
     })
   )
 
@@ -3366,6 +3449,40 @@ object SparkEntry {
         |  CASE WHEN workflow_id IN (1, 2) THEN type_id + 10
         |       ELSE type_id END AS type_id
         |FROM cards""".stripMargin,
+
+    // The three rounds cover every card exactly once (round 1: arrived by
+    // the cut; round 2: modified after the stored mark; round 3 replays
+    // round 1 as a version-guarded no-op), so the final snapshots table
+    // equals the full T3-deduped transition history framed per card.
+    "q90_kbz_incremental_flow" ->
+      """WITH cards AS (
+        |  SELECT user_id AS card_id,
+        |    strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%f') AS version_ts
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT user_id, event_id, ts, event_type FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+        |    FROM events WHERE event_type IN ('signup','view','click','purchase'))
+        |  WHERE pe IS NULL OR pe <> event_type),
+        |rev AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS revision
+        |  FROM tr)
+        |SELECT c.card_id, CAST(r.revision AS BIGINT) AS revision,
+        |  CAST(r.ts AS DATE) AS snapshot_date,
+        |  r.event_type AS column_state,
+        |  CAST(CASE r.event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |       WHEN 'click' THEN 3 ELSE 4 END AS BIGINT) AS state_order,
+        |  CASE WHEN r.event_type IN ('signup','view') THEN 'proposed'
+        |       WHEN r.event_type = 'click' THEN 'inprogress'
+        |       ELSE 'completed' END AS step_category,
+        |  c.card_id % 5 AS type_id,
+        |  c.card_id % 4 AS workflow_id,
+        |  c.version_ts,
+        |  (SELECT strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%f') FROM events)
+        |    AS next_run_start_from
+        |FROM rev r JOIN cards c ON r.user_id = c.card_id""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).
