@@ -1891,6 +1891,86 @@ object SparkEntry {
         .select(col("next_run_start_from"))
       sources.MergeWriter.readTable(s, snapPath)
         .crossJoin(broadcast(wm))
+    }),
+
+    // GitLab END-TO-END incremental flow — the q73/q90 analog for S9,
+    // completing scan→transform→load for all four sources: watermarked MR
+    // scan (the `updatedAfter` variable compiled into the GraphQL request
+    // payload, explain-visible as in q78) → T20 VC transform → L5
+    // normalized loads. The reference pages by self-requeueing with the
+    // last cursor (`gitlab_extractor.ts:574-584`); the batch analog of
+    // that resume is a SECOND incremental round through the stored
+    // watermark — round 2 picks up strictly after round 1's mark. Round 3
+    // replays round 1's stale batch (at-least-once): the keyed merges
+    // make it a content no-op.
+    "q91_gitlab_incremental_flow" -> ((s, dir) => {
+      val root = scratchDir("graft-gl-loop")
+      val wmPath = root + "/datasources"
+      val drop = root + "/raw"
+      gitlabMrsJson(s, dir).write.mode("overwrite").text(drop)
+      val cut = "1996-01-01T00:00:00.000000"
+
+      def storedMark(): Option[String] =
+        if (!new java.io.File(wmPath).exists()) None
+        else operators.Watermarks.currentMarks(s, wmPath).collect()
+          .find(_.getString(0) == "gitlab").map(_.getString(1))
+
+      def runRound(arrivalCap: Option[String], useMark: Boolean): Unit = {
+        val src = s.read.format("graft-gitlab").option("path", drop).load()
+        val capped = arrivalCap.fold(src)(c => src.filter(col("updated_at") <= c))
+        val batch = (if (useMark) storedMark() else None)
+          .fold(capped)(m => capped.filter(col("updated_at") > m))
+          .persist()
+        try {
+          val projectId =
+            regexp_extract(col("project_path"), "(\\d+)$", 1).cast("long")
+          // T20 input shape: the MR node with its nested commit list (the
+          // fixture carries the merge commit; real payloads carry many)
+          val mrs = batch.select(col("iid").as("mrId"),
+            projectId.as("projectId"), col("title"),
+            lit("merged").as("state"),
+            col("created_at").cast("timestamp_ntz").as("createdAt"),
+            col("merged_at").cast("timestamp_ntz").as("mergedAt"),
+            array(struct(col("merge_commit_sha").as("sha"),
+              col("merged_at").cast("timestamp_ntz").as("authoredDate"),
+              concat(lit("dev-"), pmod(col("iid"), lit(7))).as("authorName")))
+              .as("commits"))
+          val pipes = batch.select(col("iid").as("pipelineId"),
+            projectId.as("projectId"), lit("success").as("status"),
+            col("created_at").cast("timestamp_ntz").as("startedAt"),
+            col("merged_at").cast("timestamp_ntz").as("finishedAt"))
+          val (mergeRequests, commitRows, bridge, pipelines) =
+            SecondaryTransforms.vcTables(mrs, pipes)
+          sources.MergeWriter.merge(s, root + "/mrs", mergeRequests,
+            Seq("mrId"), buckets = 8)
+          sources.MergeWriter.merge(s, root + "/commits", commitRows,
+            Seq("sha"), buckets = 8)
+          sources.MergeWriter.merge(s, root + "/mr_commits", bridge,
+            Seq("mrId", "sha"), buckets = 8)
+          sources.MergeWriter.merge(s, root + "/pipelines", pipelines,
+            Seq("pipelineId"), buckets = 8)
+          operators.Watermarks.advance(s, wmPath,
+            batch.withColumn("ds", lit("gitlab")), col("ds"),
+            col("updated_at"))
+        } finally { batch.unpersist(blocking = false); () }
+      }
+      runRound(Some(cut), useMark = true)  // initial load up to the cut
+      runRound(None, useMark = true)       // cursor resume: updated > mark
+      runRound(Some(cut), useMark = false) // stale at-least-once replay
+      val wm = operators.Watermarks.currentMarks(s, wmPath)
+        .select(col("next_run_start_from"))
+      sources.MergeWriter.readTable(s, root + "/mrs")
+        .join(sources.MergeWriter.readTable(s, root + "/mr_commits"), Seq("mrId"))
+        .join(sources.MergeWriter.readTable(s, root + "/commits"), Seq("sha"))
+        .join(sources.MergeWriter.readTable(s, root + "/pipelines")
+            .select(col("pipelineId").as("mrId"),
+              col("status").as("pipeline_status")),
+          Seq("mrId"))
+        .crossJoin(broadcast(wm))
+        .select(col("mrId").as("mr_id"), col("projectId").as("project_id"),
+          col("state"), col("sha"), col("authorName").as("author_name"),
+          col("authoredDate").as("authored_date"), col("pipeline_status"),
+          col("next_run_start_from"))
     })
   )
 
@@ -3483,6 +3563,25 @@ object SparkEntry {
         |  (SELECT strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%f') FROM events)
         |    AS next_run_start_from
         |FROM rev r JOIN cards c ON r.user_id = c.card_id""".stripMargin,
+
+    // Rounds 1+2 cover every sampled MR exactly once (round 3 is the
+    // keyed-merge no-op), so the loaded tables equal the full T20
+    // normalization of the fixture; watermark = max updated_at.
+    "q91_gitlab_incremental_flow" ->
+      """WITH mr AS (
+        |  SELECT o_orderkey AS mr_id,
+        |    o_custkey % 10 AS project_id,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS sha,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY AS merged_ts,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY AS updated_ts
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT mr_id, project_id, 'merged' AS state, sha,
+        |  'dev-' || CAST(mr_id % 7 AS VARCHAR) AS author_name,
+        |  merged_ts AS authored_date,
+        |  'success' AS pipeline_status,
+        |  (SELECT strftime(MAX(updated_ts), '%Y-%m-%dT%H:%M:%S.%f') FROM mr)
+        |    AS next_run_start_from
+        |FROM mr""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).
