@@ -1971,6 +1971,25 @@ object SparkEntry {
           col("state"), col("sha"), col("authorName").as("author_name"),
           col("authoredDate").as("authored_date"), col("pipeline_status"),
           col("next_run_start_from"))
+    }),
+
+    // Multimodal image-side container parse, completing the FrameDecoder
+    // pair: ASCII docs become actual 8-bpp BMP containers (file header +
+    // BITMAPINFOHEADER + 256-entry palette + bottom-up 4-byte-aligned
+    // raster, built byte-exact), and BmpRowDecoder re-derives the
+    // geometry from the headers — honoring the pixel offset (skipping
+    // the palette), un-padding each row, and un-reversing the bottom-up
+    // storage — to frame every 2nd IMAGE row. The oracle recomputes the
+    // frame stats from the text alone, so a decoder mis-locating the
+    // raster by one byte (or reading rows in storage order)
+    // hash-mismatches.
+    "q92_bmp_rows" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
+      val assets = Multimodal.toBmpAssets(ascii, col("doc_id"), col("text"),
+        width = 32)
+      Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
+        Multimodal.BmpRowDecoder(), everyNth = 2))
     })
   )
 
@@ -3582,6 +3601,26 @@ object SparkEntry {
         |  (SELECT strftime(MAX(updated_ts), '%Y-%m-%dT%H:%M:%S.%f') FROM mr)
         |    AS next_run_start_from
         |FROM mr""".stripMargin,
+
+    // Image row r of the raster carries text bytes [r·32, (r+1)·32)
+    // zero-padded to the full 32-byte row, so frame stats over the parsed
+    // BMP must equal stats computed from the text directly: n_bytes is
+    // the fixed row payload width, byte_sum ignores the zero padding.
+    "q92_bmp_rows" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |g AS (
+        |  SELECT asset_id, text,
+        |    greatest(1, (length(text) + 31) // 32) AS h FROM c),
+        |f AS (
+        |  SELECT asset_id, text, unnest(range(0, h, 2)) AS frame_idx FROM g)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(substring(text, CAST(frame_idx*32+1 AS INT), 32), ''),
+        |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
+        |FROM f""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * produce deterministic byte-derived pseudo-features standing in for a
   * decoder+CNN. Container parsing itself is REAL where the format is pure
   * byte math: [[Multimodal.WavPcmDecoder]] walks an actual RIFF/WAVE chunk
-  * list (magic, fmt geometry, data chunk bounds) with no codec dependency;
-  * [[Multimodal.FixedWindowDecoder]] remains the format-agnostic fallback.
+  * list (magic, fmt geometry, data chunk bounds) and
+  * [[Multimodal.BmpRowDecoder]] parses an actual BMP raster (pixel offset
+  * past the palette, bottom-up rows, 4-byte stride), both with no codec
+  * dependency; [[Multimodal.FixedWindowDecoder]] remains the
+  * format-agnostic fallback.
   * Everything around the kernels — schema, batching, partitioning, output
   * shapes — is the real pipeline: swapping a stub for an actual decoder
   * (JNI/OpenCV, or `mapInPandas` + PIL on PySpark) changes only the kernel
@@ -109,6 +112,56 @@ object Multimodal {
       // not wrap negative and feed windowed() a nonsense frame size
       windowed(b, dataOff, dataLen,
         math.multiplyExact(blockAlign, samplesPerFrame), everyNth)
+    }
+  }
+
+  /** REAL pure-JVM image-container parse (no codec libs — BMP is pure
+    * byte math), the image-side sibling of [[WavPcmDecoder]]: validates
+    * the `BM` magic, reads the pixel-data offset from the file header
+    * (honoring it skips the palette — a one-byte mis-location shifts
+    * every frame and hash-mismatches), reads the raster geometry from the
+    * BITMAPINFOHEADER (width, height, planes, bpp, BI_RGB only), computes
+    * the 4-byte-aligned row stride `((width·bpp + 31) / 32) · 4`, and
+    * emits one frame per IMAGE row (top-down) of the row's PAYLOAD bytes
+    * — un-padding each row and un-reversing the bottom-up storage order
+    * BMP rasters use. Malformed containers fail loudly.
+    */
+  final case class BmpRowDecoder() extends FrameDecoder {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    override def frames(bytes: Array[Byte], everyNth: Int): Iterator[(Int, Array[Byte])] = {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+        s"BmpRowDecoder: not a BMP container (${b.length} bytes)")
+      val pixelOff = le32(b, 10)
+      require(le32(b, 14) >= 40,
+        "BmpRowDecoder: BITMAPINFOHEADER (>= 40 bytes) required")
+      val width = le32(b, 18)
+      val height = le32(b, 22)
+      require(width > 0 && height > 0,
+        s"BmpRowDecoder: positive bottom-up raster required ($width x $height)")
+      require(le16(b, 26) == 1, "BmpRowDecoder: planes must be 1")
+      val bpp = le16(b, 28)
+      require(bpp == 8 || bpp == 24 || bpp == 32,
+        s"BmpRowDecoder: unsupported bit depth $bpp")
+      require(le32(b, 30) == 0,
+        "BmpRowDecoder: only uncompressed BI_RGB is supported")
+      val rowBytes = math.multiplyExact(width, bpp) / 8
+      val stride = (rowBytes + 3) / 4 * 4
+      // compare in Long: corrupt geometry must hit this require, not wrap
+      require(pixelOff >= 54 &&
+        pixelOff.toLong + height.toLong * stride <= b.length,
+        s"BmpRowDecoder: $height x $stride raster at offset $pixelOff " +
+          s"overruns the container (${b.length} bytes)")
+      (0 until height by everyNth).iterator.map { r =>
+        // image row r lives at storage row (height-1-r): bottom-up layout
+        val start = pixelOff + (height - 1 - r) * stride
+        (r, java.util.Arrays.copyOfRange(b, start, start + rowBytes))
+      }
     }
   }
 
@@ -213,6 +266,64 @@ object Multimodal {
         struct(lit("audio/wav").as("mime"),
           lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
           col("dur").as("duration_ms")).as("meta"))
+  }
+
+  /** Build REAL 8-bpp grayscale BMP containers around a text payload
+    * (file header + BITMAPINFOHEADER + 256-entry palette + bottom-up
+    * zero-padded raster, byte-exact little-endian fields) — the ingest
+    * fixture that lets [[BmpRowDecoder]] exercise an actual image
+    * container parse end to end: image row r carries text bytes
+    * [r·width, (r+1)·width) zero-padded, stored bottom-up with 4-byte
+    * row alignment behind the palette the pixel offset must skip.
+    */
+  def toBmpAssets(df: DataFrame, id: Column, text: Column,
+                  width: Int = 32): DataFrame = {
+    require(width > 0, s"toBmpAssets: width must be positive, got $width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+      .map { case (i, t) =>
+        val data = (if (t == null) "" else t).getBytes(StandardCharsets.UTF_8)
+        val height = math.max(1, (data.length + width - 1) / width)
+        val stride = (width + 3) / 4 * 4 // 8 bpp: rowBytes == width
+        val pixelOff = 14 + 40 + 256 * 4
+        val bb = java.nio.ByteBuffer.allocate(pixelOff + height * stride)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte)
+        bb.putInt(pixelOff + height * stride) // file size
+        bb.putInt(0)                          // reserved
+        bb.putInt(pixelOff)                   // pixel-data offset
+        bb.putInt(40)                         // BITMAPINFOHEADER size
+        bb.putInt(width)
+        bb.putInt(height)                     // positive: bottom-up
+        bb.putShort(1)                        // planes
+        bb.putShort(8)                        // bits per pixel
+        bb.putInt(0)                          // BI_RGB
+        bb.putInt(height * stride)            // image size
+        bb.putInt(2835).putInt(2835)          // 72 dpi
+        bb.putInt(256).putInt(0)              // palette size / important
+        var p = 0
+        while (p < 256) { // grayscale BGRA palette
+          bb.put(p.toByte).put(p.toByte).put(p.toByte).put(0.toByte)
+          p += 1
+        }
+        var srow = 0
+        while (srow < height) {
+          val imageRow = height - 1 - srow // bottom-up storage
+          var j = 0
+          while (j < stride) {
+            val k = imageRow * width + j
+            bb.put(if (j < width && k < data.length) data(k) else 0.toByte)
+            j += 1
+          }
+          srow += 1
+        }
+        (i, bb.array(), width, height)
+      }.toDF("asset_id", "content", "w", "h")
+      .select(col("asset_id"), col("content"),
+        struct(lit("image/bmp").as("mime"),
+          col("w").as("width"), col("h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
   }
 
   /** Per-frame byte statistics over [[sampleFrames]] output — the shape of

@@ -111,6 +111,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { decoder.frames(truncated, 1) }
   }
 
+  test("BmpRowDecoder un-reverses the bottom-up raster and honors the pixel offset") {
+    import spark.implicits._
+    // 10 chars, width 4 → 3 image rows: "abcd", "efgh", "ij" + zero pad
+    val df = Seq((7L, "abcdefghij")).toDF("id", "data")
+    val a = Multimodal.toBmpAssets(df, col("id"), col("data"), width = 4)
+    val bytes = a.select(col("content")).collect().head.getAs[Array[Byte]](0)
+    // container geometry: header 54 + palette 1024 + 3 rows × stride 4
+    assert(bytes.length == 54 + 1024 + 3 * 4)
+    // storage is bottom-up: the FIRST stored row is the LAST image row
+    assert(new String(bytes, 54 + 1024, 4, "US-ASCII") == "ij\u0000\u0000")
+    val frames = Multimodal.BmpRowDecoder().frames(bytes, 1).toList
+    assert(frames.map { case (f, b) => f -> new String(b, "US-ASCII") } ==
+      List(0 -> "abcd", 1 -> "efgh", 2 -> "ij\u0000\u0000"))
+    // every-2nd sampling keeps image rows 0 and 2
+    assert(Multimodal.BmpRowDecoder().frames(bytes, 2).map(_._1).toList ==
+      List(0, 2))
+    // malformed containers fail loudly: bad magic, truncated raster
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpRowDecoder().frames("definitely not a bmp container at all....here".getBytes, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpRowDecoder().frames(
+        java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1), 1)
+    }
+  }
+
   test("resize target updates metadata only") {
     val resized = Multimodal.withResizeTarget(assets, 224, 224)
     val m = resized.select(col("meta.width"), col("meta.height"), col("content"))
