@@ -123,15 +123,20 @@ object ScaleBench {
     // collapse to ≈ the true replica pairs (the q81 configuration).
     def srpCand(dir: String, bits: Int, bands: Int): Unit = {
       val t0 = System.nanoTime()
-      val n = operators.Similarity.srpCandidatePairs(
-        Tables.embeddings(spark, dir), col("vec_id"), col("embedding"),
-        bits = bits, bands = bands).count()
+      val emb = Tables.embeddings(spark, dir)
+      val n = (if (bits > 64)
+          operators.Similarity.srpCandidatePairs128(emb, col("vec_id"),
+            col("embedding"), bits = bits, bands = bands)
+        else
+          operators.Similarity.srpCandidatePairs(emb, col("vec_id"),
+            col("embedding"), bits = bits, bands = bands)).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"dir":"$dir","srp_candidates":"$bits/$bands","sec":$sec%.2f,"rows":$n}""")
     }
     if (sections("srp")) {
       srpCand(rep, 32, 4)
       srpCand(rep, 64, 4)
+      srpCand(rep, 128, 8)
     }
 
     // round 6, q88 shape: per-group cap on a SINGLE-group corpus — the

@@ -1990,6 +1990,19 @@ object SparkEntry {
         width = 32)
       Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
         Multimodal.BmpRowDecoder(), everyNth = 2))
+    }),
+
+    // The THIRD SRP regime: 128-bit two-long signatures banded 8×16 bits.
+    // q81's 64/4 config buys its collision-floor escape by halving the
+    // band count (miss rate (1-p^16)^4); 128 bits keep the same 16-bit
+    // keys — the floor stays out 256× — while restoring 8 bands
+    // ((1-p^16)^8), recovering the recall the wide path gave up. Same
+    // dense-replica corpus and 0.9 threshold as q81, so the regimes are
+    // directly comparable (q93 must recover ≥ q81's 1,496 pairs).
+    "q93_srp128_replicas" -> ((s, dir) => {
+      Similarity.srpNearDupPairs128(replicaEmbeddings(s, dir),
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, bits = 128, bands = 8)
     })
   )
 
@@ -2173,21 +2186,39 @@ object SparkEntry {
                               threshold: Double): String = {
     val width = bits / bands
     val mask = (1L << width) - 1
-    val bitTerms = (0 until bits).map { p =>
+    // plane p's sign bit lands at limb-relative position p%64 of limb
+    // p/64 (one limb for <= 64 planes, the srp_lo/srp_hi pair past that —
+    // the mirror of srpSignatures/srpSignatures128)
+    def limbTerms(planes: Range, limbBase: Int): String = planes.map { p =>
+      val q = p - limbBase
       // DuckDB refuses 1<<63 (signed overflow); the sign-bit term is the
       // INT64-min literal, the exact two's-complement value 1L<<63 is in
       // the Scala kernel
-      val term = if (p == 63) "CAST(-9223372036854775808 AS BIGINT)"
-        else s"(CAST(1 AS BIGINT) << $p)"
+      val term = if (q == 63) "CAST(-9223372036854775808 AS BIGINT)"
+        else s"(CAST(1 AS BIGINT) << $q)"
       s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform(range(64), j -> e[j+1] *
          |      (CAST((${Similarity.SrpMulA}*($p*64+j)+${Similarity.SrpAddB}) % ${Similarity.SrpMod} AS DOUBLE)/${Similarity.SrpMod}.0 - 0.5))),
          |    (a, x) -> a + x) > 0 THEN $term ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString(" + ")
-    s"""sig AS (SELECT vec_id, ($bitTerms) AS srp_sig FROM v),
-       |bandrows AS (
-       |  SELECT vec_id, band, (srp_sig >> (band*$width)) & $mask AS band_key
-       |  FROM sig, (SELECT unnest(range($bands)) AS band) b),
+    val sigAndBands =
+      if (bits <= 64)
+        s"""sig AS (SELECT vec_id, (${limbTerms(0 until bits, 0)}) AS srp_sig FROM v),
+           |bandrows AS (
+           |  SELECT vec_id, band, (srp_sig >> (band*$width)) & $mask AS band_key
+           |  FROM sig, (SELECT unnest(range($bands)) AS band) b)""".stripMargin
+      else {
+        val perLimb = 64 / width
+        s"""sig AS (SELECT vec_id,
+           |  (${limbTerms(0 until 64, 0)}) AS srp_lo,
+           |  (${limbTerms(64 until bits, 64)}) AS srp_hi FROM v),
+           |bandrows AS (
+           |  SELECT vec_id, band,
+           |    CASE WHEN band < $perLimb THEN (srp_lo >> (band*$width)) & $mask
+           |         ELSE (srp_hi >> ((band-$perLimb)*$width)) & $mask END AS band_key
+           |  FROM sig, (SELECT unnest(range($bands)) AS band) b)""".stripMargin
+      }
+    s"""$sigAndBands,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
        |  FROM bandrows a JOIN bandrows bb
@@ -2249,11 +2280,11 @@ object SparkEntry {
       |  FROM embeddings)""".stripMargin,
     bits = 32, bands = 4, threshold = 0.35)
 
-  /** The q81 chain: three deterministic replicas per vector (±0.01/dim
-    * arithmetic noise on replicas 1-2), 64-bit/4-band signatures (16-bit
-    * band keys), threshold 0.9 — the dense-replica scale configuration.
+  /** The replica-corpus source CTE shared by the q81/q93 oracles: three
+    * deterministic replicas per vector (±0.01/dim arithmetic noise on
+    * replicas 1-2), mirroring [[replicaEmbeddings]].
     */
-  private def srpWideOracleCtes: String = srpOracleCtes(
+  private val replicaSrcCte =
     """vb AS (
       |  SELECT vec_id AS bid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
       |  FROM embeddings),
@@ -2263,8 +2294,19 @@ object SparkEntry {
       |      list_transform(range(len(e0)), j -> e0[j+1] +
       |        (CAST((bid*31 + r*7 + j*13) % 1000 AS DOUBLE)/1000.0 - 0.5) * 0.02)
       |    END AS e
-      |  FROM vb CROSS JOIN (SELECT unnest(range(3)) AS r) rr)""".stripMargin,
-    bits = 64, bands = 4, threshold = 0.9)
+      |  FROM vb CROSS JOIN (SELECT unnest(range(3)) AS r) rr)""".stripMargin
+
+  /** The q81 chain: 64-bit/4-band signatures (16-bit band keys),
+    * threshold 0.9 — the dense-replica scale configuration.
+    */
+  private def srpWideOracleCtes: String =
+    srpOracleCtes(replicaSrcCte, bits = 64, bands = 4, threshold = 0.9)
+
+  /** The q93 chain: 128-bit two-limb signatures, 8×16-bit bands — wide
+    * keys WITHOUT the band-count cut, threshold 0.9.
+    */
+  private def srp128OracleCtes: String =
+    srpOracleCtes(replicaSrcCte, bits = 128, bands = 8, threshold = 0.9)
 
   /** MinHash signature CTE chain, generated from the same constants the
     * Spark operator uses (Sketches.MinhashA/B) over the same dictionary-free
@@ -3434,6 +3476,10 @@ object SparkEntry {
 
     "q81_srp_wide_replicas" ->
       s"""WITH $srpWideOracleCtes
+         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    "q93_srp128_replicas" ->
+      s"""WITH $srp128OracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
 
     // Semantic dedup: same trained-IVF chain as q52, SRP band keys from

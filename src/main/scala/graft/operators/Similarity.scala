@@ -271,17 +271,118 @@ object Similarity {
   }
 
   def srpCandidatePairs(emb: DataFrame, id: Column, vec: Column,
-                        bits: Int = 32, bands: Int = 4): DataFrame = {
-    val bandRows = srpBandRows(emb, id, vec, bits, bands)
+                        bits: Int = 32, bands: Int = 4): DataFrame =
+    bandJoin(srpBandRows(emb, id, vec, bits, bands))
+
+  /** Distinct (id_a < id_b) pairs sharing at least one (band, band_key). */
+  private def bandJoin(bandRows: DataFrame): DataFrame =
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+
+  /** Two-long SRP signatures for 65-128 planes — same deterministic LCG
+    * plane grid as [[srpSignatures]], plane p's sign landing in bit p%64
+    * of limb p/64 (`srp_lo` holds planes 0-63, `srp_hi` the rest). Wider
+    * signatures exist to be BANDED wider: 128 bits cut 16-bit-key bands
+    * from 4 to 8 without narrowing the keys, so the
+    * `bands·n²/2^width` collision floor stays out while per-pair recall
+    * at matching probability p rises from 1-(1-p^16)^4 to 1-(1-p^16)^8.
+    */
+  def srpSignatures128(emb: DataFrame, id: Column, vec: Column,
+                       bits: Int = 128): DataFrame = {
+    require(bits > 64 && bits <= 128,
+      s"srpSignatures128 covers 65-128 planes, got $bits (use srpSignatures)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nBits = bits
+    emb.select(id.cast("long"), vec.cast("array<double>")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val grids = new java.util.HashMap[Int, Array[Double]]()
+        def gridFor(d: Int): Array[Double] = {
+          var g = grids.get(d)
+          if (g == null) {
+            g = new Array[Double](nBits * d)
+            var k = 0
+            while (k < g.length) {
+              g(k) = ((SrpMulA * k + SrpAddB) % SrpMod).toDouble /
+                SrpMod.toDouble - 0.5
+              k += 1
+            }
+            grids.put(d, g)
+          }
+          g
+        }
+        it.map { case (i, v) =>
+          val arr = v.toArray
+          val d = arr.length
+          val g = gridFor(d)
+          var lo = 0L
+          var hi = 0L
+          var p = 0
+          while (p < nBits) {
+            var acc = 0.0
+            val base = p * d
+            var j = 0
+            while (j < d) {
+              acc += arr(j) * g(base + j)
+              j += 1
+            }
+            if (acc > 0) {
+              if (p < 64) lo |= 1L << p else hi |= 1L << (p - 64)
+            }
+            p += 1
+          }
+          (i, lo, hi)
+        }
+      }.toDF("id", "srp_lo", "srp_hi")
   }
+
+  /** [[srpBandRows]] over two-long signatures: band b's key is the
+    * `width`-bit slice starting at bit b·width of the 128-bit signature.
+    * `width` must divide 64 so no band straddles the limb boundary.
+    */
+  def srpBandRows128(emb: DataFrame, id: Column, vec: Column,
+                     bits: Int = 128, bands: Int = 8): DataFrame = {
+    require(bits % bands == 0 && bits > 64 && bits <= 128,
+      s"bits=$bits must be a multiple of bands=$bands in (64, 128]")
+    val width = bits / bands
+    require(width < 64 && 64 % width == 0,
+      s"band width $width must divide 64 (no band may straddle the limb boundary)")
+    val sig = graft.CacheRegistry.persist(srpSignatures128(emb, id, vec, bits))
+    (0 until bands).map { b =>
+      val start = b * width
+      val (limb, off) =
+        if (start < 64) (col("srp_lo"), start) else (col("srp_hi"), start - 64)
+      sig.select(col("id"), lit(b).as("band"),
+        shiftright(limb, off).bitwiseAND((1L << width) - 1).as("band_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  def srpCandidatePairs128(emb: DataFrame, id: Column, vec: Column,
+                           bits: Int = 128, bands: Int = 8): DataFrame =
+    bandJoin(srpBandRows128(emb, id, vec, bits, bands))
 
   def srpNearDupPairs(emb: DataFrame, id: Column, vec: Column,
                       threshold: Double, bits: Int = 32,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4): DataFrame =
+    verifyCandidates(emb, id, vec,
+      srpCandidatePairs(emb, id, vec, bits, bands), threshold)
+
+  /** [[srpNearDupPairs]] in the 128-bit regime: the same exact-cosine
+    * verify over [[srpCandidatePairs128]] candidates.
+    */
+  def srpNearDupPairs128(emb: DataFrame, id: Column, vec: Column,
+                         threshold: Double, bits: Int = 128,
+                         bands: Int = 8): DataFrame =
+    verifyCandidates(emb, id, vec,
+      srpCandidatePairs128(emb, id, vec, bits, bands), threshold)
+
+  /** Exact-cosine verify of a candidate pair frame (id_a, id_b), keeping
+    * pairs at or above `threshold` with their verified cosine.
+    */
+  private def verifyCandidates(emb: DataFrame, id: Column, vec: Column,
+                               cand: DataFrame, threshold: Double): DataFrame = {
     // keep the verify-side vectors in their NATIVE width: the two
     // candidate joins shuffle millions of pair rows carrying arrays, and
     // when the source column is float, widening float→double after the
@@ -299,7 +400,7 @@ object Similarity {
       emb.select(id.cast("long").as("id"), vec.cast(wireType).as("v"))
         .withColumn("nrm", sqrt(dot_product(col("v").cast("array<double>"),
           col("v").cast("array<double>")))))
-    srpCandidatePairs(emb, id, vec, bits, bands)
+    cand
       .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", round(
