@@ -2003,6 +2003,67 @@ object SparkEntry {
       Similarity.srpNearDupPairs128(replicaEmbeddings(s, dir),
         col("vec_id"), col("embedding"),
         threshold = 0.9, bits = 128, bands = 8)
+    }),
+
+    // ADO END-TO-END incremental flow — the q73/q90/q91 analog for S7,
+    // putting ALL FOUR sources through the full lifecycle: watermarked
+    // OData scan (the `ChangedDateSK >= mark` predicate compiled into the
+    // pushed $filter, explain-visible as in q68) → T2 ADO state dedupe
+    // over the changed items' revision streams → L1 keyed merge. The ADO
+    // watermark is a DAY surrogate key, so the incremental round re-scans
+    // the boundary day INCLUSIVELY (`>=`, the Analytics date-key
+    // semantics — strictly-greater would drop same-day stragglers); the
+    // keyed merge absorbs the overlap. Round 3 replays round 1's stale
+    // batch (at-least-once): a content no-op, and the monotonic advance
+    // cannot regress the mark.
+    "q94_ado_incremental_flow" -> ((s, dir) => {
+      val root = scratchDir("graft-ado-loop")
+      val wmPath = root + "/datasources"
+      val statesPath = root + "/state_revs"
+      val drop = root + "/raw"
+      adoItemsJson(s, dir).write.mode("overwrite").text(drop)
+      val cutSk = 20240120L
+
+      def storedMark(): Option[Long] =
+        if (!new java.io.File(wmPath).exists()) None
+        else operators.Watermarks.currentMarks(s, wmPath).collect()
+          .find(_.getString(0) == "ado").map(_.getString(1).toLong)
+
+      def runRound(arrivalCap: Option[Long], useMark: Boolean): Unit = {
+        val src = s.read.format("graft-ado").option("path", drop).load()
+        val capped = arrivalCap.fold(src)(c =>
+          src.filter(col("changed_date_sk") <= c))
+        val items = (if (useMark) storedMark() else None)
+          .fold(capped)(m => capped.filter(col("changed_date_sk") >= m))
+          .select(col("work_item_id"), col("changed_date_sk"))
+          .persist()
+        try {
+          val uid = regexp_extract(col("work_item_id"), "(\\d+)$", 1).cast("long")
+          val arev = Tables.events(s, dir)
+            .join(items.select(uid.as("uid")),
+              col("user_id") === col("uid"), "left_semi")
+            .select(col("user_id").as("WorkItemId"),
+              col("event_id").as("Revision"),
+              col("event_type").as("State"), col("ts"))
+          val deduped = AdoDedupe.stateChanges(arev)
+            .select(concat(lit("WI-"), col("WorkItemId")).as("work_item_id"),
+              col("Revision").cast("long").as("revision"),
+              col("State").as("state"),
+              col("ts").cast("timestamp_ntz").as("changed_ts"))
+          sources.MergeWriter.merge(s, statesPath, deduped,
+            Seq("work_item_id", "revision"), buckets = 8)
+          operators.Watermarks.advance(s, wmPath,
+            items.select(lit("ado").as("ds"),
+              col("changed_date_sk").cast("string").as("sk")),
+            col("ds"), col("sk"))
+        } finally { items.unpersist(blocking = false); () }
+      }
+      runRound(Some(cutSk), useMark = true)  // initial load up to the cut
+      runRound(None, useMark = true)         // incremental: sk >= mark
+      runRound(Some(cutSk), useMark = false) // stale at-least-once replay
+      val wm = operators.Watermarks.currentMarks(s, wmPath)
+        .select(col("next_run_start_from").cast("long").as("watermark_sk"))
+      sources.MergeWriter.readTable(s, statesPath).crossJoin(broadcast(wm))
     })
   )
 
@@ -2023,6 +2084,10 @@ object SparkEntry {
     */
   private def fieldMetaJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_type")).distinct()
+      // the unpartitioned window single-tasks BY DESIGN: /field metadata
+      // is config-scale (a handful of distinct types, mirroring the
+      // reference's un-predicated /field GET) — do NOT imitate this shape
+      // for data-scale frames (see Caps.perGroupCap for the scalable cap)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
       .select(to_json(struct(
@@ -3481,6 +3546,25 @@ object SparkEntry {
     "q93_srp128_replicas" ->
       s"""WITH $srp128OracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Rounds 1+2 cover every work item (the boundary day is re-scanned
+    // inclusively; the keyed merge makes overlap and the round-3 replay
+    // no-ops), so the final table is the T2 state dedupe of every item's
+    // full revision stream; watermark = max ChangedDateSK.
+    "q94_ado_incremental_flow" ->
+      """WITH st AS (
+        |  SELECT user_id, event_id, ts, event_type FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pe
+        |    FROM events)
+        |  WHERE pe IS NULL OR pe <> event_type)
+        |SELECT 'WI-' || CAST(user_id AS VARCHAR) AS work_item_id,
+        |  CAST(event_id AS BIGINT) AS revision,
+        |  event_type AS state,
+        |  CAST(ts AS TIMESTAMP) AS changed_ts,
+        |  (SELECT CAST(strftime(MAX(ts), '%Y%m%d') AS BIGINT) FROM events)
+        |    AS watermark_sk
+        |FROM st""".stripMargin,
 
     // Semantic dedup: same trained-IVF chain as q52, SRP band keys from
     // the shared sig chain, candidates = same cell AND same band bucket
