@@ -2064,6 +2064,19 @@ object SparkEntry {
       val wm = operators.Watermarks.currentMarks(s, wmPath)
         .select(col("next_run_start_from").cast("long").as("watermark_sk"))
       sources.MergeWriter.readTable(s, statesPath).crossJoin(broadcast(wm))
+    }),
+
+    // Repetition filter — the Gopher/MassiveText curation signal family
+    // the plain surface stats (q08) miss: documents dominated by a single
+    // repeated bigram or by duplicated bigrams are boilerplate/looping
+    // text. Per doc: occurrence totals, top-bigram count/fraction,
+    // duplicated-occurrence fraction, and the keep verdict at the
+    // standard-ish 0.20/0.60 thresholds.
+    "q95_repetition_filter" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 2)
+        .withColumn("keep",
+          col("top_ngram_frac") <= 0.20 && col("dup_ngram_frac") <= 0.60)
     })
   )
 
@@ -3546,6 +3559,28 @@ object SparkEntry {
     "q93_srp128_replicas" ->
       s"""WITH $srp128OracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Non-distinct bigram occurrences (the q22 shingle formulation MINUS
+    // the list_distinct), counted per (doc, shingle) then rolled up.
+    "q95_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        |c AS (SELECT doc_id, shingle, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(n) AS BIGINT) AS n_ngrams,
+        |    CAST(MAX(n) AS BIGINT) AS top_ngram_count,
+        |    ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_ngram_frac,
+        |    ROUND(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6)
+        |      AS dup_ngram_frac
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_ngrams, top_ngram_count, top_ngram_frac, dup_ngram_frac,
+        |  (top_ngram_frac <= 0.20 AND dup_ngram_frac <= 0.60) AS keep
+        |FROM r""".stripMargin,
 
     // Rounds 1+2 cover every work item (the boundary day is re-scanned
     // inclusively; the keyed merge makes overlap and the round-3 replay

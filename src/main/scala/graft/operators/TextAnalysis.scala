@@ -168,4 +168,40 @@ object TextAnalysis {
     * for small inputs; prefer the two-step form on large tables.
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tok(text), n)
+
+  /** All n-gram shingle OCCURRENCES (duplicates kept — the unit of
+    * repetition measurement, unlike [[shinglesFromTokens]]'s distinct
+    * set). Same materialized-tokens-attribute caveat as the class doc.
+    */
+  def shinglesAllFromTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+
+  /** Repetition signals for corpus curation (the Gopher/MassiveText
+    * repetition-filter family, token-count formulation): per document,
+    * the total n-gram occurrence count, the most frequent n-gram's count
+    * and fraction, and the fraction of occurrences belonging to n-grams
+    * that appear more than once. High values flag boilerplate/looping
+    * text that the plain q08 surface stats miss. Shapes: one explode +
+    * two map-side-combinable aggregations keyed on the high-cardinality
+    * (doc, shingle) then doc — no skew, no driver state.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 2): DataFrame = {
+    require(n > 0, s"repetition n-gram order must be positive, got $n")
+    val toked = docs.select(id.as("doc_id"), tok(text).as("__toks"))
+    toked
+      .select(col("doc_id"),
+        explode(shinglesAllFromTokens(col("__toks"), n)).as("shingle"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).cast("long").as("n_ngrams"),
+        max(col("__n")).cast("long").as("top_ngram_count"),
+        round(max(col("__n")).cast("double") / sum(col("__n")), 6)
+          .as("top_ngram_frac"),
+        round(sum(when(col("__n") > 1, col("__n")).otherwise(0L))
+          .cast("double") / sum(col("__n")), 6).as("dup_ngram_frac"))
+  }
 }

@@ -92,6 +92,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 0L) -> ((1L, 2L))))
   }
 
+  test("repetition stats measure top-bigram and duplicate-occurrence fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" ×3 of 5 bigrams; dup occurrences: "a b"(3) + "b a"(2) = 5/5
+      (1L, "a b a b a b"),
+      // all 4 bigrams distinct
+      (2L, "v w x y z"),
+      // single-token doc: one 1-member "shingle", trivially top frac 1.0
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"), n = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      1L -> ((5L, 3L, 0.6, 1.0)),
+      2L -> ((4L, 1L, 0.25, 0.0)),
+      3L -> ((1L, 1L, 1.0, 0.0))))
+  }
+
   test("contamination of a corpus against itself is exactly 1.0") {
     import spark.implicits._
     val docs = (0 until 30)
