@@ -1855,6 +1855,9 @@ object SparkEntry {
           val trans = ConsecutiveDedupe.keepOnChange(
             Tables.events(s, dir)
               .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+              // semi-join on the high-cardinality item id — NOT force-
+              // broadcast: an initial load's batch is every card, and AQE
+              // already converts genuinely-small incremental batches
               .join(cards.select(col("card_id")),
                 col("user_id") === col("card_id"), "left_semi"),
             Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("event_type"))
@@ -2040,6 +2043,7 @@ object SparkEntry {
         try {
           val uid = regexp_extract(col("work_item_id"), "(\\d+)$", 1).cast("long")
           val arev = Tables.events(s, dir)
+            // high-cardinality semi-join; AQE broadcasts small batches
             .join(items.select(uid.as("uid")),
               col("user_id") === col("uid"), "left_semi")
             .select(col("user_id").as("WorkItemId"),
@@ -2077,6 +2081,63 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 2)
         .withColumn("keep",
           col("top_ngram_frac") <= 0.20 && col("dup_ngram_frac") <= 0.60)
+    }),
+
+    // §2.5 with REDELIVERY: the same event batch is delivered twice (the
+    // SQS visibility-timeout double-delivery), and the stream-side
+    // watermark-bounded dedupe (dropDuplicatesWithinWatermark on the
+    // natural key, state evicted as the watermark passes) drops the
+    // second copy BEFORE the windowed aggregation — so the hourly counts
+    // equal the single-delivery truth even though the transport doubled
+    // every row. Chained stateful operators (dedup → windowed agg) run in
+    // append mode; the far-future sentinels arrive last to flush the
+    // final windows under AvailableNow (the q66 mechanics).
+    "q96_streaming_dedup" -> ((s, dir) => {
+      val root = scratchDir("graft-stream-dd")
+      val src = root + "/in"
+      val batchInput = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("event_id"))
+      batchInput.repartition(4).write.mode("overwrite").parquet(src)
+      // the redelivery: the SAME batch lands a second time
+      batchInput.repartition(4).write.mode("append").parquet(src)
+      import s.implicits._
+      def partNames() = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+      val dataNames = partNames()
+      Seq("2030-01-01 00:00:00").toDF("t")
+        .select(col("t").cast("timestamp").as("ts"),
+          lit("sentinel").as("event_type"), lit(-1L).as("event_id"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val s1Names = partNames() -- dataNames
+      Seq("2031-01-01 00:00:00").toDF("t")
+        .select(col("t").cast("timestamp").as("ts"),
+          lit("sentinel").as("event_type"), lit(-2L).as("event_id"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val s2Names = partNames() -- dataNames -- s1Names
+      orderStreamFiles(src, tail = Seq(s1Names, s2Names))
+      val deduped = streaming.StreamingFlow.dedupedStream(
+        streaming.StreamingFlow.fileStream(s, src, batchInput.schema,
+          maxFilesPerTrigger = 3),
+        col("ts"), "40 days", Seq("event_id"))
+      // the dedupe already stamped the watermark and re-stamping is
+      // disallowed across chained stateful operators — aggregate directly
+      val windows = deduped
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("window.end").cast("timestamp_ntz").as("window_end"),
+          col("event_type"), col("n_events"))
+      val q = streaming.StreamingFlow.mergeSink(windows, root + "/counts",
+        Seq("window_start", "event_type"), col("n_events"), root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/counts")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"))
     })
   )
 
@@ -3559,6 +3620,15 @@ object SparkEntry {
     "q93_srp128_replicas" ->
       s"""WITH $srp128OracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Doubled delivery + stream dedup must equal the single-delivery
+    // truth — the q61 oracle verbatim: without the dedupe every count
+    // would be exactly 2× and hash-mismatch.
+    "q96_streaming_dedup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     // Non-distinct bigram occurrences (the q22 shingle formulation MINUS
     // the list_distinct), counted per (doc, shingle) then rolled up.

@@ -66,6 +66,22 @@ object StreamingFlow {
       }
   }
 
+  /** Stream-side dedupe of at-least-once REDELIVERY (the SQS
+    * visibility-timeout double-delivery the reference's loads tolerate
+    * via DB unique indexes): watermark-bounded `dropDuplicatesWithinWatermark`
+    * on the natural key drops every extra copy arriving inside the
+    * redelivery horizon, and the per-key state is EVICTED once the
+    * watermark passes — bounded by delay × arrival rate, never by stream
+    * length (plain `dropDuplicates` on a non-event-time key would grow
+    * state forever). Size `watermarkDelay` to the transport's redelivery
+    * horizon, not the analytics lateness tolerance.
+    */
+  def dedupedStream(events: DataFrame, ts: Column, watermarkDelay: String,
+                    keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(ts.toString(), watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Idempotent streaming load: every micro-batch is MERGEd into the target
     * on its natural key, so replays (at-least-once) are harmless — the L2
     * semantics (`snapshot_load_processor_aurora.ts:25-70`).
