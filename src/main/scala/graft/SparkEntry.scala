@@ -2138,6 +2138,30 @@ object SparkEntry {
         .filter(col("event_type") =!= "sentinel")
         .select(col("window_start"), col("window_end"), col("event_type"),
           col("n_events"))
+    }),
+
+    // Domain-mix weighted sampling — the mixture-weights knob of a
+    // pretraining pipeline: each length bucket ("domain") gets a
+    // deterministic keep RATE applied as an LCG-residue threshold (never
+    // rand(): retry-stable, engine-portable, a document's fate is a pure
+    // function of its id — rerunning the pipeline or re-weighting other
+    // domains never flips a kept document). Integer thresholds
+    // floor(rate · 2^31-1) keep both engines bit-identical. Output is the
+    // per-bucket audit: totals, kept counts, observed rate.
+    "q97_weighted_sampling" -> ((s, dir) => {
+      val h = lcgResidue(col("doc_id"))
+      val threshold = when(col("len_bucket") === 0, 2147483647L)
+        .when(col("len_bucket") === 1, 1073741823L) // floor(0.50·(2^31-1))
+        .when(col("len_bucket") === 2, 536870911L)  // floor(0.25·(2^31-1))
+        .otherwise(214748364L)                      // floor(0.10·(2^31-1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"))
+        .withColumn("kept", (h < threshold).cast("long"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+          round(sum(col("kept")).cast("double") / count(lit(1)), 6)
+            .as("observed_rate"))
     })
   )
 
@@ -3629,6 +3653,25 @@ object SparkEntry {
         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
         |  event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q97_weighted_sampling" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(floor(length(text)/128.0) AS BIGINT) AS len_bucket,
+        |    ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647 AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT len_bucket,
+        |    CASE WHEN h < CASE len_bucket WHEN 0 THEN 2147483647
+        |                  WHEN 1 THEN 1073741823
+        |                  WHEN 2 THEN 536870911
+        |                  ELSE 214748364 END
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM d)
+        |SELECT len_bucket, COUNT(*) AS n_total,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS observed_rate
+        |FROM k GROUP BY 1""".stripMargin,
 
     // Non-distinct bigram occurrences (the q22 shingle formulation MINUS
     // the list_distinct), counted per (doc, shingle) then rolled up.
