@@ -211,6 +211,27 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.contains("expand=transitions,custom_fields"), full)
   }
 
+  test("stored watermark round-trips into the compiled kbz scan (the q90 incremental round)") {
+    val dir = writeKbzFixture()
+    val wmPath = Files.createTempDirectory("kbz-wm").toString + "/ds"
+    val round1 = spark.read.format("graft-kbz").option("path", dir).load()
+      .filter(col("last_modified") <= "2024-01-20T00:00:00.000000")
+      .select(col("card_id"), col("last_modified"))
+    graft.operators.Watermarks.advance(spark, wmPath,
+      round1.withColumn("ds", lit("kanbanize")), col("ds"), col("last_modified"))
+    val mark = graft.operators.Watermarks.currentMarks(spark, wmPath)
+      .collect().find(_.getString(0) == "kanbanize").get.getString(1)
+    assert(mark == "2024-01-20T00:00:00.000000")
+    // the incremental round: the STORED mark, not a literal, reaches the
+    // compiled card-scan params — watermark round-trip is explain-visible
+    val round2 = spark.read.format("graft-kbz").option("path", dir).load()
+      .filter(col("last_modified") > mark)
+    val plan = round2.queryExecution.executedPlan.toString
+    assert(plan.contains("last_modified_from=2024-01-20T00%3A00%3A00.000000"), plan)
+    assert(round2.select("card_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+  }
+
   test("Kanbanize null semantics: absent owner stays null and IsNotNull is enforced") {
     val dir = writeKbzFixture()
     val df = spark.read.format("graft-kbz").option("path", dir).load()
