@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb = {
+    import spark.implicits._
+    // deterministic pseudo-random vectors, mixed signs
+    (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 19) - 9.0))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("128-bit signatures extend the 64-bit signature limb-exactly") {
+    // the plane grid w(p,j) is a pure function of k = p·d + j with the
+    // same LCG constants in both kernels, so planes 0-63 of the 128-bit
+    // signature must reproduce the 64-bit signature bit for bit
+    val s64 = Similarity.srpSignatures(emb, col("vec_id"), col("embedding"), bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s128 = Similarity.srpSignatures128(emb, col("vec_id"), col("embedding"), bits = 128)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s128.keySet == s64.keySet)
+    s128.foreach { case (id, (lo, hi)) =>
+      assert(lo == s64(id), s"limb 0 of vec $id diverges from the 64-bit kernel")
+      assert(hi != 0L || lo != 0L) // planes produce SOME sign structure
+    }
+  }
+
+  test("band rows slice the two-limb signature at the declared offsets") {
+    val sigs = Similarity.srpSignatures128(emb, col("vec_id"), col("embedding"), bits = 128)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Similarity.srpBandRows128(emb, col("vec_id"), col("embedding"),
+        bits = 128, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.size == sigs.size * 8)
+    rows.foreach { case ((id, band), key) =>
+      val (lo, hi) = sigs(id)
+      val expected =
+        if (band < 4) (lo >>> (band * 16)) & 0xffffL
+        else (hi >>> ((band - 4) * 16)) & 0xffffL
+      assert(key == expected, s"band $band of vec $id")
+    }
+  }
+
+  test("geometry validation fails loudly") {
+    intercept[IllegalArgumentException] {
+      Similarity.srpSignatures128(emb, col("vec_id"), col("embedding"), bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      // 120/5 → 24-bit bands straddling the limb boundary (64 % 24 ≠ 0)
+      Similarity.srpBandRows128(emb, col("vec_id"), col("embedding"),
+        bits = 120, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.srpCandidatePairs(emb, col("vec_id"), col("embedding"),
+        bits = 64, bands = 1)
+    }
+  }
+}
