@@ -2162,6 +2162,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
           round(sum(col("kept")).cast("double") / count(lit(1)), 6)
             .as("observed_rate"))
+    }),
+
+    // Cross-document packing — whole documents packed longest-first into
+    // shared 512-token training bins, sharded by a deterministic id
+    // residue. The shard count carries the scale contract (see
+    // TextAnalysis.packItems): it grows with the corpus so per-task work
+    // stays constant; 32 shards at fixture scale stands in for
+    // corpus/10k-docs at 100 TB.
+    "q98_sharded_packing" -> ((s, dir) => {
+      val withTok = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextAnalysis.packItems(withTok,
+        pmod(lcgResidue(col("doc_id")), lit(32L)),
+        col("doc_id"), col("n_tokens"), capacity = 512)
     })
   )
 
@@ -3672,6 +3686,23 @@ object SparkEntry {
         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
         |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS observed_rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q98_sharded_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (((doc_id % 2147483647)*1103515245 + 12345) % 2147483647) % 32 AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM d)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(floor(prior/512.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_bin_tokens
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // Non-distinct bigram occurrences (the q22 shingle formulation MINUS
     // the list_distinct), counted per (doc, shingle) then rolled up.

@@ -178,6 +178,39 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
 
+  /** Cross-document packing into fixed-token-budget bins, sharded — the
+    * other half of [[packChunks]] (which packs within one document):
+    * whole documents are packed into shared training-sequence bins.
+    * Exact global first-fit-decreasing is inherently sequential, so the
+    * distributed shape shards first: within each shard, documents are
+    * ordered longest-first (deterministic id tie-break) and document k
+    * goes to bin `floor(tokens-before-k / capacity)` — contiguous, each
+    * bin overflowing by at most one document.
+    *
+    * SCALE CONTRACT on `shard`: per-shard work runs in one task, so the
+    * caller must size shard COUNT proportional to the corpus (a constant
+    * documents-per-shard target, e.g. corpus/10k) — then per-task work is
+    * bounded by construction no matter how large the corpus grows, unlike
+    * a data-dependent group key whose groups grow with the data (that
+    * shape needs [[Caps.perGroupCap]]-style two-phase handling instead).
+    * A deterministic id residue (never rand()) keeps assignment
+    * retry-stable.
+    */
+  def packItems(items: DataFrame, shard: Column, id: Column,
+                nTokens: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
+    val base = items.select(shard.cast("long").as("shard"), id.as("doc_id"),
+      nTokens.cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.withColumn("__prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__prior") / lit(capacity.toDouble)).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_bin_tokens"))
+  }
+
   /** Repetition signals for corpus curation (the Gopher/MassiveText
     * repetition-filter family, token-count formulation): per document,
     * the total n-gram occurrence count, the most frequent n-gram's count
