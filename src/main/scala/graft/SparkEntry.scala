@@ -2176,6 +2176,16 @@ object SparkEntry {
       TextAnalysis.packItems(withTok,
         pmod(lcgResidue(col("doc_id")), lit(32L)),
         col("doc_id"), col("n_tokens"), capacity = 512)
+    }),
+
+    // Tokenizer training, the first BPE iteration: corpus-weighted
+    // adjacent character-pair frequencies (the statistic each merge step
+    // maximizes), computed over the distinct-word histogram so the pair
+    // explode touches vocabulary-scale data, not the corpus. Top 20
+    // merge candidates, deterministic tie-break.
+    "q99_bpe_pair_counts" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"),
+        topN = 20)
     })
   )
 
@@ -3686,6 +3696,23 @@ object SparkEntry {
         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
         |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS observed_rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q99_bpe_pair_counts" ->
+      """WITH wd AS (
+        |  SELECT word, COUNT(*) AS n_word FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |pr AS (
+        |  SELECT substring(word, CAST(i + 1 AS INT), 2) AS pair, n_word
+        |  FROM wd, UNNEST(range(length(word) - 1)) AS t(i)),
+        |ag AS (
+        |  SELECT pair, CAST(SUM(n_word) AS BIGINT) AS weight FROM pr GROUP BY 1)
+        |SELECT rank, pair, weight FROM (
+        |  SELECT pair, weight,
+        |    CAST(row_number() OVER (ORDER BY weight DESC, pair) AS BIGINT) AS rank
+        |  FROM ag)
+        |WHERE rank <= 20""".stripMargin,
 
     "q98_sharded_packing" ->
       """WITH d AS (

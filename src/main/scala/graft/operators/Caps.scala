@@ -35,7 +35,9 @@ object Caps {
     * `orderCols` must be LONG columns (precompute/cast the sort key) and
     * must totally order rows within a group (append a unique id column) —
     * with ties at the cut boundary the evicted row is arbitrary, which
-    * phase 2 cannot repair.
+    * phase 2 cannot repair. Whole rows ride the heaps and group keys are
+    * compared by value, so project the input down to the needed scalar
+    * columns first (q88 keeps only id, group, and sort key).
     */
   private[graft] def partialCap(df: DataFrame, groupCols: Seq[String],
                                 orderCols: Seq[String], k: Int): DataFrame = {

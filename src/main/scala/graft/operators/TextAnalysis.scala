@@ -178,6 +178,38 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
 
+  /** The first iteration of BPE tokenizer TRAINING: corpus-weighted
+    * adjacent character-pair frequencies — the statistic each BPE merge
+    * step maximizes (Sennrich et al. 2016, public). Distributed shape:
+    * aggregate the corpus to DISTINCT words with counts first (the word
+    * histogram is vocabulary-sized, orders of magnitude smaller than the
+    * corpus, and the aggregation is map-side combinable), then explode
+    * each distinct word's adjacent pairs once and weight by the word's
+    * frequency. Top pairs ranked with a deterministic tie-break.
+    */
+  def bpePairCounts(docs: DataFrame, text: Column, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val words = docs.select(explode(tok(text)).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    // dynamic-start substring inside the lambda needs the SQL form; the
+    // lambda runs over DISTINCT words only (vocabulary-scale)
+    val pairs = words.select(col("n_word"),
+      explode(expr(
+        "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
+        .as("pair"))
+    // the unpartitioned rank window is safe BY CONSTRUCTION: its input is
+    // one row per distinct character pair — alphabet²-bounded, never
+    // corpus-scale (do not imitate for data-scale frames)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("pair").asc)
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("n_word")).as("weight"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("pair"), col("weight"))
+  }
+
   /** Cross-document packing into fixed-token-budget bins, sharded — the
     * other half of [[packChunks]] (which packs within one document):
     * whole documents are packed into shared training-sequence bins.
