@@ -2186,6 +2186,49 @@ object SparkEntry {
     "q99_bpe_pair_counts" -> ((s, dir) => {
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"),
         topN = 20)
+    }),
+
+    // The CURATION capstone — the corpus-side q73: the full curation
+    // pipeline a pretraining corpus runs, composed from the individual
+    // oracle-proven operators. Quality gate (q33 thresholds) ∧ repetition
+    // gate (q95) ∧ exact-dedup survivor (q07 keep ids) → PII scrub of the
+    // kept docs (q86's synthetic contact lines) → stratified split audit
+    // (q87 LCG) reporting kept-document and redaction counts per
+    // (length bucket, split). Every stage is a semi-join or
+    // map-side-combinable aggregation on the doc id; nothing collects.
+    "q100_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.textStats(docs, col("text"))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+          col("uniq_ratio") >= 0.3)
+        .select(col("doc_id"))
+      val lowRep = TextAnalysis.repetitionStats(docs, col("doc_id"),
+          col("text"), n = 2)
+        .filter(col("top_ngram_frac") <= 0.20 && col("dup_ngram_frac") <= 0.60)
+        .select(col("doc_id"))
+      val survivors = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id"))
+      val kept = docs
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(lowRep, Seq("doc_id"), "left_semi")
+        .join(survivors, Seq("doc_id"), "left_semi")
+      val withPii = kept.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."), pmod(col("doc_id"), lit(200)),
+          lit(".7")).as("text"))
+      val scrubbed = TextAnalysis.redactPii(withPii, col("doc_id"), col("text"))
+        .select(col("doc_id"), (col("n_emails") + col("n_ips")).as("n_pii"))
+      val h = lcgResidue(col("doc_id"))
+      kept.select(col("doc_id"),
+          floor(length(col("text")) / lit(128.0)).cast("long").as("len_bucket"))
+        .join(scrubbed, Seq("doc_id"))
+        .select(col("len_bucket"),
+          when(h < 1717986917L, "train")
+            .when(h < 1932735282L, "val")
+            .otherwise("test").as("split"),
+          col("n_pii"))
+        .groupBy(col("len_bucket"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("n_redactions"))
     })
   )
 
@@ -3696,6 +3739,58 @@ object SparkEntry {
         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
         |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS observed_rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Stage mirrors: q33's rounded-ratio quality gate, q95's repetition
+    // CTEs, q07's MIN(doc_id) survivor, q86's RE2 redaction counts on the
+    // synthetic contact line (1 email + 1 IP per kept doc), q87's LCG
+    // split — composed exactly as the engine composes the operators.
+    "q100_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id FROM t
+        |  WHERE len(toks) BETWEEN 20 AND 120
+        |    AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END AS shl
+        |  FROM t),
+        |ce AS (
+        |  SELECT doc_id, shingle, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(shl) AS shingle FROM sh) GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS topf,
+        |      ROUND(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6) AS dupf
+        |    FROM ce GROUP BY 1)
+        |  WHERE topf <= 0.20 AND dupf <= 0.60),
+        |sv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |kept AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN sv USING (doc_id)),
+        |scrub AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(ptext,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
+        |  FROM (
+        |    SELECT doc_id,
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |        '.7' AS ptext
+        |    FROM kept))
+        |SELECT CAST(floor(length(k.text)/128.0) AS BIGINT) AS len_bucket,
+        |  CASE WHEN ((k.doc_id % 2147483647)*1103515245 + 12345) % 2147483647 < 1717986917 THEN 'train'
+        |       WHEN ((k.doc_id % 2147483647)*1103515245 + 12345) % 2147483647 < 1932735282 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(s.n_pii) AS BIGINT) AS n_redactions
+        |FROM kept k JOIN scrub s USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q99_bpe_pair_counts" ->
       """WITH wd AS (
