@@ -2229,7 +2229,15 @@ object SparkEntry {
           col("n_pii"))
         .groupBy(col("len_bucket"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_pii")).as("n_redactions"))
-    })
+    }),
+
+    // Substring-level exact dedup (Lee et al. ACL 2022): maximal character
+    // spans occurring more than once in the corpus, at 40-char window
+    // granularity — the suffix-array semantics via rolling-hashed windows
+    // + gaps-and-islands (see Dedup.duplicatedSpans for the scale shape).
+    "q101_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 40))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -2574,6 +2582,33 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // The oracle recomputes each window's polynomial hash directly
+    // (O(k)/window vs the engine's O(1) rolling update — identical values
+    // by modular arithmetic), then the same dup-count → semi-join →
+    // gaps-and-islands chain.
+    "q101_substring_dedup" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT))) AS pos,
+         |    text
+         |  FROM documents WHERE length(text) >= 40),
+         |wins AS (
+         |  SELECT doc_id, pos,
+         |    ${graft.functions.TextHash.duckdbPoly(
+              "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod1)} AS h1,
+         |    ${graft.functions.TextHash.duckdbPoly(
+              "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod2)} AS h2
+         |  FROM w0),
+         |dup AS (SELECT h1, h2 FROM wins GROUP BY 1, 2 HAVING COUNT(*) > 1),
+         |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h1, h2)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dw)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
+         |  MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash
 import graft.functions.VectorExpressions.{dot_product, sorted_intersect_count}
@@ -666,5 +667,95 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"), col("cosine"))
+  }
+
+  // Independent polynomial moduli for the substring window double-hash —
+  // both primes < 2^30, so the rolling update's worst intermediate
+  // (2·mod·31) stays far inside a signed 64-bit int, and the paired
+  // 60-bit key makes a cross-gram collision (n²/2^60) negligible at any
+  // corpus size. Shared with the oracle, which recomputes each window
+  // hash directly — direct and rolling folds agree by modular arithmetic.
+  val SpanMod1 = 1000000007L
+  val SpanMod2 = 998244353L
+
+  /** Substring-level exact dedup: all MAXIMAL character spans that occur
+    * more than once in the corpus (in another document or elsewhere in the
+    * same one), at window granularity `k` — the suffix-array dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022) §4.1, re-expressed without the suffix array: a repeated
+    * substring of length ≥ k contains a repeated k-window at every offset,
+    * so merging consecutive duplicated window starts per document
+    * reconstructs exactly the maximal repeated spans (up to hash-key
+    * granularity k).
+    *
+    * Physical shape, in corpus-linear passes with no global structure:
+    *  1. every length-`k` codepoint window is double-rolling-hashed in a
+    *     per-doc flatMap — O(1) per window (the oracle recomputes each
+    *     window O(k); same values, different cost);
+    *  2. windows seen more than once = map-side-combinable count on the
+    *     near-uniform (h1, h2) key, then a LEFT SEMI join back — both
+    *     shuffles key on the 60-bit hash pair, skew-free even when one
+    *     gram repeats millions of times (semi-join output stays one row
+    *     per input window);
+    *  3. gaps-and-islands merge per doc: `pos − row_number()` groups
+    *     consecutive starts; the window partitions on doc_id
+    *     (high-cardinality, each partition bounded by a single document's
+    *     length).
+    *
+    * Returns (doc_id, span_start, span_end, span_len, n_windows) with
+    * 0-based [start, end) codepoint offsets. A 100 TB cut pass would
+    * rejoin spans to the corpus on doc_id and splice text per row.
+    */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"duplicatedSpans: window length must be >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slices = spark.sparkContext.defaultParallelism
+    val (p1, p2) = (SpanMod1, SpanMod2)
+    val wins = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+      .repartition(slices)
+      .flatMap { case (d, t) =>
+        val cps = t.codePoints.toArray
+        val n = cps.length
+        if (n < k) Iterator.empty
+        else {
+          def powK(p: Long): Long = { // 31^(k-1) mod p
+            var r = 1L; var i = 1
+            while (i < k) { r = r * 31L % p; i += 1 }
+            r
+          }
+          val (pw1, pw2) = (powK(p1), powK(p2))
+          val out = new Array[(Long, Long, Long, Long)](n - k + 1)
+          var h1 = 0L; var h2 = 0L
+          var i = 0
+          while (i < k) { h1 = (h1 * 31L + cps(i)) % p1; h2 = (h2 * 31L + cps(i)) % p2; i += 1 }
+          out(0) = (d, 0L, h1, h2)
+          var j = k
+          while (j < n) { // slide: drop cps(j-k), append cps(j)
+            h1 = (((h1 - cps(j - k) * pw1) % p1 + p1) * 31L + cps(j)) % p1
+            h2 = (((h2 - cps(j - k) * pw2) % p2 + p2) * 31L + cps(j)) % p2
+            out(j - k + 1) = (d, (j - k + 1).toLong, h1, h2)
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "pos", "h1", "h2")
+    // both consumers shuffle on (h1, h2): ReuseExchange runs the linear
+    // flatMap once and shares the exchange between the count and the join
+    val dup = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("h1"), col("h2"))
+    val dupPos = wins.join(dup, Seq("h1", "h2"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
   }
 }

@@ -152,4 +152,57 @@ class DedupSpec extends AnyFunSuite {
       .toSet
     assert(got == Set((1L, 2L, 3L, 0.9), (10L, 10L, 2L, 0.5)))
   }
+
+  test("duplicatedSpans finds crafted cross-doc and self-repeat spans") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again" // 49 chars
+    val corpus = Seq(
+      (1L, s"AAAA${shared}BBBB"),            // shared at [4, 53)
+      (2L, s"CCCCCCCC${shared}DDDD"),        // shared at [8, 57)
+      (3L, "x" * 30),                        // self-repeat: every 10-window dups
+      (4L, "completely unique text with no repeats at all here"),
+      (5L, "tiny")                           // shorter than k -> no windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, col("doc_id"), col("text"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 4L, 53L, 49L, 40L),   // 49-char shared run = 40 dup 10-windows
+      (2L, 8L, 57L, 49L, 40L),
+      (3L, 0L, 30L, 30L, 21L)))  // all 21 windows of "x"*30 are identical
+  }
+
+  test("duplicatedSpans matches a brute-force string oracle") {
+    import spark.implicits._
+    // overlapping word sequences from a tiny vocabulary guarantee shared
+    // character runs across docs at k=12
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val raw = (0 until 40).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i + j) % words.length)).mkString(" "))
+    }
+    val k = 12
+    // brute force: literal k-grams occurring >1 time, merged per doc
+    val counts = raw.flatMap { case (_, t) =>
+      (0 to t.length - k).map(p => t.substring(p, p + k))
+    }.groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = raw.flatMap { case (d, t) =>
+      val dupPos = (0 to t.length - k).filter(p => counts(t.substring(p, p + k)) > 1)
+      val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (h :: rest, p) if p == h.head + 1 => (p :: h) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map { isl =>
+        val (s, e) = (isl.last, isl.head + k)
+        (d, s.toLong, e.toLong, (e - s).toLong, isl.size.toLong)
+      }
+    }.toSet
+    val got = Dedup.duplicatedSpans(raw.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
