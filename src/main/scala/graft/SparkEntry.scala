@@ -2237,7 +2237,31 @@ object SparkEntry {
     // + gaps-and-islands (see Dedup.duplicatedSpans for the scale shape).
     "q101_substring_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir),
-        col("doc_id"), col("text"), k = 40))
+        col("doc_id"), col("text"), k = 40)),
+
+    // KMV distinct-count sketch per language, k = 16, with the exact
+    // distinct joined alongside as the self-audit — the sketch scaffolding
+    // a 100 TB profiler uses where countDistinct no longer fits (the
+    // per-group k-smallest rides the skew-proof Caps.perGroupCap).
+    "q102_kmv_distinct" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      Sketches.kmvDistinct(docs, col("lang"), col("text"), k = 16)
+        .withColumnRenamed("grp", "lang")
+        .join(exact, Seq("lang"))
+    }),
+
+    // HyperLogLog raw estimate per language over 64 buckets: the register
+    // frame is the mergeable sketch state (groupBy max — map-side
+    // combinable); the harmonic sum is INTEGER-exact so the estimate is
+    // bit-identical across engines and aggregation orders.
+    "q103_hll_estimate" -> ((s, dir) => {
+      val regs = Sketches.hllRegisters(Tables.documents(s, dir),
+        col("lang"), col("text"), bucketBits = 6)
+      Sketches.hllEstimate(regs, bucketBits = 6)
+        .withColumnRenamed("grp", "lang")
+    })
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -2608,6 +2632,54 @@ object SparkEntry {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
          |  MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    "q102_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |    ${operators.Sketches.duckdbMd5Hash60("text")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |  FROM h),
+         |kk AS (
+         |  SELECT lang, COUNT(*) AS n_seen, MAX(hv) AS kth_min_hash
+         |  FROM r WHERE rn <= 16 GROUP BY 1),
+         |ex AS (SELECT lang, COUNT(DISTINCT text) AS exact_distinct
+         |  FROM documents GROUP BY 1)
+         |SELECT lang, n_seen, kth_min_hash,
+         |  CASE WHEN n_seen < 16 THEN n_seen
+         |    ELSE CAST(floor((CAST(15 AS DOUBLE) * ${operators.Sketches.KmvHashSpace}) /
+         |      CAST(kth_min_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+         |  exact_distinct
+         |FROM kk JOIN ex USING (lang)""".stripMargin,
+
+    "q103_hll_estimate" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${operators.Sketches.duckdbMd5Hash60("text")} AS hv
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang, hv % 64 AS bucket, CAST(hv // 64 AS BIGINT) AS rest
+         |  FROM h),
+         |regs AS (
+         |  SELECT lang, bucket,
+         |    MAX(CASE WHEN rest = 0 THEN 55
+         |      ELSE 55 - length(bin(rest)) END) AS register
+         |  FROM b GROUP BY 1, 2),
+         |s AS (
+         |  SELECT lang, COUNT(*) AS n_present,
+         |    CAST(SUM(CAST(power(2.0, 55 - register) AS BIGINT)) AS BIGINT)
+         |      AS present_sum
+         |  FROM regs GROUP BY 1)
+         |SELECT lang,
+         |  CAST(64 - n_present AS BIGINT) AS n_zero_buckets,
+         |  CAST(present_sum + (64 - n_present) * ${1L << 55} AS BIGINT)
+         |    AS harmonic_sum_scaled,
+         |  CAST(floor(${operators.Sketches.hllNumerator(6)} /
+         |    CAST(present_sum + (64 - n_present) * ${1L << 55} AS DOUBLE))
+         |    AS BIGINT) AS est_raw
+         |FROM s""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

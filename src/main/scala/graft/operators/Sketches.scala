@@ -184,4 +184,132 @@ object Sketches {
     val codes = transform(split(text, ""), c => ascii(c).cast("long"))
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
   }
+
+  /** Engine-portable 60-bit value hash: the first 15 hex digits of the
+    * value's md5, parsed as an integer. Both engines emit identical
+    * lowercase md5 hex, so Spark's `conv(hex, 16, 10)` and the oracle's
+    * hex-digit fold ([[duckdbMd5Hash60]]) agree bit-for-bit — a uniform
+    * hash in [0, 2^60) whose collision odds are negligible at any corpus
+    * size, with no engine-private hash (xxhash64 etc.) anywhere.
+    */
+  def md5Hash60(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Hash60]] for oracle CTEs. */
+  def duckdbMd5Hash60(colExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5($colExpr), 1, 15), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), " +
+      s"(a, x) -> a*16 + x)"
+
+  val KmvHashSpace: Double = 1152921504606846976.0 // 2^60, exact in a double
+
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002): keep each group's k smallest distinct 60-bit value
+    * hashes; with U = kth smallest hash normalized to [0,1], E[U] ≈ k/(n+1)
+    * gives the unbiased estimator n̂ = (k−1)/U. Groups with fewer than k
+    * distinct values report their exact count.
+    *
+    * Physical shape: one distinct on (group, hash) — map-side combinable,
+    * uniform 60-bit keys — then the per-group k-smallest via the
+    * skew-proof two-phase [[Caps.perGroupCap]] (bounded heap per task,
+    * global window only over ≤ k·partitions survivors), so a
+    * low-cardinality group column (language, source domain) never funnels
+    * a 100 TB corpus through single tasks. The estimate arithmetic is
+    * IEEE-exact and engine-portable: (k−1)·2^60 is an exact double
+    * product, and one double division + floor is bit-identical in Spark
+    * and the oracle.
+    *
+    * Returns (grp, n_seen, kth_min_hash, est_distinct).
+    */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    val hashed = df.select(group.as("grp"), md5Hash60(value).as("hv")).distinct()
+    val topk = Caps.perGroupCap(hashed, Seq("grp"), Seq("hv"), k)
+    topk.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_seen"), max(col("hv")).as("kth_min_hash"))
+      .withColumn("est_distinct",
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(floor(lit((k - 1).toDouble * KmvHashSpace) /
+            col("kth_min_hash").cast("double")).cast("long")))
+  }
+
+  /** HyperLogLog register sketch per group (Flajolet et al. 2007):
+    * bucket = low `bucketBits` bits of the 60-bit md5 hash, register =
+    * max over the bucket's values of rho = (leading-zero count of the
+    * remaining `60 − bucketBits` bits) + 1. The register frame IS the
+    * mergeable sketch state — `groupBy(grp, bucket).max(register)` is
+    * map-side combinable and unions of corpora merge by the same max.
+    *
+    * rho is computed with integer-exact bit length (`bin()` string length,
+    * identical minimal-digit semantics in Spark and DuckDB) — no
+    * floating log2 whose ULP could flip a floor at bucket boundaries.
+    *
+    * Returns (grp, bucket, register).
+    */
+  def hllRegisters(df: DataFrame, group: Column, value: Column,
+                   bucketBits: Int): DataFrame = {
+    require(bucketBits >= 2 && bucketBits <= 16,
+      s"hllRegisters: bucketBits must be in [2,16], got $bucketBits")
+    val m = 1L << bucketBits
+    val width = 60 - bucketBits
+    val hv = md5Hash60(value)
+    // integer bit shift, not a double divide: hv spans the full 60 bits
+    // and doubles lose integer exactness past 2^53
+    val rest = shiftright(hv, bucketBits)
+    val rho = when(col("__rest") === 0, lit(width + 1))
+      .otherwise(lit(width + 1) - length(bin(col("__rest"))))
+    df.select(group.as("grp"), pmod(hv, lit(m)).as("bucket"), rest.as("__rest"))
+      .withColumn("rho", rho.cast("long"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** The numerator constant alpha_m·m²·2^(width+1) of [[hllEstimate]],
+    * exposed so the oracle SQL interpolates the SAME Scala-computed double
+    * (Double.toString round-trips bit-exactly through DuckDB's parser).
+    */
+  def hllNumerator(bucketBits: Int): Double = {
+    val m = 1L << bucketBits
+    val width = 60 - bucketBits
+    (0.7213 / (1.0 + 1.079 / m)) * (m * m).toDouble * (1L << (width + 1)).toDouble
+  }
+
+  /** Raw HLL cardinality estimate per group from a [[hllRegisters]] frame:
+    * alpha_m · m² / Σ_b 2^(−M_b), with empty buckets entering the harmonic
+    * sum at register 0. The sum is computed as an INTEGER — each bucket
+    * contributes 2^(width+1 − M_b), empty buckets 2^(width+1), so the only
+    * floating-point steps are one exactly-representable scaling and one
+    * division: bit-identical across engines regardless of aggregation
+    * order (an unscaled double harmonic sum would not be — double addition
+    * is order-sensitive and Spark's partial aggregation order is
+    * nondeterministic).
+    *
+    * Bias corrections (linear counting below 2.5m, the 2^32 clamp) are
+    * deliberately NOT applied: they need `ln`, whose last-ULP behavior is
+    * libm-specific; the raw estimate plus `n_zero_buckets` lets any
+    * consumer apply its own correction. Returns
+    * (grp, n_zero_buckets, harmonic_sum_scaled, est_raw).
+    */
+  def hllEstimate(registers: DataFrame, bucketBits: Int): DataFrame = {
+    val m = 1L << bucketBits
+    val width = 60 - bucketBits
+    registers
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_present"),
+        // 2^(width+1−reg) via pow: exact powers of two are exactly
+        // representable doubles, so the cast back to long is lossless
+        // (shiftleft won't take a column shift amount)
+        sum(pow(lit(2.0), lit(width + 1) - col("register")).cast("long"))
+          .as("present_sum"))
+      .select(col("grp"),
+        (lit(m) - col("n_present")).as("n_zero_buckets"),
+        (col("present_sum") +
+          (lit(m) - col("n_present")) * lit(1L << (width + 1)))
+          .as("harmonic_sum_scaled"))
+      .withColumn("est_raw",
+        floor(lit(hllNumerator(bucketBits)) /
+          col("harmonic_sum_scaled").cast("double")).cast("long"))
+  }
 }
