@@ -32,7 +32,7 @@ object Bench {
       "q24_event_dates", "q26_minhash_lsh", "q28_simhash_pairs",
       "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate",
       "q49_snapshot_upsert", "q52_ann_kmeans", "q53_windowed_counts",
-      "q62_srp_neardup", "q76_embedding_clusters")
+      "q62_srp_neardup", "q76_embedding_clusters", "q101_substring_dedup")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       warmQueries.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()

@@ -195,7 +195,7 @@ object ScaleBench {
     val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
       "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions",
-      "q81_srp_wide_replicas")
+      "q81_srp_wide_replicas", "q95_repetition_filter", "q101_substring_dedup")
     if (sections("heavy")) {
       heavy.foreach(q => time(base, q))
       heavy.foreach(q => time(rep, q))
