@@ -2261,6 +2261,48 @@ object SparkEntry {
         col("lang"), col("text"), bucketBits = 6)
       Sketches.hllEstimate(regs, bucketBits = 6)
         .withColumnRenamed("grp", "lang")
+    }),
+
+    // §2.5 stream-stream correlation: impressions (even event ids) joined
+    // to conversions (odd ids) arriving on a SECOND live stream, matched
+    // per user within a 30-minute horizon — the watermarked interval join
+    // where both sides buffer keyed state. Inner join emits eagerly on
+    // match, so the multi-batch AvailableNow run equals the batch join the
+    // oracle computes. The lateness budget here exceeds the fixture's time
+    // span (no drops, exact result); production sets the real tolerance
+    // and the interval bound then also bounds the state store.
+    "q104_stream_interval_join" -> ((s, dir) => {
+      val root = scratchDir("graft-stream-ij")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      val imp = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id").as("imp_id"), col("ts").as("imp_ts"),
+          col("user_id").as("imp_user"))
+      val conv = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id").as("conv_id"), col("ts").as("conv_ts"),
+          col("user_id").as("conv_user"))
+      imp.repartition(4).write.mode("overwrite").parquet(root + "/imp")
+      conv.repartition(4).write.mode("overwrite").parquet(root + "/conv")
+      val joined = streaming.StreamingFlow.intervalJoin(
+        streaming.StreamingFlow.fileStream(s, root + "/imp", imp.schema,
+          maxFilesPerTrigger = 2),
+        streaming.StreamingFlow.fileStream(s, root + "/conv", conv.schema,
+          maxFilesPerTrigger = 2),
+        "imp_user", "conv_user", "imp_ts", "conv_ts",
+        watermarkDelay = "45 days", maxDelay = "30 minutes")
+      val out = joined.select(col("imp_user").as("user_id"),
+        col("imp_id"), col("conv_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("conv_ts").cast("timestamp_ntz").as("conv_ts"))
+      val q = out.writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(root + "/out")
     })
   )
 
@@ -2680,6 +2722,14 @@ object SparkEntry {
          |    CAST(present_sum + (64 - n_present) * ${1L << 55} AS DOUBLE))
          |    AS BIGINT) AS est_raw
          |FROM s""".stripMargin,
+
+    "q104_stream_interval_join" ->
+      """SELECT l.user_id AS user_id, l.event_id AS imp_id,
+        |  r.event_id AS conv_id,
+        |  CAST(l.ts AS TIMESTAMP) AS imp_ts, CAST(r.ts AS TIMESTAMP) AS conv_ts
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

@@ -66,6 +66,39 @@ object StreamingFlow {
       }
   }
 
+  /** Watermarked stream-stream INNER interval join — the "conversion
+    * within N minutes of an impression" correlation between two live
+    * streams, the one streaming shape no stateless transform or single
+    * stateful agg expresses: BOTH sides buffer in keyed state and each
+    * arriving row probes the other side's buffer.
+    *
+    * Semantics and state bounds:
+    *  - join condition = key equality AND `rightTs` in
+    *    [`leftTs`, `leftTs` + `maxDelay`] — the time bound is REQUIRED:
+    *    with it, each side's state is evicted once the watermark passes
+    *    (left rows after watermark > leftTs + maxDelay, right rows after
+    *    watermark > rightTs), so state is bounded by rate × horizon, never
+    *    stream length;
+    *  - inner join emits eagerly on match (no watermark wait), so under
+    *    AvailableNow the result equals the batch join of the full inputs —
+    *    which is exactly what the oracle runs;
+    *  - the state store partitions on the join key: scale-safe for
+    *    high-cardinality keys (user, session), the usual stream-correlation
+    *    keys.
+    *
+    * Column names must already be disambiguated (no shared names across
+    * the two sides). `watermarkDelay` is the lateness tolerance;
+    * `maxDelay` the business horizon (e.g. "30 minutes").
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermarkDelay: String, maxDelay: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $maxDelay"))
+
   /** Stream-side dedupe of at-least-once REDELIVERY (the SQS
     * visibility-timeout double-delivery the reference's loads tolerate
     * via DB unique indexes): watermark-bounded `dropDuplicatesWithinWatermark`

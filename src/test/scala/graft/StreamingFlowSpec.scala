@@ -98,4 +98,33 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[String]("key"), r.getAs[Int]("rev"))).toSet
     assert(rows == Set(("A", 1), ("A", 2), ("B", 1)))
   }
+
+  test("interval join matches within the horizon across staggered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = MemoryStream[(Long, java.sql.Timestamp)]
+    val right = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingFlow.intervalJoin(
+      left.toDF().toDF("l_key", "l_ts"), right.toDF().toDF("r_key", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts",
+      watermarkDelay = "1 hour", maxDelay = "30 minutes")
+    val q = joined.select(col("l_key"), col("l_ts"), col("r_ts"))
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    left.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // right arrives in a LATER batch: in-horizon (10:20), out-of-horizon
+    // (10:50), and wrong-key matches must resolve against buffered left state
+    right.addData((1L, ts("2024-01-01 10:20:00")), (1L, ts("2024-01-01 10:50:00")),
+      (3L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // conversion BEFORE the impression is excluded by the lower bound
+    right.addData((2L, ts("2024-01-01 09:50:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT l_key, l_ts, r_ts FROM ij").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(rows == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"))))
+  }
 }
