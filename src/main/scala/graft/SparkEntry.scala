@@ -2303,6 +2303,73 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.read.parquet(root + "/out")
+    }),
+
+    // Characteristic terms per document: top-3 by tf with linear inverse
+    // document frequency (tf·N/df — deliberately ln-free; see
+    // TextAnalysis.tfidfTopTerms for the parity rationale).
+    "q105_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 3)),
+
+    // §2.5 stream-stream LEFT OUTER: impressions with NO conversion inside
+    // the 30-minute horizon (abandonment). Null emission waits for the
+    // watermark to pass imp_ts + horizon, so each stream gets a far-future
+    // sentinel arriving LAST (mtime-ordered; both watermarks must advance
+    // — the join takes the minimum) and the no-data finalize batch flushes
+    // the tail. Lateness budget covers the fixture span exactly as in
+    // q104; sentinels filter out of the result.
+    "q106_stream_abandonment" -> ((s, dir) => {
+      val root = scratchDir("graft-stream-oj")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      val imp = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id").as("imp_id"), col("ts").as("imp_ts"),
+          col("user_id").as("imp_user"))
+      val conv = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id").as("conv_id"), col("ts").as("conv_ts"),
+          col("user_id").as("conv_user"))
+      import s.implicits._
+      def writeSide(path: String, data: DataFrame,
+                    sentinel: DataFrame): Unit = {
+        data.repartition(4).write.mode("overwrite").parquet(path)
+        def partNames() = new java.io.File(path).listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(_.getName).toSet
+        val dataNames = partNames()
+        sentinel.coalesce(1).write.mode("append").parquet(path)
+        orderStreamFiles(path, tail = Seq(partNames() -- dataNames))
+      }
+      def sentinelRow(idCol: String, tsCol: String, userCol: String) =
+        Seq("2030-01-01 00:00:00").toDF("t")
+          .select(lit(-1L).as(idCol), col("t").cast("timestamp").as(tsCol),
+            lit(-1L).as(userCol))
+      writeSide(root + "/imp", imp, sentinelRow("imp_id", "imp_ts", "imp_user"))
+      writeSide(root + "/conv", conv,
+        sentinelRow("conv_id", "conv_ts", "conv_user"))
+      val joined = streaming.StreamingFlow.intervalJoin(
+        streaming.StreamingFlow.fileStream(s, root + "/imp", imp.schema,
+          maxFilesPerTrigger = 2),
+        streaming.StreamingFlow.fileStream(s, root + "/conv", conv.schema,
+          maxFilesPerTrigger = 2),
+        "imp_user", "conv_user", "imp_ts", "conv_ts",
+        watermarkDelay = "45 days", maxDelay = "30 minutes",
+        joinType = "left_outer")
+      val out = joined
+        .select(col("imp_user").as("user_id"), col("imp_id"), col("conv_id"),
+          col("imp_ts").cast("timestamp_ntz").as("imp_ts"))
+      val q = out.writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(root + "/out")
+        .filter(col("imp_id") =!= -1L)
+        .filter(col("conv_id").isNull)
+        .select(col("user_id"), col("imp_id"), col("imp_ts"))
     })
   )
 
@@ -2730,6 +2797,39 @@ object SparkEntry {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |  AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // Both engines rank by the ROUNDED score (then token) so near-tie
+    // ordering is identical by construction.
+    "q105_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, token, tf, df,
+        |    ROUND(CAST(tf AS DOUBLE) * n_docs / df, 6) AS score
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM rk WHERE rank <= 3""".stripMargin,
+
+    // The streaming left-outer's null rows = the batch anti join on the
+    // same interval condition.
+    "q106_stream_abandonment" ->
+      """SELECT l.user_id AS user_id, l.event_id AS imp_id,
+        |  CAST(l.ts AS TIMESTAMP) AS imp_ts
+        |FROM events l
+        |WHERE l.event_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_id % 2 = 1
+        |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

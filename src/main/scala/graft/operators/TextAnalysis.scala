@@ -36,6 +36,47 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Per-document top-k terms by tf·idf with a LINEAR inverse document
+    * frequency weight: score = tf · N / df. The usual log damping
+    * (tf·ln(N/df)) is deliberately not applied — ln's last-ULP behavior is
+    * libm-specific, so a log-scored rank could flip between engines at
+    * near-ties, while tf·N/df is one IEEE multiply and divide of exact
+    * integers, bit-identical everywhere. The linear weight favors rarer
+    * terms more aggressively than the log form; for "characteristic terms
+    * per document" (keyword extraction, near-dup explanation) that bias is
+    * the useful direction.
+    *
+    * Physical shape, all corpus-linear: tf = one combinable count on
+    * (doc, token); df = one combinable distinct-doc count on token
+    * (uniform high-cardinality keys); N rides a broadcast single-row
+    * frame (never a driver collect in the plan); the top-k window
+    * partitions on doc_id, bounded per document. Ties break on token
+    * order so the rank is total.
+    */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms: k must be positive, got $k")
+    val postings = docs
+      .withColumn("__toks", tok(text))
+      .select(id.cast("long").as("doc_id"), explode(col("__toks")).as("token"))
+    val tf = postings.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(id.cast("long")).as("n_docs"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic.
     */

@@ -89,15 +89,26 @@ object StreamingFlow {
     * Column names must already be disambiguated (no shared names across
     * the two sides). `watermarkDelay` is the lateness tolerance;
     * `maxDelay` the business horizon (e.g. "30 minutes").
+    *
+    * `joinType = "left_outer"` additionally emits unmatched left rows
+    * with nulls — but only once the watermark passes `leftTs + maxDelay`
+    * (before that a match could still arrive). A finite run therefore
+    * needs a final watermark advance to flush the tail: under
+    * AvailableNow, far-future sentinel rows arriving LAST on BOTH streams
+    * (each side's watermark advances independently; the join uses the
+    * minimum), with the no-data finalize micro-batch doing the emission —
+    * the q66 session-flush mechanics.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
-                   watermarkDelay: String, maxDelay: String): DataFrame =
+                   watermarkDelay: String, maxDelay: String,
+                   joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermarkDelay)
       .join(right.withWatermark(rightTs, watermarkDelay),
         expr(s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $maxDelay"))
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $maxDelay"),
+        joinType)
 
   /** Stream-side dedupe of at-least-once REDELIVERY (the SQS
     * visibility-timeout double-delivery the reference's loads tolerate

@@ -127,4 +127,34 @@ class StreamingFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
     assert(rows == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"))))
   }
+
+  test("left-outer interval join emits nulls once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = MemoryStream[(Long, java.sql.Timestamp)]
+    val right = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingFlow.intervalJoin(
+      left.toDF().toDF("l_key", "l_ts"), right.toDF().toDF("r_key", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts",
+      watermarkDelay = "10 minutes", maxDelay = "30 minutes",
+      joinType = "left_outer")
+    val q = joined.select(col("l_key"), col("r_key"))
+      .writeStream.format("memory").queryName("oj")
+      .outputMode("append").start()
+    // key 1 converts in-horizon; key 2 never converts
+    left.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    right.addData((1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    val beforeFlush = spark.sql("SELECT l_key FROM oj WHERE r_key IS NULL").count()
+    assert(beforeFlush == 0, "null rows must wait for the watermark")
+    // watermark sentinels on BOTH sides (the join takes the minimum)
+    left.addData((99L, ts("2024-01-01 12:00:00")))
+    right.addData((99L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT l_key, r_key FROM oj WHERE l_key <> 99").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, 1L), (2L, -1L)))
+  }
 }

@@ -121,4 +121,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(col("contamination")).collect().map(_.getDouble(0))
     assert(rows.length == 30 && rows.forall(_ == 1.0))
   }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms above ubiquitous ones") {
+    import spark.implicits._
+    // "common" is in all 4 docs (df=4); each doc also has a private term
+    // repeated twice (tf=2, df=1) -> score 2*4/1 = 8 vs common's tf*4/4
+    val docs = Seq(
+      (1L, "common uniq1 uniq1 common"),
+      (2L, "common uniq2 uniq2"),
+      (3L, "common uniq3 uniq3"),
+      (4L, "common uniq4 uniq4")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tfidfTopTerms(docs,
+        col("doc_id"), col("text"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // rank 1 everywhere: the private doubled term, score 8.0
+    for (d <- 1L to 4L)
+      assert(got((d, 1L)) == ((s"uniq$d", 2L, 1L, 8.0)), s"doc $d rank 1")
+    // doc 1 has common twice -> tf 2, score 2.0; others tf 1 -> 1.0
+    assert(got((1L, 2L)) == (("common", 2L, 4L, 2.0)))
+    assert(got((2L, 2L)) == (("common", 1L, 4L, 1.0)))
+  }
 }
