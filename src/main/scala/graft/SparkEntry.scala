@@ -2370,7 +2370,36 @@ object SparkEntry {
         .filter(col("imp_id") =!= -1L)
         .filter(col("conv_id").isNull)
         .select(col("user_id"), col("imp_id"), col("imp_ts"))
-    })
+    }),
+
+    // Last-touch attribution: every conversion (odd event ids) joined
+    // as-of to the most recent impression (even ids) of the same user —
+    // the temporal-lookup primitive Spark lacks, in the union-scan shape
+    // (one shuffle, |conversions| output rows, no inequality-join
+    // explosion; see AsOfJoin.asOf).
+    "q107_asof_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"))
+      val conv = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val imp = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("user_id"), col("event_id").as("imp_id"),
+          col("ts").as("imp_ts"))
+      operators.AsOfJoin.asOf(conv, imp,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTs = col("conv_ts"), rightTs = col("imp_ts"),
+        rightTieBreak = col("imp_id"), payload = Seq("imp_id", "imp_ts"))
+    }),
+
+    // The substring-dedup CUT accounting: per document, how many
+    // characters fall inside the interval UNION of its duplicated spans
+    // (q101's spans can overlap in characters when window-start runs are
+    // separated by gaps < k — summing span_len would overcount).
+    "q108_dedup_cut_stats" -> ((s, dir) =>
+      Dedup.duplicatedCharStats(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 40))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -2534,6 +2563,34 @@ object SparkEntry {
     sle + (if (p == "1001") 1 else 0))
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Shared CTE chain deriving q101's duplicated spans (ends in `spans`):
+    * every 40-char window double-hashed with the engine's polynomial mods,
+    * duplicated (h1,h2) keys, gaps-and-islands merge per document.
+    */
+  private lazy val substringSpanCtes: String =
+    s"""w0 AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT))) AS pos,
+       |    text
+       |  FROM documents WHERE length(text) >= 40),
+       |wins AS (
+       |  SELECT doc_id, pos,
+       |    ${graft.functions.TextHash.duckdbPoly(
+            "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod1)} AS h1,
+       |    ${graft.functions.TextHash.duckdbPoly(
+            "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod2)} AS h2
+       |  FROM w0),
+       |dup AS (SELECT h1, h2 FROM wins GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h1, h2)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dw),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
+       |    MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 
   /** SRP signature/candidate/verified-pair CTE chain, parameterized by the
     * source CTE (must define `v(vec_id, e)` with e a double list), the
@@ -2720,27 +2777,42 @@ object SparkEntry {
     // by modular arithmetic), then the same dup-count → semi-join →
     // gaps-and-islands chain.
     "q101_substring_dedup" ->
-      s"""WITH w0 AS (
-         |  SELECT doc_id,
-         |    unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT))) AS pos,
-         |    text
-         |  FROM documents WHERE length(text) >= 40),
-         |wins AS (
-         |  SELECT doc_id, pos,
-         |    ${graft.functions.TextHash.duckdbPoly(
-              "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod1)} AS h1,
-         |    ${graft.functions.TextHash.duckdbPoly(
-              "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod2)} AS h2
-         |  FROM w0),
-         |dup AS (SELECT h1, h2 FROM wins GROUP BY 1, 2 HAVING COUNT(*) > 1),
-         |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h1, h2)),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM dw)
-         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
-         |  MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
-         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+      s"""WITH $substringSpanCtes
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans""".stripMargin,
+
+    // q101's spans merged to their per-doc interval UNION (sweep expressed
+    // as the same two windows the engine runs), then per-doc accounting.
+    "q108_dedup_cut_stats" ->
+      s"""WITH $substringSpanCtes,
+         |mx AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM spans),
+         |fl AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    CASE WHEN prev_max IS NULL OR span_start >= prev_max
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM mx),
+         |isl2 AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM fl),
+         |mg AS (
+         |  SELECT doc_id, island, MIN(span_start) AS s, MAX(span_end) AS e
+         |  FROM isl2 GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_dup_chars,
+         |    COUNT(*) AS n_merged_spans
+         |  FROM mg GROUP BY 1)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  COALESCE(pd.n_dup_chars, 0) AS n_dup_chars,
+         |  COALESCE(pd.n_merged_spans, 0) AS n_merged_spans,
+         |  ROUND(CAST(COALESCE(pd.n_dup_chars, 0) AS DOUBLE) / length(d.text), 6)
+         |    AS dup_fraction
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q102_kmv_distinct" ->
       s"""WITH h AS (
@@ -2830,6 +2902,22 @@ object SparkEntry {
         |  SELECT 1 FROM events r
         |  WHERE r.user_id = l.user_id AND r.event_id % 2 = 1
         |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)""".stripMargin,
+
+    // LATERAL top-1 = the as-of argmax; (imp_ts DESC, imp_id DESC) mirrors
+    // the engine's "last right row under (ts ASC, tie ASC)" exactly.
+    "q107_asof_attribution" ->
+      """WITH imp AS (
+        |  SELECT user_id, event_id AS imp_id, ts AS imp_ts
+        |  FROM events WHERE event_id % 2 = 0),
+        |conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT c.user_id, c.conv_id, CAST(c.conv_ts AS TIMESTAMP) AS conv_ts,
+        |  i.imp_id, CAST(i.imp_ts AS TIMESTAMP) AS imp_ts
+        |FROM conv c LEFT JOIN LATERAL (
+        |  SELECT imp_id, imp_ts FROM imp i
+        |  WHERE i.user_id = c.user_id AND i.imp_ts <= c.conv_ts
+        |  ORDER BY i.imp_ts DESC, i.imp_id DESC LIMIT 1) i ON true""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

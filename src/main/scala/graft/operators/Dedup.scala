@@ -758,4 +758,42 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .drop("grp")
   }
+
+  /** The "apply" step of [[duplicatedSpans]]: per-document duplicated-
+    * character accounting — how much of each document a substring-dedup
+    * cut pass would remove. Two spans whose window-start runs are
+    * separated by a short gap (< k) still overlap in CHARACTERS, so
+    * span lengths cannot simply be summed: this merges each document's
+    * spans into their interval union first (sort by start; a span starts a
+    * new island iff its start is at or past the running max end — the
+    * standard sweep, expressed as two per-doc windows, so the whole pass
+    * stays partitioned on doc_id with zero extra shuffles beyond the span
+    * computation itself).
+    *
+    * Returns one row per document (including duplicate-free ones):
+    * (doc_id, n_chars, n_dup_chars, n_merged_spans, dup_fraction).
+    */
+  def duplicatedCharStats(docs: DataFrame, id: Column, text: Column,
+                          k: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, id, text, k)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val prevMax = max(col("span_end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn("__new_island",
+        when(prevMax.isNull || col("span_start") >= prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__island"))
+      // islands chain-overlap, so the union interval is contiguous
+      .agg(min(col("span_start")).as("s"), max(col("span_end")).as("e"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("n_dup_chars"),
+        count(lit(1)).as("n_merged_spans"))
+    docs.select(id.cast("long").as("doc_id"), length(text).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_chars", "n_merged_spans"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_chars").cast("double") / col("n_chars"), 6))
+  }
 }

@@ -173,6 +173,31 @@ class DedupSpec extends AnyFunSuite {
       (3L, 0L, 30L, 30L, 21L)))  // all 21 windows of "x"*30 are identical
   }
 
+  test("duplicatedCharStats merges char-overlapping spans before counting") {
+    import spark.implicits._
+    // doc 1 has dup window-runs {0,1,2} and {4,5} at k=5: spans [0,7) and
+    // [4,10) OVERLAP in chars 4-6 — union is 10 chars, naive sum 13
+    val corpus = Seq(
+      (1L, "abcdefghijkl"),
+      (2L, "PPabcdefgPP"),   // shares abcdefg with doc 1 (windows 0-2)
+      (3L, "QQefghijQQ")     // shares efghij with doc 1 (windows 4-5)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, col("doc_id"), col("text"), k = 5)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((0L, 7L), (4L, 10L)), "expected overlapping spans")
+    val got = Dedup.duplicatedCharStats(corpus, col("doc_id"), col("text"), k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got(1L) == ((12L, 10L, 1L, round6(10.0 / 12))), "union, not sum")
+    assert(got(2L) == ((11L, 7L, 1L, round6(7.0 / 11))))
+    assert(got(3L) == ((10L, 6L, 1L, round6(6.0 / 10))))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("duplicatedSpans matches a brute-force string oracle") {
     import spark.implicits._
     // overlapping word sequences from a tiny vocabulary guarantee shared
