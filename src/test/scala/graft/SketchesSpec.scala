@@ -64,6 +64,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(est > 100 && est < 400)
   }
 
+  test("sketch states merge: union of halves equals the whole") {
+    import spark.implicits._
+    val (h1, h2) = {
+      val all = corpus
+      (all.filter(pmod(xxhash64(col("v")), lit(2)) === 0),
+        all.filter(pmod(xxhash64(col("v")), lit(2)) === 1))
+    }
+    // KMV: re-capping the union of per-half top-k frames = whole-corpus top-k
+    val k = 16
+    def kmvState(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Caps.perGroupCap(
+        df.select(col("g").as("grp"),
+          Sketches.md5Hash60(col("v")).as("hv")).distinct(),
+        Seq("grp"), Seq("hv"), k)
+    val merged = graft.operators.Caps.perGroupCap(
+      kmvState(h1).unionByName(kmvState(h2)).distinct(), Seq("grp"), Seq("hv"), k)
+    val whole = kmvState(corpus)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      whole.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // HLL: bucket-wise max of the halves' registers = whole-corpus registers
+    val bits = 4
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("g"), col("v"), bits)
+    val mergedRegs = regs(h1).unionByName(regs(h2))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    val wholeRegs = regs(corpus)
+    assert(mergedRegs.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      wholeRegs.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("hllRegisters and hllEstimate match a reference HLL") {
     val bits = 4 // m = 16 buckets so empty buckets occur
     val m = 1 << bits
