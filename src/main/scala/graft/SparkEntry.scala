@@ -2399,7 +2399,31 @@ object SparkEntry {
     // separated by gaps < k — summing span_len would overcount).
     "q108_dedup_cut_stats" -> ((s, dir) =>
       Dedup.duplicatedCharStats(Tables.documents(s, dir),
-        col("doc_id"), col("text"), k = 40))
+        col("doc_id"), col("text"), k = 40)),
+
+    // Int8-quantized ANN with recall instrumentation: top-5 neighbors per
+    // query under the 4×-smaller quantized representation, each flagged
+    // for agreement with the full-precision top-5 (q10). Quantized scores
+    // rank bit-deterministically — integer dot products are exact in
+    // doubles at any accumulation order.
+    "q109_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), nQueries = 10, k = 5)),
+
+    // Ordered view→click→purchase funnel per user with a 12-hour
+    // conversion window per transition (150 → 37 → 7 users on the
+    // fixture): first view, first in-window click at/after it, first
+    // in-window purchase at/after that — one combinable min-agg per stage
+    // chained on the user key (see Funnel.funnelStages).
+    "q110_event_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelStages(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("event_type")),
+        col("user_id"), col("ts"), col("event_type"),
+        stages = Seq("view", "click", "purchase"),
+        maxGap = Some("12 hours"))
+        .withColumnRenamed("k", "user_id"))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -2918,6 +2942,79 @@ object SparkEntry {
         |  SELECT imp_id, imp_ts FROM imp i
         |  WHERE i.user_id = c.user_id AND i.imp_ts <= c.conv_ts
         |  ORDER BY i.imp_ts DESC, i.imp_id DESC LIMIT 1) i ON true""".stripMargin,
+
+    // Quantization mirrored element-wise (floor(x·127/mx + 0.5) — floor,
+    // never round(): the engines' round() ties disagree); quantized and
+    // exact top-5 both ranked by (score DESC, neighbor_id).
+    "q109_quantized_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, e,
+        |    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx
+        |  FROM v),
+        |qq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(e, x -> floor(x*127.0/mx + 0.5)) END AS qd,
+        |    e
+        |  FROM qv),
+        |qp AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.qd, b.qd) /
+        |      (sqrt(list_dot_product(a.qd, a.qd)) *
+        |       sqrt(list_dot_product(b.qd, b.qd))) AS qcos
+        |  FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10),
+        |qr AS (
+        |  SELECT query_id, neighbor_id, qcos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM qp),
+        |ep AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10),
+        |er AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM ep)
+        |SELECT q.query_id, q.rank, q.neighbor_id, ROUND(q.qcos, 6) AS qcosine,
+        |  CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+        |FROM qr q LEFT JOIN (SELECT query_id, neighbor_id FROM er WHERE rank <= 5) e
+        |  USING (query_id, neighbor_id)
+        |WHERE q.rank <= 5""".stripMargin,
+
+    "q110_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 12 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 12 HOUR GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(v.t_view AS TIMESTAMP) AS t_view,
+        |  CAST(c.t_click AS TIMESTAMP) AS t_click,
+        |  CAST(p.t_purchase AS TIMESTAMP) AS t_purchase,
+        |  CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS stages_reached
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

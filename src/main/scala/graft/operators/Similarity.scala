@@ -409,4 +409,64 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Symmetric per-vector int8 quantization — the memory lever of a
+    * billion-vector ANN index (4× smaller than float32, 8× smaller than
+    * the double wire format): q_i = floor(x_i·127/max|x| + 0.5), one
+    * shared scale per vector. floor(·+0.5) is used instead of round()
+    * because the two engines' round() disagree on banker's-vs-away ties,
+    * while floor is exact everywhere. All-zero vectors quantize to zeros
+    * (guarded division). Returns (id, qv array<long>, scale double).
+    */
+  def quantizeInt8(emb: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = vec.cast("array<double>")
+    val mx = array_max(transform(e, x => abs(x)))
+    emb.select(id.cast("long").as("id"),
+      when(mx === 0.0, transform(e, x => lit(0L)))
+        .otherwise(transform(e, x => floor(x * lit(127.0) / mx + lit(0.5))
+          .cast("long"))).as("qv"),
+      when(mx === 0.0, lit(0.0)).otherwise(mx / 127.0).as("scale"))
+  }
+
+  /** Brute-force top-k over the QUANTIZED vectors, with the exact-search
+    * agreement flag per emitted neighbor — the recall instrumentation a
+    * quantized index ships with. The quantized cosine is computed purely
+    * from integer dot products (exact in doubles regardless of
+    * accumulation order: every partial sum is an integer far below 2^53),
+    * so ranking is bit-deterministic; `in_exact_topk` marks whether the
+    * neighbor also appears in the full-precision top-k (q10 semantics).
+    * Query set and join shape mirror [[q10]]'s |Q|·|N| block — at scale
+    * the same quantized kernel runs inside IVF cells instead.
+    */
+  def quantizedTopK(emb: DataFrame, id: Column, vec: Column,
+                    nQueries: Int, k: Int): DataFrame = {
+    val q = graft.CacheRegistry.persist(
+      quantizeInt8(emb, id, vec)
+        .withColumn("qd", transform(col("qv"), v => v.cast("double")))
+        .withColumn("qn", sqrt(dot_product(col("qd"), col("qd")))))
+    val full = graft.CacheRegistry.persist(
+      prepVecs(emb, id.cast("long"), vec, "fid", "fv", "fn"))
+    def topk(frame: DataFrame, vCol: String, nCol: String,
+             idCol: String, scoreAs: String): DataFrame = {
+      val pairs = frame.as("a")
+        .filter(col(s"a.$idCol") < nQueries)
+        .crossJoin(frame.as("b"))
+        .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("query_id"),
+          col(s"b.$idCol").as("neighbor_id"),
+          (dot_product(col(s"a.$vCol"), col(s"b.$vCol")) /
+            (col(s"a.$nCol") * col(s"b.$nCol"))).as(scoreAs))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(scoreAs).desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+    val quant = topk(q, "qd", "qn", "id", "qcos")
+    val exact = topk(full, "fv", "fn", "fid", "cos")
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    quant.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("qcos"), 6).as("qcosine"),
+        coalesce(col("__hit"), lit(0L)).as("in_exact_topk"))
+  }
 }

@@ -65,4 +65,42 @@ class SimilaritySpec extends AnyFunSuite {
         bits = 64, bands = 1)
     }
   }
+
+  test("int8 quantization: floor(+0.5) kernel, zero-vector guard, scale") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: no division blowup
+      (2L, Seq(-2.0f, 1.0f, 0.5f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+    // max|x|=1: q = floor(x*127 + 0.5)
+    assert(got(0L) == ((Seq(127L, -63L, 32L, 0L), 1.0 / 127)))
+    assert(got(1L) == ((Seq(0L, 0L, 0L, 0L), 0.0)))
+    // max|x|=2: q = floor(x*63.5 + 0.5); -0.25 -> floor(-15.375) = -16
+    assert(got(2L) == ((Seq(-127L, 64L, 32L, -16L), 2.0 / 127)))
+  }
+
+  test("quantized top-k flags exact-search agreement correctly") {
+    import spark.implicits._
+    // clusters around two directions; quantization preserves the ranking
+    val emb = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.1f, 0.0f) else Seq(0.0f, 0.1f, 1.0f)
+      (i.toLong, base.map(v => v + (i / 2) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(emb, col("vec_id"), col("embedding"),
+        nQueries = 2, k = 3)
+      .collect()
+    assert(got.length == 6) // 2 queries x top-3
+    // every quantized top-3 neighbor is on the query's side of the split,
+    // and with this separation all agree with exact search
+    got.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(q % 2 == n % 2, s"query $q got cross-cluster neighbor $n")
+      assert(r.getLong(4) == 1L, s"query $q neighbor $n not in exact top-3")
+    }
+  }
 }
