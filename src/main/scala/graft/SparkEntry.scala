@@ -2423,7 +2423,52 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_type"),
         stages = Seq("view", "click", "purchase"),
         maxGap = Some("12 hours"))
-        .withColumnRenamed("k", "user_id"))
+        .withColumnRenamed("k", "user_id")),
+
+    // Corpus length profile: EXACT token-count percentiles per language
+    // via histogram compression — the scalable exact-quantile pattern (one
+    // combinable count shuffle; the window runs over per-(lang, value)
+    // histogram rows, bounded by the value domain, never corpus size).
+    "q111_length_percentiles" -> ((s, dir) =>
+      TextAnalysis.discretePercentiles(
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        col("lang"), col("n_tokens"),
+        percents = Seq(25, 50, 75, 90, 99))
+        .withColumnRenamed("grp", "lang")),
+
+    // §2.5 stream-STATIC enrichment: the live event stream joined to a
+    // batch dimension (per-user signup cohort day, computed once) before a
+    // windowed aggregation — the standard "enrich then aggregate" topology.
+    // The static side joins map-side per micro-batch (broadcastable, no
+    // stream state); daily counts per cohort land through the idempotent
+    // merge sink in Update mode (q61 mechanics — no sentinel needed).
+    "q112_stream_static_enrich" -> ((s, dir) => {
+      val root = scratchDir("graft-stream-se")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      ev.repartition(4).write.mode("overwrite").parquet(root + "/in")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val enriched = streaming.StreamingFlow.fileStream(s, root + "/in",
+          ev.schema, maxFilesPerTrigger = 2)
+        .withWatermark("ts", "45 days")
+        .join(broadcast(cohort), Seq("user_id"))
+      val daily = enriched
+        .groupBy(window(col("ts"), "1 day"), col("cohort_day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          col("n_events"))
+      val q = streaming.StreamingFlow.mergeSink(daily, root + "/counts",
+        Seq("day", "cohort_day"), col("n_events"), root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/counts")
+        .select(col("day"), col("cohort_day"), col("n_events"))
+    })
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -3015,6 +3060,34 @@ object SparkEntry {
         |    AS stages_reached
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |  LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q111_length_percentiles" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |h AS (SELECT lang, v, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v, n,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(n) OVER (PARTITION BY lang) AS total_n
+        |  FROM h),
+        |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+        |SELECT c.lang, CAST(p.pct AS BIGINT) AS pct, c.v AS value
+        |FROM c CROSS JOIN p
+        |WHERE c.cum_n >= CAST(floor((p.pct * c.total_n + 99) / 100.0) AS BIGINT)
+        |  AND c.cum_n - c.n < CAST(floor((p.pct * c.total_n + 99) / 100.0) AS BIGINT)""".stripMargin,
+
+    "q112_stream_static_enrich" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+        |  CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  COUNT(*) AS n_events
+        |FROM events e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

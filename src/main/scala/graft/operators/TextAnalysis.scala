@@ -310,4 +310,45 @@ object TextAnalysis {
         round(sum(when(col("__n") > 1, col("__n")).otherwise(0L))
           .cast("double") / sum(col("__n")), 6).as("dup_ngram_frac"))
   }
+
+  /** EXACT per-group discrete percentiles of an integer-valued column,
+    * computed scalably: a 100 TB corpus profiled by language cannot sort
+    * each language's rows under one window (the low-cardinality-key skew
+    * trap), but it doesn't need to — the value domain is bounded (token
+    * counts, document lengths), so the rows compress to a per-(group,
+    * value) HISTOGRAM with one combinable count shuffle, and the
+    * percentile scan is a window over the histogram: thousands of rows
+    * per group regardless of corpus size. Result is percentile_disc
+    * semantics exactly: the smallest value whose cumulative count reaches
+    * ceil(q·n).
+    *
+    * Percentiles are whole percents so the target rank ceil(p·n/100) is
+    * computed in INTEGER arithmetic ((p·n + 99) div 100) — a fractional q
+    * times n in doubles can land an epsilon past an integer and flip the
+    * ceil; integers cannot.
+    *
+    * Returns one row per (group, percent p): (grp, pct, value).
+    */
+  def discretePercentiles(df: DataFrame, group: Column, value: Column,
+                          percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "discretePercentiles: every percent must be in [1, 100]")
+    val hist = df.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n"))
+    val byGrp = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val byGrpOrdered = byGrp.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum_n", sum(col("n")).over(byGrpOrdered))
+      .withColumn("total_n", sum(col("n")).over(byGrp))
+    percents.map { p =>
+      // ceil(p·n/100) as exact integer math; the double division is by a
+      // constant 100 of an int < 2^53 — floor cannot flip
+      val target = floor((lit(p.toLong) * col("total_n") + 99L) / 100.0)
+        .cast("long")
+      cum.filter(col("cum_n") >= target &&
+          col("cum_n") - col("n") < target)
+        .select(col("grp"), lit(p.toLong).as("pct"), col("v").as("value"))
+    }.reduce(_ unionByName _)
+  }
 }
