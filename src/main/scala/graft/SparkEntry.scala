@@ -1944,14 +1944,14 @@ object SparkEntry {
             col("merged_at").cast("timestamp_ntz").as("finishedAt"))
           val (mergeRequests, commitRows, bridge, pipelines) =
             SecondaryTransforms.vcTables(mrs, pipes)
-          sources.MergeWriter.merge(s, root + "/mrs", mergeRequests,
-            Seq("mrId"), buckets = 8)
-          sources.MergeWriter.merge(s, root + "/commits", commitRows,
-            Seq("sha"), buckets = 8)
-          sources.MergeWriter.merge(s, root + "/mr_commits", bridge,
-            Seq("mrId", "sha"), buckets = 8)
-          sources.MergeWriter.merge(s, root + "/pipelines", pipelines,
-            Seq("pipelineId"), buckets = 8)
+          // four independent target tables: submit concurrently so the
+          // round's merge wall clock is the slowest table, not the sum
+          sources.MergeWriter.mergeAll(s, Seq(
+            (root + "/mrs", mergeRequests, Seq("mrId")),
+            (root + "/commits", commitRows, Seq("sha")),
+            (root + "/mr_commits", bridge, Seq("mrId", "sha")),
+            (root + "/pipelines", pipelines, Seq("pipelineId"))),
+            buckets = 8)
           operators.Watermarks.advance(s, wmPath,
             batch.withColumn("ds", lit("gitlab")), col("ds"),
             col("updated_at"))

@@ -217,17 +217,17 @@ object MergeWriter {
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     try {
-      // merging zero rows is a no-op — and must not CREATE the table.
-      // Streaming append sinks routinely deliver empty early batches.
-      if (inc.isEmpty) return
+      // ONE bounded metadata job (≤ `nb` rows) answers both "is the batch
+      // empty" and "which buckets are touched" — merging zero rows is a
+      // no-op and must not CREATE the table (streaming append sinks
+      // routinely deliver empty early batches)
+      val touched = touchedBuckets(inc)
+      if (touched.isEmpty) return
       m match {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None)
         case Some(man) =>
-          // bounded metadata collect: ≤ `buckets` values, never data-scale
-          val touched = inc.select(col(BucketCol)).distinct()
-            .collect().map(_.getInt(0)).toIndexedSeq
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
@@ -244,6 +244,38 @@ object MergeWriter {
       }
       gc(fs, dir)
     } finally { inc.unpersist(); () }
+  }
+
+  /** The touched-bucket set of a bucketed incoming frame — one bounded
+    * metadata job (≤ bucket-count rows; empty batch → empty seq), shared
+    * by [[merge]] and [[mergeVersioned]] so emptiness and pruning don't
+    * pay two scans.
+    */
+  private def touchedBuckets(inc: DataFrame): IndexedSeq[Int] =
+    inc.groupBy(col(BucketCol)).count()
+      .collect().map(_.getInt(0)).toIndexedSeq
+
+  /** Merge into several INDEPENDENT tables concurrently: each target keeps
+    * its per-table single-writer contract (paths must be distinct), and
+    * submitting from separate threads lets the scheduler interleave the
+    * per-merge jobs across idle cores — a multi-table load round's wall
+    * clock drops toward its slowest member instead of the sum. The commit
+    * of each table remains individually atomic; there is NO cross-table
+    * transaction (same as running them sequentially).
+    */
+  def mergeAll(spark: SparkSession,
+               merges: Seq[(String, DataFrame, Seq[String])],
+               buckets: Int = 64): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(merges.map(_._1).distinct.size == merges.size,
+      "mergeAll: table paths must be distinct (single-writer per table)")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(merges.map { case (path, df, keys) =>
+        Future(merge(spark, path, df, keys, buckets))
+      }), Duration.Inf)
+    ()
   }
 
   /** Version-guarded MERGE for out-of-order at-least-once delivery: like
@@ -279,7 +311,8 @@ object MergeWriter {
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     try {
-      if (inc.isEmpty) return
+      val touched = touchedBuckets(inc)
+      if (touched.isEmpty) return
       m match {
         case None =>
           // a fresh table has no stored versions to guard; intra-batch
@@ -288,8 +321,6 @@ object MergeWriter {
             newestPerKey(inc.drop(BucketCol), keys, versionCol, pri = None),
             keys, nb, None)
         case Some(man) =>
-          val touched = inc.select(col(BucketCol)).distinct()
-            .collect().map(_.getInt(0)).toIndexedSeq
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val existing =
