@@ -2468,6 +2468,79 @@ object SparkEntry {
       q.awaitTermination()
       sources.MergeWriter.readTable(s, root + "/counts")
         .select(col("day"), col("cohort_day"), col("n_events"))
+    }),
+
+    // Count-min frequency sketch over token occurrences (4×256 counter
+    // matrix): point estimates for the 10 heaviest tokens = min over rows
+    // of their cells, always >= the exact count. Matrix build is one
+    // combinable count; the top-10 probe set comes from a distributed
+    // sort+limit (TopK per partition), never a global window.
+    "q113_countmin_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val toks = CacheRegistry.persist(
+        Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text").cast("string"))
+          .as[(Long, String)]
+          .repartition(s.sparkContext.defaultParallelism)
+          .flatMap { case (_, t) => t.trim.split("\\s+").iterator
+            .map(w => graft.functions.TextHash.poly(w,
+              graft.functions.TextHash.Mod31)) }
+          .toDF("sid"))
+      val mat = Sketches.countMin(toks, col("sid"), depth = 4, width = 256)
+      val top = toks.groupBy(col("sid")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("sid")).limit(10)
+      val probes = (0 until 4).map(r =>
+        top.select(col("sid"), col("exact_n"), lit(r.toLong).as("row"),
+          Sketches.posHash(col("sid"), r, 256).as("col")))
+        .reduce(_ unionByName _)
+      probes.join(mat, Seq("row", "col"))
+        .groupBy(col("sid"), col("exact_n"))
+        .agg(min(col("n")).as("cms_est"))
+    }),
+
+    // Bloom-filter contamination screen: the q64 train/test split probed
+    // against a 65536-bit, 3-hash Bloom of the train TRIGRAM set — the
+    // CONSTANT-SIZE alternative to shipping the train sid set. Trigrams
+    // (not q64's bigrams, which this corpus shares almost completely)
+    // leave ~40% uncontaminated probes, so the filter's false-positive
+    // behavior is visible: no false negatives (n_bloom_hits >=
+    // n_exact_hits row by row) and a deterministic, oracle-reproduced
+    // overshoot at the ~48% fill ratio.
+    "q114_bloom_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def sids(df: DataFrame) = df
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { case (d, t) => Dedup.distinctShingles(t, 3)
+          .map(g => (d, graft.functions.TextHash.poly(g,
+            graft.functions.TextHash.Mod31))) }
+        .toDF("doc", "sid").distinct()
+      val train = sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      val test = CacheRegistry.persist(
+        sids(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+      val bits = Sketches.bloomBits(train.select(col("sid")).distinct(),
+        col("sid"), hashes = 3, width = 65536)
+      val probePos = (0 until 3).map(r =>
+        test.select(col("doc"), col("sid"),
+          Sketches.posHash(col("sid"), r, 65536).as("bit")))
+        .reduce(_ unionByName _)
+      val bloomHits = probePos.join(bits, Seq("bit"), "left_semi")
+        .groupBy(col("doc"), col("sid")).agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") === 3)
+        .groupBy(col("doc")).agg(count(lit(1)).as("n_bloom_hits"))
+      val exactHits = test
+        .join(train.select(col("sid")).distinct(), Seq("sid"), "left_semi")
+        .groupBy(col("doc")).agg(count(lit(1)).as("n_exact_hits"))
+      test.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+        .join(bloomHits, Seq("doc"), "left")
+        .join(exactHits, Seq("doc"), "left")
+        .na.fill(0L, Seq("n_bloom_hits", "n_exact_hits"))
+        .select(col("doc").as("doc_id"), col("n_shingles"),
+          col("n_bloom_hits"), col("n_exact_hits"),
+          round(col("n_bloom_hits").cast("double") / col("n_shingles"), 6)
+            .as("bloom_frac"))
     })
   )
 
@@ -3088,6 +3161,66 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM events e JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q113_countmin_tokens" -> {
+      val h = graft.functions.TextHash.duckdbPoly("w",
+        graft.functions.TextHash.Mod31)
+      val matRows = (0 until 4).map(r =>
+        s"SELECT $r AS r, ${Sketches.duckdbPosHash("sid", r, 256)} AS c FROM sids")
+        .mkString(" UNION ALL ")
+      val probeRows = (0 until 4).map(r =>
+        s"SELECT sid, exact_n, $r AS r, ${Sketches.duckdbPosHash("sid", r, 256)} AS c FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |sids AS (SELECT $h AS sid FROM tok),
+         |mat AS (SELECT r, c, COUNT(*) AS n FROM ($matRows) GROUP BY 1, 2),
+         |ex AS (SELECT sid, COUNT(*) AS exact_n FROM sids GROUP BY 1),
+         |top AS (SELECT sid, exact_n FROM ex ORDER BY exact_n DESC, sid LIMIT 10),
+         |pr AS ($probeRows)
+         |SELECT p.sid, CAST(p.exact_n AS BIGINT) AS exact_n,
+         |  CAST(MIN(m.n) AS BIGINT) AS cms_est
+         |FROM pr p JOIN mat m ON p.r = m.r AND p.c = m.c
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q114_bloom_contamination" -> {
+      val trainBits = (0 until 3).map(r =>
+        s"SELECT ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM tr")
+        .mkString(" UNION ALL ")
+      val probeBits = (0 until 3).map(r =>
+        s"SELECT doc, sid, ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM te")
+        .mkString(" UNION ALL ")
+      val h3 = graft.functions.TextHash.duckdbPoly("shingle",
+        graft.functions.TextHash.Mod31)
+      s"""WITH sh3 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(len(toks) - 2),
+         |           i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |dsid AS (SELECT DISTINCT doc, $h3 AS sid FROM sh3),
+         |tr AS (SELECT DISTINCT sid FROM dsid WHERE doc % 5 <> 0),
+         |te AS (SELECT doc, sid FROM dsid WHERE doc % 5 = 0),
+         |bits AS (SELECT DISTINCT bit FROM ($trainBits)),
+         |pp AS ($probeBits),
+         |bh AS (
+         |  SELECT doc, sid FROM pp JOIN bits USING (bit)
+         |  GROUP BY doc, sid HAVING COUNT(*) = 3),
+         |bhd AS (SELECT doc, COUNT(*) AS n_bloom_hits FROM bh GROUP BY 1),
+         |eh AS (
+         |  SELECT doc, COUNT(*) AS n_exact_hits
+         |  FROM te JOIN tr USING (sid) GROUP BY 1),
+         |ns AS (SELECT doc, COUNT(*) AS n_shingles FROM te GROUP BY 1)
+         |SELECT ns.doc AS doc_id, ns.n_shingles,
+         |  CAST(COALESCE(bhd.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+         |  CAST(COALESCE(eh.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+         |  ROUND(CAST(COALESCE(bhd.n_bloom_hits, 0) AS DOUBLE) / ns.n_shingles, 6)
+         |    AS bloom_frac
+         |FROM ns LEFT JOIN bhd USING (doc) LEFT JOIN eh USING (doc)""".stripMargin
+    },
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

@@ -266,6 +266,70 @@ object Sketches {
       .agg(max(col("rho")).as("register"))
   }
 
+  // Row-hash constants for the count-min / Bloom position hashes:
+  // pos_r = ((sid·A_r + B_r) mod 2^31−1) mod width. Large odd multipliers
+  // (same family as MinHash's) so the maps are far from monotone in sid;
+  // sid < 2^31 and A_r < 2^31 keep sid·A_r + B_r inside Int64 in both
+  // engines.
+  val RowHashA: Seq[Long] = Seq(1103527591L, 1163074433L, 1222621277L,
+    1282168119L)
+  val RowHashB: Seq[Long] = Seq(456789L, 988111110L, 1975765431L, 815936105L)
+
+  /** The position hash shared by [[countMin]] and [[bloomBits]] — and
+    * interpolated into the oracle SQL verbatim via [[duckdbPosHash]].
+    */
+  def posHash(sid: Column, row: Int, width: Int): Column =
+    pmod(pmod(sid * RowHashA(row) + RowHashB(row), lit(MinhashPrime)),
+      lit(width.toLong))
+
+  def duckdbPosHash(sidExpr: String, row: Int, width: Int): String =
+    s"((($sidExpr) * ${RowHashA(row)} + ${RowHashB(row)}) % $MinhashPrime) % $width"
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of token frequencies:
+    * a depth×width counter matrix where row r increments cell
+    * posHash_r(token); the point estimate for a token is the MIN over
+    * rows of its cell — an overestimate by at most the row collision
+    * mass, never an underestimate. The matrix build is ONE combinable
+    * count on (row, col) after a depth-fold flatout — constant-size
+    * (depth·width rows) mergeable state by cell-wise ADDITION, the
+    * frequency member of the sketch family (KMV/HLL count distincts;
+    * this counts occurrences).
+    *
+    * `items` must carry a 31-bit item id column `sid` (e.g.
+    * [[graft.functions.TextHash.poly]] of the token) — one row per
+    * OCCURRENCE. Returns the matrix (row, col, n).
+    */
+  def countMin(items: DataFrame, sid: Column, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && depth <= RowHashA.size,
+      s"countMin: depth must be in [1, ${RowHashA.size}], got $depth")
+    require(width >= 2, s"countMin: width must be >= 2, got $width")
+    val s = sid.cast("long")
+    (0 until depth).map { r =>
+      items.select(lit(r.toLong).as("row"), posHash(s, r, width).as("col"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Bloom-filter bit set over distinct item ids: `hashes` position
+    * hashes per item into a `width`-bit space, state = the DISTINCT set
+    * bit positions — bounded by `width` rows no matter the corpus (the
+    * relational form of the bitmap; mergeable by union). An item is
+    * "possibly present" iff ALL its positions are set — no false
+    * negatives, false-positive rate ≈ (set_bits/width)^hashes, and the
+    * verdicts are deterministic and engine-reproducible (the oracle
+    * derives the same bit set).
+    */
+  def bloomBits(items: DataFrame, sid: Column, hashes: Int,
+                width: Int): DataFrame = {
+    require(hashes >= 1 && hashes <= RowHashA.size,
+      s"bloomBits: hashes must be in [1, ${RowHashA.size}], got $hashes")
+    val s = sid.cast("long")
+    (0 until hashes).map { r =>
+      items.select(posHash(s, r, width).as("bit"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
   /** The numerator constant alpha_m·m²·2^(width+1) of [[hllEstimate]],
     * exposed so the oracle SQL interpolates the SAME Scala-computed double
     * (Double.toString round-trips bit-exactly through DuckDB's parser).

@@ -97,6 +97,55 @@ class SketchesSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("countMin matrix matches a reference sketch; estimates never undershoot") {
+    import spark.implicits._
+    val (depth, width) = (4, 16) // tiny width to force collisions
+    val occurrences = (0 until 400).map(i => (i % 23).toLong).toDF("sid")
+    val mat = Sketches.countMin(occurrences, col("sid"), depth, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference matrix
+    def pos(sid: Long, r: Int) =
+      ((sid * Sketches.RowHashA(r) + Sketches.RowHashB(r)) %
+        Sketches.MinhashPrime) % width
+    val ref = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    (0 until 400).foreach { i =>
+      val sid = (i % 23).toLong
+      (0 until depth).foreach { r =>
+        val k = (r.toLong, pos(sid, r))
+        ref(k) = ref.getOrElse(k, 0L) + 1
+      }
+    }
+    assert(mat == ref.toMap)
+    // point estimates: min over rows >= exact, with real collisions present
+    val exact = (0 until 23).map(s => s.toLong -> (400 / 23 + (if (s < 400 % 23) 1 else 0)).toLong).toMap
+    val est = (0 until 23).map { s =>
+      s.toLong -> (0 until depth).map(r => ref((r.toLong, pos(s, r)))).min
+    }.toMap
+    (0 until 23).foreach(s => assert(est(s.toLong) >= exact(s.toLong)))
+    assert(est.exists { case (s, e) => e > exact(s) }, "width 16 must collide")
+  }
+
+  test("bloomBits: no false negatives, and misses are genuine or FP-bounded") {
+    import spark.implicits._
+    val width = 64 // small bitmap so false positives occur
+    val train = (0 until 40).map(i => i.toLong * 7919).toDF("sid")
+    val bits = Sketches.bloomBits(train, col("sid"), hashes = 3, width = width)
+      .collect().map(_.getLong(0)).toSet
+    assert(bits.size <= width.toLong)
+    def pos(sid: Long, r: Int) =
+      ((sid * Sketches.RowHashA(r) + Sketches.RowHashB(r)) %
+        Sketches.MinhashPrime) % width
+    // every trained item's positions are all set (no false negatives)
+    (0 until 40).foreach { i =>
+      val sid = i.toLong * 7919
+      (0 until 3).foreach(r => assert(bits.contains(pos(sid, r))))
+    }
+    // the bit set is exactly the union of the trained positions
+    val expected = (for (i <- 0 until 40; r <- 0 until 3)
+      yield pos(i.toLong * 7919, r)).toSet
+    assert(bits == expected)
+  }
+
   test("hllRegisters and hllEstimate match a reference HLL") {
     val bits = 4 // m = 16 buckets so empty buckets occur
     val m = 1 << bits
