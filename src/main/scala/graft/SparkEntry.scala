@@ -2541,6 +2541,41 @@ object SparkEntry {
           col("n_bloom_hits"), col("n_exact_hits"),
           round(col("n_bloom_hits").cast("double") / col("n_shingles"), 6)
             .as("bloom_frac"))
+    }),
+
+    // Embedding-quality screening: the 5 lowest-cosine members of each
+    // label against the label's decimal-exact mean centroid — mislabeled/
+    // noise candidates, with the low-cardinality label key riding the
+    // skew-proof cap (see Similarity.groupOutliers).
+    "q115_embedding_outliers" -> ((s, dir) =>
+      Similarity.groupOutliers(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), col("label").cast("long"), k = 5)
+        .withColumnRenamed("grp", "label")
+        .withColumnRenamed("vid", "vec_id")),
+
+    // INCREMENTAL sketch maintenance through the engine's own storage:
+    // HLL registers are monotone, so the version-guarded merge
+    // (newer-version-wins on the (lang, bucket) key) IS the register
+    // merge — batch 2 raises registers it beats, the batch-1 replay is a
+    // no-op (stale versions never regress), and the final table equals
+    // the whole-corpus sketch, estimated as in q103.
+    "q116_incremental_hll" -> ((s, dir) => {
+      val root = scratchDir("graft-hll-inc")
+      val docs = Tables.documents(s, dir)
+      def regs(df: DataFrame) =
+        Sketches.hllRegisters(df, col("lang"), col("text"), bucketBits = 6)
+      val batch1 = regs(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val batch2 = regs(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val table = root + "/regs"
+      sources.MergeWriter.mergeVersioned(s, table, batch1,
+        Seq("grp", "bucket"), "register", buckets = 4)
+      sources.MergeWriter.mergeVersioned(s, table, batch2,
+        Seq("grp", "bucket"), "register", buckets = 4)
+      // at-least-once replay of batch 1: stale registers must not regress
+      sources.MergeWriter.mergeVersioned(s, table, batch1,
+        Seq("grp", "bucket"), "register", buckets = 4)
+      Sketches.hllEstimate(sources.MergeWriter.readTable(s, table),
+        bucketBits = 6).withColumnRenamed("grp", "lang")
     })
   )
 
@@ -2913,6 +2948,36 @@ object SparkEntry {
        |simsig AS (SELECT doc AS doc_id, CAST($bits AS BIGINT) AS simhash FROM tsums)""".stripMargin
   }
 
+  /** Whole-corpus HLL estimate per language — shared by q103 (direct) and
+    * q116 (the same state reconstructed through incremental merges).
+    */
+  private lazy val hllEstimateOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    ${operators.Sketches.duckdbMd5Hash60("text")} AS hv
+       |  FROM documents),
+       |b AS (
+       |  SELECT lang, hv % 64 AS bucket, CAST(hv // 64 AS BIGINT) AS rest
+       |  FROM h),
+       |regs AS (
+       |  SELECT lang, bucket,
+       |    MAX(CASE WHEN rest = 0 THEN 55
+       |      ELSE 55 - length(bin(rest)) END) AS register
+       |  FROM b GROUP BY 1, 2),
+       |s AS (
+       |  SELECT lang, COUNT(*) AS n_present,
+       |    CAST(SUM(CAST(power(2.0, 55 - register) AS BIGINT)) AS BIGINT)
+       |      AS present_sum
+       |  FROM regs GROUP BY 1)
+       |SELECT lang,
+       |  CAST(64 - n_present AS BIGINT) AS n_zero_buckets,
+       |  CAST(present_sum + (64 - n_present) * ${1L << 55} AS BIGINT)
+       |    AS harmonic_sum_scaled,
+       |  CAST(floor(${operators.Sketches.hllNumerator(6)} /
+       |    CAST(present_sum + (64 - n_present) * ${1L << 55} AS DOUBLE))
+       |    AS BIGINT) AS est_raw
+       |FROM s""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // The oracle recomputes each window's polynomial hash directly
     // (O(k)/window vs the engine's O(1) rolling update — identical values
@@ -2977,32 +3042,38 @@ object SparkEntry {
          |  exact_distinct
          |FROM kk JOIN ex USING (lang)""".stripMargin,
 
-    "q103_hll_estimate" ->
-      s"""WITH h AS (
-         |  SELECT lang,
-         |    ${operators.Sketches.duckdbMd5Hash60("text")} AS hv
-         |  FROM documents),
-         |b AS (
-         |  SELECT lang, hv % 64 AS bucket, CAST(hv // 64 AS BIGINT) AS rest
-         |  FROM h),
-         |regs AS (
-         |  SELECT lang, bucket,
-         |    MAX(CASE WHEN rest = 0 THEN 55
-         |      ELSE 55 - length(bin(rest)) END) AS register
-         |  FROM b GROUP BY 1, 2),
-         |s AS (
-         |  SELECT lang, COUNT(*) AS n_present,
-         |    CAST(SUM(CAST(power(2.0, 55 - register) AS BIGINT)) AS BIGINT)
-         |      AS present_sum
-         |  FROM regs GROUP BY 1)
-         |SELECT lang,
-         |  CAST(64 - n_present AS BIGINT) AS n_zero_buckets,
-         |  CAST(present_sum + (64 - n_present) * ${1L << 55} AS BIGINT)
-         |    AS harmonic_sum_scaled,
-         |  CAST(floor(${operators.Sketches.hllNumerator(6)} /
-         |    CAST(present_sum + (64 - n_present) * ${1L << 55} AS DOUBLE))
-         |    AS BIGINT) AS est_raw
-         |FROM s""".stripMargin,
+    "q103_hll_estimate" -> hllEstimateOracleSql,
+
+    // registers merged incrementally through mergeVersioned are monotone
+    // maxes — max(max(batch1), max(batch2)) = the whole-corpus register,
+    // so the oracle is exactly q103's whole-corpus formulation
+    "q116_incremental_hll" -> hllEstimateOracleSql,
+
+    "q115_embedding_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |m AS (
+        |  SELECT label, u.pos AS pos,
+        |    CAST(SUM(CAST(u.val AS DECIMAL(38,15))) AS DOUBLE)/COUNT(*) AS m
+        |  FROM vn, UNNEST(list_transform(range(len(e)),
+        |    i -> struct_pack(pos := i, val := e[i+1]))) AS t(u)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
+        |    SELECT label, list(m ORDER BY pos) AS ce FROM m GROUP BY 1)),
+        |s AS (
+        |  SELECT a.label, a.vec_id,
+        |    ROUND(list_dot_product(a.e, c.ce)/(a.nrm*c.cn), 6) AS centroid_cos
+        |  FROM vn a JOIN c USING (label)),
+        |r AS (
+        |  SELECT label, vec_id, centroid_cos,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY centroid_cos, vec_id) AS rn
+        |  FROM s)
+        |SELECT label, vec_id, centroid_cos FROM r WHERE rn <= 5""".stripMargin,
 
     "q104_stream_interval_join" ->
       """SELECT l.user_id AS user_id, l.event_id AS imp_id,

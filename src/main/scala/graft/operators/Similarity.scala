@@ -469,4 +469,43 @@ object Similarity {
         round(col("qcos"), 6).as("qcosine"),
         coalesce(col("__hit"), lit(0L)).as("in_exact_topk"))
   }
+
+  /** Embedding outliers per group: each group's centroid is the
+    * decimal-exact element-wise mean (order-independent accumulation, the
+    * kmeansStep discipline — a double sum would drift with partial-agg
+    * order), every vector scores cosine against its OWN group's centroid,
+    * and the k LOWEST-cosine members per group come out through the
+    * skew-proof [[Caps.perGroupCap]] (labels are low-cardinality — the
+    * exact key shape a naive per-group window dies on at corpus scale).
+    * The cap orders on the round-6 cosine scaled to an integer key
+    * (perGroupCap's LONG order contract); ties break on vector id.
+    *
+    * Returns (grp, vec id, centroid_cos), k rows per group — the
+    * mislabeled/noise screening pass of an embedding-quality pipeline.
+    */
+  def groupOutliers(emb: DataFrame, id: Column, vec: Column, group: Column,
+                    k: Int): DataFrame = {
+    val v = emb.select(group.as("grp"), id.cast("long").as("vid"),
+        vec.cast("array<double>").as("vv"))
+      .withColumn("vn", sqrt(dot_product(col("vv"), col("vv"))))
+    val centroids = v
+      .select(col("grp"), posexplode(col("vv")).as(Seq("pos", "val")))
+      .groupBy(col("grp"), col("pos"))
+      .agg((sum(col("val").cast("decimal(38,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val scored = v.join(broadcast(centroids), Seq("grp"))
+      .withColumn("centroid_cos",
+        round(dot_product(col("vv"), col("cv")) / (col("vn") * col("cn")), 6))
+      // round-6 cosines are multiples of 1e-6, so ·1e6 sits within an
+      // epsilon of an integer and round() recovers it exactly — an
+      // order-preserving LONG key for the cap
+      .withColumn("__cos_key", round(col("centroid_cos") * 1e6).cast("long"))
+      .select(col("grp"), col("vid"), col("centroid_cos"), col("__cos_key"))
+    Caps.perGroupCap(scored, Seq("grp"), Seq("__cos_key", "vid"), k)
+      .drop("__cos_key")
+  }
 }

@@ -84,6 +84,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((Seq(-127L, 64L, 32L, -16L), 2.0 / 127)))
   }
 
+  test("groupOutliers surfaces the planted off-cluster member first") {
+    import spark.implicits._
+    // two labels; one planted outlier each pointing away from the cluster
+    val emb = (0 until 10).map { i =>
+      (i.toLong, Seq(1.0f, 0.01f * i, 0.0f), 0L)
+    } ++ Seq((10L, Seq(-1.0f, 0.2f, 0.0f), 0L)) ++ (20 until 30).map { i =>
+      (i.toLong, Seq(0.0f, 0.01f * i, 1.0f), 1L)
+    } ++ Seq((30L, Seq(0.3f, -1.0f, 0.0f), 1L))
+    val got = Similarity.groupOutliers(emb.toDF("vec_id", "embedding", "label"),
+        col("vec_id"), col("embedding"), col("label"), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val worstPerGroup = got.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.minBy(_._3)._2
+    }
+    assert(worstPerGroup == Map(0L -> 10L, 1L -> 30L))
+    assert(got.length == 4) // k=2 per label
+  }
+
   test("quantized top-k flags exact-search agreement correctly") {
     import spark.implicits._
     // clusters around two directions; quantization preserves the ranking
