@@ -280,6 +280,18 @@ object SparkEntry {
         col("vec_id"), col("embedding"), iterations = 2)
     })
 
+  /** q117's PQ codebooks (4 subspaces × 16 dims, 8 codewords, 2 Lloyd
+    * iterations), persisted inside pqCodebooks and memoized so q118's
+    * IVF-PQ reuses the same books instead of re-training per query.
+    */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def pqBooksFrame(s: SparkSession, dir: String): DataFrame =
+    pqBooksCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      CacheRegistry.persist(Similarity.pqCodebooks(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"),
+        subspaces = 4, subDim = 16, seedCount = 8, iterations = 2)))
+
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
     * flag-removal markers, synthesized revision-0 state+assignee pair).
@@ -2576,7 +2588,29 @@ object SparkEntry {
         Seq("grp", "bucket"), "register", buckets = 4)
       Sketches.hllEstimate(sources.MergeWriter.readTable(s, table),
         bucketBits = 6).withColumnRenamed("grp", "lang")
-    })
+    }),
+
+    // Product quantization + asymmetric-distance top-5: 4 subspaces × 16
+    // dims, 8-codeword codebooks trained with the shared cosine-Lloyd
+    // machinery, database vectors reduced to 4 code ids, queries kept at
+    // full precision; cross-subspace sums are decimal-exact so ADC scores
+    // are order-free and engine-identical. Recall flag vs the exact top-5.
+    "q117_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"),
+        subspaces = 4, subDim = 16, seedCount = 8, iterations = 2,
+        nQueries = 10, k = 5, booksIn = Some(pqBooksFrame(s, dir)))),
+
+    // IVF-PQ (IVFADC): coarse-probe q52's shared trained cells (top-2 of
+    // 8 per query), ADC-score only the probed cells' vectors with q117's
+    // shared codebooks. Work per query ∝ probed fraction of the corpus —
+    // the billion-scale composition of the two quantizers.
+    "q118_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), ivfCentroidsFrame(s, dir),
+        subspaces = 4, subDim = 16, seedCount = 8, iterations = 2,
+        probes = 2, nQueries = 10, k = 5,
+        booksIn = Some(pqBooksFrame(s, dir))))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -2978,7 +3012,141 @@ object SparkEntry {
        |    AS BIGINT) AS est_raw
        |FROM s""".stripMargin
 
+  /** Per-subspace cosine-Lloyd chains + ADC scoring for q117 — the
+    * ivfTrainedOracleCtes pattern generalized to sliced sub-vectors, one
+    * chain per subspace, then decimal-exact cross-subspace sums.
+    */
+  private def pqOracleSql(subspaces: Int, subDim: Int, seedCount: Int,
+                          nQueries: Int, k: Int,
+                          ivfProbes: Option[Int] = None): String = {
+    def lloyd(src: String, cIn: String, aOut: String, mOut: String,
+              cOut: String) =
+      s"""$aOut AS (
+         |  SELECT vec_id, e, nrm, cid AS cell FROM (
+         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM $src a, $cIn c) WHERE rn = 1),
+         |$mOut AS (
+         |  SELECT cell, u.pos AS pos,
+         |    CAST(SUM(CAST(u.val AS DECIMAL(38,15))) AS DOUBLE)/COUNT(*) AS m
+         |  FROM $aOut, UNNEST(list_transform(range(len(e)),
+         |    i -> struct_pack(pos := i, val := e[i+1]))) AS t(u)
+         |  GROUP BY 1, 2),
+         |$cOut AS (
+         |  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
+         |    SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM $mOut GROUP BY 1))""".stripMargin
+    val perSub = (0 until subspaces).map { s =>
+      val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
+      s"""vs$s AS (
+         |  SELECT vec_id, e[$lo:$hi] AS e FROM v),
+         |vn$s AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM vs$s),
+         |s${s}c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM vn$s
+         |  WHERE vec_id < $seedCount),
+         |${lloyd(s"vn$s", s"s${s}c0", s"s${s}a1", s"s${s}m1", s"s${s}c1")},
+         |${lloyd(s"vn$s", s"s${s}c1", s"s${s}a2", s"s${s}m2", s"s${s}c2")},
+         |s${s}af AS (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT a.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn$s a, s${s}c2 c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val books = (0 until subspaces)
+      .map(s => s"SELECT $s AS sub, cid, ce, cn FROM s${s}c2")
+      .mkString(" UNION ALL ")
+    val codes = (0 until subspaces)
+      .map(s => s"SELECT vec_id, $s AS sub, code FROM s${s}af")
+      .mkString(" UNION ALL ")
+    val qslices = (0 until subspaces).map { s =>
+      val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
+      s"SELECT vec_id AS qid, $s AS sub, e[$lo:$hi] AS qv FROM v WHERE vec_id < $nQueries"
+    }.mkString(" UNION ALL ")
+    // Plain PQ scans every (query, code) pair; IVF-PQ first probes the
+    // coarse trained cells (the SAME c2/af chain as q52's oracle) and
+    // restricts the ADC distance table to candidates in probed cells.
+    val prefix = ivfProbes match {
+      case None =>
+        """v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings)""".stripMargin
+      case Some(_) => ivfTrainedOracleCtes
+    }
+    val candCtes = ivfProbes.map { p =>
+      s"""qpr AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT a.vec_id AS qid, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+         |    FROM vn a, c2 c WHERE a.vec_id < $nQueries) WHERE rn <= $p),
+         |cand AS (
+         |  SELECT q.qid, f.vec_id AS vid
+         |  FROM qpr q JOIN af f ON f.cell = q.cell
+         |  WHERE f.vec_id <> q.qid),
+         |""".stripMargin
+    }.getOrElse("")
+    val ptFrom = if (ivfProbes.isDefined)
+      s"""  SELECT d.qid, c.vec_id AS vid,
+         |    CAST(list_dot_product(q.qv, b.ce) AS DECIMAL(38,15)) AS p,
+         |    CAST(b.cn*b.cn AS DECIMAL(38,15)) AS cn2
+         |  FROM codes c
+         |  JOIN cand d ON c.vec_id = d.vid
+         |  JOIN books b ON c.sub = b.sub AND c.code = b.cid
+         |  JOIN qsl q ON q.sub = c.sub AND q.qid = d.qid""".stripMargin
+    else
+      s"""  SELECT q.qid, c.vec_id AS vid,
+         |    CAST(list_dot_product(q.qv, b.ce) AS DECIMAL(38,15)) AS p,
+         |    CAST(b.cn*b.cn AS DECIMAL(38,15)) AS cn2
+         |  FROM codes c
+         |  JOIN books b ON c.sub = b.sub AND c.code = b.cid
+         |  JOIN qsl q ON q.sub = c.sub
+         |  WHERE c.vec_id <> q.qid""".stripMargin
+    s"""WITH $prefix,
+       |$perSub,
+       |books AS ($books),
+       |codes AS ($codes),
+       |qsl AS ($qslices),
+       |qn AS (
+       |  SELECT vec_id AS qid, sqrt(list_dot_product(e, e)) AS qn FROM v
+       |  WHERE vec_id < $nQueries),
+       |${candCtes}pt AS (
+       |$ptFrom),
+       |sc AS (
+       |  SELECT qid, vid,
+       |    CAST(SUM(p) AS DOUBLE) AS approx_dot,
+       |    sqrt(CAST(SUM(cn2) AS DOUBLE)) AS recon_norm
+       |  FROM pt GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT sc.qid, sc.vid,
+       |    ROUND(sc.approx_dot / (qn.qn * sc.recon_norm), 6) AS pq_cos
+       |  FROM sc JOIN qn USING (qid)),
+       |rk AS (
+       |  SELECT qid, vid, pq_cos,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY pq_cos DESC, vid) AS BIGINT) AS rank
+       |  FROM scored),
+       |ep AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |    list_dot_product(a.e, b.e) /
+       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nQueries),
+       |et AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+       |    FROM ep) WHERE rn <= $k)
+       |SELECT r.qid AS query_id, r.rank, r.vid AS neighbor_id, r.pq_cos,
+       |  CASE WHEN et.vid IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+       |FROM rk r LEFT JOIN et ON r.qid = et.qid AND r.vid = et.vid
+       |WHERE r.rank <= $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q117_pq_topk" -> pqOracleSql(subspaces = 4, subDim = 16, seedCount = 8,
+      nQueries = 10, k = 5),
+    "q118_ivfpq_topk" -> pqOracleSql(subspaces = 4, subDim = 16,
+      seedCount = 8, nQueries = 10, k = 5, ivfProbes = Some(2)),
     // The oracle recomputes each window's polynomial hash directly
     // (O(k)/window vs the engine's O(1) rolling update — identical values
     // by modular arithmetic), then the same dup-count → semi-join →

@@ -508,4 +508,160 @@ object Similarity {
     Caps.perGroupCap(scored, Seq("grp"), Seq("__cos_key", "vid"), k)
       .drop("__cos_key")
   }
+
+  /** Product-quantization codebooks: the vector space is split into
+    * `subspaces` contiguous `subDim`-wide slices and each slice gets its
+    * own small codebook, trained with the SAME cosine-Lloyd machinery as
+    * IVF ([[kmeansStep]]: broadcast centroids, decimal-exact means) on the
+    * sub-vectors. A vector's PQ code is then `subspaces` small ids — the
+    * 64× compression lever of billion-scale ANN (Jégou et al. 2011;
+    * classic PQ trains L2-k-means, this engine's cosine variant reuses the
+    * oracle-reproducible trainer — the compression/ADC mechanics are
+    * identical).
+    *
+    * Returns (sub, cid, cv, cn): one codebook row per (subspace, code).
+    */
+  def pqCodebooks(emb: DataFrame, id: Column, vec: Column,
+                  subspaces: Int, subDim: Int, seedCount: Int,
+                  iterations: Int): DataFrame = {
+    require(subspaces >= 1 && subDim >= 1, "pqCodebooks: bad geometry")
+    (0 until subspaces).map { s =>
+      val sliced = emb.select(id.cast("long").as("pid"),
+        slice(vec.cast("array<double>"), s * subDim + 1, subDim).as("sv"))
+      ivfTrain(sliced, sliced.filter(col("pid") < seedCount),
+        col("pid"), col("sv"), iterations)
+        .withColumn("sub", lit(s))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ-encode every vector: per subspace, the nearest codeword (argmax
+    * cosine, tie on code id) — `subspaces` broadcast assignment passes,
+    * no shuffle of the vector table. Returns (vid, sub, code).
+    */
+  def pqEncode(emb: DataFrame, id: Column, vec: Column,
+               codebooks: DataFrame, subspaces: Int, subDim: Int): DataFrame =
+    (0 until subspaces).map { s =>
+      val sliced = emb.select(id.cast("long").as("eid"),
+        slice(vec.cast("array<double>"), s * subDim + 1, subDim).as("sv"))
+      ivfAssignCells(sliced, codebooks.filter(col("sub") === s).drop("sub"),
+          col("eid"), col("sv"))
+        .select(col("vid"), lit(s).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps full
+    * precision, the database side is reconstructed from its codewords, and
+    * approx_cos(q, x) = Σ_s 〈q_s, cw_s(x)〉 / (‖q‖·‖x̂‖) with
+    * ‖x̂‖² = Σ_s ‖cw_s(x)‖². Both cross-subspace sums accumulate in
+    * DECIMAL(38,15) — four doubles summed in grouped-aggregation order
+    * would be nondeterministic across partial-agg plans and engines;
+    * decimal addition is exact and order-free (the kmeansStep
+    * discipline). Each emitted neighbor carries the full-precision top-k
+    * agreement flag, as in [[quantizedTopK]].
+    *
+    * Scale shape: codebooks and the per-query distance tables are
+    * config-scale broadcasts; the scored frame shuffles once on
+    * (query, vector) for the decimal sum and once per query for the
+    * top-k window. At 100 TB the same ADC kernel runs inside IVF cells.
+    */
+  def pqTopK(emb: DataFrame, id: Column, vec: Column,
+             subspaces: Int, subDim: Int, seedCount: Int, iterations: Int,
+             nQueries: Int, k: Int,
+             booksIn: Option[DataFrame] = None,
+             candidates: Option[DataFrame] = None): DataFrame = {
+    val books = booksIn.getOrElse(graft.CacheRegistry.persist(
+      pqCodebooks(emb, id, vec, subspaces, subDim, seedCount, iterations)))
+    val codes0 = pqEncode(emb, id, vec, books, subspaces, subDim)
+    // IVF-PQ restriction: keep only (query, vector) pairs whose vector
+    // sits in one of the query's probed coarse cells. The codes frame is
+    // replicated per matching query BEFORE the codebook join so the ADC
+    // partial-sum shuffle only carries surviving pairs.
+    val codes = candidates match {
+      case None => codes0
+      case Some(cand) => codes0.join(cand, Seq("vid"))
+    }
+    val queries = (0 until subspaces).map { s =>
+      emb.filter(id.cast("long") < nQueries)
+        .select(id.cast("long").as("qid"), lit(s).as("sub"),
+          slice(vec.cast("array<double>"), s * subDim + 1, subDim).as("qv"))
+    }.reduce(_ unionByName _)
+    val qNorms = prepVecs(emb.filter(id.cast("long") < nQueries),
+      id.cast("long"), vec, "qid", "qfull", "qn").select(col("qid"), col("qn"))
+    val partials = codes
+      .join(broadcast(books), Seq("sub"))
+      .filter(col("code") === col("cid"))
+      // restricted codes already carry their qid — equi-join it so each
+      // surviving pair meets exactly its own query's slices
+      .join(broadcast(queries),
+        if (candidates.isDefined) Seq("sub", "qid") else Seq("sub"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        dot_product(col("qv"), col("cv")).cast("decimal(38,15)").as("p"),
+        (col("cn") * col("cn")).cast("decimal(38,15)").as("cn2"))
+    val scored = partials.groupBy(col("qid"), col("vid"))
+      .agg(sum(col("p")).cast("double").as("approx_dot"),
+        sqrt(sum(col("cn2")).cast("double")).as("recon_norm"))
+      .join(broadcast(qNorms), Seq("qid"))
+      .withColumn("pq_cos",
+        round(col("approx_dot") / (col("qn") * col("recon_norm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_cos").desc, col("vid"))
+    val top = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val full = prepVecs(emb, id.cast("long"), vec, "fid", "fv", "fn")
+    val exactPairs = full.as("a").filter(col("a.fid") < nQueries)
+      .crossJoin(full.as("b")).filter(col("a.fid") =!= col("b.fid"))
+      .select(col("a.fid").as("qid"), col("b.fid").as("vid"),
+        (dot_product(col("a.fv"), col("b.fv")) /
+          (col("a.fn") * col("b.fn"))).as("cos"))
+    val exactTop = exactPairs
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), lit(1L).as("__hit"))
+    top.join(exactTop, Seq("qid", "vid"), "left")
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("neighbor_id"), col("pq_cos"),
+        coalesce(col("__hit"), lit(0L)).as("in_exact_topk"))
+  }
+
+  /** IVF-PQ: coarse-quantize with a trained IVF centroid frame (from
+    * [[ivfTrain]] — shareable across queries), then run [[pqTopK]]'s ADC
+    * kernel only on vectors inside each query's `probes` nearest coarse
+    * cells. This is the billion-scale ANN composition (IVFADC, Jégou et
+    * al. 2011): the full-corpus ADC scan of [[pqTopK]] touches every code
+    * per query; here the per-query candidate set is the probed cells'
+    * contents, so work scales with probes/cells of the corpus, not the
+    * corpus. Residual encoding is deliberately NOT used — codebooks
+    * quantize raw sub-vectors so the cosine-Lloyd trainer stays
+    * oracle-reproducible; the probing/ADC mechanics are the paper's.
+    *
+    * Scale shape: centroids and codebooks are config-scale broadcasts;
+    * both assignment passes are map-side. The only data-scale shuffles
+    * are the probed-cell candidate join (keyed on cell — cell count is an
+    * operator knob sized ∝ corpus, the q79 discipline) and the ADC
+    * partial sum keyed on (query, vector), which now carries only probed
+    * candidates.
+    */
+  def ivfPqTopK(emb: DataFrame, id: Column, vec: Column, trained: DataFrame,
+                subspaces: Int, subDim: Int, seedCount: Int, iterations: Int,
+                probes: Int, nQueries: Int, k: Int,
+                booksIn: Option[DataFrame] = None): DataFrame = {
+    val assigned = ivfAssignCells(emb, trained, id, vec)
+      .select(col("vid"), col("cell"))
+    val qv = prepVecs(emb.filter(id.cast("long") < nQueries),
+      id.cast("long"), vec, "qid", "qv", "qn")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("cid"))
+    val probed = qv.crossJoin(broadcast(trained))
+      .withColumn("__cos",
+        dot_product(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= probes)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"))
+    pqTopK(emb, id, vec, subspaces, subDim, seedCount, iterations,
+      nQueries, k, booksIn, Some(cand))
+  }
 }
