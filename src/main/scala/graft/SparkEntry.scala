@@ -2251,6 +2251,15 @@ object SparkEntry {
       Dedup.duplicatedSpans(Tables.documents(s, dir),
         col("doc_id"), col("text"), k = 40)),
 
+    // Keep-first-occurrence cut: q101 flags EVERY occurrence of repeated
+    // content; the actual Lee et al. cut keeps one canonical copy. Cut
+    // spans cover only occurrences with an earlier (doc_id, pos) copy —
+    // the canonical copy per window key is a map-side-combinable
+    // min(struct), no global sort.
+    "q119_keep_first_cut" -> ((s, dir) =>
+      Dedup.keepFirstCutSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 40)),
+
     // KMV distinct-count sketch per language, k = 16, with the exact
     // distinct joined alongside as the self-audit — the sketch scaffolding
     // a 100 TB profiler uses where countDistinct no longer fits (the
@@ -2779,7 +2788,7 @@ object SparkEntry {
     * every 40-char window double-hashed with the engine's polynomial mods,
     * duplicated (h1,h2) keys, gaps-and-islands merge per document.
     */
-  private lazy val substringSpanCtes: String =
+  private lazy val substringWinCtes: String =
     s"""w0 AS (
        |  SELECT doc_id,
        |    unnest(generate_series(0, CAST(length(text) - 40 AS BIGINT))) AS pos,
@@ -2791,7 +2800,10 @@ object SparkEntry {
             "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod1)} AS h1,
        |    ${graft.functions.TextHash.duckdbPoly(
             "substr(text, CAST(pos+1 AS INT), 40)", operators.Dedup.SpanMod2)} AS h2
-       |  FROM w0),
+       |  FROM w0)""".stripMargin
+
+  private lazy val substringSpanCtes: String =
+    s"""$substringWinCtes,
        |dup AS (SELECT h1, h2 FROM wins GROUP BY 1, 2 HAVING COUNT(*) > 1),
        |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h1, h2)),
        |isl AS (
@@ -3155,6 +3167,30 @@ object SparkEntry {
       s"""WITH $substringSpanCtes
          |SELECT doc_id, span_start, span_end, span_len, n_windows
          |FROM spans""".stripMargin,
+
+    // Keep-first cut: the canonical (first) occurrence per window key is
+    // derived in two grouped steps (min doc, then min pos within it) —
+    // a different formulation than the engine's single min(struct), same
+    // values exactly; then the same island merge over cut positions only.
+    "q119_keep_first_cut" ->
+      s"""WITH $substringWinCtes,
+         |f1 AS (SELECT h1, h2, MIN(doc_id) AS fd FROM wins GROUP BY 1, 2),
+         |f2 AS (
+         |  SELECT w.h1, w.h2, f1.fd, MIN(w.pos) AS fp
+         |  FROM wins w JOIN f1
+         |    ON w.h1 = f1.h1 AND w.h2 = f1.h2 AND w.doc_id = f1.fd
+         |  GROUP BY 1, 2, 3),
+         |cw AS (
+         |  SELECT w.doc_id, w.pos
+         |  FROM wins w JOIN f2 ON w.h1 = f2.h1 AND w.h2 = f2.h2
+         |  WHERE NOT (w.doc_id = f2.fd AND w.pos = f2.fp)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM cw)
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
+         |  MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     // q101's spans merged to their per-doc interval UNION (sweep expressed
     // as the same two windows the engine runs), then per-doc accounting.

@@ -708,12 +708,27 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
                       k: Int): DataFrame = {
+    val wins = windowHashFrame(docs, id, text, k)
+    // both consumers shuffle on (h1, h2): ReuseExchange runs the linear
+    // flatMap once and shares the exchange between the count and the join
+    val dup = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("h1"), col("h2"))
+    islandSpans(wins.join(dup, Seq("h1", "h2"), "left_semi"), k)
+  }
+
+  /** Every length-`k` codepoint window of every document, double-rolling-
+    * hashed: (doc_id, pos, h1, h2). The linear-scan stage shared by
+    * [[duplicatedSpans]] and [[keepFirstCutSpans]].
+    */
+  private def windowHashFrame(docs: DataFrame, id: Column, text: Column,
+                              k: Int): DataFrame = {
     require(k >= 2, s"duplicatedSpans: window length must be >= 2, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val slices = spark.sparkContext.defaultParallelism
     val (p1, p2) = (SpanMod1, SpanMod2)
-    val wins = docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+    docs.select(id.cast("long"), text.cast("string")).as[(Long, String)]
       .repartition(slices)
       .flatMap { case (d, t) =>
         val cps = t.codePoints.toArray
@@ -742,14 +757,16 @@ object Dedup {
         }
       }
       .toDF("doc_id", "pos", "h1", "h2")
-    // both consumers shuffle on (h1, h2): ReuseExchange runs the linear
-    // flatMap once and shares the exchange between the count and the join
-    val dup = wins.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col("h1"), col("h2"))
-    val dupPos = wins.join(dup, Seq("h1", "h2"), "left_semi")
+  }
+
+  /** Gaps-and-islands tail shared by the span operators: merge consecutive
+    * flagged window starts per document into maximal spans. The window
+    * partitions on doc_id (high-cardinality, each partition bounded by one
+    * document's length).
+    */
+  private def islandSpans(flaggedPos: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos
+    flaggedPos
       .withColumn("grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
@@ -757,6 +774,38 @@ object Dedup {
         (max(col("pos")) + k - min(col("pos"))).as("span_len"),
         count(lit(1)).as("n_windows"))
       .drop("grp")
+  }
+
+  /** The CUT side of suffix-array dedup with keep-first-occurrence
+    * semantics (Lee et al. ACL 2022 §4.1 cut exactly this: every repeated
+    * substring occurrence EXCEPT one canonical copy). [[duplicatedSpans]]
+    * flags all occurrences; here an occurrence is cut iff its window
+    * content has an earlier occurrence in global (doc_id, pos) order, so
+    * the corpus-wide first copy of every repeated region survives — in
+    * particular a region repeated across m documents yields cut spans in
+    * exactly m−1 of them.
+    *
+    * The global occurrence order needs no global sort: the canonical copy
+    * per 60-bit window key is `min(struct(doc_id, pos))` — a declarative
+    * map-side-combinable aggregate on the same near-uniform hash key as
+    * the dup-count, so the pass stays skew-free at any repetition count.
+    * The flagged positions then merge per doc exactly as in
+    * [[duplicatedSpans]]; a cut pass splices `substring` on the result.
+    *
+    * Returns (doc_id, span_start, span_end, span_len, n_windows) over cut
+    * occurrences only.
+    */
+  def keepFirstCutSpans(docs: DataFrame, id: Column, text: Column,
+                        k: Int): DataFrame = {
+    val wins = windowHashFrame(docs, id, text, k)
+    val firsts = wins.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val cut = wins.join(firsts, Seq("h1", "h2"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos"))
+    islandSpans(cut, k)
   }
 
   /** The "apply" step of [[duplicatedSpans]]: per-document duplicated-

@@ -198,6 +198,36 @@ class DedupSpec extends AnyFunSuite {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("keepFirstCutSpans keeps exactly the first occurrence per region") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again" // 49 chars
+    val corpus = Seq(
+      (1L, s"AAAA${shared}BBBB"),     // FIRST copy (lowest doc_id) — kept
+      (2L, s"CCCCCCCC${shared}DDDD"), // cut at [8, 57)
+      (3L, s"${shared}ZZZZ"),         // cut at [0, 49)
+      (4L, "completely unique text with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepFirstCutSpans(corpus, col("doc_id"), col("text"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // the region repeats in 3 docs -> cut spans in exactly 2; doc 1 clean
+    assert(got == Set(
+      (2L, 8L, 57L, 49L, 40L),
+      (3L, 0L, 49L, 49L, 40L)))
+  }
+
+  test("keepFirstCutSpans keeps the earliest position within one doc") {
+    import spark.implicits._
+    // same 12-char run twice in ONE doc: the pos-0 copy survives, the
+    // second (pos 20) is cut
+    val corpus = Seq((7L, "abcdefghijkl________abcdefghijkl")).toDF("doc_id", "text")
+    val got = Dedup.keepFirstCutSpans(corpus, col("doc_id"), col("text"), k = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 20L, 32L)))
+  }
+
   test("duplicatedSpans matches a brute-force string oracle") {
     import spark.implicits._
     // overlapping word sequences from a tiny vocabulary guarantee shared
