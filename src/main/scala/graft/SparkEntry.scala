@@ -2619,7 +2619,22 @@ object SparkEntry {
         col("vec_id"), col("embedding"), ivfCentroidsFrame(s, dir),
         subspaces = 4, subDim = 16, seedCount = 8, iterations = 2,
         probes = 2, nQueries = 10, k = 5,
-        booksIn = Some(pqBooksFrame(s, dir))))
+        booksIn = Some(pqBooksFrame(s, dir)))),
+
+    // THIRD real container parse: P5 PGM, whose header is ASCII tokens
+    // with #-comments — the raster offset is only knowable by actually
+    // tokenizing (the fixture plants a comment line the decoder must
+    // skip). Top-down unpadded rows, every 2nd row framed; the oracle
+    // recomputes frame stats from the text alone, so a mis-skipped
+    // comment or off-by-one header scan hash-mismatches.
+    "q120_pgm_rows" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
+      val assets = Multimodal.toPgmAssets(ascii, col("doc_id"), col("text"),
+        width = 24)
+      Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
+        Multimodal.PgmRowDecoder(), everyNth = 2))
+    })
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -4973,6 +4988,25 @@ object SparkEntry {
         |  CAST(32 AS BIGINT) AS n_bytes,
         |  CAST(COALESCE(list_sum(list_transform(
         |    string_split(substring(text, CAST(frame_idx*32+1 AS INT), 32), ''),
+        |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
+        |FROM f""".stripMargin,
+
+    // Image row r of the PGM raster carries text bytes [r·24, (r+1)·24)
+    // zero-filled to width·height; top-down and unpadded, so the frame
+    // stats must equal stats computed from the text directly.
+    "q120_pgm_rows" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |g AS (
+        |  SELECT asset_id, text,
+        |    greatest(1, (length(text) + 23) // 24) AS h FROM c),
+        |f AS (
+        |  SELECT asset_id, text, unnest(range(0, h, 2)) AS frame_idx FROM g)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(24 AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(substring(text, CAST(frame_idx*24+1 AS INT), 24), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
         |FROM f""".stripMargin,
 

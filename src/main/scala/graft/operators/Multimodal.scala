@@ -165,6 +165,69 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM PGM (P5 binary graymap) parse — the third container
+    * family, and a different KIND of parse from [[WavPcmDecoder]] /
+    * [[BmpRowDecoder]]'s fixed binary headers: PGM headers are ASCII
+    * tokens ("P5", width, height, maxval) separated by arbitrary
+    * whitespace with `#`-to-end-of-line comments allowed between them, so
+    * the raster offset is only knowable by actually tokenizing — a
+    * mis-skipped comment shifts every frame and hash-mismatches. The
+    * raster itself is top-down, one byte per sample (maxval < 256), no
+    * row padding; one frame per image row. Malformed containers fail
+    * loudly.
+    */
+  final case class PgmRowDecoder() extends FrameDecoder {
+    override def frames(bytes: Array[Byte], everyNth: Int): Iterator[(Int, Array[Byte])] = {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      require(b.length >= 2 && b(0) == 'P'.toByte && b(1) == '5'.toByte,
+        s"PgmRowDecoder: not a P5 PGM container (${b.length} bytes)")
+      var o = 2
+      def isWs(c: Int): Boolean =
+        c == ' ' || c == '\t' || c == '\r' || c == '\n'
+      def skipWsAndComments(): Unit = {
+        var done = false
+        while (!done && o < b.length) {
+          val c = b(o) & 0xff
+          if (c == '#') { while (o < b.length && b(o) != '\n'.toByte) o += 1 }
+          else if (isWs(c)) o += 1
+          else done = true
+        }
+      }
+      def readHeaderInt(what: String): Int = {
+        skipWsAndComments()
+        require(o < b.length && b(o) >= '0'.toByte && b(o) <= '9'.toByte,
+          s"PgmRowDecoder: digit expected for $what at offset $o")
+        var v = 0L
+        while (o < b.length && b(o) >= '0'.toByte && b(o) <= '9'.toByte) {
+          v = v * 10 + (b(o) - '0'.toByte)
+          require(v <= Int.MaxValue, s"PgmRowDecoder: $what overflows")
+          o += 1
+        }
+        v.toInt
+      }
+      val width = readHeaderInt("width")
+      val height = readHeaderInt("height")
+      val maxval = readHeaderInt("maxval")
+      require(width > 0 && height > 0,
+        s"PgmRowDecoder: positive raster required ($width x $height)")
+      require(maxval > 0 && maxval < 256,
+        s"PgmRowDecoder: single-byte samples required (maxval $maxval)")
+      // the spec: exactly ONE whitespace byte separates maxval from the
+      // raster (a raster starting with 0x23 must not be eaten as comment)
+      require(o < b.length && isWs(b(o) & 0xff),
+        "PgmRowDecoder: single whitespace must follow maxval")
+      o += 1
+      require(o.toLong + math.multiplyExact(width.toLong, height.toLong) <= b.length,
+        s"PgmRowDecoder: $width x $height raster at offset $o overruns " +
+          s"the container (${b.length} bytes)")
+      val off = o
+      (0 until height by everyNth).iterator.map { r =>
+        val start = off + r * width // top-down, unpadded
+        (r, java.util.Arrays.copyOfRange(b, start, start + width))
+      }
+    }
+  }
+
   /** Canonical schema for a multimodal asset row. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -322,6 +385,35 @@ object Multimodal {
       }.toDF("asset_id", "content", "w", "h")
       .select(col("asset_id"), col("content"),
         struct(lit("image/bmp").as("mime"),
+          col("w").as("width"), col("h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** Build REAL P5 PGM containers around a text payload (ASCII header
+    * with a comment line the decoder must skip + top-down unpadded
+    * raster, zero-filled to width·height) — the ingest fixture that lets
+    * [[PgmRowDecoder]] exercise a tokenized-header container parse end to
+    * end: image row r carries text bytes [r·width, (r+1)·width)
+    * zero-padded.
+    */
+  def toPgmAssets(df: DataFrame, id: Column, text: Column,
+                  width: Int = 24): DataFrame = {
+    require(width > 0, s"toPgmAssets: width must be positive, got $width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long"), text.cast("string")).as[(Long, String)]
+      .map { case (i, t) =>
+        val data = (if (t == null) "" else t).getBytes(StandardCharsets.UTF_8)
+        val height = math.max(1, (data.length + width - 1) / width)
+        val header = s"P5\n# graft pgm fixture\n$width $height\n255\n"
+          .getBytes(StandardCharsets.US_ASCII)
+        val out = new Array[Byte](header.length + width * height)
+        System.arraycopy(header, 0, out, 0, header.length)
+        System.arraycopy(data, 0, out, header.length, data.length)
+        (i, out, width, height)
+      }.toDF("asset_id", "content", "w", "h")
+      .select(col("asset_id"), col("content"),
+        struct(lit("image/x-portable-graymap").as("mime"),
           col("w").as("width"), col("h").as("height"),
           lit(null).cast("long").as("duration_ms")).as("meta"))
   }

@@ -137,6 +137,43 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PgmRowDecoder tokenizes the ASCII header and frames top-down rows") {
+    import spark.implicits._
+    // 10 chars, width 4 → 3 image rows: "abcd", "efgh", "ij" + zero fill
+    val df = Seq((9L, "abcdefghij")).toDF("id", "data")
+    val a = Multimodal.toPgmAssets(df, col("id"), col("data"), width = 4)
+    val bytes = a.select(col("content")).collect().head.getAs[Array[Byte]](0)
+    // header: "P5\n# graft pgm fixture\n4 3\n255\n" = 31 bytes, then 12 raster
+    val header = "P5\n# graft pgm fixture\n4 3\n255\n"
+    assert(bytes.length == header.length + 3 * 4)
+    assert(new String(bytes, 0, header.length, "US-ASCII") == header)
+    val frames = Multimodal.PgmRowDecoder().frames(bytes, 1).toList
+    assert(frames.map { case (f, b) => f -> new String(b, "US-ASCII") } ==
+      List(0 -> "abcd", 1 -> "efgh", 2 -> "ij\u0000\u0000"))
+    assert(Multimodal.PgmRowDecoder().frames(bytes, 2).map(_._1).toList ==
+      List(0, 2))
+    // a hand-built header with extra whitespace, multi-digit dims, and a
+    // comment BETWEEN tokens still parses — the tokenizer is real
+    val tricky = ("P5  # wide\n\t 12\n# split\n 2 \n255\n" +
+      "abcdefghijklmnopqrstuvwx").getBytes("US-ASCII")
+    val got = Multimodal.PgmRowDecoder().frames(tricky, 1).toList
+    assert(got.map { case (f, b) => f -> new String(b, "US-ASCII") } ==
+      List(0 -> "abcdefghijkl", 1 -> "mnopqrstuvwx"))
+    // malformed containers fail loudly: bad magic, truncated raster,
+    // oversized maxval (two-byte samples unsupported)
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmRowDecoder().frames("P6\n4 3\n255\nxxxxxxxxxxxx".getBytes, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmRowDecoder().frames(
+        java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmRowDecoder().frames("P5\n4 3\n65535\n".getBytes ++
+        new Array[Byte](24), 1)
+    }
+  }
+
   test("resize target updates metadata only") {
     val resized = Multimodal.withResizeTarget(assets, 224, 224)
     val m = resized.select(col("meta.width"), col("meta.height"), col("content"))
