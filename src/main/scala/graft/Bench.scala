@@ -32,7 +32,8 @@ object Bench {
       "q24_event_dates", "q26_minhash_lsh", "q28_simhash_pairs",
       "q34_changelog_explode", "q35_snapshot_pipeline", "q36_states_translate",
       "q49_snapshot_upsert", "q52_ann_kmeans", "q53_windowed_counts",
-      "q62_srp_neardup", "q76_embedding_clusters", "q101_substring_dedup")
+      "q62_srp_neardup", "q76_embedding_clusters", "q101_substring_dedup",
+      "q117_pq_topk")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       warmQueries.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
@@ -80,7 +81,8 @@ object Bench {
     val sharedFrames =
       """[["q22_ngram_jaccard","q32_dedup_keeplist","q63_dedup_components","q65_dedup_survivors"],
         |["q62_srp_neardup","q76_embedding_clusters"],
-        |["q52_ann_kmeans","q79_semantic_dedup","q80_ivf_recall"],
+        |["q52_ann_kmeans","q79_semantic_dedup","q80_ivf_recall","q118_ivfpq_topk"],
+        |["q117_pq_topk","q118_ivfpq_topk"],
         |["q24_event_dates","q25_state_category_asof"],
         |["q34_changelog_explode","q35_snapshot_pipeline","q36_states_translate","q41_custom_fields","q42_linked_items","q59_connector_scan","q60_automap_retranslate","q69_connector_idscan","q73_incremental_etl_loop"]]"""
         .stripMargin.replaceAll("\n\\s*", "")

@@ -31,7 +31,7 @@ object ScaleBench {
     // optional third arg: comma list of sections (vocab,srp,heavy,zipf,
     // cap,cellband) — default runs everything
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("vocab", "srp", "heavy", "zipf", "cap", "cellband"))
+      .getOrElse(Set("vocab", "srp", "heavy", "zipf", "cap", "cellband", "pq"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -192,13 +192,39 @@ object ScaleBench {
     }
     if (sections("cellband")) { cellCand(base); cellCand(rep) }
 
+    // round 6, q117/q118 shape: candidate volume the coarse probe buys —
+    // full-scan ADC scores nQueries·(n−1) pairs; IVF-PQ scores only the
+    // probed cells' contents. Counts are deterministic; walls come from
+    // the heavy-list timings of the queries themselves.
+    def pqCand(dir: String): Unit = {
+      val emb = Tables.embeddings(spark, dir)
+      val trained = operators.Similarity.ivfTrain(emb,
+        emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        iterations = 2)
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      val probed = operators.Similarity.ivfProbedCandidates(emb,
+        col("vec_id"), col("embedding"), trained,
+        probes = 2, nQueries = 10).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"dir":"$dir","adc_full_pairs":${10 * (n - 1)},"adc_probed_pairs":$probed,"probe_sec":$sec%.2f}""")
+    }
+    if (sections("pq")) { pqCand(base); pqCand(rep) }
+
     val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
       "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions",
-      "q81_srp_wide_replicas", "q95_repetition_filter", "q101_substring_dedup")
+      "q81_srp_wide_replicas", "q95_repetition_filter", "q101_substring_dedup",
+      "q119_keep_first_cut", "q117_pq_topk", "q118_ivfpq_topk")
     if (sections("heavy")) {
       heavy.foreach(q => time(base, q))
       heavy.foreach(q => time(rep, q))
+    }
+    // just the round-6-session-3 additions, for targeted slope reruns
+    if (sections("r6c")) {
+      val qs = Seq("q119_keep_first_cut", "q117_pq_topk", "q118_ivfpq_topk")
+      qs.foreach(q => time(base, q))
+      qs.foreach(q => time(rep, q))
     }
     if (sections("zipf")) time(zipf, "q22_ngram_jaccard")
     spark.stop()

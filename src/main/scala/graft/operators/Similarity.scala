@@ -645,7 +645,19 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, id: Column, vec: Column, trained: DataFrame,
                 subspaces: Int, subDim: Int, seedCount: Int, iterations: Int,
                 probes: Int, nQueries: Int, k: Int,
-                booksIn: Option[DataFrame] = None): DataFrame = {
+                booksIn: Option[DataFrame] = None): DataFrame =
+    pqTopK(emb, id, vec, subspaces, subDim, seedCount, iterations,
+      nQueries, k, booksIn,
+      Some(ivfProbedCandidates(emb, id, vec, trained, probes, nQueries)))
+
+  /** The coarse-probe candidate set of [[ivfPqTopK]]: (qid, vid) pairs
+    * where vid sits in one of qid's `probes` nearest trained cells.
+    * Exposed so scale rehearsals can count the candidate volume the
+    * probe buys directly (vs the full scan's nQueries·(n−1)).
+    */
+  def ivfProbedCandidates(emb: DataFrame, id: Column, vec: Column,
+                          trained: DataFrame, probes: Int,
+                          nQueries: Int): DataFrame = {
     val assigned = ivfAssignCells(emb, trained, id, vec)
       .select(col("vid"), col("cell"))
     val qv = prepVecs(emb.filter(id.cast("long") < nQueries),
@@ -658,10 +670,8 @@ object Similarity {
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= probes)
       .select(col("qid"), col("cid").as("cell"))
-    val cand = probed.join(assigned, Seq("cell"))
+    probed.join(assigned, Seq("cell"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"))
-    pqTopK(emb, id, vec, subspaces, subDim, seedCount, iterations,
-      nQueries, k, booksIn, Some(cand))
   }
 }
