@@ -2634,7 +2634,15 @@ object SparkEntry {
         width = 24)
       Multimodal.frameByteStats(Multimodal.sampleFrames(assets,
         Multimodal.PgmRowDecoder(), everyNth = 2))
-    })
+    }),
+
+    // CCNet-style corpus-familiarity quality score, per language: the
+    // fraction of a doc's bigram occurrences that are ≥3-frequent in its
+    // own language's corpus — LM filtering's distributional signal with
+    // integer counts and one final rounded ratio, engine-identical.
+    "q121_bigram_familiarity" -> ((s, dir) =>
+      TextAnalysis.bigramFamiliarity(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang"), minCount = 3))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -5009,6 +5017,30 @@ object SparkEntry {
         |    string_split(substring(text, CAST(frame_idx*24+1 AS INT), 24), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
         |FROM f""".stripMargin,
+
+    // Same tokenizer and whole-doc fallback as q64's oracle; counts are
+    // occurrence counts (duplicates kept), familiarity the rounded ratio.
+    "q121_bigram_familiarity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |oc AS (
+        |  SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> array_to_string(toks[i+1:i+2], ' ')) END) AS bg
+        |  FROM tk),
+        |cm AS (SELECT lang, bg FROM oc GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |nb AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams FROM oc GROUP BY 1, 2),
+        |nf AS (
+        |  SELECT o.doc_id, COUNT(*) AS n_familiar
+        |  FROM oc o JOIN cm ON o.lang = cm.lang AND o.bg = cm.bg
+        |  GROUP BY 1)
+        |SELECT nb.doc_id, nb.lang, nb.n_bigrams,
+        |  COALESCE(nf.n_familiar, 0) AS n_familiar,
+        |  ROUND(CAST(COALESCE(nf.n_familiar, 0) AS DOUBLE) / nb.n_bigrams, 6)
+        |    AS familiarity
+        |FROM nb LEFT JOIN nf USING (doc_id)""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).

@@ -351,4 +351,44 @@ object TextAnalysis {
         .select(col("grp"), lit(p.toLong).as("pct"), col("v").as("value"))
     }.reduce(_ unionByName _)
   }
+
+  /** Corpus-familiarity quality score — the integer-exact analog of
+    * CCNet-style LM filtering (Wenzek et al. 2020 score documents by a
+    * language model trained on a reference corpus; the distributional
+    * signal survives without the model): a document's score is the
+    * fraction of its bigram OCCURRENCES whose bigram appears at least
+    * `minCount` times in its own LANGUAGE's corpus. Boilerplate and
+    * common prose score high, garbled or off-distribution text scores
+    * low — and the per-language reference means a French document is
+    * judged against French statistics, as CCNet does.
+    *
+    * No logs, no model: counts are integers, the only division is the
+    * final ratio (round 6), so the score is engine-identical. Shapes:
+    * one map-side-combinable count on the high-cardinality (lang, bigram)
+    * key, a LEFT SEMI back onto occurrences (same key), and a per-doc
+    * count — no skew (the hottest bigram still flows through the
+    * combiner), no broadcast of anything data-scale.
+    *
+    * Returns (doc_id, lang, n_bigrams, n_familiar, familiarity).
+    */
+  def bigramFamiliarity(docs: DataFrame, id: Column, text: Column,
+                        lang: Column, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val occ = graft.CacheRegistry.persist(
+      docs.select(id.cast("long").as("doc_id"), lang.as("lang"),
+          tok(text).as("__toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(shinglesAllFromTokens(col("__toks"), 2)).as("bg")))
+    val common = occ.groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+      .select(col("lang"), col("bg"))
+    val familiar = occ.join(common, Seq("lang", "bg"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_familiar"))
+    occ.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"))
+      .join(familiar, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_familiar"))
+      .withColumn("familiarity",
+        round(col("n_familiar").cast("double") / col("n_bigrams"), 6))
+  }
 }

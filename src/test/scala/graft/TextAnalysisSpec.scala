@@ -122,6 +122,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.length == 30 && rows.forall(_ == 1.0))
   }
 
+  test("bigramFamiliarity judges each doc against its OWN language's corpus") {
+    import spark.implicits._
+    // en: "a b" occurs 4x (docs 1,2), "b a" 2x, "x y" 1x; minCount 3
+    // keeps only "a b". fr doc 4 contains "a b" too — but French has it
+    // only once, so it is NOT familiar there (language isolation).
+    val docs = Seq(
+      (1L, "a b a b", "en"),   // bigrams: "a b","b a","a b" -> 2 familiar of 3
+      (2L, "a b c", "en"),     // "a b","b c" -> 1 of 2
+      (3L, "x y", "en"),       // "x y" -> 0 of 1
+      (4L, "a b", "fr")        // "a b" in fr only once -> 0 of 1
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.bigramFamiliarity(docs,
+        col("doc_id"), col("text"), col("lang"), minCount = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, round6(2.0 / 3))))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("tfidfTopTerms ranks rare-but-frequent terms above ubiquitous ones") {
     import spark.implicits._
     // "common" is in all 4 docs (df=4); each doc also has a private term
