@@ -2642,7 +2642,41 @@ object SparkEntry {
     // integer counts and one final rounded ratio, engine-identical.
     "q121_bigram_familiarity" -> ((s, dir) =>
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir),
-        col("doc_id"), col("text"), col("lang"), minCount = 3))
+        col("doc_id"), col("text"), col("lang"), minCount = 3)),
+
+    // Incremental ANN index maintenance: the assignment table IS the
+    // index artifact. New vectors (odd ids) arrive as a second batch
+    // assigned against the FROZEN q52 centroids (no retrain — the
+    // production posture when a corpus grows) and merge in; a stale
+    // replay of batch 1 with version 0 and corrupted cells must be
+    // ignored by the version guard. Search runs from the STORED index
+    // via readTable and must answer exactly like the one-shot build
+    // (the oracle is q52's, verbatim).
+    "q122_incremental_ann" -> ((s, dir) => {
+      val root = scratchDir("graft-ann-inc")
+      val emb = Tables.embeddings(s, dir)
+      val trained = ivfCentroidsFrame(s, dir)
+      val assigned = Similarity.ivfAssignCells(emb, trained,
+        col("vec_id"), col("embedding"))
+      val b1 = assigned.filter(pmod(col("vid"), lit(2)) === 0)
+        .withColumn("ver", lit(1L))
+      val b2 = assigned.filter(pmod(col("vid"), lit(2)) === 1)
+        .withColumn("ver", lit(1L))
+      val table = root + "/assign"
+      sources.MergeWriter.mergeVersioned(s, table, b1, Seq("vid"), "ver",
+        buckets = 4)
+      sources.MergeWriter.mergeVersioned(s, table, b2, Seq("vid"), "ver",
+        buckets = 4)
+      val stale = b1.withColumn("ver", lit(0L)).withColumn("cell", lit(-1L))
+      sources.MergeWriter.mergeVersioned(s, table, stale, Seq("vid"), "ver",
+        buckets = 4)
+      val stored = sources.MergeWriter.readTable(s, table)
+        .select(col("vid"), col("vv"), col("vn"), col("cell"),
+          col("centroid_cos"))
+      Similarity.ivfTopKAssigned(stored, trained,
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 3, probes = 2)
+    })
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -3176,6 +3210,27 @@ object SparkEntry {
        |FROM rk r LEFT JOIN et ON r.qid = et.qid AND r.vid = et.vid
        |WHERE r.rank <= $k""".stripMargin
   }
+
+  /** The q52 probed-top-k oracle (trained cells, top-2 probes, k=3),
+    * shared verbatim by q122: the incremental index must answer searches
+    * identically to the one-shot build.
+    */
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH $ivfTrainedOracleCtes,
+       |qc AS (
+       |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS cell FROM (
+       |    SELECT a.vec_id, a.e, a.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
+       |    FROM vn a, c2 c WHERE a.vec_id >= 10 AND a.vec_id < 20) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, x.vec_id AS neighbor_id,
+       |    list_dot_product(q.qe, x.e)/(q.qn*x.nrm) AS cos
+       |  FROM qc q JOIN af x ON q.cell = x.cell AND x.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q117_pq_topk" -> pqOracleSql(subspaces = 4, subDim = 16, seedCount = 8,
@@ -4263,22 +4318,14 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
-    "q52_ann_kmeans" ->
-      s"""WITH $ivfTrainedOracleCtes,
-         |qc AS (
-         |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS cell FROM (
-         |    SELECT a.vec_id, a.e, a.nrm, c.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.e, c.ce)/(a.nrm*c.cn) DESC, c.cid) AS rn
-         |    FROM vn a, c2 c WHERE a.vec_id >= 10 AND a.vec_id < 20) WHERE rn <= 2),
-         |scored AS (
-         |  SELECT q.query_id, x.vec_id AS neighbor_id,
-         |    list_dot_product(q.qe, x.e)/(q.qn*x.nrm) AS cos
-         |  FROM qc q JOIN af x ON q.cell = x.cell AND x.vec_id <> q.query_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 3""".stripMargin,
+    "q52_ann_kmeans" -> ivfTopkOracleSql,
+
+    // q122 must END at exactly the one-shot search: assignment is
+    // per-vector, so a correctly-maintained incremental index is
+    // indistinguishable from a batch build — and a version-guard failure
+    // (the stale replay's corrupted cells surviving) breaks the cell
+    // join and hash-mismatches.
+    "q122_incremental_ann" -> ivfTopkOracleSql,
 
     "q53_windowed_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
