@@ -267,6 +267,19 @@ object SparkEntry {
         col("embedding"), threshold = 0.35, bits = 32, bands = 4)
         .transform(CacheRegistry.persist))
 
+  /** q81's wide-key SRP pair frame over the replica corpus, persisted and
+    * memoized — q123's triangle diagnostic runs on the same graph (the
+    * planted replica 4-cliques are exactly the dense structure triangle
+    * counts exist to surface).
+    */
+  private val replicaPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def replicaPairsFrame(s: SparkSession, dir: String): DataFrame =
+    replicaPairsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
+      Similarity.srpNearDupPairs(replicaEmbeddings(s, dir), col("vec_id"),
+        col("embedding"), threshold = 0.9, bits = 64, bands = 4)
+        .transform(CacheRegistry.persist))
+
   /** q52's trained IVF centroid frame (2 Lloyd iterations from the first 8
     * vectors), persisted inside ivfTrain and memoized so q79's semantic
     * dedup reuses the same centroids instead of re-training.
@@ -1659,11 +1672,7 @@ object SparkEntry {
     // high-threshold dense-replica path: three deterministic replicas
     // per vector (±0.01/dim arithmetic noise, cos ≈ 0.999 within a
     // replica group), threshold 0.9.
-    "q81_srp_wide_replicas" -> ((s, dir) => {
-      Similarity.srpNearDupPairs(replicaEmbeddings(s, dir),
-        col("vec_id"), col("embedding"),
-        threshold = 0.9, bits = 64, bands = 4)
-    }),
+    "q81_srp_wide_replicas" -> ((s, dir) => replicaPairsFrame(s, dir)),
 
     // Multimodal with a REAL container parse: ASCII docs are wrapped in
     // actual RIFF/WAVE containers (canonical 44-byte header + data chunk,
@@ -2676,7 +2685,17 @@ object SparkEntry {
       Similarity.ivfTopKAssigned(stored, trained,
         emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
         col("vec_id"), col("embedding"), k = 3, probes = 2)
-    })
+    }),
+
+    // Cluster-density diagnostics for the dedup graph: per-node triangle
+    // counts over q81's shared replica pair frame via the degree-ordered
+    // orientation (each triangle found at its unique out-degree-2 apex).
+    // The planted replica groups are near-complete 4-cliques, so most
+    // nodes should sit in C(3,2)=3 triangles — a node with fewer marks a
+    // recall miss, the exact review signal this diagnostic serves.
+    "q123_pair_triangles" -> ((s, dir) =>
+      Dedup.triangleCounts(replicaPairsFrame(s, dir),
+        col("id_a"), col("id_b")))
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -4432,6 +4451,21 @@ object SparkEntry {
     "q62_srp_neardup" ->
       s"""WITH $srpPairsOracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Independent formulation: no orientation — wedges at the smallest
+    // vertex of each canonical (a<b) edge pair, closed by a third edge
+    // lookup; each triangle u<v<w appears exactly once with apex u.
+    "q123_pair_triangles" ->
+      s"""WITH $srpWideOracleCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM srp_pairs),
+         |wdg AS (
+         |  SELECT x.a AS u, x.b AS v, y.b AS w
+         |  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b),
+         |tri AS (
+         |  SELECT u, v, w FROM wdg JOIN e z ON wdg.v = z.a AND wdg.w = z.b),
+         |verts AS (SELECT unnest([u, v, w]) AS vec_id FROM tri)
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM verts GROUP BY 1""".stripMargin,
 
     // Independent formulation: transitive closure by recursive CTE (the
     // engine uses iterative min-label propagation — same fixpoint).

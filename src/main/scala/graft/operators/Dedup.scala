@@ -669,6 +669,49 @@ object Dedup {
         greatest(col("id_x"), col("id_y")).as("id_b"), col("cosine"))
   }
 
+  /** Per-node triangle counts over an undirected pair graph — the
+    * cluster-density diagnostic for a dedup graph (a node in many
+    * triangles sits in a dense replica clique and is a safe cut; a
+    * bridge node with pairs but no triangles deserves review before its
+    * cluster is collapsed). Each triangle contributes 1 to each of its
+    * three vertices; only nodes in ≥1 triangle are emitted.
+    *
+    * Scale shape — the degree-ordered orientation (the standard
+    * distributed-triangle trick, e.g. Suri & Vassilvitskii WWW'11):
+    * every edge is directed from its lower-degree endpoint (tie on id),
+    * and wedges are built from OUT-edge pairs only. In any triangle
+    * exactly one vertex has out-degree 2 under this orientation, so each
+    * triangle is found exactly once — and the wedge count is bounded by
+    * Σ outdeg² = O(m^1.5) instead of Σ deg² (a hub with a million pair
+    * partners generates no wedges at all as apex unless its partners are
+    * even hotter). Both joins key on node ids; nothing broadcasts.
+    */
+  def triangleCounts(pairs: DataFrame, idA: Column, idB: Column): DataFrame = {
+    val und = pairs
+      .select(least(idA.cast("long"), idB.cast("long")).as("a"),
+        greatest(idA.cast("long"), idB.cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    val wedges = dir.as("x").join(dir.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("u"), col("x.dst").as("p"), col("y.dst").as("q"))
+    val tri = wedges.join(und.as("z"),
+        least(col("p"), col("q")) === col("z.a") &&
+          greatest(col("p"), col("q")) === col("z.b"))
+      .select(col("u"), col("p"), col("q"))
+    tri.select(explode(array(col("u"), col("p"), col("q"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   // Independent polynomial moduli for the substring window double-hash —
   // both primes < 2^30, so the rolling update's worst intermediate
   // (2·mod·31) stays far inside a signed 64-bit int, and the paired

@@ -198,6 +198,22 @@ class DedupSpec extends AnyFunSuite {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("triangleCounts finds each triangle once at any orientation") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, each node in 3), a hub 10 joined
+    // to 5 leaves with NO closing edges (0 triangles despite degree 5),
+    // one extra triangle {5,6,7} given in mixed/duplicate orientation
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 21L), (10L, 22L), (10L, 23L), (10L, 24L), (10L, 25L),
+      (5L, 6L), (7L, 5L), (6L, 7L), (7L, 6L) // reversed + duplicate
+    ).toDF("id_a", "id_b")
+    val got = Dedup.triangleCounts(edges, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
   test("keepFirstCutSpans keeps exactly the first occurrence per region") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again" // 49 chars
