@@ -2695,7 +2695,31 @@ object SparkEntry {
     // recall miss, the exact review signal this diagnostic serves.
     "q123_pair_triangles" -> ((s, dir) =>
       Dedup.triangleCounts(replicaPairsFrame(s, dir),
-        col("id_a"), col("id_b")))
+        col("id_a"), col("id_b"))),
+
+    // CDC-style snapshot diff: old = per-user latest state before the
+    // final delivery quarter (event_id ≢ 3 mod 4) and before the newest
+    // accounts existed (user_id ≢ 0 mod 17); new = the full export minus
+    // churned accounts (user_id ≡ 0 mod 13). Emits only CHANGED keys —
+    // inserts (new accounts), updates (newer event_type/ts), deletes
+    // (churned) — the change-volume-sized frame an incremental consumer
+    // wants, never the corpus.
+    "q124_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def latest(df: DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_type"), col("ts"))
+      }
+      Reconcile.snapshotDiff(
+        latest(ev.filter(pmod(col("event_id"), lit(4)) =!= 3 &&
+          pmod(col("user_id"), lit(17)) =!= 0)), // accounts created later
+        latest(ev.filter(pmod(col("user_id"), lit(13)) =!= 0)),
+        Seq("user_id"), Seq("event_type", "ts"))
+    })
   )
 
   /** Deterministic LCG residue of a non-negative id column — the engine-
@@ -5122,6 +5146,33 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(nf.n_familiar, 0) AS DOUBLE) / nb.n_bigrams, 6)
         |    AS familiarity
         |FROM nb LEFT JOIN nf USING (doc_id)""".stripMargin,
+
+    // Null-safe change predicate via IS DISTINCT FROM (the engine uses
+    // <=> negated); unchanged keys must emit nothing.
+    "q124_snapshot_diff" ->
+      """WITH le AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 4 <> 3 AND user_id % 17 <> 0)
+        |  WHERE rn = 1),
+        |ln AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 13 <> 0) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.event_type AS old_event_type, o.ts AS old_ts,
+        |    n.event_type AS new_event_type, n.ts AS new_ts,
+        |    CASE WHEN o.user_id IS NULL THEN 'insert'
+        |         WHEN n.user_id IS NULL THEN 'delete'
+        |         WHEN o.event_type IS DISTINCT FROM n.event_type
+        |           OR o.ts IS DISTINCT FROM n.ts THEN 'update' END AS op
+        |  FROM le o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
+        |WHERE op IS NOT NULL""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).

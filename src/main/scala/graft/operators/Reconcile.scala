@@ -35,4 +35,41 @@ object Reconcile {
       .withColumn("step_order", lit(9999))
       .withColumn("state_type", lit("queue"))
       .withColumn("active", lit(false))
+
+  /** CDC-style diff of two keyed snapshots: one row per key whose state
+    * CHANGED between `old` and `neu` — op ∈ insert (key only in new),
+    * delete (key only in old), update (present in both, any compared
+    * column differs; null-safe). Unchanged keys emit nothing, so the
+    * output is change-volume-sized, not corpus-sized — the frame a
+    * downstream incremental consumer (merge, notification fan-out,
+    * audit) actually wants.
+    *
+    * Both sides must be key-unique (a snapshot, not a log — dedupe
+    * upstream with newest-per-key first). The single shuffle is the
+    * full-outer join on the key columns; compared columns ride along,
+    * and old_/new_ prefixed values are emitted for audit.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff requires at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff requires compared columns")
+    val o = old.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")) :+
+        col("__in_old"): _*)
+    val n = neu.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+
+        col("__in_new"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
 }

@@ -100,6 +100,30 @@ class SecondaryOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Custom_Some__002DField")
   }
 
+  test("snapshotDiff emits insert/update/delete and drops unchanged keys") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "open", 10L),     // unchanged -> no row
+      (2L, "open", 10L),     // state changes -> update
+      (3L, "done", 10L),     // only ts changes -> update
+      (4L, "open", 10L),     // absent from new -> delete
+      (6L, null.asInstanceOf[String], 10L) // null -> value: update (null-safe)
+    ).toDF("k", "state", "v")
+    val neu = Seq(
+      (1L, "open", 10L),
+      (2L, "done", 10L),
+      (3L, "done", 11L),
+      (5L, "open", 12L),     // absent from old -> insert
+      (6L, "open", 10L)
+    ).toDF("k", "state", "v")
+    val got = graft.operators.Reconcile
+      .snapshotDiff(old, neu, Seq("k"), Seq("state", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("op"))).toMap
+    assert(got == Map(2L -> "update", 3L -> "update", 4L -> "delete",
+      5L -> "insert", 6L -> "update"))
+  }
+
   test("T14: exclude-completed-before is a calendar-day filter") {
     import spark.implicits._
     val df = Seq(
