@@ -103,6 +103,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.length == 4) // k=2 per label
   }
 
+  test("pq codes are in range and codeword vectors reconstruct exactly") {
+    // 16 dims, 4 subspaces x 4 dims, 4 codewords, no Lloyd iterations:
+    // codebooks ARE the seed sub-vectors, so every seed vector's PQ code
+    // must be its own id and its ADC score against itself-as-query 1.0
+    val books = Similarity.pqCodebooks(emb, col("vec_id"), col("embedding"),
+      subspaces = 4, subDim = 4, seedCount = 4, iterations = 0)
+    assert(books.count() == 16) // 4 subspaces x 4 codewords
+    val codes = Similarity.pqEncode(emb, col("vec_id"), col("embedding"),
+      books, subspaces = 4, subDim = 4)
+    assert(codes.count() == 40 * 4)
+    val range = codes.agg(min(col("code")), max(col("code"))).collect().head
+    assert(range.getLong(0) >= 0L && range.getLong(1) <= 3L)
+    // a seed vector quantizes to its own sub-vectors in every subspace
+    val own = codes.filter(col("vid") < 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    own.foreach { case (vid, _, code) => assert(code == vid,
+      s"seed $vid should be its own codeword, got $code") }
+  }
+
+  test("ivfPqTopK probing ALL cells equals the full-scan pqTopK") {
+    val trained = Similarity.ivfTrain(emb, emb.filter(col("vec_id") < 4),
+      col("vec_id"), col("embedding"), iterations = 1)
+    val full = Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+        subspaces = 4, subDim = 4, seedCount = 4, iterations = 1,
+        nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probedAll = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        trained, subspaces = 4, subDim = 4, seedCount = 4, iterations = 1,
+        probes = 4, nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == probedAll,
+      "probing every cell must reduce IVF-PQ to the full ADC scan")
+  }
+
   test("quantized top-k flags exact-search agreement correctly") {
     import spark.implicits._
     // clusters around two directions; quantization preserves the ranking
