@@ -2719,6 +2719,36 @@ object SparkEntry {
           pmod(col("user_id"), lit(17)) =!= 0)), // accounts created later
         latest(ev.filter(pmod(col("user_id"), lit(13)) =!= 0)),
         Seq("user_id"), Seq("event_type", "ts"))
+    }),
+
+    // Table COMPACTION (Delta OPTIMIZE / Iceberg rewrite_data_files for
+    // the manifest protocol): q84's three merge rounds fragment the table
+    // across epochs; compact() rewrites every live bucket into one fresh
+    // epoch — one file per bucket — and the read-back must be
+    // byte-identical to the uncompacted relation (the oracle is q84's
+    // verbatim). The spec asserts the physical effect (epoch count → 1);
+    // this row proves the logical no-op.
+    "q125_compacted_table" -> ((s, dir) => {
+      val path = scratchDir("graft-compact") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      sources.MergeWriter.mergeVersioned(s, path,
+        latest(ev.filter(col("ver") <= cut)), Seq("user_id"), "ver",
+        buckets = 8)
+      sources.MergeWriter.mergeVersioned(s, path, latest(ev),
+        Seq("user_id"), "ver", buckets = 8)
+      sources.MergeWriter.compact(s, path)
+      sources.MergeWriter.readTable(s, path)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
     })
   )
 
@@ -3253,6 +3283,18 @@ object SparkEntry {
        |FROM rk r LEFT JOIN et ON r.qid = et.qid AND r.vid = et.vid
        |WHERE r.rank <= $k""".stripMargin
   }
+
+  /** Per-user overall latest event — the final table both q84 (versioned
+    * merge incl. stale replay) and q125 (post-compaction read-back) must
+    * equal.
+    */
+  private lazy val latestUserStateOracleSql: String =
+    """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+      |FROM (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
 
   /** The q52 probed-top-k oracle (trained cells, top-2 probes, k=3),
     * shared verbatim by q122: the incremental index must answer searches
@@ -5176,13 +5218,11 @@ object SparkEntry {
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).
-    "q84_versioned_merge" ->
-      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
-        |FROM (
-        |  SELECT user_id, event_type, ts,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q84_versioned_merge" -> latestUserStateOracleSql,
+
+    // Compaction is a physical rewrite only: the read-back equals the
+    // same latest-per-user relation.
+    "q125_compacted_table" -> latestUserStateOracleSql,
 
     // Same patterns through RE2 ('g' = global replace; DuckDB defaults to
     // first-match-only).

@@ -390,6 +390,47 @@ object MergeWriter {
       Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs))
   }
 
+  /** Compact a merge-maintained table: rewrite every live bucket into ONE
+    * fresh epoch (one file per bucket, same clustered write as a merge)
+    * and commit it as the next manifest version. Incremental merges
+    * fragment the table over time — each round leaves touched buckets in
+    * a new epoch, so a long-lived table accumulates one epoch directory
+    * per merge and readers open many small files per scan (the classic
+    * lakehouse small-files problem; this is Delta's OPTIMIZE / Iceberg's
+    * rewrite_data_files, scaled to the manifest protocol). Row content is
+    * untouched — only the physical layout changes; the bucket column is
+    * carried through the rewrite, so no key knowledge is needed. Same
+    * single-writer contract as [[merge]]; readers stay safe throughout
+    * (the fragmented epochs survive until [[KeepManifests]] later
+    * commits age them out through gc).
+    */
+  def compact(spark: SparkSession, tablePath: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      // read each live epoch WITH its physical bucket column (partition
+      // discovery over the epoch root), keeping only the buckets the
+      // manifest assigns to that epoch
+      val live = man.epochs.groupBy(_._2)
+        .map { case (e, m) =>
+          spark.read.parquet(s"$tablePath/$e")
+            .filter(col(BucketCol).isin(m.keys.toSeq: _*))
+        }
+      val epoch = "e-" + UUID.randomUUID()
+      live.reduce(_ unionByName _)
+        .repartition(col(BucketCol))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        .parquet(s"$tablePath/$epoch")
+      val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(BucketCol + "="))
+        .map(_.stripPrefix(BucketCol + "=").toInt)
+      commitManifest(fs, dir,
+        Manifest(man.version + 1, man.buckets, written.map(_ -> epoch).toMap))
+      gc(fs, dir)
+    }
+  }
+
   /** Read a merge-maintained table at its latest committed version (or a
     * pre-manifest/plain parquet directory, for compatibility), without the
     * physical bucket column.

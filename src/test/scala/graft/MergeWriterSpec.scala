@@ -93,6 +93,39 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!MergeWriter.readTable(spark, dir).columns.contains(MergeWriter.BucketCol))
   }
 
+  test("compact rewrites all buckets into one epoch and preserves content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // three merge rounds fragment the live buckets across three epochs
+    MergeWriter.merge(spark, dir,
+      (0 until 64).map(i => (s"k$i", i)).toDF("k", "v"), Seq("k"), buckets = 8)
+    MergeWriter.merge(spark, dir,
+      Seq(("k0", 100), ("k17", 117)).toDF("k", "v"), Seq("k"), buckets = 8)
+    MergeWriter.merge(spark, dir,
+      Seq(("k5", 105), ("k64", 64)).toDF("k", "v"), Seq("k"), buckets = 8)
+    val before = MergeWriter.currentEpochs(spark, dir)
+    assert(before.values.toSet.size > 1, "fixture should be fragmented")
+    val expect = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    MergeWriter.compact(spark, dir)
+    val after = MergeWriter.currentEpochs(spark, dir)
+    assert(after.values.toSet.size == 1, "all buckets should share one epoch")
+    assert(after.keySet == before.keySet, "live bucket set must not change")
+    val got = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == expect, "compaction must not change row content")
+    assert(got("k0") == 100 && got("k5") == 105 && got("k64") == 64)
+
+    // the table stays writable: a post-compaction merge works and only
+    // moves the touched bucket off the compacted epoch
+    MergeWriter.merge(spark, dir, Seq(("k0", 200)).toDF("k", "v"),
+      Seq("k"), buckets = 8)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 65 && rows("k0") == 200 && rows("k17") == 117)
+  }
+
   test("a crashed merge (epoch written, manifest not committed) is invisible") {
     import spark.implicits._
     val dir = Files.createTempDirectory("crash").toString + "/t"
