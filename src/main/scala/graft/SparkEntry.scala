@@ -2749,6 +2749,34 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
         .select(col("user_id"), col("event_type").as("state"),
           col("ver").as("version_ts"))
+    }),
+
+    // TIME TRAVEL: after the incremental round commits version 2, a read
+    // pinned AS OF version 1 must still see exactly the round-1 table —
+    // epoch immutability + KeepManifests retention make the pin stable
+    // across the newer commit (Delta VERSION AS OF / Iceberg snapshot
+    // reads for the manifest protocol). The oracle recomputes round 1's
+    // cutoff relation from the raw events.
+    "q126_time_travel" -> ((s, dir) => {
+      val path = scratchDir("graft-travel") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      sources.MergeWriter.mergeVersioned(s, path,
+        latest(ev.filter(col("ver") <= cut)), Seq("user_id"), "ver",
+        buckets = 8)
+      sources.MergeWriter.mergeVersioned(s, path, latest(ev),
+        Seq("user_id"), "ver", buckets = 8)
+      sources.MergeWriter.readTableVersion(s, path, version = 1L)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
     })
   )
 
@@ -5223,6 +5251,18 @@ object SparkEntry {
     // Compaction is a physical rewrite only: the read-back equals the
     // same latest-per-user relation.
     "q125_compacted_table" -> latestUserStateOracleSql,
+
+    // The pinned version-1 read = round 1's cutoff relation, recomputed
+    // from raw events (newer round-2 data must NOT leak in).
+    "q126_time_travel" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00')
+        |WHERE rn = 1""".stripMargin,
 
     // Same patterns through RE2 ('g' = global replace; DuckDB defaults to
     // first-match-only).

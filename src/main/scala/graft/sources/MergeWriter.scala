@@ -446,6 +446,36 @@ object MergeWriter {
     }
   }
 
+  /** Committed manifest versions still retained on disk (ascending) —
+    * the readable time-travel range: [[KeepManifests]] bounds it, so a
+    * reader can pin the previous version across one concurrent commit.
+    */
+  def availableVersions(spark: SparkSession, tablePath: String): Seq[Long] =
+    manifestFiles(fsFor(spark, tablePath), new Path(tablePath)).map(_._1)
+
+  /** Time travel: read the table AS OF a specific committed manifest
+    * version (Delta's `VERSION AS OF` / Iceberg's snapshot reads, scaled
+    * to the manifest protocol). Epoch files are immutable and every
+    * retained manifest's epochs survive gc, so a pinned read is stable
+    * even while newer merges commit. Only the last [[KeepManifests]]
+    * versions are retained — asking for an aged-out version fails loudly
+    * with the readable range instead of silently reading the wrong data.
+    */
+  def readTableVersion(spark: SparkSession, tablePath: String,
+                       version: Long): DataFrame = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val retained = manifestFiles(fs, dir)
+    val hit = retained.find(_._1 == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"readTableVersion: version $version not retained for $tablePath " +
+          s"(readable: ${retained.map(_._1).mkString(", ")})"))
+    val m = readManifest(fs, version, hit._2)
+    val paths = m.epochs.toSeq.sortBy(_._1)
+      .map { case (b, e) => bucketPath(tablePath, e, b) }
+    spark.read.parquet(paths: _*)
+  }
+
   /** Test/inspection hook: the latest committed bucket→epoch mapping. */
   private[graft] def currentEpochs(spark: SparkSession,
                                    tablePath: String): Map[Int, String] = {

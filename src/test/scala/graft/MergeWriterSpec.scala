@@ -126,6 +126,32 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.size == 65 && rows("k0") == 200 && rows("k17") == 117)
   }
 
+  test("time travel pins a retained version; aged-out versions fail loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("travel").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq(("k0", 0), ("k1", 1)).toDF("k", "v"), Seq("k"), buckets = 4)
+    MergeWriter.merge(spark, dir,
+      Seq(("k0", 100), ("k2", 2)).toDF("k", "v"), Seq("k"), buckets = 4)
+    assert(MergeWriter.availableVersions(spark, dir) == Seq(1L, 2L))
+    // version 1 still shows the pre-merge state even after version 2
+    val v1 = MergeWriter.readTableVersion(spark, dir, 1L).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v1 == Map("k0" -> 0, "k1" -> 1))
+    val v2 = MergeWriter.readTableVersion(spark, dir, 2L).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v2 == Map("k0" -> 100, "k1" -> 1, "k2" -> 2))
+    // a third commit ages version 1 out (KeepManifests = 2): the pin
+    // must fail loudly, not read wrong data
+    MergeWriter.merge(spark, dir, Seq(("k3", 3)).toDF("k", "v"),
+      Seq("k"), buckets = 4)
+    assert(MergeWriter.availableVersions(spark, dir) == Seq(2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      MergeWriter.readTableVersion(spark, dir, 1L)
+    }
+    assert(ex.getMessage.contains("not retained"))
+  }
+
   test("a crashed merge (epoch written, manifest not committed) is invisible") {
     import spark.implicits._
     val dir = Files.createTempDirectory("crash").toString + "/t"
