@@ -2777,6 +2777,30 @@ object SparkEntry {
       sources.MergeWriter.readTableVersion(s, path, version = 1L)
         .select(col("user_id"), col("event_type").as("state"),
           col("ver").as("version_ts"))
+    }),
+
+    // Exactly-once INCREMENTAL ROLLUP: the hourly event-count table is
+    // maintained by folding delta batches in (mergeAdditive), never by
+    // recomputing the corpus — the pattern that keeps a 100 TB metrics
+    // table maintainable. Additive merges are not naturally idempotent,
+    // so each batch carries a (appId, version) txn recorded in the same
+    // atomic manifest commit as the data; the deliberate redelivery of
+    // batch 2 must be skipped — a double-fold would double-count and
+    // hash-mismatch the oracle, which aggregates all events one-shot.
+    "q127_incremental_rollup" -> ((s, dir) => {
+      val path = scratchDir("graft-rollup") + "/hourly"
+      val ev = Tables.events(s, dir)
+      def delta(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      def fold(r: Int, v: Long) = sources.MergeWriter.mergeAdditive(s, path,
+        delta(r), Seq("hour", "event_type"), Seq("n_events"),
+        txn = ("ingest", v), buckets = 8)
+      fold(0, 1L)
+      fold(1, 2L)
+      fold(1, 2L) // at-least-once redelivery — must not double-count
+      fold(2, 3L)
+      sources.MergeWriter.readTable(s, path)
     })
   )
 
@@ -5251,6 +5275,13 @@ object SparkEntry {
     // Compaction is a physical rewrite only: the read-back equals the
     // same latest-per-user relation.
     "q125_compacted_table" -> latestUserStateOracleSql,
+
+    // Folded deltas must equal the one-shot aggregate; a double-applied
+    // redelivery would show doubled counts for batch 2's rows.
+    "q127_incremental_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // The pinned version-1 read = round 1's cutoff relation, recomputed
     // from raw events (newer round-2 data must NOT leak in).

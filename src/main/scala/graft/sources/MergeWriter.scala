@@ -72,11 +72,26 @@ object MergeWriter {
     */
   val KeepManifests = 2
 
+  /** `txns` records the highest applied batch version per writer app id
+    * (Delta's transaction identifiers): because it rides IN the manifest,
+    * "was this batch already applied" and the data it applied commit in
+    * the SAME atomic rename — the exactly-once guard non-idempotent
+    * (additive) merges need under at-least-once delivery.
+    */
   private case class Manifest(version: Long, buckets: Int,
-                              epochs: Map[Int, String])
+                              epochs: Map[Int, String],
+                              txns: Map[String, Long] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def manifestFiles(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
     if (!fs.exists(dir)) Seq.empty
@@ -101,7 +116,12 @@ object MergeWriter {
     node.get("epochs").fields().forEachRemaining { e =>
       epochs(e.getKey.toInt) = e.getValue.asText()
     }
-    Manifest(version, node.get("buckets").asInt(), epochs.toMap)
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    // absent in pre-txn manifests — backward compatible
+    Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
+      txns(t.getKey) = t.getValue.asLong()
+    })
+    Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap)
   }
 
   private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
@@ -120,6 +140,11 @@ object MergeWriter {
       .append("{\"buckets\":").append(m.buckets).append(",\"epochs\":{")
       .append(m.epochs.toSeq.sortBy(_._1)
         .map { case (b, e) => "\"" + b + "\":\"" + e + "\"" }.mkString(","))
+      .append("},\"txns\":{")
+      // app ids are writer-chosen: escape them like any JSON string
+      .append(m.txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        jsonStr(a) + ":" + v
+      }.mkString(","))
       .append("}}").toString()
     val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -242,6 +267,70 @@ object MergeWriter {
           }
           writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb, Some(man))
       }
+      gc(fs, dir)
+    } finally { inc.unpersist(); () }
+  }
+
+  /** Exactly-once ADDITIVE merge — incremental rollup maintenance: the
+    * stored table holds partial aggregates (counts, sums) and each delta
+    * batch FOLDS IN (matched keys add, new keys insert) instead of
+    * replacing. Unlike [[merge]]/[[mergeVersioned]], re-applying a batch
+    * is NOT naturally idempotent (it would double-count), so each batch
+    * carries a `(appId, batchVersion)` transaction id recorded in the
+    * manifest's txn ledger: a batch at or below the app's recorded
+    * version is skipped entirely, and because the ledger rides the same
+    * atomic manifest rename as the folded data, a crash can never record
+    * without applying or apply without recording — exactly-once under
+    * at-least-once delivery, the same contract as Delta's transaction
+    * identifiers.
+    *
+    * `delta` must be one row per key (pre-aggregate upstream) and carry
+    * exactly `keys ++ addCols`; addCols fold with SUM. I/O is O(touched
+    * buckets), as in [[merge]]. Single-writer per table; additionally,
+    * one app id must be a single logical stream (its versions strictly
+    * increase).
+    */
+  def mergeAdditive(spark: SparkSession, tablePath: String, delta: DataFrame,
+                    keys: Seq[String], addCols: Seq[String],
+                    txn: (String, Long), buckets: Int = 64): Unit = {
+    require(keys.nonEmpty, "mergeAdditive requires at least one key column")
+    require(addCols.nonEmpty, "mergeAdditive requires additive columns")
+    require(delta.columns.sorted.sameElements((keys ++ addCols).sorted),
+      s"mergeAdditive: delta must carry exactly keys ++ addCols " +
+        s"(got ${delta.columns.mkString(",")})")
+    require(!delta.columns.contains(BucketCol),
+      s"mergeAdditive: delta must not contain reserved column '$BucketCol'")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val m = currentManifest(fs, dir)
+    if (m.exists(_.txns.get(txn._1).exists(_ >= txn._2))) return // replay
+    val nb = m.map(_.buckets).getOrElse(buckets)
+    val inc = delta
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      .persist()
+    try {
+      val touched = touchedBuckets(inc)
+      if (touched.isEmpty) {
+        // an empty batch is applied by definition — but its txn must
+        // still be recorded, or a redelivery with rows would double-apply
+        m.foreach(man => commitManifest(fs, dir,
+          man.copy(version = man.version + 1, txns = man.txns + txn)))
+        return
+      }
+      val cols = (keys ++ addCols).map(col)
+      val folded = m match {
+        case None => inc.drop(BucketCol)
+        case Some(man) =>
+          val existingPaths = touched.flatMap(b =>
+            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+          if (existingPaths.isEmpty) inc.drop(BucketCol)
+          else spark.read.parquet(existingPaths: _*).select(cols: _*)
+            .unionByName(inc.drop(BucketCol).select(cols: _*))
+            .groupBy(keys.map(col): _*)
+            .agg(sum(addCols.head).as(addCols.head),
+              addCols.tail.map(c => sum(c).as(c)): _*)
+      }
+      writeEpochAndCommit(spark, fs, tablePath, folded, keys, nb, m, Some(txn))
       gc(fs, dir)
     } finally { inc.unpersist(); () }
   }
@@ -371,7 +460,8 @@ object MergeWriter {
   private def writeEpochAndCommit(spark: SparkSession, fs: FileSystem,
                                   tablePath: String, rows: DataFrame,
                                   keys: Seq[String], buckets: Int,
-                                  prev: Option[Manifest]): Unit = {
+                                  prev: Option[Manifest],
+                                  txn: Option[(String, Long)] = None): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -386,8 +476,11 @@ object MergeWriter {
       .map(_.stripPrefix(BucketCol + "=").toInt)
     val epochs = prev.map(_.epochs).getOrElse(Map.empty) ++
       written.map(_ -> epoch)
+    // txn ledger survives every commit; the new txn (if any) rides the
+    // SAME atomic rename as the data it applied
+    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
     commitManifest(fs, new Path(tablePath),
-      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs))
+      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs, txns))
   }
 
   /** Compact a merge-maintained table: rewrite every live bucket into ONE
@@ -426,7 +519,8 @@ object MergeWriter {
         .filter(_.startsWith(BucketCol + "="))
         .map(_.stripPrefix(BucketCol + "=").toInt)
       commitManifest(fs, dir,
-        Manifest(man.version + 1, man.buckets, written.map(_ -> epoch).toMap))
+        Manifest(man.version + 1, man.buckets,
+          written.map(_ -> epoch).toMap, man.txns))
       gc(fs, dir)
     }
   }

@@ -126,6 +126,32 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.size == 65 && rows("k0") == 200 && rows("k17") == 117)
   }
 
+  test("mergeAdditive folds deltas exactly once under redelivery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("additive").toString + "/t"
+    def fold(rows: Seq[(String, Long)], v: Long): Unit =
+      MergeWriter.mergeAdditive(spark, dir, rows.toDF("k", "n"),
+        Seq("k"), Seq("n"), txn = ("app", v), buckets = 4)
+    def read() = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    fold(Seq(("a", 2L), ("b", 3L)), 1L)
+    fold(Seq(("a", 5L), ("c", 7L)), 2L) // matched adds, new key inserts
+    assert(read() == Map("a" -> 7L, "b" -> 3L, "c" -> 7L))
+    // exact redelivery and a stale older batch must both be skipped
+    fold(Seq(("a", 5L), ("c", 7L)), 2L)
+    fold(Seq(("a", 999L)), 1L)
+    assert(read() == Map("a" -> 7L, "b" -> 3L, "c" -> 7L))
+    // an empty batch records its txn: its later redelivery WITH rows
+    // (a partial-failure retry that re-reads more data) must be skipped
+    fold(Seq.empty, 3L)
+    fold(Seq(("a", 100L)), 3L)
+    assert(read() == Map("a" -> 7L, "b" -> 3L, "c" -> 7L))
+    // the next genuine batch still applies
+    fold(Seq(("b", 1L)), 4L)
+    assert(read() == Map("a" -> 7L, "b" -> 4L, "c" -> 7L))
+  }
+
   test("time travel pins a retained version; aged-out versions fail loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("travel").toString + "/t"
