@@ -2801,6 +2801,34 @@ object SparkEntry {
       fold(1, 2L) // at-least-once redelivery — must not double-count
       fold(2, 3L)
       sources.MergeWriter.readTable(s, path)
+    }),
+
+    // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
+    // version starts emitting a `score` column for its cohort (user_id ≡
+    // 0 mod 3); the evolving merge null-fills the column for every
+    // untouched row, and reads across the mixed-schema epochs must
+    // reconcile (parquet footer merge). Old cohorts keep their pre-cut
+    // state with NULL score; the new cohort is fully replaced.
+    "q128_schema_evolution" -> ((s, dir) => {
+      val path = scratchDir("graft-evolve") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      sources.MergeWriter.merge(s, path, latest(ev.filter(col("ver") <= cut)),
+        Seq("user_id"), buckets = 8)
+      val evolved = latest(ev.filter(pmod(col("user_id"), lit(3)) === 0))
+        .withColumn("score", length(col("state")).cast("long"))
+      sources.MergeWriter.merge(s, path, evolved, Seq("user_id"),
+        buckets = 8, evolveSchema = true)
+      sources.MergeWriter.readTable(s, path)
     })
   )
 
@@ -5282,6 +5310,32 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The untouched cohort keeps its pre-cut row with NULL in the added
+    // column; the evolved cohort is replaced wholesale.
+    "q128_schema_evolution" ->
+      """WITH l1 AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |l2 AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 3 = 0)
+        |  WHERE rn = 1)
+        |SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts,
+        |  CAST(NULL AS BIGINT) AS score
+        |FROM l1 WHERE user_id % 3 <> 0
+        |UNION ALL
+        |SELECT user_id, event_type, CAST(ts AS TIMESTAMP),
+        |  CAST(length(event_type) AS BIGINT)
+        |FROM l2""".stripMargin,
 
     // The pinned version-1 read = round 1's cutoff relation, recomputed
     // from raw events (newer round-2 data must NOT leak in).

@@ -222,7 +222,8 @@ object MergeWriter {
     * alive through the next commit).
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
-            keys: Seq[String], buckets: Int = 64): Unit = {
+            keys: Seq[String], buckets: Int = 64,
+            evolveSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -233,7 +234,7 @@ object MergeWriter {
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
       // the root-level legacy files are reclaimed by gc() after this
       // merge commits (and by any later merge if this process dies first)
-      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      val legacy = spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -258,10 +259,17 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val survivors =
             if (existingPaths.isEmpty) None
-            else Some(spark.read.parquet(existingPaths: _*)
+            else Some(spark.read.option("mergeSchema", "true").parquet(existingPaths: _*)
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti"))
           val merged = survivors match {
             case None => inc.drop(BucketCol)
+            case Some(sv) if evolveSchema =>
+              // ADDITIVE schema evolution (Delta mergeSchema): a column
+              // present on only one side null-fills on the other, so old
+              // rows read NULL in newly-added columns. Renames and type
+              // changes are out of scope — a type conflict fails loudly
+              // in the union.
+              sv.unionByName(inc.drop(BucketCol), allowMissingColumns = true)
             case Some(sv) =>
               sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
@@ -324,7 +332,7 @@ object MergeWriter {
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
-          else spark.read.parquet(existingPaths: _*).select(cols: _*)
+          else spark.read.option("mergeSchema", "true").parquet(existingPaths: _*).select(cols: _*)
             .unionByName(inc.drop(BucketCol).select(cols: _*))
             .groupBy(keys.map(col): _*)
             .agg(sum(addCols.head).as(addCols.head),
@@ -391,7 +399,7 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
-      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      val legacy = spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -414,7 +422,7 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val existing =
             if (existingPaths.isEmpty) None
-            else Some(spark.read.parquet(existingPaths: _*))
+            else Some(spark.read.option("mergeSchema", "true").parquet(existingPaths: _*))
           // one frame, newest version per key wins; on version ties the
           // stored row (__pri 0) outranks the incoming one
           val all = existing match {
@@ -506,7 +514,7 @@ object MergeWriter {
       // manifest assigns to that epoch
       val live = man.epochs.groupBy(_._2)
         .map { case (e, m) =>
-          spark.read.parquet(s"$tablePath/$e")
+          spark.read.option("mergeSchema", "true").parquet(s"$tablePath/$e")
             .filter(col(BucketCol).isin(m.keys.toSeq: _*))
         }
       val epoch = "e-" + UUID.randomUUID()
@@ -535,8 +543,8 @@ object MergeWriter {
       case Some(m) =>
         val paths = m.epochs.toSeq.sortBy(_._1)
           .map { case (b, e) => bucketPath(tablePath, e, b) }
-        spark.read.parquet(paths: _*)
-      case None => spark.read.parquet(tablePath).drop(BucketCol)
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
     }
   }
 
@@ -567,7 +575,7 @@ object MergeWriter {
     val m = readManifest(fs, version, hit._2)
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(tablePath, e, b) }
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Test/inspection hook: the latest committed bucket→epoch mapping. */

@@ -126,6 +126,28 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.size == 65 && rows("k0") == 200 && rows("k17") == 117)
   }
 
+  test("evolveSchema adds columns with null backfill; plain merge stays fixed-schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq(("k0", 0), ("k1", 1)).toDF("k", "v"), Seq("k"), buckets = 4)
+    // plain merge projects the incoming frame onto the stored schema —
+    // an unknown column is dropped, the table schema never drifts
+    MergeWriter.merge(spark, dir,
+      Seq(("k1", 11, "x")).toDF("k", "v", "extra"), Seq("k"), buckets = 4)
+    assert(MergeWriter.readTable(spark, dir).columns.sorted.sameElements(
+      Array("k", "v")))
+    // evolving merge: the new column lands, untouched rows read NULL
+    MergeWriter.merge(spark, dir,
+      Seq(("k2", 2, "s2")).toDF("k", "v", "score"), Seq("k"), buckets = 4,
+      evolveSchema = true)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Int]("v"), Option(r.getAs[String]("score"))))).toMap
+    assert(rows == Map("k0" -> ((0, None)), "k1" -> ((11, None)),
+      "k2" -> ((2, Some("s2")))))
+  }
+
   test("mergeAdditive folds deltas exactly once under redelivery") {
     import spark.implicits._
     val dir = Files.createTempDirectory("additive").toString + "/t"
