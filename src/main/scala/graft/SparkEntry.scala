@@ -2829,6 +2829,31 @@ object SparkEntry {
       sources.MergeWriter.merge(s, path, evolved, Seq("user_id"),
         buckets = 8, evolveSchema = true)
       sources.MergeWriter.readTable(s, path)
+    }),
+
+    // §2.5 EXACTLY-ONCE STREAMING ROLLUP: the q127 fold driven by a real
+    // multi-batch AvailableNow run — each micro-batch aggregates its own
+    // rows and mergeAdditive folds them in with Spark's batch id as the
+    // txn version (the foreachBatch dedup contract). The batch
+    // boundaries are nondeterministic (file grouping), but exactly-once
+    // folding makes the final table independent of them: it must equal
+    // the one-shot aggregate, whatever the batching was.
+    "q129_streaming_rollup" -> ((s, dir) => {
+      val root = scratchDir("graft-srollup")
+      val src = root + "/in"
+      val batchInput = Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      batchInput.repartition(6).write.mode("overwrite").parquet(src)
+      val stream = streaming.StreamingFlow.fileStream(s, src,
+          batchInput.schema, maxFilesPerTrigger = 2)
+        .select(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("hour"), col("event_type"))
+      val q = streaming.StreamingFlow.additiveRollupSink(stream,
+        root + "/hourly", Seq("hour", "event_type"),
+        Seq(count(lit(1)).as("n_events")), root + "/ckpt", appId = "sroll",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/hourly")
     })
   )
 
@@ -5307,6 +5332,13 @@ object SparkEntry {
     // Folded deltas must equal the one-shot aggregate; a double-applied
     // redelivery would show doubled counts for batch 2's rows.
     "q127_incremental_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Whatever micro-batching the file source chose, the exactly-once
+    // fold must land on the one-shot aggregate.
+    "q129_streaming_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,

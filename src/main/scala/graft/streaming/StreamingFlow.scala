@@ -171,6 +171,39 @@ object StreamingFlow {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Exactly-once streaming ROLLUP sink: each micro-batch is aggregated
+    * per key and FOLDED into the target with
+    * [[MergeWriter.mergeAdditive]], using Spark's epoch/batch id as the
+    * transaction version — the composition Structured Streaming's
+    * foreachBatch contract asks of a sink ("use batchId to deduplicate"):
+    * after a crash between sink write and checkpoint commit, the replayed
+    * batch carries the SAME id and the manifest txn ledger skips it, so
+    * counts never double even though folding is not idempotent. The
+    * aggregation is per-batch (map-side combinable) and each fold is
+    * O(touched buckets).
+    *
+    * `stream` must be a RAW (non-aggregated) stream; `aggExprs` build the
+    * per-batch delta per key. Sum-foldable aggregates only (counts,
+    * sums) — the stored row is the running total.
+    */
+  def additiveRollupSink(stream: DataFrame, tablePath: String,
+                         keys: Seq[String],
+                         aggExprs: Seq[org.apache.spark.sql.Column],
+                         checkpointDir: String, appId: String,
+                         trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy(keys.map(col): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        val addCols = delta.columns.filterNot(keys.contains).toSeq
+        MergeWriter.mergeAdditive(batch.sparkSession, tablePath, delta,
+          keys, addCols, txn = (appId, batchId))
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   /** File-fed streaming source with a bounded micro-batch size — the shape
     * of the reference's SQS batches of 50 over the S3 raw-item drop
     * (`serverless.yml:238-251`): each trigger consumes up to
