@@ -5021,7 +5021,7 @@ object SparkEntry {
         |  FROM d)
         |SELECT CAST(shard AS BIGINT) AS shard,
         |  CAST(floor(prior/512.0) AS BIGINT) AS bin,
-        |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_bin_tokens
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_bin_tokens
         |FROM p GROUP BY 1, 2""".stripMargin,
 
     // Non-distinct bigram occurrences (the q22 shingle formulation MINUS

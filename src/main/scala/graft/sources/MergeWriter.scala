@@ -7,6 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 
 /** Keyed upsert ("MERGE") and partition-overwrite writers over parquet
   * table directories — the Spark-side equivalent of the reference's
@@ -78,9 +79,23 @@ object MergeWriter {
     * the SAME atomic rename — the exactly-once guard non-idempotent
     * (additive) merges need under at-least-once delivery.
     */
+  /** `schema` is the committed table schema (Spark `StructType.json`,
+    * without [[BucketCol]]), recorded at every commit exactly as Delta's
+    * log / Iceberg's table metadata record theirs: readers plan with
+    * `spark.read.schema(stored)` and never run the distributed
+    * parquet-footer schema-merge job (`mergeSchema=true`), which at scale
+    * is a per-read metadata job proportional to the table's file count —
+    * in a path designed to be O(touched buckets). Old epoch files written
+    * before an additive evolution are narrower than the stored schema;
+    * the parquet reader null-fills the missing columns, which is exactly
+    * the evolution semantics. `None` only for pre-schema manifests
+    * (backward compat) — those fall back to a footer merge once and are
+    * upgraded by their next commit.
+    */
   private case class Manifest(version: Long, buckets: Int,
                               epochs: Map[Int, String],
-                              txns: Map[String, Long] = Map.empty)
+                              txns: Map[String, Long] = Map.empty,
+                              schema: Option[String] = None)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,7 +136,10 @@ object MergeWriter {
     Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
       txns(t.getKey) = t.getValue.asLong()
     })
-    Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap)
+    // absent in pre-schema manifests — backward compatible
+    val schema = Option(node.get("schema")).map(_.asText())
+    Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
+      schema)
   }
 
   private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
@@ -145,7 +163,9 @@ object MergeWriter {
       .append(m.txns.toSeq.sortBy(_._1).map { case (a, v) =>
         jsonStr(a) + ":" + v
       }.mkString(","))
-      .append("}}").toString()
+      .append("}")
+      .append(m.schema.map(s => ",\"schema\":" + jsonStr(s)).getOrElse(""))
+      .append("}").toString()
     val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -196,6 +216,21 @@ object MergeWriter {
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 
+  /** Read committed epoch data with the manifest-recorded schema — a
+    * zero-job plan step, vs. `mergeSchema=true`'s distributed footer-merge
+    * (O(files) tasks on EVERY read of EVERY table). Pre-schema manifests
+    * (legacy) fall back to the footer merge once; their next commit
+    * records the schema.
+    */
+  private def readWithSchema(spark: SparkSession, m: Manifest,
+                             paths: Seq[String]): DataFrame =
+    m.schema match {
+      case Some(s) =>
+        spark.read.schema(DataType.fromJson(s).asInstanceOf[StructType])
+          .parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
   /** Table-root contents that predate the manifest protocol (a plain or
     * `__bucket=`-partitioned parquet table).
     */
@@ -234,7 +269,7 @@ object MergeWriter {
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
       // the root-level legacy files are reclaimed by gc() after this
       // merge commits (and by any later merge if this process dies first)
-      val legacy = spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
+      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -259,7 +294,7 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val survivors =
             if (existingPaths.isEmpty) None
-            else Some(spark.read.option("mergeSchema", "true").parquet(existingPaths: _*)
+            else Some(readWithSchema(spark, man, existingPaths)
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti"))
           val merged = survivors match {
             case None => inc.drop(BucketCol)
@@ -332,7 +367,7 @@ object MergeWriter {
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
-          else spark.read.option("mergeSchema", "true").parquet(existingPaths: _*).select(cols: _*)
+          else readWithSchema(spark, man, existingPaths).select(cols: _*)
             .unionByName(inc.drop(BucketCol).select(cols: _*))
             .groupBy(keys.map(col): _*)
             .agg(sum(addCols.head).as(addCols.head),
@@ -399,7 +434,7 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
-      val legacy = spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
+      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -422,7 +457,7 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val existing =
             if (existingPaths.isEmpty) None
-            else Some(spark.read.option("mergeSchema", "true").parquet(existingPaths: _*))
+            else Some(readWithSchema(spark, man, existingPaths))
           // one frame, newest version per key wins; on version ties the
           // stored row (__pri 0) outranks the incoming one
           val all = existing match {
@@ -487,8 +522,13 @@ object MergeWriter {
     // txn ledger survives every commit; the new txn (if any) rides the
     // SAME atomic rename as the data it applied
     val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
+    // the committed schema is the written frame's (sans the physical
+    // bucket column) — on an evolving merge this is already the union
+    // schema, so the recorded schema and the data it describes commit in
+    // the same atomic rename
     commitManifest(fs, new Path(tablePath),
-      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs, txns))
+      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs, txns,
+        Some(rows.schema.json)))
   }
 
   /** Compact a merge-maintained table: rewrite every live bucket into ONE
@@ -510,11 +550,15 @@ object MergeWriter {
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
       // read each live epoch WITH its physical bucket column (partition
-      // discovery over the epoch root), keeping only the buckets the
-      // manifest assigns to that epoch
+      // discovery over the epoch root typed by the stored schema +
+      // BucketCol), keeping only the buckets the manifest assigns to it
+      val epochSchema = man.schema.map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType].add(BucketCol, IntegerType))
       val live = man.epochs.groupBy(_._2)
         .map { case (e, m) =>
-          spark.read.option("mergeSchema", "true").parquet(s"$tablePath/$e")
+          epochSchema.fold(
+            spark.read.option("mergeSchema", "true").parquet(s"$tablePath/$e"))(
+            sch => spark.read.schema(sch).parquet(s"$tablePath/$e"))
             .filter(col(BucketCol).isin(m.keys.toSeq: _*))
         }
       val epoch = "e-" + UUID.randomUUID()
@@ -528,7 +572,7 @@ object MergeWriter {
         .map(_.stripPrefix(BucketCol + "=").toInt)
       commitManifest(fs, dir,
         Manifest(man.version + 1, man.buckets,
-          written.map(_ -> epoch).toMap, man.txns))
+          written.map(_ -> epoch).toMap, man.txns, man.schema))
       gc(fs, dir)
     }
   }
@@ -543,8 +587,8 @@ object MergeWriter {
       case Some(m) =>
         val paths = m.epochs.toSeq.sortBy(_._1)
           .map { case (b, e) => bucketPath(tablePath, e, b) }
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
+        readWithSchema(spark, m, paths)
+      case None => spark.read.parquet(tablePath).drop(BucketCol)
     }
   }
 
@@ -575,7 +619,9 @@ object MergeWriter {
     val m = readManifest(fs, version, hit._2)
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(tablePath, e, b) }
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // each retained version reads with ITS OWN recorded schema — a pinned
+    // read before an evolution sees the pre-evolution columns
+    readWithSchema(spark, m, paths)
   }
 
   /** Test/inspection hook: the latest committed bucket→epoch mapping. */

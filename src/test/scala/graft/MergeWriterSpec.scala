@@ -274,6 +274,36 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("A" -> "new", "B" -> "only"))
   }
 
+  test("manifest records the schema; each pinned version reads its own") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("schema").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq(("k0", 0)).toDF("k", "v"), Seq("k"), buckets = 4)
+    // the committed manifest carries the table schema — readers plan with
+    // it instead of running a distributed parquet-footer merge per read
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-"))
+    assert(manifests.nonEmpty)
+    val body = new String(Files.readAllBytes(manifests.maxBy(_.getName).toPath))
+    assert(body.contains("\"schema\""))
+    assert(body.contains("struct")) // StructType.json payload
+
+    // evolve, then pin the pre-evolution version: it must read with the
+    // pre-evolution schema, not the current one
+    MergeWriter.merge(spark, dir,
+      Seq(("k1", 1, "s1")).toDF("k", "v", "score"), Seq("k"), buckets = 4,
+      evolveSchema = true)
+    val versions = MergeWriter.availableVersions(spark, dir)
+    assert(MergeWriter.readTableVersion(spark, dir, versions.head)
+      .columns.sorted.sameElements(Array("k", "v")))
+    assert(MergeWriter.readTableVersion(spark, dir, versions.last)
+      .columns.sorted.sameElements(Array("k", "score", "v")))
+    // current read sees the evolved schema with null backfill
+    val cur = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getAs[String]("k") -> Option(r.getAs[String]("score"))).toMap
+    assert(cur == Map("k0" -> None, "k1" -> Some("s1")))
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
