@@ -31,7 +31,8 @@ object ScaleBench {
     // optional third arg: comma list of sections (vocab,srp,heavy,zipf,
     // cap,cellband) — default runs everything
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("vocab", "srp", "heavy", "zipf", "cap", "cellband", "pq"))
+      .getOrElse(Set("vocab", "srp", "heavy", "zipf", "cap", "cellband", "pq",
+        "compact7"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -210,6 +211,51 @@ object ScaleBench {
       println(f"""{"dir":"$dir","adc_full_pairs":${10 * (n - 1)},"adc_probed_pairs":$probed,"probe_sec":$sec%.2f}""")
     }
     if (sections("pq")) { pqCand(base); pqCand(rep) }
+
+    // round 7: auto-compaction payoff. Incremental loads touch FEW
+    // buckets per round (the whole point of bucket pruning), so each
+    // round strands its buckets in a fresh epoch and live epochs grow
+    // with round count; AutoCompactEpochs bounds them. Each round here
+    // merges exactly one bucket's keys (rounds cycle the buckets twice),
+    // the worst-case fragmentation shape. Same content both ways — the
+    // deltas are the small-files effect the policy exists to bound.
+    def compactBench(dir: String, rounds: Int): Unit = {
+      import graft.sources.MergeWriter
+      val nb = rounds / 2
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        // the writer's own bucket function, so round i touches bucket
+        // i%nb and nothing else
+        .withColumn("__b", pmod(hash(col("doc_id")), lit(nb)))
+        .persist()
+      docs.count()
+      def build(path: String, threshold: Int): Double = {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        val t0 = System.nanoTime()
+        (0 until rounds).foreach { i =>
+          MergeWriter.merge(spark, path,
+            docs.filter(col("__b") === i % nb).drop("__b"),
+            Seq("doc_id"), buckets = nb, autoCompactEpochs = threshold)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def readWall(path: String): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        MergeWriter.readTable(spark, path)
+          .agg(count(lit(1)), sum(length(col("text")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def liveEpochs(path: String): Int =
+        MergeWriter.currentEpochs(spark, path).values.toSet.size
+      val frag = s"$work/compact7/frag"
+      val auto = s"$work/compact7/auto"
+      val wFrag = build(frag, Int.MaxValue)
+      val wAuto = build(auto, MergeWriter.AutoCompactEpochs)
+      println(f"""{"dir":"$dir","merge_rounds":$rounds,"buckets":$nb,"frag_live_epochs":${liveEpochs(frag)},"auto_live_epochs":${liveEpochs(auto)},"frag_build_sec":$wFrag%.2f,"auto_build_sec":$wAuto%.2f,"frag_read_sec_min3":${readWall(frag)}%.2f,"auto_read_sec_min3":${readWall(auto)}%.2f}""")
+      docs.unpersist()
+      ()
+    }
+    if (sections("compact7")) compactBench(base, 64)
 
     val heavy = Seq("q22_ngram_jaccard", "q26_minhash_lsh", "q28_simhash_pairs",
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",

@@ -73,13 +73,25 @@ object MergeWriter {
     */
   val KeepManifests = 2
 
+  /** OPTIMIZE-on-write threshold: a merge that leaves MORE than this many
+    * live epoch directories triggers an inline [[compact]] (Delta's
+    * auto-optimize / Iceberg's commit-time rewrite, scaled to the
+    * manifest protocol). Each incremental merge strands its touched
+    * buckets in a fresh epoch, so a long-lived table accumulates one
+    * directory per merge and readers open ever more small files; bounding
+    * live epochs bounds per-scan file count while amortizing the O(table)
+    * rewrite over ~threshold merges — steady-state write amplification is
+    * 1/threshold of the table per merge round.
+    */
+  val AutoCompactEpochs = 16
+
   /** `txns` records the highest applied batch version per writer app id
     * (Delta's transaction identifiers): because it rides IN the manifest,
     * "was this batch already applied" and the data it applied commit in
     * the SAME atomic rename — the exactly-once guard non-idempotent
     * (additive) merges need under at-least-once delivery.
-    */
-  /** `schema` is the committed table schema (Spark `StructType.json`,
+    *
+    * `schema` is the committed table schema (Spark `StructType.json`,
     * without [[BucketCol]]), recorded at every commit exactly as Delta's
     * log / Iceberg's table metadata record theirs: readers plan with
     * `spark.read.schema(stored)` and never run the distributed
@@ -216,6 +228,16 @@ object MergeWriter {
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 
+  /** Post-merge auto-compaction check (see [[AutoCompactEpochs]]): count
+    * live epochs from the just-committed manifest (a metadata-only read)
+    * and rewrite when fragmentation crosses the threshold.
+    */
+  private def maybeAutoCompact(spark: SparkSession, fs: FileSystem, dir: Path,
+                               tablePath: String, threshold: Int): Unit =
+    currentManifest(fs, dir).foreach { man =>
+      if (man.epochs.values.toSet.size > threshold) compact(spark, tablePath)
+    }
+
   /** Read committed epoch data with the manifest-recorded schema — a
     * zero-job plan step, vs. `mergeSchema=true`'s distributed footer-merge
     * (O(files) tasks on EVERY read of EVERY table). Pre-schema manifests
@@ -258,7 +280,8 @@ object MergeWriter {
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64,
-            evolveSchema: Boolean = false): Unit = {
+            evolveSchema: Boolean = false,
+            autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -311,6 +334,7 @@ object MergeWriter {
           writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb, Some(man))
       }
       gc(fs, dir)
+      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
 
@@ -335,7 +359,8 @@ object MergeWriter {
     */
   def mergeAdditive(spark: SparkSession, tablePath: String, delta: DataFrame,
                     keys: Seq[String], addCols: Seq[String],
-                    txn: (String, Long), buckets: Int = 64): Unit = {
+                    txn: (String, Long), buckets: Int = 64,
+                    autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
     require(keys.nonEmpty, "mergeAdditive requires at least one key column")
     require(addCols.nonEmpty, "mergeAdditive requires additive columns")
     require(delta.columns.sorted.sameElements((keys ++ addCols).sorted),
@@ -375,6 +400,7 @@ object MergeWriter {
       }
       writeEpochAndCommit(spark, fs, tablePath, folded, keys, nb, m, Some(txn))
       gc(fs, dir)
+      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
 
@@ -421,7 +447,8 @@ object MergeWriter {
     */
   def mergeVersioned(spark: SparkSession, tablePath: String,
                      incoming: DataFrame, keys: Seq[String], versionCol: String,
-                     buckets: Int = 64): Unit = {
+                     buckets: Int = 64,
+                     autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(incoming.columns.contains(versionCol),
       s"mergeVersioned: incoming frame lacks version column '$versionCol'")
@@ -472,6 +499,7 @@ object MergeWriter {
             keys, nb, Some(man))
       }
       gc(fs, dir)
+      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
 

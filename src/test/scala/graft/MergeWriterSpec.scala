@@ -304,6 +304,31 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur == Map("k0" -> None, "k1" -> Some("s1")))
   }
 
+  test("auto-compaction bounds live epoch count across merge rounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("autocompact").toString + "/t"
+    def liveEpochs(): Int =
+      MergeWriter.currentEpochs(spark, dir).values.toSet.size
+    // 8 merge rounds on disjoint keys, threshold 3: without compaction
+    // the table would hold 8 live epochs; the policy must keep it ≤ 3+1
+    // (a merge may land the threshold+1'th epoch before its compaction)
+    (0 until 8).foreach { i =>
+      MergeWriter.merge(spark, dir,
+        Seq((s"k$i", i)).toDF("k", "v"), Seq("k"), buckets = 4,
+        autoCompactEpochs = 3)
+      assert(liveEpochs() <= 4, s"round $i left ${liveEpochs()} live epochs")
+    }
+    // content is untouched by the rewrites
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Int]("v")).toMap
+    assert(rows == (0 until 8).map(i => s"k$i" -> i).toMap)
+    // a compaction commit is still a commit: version history advanced
+    // and the latest version reads coherently through time travel
+    val vs = MergeWriter.availableVersions(spark, dir)
+    assert(vs.size == MergeWriter.KeepManifests)
+    assert(MergeWriter.readTableVersion(spark, dir, vs.last).count() == 8)
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
