@@ -90,11 +90,16 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shared_frames":$sharedFrames,"sf":"$sfDir"}"""
     println(line)
     // also persist to disk: the driver captures only the log TAIL, which
-    // has truncated the per-query numbers out of past round artifacts
+    // has truncated the per-query numbers out of past round artifacts.
+    // BENCH_LATEST.json lives at the repo root and IS committed, so the
+    // per-query timing map survives into the round history (the BENCH_r{N}
+    // artifacts carry only the truncated tail).
     try {
       val out = java.nio.file.Paths.get("target/bench_results.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), line.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] result file write failed: $e") }
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
     spark.stop()

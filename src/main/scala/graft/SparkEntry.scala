@@ -2796,6 +2796,33 @@ object SparkEntry {
           col("ver").as("version_ts"))
     }),
 
+    // CHANGE FEED between committed versions (Delta CDF for the manifest
+    // protocol): q126's two-version build, then the keyed diff of the
+    // pinned snapshots — op ∈ insert/update (no deletes here: a
+    // versioned merge only adds or advances keys), old_/new_ audit
+    // columns. The oracle derives both logical states from raw events
+    // independently, so a wrong pinned read OR a wrong diff both fail.
+    "q131_change_feed" -> ((s, dir) => {
+      val path = scratchDir("graft-cdf") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      sources.MergeWriter.mergeVersioned(s, path,
+        latest(ev.filter(col("ver") <= cut)), Seq("user_id"), "ver",
+        buckets = 8)
+      sources.MergeWriter.mergeVersioned(s, path, latest(ev),
+        Seq("user_id"), "ver", buckets = 8)
+      sources.MergeWriter.changeFeed(s, path, fromVersion = 1L,
+        toVersion = 2L, Seq("user_id"), Seq("event_type", "ver"))
+    }),
+
     // Exactly-once INCREMENTAL ROLLUP: the hourly event-count table is
     // maintained by folding delta batches in (mergeAdditive), never by
     // recomputing the corpus — the pattern that keeps a 100 TB metrics
@@ -5413,6 +5440,35 @@ object SparkEntry {
         |         WHEN o.event_type IS DISTINCT FROM n.event_type
         |           OR o.ts IS DISTINCT FROM n.ts THEN 'update' END AS op
         |  FROM le o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
+        |WHERE op IS NOT NULL""".stripMargin,
+
+    // Both pinned states derived from raw events (pre-cut latest vs
+    // overall latest per user), then the same null-safe diff as q124 —
+    // independent of both the manifest reads and the engine's join.
+    "q131_change_feed" ->
+      """WITH lo AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ver FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |ln AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ver FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.event_type AS old_event_type, o.ver AS old_ver,
+        |    n.event_type AS new_event_type, n.ver AS new_ver,
+        |    CASE WHEN o.user_id IS NULL THEN 'insert'
+        |         WHEN n.user_id IS NULL THEN 'delete'
+        |         WHEN o.event_type IS DISTINCT FROM n.event_type
+        |           OR o.ver IS DISTINCT FROM n.ver THEN 'update' END AS op
+        |  FROM lo o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
         |WHERE op IS NOT NULL""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall

@@ -652,6 +652,25 @@ object MergeWriter {
     readWithSchema(spark, m, paths)
   }
 
+  /** Change feed between two retained committed versions (Delta's CDF /
+    * `table_changes`, scaled to the manifest protocol): the keyed diff
+    * of the two pinned snapshots — op ∈ insert/update/delete with
+    * old_/new_ audit columns (the
+    * [[graft.operators.Reconcile.snapshotDiff]] contract). Epoch files
+    * are immutable and retained manifests' epochs survive gc, so both
+    * sides are stable snapshots even while newer merges commit; asking
+    * for an aged-out version fails loudly via [[readTableVersion]].
+    * One full-outer join on `keys` — change-volume output, never
+    * corpus-sized, which is what an incremental downstream consumer
+    * of a 100 TB table actually wants to read.
+    */
+  def changeFeed(spark: SparkSession, tablePath: String,
+                 fromVersion: Long, toVersion: Long,
+                 keys: Seq[String], compareCols: Seq[String]): DataFrame =
+    graft.operators.Reconcile.snapshotDiff(
+      readTableVersion(spark, tablePath, fromVersion),
+      readTableVersion(spark, tablePath, toVersion), keys, compareCols)
+
   /** Test/inspection hook: the latest committed bucket→epoch mapping. */
   private[graft] def currentEpochs(spark: SparkSession,
                                    tablePath: String): Map[Int, String] = {
