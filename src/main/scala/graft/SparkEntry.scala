@@ -2823,6 +2823,36 @@ object SparkEntry {
         toVersion = 2L, Seq("user_id"), Seq("event_type", "ver"))
     }),
 
+    // Keyed DELETE (MERGE ... WHEN MATCHED DELETE) — T19's deleted-item
+    // reconciliation driven through ACTUAL storage: load the per-user
+    // state table, purge the churned accounts (q124's churn set), read
+    // back. Only buckets holding a churned key are rewritten; a bucket
+    // emptied entirely drops its epoch pointer. Deleting the same keys
+    // again (replay) and deleting never-stored keys are both no-ops.
+    "q132_keyed_delete" -> ((s, dir) => {
+      val path = scratchDir("graft-delete") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      val state = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      sources.MergeWriter.merge(s, path, state, Seq("user_id"), buckets = 8)
+      val churned = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(13)) === 0)
+      sources.MergeWriter.delete(s, path, churned, Seq("user_id"))
+      // replay + never-stored keys: both must leave the table unchanged
+      sources.MergeWriter.delete(s, path, churned, Seq("user_id"))
+      sources.MergeWriter.delete(s, path,
+        churned.select((col("user_id") + 1000000000L).as("user_id")),
+        Seq("user_id"))
+      sources.MergeWriter.readTable(s, path)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+    }),
+
     // Exactly-once INCREMENTAL ROLLUP: the hourly event-count table is
     // maintained by folding delta batches in (mergeAdditive), never by
     // recomputing the corpus — the pattern that keeps a 100 TB metrics
@@ -5470,6 +5500,18 @@ object SparkEntry {
         |           OR o.ver IS DISTINCT FROM n.ver THEN 'update' END AS op
         |  FROM lo o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
         |WHERE op IS NOT NULL""".stripMargin,
+
+    // The stored state minus churned accounts — exactly the q84 relation
+    // filtered; a double-applied delete could not differ, but a delete
+    // that dropped a whole-bucket pointer wrongly (or left one stale)
+    // would lose or resurrect rows.
+    "q132_keyed_delete" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND user_id % 13 <> 0""".stripMargin,
 
     // The stale replay must not regress: final table = per-user overall
     // latest event (what round 2 loaded).

