@@ -2282,6 +2282,21 @@ object SparkEntry {
             .otherwise(size(graft.functions.tokens(col("kept_text")))
               .cast("long")))),
 
+    // BM25 top-10 retrieval over three fixed keyword queries — posting
+    // lists semi-joined to the broadcast query-term list before any
+    // scoring, per-term Okapi weights in one IEEE expression tree each,
+    // cross-term sums decimal-exact (see TextAnalysis.bm25TopK). The
+    // batch keyword-search shape a 100 TB corpus serves retrieval with.
+    "q133_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "hash"), (0L, "join"), (0L, "table"),
+        (1L, "stream"), (1L, "merge"), (1L, "batch"),
+        (2L, "vector"), (2L, "scan"), (2L, "filter")).toDF("query_id", "term")
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        col("doc_id"), col("text"), qs, k = 10)
+    }),
+
     // KMV distinct-count sketch per language, k = 16, with the exact
     // distinct joined alongside as the self-audit — the sketch scaffolding
     // a 100 TB profiler uses where countDistinct no longer fits (the
@@ -3643,6 +3658,47 @@ object SparkEntry {
          |  ROUND(CAST(COALESCE(pd.n_dup_chars, 0) AS DOUBLE) / length(d.text), 6)
          |    AS dup_fraction
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // Same Okapi arithmetic with the SAME literal folds and association
+    // (so every double op rounds identically), linear N/df idf, decimal
+    // cross-term sum — independent join order and window formulation.
+    "q133_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |p AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlen),
+        |q(query_id, term) AS (VALUES
+        |  (0, 'hash'), (0, 'join'), (0, 'table'),
+        |  (1, 'stream'), (1, 'merge'), (1, 'batch'),
+        |  (2, 'vector'), (2, 'scan'), (2, 'filter')),
+        |c AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST((CAST(st.n_docs AS DOUBLE) / dfq.df) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |         0.75 * CAST(d.dl AS DOUBLE) /
+        |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+        |      AS DECIMAL(38,15)) AS contrib
+        |  FROM p
+        |  JOIN q USING (term)
+        |  JOIN dfq USING (term)
+        |  JOIN dlen d USING (doc_id), st),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score
+        |  FROM c GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score FROM (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin,
 
     "q102_kmv_distinct" ->
       s"""WITH h AS (

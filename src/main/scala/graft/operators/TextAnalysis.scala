@@ -77,6 +77,67 @@ object TextAnalysis {
         col("df"), col("score"))
   }
 
+  /** BM25 top-k retrieval (Robertson-Spärck Jones, the Okapi weighting):
+    * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * idf is the LINEAR N/df weight for the same reason as
+    * [[tfidfTopTerms]]: ln's last-ULP behavior is libm-specific, while
+    * N/df is one IEEE divide of exact integers — bit-identical across
+    * engines. Per-term contributions are single IEEE expression trees
+    * (deterministic given identical inputs); the CROSS-TERM sum runs in
+    * DECIMAL(38,15) so the score is independent of aggregation order and
+    * partial-agg plan (the kmeansStep discipline).
+    *
+    * Physical shape: the postings frame (doc, term, tf) is corpus-linear
+    * and SEMI-JOINS to the broadcast query-term list before anything
+    * else — work after that point is proportional to matching postings,
+    * not the corpus. df joins on term (uniform key), doc length joins on
+    * doc_id, corpus stats (N, Σdl) ride one broadcast row, and the top-k
+    * window partitions per query. This is posting-list retrieval as a
+    * declarative plan; at 100 TB the same shape serves a production
+    * keyword-search batch (query list = the broadcast side, always
+    * config-scale).
+    *
+    * `queries` carries (query_id, term), one row per query term; terms
+    * repeated in one query count once (dedup inside). Returns
+    * (query_id, rank, doc_id, score) with rank ≤ k, ties on doc_id asc.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be positive, got $k")
+    val toked = docs.select(id.cast("long").as("doc_id"), tok(text).as("__toks"))
+    val dl = toked.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    val postings = toked
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val q = queries.select(col("query_id").cast("long"), col("term")).distinct()
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // arithmetic shape mirrored verbatim in the oracle SQL: same literal
+    // folds, same association, so every double op rounds identically
+    val w = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    val idfLin = col("n_docs").cast("double") / col("df")
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    postings
+      .join(broadcast(q), Seq("term")) // prune to query terms FIRST
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idfLin * w).cast("decimal(38,15)").as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic.
     */

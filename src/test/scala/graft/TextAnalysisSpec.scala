@@ -170,4 +170,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == (("common", 2L, 4L, 2.0)))
     assert(got((2L, 2L)) == (("common", 1L, 4L, 1.0)))
   }
+
+  test("bm25TopK ranks by tf, length norm, and sums across query terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),                 // tf(apple)=2, dl=3
+      (2L, "apple banana cherry date egg fig"),   // tf(apple)=1, dl=6
+      (3L, "banana cherry")                       // no apple
+    ).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple"), (1L, "apple"), (1L, "banana"))
+      .toDF("query_id", "term")
+    val got = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), qs, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // q0: only docs containing "apple"; higher tf + shorter doc wins
+    assert(got((0L, 1L))._1 == 1L)
+    assert(got((0L, 2L))._1 == 2L)
+    assert(!got.contains((0L, 3L)))
+    assert(got((0L, 1L))._2 > got((0L, 2L))._2)
+    // q1 adds the banana contribution: doc 3 now appears (banana only)
+    // and every doc's q1 score is >= its q0 score
+    assert(got.contains((1L, 3L)))
+    assert(got((1L, 1L))._1 == 1L)
+    val q0d1 = got((0L, 1L))._2
+    val q1d1 = got((1L, 1L))._2
+    assert(q1d1 > q0d1)
+    // banana appears in all 3 docs -> idf N/df = 1: doc 3's whole score
+    // is its banana weight, strictly below doc 1's two-term score
+    assert(got.find { case ((q, _), (d, _)) => q == 1L && d == 3L }.get._2._2 < q1d1)
+  }
 }
