@@ -2016,6 +2016,21 @@ object SparkEntry {
         Multimodal.BmpRowDecoder(), everyNth = 2))
     }),
 
+    // REAL pixel resample, not a stub: NN-downsample the parsed 8-bpp
+    // BMP raster to 8×8 (pure index arithmetic on the validated parse —
+    // no codec needed) and emit exact integer invariants; weighted_sum
+    // is order-sensitive, so a transposed/flipped/mis-strided resample
+    // cannot pass. The oracle recomputes every output pixel from the
+    // TEXT the fixture packed, bypassing bytes entirely.
+    "q134_bmp_resize" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
+      val assets = Multimodal.toBmpAssets(ascii, col("doc_id"), col("text"),
+        width = 32)
+      Multimodal.resizedPixelStats(
+        Multimodal.resizeBmpNearest(assets, outW = 8, outH = 8))
+    }),
+
     // The THIRD SRP regime: 128-bit two-long signatures banded 8×16 bits.
     // q81's 64/4 config buys its collision-floor escape by halving the
     // band count (miss rate (1-p^16)^4); 128 bits keep the same 16-bit
@@ -5457,6 +5472,36 @@ object SparkEntry {
         |    string_split(substring(text, CAST(frame_idx*32+1 AS INT), 32), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
         |FROM f""".stripMargin,
+
+    // Every output pixel recomputed from the packed text: source pixel
+    // (sy, sx) = ((oy·h)//8, ox·4) holds text byte sy·32+sx (0-based)
+    // or the zero pad — the same integer-floor NN grid, derived without
+    // touching a single container byte.
+    "q134_bmp_resize" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    CAST(length(text) AS BIGINT) AS len FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |g AS (
+        |  SELECT asset_id, text, len,
+        |    greatest(1, (len + 31) // 32) AS h FROM c),
+        |px AS (
+        |  SELECT asset_id,
+        |    CAST(oy.i * 8 + ox.i AS BIGINT) AS idx,
+        |    CASE WHEN ((oy.i * h) // 8) * 32 + ox.i * 4 < len
+        |      THEN unicode(substring(text,
+        |        CAST(((oy.i * h) // 8) * 32 + ox.i * 4 + 1 AS INT), 1))
+        |      ELSE 0 END AS px
+        |  FROM g,
+        |    (SELECT unnest(range(8)) AS i) oy,
+        |    (SELECT unnest(range(8)) AS i) ox)
+        |SELECT asset_id, CAST(8 AS BIGINT) AS out_width,
+        |  CAST(8 AS BIGINT) AS out_height,
+        |  CAST(SUM(px) AS BIGINT) AS byte_sum,
+        |  CAST(SUM(px * (idx + 1)) AS BIGINT) AS weighted_sum,
+        |  CAST(SUM(CASE WHEN px <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonzero
+        |FROM px GROUP BY 1""".stripMargin,
 
     // Image row r of the PGM raster carries text bytes [r·24, (r+1)·24)
     // zero-filled to width·height; top-down and unpadded, so the frame

@@ -445,6 +445,76 @@ object Multimodal {
         lit(width).as("width"), lit(height).as("height"),
         col("meta.duration_ms")))
 
+  /** REAL nearest-neighbor resample of a parsed BMP raster — the resize
+    * step of the image pipeline made actual (BMP needs no codec: the
+    * container is pure byte math, and NN resampling is index
+    * arithmetic). Rows come from [[BmpRowDecoder]]'s validated parse
+    * (pixel-offset honored, rows un-padded and un-reversed); output
+    * pixel (ox, oy) copies source pixel ((ox·W)/outW, (oy·H)/outH) —
+    * integer floor, the canonical NN grid — with bytes-per-pixel
+    * derived from the parsed geometry, so 8/24/32-bpp rasters all
+    * resample whole pixels. Partition-local map, one row-major raster
+    * row per asset: (asset_id, out_width, out_height, pixels).
+    */
+  def resizeBmpNearest(assets: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0,
+      s"resizeBmpNearest: positive target required, got $outW x $outH")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val rows = BmpRowDecoder().frames(bytes, 1).map(_._2).toArray
+        val h = rows.length
+        val rowBytes = rows(0).length
+        // width from the validated header (le32 at 18, already parsed
+        // as positive by the decoder)
+        val w = (bytes(18) & 0xff) | ((bytes(19) & 0xff) << 8) |
+          ((bytes(20) & 0xff) << 16) | ((bytes(21) & 0xff) << 24)
+        val bpp = rowBytes / w
+        val out = new Array[Byte](outW * outH * bpp)
+        var oy = 0
+        while (oy < outH) {
+          val src = rows(oy * h / outH)
+          var ox = 0
+          while (ox < outW) {
+            val sx = ox * w / outW
+            var c = 0
+            while (c < bpp) {
+              out((oy * outW + ox) * bpp + c) = src(sx * bpp + c)
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        (id, outW, outH, out)
+      }.toDF("asset_id", "out_width", "out_height", "pixels")
+  }
+
+  /** Exact integer invariants of a resampled raster (order-sensitive:
+    * `weighted_sum` = Σ pixel·(index+1) over row-major order catches any
+    * pixel-placement error, not just value changes). Partition-local.
+    */
+  def resizedPixelStats(resized: DataFrame): DataFrame = {
+    val spark = resized.sparkSession
+    import spark.implicits._
+    resized.select(col("asset_id"), col("out_width"), col("out_height"),
+        col("pixels"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        var s = 0L; var ws = 0L; var nz = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          s += v; ws += v.toLong * (i + 1); if (v != 0) nz += 1
+          i += 1
+        }
+        (id, w.toLong, h.toLong, s, ws, nz)
+      }.toDF("asset_id", "out_width", "out_height", "byte_sum",
+        "weighted_sum", "n_nonzero")
+  }
+
   /** Deterministic text payload for fixtures. */
   def payloadOf(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
 }

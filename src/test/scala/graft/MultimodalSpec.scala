@@ -174,6 +174,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resizeBmpNearest picks the exact NN source pixel per output cell") {
+    import spark.implicits._
+    // 4×4 image from 16 chars, downsampled 2×2: NN grid (oy·4/2, ox·4/2)
+    // = rows {0,2}, cols {0,2} → pixels a, c, i, k in row-major order
+    val df = Seq((1L, "abcdefghijklmnop")).toDF("id", "data")
+    val a = Multimodal.toBmpAssets(df, col("id"), col("data"), width = 4)
+    val out = Multimodal.resizeBmpNearest(a, outW = 2, outH = 2)
+      .select(col("pixels")).as[Array[Byte]].collect().head
+    assert(new String(out, "US-ASCII") == "acik")
+    // identity resize reproduces the raster exactly
+    val same = Multimodal.resizeBmpNearest(a, outW = 4, outH = 4)
+      .select(col("pixels")).as[Array[Byte]].collect().head
+    assert(new String(same, "US-ASCII") == "abcdefghijklmnop")
+    // stats: order-sensitive weighted sum pins placement
+    val st = Multimodal.resizedPixelStats(
+        Multimodal.resizeBmpNearest(a, 2, 2))
+      .select(col("byte_sum"), col("weighted_sum"), col("n_nonzero"))
+      .as[(Long, Long, Long)].collect().head
+    val px = "acik".map(_.toLong)
+    assert(st == ((px.sum, px.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum,
+      4L)))
+  }
+
+  test("resizeBmpNearest resamples whole multi-byte pixels (24 bpp)") {
+    import spark.implicits._
+    // hand-build a 2×2 24-bpp BMP: pixels (B,G,R) distinct per cell
+    val w = 2; val h = 2
+    val stride = (w * 3 + 3) / 4 * 4 // 8
+    val pixelOff = 54
+    val bb = java.nio.ByteBuffer.allocate(pixelOff + h * stride)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(pixelOff + h * stride)
+      .putInt(0).putInt(pixelOff)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      .putInt(h * stride).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: storage row 0 = image row 1 = pixels [(7,8,9),(10,11,12)]
+    bb.put(Array[Byte](7, 8, 9, 10, 11, 12, 0, 0))
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 0, 0)) // image row 0
+    val a = Seq((5L, bb.array())).toDF("asset_id", "content")
+    // 1×1 NN keeps source pixel (0,0) INTACT: bytes (1,2,3), never a
+    // byte-granular slice straddling pixels
+    val out = Multimodal.resizeBmpNearest(a, 1, 1)
+      .select(col("pixels")).as[Array[Byte]].collect().head
+    assert(out.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("resize target updates metadata only") {
     val resized = Multimodal.withResizeTarget(assets, 224, 224)
     val m = resized.select(col("meta.width"), col("meta.height"), col("content"))
