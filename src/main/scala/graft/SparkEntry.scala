@@ -2744,6 +2744,15 @@ object SparkEntry {
       Dedup.triangleCounts(replicaPairsFrame(s, dir),
         col("id_a"), col("id_b"))),
 
+    // Centrality over the same shared pair graph: 3 PageRank iterations
+    // with decimal-exact per-node sums (every iteration's rank vector is
+    // bit-identical across engines — no tolerance in the compare). The
+    // planted 4-cliques should surface their members at near-equal rank,
+    // strictly above bridge/periphery nodes.
+    "q135_pair_pagerank" -> ((s, dir) =>
+      Dedup.pageRank(replicaPairsFrame(s, dir),
+        col("id_a"), col("id_b"), iterations = 3)),
+
     // CDC-style snapshot diff: old = per-user latest state before the
     // final delivery quarter (event_id ≢ 3 mod 4) and before the newest
     // accounts existed (user_id ≢ 0 mod 17); new = the full export minus
@@ -4859,6 +4868,35 @@ object SparkEntry {
          |verts AS (SELECT unnest([u, v, w]) AS vec_id FROM tri)
          |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM verts GROUP BY 1""".stripMargin,
+
+    // Same pair frame, same fixed-iteration recurrence unrolled as
+    // chained CTEs; the decimal-exact incoming sums make the three rank
+    // vectors bit-identical to the engine's.
+    "q135_pair_pagerank" ->
+      s"""WITH $srpWideOracleCtes,
+         |und AS (SELECT id_a AS a, id_b AS b FROM srp_pairs),
+         |e AS (SELECT a AS src, b AS dst FROM und
+         |      UNION ALL SELECT b, a FROM und),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+         |r0 AS (SELECT src AS v, 1.0 / nn.n AS r
+         |       FROM (SELECT DISTINCT src FROM e), nn),
+         |c1 AS (SELECT e.dst, CAST(r0.r / od.outdeg AS DECIMAL(38,15)) AS c
+         |       FROM e JOIN r0 ON e.src = r0.v JOIN od ON e.src = od.src),
+         |r1 AS (SELECT dst AS v,
+         |         (1.0 - 0.85) / nn.n + 0.85 * CAST(SUM(c) AS DOUBLE) AS r
+         |       FROM c1, nn GROUP BY dst, nn.n),
+         |c2 AS (SELECT e.dst, CAST(r1.r / od.outdeg AS DECIMAL(38,15)) AS c
+         |       FROM e JOIN r1 ON e.src = r1.v JOIN od ON e.src = od.src),
+         |r2 AS (SELECT dst AS v,
+         |         (1.0 - 0.85) / nn.n + 0.85 * CAST(SUM(c) AS DOUBLE) AS r
+         |       FROM c2, nn GROUP BY dst, nn.n),
+         |c3 AS (SELECT e.dst, CAST(r2.r / od.outdeg AS DECIMAL(38,15)) AS c
+         |       FROM e JOIN r2 ON e.src = r2.v JOIN od ON e.src = od.src),
+         |r3 AS (SELECT dst AS v,
+         |         (1.0 - 0.85) / nn.n + 0.85 * CAST(SUM(c) AS DOUBLE) AS r
+         |       FROM c3, nn GROUP BY dst, nn.n)
+         |SELECT v AS vec_id, ROUND(r, 6) AS pagerank FROM r3""".stripMargin,
 
     // Independent formulation: transitive closure by recursive CTE (the
     // engine uses iterative min-label propagation — same fixpoint).

@@ -712,6 +712,60 @@ object Dedup {
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank over an undirected pair graph (each pair walked both ways)
+    * — the centrality diagnostic for a dedup/similarity graph: a
+    * high-rank node is the hub of a dense near-dup neighborhood (its
+    * cluster's natural canonical representative), a low-rank member is
+    * peripheral. Fixed iteration count, uniform start 1/N, damping d:
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u).
+    *
+    * Engine-exactness: the per-edge contribution r(u)/outdeg(u) is one
+    * IEEE divide; the PER-NODE incoming sum — the only aggregation-
+    * order-dependent step — accumulates in DECIMAL(38,15), so every
+    * iteration's rank vector is bit-identical across engines and
+    * partial-agg plans (the kmeansStep discipline), and the fixpoint
+    * needs no tolerance. On this graph every node has outdeg ≥ 1 and
+    * indegree ≥ 1 (undirected edges), so there is no dangling mass.
+    *
+    * Scale shape: edges shuffle on src to meet the rank frame and on
+    * dst for the sum — two keyed shuffles per iteration, nothing
+    * broadcast but the single-row node count; the rank frame stays one
+    * row per node. Iterations are a fixed small constant (a diagnostic,
+    * not a convergence loop).
+    */
+  def pageRank(pairs: DataFrame, idA: Column, idB: Column,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"pageRank: iterations must be in [1,10], got $iterations")
+    val und = pairs
+      .select(least(idA.cast("long"), idB.cast("long")).as("a"),
+        greatest(idA.cast("long"), idB.cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = graft.CacheRegistry.persist(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("v")).distinct()
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nFrame))
+      .select(col("v"), (lit(1.0) / col("n")).as("r"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"),
+          (col("r") / col("outdeg")).cast("decimal(38,15)").as("c"))
+      ranks = contribs.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .crossJoin(broadcast(nFrame))
+        .select(col("dst").as("v"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * col("cs").cast("double")).as("r"))
+      i += 1
+    }
+    ranks.select(col("v").as("vec_id"), round(col("r"), 6).as("pagerank"))
+  }
+
   // Independent polynomial moduli for the substring window double-hash —
   // both primes < 2^30, so the rolling update's worst intermediate
   // (2·mod·31) stays far inside a signed 64-bit int, and the paired

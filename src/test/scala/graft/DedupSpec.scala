@@ -271,6 +271,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
   }
 
+  test("pageRank ranks hubs above periphery; cliques rank uniformly") {
+    import spark.implicits._
+    // star: 0 is the hub of {1,2,3}; separate triangle {10,11,12}
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.pageRank(pairs, col("a"), col("b"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 7)
+    // hub strictly outranks its leaves; leaves are symmetric
+    assert(got(0L) > got(1L))
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    // triangle members are symmetric and hold the uniform 1/N mass
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    // total mass conserved (within the printed rounding)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
   test("duplicatedSpans matches a brute-force string oracle") {
     import spark.implicits._
     // overlapping word sequences from a tiny vocabulary guarantee shared
