@@ -2297,6 +2297,21 @@ object SparkEntry {
             .otherwise(size(graft.functions.tokens(col("kept_text")))
               .cast("long")))),
 
+    // Mixture construction to a token budget (the data-mixing step of a
+    // training run): per-language budgets weight·10000 tokens, filled in
+    // deterministic LCG-priority order, crossing doc dropped. The
+    // running totals are a two-phase distributed prefix sum — priority-
+    // range buckets, exclusive per-group offsets, bounded intra-bucket
+    // windows — never one corpus-scale sort per language (the q111
+    // discipline).
+    "q136_token_mixture" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetMixture(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang"), lcgResidue(col("doc_id")),
+        weights = Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+        budget = 10000L)
+        .withColumnRenamed("grp", "lang")
+        .withColumnRenamed("grp_budget", "lang_budget")),
+
     // BM25 top-10 retrieval over three fixed keyword queries — posting
     // lists semi-joined to the broadcast query-term list before any
     // scoring, per-term Okapi weights in one IEEE expression tree each,
@@ -3682,6 +3697,31 @@ object SparkEntry {
          |  ROUND(CAST(COALESCE(pd.n_dup_chars, 0) AS DOUBLE) / length(d.text), 6)
          |    AS dup_fraction
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // One plain cumsum per language (fixture-scale), same keep rule:
+    // running total ≤ floor(weight·budget), LCG priority order.
+    "q136_token_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    (((doc_id % 2147483647)*1103515245 + 12345) % 2147483647) AS pri
+        |  FROM documents),
+        |w(lang, wt) AS (VALUES
+        |  ('en', 0.5), ('es', 0.2), ('fr', 0.2), ('zh', 0.1)),
+        |b AS (
+        |  SELECT d.*, CAST(floor(w.wt * 10000.0) AS BIGINT) AS lang_budget
+        |  FROM d JOIN w USING (lang)),
+        |c AS (
+        |  SELECT lang, lang_budget, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT lang, lang_budget, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_kept_tokens
+        |FROM c WHERE cum <= lang_budget
+        |GROUP BY 1, 2""".stripMargin,
 
     // Same Okapi arithmetic with the SAME literal folds and association
     // (so every double op rounds identically), linear N/df idf, decimal

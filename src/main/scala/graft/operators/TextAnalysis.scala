@@ -138,6 +138,61 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Mixture construction to a TOKEN budget (the data-mixing step of a
+    * training run: each domain/language gets `weight·budget` tokens,
+    * filled by deterministic priority): per group, documents are taken
+    * in `priority` order while the running token total stays within the
+    * group's budget; the crossing document is dropped. Returns one row
+    * per group with its budget and what the fill actually selected.
+    *
+    * The running total is a distributed PREFIX SUM, not a single
+    * per-group window: a group is corpus-scale (the q111 trap — a
+    * 4-language corpus would funnel 25% of 100 TB through one sort
+    * task), so the cumsum runs two-phase — priority-range buckets give
+    * (group, bucket) partials, an exclusive prefix over the per-group
+    * bucket totals (metadata-scale window) gives each bucket its
+    * offset, and the intra-bucket window partitions on (group, bucket),
+    * bounded by bucket width. Priorities must be near-uniform on
+    * [0, 2^31) — an LCG residue of the doc id is the intended input.
+    */
+  def tokenBudgetMixture(docs: DataFrame, id: Column, text: Column,
+                         group: Column, priority: Column,
+                         weights: Map[String, Double],
+                         budget: Long): DataFrame = {
+    require(weights.nonEmpty, "tokenBudgetMixture: weights required")
+    require(budget > 0, s"tokenBudgetMixture: positive budget, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("grp", "w")
+    val base = docs.select(id.cast("long").as("doc_id"),
+        group.cast("string").as("grp"), priority.cast("long").as("pri"),
+        size(tok(text)).cast("long").as("n_tokens"))
+      .join(broadcast(w), Seq("grp")) // groups without a weight drop out
+      .withColumn("grp_budget",
+        floor(col("w") * lit(budget.toDouble)).cast("long"))
+      // 256 ORDER-PRESERVING priority ranges (pri >> 23 on [0, 2^31))
+      .withColumn("bucket", (col("pri") / lit(1L << 23)).cast("long"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(byBucket), lit(0L)))
+      .select(col("grp"), col("bucket"), col("offset"))
+    val intra = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(offsets, Seq("grp", "bucket"))
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(intra))
+      .filter(col("cum") <= col("grp_budget"))
+      .groupBy(col("grp"), col("grp_budget"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_kept_tokens"))
+      .select(col("grp"), col("grp_budget"), col("n_docs"),
+        col("n_kept_tokens"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic.
     */

@@ -171,6 +171,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got((2L, 2L)) == (("common", 1L, 4L, 1.0)))
   }
 
+  test("tokenBudgetMixture fills each group to its budget in priority order") {
+    import spark.implicits._
+    // 6 docs of 10 tokens each per group; priorities chosen to straddle
+    // bucket boundaries (pri >> 23) so the two-phase prefix sum is
+    // actually exercised across buckets
+    val text = ("w " * 10).trim
+    val docs = (0 until 6).flatMap { i =>
+      Seq((i.toLong, "a", text), (100L + i, "b", text))
+    }.toDF("doc_id", "grp", "text")
+    // priority = doc_id * 2^22: docs alternate buckets (0,0,1,1,2,2…)
+    val pri = col("doc_id") % 100 * (1L << 22)
+    val got = TextAnalysis.tokenBudgetMixture(docs, col("doc_id"),
+        col("text"), col("grp"), pri,
+        weights = Map("a" -> 0.5, "b" -> 0.25), budget = 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a: budget 50 → 5 docs of 10 tokens; b: budget 25 → 2 docs (the
+    // third would cross 25 at cum 30 and is dropped)
+    assert(got("a") == ((50L, 5L, 50L)))
+    assert(got("b") == ((25L, 2L, 20L)))
+    // naive single-window oracle agrees doc-for-doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("p"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs.select(col("doc_id"), col("grp"),
+        (col("doc_id") % 100 * (1L << 22)).as("p"), lit(10L).as("t"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .filter(col("cum") <= when(col("grp") === "a", 50L).otherwise(25L))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(naive == Map("a" -> 5L, "b" -> 2L))
+  }
+
   test("bm25TopK ranks by tf, length norm, and sums across query terms") {
     import spark.implicits._
     val docs = Seq(
