@@ -2327,6 +2327,49 @@ object SparkEntry {
         col("doc_id"), col("text"), qs, k = 10)
     }),
 
+    // INCREMENTAL search-index maintenance: the postings (doc, term, tf)
+    // and doc-length tables are built by folding three per-batch deltas
+    // through mergeAdditive (tf and dl are pure sums, so additive folds
+    // compose exactly), with a deliberate batch-2 redelivery the txn
+    // ledger must skip — then the STORED index answers the q133 queries
+    // through bm25FromIndex. Identical output to the one-shot build is
+    // the proof: at 100 TB you maintain the index, you don't rebuild it
+    // per search.
+    "q137_incremental_bm25" -> ((s, dir) => {
+      val root = scratchDir("graft-bm25")
+      val pTable = root + "/postings"
+      val dTable = root + "/doclen"
+      import s.implicits._
+      val toked = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          graft.functions.tokens(col("text")).as("toks"))
+      def batch(r: Int) = toked.filter(pmod(col("doc_id"), lit(3)) === r)
+      def postDelta(r: Int) = batch(r)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      def dlDelta(r: Int) = batch(r)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      (0 until 3).foreach { r =>
+        sources.MergeWriter.mergeAdditive(s, pTable, postDelta(r),
+          Seq("doc_id", "term"), Seq("tf"), txn = ("bm25p", r + 1L),
+          buckets = 8)
+        sources.MergeWriter.mergeAdditive(s, dTable, dlDelta(r),
+          Seq("doc_id"), Seq("dl"), txn = ("bm25d", r + 1L), buckets = 8)
+      }
+      // at-least-once redelivery of batch 2: a double-fold would inflate
+      // tf and shift every score — the ledger must skip it
+      sources.MergeWriter.mergeAdditive(s, pTable, postDelta(1),
+        Seq("doc_id", "term"), Seq("tf"), txn = ("bm25p", 2L), buckets = 8)
+      val qs = Seq(
+        (0L, "hash"), (0L, "join"), (0L, "table"),
+        (1L, "stream"), (1L, "merge"), (1L, "batch"),
+        (2L, "vector"), (2L, "scan"), (2L, "filter")).toDF("query_id", "term")
+      TextAnalysis.bm25FromIndex(
+        sources.MergeWriter.readTable(s, pTable),
+        sources.MergeWriter.readTable(s, dTable), qs, k = 10)
+    }),
+
     // KMV distinct-count sketch per language, k = 16, with the exact
     // distinct joined alongside as the self-audit — the sketch scaffolding
     // a 100 TB profiler uses where countDistinct no longer fits (the
@@ -3523,6 +3566,48 @@ object SparkEntry {
     * merge incl. stale replay) and q125 (post-compaction read-back) must
     * equal.
     */
+  /** Okapi BM25 with linear idf and decimal cross-term sums — shared by
+    * q133 (one-shot build) and q137 (incrementally-folded index), which
+    * must answer identically by construction.
+    */
+  private lazy val bm25OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+      |p AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlen),
+      |q(query_id, term) AS (VALUES
+      |  (0, 'hash'), (0, 'join'), (0, 'table'),
+      |  (1, 'stream'), (1, 'merge'), (1, 'batch'),
+      |  (2, 'vector'), (2, 'scan'), (2, 'filter')),
+      |c AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST((CAST(st.n_docs AS DOUBLE) / dfq.df) *
+      |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |       (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |         0.75 * CAST(d.dl AS DOUBLE) /
+      |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+      |      AS DECIMAL(38,15)) AS contrib
+      |  FROM p
+      |  JOIN q USING (term)
+      |  JOIN dfq USING (term)
+      |  JOIN dlen d USING (doc_id), st),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score
+      |  FROM c GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |    doc_id, score
+      |  FROM sc)
+      |WHERE rank <= 10""".stripMargin
+
   private lazy val latestUserStateOracleSql: String =
     """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
       |FROM (
@@ -3726,43 +3811,12 @@ object SparkEntry {
     // Same Okapi arithmetic with the SAME literal folds and association
     // (so every double op rounds identically), linear N/df idf, decimal
     // cross-term sum — independent join order and window formulation.
-    "q133_bm25_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-        |p AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
-        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlen),
-        |q(query_id, term) AS (VALUES
-        |  (0, 'hash'), (0, 'join'), (0, 'table'),
-        |  (1, 'stream'), (1, 'merge'), (1, 'batch'),
-        |  (2, 'vector'), (2, 'scan'), (2, 'filter')),
-        |c AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST((CAST(st.n_docs AS DOUBLE) / dfq.df) *
-        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |       (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
-        |         0.75 * CAST(d.dl AS DOUBLE) /
-        |           (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
-        |      AS DECIMAL(38,15)) AS contrib
-        |  FROM p
-        |  JOIN q USING (term)
-        |  JOIN dfq USING (term)
-        |  JOIN dlen d USING (doc_id), st),
-        |sc AS (
-        |  SELECT query_id, doc_id,
-        |    ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score
-        |  FROM c GROUP BY 1, 2)
-        |SELECT query_id, rank, doc_id, score FROM (
-        |  SELECT CAST(query_id AS BIGINT) AS query_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-        |    doc_id, score
-        |  FROM sc)
-        |WHERE rank <= 10""".stripMargin,
+    "q133_bm25_topk" -> bm25OracleSql,
+
+    // The incrementally-folded index must answer EXACTLY like the
+    // one-shot build: same oracle as q133 verbatim. A double-applied
+    // replay would inflate tf/dl and shift every score.
+    "q137_incremental_bm25" -> bm25OracleSql,
 
     "q102_kmv_distinct" ->
       s"""WITH h AS (

@@ -104,12 +104,27 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"bm25TopK: k must be positive, got $k")
     val toked = docs.select(id.cast("long").as("doc_id"), tok(text).as("__toks"))
     val dl = toked.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
     val postings = toked
       .select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25FromIndex(postings, dl, queries, k, k1, b)
+  }
+
+  /** [[bm25TopK]]'s scoring tail over a PREBUILT index: `postings` =
+    * (doc_id, term, tf), `dl` = (doc_id, dl). This is the production
+    * entry point at scale — the postings/length tables are maintained
+    * INCREMENTALLY (tf and dl are pure sums, so additive folds of
+    * per-batch deltas compose exactly), and queries read the stored
+    * index instead of re-tokenizing 100 TB per search. df and corpus
+    * stats derive from the stored frames, so an incrementally-built
+    * index answers bit-identically to a one-shot build over the same
+    * corpus.
+    */
+  def bm25FromIndex(postings: DataFrame, dl: DataFrame, queries: DataFrame,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25FromIndex: k must be positive, got $k")
     val df = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
