@@ -272,6 +272,15 @@ object ScaleBench {
       qs.foreach(q => time(base, q))
       qs.foreach(q => time(rep, q))
     }
+    // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
+    // (q136 needs the lang column, absent from the rep10 projection —
+    // base only)
+    if (sections("r7")) {
+      val qs = Seq("q130_cut_apply", "q133_bm25_topk", "q135_pair_pagerank")
+      qs.foreach(q => time(base, q))
+      time(base, "q136_token_mixture")
+      qs.foreach(q => time(rep, q))
+    }
     if (sections("zipf")) time(zipf, "q22_ngram_jaccard")
     spark.stop()
   }

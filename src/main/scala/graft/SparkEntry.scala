@@ -2893,6 +2893,32 @@ object SparkEntry {
           col("ver").as("version_ts"))
     }),
 
+    // Keyed POINT-LOOKUP on the stored state table: resolve the wanted
+    // keys' buckets from the manifest and scan only those directories —
+    // k keys read ≤ k buckets regardless of table size (partition
+    // pruning for key predicates; the point-read/table-read gap at
+    // 100 TB). Lookup set = users ≡ 1 (mod 50) plus two absent ids that
+    // must prune to nothing, not error.
+    "q138_keyed_lookup" -> ((s, dir) => {
+      val path = scratchDir("graft-lookup") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      val state = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      sources.MergeWriter.merge(s, path, state, Seq("user_id"), buckets = 16)
+      val wanted = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(50)) === 1)
+        .unionByName(s.range(2).select(
+          (col("id") + 2000000000L).as("user_id")))
+      sources.MergeWriter.readKeys(s, path, wanted, Seq("user_id"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+    }),
+
     // CHANGE FEED between committed versions (Delta CDF for the manifest
     // protocol): q126's two-version build, then the keyed diff of the
     // pinned snapshots — op ∈ insert/update (no deletes here: a
@@ -5704,6 +5730,17 @@ object SparkEntry {
         |           OR o.ts IS DISTINCT FROM n.ts THEN 'update' END AS op
         |  FROM le o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
         |WHERE op IS NOT NULL""".stripMargin,
+
+    // The pruned lookup must return exactly the stored rows of the
+    // wanted keys — the q84 relation filtered to them; absent keys
+    // contribute nothing.
+    "q138_keyed_lookup" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND user_id % 50 = 1""".stripMargin,
 
     // Both pinned states derived from raw events (pre-cut latest vs
     // overall latest per user), then the same null-safe diff as q124 —

@@ -702,6 +702,40 @@ object MergeWriter {
     readWithSchema(spark, m, paths)
   }
 
+  /** Keyed point-lookup read: resolve the key-hash buckets of the
+    * requested keys and scan ONLY those bucket directories — the
+    * manifest-protocol equivalent of partition pruning for key
+    * predicates. A lookup of k keys reads ≤ k buckets of the table
+    * regardless of table size (vs. a full scan + filter), which is the
+    * difference between a point-read and a table-read at 100 TB. The
+    * requested-key frame must be lookup-sized (it drives one bounded
+    * metadata job for the bucket set, exactly [[merge]]'s shape, and
+    * then semi-joins the pruned scan).
+    */
+  def readKeys(spark: SparkSession, tablePath: String, wanted: DataFrame,
+               keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "readKeys requires at least one key column")
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)) match {
+      case None =>
+        readTable(spark, tablePath)
+          .join(wanted.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      case Some(man) =>
+        // no persist: the returned frame is LAZY, and the wanted side is
+        // lookup-sized by contract — recomputing it inside the semi-join
+        // is cheaper than a cache outliving this call
+        val w = wanted.select(keys.map(col): _*).distinct()
+          .withColumn(BucketCol,
+            pmod(hash(keys.map(col): _*), lit(man.buckets)))
+        val touched = touchedBuckets(w)
+        val paths = touched.flatMap(b =>
+          man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+        if (paths.isEmpty) readTable(spark, tablePath).limit(0)
+        else readWithSchema(spark, man, paths)
+          .join(w.drop(BucketCol), keys, "left_semi")
+    }
+  }
+
   /** Change feed between two retained committed versions (Delta's CDF /
     * `table_changes`, scaled to the manifest protocol): the keyed diff
     * of the two pinned snapshots — op ∈ insert/update/delete with

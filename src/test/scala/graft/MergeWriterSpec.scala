@@ -359,6 +359,41 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       MergeWriter.readTable(spark, dir).count() == left.size)
   }
 
+  test("readKeys scans only the wanted keys' buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("readkeys").toString + "/t"
+    val rows = (0 until 64).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    MergeWriter.merge(spark, dir, rows, Seq("k"), buckets = 8)
+    val wanted = Seq(3L, 17L, 999L).toDF("k") // 999 absent
+    val got = MergeWriter.readKeys(spark, dir, wanted, Seq("k"))
+    val out = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(3L -> "v3", 17L -> "v17"))
+    // the scan is PRUNED: the file relations' root paths cover only the
+    // wanted keys' buckets, not all 8 (logical plan — AQE wraps the
+    // physical one)
+    val scanned = got.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+      .flatMap("__bucket=(\\d+)".r.findAllMatchIn(_).map(_.group(1).toInt))
+      .toSet
+    val wantedBuckets = Seq(3L, 17L, 999L)
+      .map(k => Seq(k).toDF("k")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("k")),
+          org.apache.spark.sql.functions.lit(8)))
+        .head().getInt(0)).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(wantedBuckets),
+      s"scanned $scanned, wanted only $wantedBuckets")
+    // all-absent lookup returns empty without erroring
+    assert(MergeWriter.readKeys(spark, dir,
+      Seq(5000L).toDF("k"), Seq("k")).count() == 0)
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
