@@ -20,7 +20,10 @@ object BenchSome {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // noop sink: full-column materialization (see Bench — count() lets
+      // Catalyst skip the projected work entirely on some query shapes)
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[bench] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
