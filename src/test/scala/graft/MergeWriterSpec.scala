@@ -394,6 +394,28 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(5000L).toDF("k"), Seq("k")).count() == 0)
   }
 
+  test("mergeAll commits every table; duplicate paths are rejected") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mergeall").toString
+    val merges = (0 until 3).map { t =>
+      (s"$root/t$t",
+        (0 until 10).map(i => (i.toLong, s"t$t-v$i")).toDF("k", "v"),
+        Seq("k"))
+    }
+    MergeWriter.mergeAll(spark, merges, buckets = 4)
+    merges.foreach { case (path, _, _) =>
+      val rows = MergeWriter.readTable(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 10 && rows(3L).endsWith("-v3"), path)
+    }
+    // single-writer-per-table contract: duplicate targets fail loudly
+    intercept[IllegalArgumentException] {
+      MergeWriter.mergeAll(spark,
+        Seq((s"$root/dup", merges.head._2, Seq("k")),
+          (s"$root/dup", merges.head._2, Seq("k"))), buckets = 4)
+    }
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
