@@ -90,7 +90,7 @@ object Bench {
         |["q62_srp_neardup","q76_embedding_clusters"],
         |["q52_ann_kmeans","q79_semantic_dedup","q80_ivf_recall","q118_ivfpq_topk"],
         |["q117_pq_topk","q118_ivfpq_topk"],
-        |["q81_srp_wide_replicas","q123_pair_triangles"],
+        |["q81_srp_wide_replicas","q123_pair_triangles","q135_pair_pagerank"],
         |["q24_event_dates","q25_state_category_asof"],
         |["q34_changelog_explode","q35_snapshot_pipeline","q36_states_translate","q41_custom_fields","q42_linked_items","q59_connector_scan","q60_automap_retranslate","q69_connector_idscan","q73_incremental_etl_loop"]]"""
         .stripMargin.replaceAll("\n\\s*", "")

@@ -1271,6 +1271,29 @@ object SparkEntry {
     // exact cosine verified only inside buckets.
     "q62_srp_neardup" -> ((s, dir) => srpPairsFrame(s, dir)),
 
+    // DEDUP-AT-INGEST: the SRP band index lives in a merge-maintained
+    // table; vectors ≢ 0 (mod 3) are the stored corpus (their band rows
+    // merged twice — the replay must be a no-op), the ≡ 0 batch arrives
+    // NEW and pairs only against the stored index + itself. Equals the
+    // full-corpus q62 pair set restricted to ≥1 new endpoint — without
+    // ever re-pairing stored-vs-stored, the shape that keeps per-batch
+    // dedup cost flat as the corpus grows.
+    "q139_ingest_neardup" -> ((s, dir) => {
+      val table = scratchDir("graft-lshidx") + "/bands"
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      val neu = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val oldBands = Similarity.srpBandRows(old, col("vec_id"),
+        col("embedding"), bits = 32, bands = 4)
+      sources.MergeWriter.merge(s, table, oldBands,
+        Seq("id", "band"), buckets = 16)
+      sources.MergeWriter.merge(s, table, oldBands,
+        Seq("id", "band"), buckets = 16) // replay: same keys, no-op
+      Similarity.srpIncrementalNearDupPairs(emb, col("vec_id"),
+        col("embedding"), sources.MergeWriter.readTable(s, table), neu,
+        threshold = 0.35, bits = 32, bands = 4)
+    }),
+
     // Transitive dedup clusters: connected components (min-label
     // propagation, O(diameter) shuffle rounds) over the exact
     // bigram-Jaccard near-dup pair graph — shares q22's persisted pairs.
@@ -4973,6 +4996,14 @@ object SparkEntry {
     "q62_srp_neardup" ->
       s"""WITH $srpPairsOracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // The full-corpus chain restricted to pairs touching the new batch:
+    // set-algebra equal to (stored ∪ new) × new collisions, which is
+    // what the engine's index join produces.
+    "q139_ingest_neardup" ->
+      s"""WITH $srpPairsOracleCtes
+         |SELECT id_a, id_b, cosine FROM srp_pairs
+         |WHERE id_a % 3 = 0 OR id_b % 3 = 0""".stripMargin,
 
     // Independent formulation: no orientation — wedges at the smallest
     // vertex of each canonical (a<b) edge pair, closed by a third edge

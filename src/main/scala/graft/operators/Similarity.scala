@@ -369,6 +369,39 @@ object Similarity {
     verifyCandidates(emb, id, vec,
       srpCandidatePairs(emb, id, vec, bits, bands), threshold)
 
+  /** INCREMENTAL near-dup at ingest: verified near-dup pairs of a NEW
+    * batch against a STORED band index plus within-batch — never
+    * re-pairing stored-vs-stored. This is dedup-at-ingest for a living
+    * corpus: the band-row table ([[srpBandRows]] output) is maintained
+    * through the keyed MergeWriter (replay-idempotent), each arriving
+    * batch computes only ITS band rows, joins them against the stored
+    * index, and the exact-cosine verify runs on the surviving candidates
+    * only. Work per batch ∝ batch size × collision rate, independent of
+    * corpus size except through the (band, band_key)-keyed join —
+    * exactly the 100 TB shape (a full [[srpNearDupPairs]] recompute per
+    * batch is quadratic in corpus over time).
+    *
+    * By set algebra the result equals the full-corpus pair set
+    * restricted to pairs with ≥ 1 endpoint in the new batch, which is
+    * what the oracle pins. `emb` must cover stored ∪ new (the verify
+    * side reads vectors for both endpoints).
+    */
+  def srpIncrementalNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+                                 storedBands: DataFrame, newEmb: DataFrame,
+                                 threshold: Double, bits: Int = 32,
+                                 bands: Int = 4): DataFrame = {
+    val newBands = srpBandRows(newEmb, id, vec, bits, bands)
+    val all = storedBands.select(col("id"), col("band"), col("band_key"))
+      .unionByName(newBands)
+    val cand = all.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b")).distinct()
+    verifyCandidates(emb, id, vec, cand, threshold)
+  }
+
   /** [[srpNearDupPairs]] in the 128-bit regime: the same exact-cosine
     * verify over [[srpCandidatePairs128]] candidates.
     */
