@@ -276,6 +276,33 @@ object ScaleBench {
       qs.foreach(q => time(base, q))
       qs.foreach(q => time(rep, q))
     }
+    // round 7: dedup-at-ingest — per-batch incremental near-dup against
+    // a stored band index vs. a full-corpus recompute, at 1× and 10×
+    // corpus with a FIXED batch (vec_id ≡ 0 mod 30 of base: same ~3%).
+    // The claim: incremental cost tracks batch × collision rate, full
+    // recompute tracks corpus².
+    def ingestBench(dir: String, tag: String): Unit = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val emb = Tables.embeddings(spark, dir)
+      val old = emb.filter(pmod(col("vec_id"), lit(30)) =!= 0)
+      val neu = emb.filter(pmod(col("vec_id"), lit(30)) === 0)
+      val storedBands = operators.Similarity.srpBandRows(old, col("vec_id"),
+        col("embedding"), bits = 32, bands = 4).persist()
+      storedBands.count() // index build cost excluded: it amortizes
+      val t0 = System.nanoTime()
+      val nInc = operators.Similarity.srpIncrementalNearDupPairs(emb,
+        col("vec_id"), col("embedding"), storedBands, neu,
+        threshold = 0.35, bits = 32, bands = 4).count()
+      val sInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nFull = operators.Similarity.srpNearDupPairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.35, bits = 32, bands = 4).count()
+      val sFull = (System.nanoTime() - t1) / 1e9
+      storedBands.unpersist()
+      println(f"""{"dir":"$tag","ingest_batch_pairs":$nInc,"ingest_batch_sec":$sInc%.2f,"full_recompute_pairs":$nFull,"full_recompute_sec":$sFull%.2f}""")
+    }
+    if (sections("ingest7")) { ingestBench(base, "sf0.1"); ingestBench(rep, "rep10") }
+
     // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
     // (q136 needs the lang column, absent from the rep10 projection —
     // base only)
