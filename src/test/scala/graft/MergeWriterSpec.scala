@@ -416,6 +416,46 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("model check: random merge/delete/compact sequences match a Map") {
+    import spark.implicits._
+    // seeded: the sequence is deterministic across runs
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("model").toString + "/t"
+    var model = Map.empty[Long, Int]
+    def check(step: Int): Unit = {
+      val stored =
+        if (model.isEmpty && MergeWriter.currentEpochs(spark, dir).isEmpty)
+          Map.empty[Long, Int]
+        else MergeWriter.readTable(spark, dir).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stored == model, s"diverged at step $step")
+    }
+    (0 until 24).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          // key-unique upsert batch (the dedupeOnKey contract upstream)
+          val kvs = Seq.fill(rnd.nextInt(12) + 1)(
+            (rnd.nextInt(30).toLong, rnd.nextInt(1000))).toMap
+          MergeWriter.merge(spark, dir, kvs.toSeq.toDF("k", "v"), Seq("k"),
+            buckets = 4, autoCompactEpochs = 3)
+          model = model ++ kvs
+        case 2 if model.nonEmpty =>
+          // mix of present and absent keys
+          val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4) + 1) :+
+            (100L + rnd.nextInt(10))
+          MergeWriter.delete(spark, dir, ks.toDF("k"), Seq("k"),
+            autoCompactEpochs = 3)
+          model = model -- ks
+        case 2 => () // delete on an empty/absent table: no-op
+        case 3 if MergeWriter.currentEpochs(spark, dir).nonEmpty =>
+          MergeWriter.compact(spark, dir)
+        case 3 => ()
+      }
+      if (step % 4 == 3) check(step)
+    }
+    check(24)
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
