@@ -1271,6 +1271,49 @@ object SparkEntry {
     // exact cosine verified only inside buckets.
     "q62_srp_neardup" -> ((s, dir) => srpPairsFrame(s, dir)),
 
+    // STREAMING dedup-at-ingest, the q139 loop driven by Structured
+    // Streaming: vectors arrive in bounded micro-batches; each trigger
+    // pairs its batch against the PRE-batch stored index (+ itself),
+    // appends the verified pairs (keyed merge — crash-replay
+    // idempotent), then folds its own band rows into the index. Every
+    // pair is found exactly when its later endpoint arrives, so the
+    // final pairs table equals the one-shot q62 pair set regardless of
+    // arrival batching — the oracle is q62's verbatim.
+    "q140_streaming_ingest_neardup" -> ((s, dir) => {
+      val root = scratchDir("graft-singest")
+      val src = root + "/in"
+      val emb = Tables.embeddings(s, dir)
+      emb.repartition(8).write.mode("overwrite").parquet(src)
+      val idxTable = root + "/bands"
+      val pairTable = root + "/pairs"
+      val q = streaming.StreamingFlow.fileStream(s, src, emb.schema,
+          maxFilesPerTrigger = 2)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", root + "/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val bandsOfBatch = Similarity.srpBandRows(batch, col("vec_id"),
+            col("embedding"), bits = 32, bands = 4)
+          val stored =
+            if (sources.MergeWriter.availableVersions(sp, idxTable).nonEmpty)
+              sources.MergeWriter.readTable(sp, idxTable)
+            else bandsOfBatch.limit(0)
+          val pairs = Similarity.srpIncrementalNearDupPairs(
+            Tables.embeddings(sp, dir), col("vec_id"), col("embedding"),
+            stored, batch, threshold = 0.35, bits = 32, bands = 4)
+          sources.MergeWriter.merge(sp, pairTable, pairs,
+            Seq("id_a", "id_b"), buckets = 8)
+          sources.MergeWriter.merge(sp, idxTable, bandsOfBatch,
+            Seq("id", "band"), buckets = 8)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, pairTable)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+
     // DEDUP-AT-INGEST: the SRP band index lives in a merge-maintained
     // table; vectors ≢ 0 (mod 3) are the stored corpus (their band rows
     // merged twice — the replay must be a no-op), the ≡ 0 batch arrives
@@ -4994,6 +5037,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q62_srp_neardup" ->
+      s"""WITH $srpPairsOracleCtes
+         |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
+
+    // Whatever micro-batching the file source chose, the accumulated
+    // pairs table must equal the one-shot chain exactly.
+    "q140_streaming_ingest_neardup" ->
       s"""WITH $srpPairsOracleCtes
          |SELECT id_a, id_b, cosine FROM srp_pairs""".stripMargin,
 
