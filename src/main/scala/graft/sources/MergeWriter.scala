@@ -198,24 +198,39 @@ object MergeWriter {
         s"merge: manifest commit $target failed (concurrent writer?)")
   }
 
+  /** How long an UNREFERENCED epoch directory survives gc. A concurrent
+    * writer's staged-but-not-yet-committed epoch is indistinguishable
+    * from a crashed writer's orphan; the age guard keeps a racing
+    * commit's files alive through its rebase-and-retry window (the same
+    * orphan-retention idea as Delta's vacuum / Iceberg's
+    * remove_orphan_files, scaled down). Genuinely dead orphans are
+    * reclaimed by any merge that runs after the window.
+    */
+  val OrphanRetentionMs: Long = 10L * 60 * 1000
+
   /** Post-commit garbage collection: keep the last [[KeepManifests]]
     * manifests and every epoch they reference; delete older manifests,
-    * unreferenced epochs, stale staging files, and any root-level
-    * pre-manifest leftovers (a manifest existing means migration
-    * committed — the legacy files are dead weight even if the migrating
-    * process crashed before its own cleanup). Crash-safe — anything
-    * missed is collected by a later merge.
+    * unreferenced epochs older than `orphanRetentionMs` (see
+    * [[OrphanRetentionMs]] — a young unreferenced epoch may be a
+    * concurrent writer mid-commit), stale staging files, and any
+    * root-level pre-manifest leftovers (a manifest existing means
+    * migration committed — the legacy files are dead weight even if the
+    * migrating process crashed before its own cleanup). Crash-safe —
+    * anything missed is collected by a later merge.
     */
-  private def gc(fs: FileSystem, dir: Path): Unit = {
+  private def gc(fs: FileSystem, dir: Path,
+                 orphanRetentionMs: Long = OrphanRetentionMs): Unit = {
     val manifests = manifestFiles(fs, dir)
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - KeepManifests))
     val referenced = keep.flatMap { case (v, p) =>
       readManifest(fs, v, p).epochs.values
     }.toSet
     drop.foreach { case (_, p) => fs.delete(p, false) }
+    val now = System.currentTimeMillis()
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n))
+      if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n) &&
+          now - st.getModificationTime > orphanRetentionMs)
         fs.delete(st.getPath, true)
       if (st.isDirectory && n.startsWith(BucketCol + "="))
         fs.delete(st.getPath, true)
@@ -224,6 +239,10 @@ object MergeWriter {
         fs.delete(st.getPath, false)
     }
   }
+
+  /** Test hook: gc with zero orphan retention (immediate reclamation). */
+  private[graft] def gcNow(spark: SparkSession, tablePath: String): Unit =
+    gc(fsFor(spark, tablePath), new Path(tablePath), orphanRetentionMs = 0L)
 
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
@@ -235,7 +254,11 @@ object MergeWriter {
   private def maybeAutoCompact(spark: SparkSession, fs: FileSystem, dir: Path,
                                tablePath: String, threshold: Int): Unit =
     currentManifest(fs, dir).foreach { man =>
-      if (man.epochs.values.toSet.size > threshold) compact(spark, tablePath)
+      if (man.epochs.values.toSet.size > threshold)
+        // advisory: losing a commit race to a concurrent writer must not
+        // fail the merge that already committed — a later merge retries
+        try compact(spark, tablePath)
+        catch { case _: java.io.IOException => () }
     }
 
   /** Read committed epoch data with the manifest-recorded schema — a
@@ -271,12 +294,15 @@ object MergeWriter {
     * `buckets` applies on table creation; an existing table keeps its
     * stored bucket count (changing it would reshuffle every key).
     *
-    * Concurrency contract: ONE writer per table path. The version-CAS
-    * commit makes a racing committer fail loudly (never corrupt), but the
-    * loser's staged epoch is reclaimed by the winner's [[gc]] — concurrent
-    * merges on one table are detected, not supported. Readers are safe
-    * throughout ([[KeepManifests]] keeps the previous version's epochs
-    * alive through the next commit).
+    * Concurrency contract — OPTIMISTIC: writers that touch DISJOINT
+    * bucket sets all succeed, serialized by the version-CAS commit with
+    * rebase-and-retry (see [[writeEpochAndCommit]]); writers contending
+    * for a bucket fail loudly with `ConcurrentModificationException`
+    * (the merge read stale survivors — re-run it), never corrupt.
+    * [[gc]]'s orphan-age guard keeps a mid-commit writer's staged epoch
+    * alive through its retry window. Readers are safe throughout
+    * ([[KeepManifests]] keeps the previous version's epochs alive
+    * through the next commit).
     */
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64,
@@ -527,6 +553,19 @@ object MergeWriter {
   /** Write `rows` (bucket column recomputed from the keys) into a fresh
     * epoch directory, then commit the next manifest version pointing the
     * written buckets at it. Nothing is visible until the commit rename.
+    *
+    * OPTIMISTIC CONCURRENCY (Delta's commit protocol, scaled down): a
+    * lost version race does not fail the write outright. The committer
+    * re-reads the current manifest and REBASES — its new pointers apply
+    * on top of the winner's — provided none of ITS buckets (written or
+    * dropped) changed pointer since `prev` was read and the schema is
+    * unchanged: disjoint-bucket writers then all succeed, serialized by
+    * the version CAS. A bucket this write READ-MODIFIED that the winner
+    * also rewrote means the survivors were computed from stale data —
+    * that is a genuine data conflict and fails loudly with
+    * `ConcurrentModificationException` (the caller re-runs its merge
+    * against the new state). The age guard in [[gc]] keeps the loser's
+    * staged epoch alive through this window.
     */
   private def writeEpochAndCommit(spark: SparkSession, fs: FileSystem,
                                   tablePath: String, rows: DataFrame,
@@ -546,22 +585,67 @@ object MergeWriter {
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
-    // dropBuckets clears stale pointers for touched buckets the write
-    // left EMPTY (a delete can empty a bucket; the partitioned write
-    // emits no directory for it, so without the drop the old epoch —
-    // still holding the deleted rows — would stay visible)
-    val epochs = (prev.map(_.epochs).getOrElse(Map.empty) -- dropBuckets) ++
-      written.map(_ -> epoch)
-    // txn ledger survives every commit; the new txn (if any) rides the
-    // SAME atomic rename as the data it applied
-    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
-    // the committed schema is the written frame's (sans the physical
-    // bucket column) — on an evolving merge this is already the union
-    // schema, so the recorded schema and the data it describes commit in
-    // the same atomic rename
-    commitManifest(fs, new Path(tablePath),
-      Manifest(prev.map(_.version + 1).getOrElse(1L), buckets, epochs, txns,
-        Some(rows.schema.json)))
+    val mine = written.toSet ++ dropBuckets
+    var base = prev
+    var attempt = 0
+    while (true) {
+      // dropBuckets clears stale pointers for touched buckets the write
+      // left EMPTY (a delete can empty a bucket; the partitioned write
+      // emits no directory for it, so without the drop the old epoch —
+      // still holding the deleted rows — would stay visible)
+      val epochs = (base.map(_.epochs).getOrElse(Map.empty) -- dropBuckets) ++
+        written.map(_ -> epoch)
+      // txn ledger survives every commit; the new txn (if any) rides the
+      // SAME atomic rename as the data it applied
+      val txns = base.map(_.txns).getOrElse(Map.empty) ++ txn
+      // the committed schema is the written frame's (sans the physical
+      // bucket column) — on an evolving merge this is already the union
+      // schema, so the recorded schema and the data it describes commit
+      // in the same atomic rename
+      try {
+        commitManifest(fs, new Path(tablePath),
+          Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
+            txns, Some(rows.schema.json)))
+        return
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          val cur = currentManifest(fs, new Path(tablePath)).getOrElse(
+            throw e) // commit failed yet no manifest: surface the original
+          // data conflict iff any bucket THIS write read-modified changed
+          // pointer since it was read, or the schema moved underneath us
+          // (on a CREATION race, "moved" means the winner created a table
+          // of a different schema than the one being written)
+          val conflicting = mine.exists(b =>
+            cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
+          // nullability-insensitive: the same logical schema serializes
+          // with different nullability by provenance (Seq-derived vs
+          // parquet-read frames)
+          def same(x: Option[String], y: Option[String]): Boolean =
+            (x, y) match {
+              case (Some(a), Some(b)) => a == b ||
+                org.apache.spark.sql.GraftColumnShim.sameTypeIgnoreNullability(
+                  DataType.fromJson(a), DataType.fromJson(b))
+              case (a, b) => a == b
+            }
+          val schemaConflict = prev match {
+            case Some(p) => !same(cur.schema, p.schema)
+            case None => !same(cur.schema, Some(rows.schema.json))
+          }
+          if (conflicting || schemaConflict) {
+            val diff = mine.filter(b =>
+              cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
+            throw new java.util.ConcurrentModificationException(
+              s"merge: concurrent writer rewrote contested buckets " +
+                s"${diff.toSeq.sorted.mkString("{", ",", "}")} of " +
+                s"$tablePath (version ${cur.version}" +
+                s"${if (schemaConflict) ", schema changed" else ""}) — " +
+                "re-run against the new table state")
+          }
+          base = Some(cur)
+      }
+    }
   }
 
   /** Keyed DELETE — `MERGE INTO target USING keys ON keys WHEN MATCHED

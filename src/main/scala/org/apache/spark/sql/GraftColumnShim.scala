@@ -22,4 +22,14 @@ object GraftColumnShim {
     case c: classic.SparkSession => c.sessionUUID
     case other => "id#" + System.identityHashCode(other)
   }
+
+  /** Nullability-insensitive type equality (`equalsIgnoreNullability` is
+    * `private[spark]`): the same logical schema round-trips with
+    * different nullability depending on provenance (Seq-derived frames
+    * are non-nullable, parquet reads nullable), so a literal comparison
+    * of schema JSON false-positives.
+    */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
 }

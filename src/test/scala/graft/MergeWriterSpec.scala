@@ -218,12 +218,86 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getInt(1))).toSet
     assert(seen == committed, "uncommitted epoch leaked into reads")
 
-    // the next successful merge garbage-collects the orphan
+    // a YOUNG orphan survives the next merge's gc — it could be a
+    // concurrent writer mid-commit (the rebase window) — while staying
+    // invisible to readers; an AGED orphan is reclaimed (gcNow = zero
+    // retention simulates age)
     MergeWriter.merge(spark, dir, Seq(("k1", 101)).toDF("k", "v"), Seq("k"), buckets = 4)
-    assert(!new java.io.File(orphan).exists(), "orphan epoch should be GC'd")
+    assert(new java.io.File(orphan).exists(),
+      "young orphan must survive the concurrent-writer retention window")
     val rows = MergeWriter.readTable(spark, dir).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(rows.size == 16 && rows("k1") == 101 && rows("k0") == 0)
+    MergeWriter.gcNow(spark, dir)
+    assert(!new java.io.File(orphan).exists(), "aged orphan should be GC'd")
+    assert(MergeWriter.readTable(spark, dir).count() == 16)
+  }
+
+  test("concurrent disjoint-bucket merges all commit via rebase") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{hash => shash}
+    val dir = Files.createTempDirectory("optcc").toString + "/t"
+    // keys pre-sorted into their buckets so each thread owns a disjoint
+    // bucket set (buckets = 4; thread 0 → {0,1}, thread 1 → {2,3})
+    val byBucket = (0L until 64L).groupBy(k =>
+      Seq(k).toDF("k").select(pmod(shash(col("k")), lit(4))).head().getInt(0))
+    val mine = Seq(
+      byBucket.filter(e => e._1 == 0 || e._1 == 1).values.flatten.toSeq,
+      byBucket.filter(e => e._1 == 2 || e._1 == 3).values.flatten.toSeq)
+    assert(mine.forall(_.nonEmpty))
+    val rounds = 6
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence((0 until 2).map { t =>
+      Future {
+        (1 to rounds).foreach { r =>
+          MergeWriter.merge(spark, dir,
+            mine(t).map(k => (k, t * 1000 + r)).toDF("k", "v"),
+            Seq("k"), buckets = 4)
+        }
+      }
+    }), Duration.Inf)
+    // every writer's LAST round survived for every one of its keys:
+    // lost updates would show an earlier round (or a missing key)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 2).foreach(t => mine(t).foreach(k =>
+      assert(rows(k) == t * 1000 + rounds, s"key $k of thread $t")))
+    assert(rows.size == 64)
+  }
+
+  test("contested-bucket concurrent merges conflict loudly, never corrupt") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("conflict").toString + "/t"
+    MergeWriter.merge(spark, dir, Seq((1L, -1)).toDF("k", "v"), Seq("k"),
+      buckets = 2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    Await.result(Future.sequence((0 until 2).map { t =>
+      Future {
+        (1 to 5).foreach { r =>
+          try {
+            MergeWriter.merge(spark, dir,
+              Seq((1L, t * 100 + r)).toDF("k", "v"), Seq("k"), buckets = 2)
+            applied.add(t * 100 + r)
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet()
+          }
+        }
+      }
+    }), Duration.Inf)
+    // whatever interleaving happened: the table stays readable and holds
+    // exactly one row whose value is one of the successfully applied
+    // writes (conflicted writes changed nothing)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows.length == 1)
+    assert(applied.contains(rows.head._2) || rows.head._2 == -1)
   }
 
   test("commits keep the last versions readable and GC the rest") {
