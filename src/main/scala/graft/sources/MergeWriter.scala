@@ -244,6 +244,41 @@ object MergeWriter {
   private[graft] def gcNow(spark: SparkSession, tablePath: String): Unit =
     gc(fsFor(spark, tablePath), new Path(tablePath), orphanRetentionMs = 0L)
 
+  /** Operational VACUUM (Delta's VACUUM / Iceberg's remove_orphan_files):
+    * reclaim unreferenced epochs older than `retentionMs` and other
+    * stale artifacts, without committing anything. Merges already gc on
+    * commit; vacuum exists for cold tables that stopped merging with
+    * orphans left behind (a crashed writer's last epoch). Retention
+    * below the default forfeits the concurrent-writer grace window —
+    * only safe when no writer can be mid-commit.
+    */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retentionMs: Long = OrphanRetentionMs): Unit =
+    gc(fsFor(spark, tablePath), new Path(tablePath), retentionMs)
+
+  /** Operational introspection (Delta's DESCRIBE DETAIL): one row with
+    * the table's current version, bucket count, live epoch count,
+    * recorded schema DDL, retained versions, and txn-ledger size.
+    */
+  def describeTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, tablePath)
+    val retained = manifestFiles(fs, new Path(tablePath)).map(_._1)
+    currentManifest(fs, new Path(tablePath)) match {
+      case Some(m) =>
+        Seq((m.version, m.buckets, m.epochs.values.toSet.size,
+          m.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType]
+            .toDDL).getOrElse(""),
+          retained.mkString(","), m.txns.size))
+          .toDF("version", "buckets", "live_epochs", "schema_ddl",
+            "retained_versions", "n_txns")
+      case None =>
+        Seq.empty[(Long, Int, Int, String, String, Int)]
+          .toDF("version", "buckets", "live_epochs", "schema_ddl",
+            "retained_versions", "n_txns")
+    }
+  }
+
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 

@@ -530,6 +530,31 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(24)
   }
 
+  test("vacuum reclaims aged orphans; describeTable reports table state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vacuum").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), buckets = 4)
+    val orphan = s"$dir/e-orphan-${java.util.UUID.randomUUID()}"
+    Seq((9L, "x")).toDF("k", "v")
+      .withColumn(MergeWriter.BucketCol, lit(0))
+      .write.partitionBy(MergeWriter.BucketCol).parquet(orphan)
+    // default retention keeps the young orphan; zero retention reclaims
+    MergeWriter.vacuum(spark, dir)
+    assert(new java.io.File(orphan).exists())
+    MergeWriter.vacuum(spark, dir, retentionMs = 0L)
+    assert(!new java.io.File(orphan).exists())
+    assert(MergeWriter.readTable(spark, dir).count() == 2)
+
+    val d = MergeWriter.describeTable(spark, dir).collect().head
+    assert(d.getAs[Long]("version") == 1L)
+    assert(d.getAs[Int]("buckets") == 4)
+    assert(d.getAs[Int]("live_epochs") == 1)
+    assert(d.getAs[String]("schema_ddl").contains("k BIGINT"))
+    assert(MergeWriter.describeTable(spark,
+      Files.createTempDirectory("absent").toString + "/none").count() == 0)
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
