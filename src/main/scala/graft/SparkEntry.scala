@@ -1755,6 +1755,20 @@ object SparkEntry {
         Multimodal.WavPcmDecoder(samplesPerFrame = 16), everyNth = 2))
     }),
 
+    // REAL audio features, not a checksum: the q82 PCM frames through
+    // the exact-integer DSP kernel (energy Σ(s−128)², DC offset, peak
+    // amplitude) — the feature-extraction step of an audio pipeline run
+    // on the actual parsed waveform. The oracle recomputes all three
+    // from the packed text, so a sample-value or framing error anywhere
+    // in the container walk fails the hash.
+    "q141_wav_features" -> ((s, dir) => {
+      val ascii = Tables.documents(s, dir)
+        .filter(col("text").rlike("\\A[\\x00-\\x7F]*\\z"))
+      val assets = Multimodal.toWavAssets(ascii, col("doc_id"), col("text"))
+      Multimodal.pcmFrameFeatures(Multimodal.sampleFrames(assets,
+        Multimodal.WavPcmDecoder(samplesPerFrame = 16), everyNth = 2))
+    }),
+
     // S6 — the field-metadata scan (`jc_issue.ts:118-148` getFields): the
     // reference GETs the full `/field` list (no predicate — a config-scale
     // scan) and the custom-field bootstrap matches configured field NAMES
@@ -5616,6 +5630,31 @@ object SparkEntry {
         |    string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
         |    ch -> unicode(ch))), 0) AS BIGINT) AS byte_sum
         |FROM f""".stripMargin,
+
+    // Energy/DC/peak recomputed from the packed text per frame — same
+    // frame grid as q82, all-integer arithmetic.
+    "q141_wav_features" ->
+      """WITH c AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  WHERE regexp_full_match(text, '[\x00-\x7F]*')),
+        |f AS (
+        |  SELECT asset_id, text,
+        |    unnest(range(0, greatest(1, length(text) // 16), 2)) AS frame_idx
+        |  FROM c),
+        |d AS (
+        |  SELECT asset_id, frame_idx,
+        |    list_transform(
+        |      string_split(substring(text, CAST(frame_idx*16+1 AS INT), 16), ''),
+        |      ch -> unicode(ch) - 128) AS devs
+        |  FROM f)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(len(devs) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_sum(list_transform(devs, d -> d*d)), 0) AS BIGINT)
+        |    AS energy,
+        |  CAST(COALESCE(list_sum(devs), 0) AS BIGINT) AS dc_offset,
+        |  CAST(COALESCE(list_max(list_transform(devs, d -> abs(d))), 0) AS BIGINT)
+        |    AS peak
+        |FROM d""".stripMargin,
 
     // Recompute the /field drop from the distinct event types and resolve
     // the configured names to ids.

@@ -436,6 +436,34 @@ object Multimodal {
       }.toDF("asset_id", "frame_idx", "n_bytes", "byte_sum")
   }
 
+  /** REAL audio feature kernel over 8-bit PCM frames (no codec needed —
+    * PCM samples ARE the waveform): per frame, the exact-integer DSP
+    * triple a feature pipeline starts from — signal energy
+    * Σ(s−128)² (8-bit PCM is unsigned, centered at 128), DC offset
+    * Σ(s−128), and peak amplitude max|s−128|. All integer arithmetic,
+    * so the features are engine-exact with no rounding discipline
+    * needed. Partition-local, no shuffle.
+    */
+  def pcmFrameFeatures(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("asset_id"), col("frame_idx"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, idx, b) =>
+        val bb = if (b == null) Array.emptyByteArray else b
+        var energy = 0L; var dc = 0L; var peak = 0L
+        var i = 0
+        while (i < bb.length) {
+          val d = (bb(i) & 0xff) - 128
+          energy += d.toLong * d; dc += d
+          if (math.abs(d) > peak) peak = math.abs(d)
+          i += 1
+        }
+        (id, idx, bb.length.toLong, energy, dc, peak)
+      }.toDF("asset_id", "frame_idx", "n_samples", "energy", "dc_offset",
+        "peak")
+  }
+
   /** Metadata-only resize: records the target dimensions without touching
     * payload bytes (the real pixel resample is the decoder's job).
     */
