@@ -222,9 +222,16 @@ object MergeWriter {
                  orphanRetentionMs: Long = OrphanRetentionMs): Unit = {
     val manifests = manifestFiles(fs, dir)
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - KeepManifests))
-    val referenced = keep.flatMap { case (v, p) =>
-      readManifest(fs, v, p).epochs.values
-    }.toSet
+    val keptManifests = keep.map { case (v, p) => readManifest(fs, v, p) }
+    val referenced = keptManifests.flatMap(_.epochs.values).toSet
+    // bucket granularity too: a kept manifest may reference only SOME of
+    // an epoch's bucket dirs (later merges re-pointed the others) — the
+    // unreferenced siblings are dead data that an epoch-level sweep
+    // would keep alive forever (and a physical purge must remove)
+    // toSeq first: mapping the Map directly would re-key by epoch name
+    // and silently collapse buckets sharing an epoch
+    val referencedBuckets = keptManifests
+      .flatMap(_.epochs.toSeq.map { case (b, e) => (e, b) }).toSet
     drop.foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
     fs.listStatus(dir).foreach { st =>
@@ -237,6 +244,17 @@ object MergeWriter {
       if (!st.isDirectory && (n.startsWith(".tmp-manifest-") ||
           n.startsWith("part-") || n == "_SUCCESS"))
         fs.delete(st.getPath, false)
+    }
+    referenced.foreach { e =>
+      val ep = new Path(dir, e)
+      if (fs.exists(ep)) fs.listStatus(ep).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(BucketCol + "=") &&
+            scala.util.Try(n.stripPrefix(BucketCol + "=").toInt).toOption
+              .exists(b => !referencedBuckets((e, b))) &&
+            now - st.getModificationTime > orphanRetentionMs)
+          fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -255,6 +273,28 @@ object MergeWriter {
   def vacuum(spark: SparkSession, tablePath: String,
              retentionMs: Long = OrphanRetentionMs): Unit =
     gc(fsFor(spark, tablePath), new Path(tablePath), retentionMs)
+
+  /** Collapse readable history to the CURRENT state — the
+    * right-to-be-forgotten completion of [[delete]]: a keyed delete
+    * removes a row from the current version, but retained older
+    * versions (time travel) still serve it. truncateHistory commits
+    * enough duplicate manifests of the current state that EVERY
+    * retained version post-dates the call; the superseded versions'
+    * epochs become unreferenced and [[vacuum]] (or any later merge's
+    * gc, after the orphan window) physically reclaims their files.
+    * `delete → truncateHistory → vacuum` is the full purge: gone from
+    * the current read, gone from time travel, gone from disk.
+    */
+  def truncateHistory(spark: SparkSession, tablePath: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      (1 until KeepManifests).foreach { i =>
+        commitManifest(fs, dir, man.copy(version = man.version + i))
+      }
+      gc(fs, dir)
+    }
+  }
 
   /** Operational introspection (Delta's DESCRIBE DETAIL): one row with
     * the table's current version, bucket count, live epoch count,

@@ -555,6 +555,40 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       Files.createTempDirectory("absent").toString + "/none").count() == 0)
   }
 
+  test("delete + truncateHistory + vacuum is a full physical purge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("purge").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq((1L, "secret"), (2L, "keep")).toDF("k", "v"), Seq("k"), buckets = 2)
+    MergeWriter.merge(spark, dir,
+      Seq((1L, "secret-v2")).toDF("k", "v"), Seq("k"), buckets = 2)
+    MergeWriter.delete(spark, dir, Seq(1L).toDF("k"), Seq("k"))
+    // time travel still serves the deleted row from a retained version
+    val vs = MergeWriter.availableVersions(spark, dir)
+    assert(MergeWriter.readTableVersion(spark, dir, vs.head)
+      .filter(col("k") === 1L).count() == 1)
+    // truncate: every retained version now post-dates the delete
+    MergeWriter.truncateHistory(spark, dir)
+    MergeWriter.availableVersions(spark, dir).foreach { v =>
+      assert(MergeWriter.readTableVersion(spark, dir, v)
+        .filter(col("k") === 1L).count() == 0, s"version $v")
+    }
+    // vacuum reclaims the superseded epochs: NO parquet file under the
+    // table still holds the secret
+    MergeWriter.vacuum(spark, dir, retentionMs = 0L)
+    val leftovers = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(leftovers.nonEmpty)
+    val all = spark.read.parquet(leftovers.map(_.getPath): _*)
+    assert(all.filter(col("v").startsWith("secret")).count() == 0,
+      "purged value still on disk")
+    assert(MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(2L -> "keep"))
+  }
+
   test("overwritePartitions replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cwim").toString + "/cwim"
