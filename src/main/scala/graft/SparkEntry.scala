@@ -2999,6 +2999,33 @@ object SparkEntry {
           col("ver").as("version_ts"))
     }),
 
+    // PHYSICAL PURGE proven through storage: after delete +
+    // truncateHistory, the union of EVERY retained version must lack the
+    // churned rows — if any retained manifest still served pre-delete
+    // state (the time-travel leak truncateHistory exists to close), the
+    // extra rows would break the hash against the filtered oracle.
+    "q142_purged_history" -> ((s, dir) => {
+      val path = scratchDir("graft-purge") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      val state = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      sources.MergeWriter.merge(s, path, state, Seq("user_id"), buckets = 8)
+      val churned = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(13)) === 0)
+      sources.MergeWriter.delete(s, path, churned, Seq("user_id"))
+      sources.MergeWriter.truncateHistory(s, path)
+      sources.MergeWriter.availableVersions(s, path)
+        .map(v => sources.MergeWriter.readTableVersion(s, path, v))
+        .reduce(_ unionByName _).distinct()
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+    }),
+
     // CHANGE FEED between committed versions (Delta CDF for the manifest
     // protocol): q126's two-version build, then the keyed diff of the
     // pinned snapshots — op ∈ insert/update (no deletes here: a
@@ -5849,6 +5876,15 @@ object SparkEntry {
         |           OR o.ts IS DISTINCT FROM n.ts THEN 'update' END AS op
         |  FROM le o FULL OUTER JOIN ln n ON o.user_id = n.user_id)
         |WHERE op IS NOT NULL""".stripMargin,
+
+    // Every retained version post-truncate = the filtered current state.
+    "q142_purged_history" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND user_id % 13 <> 0""".stripMargin,
 
     // The pruned lookup must return exactly the stored rows of the
     // wanted keys — the q84 relation filtered to them; absent keys
