@@ -137,6 +137,37 @@ class SimilaritySpec extends AnyFunSuite {
       "probing every cell must reduce IVF-PQ to the full ADC scan")
   }
 
+  test("incremental near-dup is batch-split invariant vs the one-shot") {
+    import spark.implicits._
+    val oneShot = Similarity.srpNearDupPairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.3, bits = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty)
+    // arrival order A: evens then odds; arrival order B: three thirds —
+    // every split must accumulate exactly the one-shot pair set
+    def accumulate(batches: Seq[org.apache.spark.sql.DataFrame]): Set[(Long, Long)] = {
+      var storedBands: Option[org.apache.spark.sql.DataFrame] = None
+      var pairs = Set.empty[(Long, Long)]
+      batches.foreach { b =>
+        val bands = Similarity.srpBandRows(b, col("vec_id"),
+          col("embedding"), bits = 32, bands = 4)
+        val stored = storedBands.getOrElse(bands.limit(0))
+        pairs = pairs ++ Similarity.srpIncrementalNearDupPairs(emb,
+            col("vec_id"), col("embedding"), stored, b,
+            threshold = 0.3, bits = 32, bands = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        storedBands = Some(stored.unionByName(bands))
+      }
+      pairs
+    }
+    val splitA = accumulate(Seq(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1)))
+    val splitB = accumulate((0 until 3).map(r =>
+      emb.filter(col("vec_id") % 3 === r)))
+    assert(splitA == oneShot)
+    assert(splitB == oneShot)
+  }
+
   test("quantized top-k flags exact-search agreement correctly") {
     import spark.implicits._
     // clusters around two directions; quantization preserves the ranking

@@ -205,6 +205,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(naive == Map("a" -> 5L, "b" -> 2L))
   }
 
+  test("tokenBudgetMixture equals a sequential greedy fold on random input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // deterministic
+    val docs = (0 until 300).map { i =>
+      val grp = s"g${rnd.nextInt(3)}"
+      val n = rnd.nextInt(30) + 1
+      (i.toLong, grp, ("w " * n).trim, n.toLong)
+    }
+    val weights = Map("g0" -> 0.4, "g1" -> 0.35, "g2" -> 0.25)
+    val budget = 800L
+    def lcg(k: Long): Long = ((k % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+    val got = TextAnalysis.tokenBudgetMixture(
+        docs.map(d => (d._1, d._2, d._3)).toDF("doc_id", "grp", "text"),
+        col("doc_id"), col("text"), col("grp"),
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * 1103515245L + 12345L,
+          lit(2147483647L)),
+        weights, budget)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // sequential greedy reference: per group, priority order, keep while
+    // the running total stays within floor(weight·budget)
+    val expected = docs.groupBy(_._2).map { case (g, ds) =>
+      val cap = math.floor(weights(g) * budget).toLong
+      var cum = 0L; var n = 0L; var toks = 0L
+      ds.sortBy(d => (lcg(d._1), d._1)).foreach { d =>
+        if (cum + d._4 <= cap) { cum += d._4; n += 1; toks += d._4 }
+      }
+      g -> ((n, toks))
+    }
+    // NOTE the operator's rule is prefix (stop at first crossing), not
+    // best-fit: mirror it — the fold above must also stop instead of
+    // skipping, so recompute with a stop flag
+    val expectedPrefix = docs.groupBy(_._2).map { case (g, ds) =>
+      val cap = math.floor(weights(g) * budget).toLong
+      var cum = 0L; var n = 0L; var toks = 0L; var stopped = false
+      ds.sortBy(d => (lcg(d._1), d._1)).foreach { d =>
+        if (!stopped) {
+          if (cum + d._4 <= cap) { cum += d._4; n += 1; toks += d._4 }
+          else stopped = true
+        }
+      }
+      g -> ((n, toks))
+    }
+    assert(got == expectedPrefix,
+      s"got $got\nprefix $expectedPrefix\nbestfit $expected")
+  }
+
   test("bm25TopK ranks by tf, length norm, and sums across query terms") {
     import spark.implicits._
     val docs = Seq(
