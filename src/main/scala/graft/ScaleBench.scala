@@ -265,7 +265,9 @@ object ScaleBench {
       "q62_srp_neardup", "q63_dedup_components", "q64_contamination",
       "q65_dedup_survivors", "q61_streaming_merge", "q66_streaming_sessions",
       "q81_srp_wide_replicas", "q95_repetition_filter", "q101_substring_dedup",
-      "q119_keep_first_cut", "q117_pq_topk", "q118_ivfpq_topk")
+      "q119_keep_first_cut", "q117_pq_topk", "q118_ivfpq_topk",
+      "q130_cut_apply", "q133_bm25_topk", "q135_pair_pagerank",
+      "q137_incremental_bm25", "q140_streaming_ingest_neardup")
     if (sections("heavy")) {
       heavy.foreach(q => time(base, q))
       heavy.foreach(q => time(rep, q))
