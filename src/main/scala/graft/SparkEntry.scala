@@ -2377,6 +2377,17 @@ object SparkEntry {
             .otherwise(size(graft.functions.tokens(col("kept_text")))
               .cast("long")))),
 
+    // CCNet-shaped LM quality filter: a bigram model with add-one
+    // smoothing trained on the doc_id ≡ 0 (mod 7) reference slice scores
+    // every document's mean bigram probability (arithmetic mean, not
+    // perplexity — no libm ln in the score, decimal-exact cross-bigram
+    // sums; see TextAnalysis.lmScoreFilter). keep = score ≥ 0.01.
+    "q143_lm_quality_filter" -> ((s, dir) =>
+      TextAnalysis.lmScoreFilter(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        trainFilter = pmod(col("doc_id"), lit(7)) === 0,
+        threshold = 0.01)),
+
     // Mixture construction to a token budget (the data-mixing step of a
     // training run): per-language budgets weight·10000 tokens, filled in
     // deterministic LCG-priority order, crossing doc dropped. The
@@ -3915,6 +3926,36 @@ object SparkEntry {
          |  ROUND(CAST(COALESCE(pd.n_dup_chars, 0) AS DOUBLE) / length(d.text), 6)
          |    AS dup_fraction
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // Same smoothed-probability arithmetic (identical casts and
+    // association), counts derived independently in SQL.
+    "q143_lm_quality_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, doc_id % 7 = 0 AS is_train,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, is_train,
+        |    toks[CAST(i + 1 AS INT)] AS w1,
+        |    toks[CAST(i + 2 AS INT)] AS w2
+        |  FROM tk, UNNEST(range(len(toks) - 1)) AS t(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE is_train
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE is_train GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT t.tok) AS v FROM (
+        |  SELECT unnest(toks) AS tok FROM tk WHERE is_train) t),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CAST((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE))
+        |      AS DECIMAL(38,15)) AS pd
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1, vv)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 6) AS lm_score,
+        |  ROUND(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 6) >= 0.01 AS keep
+        |FROM sc GROUP BY 1""".stripMargin,
 
     // One plain cumsum per language (fixture-scale), same keep rule:
     // running total ≤ floor(weight·budget), LCG priority order.

@@ -208,6 +208,64 @@ object TextAnalysis {
         col("n_kept_tokens"))
   }
 
+  /** N-gram language-model quality filter (the CCNet shape, Wenzek et
+    * al. 2020: score text against an LM trained on a trusted reference
+    * corpus; low-scoring documents are filtered): a bigram model with
+    * add-one smoothing is TRAINED on the `trainFilter` slice —
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) — and every document scores the
+    * MEAN bigram probability. CCNet uses perplexity (geometric mean);
+    * the arithmetic mean is used here for the same reason as the linear
+    * idf in [[tfidfTopTerms]]: no libm `ln`/`exp` in the score, so with
+    * per-bigram probabilities as single IEEE expression trees and the
+    * cross-bigram sum in DECIMAL(38,15), the score is bit-identical
+    * across engines. Both means order documents by LM fit; thresholds
+    * are calibrated to whichever is used.
+    *
+    * Scale shape: model counts are two combinable aggregations over the
+    * train slice keyed on (w₁,w₂)/w₁ (uniform high-cardinality); scoring
+    * joins each doc bigram to the counts on those keys (model size is
+    * vocabulary², typically join—not broadcast—scale); V rides one
+    * broadcast row; the per-doc mean partitions on doc_id. Documents
+    * with fewer than 2 tokens have no bigrams and are not scored.
+    *
+    * Returns (doc_id, n_bigrams, lm_score, keep).
+    */
+  def lmScoreFilter(docs: DataFrame, id: Column, text: Column,
+                    trainFilter: Column, threshold: Double): DataFrame = {
+    val toked = docs.select(id.cast("long").as("doc_id"), tok(text).as("__toks"),
+      trainFilter.as("__train"))
+    val bigrams = toked
+      .select(col("doc_id"), col("__train"),
+        // sequence(0, -1) DESCENDS in Spark: a <2-token doc must produce
+        // an empty bigram list, not walk off the array
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("__train"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = bigrams.filter(col("__train"))
+    val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toked.filter(col("__train"))
+      .select(explode(col("__toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val p = (col("c2").cast("double") + lit(1.0)) /
+      (col("c1").cast("double") + col("v").cast("double"))
+    bigrams
+      .join(c2, Seq("w1", "w2"), "left").na.fill(0L, Seq("c2"))
+      .join(c1, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), p.cast("decimal(38,15)").as("pd"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("pd")).cast("double") / count(lit(1)), 6)
+          .as("lm_score"))
+      .withColumn("keep", col("lm_score") >= threshold)
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic.
     */

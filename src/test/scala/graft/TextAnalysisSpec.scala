@@ -205,6 +205,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(naive == Map("a" -> 5L, "b" -> 2L))
   }
 
+  test("lmScoreFilter scores hand-computed smoothed bigram probabilities") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b"), // train: c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V=2
+      (1L, "a b c"),   // p(a,b)=(2+1)/(2+2)=0.75; p(b,c)=(0+1)/(1+2)=1/3
+      (2L, "z")        // single token: no bigrams, not scored
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreFilter(docs, col("doc_id"), col("text"),
+        trainFilter = col("doc_id") === 0L, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(!got.contains(2L))
+    // train doc self-scores: p(a,b)=0.75 (×2), p(b,a)=(1+1)/(1+2)=2/3
+    assert(got(0L)._1 == 3L)
+    assert(math.abs(got(0L)._2 - BigDecimal((0.75 * 2 + 2.0 / 3) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(1L) == ((2L, 0.541667, true)))
+  }
+
   test("tokenBudgetMixture equals a sequential greedy fold on random input") {
     import spark.implicits._
     val rnd = new scala.util.Random(7) // deterministic
