@@ -2720,6 +2720,44 @@ object SparkEntry {
         .agg(min(col("n")).as("cms_est"))
     }),
 
+    // INCREMENTAL CMS maintenance: the 4×256 counter table lives in a
+    // merge-maintained table and each token-stream slice FOLDS in via
+    // mergeAdditive (counters are pure sums) with a deliberate replay
+    // the txn ledger must skip — then the STORED counters answer q113's
+    // probes. Identical estimates to the one-shot sketch is the proof:
+    // a 100 TB frequency sketch is maintained, not rebuilt.
+    "q144_incremental_cms" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratchDir("graft-cms") + "/counters"
+      val toks = CacheRegistry.persist(
+        Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text").cast("string"))
+          .as[(Long, String)]
+          .repartition(s.sparkContext.defaultParallelism)
+          .flatMap { case (_, t) => t.trim.split("\\s+").iterator
+            .map(w => graft.functions.TextHash.poly(w,
+              graft.functions.TextHash.Mod31)) }
+          .toDF("sid"))
+      def fold(r: Int, v: Long) = sources.MergeWriter.mergeAdditive(s, path,
+        Sketches.countMin(toks.filter(pmod(col("sid"), lit(3)) === r),
+          col("sid"), depth = 4, width = 256),
+        Seq("row", "col"), Seq("n"), txn = ("cms", v), buckets = 8)
+      fold(0, 1L)
+      fold(1, 2L)
+      fold(1, 2L) // at-least-once redelivery — must not double the counters
+      fold(2, 3L)
+      val mat = sources.MergeWriter.readTable(s, path)
+      val top = toks.groupBy(col("sid")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("sid")).limit(10)
+      val probes = (0 until 4).map(r =>
+        top.select(col("sid"), col("exact_n"), lit(r.toLong).as("row"),
+          Sketches.posHash(col("sid"), r, 256).as("col")))
+        .reduce(_ unionByName _)
+      probes.join(mat, Seq("row", "col"))
+        .groupBy(col("sid"), col("exact_n"))
+        .agg(min(col("n")).as("cms_est"))
+    }),
+
     // Bloom-filter contamination screen: the q64 train/test split probed
     // against a 65536-bit, 3-hash Bloom of the train TRIGRAM set — the
     // CONSTANT-SIZE alternative to shipping the train sid set. Trigrams
@@ -3710,6 +3748,33 @@ object SparkEntry {
     * merge incl. stale replay) and q125 (post-compaction read-back) must
     * equal.
     */
+  /** The CMS probe oracle (4×256 counters, top-10 exact-vs-estimate) —
+    * shared by q113 (one-shot sketch) and q144 (incrementally-folded
+    * counter table), which must estimate identically by construction.
+    */
+  private lazy val cmsOracleSql: String = {
+    val h = graft.functions.TextHash.duckdbPoly("w",
+      graft.functions.TextHash.Mod31)
+    val matRows = (0 until 4).map(r =>
+      s"SELECT $r AS r, ${operators.Sketches.duckdbPosHash("sid", r, 256)} AS c FROM sids")
+      .mkString(" UNION ALL ")
+    val probeRows = (0 until 4).map(r =>
+      s"SELECT sid, exact_n, $r AS r, ${operators.Sketches.duckdbPosHash("sid", r, 256)} AS c FROM top")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |sids AS (SELECT $h AS sid FROM tok),
+       |mat AS (SELECT r, c, COUNT(*) AS n FROM ($matRows) GROUP BY 1, 2),
+       |ex AS (SELECT sid, COUNT(*) AS exact_n FROM sids GROUP BY 1),
+       |top AS (SELECT sid, exact_n FROM ex ORDER BY exact_n DESC, sid LIMIT 10),
+       |pr AS ($probeRows)
+       |SELECT p.sid, CAST(p.exact_n AS BIGINT) AS exact_n,
+       |  CAST(MIN(m.n) AS BIGINT) AS cms_est
+       |FROM pr p JOIN mat m ON p.r = m.r AND p.c = m.c
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Okapi BM25 with linear idf and decimal cross-term sums — shared by
     * q133 (one-shot build) and q137 (incrementally-folded index), which
     * must answer identically by construction.
@@ -4204,28 +4269,11 @@ object SparkEntry {
         |FROM events e JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
-    "q113_countmin_tokens" -> {
-      val h = graft.functions.TextHash.duckdbPoly("w",
-        graft.functions.TextHash.Mod31)
-      val matRows = (0 until 4).map(r =>
-        s"SELECT $r AS r, ${Sketches.duckdbPosHash("sid", r, 256)} AS c FROM sids")
-        .mkString(" UNION ALL ")
-      val probeRows = (0 until 4).map(r =>
-        s"SELECT sid, exact_n, $r AS r, ${Sketches.duckdbPosHash("sid", r, 256)} AS c FROM top")
-        .mkString(" UNION ALL ")
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |  FROM documents),
-         |sids AS (SELECT $h AS sid FROM tok),
-         |mat AS (SELECT r, c, COUNT(*) AS n FROM ($matRows) GROUP BY 1, 2),
-         |ex AS (SELECT sid, COUNT(*) AS exact_n FROM sids GROUP BY 1),
-         |top AS (SELECT sid, exact_n FROM ex ORDER BY exact_n DESC, sid LIMIT 10),
-         |pr AS ($probeRows)
-         |SELECT p.sid, CAST(p.exact_n AS BIGINT) AS exact_n,
-         |  CAST(MIN(m.n) AS BIGINT) AS cms_est
-         |FROM pr p JOIN mat m ON p.r = m.r AND p.c = m.c
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "q113_countmin_tokens" -> cmsOracleSql,
+
+    // The incrementally-folded counter table must answer the SAME probes
+    // with the SAME estimates as the one-shot sketch — oracle verbatim.
+    "q144_incremental_cms" -> cmsOracleSql,
 
     "q114_bloom_contamination" -> {
       val trainBits = (0 until 3).map(r =>
