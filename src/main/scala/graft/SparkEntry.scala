@@ -2758,6 +2758,56 @@ object SparkEntry {
         .agg(min(col("n")).as("cms_est"))
     }),
 
+    // INCREMENTAL Bloom maintenance: the 65536-bit filter's set-bit
+    // table lives in a merge-maintained table; train slices union in via
+    // plain keyed merge (a bit set is idempotent by construction — the
+    // replay is a content no-op), and the STORED bits answer the q114
+    // contamination probes identically to the one-shot filter.
+    "q145_incremental_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratchDir("graft-bloom") + "/bits"
+      val docs = Tables.documents(s, dir)
+      def sids(df: DataFrame) = df
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { case (d, t) => Dedup.distinctShingles(t, 3)
+          .map(g => (d, graft.functions.TextHash.poly(g,
+            graft.functions.TextHash.Mod31))) }
+        .toDF("doc", "sid").distinct()
+      val train = sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      val test = CacheRegistry.persist(
+        sids(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+      def fold(r: Int): Unit = sources.MergeWriter.merge(s, path,
+        Sketches.bloomBits(
+          train.filter(pmod(col("doc"), lit(3)) === r)
+            .select(col("sid")).distinct(),
+          col("sid"), hashes = 3, width = 65536),
+        Seq("bit"), buckets = 8)
+      (0 until 3).foreach(fold)
+      fold(1) // replay: same bits, content no-op
+      val bits = sources.MergeWriter.readTable(s, path)
+      val probePos = (0 until 3).map(r =>
+        test.select(col("doc"), col("sid"),
+          Sketches.posHash(col("sid"), r, 65536).as("bit")))
+        .reduce(_ unionByName _)
+      val bloomHits = probePos.join(bits, Seq("bit"), "left_semi")
+        .groupBy(col("doc"), col("sid")).agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") === 3)
+        .groupBy(col("doc")).agg(count(lit(1)).as("n_bloom_hits"))
+      val exactHits = test
+        .join(train.select(col("sid")).distinct(), Seq("sid"), "left_semi")
+        .groupBy(col("doc")).agg(count(lit(1)).as("n_exact_hits"))
+      test.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+        .join(bloomHits, Seq("doc"), "left")
+        .join(exactHits, Seq("doc"), "left")
+        .na.fill(0L, Seq("n_bloom_hits", "n_exact_hits"))
+        .select(col("doc").as("doc_id"), col("n_shingles"),
+          col("n_bloom_hits"), col("n_exact_hits"),
+          round(col("n_bloom_hits").cast("double") / col("n_shingles"), 6)
+            .as("bloom_frac"))
+    }),
+
     // Bloom-filter contamination screen: the q64 train/test split probed
     // against a 65536-bit, 3-hash Bloom of the train TRIGRAM set — the
     // CONSTANT-SIZE alternative to shipping the train sid set. Trigrams
@@ -3748,6 +3798,43 @@ object SparkEntry {
     * merge incl. stale replay) and q125 (post-compaction read-back) must
     * equal.
     */
+  private lazy val bloomOracleSql: String = {
+      val trainBits = (0 until 3).map(r =>
+        s"SELECT ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM tr")
+        .mkString(" UNION ALL ")
+      val probeBits = (0 until 3).map(r =>
+        s"SELECT doc, sid, ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM te")
+        .mkString(" UNION ALL ")
+      val h3 = graft.functions.TextHash.duckdbPoly("shingle",
+        graft.functions.TextHash.Mod31)
+      s"""WITH sh3 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(len(toks) - 2),
+         |           i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS shingle
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents)),
+         |dsid AS (SELECT DISTINCT doc, $h3 AS sid FROM sh3),
+         |tr AS (SELECT DISTINCT sid FROM dsid WHERE doc % 5 <> 0),
+         |te AS (SELECT doc, sid FROM dsid WHERE doc % 5 = 0),
+         |bits AS (SELECT DISTINCT bit FROM ($trainBits)),
+         |pp AS ($probeBits),
+         |bh AS (
+         |  SELECT doc, sid FROM pp JOIN bits USING (bit)
+         |  GROUP BY doc, sid HAVING COUNT(*) = 3),
+         |bhd AS (SELECT doc, COUNT(*) AS n_bloom_hits FROM bh GROUP BY 1),
+         |eh AS (
+         |  SELECT doc, COUNT(*) AS n_exact_hits
+         |  FROM te JOIN tr USING (sid) GROUP BY 1),
+         |ns AS (SELECT doc, COUNT(*) AS n_shingles FROM te GROUP BY 1)
+         |SELECT ns.doc AS doc_id, ns.n_shingles,
+         |  CAST(COALESCE(bhd.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+         |  CAST(COALESCE(eh.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+         |  ROUND(CAST(COALESCE(bhd.n_bloom_hits, 0) AS DOUBLE) / ns.n_shingles, 6)
+         |    AS bloom_frac
+         |FROM ns LEFT JOIN bhd USING (doc) LEFT JOIN eh USING (doc)""".stripMargin
+    }
+
   /** The CMS probe oracle (4×256 counters, top-10 exact-vs-estimate) —
     * shared by q113 (one-shot sketch) and q144 (incrementally-folded
     * counter table), which must estimate identically by construction.
@@ -4275,42 +4362,11 @@ object SparkEntry {
     // with the SAME estimates as the one-shot sketch — oracle verbatim.
     "q144_incremental_cms" -> cmsOracleSql,
 
-    "q114_bloom_contamination" -> {
-      val trainBits = (0 until 3).map(r =>
-        s"SELECT ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM tr")
-        .mkString(" UNION ALL ")
-      val probeBits = (0 until 3).map(r =>
-        s"SELECT doc, sid, ${Sketches.duckdbPosHash("sid", r, 65536)} AS bit FROM te")
-        .mkString(" UNION ALL ")
-      val h3 = graft.functions.TextHash.duckdbPoly("shingle",
-        graft.functions.TextHash.Mod31)
-      s"""WITH sh3 AS (
-         |  SELECT doc_id AS doc, unnest(list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(range(len(toks) - 2),
-         |           i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS shingle
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-         |        FROM documents)),
-         |dsid AS (SELECT DISTINCT doc, $h3 AS sid FROM sh3),
-         |tr AS (SELECT DISTINCT sid FROM dsid WHERE doc % 5 <> 0),
-         |te AS (SELECT doc, sid FROM dsid WHERE doc % 5 = 0),
-         |bits AS (SELECT DISTINCT bit FROM ($trainBits)),
-         |pp AS ($probeBits),
-         |bh AS (
-         |  SELECT doc, sid FROM pp JOIN bits USING (bit)
-         |  GROUP BY doc, sid HAVING COUNT(*) = 3),
-         |bhd AS (SELECT doc, COUNT(*) AS n_bloom_hits FROM bh GROUP BY 1),
-         |eh AS (
-         |  SELECT doc, COUNT(*) AS n_exact_hits
-         |  FROM te JOIN tr USING (sid) GROUP BY 1),
-         |ns AS (SELECT doc, COUNT(*) AS n_shingles FROM te GROUP BY 1)
-         |SELECT ns.doc AS doc_id, ns.n_shingles,
-         |  CAST(COALESCE(bhd.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
-         |  CAST(COALESCE(eh.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
-         |  ROUND(CAST(COALESCE(bhd.n_bloom_hits, 0) AS DOUBLE) / ns.n_shingles, 6)
-         |    AS bloom_frac
-         |FROM ns LEFT JOIN bhd USING (doc) LEFT JOIN eh USING (doc)""".stripMargin
-    },
+    "q114_bloom_contamination" -> bloomOracleSql,
+
+    // The incrementally-unioned bit table must probe identically to the
+    // one-shot filter - oracle verbatim.
+    "q145_incremental_bloom" -> bloomOracleSql,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
