@@ -2775,7 +2775,11 @@ object SparkEntry {
           .map(g => (d, graft.functions.TextHash.poly(g,
             graft.functions.TextHash.Mod31))) }
         .toDF("doc", "sid").distinct()
-      val train = sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      // persisted: referenced by all three folds, the replay, and the
+      // exact-hits join — without the cache the corpus-linear
+      // tokenize+shingle+hash flatMap re-runs five times
+      val train = CacheRegistry.persist(
+        sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)))
       val test = CacheRegistry.persist(
         sids(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
       def fold(r: Int): Unit = sources.MergeWriter.merge(s, path,
@@ -2827,7 +2831,9 @@ object SparkEntry {
           .map(g => (d, graft.functions.TextHash.poly(g,
             graft.functions.TextHash.Mod31))) }
         .toDF("doc", "sid").distinct()
-      val train = sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      // persisted: feeds both the filter build and the exact-hits join
+      val train = CacheRegistry.persist(
+        sids(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)))
       val test = CacheRegistry.persist(
         sids(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
       val bits = Sketches.bloomBits(train.select(col("sid")).distinct(),

@@ -221,6 +221,11 @@ object MergeWriter {
   private def gc(fs: FileSystem, dir: Path,
                  orphanRetentionMs: Long = OrphanRetentionMs): Unit = {
     val manifests = manifestFiles(fs, dir)
+    // no manifest ⇒ not (yet) a protocol table: the root-level part- files
+    // ARE the data of a legacy pre-manifest table, not migration leftovers.
+    // The sweep below must only run once a commit proves migration happened
+    // — otherwise vacuum() on an unmigrated table would destroy it.
+    if (manifests.isEmpty) return
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - KeepManifests))
     val keptManifests = keep.map { case (v, p) => readManifest(fs, v, p) }
     val referenced = keptManifests.flatMap(_.epochs.values).toSet
@@ -241,8 +246,13 @@ object MergeWriter {
         fs.delete(st.getPath, true)
       if (st.isDirectory && n.startsWith(BucketCol + "="))
         fs.delete(st.getPath, true)
-      if (!st.isDirectory && (n.startsWith(".tmp-manifest-") ||
-          n.startsWith("part-") || n == "_SUCCESS"))
+      // staged manifests get the same age guard as epochs: a concurrent
+      // disjoint-bucket writer's .tmp-manifest lives between fs.create and
+      // its link/rename — reaping it young would fail that writer's commit
+      if (!st.isDirectory && n.startsWith(".tmp-manifest-") &&
+          now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, false)
+      if (!st.isDirectory && (n.startsWith("part-") || n == "_SUCCESS"))
         fs.delete(st.getPath, false)
     }
     referenced.foreach { e =>
@@ -393,7 +403,11 @@ object MergeWriter {
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
       // the root-level legacy files are reclaimed by gc() after this
       // merge commits (and by any later merge if this process dies first)
-      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      // one-time migration read: mergeSchema merges heterogeneous legacy
+      // footers (files written across an additive evolution) — runs once
+      // per table, so the O(files) footer-job cost argument does not apply
+      val legacy = spark.read.option("mergeSchema", "true")
+        .parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -562,7 +576,11 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
-      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      // one-time migration read: mergeSchema merges heterogeneous legacy
+      // footers (files written across an additive evolution) — runs once
+      // per table, so the O(files) footer-job cost argument does not apply
+      val legacy = spark.read.option("mergeSchema", "true")
+        .parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
@@ -708,14 +726,22 @@ object MergeWriter {
             case Some(p) => !same(cur.schema, p.schema)
             case None => !same(cur.schema, Some(rows.schema.json))
           }
-          if (conflicting || schemaConflict) {
+          // a creation race where the winner chose a different modulus is
+          // unrebasable: this write's rows were hashed with `buckets`, so
+          // its bucket ids are meaningless under the winner's layout even
+          // when they happen not to collide — committing them would make
+          // every later pruned read miss rows silently
+          val bucketConflict = cur.buckets != buckets
+          if (conflicting || schemaConflict || bucketConflict) {
             val diff = mine.filter(b =>
               cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
             throw new java.util.ConcurrentModificationException(
               s"merge: concurrent writer rewrote contested buckets " +
                 s"${diff.toSeq.sorted.mkString("{", ",", "}")} of " +
                 s"$tablePath (version ${cur.version}" +
-                s"${if (schemaConflict) ", schema changed" else ""}) — " +
+                s"${if (schemaConflict) ", schema changed" else ""}" +
+                s"${if (bucketConflict) s", bucket count ${cur.buckets} != $buckets"
+                   else ""}) — " +
                 "re-run against the new table state")
           }
           base = Some(cur)
@@ -742,7 +768,11 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
-      val legacy = spark.read.parquet(tablePath).drop(BucketCol)
+      // one-time migration read: mergeSchema merges heterogeneous legacy
+      // footers (files written across an additive evolution) — runs once
+      // per table, so the O(files) footer-job cost argument does not apply
+      val legacy = spark.read.option("mergeSchema", "true")
+        .parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys,
         buckets = 64, prev = None)
     }
@@ -913,6 +943,20 @@ object MergeWriter {
     graft.operators.Reconcile.snapshotDiff(
       readTableVersion(spark, tablePath, fromVersion),
       readTableVersion(spark, tablePath, toVersion), keys, compareCols)
+
+  /** Test hook: replay the commit path of a table-creation race LOSER —
+    * a writer that observed "no manifest", wrote its epoch under its own
+    * `buckets` modulus, and only then discovers the winner's manifest in
+    * the commit CAS. Drives the bucket-count conflict check
+    * deterministically (the live race needs an interleaving no test can
+    * force).
+    */
+  private[graft] def commitAsCreationLoser(spark: SparkSession,
+                                           tablePath: String, rows: DataFrame,
+                                           keys: Seq[String],
+                                           buckets: Int): Unit =
+    writeEpochAndCommit(spark, fsFor(spark, tablePath), tablePath, rows, keys,
+      buckets, prev = None)
 
   /** Test/inspection hook: the latest committed bucket→epoch mapping. */
   private[graft] def currentEpochs(spark: SparkSession,

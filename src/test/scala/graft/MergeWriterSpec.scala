@@ -339,6 +339,58 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(f => f.getName.startsWith(MergeWriter.BucketCol + "=")))
   }
 
+  test("vacuum on an unmigrated legacy table is a no-op, never destructive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("legacyvac").toString + "/t"
+    // legacy layout: plain part- files at the table root, no manifest —
+    // these ARE the data, not migration leftovers; vacuum must not treat
+    // them as root-level debris (a 0-retention vacuum is the worst case)
+    (0 until 8).map(i => (s"k$i", i)).toDF("k", "v").write.parquet(dir)
+    MergeWriter.vacuum(spark, dir, retentionMs = 0L)
+    assert(MergeWriter.readTable(spark, dir).count() == 8,
+      "vacuum destroyed an unmigrated legacy table")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("part-")), "legacy data files deleted")
+  }
+
+  test("a table-creation race loser with a different bucket count conflicts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bucketrace").toString + "/t"
+    // winner creates the table with 4 buckets
+    MergeWriter.merge(spark, dir,
+      (0 until 16).map(i => (s"k$i", i)).toDF("k", "v"), Seq("k"), buckets = 4)
+    // loser observed "no manifest" before the winner committed and hashed
+    // its rows with an 8-bucket modulus: its pointers are meaningless under
+    // the winner's layout — rebasing them would make pruned reads miss rows
+    // silently, so the commit must fail loudly instead
+    intercept[java.util.ConcurrentModificationException] {
+      MergeWriter.commitAsCreationLoser(spark, dir,
+        Seq(("kX", 999)).toDF("k", "v"), Seq("k"), buckets = 8)
+    }
+    // the winner's table is intact, still at its own modulus
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 16 && !rows.contains("kX"))
+  }
+
+  test("gc age-guards staged manifests of concurrent committers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tmpman").toString + "/t"
+    MergeWriter.merge(spark, dir, Seq(("k1", 1)).toDF("k", "v"), Seq("k"),
+      buckets = 2)
+    // a concurrent writer's staged manifest sits between fs.create and its
+    // link/rename; another writer's post-commit gc must leave it alone
+    // until the orphan window passes
+    val staged = new java.io.File(dir, ".tmp-manifest-test")
+    java.nio.file.Files.writeString(staged.toPath, "{}")
+    MergeWriter.merge(spark, dir, Seq(("k2", 2)).toDF("k", "v"), Seq("k"),
+      buckets = 2)
+    assert(staged.exists(),
+      "young staged manifest reaped inside the concurrent-commit window")
+    MergeWriter.gcNow(spark, dir)
+    assert(!staged.exists(), "aged staged manifest should be reclaimed")
+  }
+
   test("dedupeOnKey keeps the newest row per key") {
     import spark.implicits._
     val batch = Seq(("A", 1, "old"), ("A", 2, "new"), ("B", 1, "only"))
