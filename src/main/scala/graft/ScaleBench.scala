@@ -309,6 +309,48 @@ object ScaleBench {
     }
     if (sections("ingest7")) { ingestBench(base, "sf0.1"); ingestBench(rep, "rep10") }
 
+    // round 8: bucket-split payoff. A merge's I/O per touched bucket is
+    // the bucket's SIZE (read survivors + rewrite), and bucket size at a
+    // fixed modulus grows linearly with the table — the structural limit
+    // splitBuckets exists to lift. Measure a single-key merge (touches
+    // exactly one bucket) on the same table before and after one split:
+    // the per-merge wall should track bucket size, i.e. roughly halve.
+    def splitBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val path = s"$work/split8/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      MergeWriter.merge(spark, path, docs, Seq("doc_id"), buckets = 8)
+      def oneKeyMerge(): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        MergeWriter.merge(spark, path,
+          docs.filter(col("doc_id") === 0L), Seq("doc_id"))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      // the physical quantity a split halves is bytes-per-bucket — the
+      // I/O a touched-bucket rewrite pays; at THIS corpus the wall is
+      // fixed-cost-dominated (job setup + manifest commit), so record
+      // both: bytes show the structural effect, walls the overhead floor
+      def maxBucketBytes(): Long = {
+        val epochs = MergeWriter.currentEpochs(spark, path).values.toSet
+        epochs.toSeq.flatMap { e =>
+          val d = new java.io.File(s"$path/$e")
+          Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory)
+            .map(b => Option(b.listFiles()).toSeq.flatten
+              .filter(_.getName.startsWith("part-")).map(_.length()).sum)
+        }.maxOption.getOrElse(0L)
+      }
+      val pre = oneKeyMerge()
+      val bytesPre = maxBucketBytes()
+      val t0 = System.nanoTime()
+      MergeWriter.splitBuckets(spark, path, Seq("doc_id"))
+      val splitSec = (System.nanoTime() - t0) / 1e9
+      val post = oneKeyMerge()
+      val bytesPost = maxBucketBytes()
+      println(f"""{"dir":"$tag","buckets_pre":8,"buckets_post":16,"max_bucket_bytes_pre":$bytesPre,"max_bucket_bytes_post":$bytesPost,"one_bucket_merge_pre_sec_min3":$pre%.2f,"split_sec":$splitSec%.2f,"one_bucket_merge_post_sec_min3":$post%.2f}""")
+    }
+    if (sections("split8")) { splitBench(base, "sf0.1"); splitBench(rep, "rep10") }
+
     // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
     // (q136 needs the lang column, absent from the rep10 projection —
     // base only)

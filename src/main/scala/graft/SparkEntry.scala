@@ -3050,6 +3050,42 @@ object SparkEntry {
           col("ver").as("version_ts"))
     }),
 
+    // BUCKET-SPLIT growth (OPTIMIZE-time re-binning for the manifest
+    // protocol): the table outgrows its creation-time modulus
+    // mid-lifecycle — created at 4 buckets, split to 8, merged, split to
+    // 16, merged again. pmod(hash,2n) refines pmod(hash,n), so each
+    // split rewrites files LOCALLY (no cross-bucket shuffle), and every
+    // post-split merge must prune survivors under the refined modulus —
+    // a stale-modulus read would silently lose keys and hash-mismatch
+    // the oracle, which recomputes the latest-per-user relation from
+    // raw events.
+    "q146_bucket_split" -> ((s, dir) => {
+      val path = scratchDir("graft-split") + "/states"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      val cut1 = lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+      val cut2 = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      sources.MergeWriter.mergeVersioned(s, path,
+        latest(ev.filter(col("ver") <= cut1)), Seq("user_id"), "ver",
+        buckets = 4)
+      sources.MergeWriter.splitBuckets(s, path, Seq("user_id"))
+      sources.MergeWriter.mergeVersioned(s, path,
+        latest(ev.filter(col("ver") <= cut2)), Seq("user_id"), "ver")
+      sources.MergeWriter.splitBuckets(s, path, Seq("user_id"))
+      sources.MergeWriter.mergeVersioned(s, path, latest(ev),
+        Seq("user_id"), "ver")
+      sources.MergeWriter.readTable(s, path)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+    }),
+
     // TIME TRAVEL: after the incremental round commits version 2, a read
     // pinned AS OF version 1 must still see exactly the round-1 table —
     // epoch immutability + KeepManifests retention make the pin stable
@@ -6096,6 +6132,11 @@ object SparkEntry {
     // Compaction is a physical rewrite only: the read-back equals the
     // same latest-per-user relation.
     "q125_compacted_table" -> latestUserStateOracleSql,
+
+    // Bucket splits are physical re-bins only: the table grown 4→8→16
+    // across three merge rounds still equals the latest-per-user
+    // relation (a wrong-modulus prune would lose keys).
+    "q146_bucket_split" -> latestUserStateOracleSql,
 
     // Folded deltas must equal the one-shot aggregate; a double-applied
     // redelivery would show doubled counts for batch 2's rows.

@@ -844,6 +844,61 @@ object MergeWriter {
     }
   }
 
+  /** Double a table's bucket count IN PLACE — the growth path past the
+    * creation-time modulus (the last structural scale limit of a
+    * fixed-bucket layout: at 100× data a 64-bucket table means multi-GB
+    * single files per bucket, one task per pruned read, and whole-bucket
+    * rewrite granularity per merge; Delta/Iceberg re-bin at OPTIMIZE
+    * time for the same reason).
+    *
+    * NO cross-bucket shuffle is needed: `pmod(hash, 2n)` REFINES
+    * `pmod(hash, n)` — a row in bucket `b` under modulus `n` lands in
+    * `b` or `b + n` under `2n`, so every old bucket file splits locally
+    * into at most two children and the write below deliberately carries
+    * the scan's partitioning through (no `repartition`, hence no
+    * exchange in the plan; each scan task fans its rows out to its own
+    * buckets' files). Epoch files store only key COLUMNS, not the hash,
+    * so the split recomputes it — `keys` must be the table's merge keys
+    * (the same contract every merge/delete call already carries).
+    *
+    * Commits as the next manifest version with `buckets = 2n`; the
+    * pre-split manifest stays retained, so pinned readers keep their
+    * own modulus, and any concurrent writer that planned against the
+    * old modulus fails the commit CAS loudly (bucket-count conflict)
+    * instead of committing unprunable pointers. Call repeatedly to
+    * grow 2× per call; [[compact]] afterwards is optional (the split
+    * epoch is already one directory).
+    */
+  def splitBuckets(spark: SparkSession, tablePath: String,
+                   keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "splitBuckets requires the table's merge keys")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      val nb2 = man.buckets * 2
+      val paths = man.epochs.toSeq.sortBy(_._1)
+        .map { case (b, e) => bucketPath(tablePath, e, b) }
+      if (paths.isEmpty) {
+        commitManifest(fs, dir, man.copy(version = man.version + 1,
+          buckets = nb2))
+      } else {
+        val epoch = "e-" + UUID.randomUUID()
+        readWithSchema(spark, man, paths)
+          .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb2)))
+          .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+          .parquet(s"$tablePath/$epoch")
+        val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith(BucketCol + "="))
+          .map(_.stripPrefix(BucketCol + "=").toInt)
+        commitManifest(fs, dir,
+          Manifest(man.version + 1, nb2, written.map(_ -> epoch).toMap,
+            man.txns, man.schema))
+      }
+      gc(fs, dir)
+    }
+  }
+
   /** Read a merge-maintained table at its latest committed version (or a
     * pre-manifest/plain parquet directory, for compatibility), without the
     * physical bucket column.

@@ -339,6 +339,52 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(f => f.getName.startsWith(MergeWriter.BucketCol + "=")))
   }
 
+  test("splitBuckets doubles the modulus; reads, merges and lookups carry over") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("split").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      (0 until 64).map(i => (s"k$i", i)).toDF("k", "v"), Seq("k"), buckets = 4)
+    val preVersion = MergeWriter.availableVersions(spark, dir).last
+    val expect = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    MergeWriter.splitBuckets(spark, dir, Seq("k"))
+    val epochs8 = MergeWriter.currentEpochs(spark, dir)
+    assert(epochs8.keys.max >= 4 && epochs8.keys.forall(_ < 8),
+      s"split table should address 8 buckets, got ${epochs8.keys.toSeq.sorted}")
+    assert(MergeWriter.describeTable(spark, dir).collect()(0)
+      .getAs[Int]("buckets") == 8)
+    // the split is a physical re-bin only: logical content is untouched
+    assert(MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == expect)
+    // a reader pinned to the PRE-split version keeps its own modulus
+    assert(MergeWriter.readTableVersion(spark, dir, preVersion).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == expect)
+
+    // merges after the split prune by the NEW modulus: a single-key
+    // update rewrites exactly one of the 8 buckets, and the survivors it
+    // read were found under the refined layout (a wrong-modulus prune
+    // would silently lose the bucket's other keys)
+    val before = MergeWriter.currentEpochs(spark, dir)
+    MergeWriter.merge(spark, dir, Seq(("k0", 100)).toDF("k", "v"), Seq("k"))
+    val after = MergeWriter.currentEpochs(spark, dir)
+    assert(before.keys.count(b => before.get(b) != after.get(b)) == 1)
+    val rows = MergeWriter.readTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size == 64 && rows("k0") == 100 && rows("k63") == 63)
+
+    // point lookups resolve through the new modulus too
+    val hit = MergeWriter.readKeys(spark, dir,
+      Seq(Tuple1("k7")).toDF("k"), Seq("k")).collect()
+    assert(hit.map(r => r.getString(0) -> r.getInt(1)).toSeq == Seq("k7" -> 7))
+
+    // growth is repeatable: a second split reaches 16 buckets
+    MergeWriter.splitBuckets(spark, dir, Seq("k"))
+    assert(MergeWriter.describeTable(spark, dir).collect()(0)
+      .getAs[Int]("buckets") == 16)
+    assert(MergeWriter.readTable(spark, dir).count() == 64)
+  }
+
   test("vacuum on an unmigrated legacy table is a no-op, never destructive") {
     import spark.implicits._
     val dir = Files.createTempDirectory("legacyvac").toString + "/t"
