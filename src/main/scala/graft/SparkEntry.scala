@@ -3086,6 +3086,60 @@ object SparkEntry {
           col("ver").as("version_ts"))
     }),
 
+    // CROSS-TABLE ATOMIC COMMIT (the reference's one-txn L1 load: states
+    // upsert + custom-field replace in one transaction,
+    // state_load_processor_aurora.ts:39-113): two incremental rounds
+    // load a states member AND a customFields member through mergeGroup —
+    // both flip in ONE group-manifest rename — then a redelivered batch
+    // carrying REGRESSED data must be skipped by the group txn ledger.
+    // Output joins both members, so a torn or double-applied load on
+    // either side hash-mismatches the oracle (which recomputes both
+    // relations from raw events).
+    "q147_group_commit" -> ((s, dir) => {
+      val path = scratchDir("graft-group") + "/load"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(src: DataFrame): DataFrame = src
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ver"))
+      def fields(src: DataFrame): DataFrame = {
+        val agg = src.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"))
+        agg.select(col("user_id"), lit("n_events").as("name"),
+            col("n_events").as("value"))
+          .unionByName(agg.select(col("user_id"), lit("n_types").as("name"),
+            col("n_types").as("value")))
+      }
+      def load(src: DataFrame, v: Long): Unit =
+        sources.MergeWriter.mergeGroup(s, path, Seq(
+          ("states", latest(src), Seq("user_id")),
+          ("customFields", fields(src), Seq("user_id"))),
+          buckets = 8, txn = Some(("l1", v)))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      load(ev.filter(col("ver") <= cut), 1L)
+      load(ev, 2L)
+      // at-least-once redelivery of batch 2 with corrupted content: the
+      // group ledger must skip it wholesale (both members or neither)
+      sources.MergeWriter.mergeGroup(s, path, Seq(
+        ("states", latest(ev).withColumn("event_type", lit("REGRESSED")),
+          Seq("user_id")),
+        ("customFields", fields(ev).withColumn("value", lit(-1L)),
+          Seq("user_id"))),
+        buckets = 8, txn = Some(("l1", 2L)))
+      sources.MergeWriter.readGroupTable(s, path, "states")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+        .join(sources.MergeWriter.readGroupTable(s, path, "customFields"),
+          Seq("user_id"))
+        .select(col("user_id"), col("state"), col("version_ts"),
+          col("name"), col("value"))
+    }),
+
     // TIME TRAVEL: after the incremental round commits version 2, a read
     // pinned AS OF version 1 must still see exactly the round-1 table —
     // epoch immutability + KeepManifests retention make the pin stable
@@ -6137,6 +6191,30 @@ object SparkEntry {
     // across three merge rounds still equals the latest-per-user
     // relation (a wrong-modulus prune would lose keys).
     "q146_bucket_split" -> latestUserStateOracleSql,
+
+    // Both group members recomputed from raw events and joined: the
+    // states side is the latest-per-user relation, the customFields
+    // side the per-user aggregates batch 2 replaced wholesale. A torn
+    // load (one member flipped without the other) or a double-applied
+    // redelivery (REGRESSED values) could not reproduce this.
+    "q147_group_commit" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ver FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events GROUP BY 1)
+        |SELECT l.user_id, l.event_type AS state, l.ver AS version_ts,
+        |  x.name, x.value
+        |FROM l JOIN (
+        |  SELECT user_id, 'n_events' AS name, n_events AS value FROM a
+        |  UNION ALL
+        |  SELECT user_id, 'n_types' AS name, n_types AS value FROM a) x
+        |  ON l.user_id = x.user_id""".stripMargin,
 
     // Folded deltas must equal the one-shot aggregate; a double-applied
     // redelivery would show doubled counts for batch 2's rows.

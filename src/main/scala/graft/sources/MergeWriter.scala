@@ -120,25 +120,31 @@ object MergeWriter {
       case c => c.toString
     } + "\""
 
-  private def manifestFiles(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+  private def manifestFiles(fs: FileSystem, dir: Path,
+                            prefix: String = ManifestPrefix): Seq[(Long, Path)] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(ManifestPrefix) &&
+      .filter(p => p.getName.startsWith(prefix) &&
         p.getName.endsWith(".json"))
       // a stray non-numeric manifest-like name (someone's _manifest-backup
       // .json) must not take every read and merge of the table down with a
       // NumberFormatException — skip it, it is not part of the protocol
       .flatMap { p =>
-        scala.util.Try(p.getName.stripPrefix(ManifestPrefix)
+        scala.util.Try(p.getName.stripPrefix(prefix)
           .stripSuffix(".json").toLong).toOption.map(v => (v, p))
       }
       .sortBy(_._1)
 
-  private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest = {
+  private def readJsonFile(
+      fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+    new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  private def manifestFromNode(node: com.fasterxml.jackson.databind.JsonNode,
+                               version: Long): Manifest = {
     val epochs = scala.collection.mutable.Map.empty[Int, String]
     node.get("epochs").fields().forEachRemaining { e =>
       epochs(e.getKey.toInt) = e.getValue.asText()
@@ -154,6 +160,9 @@ object MergeWriter {
       schema)
   }
 
+  private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
+    manifestFromNode(readJsonFile(fs, p), version)
+
   private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
     manifestFiles(fs, dir).lastOption.map { case (v, p) => readManifest(fs, v, p) }
 
@@ -165,8 +174,8 @@ object MergeWriter {
     * racing or replayed committer targeting the same version fails loudly
     * instead of clobbering a committed manifest.
     */
-  private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
-    val body = new StringBuilder()
+  private def manifestBody(m: Manifest): String =
+    new StringBuilder()
       .append("{\"buckets\":").append(m.buckets).append(",\"epochs\":{")
       .append(m.epochs.toSeq.sortBy(_._1)
         .map { case (b, e) => "\"" + b + "\":\"" + e + "\"" }.mkString(","))
@@ -178,10 +187,19 @@ object MergeWriter {
       .append("}")
       .append(m.schema.map(s => ",\"schema\":" + jsonStr(s)).getOrElse(""))
       .append("}").toString()
+
+  private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
+    publishAtomically(fs, dir,
+      new Path(dir, f"$ManifestPrefix${m.version}%016d.json"), manifestBody(m))
+
+  /** The atomic no-overwrite publish shared by table and group commits
+    * (see [[commitManifest]]'s doc for the link/rename CAS semantics).
+    */
+  private def publishAtomically(fs: FileSystem, dir: Path, target: Path,
+                                body: String): Unit = {
     val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(dir, f"$ManifestPrefix${m.version}%016d.json")
     val localRoot = Option(fs.getUri).forall(_.getScheme == "file")
     val won =
       if (localRoot) {
@@ -534,7 +552,8 @@ object MergeWriter {
     * per-merge jobs across idle cores — a multi-table load round's wall
     * clock drops toward its slowest member instead of the sum. The commit
     * of each table remains individually atomic; there is NO cross-table
-    * transaction (same as running them sequentially).
+    * transaction (same as running them sequentially) — when the batch
+    * must flip several tables together, use [[mergeGroup]].
     */
   def mergeAll(spark: SparkSession,
                merges: Seq[(String, DataFrame, Seq[String])],
@@ -550,6 +569,250 @@ object MergeWriter {
       }), Duration.Inf)
     ()
   }
+
+  // -------------------------------------------------------------------
+  // Cross-table atomic commit (group manifests)
+  // -------------------------------------------------------------------
+
+  private val GroupPrefix = "_group-manifest-"
+
+  /** A GROUP manifest pins every member table's full bucket→epoch state
+    * in one JSON at the group root — so updating several tables commits
+    * in ONE atomic rename, the missing piece [[mergeAll]] documents: the
+    * reference's L1 load transactionally deletes customFields rows AND
+    * upserts states in one txn (`state_load_processor_aurora.ts:39-113`),
+    * and per-table manifests cannot reproduce that (a crash between the
+    * two commits leaves readers a torn state). Member tables live under
+    * `groupPath/<name>/` with the same immutable epoch layout; they have
+    * NO per-table manifest — the group manifest IS their commit point,
+    * so a crash after any number of staged member epochs publishes
+    * nothing. The group txn ledger gives the whole multi-table batch
+    * exactly-once semantics under at-least-once delivery (the crashed
+    * batch is simply redelivered; keyed merges make the re-stage
+    * idempotent). Single writer per group; the rename-CAS still fails a
+    * racing committer loudly.
+    */
+  private case class GroupManifest(version: Long,
+                                   tables: Map[String, Manifest],
+                                   txns: Map[String, Long])
+
+  private def currentGroupManifest(fs: FileSystem,
+                                   dir: Path): Option[GroupManifest] =
+    manifestFiles(fs, dir, GroupPrefix).lastOption.map { case (v, p) =>
+      val node = readJsonFile(fs, p)
+      val tables = scala.collection.mutable.Map.empty[String, Manifest]
+      node.get("tables").fields().forEachRemaining { t =>
+        tables(t.getKey) = manifestFromNode(t.getValue, v)
+      }
+      val txns = scala.collection.mutable.Map.empty[String, Long]
+      Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
+        txns(t.getKey) = t.getValue.asLong()
+      })
+      GroupManifest(v, tables.toMap, txns.toMap)
+    }
+
+  private def commitGroupManifest(fs: FileSystem, dir: Path,
+                                  g: GroupManifest): Unit = {
+    val body = new StringBuilder()
+      .append("{\"txns\":{")
+      .append(g.txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        jsonStr(a) + ":" + v
+      }.mkString(","))
+      .append("},\"tables\":{")
+      .append(g.tables.toSeq.sortBy(_._1).map { case (n, m) =>
+        jsonStr(n) + ":" + manifestBody(m)
+      }.mkString(","))
+      .append("}}").toString()
+    publishAtomically(fs, dir,
+      new Path(dir, f"$GroupPrefix${g.version}%016d.json"), body)
+  }
+
+  /** Stage one member table's merged state WITHOUT committing: write the
+    * merged epoch under the member root and return the member's updated
+    * manifest state for the caller to commit (in the group manifest's
+    * single rename). Same keyed-replace semantics and touched-bucket
+    * pruning as [[merge]]; an empty batch stages nothing and returns the
+    * state unchanged.
+    */
+  private def stageMergeInto(spark: SparkSession, fs: FileSystem,
+                             tableRoot: String, st: Option[Manifest],
+                             incoming: DataFrame, keys: Seq[String],
+                             buckets: Int): Option[Manifest] = {
+    require(keys.nonEmpty, "mergeGroup requires at least one key column")
+    require(!incoming.columns.contains(BucketCol),
+      s"mergeGroup: incoming frame must not contain reserved column '$BucketCol'")
+    val nb = st.map(_.buckets).getOrElse(buckets)
+    val inc = incoming
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      .persist()
+    try {
+      val touched = touchedBuckets(inc)
+      if (touched.isEmpty) return st
+      val merged = st match {
+        case None => inc.drop(BucketCol)
+        case Some(man) =>
+          val existingPaths = touched.flatMap(b =>
+            man.epochs.get(b).map(e => bucketPath(tableRoot, e, b)))
+          if (existingPaths.isEmpty) inc.drop(BucketCol)
+          else {
+            val sv = readWithSchema(spark, man, existingPaths)
+              .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
+          }
+      }
+      val epoch = "e-" + UUID.randomUUID()
+      merged.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+        .repartition(col(BucketCol))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        .parquet(s"$tableRoot/$epoch")
+      val written = fs.listStatus(new Path(s"$tableRoot/$epoch")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(BucketCol + "="))
+        .map(_.stripPrefix(BucketCol + "=").toInt)
+      Some(Manifest(0L, nb,
+        st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
+        Map.empty, Some(merged.schema.json)))
+    } finally { inc.unpersist(); () }
+  }
+
+  /** MERGE into several member tables of one group and make ALL of them
+    * visible in a single atomic commit — the cross-table transaction
+    * [[mergeAll]] explicitly lacks. Each `(name, rows, keys)` member gets
+    * [[merge]]'s keyed-replace semantics against its state pinned in the
+    * current group manifest; the staged epochs publish together via one
+    * group-manifest rename, so a crash at ANY earlier point leaves every
+    * reader on the previous group version (no torn multi-table state —
+    * the spec proves it by aborting between the two stages). `txn` gives
+    * the whole batch exactly-once semantics across redeliveries, exactly
+    * [[mergeAdditive]]'s ledger, at group scope. Member names become
+    * directory names — path-safe tokens only.
+    */
+  def mergeGroup(spark: SparkSession, groupPath: String,
+                 merges: Seq[(String, DataFrame, Seq[String])],
+                 buckets: Int = 64,
+                 txn: Option[(String, Long)] = None): Unit = {
+    require(merges.nonEmpty, "mergeGroup: at least one member merge")
+    require(merges.map(_._1).distinct.size == merges.size,
+      "mergeGroup: member names must be distinct")
+    merges.foreach { case (n, _, _) =>
+      require(n.matches("[A-Za-z0-9_\\-]+"),
+        s"mergeGroup: member name '$n' must be a path-safe token") }
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    val cur = currentGroupManifest(fs, dir)
+    if (txn.exists(t => cur.exists(_.txns.get(t._1).exists(_ >= t._2))))
+      return // replayed batch: already applied and committed
+    val updated = merges.foldLeft(cur.map(_.tables).getOrElse(Map.empty)) {
+      case (acc, (name, rows, keys)) =>
+        stageMergeInto(spark, fs, s"$groupPath/$name", acc.get(name), rows,
+          keys, buckets) match {
+          case Some(st) => acc + (name -> st)
+          case None => acc
+        }
+    }
+    commitGroupManifest(fs, dir,
+      GroupManifest(cur.map(_.version + 1).getOrElse(1L), updated,
+        cur.map(_.txns).getOrElse(Map.empty) ++ txn))
+    gcGroup(fs, dir)
+  }
+
+  /** Read one member table of a group at the latest committed GROUP
+    * version — both members of an L1-style load flip together or not at
+    * all. An uncommitted group or unknown member fails loudly (there is
+    * no schema to synthesize an empty relation from).
+    */
+  def readGroupTable(spark: SparkSession, groupPath: String,
+                     name: String): DataFrame = {
+    val fs = fsFor(spark, groupPath)
+    val man = currentGroupManifest(fs, new Path(groupPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"readGroupTable: no committed group manifest at $groupPath"))
+    val m = man.tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"readGroupTable: member '$name' not in group " +
+          s"(members: ${man.tables.keys.toSeq.sorted.mkString(", ")})"))
+    val paths = m.epochs.toSeq.sortBy(_._1)
+      .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
+    readWithSchema(spark, m, paths)
+  }
+
+  /** Group-scope gc: keep the last [[KeepManifests]] group manifests;
+    * per member, reclaim epochs no kept manifest references (age-guarded
+    * like [[gc]]), plus aged staging files at the group root.
+    */
+  private def gcGroup(fs: FileSystem, dir: Path,
+                      orphanRetentionMs: Long = OrphanRetentionMs): Unit = {
+    val manifests = manifestFiles(fs, dir, GroupPrefix)
+    if (manifests.isEmpty) return
+    val (drop, keep) = manifests.splitAt(
+      math.max(0, manifests.size - KeepManifests))
+    drop.foreach { case (_, p) => fs.delete(p, false) }
+    val keptManifests = keep.map { case (v, p) =>
+      val node = readJsonFile(fs, p)
+      val tables = scala.collection.mutable.Map.empty[String, Manifest]
+      node.get("tables").fields().forEachRemaining { t =>
+        tables(t.getKey) = manifestFromNode(t.getValue, v)
+      }
+      tables.toMap
+    }
+    val now = System.currentTimeMillis()
+    val members = keptManifests.flatMap(_.keys).toSet
+    members.foreach { name =>
+      val referenced =
+        keptManifests.flatMap(_.get(name)).flatMap(_.epochs.values).toSet
+      val tdir = new Path(dir, name)
+      if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n) &&
+            now - st.getModificationTime > orphanRetentionMs)
+          fs.delete(st.getPath, true)
+      }
+    }
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith(".tmp-manifest-") &&
+          now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Test hook: group gc with zero retention (immediate reclamation). */
+  private[graft] def gcGroupNow(spark: SparkSession, groupPath: String): Unit =
+    gcGroup(fsFor(spark, groupPath), new Path(groupPath),
+      orphanRetentionMs = 0L)
+
+  /** Test hook: stage a member epoch WITHOUT the group commit — the
+    * "crashed between the two writes" interleaving the atomicity spec
+    * must prove invisible (no deterministic way to abort mergeGroup
+    * mid-flight from outside).
+    */
+  private[graft] def stageGroupMemberForTest(spark: SparkSession,
+                                             groupPath: String, name: String,
+                                             rows: DataFrame,
+                                             keys: Seq[String],
+                                             buckets: Int): Unit = {
+    val fs = fsFor(spark, groupPath)
+    val cur = currentGroupManifest(fs, new Path(groupPath))
+    stageMergeInto(spark, fs, s"$groupPath/$name",
+      cur.flatMap(_.tables.get(name)), rows, keys, buckets)
+    ()
+  }
+
+  /** The reference's one-txn L1 shape end-to-end
+    * (`state_load_processor_aurora.ts:39-113`): upsert work-item states
+    * AND replace their custom-field rows — deduped inline on
+    * (workItemId, name, value), exactly [[loadCustomFields]] — in ONE
+    * atomic cross-table commit.
+    */
+  def loadStatesWithCustomFields(spark: SparkSession, groupPath: String,
+                                 states: DataFrame, stateKeys: Seq[String],
+                                 customFields: DataFrame,
+                                 txn: Option[(String, Long)] = None): Unit =
+    mergeGroup(spark, groupPath, Seq(
+      ("states", states, stateKeys),
+      ("customFields",
+        customFields.dropDuplicates("workItemId", "name", "value"),
+        Seq("workItemId"))), txn = txn)
 
   /** Version-guarded MERGE for out-of-order at-least-once delivery: like
     * [[merge]], but a matched row is replaced ONLY when the incoming

@@ -437,6 +437,62 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!staged.exists(), "aged staged manifest should be reclaimed")
   }
 
+  test("mergeGroup flips states and customFields atomically; a crash " +
+       "between the two stages is invisible") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("group").toString + "/load"
+    val states1 = Seq(("org#1", "item#A", "To Do"), ("org#1", "item#B", "Doing"))
+      .toDF("partitionKey", "sortKey", "state")
+    val cf1 = Seq(("item#A", "team", "red"), ("item#A", "points", "3"),
+      ("item#B", "team", "blue")).toDF("workItemId", "name", "value")
+    MergeWriter.loadStatesWithCustomFields(spark, grp, states1,
+      Seq("partitionKey", "sortKey"), cf1, txn = Some(("l1", 1L)))
+    assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 2)
+    assert(MergeWriter.readGroupTable(spark, grp, "customFields").count() == 3)
+
+    // CRASH between the two writes: the states epoch for batch 2 is fully
+    // staged on disk, the customFields stage and the group commit never
+    // ran — the reference's torn-L1 scenario. No reader may see batch 2's
+    // states next to batch 1's customFields.
+    val states2 = Seq(("org#1", "item#A", "Done"))
+      .toDF("partitionKey", "sortKey", "state")
+    MergeWriter.stageGroupMemberForTest(spark, grp, "states", states2,
+      Seq("partitionKey", "sortKey"), buckets = 4)
+    val stateSeen = MergeWriter.readGroupTable(spark, grp, "states").collect()
+      .map(r => r.getAs[String]("sortKey") -> r.getAs[String]("state")).toMap
+    assert(stateSeen("item#A") == "To Do",
+      "torn state visible: staged-but-uncommitted member epoch leaked")
+
+    // the batch is REDELIVERED (at-least-once) and now completes: both
+    // tables flip together — item#A Done AND its custom fields replaced
+    val cf2 = Seq(("item#A", "team", "green")).toDF("workItemId", "name", "value")
+    MergeWriter.loadStatesWithCustomFields(spark, grp, states2,
+      Seq("partitionKey", "sortKey"), cf2, txn = Some(("l1", 2L)))
+    val after = MergeWriter.readGroupTable(spark, grp, "states").collect()
+      .map(r => r.getAs[String]("sortKey") -> r.getAs[String]("state")).toMap
+    assert(after == Map("item#A" -> "Done", "item#B" -> "Doing"))
+    val cfAfter = MergeWriter.readGroupTable(spark, grp, "customFields")
+      .collect().map(r => (r.getAs[String]("workItemId"),
+        r.getAs[String]("name"), r.getAs[String]("value"))).toSet
+    // item#A's old field rows are REPLACED wholesale (the L1 delete+insert
+    // shape); item#B's survive untouched
+    assert(cfAfter == Set(("item#A", "team", "green"), ("item#B", "team", "blue")))
+
+    // replaying the whole batch (same txn) is skipped by the group ledger
+    MergeWriter.loadStatesWithCustomFields(spark, grp,
+      Seq(("org#1", "item#A", "REGRESSED")).toDF("partitionKey", "sortKey", "state"),
+      Seq("partitionKey", "sortKey"), cf2, txn = Some(("l1", 2L)))
+    assert(MergeWriter.readGroupTable(spark, grp, "states").collect()
+      .map(_.getAs[String]("state")).toSet == Set("Done", "Doing"))
+
+    // the crashed stage's orphan epoch is reclaimed once aged
+    MergeWriter.gcGroupNow(spark, grp)
+    val liveEpochs = new java.io.File(grp, "states").listFiles()
+      .map(_.getName).filter(_.startsWith("e-")).toSet
+    assert(liveEpochs.size <= MergeWriter.KeepManifests * 2,
+      s"orphaned staged epochs not reclaimed: $liveEpochs")
+  }
+
   test("dedupeOnKey keeps the newest row per key") {
     import spark.implicits._
     val batch = Seq(("A", 1, "old"), ("A", 2, "new"), ("B", 1, "only"))
