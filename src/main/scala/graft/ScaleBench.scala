@@ -309,6 +309,36 @@ object ScaleBench {
     }
     if (sections("ingest7")) { ingestBench(base, "sf0.1"); ingestBench(rep, "rep10") }
 
+    // round 8: the ingest loop's vector fetch made point-read. ingest7
+    // excluded index build but still passed the CORPUS frame into the
+    // verify (a corpus-linear scan per batch); the keyed variant
+    // point-fetches candidate endpoint vectors from a merge-maintained
+    // table via readKeys. This line times the per-batch call WITH the
+    // fetch included — the claim is a flat wall as the corpus grows 10×.
+    // Table and index builds stay excluded (they amortize across the
+    // table's life; the index maintenance slope is ingest7's subject).
+    def ingestKeyedBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val emb = Tables.embeddings(spark, dir)
+      val old = emb.filter(pmod(col("vec_id"), lit(30)) =!= 0)
+      val neu = emb.filter(pmod(col("vec_id"), lit(30)) === 0)
+      val vecTable = s"$work/ingest8/$tag/vecs"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/ingest8/$tag"))
+      MergeWriter.merge(spark, vecTable, emb, Seq("vec_id"), buckets = 16)
+      val storedBands = operators.Similarity.srpBandRows(old, col("vec_id"),
+        col("embedding"), bits = 32, bands = 4).persist()
+      storedBands.count()
+      val t0 = System.nanoTime()
+      val nInc = operators.Similarity.srpIncrementalNearDupPairsKeyed(spark,
+        vecTable, "vec_id", "embedding", storedBands, neu,
+        threshold = 0.35, bits = 32, bands = 4).count()
+      val sInc = (System.nanoTime() - t0) / 1e9
+      storedBands.unpersist()
+      println(f"""{"dir":"$tag","ingest_keyed_pairs":$nInc,"ingest_keyed_batch_sec":$sInc%.2f}""")
+    }
+    if (sections("ingest8")) { ingestKeyedBench(base, "sf0.1"); ingestKeyedBench(rep, "rep10") }
+
     // round 8: bucket-split payoff. A merge's I/O per touched bucket is
     // the bucket's SIZE (read survivors + rewrite), and bucket size at a
     // fixed modulus grows linearly with the table — the structural limit

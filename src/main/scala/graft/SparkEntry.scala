@@ -1285,6 +1285,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       emb.repartition(8).write.mode("overwrite").parquet(src)
       val idxTable = root + "/bands"
+      val vecTable = root + "/vecs"
       val pairTable = root + "/pairs"
       val q = streaming.StreamingFlow.fileStream(s, src, emb.schema,
           maxFilesPerTrigger = 2)
@@ -1293,14 +1294,22 @@ object SparkEntry {
         .option("checkpointLocation", root + "/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
+          // the vector store is maintained by the stream itself: merge
+          // the batch in FIRST (keyed — crash-replay idempotent) so the
+          // verify's point fetch sees stored ∪ batch; candidates then
+          // read ≤ candidate-count buckets instead of scanning the
+          // corpus frame every trigger (the last corpus-proportional
+          // touch this loop had)
+          sources.MergeWriter.merge(sp, vecTable, batch,
+            Seq("vec_id"), buckets = 8)
           val bandsOfBatch = Similarity.srpBandRows(batch, col("vec_id"),
             col("embedding"), bits = 32, bands = 4)
           val stored =
             if (sources.MergeWriter.availableVersions(sp, idxTable).nonEmpty)
               sources.MergeWriter.readTable(sp, idxTable)
             else bandsOfBatch.limit(0)
-          val pairs = Similarity.srpIncrementalNearDupPairs(
-            Tables.embeddings(sp, dir), col("vec_id"), col("embedding"),
+          val pairs = Similarity.srpIncrementalNearDupPairsKeyed(
+            sp, vecTable, "vec_id", "embedding",
             stored, batch, threshold = 0.35, bits = 32, bands = 4)
           sources.MergeWriter.merge(sp, pairTable, pairs,
             Seq("id_a", "id_b"), buckets = 8)
@@ -1322,18 +1331,26 @@ object SparkEntry {
     // ever re-pairing stored-vs-stored, the shape that keeps per-batch
     // dedup cost flat as the corpus grows.
     "q139_ingest_neardup" -> ((s, dir) => {
-      val table = scratchDir("graft-lshidx") + "/bands"
+      val root = scratchDir("graft-lshidx")
+      val table = root + "/bands"
+      val vecTable = root + "/vecs"
       val emb = Tables.embeddings(s, dir)
       val old = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
       val neu = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      // the vector store is merge-maintained alongside the band index:
+      // stored corpus first, then the arriving batch (both keyed —
+      // replays no-op); the verify point-fetches candidate ids from it
+      // instead of scanning a corpus frame
+      sources.MergeWriter.merge(s, vecTable, old, Seq("vec_id"), buckets = 16)
+      sources.MergeWriter.merge(s, vecTable, neu, Seq("vec_id"), buckets = 16)
       val oldBands = Similarity.srpBandRows(old, col("vec_id"),
         col("embedding"), bits = 32, bands = 4)
       sources.MergeWriter.merge(s, table, oldBands,
         Seq("id", "band"), buckets = 16)
       sources.MergeWriter.merge(s, table, oldBands,
         Seq("id", "band"), buckets = 16) // replay: same keys, no-op
-      Similarity.srpIncrementalNearDupPairs(emb, col("vec_id"),
-        col("embedding"), sources.MergeWriter.readTable(s, table), neu,
+      Similarity.srpIncrementalNearDupPairsKeyed(s, vecTable, "vec_id",
+        "embedding", sources.MergeWriter.readTable(s, table), neu,
         threshold = 0.35, bits = 32, bands = 4)
     }),
 

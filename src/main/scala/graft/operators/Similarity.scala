@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExpressions.dot_product
@@ -400,6 +400,42 @@ object Similarity {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b")).distinct()
     verifyCandidates(emb, id, vec, cand, threshold)
+  }
+
+  /** [[srpIncrementalNearDupPairs]] with the verify-side vectors fetched
+    * by KEY from a merge-maintained embeddings table instead of read
+    * from a corpus-scale frame: candidate endpoints are batch ×
+    * collision-rate many, so `MergeWriter.readKeys` prunes the vector
+    * fetch to ≤ that many buckets — the last corpus-proportional touch
+    * in the ingest-dedup loop becomes a point read, and per-batch cost
+    * is finally independent of corpus size (the ScaleBench `ingest8`
+    * line measures it WITH the fetch included). The table must hold
+    * stored ∪ new vectors (merge the arriving batch in first — a keyed
+    * merge, so crash-replay idempotent), keyed on the id column.
+    */
+  def srpIncrementalNearDupPairsKeyed(spark: SparkSession, embTable: String,
+                                      idName: String, vecName: String,
+                                      storedBands: DataFrame,
+                                      newEmb: DataFrame, threshold: Double,
+                                      bits: Int = 32,
+                                      bands: Int = 4): DataFrame = {
+    val newBands = srpBandRows(newEmb, col(idName), col(vecName), bits, bands)
+    val all = storedBands.select(col("id"), col("band"), col("band_key"))
+      .unionByName(newBands)
+    // persisted: consumed twice (wanted-id set + verify join), and the
+    // band join that produces it is batch-scale, not corpus-scale
+    val cand = graft.CacheRegistry.persist(
+      all.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b")).distinct())
+    val wanted = cand.select(col("id_a").as(idName))
+      .unionByName(cand.select(col("id_b").as(idName))).distinct()
+    val vecs = graft.sources.MergeWriter.readKeys(spark, embTable, wanted,
+      Seq(idName))
+    verifyCandidates(vecs, col(idName), col(vecName), cand, threshold)
   }
 
   /** [[srpNearDupPairs]] in the 128-bit regime: the same exact-cosine
