@@ -3319,6 +3319,33 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
     }),
 
+    // TXN-LEDGER EXPIRY (Delta's transaction-identifier retention made
+    // explicit): the additive rollup's writer app is decommissioned and
+    // expireTxns drops its ledger entry — the one manifest term that
+    // grows unboundedly over a table's life (PROTOCOL.md "Manifest
+    // growth"). Before expiry a replay must skip (ledger live); after
+    // expiry the documented cost is that a ghost redelivery re-applies:
+    // the oracle counts batch-1 events (event_id ≡ 1 mod 3) exactly
+    // twice and everything else once, so BOTH a wrongly-skipped and a
+    // wrongly-double-applied path hash-mismatch.
+    "q148_txn_expiry" -> ((s, dir) => {
+      val path = scratchDir("graft-txnexp") + "/hourly"
+      val ev = Tables.events(s, dir)
+      def delta(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      def fold(r: Int, v: Long) = sources.MergeWriter.mergeAdditive(s, path,
+        delta(r), Seq("hour", "event_type"), Seq("n_events"),
+        txn = ("ingest", v), buckets = 8)
+      fold(0, 1L)
+      fold(1, 2L)
+      fold(1, 2L) // ledger live: replay skipped
+      fold(2, 3L)
+      sources.MergeWriter.expireTxns(s, path, Seq("ingest"))
+      fold(1, 2L) // ledger expired: ghost redelivery re-applies batch 1
+      sources.MergeWriter.readTable(s, path)
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6238,6 +6265,17 @@ object SparkEntry {
     "q127_incremental_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Batch-1 events fold twice (once before expiry, once as the
+    // post-expiry ghost redelivery); everything else once. A ledger
+    // that wrongly skipped the post-expiry replay, or wrongly applied
+    // the pre-expiry one, lands on different counts.
+    "q148_txn_expiry" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type,
+        |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
+        |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once

@@ -302,6 +302,30 @@ object MergeWriter {
              retentionMs: Long = OrphanRetentionMs): Unit =
     gc(fsFor(spark, tablePath), new Path(tablePath), retentionMs)
 
+  /** Drop RETIRED writer app ids from the txn ledger. The manifest is a
+    * full snapshot, so commit cost is O(1) in commit count (nothing
+    * replays a log — see PROTOCOL.md "Manifest growth"); the one term
+    * that grows without bound over a table's life is the ledger: one
+    * entry per DISTINCT app id ever used, kept forever because dropping
+    * an entry forfeits that app's replay guard. This is the operational
+    * expiry for decommissioned writers (Delta's transaction-identifier
+    * retention, made explicit): expired apps' future replays would
+    * re-apply, so expire only apps that can no longer deliver.
+    */
+  def expireTxns(spark: SparkSession, tablePath: String,
+                 apps: Seq[String]): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      val remaining = man.txns -- apps
+      if (remaining.size != man.txns.size) {
+        commitManifest(fs, dir,
+          man.copy(version = man.version + 1, txns = remaining))
+        gc(fs, dir)
+      }
+    }
+  }
+
   /** Collapse readable history to the CURRENT state — the
     * right-to-be-forgotten completion of [[delete]]: a keyed delete
     * removes a row from the current version, but retained older

@@ -493,6 +493,35 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orphaned staged epochs not reclaimed: $liveEpochs")
   }
 
+  test("expireTxns retires an app's replay guard; surviving apps keep theirs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txnexp").toString + "/t"
+    def fold(app: String, v: Long, n: Long): Unit =
+      MergeWriter.mergeAdditive(spark, dir,
+        Seq(("k", n)).toDF("k", "n"), Seq("k"), Seq("n"),
+        txn = (app, v), buckets = 2)
+    fold("a", 1L, 10L)
+    fold("b", 1L, 1L)
+    def total(): Long = MergeWriter.readTable(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total() == 11L)
+    // both guards live: replays skip
+    fold("a", 1L, 10L); fold("b", 1L, 1L)
+    assert(total() == 11L)
+    MergeWriter.expireTxns(spark, dir, Seq("a"))
+    assert(MergeWriter.describeTable(spark, dir).collect()(0)
+      .getAs[Int]("n_txns") == 1)
+    // a's guard is gone — a replayed delivery re-applies (the documented
+    // cost of expiry; only decommissioned writers may be expired) —
+    // while b's survives the expiry commit
+    fold("a", 1L, 10L)
+    assert(total() == 21L)
+    fold("b", 1L, 1L)
+    assert(total() == 21L)
+    // content is untouched by the expiry commit itself
+    assert(MergeWriter.readTable(spark, dir).count() == 1)
+  }
+
   test("dedupeOnKey keeps the newest row per key") {
     import spark.implicits._
     val batch = Seq(("A", 1, "old"), ("A", 2, "new"), ("B", 1, "only"))
