@@ -104,10 +104,59 @@ object MergeWriter {
     * (backward compat) — those fall back to a footer merge once and are
     * upgraded by their next commit.
     */
+  /** `keyCols` is the table's merge-key column list, recorded IN ORDER at
+    * creation: `hash(keys…)` is order-sensitive, so a caller passing the
+    * same columns in a different order would re-bin every row under a
+    * hash future merges won't compute — bucket pruning silently misses
+    * rows and keyed-replace leaves stale duplicates behind. Every keyed
+    * entry point validates its supplied keys against the recorded list
+    * and fails loudly on mismatch. Empty only for pre-keyCols manifests
+    * (backward compat) — those accept the caller's keys once and record
+    * them at their next commit.
+    */
+  /** Per-data-file column statistics, recorded in the manifest at epoch
+    * write (Delta's per-file stats / Iceberg's manifest column metrics,
+    * scaled to this protocol): file size and row count, plus min/max per
+    * indexed column in a canonical string domain (longs for integral /
+    * date-days / timestamp-micros, doubles for float/double, raw UTF-8
+    * for strings). They are read straight from the just-written parquet
+    * FOOTERS — no extra pass over the data — so recording cost is
+    * O(touched files) driver-side metadata reads per commit.
+    * [[readTableRange]] prunes at file granularity with them, and
+    * auto-split reads bucket sizes from them without listing the table.
+    */
+  private case class FileStat(name: String, bytes: Long, rows: Long,
+                              mins: Map[String, String],
+                              maxs: Map[String, String])
+
+  /** `clusterCols` (recorded at creation, like `keyCols`) order rows
+    * WITHIN each bucket file write (`sortWithinPartitions` — a local
+    * sort, no exchange): with `spark.sql.files.maxRecordsPerFile` set,
+    * a bucket's output splits into several files covering CONSECUTIVE
+    * cluster-column ranges, which is what makes per-file min/max stats
+    * actually prune a range read (an unclustered hash bucket's single
+    * file spans the full range and no stat can skip it) — Delta's
+    * 1-D OPTIMIZE clustering, applied on every write.
+    */
   private case class Manifest(version: Long, buckets: Int,
                               epochs: Map[Int, String],
                               txns: Map[String, Long] = Map.empty,
-                              schema: Option[String] = None)
+                              schema: Option[String] = None,
+                              keyCols: Seq[String] = Seq.empty,
+                              clusterCols: Seq[String] = Seq.empty,
+                              stats: Map[Int, Seq[FileStat]] = Map.empty)
+
+  /** Fail a keyed operation whose key list disagrees with the recorded
+    * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
+    * keys accepts any list (and records it at the next commit).
+    */
+  private def validateKeys(man: Manifest, keys: Seq[String], op: String): Unit =
+    require(man.keyCols.isEmpty || man.keyCols == keys,
+      s"$op: supplied key columns ${keys.mkString("(", ",", ")")} do not " +
+        s"match the table's recorded merge keys " +
+        s"${man.keyCols.mkString("(", ",", ")")} (order matters: the " +
+        "key hash is order-sensitive, so a reordered list re-bins rows " +
+        "under a hash future merges will not compute)")
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,8 +205,29 @@ object MergeWriter {
     })
     // absent in pre-schema manifests — backward compatible
     val schema = Option(node.get("schema")).map(_.asText())
+    // absent in pre-keyCols manifests — backward compatible
+    def strArr(field: String): Seq[String] =
+      Option(node.get(field)).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+    def strMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      Option(n).foreach(_.fields().forEachRemaining(e =>
+        m(e.getKey) = e.getValue.asText()))
+      m.toMap
+    }
+    // absent in pre-stats manifests — backward compatible
+    val stats = scala.collection.mutable.Map.empty[Int, Seq[FileStat]]
+    Option(node.get("stats")).foreach(_.fields().forEachRemaining { b =>
+      val arr = b.getValue
+      stats(b.getKey.toInt) = (0 until arr.size()).map { i =>
+        val f = arr.get(i)
+        FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
+          strMap(f.get("min")), strMap(f.get("max")))
+      }
+    })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
-      schema)
+      schema, strArr("keys"), strArr("cluster"), stats.toMap)
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -186,11 +256,45 @@ object MergeWriter {
       }.mkString(","))
       .append("}")
       .append(m.schema.map(s => ",\"schema\":" + jsonStr(s)).getOrElse(""))
+      .append(if (m.keyCols.nonEmpty)
+        ",\"keys\":[" + m.keyCols.map(jsonStr).mkString(",") + "]" else "")
+      .append(if (m.clusterCols.nonEmpty)
+        ",\"cluster\":[" + m.clusterCols.map(jsonStr).mkString(",") + "]"
+        else "")
+      .append(if (m.stats.nonEmpty) {
+        def obj(kv: Map[String, String]): String =
+          kv.toSeq.sortBy(_._1).map { case (k, v) =>
+            jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
+        ",\"stats\":{" + m.stats.toSeq.sortBy(_._1).map { case (b, fss) =>
+          "\"" + b + "\":[" + fss.map(fs =>
+            "{\"f\":" + jsonStr(fs.name) + ",\"b\":" + fs.bytes +
+              ",\"r\":" + fs.rows + ",\"min\":" + obj(fs.mins) +
+              ",\"max\":" + obj(fs.maxs) + "}").mkString(",") + "]"
+        }.mkString(",") + "}"
+      } else "")
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
     publishAtomically(fs, dir,
       new Path(dir, f"$ManifestPrefix${m.version}%016d.json"), manifestBody(m))
+
+  /** Commit for maintenance operations (compact, splitBuckets,
+    * truncateHistory) whose staged state was derived from ONE observed
+    * version: losing the version CAS to a concurrent merge means the
+    * derivation is stale, so surface the protocol's documented
+    * `ConcurrentModificationException` ("re-run against the new table
+    * state") instead of [[publishAtomically]]'s raw IOException — safe
+    * either way, but callers catch the protocol exception.
+    */
+  private def commitOrConflict(fs: FileSystem, dir: Path, m: Manifest,
+                               op: String): Unit =
+    try commitManifest(fs, dir, m)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op: lost the version-${m.version} commit race to a concurrent " +
+            s"writer of $dir — re-run against the new table state", e)
+    }
 
   /** The atomic no-overwrite publish shared by table and group commits
     * (see [[commitManifest]]'s doc for the link/rename CAS semantics).
@@ -316,14 +420,28 @@ object MergeWriter {
                  apps: Seq[String]): Unit = {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
-    currentManifest(fs, dir).foreach { man =>
-      val remaining = man.txns -- apps
-      if (remaining.size != man.txns.size) {
-        commitManifest(fs, dir,
-          man.copy(version = man.version + 1, txns = remaining))
-        gc(fs, dir)
+    // metadata-only transform: a lost CAS just means a concurrent merge
+    // won the version — re-read and re-apply the expiry on the new state
+    // (the same rebase idea as writeEpochAndCommit, trivially safe here
+    // because nothing was staged), bounded like the merge retry loop
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => return
+        case Some(man) =>
+          val remaining = man.txns -- apps
+          if (remaining.size == man.txns.size) return
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1, txns = remaining))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
       }
     }
+    throw new java.util.ConcurrentModificationException(
+      s"expireTxns: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
   }
 
   /** Collapse readable history to the CURRENT state — the
@@ -342,7 +460,8 @@ object MergeWriter {
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
       (1 until KeepManifests).foreach { i =>
-        commitManifest(fs, dir, man.copy(version = man.version + i))
+        commitOrConflict(fs, dir, man.copy(version = man.version + i),
+          "truncateHistory")
       }
       gc(fs, dir)
     }
@@ -374,6 +493,206 @@ object MergeWriter {
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 
+  /** How many leading columns get per-file min/max recorded — Delta's
+    * `dataSkippingNumIndexedCols` default. Stats JSON stays bounded for
+    * wide tables; columns past the cap simply never prune.
+    */
+  val StatsMaxCols = 32
+
+  /** Canonical min/max of one column chunk from its footer statistics:
+    * `('L', Long)` for integral / date-days / timestamp (normalized to
+    * micros), `('D', Double)` for float/double, `('S', String)` for
+    * UTF-8 strings. Outer None = stats unusable for the file (drop the
+    * column); Some(None) = all-null chunk (contributes nothing, but the
+    * other chunks' range stays valid — a range predicate never selects
+    * null rows anyway).
+    */
+  private def canonMinMax(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[Option[(Char, Any, Any)]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = cc.getStatistics
+    if (st == null) None
+    else if (!st.hasNonNullValue) {
+      if (st.isNumNullsSet && st.getNumNulls > 0) Some(None) else None
+    } else {
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+      def asDouble(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+      val pt = cc.getPrimitiveType
+      val ann = pt.getLogicalTypeAnnotation
+      val mn = st.genericGetMin; val mx = st.genericGetMax
+      pt.getPrimitiveTypeName match {
+        case INT32 => ann match {
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(Some(('L', asLong(mn), asLong(mx))))
+        }
+        case INT64 => ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val u = t.getUnit
+            def micros(v: Long): Long =
+              if (u == LogicalTypeAnnotation.TimeUnit.MILLIS) v * 1000L
+              else if (u == LogicalTypeAnnotation.TimeUnit.NANOS) v / 1000L
+              else v
+            Some(Some(('L', micros(asLong(mn)), micros(asLong(mx)))))
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(Some(('L', asLong(mn), asLong(mx))))
+        }
+        case FLOAT | DOUBLE => Some(Some(('D', asDouble(mn), asDouble(mx))))
+        case BINARY
+            if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          Some(Some(('S',
+            mn.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+            mx.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)))
+        case _ => None
+      }
+    }
+  }
+
+  private def cmpTagged(tag: Char, a: Any, b: Any): Int = tag match {
+    case 'L' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'D' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+  }
+
+  /** Per-file column stats of a just-written epoch, straight from the
+    * parquet FOOTERS (no second pass over the data): per bucket file —
+    * size, rows, and canonical min/max for the first [[StatsMaxCols]]
+    * eligible top-level columns. O(written files) driver-side metadata
+    * reads, bounded by the touched-bucket set of the commit it rides.
+    */
+  private def collectFileStats(fs: FileSystem,
+                               epochRoot: Path): Map[Int, Seq[FileStat]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    if (!fs.exists(epochRoot)) return Map.empty
+    fs.listStatus(epochRoot).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(BucketCol + "="))
+      .flatMap { bdir =>
+        scala.util.Try(
+          bdir.getPath.getName.stripPrefix(BucketCol + "=").toInt
+        ).toOption.map { b =>
+          val files = fs.listStatus(bdir.getPath).toSeq
+            .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+          b -> files.map { f =>
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromStatus(f, fs.getConf))
+            try {
+              val footer = reader.getFooter
+              var rows = 0L
+              // insertion order = parquet schema order, so the cap below
+              // takes the schema's LEADING columns, like Delta's
+              val acc = scala.collection.mutable.LinkedHashMap
+                .empty[String, (Char, Any, Any)]
+              val dropped = scala.collection.mutable.Set.empty[String]
+              footer.getBlocks.forEach { blk =>
+                rows += blk.getRowCount
+                blk.getColumns.forEach { cc =>
+                  val path = cc.getPath.toDotString
+                  // top-level primitives only (a nested field's range
+                  // can't anchor a top-level column predicate)
+                  if (!path.contains('.') && !dropped(path)) {
+                    canonMinMax(cc) match {
+                      case Some(Some((tag, mn, mx))) => acc.get(path) match {
+                        case Some((t0, m0, x0)) if t0 == tag =>
+                          acc(path) = (tag,
+                            if (cmpTagged(tag, mn, m0) < 0) mn else m0,
+                            if (cmpTagged(tag, mx, x0) > 0) mx else x0)
+                        case Some(_) => dropped += path; acc.remove(path)
+                        case None => acc(path) = (tag, mn, mx)
+                      }
+                      case Some(None) => () // all-null chunk
+                      case None => dropped += path; acc.remove(path)
+                    }
+                  }
+                }
+              }
+              val kept = acc.take(StatsMaxCols)
+              FileStat(f.getPath.getName, f.getLen, rows,
+                kept.map { case (c, (_, mn, _)) => c -> mn.toString }.toMap,
+                kept.map { case (c, (_, _, mx)) => c -> mx.toString }.toMap)
+            } finally reader.close()
+          }
+        }
+      }.toMap
+  }
+
+  /** Convert a caller-supplied range bound into the canonical stats
+    * domain of the column's Spark type (see [[FileStat]]). None = the
+    * bound (or type) isn't canonicalizable — skipping is silently
+    * disabled and the residual filter alone applies, never wrong
+    * results.
+    */
+  private def boundToCanon(dt: DataType, v: Any): Option[(Char, Any)] = {
+    import org.apache.spark.sql.types._
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case n: Number => Some(('L', n.longValue()))
+        case s: String => scala.util.Try(('L', s.toLong: Any)).toOption
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(('L', d.toLocalDate.toEpochDay))
+        case d: java.time.LocalDate => Some(('L', d.toEpochDay))
+        case s: String => scala.util.Try(
+          ('L', java.time.LocalDate.parse(s).toEpochDay: Any)).toOption
+        case n: Number => Some(('L', n.longValue()))
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case t: java.sql.Timestamp => Some(('L', micros(t.toInstant)))
+        case i: java.time.Instant => Some(('L', micros(i)))
+        case d: java.time.LocalDateTime =>
+          // NTZ micros are "local wall-clock since epoch" — exactly the
+          // UTC instant of the same local fields (sessions run UTC)
+          Some(('L', micros(d.toInstant(java.time.ZoneOffset.UTC))))
+        case s: String => scala.util.Try {
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          ('L', micros(ldt.toInstant(java.time.ZoneOffset.UTC)): Any)
+        }.toOption
+        case n: Number => Some(('L', n.longValue()))
+        case _ => None
+      }
+      case FloatType | DoubleType => v match {
+        case n: Number => Some(('D', n.doubleValue()))
+        case s: String => scala.util.Try(('D', s.toDouble: Any)).toOption
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(('S', s))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** File-level skip decision: keep the file unless its recorded range
+    * provably misses [lower, upper]. A file with no recorded stats for
+    * the column is always kept (skipping must only ever REMOVE provably
+    * irrelevant I/O).
+    */
+  private def fileIntersects(fileStat: FileStat, column: String,
+                             lo: Option[(Char, Any)],
+                             hi: Option[(Char, Any)]): Boolean = {
+    def parse(tag: Char, s: String): Any = tag match {
+      case 'L' => s.toLong
+      case 'D' => s.toDouble
+      case _ => s
+    }
+    val belowLo = lo.exists { case (tag, bound) =>
+      fileStat.maxs.get(column).exists(mx =>
+        cmpTagged(tag, parse(tag, mx), bound) < 0)
+    }
+    val aboveHi = hi.exists { case (tag, bound) =>
+      fileStat.mins.get(column).exists(mn =>
+        cmpTagged(tag, parse(tag, mn), bound) > 0)
+    }
+    !belowLo && !aboveHi
+  }
+
   /** Post-merge auto-compaction check (see [[AutoCompactEpochs]]): count
     * live epochs from the just-committed manifest (a metadata-only read)
     * and rewrite when fragmentation crosses the threshold.
@@ -385,7 +704,10 @@ object MergeWriter {
         // advisory: losing a commit race to a concurrent writer must not
         // fail the merge that already committed — a later merge retries
         try compact(spark, tablePath)
-        catch { case _: java.io.IOException => () }
+        catch {
+          case _: java.io.IOException => ()
+          case _: java.util.ConcurrentModificationException => ()
+        }
     }
 
   /** Read committed epoch data with the manifest-recorded schema — a
@@ -434,7 +756,8 @@ object MergeWriter {
   def merge(spark: SparkSession, tablePath: String, incoming: DataFrame,
             keys: Seq[String], buckets: Int = 64,
             evolveSchema: Boolean = false,
-            autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+            autoCompactEpochs: Int = AutoCompactEpochs,
+            clusterBy: Seq[String] = Seq.empty): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -450,9 +773,14 @@ object MergeWriter {
       // per table, so the O(files) footer-job cost argument does not apply
       val legacy = spark.read.option("mergeSchema", "true")
         .parquet(tablePath).drop(BucketCol)
-      writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
+      writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None,
+        clusterCols = clusterBy)
     }
     val m = currentManifest(fs, dir)
+    m.foreach(validateKeys(_, keys, "merge"))
+    // clusterBy applies at table CREATION (like `buckets`); an existing
+    // table keeps its recorded clustering
+    val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
     val nb = m.map(_.buckets).getOrElse(buckets)
     val inc = incoming
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
@@ -467,7 +795,7 @@ object MergeWriter {
       m match {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
-            keys, nb, None)
+            keys, nb, None, clusterCols = cluster)
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
@@ -488,7 +816,8 @@ object MergeWriter {
             case Some(sv) =>
               sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
-          writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb, Some(man))
+          writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
+            Some(man), clusterCols = cluster)
       }
       gc(fs, dir)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
@@ -528,6 +857,7 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     val m = currentManifest(fs, dir)
+    m.foreach(validateKeys(_, keys, "mergeAdditive"))
     if (m.exists(_.txns.get(txn._1).exists(_ >= txn._2))) return // replay
     val nb = m.map(_.buckets).getOrElse(buckets)
     val inc = delta
@@ -665,6 +995,7 @@ object MergeWriter {
     require(keys.nonEmpty, "mergeGroup requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"mergeGroup: incoming frame must not contain reserved column '$BucketCol'")
+    st.foreach(validateKeys(_, keys, "mergeGroup"))
     val nb = st.map(_.buckets).getOrElse(buckets)
     val inc = incoming
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
@@ -685,9 +1016,14 @@ object MergeWriter {
           }
       }
       val epoch = "e-" + UUID.randomUUID()
-      merged.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      val cluster = st.map(_.clusterCols).getOrElse(Seq.empty)
+      val part = merged
+        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
         .repartition(col(BucketCol))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      val clustered =
+        if (cluster.isEmpty) part
+        else part.sortWithinPartitions((BucketCol +: cluster).map(col): _*)
+      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
       val written = fs.listStatus(new Path(s"$tableRoot/$epoch")).toSeq
         .map(_.getPath.getName)
@@ -695,7 +1031,9 @@ object MergeWriter {
         .map(_.stripPrefix(BucketCol + "=").toInt)
       Some(Manifest(0L, nb,
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
-        Map.empty, Some(merged.schema.json)))
+        Map.empty, Some(merged.schema.json), keys, cluster,
+        st.map(_.stats).getOrElse(Map.empty) ++
+          collectFileStats(fs, new Path(s"$tableRoot/$epoch"))))
     } finally { inc.unpersist(); () }
   }
 
@@ -780,7 +1118,14 @@ object MergeWriter {
       tables.toMap
     }
     val now = System.currentTimeMillis()
-    val members = keptManifests.flatMap(_.keys).toSet
+    // member candidates come from the group root's DIRECTORY LISTING, not
+    // from kept manifests: a crash during a member's first-ever staged
+    // load leaves an epoch under a directory NO committed manifest names
+    // — deriving members from manifests would leak those orphans forever
+    // (table-level gc sweeps by listing for the same reason). A directory
+    // that is not a member at all simply contains no e-* children.
+    val members = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
     members.foreach { name =>
       val referenced =
         keptManifests.flatMap(_.get(name)).flatMap(_.epochs.values).toSet
@@ -871,6 +1216,7 @@ object MergeWriter {
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None)
     }
     val m = currentManifest(fs, dir)
+    m.foreach(validateKeys(_, keys, "mergeVersioned"))
     val nb = m.map(_.buckets).getOrElse(buckets)
     val inc = incoming
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
@@ -952,19 +1298,31 @@ object MergeWriter {
                                   keys: Seq[String], buckets: Int,
                                   prev: Option[Manifest],
                                   txn: Option[(String, Long)] = None,
-                                  dropBuckets: Set[Int] = Set.empty): Unit = {
+                                  dropBuckets: Set[Int] = Set.empty,
+                                  clusterCols: Seq[String] = Seq.empty): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
     // cluster by bucket before the partitioned write: each bucket's rows
-    // land wholly in one task → one file per bucket (small-file hygiene)
-    data.repartition(col(BucketCol))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+    // land wholly in one task → one file per bucket (small-file hygiene).
+    // With clusterCols a LOCAL sort (no extra exchange) orders the
+    // bucket's rows so maxRecordsPerFile splits land range-disjoint
+    // files — what makes the per-file stats below actually skip.
+    // an existing table's recorded clustering always applies; the param
+    // only seeds table creation (mirrors `buckets`)
+    val effCluster = prev.map(_.clusterCols).filter(_.nonEmpty)
+      .getOrElse(clusterCols)
+    val part = data.repartition(col(BucketCol))
+    val clustered =
+      if (effCluster.isEmpty) part
+      else part.sortWithinPartitions((BucketCol +: effCluster).map(col): _*)
+    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tablePath/$epoch")
     val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
+    val fileStats = collectFileStats(fs, new Path(s"$tablePath/$epoch"))
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -978,6 +1336,14 @@ object MergeWriter {
       // txn ledger survives every commit; the new txn (if any) rides the
       // SAME atomic rename as the data it applied
       val txns = base.map(_.txns).getOrElse(Map.empty) ++ txn
+      // untouched buckets keep their old files' stats (their pointers
+      // didn't move); rewritten buckets take the fresh footer stats
+      val stats = (base.map(_.stats).getOrElse(Map.empty) -- dropBuckets) ++
+        fileStats
+      // clustering is recorded at creation; a CREATION race adopts the
+      // winner's recorded clustering (advisory layout, not a conflict)
+      val cluster = base.map(_.clusterCols).filter(_.nonEmpty)
+        .getOrElse(effCluster)
       // the committed schema is the written frame's (sans the physical
       // bucket column) — on an evolving merge this is already the union
       // schema, so the recorded schema and the data it describes commit
@@ -985,7 +1351,7 @@ object MergeWriter {
       try {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
-            txns, Some(rows.schema.json)))
+            txns, Some(rows.schema.json), keys, cluster, stats))
         return
       } catch {
         case e: java.io.IOException =>
@@ -1019,7 +1385,11 @@ object MergeWriter {
           // when they happen not to collide — committing them would make
           // every later pruned read miss rows silently
           val bucketConflict = cur.buckets != buckets
-          if (conflicting || schemaConflict || bucketConflict) {
+          // a creation race where the winner recorded different merge
+          // keys is equally unrebasable: this write's bucket ids were
+          // hashed from ITS key list (see [[Manifest.keyCols]])
+          val keyConflict = cur.keyCols.nonEmpty && cur.keyCols != keys
+          if (conflicting || schemaConflict || bucketConflict || keyConflict) {
             val diff = mine.filter(b =>
               cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
             throw new java.util.ConcurrentModificationException(
@@ -1028,6 +1398,8 @@ object MergeWriter {
                 s"$tablePath (version ${cur.version}" +
                 s"${if (schemaConflict) ", schema changed" else ""}" +
                 s"${if (bucketConflict) s", bucket count ${cur.buckets} != $buckets"
+                   else ""}" +
+                s"${if (keyConflict) s", merge keys ${cur.keyCols.mkString("(", ",", ")")} != ${keys.mkString("(", ",", ")")}"
                    else ""}) — " +
                 "re-run against the new table state")
           }
@@ -1064,6 +1436,7 @@ object MergeWriter {
         buckets = 64, prev = None)
     }
     currentManifest(fs, dir).foreach { man =>
+      validateKeys(man, keys, "delete")
       val del = keysToDelete.select(keys.map(col): _*).distinct()
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(man.buckets)))
         .persist()
@@ -1116,17 +1489,23 @@ object MergeWriter {
             .filter(col(BucketCol).isin(m.keys.toSeq: _*))
         }
       val epoch = "e-" + UUID.randomUUID()
-      live.reduce(_ unionByName _)
-        .repartition(col(BucketCol))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      val part = live.reduce(_ unionByName _).repartition(col(BucketCol))
+      val clustered =
+        if (man.clusterCols.isEmpty) part
+        else part.sortWithinPartitions(
+          (BucketCol +: man.clusterCols).map(col): _*)
+      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tablePath/$epoch")
       val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(BucketCol + "="))
         .map(_.stripPrefix(BucketCol + "=").toInt)
-      commitManifest(fs, dir,
+      commitOrConflict(fs, dir,
         Manifest(man.version + 1, man.buckets,
-          written.map(_ -> epoch).toMap, man.txns, man.schema))
+          written.map(_ -> epoch).toMap, man.txns, man.schema, man.keyCols,
+          man.clusterCols,
+          collectFileStats(fs, new Path(s"$tablePath/$epoch"))),
+        "compact")
       gc(fs, dir)
     }
   }
@@ -1162,25 +1541,41 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
+      validateKeys(man, keys, "splitBuckets")
       val nb2 = man.buckets * 2
       val paths = man.epochs.toSeq.sortBy(_._1)
         .map { case (b, e) => bucketPath(tablePath, e, b) }
       if (paths.isEmpty) {
-        commitManifest(fs, dir, man.copy(version = man.version + 1,
-          buckets = nb2))
+        commitOrConflict(fs, dir, man.copy(version = man.version + 1,
+          buckets = nb2,
+          keyCols = if (man.keyCols.nonEmpty) man.keyCols else keys),
+          "splitBuckets")
       } else {
         val epoch = "e-" + UUID.randomUUID()
-        readWithSchema(spark, man, paths)
+        val rebinned = readWithSchema(spark, man, paths)
           .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb2)))
-          .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        // clustering survives the split as a LOCAL sort (still no
+        // exchange in the plan — sortWithinPartitions orders each scan
+        // task's fan-out before the per-bucket file writes)
+        val clustered =
+          if (man.clusterCols.isEmpty) rebinned
+          else rebinned.sortWithinPartitions(
+            (BucketCol +: man.clusterCols).map(col): _*)
+        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
           .parquet(s"$tablePath/$epoch")
         val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
           .map(_.getPath.getName)
           .filter(_.startsWith(BucketCol + "="))
           .map(_.stripPrefix(BucketCol + "=").toInt)
-        commitManifest(fs, dir,
+        commitOrConflict(fs, dir,
           Manifest(man.version + 1, nb2, written.map(_ -> epoch).toMap,
-            man.txns, man.schema))
+            man.txns, man.schema,
+            // a legacy pre-keyCols manifest upgrades here: the supplied
+            // keys are recorded for every later keyed call to validate
+            if (man.keyCols.nonEmpty) man.keyCols else keys,
+            man.clusterCols,
+            collectFileStats(fs, new Path(s"$tablePath/$epoch"))),
+          "splitBuckets")
       }
       gc(fs, dir)
     }
@@ -1252,6 +1647,7 @@ object MergeWriter {
         readTable(spark, tablePath)
           .join(wanted.select(keys.map(col): _*).distinct(), keys, "left_semi")
       case Some(man) =>
+        validateKeys(man, keys, "readKeys")
         // no persist: the returned frame is LAZY, and the wanted side is
         // lookup-sized by contract — recomputing it inside the semi-join
         // is cheaper than a cache outliving this call
@@ -1264,6 +1660,62 @@ object MergeWriter {
         if (paths.isEmpty) readTable(spark, tablePath).limit(0)
         else readWithSchema(spark, man, paths)
           .join(w.drop(BucketCol), keys, "left_semi")
+    }
+  }
+
+  /** Range read with DATA SKIPPING (Delta's file-stats skipping /
+    * Iceberg's manifest min/max pruning, scaled to this protocol): scan
+    * only the data files whose recorded [min, max] for `column`
+    * intersects `[lower, upper]`, then apply the exact predicate as a
+    * residual filter. With the table clustered on `column` (see
+    * [[Manifest.clusterCols]]: `merge(..., clusterBy = Seq(column))` +
+    * `spark.sql.files.maxRecordsPerFile`), a narrow range opens a
+    * file count proportional to the MATCHED range, not the table — the
+    * difference between a dashboard's 90-day CFD window and a full
+    * 100 TB scan (ref `calculate_cfd.sql:8-16` reads exactly such a
+    * date window over snapshots). Files without usable stats for the
+    * column are always read (skipping only ever removes provably
+    * irrelevant I/O), so results equal `readTable().filter(range)` on
+    * ANY table, clustered or not, stats or none. Bounds are inclusive;
+    * accepted bound types per column type: numbers/strings for
+    * numerics, `java.sql.Date`/`LocalDate`/ISO strings for dates,
+    * `Timestamp`/`Instant`/`LocalDateTime`/ISO strings for timestamps.
+    */
+  def readTableRange(spark: SparkSession, tablePath: String, column: String,
+                     lower: Option[Any] = None,
+                     upper: Option[Any] = None): DataFrame = {
+    def applyRange(df: DataFrame): DataFrame = {
+      val dt = df.schema(column).dataType
+      val conds = lower.map(v => col(column) >= lit(v).cast(dt)).toSeq ++
+        upper.map(v => col(column) <= lit(v).cast(dt))
+      conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+    }
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)) match {
+      case None => applyRange(readTable(spark, tablePath))
+      case Some(man) =>
+        val colType = man.schema
+          .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+          .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+        val lo = for { d <- colType; v <- lower; c <- boundToCanon(d, v) } yield c
+        val hi = for { d <- colType; v <- upper; c <- boundToCanon(d, v) } yield c
+        val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+          man.stats.get(b) match {
+            case Some(fss) if lo.isDefined || hi.isDefined =>
+              fss.filter(fileIntersects(_, column, lo, hi))
+                .map(f => bucketPath(tablePath, e, b) + "/" + f.name)
+            case _ => Seq(bucketPath(tablePath, e, b))
+          }
+        }
+        val base =
+          if (paths.nonEmpty) readWithSchema(spark, man, paths)
+          else man.schema match {
+            case Some(s) => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              DataType.fromJson(s).asInstanceOf[StructType])
+            case None => readTable(spark, tablePath).limit(0)
+          }
+        applyRange(base)
     }
   }
 

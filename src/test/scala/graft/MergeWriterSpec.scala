@@ -785,4 +785,106 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[String]("contextId"), r.getAs[String]("workItemId"))).toSet
     assert(out == Set(("ctx1", "A"), ("ctx1", "D"), ("ctx2", "C")))
   }
+
+  test("per-file stats skip files outside a range read; results stay exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("skip").toString + "/snapshots"
+    // several range-disjoint files per bucket: clusterBy sorts each
+    // bucket's rows by date, maxRecordsPerFile splits them sequentially
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def rows(n: Int): org.apache.spark.sql.DataFrame =
+        (0 until n).map { i =>
+          (s"item#${i % 40}", java.sql.Date.valueOf(d0.plusDays(i / 10)), i)
+        }.toDF("workItemId", "snapshotDate", "rev")
+      MergeWriter.merge(spark, dir, rows(800),
+        Seq("workItemId", "snapshotDate"), buckets = 4,
+        clusterBy = Seq("snapshotDate"))
+      // an incremental merge must KEEP untouched buckets' stats valid and
+      // refresh the rewritten buckets'
+      MergeWriter.merge(spark, dir, rows(200).withColumn("rev", col("rev") + 1),
+        Seq("workItemId", "snapshotDate"))
+
+      val lo = java.sql.Date.valueOf("2024-02-01")
+      val hi = java.sql.Date.valueOf("2024-02-10")
+      val pruned = MergeWriter.readTableRange(spark, dir, "snapshotDate",
+        Some(lo), Some(hi))
+      val full = MergeWriter.readTable(spark, dir)
+        .filter(col("snapshotDate").between(lit(lo), lit(hi)))
+      assert(pruned.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+
+      // the skip is real: strictly fewer files opened…
+      val openedFiles = pruned.inputFiles.toSet
+      val allFiles = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      assert(openedFiles.size < allFiles.size,
+        s"no files skipped (${openedFiles.size} of ${allFiles.size})")
+      // …and LOSSLESS: every skipped file holds zero in-range rows
+      val skipped = (allFiles -- openedFiles).toSeq
+      val inRangeInSkipped = spark.read.parquet(skipped: _*)
+        .filter(col("snapshotDate").between(lit(lo), lit(hi))).count()
+      assert(inRangeInSkipped == 0,
+        s"skipped files contained $inRangeInSkipped in-range rows")
+
+      // open bounds and string bounds both stay exact (ISO date string)
+      val loOnly = MergeWriter.readTableRange(spark, dir, "snapshotDate",
+        lower = Some("2024-03-01"))
+      assert(loOnly.count() == MergeWriter.readTable(spark, dir)
+        .filter(col("snapshotDate") >= lit("2024-03-01")).count())
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("recorded merge keys reject reordered or different key lists") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("keyrec").toString + "/t"
+    val v1 = Seq(("org#1", "ds#A", 1), ("org#1", "ds#B", 2))
+      .toDF("partitionKey", "sortKey", "v")
+    MergeWriter.merge(spark, dir, v1, Seq("partitionKey", "sortKey"),
+      buckets = 4)
+    // hash(keys…) is order-sensitive: a REORDERED key list would re-bin
+    // every row under a hash future merges won't compute — every keyed
+    // entry point must refuse it loudly, not silently corrupt pruning
+    val reordered = Seq("sortKey", "partitionKey")
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, v1, reordered)
+    }
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.splitBuckets(spark, dir, reordered)
+    }
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.delete(spark, dir, v1.select("sortKey", "partitionKey"),
+        reordered)
+    }
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.readKeys(spark, dir, v1, reordered).count()
+    }
+    // the correct order still works end-to-end, including through a split
+    MergeWriter.splitBuckets(spark, dir, Seq("partitionKey", "sortKey"))
+    MergeWriter.merge(spark, dir,
+      Seq(("org#1", "ds#C", 3)).toDF("partitionKey", "sortKey", "v"),
+      Seq("partitionKey", "sortKey"))
+    assert(MergeWriter.readTable(spark, dir).count() == 3)
+  }
+
+  test("gcGroup reclaims staged epochs of members no manifest ever named") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grporph").toString + "/load"
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", Seq(("A", 1)).toDF("k", "v"), Seq("k"))), buckets = 4)
+    // crash during the FIRST load that introduces a brand-new member:
+    // its epoch sits under a directory no committed group manifest names
+    // — member discovery by directory listing must still sweep it
+    MergeWriter.stageGroupMemberForTest(spark, grp, "newMember",
+      Seq(("B", 2)).toDF("k", "v"), Seq("k"), buckets = 4)
+    val memberDir = new java.io.File(grp, "newMember")
+    assert(memberDir.listFiles().exists(_.getName.startsWith("e-")),
+      "test setup: staged epoch missing")
+    MergeWriter.gcGroupNow(spark, grp)
+    val left = Option(memberDir.listFiles()).map(_.map(_.getName).toSeq)
+      .getOrElse(Seq.empty).filter(_.startsWith("e-"))
+    assert(left.isEmpty, s"orphan epochs of never-committed member leaked: $left")
+    // the committed member is untouched
+    assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 1)
+  }
 }
