@@ -381,6 +381,56 @@ object ScaleBench {
     }
     if (sections("split8")) { splitBench(base, "sf0.1"); splitBench(rep, "rep10") }
 
+    // round 9: data skipping — a ts-clustered merge table records
+    // per-file min/max in the manifest; a range read opens only files
+    // intersecting the window. The claim: opened-file count and scan
+    // wall track the MATCHED RANGE, not the table (the CFD date-window
+    // shape at 100 TB). Windows at 10% / 50% / 100% of the ts span.
+    def skipBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val path = s"$work/skip9/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+      try MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 16,
+        clusterBy = Seq("ts"))
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      def lerp(f: Double): Any = (mm.get(0), mm.get(1)) match {
+        case (a: Long, b: Long) =>
+          java.lang.Long.valueOf(a + ((b - a) * f).toLong)
+        case (a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+          new java.sql.Timestamp(a.getTime + ((b.getTime - a.getTime) * f).toLong)
+        case (a: java.time.LocalDateTime, b: java.time.LocalDateTime) =>
+          val x = a.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          val y = b.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(x + ((y - x) * f).toLong),
+            java.time.ZoneOffset.UTC)
+        case (a, _) => a
+      }
+      // the agg hashes two columns per row so the scan actually reads
+      // data (a bare count() can be answered from parquet metadata)
+      def scan(df: org.apache.spark.sql.DataFrame): (Int, Long, Double) = {
+        val files = df.inputFiles.length
+        val timed = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = df.select(xxhash64(col("event_id"), col("event_type")).as("h"))
+            .agg(count(col("h"))).as[Long].head()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        (files, timed.head._1, timed.map(_._2).min)
+      }
+      val (f10, n10, s10) = scan(MergeWriter.readTableRange(spark, path, "ts",
+        Some(lerp(0.45)), Some(lerp(0.55))))
+      val (f50, n50, s50) = scan(MergeWriter.readTableRange(spark, path, "ts",
+        Some(lerp(0.25)), Some(lerp(0.75))))
+      val (fAll, nAll, sAll) = scan(MergeWriter.readTable(spark, path))
+      println(f"""{"dir":"$tag","skip_files_10pct":$f10,"skip_rows_10pct":$n10,"skip_sec_10pct_min3":$s10%.2f,"skip_files_50pct":$f50,"skip_rows_50pct":$n50,"skip_sec_50pct_min3":$s50%.2f,"full_files":$fAll,"full_rows":$nAll,"full_sec_min3":$sAll%.2f}""")
+    }
+    if (sections("skip9")) { skipBench(base, "sf0.1"); skipBench(rep, "rep10") }
+
     // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
     // (q136 needs the lang column, absent from the rep10 projection —
     // base only)

@@ -3346,6 +3346,46 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
     }),
 
+    // DATA SKIPPING (Delta's per-file stats pruning / Iceberg's manifest
+    // min/max metrics, on the manifest protocol): lineitem is
+    // merge-maintained CLUSTERED on l_shipdate — each bucket's rows are
+    // locally sorted and maxRecordsPerFile splits them into
+    // range-disjoint files whose footer min/max ride the manifest — and
+    // two incremental merges keep the stats live across rewrites. The
+    // CFD-shaped date-window read (ref `calculate_cfd.sql:8-16` scans
+    // exactly such a window over snapshots) then opens ONLY files whose
+    // recorded range intersects the quarter: I/O proportional to the
+    // matched range, not the table, which at 100 TB is the difference
+    // between a dashboard query and a full scan. The residual filter
+    // keeps results exact, so plain SQL is the oracle.
+    "q149_range_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-skip") + "/lineitem"
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          Seq("l_orderkey", "l_linenumber"), buckets = 8,
+          clusterBy = Seq("l_shipdate"))
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_orderkey", "l_linenumber"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      sources.MergeWriter.readTableRange(s, path, "l_shipdate",
+          lower = Some("1995-01-01 00:00:00"),
+          upper = Some("1995-03-31 23:59:59.999999"))
+        .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          graft.functions.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6277,6 +6317,18 @@ object SparkEntry {
         |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
         |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The pruned read + residual filter must equal the plain
+    // full-scan-and-filter aggregate over the raw table.
+    "q149_range_scan" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1995-03-31 23:59:59.999999'
+        |GROUP BY 1""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -650,7 +650,9 @@ object MergeWriter {
           // UTC instant of the same local fields (sessions run UTC)
           Some(('L', micros(d.toInstant(java.time.ZoneOffset.UTC))))
         case s: String => scala.util.Try {
-          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          val t = s.replace(' ', 'T')
+          val ldt = scala.util.Try(java.time.LocalDateTime.parse(t))
+            .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
           ('L', micros(ldt.toInstant(java.time.ZoneOffset.UTC)): Any)
         }.toOption
         case n: Number => Some(('L', n.longValue()))
