@@ -712,6 +712,45 @@ object MergeWriter {
         }
     }
 
+  /** GROW-on-write threshold: a merge that leaves any bucket holding
+    * MORE than this many bytes triggers an inline [[splitBuckets]] —
+    * the operational completion of the split path (Delta/Iceberg re-bin
+    * at OPTIMIZE time; this makes the trigger automatic, like their
+    * auto-optimize). The decision is METADATA-ONLY: per-bucket bytes
+    * are summed from the manifest's per-file stats, no listing of the
+    * table. 256 MB per bucket keeps single-bucket rewrites (the I/O
+    * unit of every keyed merge) bounded as the table grows; a table
+    * created before stats recording, or without recorded keys, never
+    * auto-splits (the decision has nothing safe to read).
+    */
+  val AutoSplitBytesPerBucket: Long = 256L << 20
+
+  /** Modulus ceiling for AUTO splits — a single hot key's bucket can
+    * exceed any byte threshold without a split being able to shrink it
+    * (all its rows share one hash); the cap stops the pathological
+    * split-per-merge loop a manual [[splitBuckets]] caller can still
+    * override.
+    */
+  val AutoSplitMaxBuckets: Int = 4096
+
+  private def maybeAutoSplit(spark: SparkSession, fs: FileSystem, dir: Path,
+                             tablePath: String, threshold: Long): Unit =
+    if (threshold > 0) currentManifest(fs, dir).foreach { man =>
+      if (man.keyCols.nonEmpty && man.stats.nonEmpty &&
+          man.buckets < AutoSplitMaxBuckets) {
+        val maxBucketBytes =
+          man.stats.values.map(_.map(_.bytes).sum).maxOption.getOrElse(0L)
+        if (maxBucketBytes > threshold)
+          // advisory, like auto-compaction: a lost race never fails the
+          // merge that already committed — growth retries next merge
+          try splitBuckets(spark, tablePath, man.keyCols)
+          catch {
+            case _: java.io.IOException => ()
+            case _: java.util.ConcurrentModificationException => ()
+          }
+      }
+    }
+
   /** Read committed epoch data with the manifest-recorded schema — a
     * zero-job plan step, vs. `mergeSchema=true`'s distributed footer-merge
     * (O(files) tasks on EVERY read of EVERY table). Pre-schema manifests
@@ -759,7 +798,8 @@ object MergeWriter {
             keys: Seq[String], buckets: Int = 64,
             evolveSchema: Boolean = false,
             autoCompactEpochs: Int = AutoCompactEpochs,
-            clusterBy: Seq[String] = Seq.empty): Unit = {
+            clusterBy: Seq[String] = Seq.empty,
+            autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -822,6 +862,7 @@ object MergeWriter {
             Some(man), clusterCols = cluster)
       }
       gc(fs, dir)
+      maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
@@ -848,7 +889,8 @@ object MergeWriter {
   def mergeAdditive(spark: SparkSession, tablePath: String, delta: DataFrame,
                     keys: Seq[String], addCols: Seq[String],
                     txn: (String, Long), buckets: Int = 64,
-                    autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+                    autoCompactEpochs: Int = AutoCompactEpochs,
+                    autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket): Unit = {
     require(keys.nonEmpty, "mergeAdditive requires at least one key column")
     require(addCols.nonEmpty, "mergeAdditive requires additive columns")
     require(delta.columns.sorted.sameElements((keys ++ addCols).sorted),
@@ -889,6 +931,7 @@ object MergeWriter {
       }
       writeEpochAndCommit(spark, fs, tablePath, folded, keys, nb, m, Some(txn))
       gc(fs, dir)
+      maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
@@ -1066,18 +1109,51 @@ object MergeWriter {
     val cur = currentGroupManifest(fs, dir)
     if (txn.exists(t => cur.exists(_.txns.get(t._1).exists(_ >= t._2))))
       return // replayed batch: already applied and committed
-    val updated = merges.foldLeft(cur.map(_.tables).getOrElse(Map.empty)) {
-      case (acc, (name, rows, keys)) =>
-        stageMergeInto(spark, fs, s"$groupPath/$name", acc.get(name), rows,
-          keys, buckets) match {
-          case Some(st) => acc + (name -> st)
-          case None => acc
-        }
+    val curTables = cur.map(_.tables).getOrElse(Map.empty)
+    // only members this batch actually STAGED participate in conflict
+    // detection and rebase below (an empty member batch stages nothing)
+    val staged = merges.flatMap { case (name, rows, keys) =>
+      stageMergeInto(spark, fs, s"$groupPath/$name", curTables.get(name),
+        rows, keys, buckets).map(name -> _)
+    }.toMap
+    // OPTIMISTIC group commit with rebase-and-retry (writeEpochAndCommit's
+    // protocol lifted to group scope): losing the version CAS to a
+    // concurrent group writer is fine as long as the winner touched only
+    // OTHER members — our staged member states apply on top of its
+    // commit unchanged. A touched member whose pinned state moved means
+    // our stages were computed from stale survivors: fail loudly with the
+    // protocol's ConcurrentModificationException, never publish them.
+    var base = cur
+    var attempt = 0
+    while (true) {
+      try {
+        commitGroupManifest(fs, dir,
+          GroupManifest(base.map(_.version + 1).getOrElse(1L),
+            base.map(_.tables).getOrElse(Map.empty) ++ staged,
+            base.map(_.txns).getOrElse(Map.empty) ++ txn))
+        gcGroup(fs, dir)
+        return
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          val newCur = currentGroupManifest(fs, dir).getOrElse(throw e)
+          // the winner may have BEEN this very batch (redelivered twice
+          // concurrently): its ledger entry makes ours a replay
+          if (txn.exists(t => newCur.txns.get(t._1).exists(_ >= t._2)))
+            return
+          val contested = staged.keys.filter(n =>
+            newCur.tables.get(n).map(_.epochs) !=
+              cur.flatMap(_.tables.get(n)).map(_.epochs)).toSeq.sorted
+          if (contested.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"mergeGroup: concurrent writer rewrote contested members " +
+                s"${contested.mkString("{", ",", "}")} of $groupPath " +
+                s"(version ${newCur.version}) — re-run against the new " +
+                "group state")
+          base = Some(newCur)
+      }
     }
-    commitGroupManifest(fs, dir,
-      GroupManifest(cur.map(_.version + 1).getOrElse(1L), updated,
-        cur.map(_.txns).getOrElse(Map.empty) ++ txn))
-    gcGroup(fs, dir)
   }
 
   /** Read one member table of a group at the latest committed GROUP
@@ -1098,6 +1174,68 @@ object MergeWriter {
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
     readWithSchema(spark, m, paths)
+  }
+
+  /** Resolve a group's current manifest and one member's state, failing
+    * loudly on an uncommitted group or unknown member (shared by the
+    * member lifecycle operations below).
+    */
+  private def requireMember(fs: FileSystem, groupPath: String, name: String,
+                            op: String): (GroupManifest, Manifest) = {
+    val cur = currentGroupManifest(fs, new Path(groupPath)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: no committed group manifest at $groupPath"))
+    val man = cur.tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$op: member '$name' not in group " +
+          s"(members: ${cur.tables.keys.toSeq.sorted.mkString(", ")})"))
+    (cur, man)
+  }
+
+  private def commitGroupOrConflict(fs: FileSystem, dir: Path,
+                                    g: GroupManifest, op: String): Unit =
+    try commitGroupManifest(fs, dir, g)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op: lost the version-${g.version} commit race to a " +
+            s"concurrent writer of $dir — re-run against the new group " +
+            "state", e)
+    }
+
+  /** [[splitBuckets]] for one member of a group: double the member's
+    * bucket modulus (same no-exchange `pmod` refinement) and commit the
+    * next GROUP version — the other members' pinned states ride along
+    * unchanged, so the split is atomic with respect to cross-member
+    * reads exactly like a member merge. Growth operations thus have
+    * full parity between standalone and group-member tables.
+    */
+  def splitGroupBuckets(spark: SparkSession, groupPath: String, name: String,
+                        keys: Seq[String]): Unit = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    val (cur, man) = requireMember(fs, groupPath, name, "splitGroupBuckets")
+    val upd = splitEpochsUncommitted(spark, fs, s"$groupPath/$name", man, keys)
+    commitGroupOrConflict(fs, dir,
+      GroupManifest(cur.version + 1, cur.tables + (name -> upd), cur.txns),
+      "splitGroupBuckets")
+    gcGroup(fs, dir)
+  }
+
+  /** [[compact]] for one member of a group: rewrite the member's live
+    * epochs into one and commit the next group version (the other
+    * members ride along unchanged).
+    */
+  def compactGroupTable(spark: SparkSession, groupPath: String,
+                        name: String): Unit = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    val (cur, man) = requireMember(fs, groupPath, name, "compactGroupTable")
+    val upd = compactEpochsUncommitted(spark, fs, s"$groupPath/$name", man)
+    commitGroupOrConflict(fs, dir,
+      GroupManifest(cur.version + 1, cur.tables + (name -> upd), cur.txns),
+      "compactGroupTable")
+    gcGroup(fs, dir)
   }
 
   /** Group-scope gc: keep the last [[KeepManifests]] group manifests;
@@ -1146,6 +1284,13 @@ object MergeWriter {
         fs.delete(st.getPath, false)
     }
   }
+
+  /** Test/inspection hook: a group member's current bucket modulus. */
+  private[graft] def groupMemberBuckets(spark: SparkSession,
+                                        groupPath: String,
+                                        name: String): Int =
+    requireMember(fsFor(spark, groupPath), groupPath, name,
+      "groupMemberBuckets")._2.buckets
 
   /** Test hook: group gc with zero retention (immediate reclamation). */
   private[graft] def gcGroupNow(spark: SparkSession, groupPath: String): Unit =
@@ -1197,7 +1342,8 @@ object MergeWriter {
   def mergeVersioned(spark: SparkSession, tablePath: String,
                      incoming: DataFrame, keys: Seq[String], versionCol: String,
                      buckets: Int = 64,
-                     autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+                     autoCompactEpochs: Int = AutoCompactEpochs,
+                     autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(incoming.columns.contains(versionCol),
       s"mergeVersioned: incoming frame lacks version column '$versionCol'")
@@ -1253,6 +1399,7 @@ object MergeWriter {
             keys, nb, Some(man))
       }
       gc(fs, dir)
+      maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
   }
@@ -1478,38 +1625,53 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
-      // read each live epoch WITH its physical bucket column (partition
-      // discovery over the epoch root typed by the stored schema +
-      // BucketCol), keeping only the buckets the manifest assigns to it
-      val epochSchema = man.schema.map(s =>
-        DataType.fromJson(s).asInstanceOf[StructType].add(BucketCol, IntegerType))
-      val live = man.epochs.groupBy(_._2)
-        .map { case (e, m) =>
-          epochSchema.fold(
-            spark.read.option("mergeSchema", "true").parquet(s"$tablePath/$e"))(
-            sch => spark.read.schema(sch).parquet(s"$tablePath/$e"))
-            .filter(col(BucketCol).isin(m.keys.toSeq: _*))
-        }
-      val epoch = "e-" + UUID.randomUUID()
-      val part = live.reduce(_ unionByName _).repartition(col(BucketCol))
-      val clustered =
-        if (man.clusterCols.isEmpty) part
-        else part.sortWithinPartitions(
-          (BucketCol +: man.clusterCols).map(col): _*)
-      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
-        .parquet(s"$tablePath/$epoch")
-      val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith(BucketCol + "="))
-        .map(_.stripPrefix(BucketCol + "=").toInt)
-      commitOrConflict(fs, dir,
-        Manifest(man.version + 1, man.buckets,
-          written.map(_ -> epoch).toMap, man.txns, man.schema, man.keyCols,
-          man.clusterCols,
-          collectFileStats(fs, new Path(s"$tablePath/$epoch"))),
-        "compact")
+      val upd = compactEpochsUncommitted(spark, fs, tablePath, man)
+      commitOrConflict(fs, dir, upd.copy(version = man.version + 1), "compact")
       gc(fs, dir)
     }
+  }
+
+  /** The written bucket ids of a freshly-written epoch directory. */
+  private def listWrittenBuckets(fs: FileSystem, epochRoot: String): Seq[Int] =
+    fs.listStatus(new Path(epochRoot)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").toInt)
+
+  /** [[compact]]'s epoch rewrite WITHOUT a commit: write every live
+    * bucket into one fresh epoch under `tableRoot` and return the
+    * updated (uncommitted, version untouched) manifest state. Shared by
+    * the table-level commit and the group-member variant — the rewrite
+    * is identical, only the commit point differs.
+    */
+  private def compactEpochsUncommitted(spark: SparkSession, fs: FileSystem,
+                                       tableRoot: String,
+                                       man: Manifest): Manifest = {
+    if (man.epochs.isEmpty) return man // fully-deleted table: nothing live
+    // read each live epoch WITH its physical bucket column (partition
+    // discovery over the epoch root typed by the stored schema +
+    // BucketCol), keeping only the buckets the manifest assigns to it
+    val epochSchema = man.schema.map(s =>
+      DataType.fromJson(s).asInstanceOf[StructType].add(BucketCol, IntegerType))
+    val live = man.epochs.groupBy(_._2)
+      .map { case (e, m) =>
+        epochSchema.fold(
+          spark.read.option("mergeSchema", "true").parquet(s"$tableRoot/$e"))(
+          sch => spark.read.schema(sch).parquet(s"$tableRoot/$e"))
+          .filter(col(BucketCol).isin(m.keys.toSeq: _*))
+      }
+    val epoch = "e-" + UUID.randomUUID()
+    val part = live.reduce(_ unionByName _).repartition(col(BucketCol))
+    val clustered =
+      if (man.clusterCols.isEmpty) part
+      else part.sortWithinPartitions(
+        (BucketCol +: man.clusterCols).map(col): _*)
+    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      .parquet(s"$tableRoot/$epoch")
+    man.copy(
+      epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
+        .map(_ -> epoch).toMap,
+      stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch")))
   }
 
   /** Double a table's bucket count IN PLACE — the growth path past the
@@ -1539,47 +1701,51 @@ object MergeWriter {
     */
   def splitBuckets(spark: SparkSession, tablePath: String,
                    keys: Seq[String]): Unit = {
-    require(keys.nonEmpty, "splitBuckets requires the table's merge keys")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
-      validateKeys(man, keys, "splitBuckets")
-      val nb2 = man.buckets * 2
-      val paths = man.epochs.toSeq.sortBy(_._1)
-        .map { case (b, e) => bucketPath(tablePath, e, b) }
-      if (paths.isEmpty) {
-        commitOrConflict(fs, dir, man.copy(version = man.version + 1,
-          buckets = nb2,
-          keyCols = if (man.keyCols.nonEmpty) man.keyCols else keys),
-          "splitBuckets")
-      } else {
-        val epoch = "e-" + UUID.randomUUID()
-        val rebinned = readWithSchema(spark, man, paths)
-          .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb2)))
-        // clustering survives the split as a LOCAL sort (still no
-        // exchange in the plan — sortWithinPartitions orders each scan
-        // task's fan-out before the per-bucket file writes)
-        val clustered =
-          if (man.clusterCols.isEmpty) rebinned
-          else rebinned.sortWithinPartitions(
-            (BucketCol +: man.clusterCols).map(col): _*)
-        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
-          .parquet(s"$tablePath/$epoch")
-        val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith(BucketCol + "="))
-          .map(_.stripPrefix(BucketCol + "=").toInt)
-        commitOrConflict(fs, dir,
-          Manifest(man.version + 1, nb2, written.map(_ -> epoch).toMap,
-            man.txns, man.schema,
-            // a legacy pre-keyCols manifest upgrades here: the supplied
-            // keys are recorded for every later keyed call to validate
-            if (man.keyCols.nonEmpty) man.keyCols else keys,
-            man.clusterCols,
-            collectFileStats(fs, new Path(s"$tablePath/$epoch"))),
-          "splitBuckets")
-      }
+      val upd = splitEpochsUncommitted(spark, fs, tablePath, man, keys)
+      commitOrConflict(fs, dir, upd.copy(version = man.version + 1),
+        "splitBuckets")
       gc(fs, dir)
+    }
+  }
+
+  /** [[splitBuckets]]'s doubled-modulus rewrite WITHOUT a commit: write
+    * the refined epoch under `tableRoot` and return the updated
+    * (uncommitted, version untouched) manifest state. Shared by the
+    * table-level commit and the group-member variant.
+    */
+  private def splitEpochsUncommitted(spark: SparkSession, fs: FileSystem,
+                                     tableRoot: String, man: Manifest,
+                                     keys: Seq[String]): Manifest = {
+    require(keys.nonEmpty, "splitBuckets requires the table's merge keys")
+    validateKeys(man, keys, "splitBuckets")
+    val nb2 = man.buckets * 2
+    // a legacy pre-keyCols manifest upgrades here: the supplied keys are
+    // recorded for every later keyed call to validate
+    val keyRec = if (man.keyCols.nonEmpty) man.keyCols else keys
+    val paths = man.epochs.toSeq.sortBy(_._1)
+      .map { case (b, e) => bucketPath(tableRoot, e, b) }
+    if (paths.isEmpty) man.copy(buckets = nb2, keyCols = keyRec)
+    else {
+      val epoch = "e-" + UUID.randomUUID()
+      val rebinned = readWithSchema(spark, man, paths)
+        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb2)))
+      // clustering survives the split as a LOCAL sort (still no
+      // exchange in the plan — sortWithinPartitions orders each scan
+      // task's fan-out before the per-bucket file writes)
+      val clustered =
+        if (man.clusterCols.isEmpty) rebinned
+        else rebinned.sortWithinPartitions(
+          (BucketCol +: man.clusterCols).map(col): _*)
+      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        .parquet(s"$tableRoot/$epoch")
+      man.copy(buckets = nb2,
+        epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
+          .map(_ -> epoch).toMap,
+        keyCols = keyRec,
+        stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch")))
     }
   }
 

@@ -867,6 +867,136 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, dir).count() == 3)
   }
 
+  test("concurrent disjoint-member group loads both commit via rebase") {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val grp = Files.createTempDirectory("grpdis").toString + "/load"
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("a", Seq(("k1", "a0")).toDF("k", "v"), Seq("k")),
+      ("b", Seq(("k1", "b0")).toDF("k", "v"), Seq("k"))), buckets = 4)
+    // two writers, DISJOINT members, racing for the same next version:
+    // the loser must rebase onto the winner's commit (its member state
+    // is untouched by the winner) and both updates must land
+    val fa = Future(MergeWriter.mergeGroup(spark, grp, Seq(
+      ("a", Seq(("k2", "a1")).toDF("k", "v"), Seq("k")))))
+    val fb = Future(MergeWriter.mergeGroup(spark, grp, Seq(
+      ("b", Seq(("k2", "b1")).toDF("k", "v"), Seq("k")))))
+    Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+    val a = MergeWriter.readGroupTable(spark, grp, "a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = MergeWriter.readGroupTable(spark, grp, "b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == Map("k1" -> "a0", "k2" -> "a1"), s"member a torn: $a")
+    assert(b == Map("k1" -> "b0", "k2" -> "b1"), s"member b torn: $b")
+  }
+
+  test("contested-member concurrent group loads conflict loudly or " +
+       "serialize, never tear") {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val grp = Files.createTempDirectory("grpcon").toString + "/load"
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("m", Seq(("k1", "v0")).toDF("k", "v"), Seq("k"))), buckets = 4)
+    // SAME member from two writers: each must either commit serialized
+    // (reading the other's survivors) or fail with the protocol's CME —
+    // silent key loss is the one forbidden outcome
+    def attempt(kv: (String, String)): Option[Throwable] =
+      try {
+        MergeWriter.mergeGroup(spark, grp, Seq(
+          ("m", Seq(kv).toDF("k", "v"), Seq("k"))))
+        None
+      } catch {
+        case e: java.util.ConcurrentModificationException => Some(e)
+      }
+    val fa = Future(attempt("k2" -> "x"))
+    val fb = Future(attempt("k3" -> "y"))
+    val (ra, rb) = (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    val m = MergeWriter.readGroupTable(spark, grp, "m").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.get("k1").contains("v0"), s"pre-existing key lost: $m")
+    if (ra.isEmpty) assert(m.get("k2").contains("x"),
+      s"writer a reported success but its key is missing: $m")
+    if (rb.isEmpty) assert(m.get("k3").contains("y"),
+      s"writer b reported success but its key is missing: $m")
+  }
+
+  test("group member split and compact keep the group atomic and readable") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpsplit").toString + "/load"
+    val w1 = (0 until 40).map(i => (s"item#$i", s"s$i")).toDF("k", "state")
+    val f1 = (0 until 40).map(i => (s"item#$i", i.toLong)).toDF("k", "n")
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", w1, Seq("k")), ("fields", f1, Seq("k"))), buckets = 4)
+    assert(MergeWriter.groupMemberBuckets(spark, grp, "states") == 4)
+
+    // split one member mid-lifecycle: modulus doubles, the OTHER member's
+    // pinned state rides the same commit untouched
+    MergeWriter.splitGroupBuckets(spark, grp, "states", Seq("k"))
+    assert(MergeWriter.groupMemberBuckets(spark, grp, "states") == 8)
+    assert(MergeWriter.groupMemberBuckets(spark, grp, "fields") == 4)
+    assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 40)
+
+    // loads continue against the new modulus (key validation included)
+    val w2 = (40 until 50).map(i => (s"item#$i", s"s$i")).toDF("k", "state")
+    MergeWriter.mergeGroup(spark, grp, Seq(("states", w2, Seq("k"))))
+    assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 50)
+    // reordered/different keys are rejected for group members too
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.mergeGroup(spark, grp, Seq(
+        ("states", w2, Seq("state"))))
+    }
+
+    // member compaction: content identical, one live epoch after gc
+    MergeWriter.compactGroupTable(spark, grp, "states")
+    MergeWriter.compactGroupTable(spark, grp, "states")
+    MergeWriter.gcGroupNow(spark, grp)
+    assert(MergeWriter.readGroupTable(spark, grp, "states").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.size == 50)
+    val live = new java.io.File(grp, "states").listFiles()
+      .map(_.getName).count(_.startsWith("e-"))
+    assert(live <= MergeWriter.KeepManifests * 2,
+      s"compaction left $live live epochs under the member")
+  }
+
+  test("a growing table auto-splits past the bytes-per-bucket threshold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("autosplit").toString + "/t"
+    // incompressible payloads — parquet dictionary-encodes repeated
+    // content to almost nothing, which would keep bucket bytes under any
+    // threshold regardless of row count
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"key-$i", (0 until 25)
+        .map(j => f"${scala.util.hashing.MurmurHash3.stringHash(s"$i-$j")}%08x")
+        .mkString)).toDF("k", "v")
+    // tiny threshold so fixture-scale growth crosses it; the decision
+    // must be metadata-only (manifest stats), no explicit split call
+    MergeWriter.merge(spark, dir, batch(0, 200), Seq("k"), buckets = 2,
+      autoSplitBytesPerBucket = 4096)
+    val b0 = MergeWriter.describeTable(spark, dir)
+      .collect().head.getAs[Int]("buckets")
+    MergeWriter.merge(spark, dir, batch(200, 400), Seq("k"),
+      autoSplitBytesPerBucket = 4096)
+    val b1 = MergeWriter.describeTable(spark, dir)
+      .collect().head.getAs[Int]("buckets")
+    assert(b1 > b0, s"table never auto-split ($b0 -> $b1)")
+    // content survives the automatic re-bin, and keyed ops keep working
+    assert(MergeWriter.readTable(spark, dir).count() == 400)
+    MergeWriter.merge(spark, dir,
+      Seq(("key-7", "updated")).toDF("k", "v"), Seq("k"))
+    val v = MergeWriter.readTable(spark, dir).filter(col("k") === "key-7")
+      .collect().map(_.getString(1)).toSeq
+    assert(v == Seq("updated"))
+    // default threshold never fires at fixture scale
+    val dir2 = Files.createTempDirectory("autosplit2").toString + "/t"
+    MergeWriter.merge(spark, dir2, batch(0, 400), Seq("k"), buckets = 2)
+    assert(MergeWriter.describeTable(spark, dir2)
+      .collect().head.getAs[Int]("buckets") == 2)
+  }
+
   test("gcGroup reclaims staged epochs of members no manifest ever named") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grporph").toString + "/load"
