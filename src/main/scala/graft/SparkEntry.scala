@@ -1284,15 +1284,14 @@ object SparkEntry {
       val src = root + "/in"
       val emb = Tables.embeddings(s, dir)
       emb.repartition(8).write.mode("overwrite").parquet(src)
-      val idxTable = root + "/bands"
+      val grpTable = root + "/idx" // pairs + bands, one commit per trigger
       val vecTable = root + "/vecs"
-      val pairTable = root + "/pairs"
       val q = streaming.StreamingFlow.fileStream(s, src, emb.schema,
           maxFilesPerTrigger = 2)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", root + "/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
           // the vector store is maintained by the stream itself: merge
           // the batch in FIRST (keyed — crash-replay idempotent) so the
@@ -1305,21 +1304,27 @@ object SparkEntry {
           val bandsOfBatch = Similarity.srpBandRows(batch, col("vec_id"),
             col("embedding"), bits = 32, bands = 4)
           val stored =
-            if (sources.MergeWriter.availableVersions(sp, idxTable).nonEmpty)
-              sources.MergeWriter.readTable(sp, idxTable)
+            if (sources.MergeWriter.groupMembers(sp, grpTable)
+                .contains("bands"))
+              sources.MergeWriter.readGroupTable(sp, grpTable, "bands")
             else bandsOfBatch.limit(0)
           val pairs = Similarity.srpIncrementalNearDupPairsKeyed(
             sp, vecTable, "vec_id", "embedding",
             stored, batch, threshold = 0.35, bits = 32, bands = 4)
-          sources.MergeWriter.merge(sp, pairTable, pairs,
-            Seq("id_a", "id_b"), buckets = 8)
-          sources.MergeWriter.merge(sp, idxTable, bandsOfBatch,
-            Seq("id", "band"), buckets = 8)
+          // the trigger's pairs AND its band rows flip in ONE group
+          // commit (they must stay mutually consistent: a pair set
+          // without its bands re-pairs on replay, bands without pairs
+          // lose detections) — 2 manifest commits per trigger, not 3,
+          // and Spark's batch id makes the whole pair exactly-once
+          sources.MergeWriter.mergeGroup(sp, grpTable, Seq(
+            ("pairs", pairs, Seq("id_a", "id_b")),
+            ("bands", bandsOfBatch, Seq("id", "band"))),
+            buckets = 8, txn = Some(("singest", bid)))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      sources.MergeWriter.readTable(s, pairTable)
+      sources.MergeWriter.readGroupTable(s, grpTable, "pairs")
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 

@@ -1176,6 +1176,16 @@ object MergeWriter {
     readWithSchema(spark, m, paths)
   }
 
+  /** Committed member names of a group (empty when no group manifest is
+    * committed yet) — the existence probe a streaming sink needs before
+    * its first trigger touches the group.
+    */
+  def groupMembers(spark: SparkSession, groupPath: String): Seq[String] = {
+    val fs = fsFor(spark, groupPath)
+    currentGroupManifest(fs, new Path(groupPath))
+      .map(_.tables.keys.toSeq.sorted).getOrElse(Seq.empty)
+  }
+
   /** Resolve a group's current manifest and one member's state, failing
     * loudly on an uncommitted group or unknown member (shared by the
     * member lifecycle operations below).
