@@ -1832,9 +1832,40 @@ object MergeWriter {
         val w = wanted.select(keys.map(col): _*).distinct()
           .withColumn(BucketCol,
             pmod(hash(keys.map(col): _*), lit(man.buckets)))
-        val touched = touchedBuckets(w)
-        val paths = touched.flatMap(b =>
-          man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+        // ONE bounded collect (lookup-sized by contract) serves both the
+        // touched-bucket set and per-key file skipping below
+        val wantedRows = w.collect()
+        val keyTypes = w.schema.fields.take(keys.size).map(_.dataType)
+        val byBucket = wantedRows.groupBy(_.getInt(keys.size))
+        // bucket → file skipping: inside a matched bucket, a file whose
+        // recorded per-column range excludes EVERY wanted tuple can't
+        // hold any wanted row — with the table clustered on a key
+        // column, a k-key lookup opens ≤ k FILES per bucket, not the
+        // bucket's whole history (Delta's stats-based point lookup,
+        // completing the bucket-pruned read at wide-bucket scale). A
+        // file or column without stats is always kept — lossless.
+        def tupleCouldBeIn(fileStat: FileStat,
+                          row: org.apache.spark.sql.Row): Boolean =
+          keys.indices.forall { i =>
+            val v = row.get(i)
+            if (v == null) true
+            else boundToCanon(keyTypes(i), v) match {
+              case Some((tag, cv)) =>
+                fileIntersects(fileStat, keys(i),
+                  lo = Some((tag, cv)), hi = Some((tag, cv)))
+              case None => true
+            }
+          }
+        val paths = byBucket.keys.toSeq.sorted.flatMap { b =>
+          man.epochs.get(b).toSeq.flatMap { e =>
+            man.stats.get(b) match {
+              case Some(fss) =>
+                fss.filter(f => byBucket(b).exists(tupleCouldBeIn(f, _)))
+                  .map(f => bucketPath(tablePath, e, b) + "/" + f.name)
+              case None => Seq(bucketPath(tablePath, e, b))
+            }
+          }
+        }
         if (paths.isEmpty) readTable(spark, tablePath).limit(0)
         else readWithSchema(spark, man, paths)
           .join(w.drop(BucketCol), keys, "left_semi")

@@ -835,6 +835,31 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("readKeys skips files inside a bucket via key-column stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("keyskip").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      // keyed AND clustered on id: each bucket splits into id-ordered
+      // range-disjoint files, so a point lookup can skip within a bucket
+      val rows = (0 until 1600).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4,
+        clusterBy = Seq("id"))
+      val want = Seq(3L, 7L).toDF("id")
+      val got = MergeWriter.readKeys(spark, dir, want, Seq("id"))
+      assert(got.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+        Set(3L -> "v3", 7L -> "v7"))
+      // 1600 rows / 4 buckets / 100-row files = ~4 files per bucket; a
+      // 2-key lookup must open at most 1 file per key, not every file
+      // of its buckets
+      val opened = MergeWriter.readKeys(spark, dir, want, Seq("id"))
+        .inputFiles.length
+      assert(opened <= 2, s"point lookup opened $opened files")
+      val allFiles = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(allFiles >= 8, s"test setup: expected multi-file buckets, got $allFiles")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("recorded merge keys reject reordered or different key lists") {
     import spark.implicits._
     val dir = Files.createTempDirectory("keyrec").toString + "/t"
