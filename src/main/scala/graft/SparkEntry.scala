@@ -3351,6 +3351,40 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
     }),
 
+    // T21 — mock-data date refresh, weekly shape (ref
+    // `date_update_utils.ts:143-162` updateThroughput: re-pin the weekly
+    // run chart so its last week is the current ISO week). The refresh
+    // instant is a parameter (2026-08-12), so the shift is deterministic
+    // and the oracle replays the same arithmetic in SQL.
+    "q150_mock_week_shift" -> ((s, dir) => {
+      val today = lit("2026-08-12").cast("date")
+      val weekly = Tables.events(s, dir)
+        .groupBy(date_trunc("week", col("ts")).cast("date")
+          .as("week_starting"))
+        .agg(count(lit(1)).as("n_events"))
+      operators.MockDataShift.shiftWeeks(weekly, "week_starting",
+          Seq("week_starting"), today)
+        .select(col("week_starting"),
+          year(col("week_starting")).as("yr"),
+          weekofyear(col("week_starting")).as("week_num"),
+          col("n_events"))
+    }),
+
+    // T21 — mock-data date refresh, day-anchored scatter shape (ref
+    // `date_update_utils.ts:115-128` updateLeadTime: shift every item's
+    // arrival/commitment/departure so the series ends today; items
+    // without a commitment event keep NULL through the shift).
+    "q151_mock_scatter_shift" -> ((s, dir) => {
+      val today = lit("2026-08-12").cast("date")
+      val scatter = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("arrival"),
+          min(when(col("event_type") === "click", col("ts").cast("date")))
+            .as("commitment"),
+          max(col("ts").cast("date")).as("departure"))
+      operators.MockDataShift.shiftDays(scatter, "departure",
+        Seq("arrival", "commitment", "departure"), today)
+    }),
+
     // DATA SKIPPING (Delta's per-file stats pruning / Iceberg's manifest
     // min/max metrics, on the manifest protocol): lineitem is
     // merge-maintained CLUSTERED on l_shipdate — each bucket's rows are
@@ -6322,6 +6356,42 @@ object SparkEntry {
         |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
         |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Same ISO-week (Monday-start) arithmetic as Spark's date_trunc +
+    // weekofyear; the shift is a whole number of weeks.
+    "q150_mock_week_shift" ->
+      """WITH wk AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_starting,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |sh AS (
+        |  SELECT CAST(GREATEST(
+        |    CAST(date_trunc('week', DATE '2026-08-12') AS DATE)
+        |      - MAX(week_starting), 0) AS INTEGER) AS d
+        |  FROM wk)
+        |SELECT week_starting + d AS week_starting,
+        |  CAST(year(week_starting + d) AS INT) AS yr,
+        |  CAST(weekofyear(week_starting + d) AS INT) AS week_num,
+        |  n_events
+        |FROM wk, sh""".stripMargin,
+
+    // NULL commitments (users with no click event) ride the shift as
+    // NULL; the day spacing of every series is preserved.
+    "q151_mock_scatter_shift" ->
+      """WITH sc AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS arrival,
+        |    MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS DATE) END)
+        |      AS commitment,
+        |    MAX(CAST(ts AS DATE)) AS departure
+        |  FROM events GROUP BY 1),
+        |sh AS (
+        |  SELECT CAST(GREATEST(DATE '2026-08-12' - MAX(departure), 0) AS INTEGER)
+        |    AS d
+        |  FROM sc)
+        |SELECT user_id, arrival + d AS arrival,
+        |  commitment + d AS commitment, departure + d AS departure
+        |FROM sc, sh""".stripMargin,
 
     // The pruned read + residual filter must equal the plain
     // full-scan-and-filter aggregate over the raw table.

@@ -1248,6 +1248,47 @@ object MergeWriter {
     gcGroup(fs, dir)
   }
 
+  /** Committed group versions still retained on disk (ascending) — the
+    * group's readable time-travel range, exactly [[availableVersions]]
+    * at group scope.
+    */
+  def availableGroupVersions(spark: SparkSession,
+                             groupPath: String): Seq[Long] =
+    manifestFiles(fsFor(spark, groupPath), new Path(groupPath), GroupPrefix)
+      .map(_._1)
+
+  /** Time travel for a group member: read it AS OF a retained committed
+    * GROUP version — the pin is group-wide, so reading several members
+    * at the same version yields the mutually-consistent state that
+    * version's single commit published (the whole point of the group:
+    * states and customFields from the SAME L1 transaction). Epoch
+    * immutability + [[KeepManifests]] retention make the pin stable
+    * across newer commits; an aged-out version fails loudly with the
+    * readable range.
+    */
+  def readGroupTableVersion(spark: SparkSession, groupPath: String,
+                            name: String, version: Long): DataFrame = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    val retained = manifestFiles(fs, dir, GroupPrefix)
+    val hit = retained.find(_._1 == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"readGroupTableVersion: version $version not retained for " +
+          s"$groupPath (readable: ${retained.map(_._1).mkString(", ")})"))
+    val node = readJsonFile(fs, hit._2)
+    val tables = scala.collection.mutable.Map.empty[String, Manifest]
+    node.get("tables").fields().forEachRemaining { t =>
+      tables(t.getKey) = manifestFromNode(t.getValue, version)
+    }
+    val m = tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"readGroupTableVersion: member '$name' not in group at version " +
+          s"$version (members: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+    val paths = m.epochs.toSeq.sortBy(_._1)
+      .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
+    readWithSchema(spark, m, paths)
+  }
+
   /** Group-scope gc: keep the last [[KeepManifests]] group manifests;
     * per member, reclaim epochs no kept manifest references (age-guarded
     * like [[gc]]), plus aged staging files at the group root.

@@ -1022,6 +1022,33 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Int]("buckets") == 2)
   }
 
+  test("group time travel pins BOTH members at one committed version") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grptt").toString + "/load"
+    def load(n: Int): Unit = MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", Seq(("A", s"s$n")).toDF("k", "v"), Seq("k")),
+      ("fields", Seq(("A", n.toLong)).toDF("k", "n"), Seq("k"))),
+      buckets = 4)
+    load(1); load(2)
+    val versions = MergeWriter.availableGroupVersions(spark, grp)
+    assert(versions.size == MergeWriter.KeepManifests)
+    val v1 = versions.head
+    // the pin is GROUP-wide: both members AS OF v1 show the same L1
+    // transaction's state — never states from one load next to fields
+    // from another
+    val s1 = MergeWriter.readGroupTableVersion(spark, grp, "states", v1)
+      .collect().map(_.getString(1)).toSeq
+    val f1 = MergeWriter.readGroupTableVersion(spark, grp, "fields", v1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(s1 == Seq("s1") && f1 == Seq(1L), s"torn pin: $s1 / $f1")
+    // current read sees load 2; an aged-out version fails loudly
+    assert(MergeWriter.readGroupTable(spark, grp, "states")
+      .collect().map(_.getString(1)).toSeq == Seq("s2"))
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.readGroupTableVersion(spark, grp, "states", v1 - 1)
+    }
+  }
+
   test("gcGroup reclaims staged epochs of members no manifest ever named") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grporph").toString + "/load"
