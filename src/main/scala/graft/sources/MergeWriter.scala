@@ -1289,6 +1289,49 @@ object MergeWriter {
     readWithSchema(spark, m, paths)
   }
 
+  /** Operational introspection for groups ([[describeTable]] at group
+    * scope): one row per member with the group's current version, the
+    * member's bucket modulus, live epoch count, recorded schema DDL,
+    * data file count and total bytes (from the manifest's per-file
+    * stats — no listing), plus the group txn-ledger size.
+    */
+  def describeGroup(spark: SparkSession, groupPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, groupPath)
+    currentGroupManifest(fs, new Path(groupPath)) match {
+      case Some(g) =>
+        g.tables.toSeq.sortBy(_._1).map { case (name, m) =>
+          (g.version, name, m.buckets, m.epochs.values.toSet.size,
+            m.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType]
+              .toDDL).getOrElse(""),
+            m.stats.values.map(_.size).sum,
+            m.stats.values.flatMap(_.map(_.bytes)).sum,
+            g.txns.size)
+        }.toDF("version", "member", "buckets", "live_epochs", "schema_ddl",
+          "n_files", "total_bytes", "n_txns")
+      case None =>
+        Seq.empty[(Long, String, Int, Int, String, Int, Long, Int)]
+          .toDF("version", "member", "buckets", "live_epochs", "schema_ddl",
+            "n_files", "total_bytes", "n_txns")
+    }
+  }
+
+  /** Change feed for a group member between two retained GROUP versions
+    * ([[changeFeed]] at group scope): because the pin is group-wide,
+    * diffing two members over the SAME version pair yields changes from
+    * the same transactions — an incremental consumer of an L1 group
+    * never sees states-diff from one load beside fields-diff from
+    * another.
+    */
+  def changeFeedGroup(spark: SparkSession, groupPath: String, name: String,
+                      fromVersion: Long, toVersion: Long,
+                      keys: Seq[String],
+                      compareCols: Seq[String]): DataFrame =
+    graft.operators.Reconcile.snapshotDiff(
+      readGroupTableVersion(spark, groupPath, name, fromVersion),
+      readGroupTableVersion(spark, groupPath, name, toVersion),
+      keys, compareCols)
+
   /** Group-scope gc: keep the last [[KeepManifests]] group manifests;
     * per member, reclaim epochs no kept manifest references (age-guarded
     * like [[gc]]), plus aged staging files at the group root.

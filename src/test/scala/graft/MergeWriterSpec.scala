@@ -1049,6 +1049,28 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("describeGroup and changeFeedGroup report consistent member state") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpdesc").toString + "/load"
+    def load(rows: Seq[(String, String)], fields: Seq[(String, Long)]): Unit =
+      MergeWriter.mergeGroup(spark, grp, Seq(
+        ("states", rows.toDF("k", "v"), Seq("k")),
+        ("fields", fields.toDF("k", "n"), Seq("k"))), buckets = 4)
+    load(Seq("A" -> "s1", "B" -> "s1"), Seq("A" -> 1L, "B" -> 1L))
+    load(Seq("A" -> "s2", "C" -> "s2"), Seq("A" -> 2L))
+    val d = MergeWriter.describeGroup(spark, grp).collect()
+      .map(r => r.getAs[String]("member") ->
+        (r.getAs[Int]("buckets"), r.getAs[Long]("total_bytes"))).toMap
+    assert(d.keySet == Set("states", "fields"))
+    assert(d("states")._1 == 4 && d("states")._2 > 0)
+
+    val versions = MergeWriter.availableGroupVersions(spark, grp)
+    val diff = MergeWriter.changeFeedGroup(spark, grp, "states",
+      versions.head, versions.last, Seq("k"), Seq("v")).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("op"))).toMap
+    assert(diff == Map("A" -> "update", "C" -> "insert"), s"got $diff")
+  }
+
   test("gcGroup reclaims staged epochs of members no manifest ever named") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grporph").toString + "/load"
