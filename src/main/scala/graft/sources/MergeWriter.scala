@@ -561,12 +561,40 @@ object MergeWriter {
     * eligible top-level columns. O(written files) driver-side metadata
     * reads, bounded by the touched-bucket set of the commit it rides.
     */
-  private def collectFileStats(fs: FileSystem,
-                               epochRoot: Path): Map[Int, Seq[FileStat]] = {
+  private def collectFileStats(fs: FileSystem, epochRoot: Path,
+                               withColumnStats: Boolean)
+      : Map[Int, Seq[FileStat]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     if (!fs.exists(epochRoot)) return Map.empty
-    fs.listStatus(epochRoot).toSeq
+    // column min/max only earn their footer reads on a CLUSTERED table —
+    // an unclustered hash bucket's files span the full value range of
+    // every column, so no range or point read could ever skip them.
+    // Unclustered tables record bytes-only stats (free, from the listing
+    // the write already does) — still everything auto-split needs.
+    if (!withColumnStats)
+      return fs.listStatus(epochRoot).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(BucketCol + "="))
+        .flatMap { bdir =>
+          scala.util.Try(
+            bdir.getPath.getName.stripPrefix(BucketCol + "=").toInt
+          ).toOption.map { b =>
+            b -> fs.listStatus(bdir.getPath).toSeq
+              .filter(f => !f.isDirectory &&
+                f.getPath.getName.endsWith(".parquet"))
+              .map(f => FileStat(f.getPath.getName, f.getLen, -1L,
+                Map.empty, Map.empty))
+          }
+        }.toMap
+    // footer reads are independent small metadata I/Os — do them
+    // concurrently (a commit touching many bucket files would otherwise
+    // serialize hundreds of reads on the driver; Delta distributes its
+    // stats collection for the same reason)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perBucket = fs.listStatus(epochRoot).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(BucketCol + "="))
       .flatMap { bdir =>
@@ -575,7 +603,7 @@ object MergeWriter {
         ).toOption.map { b =>
           val files = fs.listStatus(bdir.getPath).toSeq
             .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
-          b -> files.map { f =>
+          b -> files.map { f => Future {
             val reader = ParquetFileReader.open(
               HadoopInputFile.fromStatus(f, fs.getConf))
             try {
@@ -613,9 +641,12 @@ object MergeWriter {
                 kept.map { case (c, (_, mn, _)) => c -> mn.toString }.toMap,
                 kept.map { case (c, (_, _, mx)) => c -> mx.toString }.toMap)
             } finally reader.close()
-          }
+          } }
         }
-      }.toMap
+      }
+    perBucket.map { case (b, futures) =>
+      b -> futures.map(Await.result(_, Duration.Inf))
+    }.toMap
   }
 
   /** Convert a caller-supplied range bound into the canonical stats
@@ -1078,7 +1109,8 @@ object MergeWriter {
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
         Map.empty, Some(merged.schema.json), keys, cluster,
         st.map(_.stats).getOrElse(Map.empty) ++
-          collectFileStats(fs, new Path(s"$tableRoot/$epoch"))))
+          collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
+            withColumnStats = cluster.nonEmpty)))
     } finally { inc.unpersist(); () }
   }
 
@@ -1565,7 +1597,8 @@ object MergeWriter {
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
-    val fileStats = collectFileStats(fs, new Path(s"$tablePath/$epoch"))
+    val fileStats = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
+      withColumnStats = effCluster.nonEmpty)
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -1765,7 +1798,8 @@ object MergeWriter {
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
-      stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch")))
+      stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
+        withColumnStats = man.clusterCols.nonEmpty))
   }
 
   /** Double a table's bucket count IN PLACE — the growth path past the
@@ -1839,7 +1873,8 @@ object MergeWriter {
         epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
           .map(_ -> epoch).toMap,
         keyCols = keyRec,
-        stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch")))
+        stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
+        withColumnStats = man.clusterCols.nonEmpty))
     }
   }
 
