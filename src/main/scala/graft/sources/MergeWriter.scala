@@ -1067,7 +1067,9 @@ object MergeWriter {
   private def stageMergeInto(spark: SparkSession, fs: FileSystem,
                              tableRoot: String, st: Option[Manifest],
                              incoming: DataFrame, keys: Seq[String],
-                             buckets: Int): Option[Manifest] = {
+                             buckets: Int,
+                             clusterBy: Seq[String] = Seq.empty)
+      : Option[Manifest] = {
     require(keys.nonEmpty, "mergeGroup requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"mergeGroup: incoming frame must not contain reserved column '$BucketCol'")
@@ -1092,7 +1094,9 @@ object MergeWriter {
           }
       }
       val epoch = "e-" + UUID.randomUUID()
-      val cluster = st.map(_.clusterCols).getOrElse(Seq.empty)
+      // clusterBy applies at member CREATION (like `buckets`); an
+      // existing member keeps its recorded clustering, empty included
+      val cluster = st.map(_.clusterCols).getOrElse(clusterBy)
       val part = merged
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
         .repartition(col(BucketCol))
@@ -1129,7 +1133,8 @@ object MergeWriter {
   def mergeGroup(spark: SparkSession, groupPath: String,
                  merges: Seq[(String, DataFrame, Seq[String])],
                  buckets: Int = 64,
-                 txn: Option[(String, Long)] = None): Unit = {
+                 txn: Option[(String, Long)] = None,
+                 clusterBy: Map[String, Seq[String]] = Map.empty): Unit = {
     require(merges.nonEmpty, "mergeGroup: at least one member merge")
     require(merges.map(_._1).distinct.size == merges.size,
       "mergeGroup: member names must be distinct")
@@ -1146,7 +1151,8 @@ object MergeWriter {
     // detection and rebase below (an empty member batch stages nothing)
     val staged = merges.flatMap { case (name, rows, keys) =>
       stageMergeInto(spark, fs, s"$groupPath/$name", curTables.get(name),
-        rows, keys, buckets).map(name -> _)
+        rows, keys, buckets, clusterBy.getOrElse(name, Seq.empty))
+        .map(name -> _)
     }.toMap
     // OPTIMISTIC group commit with rebase-and-retry (writeEpochAndCommit's
     // protocol lifted to group scope): losing the version CAS to a
@@ -1346,6 +1352,22 @@ object MergeWriter {
           .toDF("version", "member", "buckets", "live_epochs", "schema_ddl",
             "n_files", "total_bytes", "n_txns")
     }
+  }
+
+  /** [[readTableRange]] for a group member: file-granular data skipping
+    * over the member's manifest stats (record clustering at member
+    * creation via `mergeGroup(clusterBy = Map(name -> cols))`), plus
+    * the exact residual filter — results equal
+    * `readGroupTable(...).filter(range)` always.
+    */
+  def readGroupTableRange(spark: SparkSession, groupPath: String,
+                          name: String, column: String,
+                          lower: Option[Any] = None,
+                          upper: Option[Any] = None): DataFrame = {
+    val fs = fsFor(spark, groupPath)
+    val (_, man) = requireMember(fs, groupPath, name, "readGroupTableRange")
+    rangeReadFromManifest(spark, s"$groupPath/$name", man, column, lower,
+      upper)
   }
 
   /** Change feed for a group member between two retained GROUP versions
@@ -2012,39 +2034,54 @@ object MergeWriter {
   def readTableRange(spark: SparkSession, tablePath: String, column: String,
                      lower: Option[Any] = None,
                      upper: Option[Any] = None): DataFrame = {
-    def applyRange(df: DataFrame): DataFrame = {
-      val dt = df.schema(column).dataType
-      val conds = lower.map(v => col(column) >= lit(v).cast(dt)).toSeq ++
-        upper.map(v => col(column) <= lit(v).cast(dt))
-      conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
-    }
     val fs = fsFor(spark, tablePath)
     currentManifest(fs, new Path(tablePath)) match {
-      case None => applyRange(readTable(spark, tablePath))
+      case None =>
+        applyRange(readTable(spark, tablePath), column, lower, upper)
       case Some(man) =>
-        val colType = man.schema
-          .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-          .flatMap(_.fields.find(_.name == column)).map(_.dataType)
-        val lo = for { d <- colType; v <- lower; c <- boundToCanon(d, v) } yield c
-        val hi = for { d <- colType; v <- upper; c <- boundToCanon(d, v) } yield c
-        val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
-          man.stats.get(b) match {
-            case Some(fss) if lo.isDefined || hi.isDefined =>
-              fss.filter(fileIntersects(_, column, lo, hi))
-                .map(f => bucketPath(tablePath, e, b) + "/" + f.name)
-            case _ => Seq(bucketPath(tablePath, e, b))
-          }
-        }
-        val base =
-          if (paths.nonEmpty) readWithSchema(spark, man, paths)
-          else man.schema match {
-            case Some(s) => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              DataType.fromJson(s).asInstanceOf[StructType])
-            case None => readTable(spark, tablePath).limit(0)
-          }
-        applyRange(base)
+        rangeReadFromManifest(spark, tablePath, man, column, lower, upper)
     }
+  }
+
+  private def applyRange(df: DataFrame, column: String, lower: Option[Any],
+                         upper: Option[Any]): DataFrame = {
+    val dt = df.schema(column).dataType
+    val conds = lower.map(v => col(column) >= lit(v).cast(dt)).toSeq ++
+      upper.map(v => col(column) <= lit(v).cast(dt))
+    conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** The skip-then-residual-filter core shared by [[readTableRange]] and
+    * [[readGroupTableRange]]: resolve kept files against one manifest's
+    * per-file stats, read them with the recorded schema, filter exactly.
+    */
+  private def rangeReadFromManifest(spark: SparkSession, tableRoot: String,
+                                    man: Manifest, column: String,
+                                    lower: Option[Any],
+                                    upper: Option[Any]): DataFrame = {
+    val colType = man.schema
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    val lo = for { d <- colType; v <- lower; c <- boundToCanon(d, v) } yield c
+    val hi = for { d <- colType; v <- upper; c <- boundToCanon(d, v) } yield c
+    val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+      man.stats.get(b) match {
+        case Some(fss) if lo.isDefined || hi.isDefined =>
+          fss.filter(fileIntersects(_, column, lo, hi))
+            .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
+        case _ => Seq(bucketPath(tableRoot, e, b))
+      }
+    }
+    val base =
+      if (paths.nonEmpty) readWithSchema(spark, man, paths)
+      else man.schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(s).asInstanceOf[StructType])
+        case None =>
+          spark.emptyDataFrame
+      }
+    applyRange(base, column, lower, upper)
   }
 
   /** Change feed between two retained committed versions (Delta's CDF /

@@ -1049,6 +1049,33 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("group members cluster and data-skip like standalone tables") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpskip").toString + "/load"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      val snaps = (0 until 600).map { i =>
+        (s"item#${i % 30}", java.sql.Date.valueOf(d0.plusDays(i / 10)), i)
+      }.toDF("k", "snapshotDate", "rev")
+      MergeWriter.mergeGroup(spark, grp,
+        Seq(("snapshots", snaps, Seq("k", "snapshotDate"))), buckets = 4,
+        clusterBy = Map("snapshots" -> Seq("snapshotDate")))
+      val lo = java.sql.Date.valueOf("2024-01-20")
+      val hi = java.sql.Date.valueOf("2024-01-29")
+      val pruned = MergeWriter.readGroupTableRange(spark, grp, "snapshots",
+        "snapshotDate", Some(lo), Some(hi))
+      val full = MergeWriter.readGroupTable(spark, grp, "snapshots")
+        .filter(col("snapshotDate").between(lit(lo), lit(hi)))
+      assert(pruned.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      val opened = pruned.inputFiles.length
+      val all = MergeWriter.readGroupTable(spark, grp, "snapshots")
+        .inputFiles.length
+      assert(opened < all, s"no member files skipped ($opened of $all)")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("describeGroup and changeFeedGroup report consistent member state") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grpdesc").toString + "/load"
