@@ -3351,6 +3351,60 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
     }),
 
+    // INCREMENTAL CONSUMER (Delta CDF's downstream-sync loop for the
+    // manifest protocol): a replica table follows the source through
+    // THREE source commits — seed from a pinned snapshot, then apply
+    // the change feed version-by-version (upsert new images, delete
+    // deletes) — reading change volume, never the corpus. The final
+    // round is the reference's deleted-item reconciliation (T19
+    // written through the storage layer); the replica must land exactly
+    // on the source's final state, which the oracle recomputes from raw
+    // events.
+    "q152_replica_sync" -> ((s, dir) => {
+      val root = scratchDir("graft-replica")
+      val src = root + "/src"
+      val rep = root + "/replica"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ver").desc, col("event_id").desc)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), col("ts").cast("timestamp_ntz").as("ver"))
+      def latest(srcF: DataFrame): DataFrame = srcF
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ver").as("version_ts"))
+      val keys = Seq("user_id")
+      val cols = Seq("state", "version_ts")
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      // the consumer's cursor-advance loop: apply every retained source
+      // version past the cursor, one feed per step (idempotent merges +
+      // deletes, so at-least-once redrive is safe)
+      def sync(cursor: Long): Long =
+        sources.MergeWriter.availableVersions(s, src).filter(_ > cursor)
+          .foldLeft(cursor) { (c, v) =>
+            sources.MergeWriter.applyChangeFeed(s, src, rep, c, v, keys,
+              cols, buckets = 8)
+            v
+          }
+      sources.MergeWriter.merge(s, src,
+        latest(ev.filter(col("ver") <= cut)), keys, buckets = 8)
+      val v1 = sources.MergeWriter.availableVersions(s, src).last
+      // seed the replica from the pinned v1 snapshot
+      sources.MergeWriter.merge(s, rep,
+        sources.MergeWriter.readTableVersion(s, src, v1), keys, buckets = 8)
+      var cursor = v1
+      sources.MergeWriter.merge(s, src, latest(ev), keys)
+      cursor = sync(cursor)
+      // deleted-item reconciliation round: users ≡ 0 (mod 7) vanish
+      sources.MergeWriter.delete(s, src,
+        latest(ev).filter(pmod(col("user_id"), lit(7)) === 0)
+          .select(col("user_id")), keys)
+      cursor = sync(cursor)
+      sources.MergeWriter.readTable(s, rep)
+        .select(col("user_id"), col("state"), col("version_ts"))
+    }),
+
     // T21 — mock-data date refresh, weekly shape (ref
     // `date_update_utils.ts:143-162` updateThroughput: re-pin the weekly
     // run chart so its last week is the current ISO week). The refresh
@@ -6356,6 +6410,18 @@ object SparkEntry {
         |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
         |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The replica followed three commits (merge, merge, delete) via
+    // change feeds only; it must equal the source's final state — the
+    // latest row per user minus the reconciliation-deleted cohort.
+    "q152_replica_sync" ->
+      """SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS version_ts
+        |FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
 
     // Same ISO-week (Monday-start) arithmetic as Spark's date_trunc +
     // weekofyear; the shift is a whole number of weeks.

@@ -2124,6 +2124,34 @@ object MergeWriter {
     currentManifest(fs, new Path(tablePath)).map(_.epochs).getOrElse(Map.empty)
   }
 
+  /** Apply a [[changeFeed]] to a REPLICA table: upsert the feed's
+    * inserts/updates (their `new_*` images) and delete its deletes —
+    * the incremental-consumer loop of a 100 TB table (sync a replica,
+    * feed a downstream index) reading change volume, never the corpus.
+    * Applying the same feed twice is idempotent (keyed merge + keyed
+    * delete), so at-least-once driving loops are safe; `fromVersion`
+    * must be the consumer's last-applied cursor and both versions must
+    * still be retained (aged-out cursors fail loudly via
+    * [[readTableVersion]] instead of silently skipping changes — the
+    * consumer then re-seeds from a full [[readTable]] snapshot).
+    */
+  def applyChangeFeed(spark: SparkSession, sourcePath: String,
+                      replicaPath: String, fromVersion: Long,
+                      toVersion: Long, keys: Seq[String],
+                      compareCols: Seq[String], buckets: Int = 64): Unit = {
+    val feed = changeFeed(spark, sourcePath, fromVersion, toVersion, keys,
+      compareCols).persist()
+    try {
+      val upserts = feed.filter(col("op").isin("insert", "update"))
+        .select(keys.map(col) ++
+          compareCols.map(c => col(s"new_$c").as(c)): _*)
+      merge(spark, replicaPath, upserts, keys, buckets)
+      val deletes = feed.filter(col("op") === "delete")
+        .select(keys.map(col): _*)
+      delete(spark, replicaPath, deletes, keys)
+    } finally { feed.unpersist(); () }
+  }
+
   /** L1/L3 — the custom-field load's transactional shape
     * (`state_load_processor_aurora.ts:39-113`): per incoming item, delete
     * ALL existing custom-field rows and insert the new set, deduped inline
