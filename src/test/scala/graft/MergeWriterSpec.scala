@@ -713,6 +713,74 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(24)
   }
 
+  test("model check: clustered tables with splits, range and point reads " +
+       "match a Map") {
+    import spark.implicits._
+    // seeded: deterministic across runs. Exercises the round-9 surface —
+    // clustering + multi-file buckets (maxRecordsPerFile), per-file
+    // stats across merge/delete/compact/split, and the two stats-pruned
+    // read paths — against a reference Map after every few steps.
+    val rnd = new scala.util.Random(1234)
+    val dir = Files.createTempDirectory("model2").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      var model = Map.empty[Long, (Int, Int)] // k -> (d cluster col, v)
+      def check(step: Int): Unit = {
+        val stored =
+          if (model.isEmpty && MergeWriter.currentEpochs(spark, dir).isEmpty)
+            Map.empty[Long, (Int, Int)]
+          else MergeWriter.readTable(spark, dir).collect()
+            .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+        assert(stored == model, s"table diverged at step $step")
+        if (MergeWriter.currentEpochs(spark, dir).nonEmpty) {
+          val lo = rnd.nextInt(100)
+          val hi = lo + rnd.nextInt(40)
+          val ranged = MergeWriter.readTableRange(spark, dir, "d",
+            Some(lo), Some(hi)).collect()
+            .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+          val expected = model.filter { case (_, (d, _)) => d >= lo && d <= hi }
+          assert(ranged == expected, s"range read diverged at step $step " +
+            s"([$lo,$hi]): got ${ranged.size}, want ${expected.size}")
+          val want = Seq.fill(4)(rnd.nextInt(80).toLong).distinct
+          val points = MergeWriter.readKeys(spark, dir, want.toDF("k"),
+            Seq("k")).collect()
+            .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+          assert(points == model.filter(kv => want.contains(kv._1)),
+            s"point read diverged at step $step")
+        }
+      }
+      (0 until 20).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 | 2 =>
+            val kvs = Seq.fill(rnd.nextInt(25) + 1)(
+              (rnd.nextInt(80).toLong, (rnd.nextInt(100), rnd.nextInt(1000))))
+              .toMap
+            MergeWriter.merge(spark, dir,
+              kvs.toSeq.map { case (k, (d, v)) => (k, d, v) }
+                .toDF("k", "d", "v"),
+              Seq("k"), buckets = 2, autoCompactEpochs = 3,
+              clusterBy = Seq("d"))
+            model = model ++ kvs
+          case 3 if model.nonEmpty =>
+            val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6) + 1) :+
+              (200L + rnd.nextInt(10))
+            MergeWriter.delete(spark, dir, ks.toDF("k"), Seq("k"),
+              autoCompactEpochs = 3)
+            model = model -- ks
+          case 3 => ()
+          case 4 if MergeWriter.currentEpochs(spark, dir).nonEmpty =>
+            MergeWriter.compact(spark, dir)
+          case 4 => ()
+          case 5 if MergeWriter.currentEpochs(spark, dir).nonEmpty =>
+            MergeWriter.splitBuckets(spark, dir, Seq("k"))
+          case 5 => ()
+        }
+        if (step % 4 == 3) check(step)
+      }
+      check(20)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("vacuum reclaims aged orphans; describeTable reports table state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vacuum").toString + "/t"
