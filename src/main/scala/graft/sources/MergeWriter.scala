@@ -1134,7 +1134,10 @@ object MergeWriter {
                  merges: Seq[(String, DataFrame, Seq[String])],
                  buckets: Int = 64,
                  txn: Option[(String, Long)] = None,
-                 clusterBy: Map[String, Seq[String]] = Map.empty): Unit = {
+                 clusterBy: Map[String, Seq[String]] = Map.empty,
+                 autoCompactEpochs: Int = AutoCompactEpochs,
+                 autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket)
+      : Unit = {
     require(merges.nonEmpty, "mergeGroup: at least one member merge")
     require(merges.map(_._1).distinct.size == merges.size,
       "mergeGroup: member names must be distinct")
@@ -1170,6 +1173,8 @@ object MergeWriter {
             base.map(_.tables).getOrElse(Map.empty) ++ staged,
             base.map(_.txns).getOrElse(Map.empty) ++ txn))
         gcGroup(fs, dir)
+        maybeAutoMaintainGroup(spark, fs, dir, groupPath, staged.keys.toSeq,
+          autoSplitBytesPerBucket, autoCompactEpochs)
         return
       } catch {
         case e: java.io.IOException =>
@@ -1213,6 +1218,46 @@ object MergeWriter {
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
     readWithSchema(spark, m, paths)
   }
+
+  /** Post-commit auto-maintenance for the members a group load touched
+    * — [[maybeAutoSplit]] and [[maybeAutoCompact]] at member scope, the
+    * same metadata-only decisions from the member's manifest stats and
+    * epoch count. Advisory: a lost race never fails the load that
+    * already committed (growth retries on the next load).
+    */
+  private def maybeAutoMaintainGroup(spark: SparkSession, fs: FileSystem,
+                                     dir: Path, groupPath: String,
+                                     touched: Seq[String],
+                                     splitThreshold: Long,
+                                     compactThreshold: Int): Unit =
+    currentGroupManifest(fs, dir).foreach { g =>
+      touched.foreach { name =>
+        g.tables.get(name).foreach { m =>
+          val maxBucketBytes =
+            m.stats.values.map(_.map(_.bytes).sum).maxOption.getOrElse(0L)
+          try {
+            if (splitThreshold > 0 && m.keyCols.nonEmpty &&
+                m.stats.nonEmpty && m.buckets < AutoSplitMaxBuckets &&
+                maxBucketBytes > splitThreshold)
+              splitGroupBuckets(spark, groupPath, name, m.keyCols)
+            else if (m.epochs.values.toSet.size > compactThreshold)
+              compactGroupTable(spark, groupPath, name)
+          } catch {
+            case _: java.io.IOException => ()
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      }
+    }
+
+  /** Operational VACUUM at group scope ([[vacuum]] for groups): reclaim
+    * member epochs no kept group manifest references, plus aged staging
+    * files, without committing anything — for cold groups whose last
+    * writer crashed mid-stage.
+    */
+  def vacuumGroup(spark: SparkSession, groupPath: String,
+                  retentionMs: Long = OrphanRetentionMs): Unit =
+    gcGroup(fsFor(spark, groupPath), new Path(groupPath), retentionMs)
 
   /** Committed member names of a group (empty when no group manifest is
     * committed yet) — the existence probe a streaming sink needs before

@@ -1144,6 +1144,35 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("group members auto-split and auto-compact like standalone tables") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpauto").toString + "/load"
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"key-$i", (0 until 25)
+        .map(j => f"${scala.util.hashing.MurmurHash3.stringHash(s"g$i-$j")}%08x")
+        .mkString)).toDF("k", "v")
+    MergeWriter.mergeGroup(spark, grp,
+      Seq(("m", batch(0, 200), Seq("k"))), buckets = 2,
+      autoSplitBytesPerBucket = 4096)
+    val b0 = MergeWriter.groupMemberBuckets(spark, grp, "m")
+    MergeWriter.mergeGroup(spark, grp,
+      Seq(("m", batch(200, 400), Seq("k"))),
+      autoSplitBytesPerBucket = 4096)
+    val b1 = MergeWriter.groupMemberBuckets(spark, grp, "m")
+    assert(b1 > b0, s"group member never auto-split ($b0 -> $b1)")
+    assert(MergeWriter.readGroupTable(spark, grp, "m").count() == 400)
+    // epoch-count auto-compaction bounds member fragmentation too
+    (0 until 5).foreach { i =>
+      MergeWriter.mergeGroup(spark, grp,
+        Seq(("m", batch(i, i + 1), Seq("k"))), autoCompactEpochs = 3)
+    }
+    MergeWriter.gcGroupNow(spark, grp)
+    val live = new java.io.File(grp, "m").listFiles()
+      .map(_.getName).count(_.startsWith("e-"))
+    assert(live <= 3 + MergeWriter.KeepManifests,
+      s"member fragmentation unbounded: $live live epochs")
+  }
+
   test("describeGroup and changeFeedGroup report consistent member state") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grpdesc").toString + "/load"
