@@ -490,6 +490,43 @@ object MergeWriter {
     }
   }
 
+
+  /** Within-bucket cluster sort shared by every epoch write. A cluster
+    * entry is a plain column name (1-D linear clustering), or
+    * `zorder2:a,b` — the Morton interleave of two columns
+    * ([[graft.functions.ZOrder]]; Delta's OPTIMIZE ZORDER BY): each
+    * file then covers a small rectangle of the (a, b) space, so
+    * per-file stats prune range reads on EITHER column, where a linear
+    * sort only narrows its first column. Layout-only: ordering never
+    * affects results, so normalizations below just need to preserve
+    * each input's order.
+    */
+  private def clusterSort(df: DataFrame, clusterCols: Seq[String]): DataFrame =
+    if (clusterCols.isEmpty) df
+    else df.sortWithinPartitions(
+      col(BucketCol) +: clusterCols.flatMap(clusterSortCols(df, _)): _*)
+
+  private def clusterSortCols(df: DataFrame,
+                              spec: String): Seq[org.apache.spark.sql.Column] =
+    if (spec.startsWith("zorder2:")) {
+      val parts = spec.stripPrefix("zorder2:").split(",")
+      require(parts.length == 2,
+        s"clusterBy: malformed '$spec' (want zorder2:colA,colB)")
+      graft.functions.ZOrder.zorder2(
+        orderedLong(df, parts(0).trim), orderedLong(df, parts(1).trim))
+    } else Seq(col(spec))
+
+  /** Order-preserving long image of a column for Z-ordering. */
+  private def orderedLong(df: DataFrame, name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case DateType => unix_date(col(name)).cast("long")
+      case TimestampType => col(name).cast("long") // epoch seconds
+      case TimestampNTZType => col(name).cast("timestamp").cast("long")
+      case _ => col(name).cast("long")
+    }
+  }
+
   private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 
@@ -1097,12 +1134,9 @@ object MergeWriter {
       // clusterBy applies at member CREATION (like `buckets`); an
       // existing member keeps its recorded clustering, empty included
       val cluster = st.map(_.clusterCols).getOrElse(clusterBy)
-      val part = merged
+      val clustered = clusterSort(merged
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
-        .repartition(col(BucketCol))
-      val clustered =
-        if (cluster.isEmpty) part
-        else part.sortWithinPartitions((BucketCol +: cluster).map(col): _*)
+        .repartition(col(BucketCol)), cluster)
       clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
       val written = fs.listStatus(new Path(s"$tableRoot/$epoch")).toSeq
@@ -1654,10 +1688,7 @@ object MergeWriter {
     // only seeds table creation (mirrors `buckets`)
     val effCluster = prev.map(_.clusterCols).filter(_.nonEmpty)
       .getOrElse(clusterCols)
-    val part = data.repartition(col(BucketCol))
-    val clustered =
-      if (effCluster.isEmpty) part
-      else part.sortWithinPartitions((BucketCol +: effCluster).map(col): _*)
+    val clustered = clusterSort(data.repartition(col(BucketCol)), effCluster)
     clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tablePath/$epoch")
     val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
@@ -1855,11 +1886,9 @@ object MergeWriter {
           .filter(col(BucketCol).isin(m.keys.toSeq: _*))
       }
     val epoch = "e-" + UUID.randomUUID()
-    val part = live.reduce(_ unionByName _).repartition(col(BucketCol))
-    val clustered =
-      if (man.clusterCols.isEmpty) part
-      else part.sortWithinPartitions(
-        (BucketCol +: man.clusterCols).map(col): _*)
+    val clustered = clusterSort(
+      live.reduce(_ unionByName _).repartition(col(BucketCol)),
+      man.clusterCols)
     clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tableRoot/$epoch")
     man.copy(
@@ -1930,10 +1959,7 @@ object MergeWriter {
       // clustering survives the split as a LOCAL sort (still no
       // exchange in the plan — sortWithinPartitions orders each scan
       // task's fan-out before the per-bucket file writes)
-      val clustered =
-        if (man.clusterCols.isEmpty) rebinned
-        else rebinned.sortWithinPartitions(
-          (BucketCol +: man.clusterCols).map(col): _*)
+      val clustered = clusterSort(rebinned, man.clusterCols)
       clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
       man.copy(buckets = nb2,

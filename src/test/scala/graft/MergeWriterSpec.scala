@@ -928,6 +928,42 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("zorder2 clustering prunes range reads on BOTH columns") {
+    import spark.implicits._
+    val lin = Files.createTempDirectory("zlin").toString + "/t"
+    val zed = Files.createTempDirectory("zzed").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try {
+      // a 64×64 grid: a and b are independent dimensions
+      val grid = (0 until 4096).map(i => (i.toLong, i / 64, i % 64))
+        .toDF("id", "a", "b")
+      MergeWriter.merge(spark, lin, grid, Seq("id"), buckets = 2,
+        clusterBy = Seq("a"))
+      MergeWriter.merge(spark, zed, grid, Seq("id"), buckets = 2,
+        clusterBy = Seq("zorder2:a,b"))
+      def opened(dir: String, column: String): Int =
+        MergeWriter.readTableRange(spark, dir, column, Some(0), Some(7))
+          .inputFiles.length
+      val all = MergeWriter.readTable(spark, zed).inputFiles.length
+      assert(all >= 16, s"test setup: want multi-file buckets, got $all")
+      // linear clustering narrows its sort column only: a-ranges prune,
+      // b-ranges read everything
+      assert(opened(lin, "a") < all)
+      assert(opened(lin, "b") == all,
+        "linear clustering unexpectedly pruned its non-sort column")
+      // the Z-curve gives BOTH dimensions locality
+      assert(opened(zed, "a") < all, "zorder failed to prune column a")
+      assert(opened(zed, "b") < all, "zorder failed to prune column b")
+      // and results stay exact on both layouts
+      val exact = grid.filter(col("b").between(0, 7)).collect()
+        .map(_.getLong(0)).toSet
+      assert(MergeWriter.readTableRange(spark, zed, "b", Some(0), Some(7))
+        .collect().map(_.getLong(0)).toSet == exact)
+      assert(MergeWriter.readTableRange(spark, lin, "b", Some(0), Some(7))
+        .collect().map(_.getLong(0)).toSet == exact)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("recorded merge keys reject reordered or different key lists") {
     import spark.implicits._
     val dir = Files.createTempDirectory("keyrec").toString + "/t"
