@@ -431,6 +431,51 @@ object ScaleBench {
     }
     if (sections("skip9")) { skipBench(base, "sf0.1"); skipBench(rep, "rep10") }
 
+    // round 9: Z-order vs linear clustering — files opened for a 10%
+    // window on EACH dimension of (user_id, ts). Linear ts-clustering
+    // should prune ts-windows only; the Morton layout should prune
+    // both (at rectangle-granularity, so neither as sharply as linear
+    // prunes its own column — the classic Z-order trade).
+    def zorderBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val lin = s"$work/zorder9/$tag/lin"
+      val zed = s"$work/zorder9/$tag/zed"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/zorder9/$tag"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "1250")
+      try {
+        MergeWriter.merge(spark, lin, ev, Seq("event_id"), buckets = 16,
+          clusterBy = Seq("ts"))
+        MergeWriter.merge(spark, zed, ev, Seq("event_id"), buckets = 16,
+          clusterBy = Seq("zorder2:user_id,ts"))
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val (uLo, uHi) = {
+        val r = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (a + (b - a) * 45 / 100, a + (b - a) * 55 / 100)
+      }
+      val tsmm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      def tsAt(f: Double): Any = (tsmm.get(0), tsmm.get(1)) match {
+        case (a: java.time.LocalDateTime, b: java.time.LocalDateTime) =>
+          val x = a.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          val y = b.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(x + ((y - x) * f).toLong),
+            java.time.ZoneOffset.UTC)
+        case (a: Long, b: Long) =>
+          java.lang.Long.valueOf(a + ((b - a) * f).toLong)
+        case (a, _) => a
+      }
+      def files(path: String, column: String, lo: Any, hi: Any): Int =
+        MergeWriter.readTableRange(spark, path, column, Some(lo), Some(hi))
+          .inputFiles.length
+      val all = MergeWriter.readTable(spark, zed).inputFiles.length
+      println(f"""{"dir":"$tag","zorder_total_files":$all,"lin_ts_files":${files(lin, "ts", tsAt(0.45), tsAt(0.55))},"lin_user_files":${files(lin, "user_id", uLo, uHi)},"zed_ts_files":${files(zed, "ts", tsAt(0.45), tsAt(0.55))},"zed_user_files":${files(zed, "user_id", uLo, uHi)}}""")
+    }
+    if (sections("zorder9")) { zorderBench(base, "sf0.1"); zorderBench(rep, "rep10") }
+
     // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
     // (q136 needs the lang column, absent from the rep10 projection —
     // base only)

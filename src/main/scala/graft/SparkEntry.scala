@@ -3351,6 +3351,36 @@ object SparkEntry {
       sources.MergeWriter.readTable(s, path)
     }),
 
+    // Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY for the manifest
+    // protocol): events merge-maintained keyed on event_id, clustered
+    // on the Morton interleave of (user_id, ts) — per-file stats then
+    // prune BOTH the user-window file set and the date-window file
+    // set, where a linear sort narrows only its first column. The
+    // query is the per-user activity panel shape: one user cohort,
+    // one time window, daily counts. Residual filters keep results
+    // exact, so plain SQL is the oracle.
+    "q153_zorder_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-zorder") + "/events"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 8,
+          clusterBy = Seq("zorder2:user_id,ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      sources.MergeWriter.readTableRange(s, path, "user_id",
+          lower = Some(100L), upper = Some(149L))
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
+
     // INCREMENTAL CONSUMER (Delta CDF's downstream-sync loop for the
     // manifest protocol): a replica table follows the source through
     // THREE source commits — seed from a pinned snapshot, then apply
@@ -6410,6 +6440,18 @@ object SparkEntry {
         |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
         |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The file-pruned two-dimensional read + residual filters must
+    // equal the plain filtered aggregate over raw events.
+    "q153_zorder_scan" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 149
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
 
     // The replica followed three commits (merge, merge, delete) via
     // change feeds only; it must equal the source's final state — the
