@@ -3381,6 +3381,33 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"))
     }),
 
+    // A1 × STORAGE: the dashboard CFD computed from a merge-maintained,
+    // date-clustered snapshot store through the data-skipping range
+    // read — the exact 100 TB shape of ref `calculate_cfd.sql:8-16`
+    // (a `flomatikaSnapshotDate BETWEEN` window over snapshots, which
+    // the reference serves from a covering index): only files whose
+    // recorded ts range intersects the 30-day window are opened, then
+    // the same CFD operator as q05 runs on the window.
+    "q154_cfd_window" -> ((s, dir) => {
+      val path = scratchDir("graft-cfdwin") + "/snapshots"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 8,
+          clusterBy = Seq("ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      val window = sources.MergeWriter.readTableRange(s, path, "ts",
+        lower = Some("2024-01-10 00:00:00"),
+        upper = Some("2024-02-08 23:59:59.999999"))
+      Cfd.cfd(window, col("event_type"), to_date(col("ts")),
+        Seq("purchase"))
+    }),
+
     // INCREMENTAL CONSUMER (Delta CDF's downstream-sync loop for the
     // manifest protocol): a replica table follows the source through
     // THREE source commits — seed from a pinned snapshot, then apply
@@ -6440,6 +6467,23 @@ object SparkEntry {
         |  CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 1 THEN 1 END)
         |    AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The pruned window + CFD must equal the CFD of the plainly
+    // filtered events (q05's SQL restricted to the window).
+    "q154_cfd_window" ->
+      """WITH daily AS (
+        |  SELECT event_type AS state, CAST(ts AS DATE) AS flomatikasnapshotdate, COUNT(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-02-08 23:59:59.999999'
+        |  GROUP BY 1, 2)
+        |SELECT state, flomatikasnapshotdate,
+        |  CAST(SUM(n) OVER (PARTITION BY state ORDER BY flomatikasnapshotdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS numberofitems
+        |FROM daily WHERE state IN ('purchase')
+        |UNION ALL
+        |SELECT state, flomatikasnapshotdate, n AS numberofitems
+        |FROM daily WHERE state NOT IN ('purchase')""".stripMargin,
 
     // The file-pruned two-dimensional read + residual filters must
     // equal the plain filtered aggregate over raw events.

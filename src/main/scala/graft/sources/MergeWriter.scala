@@ -1105,7 +1105,8 @@ object MergeWriter {
                              tableRoot: String, st: Option[Manifest],
                              incoming: DataFrame, keys: Seq[String],
                              buckets: Int,
-                             clusterBy: Seq[String] = Seq.empty)
+                             clusterBy: Seq[String] = Seq.empty,
+                             evolveSchema: Boolean = false)
       : Option[Manifest] = {
     require(keys.nonEmpty, "mergeGroup requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
@@ -1127,7 +1128,12 @@ object MergeWriter {
           else {
             val sv = readWithSchema(spark, man, existingPaths)
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
+            // ADDITIVE schema evolution, same semantics as [[merge]]'s
+            // evolveSchema: untouched rows null-fill the new columns
+            if (evolveSchema)
+              sv.unionByName(inc.drop(BucketCol), allowMissingColumns = true)
+            else
+              sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
       }
       val epoch = "e-" + UUID.randomUUID()
@@ -1170,7 +1176,8 @@ object MergeWriter {
                  txn: Option[(String, Long)] = None,
                  clusterBy: Map[String, Seq[String]] = Map.empty,
                  autoCompactEpochs: Int = AutoCompactEpochs,
-                 autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket)
+                 autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
+                 evolveSchema: Boolean = false)
       : Unit = {
     require(merges.nonEmpty, "mergeGroup: at least one member merge")
     require(merges.map(_._1).distinct.size == merges.size,
@@ -1188,8 +1195,8 @@ object MergeWriter {
     // detection and rebase below (an empty member batch stages nothing)
     val staged = merges.flatMap { case (name, rows, keys) =>
       stageMergeInto(spark, fs, s"$groupPath/$name", curTables.get(name),
-        rows, keys, buckets, clusterBy.getOrElse(name, Seq.empty))
-        .map(name -> _)
+        rows, keys, buckets, clusterBy.getOrElse(name, Seq.empty),
+        evolveSchema).map(name -> _)
     }.toMap
     // OPTIMISTIC group commit with rebase-and-retry (writeEpochAndCommit's
     // protocol lifted to group scope): losing the version CAS to a
@@ -2016,6 +2023,29 @@ object MergeWriter {
     // each retained version reads with ITS OWN recorded schema — a pinned
     // read before an evolution sees the pre-evolution columns
     readWithSchema(spark, m, paths)
+  }
+
+  /** Time travel by WALL CLOCK (Delta's `TIMESTAMP AS OF`): read the
+    * table at the latest version COMMITTED at or before `timestampMs`
+    * — manifest publish times are the commit instants (each version is
+    * one atomically-renamed file). Only retained versions are
+    * resolvable; an instant before the earliest retained commit fails
+    * loudly with the readable range, never silently reads newer data.
+    */
+  def readTableAsOf(spark: SparkSession, tablePath: String,
+                    timestampMs: Long): DataFrame = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val retained = manifestFiles(fs, dir)
+    val hit = retained.filter { case (_, p) =>
+      fs.getFileStatus(p).getModificationTime <= timestampMs
+    }.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"readTableAsOf: no retained version of $tablePath committed at or " +
+        s"before $timestampMs (readable commits: " +
+        retained.map { case (v, p) =>
+          s"$v@${fs.getFileStatus(p).getModificationTime}"
+        }.mkString(", ") + ")"))
+    readTableVersion(spark, tablePath, hit._1)
   }
 
   /** Keyed point-lookup read: resolve the key-hash buckets of the

@@ -1180,6 +1180,40 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("readTableAsOf resolves the version committed at a wall-clock instant") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("asof").toString + "/t"
+    MergeWriter.merge(spark, dir, Seq(("A", 1)).toDF("k", "v"), Seq("k"),
+      buckets = 2)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    MergeWriter.merge(spark, dir, Seq(("A", 2)).toDF("k", "v"), Seq("k"))
+    assert(MergeWriter.readTableAsOf(spark, dir, between)
+      .collect().map(_.getInt(1)).toSeq == Seq(1))
+    assert(MergeWriter.readTableAsOf(spark, dir, System.currentTimeMillis())
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
+    // an instant before the earliest retained commit fails loudly
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.readTableAsOf(spark, dir, between - 60000)
+    }
+  }
+
+  test("mergeGroup evolveSchema null-fills new columns for group members") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpevo").toString + "/load"
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("m", Seq(("A", "s1"), ("B", "s1")).toDF("k", "v"), Seq("k"))),
+      buckets = 4)
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("m", Seq(("A", "s2", 7L)).toDF("k", "v", "score"), Seq("k"))),
+      evolveSchema = true)
+    val rows = MergeWriter.readGroupTable(spark, grp, "m").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(rows == Map("A" -> ("s2", Some(7L)), "B" -> ("s1", None)))
+  }
+
   test("group members auto-split and auto-compact like standalone tables") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grpauto").toString + "/load"
