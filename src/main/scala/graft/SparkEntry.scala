@@ -3372,10 +3372,15 @@ object SparkEntry {
         case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
         case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
       }
-      sources.MergeWriter.readTableRange(s, path, "user_id",
-          lower = Some(100L), upper = Some(149L))
-        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
-          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      // AND-of-ranges skipping: a file survives only if its stats admit
+      // BOTH the user window and the date window — with the Morton
+      // layout the opened set approaches the query rectangle
+      sources.MergeWriter.readTableWhere(s, path, Seq(
+          sources.MergeWriter.ColumnRange("user_id",
+            Some(100L), Some(149L)),
+          sources.MergeWriter.ColumnRange("ts",
+            Some("2024-01-10 00:00:00"),
+            Some("2024-01-19 23:59:59.999999"))))
         .groupBy(col("user_id"), col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_types"))

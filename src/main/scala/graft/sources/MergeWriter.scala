@@ -2152,6 +2152,68 @@ object MergeWriter {
     conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** One column's inclusive range predicate for [[readTableWhere]]:
+    * either bound may be open (None).
+    */
+  case class ColumnRange(column: String, lower: Option[Any],
+                         upper: Option[Any])
+
+  /** Multi-predicate data-skipping read: the conjunction (AND) of
+    * several column ranges — the dashboard shape "this cohort AND this
+    * date window". A file survives only if its recorded stats admit
+    * EVERY range, so with Z-order clustering (see `zorder2` in
+    * [[Manifest.clusterCols]]) the opened set approaches the query's
+    * rectangle instead of one dimension's stripe. Exact residual
+    * filters apply per column; results always equal
+    * `readTable().filter(r1 && r2 && …)`.
+    */
+  def readTableWhere(spark: SparkSession, tablePath: String,
+                     ranges: Seq[ColumnRange]): DataFrame = {
+    require(ranges.nonEmpty, "readTableWhere requires at least one range")
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)) match {
+      case None =>
+        ranges.foldLeft(readTable(spark, tablePath))((df, r) =>
+          applyRange(df, r.column, r.lower, r.upper))
+      case Some(man) =>
+        whereReadFromManifest(spark, tablePath, man, ranges)
+    }
+  }
+
+  private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
+                                    man: Manifest,
+                                    ranges: Seq[ColumnRange]): DataFrame = {
+    val schema = man.schema.map(s =>
+      DataType.fromJson(s).asInstanceOf[StructType])
+    // canonical bounds per range; a range whose column/bound can't be
+    // canonicalized never prunes (its residual filter still applies)
+    val canon = ranges.map { r =>
+      val dt = schema.flatMap(_.fields.find(_.name == r.column))
+        .map(_.dataType)
+      val lo = for { d <- dt; v <- r.lower; c <- boundToCanon(d, v) } yield c
+      val hi = for { d <- dt; v <- r.upper; c <- boundToCanon(d, v) } yield c
+      (r.column, lo, hi)
+    }.filter(c => c._2.isDefined || c._3.isDefined)
+    val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+      man.stats.get(b) match {
+        case Some(fss) if canon.nonEmpty =>
+          fss.filter(f => canon.forall { case (c, lo, hi) =>
+            fileIntersects(f, c, lo, hi) })
+            .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
+        case _ => Seq(bucketPath(tableRoot, e, b))
+      }
+    }
+    val base =
+      if (paths.nonEmpty) readWithSchema(spark, man, paths)
+      else schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => spark.emptyDataFrame
+      }
+    ranges.foldLeft(base)((df, r) =>
+      applyRange(df, r.column, r.lower, r.upper))
+  }
+
   /** The skip-then-residual-filter core shared by [[readTableRange]] and
     * [[readGroupTableRange]]: resolve kept files against one manifest's
     * per-file stats, read them with the recorded schema, filter exactly.

@@ -964,6 +964,34 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("readTableWhere prunes on the CONJUNCTION of ranges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("where").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try {
+      val grid = (0 until 4096).map(i => (i.toLong, i / 64, i % 64))
+        .toDF("id", "a", "b")
+      MergeWriter.merge(spark, dir, grid, Seq("id"), buckets = 2,
+        clusterBy = Seq("zorder2:a,b"))
+      val both = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("a", Some(0), Some(7)),
+        MergeWriter.ColumnRange("b", Some(0), Some(7))))
+      // exact results: the 8×8 corner rectangle
+      assert(both.count() == 64)
+      assert(both.collect().map(r => (r.getInt(1), r.getInt(2)))
+        .forall { case (a, b) => a <= 7 && b <= 7 })
+      // the conjunction opens fewer files than either single range —
+      // the rectangle, not a stripe
+      val aOnly = MergeWriter.readTableRange(spark, dir, "a",
+        Some(0), Some(7)).inputFiles.length
+      val bOnly = MergeWriter.readTableRange(spark, dir, "b",
+        Some(0), Some(7)).inputFiles.length
+      val rect = both.inputFiles.length
+      assert(rect < aOnly && rect < bOnly,
+        s"conjunction did not narrow: rect=$rect a=$aOnly b=$bOnly")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("recorded merge keys reject reordered or different key lists") {
     import spark.implicits._
     val dir = Files.createTempDirectory("keyrec").toString + "/t"
