@@ -480,13 +480,20 @@ object MergeWriter {
         Seq((m.version, m.buckets, m.epochs.values.toSet.size,
           m.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType]
             .toDDL).getOrElse(""),
-          retained.mkString(","), m.txns.size))
+          retained.mkString(","), m.txns.size,
+          // from manifest stats alone — no listing (0/0 pre-stats)
+          m.stats.values.map(_.size).sum,
+          m.stats.values.flatMap(_.map(_.bytes)).sum,
+          m.clusterCols.mkString(","), m.keyCols.mkString(",")))
           .toDF("version", "buckets", "live_epochs", "schema_ddl",
-            "retained_versions", "n_txns")
+            "retained_versions", "n_txns", "n_files", "total_bytes",
+            "cluster_cols", "key_cols")
       case None =>
-        Seq.empty[(Long, Int, Int, String, String, Int)]
+        Seq.empty[(Long, Int, Int, String, String, Int, Int, Long,
+            String, String)]
           .toDF("version", "buckets", "live_epochs", "schema_ddl",
-            "retained_versions", "n_txns")
+            "retained_versions", "n_txns", "n_files", "total_bytes",
+            "cluster_cols", "key_cols")
     }
   }
 
