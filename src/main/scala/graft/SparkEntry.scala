@@ -3439,30 +3439,21 @@ object SparkEntry {
       val keys = Seq("user_id")
       val cols = Seq("state", "version_ts")
       val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
-      // the consumer's cursor-advance loop: apply every retained source
-      // version past the cursor, one feed per step (idempotent merges +
-      // deletes, so at-least-once redrive is safe)
-      def sync(cursor: Long): Long =
-        sources.MergeWriter.availableVersions(s, src).filter(_ > cursor)
-          .foldLeft(cursor) { (c, v) =>
-            sources.MergeWriter.applyChangeFeed(s, src, rep, c, v, keys,
-              cols, buckets = 8)
-            v
-          }
+      // the consumer's cursor-advance loop with its crash-safe persisted
+      // cursor: first call seeds from the pinned snapshot, later calls
+      // apply each new version's feed (idempotent, at-least-once safe)
+      def sync(): Long =
+        sources.MergeWriter.syncReplica(s, src, rep, keys, cols, buckets = 8)
       sources.MergeWriter.merge(s, src,
         latest(ev.filter(col("ver") <= cut)), keys, buckets = 8)
-      val v1 = sources.MergeWriter.availableVersions(s, src).last
-      // seed the replica from the pinned v1 snapshot
-      sources.MergeWriter.merge(s, rep,
-        sources.MergeWriter.readTableVersion(s, src, v1), keys, buckets = 8)
-      var cursor = v1
+      sync() // seeds the replica
       sources.MergeWriter.merge(s, src, latest(ev), keys)
-      cursor = sync(cursor)
+      sync()
       // deleted-item reconciliation round: users ≡ 0 (mod 7) vanish
       sources.MergeWriter.delete(s, src,
         latest(ev).filter(pmod(col("user_id"), lit(7)) === 0)
           .select(col("user_id")), keys)
-      cursor = sync(cursor)
+      sync()
       sources.MergeWriter.readTable(s, rep)
         .select(col("user_id"), col("state"), col("version_ts"))
     }),

@@ -2322,6 +2322,70 @@ object MergeWriter {
     } finally { feed.unpersist(); () }
   }
 
+  /** The complete incremental-consumer loop over [[applyChangeFeed]],
+    * with a crash-safe persisted cursor: first call seeds the replica
+    * from the source's latest pinned snapshot; every later call applies
+    * each retained source version past the cursor, advancing the cursor
+    * file after each step. The cursor is written AFTER the apply, so a
+    * crash between them redelivers one feed — harmless, because feed
+    * application is idempotent (keyed merge + keyed delete): the loop
+    * is exactly-once in EFFECT under at-least-once execution. Liveness
+    * contract: the consumer must sync within the source's retained
+    * window ([[KeepManifests]] versions — under the default 2, at least
+    * once per source commit; Delta's CDF has the same retention-bound
+    * contract). A cursor that has aged out fails loudly (via
+    * [[readTableVersion]]) instead of silently skipping changes —
+    * re-seed by deleting the cursor file. Returns the new cursor.
+    */
+  def syncReplica(spark: SparkSession, sourcePath: String,
+                  replicaPath: String, keys: Seq[String],
+                  compareCols: Seq[String], buckets: Int = 64): Long = {
+    val fs = fsFor(spark, replicaPath)
+    val dir = new Path(replicaPath)
+    val cursorFile = new Path(dir, "_sync-cursor")
+    def readCursor(): Option[Long] =
+      if (!fs.exists(cursorFile)) None
+      else {
+        val in = fs.open(cursorFile)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        scala.util.Try(new String(bytes, StandardCharsets.UTF_8)
+          .trim.toLong).toOption
+      }
+    def writeCursor(v: Long): Unit = {
+      // overwrite-in-place is fine: the cursor is advisory progress
+      // state, and a torn write surfaces as an unparsable cursor that
+      // fails the next sync loudly rather than skipping versions
+      val out = fs.create(cursorFile, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val sourceVersions = availableVersions(spark, sourcePath)
+    require(sourceVersions.nonEmpty,
+      s"syncReplica: source $sourcePath has no committed versions")
+    val start = readCursor() match {
+      case Some(c) => c
+      case None =>
+        if (fs.exists(cursorFile))
+          throw new IllegalStateException(
+            s"syncReplica: unparsable cursor at $cursorFile — delete it " +
+              "to re-seed the replica from a full snapshot")
+        // seed: full pinned snapshot of the latest source version
+        val seed = sourceVersions.last
+        merge(spark, replicaPath, readTableVersion(spark, sourcePath, seed),
+          keys, buckets)
+        writeCursor(seed)
+        seed
+    }
+    val end = sourceVersions.filter(_ > start).foldLeft(start) { (c, v) =>
+      applyChangeFeed(spark, sourcePath, replicaPath, c, v, keys,
+        compareCols, buckets)
+      writeCursor(v)
+      v
+    }
+    end
+  }
+
   /** L1/L3 — the custom-field load's transactional shape
     * (`state_load_processor_aurora.ts:39-113`): per incoming item, delete
     * ALL existing custom-field rows and insert the new set, deduped inline

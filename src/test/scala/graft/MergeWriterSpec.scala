@@ -1271,6 +1271,58 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"member fragmentation unbounded: $live live epochs")
   }
 
+  test("syncReplica seeds, follows commits, and tolerates redelivery") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sync").toString
+    val src = root + "/src"
+    val rep = root + "/replica"
+    def state(path: String): Map[String, Int] = {
+      val df = MergeWriter.readTable(spark, path)
+      df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    }
+    MergeWriter.merge(spark, src,
+      Seq(("A", 1), ("B", 1)).toDF("k", "v"), Seq("k"), buckets = 4)
+    // first call SEEDS from the latest snapshot
+    val c1 = MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v"),
+      buckets = 4)
+    assert(state(rep) == Map("A" -> 1, "B" -> 1))
+    // the consumer must keep up within the retained window
+    // (KeepManifests = 2 → sync at least once per source commit, the
+    // same liveness contract as Delta's CDF retention): update+insert,
+    // sync, keyed delete, sync
+    MergeWriter.merge(spark, src,
+      Seq(("A", 2), ("C", 2)).toDF("k", "v"), Seq("k"))
+    val c15 = MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v"))
+    assert(c15 > c1)
+    assert(state(rep) == Map("A" -> 2, "B" -> 1, "C" -> 2))
+    MergeWriter.delete(spark, src, Seq("B").toDF("k"), Seq("k"))
+    val c2 = MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v"))
+    assert(c2 > c15)
+    assert(state(rep) == state(src))
+    assert(state(rep) == Map("A" -> 2, "C" -> 2))
+    // idle call: cursor unchanged, state unchanged
+    assert(MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v")) == c2)
+    // crash-before-cursor-write simulation: wind the cursor back ONE
+    // version (the realistic redelivery window); the redelivered feed
+    // must re-apply harmlessly
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cf = new org.apache.hadoop.fs.Path(rep, "_sync-cursor")
+    def setCursor(v: Long): Unit = {
+      val out = fs.create(cf, true)
+      out.write(v.toString.getBytes("UTF-8")); out.close()
+    }
+    setCursor(c2 - 1)
+    assert(MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v")) == c2)
+    assert(state(rep) == Map("A" -> 2, "C" -> 2))
+    // a cursor that aged OUT of the retained window fails loudly (the
+    // consumer must re-seed) — never silently skips the lost changes
+    setCursor(c1)
+    assertThrows[IllegalArgumentException] {
+      MergeWriter.syncReplica(spark, src, rep, Seq("k"), Seq("v"))
+    }
+  }
+
   test("describeGroup and changeFeedGroup report consistent member state") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grpdesc").toString + "/load"
