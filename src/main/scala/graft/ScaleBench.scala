@@ -476,6 +476,49 @@ object ScaleBench {
     }
     if (sections("zorder9")) { zorderBench(base, "sf0.1"); zorderBench(rep, "rep10") }
 
+    // round 9: Bloom sidecar point probes — equality on a column the
+    // table is NOT clustered by. On the replicated corpus a ts-clustered
+    // file holds all 10 replicas' id bands, so its [min,max] on event_id
+    // spans nearly the whole domain and stats alone skip NOTHING; the
+    // per-file Bloom filter proves absence. Claim: files opened for a
+    // point probe is O(1) with blooms vs O(table files) with stats only.
+    def bloomBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val noB = s"$work/bloom9/$tag/stats"
+      val wiB = s"$work/bloom9/$tag/bloom"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/bloom9/$tag"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+      try {
+        MergeWriter.merge(spark, noB, ev, Seq("event_id"), buckets = 16,
+          clusterBy = Seq("ts"))
+        MergeWriter.merge(spark, wiB, ev, Seq("event_id"), buckets = 16,
+          clusterBy = Seq("ts"), bloomBy = Seq("event_id"),
+          bloomItems = 5000)
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      // a probe id guaranteed to exist, away from the domain edges
+      val id = ev.filter(pmod(col("event_id"), lit(7)) === 3)
+        .agg(max(col("event_id"))).head().getLong(0)
+      def probe(path: String): (Int, Long, Double) = {
+        val df = MergeWriter.readTableWhere(spark, path, Seq(
+          MergeWriter.ColumnRange("event_id", Some(id), Some(id))))
+        val files = df.inputFiles.length
+        val timed = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = df.agg(count(lit(1))).as[Long].head()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        (files, timed.head._1, timed.map(_._2).min)
+      }
+      val (fS, nS, sS) = probe(noB)
+      val (fB, nB, sB) = probe(wiB)
+      val all = MergeWriter.readTable(spark, wiB).inputFiles.length
+      println(f"""{"dir":"$tag","bloom_total_files":$all,"probe_files_stats":$fS,"probe_rows_stats":$nS,"probe_sec_stats_min3":$sS%.3f,"probe_files_bloom":$fB,"probe_rows_bloom":$nB,"probe_sec_bloom_min3":$sB%.3f}""")
+    }
+    if (sections("bloom9")) { bloomBench(base, "sf0.1"); bloomBench(rep, "rep10") }
+
     // round-7 additions: cut-apply splice, BM25 retrieval, PageRank
     // (q136 needs the lang column, absent from the rep10 projection —
     // base only)

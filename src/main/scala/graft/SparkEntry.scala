@@ -3532,6 +3532,48 @@ object SparkEntry {
           graft.functions.exactSum(col("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // BLOOM-INDEX POINT READ over storage: lineitem merge-maintained
+    // keyed (l_orderkey, l_linenumber) and DATE-clustered, with per-file
+    // Bloom sidecars on the scattered FK pair (l_partkey, l_suppkey) —
+    // the reference's secondary btree (`sql/full_ddl.sql:1189-1199`
+    // indexes snapshots by workItemId regardless of physical order)
+    // re-expressed for immutable files: on a date-clustered table every
+    // file's [min,max] spans the whole FK domain, so min/max stats can
+    // never skip an FK equality — the sidecar filter proves per-file
+    // absence instead. The probe ("line items of part P from supplier
+    // S") reads only the files that might hold the pair.
+    "q155_bloom_point_read" -> ((s, dir) => {
+      val path = scratchDir("graft-bloomq") + "/lineitem"
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          Seq("l_orderkey", "l_linenumber"), buckets = 8,
+          clusterBy = Seq("l_shipdate"),
+          bloomBy = Seq("l_partkey", "l_suppkey"), bloomItems = 4096)
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_orderkey", "l_linenumber"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      val pick = li.orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_partkey"), col("l_suppkey")).first()
+      sources.MergeWriter.readTableWhere(s, path, Seq(
+        sources.MergeWriter.ColumnRange("l_partkey",
+          Some(pick.getLong(0)), Some(pick.getLong(0))),
+        sources.MergeWriter.ColumnRange("l_suppkey",
+          Some(pick.getLong(1)), Some(pick.getLong(1)))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6552,6 +6594,18 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <= TIMESTAMP '1995-03-31 23:59:59.999999'
         |GROUP BY 1""".stripMargin,
+
+    // The probed (part, supplier) pair is the first lineitem's, picked
+    // by the same total order on both sides.
+    "q155_bloom_point_read" ->
+      """WITH pick AS (
+        |  SELECT l_partkey, l_suppkey FROM lineitem
+        |  ORDER BY l_orderkey, l_linenumber LIMIT 1)
+        |SELECT li.l_orderkey, li.l_linenumber, li.l_quantity,
+        |  li.l_extendedprice
+        |FROM lineitem li, pick
+        |WHERE li.l_partkey = pick.l_partkey
+        |  AND li.l_suppkey = pick.l_suppkey""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -85,6 +85,18 @@ object MergeWriter {
     */
   val AutoCompactEpochs = 16
 
+  /** Default per-file expected-items sizing for [[Manifest.bloomCols]]
+    * filters (~117 KB per file·column at 3% fpp — Delta's default Bloom
+    * index sizing is the same order). Override per table at creation.
+    */
+  val DefaultBloomItems: Long = 100000L
+
+  /** Epoch-directory sidecar holding the per-file Bloom filters of the
+    * table's [[Manifest.bloomCols]]. Leading underscore = invisible to
+    * Spark's parquet discovery; lives and dies with its epoch.
+    */
+  private val BloomSidecar = "_blooms.json"
+
   /** `txns` records the highest applied batch version per writer app id
     * (Delta's transaction identifiers): because it rides IN the manifest,
     * "was this batch already applied" and the data it applied commit in
@@ -138,13 +150,34 @@ object MergeWriter {
     * file spans the full range and no stat can skip it) — Delta's
     * 1-D OPTIMIZE clustering, applied on every write.
     */
+  /** `bloomCols` (recorded at creation, like `clusterCols`) declare
+    * columns that get a PER-FILE Bloom filter sidecar at every epoch
+    * write (Delta's Bloom filter index / the reference's btree on
+    * `snapshots.workItemId`, `sql/full_ddl.sql:1189-1199`, re-expressed
+    * for immutable files): min/max stats cannot serve an EQUALITY probe
+    * on a high-cardinality column the table is NOT clustered by — every
+    * file's [min,max] spans the whole domain — but a Bloom filter
+    * answers "definitely absent" per file. Sidecars live in the epoch
+    * directory (`_blooms.json`, invisible to parquet reads, reclaimed
+    * with the epoch by gc), so the manifest never bloats and the
+    * sidecar commits atomically WITH its epoch: the manifest rename
+    * that publishes the epoch publishes its blooms.
+    *
+    * `bloomItems` sizes every filter (expected distinct items per
+    * file, fpp 3%). An UNDERSIZED filter saturates and degrades to
+    * "might contain" for everything — safe (skipping only ever removes
+    * provably-absent files), just useless — so size it to the table's
+    * `maxRecordsPerFile`.
+    */
   private case class Manifest(version: Long, buckets: Int,
                               epochs: Map[Int, String],
                               txns: Map[String, Long] = Map.empty,
                               schema: Option[String] = None,
                               keyCols: Seq[String] = Seq.empty,
                               clusterCols: Seq[String] = Seq.empty,
-                              stats: Map[Int, Seq[FileStat]] = Map.empty)
+                              stats: Map[Int, Seq[FileStat]] = Map.empty,
+                              bloomCols: Seq[String] = Seq.empty,
+                              bloomItems: Long = DefaultBloomItems)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -227,7 +260,10 @@ object MergeWriter {
       }
     })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
-      schema, strArr("keys"), strArr("cluster"), stats.toMap)
+      schema, strArr("keys"), strArr("cluster"), stats.toMap,
+      // absent in pre-bloom manifests — backward compatible
+      strArr("bloomcols"),
+      Option(node.get("bloomn")).map(_.asLong()).getOrElse(DefaultBloomItems))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -260,6 +296,10 @@ object MergeWriter {
         ",\"keys\":[" + m.keyCols.map(jsonStr).mkString(",") + "]" else "")
       .append(if (m.clusterCols.nonEmpty)
         ",\"cluster\":[" + m.clusterCols.map(jsonStr).mkString(",") + "]"
+        else "")
+      .append(if (m.bloomCols.nonEmpty)
+        ",\"bloomcols\":[" + m.bloomCols.map(jsonStr).mkString(",") + "]" +
+          ",\"bloomn\":" + m.bloomItems
         else "")
       .append(if (m.stats.nonEmpty) {
         def obj(kv: Map[String, String]): String =
@@ -770,6 +810,156 @@ object MergeWriter {
     !belowLo && !aboveHi
   }
 
+  /** Bloom-supported column types: values canonicalize to a long or a
+    * string put. Writer and prober both go through [[boundToCanon]]'s
+    * canonical domain, so they agree bit-for-bit on every type (dates
+    * put their epoch-day, timestamps their UTC micros). Floats are out:
+    * equality probes on floating point are ill-defined anyway.
+    */
+  private def bloomPutKind(dt: DataType): Option[Char] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => Some('L')
+      case StringType => Some('S')
+      case _ => None
+    }
+  }
+
+  /** Compute and stage the per-file Bloom sidecar of a just-written
+    * (still-uncommitted) epoch — one distributed pass over the epoch's
+    * files, bounded by the touched-bucket set of the commit it rides,
+    * exactly like the footer-stats read. Each scan task builds partial
+    * filters per (file, column) it sees; the driver ORs partials of the
+    * same file (a file split across input partitions yields compatible
+    * filters — identical `bloomItems` sizing). The sidecar lands INSIDE
+    * the epoch directory before the manifest commit, so it becomes
+    * visible atomically with its data and is reclaimed with it by gc.
+    */
+  private def writeBloomSidecar(spark: SparkSession, fs: FileSystem,
+                                epochRoot: String, bloomCols: Seq[String],
+                                bloomItems: Long,
+                                schemaJson: Option[String]): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val full = schemaJson.map(s =>
+      DataType.fromJson(s).asInstanceOf[StructType])
+    val base = full match {
+      case Some(s) =>
+        val sub = StructType(s.fields.filter(f => bloomCols.contains(f.name)))
+        if (sub.isEmpty) return
+        spark.read.schema(sub).parquet(epochRoot)
+      case None => // legacy pre-schema manifest: one bounded footer merge
+        spark.read.option("mergeSchema", "true").parquet(epochRoot)
+    }
+    val kinds: Seq[(String, DataType)] = bloomCols.flatMap { c =>
+      base.schema.fields.find(_.name == c)
+        .filter(f => bloomPutKind(f.dataType).isDefined)
+        .map(f => (c, f.dataType))
+    }
+    if (kinds.isEmpty) return
+    val sel = base.select(
+      org.apache.spark.sql.functions.input_file_name().as("__file") +:
+        kinds.map { case (c, _) => col(c) }: _*)
+    val n = kinds.size
+    val items = bloomItems
+    val partial: Array[(String, Int, Array[Byte])] =
+      sel.rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[String, Array[BloomFilter]]
+        it.foreach { row =>
+          val file = row.getString(0)
+          val bfs = acc.getOrElseUpdate(file,
+            Array.fill(n)(BloomFilter.create(items)))
+          var i = 0
+          while (i < n) {
+            val v = row.get(i + 1)
+            if (v != null) boundToCanon(kinds(i)._2, v) match {
+              case Some(('L', cv)) => bfs(i).putLong(cv.asInstanceOf[Long])
+              case Some(('S', cv)) => bfs(i).putString(cv.asInstanceOf[String])
+              case _ => ()
+            }
+            i += 1
+          }
+        }
+        acc.iterator.flatMap { case (f, bfs) =>
+          (0 until n).iterator.map { i =>
+            val bos = new java.io.ByteArrayOutputStream()
+            bfs(i).writeTo(bos)
+            (f, i, bos.toByteArray)
+          }
+        }
+      }.collect()
+    // driver merge: OR the partial filters of files that spanned input
+    // partitions; key files as "<__bucket=N>/<name>" — the same identity
+    // the manifest's FileStat rows use, qualified by their bucket dir
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), BloomFilter]
+    partial.foreach { case (file, i, bytes) =>
+      val segs = file.split('/')
+      val key = (segs.takeRight(2).mkString("/"), i)
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      merged.get(key) match {
+        case Some(m0) => m0.mergeInPlace(bf); ()
+        case None => merged(key) = bf
+      }
+    }
+    val b64 = java.util.Base64.getEncoder
+    val body = new StringBuilder().append("{")
+    var first = true
+    merged.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).foreach {
+      case (fileKey, entries) =>
+        if (!first) body.append(","); first = false
+        body.append(jsonStr(fileKey)).append(":{")
+        body.append(entries.sortBy(_._1._2).map { case ((_, i), bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          jsonStr(kinds(i)._1) + ":" +
+            jsonStr(b64.encodeToString(bos.toByteArray))
+        }.mkString(","))
+        body.append("}")
+    }
+    body.append("}")
+    val out = fs.create(new Path(epochRoot, BloomSidecar), false)
+    try out.write(body.toString().getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** An epoch's staged Bloom sidecar: "bucket-dir/file" -> column ->
+    * serialized filter. Missing sidecar (pre-bloom epoch) = empty map —
+    * probes keep every file, lossless as ever.
+    */
+  private def readBloomSidecar(fs: FileSystem, epochRoot: String)
+      : Map[String, Map[String, Array[Byte]]] = {
+    val p = new Path(epochRoot, BloomSidecar)
+    if (!fs.exists(p)) return Map.empty
+    val node = readJsonFile(fs, p)
+    val b64 = java.util.Base64.getDecoder
+    val out = scala.collection.mutable.Map
+      .empty[String, Map[String, Array[Byte]]]
+    node.fields().forEachRemaining { f =>
+      val cols = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      f.getValue.fields().forEachRemaining { c =>
+        cols(c.getKey) = b64.decode(c.getValue.asText())
+      }
+      out(f.getKey) = cols.toMap
+    }
+    out.toMap
+  }
+
+  /** File-level Bloom probe: false = the column provably does not
+    * contain the canonical value anywhere in the file. Unknown tags
+    * never prune.
+    */
+  private def bloomMightContain(bytes: Array[Byte], tag: Char,
+                                v: Any): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    tag match {
+      case 'L' => bf.mightContainLong(v.asInstanceOf[Long])
+      case 'S' => bf.mightContainString(v.asInstanceOf[String])
+      case _ => true
+    }
+  }
+
   /** Post-merge auto-compaction check (see [[AutoCompactEpochs]]): count
     * live epochs from the just-committed manifest (a metadata-only read)
     * and rewrite when fragmentation crosses the threshold.
@@ -874,10 +1064,24 @@ object MergeWriter {
             evolveSchema: Boolean = false,
             autoCompactEpochs: Int = AutoCompactEpochs,
             clusterBy: Seq[String] = Seq.empty,
-            autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket): Unit = {
+            autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
+            bloomBy: Seq[String] = Seq.empty,
+            bloomItems: Long = DefaultBloomItems): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
+    // bloomBy applies at table CREATION (like clusterBy); validate the
+    // declared columns NOW — a typo'd or float-typed bloom column would
+    // otherwise silently record filters no probe can ever use
+    bloomBy.foreach { c =>
+      val f = incoming.schema.fields.find(_.name == c)
+      require(f.isDefined, s"merge: bloomBy column '$c' is not in the " +
+        s"incoming schema ${incoming.columns.mkString("(", ",", ")")}")
+      require(bloomPutKind(f.get.dataType).isDefined,
+        s"merge: bloomBy column '$c' has unsupported type " +
+          s"${f.get.dataType.simpleString} (supported: integral, date, " +
+          "timestamp, string)")
+    }
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     // legacy pre-manifest table: migrate with one full rewrite into the
@@ -891,7 +1095,7 @@ object MergeWriter {
       val legacy = spark.read.option("mergeSchema", "true")
         .parquet(tablePath).drop(BucketCol)
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None,
-        clusterCols = clusterBy)
+        clusterCols = clusterBy, bloomCols = bloomBy, bloomN = bloomItems)
     }
     val m = currentManifest(fs, dir)
     m.foreach(validateKeys(_, keys, "merge"))
@@ -912,7 +1116,8 @@ object MergeWriter {
       m match {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
-            keys, nb, None, clusterCols = cluster)
+            keys, nb, None, clusterCols = cluster, bloomCols = bloomBy,
+            bloomN = bloomItems)
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
@@ -1689,7 +1894,9 @@ object MergeWriter {
                                   prev: Option[Manifest],
                                   txn: Option[(String, Long)] = None,
                                   dropBuckets: Set[Int] = Set.empty,
-                                  clusterCols: Seq[String] = Seq.empty): Unit = {
+                                  clusterCols: Seq[String] = Seq.empty,
+                                  bloomCols: Seq[String] = Seq.empty,
+                                  bloomN: Long = DefaultBloomItems): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -1711,6 +1918,16 @@ object MergeWriter {
       .map(_.stripPrefix(BucketCol + "=").toInt)
     val fileStats = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
       withColumnStats = effCluster.nonEmpty)
+    // an existing table's recorded bloom columns always apply (the param
+    // only seeds creation, like clusterCols) — so deletes, txn merges and
+    // evolutions all keep the sidecar maintained without opting in
+    val effBloom = prev.map(_.bloomCols).filter(_.nonEmpty)
+      .getOrElse(bloomCols)
+    val effBloomN = prev.filter(_.bloomCols.nonEmpty).map(_.bloomItems)
+      .getOrElse(bloomN)
+    if (effBloom.nonEmpty && written.nonEmpty)
+      writeBloomSidecar(spark, fs, s"$tablePath/$epoch", effBloom,
+        effBloomN, Some(rows.schema.json))
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -1732,6 +1949,9 @@ object MergeWriter {
       // winner's recorded clustering (advisory layout, not a conflict)
       val cluster = base.map(_.clusterCols).filter(_.nonEmpty)
         .getOrElse(effCluster)
+      val bloom = base.map(_.bloomCols).filter(_.nonEmpty).getOrElse(effBloom)
+      val bloomSz = base.filter(_.bloomCols.nonEmpty).map(_.bloomItems)
+        .getOrElse(effBloomN)
       // the committed schema is the written frame's (sans the physical
       // bucket column) — on an evolving merge this is already the union
       // schema, so the recorded schema and the data it describes commit
@@ -1739,7 +1959,8 @@ object MergeWriter {
       try {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
-            txns, Some(rows.schema.json), keys, cluster, stats))
+            txns, Some(rows.schema.json), keys, cluster, stats, bloom,
+            bloomSz))
         return
       } catch {
         case e: java.io.IOException =>
@@ -1905,6 +2126,9 @@ object MergeWriter {
       man.clusterCols)
     clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tableRoot/$epoch")
+    if (man.bloomCols.nonEmpty)
+      writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
+        man.bloomItems, man.schema)
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
@@ -1976,6 +2200,9 @@ object MergeWriter {
       val clustered = clusterSort(rebinned, man.clusterCols)
       clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
+      if (man.bloomCols.nonEmpty)
+        writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
+          man.bloomItems, man.schema)
       man.copy(buckets = nb2,
         epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
           .map(_ -> epoch).toMap,
@@ -2093,7 +2320,14 @@ object MergeWriter {
         // bucket's whole history (Delta's stats-based point lookup,
         // completing the bucket-pruned read at wide-bucket scale). A
         // file or column without stats is always kept — lossless.
-        def tupleCouldBeIn(fileStat: FileStat,
+        // Bloom sidecars extend the per-file check to UNCLUSTERED key
+        // columns: a hash bucket's files all span the full key range (no
+        // stat can skip them), but each file's filter can prove a wanted
+        // key absent — point lookups stay ≤ k files/bucket without
+        // having to cluster by the key
+        val sidecars = scala.collection.mutable.Map
+          .empty[String, Map[String, Map[String, Array[Byte]]]]
+        def tupleCouldBeIn(e: String, b: Int, fileStat: FileStat,
                           row: org.apache.spark.sql.Row): Boolean =
           keys.indices.forall { i =>
             val v = row.get(i)
@@ -2101,7 +2335,15 @@ object MergeWriter {
             else boundToCanon(keyTypes(i), v) match {
               case Some((tag, cv)) =>
                 fileIntersects(fileStat, keys(i),
-                  lo = Some((tag, cv)), hi = Some((tag, cv)))
+                  lo = Some((tag, cv)), hi = Some((tag, cv))) &&
+                  (!man.bloomCols.contains(keys(i)) ||
+                    (sidecars.getOrElseUpdate(e,
+                      readBloomSidecar(fs, s"$tablePath/$e"))
+                      .get(s"$BucketCol=$b/${fileStat.name}")
+                      .flatMap(_.get(keys(i))) match {
+                      case Some(bytes) => bloomMightContain(bytes, tag, cv)
+                      case None => true
+                    }))
               case None => true
             }
           }
@@ -2109,7 +2351,7 @@ object MergeWriter {
           man.epochs.get(b).toSeq.flatMap { e =>
             man.stats.get(b) match {
               case Some(fss) =>
-                fss.filter(f => byBucket(b).exists(tupleCouldBeIn(f, _)))
+                fss.filter(f => byBucket(b).exists(tupleCouldBeIn(e, b, f, _)))
                   .map(f => bucketPath(tablePath, e, b) + "/" + f.name)
               case None => Seq(bucketPath(tablePath, e, b))
             }
@@ -2190,6 +2432,7 @@ object MergeWriter {
   private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
                                     man: Manifest,
                                     ranges: Seq[ColumnRange]): DataFrame = {
+    val fs = fsFor(spark, tableRoot)
     val schema = man.schema.map(s =>
       DataType.fromJson(s).asInstanceOf[StructType])
     // canonical bounds per range; a range whose column/bound can't be
@@ -2201,11 +2444,32 @@ object MergeWriter {
       val hi = for { d <- dt; v <- r.upper; c <- boundToCanon(d, v) } yield c
       (r.column, lo, hi)
     }.filter(c => c._2.isDefined || c._3.isDefined)
+    // a degenerate range (lower == upper) on a declared Bloom column is
+    // an EQUALITY probe: beyond the min/max check, each candidate file's
+    // sidecar filter can prove the value absent — the skip that works on
+    // high-cardinality columns the table is NOT clustered by, where every
+    // file's [min,max] spans the domain and stats alone never skip
+    val eqProbes = canon.flatMap {
+      case (c, Some((t1, v1)), Some((t2, v2)))
+          if t1 == t2 && v1 == v2 && man.bloomCols.contains(c) =>
+        Some((c, t1, v1))
+      case _ => None
+    }
+    val sidecars = scala.collection.mutable.Map
+      .empty[String, Map[String, Map[String, Array[Byte]]]]
+    def bloomKeeps(e: String, b: Int, f: FileStat): Boolean =
+      eqProbes.forall { case (c, tag, v) =>
+        sidecars.getOrElseUpdate(e, readBloomSidecar(fs, s"$tableRoot/$e"))
+          .get(s"$BucketCol=$b/${f.name}").flatMap(_.get(c)) match {
+          case Some(bytes) => bloomMightContain(bytes, tag, v)
+          case None => true
+        }
+      }
     val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
       man.stats.get(b) match {
         case Some(fss) if canon.nonEmpty =>
           fss.filter(f => canon.forall { case (c, lo, hi) =>
-            fileIntersects(f, c, lo, hi) })
+            fileIntersects(f, c, lo, hi) } && bloomKeeps(e, b, f))
             .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
         case _ => Seq(bucketPath(tableRoot, e, b))
       }

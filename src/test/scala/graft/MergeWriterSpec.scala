@@ -1365,4 +1365,97 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the committed member is untouched
     assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 1)
   }
+
+  test("bloom sidecars prune equality probes on a column stats can't skip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloom").toString + "/snapshots"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      // clustered by DATE, probed by workItemId: every file's
+      // [min,max] on workItemId spans nearly the whole id domain
+      // (ids scatter across dates), so min/max stats CANNOT skip —
+      // exactly the btree-on-workItemId shape of the reference
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def rows(n: Int, rev: Int) = (0 until n).map { i =>
+        (s"item#${i % 399}", java.sql.Date.valueOf(d0.plusDays(i / 10)), rev + i)
+      }.toDF("workItemId", "snapshotDate", "rev")
+      MergeWriter.merge(spark, dir, rows(800, 0),
+        Seq("workItemId", "snapshotDate"), buckets = 4,
+        clusterBy = Seq("snapshotDate"),
+        bloomBy = Seq("workItemId"), bloomItems = 500)
+      // an incremental merge must keep untouched buckets' sidecars
+      // valid and refresh the rewritten buckets'
+      MergeWriter.merge(spark, dir, rows(200, 1000),
+        Seq("workItemId", "snapshotDate"))
+
+      val probe = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#7"), Some("item#7"))))
+      val full = MergeWriter.readTable(spark, dir)
+        .filter(col("workItemId") === "item#7")
+      assert(probe.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+
+      // the skip is real — item#7 lives in ~3 of ~17 files…
+      val opened = probe.inputFiles.toSet
+      val all = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      assert(all.size >= 10, s"test setup: expected many files, got ${all.size}")
+      assert(opened.size * 2 < all.size,
+        s"bloom skipped nothing (${opened.size} of ${all.size} files opened)")
+      // …and LOSSLESS: every skipped file holds zero matching rows
+      val skipped = (all -- opened).toSeq
+      assert(spark.read.parquet(skipped: _*)
+        .filter(col("workItemId") === "item#7").count() == 0)
+
+      // a value absent from the table proves absent almost everywhere
+      val missing = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#nope"), Some("item#nope"))))
+      assert(missing.count() == 0)
+
+      // compaction rewrites the epoch files — the sidecar must follow
+      MergeWriter.compact(spark, dir)
+      val after = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#7"), Some("item#7"))))
+      assert(after.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      val afterAll = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      assert(after.inputFiles.toSet.size * 2 < afterAll.size,
+        "sidecar lost across compaction: no files skipped")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("readKeys uses bloom sidecars on UNCLUSTERED key columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloomkey").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      // keyed on id but NOT clustered: each bucket's files span the full
+      // id range, so the stats path (bytes-only on unclustered tables)
+      // keeps every file — only the bloom can narrow the point lookup
+      val rows = (0 until 1600).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4,
+        bloomBy = Seq("id"), bloomItems = 500)
+      val all = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(all >= 8, s"test setup: expected multi-file buckets, got $all")
+      val want = Seq(3L, 7L).toDF("id")
+      val got = MergeWriter.readKeys(spark, dir, want, Seq("id"))
+      assert(got.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+        Set(3L -> "v3", 7L -> "v7"))
+      val opened = MergeWriter.readKeys(spark, dir, want, Seq("id"))
+        .inputFiles.length
+      assert(opened <= 4, s"unclustered point lookup opened $opened files " +
+        s"of $all — bloom not consulted")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("bloomBy validates its columns at creation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloomval").toString + "/t"
+    val rows = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, rows, Seq("id"), bloomBy = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, rows, Seq("id"), bloomBy = Seq("score"))
+    }
+  }
 }
