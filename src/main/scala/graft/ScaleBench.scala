@@ -498,9 +498,14 @@ object ScaleBench {
           clusterBy = Seq("ts"), bloomBy = Seq("event_id"),
           bloomItems = 5000)
       } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
-      // a probe id guaranteed to exist, away from the domain edges
-      val id = ev.filter(pmod(col("event_id"), lit(7)) === 3)
-        .agg(max(col("event_id"))).head().getLong(0)
+      // the MEDIAN id: a domain-edge probe would let min/max prune
+      // trivially (every file's max sits below it); the middle of the
+      // domain is where the replicated corpus makes stats blind — each
+      // ts-window file holds all 10 replicas' id bands, so its range
+      // covers the median no matter the window
+      val cnt = ev.count()
+      val id = ev.select(col("event_id")).orderBy(col("event_id"))
+        .offset((cnt / 2).toInt).limit(1).head().getLong(0)
       def probe(path: String): (Int, Long, Double) = {
         val df = MergeWriter.readTableWhere(spark, path, Seq(
           MergeWriter.ColumnRange("event_id", Some(id), Some(id))))

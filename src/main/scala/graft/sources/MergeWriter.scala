@@ -1318,12 +1318,19 @@ object MergeWriter {
                              incoming: DataFrame, keys: Seq[String],
                              buckets: Int,
                              clusterBy: Seq[String] = Seq.empty,
-                             evolveSchema: Boolean = false)
+                             evolveSchema: Boolean = false,
+                             bloomBy: Seq[String] = Seq.empty,
+                             bloomItems: Long = DefaultBloomItems)
       : Option[Manifest] = {
     require(keys.nonEmpty, "mergeGroup requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"mergeGroup: incoming frame must not contain reserved column '$BucketCol'")
     st.foreach(validateKeys(_, keys, "mergeGroup"))
+    bloomBy.foreach { c =>
+      val f = incoming.schema.fields.find(_.name == c)
+      require(f.isDefined && bloomPutKind(f.get.dataType).isDefined,
+        s"mergeGroup: bloomBy column '$c' missing or of unsupported type")
+    }
     val nb = st.map(_.buckets).getOrElse(buckets)
     val inc = incoming
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
@@ -1361,12 +1368,21 @@ object MergeWriter {
         .map(_.getPath.getName)
         .filter(_.startsWith(BucketCol + "="))
         .map(_.stripPrefix(BucketCol + "=").toInt)
+      // bloomBy applies at member CREATION (like clusterBy); an existing
+      // member keeps its recorded bloom columns
+      val bloom = st.map(_.bloomCols).getOrElse(bloomBy)
+      val bloomN = st.filter(_.bloomCols.nonEmpty).map(_.bloomItems)
+        .getOrElse(bloomItems)
+      if (bloom.nonEmpty && written.nonEmpty)
+        writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", bloom, bloomN,
+          Some(merged.schema.json))
       Some(Manifest(0L, nb,
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
         Map.empty, Some(merged.schema.json), keys, cluster,
         st.map(_.stats).getOrElse(Map.empty) ++
           collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-            withColumnStats = cluster.nonEmpty)))
+            withColumnStats = cluster.nonEmpty),
+        bloom, bloomN))
     } finally { inc.unpersist(); () }
   }
 
@@ -1389,7 +1405,9 @@ object MergeWriter {
                  clusterBy: Map[String, Seq[String]] = Map.empty,
                  autoCompactEpochs: Int = AutoCompactEpochs,
                  autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
-                 evolveSchema: Boolean = false)
+                 evolveSchema: Boolean = false,
+                 bloomBy: Map[String, Seq[String]] = Map.empty,
+                 bloomItems: Long = DefaultBloomItems)
       : Unit = {
     require(merges.nonEmpty, "mergeGroup: at least one member merge")
     require(merges.map(_._1).distinct.size == merges.size,
@@ -1408,7 +1426,8 @@ object MergeWriter {
     val staged = merges.flatMap { case (name, rows, keys) =>
       stageMergeInto(spark, fs, s"$groupPath/$name", curTables.get(name),
         rows, keys, buckets, clusterBy.getOrElse(name, Seq.empty),
-        evolveSchema).map(name -> _)
+        evolveSchema, bloomBy.getOrElse(name, Seq.empty), bloomItems)
+        .map(name -> _)
     }.toMap
     // OPTIMISTIC group commit with rebase-and-retry (writeEpochAndCommit's
     // protocol lifted to group scope): losing the version CAS to a
@@ -2486,37 +2505,17 @@ object MergeWriter {
   }
 
   /** The skip-then-residual-filter core shared by [[readTableRange]] and
-    * [[readGroupTableRange]]: resolve kept files against one manifest's
-    * per-file stats, read them with the recorded schema, filter exactly.
+    * [[readGroupTableRange]]: one range is just the 1-element conjunction,
+    * so [[whereReadFromManifest]] serves both — including the Bloom
+    * sidecar probe when the range is degenerate (lower == upper) on a
+    * declared bloom column.
     */
   private def rangeReadFromManifest(spark: SparkSession, tableRoot: String,
                                     man: Manifest, column: String,
                                     lower: Option[Any],
-                                    upper: Option[Any]): DataFrame = {
-    val colType = man.schema
-      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
-    val lo = for { d <- colType; v <- lower; c <- boundToCanon(d, v) } yield c
-    val hi = for { d <- colType; v <- upper; c <- boundToCanon(d, v) } yield c
-    val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
-      man.stats.get(b) match {
-        case Some(fss) if lo.isDefined || hi.isDefined =>
-          fss.filter(fileIntersects(_, column, lo, hi))
-            .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
-        case _ => Seq(bucketPath(tableRoot, e, b))
-      }
-    }
-    val base =
-      if (paths.nonEmpty) readWithSchema(spark, man, paths)
-      else man.schema match {
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(s).asInstanceOf[StructType])
-        case None =>
-          spark.emptyDataFrame
-      }
-    applyRange(base, column, lower, upper)
-  }
+                                    upper: Option[Any]): DataFrame =
+    whereReadFromManifest(spark, tableRoot, man,
+      Seq(ColumnRange(column, lower, upper)))
 
   /** Change feed between two retained committed versions (Delta's CDF /
     * `table_changes`, scaled to the manifest protocol): the keyed diff

@@ -1208,6 +1208,43 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("group members carry bloom sidecars like standalone tables") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpbloom").toString + "/load"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      // date-clustered member probed by workItemId equality — min/max
+      // can't skip (ids scatter across dates); the member's sidecar must
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def snaps(n: Int, rev: Int) = (0 until n).map { i =>
+        (s"item#${i % 299}", java.sql.Date.valueOf(d0.plusDays(i / 10)), rev + i)
+      }.toDF("k", "snapshotDate", "rev")
+      MergeWriter.mergeGroup(spark, grp,
+        Seq(("snapshots", snaps(600, 0), Seq("k", "snapshotDate"))),
+        buckets = 4, clusterBy = Map("snapshots" -> Seq("snapshotDate")),
+        bloomBy = Map("snapshots" -> Seq("k")), bloomItems = 500)
+      // a second group commit must keep untouched buckets' sidecars live
+      MergeWriter.mergeGroup(spark, grp,
+        Seq(("snapshots", snaps(150, 1000), Seq("k", "snapshotDate"))))
+      val probe = MergeWriter.readGroupTableRange(spark, grp, "snapshots",
+        "k", Some("item#7"), Some("item#7"))
+      val full = MergeWriter.readGroupTable(spark, grp, "snapshots")
+        .filter(col("k") === "item#7")
+      assert(probe.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      val opened = probe.inputFiles.toSet
+      val all = MergeWriter.readGroupTable(spark, grp, "snapshots")
+        .inputFiles.toSet
+      assert(all.size >= 8, s"test setup: expected many files, got ${all.size}")
+      assert(opened.size * 2 < all.size,
+        s"group bloom skipped nothing (${opened.size} of ${all.size})")
+      val skipped = (all -- opened).toSeq
+      assert(spark.read.parquet(skipped: _*)
+        .filter(col("k") === "item#7").count() == 0,
+        "group bloom skipped a file holding matching rows")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("readTableAsOf resolves the version committed at a wall-clock instant") {
     import spark.implicits._
     val dir = Files.createTempDirectory("asof").toString + "/t"
