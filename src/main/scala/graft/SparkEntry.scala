@@ -3574,6 +3574,36 @@ object SparkEntry {
           col("l_quantity"), col("l_extendedprice"))
     }),
 
+    // IN-LIST SKIPPING READ: orders merge-maintained keyed o_orderkey,
+    // date-clustered, Bloom'd on the FK o_custkey; the probe is the
+    // reference's reingest/deleted-item shape — "rows of THESE ids"
+    // (`extract_states_handler.ts:191-235` builds exactly an id-set
+    // query) — served as an any-of stats∧bloom file skip instead of a
+    // full scan.
+    "q156_inlist_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-inq") + "/orders"
+      val od = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try sources.MergeWriter.merge(s, path, od, Seq("o_orderkey"),
+        buckets = 8, clusterBy = Seq("o_orderdate"),
+        bloomBy = Seq("o_custkey"), bloomItems = 4096)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      val picks = od.select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      sources.MergeWriter.readTableWhere(s, path, Seq(
+        sources.MergeWriter.ColumnIn("o_custkey", picks)))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.exactSum(col("o_totalprice"), 2).as("sum_price"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6606,6 +6636,17 @@ object SparkEntry {
         |FROM lineitem li, pick
         |WHERE li.l_partkey = pick.l_partkey
         |  AND li.l_suppkey = pick.l_suppkey""".stripMargin,
+
+    // The probed customer-id set is the 3 smallest distinct custkeys,
+    // picked by the same total order on both sides.
+    "q156_inlist_scan" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3)
+        |GROUP BY 1""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

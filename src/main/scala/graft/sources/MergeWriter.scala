@@ -2420,29 +2420,55 @@ object MergeWriter {
     conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
-  /** One column's inclusive range predicate for [[readTableWhere]]:
-    * either bound may be open (None).
+  /** The exact residual filter of one [[ColumnPredicate]] — always
+    * applied after skipping, so results never depend on stats/blooms.
+    */
+  private def applyPredicate(df: DataFrame, p: ColumnPredicate): DataFrame =
+    p match {
+      case ColumnRange(c, lo, hi) => applyRange(df, c, lo, hi)
+      case ColumnIn(c, vs) =>
+        val dt = df.schema(c).dataType
+        vs.map(v => col(c) === lit(v).cast(dt))
+          .reduceOption(_ || _)
+          .map(df.filter).getOrElse(df.filter(lit(false)))
+    }
+
+  /** One column term of [[readTableWhere]]'s conjunction. */
+  sealed trait ColumnPredicate { def column: String }
+
+  /** One column's inclusive range predicate: either bound may be open
+    * (None). A degenerate range (lower == upper) is an equality probe
+    * and additionally consults the table's Bloom sidecars.
     */
   case class ColumnRange(column: String, lower: Option[Any],
-                         upper: Option[Any])
+                         upper: Option[Any]) extends ColumnPredicate
+
+  /** IN-list membership — the disjunction of point probes (`WHERE col
+    * IN (…)`): a file survives if ANY listed value could be in it, per
+    * min/max stats and (on declared Bloom columns) the per-file filter.
+    * The lookup-by-id-set shape of the reference's reingest and
+    * deleted-item scans.
+    */
+  case class ColumnIn(column: String, values: Seq[Any])
+      extends ColumnPredicate
 
   /** Multi-predicate data-skipping read: the conjunction (AND) of
-    * several column ranges — the dashboard shape "this cohort AND this
-    * date window". A file survives only if its recorded stats admit
-    * EVERY range, so with Z-order clustering (see `zorder2` in
-    * [[Manifest.clusterCols]]) the opened set approaches the query's
-    * rectangle instead of one dimension's stripe. Exact residual
-    * filters apply per column; results always equal
-    * `readTable().filter(r1 && r2 && …)`.
+    * column predicates — ranges and IN-lists — the dashboard shape
+    * "this cohort AND this date window AND these ids". A file survives
+    * only if its recorded stats (and Bloom sidecars, for equality and
+    * IN probes on declared columns) admit EVERY predicate, so with
+    * Z-order clustering (see `zorder2` in [[Manifest.clusterCols]]) the
+    * opened set approaches the query's rectangle instead of one
+    * dimension's stripe. Exact residual filters apply per column;
+    * results always equal `readTable().filter(p1 && p2 && …)`.
     */
   def readTableWhere(spark: SparkSession, tablePath: String,
-                     ranges: Seq[ColumnRange]): DataFrame = {
-    require(ranges.nonEmpty, "readTableWhere requires at least one range")
+                     ranges: Seq[ColumnPredicate]): DataFrame = {
+    require(ranges.nonEmpty, "readTableWhere requires at least one predicate")
     val fs = fsFor(spark, tablePath)
     currentManifest(fs, new Path(tablePath)) match {
       case None =>
-        ranges.foldLeft(readTable(spark, tablePath))((df, r) =>
-          applyRange(df, r.column, r.lower, r.upper))
+        ranges.foldLeft(readTable(spark, tablePath))(applyPredicate)
       case Some(man) =>
         whereReadFromManifest(spark, tablePath, man, ranges)
     }
@@ -2450,45 +2476,55 @@ object MergeWriter {
 
   private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
                                     man: Manifest,
-                                    ranges: Seq[ColumnRange]): DataFrame = {
+                                    ranges: Seq[ColumnPredicate]): DataFrame = {
     val fs = fsFor(spark, tableRoot)
     val schema = man.schema.map(s =>
       DataType.fromJson(s).asInstanceOf[StructType])
-    // canonical bounds per range; a range whose column/bound can't be
-    // canonicalized never prunes (its residual filter still applies)
-    val canon = ranges.map { r =>
-      val dt = schema.flatMap(_.fields.find(_.name == r.column))
-        .map(_.dataType)
-      val lo = for { d <- dt; v <- r.lower; c <- boundToCanon(d, v) } yield c
-      val hi = for { d <- dt; v <- r.upper; c <- boundToCanon(d, v) } yield c
-      (r.column, lo, hi)
-    }.filter(c => c._2.isDefined || c._3.isDefined)
-    // a degenerate range (lower == upper) on a declared Bloom column is
-    // an EQUALITY probe: beyond the min/max check, each candidate file's
-    // sidecar filter can prove the value absent — the skip that works on
-    // high-cardinality columns the table is NOT clustered by, where every
-    // file's [min,max] spans the domain and stats alone never skip
-    val eqProbes = canon.flatMap {
-      case (c, Some((t1, v1)), Some((t2, v2)))
-          if t1 == t2 && v1 == v2 && man.bloomCols.contains(c) =>
-        Some((c, t1, v1))
-      case _ => None
-    }
+    def colType(c: String) =
+      schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val sidecars = scala.collection.mutable.Map
       .empty[String, Map[String, Map[String, Array[Byte]]]]
-    def bloomKeeps(e: String, b: Int, f: FileStat): Boolean =
-      eqProbes.forall { case (c, tag, v) =>
-        sidecars.getOrElseUpdate(e, readBloomSidecar(fs, s"$tableRoot/$e"))
-          .get(s"$BucketCol=$b/${f.name}").flatMap(_.get(c)) match {
-          case Some(bytes) => bloomMightContain(bytes, tag, v)
-          case None => true
+    // "this file might hold the canonical value" — min/max stats first,
+    // then (on declared Bloom columns) the per-file sidecar filter: the
+    // skip that works on high-cardinality columns the table is NOT
+    // clustered by, where every file's [min,max] spans the domain and
+    // stats alone never skip
+    def mightHold(e: String, b: Int, f: FileStat, c: String,
+                  tag: Char, v: Any): Boolean =
+      fileIntersects(f, c, Some((tag, v)), Some((tag, v))) &&
+        (!man.bloomCols.contains(c) ||
+          (sidecars.getOrElseUpdate(e, readBloomSidecar(fs, s"$tableRoot/$e"))
+            .get(s"$BucketCol=$b/${f.name}").flatMap(_.get(c)) match {
+            case Some(bytes) => bloomMightContain(bytes, tag, v)
+            case None => true
+          }))
+    // one file-keep function per predicate whose bounds/values ALL
+    // canonicalize; anything else never prunes (its exact residual
+    // filter below still applies — lossless by construction)
+    val keeps: Seq[(String, Int, FileStat) => Boolean] = ranges.flatMap {
+      case ColumnRange(c, lower, upper) =>
+        val dt = colType(c)
+        val lo = for { d <- dt; v <- lower; cv <- boundToCanon(d, v) } yield cv
+        val hi = for { d <- dt; v <- upper; cv <- boundToCanon(d, v) } yield cv
+        (lo, hi) match {
+          case (Some((t1, v1)), Some((t2, v2))) if t1 == t2 && v1 == v2 =>
+            // degenerate range = equality probe (stats AND bloom)
+            Some((e: String, b: Int, f: FileStat) => mightHold(e, b, f, c, t1, v1))
+          case (None, None) => None
+          case _ =>
+            Some((_: String, _: Int, f: FileStat) => fileIntersects(f, c, lo, hi))
         }
-      }
+      case ColumnIn(c, values) =>
+        val dt = colType(c)
+        val canonVs = values.map(v => dt.flatMap(boundToCanon(_, v)))
+        if (canonVs.isEmpty || canonVs.exists(_.isEmpty)) None
+        else Some((e: String, b: Int, f: FileStat) =>
+          canonVs.flatten.exists { case (tag, v) => mightHold(e, b, f, c, tag, v) })
+    }
     val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
       man.stats.get(b) match {
-        case Some(fss) if canon.nonEmpty =>
-          fss.filter(f => canon.forall { case (c, lo, hi) =>
-            fileIntersects(f, c, lo, hi) } && bloomKeeps(e, b, f))
+        case Some(fss) if keeps.nonEmpty =>
+          fss.filter(f => keeps.forall(_(e, b, f)))
             .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
         case _ => Seq(bucketPath(tableRoot, e, b))
       }
@@ -2500,8 +2536,7 @@ object MergeWriter {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
         case None => spark.emptyDataFrame
       }
-    ranges.foldLeft(base)((df, r) =>
-      applyRange(df, r.column, r.lower, r.upper))
+    ranges.foldLeft(base)(applyPredicate)
   }
 
   /** The skip-then-residual-filter core shared by [[readTableRange]] and

@@ -1484,6 +1484,52 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("ColumnIn prunes by any-of stats+bloom and conjoins with ranges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("inlist").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      val rows = (0 until 800).map { i =>
+        (s"item#${i % 399}", java.sql.Date.valueOf(d0.plusDays(i / 10)), i)
+      }.toDF("workItemId", "snapshotDate", "rev")
+      MergeWriter.merge(spark, dir, rows, Seq("workItemId", "snapshotDate"),
+        buckets = 4, clusterBy = Seq("snapshotDate"),
+        bloomBy = Seq("workItemId"), bloomItems = 500)
+      val ids = Seq("item#7", "item#123", "item#398")
+      val probe = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnIn("workItemId", ids)))
+      val full = MergeWriter.readTable(spark, dir)
+        .filter(col("workItemId").isin(ids: _*))
+      assert(probe.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      val all = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      val opened = probe.inputFiles.toSet
+      assert(opened.size < all.size,
+        s"IN-list skipped nothing (${opened.size} of ${all.size})")
+      val skipped = (all -- opened).toSeq
+      assert(spark.read.parquet(skipped: _*)
+        .filter(col("workItemId").isin(ids: _*)).count() == 0)
+
+      // conjunction with a range: IN-list AND a date window opens no
+      // more files than the IN-list alone, and stays exact
+      val both = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnIn("workItemId", ids),
+        MergeWriter.ColumnRange("snapshotDate",
+          Some(java.sql.Date.valueOf("2024-01-01")),
+          Some(java.sql.Date.valueOf("2024-01-31")))))
+      val bothFull = full.filter(col("snapshotDate")
+        .between(lit("2024-01-01"), lit("2024-01-31")))
+      assert(both.collect().map(_.toSeq).toSet ==
+        bothFull.collect().map(_.toSeq).toSet)
+      assert(both.inputFiles.length <= opened.size)
+
+      // empty IN-list: empty result, nothing read
+      assert(MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnIn("workItemId", Seq.empty))).count() == 0)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("bloomBy validates its columns at creation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bloomval").toString + "/t"
