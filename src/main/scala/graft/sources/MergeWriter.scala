@@ -169,6 +169,12 @@ object MergeWriter {
     * provably-absent files), just useless — so size it to the table's
     * `maxRecordsPerFile`.
     */
+  /** `op`/`opTs` record WHAT wrote each version and WHEN (Delta's
+    * commitInfo / DESCRIBE HISTORY, scaled to this protocol): purely
+    * informational — no read or conflict decision consults them — but
+    * the first thing an operator asks of a misbehaving table.
+    * [[tableHistory]] surfaces the retained window.
+    */
   private case class Manifest(version: Long, buckets: Int,
                               epochs: Map[Int, String],
                               txns: Map[String, Long] = Map.empty,
@@ -177,7 +183,9 @@ object MergeWriter {
                               clusterCols: Seq[String] = Seq.empty,
                               stats: Map[Int, Seq[FileStat]] = Map.empty,
                               bloomCols: Seq[String] = Seq.empty,
-                              bloomItems: Long = DefaultBloomItems)
+                              bloomItems: Long = DefaultBloomItems,
+                              op: String = "",
+                              opTs: Long = 0L)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -263,7 +271,10 @@ object MergeWriter {
       schema, strArr("keys"), strArr("cluster"), stats.toMap,
       // absent in pre-bloom manifests — backward compatible
       strArr("bloomcols"),
-      Option(node.get("bloomn")).map(_.asLong()).getOrElse(DefaultBloomItems))
+      Option(node.get("bloomn")).map(_.asLong()).getOrElse(DefaultBloomItems),
+      // absent in pre-commitInfo manifests — backward compatible
+      Option(node.get("op")).map(_.asText()).getOrElse(""),
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -301,6 +312,8 @@ object MergeWriter {
         ",\"bloomcols\":[" + m.bloomCols.map(jsonStr).mkString(",") + "]" +
           ",\"bloomn\":" + m.bloomItems
         else "")
+      .append(if (m.op.nonEmpty)
+        ",\"op\":" + jsonStr(m.op) + ",\"ts\":" + m.opTs else "")
       .append(if (m.stats.nonEmpty) {
         def obj(kv: Map[String, String]): String =
           kv.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -328,7 +341,8 @@ object MergeWriter {
     */
   private def commitOrConflict(fs: FileSystem, dir: Path, m: Manifest,
                                op: String): Unit =
-    try commitManifest(fs, dir, m)
+    try commitManifest(fs, dir,
+      m.copy(op = op, opTs = System.currentTimeMillis()))
     catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
@@ -535,6 +549,32 @@ object MergeWriter {
             "retained_versions", "n_txns", "n_files", "total_bytes",
             "cluster_cols", "key_cols")
     }
+  }
+
+  /** Commit history over the RETAINED manifest window (Delta's
+    * DESCRIBE HISTORY, bounded by [[KeepManifests]] exactly as Delta's
+    * is by its log retention): one row per retained version — the
+    * operation that wrote it, its wall-clock commit time, and the
+    * resulting file count/bytes from the manifest's own stats (no
+    * listing). Pre-commitInfo versions show an empty op and a null
+    * timestamp. Newest first.
+    */
+  def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, tablePath)
+    manifestFiles(fs, new Path(tablePath)).reverse
+      .map { case (v, p) => readManifest(fs, v, p) }
+      .map { m =>
+        (m.version, if (m.op.isEmpty) null else m.op,
+          if (m.opTs == 0L) null
+          else new java.sql.Timestamp(m.opTs),
+          m.buckets, m.epochs.values.toSet.size,
+          m.stats.values.map(_.size).sum,
+          m.stats.values.flatMap(_.map(_.bytes)).sum,
+          m.txns.size)
+      }
+      .toDF("version", "op", "commit_ts", "buckets", "live_epochs",
+        "n_files", "total_bytes", "n_txns")
   }
 
 
@@ -1209,7 +1249,8 @@ object MergeWriter {
             .agg(sum(addCols.head).as(addCols.head),
               addCols.tail.map(c => sum(c).as(c)): _*)
       }
-      writeEpochAndCommit(spark, fs, tablePath, folded, keys, nb, m, Some(txn))
+      writeEpochAndCommit(spark, fs, tablePath, folded, keys, nb, m, Some(txn),
+        opName = "mergeAdditive")
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
@@ -1843,7 +1884,7 @@ object MergeWriter {
           // duplicates still resolve newest-first
           writeEpochAndCommit(spark, fs, tablePath,
             newestPerKey(inc.drop(BucketCol), keys, versionCol, pri = None),
-            keys, nb, None)
+            keys, nb, None, opName = "mergeVersioned")
         case Some(man) =>
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
@@ -1861,7 +1902,7 @@ object MergeWriter {
           }
           writeEpochAndCommit(spark, fs, tablePath,
             newestPerKey(all.drop(BucketCol), keys, versionCol, pri = Some("__pri")),
-            keys, nb, Some(man))
+            keys, nb, Some(man), opName = "mergeVersioned")
       }
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
@@ -1915,7 +1956,8 @@ object MergeWriter {
                                   dropBuckets: Set[Int] = Set.empty,
                                   clusterCols: Seq[String] = Seq.empty,
                                   bloomCols: Seq[String] = Seq.empty,
-                                  bloomN: Long = DefaultBloomItems): Unit = {
+                                  bloomN: Long = DefaultBloomItems,
+                                  opName: String = "merge"): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -1979,7 +2021,7 @@ object MergeWriter {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
             txns, Some(rows.schema.json), keys, cluster, stats, bloom,
-            bloomSz))
+            bloomSz, opName, System.currentTimeMillis()))
         return
       } catch {
         case e: java.io.IOException =>
@@ -2079,7 +2121,8 @@ object MergeWriter {
           .join(del.drop(BucketCol), keys, "left_anti")
         val touchedStored = touched.filter(man.epochs.contains).toSet
         writeEpochAndCommit(spark, fs, tablePath, survivors, keys,
-          man.buckets, Some(man), dropBuckets = touchedStored)
+          man.buckets, Some(man), dropBuckets = touchedStored,
+          opName = "delete")
         gc(fs, dir)
         maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
       } finally { del.unpersist(); () }

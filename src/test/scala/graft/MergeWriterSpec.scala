@@ -1530,6 +1530,24 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("tableHistory reports op and commit time over the retained window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hist").toString + "/t"
+    val before = System.currentTimeMillis() - 1000
+    MergeWriter.merge(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id"), buckets = 2)
+    MergeWriter.delete(spark, dir, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val h = MergeWriter.tableHistory(spark, dir).collect()
+    // KeepManifests retains two versions: the delete and the merge,
+    // newest first, each stamped with its operation and wall-clock
+    assert(h.map(_.getAs[String]("op")).toSeq == Seq("delete", "merge"))
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L))
+    assert(h.forall(_.getAs[java.sql.Timestamp]("commit_ts").getTime >= before))
+    MergeWriter.compact(spark, dir)
+    val h2 = MergeWriter.tableHistory(spark, dir).collect()
+    assert(h2.head.getAs[String]("op") == "compact")
+  }
+
   test("bloomBy validates its columns at creation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bloomval").toString + "/t"
