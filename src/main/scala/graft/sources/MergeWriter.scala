@@ -1314,21 +1314,30 @@ object MergeWriter {
     */
   private case class GroupManifest(version: Long,
                                    tables: Map[String, Manifest],
-                                   txns: Map[String, Long])
+                                   txns: Map[String, Long],
+                                   op: String = "",
+                                   opTs: Long = 0L)
+
+  private def readGroupManifest(fs: FileSystem, v: Long,
+                                p: Path): GroupManifest = {
+    val node = readJsonFile(fs, p)
+    val tables = scala.collection.mutable.Map.empty[String, Manifest]
+    node.get("tables").fields().forEachRemaining { t =>
+      tables(t.getKey) = manifestFromNode(t.getValue, v)
+    }
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
+      txns(t.getKey) = t.getValue.asLong()
+    })
+    GroupManifest(v, tables.toMap, txns.toMap,
+      Option(node.get("op")).map(_.asText()).getOrElse(""),
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+  }
 
   private def currentGroupManifest(fs: FileSystem,
                                    dir: Path): Option[GroupManifest] =
     manifestFiles(fs, dir, GroupPrefix).lastOption.map { case (v, p) =>
-      val node = readJsonFile(fs, p)
-      val tables = scala.collection.mutable.Map.empty[String, Manifest]
-      node.get("tables").fields().forEachRemaining { t =>
-        tables(t.getKey) = manifestFromNode(t.getValue, v)
-      }
-      val txns = scala.collection.mutable.Map.empty[String, Long]
-      Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
-        txns(t.getKey) = t.getValue.asLong()
-      })
-      GroupManifest(v, tables.toMap, txns.toMap)
+      readGroupManifest(fs, v, p)
     }
 
   private def commitGroupManifest(fs: FileSystem, dir: Path,
@@ -1342,7 +1351,10 @@ object MergeWriter {
       .append(g.tables.toSeq.sortBy(_._1).map { case (n, m) =>
         jsonStr(n) + ":" + manifestBody(m)
       }.mkString(","))
-      .append("}}").toString()
+      .append("}")
+      .append(if (g.op.nonEmpty)
+        ",\"op\":" + jsonStr(g.op) + ",\"ts\":" + g.opTs else "")
+      .append("}").toString()
     publishAtomically(fs, dir,
       new Path(dir, f"$GroupPrefix${g.version}%016d.json"), body)
   }
@@ -1484,7 +1496,8 @@ object MergeWriter {
         commitGroupManifest(fs, dir,
           GroupManifest(base.map(_.version + 1).getOrElse(1L),
             base.map(_.tables).getOrElse(Map.empty) ++ staged,
-            base.map(_.txns).getOrElse(Map.empty) ++ txn))
+            base.map(_.txns).getOrElse(Map.empty) ++ txn,
+            "mergeGroup", System.currentTimeMillis()))
         gcGroup(fs, dir)
         maybeAutoMaintainGroup(spark, fs, dir, groupPath, staged.keys.toSeq,
           autoSplitBytesPerBucket, autoCompactEpochs)
@@ -1600,7 +1613,8 @@ object MergeWriter {
 
   private def commitGroupOrConflict(fs: FileSystem, dir: Path,
                                     g: GroupManifest, op: String): Unit =
-    try commitGroupManifest(fs, dir, g)
+    try commitGroupManifest(fs, dir,
+      g.copy(op = op, opTs = System.currentTimeMillis()))
     catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
@@ -1710,6 +1724,28 @@ object MergeWriter {
           .toDF("version", "member", "buckets", "live_epochs", "schema_ddl",
             "n_files", "total_bytes", "n_txns")
     }
+  }
+
+  /** [[tableHistory]] at group scope: one row per retained GROUP
+    * version — the committing operation, its wall-clock time, member
+    * count and total file count/bytes across members. Newest first.
+    */
+  def groupHistory(spark: SparkSession, groupPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, groupPath)
+    manifestFiles(fs, new Path(groupPath), GroupPrefix).reverse
+      .map { case (v, p) => readGroupManifest(fs, v, p) }
+      .map { g =>
+        (g.version, if (g.op.isEmpty) null else g.op,
+          if (g.opTs == 0L) null else new java.sql.Timestamp(g.opTs),
+          g.tables.size,
+          g.tables.values.map(_.stats.values.map(_.size).sum).sum,
+          g.tables.values
+            .map(_.stats.values.flatMap(_.map(_.bytes)).sum).sum,
+          g.txns.size)
+      }
+      .toDF("version", "op", "commit_ts", "n_members", "n_files",
+        "total_bytes", "n_txns")
   }
 
   /** [[readTableRange]] for a group member: file-granular data skipping
@@ -2363,66 +2399,97 @@ object MergeWriter {
         readTable(spark, tablePath)
           .join(wanted.select(keys.map(col): _*).distinct(), keys, "left_semi")
       case Some(man) =>
-        validateKeys(man, keys, "readKeys")
-        // no persist: the returned frame is LAZY, and the wanted side is
-        // lookup-sized by contract — recomputing it inside the semi-join
-        // is cheaper than a cache outliving this call
-        val w = wanted.select(keys.map(col): _*).distinct()
-          .withColumn(BucketCol,
-            pmod(hash(keys.map(col): _*), lit(man.buckets)))
-        // ONE bounded collect (lookup-sized by contract) serves both the
-        // touched-bucket set and per-key file skipping below
-        val wantedRows = w.collect()
-        val keyTypes = w.schema.fields.take(keys.size).map(_.dataType)
-        val byBucket = wantedRows.groupBy(_.getInt(keys.size))
-        // bucket → file skipping: inside a matched bucket, a file whose
-        // recorded per-column range excludes EVERY wanted tuple can't
-        // hold any wanted row — with the table clustered on a key
-        // column, a k-key lookup opens ≤ k FILES per bucket, not the
-        // bucket's whole history (Delta's stats-based point lookup,
-        // completing the bucket-pruned read at wide-bucket scale). A
-        // file or column without stats is always kept — lossless.
-        // Bloom sidecars extend the per-file check to UNCLUSTERED key
-        // columns: a hash bucket's files all span the full key range (no
-        // stat can skip them), but each file's filter can prove a wanted
-        // key absent — point lookups stay ≤ k files/bucket without
-        // having to cluster by the key
-        val sidecars = scala.collection.mutable.Map
-          .empty[String, Map[String, Map[String, Array[Byte]]]]
-        def tupleCouldBeIn(e: String, b: Int, fileStat: FileStat,
-                          row: org.apache.spark.sql.Row): Boolean =
-          keys.indices.forall { i =>
-            val v = row.get(i)
-            if (v == null) true
-            else boundToCanon(keyTypes(i), v) match {
-              case Some((tag, cv)) =>
-                fileIntersects(fileStat, keys(i),
-                  lo = Some((tag, cv)), hi = Some((tag, cv))) &&
-                  (!man.bloomCols.contains(keys(i)) ||
-                    (sidecars.getOrElseUpdate(e,
-                      readBloomSidecar(fs, s"$tablePath/$e"))
-                      .get(s"$BucketCol=$b/${fileStat.name}")
-                      .flatMap(_.get(keys(i))) match {
-                      case Some(bytes) => bloomMightContain(bytes, tag, cv)
-                      case None => true
-                    }))
-              case None => true
-            }
-          }
-        val paths = byBucket.keys.toSeq.sorted.flatMap { b =>
-          man.epochs.get(b).toSeq.flatMap { e =>
-            man.stats.get(b) match {
-              case Some(fss) =>
-                fss.filter(f => byBucket(b).exists(tupleCouldBeIn(e, b, f, _)))
-                  .map(f => bucketPath(tablePath, e, b) + "/" + f.name)
-              case None => Seq(bucketPath(tablePath, e, b))
-            }
-          }
-        }
-        if (paths.isEmpty) readTable(spark, tablePath).limit(0)
-        else readWithSchema(spark, man, paths)
-          .join(w.drop(BucketCol), keys, "left_semi")
+        keysReadFromManifest(spark, tablePath, man, wanted, keys, "readKeys")
     }
+  }
+
+  /** [[readKeys]] for a group member: the same bucket-pruned,
+    * stats-and-bloom-skipped point lookup against the member's state
+    * pinned in the current GROUP manifest — the reference's L1 hot path
+    * ("this work item's state row") without scanning the member.
+    */
+  def readGroupKeys(spark: SparkSession, groupPath: String, name: String,
+                    wanted: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "readGroupKeys requires at least one key column")
+    val fs = fsFor(spark, groupPath)
+    val (_, man) = requireMember(fs, groupPath, name, "readGroupKeys")
+    keysReadFromManifest(spark, s"$groupPath/$name", man, wanted, keys,
+      "readGroupKeys")
+  }
+
+  /** The bucket-pruned point-lookup core shared by [[readKeys]] and
+    * [[readGroupKeys]].
+    */
+  private def keysReadFromManifest(spark: SparkSession, tableRoot: String,
+                                   man: Manifest, wanted: DataFrame,
+                                   keys: Seq[String], op: String): DataFrame = {
+    val fs = fsFor(spark, tableRoot)
+    validateKeys(man, keys, op)
+    // no persist: the returned frame is LAZY, and the wanted side is
+    // lookup-sized by contract — recomputing it inside the semi-join
+    // is cheaper than a cache outliving this call
+    val w = wanted.select(keys.map(col): _*).distinct()
+      .withColumn(BucketCol,
+        pmod(hash(keys.map(col): _*), lit(man.buckets)))
+    // ONE bounded collect (lookup-sized by contract) serves both the
+    // touched-bucket set and per-key file skipping below
+    val wantedRows = w.collect()
+    val keyTypes = w.schema.fields.take(keys.size).map(_.dataType)
+    val byBucket = wantedRows.groupBy(_.getInt(keys.size))
+    // bucket → file skipping: inside a matched bucket, a file whose
+    // recorded per-column range excludes EVERY wanted tuple can't
+    // hold any wanted row — with the table clustered on a key
+    // column, a k-key lookup opens ≤ k FILES per bucket, not the
+    // bucket's whole history (Delta's stats-based point lookup,
+    // completing the bucket-pruned read at wide-bucket scale). A
+    // file or column without stats is always kept — lossless.
+    // Bloom sidecars extend the per-file check to UNCLUSTERED key
+    // columns: a hash bucket's files all span the full key range (no
+    // stat can skip them), but each file's filter can prove a wanted
+    // key absent — point lookups stay ≤ k files/bucket without
+    // having to cluster by the key
+    val sidecars = scala.collection.mutable.Map
+      .empty[String, Map[String, Map[String, Array[Byte]]]]
+    def tupleCouldBeIn(e: String, b: Int, fileStat: FileStat,
+                      row: org.apache.spark.sql.Row): Boolean =
+      keys.indices.forall { i =>
+        val v = row.get(i)
+        if (v == null) true
+        else boundToCanon(keyTypes(i), v) match {
+          case Some((tag, cv)) =>
+            fileIntersects(fileStat, keys(i),
+              lo = Some((tag, cv)), hi = Some((tag, cv))) &&
+              (!man.bloomCols.contains(keys(i)) ||
+                (sidecars.getOrElseUpdate(e,
+                  readBloomSidecar(fs, s"$tableRoot/$e"))
+                  .get(s"$BucketCol=$b/${fileStat.name}")
+                  .flatMap(_.get(keys(i))) match {
+                  case Some(bytes) => bloomMightContain(bytes, tag, cv)
+                  case None => true
+                }))
+          case None => true
+        }
+      }
+    val paths = byBucket.keys.toSeq.sorted.flatMap { b =>
+      man.epochs.get(b).toSeq.flatMap { e =>
+        man.stats.get(b) match {
+          case Some(fss) =>
+            fss.filter(f => byBucket(b).exists(tupleCouldBeIn(e, b, f, _)))
+              .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
+          case None => Seq(bucketPath(tableRoot, e, b))
+        }
+      }
+    }
+    val base =
+      if (paths.nonEmpty) readWithSchema(spark, man, paths)
+      else man.schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(s).asInstanceOf[StructType])
+        // pre-schema manifest: an empty typed frame needs the footers
+        case None => readTable(spark, tableRoot).limit(0)
+      }
+    base.join(w.drop(BucketCol), keys, "left_semi")
   }
 
   /** Range read with DATA SKIPPING (Delta's file-stats skipping /

@@ -1530,6 +1530,47 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("readGroupKeys point-reads a member with bucket, stats and bloom pruning") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpkeys").toString + "/load"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      val rows = (0 until 1600).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      MergeWriter.mergeGroup(spark, grp, Seq(("states", rows, Seq("id"))),
+        buckets = 4, bloomBy = Map("states" -> Seq("id")), bloomItems = 500)
+      val got = MergeWriter.readGroupKeys(spark, grp, "states",
+        Seq(3L, 7L).toDF("id"), Seq("id"))
+      assert(got.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+        Set(3L -> "v3", 7L -> "v7"))
+      val all = MergeWriter.readGroupTable(spark, grp, "states")
+        .inputFiles.length
+      assert(all >= 8, s"test setup: expected multi-file buckets, got $all")
+      val opened = MergeWriter.readGroupKeys(spark, grp, "states",
+        Seq(3L, 7L).toDF("id"), Seq("id")).inputFiles.length
+      assert(opened <= 4, s"group point lookup opened $opened of $all files")
+      // absent keys: typed empty, nothing matched
+      assert(MergeWriter.readGroupKeys(spark, grp, "states",
+        Seq(99999L).toDF("id"), Seq("id")).count() == 0)
+      // unknown member fails loudly
+      intercept[IllegalArgumentException] {
+        MergeWriter.readGroupKeys(spark, grp, "nope",
+          Seq(1L).toDF("id"), Seq("id"))
+      }
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("groupHistory reports op and commit time per retained group version") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grphist").toString + "/load"
+    MergeWriter.mergeGroup(spark, grp,
+      Seq(("states", Seq((1L, "a")).toDF("id", "v"), Seq("id"))), buckets = 2)
+    MergeWriter.compactGroupTable(spark, grp, "states")
+    val h = MergeWriter.groupHistory(spark, grp).collect()
+    assert(h.map(_.getAs[String]("op")).toSeq ==
+      Seq("compactGroupTable", "mergeGroup"))
+    assert(h.forall(_.getAs[java.sql.Timestamp]("commit_ts") != null))
+  }
+
   test("tableHistory reports op and commit time over the retained window") {
     import spark.implicits._
     val dir = Files.createTempDirectory("hist").toString + "/t"
