@@ -781,6 +781,71 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("model check: bloom'd tables answer equality and IN probes exactly " +
+       "through merge/delete/compact/split") {
+    import spark.implicits._
+    // seeded: the round-9 Bloom/IN surface — sidecars maintained across
+    // every epoch-writing op, probed as equality, IN-list, and a
+    // conjunction with the cluster column — against a reference Map
+    val rnd = new scala.util.Random(4321)
+    val dir = Files.createTempDirectory("model3").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      var model = Map.empty[Long, (Int, Int)] // k -> (d cluster, v bloom)
+      def check(step: Int): Unit =
+        if (MergeWriter.currentEpochs(spark, dir).nonEmpty) {
+          val v0 = rnd.nextInt(50)
+          val eq = MergeWriter.readTableWhere(spark, dir, Seq(
+            MergeWriter.ColumnRange("v", Some(v0), Some(v0)))).collect()
+            .map(r => r.getLong(0)).toSet
+          assert(eq == model.filter(_._2._2 == v0).keySet,
+            s"equality probe diverged at step $step (v=$v0)")
+          val ins = Seq.fill(3)(rnd.nextInt(50)).distinct
+          val got = MergeWriter.readTableWhere(spark, dir, Seq(
+            MergeWriter.ColumnIn("v", ins))).collect()
+            .map(r => r.getLong(0)).toSet
+          assert(got == model.filter(kv => ins.contains(kv._2._2)).keySet,
+            s"IN probe diverged at step $step ($ins)")
+          val (lo, hi) = { val l = rnd.nextInt(100); (l, l + rnd.nextInt(40)) }
+          val both = MergeWriter.readTableWhere(spark, dir, Seq(
+            MergeWriter.ColumnRange("d", Some(lo), Some(hi)),
+            MergeWriter.ColumnIn("v", ins))).collect()
+            .map(r => r.getLong(0)).toSet
+          assert(both == model.filter { case (_, (d, v)) =>
+            d >= lo && d <= hi && ins.contains(v) }.keySet,
+            s"conjunction probe diverged at step $step")
+        }
+      (0 until 16).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 | 2 =>
+            val kvs = Seq.fill(rnd.nextInt(25) + 1)(
+              (rnd.nextInt(80).toLong, (rnd.nextInt(100), rnd.nextInt(50))))
+              .toMap
+            MergeWriter.merge(spark, dir,
+              kvs.toSeq.map { case (k, (d, v)) => (k, d, v) }
+                .toDF("k", "d", "v"),
+              Seq("k"), buckets = 2, autoCompactEpochs = 3,
+              clusterBy = Seq("d"), bloomBy = Seq("v"), bloomItems = 200)
+            model = model ++ kvs
+          case 3 if model.nonEmpty =>
+            val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6) + 1)
+            MergeWriter.delete(spark, dir, ks.toDF("k"), Seq("k"),
+              autoCompactEpochs = 3)
+            model = model -- ks
+          case 3 => ()
+          case 4 if MergeWriter.currentEpochs(spark, dir).nonEmpty =>
+            MergeWriter.compact(spark, dir)
+          case 4 => ()
+          case 5 if MergeWriter.currentEpochs(spark, dir).nonEmpty =>
+            MergeWriter.splitBuckets(spark, dir, Seq("k"))
+          case 5 => ()
+        }
+        if (step % 4 == 3) check(step)
+      }
+      check(16)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("vacuum reclaims aged orphans; describeTable reports table state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vacuum").toString + "/t"
