@@ -1284,8 +1284,7 @@ object SparkEntry {
       val src = root + "/in"
       val emb = Tables.embeddings(s, dir)
       emb.repartition(8).write.mode("overwrite").parquet(src)
-      val grpTable = root + "/idx" // pairs + bands, one commit per trigger
-      val vecTable = root + "/vecs"
+      val grpTable = root + "/idx" // vecs + pairs + bands, ONE commit/trigger
       val q = streaming.StreamingFlow.fileStream(s, src, emb.schema,
           maxFilesPerTrigger = 2)
         .writeStream
@@ -1293,30 +1292,37 @@ object SparkEntry {
         .option("checkpointLocation", root + "/ckpt")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val sp = batch.sparkSession
-          // the vector store is maintained by the stream itself: merge
-          // the batch in FIRST (keyed — crash-replay idempotent) so the
-          // verify's point fetch sees stored ∪ batch; candidates then
-          // read ≤ candidate-count buckets instead of scanning the
-          // corpus frame every trigger (the last corpus-proportional
-          // touch this loop had)
-          sources.MergeWriter.merge(sp, vecTable, batch,
-            Seq("vec_id"), buckets = 8)
+          val members = sources.MergeWriter.groupMembers(sp, grpTable)
           val bandsOfBatch = Similarity.srpBandRows(batch, col("vec_id"),
             col("embedding"), bits = 32, bands = 4)
           val stored =
-            if (sources.MergeWriter.groupMembers(sp, grpTable)
-                .contains("bands"))
+            if (members.contains("bands"))
               sources.MergeWriter.readGroupTable(sp, grpTable, "bands")
             else bandsOfBatch.limit(0)
-          val pairs = Similarity.srpIncrementalNearDupPairsKeyed(
-            sp, vecTable, "vec_id", "embedding",
+          // candidate vectors resolve WITHOUT a separate vector commit:
+          // stored endpoints point-read from the group's previous
+          // version (readGroupKeys — candidate-scale buckets, never the
+          // corpus), batch endpoints from the in-memory batch itself
+          val fetch: DataFrame => DataFrame = wanted => {
+            val fromStore =
+              if (members.contains("vecs"))
+                sources.MergeWriter.readGroupKeys(sp, grpTable, "vecs",
+                  wanted, Seq("vec_id"))
+              else batch.limit(0)
+            fromStore
+              .unionByName(batch.join(wanted, Seq("vec_id"), "left_semi"))
+              .dropDuplicates("vec_id")
+          }
+          val pairs = Similarity.srpIncrementalNearDupPairsWith(
+            fetch, "vec_id", "embedding",
             stored, batch, threshold = 0.35, bits = 32, bands = 4)
-          // the trigger's pairs AND its band rows flip in ONE group
-          // commit (they must stay mutually consistent: a pair set
-          // without its bands re-pairs on replay, bands without pairs
-          // lose detections) — 2 manifest commits per trigger, not 3,
-          // and Spark's batch id makes the whole pair exactly-once
+          // the trigger's vectors, pairs AND band rows flip in ONE group
+          // commit (mutual consistency: a pair set without its bands
+          // re-pairs on replay, bands without vectors can't verify) —
+          // 1 manifest commit per trigger, down from round 8's 3, and
+          // Spark's batch id makes the whole triple exactly-once
           sources.MergeWriter.mergeGroup(sp, grpTable, Seq(
+            ("vecs", batch, Seq("vec_id")),
             ("pairs", pairs, Seq("id_a", "id_b")),
             ("bands", bandsOfBatch, Seq("id", "band"))),
             buckets = 8, txn = Some(("singest", bid)))

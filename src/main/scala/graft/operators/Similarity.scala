@@ -418,7 +418,27 @@ object Similarity {
                                       storedBands: DataFrame,
                                       newEmb: DataFrame, threshold: Double,
                                       bits: Int = 32,
-                                      bands: Int = 4): DataFrame = {
+                                      bands: Int = 4): DataFrame =
+    srpIncrementalNearDupPairsWith(
+      wanted => graft.sources.MergeWriter.readKeys(spark, embTable, wanted,
+        Seq(idName)),
+      idName, vecName, storedBands, newEmb, threshold, bits, bands)
+
+  /** [[srpIncrementalNearDupPairsKeyed]] with the candidate-vector fetch
+    * ABSTRACTED: `fetchVecs` receives the candidate-id frame (one
+    * `idName` column, candidate-scale) and returns those rows' vectors.
+    * Lets a caller resolve vectors from a not-yet-committed source — the
+    * single-group-commit ingest loop fetches stored candidates from the
+    * group's previous version via `readGroupKeys` and batch candidates
+    * from the in-memory batch, so vectors, pairs and bands can flip in
+    * ONE atomic commit per trigger.
+    */
+  def srpIncrementalNearDupPairsWith(fetchVecs: DataFrame => DataFrame,
+                                     idName: String, vecName: String,
+                                     storedBands: DataFrame,
+                                     newEmb: DataFrame, threshold: Double,
+                                     bits: Int = 32,
+                                     bands: Int = 4): DataFrame = {
     val newBands = srpBandRows(newEmb, col(idName), col(vecName), bits, bands)
     val all = storedBands.select(col("id"), col("band"), col("band_key"))
       .unionByName(newBands)
@@ -433,8 +453,7 @@ object Similarity {
           greatest(col("a.id"), col("b.id")).as("id_b")).distinct())
     val wanted = cand.select(col("id_a").as(idName))
       .unionByName(cand.select(col("id_b").as(idName))).distinct()
-    val vecs = graft.sources.MergeWriter.readKeys(spark, embTable, wanted,
-      Seq(idName))
+    val vecs = fetchVecs(wanted)
     verifyCandidates(vecs, col(idName), col(vecName), cand, threshold)
   }
 
