@@ -2179,12 +2179,43 @@ object MergeWriter {
     * (the fragmented epochs survive until [[KeepManifests]] later
     * commits age them out through gc).
     */
-  def compact(spark: SparkSession, tablePath: String): Unit = {
+  def compact(spark: SparkSession, tablePath: String): Unit =
+    compact(spark, tablePath, targetFileBytes = 0L)
+
+  /** [[compact]] with BOUNDED OUTPUT FILES (Delta OPTIMIZE's ~1 GB
+    * target): `targetFileBytes > 0` derives a `maxRecordsPerFile` cap
+    * from the manifest's own stats — bytes-per-row over files that
+    * recorded row counts — so a 100 TB table's compaction emits
+    * ~target-sized, cluster-ordered files per bucket instead of one
+    * monolith (a multi-GB single file per bucket makes every later
+    * pruned read one task and every rewrite whole-bucket-sized). Purely
+    * a layout knob: falls back to the session's cap when stats carry no
+    * row counts (unclustered bytes-only stats, pre-stats manifests).
+    */
+  def compact(spark: SparkSession, tablePath: String,
+              targetFileBytes: Long): Unit = {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
-      val upd = compactEpochsUncommitted(spark, fs, tablePath, man)
-      commitOrConflict(fs, dir, upd.copy(version = man.version + 1), "compact")
+      val prevCap = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      val rowsPerFile: Option[Long] =
+        if (targetFileBytes <= 0) None
+        else {
+          val counted = man.stats.values.flatten.filter(_.rows >= 0)
+          val (b, r) = (counted.map(_.bytes).sum, counted.map(_.rows).sum)
+          if (r <= 0) None
+          else Some(math.max(1L, targetFileBytes / math.max(1L, b / r)))
+        }
+      try {
+        rowsPerFile.foreach(n =>
+          spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
+        val upd = compactEpochsUncommitted(spark, fs, tablePath, man)
+        commitOrConflict(fs, dir, upd.copy(version = man.version + 1),
+          "compact")
+      } finally if (rowsPerFile.isDefined) prevCap match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
       gc(fs, dir)
     }
   }

@@ -846,6 +846,63 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("compact(targetFileBytes) bounds output files from manifest stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sizedcompact").toString + "/t"
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, i % 365, s"payload-$i-${"x" * 40}")).toDF("k", "d", "v")
+    MergeWriter.merge(spark, dir, rows, Seq("k"), buckets = 4,
+      clusterBy = Seq("d"))
+    val before = MergeWriter.readTable(spark, dir).inputFiles.length
+    assert(before == 4, s"setup: expected one file per bucket, got $before")
+    val totalBytes = MergeWriter.describeTable(spark, dir)
+      .collect().head.getAs[Long]("total_bytes")
+    // target an eighth of the table per file -> ≥2 files per bucket
+    MergeWriter.compact(spark, dir, targetFileBytes = totalBytes / 8)
+    val files = MergeWriter.readTable(spark, dir).inputFiles
+    assert(files.length > before,
+      s"sized compaction produced ${files.length} files (was $before)")
+    // bounded: no output file wildly above the target (2x slack for
+    // row-group granularity and the bytes-per-row estimate)
+    files.foreach { f =>
+      val len = new java.io.File(new java.net.URI(f)).length()
+      assert(len <= totalBytes / 8 * 2, s"file $f is $len bytes")
+    }
+    // content untouched
+    assert(MergeWriter.readTable(spark, dir).count() == 4000)
+  }
+
+  test("evolveSchema keeps bloom sidecars live on the evolved epochs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloomevolve").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def rows(n: Int) = (0 until n).map { i =>
+        (s"item#${i % 199}", java.sql.Date.valueOf(d0.plusDays(i / 10)), i)
+      }.toDF("workItemId", "snapshotDate", "rev")
+      MergeWriter.merge(spark, dir, rows(400),
+        Seq("workItemId", "snapshotDate"), buckets = 4,
+        clusterBy = Seq("snapshotDate"),
+        bloomBy = Seq("workItemId"), bloomItems = 500)
+      // additive evolution: a new column arrives; the union-schema epoch
+      // must still carry a sidecar for the recorded bloom column
+      MergeWriter.merge(spark, dir,
+        rows(100).withColumn("score", col("rev") * 2),
+        Seq("workItemId", "snapshotDate"), evolveSchema = true)
+      val probe = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#7"), Some("item#7"))))
+      val full = MergeWriter.readTable(spark, dir)
+        .filter(col("workItemId") === "item#7")
+      assert(probe.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      val all = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      val opened = probe.inputFiles.toSet
+      assert(opened.size < all.size,
+        s"no skip after evolution (${opened.size} of ${all.size})")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("vacuum reclaims aged orphans; describeTable reports table state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vacuum").toString + "/t"
