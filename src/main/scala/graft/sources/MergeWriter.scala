@@ -963,6 +963,47 @@ object MergeWriter {
     finally out.close()
   }
 
+  /** Declare Bloom columns on an EXISTING table and build the sidecars
+    * for its committed epochs (Delta's "create a Bloom filter index on
+    * existing data"): one distributed pass over the LIVE epochs writes
+    * each missing `_blooms.json` — additive metadata inside immutable
+    * epoch dirs, invisible until the manifest commit that records
+    * `bloomcols` publishes the declaration. From then on every epoch
+    * write maintains the index like a creation-time `bloomBy`. Fails
+    * loudly if the table already declares different Bloom columns
+    * (rebuild = truncate the declaration story, not silently fork it);
+    * re-running with the same columns only fills epochs that lack a
+    * sidecar (crash-resumable).
+    */
+  def buildBloomIndex(spark: SparkSession, tablePath: String,
+                      bloomBy: Seq[String],
+                      bloomItems: Long = DefaultBloomItems): Unit = {
+    require(bloomBy.nonEmpty, "buildBloomIndex requires at least one column")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      require(man.bloomCols.isEmpty || man.bloomCols == bloomBy,
+        s"buildBloomIndex: table already declares Bloom columns " +
+          s"${man.bloomCols.mkString("(", ",", ")")} — drop/recreate the " +
+          "table to change the declaration")
+      val schema = man.schema.map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType])
+      bloomBy.foreach { c =>
+        val f = schema.flatMap(_.fields.find(_.name == c))
+        require(f.isDefined && bloomPutKind(f.get.dataType).isDefined,
+          s"buildBloomIndex: column '$c' missing or of unsupported type")
+      }
+      man.epochs.values.toSet[String].foreach { e =>
+        if (!fs.exists(new Path(s"$tablePath/$e", BloomSidecar)))
+          writeBloomSidecar(spark, fs, s"$tablePath/$e", bloomBy,
+            bloomItems, man.schema)
+      }
+      commitOrConflict(fs, dir,
+        man.copy(version = man.version + 1, bloomCols = bloomBy,
+          bloomItems = bloomItems), "buildBloomIndex")
+    }
+  }
+
   /** An epoch's staged Bloom sidecar: "bucket-dir/file" -> column ->
     * serialized filter. Missing sidecar (pre-bloom epoch) = empty map —
     * probes keep every file, lossless as ever.
@@ -1764,6 +1805,20 @@ object MergeWriter {
       upper)
   }
 
+  /** [[readTableWhere]] for a group member: the AND of ranges and
+    * IN-lists against the member's state pinned in the current group
+    * manifest, with the same stats + Bloom file skipping.
+    */
+  def readGroupTableWhere(spark: SparkSession, groupPath: String,
+                          name: String,
+                          ranges: Seq[ColumnPredicate]): DataFrame = {
+    require(ranges.nonEmpty,
+      "readGroupTableWhere requires at least one predicate")
+    val fs = fsFor(spark, groupPath)
+    val (_, man) = requireMember(fs, groupPath, name, "readGroupTableWhere")
+    whereReadFromManifest(spark, s"$groupPath/$name", man, ranges)
+  }
+
   /** Change feed for a group member between two retained GROUP versions
     * ([[changeFeed]] at group scope): because the pin is group-wide,
     * diffing two members over the SAME version pair yields changes from
@@ -2386,6 +2441,28 @@ object MergeWriter {
     // each retained version reads with ITS OWN recorded schema — a pinned
     // read before an evolution sees the pre-evolution columns
     readWithSchema(spark, m, paths)
+  }
+
+  /** [[readTableWhere]] AS OF a retained version: data skipping composes
+    * with time travel — the pinned manifest's stats and Bloom sidecars
+    * prune exactly as the current version's do (stats ride IN the
+    * manifest and sidecars in the epoch dirs, so every retained version
+    * carries its own). The audit shape: "this key/date window, as of
+    * before the bad load".
+    */
+  def readTableVersionWhere(spark: SparkSession, tablePath: String,
+                            version: Long,
+                            ranges: Seq[ColumnPredicate]): DataFrame = {
+    require(ranges.nonEmpty,
+      "readTableVersionWhere requires at least one predicate")
+    val fs = fsFor(spark, tablePath)
+    val retained = manifestFiles(fs, new Path(tablePath))
+    val hit = retained.find(_._1 == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"readTableVersionWhere: version $version not retained for " +
+          s"$tablePath (readable: ${retained.map(_._1).mkString(", ")})"))
+    whereReadFromManifest(spark, tablePath,
+      readManifest(fs, version, hit._2), ranges)
   }
 
   /** Time travel by WALL CLOCK (Delta's `TIMESTAMP AS OF`): read the

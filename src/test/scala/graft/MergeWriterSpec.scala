@@ -1711,6 +1711,112 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h2.head.getAs[String]("op") == "compact")
   }
 
+  test("buildBloomIndex declares blooms on an existing table; probes and " +
+       "later merges use them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloombuild").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def rows(n: Int, rev: Int) = (0 until n).map { i =>
+        (s"item#${i % 399}", java.sql.Date.valueOf(d0.plusDays(i / 10)), rev + i)
+      }.toDF("workItemId", "snapshotDate", "rev")
+      // created WITHOUT blooms: the equality probe reads every file
+      MergeWriter.merge(spark, dir, rows(800, 0),
+        Seq("workItemId", "snapshotDate"), buckets = 4,
+        clusterBy = Seq("snapshotDate"))
+      def probe() = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#7"), Some("item#7"))))
+      val all = MergeWriter.readTable(spark, dir).inputFiles.toSet
+      // string min/max incidentally skips a few files; the claim below is
+      // that the INDEX BUILD strictly tightens the probe beyond stats
+      val statsOnly = probe().inputFiles.toSet.size
+      assert(statsOnly > all.size / 2,
+        s"setup: stats alone already skipped most files ($statsOnly of ${all.size})")
+      // index build: sidecars for committed epochs + the declaration
+      MergeWriter.buildBloomIndex(spark, dir, Seq("workItemId"),
+        bloomItems = 500)
+      val expected = MergeWriter.readTable(spark, dir)
+        .filter(col("workItemId") === "item#7")
+        .collect().map(_.toSeq).toSet
+      assert(probe().collect().map(_.toSeq).toSet == expected)
+      assert(probe().inputFiles.toSet.size * 2 < statsOnly,
+        s"index build skipped nothing beyond stats")
+      // the declaration sticks: a later merge maintains the sidecar
+      MergeWriter.merge(spark, dir, rows(100, 2000),
+        Seq("workItemId", "snapshotDate"))
+      val expected2 = MergeWriter.readTable(spark, dir)
+        .filter(col("workItemId") === "item#7")
+        .collect().map(_.toSeq).toSet
+      assert(probe().collect().map(_.toSeq).toSet == expected2)
+      assert(probe().inputFiles.toSet.size * 2 <
+        MergeWriter.readTable(spark, dir).inputFiles.toSet.size)
+      // conflicting redeclaration fails loudly
+      intercept[IllegalArgumentException] {
+        MergeWriter.buildBloomIndex(spark, dir, Seq("rev"))
+      }
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("readTableVersionWhere: skipping composes with time travel") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("verwhere").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def rows(n: Int, rev: Int) = (0 until n).map { i =>
+        (s"item#${i % 199}", java.sql.Date.valueOf(d0.plusDays(i / 10)), rev + i)
+      }.toDF("workItemId", "snapshotDate", "rev")
+      MergeWriter.merge(spark, dir, rows(400, 0),
+        Seq("workItemId", "snapshotDate"), buckets = 4,
+        clusterBy = Seq("snapshotDate"),
+        bloomBy = Seq("workItemId"), bloomItems = 500)
+      MergeWriter.merge(spark, dir, rows(400, 5000),
+        Seq("workItemId", "snapshotDate"))
+      val vs = MergeWriter.availableVersions(spark, dir)
+      val pinned = MergeWriter.readTableVersionWhere(spark, dir, vs.head, Seq(
+        MergeWriter.ColumnRange("workItemId", Some("item#7"), Some("item#7"))))
+      val full = MergeWriter.readTableVersion(spark, dir, vs.head)
+        .filter(col("workItemId") === "item#7")
+      assert(pinned.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      // the pinned read sees the OLD values (rev < 5000), pruned
+      assert(pinned.collect().forall(_.getAs[Int]("rev") < 5000))
+      val allPinned = MergeWriter.readTableVersion(spark, dir, vs.head)
+        .inputFiles.toSet
+      assert(pinned.inputFiles.toSet.size < allPinned.size,
+        "no skipping on the pinned version")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("readGroupTableWhere conjunction over a member") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpwhere").toString + "/load"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      val snaps = (0 until 600).map { i =>
+        (s"item#${i % 299}", java.sql.Date.valueOf(d0.plusDays(i / 10)), i)
+      }.toDF("k", "snapshotDate", "rev")
+      MergeWriter.mergeGroup(spark, grp,
+        Seq(("snapshots", snaps, Seq("k", "snapshotDate"))), buckets = 4,
+        clusterBy = Map("snapshots" -> Seq("snapshotDate")),
+        bloomBy = Map("snapshots" -> Seq("k")), bloomItems = 500)
+      val got = MergeWriter.readGroupTableWhere(spark, grp, "snapshots", Seq(
+        MergeWriter.ColumnIn("k", Seq("item#7", "item#123")),
+        MergeWriter.ColumnRange("snapshotDate",
+          Some(java.sql.Date.valueOf("2024-01-01")),
+          Some(java.sql.Date.valueOf("2024-01-31")))))
+      val full = MergeWriter.readGroupTable(spark, grp, "snapshots")
+        .filter(col("k").isin("item#7", "item#123") &&
+          col("snapshotDate").between(lit("2024-01-01"), lit("2024-01-31")))
+      assert(got.collect().map(_.toSeq).toSet ==
+        full.collect().map(_.toSeq).toSet)
+      assert(got.inputFiles.length <
+        MergeWriter.readGroupTable(spark, grp, "snapshots").inputFiles.length)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("bloomBy validates its columns at creation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bloomval").toString + "/t"
