@@ -3610,6 +3610,119 @@ object SparkEntry {
           graft.functions.exactSum(col("o_totalprice"), 2).as("sum_price"))
     }),
 
+    // THE TABLE AS A SPARK DATA SOURCE: the same date-clustered
+    // merge-maintained lineitem as q149, but read through
+    // `spark.read.format("graft")` — the scan plans on Spark's native
+    // vectorized parquet file source while the FILE LISTING comes from
+    // the pinned manifest (GraftFileIndex): Catalyst pushes the WHERE
+    // down to `FileIndex.listFiles`, which prunes files on the per-file
+    // min/max stats exactly like readTableWhere, and the residual
+    // predicate still reaches the parquet row-group reader
+    // (PushedFilters). Delta Lake's architecture (custom FileIndex
+    // under HadoopFsRelation), on the graft manifest protocol — plain
+    // DataFrame/SQL users get data skipping with no storage-API calls.
+    "q157_catalyst_table_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-sqlfmt") + "/lineitem"
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          Seq("l_orderkey", "l_linenumber"), buckets = 8,
+          clusterBy = Seq("l_shipdate"))
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_orderkey", "l_linenumber"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      s.read.format("graft").load(path)
+        .where(col("l_shipdate") >= lit("1995-01-01 00:00:00") &&
+          col("l_shipdate") <= lit("1995-03-31 23:59:59.999999"))
+        .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          graft.functions.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // STREAMING CHANGE-FEED TAIL (Delta's streaming CDF source):
+    // `spark.readStream.format("graft")` tails a merge table's commit
+    // log — offsets are manifest versions; each micro-batch is the
+    // keyed diff between the last-seen and newest committed versions
+    // (op ∈ insert/update/delete with old_/new_ audit columns), the
+    // initial batch the full snapshot as inserts. Three commits drive
+    // it: seed load (%3 ∈ {0,1}), an overlapping second load that
+    // doubles the %3=1 cohort's price (updates) and introduces %3=2
+    // (inserts), then a keyed delete of the %7=0 cohort. At 100 TB the
+    // consumer reads change volume per trigger, never the table.
+    "q158_stream_table_cdc" -> ((s, dir) => {
+      val root = scratchDir("graft-cdctail")
+      val path = root + "/orders"
+      val sink = root + "/cdc_out"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b1 = o.filter(pmod(col("o_orderkey"), lit(3)) <= 1)
+      val b2 = o.filter(pmod(col("o_orderkey"), lit(3)) >= 1)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 1,
+            col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      sources.MergeWriter.merge(s, path, b1, Seq("o_orderkey"), buckets = 8)
+      val q = s.readStream.format("graft").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // batch 0: initial snapshot as inserts
+        sources.MergeWriter.merge(s, path, b2, Seq("o_orderkey"))
+        q.processAllAvailable() // batch 1: updates (%3=1) + inserts (%3=2)
+        sources.MergeWriter.delete(s, path,
+          o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+            .select(col("o_orderkey")), Seq("o_orderkey"))
+        q.processAllAvailable() // batch 2: deletes (%7=0)
+      } finally q.stop()
+      s.read.parquet(sink)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+    }),
+
+    // METADATA-ONLY AGGREGATE (Delta answers SELECT COUNT(*) from the
+    // transaction log): COUNT(*) + MIN/MAX served purely from the
+    // manifest's per-file stats — zero data-file reads (the
+    // statsAggregate spec proves it by corrupting every data file and
+    // asking again). The commonest dashboard probe there is ("how many
+    // rows, what date range") costs one manifest read at any table
+    // size; any column the stats can't answer EXACTLY falls back to
+    // one scan, never a wrong answer.
+    "q159_stats_only_agg" -> ((s, dir) => {
+      val path = scratchDir("graft-statsagg") + "/lineitem"
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          Seq("l_orderkey", "l_linenumber"), buckets = 8,
+          clusterBy = Seq("l_shipdate"))
+        sources.MergeWriter.merge(s, path,
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_orderkey", "l_linenumber"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      sources.MergeWriter.statsAggregate(s, path,
+        Seq("l_shipdate", "l_quantity"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6653,6 +6766,48 @@ object SparkEntry {
         |WHERE o_custkey IN (
         |  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3)
         |GROUP BY 1""".stripMargin,
+
+    // The format-read plus residual filter must equal the plain
+    // full-scan-and-filter aggregate (same window as q149).
+    "q157_catalyst_table_scan" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1995-03-31 23:59:59.999999'
+        |GROUP BY 1""".stripMargin,
+
+    // The tailed change feed, re-derived set-theoretically: initial
+    // snapshot inserts (%3 ∈ {0,1}), second-load inserts (%3 = 2) and
+    // updates (%3 = 1, price doubled ≠ original since price > 0), then
+    // deletes (%7 = 0 — every key exists after load 2).
+    "q158_stream_table_cdc" ->
+      """WITH allr AS (
+        |  SELECT o_orderkey, 'insert' AS op FROM orders
+        |  WHERE o_orderkey % 3 <= 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'insert' AS op FROM orders
+        |  WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey, 'update' AS op FROM orders
+        |  WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete' AS op FROM orders
+        |  WHERE o_orderkey % 7 = 0)
+        |SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM allr GROUP BY 1""".stripMargin,
+
+    // The manifest-served aggregate must equal the scan aggregate.
+    "q159_stats_only_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(l_shipdate) AS min_l_shipdate,
+        |  MAX(l_shipdate) AS max_l_shipdate,
+        |  MIN(l_quantity) AS min_l_quantity,
+        |  MAX(l_quantity) AS max_l_quantity
+        |FROM lineitem""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

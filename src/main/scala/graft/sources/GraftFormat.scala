@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graft.GraftSourceBridge
+import org.apache.spark.sql.sources.{
+  BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The manifest table as a first-class Spark data source: `spark.read
+  * .format("graft").load(path)` (and therefore plain SQL over a temp
+  * view) plans through Spark's native parquet file-source path —
+  * vectorized reader, whole-stage codegen, parquet row-group pushdown —
+  * while FILE LISTING is driven by the pinned manifest through
+  * [[GraftFileIndex]]: Catalyst hands the scan's data filters to
+  * `FileIndex.listFiles`, which translates them to the storage layer's
+  * [[MergeWriter.ColumnPredicate]]s and prunes with the same per-file
+  * min/max stats and Bloom sidecars as [[MergeWriter.readTableWhere]].
+  * This is exactly how Delta Lake wires data skipping into Spark (a
+  * custom FileIndex under a HadoopFsRelation), re-expressed for the
+  * graft manifest protocol; the reference's engine gets the equivalent
+  * via Aurora btree indexes (`sql/full_ddl.sql:1189-1199`).
+  *
+  * Options: `versionAsOf` (retained manifest version) and
+  * `timestampAsOf` (epoch millis, or `yyyy-MM-dd[ HH:mm:ss]`) pin time
+  * travel; default is the current version, pinned at load time —
+  * snapshot isolation for the whole query regardless of concurrent
+  * commits.
+  *
+  * `spark.readStream.format("graft").load(path)` tails the table's
+  * change feed (Delta's streaming CDF source): each micro-batch is the
+  * keyed diff between the last-seen and newest committed versions —
+  * op ∈ insert/update/delete with old_/new_ audit columns — with the
+  * initial batch emitting the full snapshot as inserts. Offsets are
+  * manifest versions, so a checkpointed restart resumes exactly where
+  * it stopped as long as that version is still retained.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: 'path' is required — use .load(<tableDir>)"))
+
+  private def timestampMs(s: String): Long =
+    scala.util.Try(s.trim.toLong).getOrElse {
+      val t = s.trim.replace(' ', 'T')
+      val ldt = scala.util.Try(java.time.LocalDateTime.parse(t))
+        .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+  private def pin(spark: SparkSession, parameters: Map[String, String],
+                  path: String): MergeWriter.Manifest =
+    MergeWriter.pinManifest(spark, path,
+      parameters.get("versionAsOf").map(_.toLong),
+      parameters.get("timestampAsOf").map(timestampMs))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: $path has no committed manifest (not a graft table)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val man = pin(spark, parameters, path)
+    val dataSchema = MergeWriter.indexSchema(spark, path, man)
+    HadoopFsRelation(new GraftFileIndex(spark, path, man), new StructType(),
+      dataSchema, None, new ParquetFileFormat, parameters)(spark)
+  }
+
+  /** keys = `keys` option (comma-separated) or the manifest's recorded
+    * merge keys; compareCols = `compareCols` option or every non-key
+    * column. The CDC schema is [[graft.operators.Reconcile.snapshotDiff]]'s:
+    * keys ++ old_* ++ new_* ++ op.
+    */
+  private def cdcSpec(spark: SparkSession, parameters: Map[String, String])
+      : (String, Seq[String], Seq[String], StructType) = {
+    val path = pathOf(parameters)
+    val man = pin(spark, parameters, path)
+    val tableSchema = MergeWriter.indexSchema(spark, path, man)
+    val keys = parameters.get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(man.keyCols)
+    require(keys.nonEmpty,
+      s"graft streaming: $path records no merge keys and no 'keys' option " +
+        "was supplied")
+    val compareCols = parameters.get("compareCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(tableSchema.fieldNames.toSeq.filterNot(keys.contains))
+    val fieldsByName = tableSchema.fields.map(f => f.name -> f).toMap
+    def fieldOf(c: String): StructField = fieldsByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"graft streaming: column '$c' not in table schema of $path"))
+    val schema = StructType(
+      keys.map(k => fieldOf(k).copy(nullable = true)) ++
+        compareCols.map(c => fieldOf(c).copy(name = s"old_$c",
+          nullable = true)) ++
+        compareCols.map(c => fieldOf(c).copy(name = s"new_$c",
+          nullable = true)) :+
+        StructField("op", StringType, nullable = true))
+    (path, keys, compareCols, schema)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), cdcSpec(sqlContext.sparkSession, parameters)._4)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val (path, keys, compareCols, cdcSchema) = cdcSpec(spark, parameters)
+    new GraftChangeFeedSource(spark, path, keys, compareCols, cdcSchema)
+  }
+}
+
+/** V1 streaming source tailing a manifest table's change feed; offsets
+  * are committed manifest versions (see [[GraftSourceBridge]] for the
+  * engine-contract bridging).
+  */
+class GraftChangeFeedSource(spark: SparkSession, path: String,
+                            keys: Seq[String], compareCols: Seq[String],
+                            cdcSchema: StructType) extends GraftSourceBridge {
+
+  override def schema: StructType = cdcSchema
+
+  override protected def currentVersion(): Option[Long] =
+    MergeWriter.pinManifest(spark, path, None, None).map(_.version)
+
+  override protected def changeBatch(fromVersion: Option[Long],
+                                     toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val neu = MergeWriter.readTableVersion(spark, path, toVersion)
+    val old = fromVersion match {
+      case Some(v) => MergeWriter.readTableVersion(spark, path, v)
+      case None =>
+        // initial batch: the full snapshot arrives as op='insert'
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], neu.schema)
+    }
+    graft.operators.Reconcile.snapshotDiff(old, neu, keys, compareCols)
+      .select(cdcSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}
+
+/** Manifest-driven file listing for Catalyst's file-source scan: the
+  * planner passes the scan's partition and data filters to
+  * [[listFiles]]; supported data filters translate to
+  * [[MergeWriter.ColumnPredicate]]s and prune files through the SAME
+  * stats/Bloom path as the storage API reads — a filter shape the
+  * translation doesn't cover simply prunes nothing (the scan still
+  * evaluates every filter exactly; skipping is pure I/O removal, never
+  * semantics). The manifest is pinned at construction: one consistent
+  * table version for the lifetime of the plan.
+  */
+class GraftFileIndex private[sources] (
+    spark: SparkSession, tablePath: String,
+    man: MergeWriter.Manifest) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  private lazy val allFiles: Seq[(Path, Long)] =
+    MergeWriter.indexCandidateFiles(spark, tablePath, man, Seq.empty)
+
+  override def inputFiles: Array[String] =
+    allFiles.map(_._1.toString).toArray
+
+  override def sizeInBytes: Long = allFiles.map(_._2).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(GraftFileIndex.toPredicates)
+    val files =
+      if (preds.isEmpty) allFiles
+      else MergeWriter.indexCandidateFiles(spark, tablePath, man, preds)
+    val statuses = files.map { case (p, len) =>
+      new FileStatus(len, false, 1, math.max(len, 1L), 0L, p)
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+}
+
+object GraftFileIndex {
+  import MergeWriter.{ColumnIn, ColumnPredicate, ColumnRange}
+
+  private def external(value: Any, lit: Literal): Any =
+    if (value == null) null
+    else CatalystTypeConverters.convertToScala(value, lit.dataType)
+
+  private def scalaOf(l: Literal): Any = external(l.value, l)
+
+  /** Conservative translation of a Catalyst data filter into storage
+    * predicates for FILE pruning. Strict inequalities widen to their
+    * inclusive bound (keeps at least as many files — the scan's exact
+    * filter still runs); null-valued comparisons and any unrecognized
+    * shape translate to nothing (no pruning). Equality and IN reach the
+    * Bloom sidecar probe through the degenerate-range / value-list
+    * forms, identical to [[MergeWriter.readTableWhere]].
+    */
+  private[sources] def toPredicates(e: Expression): Seq[ColumnPredicate] =
+    e match {
+      case And(l, r) => toPredicates(l) ++ toPredicates(r)
+      case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) => eq(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => lower(a, l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lower(a, l)
+      case LessThan(l: Literal, a: AttributeReference) => lower(a, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => lower(a, l)
+      case LessThan(a: AttributeReference, l: Literal) => upper(a, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => upper(a, l)
+      case GreaterThan(l: Literal, a: AttributeReference) => upper(a, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => upper(a, l)
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val ext = vs.map(v => scalaOf(v.asInstanceOf[Literal]))
+        if (ext.contains(null)) Seq.empty else Seq(ColumnIn(a.name, ext))
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+        val dt = a.dataType
+        val conv = CatalystTypeConverters.createToScalaConverter(dt)
+        val ext = vs.toSeq.map(conv)
+        if (ext.contains(null)) Seq.empty else Seq(ColumnIn(a.name, ext))
+      case _ => Seq.empty
+    }
+
+  private def eq(a: AttributeReference, l: Literal): Seq[ColumnPredicate] = {
+    val v = scalaOf(l)
+    if (v == null) Seq.empty else Seq(ColumnRange(a.name, Some(v), Some(v)))
+  }
+  private def lower(a: AttributeReference, l: Literal): Seq[ColumnPredicate] = {
+    val v = scalaOf(l)
+    if (v == null) Seq.empty else Seq(ColumnRange(a.name, Some(v), None))
+  }
+  private def upper(a: AttributeReference, l: Literal): Seq[ColumnPredicate] = {
+    val v = scalaOf(l)
+    if (v == null) Seq.empty else Seq(ColumnRange(a.name, None, Some(v)))
+  }
+}

@@ -137,9 +137,9 @@ object MergeWriter {
     * [[readTableRange]] prunes at file granularity with them, and
     * auto-split reads bucket sizes from them without listing the table.
     */
-  private case class FileStat(name: String, bytes: Long, rows: Long,
-                              mins: Map[String, String],
-                              maxs: Map[String, String])
+  private[sources] case class FileStat(name: String, bytes: Long, rows: Long,
+                                       mins: Map[String, String],
+                                       maxs: Map[String, String])
 
   /** `clusterCols` (recorded at creation, like `keyCols`) order rows
     * WITHIN each bucket file write (`sortWithinPartitions` — a local
@@ -175,17 +175,17 @@ object MergeWriter {
     * the first thing an operator asks of a misbehaving table.
     * [[tableHistory]] surfaces the retained window.
     */
-  private case class Manifest(version: Long, buckets: Int,
-                              epochs: Map[Int, String],
-                              txns: Map[String, Long] = Map.empty,
-                              schema: Option[String] = None,
-                              keyCols: Seq[String] = Seq.empty,
-                              clusterCols: Seq[String] = Seq.empty,
-                              stats: Map[Int, Seq[FileStat]] = Map.empty,
-                              bloomCols: Seq[String] = Seq.empty,
-                              bloomItems: Long = DefaultBloomItems,
-                              op: String = "",
-                              opTs: Long = 0L)
+  private[sources] case class Manifest(version: Long, buckets: Int,
+                                       epochs: Map[Int, String],
+                                       txns: Map[String, Long] = Map.empty,
+                                       schema: Option[String] = None,
+                                       keyCols: Seq[String] = Seq.empty,
+                                       clusterCols: Seq[String] = Seq.empty,
+                                       stats: Map[Int, Seq[FileStat]] = Map.empty,
+                                       bloomCols: Seq[String] = Seq.empty,
+                                       bloomItems: Long = DefaultBloomItems,
+                                       op: String = "",
+                                       opTs: Long = 0L)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -2692,21 +2692,25 @@ object MergeWriter {
     }
   }
 
-  private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
-                                    man: Manifest,
-                                    ranges: Seq[ColumnPredicate]): DataFrame = {
-    val fs = fsFor(spark, tableRoot)
+  /** One file-keep function per predicate whose bounds/values all
+    * canonicalize; a predicate that doesn't never prunes (its exact
+    * residual filter still applies downstream — lossless by
+    * construction). "Might hold" = min/max stats first, then (on
+    * declared Bloom columns) the per-file sidecar filter: the skip
+    * that works on high-cardinality columns the table is NOT clustered
+    * by, where every file's [min,max] spans the domain and stats alone
+    * never skip. Shared by [[whereReadFromManifest]] and the Catalyst
+    * FileIndex path ([[indexCandidateFiles]]).
+    */
+  private def fileKeepFns(fs: FileSystem, tableRoot: String, man: Manifest,
+                          ranges: Seq[ColumnPredicate])
+      : Seq[(String, Int, FileStat) => Boolean] = {
     val schema = man.schema.map(s =>
       DataType.fromJson(s).asInstanceOf[StructType])
     def colType(c: String) =
       schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val sidecars = scala.collection.mutable.Map
       .empty[String, Map[String, Map[String, Array[Byte]]]]
-    // "this file might hold the canonical value" — min/max stats first,
-    // then (on declared Bloom columns) the per-file sidecar filter: the
-    // skip that works on high-cardinality columns the table is NOT
-    // clustered by, where every file's [min,max] spans the domain and
-    // stats alone never skip
     def mightHold(e: String, b: Int, f: FileStat, c: String,
                   tag: Char, v: Any): Boolean =
       fileIntersects(f, c, Some((tag, v)), Some((tag, v))) &&
@@ -2716,10 +2720,7 @@ object MergeWriter {
             case Some(bytes) => bloomMightContain(bytes, tag, v)
             case None => true
           }))
-    // one file-keep function per predicate whose bounds/values ALL
-    // canonicalize; anything else never prunes (its exact residual
-    // filter below still applies — lossless by construction)
-    val keeps: Seq[(String, Int, FileStat) => Boolean] = ranges.flatMap {
+    ranges.flatMap {
       case ColumnRange(c, lower, upper) =>
         val dt = colType(c)
         val lo = for { d <- dt; v <- lower; cv <- boundToCanon(d, v) } yield cv
@@ -2739,6 +2740,15 @@ object MergeWriter {
         else Some((e: String, b: Int, f: FileStat) =>
           canonVs.flatten.exists { case (tag, v) => mightHold(e, b, f, c, tag, v) })
     }
+  }
+
+  private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
+                                    man: Manifest,
+                                    ranges: Seq[ColumnPredicate]): DataFrame = {
+    val fs = fsFor(spark, tableRoot)
+    val schema = man.schema.map(s =>
+      DataType.fromJson(s).asInstanceOf[StructType])
+    val keeps = fileKeepFns(fs, tableRoot, man, ranges)
     val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
       man.stats.get(b) match {
         case Some(fss) if keeps.nonEmpty =>
@@ -2755,6 +2765,204 @@ object MergeWriter {
         case None => spark.emptyDataFrame
       }
     ranges.foldLeft(base)(applyPredicate)
+  }
+
+  /** Canonical stats value → the column's external Spark value (the
+    * exact inverse of the [[boundToCanon]] / [[canonMinMax]] domain).
+    */
+  private def canonToExternal(dt: DataType, s: String): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => s.toLong.toByte
+      case ShortType => s.toLong.toShort
+      case IntegerType => s.toLong.toInt
+      case LongType => s.toLong
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+      case TimestampType =>
+        val us = s.toLong
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val us = s.toLong
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case FloatType => s.toDouble.toFloat
+      case DoubleType => s.toDouble
+      case StringType => s
+      case other => throw new IllegalArgumentException(
+        s"statsAggregate: unsupported stats type $other")
+    }
+  }
+
+  /** Metadata-only aggregate (Delta answers `SELECT COUNT(*)` — and
+    * Databricks' engine MIN/MAX — from the transaction log the same
+    * way): `COUNT(*)` plus `MIN`/`MAX` of the requested columns served
+    * purely from the manifest's per-file stats, ZERO data-file I/O —
+    * at 100 TB the difference between a metadata read and a full scan
+    * for the most common dashboard probe there is. Exactness rules:
+    * row counts must be recorded for every file (clustered tables
+    * record them from the parquet footers at commit), and every file
+    * must carry a min/max entry for every requested column (an entry
+    * covers the file's non-null values — exactly SQL MIN/MAX
+    * semantics; a file whose stats were dropped for the column is
+    * indistinguishable from an all-null file, so ANY missing piece
+    * falls back to one exact table scan, never a wrong answer).
+    * Output: `cnt` ++ per column `min_<c>`, `max_<c>`.
+    */
+  def statsAggregate(spark: SparkSession, tablePath: String,
+                     minMaxCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def scanFallback(): DataFrame = {
+      val t = readTable(spark, tablePath)
+      t.agg(count(lit(1)).as("cnt"),
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+    }
+    val fs = fsFor(spark, tablePath)
+    currentManifest(fs, new Path(tablePath)) match {
+      case None => scanFallback()
+      case Some(man) =>
+        val schema = man.schema.map(s =>
+          DataType.fromJson(s).asInstanceOf[StructType])
+        val statsPerBucket = man.epochs.keys.toSeq.map(man.stats.get)
+        if (schema.isEmpty || statsPerBucket.exists(_.isEmpty))
+          return scanFallback()
+        val files = statsPerBucket.flatMap(_.get)
+        if (files.exists(_.rows < 0)) return scanFallback()
+        val colTypes = minMaxCols.map(c =>
+          schema.get.fields.find(_.name == c).map(_.dataType))
+        if (colTypes.exists(_.isEmpty)) return scanFallback()
+        val served = minMaxCols.zip(colTypes.map(_.get)).map { case (c, dt) =>
+          val tag = boundToCanon(dt, canonProbe(dt)).map(_._1)
+          if (tag.isEmpty ||
+              files.exists(f => !f.mins.contains(c) || !f.maxs.contains(c)))
+            None
+          else {
+            val t = tag.get
+            def parse(s: String): Any = t match {
+              case 'L' => s.toLong
+              case 'D' => s.toDouble
+              case _ => s
+            }
+            val mn = files.map(f => parse(f.mins(c)))
+              .reduce((a, b) => if (cmpTagged(t, a, b) <= 0) a else b)
+            val mx = files.map(f => parse(f.maxs(c)))
+              .reduce((a, b) => if (cmpTagged(t, a, b) >= 0) a else b)
+            Some((canonToExternal(dt, mn.toString),
+              canonToExternal(dt, mx.toString), dt))
+          }
+        }
+        if (served.exists(_.isEmpty)) return scanFallback()
+        val outSchema = StructType(
+          StructField("cnt", LongType, nullable = false) +:
+            minMaxCols.zip(served.map(_.get)).flatMap { case (c, (_, _, dt)) =>
+              Seq(StructField(s"min_$c", dt, nullable = true),
+                StructField(s"max_$c", dt, nullable = true))
+            })
+        val values: Seq[Any] = files.map(_.rows).sum +:
+          served.flatMap { case Some((mn, mx, _)) => Seq(mn, mx)
+                           case None => Seq.empty }
+        spark.createDataFrame(
+          java.util.Collections.singletonList(Row(values: _*)), outSchema)
+    }
+  }
+
+  /** A representative external value per type, used only to resolve the
+    * canonical stats TAG of a column type through [[boundToCanon]].
+    */
+  private def canonProbe(dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => java.time.LocalDate.ofEpochDay(0L)
+      case TimestampType => java.time.Instant.EPOCH
+      case TimestampNTZType => java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+      case StringType => ""
+      case FloatType | DoubleType => 0.0d
+      case _ => 0L
+    }
+  }
+
+  /** Resolve the manifest a Catalyst-facing read pins: the current
+    * version, `VERSION AS OF`, or `TIMESTAMP AS OF` — the same
+    * resolution rules (and the same loud failure on an aged-out
+    * version) as [[readTableVersion]] / [[readTableAsOf]]. None = the
+    * path has no manifest (not a graft table).
+    */
+  private[sources] def pinManifest(spark: SparkSession, tablePath: String,
+                                   versionAsOf: Option[Long],
+                                   timestampMsAsOf: Option[Long])
+      : Option[Manifest] = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    versionAsOf match {
+      case Some(v) =>
+        val retained = manifestFiles(fs, dir)
+        val hit = retained.find(_._1 == v).getOrElse(
+          throw new IllegalArgumentException(
+            s"versionAsOf: version $v not retained for $tablePath " +
+              s"(readable: ${retained.map(_._1).mkString(", ")})"))
+        Some(readManifest(fs, v, hit._2))
+      case None => timestampMsAsOf match {
+        case Some(ts) =>
+          val retained = manifestFiles(fs, dir)
+          val hit = retained.filter { case (_, p) =>
+            fs.getFileStatus(p).getModificationTime <= ts
+          }.lastOption.getOrElse(throw new IllegalArgumentException(
+            s"timestampAsOf: no retained version of $tablePath committed " +
+              s"at or before $ts"))
+          Some(readManifest(fs, hit._1, hit._2))
+        case None => currentManifest(fs, dir)
+      }
+    }
+  }
+
+  /** The pinned manifest's data schema — recorded at commit for every
+    * post-evolution table; a legacy manifest without one falls back to
+    * a one-off parquet footer merge over its epochs.
+    */
+  private[sources] def indexSchema(spark: SparkSession, tablePath: String,
+                                   man: Manifest): StructType =
+    man.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse {
+        val paths = man.epochs.toSeq.sortBy(_._1)
+          .map { case (b, e) => bucketPath(tablePath, e, b) }
+        spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+      }
+
+  /** The file set a pinned read must scan under a conjunction of
+    * predicates, with per-file sizes — the [[fileKeepFns]] stats+Bloom
+    * skip resolved to concrete (path, bytes) pairs for Catalyst's
+    * FileIndex contract. Buckets without recorded file stats fall back
+    * to a directory listing (kept wholesale: skipping only ever removes
+    * provably irrelevant I/O).
+    */
+  private[sources] def indexCandidateFiles(spark: SparkSession,
+                                           tableRoot: String, man: Manifest,
+                                           ranges: Seq[ColumnPredicate])
+      : Seq[(Path, Long)] = {
+    val fs = fsFor(spark, tableRoot)
+    val keeps =
+      if (ranges.isEmpty) Seq.empty else fileKeepFns(fs, tableRoot, man, ranges)
+    man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+      man.stats.get(b) match {
+        case Some(fss) =>
+          val kept =
+            if (keeps.isEmpty) fss else fss.filter(f => keeps.forall(_(e, b, f)))
+          kept.map(f =>
+            (new Path(bucketPath(tableRoot, e, b), f.name), f.bytes))
+        case None =>
+          val d = new Path(bucketPath(tableRoot, e, b))
+          if (fs.exists(d))
+            fs.listStatus(d).toSeq
+              .filter(st => !st.isDirectory &&
+                st.getPath.getName.startsWith("part-"))
+              .map(st => (st.getPath, st.getLen))
+          else Seq.empty
+      }
+    }
   }
 
   /** The skip-then-residual-filter core shared by [[readTableRange]] and

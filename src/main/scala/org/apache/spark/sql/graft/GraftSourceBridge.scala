@@ -1,0 +1,55 @@
+/*
+ * A deliberately tiny shim in the `org.apache.spark.sql` namespace — the
+ * standard extension-point pattern for Spark connectors that implement the
+ * V1 streaming `Source` contract (Spark's own FileStreamSource and every
+ * external V1 source build streaming micro-batch frames the same way).
+ * Everything here is mechanical bridging; all graft logic lives in
+ * `graft.sources`.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+/** Base class for a version-cursor streaming source: concrete sources
+  * (graft's change-feed tail) implement two PUBLIC-typed methods —
+  * `currentVersion` (the table's committed manifest version) and
+  * `changeBatch` (the CDC rows between two pinned versions, as a plain
+  * batch frame) — and this bridge handles the V1 engine contract:
+  * version ↔ [[LongOffset]] mapping (including the serialized-offset
+  * form the engine replays from a checkpoint), and re-wrapping the batch
+  * plan as the streaming leaf `getBatch` must return (the engine asserts
+  * `isStreaming`; the batch plan executes lazily inside the micro-batch,
+  * exactly FileStreamSource's construction).
+  */
+abstract class GraftSourceBridge extends Source {
+
+  /** Latest committed version, None while the table does not exist yet. */
+  protected def currentVersion(): Option[Long]
+
+  /** CDC rows from `fromVersion` (exclusive snapshot base; None = the
+    * initial full snapshot) to `toVersion`, as a BATCH DataFrame whose
+    * schema equals [[schema]].
+    */
+  protected def changeBatch(fromVersion: Option[Long],
+                            toVersion: Long): DataFrame
+
+  override def getOffset: Option[Offset] =
+    currentVersion().map(v => LongOffset(v))
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = changeBatch(start.map(versionOf), versionOf(end))
+    val classic = batch.asInstanceOf[ClassicDataset[Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.MergeWriter
+
+/** The manifest table as a Spark data source (`format("graft")`): plain
+  * DataFrame/SQL reads plan through the native parquet file source with
+  * manifest-driven file listing — so Catalyst's pushed data filters
+  * prune files via the per-file min/max stats and Bloom sidecars, and
+  * `readStream.format("graft")` tails the change feed.
+  */
+class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    // deterministic FileSourceScanExec access for the numFiles assertions
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The executed scan's planned file count — files the manifest-driven
+    * FileIndex actually handed to the scan, AFTER skipping.
+    */
+  private def scannedFiles(df: DataFrame): Long = {
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec in the plan")
+    df.collect()
+    scan.head.metrics("numFiles").value
+  }
+
+  private def buildClustered(dir: String): Unit = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      // ts is the cluster column (consecutive per file); id is scattered
+      // across the whole domain in every file — stats can never skip an
+      // id probe, the Bloom sidecar can
+      val rows = (0 until 1600)
+        .map(i => (i.toLong, ((i * 997) % 1600).toLong, s"p$i"))
+        .toDF("ts", "id", "payload")
+      MergeWriter.merge(spark, dir, rows, Seq("ts"), buckets = 2,
+        clusterBy = Seq("ts"), bloomBy = Seq("id"), bloomItems = 256)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
+  test("format(graft) batch read equals readTable and pins the manifest") {
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    buildClustered(dir)
+    val viaFormat = spark.read.format("graft").load(dir)
+    val viaApi = MergeWriter.readTable(spark, dir)
+    assert(viaFormat.count() == 1600)
+    assert(viaFormat.schema.fieldNames.toSet ==
+      viaApi.schema.fieldNames.toSet)
+    assert(viaFormat.orderBy("ts").collect().toSeq ==
+      viaApi.select(viaFormat.columns.map(col).toIndexedSeq: _*)
+        .orderBy("ts").collect().toSeq)
+  }
+
+  test("catalyst range filter prunes files through the manifest stats") {
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    buildClustered(dir)
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    assert(total >= 8, s"fixture should split into many files, got $total")
+    val window = df.where(col("ts") >= 100L && col("ts") <= 299L)
+    val scanned = scannedFiles(window)
+    assert(window.count() == 200)
+    assert(scanned < total / 2,
+      s"range scan should skip most files: $scanned of $total")
+    // the residual predicate must ALSO reach the parquet reader
+    val formatted = window.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters"))
+    assert(formatted.contains("GreaterThanOrEqual(ts,100)"))
+  }
+
+  test("catalyst equality on a bloom column prunes via the sidecar") {
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    buildClustered(dir)
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    // id=997 ((1*997)%1600) lives in exactly one row; every file's id
+    // [min,max] spans ~the full domain so stats alone keep everything
+    val probe = df.where(col("id") === 997L)
+    val scanned = scannedFiles(probe)
+    assert(probe.select("ts").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq == Seq(1L))
+    assert(scanned < total / 2,
+      s"bloom probe should skip most files: $scanned of $total")
+  }
+
+  test("catalyst IN-list prunes through the any-of value probe") {
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    buildClustered(dir)
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    val in = df.where(col("ts").isin(5L, 6L, 1205L))
+    val scanned = scannedFiles(in)
+    assert(in.count() == 3)
+    assert(scanned < total / 2,
+      s"IN-list should skip non-matching files: $scanned of $total")
+  }
+
+  test("versionAsOf / timestampAsOf pin a retained version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    MergeWriter.merge(spark, dir, v1, Seq("k"), buckets = 2)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    MergeWriter.merge(spark, dir,
+      Seq((2L, "B2"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    val cur = spark.read.format("graft").load(dir)
+    assert(cur.count() == 3)
+    val versions = MergeWriter.availableVersions(spark, dir)
+    val pinned = spark.read.format("graft")
+      .option("versionAsOf", versions.head.toString).load(dir)
+    assert(pinned.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    val asOf = spark.read.format("graft")
+      .option("timestampAsOf", t1.toString).load(dir)
+    assert(asOf.count() == 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "999").load(dir)
+    }
+  }
+
+  test("readStream(graft) tails the change feed: snapshot, diffs, deletes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), Seq("k"), buckets = 2)
+
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("gcdc_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val initial = spark.table("gcdc_tail")
+        .select("k", "op", "new_price").as[(Long, String, Double)]
+        .collect().toSet
+      assert(initial == Set((1L, "insert", 10.0), (2L, "insert", 20.0)))
+
+      // update k=2, insert k=3 → one CDC batch with one update + one insert
+      MergeWriter.merge(spark, dir,
+        Seq((2L, 25.0), (3L, 30.0)).toDF("k", "price"), Seq("k"))
+      q.processAllAvailable()
+      val afterMerge = spark.table("gcdc_tail")
+        .groupBy("op").count().as[(String, Long)].collect().toMap
+      assert(afterMerge == Map("insert" -> 3L, "update" -> 1L))
+
+      // delete k=1 → one delete row carrying the old value
+      MergeWriter.delete(spark, dir, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+      q.processAllAvailable()
+      val deleted = spark.table("gcdc_tail").where(col("op") === "delete")
+        .select("k", "old_price").as[(Long, Double)].collect().toSeq
+      assert(deleted == Seq((1L, 10.0)))
+    } finally q.stop()
+  }
+}

@@ -1828,4 +1828,52 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       MergeWriter.merge(spark, dir, rows, Seq("id"), bloomBy = Seq("score"))
     }
   }
+
+  test("statsAggregate answers from the manifest alone (zero data I/O)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("statsagg").toString + "/t"
+    val rows = (1 to 500)
+      .map(i => (i.toLong, (i % 37).toDouble, s"s${i % 11}"))
+      .toDF("id", "score", "tag")
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4,
+      clusterBy = Seq("id"))
+    val expected = MergeWriter.readTable(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.min(col("id")).as("min_id"),
+        org.apache.spark.sql.functions.max(col("id")).as("max_id"),
+        org.apache.spark.sql.functions.min(col("score")).as("min_score"),
+        org.apache.spark.sql.functions.max(col("score")).as("max_score"),
+        org.apache.spark.sql.functions.min(col("tag")).as("min_tag"),
+        org.apache.spark.sql.functions.max(col("tag")).as("max_tag"))
+      .collect().head
+    val got = MergeWriter.statsAggregate(spark, dir,
+      Seq("id", "score", "tag")).collect().head
+    assert(got == expected)
+
+    // the proof it never opens a data file: corrupt EVERY parquet file
+    // under the table and ask again — the manifest-served answer must
+    // not change (a scan would now throw)
+    val root = new java.io.File(dir)
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(corrupt)
+      else if (f.getName.endsWith(".parquet")) {
+        val w = new java.io.FileOutputStream(f)
+        try w.write("not parquet".getBytes) finally w.close()
+      }
+    corrupt(root)
+    assert(MergeWriter.statsAggregate(spark, dir,
+      Seq("id", "score", "tag")).collect().head == expected)
+  }
+
+  test("statsAggregate falls back to an exact scan without column stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("statsagg").toString + "/t"
+    // UNCLUSTERED: bytes-only stats (rows = -1, no min/max) → fallback
+    val rows = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4)
+    val got = MergeWriter.statsAggregate(spark, dir, Seq("score"))
+      .collect().head
+    assert(got.getLong(0) == 100L)
+    assert(got.getDouble(1) == 2.0 && got.getDouble(2) == 200.0)
+  }
 }
