@@ -3723,6 +3723,37 @@ object SparkEntry {
         Seq("l_shipdate", "l_quantity"))
     }),
 
+    // WRITE PATH THROUGH THE FORMAT: `df.write.format("graft")` —
+    // append = keyed MERGE upsert, overwrite = atomic full replace in
+    // one manifest flip. Two appends build the full orders table; the
+    // overwrite then reads THE TABLE ITSELF through the format (the
+    // load pins the pre-overwrite manifest — snapshot isolation lets a
+    // table atomically replace itself from its own filtered read) and
+    // keeps only the %5 = 0 cohort. versionAsOf recovers the
+    // pre-overwrite row count: the replaced state stays time-travel
+    // readable until gc ages it out.
+    "q160_format_write_roundtrip" -> ((s, dir) => {
+      val path = scratchDir("graft-write") + "/orders"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft").option("keys", "o_orderkey")
+        .option("buckets", "8").mode("append").save(path)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("graft").mode("append").save(path)
+      val vPre = sources.MergeWriter.availableVersions(s, path).last
+      s.read.format("graft").load(path)
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .write.format("graft").mode("overwrite").save(path)
+      val nPre = s.read.format("graft")
+        .option("versionAsOf", vPre.toString).load(path).count()
+      s.read.format("graft").load(path)
+        .agg(count(lit(1)).as("n_kept"),
+          graft.functions.exactSum(col("o_totalprice"), 2).as("sum_kept"))
+        .withColumn("n_pre", lit(nPre))
+        .select(col("n_pre"), col("n_kept"), col("sum_kept"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6808,6 +6839,14 @@ object SparkEntry {
         |  MIN(l_quantity) AS min_l_quantity,
         |  MAX(l_quantity) AS max_l_quantity
         |FROM lineitem""".stripMargin,
+
+    // Post-overwrite state = the %5 cohort; pre-overwrite count = all.
+    "q160_format_write_roundtrip" ->
+      """SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_pre,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_kept
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -10,8 +10,11 @@ import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.graft.GraftSourceBridge
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources.{
-  BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister,
+  RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The manifest table as a first-class Spark data source: `spark.read
@@ -43,7 +46,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * it stopped as long as that version is still retained.
   */
 class GraftDataSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -75,6 +79,90 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val dataSchema = MergeWriter.indexSchema(spark, path, man)
     HadoopFsRelation(new GraftFileIndex(spark, path, man), new StructType(),
       dataSchema, None, new ParquetFileFormat, parameters)(spark)
+  }
+
+  private def csv(parameters: Map[String, String], key: String)
+      : Option[Seq[String]] =
+    parameters.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** Resolve the key columns a write uses: the `keys` option, or an
+    * existing table's recorded merge keys.
+    */
+  private def writeKeys(parameters: Map[String, String],
+                        existing: Option[MergeWriter.Manifest],
+                        path: String): Seq[String] =
+    csv(parameters, "keys")
+      .orElse(existing.map(_.keyCols).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft write: no 'keys' option and $path records no merge keys " +
+          "(option(\"keys\", \"k1,k2\") on first write)"))
+
+  /** `df.write.format("graft")`: Append = keyed MERGE upsert; Overwrite
+    * = atomic full replace ([[MergeWriter.overwriteTable]] — one
+    * manifest flip, old state stays time-travel readable);
+    * ErrorIfExists / Ignore follow their SaveMode contracts against
+    * manifest existence. Table-creation options (`keys`, `buckets`,
+    * `clusterBy`, `bloomBy`, `bloomItems`) mirror [[MergeWriter.merge]]
+    * and only seed creation — an existing table keeps its recorded
+    * layout.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val existing = MergeWriter.pinManifest(spark, path, None, None)
+    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(64)
+    val clusterBy = csv(parameters, "clusterBy").getOrElse(Seq.empty)
+    val bloomBy = csv(parameters, "bloomBy").getOrElse(Seq.empty)
+    val bloomItems = parameters.get("bloomItems").map(_.toLong)
+      .getOrElse(MergeWriter.DefaultBloomItems)
+    def doMerge(): Unit =
+      MergeWriter.merge(spark, path, data, writeKeys(parameters, existing,
+        path), buckets, clusterBy = clusterBy, bloomBy = bloomBy,
+        bloomItems = bloomItems)
+    mode match {
+      case SaveMode.Append => doMerge()
+      case SaveMode.Overwrite =>
+        MergeWriter.overwriteTable(spark, path, data,
+          writeKeys(parameters, existing, path), buckets,
+          clusterBy = clusterBy, bloomBy = bloomBy, bloomItems = bloomItems)
+      case SaveMode.ErrorIfExists =>
+        if (existing.isDefined) throw new IllegalArgumentException(
+          s"graft write: $path already exists (SaveMode.ErrorIfExists)")
+        doMerge()
+      case SaveMode.Ignore => if (existing.isEmpty) doMerge()
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** `df.writeStream.format("graft")`: every micro-batch lands as one
+    * atomic commit — Append/Update = keyed MERGE upsert, Complete =
+    * atomic full replace — carrying an `(appId, batchId)` transaction
+    * id in the manifest's txn ledger, so a replayed batch after a crash
+    * or checkpoint recovery is a zero-I/O skip: exactly-once under
+    * at-least-once delivery (Delta's streaming-sink idempotence,
+    * `txnAppId` defaulting to a checkpoint-stable id).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported (layout is key-hash " +
+        "buckets recorded in the manifest)")
+    val appId = parameters.getOrElse("txnAppId",
+      "graft-sink-" + java.util.UUID.nameUUIDFromBytes(
+        (parameters.getOrElse("checkpointLocation", path) + "→" + path)
+          .getBytes("UTF-8")))
+    new GraftMergeSink(spark, path, parameters, appId,
+      complete = outputMode == OutputMode.Complete(),
+      writeKeysOf = existing => writeKeys(parameters, existing, path))
   }
 
   /** keys = `keys` option (comma-separated) or the manifest's recorded
@@ -154,6 +242,36 @@ class GraftChangeFeedSource(spark: SparkSession, path: String,
   }
 }
 
+/** V1 streaming sink: each micro-batch commits atomically through the
+  * manifest protocol with an `(appId, batchId)` txn guard — replayed
+  * batch ids skip with zero I/O (see [[GraftDataSource.createSink]]).
+  */
+class GraftMergeSink(spark: SparkSession, path: String,
+                     parameters: Map[String, String], appId: String,
+                     complete: Boolean,
+                     writeKeysOf: Option[MergeWriter.Manifest] => Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = GraftSourceBridge.materializedBatch(data)
+    val existing = MergeWriter.pinManifest(spark, path, None, None)
+    val keys = writeKeysOf(existing)
+    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(64)
+    val clusterBy = parameters.get("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (complete)
+      MergeWriter.overwriteTable(spark, path, batch, keys, buckets,
+        clusterBy = clusterBy, txn = Some((appId, batchId)))
+    else
+      MergeWriter.merge(spark, path, batch, keys, buckets,
+        clusterBy = clusterBy, txn = Some((appId, batchId)))
+  }
+
+  override def toString: String = s"GraftMergeSink[$path]"
+}
+
 /** Manifest-driven file listing for Catalyst's file-source scan: the
   * planner passes the scan's partition and data filters to
   * [[listFiles]]; supported data filters translate to
@@ -182,13 +300,18 @@ class GraftFileIndex private[sources] (
 
   override def sizeInBytes: Long = allFiles.map(_._2).sum
 
+  private lazy val dataSchema: StructType =
+    MergeWriter.indexSchema(spark, tablePath, man)
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val preds = dataFilters.flatMap(GraftFileIndex.toPredicates)
+    val buckets = GraftFileIndex.keyBuckets(man, dataSchema, preds)
     val files =
-      if (preds.isEmpty) allFiles
-      else MergeWriter.indexCandidateFiles(spark, tablePath, man, preds)
+      if (preds.isEmpty && buckets.isEmpty) allFiles
+      else MergeWriter.indexCandidateFiles(spark, tablePath, man, preds,
+        buckets)
     val statuses = files.map { case (p, len) =>
       new FileStatus(len, false, 1, math.max(len, 1L), 0L, p)
     }.toArray
@@ -239,6 +362,39 @@ object GraftFileIndex {
         if (ext.contains(null)) Seq.empty else Seq(ColumnIn(a.name, ext))
       case _ => Seq.empty
     }
+
+  /** Key-hash BUCKET pruning for point lookups through plain SQL: when
+    * the conjunction pins EVERY merge-key column to concrete values
+    * (equality or IN), the wanted tuples' buckets are computable
+    * driver-side ([[MergeWriter.bucketOfKeyTuple]]) and the scan reads
+    * ≤ |tuples| buckets of the table regardless of table size — the
+    * format-read equivalent of [[MergeWriter.readKeys]]. None = no
+    * restriction (some key column unpinned, tuple fan-out too large, or
+    * a value that fails conversion): pruning must only ever remove
+    * provably irrelevant I/O.
+    */
+  private[sources] def keyBuckets(man: MergeWriter.Manifest,
+                                  schema: StructType,
+                                  preds: Seq[ColumnPredicate])
+      : Option[Set[Int]] = {
+    if (man.keyCols.isEmpty) return None
+    val eqs: Map[String, Seq[Any]] = man.keyCols.flatMap { c =>
+      val valueSets = preds.collect {
+        case ColumnRange(`c`, Some(lo), Some(hi)) if lo == hi => Seq(lo)
+        case ColumnIn(`c`, vs) => vs
+      }
+      if (valueSets.isEmpty) None
+      else Some(c -> valueSets.reduce((a, b) => a.filter(b.contains)))
+    }.toMap
+    if (!man.keyCols.forall(eqs.contains)) return None
+    val tuples = man.keyCols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+      for { t <- acc; v <- eqs(c) } yield t :+ v
+    }
+    if (tuples.isEmpty) return Some(Set.empty) // contradictory equalities
+    if (tuples.size > 64) return None
+    val buckets = tuples.map(t => MergeWriter.bucketOfKeyTuple(man, schema, t))
+    if (buckets.exists(_.isEmpty)) None else Some(buckets.flatten.toSet)
+  }
 
   private def eq(a: AttributeReference, l: Literal): Seq[ColumnPredicate] = {
     val v = scalaOf(l)

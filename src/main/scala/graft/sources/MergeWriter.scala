@@ -1147,7 +1147,8 @@ object MergeWriter {
             clusterBy: Seq[String] = Seq.empty,
             autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
             bloomBy: Seq[String] = Seq.empty,
-            bloomItems: Long = DefaultBloomItems): Unit = {
+            bloomItems: Long = DefaultBloomItems,
+            txn: Option[(String, Long)] = None): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -1180,6 +1181,10 @@ object MergeWriter {
     }
     val m = currentManifest(fs, dir)
     m.foreach(validateKeys(_, keys, "merge"))
+    // keyed merge is replay-IDEMPOTENT by construction, so the optional
+    // txn id is belt-and-braces for streaming sinks: it makes a
+    // redelivered batch a zero-I/O skip instead of a no-op rewrite
+    if (txn.exists(t => m.exists(_.txns.get(t._1).exists(_ >= t._2)))) return
     // clusterBy applies at table CREATION (like `buckets`); an existing
     // table keeps its recorded clustering
     val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
@@ -1193,11 +1198,18 @@ object MergeWriter {
       // no-op and must not CREATE the table (streaming append sinks
       // routinely deliver empty early batches)
       val touched = touchedBuckets(inc)
-      if (touched.isEmpty) return
+      if (touched.isEmpty) {
+        // empty batches never CREATE a table, but on an existing table a
+        // txn-carrying empty batch still records its guard (else a
+        // redelivery WITH rows would re-apply) — mergeAdditive's rule
+        txn.foreach(t => m.foreach(man => commitManifest(fs, dir,
+          man.copy(version = man.version + 1, txns = man.txns + t))))
+        return
+      }
       m match {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
-            keys, nb, None, clusterCols = cluster, bloomCols = bloomBy,
+            keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
             bloomN = bloomItems)
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
@@ -1220,7 +1232,7 @@ object MergeWriter {
               sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
           writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-            Some(man), clusterCols = cluster)
+            Some(man), txn, clusterCols = cluster)
       }
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
@@ -1296,6 +1308,40 @@ object MergeWriter {
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
     } finally { inc.unpersist(); () }
+  }
+
+  /** Atomic full replace (`INSERT OVERWRITE` / Delta's
+    * `mode("overwrite")`): commit the batch as the table's ENTIRE next
+    * version in ONE manifest flip — the new epoch's buckets become the
+    * whole epoch map and every previous bucket pointer drops, so a
+    * reader sees the old state or the new state, never a mix; the
+    * superseded epochs stay readable through retained versions (time
+    * travel across the overwrite) until gc ages them out. An EMPTY
+    * batch is a truncate. Keys/clustering/blooms follow [[merge]]'s
+    * creation-vs-existing rules; the optional `txn` makes a replayed
+    * overwrite a zero-I/O skip.
+    */
+  def overwriteTable(spark: SparkSession, tablePath: String,
+                     rows: DataFrame, keys: Seq[String], buckets: Int = 64,
+                     clusterBy: Seq[String] = Seq.empty,
+                     bloomBy: Seq[String] = Seq.empty,
+                     bloomItems: Long = DefaultBloomItems,
+                     txn: Option[(String, Long)] = None): Unit = {
+    require(keys.nonEmpty, "overwriteTable requires at least one key column")
+    require(!rows.columns.contains(BucketCol),
+      s"overwriteTable: frame must not contain reserved column '$BucketCol'")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val m = currentManifest(fs, dir)
+    m.foreach(validateKeys(_, keys, "overwriteTable"))
+    if (txn.exists(t => m.exists(_.txns.get(t._1).exists(_ >= t._2)))) return
+    val nb = m.map(_.buckets).getOrElse(buckets)
+    val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
+    writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, m, txn,
+      dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
+      clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
+      opName = "overwrite")
+    gc(fs, dir)
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -2939,14 +2985,41 @@ object MergeWriter {
     * to a directory listing (kept wholesale: skipping only ever removes
     * provably irrelevant I/O).
     */
+  /** The key-hash bucket a fully-specified key tuple lands in — the
+    * DRIVER-SIDE evaluation of the write path's
+    * `pmod(hash(keys…), buckets)` (Spark's `hash` = Murmur3 seed 42;
+    * `Literal.create` converts each external value to the internal form
+    * the column scan would hash, so writer and prober agree
+    * bit-for-bit). `values` must follow `man.keyCols` ORDER — the hash
+    * is order-sensitive, same contract [[validateKeys]] enforces on
+    * writes. None = a value failed conversion → caller must not prune.
+    */
+  private[sources] def bucketOfKeyTuple(man: Manifest, schema: StructType,
+                                        values: Seq[Any]): Option[Int] =
+    scala.util.Try {
+      val lits = man.keyCols.zip(values).map { case (c, v) =>
+        val dt = schema.fields.find(_.name == c).get.dataType
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(lits)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]
+      Math.floorMod(h, man.buckets)
+    }.toOption
+
   private[sources] def indexCandidateFiles(spark: SparkSession,
                                            tableRoot: String, man: Manifest,
-                                           ranges: Seq[ColumnPredicate])
+                                           ranges: Seq[ColumnPredicate],
+                                           bucketFilter: Option[Set[Int]] =
+                                             None)
       : Seq[(Path, Long)] = {
     val fs = fsFor(spark, tableRoot)
     val keeps =
       if (ranges.isEmpty) Seq.empty else fileKeepFns(fs, tableRoot, man, ranges)
-    man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+    man.epochs.toSeq.sortBy(_._1)
+      .filter { case (b, _) => bucketFilter.forall(_.contains(b)) }
+      .flatMap { case (b, e) =>
       man.stats.get(b) match {
         case Some(fss) =>
           val kept =

@@ -53,3 +53,17 @@ abstract class GraftSourceBridge extends Source {
 
   override def stop(): Unit = ()
 }
+
+object GraftSourceBridge {
+  /** Re-wrap a V1 `Sink.addBatch` frame as a plain batch DataFrame a
+    * multi-action writer can safely reuse: the streaming-planned frame
+    * the engine hands to addBatch is not built for repeated actions, so
+    * — exactly like Spark's own ForeachBatchSink — pin its physical RDD
+    * and re-expose it as a batch leaf.
+    */
+  def materializedBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
+}

@@ -141,6 +141,94 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("df.write.format(graft): append upserts, overwrite replaces atomically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gwrite").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graft").option("keys", "k").option("buckets", "2")
+      .mode("append").save(dir)
+    assert(MergeWriter.readTable(spark, dir).count() == 2)
+
+    // append = keyed MERGE: k=2 updates, k=3 inserts
+    Seq((2L, "B2"), (3L, "c")).toDF("k", "s")
+      .write.format("graft").mode("append").save(dir)
+    val afterAppend = MergeWriter.readTable(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(afterAppend == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+
+    // default ErrorIfExists honors manifest existence
+    intercept[IllegalArgumentException] {
+      Seq((9L, "x")).toDF("k", "s")
+        .write.format("graft").save(dir)
+    }
+
+    // overwrite = atomic full replace; the pre-overwrite state stays
+    // time-travel readable at its retained version
+    val preVersions = MergeWriter.availableVersions(spark, dir)
+    Seq((7L, "z")).toDF("k", "s")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(MergeWriter.readTable(spark, dir)
+      .as[(Long, String)].collect().toSeq == Seq((7L, "z")))
+    assert(MergeWriter.readTableVersion(spark, dir, preVersions.last)
+      .as[(Long, String)].collect().toSet == afterAppend)
+  }
+
+  test("format point lookup prunes to the key tuple's hash bucket") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gbkt").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    // UNCLUSTERED: bytes-only stats — min/max can never skip, so any
+    // file reduction below is the key-hash bucket restriction alone
+    try MergeWriter.merge(spark,
+      dir, (0 until 800).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      Seq("id"), buckets = 8)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    assert(total >= 16, s"fixture should have many files, got $total")
+    val point = df.where(col("id") === 42L)
+    assert(point.select("s").as[String].collect().toSeq == Seq("v42"))
+    val pointFiles = scannedFiles(point)
+    assert(pointFiles <= total / 4,
+      s"point lookup should read one bucket: $pointFiles of $total")
+    val in = df.where(col("id").isin(42L, 43L, 44L))
+    assert(in.count() == 3)
+    assert(scannedFiles(in) <= 3 * total / 8 + 3,
+      s"IN lookup should read at most 3 buckets")
+  }
+
+  test("writeStream.format(graft) merges each batch once; replays skip") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gsink").toString
+    val src = root + "/in"
+    val rows = (0 until 100).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+    rows.repartition(4).write.parquet(src)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(rows.schema).parquet(src)
+        .writeStream.format("graft")
+        .option("keys", "k").option("buckets", "4")
+        .option("txnAppId", "gsink-spec")
+        .option("checkpointLocation", ckpt)
+        .option("path", root + "/t")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(root + "/ckpt1")
+    assert(MergeWriter.readTable(spark, root + "/t").count() == 100)
+    val versions = MergeWriter.availableVersions(spark, root + "/t")
+    // a full redelivery (fresh checkpoint, same app id, batch ids
+    // restart at 0) must be a zero-commit skip via the txn ledger
+    run(root + "/ckpt2")
+    assert(MergeWriter.availableVersions(spark, root + "/t") == versions)
+    assert(MergeWriter.readTable(spark, root + "/t").count() == 100)
+  }
+
   test("readStream(graft) tails the change feed: snapshot, diffs, deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gcdc").toString + "/t"
