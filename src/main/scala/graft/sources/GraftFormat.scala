@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or,
+  StartsWith}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -360,7 +361,42 @@ object GraftFileIndex {
         val conv = CatalystTypeConverters.createToScalaConverter(dt)
         val ext = vs.toSeq.map(conv)
         if (ext.contains(null)) Seq.empty else Seq(ColumnIn(a.name, ext))
+      // a disjunction prunes only when BOTH branches reduce to concrete
+      // VALUE SETS on the SAME column — then file-keep(l OR r) is the
+      // value-list union, i.e. one ColumnIn (which also feeds key-bucket
+      // pruning). Any other OR shape translates to nothing.
+      case Or(l, r) =>
+        (valueSet(l), valueSet(r)) match {
+          case (Some((c1, v1)), Some((c2, v2))) if c1 == c2 =>
+            Seq(ColumnIn(c1, v1 ++ v2))
+          case _ => Seq.empty
+        }
+      // prefix probe → range [prefix, successor(prefix)): every string
+      // with the prefix is >= prefix and < prefix-with-last-char-
+      // incremented (no upper bound if the last char is U+FFFF — sound,
+      // just unbounded above)
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        scalaOf(l) match {
+          case p: String if p.nonEmpty =>
+            val upper =
+              if (p.last == Char.MaxValue) None
+              else Some(p.dropRight(1) + (p.last + 1).toChar)
+            Seq(ColumnRange(a.name, Some(p), upper))
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
+    }
+
+  /** The concrete value set a subtree pins ONE column to (equality, IN,
+    * or a same-column disjunction of those) — the OR-translation's
+    * building block. None = not a pure value-set shape.
+    */
+  private def valueSet(e: Expression): Option[(String, Seq[Any])] =
+    toPredicates(e) match {
+      case Seq(ColumnIn(c, vs)) => Some((c, vs))
+      case Seq(ColumnRange(c, Some(lo), Some(hi))) if lo == hi =>
+        Some((c, Seq(lo)))
+      case _ => None
     }
 
   /** Key-hash BUCKET pruning for point lookups through plain SQL: when

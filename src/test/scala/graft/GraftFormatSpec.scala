@@ -117,6 +117,37 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IN-list should skip non-matching files: $scanned of $total")
   }
 
+  test("same-column OR and prefix filters prune through the translation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gfmt").toString + "/t"
+    buildClustered(dir)
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    // disjunction of equalities on the cluster column → IN union
+    val or = df.where(col("ts") === 5L || col("ts") === 1205L)
+    assert(or.count() == 2)
+    assert(scannedFiles(or) < total / 2,
+      "OR of equalities should prune via the value-list union")
+
+    // prefix probe on a string-clustered table
+    val dir2 = Files.createTempDirectory("gfmt").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try MergeWriter.merge(spark, dir2,
+      (0 until 1600).map(i => (i.toLong, f"k$i%04d")).toDF("id", "name"),
+      Seq("id"), buckets = 2, clusterBy = Seq("name"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val df2 = spark.read.format("graft").load(dir2)
+    val total2 = scannedFiles(df2)
+    val pre = df2.where(col("name").startsWith("k003"))
+    assert(pre.count() == 10) // k0030..k0039
+    assert(scannedFiles(pre) < total2 / 2,
+      "prefix filter should prune via the successor-bound range")
+  }
+
   test("versionAsOf / timestampAsOf pin a retained version") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gfmt").toString + "/t"
