@@ -260,6 +260,75 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, root + "/t").count() == 100)
   }
 
+  test("model check: format reads with random pushed predicates match a Map") {
+    import spark.implicits._
+    // seeded: random merge/delete/compact/split sequences, then the
+    // FORMAT read under every pushed-filter shape the translation
+    // covers — full scan, cluster-column range, key equality (bucket
+    // pruning), key IN, same-column OR, and a range ∧ IN conjunction —
+    // each compared against a reference Map. The residual filter makes
+    // results exact even when skipping keeps extra files; this proves
+    // the combination never LOSES rows either.
+    val rnd = new scala.util.Random(7777)
+    val dir = Files.createTempDirectory("modelfmt").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      var model = Map.empty[Long, (Int, Int)] // k -> (d cluster col, v)
+      def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Int)] =
+        df.select("k", "d", "v").collect()
+          .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      def check(step: Int): Unit = if (model.nonEmpty) {
+        val df = spark.read.format("graft").load(dir)
+        assert(asMap(df) == model, s"full read diverged at step $step")
+        val lo = rnd.nextInt(100); val hi = lo + rnd.nextInt(40)
+        assert(asMap(df.where(col("d") >= lo && col("d") <= hi)) ==
+          model.filter { case (_, (d, _)) => d >= lo && d <= hi },
+          s"range read diverged at step $step")
+        val k0 = rnd.nextInt(80).toLong
+        assert(asMap(df.where(col("k") === k0)) ==
+          model.filter(_._1 == k0), s"point read diverged at step $step")
+        val in = Seq.fill(4)(rnd.nextInt(80).toLong).distinct
+        assert(asMap(df.where(col("k").isin(in: _*))) ==
+          model.filter(kv => in.contains(kv._1)),
+          s"IN read diverged at step $step")
+        val (a, b) = (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)
+        assert(asMap(df.where(col("k") === a || col("k") === b)) ==
+          model.filter(kv => kv._1 == a || kv._1 == b),
+          s"OR read diverged at step $step")
+        assert(asMap(df.where(col("d") >= lo && col("k").isin(in: _*))) ==
+          model.filter { case (k, (d, _)) => d >= lo && in.contains(k) },
+          s"conjunction read diverged at step $step")
+      }
+      (0 until 20).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 | 2 =>
+            val kvs = Seq.fill(rnd.nextInt(25) + 1)(
+              (rnd.nextInt(80).toLong, (rnd.nextInt(100), rnd.nextInt(1000))))
+              .toMap
+            MergeWriter.merge(spark, dir,
+              kvs.toSeq.map { case (k, (d, v)) => (k, d, v) }
+                .toDF("k", "d", "v"),
+              Seq("k"), buckets = 2, autoCompactEpochs = 3,
+              clusterBy = Seq("d"))
+            model = model ++ kvs
+          case 3 if model.nonEmpty =>
+            val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6) + 1)
+            MergeWriter.delete(spark, dir, ks.toDF("k"), Seq("k"),
+              autoCompactEpochs = 3)
+            model = model -- ks
+          case 3 => ()
+          case 4 if model.nonEmpty => MergeWriter.compact(spark, dir)
+          case 4 => ()
+          case 5 if model.nonEmpty =>
+            MergeWriter.splitBuckets(spark, dir, Seq("k"))
+          case 5 => ()
+        }
+        if (step % 4 == 3) check(step)
+      }
+      check(20)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("readStream(graft) tails the change feed: snapshot, diffs, deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gcdc").toString + "/t"
