@@ -64,22 +64,39 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
 
+  /** Pin the manifest a read uses: a standalone table's, or — with the
+    * `member` option — a member's manifest out of the GROUP commit at
+    * `path` (the L1 cross-table-atomic layout read through plain SQL;
+    * versionAsOf/timestampAsOf then address GROUP versions, so every
+    * sibling pinned at the same version is mutually consistent).
+    * Returns the manifest plus the directory its epochs live under.
+    */
   private def pin(spark: SparkSession, parameters: Map[String, String],
-                  path: String): MergeWriter.Manifest =
-    MergeWriter.pinManifest(spark, path,
-      parameters.get("versionAsOf").map(_.toLong),
-      parameters.get("timestampAsOf").map(timestampMs))
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft: $path has no committed manifest (not a graft table)"))
+                  path: String): (MergeWriter.Manifest, String) = {
+    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val tsAsOf = parameters.get("timestampAsOf").map(timestampMs)
+    parameters.get("member") match {
+      case Some(name) =>
+        (MergeWriter.pinGroupMember(spark, path, name, versionAsOf, tsAsOf)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft: $path has no committed group manifest")),
+          s"$path/$name")
+      case None =>
+        (MergeWriter.pinManifest(spark, path, versionAsOf, tsAsOf)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft: $path has no committed manifest (not a graft table)")),
+          path)
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = pathOf(parameters)
-    val man = pin(spark, parameters, path)
-    val dataSchema = MergeWriter.indexSchema(spark, path, man)
-    HadoopFsRelation(new GraftFileIndex(spark, path, man), new StructType(),
-      dataSchema, None, new ParquetFileFormat, parameters)(spark)
+    val (man, dataPath) = pin(spark, parameters, pathOf(parameters))
+    val dataSchema = MergeWriter.indexSchema(spark, dataPath, man)
+    HadoopFsRelation(new GraftFileIndex(spark, dataPath, man),
+      new StructType(), dataSchema, None, new ParquetFileFormat,
+      parameters)(spark)
   }
 
   private def csv(parameters: Map[String, String], key: String)
@@ -114,6 +131,9 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       : BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    require(!parameters.contains("member"),
+      "graft write: group members commit through MergeWriter.mergeGroup " +
+        "(cross-table atomicity); the 'member' option is read-only")
     val existing = MergeWriter.pinManifest(spark, path, None, None)
     val buckets = parameters.get("buckets").map(_.toInt).getOrElse(64)
     val clusterBy = csv(parameters, "clusterBy").getOrElse(Seq.empty)
@@ -154,6 +174,9 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Sink = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    require(!parameters.contains("member"),
+      "graft sink: group members commit through MergeWriter.mergeGroup " +
+        "(cross-table atomicity); the 'member' option is read-only")
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is not supported (layout is key-hash " +
         "buckets recorded in the manifest)")
@@ -169,21 +192,21 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
   /** keys = `keys` option (comma-separated) or the manifest's recorded
     * merge keys; compareCols = `compareCols` option or every non-key
     * column. The CDC schema is [[graft.operators.Reconcile.snapshotDiff]]'s:
-    * keys ++ old_* ++ new_* ++ op.
+    * keys ++ old_* ++ new_* ++ op. With the `member` option the stream
+    * tails a GROUP member: offsets are GROUP versions, so the tail
+    * advances exactly when the group commits.
     */
   private def cdcSpec(spark: SparkSession, parameters: Map[String, String])
-      : (String, Seq[String], Seq[String], StructType) = {
+      : (Seq[String], Seq[String], StructType,
+         () => Option[Long], Long => org.apache.spark.sql.DataFrame) = {
     val path = pathOf(parameters)
-    val man = pin(spark, parameters, path)
-    val tableSchema = MergeWriter.indexSchema(spark, path, man)
-    val keys = parameters.get("keys")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(man.keyCols)
+    val (man, dataPath) = pin(spark, parameters, path)
+    val tableSchema = MergeWriter.indexSchema(spark, dataPath, man)
+    val keys = csv(parameters, "keys").getOrElse(man.keyCols)
     require(keys.nonEmpty,
       s"graft streaming: $path records no merge keys and no 'keys' option " +
         "was supplied")
-    val compareCols = parameters.get("compareCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val compareCols = csv(parameters, "compareCols")
       .getOrElse(tableSchema.fieldNames.toSeq.filterNot(keys.contains))
     val fieldsByName = tableSchema.fields.map(f => f.name -> f).toMap
     def fieldOf(c: String): StructField = fieldsByName.getOrElse(c,
@@ -196,22 +219,33 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         compareCols.map(c => fieldOf(c).copy(name = s"new_$c",
           nullable = true)) :+
         StructField("op", StringType, nullable = true))
-    (path, keys, compareCols, schema)
+    val (latest, readV) = parameters.get("member") match {
+      case Some(name) =>
+        (() => MergeWriter.currentGroupVersion(spark, path),
+          (v: Long) => MergeWriter.readGroupTableVersion(spark, path, name, v))
+      case None =>
+        (() => MergeWriter.pinManifest(spark, path, None, None)
+          .map(_.version),
+          (v: Long) => MergeWriter.readTableVersion(spark, path, v))
+    }
+    (keys, compareCols, schema, latest, readV)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) =
-    (shortName(), cdcSpec(sqlContext.sparkSession, parameters)._4)
+    (shortName(), cdcSpec(sqlContext.sparkSession, parameters)._3)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
-    val (path, keys, compareCols, cdcSchema) = cdcSpec(spark, parameters)
-    new GraftChangeFeedSource(spark, path, keys, compareCols, cdcSchema)
+    val (keys, compareCols, cdcSchema, latest, readV) =
+      cdcSpec(spark, parameters)
+    new GraftChangeFeedSource(spark, keys, compareCols, cdcSchema, latest,
+      readV)
   }
 }
 
@@ -219,21 +253,23 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
   * are committed manifest versions (see [[GraftSourceBridge]] for the
   * engine-contract bridging).
   */
-class GraftChangeFeedSource(spark: SparkSession, path: String,
+class GraftChangeFeedSource(spark: SparkSession,
                             keys: Seq[String], compareCols: Seq[String],
-                            cdcSchema: StructType) extends GraftSourceBridge {
+                            cdcSchema: StructType,
+                            latestVersion: () => Option[Long],
+                            readVersion: Long => DataFrame)
+    extends GraftSourceBridge {
 
   override def schema: StructType = cdcSchema
 
-  override protected def currentVersion(): Option[Long] =
-    MergeWriter.pinManifest(spark, path, None, None).map(_.version)
+  override protected def currentVersion(): Option[Long] = latestVersion()
 
   override protected def changeBatch(fromVersion: Option[Long],
                                      toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val neu = MergeWriter.readTableVersion(spark, path, toVersion)
+    val neu = readVersion(toVersion)
     val old = fromVersion match {
-      case Some(v) => MergeWriter.readTableVersion(spark, path, v)
+      case Some(v) => readVersion(v)
       case None =>
         // initial batch: the full snapshot arrives as op='insert'
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], neu.schema)

@@ -2965,6 +2965,63 @@ object MergeWriter {
     }
   }
 
+  /** [[pinManifest]] for a GROUP member: resolve the group manifest the
+    * read pins (current version, `VERSION AS OF` a retained group
+    * version, or `TIMESTAMP AS OF` a commit instant) and return the
+    * member's table manifest out of it — the member's whole state is
+    * embedded in the group commit, so a pinned member read is
+    * consistent with every sibling pinned at the same version.
+    */
+  private[sources] def pinGroupMember(spark: SparkSession, groupPath: String,
+                                      name: String, versionAsOf: Option[Long],
+                                      timestampMsAsOf: Option[Long])
+      : Option[Manifest] = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    def memberOf(v: Long, p: Path): Manifest = {
+      val node = readJsonFile(fs, p)
+      val tables = scala.collection.mutable.Map.empty[String, Manifest]
+      node.get("tables").fields().forEachRemaining { t =>
+        tables(t.getKey) = manifestFromNode(t.getValue, v)
+      }
+      tables.getOrElse(name, throw new IllegalArgumentException(
+        s"graft: member '$name' not in group $groupPath at version $v " +
+          s"(members: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+    }
+    versionAsOf match {
+      case Some(v) =>
+        val retained = manifestFiles(fs, dir, GroupPrefix)
+        val hit = retained.find(_._1 == v).getOrElse(
+          throw new IllegalArgumentException(
+            s"versionAsOf: group version $v not retained for $groupPath " +
+              s"(readable: ${retained.map(_._1).mkString(", ")})"))
+        Some(memberOf(v, hit._2))
+      case None => timestampMsAsOf match {
+        case Some(ts) =>
+          val retained = manifestFiles(fs, dir, GroupPrefix)
+          val hit = retained.filter { case (_, p) =>
+            fs.getFileStatus(p).getModificationTime <= ts
+          }.lastOption.getOrElse(throw new IllegalArgumentException(
+            s"timestampAsOf: no retained group version of $groupPath " +
+              s"committed at or before $ts"))
+          Some(memberOf(hit._1, hit._2))
+        case None =>
+          currentGroupManifest(fs, dir).flatMap { g =>
+            Some(g.tables.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"graft: member '$name' not in group $groupPath " +
+                  s"(members: ${g.tables.keys.toSeq.sorted.mkString(", ")})")))
+          }
+      }
+    }
+  }
+
+  /** The group's current committed version (None while no commit). */
+  private[sources] def currentGroupVersion(spark: SparkSession,
+                                           groupPath: String): Option[Long] =
+    currentGroupManifest(fsFor(spark, groupPath), new Path(groupPath))
+      .map(_.version)
+
   /** The pinned manifest's data schema — recorded at commit for every
     * post-evolution table; a legacy manifest without one falls back to
     * a one-off parquet footer merge over its epochs.

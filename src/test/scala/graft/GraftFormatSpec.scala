@@ -260,6 +260,63 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, root + "/t").count() == 100)
   }
 
+  test("format reads a GROUP member; versionAsOf pins the group commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ggrp").toString + "/grp"
+    def load(states: Seq[(Long, String)], fields: Seq[(Long, String)]): Unit =
+      MergeWriter.mergeGroup(spark, dir, Seq(
+        ("states", states.toDF("id", "state"), Seq("id")),
+        ("fields", fields.toDF("id", "fv"), Seq("id"))), buckets = 2)
+    load(Seq((1L, "todo"), (2L, "todo")), Seq((1L, "x")))
+    load(Seq((2L, "done"), (3L, "todo")), Seq((3L, "y")))
+
+    val states = spark.read.format("graft").option("member", "states")
+      .load(dir)
+    assert(states.as[(Long, String)].collect().toSet ==
+      Set((1L, "todo"), (2L, "done"), (3L, "todo")))
+    // point lookup through the member read uses the member's key buckets
+    assert(states.where(col("id") === 2L).as[(Long, String)]
+      .collect().toSeq == Seq((2L, "done")))
+    // group versionAsOf pins BOTH the member state and its siblings
+    val v1 = MergeWriter.availableGroupVersions(spark, dir).head
+    val pinned = spark.read.format("graft").option("member", "states")
+      .option("versionAsOf", v1.toString).load(dir)
+    assert(pinned.as[(Long, String)].collect().toSet ==
+      Set((1L, "todo"), (2L, "todo")))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("member", "nope").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      Seq((9L, "x")).toDF("id", "state").write.format("graft")
+        .option("member", "states").mode("append").save(dir)
+    }
+  }
+
+  test("readStream(graft) tails a GROUP member on group versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ggrpcdc").toString + "/grp"
+    def load(states: Seq[(Long, String)]): Unit =
+      MergeWriter.mergeGroup(spark, dir, Seq(
+        ("states", states.toDF("id", "state"), Seq("id")),
+        ("fields", states.map(s => (s._1, "f")).toDF("id", "fv"),
+          Seq("id"))), buckets = 2)
+    load(Seq((1L, "todo")))
+    val q = spark.readStream.format("graft").option("member", "states")
+      .load(dir)
+      .writeStream.format("memory").queryName("ggrp_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      load(Seq((1L, "done"), (2L, "todo")))
+      q.processAllAvailable()
+      val ops = spark.table("ggrp_tail")
+        .select("id", "op", "new_state").as[(Long, String, String)]
+        .collect().toSet
+      assert(ops == Set((1L, "insert", "todo"), (1L, "update", "done"),
+        (2L, "insert", "todo")))
+    } finally q.stop()
+  }
+
   test("model check: format reads with random pushed predicates match a Map") {
     import spark.implicits._
     // seeded: random merge/delete/compact/split sequences, then the
