@@ -3754,6 +3754,35 @@ object SparkEntry {
         .select(col("n_pre"), col("n_kept"), col("sum_kept"))
     }),
 
+    // NULL-COUNT DATA SKIPPING (Delta's nullCount stats): a SPARSE
+    // column — click_ts is non-null only on click events — lands
+    // clustered by event_type, so the non-click files are ALL-NULL in
+    // it and their recorded null counts equal their row counts. The
+    // `IS NOT NULL` probe (and, via Catalyst's implicit IsNotNull, any
+    // comparison on the column) then skips every non-click file: the
+    // sparse-column scan reads the cohort's files, not the table. The
+    // reference's partial index shape (`WHERE x IS NOT NULL`), on
+    // immutable files.
+    "q161_null_skip_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-nulls") + "/events"
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "4096")
+      try sources.MergeWriter.merge(s, path, ev, Seq("event_id"),
+        buckets = 8, clusterBy = Seq("event_type"))
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      s.read.format("graft").load(path)
+        .where(col("click_ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          max(col("click_ts")).as("last_click"))
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6847,6 +6876,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
         |    AS sum_kept
         |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
+
+    // click_ts IS NOT NULL ≡ event_type = 'click' by construction.
+    "q161_null_skip_scan" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_click
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or,
-  StartsWith}
+  GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -357,7 +357,7 @@ class GraftFileIndex private[sources] (
 }
 
 object GraftFileIndex {
-  import MergeWriter.{ColumnIn, ColumnPredicate, ColumnRange}
+  import MergeWriter.{ColumnIn, ColumnNull, ColumnPredicate, ColumnRange}
 
   private def external(value: Any, lit: Literal): Any =
     if (value == null) null
@@ -388,6 +388,9 @@ object GraftFileIndex {
       case LessThanOrEqual(a: AttributeReference, l: Literal) => upper(a, l)
       case GreaterThan(l: Literal, a: AttributeReference) => upper(a, l)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => upper(a, l)
+      case IsNull(a: AttributeReference) => Seq(ColumnNull(a.name, true))
+      case IsNotNull(a: AttributeReference) =>
+        Seq(ColumnNull(a.name, false))
       case In(a: AttributeReference, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Literal]) =>
         val ext = vs.map(v => scalaOf(v.asInstanceOf[Literal]))

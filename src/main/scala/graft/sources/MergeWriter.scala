@@ -139,7 +139,8 @@ object MergeWriter {
     */
   private[sources] case class FileStat(name: String, bytes: Long, rows: Long,
                                        mins: Map[String, String],
-                                       maxs: Map[String, String])
+                                       maxs: Map[String, String],
+                                       nulls: Map[String, Long] = Map.empty)
 
   /** `clusterCols` (recorded at creation, like `keyCols`) order rows
     * WITHIN each bucket file write (`sortWithinPartitions` — a local
@@ -263,8 +264,12 @@ object MergeWriter {
       val arr = b.getValue
       stats(b.getKey.toInt) = (0 until arr.size()).map { i =>
         val f = arr.get(i)
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        // absent in pre-nullcount manifests — backward compatible
+        Option(f.get("nulls")).foreach(_.fields().forEachRemaining(e =>
+          nulls(e.getKey) = e.getValue.asLong()))
         FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
-          strMap(f.get("min")), strMap(f.get("max")))
+          strMap(f.get("min")), strMap(f.get("max")), nulls.toMap)
       }
     })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
@@ -322,7 +327,11 @@ object MergeWriter {
           "\"" + b + "\":[" + fss.map(fs =>
             "{\"f\":" + jsonStr(fs.name) + ",\"b\":" + fs.bytes +
               ",\"r\":" + fs.rows + ",\"min\":" + obj(fs.mins) +
-              ",\"max\":" + obj(fs.maxs) + "}").mkString(",") + "]"
+              ",\"max\":" + obj(fs.maxs) +
+              (if (fs.nulls.isEmpty) "" else
+                ",\"nulls\":" + fs.nulls.toSeq.sortBy(_._1)
+                  .map { case (k, v) => jsonStr(k) + ":" + v }
+                  .mkString("{", ",", "}")) + "}").mkString(",") + "]"
         }.mkString(",") + "}"
       } else "")
       .append("}").toString()
@@ -738,12 +747,26 @@ object MergeWriter {
               val acc = scala.collection.mutable.LinkedHashMap
                 .empty[String, (Char, Any, Any)]
               val dropped = scala.collection.mutable.Set.empty[String]
+              // null COUNTS are independent of min/max usability: a
+              // column whose range can't canonicalize (or is all-null)
+              // still prunes IS [NOT] NULL probes if every chunk
+              // reports its null count
+              val nullAcc = scala.collection.mutable.LinkedHashMap
+                .empty[String, Long]
+              val nullDropped = scala.collection.mutable.Set.empty[String]
               footer.getBlocks.forEach { blk =>
                 rows += blk.getRowCount
                 blk.getColumns.forEach { cc =>
                   val path = cc.getPath.toDotString
                   // top-level primitives only (a nested field's range
                   // can't anchor a top-level column predicate)
+                  if (!path.contains('.')) {
+                    val st = cc.getStatistics
+                    if (st != null && st.isNumNullsSet && !nullDropped(path))
+                      nullAcc(path) = nullAcc.getOrElse(path, 0L) +
+                        st.getNumNulls
+                    else { nullDropped += path; nullAcc.remove(path) }
+                  }
                   if (!path.contains('.') && !dropped(path)) {
                     canonMinMax(cc) match {
                       case Some(Some((tag, mn, mx))) => acc.get(path) match {
@@ -763,7 +786,8 @@ object MergeWriter {
               val kept = acc.take(StatsMaxCols)
               FileStat(f.getPath.getName, f.getLen, rows,
                 kept.map { case (c, (_, mn, _)) => c -> mn.toString }.toMap,
-                kept.map { case (c, (_, _, mx)) => c -> mx.toString }.toMap)
+                kept.map { case (c, (_, _, mx)) => c -> mx.toString }.toMap,
+                nullAcc.take(StatsMaxCols).toMap)
             } finally reader.close()
           } }
         }
@@ -2695,6 +2719,8 @@ object MergeWriter {
         vs.map(v => col(c) === lit(v).cast(dt))
           .reduceOption(_ || _)
           .map(df.filter).getOrElse(df.filter(lit(false)))
+      case ColumnNull(c, isNull) =>
+        df.filter(if (isNull) col(c).isNull else col(c).isNotNull)
     }
 
   /** One column term of [[readTableWhere]]'s conjunction. */
@@ -2714,6 +2740,15 @@ object MergeWriter {
     * deleted-item scans.
     */
   case class ColumnIn(column: String, values: Seq[Any])
+      extends ColumnPredicate
+
+  /** IS NULL / IS NOT NULL (Delta's nullCount skipping): per-file null
+    * counts recorded from the parquet footers let `IS NULL` skip files
+    * with zero nulls and `IS NOT NULL` skip all-null files — and since
+    * Catalyst conjoins an implicit IS NOT NULL onto every comparison
+    * filter, a sparse column's all-null files prune on ANY probe of it.
+    */
+  case class ColumnNull(column: String, isNull: Boolean)
       extends ColumnPredicate
 
   /** Multi-predicate data-skipping read: the conjunction (AND) of
@@ -2785,6 +2820,14 @@ object MergeWriter {
         if (canonVs.isEmpty || canonVs.exists(_.isEmpty)) None
         else Some((e: String, b: Int, f: FileStat) =>
           canonVs.flatten.exists { case (tag, v) => mightHold(e, b, f, c, tag, v) })
+      case ColumnNull(c, true) =>
+        // a file with a RECORDED zero null count provably holds no NULLs
+        Some((_: String, _: Int, f: FileStat) => !f.nulls.get(c).contains(0L))
+      case ColumnNull(c, false) =>
+        // an all-null file (nulls == rows, both recorded) has no
+        // NOT-NULL row to contribute
+        Some((_: String, _: Int, f: FileStat) =>
+          !(f.rows >= 0 && f.nulls.get(c).contains(f.rows)))
     }
   }
 

@@ -260,6 +260,43 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, root + "/t").count() == 100)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL probes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnull").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    // clustered by tag → files segregate into all-null ('b') and
+    // no-null ('a') stripes on the sparse column
+    try MergeWriter.merge(spark, dir,
+      (0 until 1600).map { i =>
+        val tag = if (i < 800) "a" else "b"
+        (i.toLong, tag, if (tag == "a") Some(i) else None)
+      }.toDF("id", "tag", "opt"),
+      Seq("id"), buckets = 2, clusterBy = Seq("tag"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    val notNull = df.where(col("opt").isNotNull)
+    assert(notNull.count() == 800)
+    assert(scannedFiles(notNull) <= total / 2 + 2,
+      "IS NOT NULL should skip the all-null files")
+    val isNull = df.where(col("opt").isNull)
+    assert(isNull.count() == 800)
+    // one straddle file per bucket carries both stripes and is
+    // legitimately kept by BOTH probes
+    assert(scannedFiles(isNull) <= total / 2 + 2,
+      "IS NULL should skip the zero-null files")
+    // Catalyst conjoins an implicit IsNotNull onto any comparison, so a
+    // range probe of the sparse column also skips the all-null stripe
+    val cmp = df.where(col("opt") >= 0)
+    assert(cmp.count() == 800)
+    assert(scannedFiles(cmp) <= total / 2 + 2,
+      "a comparison should skip all-null files via the implicit IsNotNull")
+  }
+
   test("format reads a GROUP member; versionAsOf pins the group commit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ggrp").toString + "/grp"
