@@ -6860,11 +6860,14 @@ object SparkEntry {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM allr GROUP BY 1""".stripMargin,
 
-    // The manifest-served aggregate must equal the scan aggregate.
+    // The manifest-served aggregate must equal the scan aggregate
+    // (COUNT(col) = non-null count, from rows minus recorded nulls).
     "q159_stats_only_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(COUNT(l_shipdate) AS BIGINT) AS cnt_l_shipdate,
         |  MIN(l_shipdate) AS min_l_shipdate,
         |  MAX(l_shipdate) AS max_l_shipdate,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS cnt_l_quantity,
         |  MIN(l_quantity) AS min_l_quantity,
         |  MAX(l_quantity) AS max_l_quantity
         |FROM lineitem""".stripMargin,

@@ -2907,7 +2907,8 @@ object MergeWriter {
     def scanFallback(): DataFrame = {
       val t = readTable(spark, tablePath)
       t.agg(count(lit(1)).as("cnt"),
-        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        minMaxCols.flatMap(c => Seq(count(col(c)).as(s"cnt_$c"),
+          min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))): _*)
     }
     val fs = fsFor(spark, tablePath)
@@ -2927,7 +2928,8 @@ object MergeWriter {
         val served = minMaxCols.zip(colTypes.map(_.get)).map { case (c, dt) =>
           val tag = boundToCanon(dt, canonProbe(dt)).map(_._1)
           if (tag.isEmpty ||
-              files.exists(f => !f.mins.contains(c) || !f.maxs.contains(c)))
+              files.exists(f => !f.mins.contains(c) || !f.maxs.contains(c) ||
+                !f.nulls.contains(c)))
             None
           else {
             val t = tag.get
@@ -2940,19 +2942,23 @@ object MergeWriter {
               .reduce((a, b) => if (cmpTagged(t, a, b) <= 0) a else b)
             val mx = files.map(f => parse(f.maxs(c)))
               .reduce((a, b) => if (cmpTagged(t, a, b) >= 0) a else b)
-            Some((canonToExternal(dt, mn.toString),
+            // COUNT(col) = SQL's non-null count: rows minus recorded nulls
+            val nonNull = files.map(f => f.rows - f.nulls(c)).sum
+            Some((nonNull, canonToExternal(dt, mn.toString),
               canonToExternal(dt, mx.toString), dt))
           }
         }
         if (served.exists(_.isEmpty)) return scanFallback()
         val outSchema = StructType(
           StructField("cnt", LongType, nullable = false) +:
-            minMaxCols.zip(served.map(_.get)).flatMap { case (c, (_, _, dt)) =>
-              Seq(StructField(s"min_$c", dt, nullable = true),
-                StructField(s"max_$c", dt, nullable = true))
+            minMaxCols.zip(served.map(_.get)).flatMap {
+              case (c, (_, _, _, dt)) =>
+                Seq(StructField(s"cnt_$c", LongType, nullable = false),
+                  StructField(s"min_$c", dt, nullable = true),
+                  StructField(s"max_$c", dt, nullable = true))
             })
         val values: Seq[Any] = files.map(_.rows).sum +:
-          served.flatMap { case Some((mn, mx, _)) => Seq(mn, mx)
+          served.flatMap { case Some((nn, mn, mx, _)) => Seq(nn, mn, mx)
                            case None => Seq.empty }
         spark.createDataFrame(
           java.util.Collections.singletonList(Row(values: _*)), outSchema)

@@ -1837,14 +1837,15 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "score", "tag")
     MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4,
       clusterBy = Seq("id"))
+    import org.apache.spark.sql.functions.{count, max, min}
     val expected = MergeWriter.readTable(spark, dir)
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
-        org.apache.spark.sql.functions.min(col("id")).as("min_id"),
-        org.apache.spark.sql.functions.max(col("id")).as("max_id"),
-        org.apache.spark.sql.functions.min(col("score")).as("min_score"),
-        org.apache.spark.sql.functions.max(col("score")).as("max_score"),
-        org.apache.spark.sql.functions.min(col("tag")).as("min_tag"),
-        org.apache.spark.sql.functions.max(col("tag")).as("max_tag"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("id")).as("cnt_id"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        count(col("score")).as("cnt_score"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        count(col("tag")).as("cnt_tag"),
+        min(col("tag")).as("min_tag"), max(col("tag")).as("max_tag"))
       .collect().head
     val got = MergeWriter.statsAggregate(spark, dir,
       Seq("id", "score", "tag")).collect().head
@@ -1873,7 +1874,7 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4)
     val got = MergeWriter.statsAggregate(spark, dir, Seq("score"))
       .collect().head
-    assert(got.getLong(0) == 100L)
-    assert(got.getDouble(1) == 2.0 && got.getDouble(2) == 200.0)
+    assert(got.getLong(0) == 100L && got.getLong(1) == 100L)
+    assert(got.getDouble(2) == 2.0 && got.getDouble(3) == 200.0)
   }
 }
