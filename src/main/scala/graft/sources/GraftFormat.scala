@@ -197,8 +197,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     * advances exactly when the group commits.
     */
   private def cdcSpec(spark: SparkSession, parameters: Map[String, String])
-      : (Seq[String], Seq[String], StructType,
-         () => Option[Long], Long => org.apache.spark.sql.DataFrame) = {
+      : (Seq[String], Seq[String], StructType, () => Option[Long],
+         (Option[Long], Long) => org.apache.spark.sql.DataFrame) = {
     val path = pathOf(parameters)
     val (man, dataPath) = pin(spark, parameters, path)
     val tableSchema = MergeWriter.indexSchema(spark, dataPath, man)
@@ -219,16 +219,38 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         compareCols.map(c => fieldOf(c).copy(name = s"new_$c",
           nullable = true)) :+
         StructField("op", StringType, nullable = true))
-    val (latest, readV) = parameters.get("member") match {
+    def initialSnapshot(read: Long => org.apache.spark.sql.DataFrame)
+        (toV: Long): org.apache.spark.sql.DataFrame = {
+      val neu = read(toV)
+      graft.operators.Reconcile.snapshotDiff(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], neu.schema),
+        neu, keys, compareCols)
+    }
+    val (latest, diffFn) = parameters.get("member") match {
       case Some(name) =>
+        val read = (v: Long) =>
+          MergeWriter.readGroupTableVersion(spark, path, name, v)
         (() => MergeWriter.currentGroupVersion(spark, path),
-          (v: Long) => MergeWriter.readGroupTableVersion(spark, path, name, v))
+          (from: Option[Long], to: Long) => from match {
+            case Some(v) => graft.operators.Reconcile.snapshotDiff(
+              read(v), read(to), keys, compareCols)
+            case None => initialSnapshot(read)(to)
+          })
       case None =>
         (() => MergeWriter.pinManifest(spark, path, None, None)
           .map(_.version),
-          (v: Long) => MergeWriter.readTableVersion(spark, path, v))
+          (from: Option[Long], to: Long) => from match {
+            // the version-to-version feed is BUCKET-PRUNED (see
+            // MergeWriter.changeFeed): per-trigger I/O ∝ changed
+            // buckets, never the table
+            case Some(v) =>
+              MergeWriter.changeFeed(spark, path, v, to, keys, compareCols)
+            case None => initialSnapshot(
+              MergeWriter.readTableVersion(spark, path, _))(to)
+          })
     }
-    (keys, compareCols, schema, latest, readV)
+    (keys, compareCols, schema, latest, diffFn)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -257,7 +279,7 @@ class GraftChangeFeedSource(spark: SparkSession,
                             keys: Seq[String], compareCols: Seq[String],
                             cdcSchema: StructType,
                             latestVersion: () => Option[Long],
-                            readVersion: Long => DataFrame)
+                            diffFn: (Option[Long], Long) => DataFrame)
     extends GraftSourceBridge {
 
   override def schema: StructType = cdcSchema
@@ -267,14 +289,7 @@ class GraftChangeFeedSource(spark: SparkSession,
   override protected def changeBatch(fromVersion: Option[Long],
                                      toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val neu = readVersion(toVersion)
-    val old = fromVersion match {
-      case Some(v) => readVersion(v)
-      case None =>
-        // initial batch: the full snapshot arrives as op='insert'
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], neu.schema)
-    }
-    graft.operators.Reconcile.snapshotDiff(old, neu, keys, compareCols)
+    diffFn(fromVersion, toVersion)
       .select(cdcSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }

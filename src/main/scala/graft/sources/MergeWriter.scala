@@ -3171,10 +3171,47 @@ object MergeWriter {
     */
   def changeFeed(spark: SparkSession, tablePath: String,
                  fromVersion: Long, toVersion: Long,
-                 keys: Seq[String], compareCols: Seq[String]): DataFrame =
-    graft.operators.Reconcile.snapshotDiff(
-      readTableVersion(spark, tablePath, fromVersion),
-      readTableVersion(spark, tablePath, toVersion), keys, compareCols)
+                 keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val fs = fsFor(spark, tablePath)
+    val retained = manifestFiles(fs, new Path(tablePath))
+    def manOf(v: Long): Manifest = retained.find(_._1 == v)
+      .map(h => readManifest(fs, v, h._2))
+      .getOrElse(throw new IllegalArgumentException(
+        s"changeFeed: version $v not retained for $tablePath " +
+          s"(readable: ${retained.map(_._1).mkString(", ")})"))
+    val mFrom = manOf(fromVersion)
+    val mTo = manOf(toVersion)
+    // BUCKET PRUNING: a bucket whose epoch pointer did not move between
+    // the two versions serves bit-identical files on both sides — it
+    // cannot produce a change row, so the diff join reads ONLY the
+    // changed buckets. Feed I/O ∝ changed data, not table size — the
+    // incremental-consumer contract at 100 TB (Delta's CDF reads
+    // recorded change files for the same reason). A bucket-modulus
+    // change (split) moves every pointer, which correctly degrades to
+    // the full diff; a side without a recorded schema can't build a
+    // typed empty frame, so it reads fully (rare legacy case, still
+    // exact).
+    val sameModulus = mFrom.buckets == mTo.buckets
+    val bothSchemas = mFrom.schema.isDefined && mTo.schema.isDefined
+    val (oldDf, newDf) =
+      if (sameModulus && bothSchemas) {
+        val changed = (mFrom.epochs.keySet ++ mTo.epochs.keySet)
+          .filter(b => mFrom.epochs.get(b) != mTo.epochs.get(b))
+        def side(m: Manifest): DataFrame = {
+          val paths = m.epochs.toSeq.filter(e => changed(e._1)).sortBy(_._1)
+            .map { case (b, e) => bucketPath(tablePath, e, b) }
+          if (paths.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              DataType.fromJson(m.schema.get).asInstanceOf[StructType])
+          else readWithSchema(spark, m, paths)
+        }
+        (side(mFrom), side(mTo))
+      } else
+        (readTableVersion(spark, tablePath, fromVersion),
+          readTableVersion(spark, tablePath, toVersion))
+    graft.operators.Reconcile.snapshotDiff(oldDf, newDf, keys, compareCols)
+  }
 
   /** Test hook: replay the commit path of a table-creation race LOSER —
     * a writer that observed "no manifest", wrote its epoch under its own

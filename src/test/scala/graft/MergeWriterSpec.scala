@@ -1829,6 +1829,28 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("changeFeed reads only buckets whose epoch pointers moved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfprune").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      (0 until 400).map(i => (i.toLong, i)).toDF("k", "v"),
+      Seq("k"), buckets = 8)
+    val v1 = MergeWriter.availableVersions(spark, dir).last
+    // touch exactly one key → one bucket's pointer moves
+    MergeWriter.merge(spark, dir, Seq((7L, 999)).toDF("k", "v"), Seq("k"))
+    val v2 = MergeWriter.availableVersions(spark, dir).last
+    val feed = MergeWriter.changeFeed(spark, dir, v1, v2, Seq("k"), Seq("v"))
+    assert(feed.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("op"), r.getAs[Int]("new_v")))
+      .toSeq == Seq((7L, "update", 999)))
+    // the diff must NOT read the seven untouched buckets on either side
+    val fullFiles = MergeWriter.readTableVersion(spark, dir, v2)
+      .inputFiles.length
+    assert(feed.inputFiles.length <= 2 * fullFiles / 8 + 1,
+      s"feed read ${feed.inputFiles.length} files of a $fullFiles-file " +
+        "table; expected one changed bucket per side")
+  }
+
   test("statsAggregate answers from the manifest alone (zero data I/O)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("statsagg").toString + "/t"
