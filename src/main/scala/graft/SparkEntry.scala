@@ -84,6 +84,12 @@ object SparkEntry {
   private def scratchDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** Unique suffix per q162 invocation: a session caches a catalog
+    * plugin by NAME with its options pinned at first use, so each run
+    * registers a fresh catalog name pointing at a fresh warehouse.
+    */
+  private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Evict every frame this session memoized or persisted (the shared
     * fixture/kernel frames below plus operator-internal persists routed
     * through [[CacheRegistry]]). A long-lived server calls this on session
@@ -3783,6 +3789,54 @@ object SparkEntry {
           max(col("click_ts")).as("last_click"))
     }),
 
+    // THE SQL CATALOG SURFACE (GraftCatalog as a Spark TableCatalog —
+    // Delta's DeltaCatalog shape for the manifest protocol): the entire
+    // lifecycle as pure SQL with no temp-view plumbing or DataFrame
+    // writes — CREATE NAMESPACE, CREATE TABLE ... TBLPROPERTIES(keys,
+    // clusterBy), INSERT INTO ... SELECT (keyed upsert), a predicate
+    // DELETE FROM + an id-set DELETE (SupportsDeleteV2 →
+    // MergeWriter.delete), then the A1 CFD window as a plain SQL query
+    // against the catalog table — planned through the DSv2 parquet scan
+    // with manifest file skipping on the clustered ts range. Mirrors
+    // the reference's SQL-against-Postgres analytics surface
+    // (`aurora/ddl/calculate_cfd.sql:5-70`).
+    "q162_sql_catalog" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-sqlcat"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+        .createOrReplaceTempView(s"ev_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.states (
+        event_id BIGINT, user_id BIGINT, event_type STRING,
+        ts TIMESTAMP_NTZ)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8','clusterBy'='ts')""")
+      s.sql(s"INSERT INTO $cat.etl.states SELECT * FROM ev_src_$n")
+      s.sql(s"""DELETE FROM $cat.etl.states
+        WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-15 00:00:00'""")
+      s.sql(s"DELETE FROM $cat.etl.states WHERE event_id IN (1, 2, 3)")
+      s.sql(s"""
+        WITH daily AS (
+          SELECT event_type AS state, CAST(ts AS DATE) AS flomatikasnapshotdate,
+            COUNT(*) AS n
+          FROM $cat.etl.states
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts <= TIMESTAMP '2024-02-08 23:59:59.999999'
+          GROUP BY 1, 2)
+        SELECT state, flomatikasnapshotdate,
+          CAST(SUM(n) OVER (PARTITION BY state ORDER BY flomatikasnapshotdate
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS numberofitems
+        FROM daily WHERE state IN ('purchase')
+        UNION ALL
+        SELECT state, flomatikasnapshotdate, CAST(n AS BIGINT) AS numberofitems
+        FROM daily WHERE state NOT IN ('purchase')""")
+    }),
+
     // SCHEMA EVOLUTION on merge (Delta mergeSchema): a new extractor
     // version starts emitting a `score` column for its cohort (user_id ≡
     // 0 mod 3); the evolving merge null-fills the column for every
@@ -6886,6 +6940,30 @@ object SparkEntry {
         |  MAX(CAST(ts AS TIMESTAMP)) AS last_click
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1""".stripMargin,
+
+    // The SQL-catalog lifecycle must equal the CFD window over raw
+    // events minus the two DELETEs' rows.
+    "q162_sql_catalog" ->
+      """WITH kept AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE NOT (event_type = 'view'
+        |             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00')
+        |    AND event_id NOT IN (1, 2, 3)),
+        |daily AS (
+        |  SELECT event_type AS state, CAST(ts AS DATE) AS flomatikasnapshotdate,
+        |    COUNT(*) AS n
+        |  FROM kept
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-02-08 23:59:59.999999'
+        |  GROUP BY 1, 2)
+        |SELECT state, flomatikasnapshotdate,
+        |  CAST(SUM(n) OVER (PARTITION BY state ORDER BY flomatikasnapshotdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS numberofitems
+        |FROM daily WHERE state IN ('purchase')
+        |UNION ALL
+        |SELECT state, flomatikasnapshotdate, CAST(n AS BIGINT) AS numberofitems
+        |FROM daily WHERE state NOT IN ('purchase')""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

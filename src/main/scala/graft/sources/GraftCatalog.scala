@@ -1,0 +1,422 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableCatalog, NamespaceChange,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.{
+  Expression => V2Expression, Literal => V2Literal, NamedReference,
+  Transform}
+import org.apache.spark.sql.connector.expressions.filter.{
+  And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{
+  NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The manifest protocol as a Spark SQL CATALOG: register with
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gc", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gc.warehouse", "/data/graft")
+  * }}}
+  *
+  * and the full SQL DDL/DML surface works without temp-view plumbing:
+  * `CREATE TABLE gc.ns.t (...) TBLPROPERTIES ('keys'='id')`,
+  * `INSERT INTO` (keyed MERGE upsert — the table's write semantics),
+  * `INSERT OVERWRITE` (atomic full replace), `SELECT` (planned through
+  * the native parquet source with manifest-driven data skipping — the
+  * same [[GraftFileIndex]] stats/Bloom pruning as `format("graft")`),
+  * `DELETE FROM ... WHERE ...`, `DROP/SHOW TABLES`, namespaces. This is
+  * Delta's `DeltaCatalog` surface re-expressed over the graft manifest
+  * (the reference's consumers speak raw SQL against Postgres —
+  * `aurora/ddl/calculate_cfd.sql:5-70`, the reingest CTEs of
+  * `extract_states_handler.ts:191-235` — so SQL-first access is a
+  * first-class requirement, not sugar).
+  *
+  * Identifier → path mapping is directory layout under `warehouse`:
+  * `gc.a.b.t` ↔ `<warehouse>/a/b/t`; a namespace is a directory that is
+  * not itself a table. `UPDATE` and `MERGE INTO` SQL are deliberate
+  * non-goals for now: both rewrite to row-level operations Spark only
+  * plans through `SupportsRowLevelOperations` group rewrites; the
+  * engine's equivalent is the DataFrame `MergeWriter.merge` (upsert)
+  * and `delete`, which SQL consumers reach via INSERT INTO / DELETE.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.warehouse " +
+          "to the table root directory"))
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catName
+
+  private def dirOf(parts: Seq[String]): Path =
+    parts.foldLeft(warehouse)((p, s) => new Path(p, s))
+
+  private def tableDir(ident: Identifier): Path =
+    dirOf(ident.namespace().toIndexedSeq :+ ident.name())
+
+  /** A directory is a TABLE iff it holds a committed manifest. */
+  private def isTable(dir: Path): Boolean =
+    MergeWriter.hasManifest(fs, dir)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace.toIndexedSeq)
+    if (!fs.exists(d))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(spark, dir.toString,
+      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+        .mkString("."))
+  }
+
+  /** Layout properties mirror the `format("graft")` writer options and
+    * read from TBLPROPERTIES or OPTIONS (Spark prefixes the latter with
+    * `option.`): `keys` (required), `buckets`, `clusterBy`, `bloomBy`,
+    * `bloomItems`. PARTITIONED BY is rejected — physical layout is
+    * key-hash buckets recorded in the manifest, not hive partitions.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported (layout is " +
+        "key-hash buckets; cluster with 'clusterBy' instead)")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    def prop(k: String): Option[String] =
+      Option(properties.get(k))
+        .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + k)))
+    def csv(k: String): Seq[String] = prop(k).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val keys = csv("keys")
+    require(keys.nonEmpty, s"graft catalog: CREATE TABLE $ident needs " +
+      "merge keys — TBLPROPERTIES ('keys'='k1,k2')")
+    val path = prop(TableCatalog.PROP_LOCATION).getOrElse(dir.toString)
+    MergeWriter.createTable(spark, path, schema, keys,
+      buckets = prop("buckets").map(_.toInt).getOrElse(64),
+      clusterBy = csv("clusterBy"), bloomBy = csv("bloomBy"),
+      bloomItems = prop("bloomItems").map(_.toLong)
+        .getOrElse(MergeWriter.DefaultBloomItems))
+    new GraftSqlTable(spark, path,
+      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+        .mkString("."))
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — additive schema " +
+        "evolution happens through evolving writes (merge with " +
+        "evolveSchema), and clustering/bloom retrofits through the " +
+        "maintenance API")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTable(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- namespaces: directories without a manifest --------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => Array(p.getName))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val d = dirOf(namespace.toIndexedSeq)
+    if (!fs.exists(d))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val d = dirOf(namespace.toIndexedSeq)
+      fs.exists(d) && !isTable(d)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(dirOf(namespace.toIndexedSeq))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = dirOf(namespace.toIndexedSeq)
+    if (!namespaceExists(namespace)) false
+    else if (!cascade && fs.listStatus(d).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty (use CASCADE)")
+    else fs.delete(d, true)
+  }
+}
+
+/** A catalog-registered graft table: DSv2 `Table` whose reads plan
+  * through Spark's native parquet scan ([[ParquetScanBuilder]]) over a
+  * manifest-driven [[PartitioningAwareFileIndex]] — so `SELECT` gets
+  * vectorized reading, whole-stage codegen, parquet row-group pushdown
+  * AND manifest file skipping — whose writes fall back to the V1
+  * [[InsertableRelation]] (`INSERT INTO` = keyed merge upsert,
+  * `INSERT OVERWRITE` = atomic replace), and whose `DELETE FROM` maps
+  * to [[MergeWriter.delete]] via [[SupportsDeleteV2]]. The manifest is
+  * pinned ONCE per loadTable — every query sees one consistent version
+  * (snapshot isolation), exactly like the path-based reads.
+  */
+class GraftSqlTable(spark: SparkSession, tablePath: String,
+                    tableName: String)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  private lazy val man: MergeWriter.Manifest =
+    MergeWriter.pinManifest(spark, tablePath, None, None).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: $tablePath lost its manifest after loadTable"))
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    MergeWriter.indexSchema(spark, tablePath, man)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> tablePath,
+      "keys" -> man.keyCols.mkString(","),
+      "buckets" -> man.buckets.toString,
+      "clusterBy" -> man.clusterCols.mkString(","),
+      "bloomBy" -> man.bloomCols.mkString(","),
+      "version" -> man.version.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val s = schema()
+    ParquetScanBuilder(spark,
+      new GraftPartitioningIndex(spark, tablePath, man, s), s, s, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftCatalogWriteBuilder(spark, tablePath)
+
+  /** DELETE pushes down when every predicate converts to a Column the
+    * engine can evaluate over the table scan (the usual comparison /
+    * IN / null / boolean-connective shapes). The delete itself is the
+    * storage layer's keyed delete: resolve matching keys (a pruned
+    * read), then rewrite only the buckets holding them.
+    */
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    predicates.forall(p => GraftCatalog.v2ToColumn(p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(man.keyCols.nonEmpty,
+      s"graft catalog: DELETE needs recorded merge keys on $tablePath")
+    val cond = predicates.toSeq.flatMap(p => GraftCatalog.v2ToColumn(p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val doomed = MergeWriter.readTable(spark, tablePath).where(cond)
+      .select(man.keyCols.map(col): _*).distinct()
+    MergeWriter.delete(spark, tablePath, doomed, man.keyCols)
+  }
+}
+
+/** INSERT INTO = keyed merge upsert; INSERT OVERWRITE (truncate) =
+  * atomic full replace. Keys come from the manifest — recorded at
+  * CREATE TABLE, so SQL writers never restate them.
+  */
+private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
+                                                tablePath: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val keys = MergeWriter.pinManifest(spark, tablePath, None, None)
+            .map(_.keyCols).filter(_.nonEmpty).getOrElse(
+              throw new IllegalStateException(
+                s"graft catalog: $tablePath records no merge keys"))
+          if (replace || overwrite)
+            MergeWriter.overwriteTable(spark, tablePath, data, keys)
+          else MergeWriter.merge(spark, tablePath, data, keys)
+        }
+      }
+  }
+}
+
+/** Manifest-driven file listing behind the DSv2 parquet scan: the
+  * abstract-class face [[ParquetScanBuilder]] requires, delegating the
+  * actual pruning to [[GraftFileIndex]] (one shared keep-function core
+  * for the V1 relation, the catalog scan, and the storage API). No
+  * hive-style partitions — `partitionSpec` is empty and every pushed
+  * filter is a DATA filter, which `listFiles` turns into stats/Bloom
+  * file skipping.
+  */
+private[sources] class GraftPartitioningIndex(
+    spark: SparkSession, tablePath: String, man: MergeWriter.Manifest,
+    schema: StructType)
+    extends PartitioningAwareFileIndex(spark, Map.empty, Some(schema),
+      NoopCache) {
+
+  private val inner = new GraftFileIndex(spark, tablePath, man)
+
+  override def rootPaths: Seq[Path] = inner.rootPaths
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] =
+    inner.listFiles(partitionFilters, dataFilters)
+
+  override def inputFiles: Array[String] = inner.inputFiles
+
+  override def sizeInBytes: Long = inner.sizeInBytes
+
+  private def statuses: Seq[FileStatus] =
+    inner.listFiles(Seq.empty, Seq.empty)
+      .flatMap(_.files).map(_.fileStatus)
+
+  override protected def leafFiles
+      : mutable.LinkedHashMap[Path, FileStatus] =
+    mutable.LinkedHashMap(statuses.map(s => s.getPath -> s): _*)
+
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent)
+      .map { case (d, fsSeq) => d -> fsSeq.toArray }
+}
+
+object GraftCatalog {
+
+  /** Conservative V2-predicate → Column conversion for DELETE: the
+    * comparison / IN / null-test / boolean-connective shapes SQL DELETE
+    * conditions are made of. None = unconvertible → `canDeleteWhere`
+    * says no and Spark fails the DELETE loudly (never a partial
+    * delete).
+    */
+  private[sources] def v2ToColumn(p: V2Predicate): Option[Column] =
+    p match {
+      case a: V2And =>
+        for {l <- v2ToColumn(a.left()); r <- v2ToColumn(a.right())}
+          yield l && r
+      case o: V2Or =>
+        for {l <- v2ToColumn(o.left()); r <- v2ToColumn(o.right())}
+          yield l || r
+      case n: V2Not => v2ToColumn(n.child()).map(!_)
+      case _ =>
+        val kids = p.children()
+        def c(i: Int): Option[Column] = operand(kids(i))
+        def bin(f: (Column, Column) => Column): Option[Column] =
+          if (kids.length != 2) None
+          else for {l <- c(0); r <- c(1)} yield f(l, r)
+        p.name() match {
+          case "ALWAYS_TRUE" => Some(lit(true))
+          case "ALWAYS_FALSE" => Some(lit(false))
+          case "IS_NULL" if kids.length == 1 => c(0).map(_.isNull)
+          case "IS_NOT_NULL" if kids.length == 1 => c(0).map(_.isNotNull)
+          case "=" => bin(_ === _)
+          case "<=>" => bin(_ <=> _)
+          case "<>" | "!=" => bin(_ =!= _)
+          case "<" => bin(_ < _)
+          case "<=" => bin(_ <= _)
+          case ">" => bin(_ > _)
+          case ">=" => bin(_ >= _)
+          case "STARTS_WITH" =>
+            bin((l, r) => l.startsWith(r))
+          case "IN" if kids.length >= 2 =>
+            val vals = kids.drop(1).toSeq.map {
+              case l: V2Literal[_] => Some(externalOf(l))
+              case _ => None
+            }
+            if (vals.exists(_.isEmpty)) None
+            else c(0).map(_.isin(vals.flatten: _*))
+          case _ => None
+        }
+    }
+
+  private def externalOf(l: V2Literal[_]): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  private def operand(e: V2Expression): Option[Column] = e match {
+    case r: NamedReference => Some(col(r.fieldNames().mkString(".")))
+    case l: V2Literal[_] => Some(lit(externalOf(l)))
+    case _ => None
+  }
+}

@@ -180,10 +180,20 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is not supported (layout is key-hash " +
         "buckets recorded in the manifest)")
-    val appId = parameters.getOrElse("txnAppId",
-      "graft-sink-" + java.util.UUID.nameUUIDFromBytes(
-        (parameters.getOrElse("checkpointLocation", path) + "→" + path)
-          .getBytes("UTF-8")))
+    // appId precedence: explicit txnAppId > checkpoint-stable derived id
+    // > per-sink-instance random. The random fallback matters: when the
+    // checkpoint comes from spark.sql.streaming.checkpointLocation (the
+    // CONF, not the option — Spark doesn't forward it here), deriving
+    // from the table path alone would make every query writing the same
+    // table share one appId, and the txn guard would silently DROP a
+    // second query's batches whose ids trail the first's. Keyed merge is
+    // replay-idempotent on its own, so a random id only costs cross-
+    // restart zero-I/O dedupe — never correctness.
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map(cp =>
+        "graft-sink-" + java.util.UUID.nameUUIDFromBytes(
+          (cp + "→" + path).getBytes("UTF-8"))))
+      .getOrElse("graft-sink-" + java.util.UUID.randomUUID())
     new GraftMergeSink(spark, path, parameters, appId,
       complete = outputMode == OutputMode.Complete(),
       writeKeysOf = existing => writeKeys(parameters, existing, path))
@@ -299,7 +309,7 @@ class GraftChangeFeedSource(spark: SparkSession,
   * batch ids skip with zero I/O (see [[GraftDataSource.createSink]]).
   */
 class GraftMergeSink(spark: SparkSession, path: String,
-                     parameters: Map[String, String], appId: String,
+                     parameters: Map[String, String], val appId: String,
                      complete: Boolean,
                      writeKeysOf: Option[MergeWriter.Manifest] => Seq[String])
     extends org.apache.spark.sql.execution.streaming.Sink {

@@ -288,6 +288,12 @@ object MergeWriter {
   private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
     manifestFiles(fs, dir).lastOption.map { case (v, p) => readManifest(fs, v, p) }
 
+  /** Cheap "is this directory a committed graft table?" probe — one
+    * listing, no manifest parse (the catalog's table-vs-namespace test).
+    */
+  private[sources] def hasManifest(fs: FileSystem, dir: Path): Boolean =
+    manifestFiles(fs, dir).nonEmpty
+
   /** Atomic commit: stage the manifest JSON under a dot-file (invisible to
     * readers), then publish it with an atomic no-overwrite primitive — on
     * a local filesystem a POSIX hard link (`link(2)` refuses an existing
@@ -358,6 +364,37 @@ object MergeWriter {
           s"$op: lost the version-${m.version} commit race to a concurrent " +
             s"writer of $dir — re-run against the new table state", e)
     }
+
+  /** Metadata-only commit recording a streaming txn guard on an empty
+    * batch. Unlike a data commit — whose staged epoch becomes stale on a
+    * lost CAS — the guard derives from nothing, so losing the race to a
+    * concurrent writer is retriable: re-read the manifest (which may
+    * already carry an equal-or-newer guard from a concurrent replay, in
+    * which case stop) and re-publish on top of it. Stamps `op`/`opTs` so
+    * tableHistory shows the guard commit, not a duplicate of the prior
+    * operation.
+    */
+  private def commitTxnGuard(fs: FileSystem, dir: Path,
+                             t: (String, Long)): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      currentManifest(fs, dir) match {
+        case None => return // table vanished — nothing to guard
+        case Some(man) =>
+          if (man.txns.get(t._1).exists(_ >= t._2)) return
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              txns = man.txns + t, op = "txn",
+              opTs = System.currentTimeMillis()))
+            return
+          } catch { case _: java.io.IOException => () } // lost CAS — rebase
+      }
+    }
+    throw new java.io.IOException(
+      s"txn: could not record streaming txn guard $t on $dir after " +
+        s"$attempts attempts (persistent commit contention)")
+  }
 
   /** The atomic no-overwrite publish shared by table and group commits
     * (see [[commitManifest]]'s doc for the link/rename CAS semantics).
@@ -685,7 +722,26 @@ object MergeWriter {
   private def cmpTagged(tag: Char, a: Any, b: Any): Int = tag match {
     case 'L' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case 'D' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case _ => cmpUtf8(a.asInstanceOf[String], b.asInstanceOf[String])
+  }
+
+  /** Unsigned UTF-8 byte order — the order parquet footer min/max and
+    * Spark's `UTF8String` use (identical to code-point order). Java's
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees for
+    * strings mixing non-BMP code points with U+E000..U+FFFF — comparing
+    * stats bounds with it could wrongly skip files.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Per-file column stats of a just-written epoch, straight from the
@@ -1226,8 +1282,7 @@ object MergeWriter {
         // empty batches never CREATE a table, but on an existing table a
         // txn-carrying empty batch still records its guard (else a
         // redelivery WITH rows would re-apply) — mergeAdditive's rule
-        txn.foreach(t => m.foreach(man => commitManifest(fs, dir,
-          man.copy(version = man.version + 1, txns = man.txns + t))))
+        txn.foreach(t => if (m.isDefined) commitTxnGuard(fs, dir, t))
         return
       }
       m match {
@@ -1309,8 +1364,7 @@ object MergeWriter {
       if (touched.isEmpty) {
         // an empty batch is applied by definition — but its txn must
         // still be recorded, or a redelivery with rows would double-apply
-        m.foreach(man => commitManifest(fs, dir,
-          man.copy(version = man.version + 1, txns = man.txns + txn)))
+        if (m.isDefined) commitTxnGuard(fs, dir, txn)
         return
       }
       val cols = (keys ++ addCols).map(col)
@@ -1366,6 +1420,43 @@ object MergeWriter {
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
       opName = "overwrite")
     gc(fs, dir)
+  }
+
+  /** CREATE TABLE: commit an EMPTY manifest carrying the declared
+    * schema and layout (merge keys, bucket modulus, clustering, Bloom
+    * columns) with no data files — the metadata-only table creation SQL
+    * `CREATE TABLE ... USING graft` needs (Delta's create-then-write
+    * shape). Every later write validates against and inherits this
+    * recorded layout; reads of the empty table see zero rows of the
+    * declared schema. Fails if the path already holds a committed
+    * table; the manifest CAS makes a creation race single-winner.
+    */
+  def createTable(spark: SparkSession, tablePath: String,
+                  schema: StructType, keys: Seq[String], buckets: Int = 64,
+                  clusterBy: Seq[String] = Seq.empty,
+                  bloomBy: Seq[String] = Seq.empty,
+                  bloomItems: Long = DefaultBloomItems): Unit = {
+    require(keys.nonEmpty, "createTable requires at least one key column")
+    val names = schema.fieldNames.toSet
+    keys.foreach(k => require(names.contains(k),
+      s"createTable: key column '$k' is not in the declared schema " +
+        names.toSeq.sorted.mkString("(", ",", ")")))
+    bloomBy.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"createTable: bloomBy column '$c' is not in " +
+        "the declared schema")
+      require(bloomPutKind(f.get.dataType).isDefined,
+        s"createTable: bloomBy column '$c' has unsupported type " +
+          f.get.dataType.simpleString)
+    }
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    require(currentManifest(fs, dir).isEmpty,
+      s"createTable: $tablePath already holds a committed graft table")
+    fs.mkdirs(dir)
+    commitManifest(fs, dir, Manifest(1L, buckets, Map.empty, Map.empty,
+      Some(schema.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
+      "create", System.currentTimeMillis()))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -2925,6 +3016,21 @@ object MergeWriter {
         val colTypes = minMaxCols.map(c =>
           schema.get.fields.find(_.name == c).map(_.dataType))
         if (colTypes.exists(_.isEmpty)) return scanFallback()
+        // empty table (truncating overwrite / delete-all left zero files):
+        // SQL's answer is cnt=0 with NULL min/max — still metadata-only
+        if (files.isEmpty) {
+          val outSchema = StructType(
+            StructField("cnt", LongType, nullable = false) +:
+              minMaxCols.zip(colTypes.map(_.get)).flatMap { case (c, dt) =>
+                Seq(StructField(s"cnt_$c", LongType, nullable = false),
+                  StructField(s"min_$c", dt, nullable = true),
+                  StructField(s"max_$c", dt, nullable = true))
+              })
+          val values: Seq[Any] = 0L +:
+            minMaxCols.flatMap(_ => Seq(0L, null, null))
+          return spark.createDataFrame(
+            java.util.Collections.singletonList(Row(values: _*)), outSchema)
+        }
         val served = minMaxCols.zip(colTypes.map(_.get)).map { case (c, dt) =>
           val tag = boundToCanon(dt, canonProbe(dt)).map(_._1)
           if (tag.isEmpty ||

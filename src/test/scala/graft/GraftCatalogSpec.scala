@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MergeWriter
+
+/** The manifest protocol as a SQL catalog (GraftCatalog): CREATE TABLE /
+  * INSERT INTO (keyed upsert) / INSERT OVERWRITE / SELECT (DSv2 parquet
+  * scan with manifest file skipping) / DELETE FROM / DROP TABLE, all as
+  * pure SQL with no temp-view plumbing.
+  */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val wh = Files.createTempDirectory("gcat-wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      .config("spark.sql.catalog.gcat.warehouse", wh)
+      .getOrCreate()
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Distinct data files the executed DSv2 scan actually planned —
+    * files the manifest-driven index handed to ParquetScan AFTER
+    * skipping.
+    */
+  private def plannedFiles(df: DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the plan")
+    scans.head.inputPartitions.flatMap {
+      case fp: FilePartition => fp.files.map(_.urlEncodedPath)
+      case _ => Seq.empty
+    }.distinct.size
+  }
+
+  test("SQL DDL + DML lifecycle: create, upsert-insert, delete, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t")
+    spark.sql(
+      """CREATE TABLE gcat.ns.t (id BIGINT, grp STRING, v DOUBLE)
+        |TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id')
+        |""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("t"))
+    // empty table reads as zero rows of the declared schema
+    assert(spark.sql("SELECT * FROM gcat.ns.t").count() == 0)
+
+    spark.sql(
+      "INSERT INTO gcat.ns.t SELECT id, CASE WHEN id % 2 = 0 THEN 'even' " +
+        "ELSE 'odd' END, CAST(id AS DOUBLE) FROM range(1, 101)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.t")
+      .collect().head.getLong(0) == 100)
+
+    // INSERT INTO is the table's write semantics: keyed MERGE upsert —
+    // overlapping ids replace, new ids append
+    spark.sql(
+      "INSERT INTO gcat.ns.t SELECT id, 'upd', -1.0 FROM range(90, 111)")
+    val after = spark.sql(
+      "SELECT COUNT(*) AS c, SUM(CASE WHEN grp = 'upd' THEN 1 ELSE 0 END) " +
+        "AS u FROM gcat.ns.t").collect().head
+    assert(after.getLong(0) == 110 && after.getLong(1) == 21)
+
+    // DELETE FROM → SupportsDeleteV2 → MergeWriter.delete
+    spark.sql("DELETE FROM gcat.ns.t WHERE grp = 'upd' AND id >= 100")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.t")
+      .collect().head.getLong(0) == 99)
+    spark.sql("DELETE FROM gcat.ns.t WHERE id IN (1, 2, 3)")
+    assert(spark.sql("SELECT MIN(id) AS m FROM gcat.ns.t")
+      .collect().head.getLong(0) == 4)
+
+    // INSERT OVERWRITE = atomic full replace
+    spark.sql(
+      "INSERT OVERWRITE gcat.ns.t SELECT id, 'fresh', 0.0 FROM range(5)")
+    val fresh = spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.t " +
+      "WHERE grp = 'fresh'").collect().head.getLong(0)
+    assert(fresh == 5)
+
+    spark.sql("DROP TABLE gcat.ns.t")
+    assert(!spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("t"))
+  }
+
+  test("catalog SELECT prunes files through the manifest stats") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.skip")
+    spark.sql("DROP TABLE IF EXISTS gcat.skip.m")
+    val dir = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/skip/m"
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    try {
+      MergeWriter.merge(spark,
+        dir, (1 to 20000).map(i => (i.toLong, i % 97)).toDF("id", "x"),
+        Seq("id"), buckets = 4, clusterBy = Seq("id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val all = spark.sql("SELECT * FROM gcat.skip.m")
+    val ranged = spark.sql(
+      "SELECT COUNT(*) AS c, SUM(x) AS s FROM gcat.skip.m " +
+        "WHERE id BETWEEN 4000 AND 4999")
+    val total = plannedFiles(all)
+    val pruned = plannedFiles(ranged)
+    assert(total >= 20, s"expected a many-file table, got $total")
+    assert(pruned <= total / 4,
+      s"range read planned $pruned of $total files — no skipping?")
+    // and the pruned read is exact
+    val r = ranged.collect().head
+    assert(r.getLong(0) == 1000 &&
+      r.getLong(1) == (4000 to 4999).map(_ % 97).sum)
+    spark.sql("DROP TABLE gcat.skip.m")
+  }
+
+  test("DELETE with an untranslatable predicate fails loudly, not partially") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.guard")
+    spark.sql("CREATE TABLE gcat.ns.guard (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gcat.ns.guard SELECT id, 'a' FROM range(10)")
+    // a correlated/exotic predicate no storage delete can translate
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gcat.ns.guard WHERE length(repeat(s, 3)) > id")
+    }
+    assert(e.getMessage != null)
+    // nothing was deleted
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.guard")
+      .collect().head.getLong(0) == 10)
+    spark.sql("DROP TABLE gcat.ns.guard")
+  }
+}

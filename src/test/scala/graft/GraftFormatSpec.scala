@@ -455,4 +455,26 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(deleted == Seq((1L, 10.0)))
     } finally q.stop()
   }
+
+  test("sink txnAppId: checkpoint-stable when given, per-instance when not") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("gsink").toString + "/t"
+    val ds = new graft.sources.GraftDataSource
+    def sink(params: Map[String, String]) =
+      ds.createSink(spark.sqlContext, params + ("path" -> dir),
+        Nil, OutputMode.Append())
+        .asInstanceOf[graft.sources.GraftMergeSink]
+    // explicit txnAppId wins
+    assert(sink(Map("txnAppId" -> "mine", "checkpointLocation" -> "/cp"))
+      .appId == "mine")
+    // checkpointLocation option → stable derived id (cross-restart dedupe)
+    val a = sink(Map("checkpointLocation" -> "/cp/a")).appId
+    assert(a == sink(Map("checkpointLocation" -> "/cp/a")).appId)
+    assert(a != sink(Map("checkpointLocation" -> "/cp/b")).appId)
+    // NO checkpoint option (e.g. it came from the sql conf, which Spark
+    // does not forward to createSink): two queries writing the same
+    // table must NOT share an appId, or the txn guard would silently
+    // drop the slower query's batches
+    assert(sink(Map.empty).appId != sink(Map.empty).appId)
+  }
 }

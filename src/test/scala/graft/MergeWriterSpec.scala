@@ -1899,4 +1899,70 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(0) == 100L && got.getLong(1) == 100L)
     assert(got.getDouble(2) == 2.0 && got.getDouble(3) == 200.0)
   }
+
+  test("statsAggregate on an emptied table is metadata cnt=0, null min/max") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("statsagg").toString + "/t"
+    val rows = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 2,
+      clusterBy = Seq("id"))
+    // truncating overwrite leaves the manifest with zero data files
+    MergeWriter.overwriteTable(spark, dir,
+      rows.limit(0), Seq("id"), buckets = 2)
+    val got = MergeWriter.statsAggregate(spark, dir, Seq("id", "score"))
+      .collect().head
+    assert(got.getLong(0) == 0L)
+    assert(got.getLong(1) == 0L && got.isNullAt(2) && got.isNullAt(3))
+    assert(got.getLong(4) == 0L && got.isNullAt(5) && got.isNullAt(6))
+  }
+
+  test("string stats bounds compare in UTF-8 code-point order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("statsutf8").toString + "/t"
+    // Two classes of strings whose UTF-16 code-unit order DISAGREES with
+    // code-point order: U+E000..U+FFFD sort ABOVE surrogate pairs under
+    // String.compareTo but BELOW them by code point / UTF-8 bytes.
+    val bmpHigh = (0 until 40).map(i => new String(
+      Character.toChars(0xE000 + i)) + s"b$i")
+    val astral = (0 until 40).map(i => new String(
+      Character.toChars(0x10000 + i)) + s"a$i")
+    // key = the string itself so values SEGREGATE by bucket, and two
+    // merges so some buckets keep files containing only one class —
+    // forcing the cross-file min/max reduce to compare across classes
+    MergeWriter.merge(spark, dir, bmpHigh.toDF("s"), Seq("s"),
+      buckets = 16, clusterBy = Seq("s"))
+    MergeWriter.merge(spark, dir, astral.toDF("s"), Seq("s"), buckets = 16)
+    val expected = MergeWriter.readTable(spark, dir)
+      .agg(count(lit(1)).as("cnt"), count(col("s")).as("cnt_s"),
+        min(col("s")).as("min_s"), max(col("s")).as("max_s"))
+      .collect().head
+    val got = MergeWriter.statsAggregate(spark, dir, Seq("s"))
+      .collect().head
+    assert(got == expected)
+    // non-vacuity: the true max IS an astral string (Spark orders by
+    // UTF8String), so a UTF-16 comparator picking a U+Fxxx file bound
+    // over a surrogate-pair bound would have surfaced here
+    assert(expected.getString(3).codePointAt(0) >= 0x10000)
+  }
+
+  test("empty-batch txn guard is a stamped, contention-safe commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txnguard").toString + "/t"
+    val rows = (1 to 20).map(i => (i.toLong, i)).toDF("id", "v")
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 2)
+    MergeWriter.merge(spark, dir, rows.limit(0), Seq("id"),
+      txn = Some(("app", 5L)))
+    val h = MergeWriter.tableHistory(spark, dir).collect()
+    assert(h.head.getAs[String]("op") == "txn",
+      s"guard commit should stamp op=txn, history head was ${h.head}")
+    assert(h.head.getAs[java.sql.Timestamp]("commit_ts") != null)
+    // the guard is live: a redelivered batch WITH rows at the same id
+    // is a zero-I/O skip; the next id applies
+    MergeWriter.merge(spark, dir,
+      Seq((100L, 100)).toDF("id", "v"), Seq("id"), txn = Some(("app", 5L)))
+    assert(MergeWriter.readTable(spark, dir).count() == 20)
+    MergeWriter.merge(spark, dir,
+      Seq((100L, 100)).toDF("id", "v"), Seq("id"), txn = Some(("app", 6L)))
+    assert(MergeWriter.readTable(spark, dir).count() == 21)
+  }
 }
