@@ -534,6 +534,105 @@ object ScaleBench {
       qs.foreach(q => time(rep, q))
     }
     if (sections("zipf")) time(zipf, "q22_ngram_jaccard")
+
+    // round 10: clustering retrofit (OPTIMIZE ZORDER as a verb) — an
+    // UNCLUSTERED table opens every file for a 10% ts window; after
+    // clusterTable the same window opens ~the window's fraction. The
+    // before/after pair is the whole claim.
+    def retroBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val path = s"$work/retro10/$tag/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/retro10/$tag"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+      try {
+        MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 16)
+        val tsmm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        def tsAt(f: Double): Any = (tsmm.get(0), tsmm.get(1)) match {
+          case (a: Long, b: Long) => java.lang.Long.valueOf(
+            a + ((b - a) * f).toLong)
+          case (a, _) => a
+        }
+        def window(): Int = MergeWriter.readTableRange(spark, path, "ts",
+          Some(tsAt(0.45)), Some(tsAt(0.55))).inputFiles.length
+        val before = window()
+        val allBefore = MergeWriter.readTable(spark, path).inputFiles.length
+        val t0 = System.nanoTime()
+        MergeWriter.clusterTable(spark, path, Seq("ts"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = window()
+        val allAfter = MergeWriter.readTable(spark, path).inputFiles.length
+        println(f"""{"dir":"$tag","retro_files_total_before":$allBefore,"retro_window_before":$before,"retro_files_total_after":$allAfter,"retro_window_after":$after,"retro_rewrite_sec":$sec%.1f}""")
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    if (sections("retro10")) { retroBench(base, "sf0.1"); retroBench(rep, "rep10") }
+
+    // round 10: cross-column OR skipping — (10% user stripe) OR (point
+    // ids): files opened ≈ union of the branches, not the table.
+    def orBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val path = s"$work/or10/$tag/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/or10/$tag"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+      try MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 16,
+        clusterBy = Seq("zorder2:user_id,ts"))
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val r = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("event_id"))).head()
+      val (uLo, uHi) = (r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 45 / 100,
+        r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 55 / 100)
+      val ids = (0 until 4).map(i => r.getLong(2) + i)
+      val all = MergeWriter.readTable(spark, path).inputFiles.length
+      val stripe = MergeWriter.readTableWhere(spark, path, Seq(
+        MergeWriter.ColumnRange("user_id", Some(uLo), Some(uHi))))
+        .inputFiles.length
+      val or = MergeWriter.readTableWhere(spark, path, Seq(
+        MergeWriter.ColumnOr(Seq(
+          Seq(MergeWriter.ColumnRange("user_id", Some(uLo), Some(uHi))),
+          Seq(MergeWriter.ColumnIn("event_id", ids))))))
+        .inputFiles.length
+      println(s"""{"dir":"$tag","or_total_files":$all,"or_stripe_files":$stripe,"or_union_files":$or}""")
+    }
+    if (sections("or10")) { orBench(base, "sf0.1"); orBench(rep, "rep10") }
+
+    // round 10: fingerprint change feeds — a one-key merge into a
+    // fingerprinted clustered table diffs ~one repacked file per side
+    // instead of every file of the changed bucket; the feed's file
+    // count must stay flat from sf0.1 to rep10 (change-proportional,
+    // not corpus-proportional).
+    def fpFeedBench(dir: String, tag: String): Unit = {
+      import graft.sources.MergeWriter
+      val path = s"$work/fpfeed10/$tag/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$work/fpfeed10/$tag"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+      try MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 4,
+        clusterBy = Seq("event_id"), fingerprint = true)
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val v1 = MergeWriter.availableVersions(spark, path).last
+      val id = ev.agg(max(col("event_id"))).head().getLong(0)
+      MergeWriter.merge(spark, path,
+        ev.filter(col("event_id") === id).limit(1)
+          .withColumn("event_type", lit("touched")),
+        Seq("event_id"))
+      val v2 = MergeWriter.availableVersions(spark, path).last
+      val feed = MergeWriter.changeFeed(spark, path, v1, v2,
+        Seq("event_id"), Seq("event_type"))
+      val t0 = System.nanoTime()
+      val n = feed.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val all = MergeWriter.readTable(spark, path).inputFiles.length
+      println(f"""{"dir":"$tag","fpfeed_total_files":$all,"fpfeed_files":${feed.inputFiles.length},"fpfeed_rows":$n,"fpfeed_sec":$sec%.2f}""")
+    }
+    if (sections("fpfeed10")) { fpFeedBench(base, "sf0.1"); fpFeedBench(rep, "rep10") }
+
     spark.stop()
   }
 }

@@ -3371,6 +3371,93 @@ object SparkEntry {
     // query is the per-user activity panel shape: one user cohort,
     // one time window, daily counts. Residual filters keep results
     // exact, so plain SQL is the oracle.
+    // CLUSTERING RETROFIT (Delta's OPTIMIZE ... ZORDER BY as a verb,
+    // not a creation-time choice): the table is created UNCLUSTERED —
+    // bytes-only stats, so its range reads open every file — then
+    // clusterTable rewrites it under a ts sort, records the spec and
+    // full per-file stats, and the same window read prunes. The query
+    // answers from the POST-retrofit pruned read; correctness = the
+    // plain filtered aggregate over raw events.
+    "q163_cluster_retrofit" -> ((s, dir) => {
+      val path = scratchDir("graft-retrofit") + "/events"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 8)
+        sources.MergeWriter.clusterTable(s, path, Seq("ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      sources.MergeWriter.readTableRange(s, path, "ts",
+          lower = Some("2024-01-10 00:00:00"),
+          upper = Some("2024-01-19 23:59:59.999999"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // N-DIMENSIONAL Z-ORDER (zorderN:a,b,c): three independent query
+    // dimensions share one layout — each file covers a small BOX of
+    // (user, type-length, time), so the 3-D rectangle read prunes on
+    // every axis where 1-D clustering narrows only its sort column.
+    "q164_zorder3_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-z3") + "/events"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), length(col("event_type")).cast("long").as("tlen"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 8,
+          clusterBy = Seq("zorderN:user_id,tlen,ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      sources.MergeWriter.readTableWhere(s, path, Seq(
+          sources.MergeWriter.ColumnRange("user_id",
+            Some(40L), Some(89L)),
+          sources.MergeWriter.ColumnRange("tlen", Some(4L), Some(5L)),
+          sources.MergeWriter.ColumnRange("ts",
+            Some("2024-01-05 00:00:00"),
+            Some("2024-01-24 23:59:59.999999"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // CROSS-COLUMN OR SKIPPING (the reference's reingest shape — a date
+    // window OR an explicit id set, `extract_states_handler.ts`'s CTE
+    // union): a top-level OR prunes as the UNION of its branches' file
+    // sets, where round 9 read the whole table for any OR that wasn't a
+    // same-column value list. Runs through plain SQL over the
+    // format("graft") relation, so the pruning path is the Catalyst
+    // translation, not a storage-API call.
+    "q165_or_skip_scan" -> ((s, dir) => {
+      val path = scratchDir("graft-orskip") + "/events"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 8,
+          clusterBy = Seq("zorder2:user_id,ts"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      s.read.format("graft").load(path)
+        .where((col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+            && col("ts") <= lit("2024-01-27 23:59:59.999999")
+              .cast("timestamp_ntz"))
+          || col("event_id").isin(10L, 11L, 12L, 13L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+    }),
+
     "q153_zorder_scan" -> ((s, dir) => {
       val path = scratchDir("graft-zorder") + "/events"
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -6788,6 +6875,37 @@ object SparkEntry {
 
     // The file-pruned two-dimensional read + residual filters must
     // equal the plain filtered aggregate over raw events.
+    // Post-retrofit pruned window read = plain filtered aggregate.
+    "q163_cluster_retrofit" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // The OR read = the plain disjunctive filtered aggregate.
+    "q165_or_skip_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+        |FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-28 00:00:00')
+        |   OR event_id IN (10, 11, 12, 13)
+        |GROUP BY 1""".stripMargin,
+
+    // The 3-D box read with residual filters = the plain filtered
+    // aggregate over raw events.
+    "q164_zorder3_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 89
+        |  AND length(event_type) BETWEEN 4 AND 5
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
     "q153_zorder_scan" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

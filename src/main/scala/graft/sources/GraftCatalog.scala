@@ -109,6 +109,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .mkString("."))
   }
 
+  /** SQL time travel: `SELECT ... FROM gc.ns.t VERSION AS OF 3` — Spark
+    * routes the pinned version here. The returned table reads that
+    * retained manifest (and rejects writes: history is immutable).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF wants a numeric manifest " +
+          s"version, got '$version'"))
+    new GraftSqlTable(spark, dir.toString,
+      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+        .mkString(".") + s"@v$v", versionAsOf = Some(v))
+  }
+
+  /** SQL time travel: `... TIMESTAMP AS OF <micros-since-epoch>` (Spark
+    * hands the catalog microseconds).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(spark, dir.toString,
+      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+        .mkString(".") + s"@ts$timestampMicros",
+      timestampAsOf = Some(timestampMicros / 1000L))
+  }
+
   /** Layout properties mirror the `format("graft")` writer options and
     * read from TBLPROPERTIES or OPTIONS (Spark prefixes the latter with
     * `option.`): `keys` (required), `buckets`, `clusterBy`, `bloomBy`,
@@ -136,7 +164,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       buckets = prop("buckets").map(_.toInt).getOrElse(64),
       clusterBy = csv("clusterBy"), bloomBy = csv("bloomBy"),
       bloomItems = prop("bloomItems").map(_.toLong)
-        .getOrElse(MergeWriter.DefaultBloomItems))
+        .getOrElse(MergeWriter.DefaultBloomItems),
+      retainVersions = prop("retainVersions").map(_.toInt)
+        .getOrElse(MergeWriter.KeepManifests),
+      retainMs = prop("retainMs").map(_.toLong).getOrElse(0L))
     new GraftSqlTable(spark, path,
       (catName +: ident.namespace().toIndexedSeq :+ ident.name())
         .mkString("."))
@@ -231,13 +262,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * (snapshot isolation), exactly like the path-based reads.
   */
 class GraftSqlTable(spark: SparkSession, tablePath: String,
-                    tableName: String)
+                    tableName: String,
+                    versionAsOf: Option[Long] = None,
+                    timestampAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 {
 
+  private def pinned: Boolean =
+    versionAsOf.isDefined || timestampAsOf.isDefined
+
   private lazy val man: MergeWriter.Manifest =
-    MergeWriter.pinManifest(spark, tablePath, None, None).getOrElse(
-      throw new IllegalStateException(
+    MergeWriter.pinManifest(spark, tablePath, versionAsOf, timestampAsOf)
+      .getOrElse(throw new IllegalStateException(
         s"graft catalog: $tablePath lost its manifest after loadTable"))
 
   override def name(): String = tableName
@@ -265,8 +301,12 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       new GraftPartitioningIndex(spark, tablePath, man, s), s, s, options)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"graft catalog: $tableName is a time-travel pin — history is " +
+        "immutable, write to the current table")
     new GraftCatalogWriteBuilder(spark, tablePath)
+  }
 
   /** DELETE pushes down when every predicate converts to a Column the
     * engine can evaluate over the table scan (the usual comparison /
@@ -278,6 +318,9 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     predicates.forall(p => GraftCatalog.v2ToColumn(p).isDefined)
 
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(!pinned,
+      s"graft catalog: $tableName is a time-travel pin — history is " +
+        "immutable, delete from the current table")
     require(man.keyCols.nonEmpty,
       s"graft catalog: DELETE needs recorded merge keys on $tablePath")
     val cond = predicates.toSeq.flatMap(p => GraftCatalog.v2ToColumn(p))

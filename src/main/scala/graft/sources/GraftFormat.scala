@@ -425,15 +425,22 @@ object GraftFileIndex {
         val conv = CatalystTypeConverters.createToScalaConverter(dt)
         val ext = vs.toSeq.map(conv)
         if (ext.contains(null)) Seq.empty else Seq(ColumnIn(a.name, ext))
-      // a disjunction prunes only when BOTH branches reduce to concrete
-      // VALUE SETS on the SAME column — then file-keep(l OR r) is the
-      // value-list union, i.e. one ColumnIn (which also feeds key-bucket
-      // pruning). Any other OR shape translates to nothing.
+      // same-column value-set disjunctions fold to one ColumnIn (which
+      // also feeds key-bucket pruning); ANY other OR whose branches
+      // BOTH translate to usable constraints prunes as the UNION of the
+      // branches' file sets (ColumnOr). Each branch's translation is a
+      // conservative SUPERSET of the branch's matches, so the union
+      // keeps a superset of the OR's matches — sound. A branch
+      // translating to nothing keeps everything → no pruning.
       case Or(l, r) =>
         (valueSet(l), valueSet(r)) match {
           case (Some((c1, v1)), Some((c2, v2))) if c1 == c2 =>
             Seq(ColumnIn(c1, v1 ++ v2))
-          case _ => Seq.empty
+          case _ =>
+            val (lp, rp) = (toPredicates(l), toPredicates(r))
+            if (lp.nonEmpty && rp.nonEmpty)
+              Seq(MergeWriter.ColumnOr(Seq(lp, rp)))
+            else Seq.empty
         }
       // prefix probe → range [prefix, successor(prefix)): every string
       // with the prefix is >= prefix and < prefix-with-last-char-

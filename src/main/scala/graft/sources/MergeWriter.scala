@@ -140,7 +140,8 @@ object MergeWriter {
   private[sources] case class FileStat(name: String, bytes: Long, rows: Long,
                                        mins: Map[String, String],
                                        maxs: Map[String, String],
-                                       nulls: Map[String, Long] = Map.empty)
+                                       nulls: Map[String, Long] = Map.empty,
+                                       fp: String = "")
 
   /** `clusterCols` (recorded at creation, like `keyCols`) order rows
     * WITHIN each bucket file write (`sortWithinPartitions` — a local
@@ -176,6 +177,18 @@ object MergeWriter {
     * the first thing an operator asks of a misbehaving table.
     * [[tableHistory]] surfaces the retained window.
     */
+  /** `retainVersions`/`retainMs` are the PER-TABLE retention policy
+    * (Delta's log/deleted-file retention, recorded in the table, not
+    * the writer): gc keeps the last `max(retainVersions,
+    * KeepManifests)` versions, PLUS any version younger than
+    * `retainMs` (0 = count-only). Raised retention is what lets a
+    * lagging CDC consumer ([[changeFeed]], `syncReplica`, the
+    * streaming source) resume after a multi-commit stall instead of
+    * re-seeding from a full snapshot — at 100 TB a table-sized
+    * penalty. Set via [[setRetention]] or the catalog's
+    * `retainVersions`/`retainMs` TBLPROPERTIES; every commit carries
+    * the policy forward.
+    */
   private[sources] case class Manifest(version: Long, buckets: Int,
                                        epochs: Map[Int, String],
                                        txns: Map[String, Long] = Map.empty,
@@ -186,7 +199,10 @@ object MergeWriter {
                                        bloomCols: Seq[String] = Seq.empty,
                                        bloomItems: Long = DefaultBloomItems,
                                        op: String = "",
-                                       opTs: Long = 0L)
+                                       opTs: Long = 0L,
+                                       retainVersions: Int = KeepManifests,
+                                       retainMs: Long = 0L,
+                                       fingerprint: Boolean = false)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -269,7 +285,9 @@ object MergeWriter {
         Option(f.get("nulls")).foreach(_.fields().forEachRemaining(e =>
           nulls(e.getKey) = e.getValue.asLong()))
         FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
-          strMap(f.get("min")), strMap(f.get("max")), nulls.toMap)
+          strMap(f.get("min")), strMap(f.get("max")), nulls.toMap,
+          // absent in pre-fingerprint manifests — backward compatible
+          Option(f.get("h")).map(_.asText()).getOrElse(""))
       }
     })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
@@ -279,7 +297,12 @@ object MergeWriter {
       Option(node.get("bloomn")).map(_.asLong()).getOrElse(DefaultBloomItems),
       // absent in pre-commitInfo manifests — backward compatible
       Option(node.get("op")).map(_.asText()).getOrElse(""),
-      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+      // absent in pre-retention manifests — backward compatible
+      Option(node.get("retainv")).map(_.asInt()).getOrElse(KeepManifests),
+      Option(node.get("retainms")).map(_.asLong()).getOrElse(0L),
+      // absent in pre-fingerprint manifests — backward compatible
+      Option(node.get("fpr")).exists(_.asBoolean()))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -325,6 +348,10 @@ object MergeWriter {
         else "")
       .append(if (m.op.nonEmpty)
         ",\"op\":" + jsonStr(m.op) + ",\"ts\":" + m.opTs else "")
+      .append(if (m.retainVersions != KeepManifests)
+        ",\"retainv\":" + m.retainVersions else "")
+      .append(if (m.retainMs != 0L) ",\"retainms\":" + m.retainMs else "")
+      .append(if (m.fingerprint) ",\"fpr\":true" else "")
       .append(if (m.stats.nonEmpty) {
         def obj(kv: Map[String, String]): String =
           kv.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -337,7 +364,9 @@ object MergeWriter {
               (if (fs.nulls.isEmpty) "" else
                 ",\"nulls\":" + fs.nulls.toSeq.sortBy(_._1)
                   .map { case (k, v) => jsonStr(k) + ":" + v }
-                  .mkString("{", ",", "}")) + "}").mkString(",") + "]"
+                  .mkString("{", ",", "}")) +
+              (if (fs.fp.isEmpty) "" else ",\"h\":" + jsonStr(fs.fp)) +
+              "}").mkString(",") + "]"
         }.mkString(",") + "}"
       } else "")
       .append("}").toString()
@@ -396,25 +425,82 @@ object MergeWriter {
         s"$attempts attempts (persistent commit contention)")
   }
 
-  /** The atomic no-overwrite publish shared by table and group commits
-    * (see [[commitManifest]]'s doc for the link/rename CAS semantics).
+  /** THE commit primitive (Delta's pluggable LogStore, scaled to this
+    * protocol): every manifest publish — table and group — funnels
+    * through one `putIfAbsent` whose contract is the protocol's entire
+    * atomicity story: *atomically create `target` with `body` iff no
+    * file exists there; under concurrent callers at most one returns
+    * true*. The built-in [[LinkOrRenameCommit]] honors it on POSIX
+    * filesystems (hard link — `link(2)` refuses an existing target) and
+    * on HDFS-class stores (no-overwrite `rename`, atomic by contract).
+    * **S3-class object stores honor NEITHER**: `rename` is copy+delete
+    * and `exists`+`rename` is a race window — deploying there requires
+    * plugging a conditional-PUT implementation (`If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`, DynamoDB-arbitrated like Delta's
+    * S3DynamoDBLogStore) via [[setCommitPrimitive]], configured once at
+    * startup. See PROTOCOL.md "Commit".
     */
-  private def publishAtomically(fs: FileSystem, dir: Path, target: Path,
-                                body: String): Unit = {
-    val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val localRoot = Option(fs.getUri).forall(_.getScheme == "file")
-    val won =
+  trait CommitPrimitive {
+
+    /** Atomically publish `body` at `target` iff absent; true = this
+      * call created it, false = lost (a committed file already exists).
+      * `stage` is a pre-written staging file holding `body` inside the
+      * table directory (implementations may rename it or ignore it and
+      * upload `body` directly); the CALLER deletes it afterwards either
+      * way, so implementations must not leave `target` referencing it.
+      */
+    def putIfAbsent(fs: FileSystem, target: Path, stage: Path,
+                    body: Array[Byte]): Boolean
+  }
+
+  /** Default primitive: POSIX hard-link CAS on `file:` roots,
+    * no-overwrite rename elsewhere (atomic on HDFS-class filesystems —
+    * NOT on S3-class stores; see [[CommitPrimitive]]).
+    */
+  object LinkOrRenameCommit extends CommitPrimitive {
+    override def putIfAbsent(fs: FileSystem, target: Path, stage: Path,
+                             body: Array[Byte]): Boolean = {
+      val localRoot = Option(fs.getUri).forall(_.getScheme == "file")
       if (localRoot) {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
+            java.nio.file.Paths.get(stage.toUri.getPath))
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !fs.exists(target) && fs.rename(tmp, target)
-    if (localRoot || !won) fs.delete(tmp, false)
+      } else !fs.exists(target) && fs.rename(stage, target)
+    }
+  }
+
+  @volatile private var commitPrimitive: CommitPrimitive = LinkOrRenameCommit
+
+  /** Install the commit primitive (process-wide, set once at startup —
+    * mid-flight swaps see no ordering guarantee). Object-store
+    * deployments MUST install a conditional-PUT implementation; the
+    * default is only atomic on POSIX/HDFS semantics.
+    */
+  def setCommitPrimitive(p: CommitPrimitive): Unit = commitPrimitive = p
+
+  private[graft] def currentCommitPrimitive: CommitPrimitive =
+    commitPrimitive
+
+  /** The atomic no-overwrite publish shared by table and group commits:
+    * stage the body under a dot-file (invisible to readers — the
+    * manifest listing filters on prefix), then publish through the
+    * installed [[CommitPrimitive]]. Loss surfaces as the protocol's
+    * commit-failed IOException, which every caller maps to rebase /
+    * retry / `ConcurrentModificationException` per its own contract.
+    */
+  private def publishAtomically(fs: FileSystem, dir: Path, target: Path,
+                                body: String): Unit = {
+    val tmp = new Path(dir, s".tmp-manifest-${UUID.randomUUID()}")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    val won = commitPrimitive.putIfAbsent(fs, target, tmp, bytes)
+    // the stage file may already be gone (a rename-based primitive
+    // consumed it on the win path) — delete is a no-op then
+    fs.delete(tmp, false)
     if (!won)
       throw new java.io.IOException(
         s"merge: manifest commit $target failed (concurrent writer?)")
@@ -448,8 +534,22 @@ object MergeWriter {
     // The sweep below must only run once a commit proves migration happened
     // — otherwise vacuum() on an unmigrated table would destroy it.
     if (manifests.isEmpty) return
-    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - KeepManifests))
-    val keptManifests = keep.map { case (v, p) => readManifest(fs, v, p) }
+    // retention policy lives in the CURRENT manifest: keep the last
+    // max(retainVersions, KeepManifests) versions, plus any version
+    // younger than retainMs (age read from the manifest file's own
+    // mtime — robust for pre-commitInfo versions with no opTs)
+    val cur = manifests.last match { case (v, p) => readManifest(fs, v, p) }
+    val keepCount = math.max(KeepManifests, cur.retainVersions)
+    val (dropByCount, keepByCount) =
+      manifests.splitAt(math.max(0, manifests.size - keepCount))
+    val ageCut = System.currentTimeMillis() - cur.retainMs
+    val (keptByAge, drop) =
+      if (cur.retainMs <= 0L) (Seq.empty, dropByCount)
+      else dropByCount.partition { case (_, p) =>
+        fs.getFileStatus(p).getModificationTime >= ageCut }
+    val keep = keptByAge ++ keepByCount
+    val keptManifests = keep.map { case (v, p) =>
+      if (v == cur.version) cur else readManifest(fs, v, p) }
     val referenced = keptManifests.flatMap(_.epochs.values).toSet
     // bucket granularity too: a kept manifest may reference only SOME of
     // an epoch's bucket dirs (later merges re-pointed the others) — the
@@ -559,12 +659,52 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
-      (1 until KeepManifests).foreach { i =>
+      // enough duplicates to push every pre-call version off the COUNT
+      // window. Age retention (retainMs) still holds the old manifests
+      // until their window passes — a right-to-be-forgotten purge on an
+      // age-retained table must setRetention down first (or wait it
+      // out); silently overriding the recorded policy here would defeat
+      // the lagging-consumer guarantee it exists for.
+      (1 until math.max(KeepManifests, man.retainVersions)).foreach { i =>
         commitOrConflict(fs, dir, man.copy(version = man.version + i),
           "truncateHistory")
       }
       gc(fs, dir)
     }
+  }
+
+  /** Set the table's retention policy (see [[Manifest.retainVersions]]):
+    * a metadata-only commit every later commit carries forward.
+    * `versions` below [[KeepManifests]] clamps up (a pinned reader must
+    * survive one concurrent commit); `ms` = 0 means count-only. Takes
+    * effect immediately — RAISING retention stops gc from dropping
+    * history from now on (already-collected versions are gone);
+    * lowering it lets the next commit's gc reclaim.
+    */
+  def setRetention(spark: SparkSession, tablePath: String,
+                   versions: Int = KeepManifests, ms: Long = 0L): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"setRetention: no committed graft table at $tablePath")
+        case Some(man) =>
+          val v = math.max(KeepManifests, versions)
+          if (man.retainVersions == v && man.retainMs == ms) return
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              retainVersions = v, retainMs = math.max(0L, ms),
+              op = "retention", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"setRetention: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
   }
 
   /** Operational introspection (Delta's DESCRIBE DETAIL): one row with
@@ -647,6 +787,12 @@ object MergeWriter {
         s"clusterBy: malformed '$spec' (want zorder2:colA,colB)")
       graft.functions.ZOrder.zorder2(
         orderedLong(df, parts(0).trim), orderedLong(df, parts(1).trim))
+    } else if (spec.startsWith("zorderN:")) {
+      val parts = spec.stripPrefix("zorderN:").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(parts.length >= 2,
+        s"clusterBy: malformed '$spec' (want zorderN:colA,colB,colC,...)")
+      graft.functions.ZOrder.zorderN(parts.map(orderedLong(df, _)))
     } else Seq(col(spec))
 
   /** Order-preserving long image of a column for Z-ordering. */
@@ -1228,7 +1374,8 @@ object MergeWriter {
             autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
             bloomBy: Seq[String] = Seq.empty,
             bloomItems: Long = DefaultBloomItems,
-            txn: Option[(String, Long)] = None): Unit = {
+            txn: Option[(String, Long)] = None,
+            fingerprint: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -1289,7 +1436,7 @@ object MergeWriter {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
-            bloomN = bloomItems)
+            bloomN = bloomItems, fpSeed = fingerprint)
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
@@ -1311,7 +1458,7 @@ object MergeWriter {
               sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
           }
           writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-            Some(man), txn, clusterCols = cluster)
+            Some(man), txn, clusterCols = cluster, fpSeed = fingerprint)
       }
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
@@ -1435,7 +1582,9 @@ object MergeWriter {
                   schema: StructType, keys: Seq[String], buckets: Int = 64,
                   clusterBy: Seq[String] = Seq.empty,
                   bloomBy: Seq[String] = Seq.empty,
-                  bloomItems: Long = DefaultBloomItems): Unit = {
+                  bloomItems: Long = DefaultBloomItems,
+                  retainVersions: Int = KeepManifests,
+                  retainMs: Long = 0L): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
     val names = schema.fieldNames.toSet
     keys.foreach(k => require(names.contains(k),
@@ -1456,7 +1605,8 @@ object MergeWriter {
     fs.mkdirs(dir)
     commitManifest(fs, dir, Manifest(1L, buckets, Map.empty, Map.empty,
       Some(schema.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
-      "create", System.currentTimeMillis()))
+      "create", System.currentTimeMillis(),
+      math.max(KeepManifests, retainVersions), math.max(0L, retainMs)))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -2200,6 +2350,56 @@ object MergeWriter {
     * against the new state). The age guard in [[gc]] keeps the loser's
     * staged epoch alive through this window.
     */
+  /** Per-file CONTENT fingerprints of a just-written epoch: an
+    * order-insensitive 128-bit identity of each file's row multiset —
+    * `bit_xor` of two independently-derived 64-bit row hashes, prefixed
+    * with a schema signature so files of different column sets can
+    * never match. Two files share a fingerprint iff they hold the same
+    * rows (up to the 2^-128-class xor-collision bound, the same
+    * guarantee class as content-addressed storage; xor's duplicate-row
+    * blind spot is closed by the key constraint — a keyed file's rows
+    * are pairwise distinct). One distributed pass over the TOUCHED
+    * epoch (never the corpus), opt-in via `fingerprint=true` at table
+    * creation, recorded per file as `FileStat.fp` — what lets
+    * [[changeFeed]] skip file PAIRS inside a changed bucket (Delta CDF
+    * records change files at write time; this derives them at diff
+    * time from identity instead).
+    */
+  private def fileFingerprints(spark: SparkSession, epochRoot: String,
+                               schema: Option[String])
+      : Map[(Int, String), String] = {
+    val df = schema.map { s =>
+      val sch = DataType.fromJson(s).asInstanceOf[StructType]
+        .add(BucketCol, IntegerType)
+      spark.read.schema(sch).parquet(epochRoot)
+    }.getOrElse(spark.read.option("mergeSchema", "true").parquet(epochRoot))
+    val dataCols = df.columns.filterNot(_ == BucketCol).sorted
+    val sig = java.util.UUID.nameUUIDFromBytes(
+      dataCols.map(c => c + ":" + df.schema(c).dataType.catalogString)
+        .mkString("|").getBytes(StandardCharsets.UTF_8)).toString.take(8)
+    val cols = dataCols.map(col).toIndexedSeq
+    df.withColumn("__fpf", input_file_name())
+      .withColumn("__h1", xxhash64(cols: _*))
+      .withColumn("__h2", xxhash64((lit("graft-fp2") +: cols): _*))
+      .groupBy(col(BucketCol), col("__fpf"))
+      .agg(expr("bit_xor(__h1)").as("x1"), expr("bit_xor(__h2)").as("x2"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val name = r.getAs[String]("__fpf").split('/').last
+        (r.getAs[Number](BucketCol).intValue(), name) ->
+          f"$sig-${r.getAs[Long]("x1")}%016x-${r.getAs[Long]("x2")}%016x-${r.getAs[Long]("n")}"
+      }.toMap
+  }
+
+  /** Attach [[fileFingerprints]] to freshly-collected stats. */
+  private def withFingerprints(stats: Map[Int, Seq[FileStat]],
+                               fps: Map[(Int, String), String])
+      : Map[Int, Seq[FileStat]] =
+    stats.map { case (b, fss) =>
+      b -> fss.map(f => f.copy(fp = fps.getOrElse((b, f.name), "")))
+    }
+
   private def writeEpochAndCommit(spark: SparkSession, fs: FileSystem,
                                   tablePath: String, rows: DataFrame,
                                   keys: Seq[String], buckets: Int,
@@ -2209,7 +2409,8 @@ object MergeWriter {
                                   clusterCols: Seq[String] = Seq.empty,
                                   bloomCols: Seq[String] = Seq.empty,
                                   bloomN: Long = DefaultBloomItems,
-                                  opName: String = "merge"): Unit = {
+                                  opName: String = "merge",
+                                  fpSeed: Boolean = false): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -2229,8 +2430,17 @@ object MergeWriter {
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
-    val fileStats = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
+    val fileStats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
       withColumnStats = effCluster.nonEmpty)
+    // content fingerprints (recorded at creation, like clusterCols):
+    // one pass over the TOUCHED epoch, O(written data)
+    val effFp = prev.map(_.fingerprint).getOrElse(fpSeed)
+    val fileStats =
+      if (effFp && written.nonEmpty)
+        withFingerprints(fileStats0,
+          fileFingerprints(spark, s"$tablePath/$epoch",
+            Some(rows.schema.json)))
+      else fileStats0
     // an existing table's recorded bloom columns always apply (the param
     // only seeds creation, like clusterCols) — so deletes, txn merges and
     // evolutions all keep the sidecar maintained without opting in
@@ -2273,7 +2483,11 @@ object MergeWriter {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
             txns, Some(rows.schema.json), keys, cluster, stats, bloom,
-            bloomSz, opName, System.currentTimeMillis()))
+            bloomSz, opName, System.currentTimeMillis(),
+            // retention + fingerprint policy ride every commit forward
+            base.map(_.retainVersions).getOrElse(KeepManifests),
+            base.map(_.retainMs).getOrElse(0L),
+            base.map(_.fingerprint).getOrElse(effFp)))
         return
       } catch {
         case e: java.io.IOException =>
@@ -2409,10 +2623,47 @@ object MergeWriter {
     * row counts (unclustered bytes-only stats, pre-stats manifests).
     */
   def compact(spark: SparkSession, tablePath: String,
-              targetFileBytes: Long): Unit = {
+              targetFileBytes: Long): Unit =
+    optimizeTable(spark, tablePath, targetFileBytes, recluster = None,
+      opName = "compact")
+
+  /** CLUSTERING RETROFIT — Delta's `OPTIMIZE ... ZORDER BY` verb for
+    * the manifest protocol: rewrite the table's live data under a NEW
+    * cluster spec (plain columns for linear clustering, `zorder2:a,b` /
+    * `zorderN:a,b,c` for multi-dimensional), record it in the manifest,
+    * and collect full per-file column stats — so a table CREATED
+    * unclustered (whose hash buckets span every column's full range and
+    * therefore record bytes-only stats) gains min/max data skipping
+    * after the fact, and an already-clustered table can CHANGE its
+    * cluster columns as the workload shifts. Every later merge,
+    * auto-compact and split inherits the new spec (they all read
+    * `clusterCols` from the manifest). One atomic commit; losing the
+    * version CAS to a concurrent merge raises the protocol's
+    * `ConcurrentModificationException` — re-run against the new state.
+    */
+  def clusterTable(spark: SparkSession, tablePath: String,
+                   clusterBy: Seq[String],
+                   targetFileBytes: Long = 0L): Unit = {
+    require(clusterBy.nonEmpty,
+      "clusterTable: give at least one cluster column (plain name, " +
+        "zorder2:a,b, or zorderN:a,b,c)")
+    optimizeTable(spark, tablePath, targetFileBytes,
+      recluster = Some(clusterBy), opName = "cluster")
+  }
+
+  /** Shared rewrite core of [[compact]] and [[clusterTable]]: one new
+    * epoch holding every live row, cluster-sorted per bucket, with
+    * fresh stats, committed as the next version.
+    */
+  private def optimizeTable(spark: SparkSession, tablePath: String,
+                            targetFileBytes: Long,
+                            recluster: Option[Seq[String]],
+                            opName: String): Unit = {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
-    currentManifest(fs, dir).foreach { man =>
+    currentManifest(fs, dir).foreach { man0 =>
+      recluster.foreach(validateClusterCols(man0, _))
+      val man = recluster.fold(man0)(cols => man0.copy(clusterCols = cols))
       val prevCap = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
       val rowsPerFile: Option[Long] =
         if (targetFileBytes <= 0) None
@@ -2427,7 +2678,7 @@ object MergeWriter {
           spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
         val upd = compactEpochsUncommitted(spark, fs, tablePath, man)
         commitOrConflict(fs, dir, upd.copy(version = man.version + 1),
-          "compact")
+          opName)
       } finally if (rowsPerFile.isDefined) prevCap match {
         case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
         case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
@@ -2435,6 +2686,24 @@ object MergeWriter {
       gc(fs, dir)
     }
   }
+
+  /** Every column a cluster spec references must exist in the recorded
+    * schema — a typo'd retrofit would otherwise silently record a spec
+    * no later stats collection or skip can use.
+    */
+  private def validateClusterCols(man: Manifest, cols: Seq[String]): Unit =
+    man.schema.foreach { s =>
+      val names = DataType.fromJson(s).asInstanceOf[StructType]
+        .fieldNames.toSet
+      val referenced = cols.flatMap { c =>
+        val i = c.indexOf(':')
+        if (i < 0) Seq(c)
+        else c.substring(i + 1).split(",").map(_.trim).toSeq
+      }
+      referenced.foreach(c => require(names.contains(c),
+        s"cluster: column '$c' is not in the table schema " +
+          names.toSeq.sorted.mkString("(", ",", ")")))
+    }
 
   /** The written bucket ids of a freshly-written epoch directory. */
   private def listWrittenBuckets(fs: FileSystem, epochRoot: String): Seq[Int] =
@@ -2474,11 +2743,16 @@ object MergeWriter {
     if (man.bloomCols.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
         man.bloomItems, man.schema)
+    val stats0 = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
+      withColumnStats = man.clusterCols.nonEmpty)
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
-      stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-        withColumnStats = man.clusterCols.nonEmpty))
+      stats =
+        if (man.fingerprint)
+          withFingerprints(stats0,
+            fileFingerprints(spark, s"$tableRoot/$epoch", man.schema))
+        else stats0)
   }
 
   /** Double a table's bucket count IN PLACE — the growth path past the
@@ -2799,20 +3073,31 @@ object MergeWriter {
     conds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
-  /** The exact residual filter of one [[ColumnPredicate]] — always
+  /** The exact residual condition of one [[ColumnPredicate]] — always
     * applied after skipping, so results never depend on stats/blooms.
     */
-  private def applyPredicate(df: DataFrame, p: ColumnPredicate): DataFrame =
+  private def predicateCond(df: DataFrame,
+                            p: ColumnPredicate): org.apache.spark.sql.Column =
     p match {
-      case ColumnRange(c, lo, hi) => applyRange(df, c, lo, hi)
+      case ColumnRange(c, lo, hi) =>
+        val dt = df.schema(c).dataType
+        (lo.map(v => col(c) >= lit(v).cast(dt)).toSeq ++
+          hi.map(v => col(c) <= lit(v).cast(dt)))
+          .reduceOption(_ && _).getOrElse(lit(true))
       case ColumnIn(c, vs) =>
         val dt = df.schema(c).dataType
         vs.map(v => col(c) === lit(v).cast(dt))
-          .reduceOption(_ || _)
-          .map(df.filter).getOrElse(df.filter(lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(false))
       case ColumnNull(c, isNull) =>
-        df.filter(if (isNull) col(c).isNull else col(c).isNotNull)
+        if (isNull) col(c).isNull else col(c).isNotNull
+      case ColumnOr(branches) =>
+        branches.map(_.map(predicateCond(df, _))
+            .reduceOption(_ && _).getOrElse(lit(true)))
+          .reduceOption(_ || _).getOrElse(lit(true))
     }
+
+  private def applyPredicate(df: DataFrame, p: ColumnPredicate): DataFrame =
+    df.filter(predicateCond(df, p))
 
   /** One column term of [[readTableWhere]]'s conjunction. */
   sealed trait ColumnPredicate { def column: String }
@@ -2841,6 +3126,19 @@ object MergeWriter {
     */
   case class ColumnNull(column: String, isNull: Boolean)
       extends ColumnPredicate
+
+  /** A DISJUNCTION of predicate conjunctions — the top-level-OR shape
+    * `(date window) OR (id IN …)` that a single-column term can't
+    * express. File keep = the UNION of the branches' file sets: a file
+    * survives if ANY branch's constraints admit it, so the OR prunes
+    * exactly when every branch prunes (a branch contributing no usable
+    * constraint keeps everything, correctly disabling the skip). Spans
+    * columns, so the trait's single-column accessor is empty.
+    */
+  case class ColumnOr(branches: Seq[Seq[ColumnPredicate]])
+      extends ColumnPredicate {
+    override def column: String = ""
+  }
 
   /** Multi-predicate data-skipping read: the conjunction (AND) of
     * column predicates — ranges and IN-lists — the dashboard shape
@@ -2919,6 +3217,14 @@ object MergeWriter {
         // NOT-NULL row to contribute
         Some((_: String, _: Int, f: FileStat) =>
           !(f.rows >= 0 && f.nulls.get(c).contains(f.rows)))
+      case ColumnOr(branches) =>
+        // union of the branches' keep sets; a branch with no usable
+        // constraints keeps every file, so the OR prunes nothing
+        val branchKeeps = branches.map(b => fileKeepFns(fs, tableRoot,
+          man, b))
+        if (branches.isEmpty || branchKeeps.exists(_.isEmpty)) None
+        else Some((e: String, b: Int, f: FileStat) =>
+          branchKeeps.exists(_.forall(_(e, b, f))))
     }
   }
 
@@ -3303,16 +3609,59 @@ object MergeWriter {
       if (sameModulus && bothSchemas) {
         val changed = (mFrom.epochs.keySet ++ mTo.epochs.keySet)
           .filter(b => mFrom.epochs.get(b) != mTo.epochs.get(b))
-        def side(m: Manifest): DataFrame = {
+        // FILE granularity inside a changed bucket (fingerprint tables):
+        // a merge rewrites the whole bucket, but the rewrite reproduces
+        // every file whose row prefix was untouched — pair old/new files
+        // by content fingerprint (multiset row identity, schema-signed)
+        // and drop matched pairs from BOTH sides. Sound because a key
+        // lives in exactly one row per snapshot and keeps its bucket:
+        // a matched pair's keys carry identical rows on both sides, so
+        // they cannot contribute a change row, and their key sets are
+        // disjoint from the remaining files'. A one-key merge into a
+        // 100-file bucket then diffs ~the one repacked tail file, not
+        // the bucket.
+        def pairedDrop(b: Int): (Set[String], Set[String]) = {
+          (mFrom.stats.get(b), mTo.stats.get(b)) match {
+            case (Some(of), Some(nf)) =>
+              val oldByFp = of.filter(_.fp.nonEmpty).groupBy(_.fp)
+              val newByFp = nf.filter(_.fp.nonEmpty).groupBy(_.fp)
+              val dropsO = Set.newBuilder[String]
+              val dropsN = Set.newBuilder[String]
+              oldByFp.foreach { case (fp, ofs) =>
+                newByFp.get(fp).foreach { nfs =>
+                  val k = math.min(ofs.size, nfs.size)
+                  dropsO ++= ofs.take(k).map(_.name)
+                  dropsN ++= nfs.take(k).map(_.name)
+                }
+              }
+              (dropsO.result(), dropsN.result())
+            case _ => (Set.empty, Set.empty)
+          }
+        }
+        val drops: Map[Int, (Set[String], Set[String])] =
+          if (mFrom.fingerprint && mTo.fingerprint)
+            changed.toSeq.map(b => b -> pairedDrop(b)).toMap
+          else Map.empty
+        def side(m: Manifest, dropOf: Int => Set[String]): DataFrame = {
           val paths = m.epochs.toSeq.filter(e => changed(e._1)).sortBy(_._1)
-            .map { case (b, e) => bucketPath(tablePath, e, b) }
+            .flatMap { case (b, e) =>
+              val dir = bucketPath(tablePath, e, b)
+              val dropped = dropOf(b)
+              m.stats.get(b) match {
+                case Some(fss) if dropped.nonEmpty =>
+                  fss.filterNot(f => dropped(f.name))
+                    .map(f => dir + "/" + f.name)
+                case _ => Seq(dir)
+              }
+            }
           if (paths.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               DataType.fromJson(m.schema.get).asInstanceOf[StructType])
           else readWithSchema(spark, m, paths)
         }
-        (side(mFrom), side(mTo))
+        (side(mFrom, b => drops.get(b).map(_._1).getOrElse(Set.empty)),
+          side(mTo, b => drops.get(b).map(_._2).getOrElse(Set.empty)))
       } else
         (readTableVersion(spark, tablePath, fromVersion),
           readTableVersion(spark, tablePath, toVersion))

@@ -128,6 +128,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.skip.m")
   }
 
+  test("SQL time travel: VERSION AS OF reads a retained pin, rejects writes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.tt")
+    spark.sql("CREATE TABLE gcat.ns.tt (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gcat.ns.tt SELECT id, 1 FROM range(10)")
+    val path = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/ns/tt"
+    val v1 = MergeWriter.availableVersions(spark, path).last
+    spark.sql("INSERT INTO gcat.ns.tt SELECT id, 2 FROM range(10, 30)")
+    // current sees both loads; the pin sees only the first
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.tt")
+      .collect().head.getLong(0) == 30)
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM gcat.ns.tt VERSION AS OF $v1")
+      .collect().head.getLong(0) == 10)
+    // history is immutable: writes to a pin fail loudly
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO gcat.ns.tt VERSION AS OF $v1 VALUES (99, 9)")
+    }
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE gcat.ns.tt")
+  }
+
   test("DELETE with an untranslatable predicate fails loudly, not partially") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.guard")

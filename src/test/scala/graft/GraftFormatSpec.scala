@@ -148,6 +148,38 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       "prefix filter should prune via the successor-bound range")
   }
 
+  test("cross-column OR prunes as the union of branch file sets (SQL)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gor").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try MergeWriter.merge(spark, dir,
+      (0 until 4096).map(i => (i.toLong, i / 64, i % 64)).toDF("id", "a", "b"),
+      Seq("id"), buckets = 2, clusterBy = Seq("zorder2:a,b"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val df = spark.read.format("graft").load(dir)
+    val total = scannedFiles(df)
+    val aStripe = scannedFiles(df.where(col("a") <= 3))
+    val bStripe = scannedFiles(df.where(col("b") >= 60))
+    // `(a <= 3) OR (b >= 60)`: a DIFFERENT-column disjunction — pruned
+    // as the union of the two stripes' file sets, not a full scan
+    val or = df.where(col("a") <= 3 || col("b") >= 60)
+    assert(or.count() == 4 * 64 + 4 * 64 - 16)
+    val orFiles = scannedFiles(or)
+    assert(orFiles <= aStripe + bStripe,
+      s"OR scanned $orFiles files > branch union bound ${aStripe + bStripe}")
+    assert(orFiles < total,
+      s"OR scanned the whole table ($total files) — translation lost")
+    // range-OR-IN, the reingest shape: (date window) OR (id IN …)
+    val mixed = df.where(col("a").between(1, 2) ||
+      col("id").isin(4000L, 4001L))
+    assert(mixed.count() == 130)
+    assert(scannedFiles(mixed) < total)
+  }
+
   test("versionAsOf / timestampAsOf pin a retained version") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gfmt").toString + "/t"
@@ -454,6 +486,66 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("k", "old_price").as[(Long, Double)].collect().toSeq
       assert(deleted == Seq((1L, 10.0)))
     } finally q.stop()
+  }
+
+  test("a CDC stream lagging 3 commits resumes under raised retention") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lagcdc").toString
+    val dir = root + "/t"
+    val cp = root + "/cp"
+    val out = root + "/out"
+    MergeWriter.merge(spark, dir,
+      Seq((1L, 10), (2L, 20)).toDF("k", "v"), Seq("k"), buckets = 2)
+    // the policy that makes a stalled consumer recoverable: keep enough
+    // versions that a 3-commit lag still finds its checkpointed offset
+    MergeWriter.setRetention(spark, dir, versions = 6)
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the consumer STALLS while the table takes three more commits
+    MergeWriter.merge(spark, dir, Seq((3L, 30)).toDF("k", "v"), Seq("k"))
+    MergeWriter.merge(spark, dir, Seq((4L, 40)).toDF("k", "v"), Seq("k"))
+    MergeWriter.merge(spark, dir, Seq((2L, 25)).toDF("k", "v"), Seq("k"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select("k", "op", "new_v").as[(Long, String, Int)].collect().toSeq
+    // exactly-once resume: ONE initial snapshot (no re-seed after the
+    // stall) plus each lagged commit's diff exactly once
+    assert(got.sorted == Seq((1L, "insert", 10), (2L, "insert", 20),
+      (2L, "update", 25), (3L, "insert", 30), (4L, "insert", 40)).sorted,
+      s"lagging stream emitted ${got.sorted}")
+  }
+
+  test("default retention fails a 3-commit-lagged stream LOUDLY") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lagfail").toString
+    val dir = root + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq((1L, 10)).toDF("k", "v"), Seq("k"), buckets = 2)
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/cp")
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // three commits age the checkpointed version out of the default
+    // 2-version window
+    (2 to 4).foreach(i => MergeWriter.merge(spark, dir,
+      Seq((i.toLong, i * 10)).toDF("k", "v"), Seq("k")))
+    val q2 = start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    // loud failure naming the readable range — never a silent wrong
+    // diff or an unasked-for full re-seed
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("not retained")),
+      s"wanted the aged-out-version error, got: ${messages(e)}")
   }
 
   test("sink txnAppId: checkpoint-stable when given, per-instance when not") {

@@ -1086,6 +1086,247 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("fingerprints: a one-key change diffs files, not the whole bucket") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fpdiff").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      // ONE bucket, many files, fingerprinted + clustered (deterministic
+      // row order, so the rewrite reproduces untouched prefix files)
+      val rows = (0 until 8192).map(i => (i.toLong, i * 3)).toDF("id", "v")
+      MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 1,
+        clusterBy = Seq("id"), fingerprint = true)
+      val v1 = MergeWriter.availableVersions(spark, dir).last
+      // change ONE key near the tail of the cluster order
+      MergeWriter.merge(spark, dir, Seq((8191L, -1)).toDF("id", "v"),
+        Seq("id"))
+      val v2 = MergeWriter.availableVersions(spark, dir).last
+      val feed = MergeWriter.changeFeed(spark, dir, v1, v2,
+        Seq("id"), Seq("v"))
+      val changes = feed.collect()
+      assert(changes.map(r => (r.getAs[Long]("id"), r.getAs[String]("op"),
+        r.getAs[Int]("new_v"))).toSeq == Seq((8191L, "update", -1)))
+      val bucketFiles = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(bucketFiles >= 16,
+        s"test setup: want a many-file bucket, got $bucketFiles")
+      val opened = feed.inputFiles.length
+      assert(opened <= 4,
+        s"one-key diff opened $opened files of a $bucketFiles-file bucket")
+      // and a NO-op rewrite (compact) diffs nothing at the file level
+      MergeWriter.compact(spark, dir)
+      val v3 = MergeWriter.availableVersions(spark, dir).last
+      val quiet = MergeWriter.changeFeed(spark, dir, v2, v3,
+        Seq("id"), Seq("v"))
+      assert(quiet.count() == 0)
+      assert(quiet.inputFiles.isEmpty,
+        s"compact-only diff opened ${quiet.inputFiles.length} files")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("commit primitive: pluggable conditional-put serializes racers") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val dir = Files.createTempDirectory("condput").toString + "/t"
+    // a pure conditional-PUT: no link, no rename — the object-store
+    // shape. A JVM lock stands in for the store's If-None-Match
+    // arbitration; the staged file is IGNORED (body uploaded directly),
+    // proving the protocol never depends on rename semantics.
+    class ConditionalPut extends MergeWriter.CommitPrimitive {
+      val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var failNext = false
+      private val lock = new Object
+      override def putIfAbsent(fs: FileSystem, target: HPath, stage: HPath,
+                               body: Array[Byte]): Boolean = lock.synchronized {
+        puts.incrementAndGet()
+        if (failNext) { failNext = false; false } // injected loss
+        else if (fs.exists(target)) false
+        else {
+          val out = fs.create(target, false)
+          try out.write(body) finally out.close()
+          true
+        }
+      }
+    }
+    val put = new ConditionalPut
+    try {
+      MergeWriter.setCommitPrimitive(put)
+      MergeWriter.merge(spark, dir,
+        Seq((0L, "seed")).toDF("id", "s"), Seq("id"), buckets = 4)
+      // a SPURIOUSLY failed put (store said no, nothing committed) must
+      // surface as the ordinary lost-CAS path: rebase and retry, not
+      // data loss or a crash
+      put.failNext = true
+      MergeWriter.merge(spark, dir, Seq((1L, "a")).toDF("id", "s"), Seq("id"))
+      assert(MergeWriter.readTable(spark, dir).count() == 2)
+      // two genuinely racing writers: the conditional-put admits ONE per
+      // version; the loser rebases onto the winner and lands next
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (2 to 3).map { i =>
+        new Thread(() => {
+          try MergeWriter.merge(spark, dir,
+            Seq((i.toLong, s"w$i")).toDF("id", "s"), Seq("id"))
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"racing merge failed: ${errs.peek()}")
+      assert(MergeWriter.readTable(spark, dir).collect()
+        .map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+      assert(put.puts.get() >= 5, "commits bypassed the installed primitive")
+      // versions are strictly sequential — the serialization proof
+      val vs = MergeWriter.availableVersions(spark, dir)
+      assert(vs == (vs.head to vs.last), s"non-sequential versions $vs")
+    } finally MergeWriter.setCommitPrimitive(MergeWriter.LinkOrRenameCommit)
+  }
+
+  test("retention: a raised version window survives gc; age window too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retain").toString + "/t"
+    def mergeOne(i: Int): Unit = MergeWriter.merge(spark, dir,
+      Seq((i.toLong, i)).toDF("id", "v"), Seq("id"), buckets = 2)
+    mergeOne(1); mergeOne(2); mergeOne(3)
+    // default policy: only KeepManifests versions survive
+    assert(MergeWriter.availableVersions(spark, dir).size == 2)
+    MergeWriter.setRetention(spark, dir, versions = 5)
+    mergeOne(4); mergeOne(5); mergeOne(6); mergeOne(7)
+    val vs = MergeWriter.availableVersions(spark, dir)
+    assert(vs.size == 5, s"retainVersions=5 but retained $vs")
+    // a consumer lagging 3 commits still diffs incrementally: the
+    // change feed across the whole retained window is exactly the four
+    // merged rows
+    val feed = MergeWriter.changeFeed(spark, dir, vs.head, vs.last,
+      Seq("id"), Seq("v")).collect()
+    assert(feed.map(r => (r.getAs[Long]("id"), r.getAs[String]("op")))
+      .toSet == Set((4L, "insert"), (5L, "insert"), (6L, "insert"),
+        (7L, "insert")))
+    // lowering retention reclaims on the next commit's gc
+    MergeWriter.setRetention(spark, dir, versions = 2)
+    mergeOne(8)
+    assert(MergeWriter.availableVersions(spark, dir).size == 2)
+    // AGE retention keeps everything younger than the window regardless
+    // of count
+    MergeWriter.setRetention(spark, dir, versions = 2, ms = 3600L * 1000)
+    mergeOne(9); mergeOne(10); mergeOne(11)
+    assert(MergeWriter.availableVersions(spark, dir).size >= 5,
+      "hour-old age window dropped fresh versions")
+    // the policy itself survives every commit (rides the manifest)
+    MergeWriter.setRetention(spark, dir, versions = 2, ms = 0L)
+    mergeOne(12)
+    assert(MergeWriter.availableVersions(spark, dir).size == 2)
+  }
+
+  test("clusterTable retrofits skipping onto an unclustered table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retrofit").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      val rows = (0 until 8192).map(i => (i.toLong, i % 97)).toDF("id", "x")
+      // UNCLUSTERED creation: bytes-only stats, so a range read must
+      // open every file
+      MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 2)
+      val all = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(all >= 16, s"test setup: want a many-file table, got $all")
+      def openedRange(): Int = MergeWriter.readTableRange(spark, dir, "id",
+        Some(1000L), Some(1499L)).inputFiles.length
+      assert(openedRange() == all,
+        "unclustered table unexpectedly pruned (no stats should exist)")
+      // the retrofit: rewrite under a new cluster spec, collect stats
+      MergeWriter.clusterTable(spark, dir, Seq("id"))
+      val allAfter = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(openedRange() <= allAfter / 4,
+        s"retrofitted range read opened ${openedRange()} of $allAfter")
+      // content is untouched and exact
+      val got = MergeWriter.readTableRange(spark, dir, "id",
+        Some(1000L), Some(1499L)).collect().map(_.getLong(0)).toSet
+      assert(got == (1000L to 1499L).toSet)
+      assert(MergeWriter.readTable(spark, dir).count() == 8192)
+      // history shows the retrofit as its own operation
+      assert(MergeWriter.tableHistory(spark, dir).collect()
+        .head.getAs[String]("op") == "cluster")
+      // later merges INHERIT the retrofitted spec: new files keep stats
+      MergeWriter.merge(spark, dir,
+        (8192 until 9000).map(i => (i.toLong, i % 97)).toDF("id", "x"),
+        Seq("id"))
+      assert(openedRange() < MergeWriter.readTable(spark, dir)
+        .inputFiles.length)
+      // a typo'd retrofit fails loudly, never records a dead spec
+      val e = intercept[IllegalArgumentException] {
+        MergeWriter.clusterTable(spark, dir, Seq("zorder2:id,nope"))
+      }
+      assert(e.getMessage.contains("nope"))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("zorderN clusters three dimensions; rectangle reads prune on each") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("z3").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try {
+      // a 16^3 cube: a, b, c are independent dimensions
+      val cube = (0 until 4096)
+        .map(i => (i.toLong, i / 256, (i / 16) % 16, i % 16))
+        .toDF("id", "a", "b", "c")
+      MergeWriter.merge(spark, dir, cube, Seq("id"), buckets = 2,
+        clusterBy = Seq("zorderN:a,b,c"))
+      val all = MergeWriter.readTable(spark, dir).inputFiles.length
+      assert(all >= 16, s"test setup: want multi-file buckets, got $all")
+      def opened(column: String): Int =
+        MergeWriter.readTableRange(spark, dir, column, Some(0), Some(3))
+          .inputFiles.length
+      Seq("a", "b", "c").foreach { c =>
+        assert(opened(c) < all, s"zorderN failed to prune column $c " +
+          s"(${opened(c)} of $all)")
+      }
+      // the 4×4×4 corner cube opens fewer files than any single stripe
+      val rect = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnRange("a", Some(0), Some(3)),
+        MergeWriter.ColumnRange("b", Some(0), Some(3)),
+        MergeWriter.ColumnRange("c", Some(0), Some(3))))
+      assert(rect.count() == 64)
+      val rectFiles = rect.inputFiles.length
+      assert(Seq("a", "b", "c").forall(c => rectFiles <= opened(c)),
+        s"cube read ($rectFiles files) should not exceed any stripe")
+      // exactness on a stripe
+      assert(MergeWriter.readTableRange(spark, dir, "c", Some(0), Some(3))
+        .collect().map(_.getLong(0)).toSet ==
+        cube.filter(col("c") <= 3).collect().map(_.getLong(0)).toSet)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("interleaveWord equals a reference big-integer Morton order") {
+    import java.math.BigInteger
+    // reference: build the 3·64-bit interleaved stream bit by bit over
+    // the unsigned images, compare as unsigned integers
+    def refKey(vals: Seq[Long]): BigInteger = {
+      val n = vals.length
+      var acc = BigInteger.ZERO
+      for (i <- 0 until 64 * n) {
+        val src = i % n
+        val bit = 63 - i / n
+        val u = vals(src) ^ Long.MinValue
+        acc = acc.shiftLeft(1).or(
+          BigInteger.valueOf((u >>> bit) & 1L))
+      }
+      acc
+    }
+    def wordKey(vals: Array[Long]): Seq[Long] =
+      vals.indices.map(w => graft.functions.ZOrder.interleaveWord(vals, w))
+    def cmpWords(x: Seq[Long], y: Seq[Long]): Int =
+      x.zip(y).map { case (a, b) => java.lang.Long.compare(a, b) }
+        .find(_ != 0).getOrElse(0)
+    val rnd = new scala.util.Random(42)
+    def randTriple(): Array[Long] = Array(
+      rnd.nextLong(), rnd.nextInt(1000).toLong - 500,
+      if (rnd.nextBoolean()) rnd.nextLong() else rnd.nextInt(16).toLong)
+    (1 to 500).foreach { _ =>
+      val (x, y) = (randTriple(), randTriple())
+      val want = refKey(x.toSeq).compareTo(refKey(y.toSeq))
+      val got = cmpWords(wordKey(x), wordKey(y))
+      assert(math.signum(want) == math.signum(got),
+        s"order mismatch for ${x.toSeq} vs ${y.toSeq}")
+    }
+  }
+
   test("readTableWhere prunes on the CONJUNCTION of ranges") {
     import spark.implicits._
     val dir = Files.createTempDirectory("where").toString + "/t"
@@ -1111,6 +1352,45 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rect = both.inputFiles.length
       assert(rect < aOnly && rect < bOnly,
         s"conjunction did not narrow: rect=$rect a=$aOnly b=$bOnly")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("a cross-column OR prunes as the UNION of its branches' files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orskip").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try {
+      val grid = (0 until 4096).map(i => (i.toLong, i / 64, i % 64))
+        .toDF("id", "a", "b")
+      MergeWriter.merge(spark, dir, grid, Seq("id"), buckets = 2,
+        clusterBy = Seq("zorder2:a,b"))
+      val all = MergeWriter.readTable(spark, dir).inputFiles.length
+      val or = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnOr(Seq(
+          Seq(MergeWriter.ColumnRange("a", Some(0), Some(3))),
+          Seq(MergeWriter.ColumnRange("b", Some(60), Some(63)))))))
+      // exact: the union of the two stripes
+      val expect = grid.filter(col("a") <= 3 || col("b") >= 60)
+        .collect().map(_.getLong(0)).toSet
+      assert(or.collect().map(_.getLong(0)).toSet == expect)
+      // pruned: at most the sum of the stripes' file sets, fewer than all
+      val aFiles = MergeWriter.readTableRange(spark, dir, "a",
+        Some(0), Some(3)).inputFiles.toSet
+      val bFiles = MergeWriter.readTableRange(spark, dir, "b",
+        Some(60), Some(63)).inputFiles.toSet
+      val orFiles = or.inputFiles.toSet
+      assert(orFiles.subsetOf(aFiles ++ bFiles),
+        s"OR opened ${orFiles.size} files beyond its branches' union " +
+          s"(${(aFiles ++ bFiles).size})")
+      assert(orFiles.size < all,
+        s"OR read the whole table ($all files) — no pruning")
+      // a branch with no usable constraint disables the skip (sound,
+      // not wrong): unknown column → keep everything
+      val loose = MergeWriter.readTableWhere(spark, dir, Seq(
+        MergeWriter.ColumnOr(Seq(
+          Seq(MergeWriter.ColumnRange("a", Some(0), Some(3))),
+          Seq(MergeWriter.ColumnNull("a", false))))))
+      assert(loose.count() == 4096)
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
