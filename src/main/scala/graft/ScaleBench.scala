@@ -612,17 +612,21 @@ object ScaleBench {
         new java.io.File(s"$work/fpfeed10/$tag"))
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      // the file-size cap stays on for BOTH writes — fingerprint
+      // pairing needs the rewrite to split files at the same row
+      // boundaries, exactly as a production session conf would
       spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
-      try MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 4,
-        clusterBy = Seq("event_id"), fingerprint = true)
-      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
-      val v1 = MergeWriter.availableVersions(spark, path).last
-      val id = ev.agg(max(col("event_id"))).head().getLong(0)
-      MergeWriter.merge(spark, path,
-        ev.filter(col("event_id") === id).limit(1)
-          .withColumn("event_type", lit("touched")),
-        Seq("event_id"))
-      val v2 = MergeWriter.availableVersions(spark, path).last
+      val (v1, v2) = try {
+        MergeWriter.merge(spark, path, ev, Seq("event_id"), buckets = 4,
+          clusterBy = Seq("event_id"), fingerprint = true)
+        val a = MergeWriter.availableVersions(spark, path).last
+        val id = ev.agg(max(col("event_id"))).head().getLong(0)
+        MergeWriter.merge(spark, path,
+          ev.filter(col("event_id") === id).limit(1)
+            .withColumn("event_type", lit("touched")),
+          Seq("event_id"))
+        (a, MergeWriter.availableVersions(spark, path).last)
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
       val feed = MergeWriter.changeFeed(spark, path, v1, v2,
         Seq("event_id"), Seq("event_type"))
       val t0 = System.nanoTime()

@@ -173,13 +173,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .mkString("."))
   }
 
+  /** `ALTER TABLE ... SET TBLPROPERTIES` supports the RETENTION policy
+    * (mapped to `MergeWriter.setRetention` — a metadata-only commit);
+    * everything else is rejected: additive schema evolution happens
+    * through evolving writes, clustering/Bloom retrofits through the
+    * maintenance API (`clusterTable`/`buildBloomIndex`).
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — additive schema " +
-        "evolution happens through evolving writes (merge with " +
-        "evolveSchema), and clustering/bloom retrofits through the " +
-        "maintenance API")
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val props = changes.map {
+      case sp: TableChange.SetProperty
+          if sp.property == "retainVersions" || sp.property == "retainMs" =>
+        sp.property -> sp.value
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE only supports SET TBLPROPERTIES " +
+          s"('retainVersions', 'retainMs') — got $other. Schema evolves " +
+          "through evolving writes; clustering/bloom retrofit through " +
+          "the maintenance API")
+    }.toMap
+    val current = MergeWriter.describeRetention(spark, dir.toString)
+    MergeWriter.setRetention(spark, dir.toString,
+      versions = props.get("retainVersions").map(_.toInt)
+        .getOrElse(current._1),
+      ms = props.get("retainMs").map(_.toLong).getOrElse(current._2))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

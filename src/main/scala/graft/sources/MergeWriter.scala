@@ -681,6 +681,15 @@ object MergeWriter {
     * history from now on (already-collected versions are gone);
     * lowering it lets the next commit's gc reclaim.
     */
+  /** The table's current retention policy `(versions, ms)` — the
+    * catalog's ALTER TABLE reads it to apply partial updates.
+    */
+  private[sources] def describeRetention(spark: SparkSession,
+                                         tablePath: String): (Int, Long) =
+    currentManifest(fsFor(spark, tablePath), new Path(tablePath))
+      .map(m => (m.retainVersions, m.retainMs))
+      .getOrElse((KeepManifests, 0L))
+
   def setRetention(spark: SparkSession, tablePath: String,
                    versions: Int = KeepManifests, ms: Long = 0L): Unit = {
     val fs = fsFor(spark, tablePath)
@@ -2007,6 +2016,28 @@ object MergeWriter {
     commitGroupOrConflict(fs, dir,
       GroupManifest(cur.version + 1, cur.tables + (name -> upd), cur.txns),
       "compactGroupTable")
+    gcGroup(fs, dir)
+  }
+
+  /** [[clusterTable]] for a GROUP member: rewrite the member's live
+    * data under a new cluster spec inside one group commit — the same
+    * retrofit, with the group's cross-table atomicity (lifecycle
+    * parity: members split, compact, evolve and now re-cluster like
+    * standalone tables).
+    */
+  def clusterGroupTable(spark: SparkSession, groupPath: String,
+                        name: String, clusterBy: Seq[String]): Unit = {
+    require(clusterBy.nonEmpty,
+      "clusterGroupTable: give at least one cluster column")
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    val (cur, man0) = requireMember(fs, groupPath, name, "clusterGroupTable")
+    validateClusterCols(man0, clusterBy)
+    val upd = compactEpochsUncommitted(spark, fs, s"$groupPath/$name",
+      man0.copy(clusterCols = clusterBy))
+    commitGroupOrConflict(fs, dir,
+      GroupManifest(cur.version + 1, cur.tables + (name -> upd), cur.txns),
+      "clusterGroupTable")
     gcGroup(fs, dir)
   }
 

@@ -128,6 +128,53 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.skip.m")
   }
 
+  test("SQL TRUNCATE TABLE and ALTER retention") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.r")
+    spark.sql("CREATE TABLE gcat.ns.r (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    val path = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/ns/r"
+    // ALTER maps to the metadata-only retention commit
+    spark.sql("ALTER TABLE gcat.ns.r SET TBLPROPERTIES " +
+      "('retainVersions'='5')")
+    (1 to 5).foreach(i => spark.sql(
+      s"INSERT INTO gcat.ns.r SELECT id, $i FROM range(${i * 10})"))
+    assert(MergeWriter.availableVersions(spark, path).size == 5)
+    // any OTHER alteration keeps failing loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE gcat.ns.r SET TBLPROPERTIES ('keys'='v')")
+    }
+    // TRUNCATE = delete-all through the keyed delete; schema survives
+    spark.sql("TRUNCATE TABLE gcat.ns.r")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.r")
+      .collect().head.getLong(0) == 0)
+    spark.sql("INSERT INTO gcat.ns.r SELECT id, 9 FROM range(3)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.r")
+      .collect().head.getLong(0) == 3)
+    spark.sql("DROP TABLE gcat.ns.r")
+  }
+
+  test("catalog COUNT(*) pushes the aggregate down to parquet footers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.agg")
+    spark.sql("CREATE TABLE gcat.ns.agg (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gcat.ns.agg SELECT id, id * 0.5 FROM range(5000)")
+    // the DSv2 parquet scan serves COUNT(*) from footer row counts —
+    // no data pages decoded (ParquetScanBuilder's
+    // SupportsPushDownAggregates, gated on the session conf; the
+    // path-based statsAggregate equivalent, reached from plain SQL)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.agg")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*)]"),
+        s"COUNT(*) not pushed:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().head.getLong(0) == 5000)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    spark.sql("DROP TABLE gcat.ns.agg")
+  }
+
   test("SQL time travel: VERSION AS OF reads a retained pin, rejects writes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.tt")

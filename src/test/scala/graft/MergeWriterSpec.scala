@@ -1086,6 +1086,32 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("clusterGroupTable retrofits a member inside one group commit") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpretro").toString + "/g"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      val states = (0 until 4096).map(i => (i.toLong, i % 7))
+        .toDF("id", "step")
+      val fields = (0 until 512).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+      // UNCLUSTERED members
+      MergeWriter.mergeGroup(spark, grp, Seq(
+        ("states", states, Seq("id")), ("fields", fields, Seq("id"))),
+        buckets = 2)
+      def opened(): Int = MergeWriter.readGroupTableRange(spark, grp,
+        "states", "id", Some(1000L), Some(1499L)).inputFiles.length
+      val all = MergeWriter.readGroupTable(spark, grp, "states")
+        .inputFiles.length
+      assert(all >= 16 && opened() == all)
+      MergeWriter.clusterGroupTable(spark, grp, "states", Seq("id"))
+      assert(opened() <= all / 4,
+        s"retrofitted member range read opened ${opened()} of $all")
+      // content exact, sibling member untouched
+      assert(MergeWriter.readGroupTable(spark, grp, "states").count() == 4096)
+      assert(MergeWriter.readGroupTable(spark, grp, "fields").count() == 512)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("fingerprints: a one-key change diffs files, not the whole bucket") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fpdiff").toString + "/t"
