@@ -3429,6 +3429,43 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // FINGERPRINT CHANGE FEED (file granularity inside a changed
+    // bucket): the table records a per-file content fingerprint, a
+    // sparse second load touches ~0.1% of keys, and the feed between
+    // the two versions must be exactly that delta — while reading only
+    // the repacked files, not the rewritten buckets (the spec and
+    // BENCH_SCALE fpfeed10 carry the file-count evidence; this row
+    // carries the CORRECTNESS against the oracle's recomputed diff).
+    "q166_fp_change_feed" -> ((s, dir) => {
+      val path = scratchDir("graft-fpfeed") + "/events"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2048")
+      try {
+        sources.MergeWriter.merge(s, path, ev, Seq("event_id"), buckets = 4,
+          clusterBy = Seq("event_id"), fingerprint = true)
+        val v1 = sources.MergeWriter.availableVersions(s, path).last
+        // sparse touch: flip event_type for event_id ≡ 7 (mod 1000),
+        // plus three brand-new ids past the domain
+        val touched = ev.filter(pmod(col("event_id"), lit(1000)) === 7)
+          .withColumn("event_type", lit("touched"))
+        val fresh = ev.filter(col("event_id") < 3).select(
+          (col("event_id") + lit(100000000L)).as("event_id"),
+          col("user_id"), lit("fresh").as("event_type"), col("ts"))
+        sources.MergeWriter.merge(s, path, touched.unionByName(fresh),
+          Seq("event_id"))
+        val v2 = sources.MergeWriter.availableVersions(s, path).last
+        sources.MergeWriter.changeFeed(s, path, v1, v2,
+            Seq("event_id"), Seq("event_type"))
+          .select(col("event_id"), col("op"),
+            col("old_event_type"), col("new_event_type"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+    }),
+
     // CROSS-COLUMN OR SKIPPING (the reference's reingest shape — a date
     // window OR an explicit id set, `extract_states_handler.ts`'s CTE
     // union): a top-level OR prunes as the UNION of its branches' file
@@ -6883,6 +6920,18 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    // The feed = the recomputed sparse delta: one update row per
+    // touched key (old image preserved), one insert per fresh key.
+    "q166_fp_change_feed" ->
+      """SELECT event_id, 'update' AS op,
+        |  event_type AS old_event_type,
+        |  'touched' AS new_event_type
+        |FROM events WHERE event_id % 1000 = 7
+        |UNION ALL
+        |SELECT event_id + 100000000, 'insert',
+        |  CAST(NULL AS VARCHAR), 'fresh'
+        |FROM events WHERE event_id < 3""".stripMargin,
 
     // The OR read = the plain disjunctive filtered aggregate.
     "q165_or_skip_scan" ->

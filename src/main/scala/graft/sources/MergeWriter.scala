@@ -1796,7 +1796,10 @@ object MergeWriter {
         st.map(_.stats).getOrElse(Map.empty) ++
           collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
             withColumnStats = cluster.nonEmpty),
-        bloom, bloomN))
+        bloom, bloomN,
+        // retention policy rides every group commit forward
+        retainVersions = st.map(_.retainVersions).getOrElse(KeepManifests),
+        retainMs = st.map(_.retainMs).getOrElse(0L)))
     } finally { inc.unpersist(); () }
   }
 
@@ -2177,16 +2180,67 @@ object MergeWriter {
       readGroupTableVersion(spark, groupPath, name, toVersion),
       keys, compareCols)
 
-  /** Group-scope gc: keep the last [[KeepManifests]] group manifests;
-    * per member, reclaim epochs no kept manifest references (age-guarded
+  /** Group-wide retention policy (the group analogue of
+    * [[setRetention]]): stamped onto EVERY member manifest in one
+    * atomic group commit, honored by [[gcGroup]] as the max over
+    * members — group versions are retained as a UNIT because members
+    * commit together, so a per-member policy would be a fiction. Lets
+    * a lagging member-tail CDC consumer ([[changeFeedGroup]], the
+    * `member` streaming option) stall across several group commits and
+    * still resume.
+    */
+  def setGroupRetention(spark: SparkSession, groupPath: String,
+                        versions: Int = KeepManifests,
+                        ms: Long = 0L): Unit = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentGroupManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"setGroupRetention: no committed group manifest at $groupPath")
+        case Some(cur) =>
+          val v = math.max(KeepManifests, versions)
+          val m = math.max(0L, ms)
+          if (cur.tables.values.forall(t =>
+              t.retainVersions == v && t.retainMs == m)) return
+          try {
+            commitGroupManifest(fs, dir, GroupManifest(cur.version + 1,
+              cur.tables.map { case (n, t) =>
+                n -> t.copy(retainVersions = v, retainMs = m) },
+              cur.txns, "retention", System.currentTimeMillis()))
+            gcGroup(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"setGroupRetention: lost the commit race to concurrent writers " +
+        s"of $groupPath on every retry — re-run against the new state")
+  }
+
+  /** Group-scope gc: keep the last `max(members' retainVersions,
+    * KeepManifests)` group manifests plus any younger than the members'
+    * max `retainMs` (the group analogue of [[gc]]'s policy honor); per
+    * member, reclaim epochs no kept manifest references (age-guarded
     * like [[gc]]), plus aged staging files at the group root.
     */
   private def gcGroup(fs: FileSystem, dir: Path,
                       orphanRetentionMs: Long = OrphanRetentionMs): Unit = {
     val manifests = manifestFiles(fs, dir, GroupPrefix)
     if (manifests.isEmpty) return
-    val (drop, keep) = manifests.splitAt(
-      math.max(0, manifests.size - KeepManifests))
+    val cur = manifests.last match { case (v, p) => readGroupManifest(fs, v, p) }
+    val keepCount = math.max(KeepManifests,
+      (cur.tables.values.map(_.retainVersions) ++ Seq(KeepManifests)).max)
+    val retainMs = (cur.tables.values.map(_.retainMs) ++ Seq(0L)).max
+    val (dropByCount, keepByCount) = manifests.splitAt(
+      math.max(0, manifests.size - keepCount))
+    val ageCut = System.currentTimeMillis() - retainMs
+    val (keptByAge, drop) =
+      if (retainMs <= 0L) (Seq.empty, dropByCount)
+      else dropByCount.partition { case (_, p) =>
+        fs.getFileStatus(p).getModificationTime >= ageCut }
+    val keep = keptByAge ++ keepByCount
     drop.foreach { case (_, p) => fs.delete(p, false) }
     val keptManifests = keep.map { case (v, p) =>
       val node = readJsonFile(fs, p)

@@ -424,6 +424,16 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(asMap(df.where(col("d") >= lo && col("k").isin(in: _*))) ==
           model.filter { case (k, (d, _)) => d >= lo && in.contains(k) },
           s"conjunction read diverged at step $step")
+        // CROSS-column OR (round 10: prunes as the union of branch file
+        // sets) and nested OR-of-conjunctions
+        assert(asMap(df.where(col("d") <= lo || col("k").isin(in: _*))) ==
+          model.filter { case (k, (d, _)) => d <= lo || in.contains(k) },
+          s"cross-column OR read diverged at step $step")
+        assert(asMap(df.where((col("d") >= lo && col("d") <= hi) ||
+            (col("k") === a && col("v") >= 0))) ==
+          model.filter { case (k, (d, _)) =>
+            (d >= lo && d <= hi) || k == a },
+          s"OR-of-conjunctions read diverged at step $step")
       }
       (0 until 20).foreach { step =>
         rnd.nextInt(6) match {

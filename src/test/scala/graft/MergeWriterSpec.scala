@@ -1086,6 +1086,38 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("group retention: a lagging member consumer survives 3+ commits") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpretain").toString + "/g"
+    def commitRound(i: Int): Unit = MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", Seq((i.toLong, s"s$i")).toDF("id", "st"), Seq("id")),
+      ("fields", Seq((i.toLong, i)).toDF("id", "n"), Seq("id"))),
+      buckets = 2)
+    commitRound(1); commitRound(2); commitRound(3)
+    // default: only KeepManifests group versions retained
+    intercept[IllegalArgumentException] {
+      MergeWriter.readGroupTableVersion(spark, grp, "states", 1L)
+    }
+    MergeWriter.setGroupRetention(spark, grp, versions = 6)
+    val v0 = MergeWriter.availableGroupVersions(spark, grp).last
+    commitRound(4); commitRound(5); commitRound(6); commitRound(7)
+    // the consumer lagged FOUR commits; its pinned version still reads
+    assert(MergeWriter.readGroupTableVersion(spark, grp, "states", v0)
+      .count() == 3)
+    // and the member change feed across the whole lag is the four rows
+    val latest = MergeWriter.availableGroupVersions(spark, grp).last
+    val feed = MergeWriter.changeFeedGroup(spark, grp, "states", v0, latest,
+      Seq("id"), Seq("st")).collect()
+    assert(feed.map(r => (r.getAs[Long]("id"), r.getAs[String]("op")))
+      .toSet == (4 to 7).map(i => (i.toLong, "insert")).toSet)
+    // lowering reclaims on the next commit's gc
+    MergeWriter.setGroupRetention(spark, grp, versions = 2)
+    commitRound(8)
+    intercept[IllegalArgumentException] {
+      MergeWriter.readGroupTableVersion(spark, grp, "states", v0)
+    }
+  }
+
   test("clusterGroupTable retrofits a member inside one group commit") {
     import spark.implicits._
     val grp = Files.createTempDirectory("grpretro").toString + "/g"
