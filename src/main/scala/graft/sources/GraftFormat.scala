@@ -44,7 +44,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * op ∈ insert/update/delete with old_/new_ audit columns — with the
   * initial batch emitting the full snapshot as inserts. Offsets are
   * manifest versions, so a checkpointed restart resumes exactly where
-  * it stopped as long as that version is still retained.
+  * it stopped as long as that version is still retained; the
+  * `maxVersionsPerTrigger` option bounds each catch-up batch (rate
+  * limiting after a stall — pair with a retention window ≥ the lag).
   */
 class GraftDataSource extends RelationProvider with DataSourceRegister
     with StreamSourceProvider with CreatableRelationProvider
@@ -243,8 +245,10 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
           MergeWriter.readGroupTableVersion(spark, path, name, v)
         (() => MergeWriter.currentGroupVersion(spark, path),
           (from: Option[Long], to: Long) => from match {
-            case Some(v) => graft.operators.Reconcile.snapshotDiff(
-              read(v), read(to), keys, compareCols)
+            // bucket-pruned + fingerprint-paired, same core as the
+            // table feed (MergeWriter.diffManifests)
+            case Some(v) => MergeWriter.changeFeedGroup(spark, path, name,
+              v, to, keys, compareCols)
             case None => initialSnapshot(read)(to)
           })
       case None =>
@@ -277,7 +281,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val (keys, compareCols, cdcSchema, latest, readV) =
       cdcSpec(spark, parameters)
     new GraftChangeFeedSource(spark, keys, compareCols, cdcSchema, latest,
-      readV)
+      readV, parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
@@ -289,10 +293,17 @@ class GraftChangeFeedSource(spark: SparkSession,
                             keys: Seq[String], compareCols: Seq[String],
                             cdcSchema: StructType,
                             latestVersion: () => Option[Long],
-                            diffFn: (Option[Long], Long) => DataFrame)
+                            diffFn: (Option[Long], Long) => DataFrame,
+                            versionsPerTrigger: Option[Long] = None)
     extends GraftSourceBridge {
 
   override def schema: StructType = cdcSchema
+
+  /** `maxVersionsPerTrigger` option: bounded catch-up batches after a
+    * stall (see [[GraftSourceBridge.maxVersionsPerTrigger]]).
+    */
+  override protected def maxVersionsPerTrigger: Option[Long] =
+    versionsPerTrigger
 
   override protected def currentVersion(): Option[Long] = latestVersion()
 

@@ -2174,11 +2174,16 @@ object MergeWriter {
   def changeFeedGroup(spark: SparkSession, groupPath: String, name: String,
                       fromVersion: Long, toVersion: Long,
                       keys: Seq[String],
-                      compareCols: Seq[String]): DataFrame =
-    graft.operators.Reconcile.snapshotDiff(
-      readGroupTableVersion(spark, groupPath, name, fromVersion),
-      readGroupTableVersion(spark, groupPath, name, toVersion),
-      keys, compareCols)
+                      compareCols: Seq[String]): DataFrame = {
+    def memberAt(v: Long): Manifest =
+      pinGroupMember(spark, groupPath, name, Some(v), None).getOrElse(
+        throw new IllegalArgumentException(
+          s"changeFeedGroup: version $v not retained for $groupPath"))
+    // same bucket-pruned, fingerprint-paired core as the table feed —
+    // a member diff reads changed buckets, never the member table
+    diffManifests(spark, s"$groupPath/$name",
+      memberAt(fromVersion), memberAt(toVersion), keys, compareCols)
+  }
 
   /** Group-wide retention policy (the group analogue of
     * [[setRetention]]): stamped onto EVERY member manifest in one
@@ -3678,6 +3683,20 @@ object MergeWriter {
           s"(readable: ${retained.map(_._1).mkString(", ")})"))
     val mFrom = manOf(fromVersion)
     val mTo = manOf(toVersion)
+    diffManifests(spark, tablePath, mFrom, mTo, keys, compareCols)
+  }
+
+  /** The manifest-pair diff core shared by [[changeFeed]] and
+    * [[changeFeedGroup]]: bucket pruning (only buckets whose epoch
+    * pointer moved are read on either side), fingerprint file pairing
+    * inside changed buckets, and the keyed snapshot diff. A modulus
+    * change (split) or a side without a recorded schema degrades to
+    * the full two-sided diff — still exact.
+    */
+  private def diffManifests(spark: SparkSession, dataPath: String,
+                            mFrom: Manifest, mTo: Manifest,
+                            keys: Seq[String],
+                            compareCols: Seq[String]): DataFrame = {
     // BUCKET PRUNING: a bucket whose epoch pointer did not move between
     // the two versions serves bit-identical files on both sides — it
     // cannot produce a change row, so the diff join reads ONLY the
@@ -3730,7 +3749,7 @@ object MergeWriter {
         def side(m: Manifest, dropOf: Int => Set[String]): DataFrame = {
           val paths = m.epochs.toSeq.filter(e => changed(e._1)).sortBy(_._1)
             .flatMap { case (b, e) =>
-              val dir = bucketPath(tablePath, e, b)
+              val dir = bucketPath(dataPath, e, b)
               val dropped = dropOf(b)
               m.stats.get(b) match {
                 case Some(fss) if dropped.nonEmpty =>
@@ -3747,9 +3766,21 @@ object MergeWriter {
         }
         (side(mFrom, b => drops.get(b).map(_._1).getOrElse(Set.empty)),
           side(mTo, b => drops.get(b).map(_._2).getOrElse(Set.empty)))
-      } else
-        (readTableVersion(spark, tablePath, fromVersion),
-          readTableVersion(spark, tablePath, toVersion))
+      } else {
+        // modulus/schema mismatch: full two-sided diff straight from
+        // the manifests (no path-level version resolution needed)
+        def full(m: Manifest): DataFrame = {
+          val paths = m.epochs.toSeq.sortBy(_._1)
+            .map { case (b, e) => bucketPath(dataPath, e, b) }
+          if (paths.isEmpty) m.schema match {
+            case Some(sch) => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              DataType.fromJson(sch).asInstanceOf[StructType])
+            case None => spark.emptyDataFrame
+          } else readWithSchema(spark, m, paths)
+        }
+        (full(mFrom), full(mTo))
+      }
     graft.operators.Reconcile.snapshotDiff(oldDf, newDf, keys, compareCols)
   }
 

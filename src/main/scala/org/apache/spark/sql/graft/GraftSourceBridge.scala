@@ -36,8 +36,33 @@ abstract class GraftSourceBridge extends Source {
   protected def changeBatch(fromVersion: Option[Long],
                             toVersion: Long): DataFrame
 
-  override def getOffset: Option[Offset] =
-    currentVersion().map(v => LongOffset(v))
+  /** Per-trigger version budget (rate limiting, FileStreamSource's
+    * `maxFilesPerTrigger` shape): a consumer catching up after a long
+    * stall drains its backlog in bounded micro-batches instead of one
+    * lag-sized diff. None = unbounded (diff straight to latest). The
+    * cap only applies once a cursor exists — the initial snapshot is
+    * one batch regardless. Capped intermediate versions must still be
+    * RETAINED (versions are dense, so the cap picks real versions;
+    * pair rate limiting with a retention window ≥ the expected lag).
+    */
+  protected def maxVersionsPerTrigger: Option[Long] = None
+
+  /** Highest version this source has OFFERED (or replayed) so far —
+    * the rate-limit cursor. Seeded by recovery's `getBatch` replay,
+    * exactly how FileStreamSource re-seeds its internal log.
+    */
+  private var offered: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val capped = (currentVersion(), offered, maxVersionsPerTrigger) match {
+      case (Some(latest), Some(seen), Some(cap)) =>
+        Some(math.min(latest, seen + cap))
+      case (cur, _, _) => cur
+    }
+    capped.foreach(v =>
+      offered = Some(math.max(v, offered.getOrElse(Long.MinValue))))
+    capped.map(v => LongOffset(v))
+  }
 
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -45,7 +70,9 @@ abstract class GraftSourceBridge extends Source {
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val batch = changeBatch(start.map(versionOf), versionOf(end))
+    val endV = versionOf(end)
+    offered = Some(math.max(endV, offered.getOrElse(Long.MinValue)))
+    val batch = changeBatch(start.map(versionOf), endV)
     val classic = batch.asInstanceOf[ClassicDataset[Row]]
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)

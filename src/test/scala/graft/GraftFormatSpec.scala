@@ -529,6 +529,40 @@ class GraftFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lagging stream emitted ${got.sorted}")
   }
 
+  test("maxVersionsPerTrigger drains a lag in bounded catch-up batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ratelim").toString
+    val dir = root + "/t"
+    MergeWriter.merge(spark, dir,
+      Seq((0L, 0)).toDF("k", "v"), Seq("k"), buckets = 2)
+    MergeWriter.setRetention(spark, dir, versions = 12)
+    def start() = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(dir)
+      .writeStream.format("parquet").option("path", root + "/out")
+      .option("checkpointLocation", root + "/cp")
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // six commits while the consumer is down
+    (1 to 6).foreach(i => MergeWriter.merge(spark, dir,
+      Seq((i.toLong, i)).toDF("k", "v"), Seq("k")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the 6-version backlog drained in ≥3 bounded batches, not one
+      val nonEmpty = q2.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 catch-up batches, saw $nonEmpty " +
+          q2.recentProgress.map(_.numInputRows).mkString("[", ",", "]"))
+    } finally q2.stop()
+    // exactly-once across the bounded batches
+    val got = spark.read.parquet(root + "/out")
+      .select("k", "op", "new_v").as[(Long, String, Int)].collect().toSeq
+    assert(got.sorted ==
+      ((0 to 6).map(i => (i.toLong, "insert", i))).sorted,
+      s"rate-limited stream emitted ${got.sorted}")
+  }
+
   test("default retention fails a 3-commit-lagged stream LOUDLY") {
     import spark.implicits._
     val root = Files.createTempDirectory("lagfail").toString

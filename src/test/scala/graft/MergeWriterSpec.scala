@@ -1106,8 +1106,9 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 3)
     // and the member change feed across the whole lag is the four rows
     val latest = MergeWriter.availableGroupVersions(spark, grp).last
-    val feed = MergeWriter.changeFeedGroup(spark, grp, "states", v0, latest,
-      Seq("id"), Seq("st")).collect()
+    val feedDf = MergeWriter.changeFeedGroup(spark, grp, "states", v0,
+      latest, Seq("id"), Seq("st"))
+    val feed = feedDf.collect()
     assert(feed.map(r => (r.getAs[Long]("id"), r.getAs[String]("op")))
       .toSet == (4 to 7).map(i => (i.toLong, "insert")).toSet)
     // lowering reclaims on the next commit's gc
@@ -1116,6 +1117,33 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       MergeWriter.readGroupTableVersion(spark, grp, "states", v0)
     }
+  }
+
+  test("changeFeedGroup reads changed buckets only") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("grpfeed").toString + "/g"
+    val seed = (0 until 4096).map(i => (i.toLong, i % 9)).toDF("id", "st")
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", seed, Seq("id")),
+      ("fields", (0 until 64).map(i => (i.toLong, i)).toDF("id", "n"),
+        Seq("id"))), buckets = 8)
+    MergeWriter.setGroupRetention(spark, grp, versions = 4)
+    val v1 = MergeWriter.availableGroupVersions(spark, grp).last
+    // one-key change → ONE changed bucket out of 8
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("states", Seq((7L, 999)).toDF("id", "st"), Seq("id"))))
+    val v2 = MergeWriter.availableGroupVersions(spark, grp).last
+    val feed = MergeWriter.changeFeedGroup(spark, grp, "states", v1, v2,
+      Seq("id"), Seq("st"))
+    assert(feed.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("op"), r.getAs[Int]("new_st")))
+      .toSeq == Seq((7L, "update", 999)))
+    val allFiles = MergeWriter.readGroupTable(spark, grp, "states")
+      .inputFiles.length
+    assert(allFiles >= 8, s"test setup: want >=8 member files, got $allFiles")
+    assert(feed.inputFiles.length <= 2 * allFiles / 8 + 1,
+      s"member feed read ${feed.inputFiles.length} of $allFiles files — " +
+        "expected one changed bucket per side")
   }
 
   test("clusterGroupTable retrofits a member inside one group commit") {
