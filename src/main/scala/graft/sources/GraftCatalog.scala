@@ -11,9 +11,10 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead,
-  SupportsWrite, Table, TableCapability, TableCatalog, NamespaceChange,
-  TableChange}
+  Identifier, ProcedureCatalog, SupportsDeleteV2, SupportsNamespaces,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog,
+  NamespaceChange, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.{
   Expression => V2Expression, Literal => V2Literal, NamedReference,
   Transform}
@@ -58,7 +59,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * engine's equivalent is the DataFrame `MergeWriter.merge` (upsert)
   * and `delete`, which SQL consumers reach via INSERT INTO / DELETE.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -216,6 +218,178 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(from, to))
       throw new IllegalStateException(
         s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- maintenance procedures: CALL gc.system.<verb>(...) ------------
+
+  /** The maintenance verbs as SQL stored procedures (Iceberg's
+    * `CALL catalog.system.rewrite_data_files` shape on Spark's DSv2
+    * ProcedureCatalog): compact, cluster (the OPTIMIZE ZORDER
+    * retrofit), vacuum, set_retention, truncate_history, expire_txns,
+    * split_buckets, build_bloom_index — so the ENTIRE operational
+    * surface is reachable from pure SQL, not just the DataFrame API.
+    * Each returns one `status` row.
+    */
+  private def tablePathOf(table: String): String = {
+    val parts = table.split('.').toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"graft procedure: bad table name '$table'")
+    val dir = dirOf(parts)
+    require(isTable(dir),
+      s"graft procedure: $catName.${parts.mkString(".")} is not a table")
+    dir.toString
+  }
+
+  private def csvArg(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private abstract class Proc(procName: String, desc: String,
+      params: Array[procedures.ProcedureParameter])
+      extends procedures.UnboundProcedure with procedures.BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      this
+    override def parameters(): Array[procedures.ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def exec(input: org.apache.spark.sql.catalyst.InternalRow)
+        : String
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val msg = exec(input)
+      val out: org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(msg)))
+          override def readSchema(): StructType = StructType(Seq(
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.StringType)))
+        }
+      util.Collections.singletonList(out).iterator()
+    }
+  }
+
+  private def inParam(n: String, dt: org.apache.spark.sql.types.DataType)
+      : procedures.ProcedureParameter =
+    procedures.ProcedureParameter.in(n, dt).build()
+  private def inParamDefault(n: String,
+                             dt: org.apache.spark.sql.types.DataType,
+                             default: String)
+      : procedures.ProcedureParameter =
+    procedures.ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private lazy val systemProcedures: Map[String, procedures.UnboundProcedure] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType => SType}
+    val all: Seq[Proc] = Seq(
+      new Proc("compact", "rewrite live buckets into one epoch " +
+          "(size-targeted when target_file_bytes > 0)",
+        Array(inParam("table", SType),
+          inParamDefault("target_file_bytes", LongType, "0"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.compact(spark, p, in.getLong(1))
+          s"compacted $p"
+        }
+      },
+      new Proc("cluster", "clustering retrofit (OPTIMIZE ZORDER): " +
+          "rewrite under a new cluster spec and record full stats",
+        Array(inParam("table", SType), inParam("cluster_by", SType),
+          inParamDefault("target_file_bytes", LongType, "0"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val cols = csvArg(in.getUTF8String(1).toString)
+          MergeWriter.clusterTable(spark, p, cols, in.getLong(2))
+          s"clustered $p by ${cols.mkString(",")}"
+        }
+      },
+      new Proc("vacuum", "reclaim unreferenced epochs older than " +
+          "retention_ms and stale staging artifacts",
+        Array(inParam("table", SType),
+          inParamDefault("retention_ms", LongType,
+            MergeWriter.OrphanRetentionMs.toString))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.vacuum(spark, p, in.getLong(1))
+          s"vacuumed $p"
+        }
+      },
+      new Proc("set_retention", "per-table retention policy: keep " +
+          "max(versions, 2) versions plus any younger than ms",
+        Array(inParam("table", SType),
+          inParamDefault("versions", IntegerType,
+            MergeWriter.KeepManifests.toString),
+          inParamDefault("ms", LongType, "0"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.setRetention(spark, p, in.getInt(1), in.getLong(2))
+          s"retention set on $p"
+        }
+      },
+      new Proc("truncate_history", "collapse readable history to the " +
+          "current state (right-to-be-forgotten completion)",
+        Array(inParam("table", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.truncateHistory(spark, p)
+          s"history truncated on $p"
+        }
+      },
+      new Proc("expire_txns", "drop retired writer app ids from the " +
+          "txn ledger (their future replays would re-apply)",
+        Array(inParam("table", SType), inParam("apps", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.expireTxns(spark, p,
+            csvArg(in.getUTF8String(1).toString))
+          s"txns expired on $p"
+        }
+      },
+      new Proc("split_buckets", "double the bucket count in place " +
+          "(local file split, no shuffle)",
+        Array(inParam("table", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val keys = MergeWriter.pinManifest(spark, p, None, None)
+            .map(_.keyCols).filter(_.nonEmpty).getOrElse(
+              throw new IllegalArgumentException(
+                s"split_buckets: $p records no merge keys"))
+          MergeWriter.splitBuckets(spark, p, keys)
+          s"buckets split on $p"
+        }
+      },
+      new Proc("build_bloom_index", "declare per-file Bloom columns and " +
+          "backfill sidecars for every live epoch",
+        Array(inParam("table", SType), inParam("columns", SType),
+          inParamDefault("items", LongType,
+            MergeWriter.DefaultBloomItems.toString))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.buildBloomIndex(spark, p,
+            csvArg(in.getUTF8String(1).toString), in.getLong(2))
+          s"bloom index built on $p"
+        }
+      })
+    all.map(p => p.name() -> (p: procedures.UnboundProcedure)).toMap
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      systemProcedures.keys.toArray.sorted
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : procedures.UnboundProcedure = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!ok) throw new IllegalArgumentException(
+      s"graft catalog: procedures live in the 'system' namespace, got " +
+        ident.namespace().mkString("."))
+    systemProcedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"graft catalog: unknown procedure '${ident.name()}' " +
+          s"(have: ${systemProcedures.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   // ---- namespaces: directories without a manifest --------------------

@@ -128,6 +128,46 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.skip.m")
   }
 
+  test("CALL gcat.system.* drives the maintenance verbs from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ops")
+    spark.sql("DROP TABLE IF EXISTS gcat.ops.m")
+    spark.sql("CREATE TABLE gcat.ops.m (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    val path = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/ops/m"
+    // a broad insert then a single-key insert: the second touches ONE
+    // bucket, so the other keeps the older epoch → 2 live epochs
+    spark.sql("INSERT INTO gcat.ops.m SELECT id, 1.0 FROM range(400)")
+    spark.sql("INSERT INTO gcat.ops.m VALUES (0, 2.0)")
+    def liveEpochs(): Int = MergeWriter.describeTable(spark, path)
+      .collect().head.getAs[Int]("live_epochs")
+    assert(liveEpochs() > 1, "test setup: want multiple live epochs")
+    val st = spark.sql("CALL gcat.system.compact(table => 'ops.m')")
+      .collect().head.getString(0)
+    assert(st.startsWith("compacted"))
+    assert(liveEpochs() == 1)
+    // clustering retrofit + retention + split, all as CALLs
+    spark.sql("CALL gcat.system.cluster(table => 'ops.m', " +
+      "cluster_by => 'id')")
+    assert(MergeWriter.describeTable(spark, path).collect().head
+      .getAs[String]("cluster_cols") == "id")
+    spark.sql("CALL gcat.system.set_retention(table => 'ops.m', " +
+      "versions => 4)")
+    spark.sql("CALL gcat.system.split_buckets(table => 'ops.m')")
+    assert(MergeWriter.describeTable(spark, path).collect().head
+      .getAs[Int]("buckets") == 4)
+    spark.sql("CALL gcat.system.vacuum(table => 'ops.m')")
+    // content survives every verb
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ops.m")
+      .collect().head.getLong(0) == 400)
+    // unknown procedure fails loudly with the catalog's inventory
+    val e = intercept[Exception] {
+      spark.sql("CALL gcat.system.nope(table => 'ops.m')")
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("nope"))
+    spark.sql("DROP TABLE gcat.ops.m")
+  }
+
   test("SQL TRUNCATE TABLE and ALTER retention") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.r")
