@@ -637,6 +637,62 @@ object ScaleBench {
     }
     if (sections("fpfeed10")) { fpFeedBench(base, "sf0.1"); fpFeedBench(rep, "rep10") }
 
+    // SQL row-level DML at scale (GraftRowLevel): a point UPDATE's cost
+    // must track the MATCHED data (stats-pruned scan + one bounded
+    // bucket rewrite), not the table — near-flat 1×→10× is the claim.
+    // The small MERGE is reported honestly as scan-bound: delta-based
+    // MERGE reads the target once (join side can't be statically
+    // pruned — same cost shape as Delta/Iceberg), while its WRITE stays
+    // ∝ changed buckets.
+    def sqlDmlBench(dir: String, tag: String, buckets: Int): Unit = {
+      val whRoot = s"$work/sqldml10/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whRoot))
+      // catalog name must be per-tag: CatalogManager caches the catalog
+      // instance on first use, so a later warehouse-conf change on the
+      // SAME name is silently ignored
+      val cname = "gsb_" + tag.replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", whRoot)
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      ev.createOrReplaceTempView("sdml_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cname.b")
+      spark.sql(s"DROP TABLE IF EXISTS $cname.b.t")
+      spark.sql(s"""CREATE TABLE $cname.b.t (event_id BIGINT, user_id BIGINT,
+        event_type STRING, ts TIMESTAMP_NTZ)
+        TBLPROPERTIES ('keys'='event_id','buckets'='$buckets',
+        'clusterBy'='event_id')""")
+      spark.sql(s"INSERT INTO $cname.b.t SELECT * FROM sdml_src")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      def sec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val updSec = (1 to 3).map(i => sec {
+        spark.sql(s"UPDATE $cname.b.t SET event_type = 'u$i' " +
+          s"WHERE event_id = ${maxId - i}")
+      }).min
+      val mrgSec = sec {
+        spark.sql(s"""MERGE INTO $cname.b.t t
+          USING (WITH head AS (SELECT event_id, user_id, ts
+                   FROM sdml_src ORDER BY event_id LIMIT 250)
+                 SELECT event_id, user_id, 'mrg' AS event_type, ts FROM head
+                 UNION ALL
+                 SELECT event_id + 900000000000, user_id, 'mrg', ts
+                 FROM head) s
+          ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET event_type = s.event_type
+          WHEN NOT MATCHED THEN INSERT * """)
+      }
+      val files = graft.sources.MergeWriter.readTable(spark, s"$whRoot/b/t")
+        .inputFiles.length
+      println(f"""{"dir":"$tag","sqldml_files":$files,"sqldml_point_update_sec":$updSec%.2f,"sqldml_small_merge_sec":$mrgSec%.2f}""")
+    }
+    if (sections("sqldml10")) {
+      sqlDmlBench(base, "sf0.1", 4); sqlDmlBench(rep, "rep10", 16)
+    }
+
     spark.stop()
   }
 }

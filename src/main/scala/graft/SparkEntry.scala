@@ -3466,6 +3466,77 @@ object SparkEntry {
       }
     }),
 
+    // SQL MERGE INTO (delta-based DSv2 row-level ops,
+    // GraftRowLevelOperation): the reference's bulkCreate-with-
+    // updateOnDuplicate shape (`vc_data.ts:198-222`) as one ANSI MERGE
+    // statement — conditional delete, update, and insert clauses land
+    // in ONE manifest commit, rewriting only buckets holding changed
+    // keys.
+    "q167_sql_merge" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-sqlmerge"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+        .createOrReplaceTempView(s"mrg_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.m (
+        event_id BIGINT, user_id BIGINT, event_type STRING,
+        ts TIMESTAMP_NTZ)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.m " +
+        s"SELECT * FROM mrg_src_$n WHERE event_id % 2 = 0")
+      s.sql(s"""
+        MERGE INTO $cat.etl.m t
+        USING (SELECT * FROM mrg_src_$n WHERE event_id % 3 = 0) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED AND s.event_type = 'view' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          event_type = concat('m_', s.event_type),
+          user_id = t.user_id + 100000
+        WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, ts)
+          VALUES (s.event_id, s.user_id, s.event_type, s.ts)""")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.m GROUP BY event_type""")
+    }),
+
+    // SQL UPDATE + row-level DELETE (same DSv2 path): Sequelize's
+    // `update(attrs, {where})` (`project_aurora.ts:64`) as ANSI UPDATE
+    // with expression assignments, then a DELETE whose predicate no
+    // metadata delete can translate (arithmetic across two columns) —
+    // it falls through to the delta-based row-level plan instead of
+    // erroring. The DELETE's predicate reads post-UPDATE values,
+    // proving statement-ordered visibility across the two commits.
+    "q168_sql_update" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-sqlupdate"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+        .createOrReplaceTempView(s"upd_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.u (
+        event_id BIGINT, user_id BIGINT, event_type STRING,
+        ts TIMESTAMP_NTZ)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.u SELECT * FROM upd_src_$n")
+      s.sql(s"""UPDATE $cat.etl.u SET
+        user_id = user_id + 1000000, event_type = upper(event_type)
+        WHERE event_type = 'purchase' AND (user_id + event_id) % 7 = 0""")
+      s.sql(s"DELETE FROM $cat.etl.u " +
+        "WHERE (user_id * 31 + event_id) % 13 = 0")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.u GROUP BY event_type""")
+    }),
+
     // CROSS-COLUMN OR SKIPPING (the reference's reingest shape — a date
     // window OR an explicit id set, `extract_states_handler.ts`'s CTE
     // union): a top-level OR prunes as the UNION of its branches' file
@@ -7131,6 +7202,49 @@ object SparkEntry {
         |UNION ALL
         |SELECT state, flomatikasnapshotdate, CAST(n AS BIGINT) AS numberofitems
         |FROM daily WHERE state NOT IN ('purchase')""".stripMargin,
+
+    // Relational mirror of the MERGE: matched view-rows die, other
+    // matches update, unmatched source rows insert.
+    "q167_sql_merge" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0),
+        |src AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 3 = 0),
+        |merged AS (
+        |  SELECT b.event_id,
+        |    CASE WHEN s.event_id IS NOT NULL THEN b.user_id + 100000
+        |         ELSE b.user_id END AS user_id,
+        |    CASE WHEN s.event_id IS NOT NULL THEN 'm_' || s.event_type
+        |         ELSE b.event_type END AS event_type,
+        |    CASE WHEN s.event_id IS NOT NULL AND s.event_type = 'view'
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM base b LEFT JOIN src s USING (event_id)),
+        |kept AS (
+        |  SELECT event_id, user_id, event_type FROM merged WHERE del = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM src
+        |  WHERE event_id NOT IN (SELECT event_id FROM base))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM kept GROUP BY event_type""".stripMargin,
+
+    // CASE mirror of the UPDATE, then the DELETE filter evaluated over
+    // the POST-update values (statement order).
+    "q168_sql_update" ->
+      """WITH upd AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' AND (user_id + event_id) % 7 = 0
+        |         THEN user_id + 1000000 ELSE user_id END AS user_id,
+        |    CASE WHEN event_type = 'purchase' AND (user_id + event_id) % 7 = 0
+        |         THEN upper(event_type) ELSE event_type END AS event_type
+        |  FROM events),
+        |kept AS (
+        |  SELECT * FROM upd WHERE (user_id * 31 + event_id) % 13 <> 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM kept GROUP BY event_type""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

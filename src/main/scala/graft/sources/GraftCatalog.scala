@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
   Identifier, ProcedureCatalog, SupportsDeleteV2, SupportsNamespaces,
-  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog,
-  NamespaceChange, TableChange}
+  SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table,
+  TableCapability, TableCatalog, NamespaceChange, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.{
   Expression => V2Expression, Literal => V2Literal, NamedReference,
@@ -22,7 +22,8 @@ import org.apache.spark.sql.connector.expressions.filter.{
   And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{
   NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -270,6 +271,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** A procedure whose result is a bounded TABLE (history, describe):
+    * rows come from a driver-side DataFrame collect, so only use for
+    * metadata-sized outputs — history is ≤ retained versions, describe
+    * is one row. Unbounded results (a change feed) belong on the
+    * DataFrame/readStream surface, not in a CALL.
+    */
+  private abstract class TableProc(procName: String, desc: String,
+      params: Array[procedures.ProcedureParameter])
+      extends procedures.UnboundProcedure with procedures.BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): procedures.BoundProcedure =
+      this
+    override def parameters(): Array[procedures.ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: org.apache.spark.sql.catalyst.InternalRow)
+        : DataFrame
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val df = run(input)
+      val schema = df.schema
+      val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      val collected = df.collect().map(r =>
+        conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      val out: org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] = collected
+          override def readSchema(): StructType = schema
+        }
+      util.Collections.singletonList(out).iterator()
+    }
+  }
+
   private def inParam(n: String, dt: org.apache.spark.sql.types.DataType)
       : procedures.ProcedureParameter =
     procedures.ProcedureParameter.in(n, dt).build()
@@ -370,7 +405,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bloom index built on $p"
         }
       })
-    all.map(p => p.name() -> (p: procedures.UnboundProcedure)).toMap
+    val tableProcs: Seq[TableProc] = Seq(
+      new TableProc("history", "commit history of the retained versions " +
+          "(Delta DESCRIBE HISTORY): version, operation, timestamp",
+        Array(inParam("table", SType))) {
+        override protected def run(in: org.apache.spark.sql.catalyst.InternalRow) =
+          MergeWriter.tableHistory(spark,
+            tablePathOf(in.getUTF8String(0).toString))
+      },
+      new TableProc("describe", "physical state: version, buckets, live " +
+          "epochs, schema, retained versions, files/bytes, clustering, keys",
+        Array(inParam("table", SType))) {
+        override protected def run(in: org.apache.spark.sql.catalyst.InternalRow) =
+          MergeWriter.describeTable(spark,
+            tablePathOf(in.getUTF8String(0).toString))
+      })
+    (all.map(p => p.name() -> (p: procedures.UnboundProcedure)) ++
+      tableProcs.map(p => p.name() -> (p: procedures.UnboundProcedure))).toMap
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -460,7 +511,7 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
                     versionAsOf: Option[Long] = None,
                     timestampAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsRowLevelOperations {
 
   private def pinned: Boolean =
     versionAsOf.isDefined || timestampAsOf.isDefined
@@ -472,8 +523,18 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
 
   override def name(): String = tableName
 
-  override def schema(): StructType =
-    MergeWriter.indexSchema(spark, tablePath, man)
+  /** Merge keys surface as NOT NULL: they are the table's primary key
+    * (a row's identity under keyed merge can never be null), and
+    * Spark's row-level DML requires non-nullable row-id attributes.
+    * Writes from nullable sources still work — ANSI store assignment
+    * wraps them in runtime null checks instead of rejecting the plan.
+    */
+  override def schema(): StructType = {
+    val s = MergeWriter.indexSchema(spark, tablePath, man)
+    if (man.keyCols.isEmpty) s
+    else StructType(s.fields.map(f =>
+      if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -522,6 +583,24 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     val doomed = MergeWriter.readTable(spark, tablePath).where(cond)
       .select(man.keyCols.map(col): _*).distinct()
     MergeWriter.delete(spark, tablePath, doomed, man.keyCols)
+  }
+
+  /** SQL MERGE INTO / UPDATE / general-predicate DELETE, via the
+    * delta-based DSv2 rewrite ([[GraftRowLevelOperation]]). Translatable
+    * DELETEs still take the metadata path above (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable restores it when every
+    * predicate pushes); this is the row-level fallback plus the whole
+    * of UPDATE and MERGE.
+    */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder = {
+    require(!pinned,
+      s"graft catalog: $tableName is a time-travel pin — history is " +
+        "immutable, write to the current table")
+    require(man.keyCols.nonEmpty,
+      s"graft catalog: ${info.command} needs recorded merge keys on " +
+        tablePath)
+    () => new GraftRowLevelOperation(spark, tablePath, man, info.command)
   }
 }
 

@@ -568,6 +568,13 @@ object MergeWriter {
         fs.delete(st.getPath, true)
       if (st.isDirectory && n.startsWith(BucketCol + "="))
         fs.delete(st.getPath, true)
+      // row-level DML staging (GraftRowLevel): normally removed by the
+      // batch commit/abort; a driver crash mid-write leaves the dir
+      // behind. Same age guard as epochs — an in-flight statement's
+      // staging must survive until its own cleanup.
+      if (st.isDirectory && n.startsWith("_rowlevel-") &&
+          now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, true)
       // staged manifests get the same age guard as epochs: a concurrent
       // disjoint-bucket writer's .tmp-manifest lives between fs.create and
       // its link/rename — reaping it young would fail that writer's commit
@@ -2683,6 +2690,67 @@ object MergeWriter {
         maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
       } finally { del.unpersist(); () }
     }
+  }
+
+  /** Apply a MIXED changeset — upserts and deletes — in ONE manifest
+    * commit. This is the storage half of SQL row-level operations
+    * (MERGE INTO / UPDATE / DELETE planned through Spark's delta-based
+    * DSv2 rewrite, [[GraftSqlTable]]): Spark hands the connector only
+    * the CHANGED rows, and the whole changeset must become visible
+    * atomically — a MERGE whose updates landed but whose deletes
+    * didn't is not a state any reader may observe. Cost mirrors
+    * [[merge]]+[[delete]]: only buckets holding a changed key are
+    * rewritten, everything else is untouched metadata, so a 100 TB
+    * table pays ∝ |changeset| + |touched buckets|, never ∝ |table|.
+    * `upserts` replace their keys; `deleteKeys` remove theirs; a key in
+    * both resolves to the upsert (the delete names the row's PRIOR
+    * identity — how an UPDATE that rewrites a key column travels: the
+    * old key dies, the new row lands, same commit).
+    */
+  def applyChanges(spark: SparkSession, tablePath: String,
+                   upserts: DataFrame, deleteKeys: DataFrame,
+                   keys: Seq[String], opName: String = "rowlevel",
+                   autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+    require(keys.nonEmpty, "applyChanges requires at least one key column")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val man = currentManifest(fs, dir).getOrElse(
+      throw new IllegalStateException(
+        s"applyChanges: $tablePath is not a manifest table"))
+    validateKeys(man, keys, opName)
+    val nb = man.buckets
+    val up = upserts
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      .persist()
+    val del = deleteKeys.select(keys.map(col): _*).distinct()
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+      .persist()
+    try {
+      val touched =
+        (touchedBuckets(up) ++ touchedBuckets(del)).distinct
+      if (touched.isEmpty) return // empty changeset — no version churn
+      val existingPaths = touched.flatMap(b =>
+        man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+      // every changed key vacates its stored row: upserted keys get
+      // re-inserted from `up`, deleted keys just end here
+      val gone = up.select(keys.map(col): _*)
+        .union(del.select(keys.map(col): _*)).distinct()
+      val survivors =
+        if (existingPaths.isEmpty) None
+        else Some(readWithSchema(spark, man, existingPaths)
+          .join(gone, keys, "left_anti"))
+      val merged = survivors match {
+        case None => up.drop(BucketCol)
+        case Some(sv) =>
+          sv.unionByName(up.select(sv.columns.map(col).toIndexedSeq: _*))
+      }
+      val touchedStored = touched.filter(man.epochs.contains).toSet
+      writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
+        Some(man), dropBuckets = touchedStored, opName = opName)
+      gc(fs, dir)
+      maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
+      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+    } finally { up.unpersist(); del.unpersist(); () }
   }
 
   /** Compact a merge-maintained table: rewrite every live bucket into ONE

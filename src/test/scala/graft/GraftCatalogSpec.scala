@@ -156,6 +156,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.describeTable(spark, path).collect().head
       .getAs[Int]("buckets") == 4)
     spark.sql("CALL gcat.system.vacuum(table => 'ops.m')")
+    // table-returning procedures: history (one row per retained commit,
+    // newest knows the verbs above) and describe (physical state)
+    val hist = spark.sql("CALL gcat.system.history(table => 'ops.m')")
+      .collect()
+    assert(hist.length > 1)
+    assert(hist.exists(r => Option(r.getAs[String]("op"))
+      .exists(_.startsWith("split"))))
+    val desc = spark.sql("CALL gcat.system.describe(table => 'ops.m')")
+      .collect().head
+    assert(desc.getAs[Int]("buckets") == 4)
     // content survives every verb
     assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ops.m")
       .collect().head.getLong(0) == 400)
@@ -237,20 +247,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.ns.tt")
   }
 
-  test("DELETE with an untranslatable predicate fails loudly, not partially") {
+  test("DELETE with an untranslatable predicate takes the row-level path") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.guard")
     spark.sql("CREATE TABLE gcat.ns.guard (id BIGINT, s STRING) " +
       "TBLPROPERTIES ('keys'='id')")
     spark.sql("INSERT INTO gcat.ns.guard SELECT id, 'a' FROM range(10)")
-    // a correlated/exotic predicate no storage delete can translate
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gcat.ns.guard WHERE length(repeat(s, 3)) > id")
-    }
-    assert(e.getMessage != null)
-    // nothing was deleted
+    // a predicate the metadata delete can't translate (so pre-row-level
+    // this errored): falls through to the delta-based row-level DELETE,
+    // which evaluates it over the scan. 'aaa'.length=3 > id ⇔ id ∈ 0..2.
+    spark.sql("DELETE FROM gcat.ns.guard WHERE length(repeat(s, 3)) > id")
     assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.guard")
-      .collect().head.getLong(0) == 10)
+      .collect().head.getLong(0) == 7)
+    assert(spark.sql("SELECT MIN(id) AS m FROM gcat.ns.guard")
+      .collect().head.getLong(0) == 3)
     spark.sql("DROP TABLE gcat.ns.guard")
   }
 }
