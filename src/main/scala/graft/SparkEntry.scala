@@ -3537,6 +3537,28 @@ object SparkEntry {
         FROM $cat.etl.u GROUP BY event_type""")
     }),
 
+    // CATALOG SCALAR FUNCTIONS (DSv2 FunctionCatalog): the engine's
+    // custom Catalyst kernels callable from pure SQL — here the rolling
+    // codepoint fingerprint (T-family document fingerprinting) banding
+    // the corpus, cross-checked bit-exactly against DuckDB's own
+    // list_reduce fold. The call plans through the MAGIC invoke method
+    // (codegen), not interpreted row eval.
+    "q169_sql_functions" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-sqlfn"))
+      Tables.documents(s, dir).createOrReplaceTempView(s"fn_docs_$n")
+      s.sql(s"""WITH fp AS (
+        SELECT $cat.system.fingerprint64(text, 1000000007) AS fp
+        FROM fn_docs_$n)
+        SELECT pmod(fp, 16) AS band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(MAX(fp) AS BIGINT) AS max_fp
+        FROM fp GROUP BY pmod(fp, 16)""")
+    }),
+
     // CROSS-COLUMN OR SKIPPING (the reference's reingest shape — a date
     // window OR an explicit id set, `extract_states_handler.ts`'s CTE
     // union): a top-level OR prunes as the UNION of its branches' file
@@ -7245,6 +7267,16 @@ object SparkEntry {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM kept GROUP BY event_type""".stripMargin,
+
+    // Same rolling codepoint fold, DuckDB's own list_reduce on the
+    // oracle side — bit-exact band counts.
+    "q169_sql_functions" ->
+      s"""WITH fp AS (
+        |  SELECT ${functions.TextHash.duckdbPoly("text", 1000000007L)} AS fp
+        |  FROM documents)
+        |SELECT fp % 16 AS band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(fp) AS BIGINT) AS max_fp
+        |FROM fp GROUP BY fp % 16""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -9,12 +9,15 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{
-  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+  NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException,
+  TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, ProcedureCatalog, SupportsDeleteV2, SupportsNamespaces,
-  SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table,
-  TableCapability, TableCatalog, NamespaceChange, TableChange}
+  FunctionCatalog, Identifier, ProcedureCatalog, SupportsDeleteV2,
+  SupportsNamespaces, SupportsRead, SupportsRowLevelOperations,
+  SupportsWrite, Table, TableCapability, TableCatalog, NamespaceChange,
+  TableChange}
 import org.apache.spark.sql.connector.catalog.procedures
+import org.apache.spark.sql.connector.catalog.{functions => v2fn}
 import org.apache.spark.sql.connector.expressions.{
   Expression => V2Expression, Literal => V2Literal, NamedReference,
   Transform}
@@ -31,6 +34,8 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.{TextHash, ZOrder}
 
 /** The manifest protocol as a Spark SQL CATALOG: register with
   *
@@ -54,14 +59,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Identifier → path mapping is directory layout under `warehouse`:
   * `gc.a.b.t` ↔ `<warehouse>/a/b/t`; a namespace is a directory that is
-  * not itself a table. `UPDATE` and `MERGE INTO` SQL are deliberate
-  * non-goals for now: both rewrite to row-level operations Spark only
-  * plans through `SupportsRowLevelOperations` group rewrites; the
-  * engine's equivalent is the DataFrame `MergeWriter.merge` (upsert)
-  * and `delete`, which SQL consumers reach via INSERT INTO / DELETE.
+  * not itself a table. `MERGE INTO`, `UPDATE`, and general-predicate
+  * `DELETE` plan through the delta-based DSv2 row-level contract
+  * ([[GraftRowLevelOperation]]); maintenance verbs are `CALL
+  * gc.system.*` procedures; the engine's scalar kernels are
+  * `gc.system.*` functions ([[GraftFns]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -186,21 +191,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                           changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val props = changes.map {
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    val props = changes.flatMap {
       case sp: TableChange.SetProperty
           if sp.property == "retainVersions" || sp.property == "retainMs" =>
-        sp.property -> sp.value
+        Seq(sp.property -> sp.value)
+      case ac: TableChange.AddColumn =>
+        // ALTER TABLE ADD COLUMNS — metadata-only additive evolution
+        // (MergeWriter.addColumns); top-level, appended, nullable
+        require(ac.fieldNames().length == 1,
+          "graft catalog: ADD COLUMNS supports top-level columns only, " +
+            s"got ${ac.fieldNames().mkString(".")}")
+        require(ac.position() == null,
+          "graft catalog: ADD COLUMNS appends — FIRST/AFTER reordering " +
+            "is not supported (parquet epochs are immutable)")
+        require(ac.isNullable,
+          s"graft catalog: added column '${ac.fieldNames()(0)}' must be " +
+            "nullable — existing rows null-fill")
+        adds += org.apache.spark.sql.types.StructField(
+          ac.fieldNames()(0), ac.dataType(), nullable = true)
+        Seq.empty
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: ALTER TABLE only supports SET TBLPROPERTIES " +
-          s"('retainVersions', 'retainMs') — got $other. Schema evolves " +
-          "through evolving writes; clustering/bloom retrofit through " +
-          "the maintenance API")
+        s"graft catalog: ALTER TABLE supports SET TBLPROPERTIES " +
+          s"('retainVersions', 'retainMs') and ADD COLUMNS — got $other. " +
+          "Clustering/bloom retrofit through the maintenance API " +
+          "(CALL gc.system.cluster / build_bloom_index)")
     }.toMap
-    val current = MergeWriter.describeRetention(spark, dir.toString)
-    MergeWriter.setRetention(spark, dir.toString,
-      versions = props.get("retainVersions").map(_.toInt)
-        .getOrElse(current._1),
-      ms = props.get("retainMs").map(_.toLong).getOrElse(current._2))
+    if (adds.nonEmpty)
+      MergeWriter.addColumns(spark, dir.toString, StructType(adds.toSeq))
+    if (props.nonEmpty) {
+      val current = MergeWriter.describeRetention(spark, dir.toString)
+      MergeWriter.setRetention(spark, dir.toString,
+        versions = props.get("retainVersions").map(_.toInt)
+          .getOrElse(current._1),
+        ms = props.get("retainMs").map(_.toLong).getOrElse(current._2))
+    }
     loadTable(ident)
   }
 
@@ -441,6 +467,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '${ident.name()}' " +
           s"(have: ${systemProcedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  // ---- scalar functions: SELECT gc.system.<fn>(...) ------------------
+
+  /** The engine's custom Catalyst kernels as DSv2 catalog FUNCTIONS, so
+    * pure-SQL consumers reach them without a DataFrame import:
+    * `gc.system.zorder2_hi/lo` (the Morton halves behind `clusterBy =
+    * 'zorder2:a,b'` — lets SQL inspect/sort by the same Z-value the
+    * files are clustered on), `gc.system.fingerprint64(text, mod)` (the
+    * rolling codepoint hash behind document fingerprinting, ref
+    * `ab_query.ts`'s slug-normalized hashing family), and
+    * `gc.system.cosine_sim(a, b)`. Each carries the MAGIC `invoke`
+    * method, so Spark plans a codegen'd static-style call, not an
+    * interpreted row eval.
+    */
+  private lazy val systemFunctions: Map[String, v2fn.UnboundFunction] =
+    GraftFns.all
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      systemFunctions.keys.toArray.sorted
+        .map(Identifier.of(Array("system"), _))
+    else if (namespace.isEmpty || namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): v2fn.UnboundFunction = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!ok) throw new NoSuchFunctionException(ident)
+    systemFunctions.getOrElse(ident.name(),
+      throw new NoSuchFunctionException(ident))
   }
 
   // ---- namespaces: directories without a manifest --------------------
@@ -734,5 +791,89 @@ object GraftCatalog {
     case r: NamedReference => Some(col(r.fieldNames().mkString(".")))
     case l: V2Literal[_] => Some(lit(externalOf(l)))
     case _ => None
+  }
+}
+
+/** The catalog's scalar-function inventory lives OUTSIDE the catalog
+  * class: bound functions ship to executors inside codegen'd plans, so
+  * they must be self-contained Serializable objects with no `$outer`
+  * reference to the (non-serializable) catalog.
+  */
+private[sources] object GraftFns {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.connector.catalog.{functions => v2fn}
+  import graft.functions.{TextHash, ZOrder}
+
+  lazy val all: Map[String, v2fn.UnboundFunction] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType => DT,
+      DoubleType, LongType, StringType => SType}
+
+    abstract class Fn(fname: String, desc0: String)
+        extends v2fn.UnboundFunction with v2fn.BoundFunction {
+      override def name(): String = fname
+      override def description(): String = desc0
+      override def bind(inputType: StructType): v2fn.BoundFunction = {
+        require(inputType.fields.length == inputTypes().length,
+          s"$fname takes ${inputTypes().length} arguments")
+        this
+      }
+      override def isDeterministic: Boolean = true
+      override def canonicalName(): String = s"graft.$fname"
+    }
+
+    val zHi = new Fn("zorder2_hi", "high word of the 128-bit Morton " +
+        "code of (a, b) — files cluster by (zorder2_hi, zorder2_lo)")
+        with v2fn.ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DT] = Array(LongType, LongType)
+      override def resultType(): DT = LongType
+      override def isResultNullable: Boolean = false
+      def invoke(a: Long, b: Long): Long = ZOrder.interleave2High(a, b)
+      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Long = invoke(in.getLong(0), in.getLong(1))
+    }
+    val zLo = new Fn("zorder2_lo", "low word of the 128-bit Morton code")
+        with v2fn.ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DT] = Array(LongType, LongType)
+      override def resultType(): DT = LongType
+      override def isResultNullable: Boolean = false
+      def invoke(a: Long, b: Long): Long = ZOrder.interleave2Low(a, b)
+      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Long = invoke(in.getLong(0), in.getLong(1))
+    }
+    val fp = new Fn("fingerprint64", "rolling polynomial codepoint hash " +
+        "of a string modulo `mod` (document fingerprinting)")
+        with v2fn.ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DT] = Array(SType, LongType)
+      override def resultType(): DT = LongType
+      def invoke(s: org.apache.spark.unsafe.types.UTF8String,
+                 mod: Long): Long = TextHash.poly(s.toString, mod)
+      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Long = invoke(in.getUTF8String(0), in.getLong(1))
+    }
+    val cos = new Fn("cosine_sim", "cosine similarity of two numeric " +
+        "arrays (0.0 when either norm is 0)")
+        with v2fn.ScalarFunction[java.lang.Double] {
+      override def inputTypes(): Array[DT] =
+        Array(ArrayType(DoubleType), ArrayType(DoubleType))
+      override def resultType(): DT = DoubleType
+      def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+        val x = a.toDoubleArray(); val y = b.toDoubleArray()
+        val n = math.min(x.length, y.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i)
+          ny += y(i) * y(i); i += 1 }
+        var j = n
+        while (j < x.length) { nx += x(j) * x(j); j += 1 }
+        var k = n
+        while (k < y.length) { ny += y(k) * y(k); k += 1 }
+        if (nx == 0.0 || ny == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Double = invoke(in.getArray(0), in.getArray(1))
+    }
+    Seq(zHi, zLo, fp, cos)
+      .map(f => f.name() -> (f: v2fn.UnboundFunction)).toMap
   }
 }

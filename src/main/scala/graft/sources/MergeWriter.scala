@@ -723,6 +723,52 @@ object MergeWriter {
         s"$tablePath on every retry — re-run against the new table state")
   }
 
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: append nullable
+    * columns to the recorded schema; no data file is touched — every
+    * reader null-fills the new columns for existing rows (the same
+    * additive-evolution contract as `merge(evolveSchema = true)`, which
+    * reaches the identical state through a writing path). Additive only
+    * by design: drop/rename/type-change would strand the immutable
+    * parquet epochs.
+    */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 cols: StructType): Unit = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"addColumns: no committed graft table at $tablePath")
+        case Some(man) =>
+          val cur = man.schema.map(s =>
+            DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalStateException(
+              s"addColumns: $tablePath records no schema (pre-schema " +
+                "manifest) — run one merge first"))
+          cols.fields.foreach { f =>
+            require(!cur.fieldNames.contains(f.name),
+              s"addColumns: column '${f.name}' already exists")
+            require(f.nullable,
+              s"addColumns: '${f.name}' must be nullable — existing " +
+                "rows null-fill (declare NOT NULL data via a rewrite)")
+          }
+          val next = StructType(cur.fields ++ cols.fields)
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              schema = Some(next.json),
+              op = "addColumns", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addColumns: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
   /** Operational introspection (Delta's DESCRIBE DETAIL): one row with
     * the table's current version, bucket count, live epoch count,
     * recorded schema DDL, retained versions, and txn-ledger size.

@@ -178,6 +178,64 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.ops.m")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.ev")
+    spark.sql("CREATE TABLE gcat.ns.ev (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gcat.ns.ev SELECT id, id FROM range(5)")
+    val path = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/ns/ev"
+    val nFilesBefore = MergeWriter.describeTable(spark, path)
+      .collect().head.getAs[Int]("n_files")
+    spark.sql("ALTER TABLE gcat.ns.ev ADD COLUMNS (score DOUBLE, tag STRING)")
+    // no data file was touched — pure manifest commit
+    assert(MergeWriter.describeTable(spark, path).collect().head
+      .getAs[Int]("n_files") == nFilesBefore)
+    // old rows null-fill; new writes carry the columns
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.ev " +
+      "WHERE score IS NULL AND tag IS NULL").collect().head.getLong(0) == 5)
+    spark.sql("INSERT INTO gcat.ns.ev VALUES (9, 9, 0.5, 'x')")
+    val r = spark.sql(
+      "SELECT v, score, tag FROM gcat.ns.ev WHERE id = 9").collect().head
+    assert(r.getLong(0) == 9 && r.getDouble(1) == 0.5 &&
+      r.getString(2) == "x")
+    // duplicate / reordering alters fail loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns.ev ADD COLUMNS (score DOUBLE)")
+    }
+    spark.sql("DROP TABLE gcat.ns.ev")
+  }
+
+  test("catalog scalar functions: zorder2, fingerprint64, cosine_sim") {
+    import graft.functions.{TextHash, ZOrder}
+    // magic-invoke path (codegen'd) must equal the library kernels
+    val r = spark.sql(
+      """SELECT gcat.system.zorder2_hi(5, 9) AS zh,
+        |  gcat.system.zorder2_lo(5, 9) AS zl,
+        |  gcat.system.fingerprint64('abc', 1000000007) AS fp,
+        |  gcat.system.cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == ZOrder.interleave2High(5L, 9L))
+    assert(r.getLong(1) == ZOrder.interleave2Low(5L, 9L))
+    assert(r.getLong(2) == TextHash.poly("abc", 1000000007L))
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(2)) < 1e-12)
+    // implicit casts: INT literals and float arrays coerce to the
+    // declared BIGINT / array<double> input types
+    val c2 = spark.sql(
+      "SELECT gcat.system.cosine_sim(array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS c").collect().head
+    assert(math.abs(c2.getDouble(0) - 1.0) < 1e-6)
+    // zero-norm guard
+    assert(spark.sql(
+      "SELECT gcat.system.cosine_sim(array(0.0D), array(1.0D)) AS c")
+      .collect().head.getDouble(0) == 0.0)
+    // SHOW FUNCTIONS surfaces the inventory; unknown names fail loudly
+    val listed = spark.sql("SHOW FUNCTIONS IN gcat.system")
+      .collect().map(_.getString(0))
+    assert(listed.exists(_.endsWith("fingerprint64")))
+    intercept[Exception] { spark.sql("SELECT gcat.system.nope(1)") }
+  }
+
   test("SQL TRUNCATE TABLE and ALTER retention") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.r")
