@@ -3537,12 +3537,46 @@ object SparkEntry {
         FROM $cat.etl.u GROUP BY event_type""")
     }),
 
+    // ATOMIC CTAS + RTAS (StagingTableCatalog): a table born from a
+    // query in one all-or-nothing statement, then REPLACEd by a second
+    // definition — the prior version stays time-travel readable, and
+    // the final SELECT unions both generations' views to prove the
+    // replace swapped content AND the history survived.
+    "q170_sql_ctas" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-sqlctas"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+        .createOrReplaceTempView(s"ctas_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.c TBLPROPERTIES ('keys'='event_id')
+        AS SELECT event_id, user_id, event_type FROM ctas_src_$n""")
+      val v1 = sources.MergeWriter.describeTable(s,
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/etl/c")
+        .collect().head.getAs[Long]("version")
+      s.sql(s"""REPLACE TABLE $cat.etl.c TBLPROPERTIES ('keys'='event_id')
+        AS SELECT event_id, user_id, event_type FROM ctas_src_$n
+        WHERE event_type <> 'view'""")
+      s.sql(s"""
+        SELECT 'replaced' AS gen, event_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM $cat.etl.c GROUP BY event_type
+        UNION ALL
+        SELECT 'original' AS gen, event_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM $cat.etl.c VERSION AS OF $v1 GROUP BY event_type""")
+    }),
+
     // CATALOG SCALAR FUNCTIONS (DSv2 FunctionCatalog): the engine's
     // custom Catalyst kernels callable from pure SQL — here the rolling
     // codepoint fingerprint (T-family document fingerprinting) banding
     // the corpus, cross-checked bit-exactly against DuckDB's own
-    // list_reduce fold. The call plans through the MAGIC invoke method
-    // (codegen), not interpreted row eval.
+    // list_reduce fold. Binds through the null-safe produceResult
+    // contract (NULL in → NULL out, like every builtin).
     "q169_sql_functions" -> ((s, dir) => {
       val n = sqlCatSeq.incrementAndGet()
       val cat = s"gsqlcat$n"
@@ -7267,6 +7301,17 @@ object SparkEntry {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM kept GROUP BY event_type""".stripMargin,
+
+    // The replaced generation is the filtered aggregate; the original
+    // generation (read via VERSION AS OF) is the unfiltered one.
+    "q170_sql_ctas" ->
+      """SELECT 'replaced' AS gen, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events WHERE event_type <> 'view' GROUP BY event_type
+        |UNION ALL
+        |SELECT 'original' AS gen, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // Same rolling codepoint fold, DuckDB's own list_reduce on the
     // oracle side — bit-exact band counts.

@@ -12,10 +12,10 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  FunctionCatalog, Identifier, ProcedureCatalog, SupportsDeleteV2,
-  SupportsNamespaces, SupportsRead, SupportsRowLevelOperations,
-  SupportsWrite, Table, TableCapability, TableCatalog, NamespaceChange,
-  TableChange}
+  FunctionCatalog, Identifier, ProcedureCatalog, StagedTable,
+  StagingTableCatalog, SupportsDeleteV2, SupportsNamespaces, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
+  TableCatalog, NamespaceChange, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.catalog.{functions => v2fn}
 import org.apache.spark.sql.connector.expressions.{
@@ -66,7 +66,7 @@ import graft.functions.{TextHash, ZOrder}
   * `gc.system.*` functions ([[GraftFns]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -151,14 +151,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `bloomItems`. PARTITIONED BY is rejected — physical layout is
     * key-hash buckets recorded in the manifest, not hive partitions.
     */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** The declared layout of a CREATE / CTAS / RTAS statement, parsed
+    * once from TBLPROPERTIES (or OPTIONS): merge keys (required),
+    * bucket modulus, clustering, Blooms, retention, optional LOCATION.
+    */
+  private case class TableSpec(path: String, name: String,
+                               keys: Seq[String], buckets: Int,
+                               clusterBy: Seq[String], bloomBy: Seq[String],
+                               bloomItems: Long, retainVersions: Int,
+                               retainMs: Long)
+
+  private def parseSpec(ident: Identifier, partitions: Array[Transform],
+                        properties: util.Map[String, String]): TableSpec = {
     require(partitions.isEmpty,
       "graft catalog: PARTITIONED BY is not supported (layout is " +
         "key-hash buckets; cluster with 'clusterBy' instead)")
-    val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     def prop(k: String): Option[String] =
       Option(properties.get(k))
         .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + k)))
@@ -167,8 +174,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val keys = csv("keys")
     require(keys.nonEmpty, s"graft catalog: CREATE TABLE $ident needs " +
       "merge keys — TBLPROPERTIES ('keys'='k1,k2')")
-    val path = prop(TableCatalog.PROP_LOCATION).getOrElse(dir.toString)
-    MergeWriter.createTable(spark, path, schema, keys,
+    TableSpec(
+      path = prop(TableCatalog.PROP_LOCATION)
+        .getOrElse(tableDir(ident).toString),
+      name = (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+        .mkString("."),
+      keys = keys,
       buckets = prop("buckets").map(_.toInt).getOrElse(64),
       clusterBy = csv("clusterBy"), bloomBy = csv("bloomBy"),
       bloomItems = prop("bloomItems").map(_.toLong)
@@ -176,10 +187,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
       retainMs = prop("retainMs").map(_.toLong).getOrElse(0L))
-    new GraftSqlTable(spark, path,
-      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
-        .mkString("."))
   }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spec = parseSpec(ident, partitions, properties)
+    MergeWriter.createTable(spark, spec.path, schema, spec.keys,
+      buckets = spec.buckets, clusterBy = spec.clusterBy,
+      bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
+      retainVersions = spec.retainVersions, retainMs = spec.retainMs)
+    new GraftSqlTable(spark, spec.path, spec.name)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------
+
+  /** CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT with ALL-OR-
+    * NOTHING visibility: nothing is committed at stage time — the
+    * staged write lands the query's rows through `overwriteTable`,
+    * whose manifest CAS IS the atomic publish (epoch files first,
+    * manifest last — the protocol's normal dance). A failed or aborted
+    * statement leaves no table (CREATE) or the prior version (REPLACE);
+    * the plain non-staged path would have committed an empty table
+    * before the query even ran.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : StagedTable = {
+    if (isTable(tableDir(ident))) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
+      schema, preexisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : StagedTable = {
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
+      schema, preexisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
+      schema, preexisting = isTable(tableDir(ident)))
 
   /** `ALTER TABLE ... SET TBLPROPERTIES` supports the RETENTION policy
     * (mapped to `MergeWriter.setRetention` — a metadata-only commit);
@@ -500,6 +557,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchFunctionException(ident))
   }
 
+  /** The staged side of CTAS/RTAS: holds the declared spec, writes once
+    * through `overwriteTable` (atomic at its manifest CAS), applies
+    * retention after, and cleans up on abort. Never visible before the
+    * write's own commit.
+    */
+  private class GraftStagedTable(spark: SparkSession, spec: TableSpec,
+                                 schema0: StructType, preexisting: Boolean)
+      extends StagedTable with SupportsWrite {
+
+    @volatile private var written = false
+
+    override def name(): String = spec.name
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame,
+                                  overwrite: Boolean): Unit = {
+                val d = data.persist()
+                try {
+                  GraftCatalog.requireUniqueKeys(d, spec.keys, "AS SELECT")
+                  MergeWriter.overwriteTable(spark, spec.path, d,
+                    spec.keys, buckets = spec.buckets,
+                    clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
+                    bloomItems = spec.bloomItems)
+                } finally { d.unpersist(); () }
+                written = true
+              }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit =
+      // the overwrite's manifest CAS already published atomically; only
+      // the declared retention policy (if any) remains to record
+      if (written && (spec.retainVersions != MergeWriter.KeepManifests ||
+          spec.retainMs != 0L))
+        MergeWriter.setRetention(spark, spec.path,
+          versions = spec.retainVersions, ms = spec.retainMs)
+
+    override def abortStagedChanges(): Unit = {
+      val p = new Path(spec.path)
+      // fresh CREATE whose write never committed: reclaim only the
+      // crashed write's OWN artifacts (e-* epoch dirs), never the whole
+      // directory — a LOCATION-pinned CTAS may point at a pre-existing
+      // non-table dir whose other contents are not ours to delete. A
+      // failed REPLACE leaves the prior committed version untouched
+      // (its stale staging epochs age out through gc).
+      if (!written && !preexisting && !MergeWriter.hasManifest(fs, p) &&
+          fs.exists(p)) {
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("e-"))
+            fs.delete(st.getPath, true)
+        }
+        if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+        ()
+      }
+    }
+  }
+
   // ---- namespaces: directories without a manifest --------------------
 
   override def listNamespaces(): Array[Array[String]] =
@@ -680,9 +804,13 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
             .map(_.keyCols).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 s"graft catalog: $tablePath records no merge keys"))
-          if (replace || overwrite)
-            MergeWriter.overwriteTable(spark, tablePath, data, keys)
-          else MergeWriter.merge(spark, tablePath, data, keys)
+          val d = data.persist()
+          try {
+            GraftCatalog.requireUniqueKeys(d, keys, "INSERT")
+            if (replace || overwrite)
+              MergeWriter.overwriteTable(spark, tablePath, d, keys)
+            else MergeWriter.merge(spark, tablePath, d, keys)
+          } finally { d.unpersist(); () }
         }
       }
   }
@@ -737,6 +865,28 @@ private[sources] class GraftPartitioningIndex(
 }
 
 object GraftCatalog {
+
+  /** SQL statements may not plant two rows for one key in a keyed
+    * table — the storage invariant every point read, row-level update,
+    * and change feed relies on. Postgres raises exactly this for its
+    * upsert ("ON CONFLICT DO UPDATE command cannot affect row a second
+    * time", the reference's write path); an insert-only MERGE or an
+    * INSERT INTO with a duplicated source key fails the same way here.
+    * One bounded job over the statement's rows; ACROSS statements the
+    * upsert-by-key semantics apply as ever.
+    */
+  private[sources] def requireUniqueKeys(data: DataFrame,
+                                         keys: Seq[String],
+                                         stmt: String): Unit = {
+    val dup = data.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$stmt: the statement carries more than one row for key " +
+        s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+          .mkString("(", ", ", ")")} — keyed tables hold one row per " +
+        "key (Postgres: 'cannot affect row a second time'); " +
+        "deduplicate the source and re-run")
+  }
 
   /** Conservative V2-predicate → Column conversion for DELETE: the
     * comparison / IN / null-test / boolean-connective shapes SQL DELETE
@@ -807,6 +957,7 @@ private[sources] object GraftFns {
   lazy val all: Map[String, v2fn.UnboundFunction] = {
     import org.apache.spark.sql.types.{ArrayType, DataType => DT,
       DoubleType, LongType, StringType => SType}
+    import org.apache.spark.sql.catalyst.InternalRow
 
     abstract class Fn(fname: String, desc0: String)
         extends v2fn.UnboundFunction with v2fn.BoundFunction {
@@ -821,34 +972,36 @@ private[sources] object GraftFns {
       override def canonicalName(): String = s"graft.$fname"
     }
 
+    // deliberately NO magic `invoke` method: Spark's magic-method path
+    // calls it without null propagation (a NULL argument would NPE a
+    // primitive-signature invoke), so these bind through the null-safe
+    // produceResult contract instead — SQL functions must take NULL
+    // inputs to NULL outputs like every builtin
     val zHi = new Fn("zorder2_hi", "high word of the 128-bit Morton " +
         "code of (a, b) — files cluster by (zorder2_hi, zorder2_lo)")
         with v2fn.ScalarFunction[java.lang.Long] {
       override def inputTypes(): Array[DT] = Array(LongType, LongType)
       override def resultType(): DT = LongType
-      override def isResultNullable: Boolean = false
-      def invoke(a: Long, b: Long): Long = ZOrder.interleave2High(a, b)
-      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
-          : java.lang.Long = invoke(in.getLong(0), in.getLong(1))
+      override def produceResult(in: InternalRow): java.lang.Long =
+        if (in.isNullAt(0) || in.isNullAt(1)) null
+        else ZOrder.interleave2High(in.getLong(0), in.getLong(1))
     }
     val zLo = new Fn("zorder2_lo", "low word of the 128-bit Morton code")
         with v2fn.ScalarFunction[java.lang.Long] {
       override def inputTypes(): Array[DT] = Array(LongType, LongType)
       override def resultType(): DT = LongType
-      override def isResultNullable: Boolean = false
-      def invoke(a: Long, b: Long): Long = ZOrder.interleave2Low(a, b)
-      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
-          : java.lang.Long = invoke(in.getLong(0), in.getLong(1))
+      override def produceResult(in: InternalRow): java.lang.Long =
+        if (in.isNullAt(0) || in.isNullAt(1)) null
+        else ZOrder.interleave2Low(in.getLong(0), in.getLong(1))
     }
     val fp = new Fn("fingerprint64", "rolling polynomial codepoint hash " +
         "of a string modulo `mod` (document fingerprinting)")
         with v2fn.ScalarFunction[java.lang.Long] {
       override def inputTypes(): Array[DT] = Array(SType, LongType)
       override def resultType(): DT = LongType
-      def invoke(s: org.apache.spark.unsafe.types.UTF8String,
-                 mod: Long): Long = TextHash.poly(s.toString, mod)
-      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
-          : java.lang.Long = invoke(in.getUTF8String(0), in.getLong(1))
+      override def produceResult(in: InternalRow): java.lang.Long =
+        if (in.isNullAt(0) || in.isNullAt(1)) null
+        else TextHash.poly(in.getUTF8String(0).toString, in.getLong(1))
     }
     val cos = new Fn("cosine_sim", "cosine similarity of two numeric " +
         "arrays (0.0 when either norm is 0)")
@@ -856,9 +1009,10 @@ private[sources] object GraftFns {
       override def inputTypes(): Array[DT] =
         Array(ArrayType(DoubleType), ArrayType(DoubleType))
       override def resultType(): DT = DoubleType
-      def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
-                 b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-        val x = a.toDoubleArray(); val y = b.toDoubleArray()
+      override def produceResult(in: InternalRow): java.lang.Double = {
+        if (in.isNullAt(0) || in.isNullAt(1)) return null
+        val x = in.getArray(0).toDoubleArray()
+        val y = in.getArray(1).toDoubleArray()
         val n = math.min(x.length, y.length)
         var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
         while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i)
@@ -870,8 +1024,6 @@ private[sources] object GraftFns {
         if (nx == 0.0 || ny == 0.0) 0.0
         else dot / (math.sqrt(nx) * math.sqrt(ny))
       }
-      override def produceResult(in: org.apache.spark.sql.catalyst.InternalRow)
-          : java.lang.Double = invoke(in.getArray(0), in.getArray(1))
     }
     Seq(zHi, zLo, fp, cos)
       .map(f => f.name() -> (f: v2fn.UnboundFunction)).toMap

@@ -2775,6 +2775,18 @@ object MergeWriter {
       val touched =
         (touchedBuckets(up) ++ touchedBuckets(del)).distinct
       if (touched.isEmpty) return // empty changeset — no version churn
+      // keyed tables hold ONE row per key; SQL's cardinality check only
+      // guards MATCHED rows, so a MERGE whose NOT-MATCHED clause fires
+      // twice for one source key would smuggle a duplicate past it.
+      // Fail the statement loudly — a silent pick would be
+      // nondeterministic. Bounded cost: one job over the changeset.
+      val dup = up.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$opName: changeset carries more than one row for key " +
+          s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+            .mkString("(", ", ", ")")} — keyed tables hold one row per " +
+          "key; deduplicate the source (e.g. aggregate it) and re-run")
       val existingPaths = touched.flatMap(b =>
         man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
       // every changed key vacates its stored row: upserted keys get

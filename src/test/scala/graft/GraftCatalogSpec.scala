@@ -178,6 +178,56 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcat.ops.m")
   }
 
+  test("CREATE TABLE AS SELECT creates and loads in one statement") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.ctas")
+    spark.sql("CREATE TABLE gcat.ns.ctas TBLPROPERTIES ('keys'='id') " +
+      "AS SELECT id, id * 2 AS v FROM range(10)")
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM gcat.ns.ctas")
+      .collect().head.getLong(0) == 90)
+    // CTAS result is a real keyed table: INSERT upserts by key
+    spark.sql("INSERT INTO gcat.ns.ctas VALUES (0, 100)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.ctas")
+      .collect().head.getLong(0) == 10)
+    assert(spark.sql("SELECT v FROM gcat.ns.ctas WHERE id = 0")
+      .collect().head.getLong(0) == 100)
+    spark.sql("DROP TABLE gcat.ns.ctas")
+  }
+
+  test("RTAS + failed CTAS: all-or-nothing staging") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.stg")
+    // a CTAS whose query FAILS must leave no table behind
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ns.stg TBLPROPERTIES ('keys'='id') " +
+        "AS SELECT id, raise_error('boom') AS v FROM range(3)")
+    }
+    assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .forall(_.getString(1) != "stg"), "failed CTAS left a table")
+    // REPLACE TABLE AS SELECT: new definition lands atomically, prior
+    // version stays readable via time travel
+    spark.sql("CREATE TABLE gcat.ns.stg TBLPROPERTIES ('keys'='id') " +
+      "AS SELECT id, id AS v FROM range(10)")
+    val path = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/ns/stg"
+    val v1 = MergeWriter.describeTable(spark, path).collect().head
+      .getAs[Long]("version")
+    spark.sql("REPLACE TABLE gcat.ns.stg TBLPROPERTIES ('keys'='id') " +
+      "AS SELECT id, id * 100 AS v FROM range(4)")
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM gcat.ns.stg")
+      .collect().head.getLong(0) == 600)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS c FROM gcat.ns.stg VERSION AS OF $v1")
+      .collect().head.getLong(0) == 10)
+    // CREATE OR REPLACE on a fresh name creates
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.stg2")
+    spark.sql("CREATE OR REPLACE TABLE gcat.ns.stg2 " +
+      "TBLPROPERTIES ('keys'='id') AS SELECT id FROM range(5)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.stg2")
+      .collect().head.getLong(0) == 5)
+    spark.sql("DROP TABLE gcat.ns.stg")
+    spark.sql("DROP TABLE gcat.ns.stg2")
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.ev")
@@ -229,6 +279,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT gcat.system.cosine_sim(array(0.0D), array(1.0D)) AS c")
       .collect().head.getDouble(0) == 0.0)
+    // NULL in → NULL out, like every builtin (non-foldable null via a
+    // column so the distributed eval path runs, not constant folding)
+    spark.range(1).selectExpr("CAST(NULL AS STRING) AS s", "id")
+      .createOrReplaceTempView("fn_null_probe")
+    val nr = spark.sql(
+      """SELECT gcat.system.fingerprint64(s, 7) AS f,
+        |  gcat.system.zorder2_hi(id, CAST(NULL AS BIGINT)) AS z,
+        |  gcat.system.cosine_sim(CAST(NULL AS ARRAY<DOUBLE>),
+        |    array(1.0D)) AS c
+        |FROM fn_null_probe""".stripMargin).collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2))
     // SHOW FUNCTIONS surfaces the inventory; unknown names fail loudly
     val listed = spark.sql("SHOW FUNCTIONS IN gcat.system")
       .collect().map(_.getString(0))

@@ -117,6 +117,30 @@ class GraftRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gc.dml.card")
   }
 
+  test("MERGE INTO: duplicate-key INSERTs are rejected, not smuggled in") {
+    // SQL's cardinality check guards only MATCHED rows — two NOT
+    // MATCHED source rows with the same key must not plant a duplicate
+    // in a keyed table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
+    spark.sql("DROP TABLE IF EXISTS gc.dml.dupins")
+    spark.sql("CREATE TABLE gc.dml.dupins (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gc.dml.dupins SELECT id, id FROM range(5)")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO gc.dml.dupins t
+        USING (SELECT CAST(100 AS BIGINT) AS id, 1 AS n
+               UNION ALL SELECT CAST(100 AS BIGINT), 2) s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.n)
+      """)
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gc.dml.dupins")
+      .collect().head.getLong(0) == 5, "failed merge must change nothing")
+    spark.sql("DROP TABLE gc.dml.dupins")
+  }
+
   test("UPDATE: expression assignments with WHERE, one commit") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
     spark.sql("DROP TABLE IF EXISTS gc.dml.u")
