@@ -195,6 +195,24 @@ class GraftRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gc.dml.d")
   }
 
+  test("UPDATE writes a column added by ALTER after creation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
+    spark.sql("DROP TABLE IF EXISTS gc.dml.ev")
+    spark.sql("CREATE TABLE gc.dml.ev (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gc.dml.ev SELECT id, id FROM range(6)")
+    spark.sql("ALTER TABLE gc.dml.ev ADD COLUMNS (score DOUBLE)")
+    // the row-level scan/write schemas must carry the evolved column:
+    // matched rows land with it set, unmatched keep their NULL fill
+    spark.sql("UPDATE gc.dml.ev SET score = v * 0.5 WHERE id % 2 = 0")
+    val rows = spark.sql("SELECT id, score FROM gc.dml.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(rows == Seq(0L -> Some(0.0), 1L -> None, 2L -> Some(1.0),
+      3L -> None, 4L -> Some(2.0), 5L -> None))
+    spark.sql("DROP TABLE gc.dml.ev")
+  }
+
   test("a crashed statement's staging dir is vacuumed after retention") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
     spark.sql("DROP TABLE IF EXISTS gc.dml.z")
