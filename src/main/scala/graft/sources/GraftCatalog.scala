@@ -585,10 +585,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 val d = data.persist()
                 try {
                   GraftCatalog.requireUniqueKeys(d, spec.keys, "AS SELECT")
+                  // REPLACE redefines the physical layout too: the
+                  // statement's declared buckets/clusterBy/Blooms take
+                  // effect (relayout), not the prior table's
                   MergeWriter.overwriteTable(spark, spec.path, d,
                     spec.keys, buckets = spec.buckets,
                     clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
-                    bloomItems = spec.bloomItems)
+                    bloomItems = spec.bloomItems, relayout = preexisting)
                 } finally { d.unpersist(); () }
                 written = true
               }
@@ -606,19 +609,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def abortStagedChanges(): Unit = {
       val p = new Path(spec.path)
+      // resolve the FS from the TABLE's path, not the warehouse — a
+      // LOCATION-pinned CTAS may live on a different scheme
+      val pfs = p.getFileSystem(spark.sessionState.newHadoopConf())
       // fresh CREATE whose write never committed: reclaim only the
       // crashed write's OWN artifacts (e-* epoch dirs), never the whole
       // directory — a LOCATION-pinned CTAS may point at a pre-existing
       // non-table dir whose other contents are not ours to delete. A
       // failed REPLACE leaves the prior committed version untouched
       // (its stale staging epochs age out through gc).
-      if (!written && !preexisting && !MergeWriter.hasManifest(fs, p) &&
-          fs.exists(p)) {
-        fs.listStatus(p).foreach { st =>
+      if (!written && !preexisting && !MergeWriter.hasManifest(pfs, p) &&
+          pfs.exists(p)) {
+        pfs.listStatus(p).foreach { st =>
           if (st.isDirectory && st.getPath.getName.startsWith("e-"))
-            fs.delete(st.getPath, true)
+            pfs.delete(st.getPath, true)
         }
-        if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+        if (pfs.listStatus(p).isEmpty) pfs.delete(p, false)
         ()
       }
     }
@@ -704,18 +710,14 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
 
   override def name(): String = tableName
 
-  /** Merge keys surface as NOT NULL: they are the table's primary key
-    * (a row's identity under keyed merge can never be null), and
-    * Spark's row-level DML requires non-nullable row-id attributes.
-    * Writes from nullable sources still work — ANSI store assignment
-    * wraps them in runtime null checks instead of rejecting the plan.
+  /** Merge keys surface as NOT NULL: they are the table's primary key —
+    * the write side enforces it (`bucketExprChecked`), and Spark's
+    * row-level DML requires non-nullable row-id attributes. Writes from
+    * nullable sources still work — ANSI store assignment wraps them in
+    * runtime null checks instead of rejecting the plan.
     */
-  override def schema(): StructType = {
-    val s = MergeWriter.indexSchema(spark, tablePath, man)
-    if (man.keyCols.isEmpty) s
-    else StructType(s.fields.map(f =>
-      if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
-  }
+  override def schema(): StructType =
+    MergeWriter.sqlSchema(spark, tablePath, man)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -866,27 +868,14 @@ private[sources] class GraftPartitioningIndex(
 
 object GraftCatalog {
 
-  /** SQL statements may not plant two rows for one key in a keyed
-    * table — the storage invariant every point read, row-level update,
-    * and change feed relies on. Postgres raises exactly this for its
-    * upsert ("ON CONFLICT DO UPDATE command cannot affect row a second
-    * time", the reference's write path); an insert-only MERGE or an
-    * INSERT INTO with a duplicated source key fails the same way here.
-    * One bounded job over the statement's rows; ACROSS statements the
-    * upsert-by-key semantics apply as ever.
+  /** See [[MergeWriter.requireUniqueKeys]] — the statement-level
+    * duplicate-key guard shared by INSERT, CTAS/RTAS, and the row-level
+    * changeset apply.
     */
   private[sources] def requireUniqueKeys(data: DataFrame,
                                          keys: Seq[String],
-                                         stmt: String): Unit = {
-    val dup = data.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"$stmt: the statement carries more than one row for key " +
-        s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
-          .mkString("(", ", ", ")")} — keyed tables hold one row per " +
-        "key (Postgres: 'cannot affect row a second time'); " +
-        "deduplicate the source and re-run")
-  }
+                                         stmt: String): Unit =
+    MergeWriter.requireUniqueKeys(data, keys, stmt)
 
   /** Conservative V2-predicate → Column conversion for DELETE: the
     * comparison / IN / null-test / boolean-connective shapes SQL DELETE
@@ -1011,16 +1000,28 @@ private[sources] object GraftFns {
       override def resultType(): DT = DoubleType
       override def produceResult(in: InternalRow): java.lang.Double = {
         if (in.isNullAt(0) || in.isNullAt(1)) return null
-        val x = in.getArray(0).toDoubleArray()
-        val y = in.getArray(1).toDoubleArray()
-        val n = math.min(x.length, y.length)
+        // iterate the ArrayData directly: toDoubleArray would silently
+        // read a NULL ELEMENT as 0.0 — a null element nulls the result,
+        // matching the builtin array functions' propagation
+        val a = in.getArray(0); val b = in.getArray(1)
+        val na = a.numElements(); val nb = b.numElements()
+        val n = math.min(na, nb)
         var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-        while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i)
-          ny += y(i) * y(i); i += 1 }
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          val x = a.getDouble(i); val y = b.getDouble(i)
+          dot += x * y; nx += x * x; ny += y * y; i += 1
+        }
         var j = n
-        while (j < x.length) { nx += x(j) * x(j); j += 1 }
+        while (j < na) {
+          if (a.isNullAt(j)) return null
+          nx += a.getDouble(j) * a.getDouble(j); j += 1
+        }
         var k = n
-        while (k < y.length) { ny += y(k) * y(k); k += 1 }
+        while (k < nb) {
+          if (b.isNullAt(k)) return null
+          ny += b.getDouble(k) * b.getDouble(k); k += 1
+        }
         if (nx == 0.0 || ny == 0.0) 0.0
         else dot / (math.sqrt(nx) * math.sqrt(ny))
       }

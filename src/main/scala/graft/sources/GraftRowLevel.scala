@@ -3,8 +3,6 @@ package graft.sources
 import java.io.{DataOutputStream, IOException, ObjectInputStream,
   ObjectOutputStream}
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -75,10 +73,8 @@ private[sources] class GraftRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    // same shape as GraftSqlTable.schema(): keys are NOT NULL (row id)
-    val s0 = MergeWriter.indexSchema(spark, tablePath, man)
-    val s = StructType(s0.fields.map(f =>
-      if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
+    // the one catalog schema (keys NOT NULL) — shared with GraftSqlTable
+    val s = MergeWriter.sqlSchema(spark, tablePath, man)
     ParquetScanBuilder(spark,
       new GraftPartitioningIndex(spark, tablePath, man, s), s, s, options)
   }
@@ -277,6 +273,10 @@ private[sources] object GraftRowLevel {
   /** Read per-task staged changeset files back as a distributed
     * DataFrame (only files named in SUCCESSFUL commit messages — never
     * a directory listing, which could see files from zombie attempts).
+    * Decoding STREAMS each file record-by-record (a DataInputStream
+    * over the PortableDataStream): one write task can stage a multi-GB
+    * changeset file, and materializing it whole (`pds.toArray`) would
+    * hold ~2× the file in one executor's heap.
     */
   def decodeStaged(spark: SparkSession, paths: Seq[String],
                    schema: StructType): DataFrame = {
@@ -287,20 +287,25 @@ private[sources] object GraftRowLevel {
     val rdd = spark.sparkContext.binaryFiles(paths.mkString(","))
       .flatMap { case (_, pds) =>
         val conv = CatalystTypeConverters.createToScalaConverter(schema)
-        val bytes = pds.toArray()
-        val out = new ArrayBuffer[Row]
-        var off = 0
-        while (off + 4 <= bytes.length) {
-          val len = ((bytes(off) & 0xff) << 24) |
-            ((bytes(off + 1) & 0xff) << 16) |
-            ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-          off += 4
-          val u = new UnsafeRow(n)
-          u.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off, len)
-          out += conv(u).asInstanceOf[Row]
-          off += len
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(pds.open()))
+        new Iterator[Row] {
+          private var nextRow: Row = advance()
+          private def advance(): Row = {
+            val len = try in.readInt() catch {
+              case _: java.io.EOFException => in.close(); return null
+            }
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            val u = new UnsafeRow(n)
+            u.pointTo(buf, Platform.BYTE_ARRAY_OFFSET, len)
+            conv(u).asInstanceOf[Row]
+          }
+          override def hasNext: Boolean = nextRow != null
+          override def next(): Row = {
+            val r = nextRow; nextRow = advance(); r
+          }
         }
-        out
       }
     spark.createDataFrame(rdd, schema)
   }

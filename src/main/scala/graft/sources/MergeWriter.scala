@@ -383,6 +383,45 @@ object MergeWriter {
     * state") instead of [[publishAtomically]]'s raw IOException — safe
     * either way, but callers catch the protocol exception.
     */
+  /** Bucket id of a row's key tuple — PLUS the write-side enforcement
+    * of the keyed invariant that no key column is NULL (the catalog
+    * surfaces keys as NOT NULL; a stored NULL key would let Catalyst's
+    * null propagation return wrong results over it). `AssertNotNull`
+    * rides the existing write pass as a codegen'd per-row check — no
+    * extra job — so a NULL key fails the statement BEFORE anything
+    * commits. Read/probe/delete-key paths deliberately do not assert: a
+    * NULL probe key simply matches nothing.
+    */
+  private def bucketExprChecked(keys: Seq[String], nb: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    val checked = keys.map(k => column(AssertNotNull(expression(col(k)),
+      Seq(s"merge key '$k' — keyed tables hold no NULL keys; filter or " +
+        "coalesce the source"))))
+    pmod(hash(checked: _*), lit(nb))
+  }
+
+  /** One SQL statement (or one changeset) may not carry two rows for a
+    * key — the invariant every point read, row-level update, and change
+    * feed relies on. Postgres raises exactly this for its upsert ("ON
+    * CONFLICT DO UPDATE command cannot affect row a second time", the
+    * reference's write path). One bounded job over the statement's
+    * rows; ACROSS statements, upsert-by-key applies as ever.
+    */
+  private[sources] def requireUniqueKeys(data: DataFrame, keys: Seq[String],
+                                         stmt: String): Unit = {
+    val dup = data.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$stmt: the statement carries more than one row for key " +
+        s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+          .mkString("(", ", ", ")")} — keyed tables hold one row per " +
+        "key (Postgres: 'cannot affect row a second time'); " +
+        "deduplicate the source and re-run")
+  }
+
   private def commitOrConflict(fs: FileSystem, dir: Path, m: Manifest,
                                op: String): Unit =
     try commitManifest(fs, dir,
@@ -570,10 +609,14 @@ object MergeWriter {
         fs.delete(st.getPath, true)
       // row-level DML staging (GraftRowLevel): normally removed by the
       // batch commit/abort; a driver crash mid-write leaves the dir
-      // behind. Same age guard as epochs — an in-flight statement's
-      // staging must survive until its own cleanup.
+      // behind. The guard is floored at 24h (not the 10-min epoch
+      // retention): a statement's staging mtime goes stale the moment
+      // its LAST task file lands, so a long straggler tail before the
+      // driver-side commit must not lose its changeset to a concurrent
+      // disjoint-bucket writer's gc. An explicit vacuum(0) still reaps.
       if (st.isDirectory && n.startsWith("_rowlevel-") &&
-          now - st.getModificationTime > orphanRetentionMs)
+          now - st.getModificationTime > (if (orphanRetentionMs <= 0) 0L
+            else math.max(orphanRetentionMs, 24L * 3600 * 1000)))
         fs.delete(st.getPath, true)
       // staged manifests get the same age guard as epochs: a concurrent
       // disjoint-bucket writer's .tmp-manifest lives between fs.create and
@@ -1613,7 +1656,8 @@ object MergeWriter {
                      clusterBy: Seq[String] = Seq.empty,
                      bloomBy: Seq[String] = Seq.empty,
                      bloomItems: Long = DefaultBloomItems,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     relayout: Boolean = false): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
       s"overwriteTable: frame must not contain reserved column '$BucketCol'")
@@ -1622,9 +1666,18 @@ object MergeWriter {
     val m = currentManifest(fs, dir)
     m.foreach(validateKeys(_, keys, "overwriteTable"))
     if (txn.exists(t => m.exists(_.txns.get(t._1).exists(_ >= t._2)))) return
-    val nb = m.map(_.buckets).getOrElse(buckets)
-    val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
-    writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, m, txn,
+    // relayout (REPLACE TABLE AS SELECT): the DECLARED layout replaces
+    // the recorded one — bucket modulus, clustering, and Blooms all take
+    // the caller's values, committed with the data in one version. The
+    // default (INSERT OVERWRITE) keeps the table's recorded layout.
+    val nb = if (relayout) buckets else m.map(_.buckets).getOrElse(buckets)
+    val cluster =
+      if (relayout) clusterBy else m.map(_.clusterCols).getOrElse(clusterBy)
+    val base = if (relayout)
+      m.map(_.copy(buckets = nb, clusterCols = cluster,
+        bloomCols = bloomBy, bloomItems = bloomItems))
+    else m
+    writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, base, txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
       opName = "overwrite")
@@ -1827,7 +1880,7 @@ object MergeWriter {
       // existing member keeps its recorded clustering, empty included
       val cluster = st.map(_.clusterCols).getOrElse(clusterBy)
       val clustered = clusterSort(merged
-        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
+        .withColumn(BucketCol, bucketExprChecked(keys, nb))
         .repartition(col(BucketCol)), cluster)
       clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
@@ -2556,7 +2609,7 @@ object MergeWriter {
                                   fpSeed: Boolean = false): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     val data = rows
-      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+      .withColumn(BucketCol, bucketExprChecked(keys, buckets))
     // cluster by bucket before the partitioned write: each bucket's rows
     // land wholly in one task → one file per bucket (small-file hygiene).
     // With clusterCols a LOCAL sort (no extra exchange) orders the
@@ -2775,18 +2828,10 @@ object MergeWriter {
       val touched =
         (touchedBuckets(up) ++ touchedBuckets(del)).distinct
       if (touched.isEmpty) return // empty changeset — no version churn
-      // keyed tables hold ONE row per key; SQL's cardinality check only
-      // guards MATCHED rows, so a MERGE whose NOT-MATCHED clause fires
-      // twice for one source key would smuggle a duplicate past it.
-      // Fail the statement loudly — a silent pick would be
-      // nondeterministic. Bounded cost: one job over the changeset.
-      val dup = up.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"$opName: changeset carries more than one row for key " +
-          s"${keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
-            .mkString("(", ", ", ")")} — keyed tables hold one row per " +
-          "key; deduplicate the source (e.g. aggregate it) and re-run")
+      // SQL's cardinality check only guards MATCHED rows, so a MERGE
+      // whose NOT-MATCHED clause fires twice for one source key would
+      // smuggle a duplicate past it
+      requireUniqueKeys(up, keys, opName)
       val existingPaths = touched.flatMap(b =>
         man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
       // every changed key vacates its stored row: upserted keys get
@@ -3703,6 +3748,21 @@ object MergeWriter {
     * post-evolution table; a legacy manifest without one falls back to
     * a one-off parquet footer merge over its epochs.
     */
+  /** The SQL-catalog-facing schema: [[indexSchema]] with merge keys
+    * surfaced NOT NULL (the write side enforces it — see
+    * `bucketExprChecked` — and Spark's row-level DML requires
+    * non-nullable row-id attributes). ONE definition shared by the
+    * catalog table and the row-level operation's scan, so the two can
+    * never drift.
+    */
+  private[sources] def sqlSchema(spark: SparkSession, tablePath: String,
+                                 man: Manifest): StructType = {
+    val s = indexSchema(spark, tablePath, man)
+    if (man.keyCols.isEmpty) s
+    else StructType(s.fields.map(f =>
+      if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
+  }
+
   private[sources] def indexSchema(spark: SparkSession, tablePath: String,
                                    man: Manifest): StructType =
     man.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType])

@@ -218,6 +218,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       s"SELECT COUNT(*) AS c FROM gcat.ns.stg VERSION AS OF $v1")
       .collect().head.getLong(0) == 10)
+    // REPLACE redefines the PHYSICAL layout too: declared buckets and
+    // clustering take effect (not the prior table's)
+    spark.sql("REPLACE TABLE gcat.ns.stg " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='8', 'clusterBy'='v') " +
+      "AS SELECT id, id * 3 AS v FROM range(64)")
+    val d2 = MergeWriter.describeTable(spark, path).collect().head
+    assert(d2.getAs[Int]("buckets") == 8, "RTAS must apply declared buckets")
+    assert(d2.getAs[String]("cluster_cols") == "v",
+      "RTAS must apply declared clustering")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.stg")
+      .collect().head.getLong(0) == 64)
     // CREATE OR REPLACE on a fresh name creates
     spark.sql("DROP TABLE IF EXISTS gcat.ns.stg2")
     spark.sql("CREATE OR REPLACE TABLE gcat.ns.stg2 " +
@@ -287,14 +298,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT gcat.system.fingerprint64(s, 7) AS f,
         |  gcat.system.zorder2_hi(id, CAST(NULL AS BIGINT)) AS z,
         |  gcat.system.cosine_sim(CAST(NULL AS ARRAY<DOUBLE>),
-        |    array(1.0D)) AS c
+        |    array(1.0D)) AS c,
+        |  gcat.system.cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)),
+        |    array(1.0D, 1.0D)) AS ce
         |FROM fn_null_probe""".stripMargin).collect().head
-    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2))
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2) &&
+      nr.isNullAt(3)) // a null ELEMENT propagates too (never reads 0.0)
     // SHOW FUNCTIONS surfaces the inventory; unknown names fail loudly
     val listed = spark.sql("SHOW FUNCTIONS IN gcat.system")
       .collect().map(_.getString(0))
     assert(listed.exists(_.endsWith("fingerprint64")))
     intercept[Exception] { spark.sql("SELECT gcat.system.nope(1)") }
+  }
+
+  test("a NULL merge key fails the write before anything commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.nk")
+    spark.sql("CREATE TABLE gcat.ns.nk (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gcat.ns.nk SELECT id, id FROM range(4)")
+    // the catalog schema claims id NOT NULL; the WRITE enforces it, so
+    // Catalyst's null-propagation over that claim can never be wrong
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ns.nk " +
+        "SELECT CASE WHEN id = 2 THEN NULL ELSE id + 100 END, id " +
+        "FROM range(4)")
+    }
+    assert(e.getMessage != null)
+    // nothing from the failed statement is visible
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.nk")
+      .collect().head.getLong(0) == 4)
+    spark.sql("DROP TABLE gcat.ns.nk")
   }
 
   test("SQL TRUNCATE TABLE and ALTER retention") {
