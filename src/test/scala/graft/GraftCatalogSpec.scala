@@ -59,6 +59,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin)
     assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
       .map(_.getString(1)).contains("t"))
+    // SHOW CREATE TABLE round-trips the declared layout (and the
+    // NOT NULL key surfaces)
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.ns.t")
+      .collect().head.getString(0)
+    assert(ddl.contains("id BIGINT NOT NULL") && ddl.contains("USING graft")
+      && ddl.contains("'keys' = 'id'") && ddl.contains("'buckets' = '4'"))
     // empty table reads as zero rows of the declared schema
     assert(spark.sql("SELECT * FROM gcat.ns.t").count() == 0)
 
