@@ -195,6 +195,32 @@ class GraftRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gc.dml.d")
   }
 
+  test("MERGE INTO with a graft table as SOURCE: table-to-table pipeline") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
+    spark.sql("DROP TABLE IF EXISTS gc.dml.tgt")
+    spark.sql("DROP TABLE IF EXISTS gc.dml.src")
+    spark.sql("CREATE TABLE gc.dml.tgt (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gc.dml.tgt SELECT id, id FROM range(10)")
+    spark.sql("CREATE TABLE gc.dml.src TBLPROPERTIES ('keys'='id') " +
+      "AS SELECT id, id * 10 AS nv FROM range(5, 15)")
+    // both sides read through the manifest-driven scan; the join keys
+    // are each side's NOT NULL merge keys
+    spark.sql("""
+      MERGE INTO gc.dml.tgt t
+      USING gc.dml.src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+    """)
+    val out = spark.sql("SELECT id, v FROM gc.dml.tgt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == ((0L to 4L).map(i => i -> i) ++
+      (5L to 14L).map(i => i -> i * 10)))
+    spark.sql("DROP TABLE gc.dml.tgt")
+    spark.sql("DROP TABLE gc.dml.src")
+  }
+
   test("UPDATE writes a column added by ALTER after creation") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
     spark.sql("DROP TABLE IF EXISTS gc.dml.ev")
