@@ -582,17 +582,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             new InsertableRelation {
               override def insert(data: DataFrame,
                                   overwrite: Boolean): Unit = {
-                val d = data.persist()
-                try {
-                  GraftCatalog.requireUniqueKeys(d, spec.keys, "AS SELECT")
-                  // REPLACE redefines the physical layout too: the
-                  // statement's declared buckets/clusterBy/Blooms take
-                  // effect (relayout), not the prior table's
-                  MergeWriter.overwriteTable(spark, spec.path, d,
-                    spec.keys, buckets = spec.buckets,
-                    clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
-                    bloomItems = spec.bloomItems, relayout = preexisting)
-                } finally { d.unpersist(); () }
+                // key-narrow recompute, not a full-row persist (see the
+                // INSERT path note)
+                GraftCatalog.requireUniqueKeys(data, spec.keys, "AS SELECT")
+                // REPLACE redefines the physical layout too: the
+                // statement's declared buckets/clusterBy/Blooms take
+                // effect (relayout), not the prior table's
+                MergeWriter.overwriteTable(spark, spec.path, data,
+                  spec.keys, buckets = spec.buckets,
+                  clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
+                  bloomItems = spec.bloomItems, relayout = preexisting)
                 written = true
               }
             }
@@ -806,13 +805,15 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
             .map(_.keyCols).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 s"graft catalog: $tablePath records no merge keys"))
-          val d = data.persist()
-          try {
-            GraftCatalog.requireUniqueKeys(d, keys, "INSERT")
-            if (replace || overwrite)
-              MergeWriter.overwriteTable(spark, tablePath, d, keys)
-            else MergeWriter.merge(spark, tablePath, d, keys)
-          } finally { d.unpersist(); () }
+          // the guard recomputes `data` rather than persisting it: its
+          // groupBy touches ONLY the key columns, so column pruning
+          // makes the extra pass key-narrow — where persisting would
+          // spill the statement's FULL rows (at 100 TB, a table-sized
+          // cache) just to save that narrow scan
+          GraftCatalog.requireUniqueKeys(data, keys, "INSERT")
+          if (replace || overwrite)
+            MergeWriter.overwriteTable(spark, tablePath, data, keys)
+          else MergeWriter.merge(spark, tablePath, data, keys)
         }
       }
   }

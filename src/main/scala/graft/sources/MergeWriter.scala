@@ -406,8 +406,10 @@ object MergeWriter {
     * key — the invariant every point read, row-level update, and change
     * feed relies on. Postgres raises exactly this for its upsert ("ON
     * CONFLICT DO UPDATE command cannot affect row a second time", the
-    * reference's write path). One bounded job over the statement's
-    * rows; ACROSS statements, upsert-by-key applies as ever.
+    * reference's write path). Cost: ONE aggregate over the key columns
+    * only — column pruning keeps the pass key-narrow, strictly cheaper
+    * than the write it guards. ACROSS statements, upsert-by-key applies
+    * as ever.
     */
   private[sources] def requireUniqueKeys(data: DataFrame, keys: Seq[String],
                                          stmt: String): Unit = {
