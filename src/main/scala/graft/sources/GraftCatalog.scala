@@ -24,6 +24,7 @@ import org.apache.spark.sql.connector.expressions.{
 import org.apache.spark.sql.connector.expressions.filter.{
   And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -93,28 +94,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableDir(ident: Identifier): Path =
     dirOf(ident.namespace().toIndexedSeq :+ ident.name())
 
+  /** FileSystem of an arbitrary table path — a LOCATION-pinned table
+    * may live on a different scheme than the warehouse.
+    */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
   /** A directory is a TABLE iff it holds a committed manifest. */
   private def isTable(dir: Path): Boolean =
-    MergeWriter.hasManifest(fs, dir)
+    MergeWriter.hasManifest(fsOf(dir), dir)
+
+  /** A LOCATION-pinned table keeps its data at the declared path; its
+    * identifier directory under the warehouse holds ONLY a `_loc`
+    * pointer file naming that path — persisted at CREATE so every
+    * later statement (SELECT/INSERT/DML/DROP/CALL) resolves the same
+    * directory instead of orphaning the table the moment CREATE
+    * returns. The pointer is created exclusively (`create(…, false)`),
+    * so a racing CREATE of the same identifier is single-winner.
+    */
+  private def pointerFile(identDir: Path): Path =
+    new Path(identDir, GraftCatalog.LocPointer)
+
+  private def readPointer(identDir: Path): Option[Path] = {
+    val pf = pointerFile(identDir)
+    if (!fs.exists(pf)) None
+    else {
+      val in = fs.open(pf)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      Some(new Path(s))
+    }
+  }
+
+  /** The directory a statement against `ident` must address: the
+    * pointer's target for a LOCATION-pinned table, the warehouse
+    * layout directory otherwise.
+    */
+  private def resolvedDir(ident: Identifier): Path = {
+    val d = tableDir(ident)
+    readPointer(d).getOrElse(d)
+  }
+
+  /** Is this warehouse directory a table ENTRY — a committed manifest,
+    * or a location pointer resolving to one? (Namespace listings must
+    * exclude both shapes.)
+    */
+  private def isTableEntry(identDir: Path): Boolean =
+    isTable(identDir) || readPointer(identDir).exists(isTable)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = dirOf(namespace.toIndexedSeq)
     if (!fs.exists(d))
       throw new NoSuchNamespaceException(catName +: namespace.toSeq)
     fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
-      .filter(isTable)
+      .filter(isTableEntry)
       .map(p => Identifier.of(namespace, p.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTable(tableDir(ident))
+    isTableEntry(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(spark, dir.toString,
-      (catName +: ident.namespace().toIndexedSeq :+ ident.name())
-        .mkString("."))
+    val dir = resolvedDir(ident)
+    if (isTable(dir))
+      new GraftSqlTable(spark, dir.toString,
+        (catName +: ident.namespace().toIndexedSeq :+ ident.name())
+          .mkString("."))
+    else metadataTable(ident)
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** METADATA SUB-TABLES (Iceberg's `t.history` shape): `gc.ns.t.history`
+    * and `gc.ns.t.changes` resolve as read-only tables over `gc.ns.t` —
+    * the identifier's NAMESPACE must itself be a table (pointer-resolved
+    * like any other) and the name one of the metadata views. A real
+    * table of the same name always wins (checked first above).
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val parts = ident.namespace().toIndexedSeq
+    if (parts.isEmpty) return None
+    val entry = dirOf(parts)
+    val parent = readPointer(entry).getOrElse(entry)
+    if (!isTable(parent)) return None
+    val name = (catName +: parts :+ ident.name()).mkString(".")
+    ident.name() match {
+      case "history" =>
+        Some(new GraftHistoryTable(spark, parent.toString, name))
+      case "changes" =>
+        Some(new GraftChangesTable(spark, parent.toString, name))
+      case _ => None
+    }
   }
 
   /** SQL time travel: `SELECT ... FROM gc.ns.t VERSION AS OF 3` — Spark
@@ -122,7 +193,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * retained manifest (and rejects writes: history is immutable).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = tableDir(ident)
+    val dir = resolvedDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val v = scala.util.Try(version.toLong).getOrElse(
       throw new IllegalArgumentException(
@@ -137,7 +208,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hands the catalog microseconds).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val dir = tableDir(ident)
+    val dir = resolvedDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new GraftSqlTable(spark, dir.toString,
       (catName +: ident.namespace().toIndexedSeq :+ ident.name())
@@ -159,7 +230,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                keys: Seq[String], buckets: Int,
                                clusterBy: Seq[String], bloomBy: Seq[String],
                                bloomItems: Long, retainVersions: Int,
-                               retainMs: Long)
+                               retainMs: Long,
+                               // Some(identDir -> target): a CREATE with
+                               // a custom LOCATION must persist this
+                               // pointer so later statements resolve it
+                               pointer: Option[(Path, Path)])
 
   private def parseSpec(ident: Identifier, partitions: Array[Transform],
                         properties: util.Map[String, String]): TableSpec = {
@@ -174,9 +249,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val keys = csv("keys")
     require(keys.nonEmpty, s"graft catalog: CREATE TABLE $ident needs " +
       "merge keys — TBLPROPERTIES ('keys'='k1,k2')")
+    // LOCATION resolution: an EXISTING table (REPLACE) keeps its
+    // resolved directory — data is never relocated, so a conflicting
+    // declared LOCATION fails loudly instead of silently forking the
+    // table; a fresh CREATE with a custom LOCATION records the pointer.
+    val identDir = tableDir(ident)
+    val declared = prop(TableCatalog.PROP_LOCATION).map(new Path(_))
+    val existing = readPointer(identDir)
+      .orElse(if (isTable(identDir)) Some(identDir) else None)
+    val (path, pointer) = existing match {
+      case Some(r) =>
+        declared.foreach(l => require(l.toString == r.toString,
+          s"graft catalog: $ident already lives at $r — LOCATION " +
+            s"'$l' cannot relocate an existing table (drop and " +
+            "re-create, or omit LOCATION)"))
+        (r, None)
+      case None =>
+        declared match {
+          case Some(l) if l.toString != identDir.toString =>
+            (l, Some(identDir -> l))
+          case _ => (identDir, None)
+        }
+    }
     TableSpec(
-      path = prop(TableCatalog.PROP_LOCATION)
-        .getOrElse(tableDir(ident).toString),
+      path = path.toString,
       name = (catName +: ident.namespace().toIndexedSeq :+ ident.name())
         .mkString("."),
       keys = keys,
@@ -186,19 +282,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(MergeWriter.DefaultBloomItems),
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
-      retainMs = prop("retainMs").map(_.toLong).getOrElse(0L))
+      retainMs = prop("retainMs").map(_.toLong).getOrElse(0L),
+      pointer = pointer)
   }
+
+  /** Persist a CREATE's location pointer, exclusively — the losing side
+    * of a racing CREATE fails here with TableAlreadyExists.
+    */
+  private def writePointer(spec: TableSpec): Unit =
+    spec.pointer.foreach { case (identDir, target) =>
+      fs.mkdirs(identDir)
+      val out =
+        try fs.create(pointerFile(identDir), false)
+        catch {
+          case _: java.io.IOException =>
+            throw new TableAlreadyExistsException(
+              Identifier.of(Array.empty, spec.name))
+        }
+      try out.write(target.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** Reclaim a pointer whose CREATE failed or aborted before anything
+    * committed (never a pointer to a committed table).
+    */
+  private def removePointer(spec: TableSpec): Unit =
+    spec.pointer.foreach { case (identDir, target) =>
+      if (!isTable(target)) {
+        fs.delete(pointerFile(identDir), false)
+        if (fs.exists(identDir) && fs.listStatus(identDir).isEmpty)
+          fs.delete(identDir, false)
+        ()
+      }
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (isTableEntry(tableDir(ident)))
+      throw new TableAlreadyExistsException(ident)
     val spec = parseSpec(ident, partitions, properties)
-    MergeWriter.createTable(spark, spec.path, schema, spec.keys,
+    writePointer(spec)
+    try MergeWriter.createTable(spark, spec.path, schema, spec.keys,
       buckets = spec.buckets, clusterBy = spec.clusterBy,
       bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
       retainVersions = spec.retainVersions, retainMs = spec.retainMs)
+    catch { case e: Throwable => removePointer(spec); throw e }
     new GraftSqlTable(spark, spec.path, spec.name)
   }
 
@@ -217,16 +347,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String])
       : StagedTable = {
-    if (isTable(tableDir(ident))) throw new TableAlreadyExistsException(ident)
-    new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
-      schema, preexisting = false)
+    if (isTableEntry(tableDir(ident)))
+      throw new TableAlreadyExistsException(ident)
+    val spec = parseSpec(ident, partitions, properties)
+    writePointer(spec) // aborted CTAS reclaims it (abortStagedChanges)
+    new GraftStagedTable(spark, spec, schema, preexisting = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String])
       : StagedTable = {
-    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    if (!isTableEntry(tableDir(ident))) throw new NoSuchTableException(ident)
     new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
       schema, preexisting = true)
   }
@@ -234,9 +366,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
-      : StagedTable =
-    new GraftStagedTable(spark, parseSpec(ident, partitions, properties),
-      schema, preexisting = isTable(tableDir(ident)))
+      : StagedTable = {
+    val preexisting = isTableEntry(tableDir(ident))
+    val spec = parseSpec(ident, partitions, properties)
+    if (!preexisting) writePointer(spec)
+    new GraftStagedTable(spark, spec, schema, preexisting = preexisting)
+  }
 
   /** `ALTER TABLE ... SET TBLPROPERTIES` supports the RETENTION policy
     * (mapped to `MergeWriter.setRetention` — a metadata-only commit);
@@ -246,7 +381,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    val dir = tableDir(ident)
+    val dir = resolvedDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
@@ -289,15 +424,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    isTable(dir) && fs.delete(dir, true)
+    readPointer(dir) match {
+      case Some(target) =>
+        // LOCATION-pinned: reclaim the data at the pointed directory
+        // AND the pointer entry (a dangling pointer from a failed CTAS
+        // cleans up the same way, reporting no table was dropped)
+        val wasTable = isTable(target)
+        if (wasTable) { fsOf(target).delete(target, true); () }
+        fs.delete(dir, true)
+        wasTable
+      case None => isTable(dir) && fs.delete(dir, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
+    // renames the warehouse ENTRY — for a LOCATION-pinned table the
+    // pointer directory moves and the data stays at its declared path
     val from = tableDir(oldIdent)
-    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (!isTableEntry(from)) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
-    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    if (isTableEntry(to)) throw new TableAlreadyExistsException(newIdent)
     fs.mkdirs(to.getParent)
     if (!fs.rename(from, to))
       throw new IllegalStateException(
@@ -317,7 +464,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tablePathOf(table: String): String = {
     val parts = table.split('.').toIndexedSeq.filter(_.nonEmpty)
     require(parts.nonEmpty, s"graft procedure: bad table name '$table'")
-    val dir = dirOf(parts)
+    val entry = dirOf(parts)
+    val dir = readPointer(entry).getOrElse(entry)
     require(isTable(dir),
       s"graft procedure: $catName.${parts.mkString(".")} is not a table")
     dir.toString
@@ -582,16 +730,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             new InsertableRelation {
               override def insert(data: DataFrame,
                                   overwrite: Boolean): Unit = {
-                // key-narrow recompute, not a full-row persist (see the
-                // INSERT path note)
-                GraftCatalog.requireUniqueKeys(data, spec.keys, "AS SELECT")
-                // REPLACE redefines the physical layout too: the
-                // statement's declared buckets/clusterBy/Blooms take
-                // effect (relayout), not the prior table's
-                MergeWriter.overwriteTable(spark, spec.path, data,
-                  spec.keys, buckets = spec.buckets,
-                  clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
-                  bloomItems = spec.bloomItems, relayout = preexisting)
+                GraftCatalog.guardUniqueKeys(data, spec.keys,
+                  "AS SELECT") { rows =>
+                  // REPLACE redefines the physical layout too: the
+                  // statement's declared buckets/clusterBy/Blooms take
+                  // effect (relayout), not the prior table's
+                  MergeWriter.overwriteTable(spark, spec.path, rows,
+                    spec.keys, buckets = spec.buckets,
+                    clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
+                    bloomItems = spec.bloomItems, relayout = preexisting)
+                }
                 written = true
               }
             }
@@ -626,6 +774,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (pfs.listStatus(p).isEmpty) pfs.delete(p, false)
         ()
       }
+      // a fresh LOCATION-pinned CTAS wrote its pointer at stage time —
+      // nothing committed, so reclaim it (removePointer re-checks)
+      if (!written && !preexisting) removePointer(spec)
     }
   }
 
@@ -634,7 +785,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] =
     if (!fs.exists(warehouse)) Array.empty
     else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTable).map(p => Array(p.getName))
+      .filterNot(isTableEntry).map(p => Array(p.getName))
 
   override def listNamespaces(namespace: Array[String])
       : Array[Array[String]] = {
@@ -642,13 +793,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(d))
       throw new NoSuchNamespaceException(catName +: namespace.toSeq)
     fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTable).map(p => namespace :+ p.getName)
+      .filterNot(isTableEntry).map(p => namespace :+ p.getName)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || {
       val d = dirOf(namespace.toIndexedSeq)
-      fs.exists(d) && !isTable(d)
+      fs.exists(d) && !isTableEntry(d)
     }
 
   override def loadNamespaceMetadata(namespace: Array[String])
@@ -721,7 +872,16 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // streaming by table NAME: readStream.table tails the keyed
+      // table's new row images (GraftMicroBatchStream — deletes surface
+      // on the `.changes` metadata table), writeStream.toTable lands
+      // each epoch as one exactly-once keyed merge (GraftStreamingWrite)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      // `MERGE WITH SCHEMA EVOLUTION`: Spark routes source-only columns
+      // through alterTable(AddColumn) — the same metadata-only additive
+      // evolution as ALTER TABLE ADD COLUMNS / merge(evolveSchema)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> tablePath,
@@ -731,18 +891,25 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       "bloomBy" -> man.bloomCols.mkString(","),
       "version" -> man.version.toString).asJava
 
+  /** Batch reads keep the native parquet DSv2 path (vectorized +
+    * manifest skipping); the SAME builder's scan also answers
+    * `toMicroBatchStream` for `readStream.table` (the engine calls one
+    * `newScanBuilder` for both), where a pinned time-travel table
+    * refuses to stream (history is one immutable version — there is
+    * nothing to tail).
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val s = schema()
-    ParquetScanBuilder(spark,
-      new GraftPartitioningIndex(spark, tablePath, man, s), s, s, options)
+    new GraftTableScanBuilder(spark, tablePath, man, s, options,
+      streamable = !pinned)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, write to the current table")
-    new GraftCatalogWriteBuilder(spark, tablePath)
+    new GraftCatalogWriteBuilder(spark, tablePath, info)
   }
 
   /** DELETE pushes down when every predicate converts to a Column the
@@ -762,9 +929,14 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       s"graft catalog: DELETE needs recorded merge keys on $tablePath")
     val cond = predicates.toSeq.flatMap(p => GraftCatalog.v2ToColumn(p))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val doomed = MergeWriter.readTable(spark, tablePath).where(cond)
-      .select(man.keyCols.map(col): _*).distinct()
-    MergeWriter.delete(spark, tablePath, doomed, man.keyCols)
+    // resolve doomed keys against the SAME pinned version the statement
+    // analyzed, and let the delete re-validate its touched buckets
+    // against it — a commit racing the key-resolution read conflicts
+    // loudly instead of being part-overwritten
+    val doomed = MergeWriter.readTableVersion(spark, tablePath, man.version)
+      .where(cond).select(man.keyCols.map(col): _*).distinct()
+    MergeWriter.delete(spark, tablePath, doomed, man.keyCols,
+      expectedVersion = Some(man.version))
   }
 
   /** SQL MERGE INTO / UPDATE / general-predicate DELETE, via the
@@ -788,11 +960,19 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
 
 /** INSERT INTO = keyed merge upsert; INSERT OVERWRITE (truncate) =
   * atomic full replace. Keys come from the manifest — recorded at
-  * CREATE TABLE, so SQL writers never restate them.
+  * CREATE TABLE, so SQL writers never restate them. The SAME builder
+  * answers the STREAMING write (`writeStream.toTable`): Append/Update
+  * epochs land as keyed merges, Complete (truncate) as atomic
+  * replaces, all through the exactly-once txn guard
+  * ([[GraftStreamingWrite]]); Update rides the Append contract
+  * (SupportsStreamingUpdateAsAppend) because the keyed merge IS an
+  * upsert-by-key — precisely what Update mode means here.
   */
 private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
-                                                tablePath: String)
-    extends WriteBuilder with SupportsTruncate {
+                                                tablePath: String,
+                                                info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var replace = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -805,18 +985,82 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
             .map(_.keyCols).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 s"graft catalog: $tablePath records no merge keys"))
-          // the guard recomputes `data` rather than persisting it: its
-          // groupBy touches ONLY the key columns, so column pruning
-          // makes the extra pass key-narrow — where persisting would
-          // spill the statement's FULL rows (at 100 TB, a table-sized
-          // cache) just to save that narrow scan
-          GraftCatalog.requireUniqueKeys(data, keys, "INSERT")
-          if (replace || overwrite)
-            MergeWriter.overwriteTable(spark, tablePath, data, keys)
-          else MergeWriter.merge(spark, tablePath, data, keys)
+          // guard + write through one combinator: deterministic sources
+          // recompute key-narrow, non-deterministic ones pin one persist
+          // so the guarded rows ARE the written rows
+          GraftCatalog.guardUniqueKeys(data, keys, "INSERT") { rows =>
+            if (replace || overwrite)
+              MergeWriter.overwriteTable(spark, tablePath, rows, keys)
+            else MergeWriter.merge(spark, tablePath, rows, keys)
+          }
         }
       }
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // appId precedence mirrors the V1 sink: explicit txnAppId > the
+      // STREAMING QUERY's stable id (persisted in its checkpoint, so
+      // restart replays dedupe with zero I/O); queryId is per-query, so
+      // two queries writing one table never share a ledger entry
+      val appId = Option(info.options.get("txnAppId"))
+        .getOrElse("graft-stream-" + info.queryId())
+      new GraftStreamingWrite(spark, tablePath, info.schema(), appId,
+        complete = replace, info.queryId())
+    }
   }
+}
+
+/** The catalog table's ONE scan builder, serving both engines: batch
+  * pushdown/pruning stays the inherited [[ParquetScanBuilder]] (this IS
+  * it — filters, column pruning, aggregate pushdown all apply), while
+  * the built scan also answers `toMicroBatchStream` for
+  * `readStream.table` by wrapping the parquet scan in a
+  * [[GraftDualScan]]. Streaming scans skip Spark's pushdown phase, so
+  * the stream's schema is the full table schema — exactly the output
+  * attributes the streaming relation resolved.
+  */
+private[sources] class GraftTableScanBuilder(
+    spark: SparkSession, tablePath: String, man: MergeWriter.Manifest,
+    schema: StructType, options: CaseInsensitiveStringMap,
+    streamable: Boolean)
+    extends ParquetScanBuilder(spark,
+      new GraftPartitioningIndex(spark, tablePath, man, schema),
+      schema, schema, options) {
+
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val p = super.build()
+    new GraftStreamableParquetScan(p, checkpointLocation => {
+      require(streamable,
+        s"graft catalog: $tablePath is a time-travel pin — one " +
+          "immutable version has no change stream to tail")
+      require(man.keyCols.nonEmpty,
+        s"graft streaming: $tablePath records no merge keys")
+      val compareCols = p.readSchema().fieldNames.toSeq
+        .filterNot(man.keyCols.contains)
+      new GraftMicroBatchStream(spark, tablePath, man.keyCols,
+        compareCols, p.readSchema(), changes = false,
+        checkpointLocation,
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+    })
+  }
+}
+
+/** IS the parquet batch scan (every batch behavior — statistics for
+  * join planning, vectorized Batch, metrics — is inherited verbatim),
+  * plus the one override the base class leaves unsupported:
+  * `toMicroBatchStream` for `readStream.table`.
+  */
+private[sources] class GraftStreamableParquetScan(
+    p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    streamFactory: String => MicroBatchStream)
+    extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      p.sparkSession, p.hadoopConf, p.fileIndex, p.dataSchema,
+      p.readDataSchema, p.readPartitionSchema, p.pushedFilters, p.options,
+      p.pushedAggregate, p.partitionFilters, p.dataFilters,
+      p.pushedVariantExtractions) {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = streamFactory(checkpointLocation)
 }
 
 /** Manifest-driven file listing behind the DSv2 parquet scan: the
@@ -869,14 +1113,43 @@ private[sources] class GraftPartitioningIndex(
 
 object GraftCatalog {
 
-  /** See [[MergeWriter.requireUniqueKeys]] — the statement-level
-    * duplicate-key guard shared by INSERT, CTAS/RTAS, and the row-level
-    * changeset apply.
+  /** Pointer-file name inside a LOCATION-pinned table's warehouse
+    * entry directory (see `readPointer`).
     */
-  private[sources] def requireUniqueKeys(data: DataFrame,
-                                         keys: Seq[String],
-                                         stmt: String): Unit =
-    MergeWriter.requireUniqueKeys(data, keys, stmt)
+  private[sources] val LocPointer = "_loc"
+
+  /** The statement-level duplicate-key guard for INSERT and CTAS/RTAS
+    * (see [[MergeWriter.requireUniqueKeys]]), wrapped around the write
+    * so the guard and the write see the SAME rows. A DETERMINISTIC
+    * source recomputes for the guard pass — its groupBy touches only
+    * the key columns, so column pruning keeps the extra pass key-narrow
+    * (persisting would spill the statement's FULL rows, at 100 TB a
+    * table-sized cache, just to save that narrow scan). A source whose
+    * plan carries any non-deterministic expression (rand(), a
+    * non-stable limit, an impure UDF) CANNOT be safely recomputed — the
+    * guarded pass and the written pass could differ, letting duplicates
+    * slip past the guard or spuriously rejecting a clean source — so it
+    * is pinned with one persist for the statement's duration.
+    */
+  private[sources] def guardUniqueKeys(data: DataFrame, keys: Seq[String],
+                                       stmt: String)
+                                      (write: DataFrame => Unit): Unit = {
+    val nonDeterministic = data
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+      .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    if (!nonDeterministic) {
+      MergeWriter.requireUniqueKeys(data, keys, stmt)
+      write(data)
+    } else {
+      val pinned = data.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        MergeWriter.requireUniqueKeys(pinned, keys, stmt)
+        write(pinned)
+      } finally { pinned.unpersist(); () }
+    }
+  }
 
   /** Conservative V2-predicate → Column conversion for DELETE: the
     * comparison / IN / null-test / boolean-connective shapes SQL DELETE

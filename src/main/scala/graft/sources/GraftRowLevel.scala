@@ -94,7 +94,12 @@ private[sources] class GraftRowLevelOperation(
           if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
           else StructType(man.keyCols.flatMap(k =>
             info.schema().fields.find(_.name == k))),
-          info.queryId())
+          info.queryId(),
+          // the statement's scan pinned THIS manifest version — the
+          // commit re-validates touched buckets against it
+          // (MergeWriter.requireScanCurrent) so a commit landing during
+          // the read/join phase conflicts instead of being clobbered
+          scannedVersion = man.version)
     }
 
   override def description(): String =
@@ -107,14 +112,15 @@ private[sources] class GraftDeltaWrite(spark: SparkSession,
                                        cmd: RowLevelOperation.Command,
                                        rowSchema: StructType,
                                        idSchema: StructType,
-                                       queryId: String)
+                                       queryId: String,
+                                       scannedVersion: Long)
     extends DeltaWrite {
 
   override def description(): String = s"GraftDeltaWrite($cmd, $tablePath)"
 
   override def toBatch(): DeltaBatchWrite =
     new GraftDeltaBatchWrite(spark, tablePath, keys, cmd, rowSchema,
-      idSchema, s"$tablePath/_rowlevel-$queryId")
+      idSchema, s"$tablePath/_rowlevel-$queryId", scannedVersion)
 }
 
 private[sources] case class GraftDeltaMessage(upPath: Option[String],
@@ -127,7 +133,8 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
                                             cmd: RowLevelOperation.Command,
                                             rowSchema: StructType,
                                             idSchema: StructType,
-                                            stagingDir: String)
+                                            stagingDir: String,
+                                            scannedVersion: Long)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -144,11 +151,13 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
       if (cmd == RowLevelOperation.Command.DELETE)
         // a pure DELETE's write schema carries no data columns (only row
         // ids travel) — it IS the storage layer's keyed delete
-        MergeWriter.delete(spark, tablePath, delDf, keys)
+        MergeWriter.delete(spark, tablePath, delDf, keys,
+          expectedVersion = Some(scannedVersion))
       else
         MergeWriter.applyChanges(spark, tablePath,
           GraftRowLevel.decodeStaged(spark, ups, rowSchema), delDf, keys,
-          opName = cmd.toString.toLowerCase)
+          opName = cmd.toString.toLowerCase,
+          expectedVersion = Some(scannedVersion))
     } finally cleanup()
   }
 
@@ -273,10 +282,14 @@ private[sources] object GraftRowLevel {
   /** Read per-task staged changeset files back as a distributed
     * DataFrame (only files named in SUCCESSFUL commit messages — never
     * a directory listing, which could see files from zombie attempts).
-    * Decoding STREAMS each file record-by-record (a DataInputStream
-    * over the PortableDataStream): one write task can stage a multi-GB
-    * changeset file, and materializing it whole (`pds.toArray`) would
-    * hold ~2× the file in one executor's heap.
+    * One task per staged file, each opened DIRECTLY through its own
+    * `FileSystem` — never `binaryFiles(paths.mkString(","))`, whose
+    * Hadoop input-path string treats commas as path separators and
+    * `{}[]*?` as glob metacharacters, so a table path containing any of
+    * them would mis-resolve the staged files and fail (or corrupt) the
+    * commit. Decoding STREAMS each file record-by-record: one write
+    * task can stage a multi-GB changeset file, and materializing it
+    * whole would hold ~2× the file in one executor's heap.
     */
   def decodeStaged(spark: SparkSession, paths: Seq[String],
                    schema: StructType): DataFrame = {
@@ -284,11 +297,15 @@ private[sources] object GraftRowLevel {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     val n = schema.length
-    val rdd = spark.sparkContext.binaryFiles(paths.mkString(","))
-      .flatMap { case (_, pds) =>
+    val conf = new GraftSerializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val rdd = spark.sparkContext
+      .parallelize(paths, paths.size)
+      .flatMap { s =>
         val conv = CatalystTypeConverters.createToScalaConverter(schema)
-        val in = new java.io.DataInputStream(
-          new java.io.BufferedInputStream(pds.open()))
+        val p = new Path(s)
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          p.getFileSystem(conf.value).open(p)))
         new Iterator[Row] {
           private var nextRow: Row = advance()
           private def advance(): Row = {

@@ -202,7 +202,21 @@ object MergeWriter {
                                        opTs: Long = 0L,
                                        retainVersions: Int = KeepManifests,
                                        retainMs: Long = 0L,
-                                       fingerprint: Boolean = false)
+                                       fingerprint: Boolean = false,
+                                       // EVIDENCE that no live epoch can
+                                       // hold a NULL merge key: true iff
+                                       // every live epoch was written
+                                       // through `bucketExprChecked`'s
+                                       // AssertNotNull (creation, or a
+                                       // commit that replaced every live
+                                       // bucket). Gates the catalog's
+                                       // NOT NULL key surface (sqlSchema)
+                                       // — a legacy pre-enforcement epoch
+                                       // keeps keys nullable until a full
+                                       // rewrite re-certifies, so
+                                       // Catalyst never optimizes on an
+                                       // unproven nullability claim.
+                                       keysChecked: Boolean = false)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -302,7 +316,10 @@ object MergeWriter {
       Option(node.get("retainv")).map(_.asInt()).getOrElse(KeepManifests),
       Option(node.get("retainms")).map(_.asLong()).getOrElse(0L),
       // absent in pre-fingerprint manifests — backward compatible
-      Option(node.get("fpr")).exists(_.asBoolean()))
+      Option(node.get("fpr")).exists(_.asBoolean()),
+      // absent in pre-enforcement manifests — those epochs carry no
+      // NULL-key proof, so the flag correctly reads false
+      Option(node.get("kchk")).exists(_.asBoolean()))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -352,6 +369,7 @@ object MergeWriter {
         ",\"retainv\":" + m.retainVersions else "")
       .append(if (m.retainMs != 0L) ",\"retainms\":" + m.retainMs else "")
       .append(if (m.fingerprint) ",\"fpr\":true" else "")
+      .append(if (m.keysChecked) ",\"kchk\":true" else "")
       .append(if (m.stats.nonEmpty) {
         def obj(kv: Map[String, String]): String =
           kv.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -1723,7 +1741,10 @@ object MergeWriter {
     commitManifest(fs, dir, Manifest(1L, buckets, Map.empty, Map.empty,
       Some(schema.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
       "create", System.currentTimeMillis(),
-      math.max(KeepManifests, retainVersions), math.max(0L, retainMs)))
+      math.max(KeepManifests, retainVersions), math.max(0L, retainMs),
+      // an empty table trivially holds no NULL key, and every later
+      // epoch writes through the enforcing path
+      keysChecked = true))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -2677,6 +2698,13 @@ object MergeWriter {
       // bucket column) — on an evolving merge this is already the union
       // schema, so the recorded schema and the data it describes commit
       // in the same atomic rename
+      // every row THIS commit wrote passed bucketExprChecked's
+      // AssertNotNull, so the NULL-key certificate holds iff the base
+      // already carried it or no pre-existing epoch pointer survives
+      // (creation / truncating overwrite / delete-all rewrite)
+      val checked = base.forall(_.keysChecked) ||
+        (base.map(_.epochs.keySet).getOrElse(Set.empty) -- dropBuckets --
+          written).isEmpty
       try {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
@@ -2685,7 +2713,8 @@ object MergeWriter {
             // retention + fingerprint policy ride every commit forward
             base.map(_.retainVersions).getOrElse(KeepManifests),
             base.map(_.retainMs).getOrElse(0L),
-            base.map(_.fingerprint).getOrElse(effFp)))
+            base.map(_.fingerprint).getOrElse(effFp),
+            keysChecked = checked))
         return
       } catch {
         case e: java.io.IOException =>
@@ -2754,9 +2783,55 @@ object MergeWriter {
     * are absent (or from an empty/missing table) is a no-op. Single
     * writer per table, as ever.
     */
+  /** SCAN-TO-COMMIT conflict guard for row-level statements (SQL
+    * MERGE/UPDATE/DELETE): the statement's changeset was derived from a
+    * scan PINNED at `expectedVersion`, but the changeset is applied
+    * against the manifest read at commit time — a commit landing during
+    * the statement's (long) read/join phase would otherwise be silently
+    * clobbered per overlapping key (lost update / write skew). Mirrors
+    * `writeEpochAndCommit`'s rebase rule: the apply may proceed iff no
+    * TOUCHED bucket's epoch pointer moved since the scanned version and
+    * neither the schema nor the bucket modulus changed — anything else
+    * raises the protocol's `ConcurrentModificationException` ("re-run
+    * against the new table state"). A scanned version that already aged
+    * out of retention cannot be re-validated and conservatively
+    * conflicts. Together with the commit CAS (which re-validates from
+    * the version read HERE forward) this covers the whole scan→commit
+    * window.
+    */
+  private def requireScanCurrent(fs: FileSystem, tablePath: String,
+                                 man: Manifest,
+                                 expectedVersion: Option[Long],
+                                 touched: Seq[Int], op: String): Unit =
+    expectedVersion.filter(_ != man.version).foreach { ev =>
+      val scanned = manifestFiles(fs, new Path(tablePath)).find(_._1 == ev)
+        .map { case (v, p) => readManifest(fs, v, p) }
+        .getOrElse(throw new java.util.ConcurrentModificationException(
+          s"$op: $tablePath moved from the statement's scanned version " +
+            s"$ev to ${man.version} and version $ev is no longer " +
+            "retained — the statement's reads cannot be re-validated; " +
+            "re-run against the new table state"))
+      val modulusMoved = scanned.buckets != man.buckets
+      val schemaMoved = scanned.schema != man.schema
+      val moved =
+        if (modulusMoved) touched
+        else touched.filter(b => scanned.epochs.get(b) != man.epochs.get(b))
+      if (modulusMoved || schemaMoved || moved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op: a concurrent writer committed to $tablePath between the " +
+            s"statement's scan (version $ev) and its write (version " +
+            s"${man.version})" +
+            (if (modulusMoved)
+               s" — bucket modulus ${scanned.buckets} -> ${man.buckets}"
+             else if (schemaMoved) " — schema changed"
+             else s" — contested buckets ${moved.sorted.mkString("{", ",", "}")}") +
+            " — re-run against the new table state")
+    }
+
   def delete(spark: SparkSession, tablePath: String, keysToDelete: DataFrame,
              keys: Seq[String],
-             autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+             autoCompactEpochs: Int = AutoCompactEpochs,
+             expectedVersion: Option[Long] = None): Unit = {
     require(keys.nonEmpty, "delete requires at least one key column")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
@@ -2776,6 +2851,8 @@ object MergeWriter {
         .persist()
       try {
         val touched = touchedBuckets(del)
+        requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
+          "delete")
         val existingPaths = touched.flatMap(b =>
           man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
         // no stored bucket holds any of these keys — nothing to rewrite,
@@ -2811,7 +2888,8 @@ object MergeWriter {
   def applyChanges(spark: SparkSession, tablePath: String,
                    upserts: DataFrame, deleteKeys: DataFrame,
                    keys: Seq[String], opName: String = "rowlevel",
-                   autoCompactEpochs: Int = AutoCompactEpochs): Unit = {
+                   autoCompactEpochs: Int = AutoCompactEpochs,
+                   expectedVersion: Option[Long] = None): Unit = {
     require(keys.nonEmpty, "applyChanges requires at least one key column")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
@@ -2830,6 +2908,8 @@ object MergeWriter {
       val touched =
         (touchedBuckets(up) ++ touchedBuckets(del)).distinct
       if (touched.isEmpty) return // empty changeset — no version churn
+      requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
+        opName)
       // SQL's cardinality check only guards MATCHED rows, so a MERGE
       // whose NOT-MATCHED clause fires twice for one source key would
       // smuggle a duplicate past it
@@ -3755,12 +3835,18 @@ object MergeWriter {
     * `bucketExprChecked` — and Spark's row-level DML requires
     * non-nullable row-id attributes). ONE definition shared by the
     * catalog table and the row-level operation's scan, so the two can
-    * never drift.
+    * never drift. The NOT NULL claim is EVIDENCE-GATED on the
+    * manifest's [[Manifest.keysChecked]] certificate: a table whose
+    * live epochs predate the write-side AssertNotNull enforcement could
+    * hold stored NULL keys, and letting Catalyst null-eliminate over
+    * them would silently return wrong rows — such a table keeps
+    * nullable keys (and therefore no SQL row-level DML) until a full
+    * rewrite (INSERT OVERWRITE / REPLACE TABLE) re-certifies it.
     */
   private[sources] def sqlSchema(spark: SparkSession, tablePath: String,
                                  man: Manifest): StructType = {
     val s = indexSchema(spark, tablePath, man)
-    if (man.keyCols.isEmpty) s
+    if (man.keyCols.isEmpty || !man.keysChecked) s
     else StructType(s.fields.map(f =>
       if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
   }

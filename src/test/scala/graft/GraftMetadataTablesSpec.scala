@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MergeWriter
+
+/** SQL-visible metadata tables: `gc.ns.t.history` (commit history) and
+  * `gc.ns.t.changes` (the per-version CDC feed with `_commit_version`
+  * bounds as plain predicates), plus the `.changes` streaming source —
+  * the feed that carries deletes.
+  */
+class GraftMetadataTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("gmt-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.gmt",
+      classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.gmt.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("t.history: commit history as plain SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.h (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='5')")
+    spark.sql("INSERT INTO gmt.ns.h SELECT id, id FROM range(10)")
+    spark.sql("DELETE FROM gmt.ns.h WHERE id = 3")
+    val hist = spark.sql(
+      "SELECT version, op FROM gmt.ns.h.history ORDER BY version DESC")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.length >= 3)
+    assert(hist.head._2 == "delete" && hist(1)._2 == "merge")
+    // aggregates/joins over it work like any table
+    assert(spark.sql(
+      "SELECT COUNT(*) AS c FROM gmt.ns.h.history WHERE op = 'merge'")
+      .collect().head.getLong(0) == 1)
+    spark.sql("DROP TABLE gmt.ns.h")
+  }
+
+  test("t.changes: per-version CDC with SQL version bounds, pruned I/O") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    val path = s"$wh/ns/c"
+    import spark.implicits._
+    val base = (0L until 4000L).map(i => (i, i, "base")).toDF("id", "v", "s")
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      // fingerprint table, many files per bucket — the feed's file-level
+      // pruning has something to prune
+      MergeWriter.merge(spark, path, base, Seq("id"), buckets = 2,
+        clusterBy = Seq("id"), fingerprint = true)
+      // keep the whole history: the feed can only serve versions whose
+      // PREDECESSOR is still retained
+      MergeWriter.setRetention(spark, path, versions = 8)
+      val v1 = MergeWriter.availableVersions(spark, path).last
+      // sparse touch: 4 updates + 1 insert
+      MergeWriter.merge(spark, path,
+        Seq((100L, -1L, "upd"), (200L, -2L, "upd"), (300L, -3L, "upd"),
+          (400L, -4L, "upd"), (9999L, 9L, "new")).toDF("id", "v", "s"),
+        Seq("id"))
+      val v2 = MergeWriter.availableVersions(spark, path).last
+      MergeWriter.delete(spark, path, Seq(100L).toDF("id"), Seq("id"))
+      val v3 = MergeWriter.availableVersions(spark, path).last
+
+      // SQL: the bounded window (v2 only) in pure SQL
+      val sqlRows = spark.sql(
+        s"SELECT id, op, old_s, new_s, _commit_version " +
+          s"FROM gmt.ns.c.changes WHERE _commit_version = $v2 " +
+          "ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(sqlRows.map(_._1).toSeq ==
+        Seq(100L, 200L, 300L, 400L, 9999L))
+      assert(sqlRows.count(_._2 == "update") == 4 &&
+        sqlRows.count(_._2 == "insert") == 1)
+
+      // version attribution across the whole window
+      val perV = spark.sql(
+        "SELECT _commit_version, COUNT(*) AS n FROM gmt.ns.c.changes " +
+          "GROUP BY _commit_version ORDER BY _commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(perV.toSeq == Seq((v2, 5L), (v3, 1L)))
+      assert(spark.sql(s"SELECT op FROM gmt.ns.c.changes " +
+        s"WHERE _commit_version = $v3").collect().head.getString(0)
+        == "delete")
+      // commit timestamps populated
+      assert(spark.sql("SELECT COUNT(*) AS c FROM gmt.ns.c.changes " +
+        "WHERE _commit_ts IS NULL").collect().head.getLong(0) == 0)
+
+      // PRUNING PARITY: the SQL feed's core builds the same plan as the
+      // DataFrame feed — identical file sets opened (fingerprint pairing
+      // intact: a sparse touch reads repacked tails, not whole buckets)
+      val dfFeed = MergeWriter.changeFeed(spark, path, v1, v2,
+        Seq("id"), Seq("v", "s"))
+      val sqlCore = graft.sources.GraftStreamCore.changesForVersions(
+        spark, path, Seq("id"), Seq("v", "s"), Seq(v2))
+      val dfFiles = dfFeed.inputFiles.toSet
+      val sqlFiles = sqlCore.inputFiles.toSet
+      assert(dfFiles == sqlFiles,
+        s"SQL feed opened ${sqlFiles.size} files, DataFrame feed " +
+          s"${dfFiles.size}")
+      val allFiles = MergeWriter.readTable(spark, path).inputFiles.toSet
+      assert(sqlFiles.size < allFiles.size,
+        s"feed read the whole table (${sqlFiles.size} of " +
+          s"${allFiles.size})")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
+  test("readStream on t.changes: the stream that carries deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.cdc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gmt.ns.cdc SELECT id, id FROM range(10)")
+    val ckpt = Files.createTempDirectory("gmt-cdc-ckpt").toString
+    val q = spark.readStream.table("gmt.ns.cdc.changes")
+      .writeStream.format("memory").queryName("gmt_cdc_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // snapshot as inserts
+      spark.sql("DELETE FROM gmt.ns.cdc WHERE id = 7")
+      spark.sql("INSERT INTO gmt.ns.cdc VALUES (100, 1)")
+      q.processAllAvailable()
+      val ops = spark.sql(
+        "SELECT op, COUNT(*) AS n FROM gmt_cdc_sink GROUP BY op")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(ops("insert") == 11) // 10 snapshot + 1 live
+      assert(ops("delete") == 1, "the CDC stream must carry the delete")
+      // the delete row names its key and its version
+      val del = spark.sql("SELECT id, _commit_version FROM gmt_cdc_sink " +
+        "WHERE op = 'delete'").collect().head
+      assert(del.getLong(0) == 7L && del.getLong(1) > 0)
+    } finally q.stop()
+    spark.sql("DROP TABLE gmt.ns.cdc")
+  }
+}

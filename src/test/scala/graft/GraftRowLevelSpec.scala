@@ -279,4 +279,88 @@ class GraftRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
     spark.sql("DROP TABLE gc.dml.pin")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.dml")
+    spark.sql("DROP TABLE IF EXISTS gc.dml.ev")
+    spark.sql("CREATE TABLE gc.dml.ev (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gc.dml.ev " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO gc.dml.ev t
+      USING (SELECT id, CAST(id * 2 AS DOUBLE) AS v,
+                    concat('tag', id) AS tag
+             FROM range(5, 15)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val out = spark.sql(
+      "SELECT id, v, tag FROM gc.dml.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-")))
+    assert(out.length == 15)
+    // pre-existing unmatched rows null-fill the evolved column
+    assert(out.find(_._1 == 2).get == ((2L, 2.0, "-")))
+    // matched rows take the source's evolved value
+    assert(out.find(_._1 == 7).get == ((7L, 14.0, "tag7")))
+    // inserted rows carry it from birth
+    assert(out.find(_._1 == 12).get == ((12L, 24.0, "tag12")))
+    spark.sql("DROP TABLE gc.dml.ev")
+  }
+
+  test("a commit landing between scan and apply conflicts, not clobbers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = s"$wh/conflict/t"
+    // buckets = 1 so ANY concurrent commit contests the changeset's bucket
+    MergeWriter.merge(spark, path,
+      (0L until 50L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      Seq("id"), buckets = 1)
+    val v0 = version(path)
+    // a writer lands AFTER the statement's scan pinned v0
+    MergeWriter.merge(spark, path, Seq((7L, 700.0)).toDF("id", "v"),
+      Seq("id"))
+    val up = Seq((7L, 7000.0)).toDF("id", "v")
+    val noDeletes = Seq.empty[Long].toDF("id")
+    // the apply derived from the v0 scan must raise the protocol's
+    // conflict instead of silently overwriting the concurrent 700.0
+    intercept[java.util.ConcurrentModificationException] {
+      MergeWriter.applyChanges(spark, path, up, noDeletes, Seq("id"),
+        expectedVersion = Some(v0))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      MergeWriter.delete(spark, path, Seq(7L).toDF("id"), Seq("id"),
+        expectedVersion = Some(v0))
+    }
+    assert(MergeWriter.readTable(spark, path).where(col("id") === 7)
+      .collect().head.getDouble(1) == 700.0, "concurrent commit survives")
+    // re-run against the current state proceeds
+    MergeWriter.applyChanges(spark, path, up, noDeletes, Seq("id"),
+      expectedVersion = Some(version(path)))
+    assert(MergeWriter.readTable(spark, path).where(col("id") === 7)
+      .collect().head.getDouble(1) == 7000.0)
+  }
+
+  test("row-level DML survives a warehouse path containing commas/spaces") {
+    // staged changeset files are opened per-path through the FileSystem —
+    // a comma in the table path must not split it into two bogus paths
+    // (Hadoop input-path strings treat commas as separators)
+    val weird = Files.createTempDirectory("grl wh,x").toString
+    spark.conf.set("spark.sql.catalog.gweird",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gweird.warehouse", weird)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gweird.ns")
+    spark.sql("CREATE TABLE gweird.ns.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gweird.ns.t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+    spark.sql("UPDATE gweird.ns.t SET v = v * 100 WHERE id % 2 = 0")
+    val out = spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) AS s FROM gweird.ns.t")
+      .collect().head.getLong(0)
+    // odds: 1+3+...+19 = 100; evens: (0+2+...+18)*100 = 9000
+    assert(out == 9100L)
+  }
 }

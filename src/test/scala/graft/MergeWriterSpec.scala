@@ -1343,6 +1343,34 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("retrofit records stats for ALL leaf columns, not just cluster cols") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retrofit-all").toString + "/t"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      // v is correlated with id but NOT a cluster column; s exercises
+      // string stats; nulls exercise the null-count sidecar
+      val rows = (0 until 8192).map(i => (i.toLong, i.toLong * 10,
+        if (i % 3 == 0) null else f"s$i%05d")).toDF("id", "v", "s")
+      MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 2)
+      MergeWriter.clusterTable(spark, dir, Seq("id"))
+      val all = MergeWriter.readTable(spark, dir).inputFiles.length
+      // a SECONDARY-column range probe prunes off the retrofit's stats
+      // (no second collection pass needed)
+      val sec = MergeWriter.readTableRange(spark, dir, "v",
+        Some(10000L), Some(14990L))
+      assert(sec.inputFiles.length <= all / 4,
+        s"secondary-range probe opened ${sec.inputFiles.length} of $all")
+      assert(sec.collect().map(_.getLong(0)).toSet ==
+        (1000L to 1499L).toSet)
+      // IS NULL probes prune through the recorded null counts: files
+      // whose every row carries a non-null s are skipped
+      val nul = MergeWriter.readTableWhere(spark, dir,
+        Seq(MergeWriter.ColumnNull("s", isNull = true)))
+      assert(nul.count() == rows.filter(col("s").isNull).count())
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("zorderN clusters three dimensions; rectangle reads prune on each") {
     import spark.implicits._
     val dir = Files.createTempDirectory("z3").toString + "/t"
