@@ -4139,6 +4139,194 @@ object SparkEntry {
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
       sources.MergeWriter.readTable(s, root + "/hourly")
+    }),
+
+    // STREAMING BY TABLE NAME (round 11): `readStream.table` tails a
+    // catalog table's keyed row images and `writeStream.toTable` lands
+    // them as exactly-once merges — the reference's queue-driven E1
+    // pipeline (`serverless.yml:370-418`) with zero path plumbing. Two
+    // commits land on the source across a stream restart on one
+    // checkpoint: batch 0 is the full snapshot, the restarted query
+    // resumes at its checkpointed version cursor and emits ONLY the
+    // second commit's row images (I/O ∝ changed rows, never table size).
+    "q171_stream_table_mirror" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-streamtbl"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"stm_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.src (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8',
+          'retainVersions'='8')""")
+      s.sql(s"""CREATE TABLE $cat.etl.mirror (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.src " +
+        s"SELECT * FROM stm_src_$n WHERE event_id % 2 = 0")
+      val ckpt = scratchDir("graft-streamtbl-ckpt")
+      def run(): Unit = {
+        val q = s.readStream.table(s"$cat.etl.src")
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable(s"$cat.etl.mirror")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // batch 0: the even-id snapshot
+      // second commit: every id%3 key lands with a shifted user id —
+      // updates for the even multiples, inserts for the odd ones
+      s.sql(s"INSERT INTO $cat.etl.src " +
+        s"SELECT event_id, user_id + 1000000, event_type " +
+        s"FROM stm_src_$n WHERE event_id % 3 = 0")
+      run() // restart on the same checkpoint tails just that commit
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.mirror GROUP BY event_type""")
+    }),
+
+    // SQL-VISIBLE CHANGE FEED (round 11): `gc.ns.t.changes` serves the
+    // per-version CDC diff as a plain table — Delta CDF's
+    // `table_changes` shape — with `_commit_version` predicates pruning
+    // which versions' diffs run at all. The reference's insights
+    // consumers diff state exactly this way in SQL
+    // (`extract_flomatika_insights_processor.ts:328-473`). Versions are
+    // deterministic: 1 create, 2 insert, 3 update, 4 delete.
+    "q172_sql_changes_feed" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-changesfeed"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"cfd_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.cf (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8',
+          'retainVersions'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.cf SELECT * FROM cfd_src_$n")
+      s.sql(s"UPDATE $cat.etl.cf SET user_id = user_id + 7 " +
+        "WHERE event_type = 'purchase'")
+      s.sql(s"DELETE FROM $cat.etl.cf " +
+        "WHERE event_type = 'view' AND event_id % 5 = 0")
+      s.sql(s"""SELECT _commit_version, op,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(COALESCE(new_user_id, old_user_id)) AS BIGINT) AS sum_uid
+        FROM $cat.etl.cf.changes WHERE _commit_version >= 3
+        GROUP BY _commit_version, op""")
+    }),
+
+    // SQL MERGE WITH SCHEMA EVOLUTION (round 11): a source-only column
+    // widens the target mid-MERGE (AUTOMATIC_SCHEMA_EVOLUTION + the
+    // metadata-only ADD COLUMNS path) — the q128 DataFrame scenario
+    // (`evolveSchema = true`) now expressible in pure SQL. Pre-existing
+    // unmatched rows null-fill the evolved column; matched and inserted
+    // rows carry the source's value.
+    "q173_sql_merge_evolve" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-mergeevolve"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"mev_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.me (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.me " +
+        s"SELECT * FROM mev_src_$n WHERE event_id % 2 = 0")
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO $cat.etl.me t
+        USING (SELECT event_id, user_id, event_type,
+                 CAST(event_id % 97 AS DOUBLE) AS score
+               FROM mev_src_$n WHERE event_id % 3 = 0) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        CAST(SUM(COALESCE(score, -1.0)) AS BIGINT) AS sum_score
+        FROM $cat.etl.me GROUP BY event_type""")
+    }),
+
+    // COMMIT HISTORY AS SQL (round 11): `gc.ns.t.history` — Delta's
+    // DESCRIBE HISTORY as an ordinary table (the round-10 CALL procedure
+    // stays for scripting; this is the join-able face). The op sequence
+    // is the protocol's own stamps: create / merge / update / delete.
+    "q174_sql_history" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-history"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"hst_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.h (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8',
+          'retainVersions'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.h SELECT * FROM hst_src_$n")
+      s.sql(s"UPDATE $cat.etl.h SET user_id = user_id + 1 " +
+        "WHERE event_type = 'click'")
+      s.sql(s"DELETE FROM $cat.etl.h WHERE event_id % 11 = 0")
+      s.sql(s"SELECT version, op FROM $cat.etl.h.history")
+    }),
+
+    // CDC STREAM BY NAME (round 11): `readStream.table("….changes")`
+    // tails the per-version feed — the stream that DOES carry deletes
+    // (the base-table row-image stream cannot express a retraction).
+    // Batch 0 seeds the snapshot as inserts; the restarted query emits
+    // the update and delete commits' diff rows into an append-only
+    // parquet sink.
+    "q175_changes_stream" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-cdcstream"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"cds_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.cd (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8',
+          'retainVersions'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.cd " +
+        s"SELECT * FROM cds_src_$n WHERE event_id % 2 = 0")
+      val out = scratchDir("graft-cdcstream-out")
+      val ckpt = scratchDir("graft-cdcstream-ckpt")
+      def run(): Unit = {
+        val q = s.readStream.table(s"$cat.etl.cd.changes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // batch 0: the snapshot as inserts
+      s.sql(s"UPDATE $cat.etl.cd SET user_id = user_id + 7 " +
+        "WHERE event_type = 'purchase'")
+      s.sql(s"DELETE FROM $cat.etl.cd " +
+        "WHERE event_type = 'view' AND event_id % 10 = 0")
+      run() // tails the update + delete commits, retractions included
+      s.read.parquet(out)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(coalesce(col("new_user_id"), col("old_user_id")))
+            .cast("long").as("sum_uid"))
     })
   )
 
@@ -7322,6 +7510,98 @@ object SparkEntry {
         |SELECT fp % 16 AS band, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(MAX(fp) AS BIGINT) AS max_fp
         |FROM fp GROUP BY fp % 16""".stripMargin,
+
+    // The mirror converges to the source's final keyed state: the even
+    // snapshot upserted with every id%3 key's shifted row.
+    "q171_stream_table_mirror" ->
+      """WITH final AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN user_id + 1000000
+        |         ELSE user_id END AS user_id,
+        |    event_type
+        |  FROM events
+        |  WHERE event_id % 2 = 0 OR event_id % 3 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM final GROUP BY event_type""".stripMargin,
+
+    // Version 3 is the purchase update (new image = +7), version 4 the
+    // view deletion (old image = the unchanged original).
+    "q172_sql_changes_feed" ->
+      """WITH upd AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN user_id + 7
+        |         ELSE user_id END AS user_id,
+        |    event_type, event_type = 'purchase' AS changed
+        |  FROM events),
+        |feed AS (
+        |  SELECT CAST(3 AS BIGINT) AS _commit_version, 'update' AS op,
+        |    user_id AS uid
+        |  FROM upd WHERE changed
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'delete', user_id
+        |  FROM upd WHERE event_type = 'view' AND event_id % 5 = 0)
+        |SELECT _commit_version, op, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(uid) AS BIGINT) AS sum_uid
+        |FROM feed GROUP BY _commit_version, op""".stripMargin,
+
+    // Relational mirror of the evolving MERGE: matched rows take the
+    // source image (score included), unmatched target rows null-fill
+    // the evolved column, unmatched source rows insert whole.
+    "q173_sql_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0),
+        |src AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(event_id % 97 AS DOUBLE) AS score
+        |  FROM events WHERE event_id % 3 = 0),
+        |merged AS (
+        |  SELECT b.event_id,
+        |    CASE WHEN s.event_id IS NOT NULL THEN s.user_id
+        |         ELSE b.user_id END AS user_id,
+        |    CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+        |         ELSE b.event_type END AS event_type,
+        |    s.score AS score
+        |  FROM base b LEFT JOIN src s USING (event_id)
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, score FROM src
+        |  WHERE event_id NOT IN (SELECT event_id FROM base))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(SUM(COALESCE(score, -1.0)) AS BIGINT) AS sum_score
+        |FROM merged GROUP BY event_type""".stripMargin,
+
+    // The protocol's own op stamps in commit order — create, the
+    // INSERT's merge, the row-level update, the keyed delete.
+    "q174_sql_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, op
+        |FROM (VALUES (1, 'create'), (2, 'merge'), (3, 'update'),
+        |  (4, 'delete')) AS t(v, op)""".stripMargin,
+
+    // Batch 0 seeds the even snapshot as inserts; the restarted stream
+    // contributes the purchase updates (new image) and the view
+    // deletions (old image).
+    "q175_changes_stream" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0),
+        |upd AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN user_id + 7
+        |         ELSE user_id END AS user_id,
+        |    event_type, event_type = 'purchase' AS changed
+        |  FROM base),
+        |feed AS (
+        |  SELECT 'insert' AS op, user_id AS uid FROM base
+        |  UNION ALL
+        |  SELECT 'update', user_id FROM upd WHERE changed
+        |  UNION ALL
+        |  SELECT 'delete', user_id FROM upd
+        |  WHERE event_type = 'view' AND event_id % 10 = 0)
+        |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(uid) AS BIGINT) AS sum_uid
+        |FROM feed GROUP BY op""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.
