@@ -4327,6 +4327,41 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(coalesce(col("new_user_id"), col("old_user_id")))
             .cast("long").as("sum_uid"))
+    }),
+
+    // SCHEMA CHURN AS METADATA (round 11): ALTER TABLE RENAME/DROP
+    // COLUMN over stable parquet field ids — immutable files keep their
+    // old column names; readers match by id, so the rename touches one
+    // manifest, never 100 TB of data. The reference renames fields
+    // routinely via fieldMaps (`field_mapper.ts:1-101`); here the whole
+    // pipeline — filters, UPDATE DML, aggregation — runs against the
+    // renamed column in pure SQL, and the dropped column stays gone.
+    "q176_sql_rename_column" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-rename"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"ren_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.r (
+        event_id BIGINT, user_id BIGINT, event_type STRING,
+        scratch BIGINT)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.r " +
+        s"SELECT event_id, user_id, event_type, event_id % 7 " +
+        s"FROM ren_src_$n")
+      s.sql(s"ALTER TABLE $cat.etl.r RENAME COLUMN user_id TO actor_id")
+      s.sql(s"ALTER TABLE $cat.etl.r DROP COLUMN scratch")
+      // DML against the renamed column (reads old-named files by id)
+      s.sql(s"UPDATE $cat.etl.r SET actor_id = actor_id + 500 " +
+        "WHERE event_type = 'click'")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(actor_id) AS BIGINT) AS sum_actor
+        FROM $cat.etl.r WHERE actor_id % 2 = 0 GROUP BY event_type""")
     })
   )
 
@@ -7602,6 +7637,20 @@ object SparkEntry {
         |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(uid) AS BIGINT) AS sum_uid
         |FROM feed GROUP BY op""".stripMargin,
+
+    // The rename is pure metadata: the relational mirror just computes
+    // over the original column, post-click-update, dropped column and
+    // all.
+    "q176_sql_rename_column" ->
+      """WITH upd AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'click' THEN user_id + 500
+        |         ELSE user_id END AS actor_id,
+        |    event_type
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(actor_id) AS BIGINT) AS sum_actor
+        |FROM upd WHERE actor_id % 2 = 0 GROUP BY event_type""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -404,10 +404,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         adds += org.apache.spark.sql.types.StructField(
           ac.fieldNames()(0), ac.dataType(), nullable = true)
         Seq.empty
+      case rc: TableChange.RenameColumn =>
+        // ALTER TABLE ... RENAME COLUMN — metadata-only via stable
+        // field ids (MergeWriter.renameColumn; files keep the old name,
+        // readers match by id)
+        require(rc.fieldNames().length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns " +
+            s"only, got ${rc.fieldNames().mkString(".")}")
+        MergeWriter.renameColumn(spark, dir.toString, rc.fieldNames()(0),
+          rc.newName())
+        Seq.empty
+      case dc: TableChange.DeleteColumn =>
+        // ALTER TABLE ... DROP COLUMN — metadata-only; the freed field
+        // id is never reused, so a re-added namesake reads NULL for
+        // pre-drop rows instead of resurrecting dropped data
+        require(dc.fieldNames().length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only, " +
+            s"got ${dc.fieldNames().mkString(".")}")
+        MergeWriter.dropColumn(spark, dir.toString, dc.fieldNames()(0))
+        Seq.empty
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE supports SET TBLPROPERTIES " +
-          s"('retainVersions', 'retainMs') and ADD COLUMNS — got $other. " +
-          "Clustering/bloom retrofit through the maintenance API " +
+          s"('retainVersions', 'retainMs'), ADD COLUMNS, RENAME COLUMN " +
+          s"and DROP COLUMN — got $other. Clustering/bloom retrofit " +
+          "through the maintenance API " +
           "(CALL gc.system.cluster / build_bloom_index)")
     }.toMap
     if (adds.nonEmpty)
@@ -1029,7 +1049,7 @@ private[sources] class GraftTableScanBuilder(
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val p = super.build()
-    new GraftStreamableParquetScan(p, checkpointLocation => {
+    new GraftStreamableParquetScan(p, man.colIds, checkpointLocation => {
       require(streamable,
         s"graft catalog: $tablePath is a time-travel pin — one " +
           "immutable version has no change stream to tail")
@@ -1047,17 +1067,29 @@ private[sources] class GraftTableScanBuilder(
 
 /** IS the parquet batch scan (every batch behavior — statistics for
   * join planning, vectorized Batch, metrics — is inherited verbatim),
-  * plus the one override the base class leaves unsupported:
-  * `toMicroBatchStream` for `readStream.table`.
+  * plus two grafts: `toMicroBatchStream` for `readStream.table`, and —
+  * for an id-stamped table — the read schemas handed to the PHYSICAL
+  * reader get the table's `parquet.field.id` metadata restamped, so
+  * files written under since-renamed column names still match by id
+  * while the TABLE's resolution surface (and thus every user-visible
+  * output attribute) stays id-free. Filter pushdown follows the ids
+  * too (the parquet filter translation maps names through them), so
+  * row-group pruning on a renamed column prunes instead of dropping
+  * rows.
   */
 private[sources] class GraftStreamableParquetScan(
     p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    colIds: Map[String, Long],
     streamFactory: String => MicroBatchStream)
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-      p.sparkSession, p.hadoopConf, p.fileIndex, p.dataSchema,
-      p.readDataSchema, p.readPartitionSchema, p.pushedFilters, p.options,
+      p.sparkSession, p.hadoopConf, p.fileIndex,
+      MergeWriter.stampSchema(p.dataSchema, colIds),
+      MergeWriter.stampSchema(p.readDataSchema, colIds),
+      p.readPartitionSchema, p.pushedFilters, p.options,
       p.pushedAggregate, p.partitionFilters, p.dataFilters,
       p.pushedVariantExtractions) {
+
+  if (colIds.nonEmpty) MergeWriter.ensureFieldIdRead(p.sparkSession)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream = streamFactory(checkpointLocation)

@@ -96,8 +96,15 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val (man, dataPath) = pin(spark, parameters, pathOf(parameters))
     val dataSchema = MergeWriter.indexSchema(spark, dataPath, man)
+    if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(spark)
     HadoopFsRelation(new GraftFileIndex(spark, dataPath, man),
-      new StructType(), dataSchema, None, new ParquetFileFormat,
+      new StructType(), dataSchema, None,
+      // id-stamped tables read through a format that restamps the
+      // physical read schemas with the table's field ids (rename-proof
+      // column matching) while the relation schema — and every output
+      // attribute — stays id-free
+      if (man.colIds.isEmpty) new ParquetFileFormat
+      else new GraftParquetFileFormat(man.colIds),
       parameters)(spark)
   }
 
@@ -289,6 +296,34 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
   * are committed manifest versions (see [[GraftSourceBridge]] for the
   * engine-contract bridging).
   */
+/** [[ParquetFileFormat]] for an ID-STAMPED graft table (see
+  * `MergeWriter.Manifest.colIds`): restamps the physical read schemas
+  * with the table's `parquet.field.id` metadata right where the
+  * per-file reader is built, so immutable files written under
+  * since-renamed column names match BY ID — while the relation (and
+  * every user-visible attribute) keeps the clean id-free schema.
+  * Filters arrive named by the logical columns; the stamped
+  * requiredSchema routes the parquet filter translation through the
+  * ids, so row-group pruning prunes correctly on renamed columns.
+  * Top-level (no enclosing-instance capture) — file formats ride in
+  * relations that planners may serialize.
+  */
+private[sources] class GraftParquetFileFormat(ids: Map[String, Long])
+    extends ParquetFileFormat {
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] =
+    super.buildReaderWithPartitionValues(sparkSession,
+      MergeWriter.stampSchema(dataSchema, ids), partitionSchema,
+      MergeWriter.stampSchema(requiredSchema, ids), filters, options,
+      hadoopConf)
+}
+
 class GraftChangeFeedSource(spark: SparkSession,
                             keys: Seq[String], compareCols: Seq[String],
                             cdcSchema: StructType,

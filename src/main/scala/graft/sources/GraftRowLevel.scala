@@ -73,10 +73,13 @@ private[sources] class GraftRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    // the one catalog schema (keys NOT NULL) — shared with GraftSqlTable
+    // the one catalog schema (keys NOT NULL) — shared with GraftSqlTable,
+    // and the same scan builder, so an id-stamped table's field-id
+    // restamping applies to the row-level scan too (a renamed column
+    // must read by id here as well)
     val s = MergeWriter.sqlSchema(spark, tablePath, man)
-    ParquetScanBuilder(spark,
-      new GraftPartitioningIndex(spark, tablePath, man, s), s, s, options)
+    new GraftTableScanBuilder(spark, tablePath, man, s, options,
+      streamable = false)
   }
 
   /** Row identity = the table's recorded merge keys: unique per row by

@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, MetadataBuilder,
+  StructField, StructType}
 
 /** Keyed upsert ("MERGE") and partition-overwrite writers over parquet
   * table directories — the Spark-side equivalent of the reference's
@@ -216,7 +217,29 @@ object MergeWriter {
                                        // rewrite re-certifies, so
                                        // Catalyst never optimizes on an
                                        // unproven nullability claim.
-                                       keysChecked: Boolean = false)
+                                       keysChecked: Boolean = false,
+                                       // STABLE COLUMN IDENTITY (Iceberg
+                                       // field IDs / Delta column-mapping
+                                       // 'id', on the parquet-native
+                                       // `parquet.field.id` mechanism):
+                                       // logical column name → the field
+                                       // id stamped into every epoch
+                                       // file this table writes. Lets
+                                       // RENAME/DROP COLUMN be METADATA-
+                                       // ONLY (immutable files keep
+                                       // their old names; readers match
+                                       // by id). Empty ⇔ the table
+                                       // predates id stamping: its live
+                                       // files carry no ids, so renames
+                                       // are rejected until a full
+                                       // rewrite migrates it.
+                                       colIds: Map[String, Long] = Map.empty,
+                                       // next id to assign — NEVER reused
+                                       // after a drop, so a re-added
+                                       // column of the same name cannot
+                                       // resurrect dropped data. 0 ⇔ not
+                                       // id-stamped.
+                                       nextColId: Long = 0L)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -319,7 +342,14 @@ object MergeWriter {
       Option(node.get("fpr")).exists(_.asBoolean()),
       // absent in pre-enforcement manifests — those epochs carry no
       // NULL-key proof, so the flag correctly reads false
-      Option(node.get("kchk")).exists(_.asBoolean()))
+      Option(node.get("kchk")).exists(_.asBoolean()),
+      // absent in pre-field-id manifests — those tables stay name-world
+      Option(node.get("cids")).map { n =>
+        val b = Map.newBuilder[String, Long]
+        n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }.getOrElse(Map.empty),
+      Option(node.get("ncid")).map(_.asLong()).getOrElse(0L))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -370,6 +400,11 @@ object MergeWriter {
       .append(if (m.retainMs != 0L) ",\"retainms\":" + m.retainMs else "")
       .append(if (m.fingerprint) ",\"fpr\":true" else "")
       .append(if (m.keysChecked) ",\"kchk\":true" else "")
+      .append(if (m.colIds.nonEmpty)
+        ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
+          jsonStr(c) + ":" + id }.mkString(",") + "}" +
+          ",\"ncid\":" + m.nextColId
+        else "")
       .append(if (m.stats.nonEmpty) {
         def obj(kv: Map[String, String]): String =
           kv.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -817,10 +852,20 @@ object MergeWriter {
               s"addColumns: '${f.name}' must be nullable — existing " +
                 "rows null-fill (declare NOT NULL data via a rewrite)")
           }
-          val next = StructType(cur.fields ++ cols.fields)
+          val next = StructType(cur.fields ++ stripSchemaIds(
+            StructType(cols.fields)).fields)
+          // an id-stamped table assigns each added column a FRESH field
+          // id (never a reused one — see [[Manifest.nextColId]])
+          val (cids, ncid) =
+            if (man.nextColId > 0L) {
+              var n = man.nextColId
+              (man.colIds ++ cols.fields.map { f =>
+                f.name -> { val v = n; n += 1; v }
+              }, n)
+            } else (man.colIds, man.nextColId)
           try {
             commitManifest(fs, dir, man.copy(version = man.version + 1,
-              schema = Some(next.json),
+              schema = Some(next.json), colIds = cids, nextColId = ncid,
               op = "addColumns", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -829,6 +874,158 @@ object MergeWriter {
     }
     throw new java.util.ConcurrentModificationException(
       s"addColumns: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Iceberg field
+    * IDs / Delta column-mapping `id`, on the parquet-native
+    * `parquet.field.id` mechanism — see [[Manifest.colIds]]): the
+    * immutable epoch files keep the old name in their footers; readers
+    * match the column BY ID, so no data file is touched — at 100 TB the
+    * difference between a manifest write and a full-table rewrite.
+    * Everything name-keyed in the MANIFEST follows the rename in the
+    * same atomic commit: the recorded schema, merge keys, cluster
+    * entries (z-order composites included), and the per-file min/max/
+    * null-count stats keys (so data skipping on the renamed column keeps
+    * pruning old files). Restrictions, each failing loudly: the table
+    * must be id-stamped (tables created before field-id stamping carry
+    * no ids in their files — migrate with a full rewrite: REPLACE TABLE
+    * / `overwriteTable`), the new name must be free (case-insensitive —
+    * SQL resolution is), and Bloom columns cannot be renamed (their
+    * per-epoch sidecars are name-keyed files shared with retained
+    * versions; drop the bloom index first).
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   from: String, to: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"renameColumn: no committed graft table at $tablePath")
+        case Some(man) =>
+          val cur = man.schema.map(s =>
+            DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalStateException(
+              s"renameColumn: $tablePath records no schema (pre-schema " +
+                "manifest) — run one merge first"))
+          require(man.nextColId > 0L,
+            s"renameColumn: $tablePath predates field-id stamping — its " +
+              "files carry no column ids to match the renamed column by. " +
+              "Migrate with a full rewrite (REPLACE TABLE / overwrite), " +
+              "which stamps ids, then rename.")
+          require(cur.fieldNames.contains(from),
+            s"renameColumn: no column '$from' in $tablePath " +
+              s"(columns: ${cur.fieldNames.mkString(", ")})")
+          require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+            s"renameColumn: column '$to' already exists")
+          require(!man.bloomCols.contains(from),
+            s"renameColumn: '$from' is a Bloom-indexed column — its " +
+              "per-epoch sidecars are name-keyed; rebuild without the " +
+              "bloom index first")
+          def re(c: String): String = if (c == from) to else c
+          def reCluster(entry: String): String = entry.indexOf(':') match {
+            case -1 => re(entry)
+            case i => entry.substring(0, i + 1) +
+              entry.substring(i + 1).split(',').map(c => re(c.trim))
+                .mkString(",")
+          }
+          val next = StructType(cur.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          val stats2 = man.stats.map { case (b, fss) =>
+            b -> fss.map(f => f.copy(
+              mins = f.mins.map { case (c, v) => re(c) -> v },
+              maxs = f.maxs.map { case (c, v) => re(c) -> v },
+              nulls = f.nulls.map { case (c, v) => re(c) -> v }))
+          }
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              schema = Some(next.json),
+              keyCols = man.keyCols.map(re),
+              clusterCols = man.clusterCols.map(reCluster),
+              stats = stats2,
+              colIds = man.colIds.map { case (c, id) => re(c) -> id },
+              op = "renameColumn", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"renameColumn: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the column
+    * leaves the recorded schema (readers stop requesting it) while the
+    * immutable files keep the bytes until natural rewrite (compaction /
+    * merge) ages them out — Iceberg/Delta drop semantics. The freed id
+    * is NEVER reused ([[Manifest.nextColId]]), so re-adding the same
+    * name later reads NULL for pre-drop rows instead of resurrecting
+    * the dropped data; the column's stats keys leave the manifest in
+    * the same commit (a re-added namesake must not inherit stale
+    * min/max and skip wrongly). Refuses, loudly: non-id-stamped tables
+    * (the name is the only identity their files have), merge-key /
+    * cluster / Bloom columns (load-bearing for layout), and the last
+    * non-key column (a keyed table with no compared column has no
+    * diffable content).
+    */
+  def dropColumn(spark: SparkSession, tablePath: String,
+                 name: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"dropColumn: no committed graft table at $tablePath")
+        case Some(man) =>
+          val cur = man.schema.map(s =>
+            DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalStateException(
+              s"dropColumn: $tablePath records no schema (pre-schema " +
+                "manifest) — run one merge first"))
+          require(man.nextColId > 0L,
+            s"dropColumn: $tablePath predates field-id stamping — " +
+              "migrate with a full rewrite (REPLACE TABLE / overwrite) " +
+              "first")
+          require(cur.fieldNames.contains(name),
+            s"dropColumn: no column '$name' in $tablePath " +
+              s"(columns: ${cur.fieldNames.mkString(", ")})")
+          require(!man.keyCols.contains(name),
+            s"dropColumn: '$name' is a merge key")
+          val inCluster = man.clusterCols.exists { e =>
+            e.indexOf(':') match {
+              case -1 => e == name
+              case i => e.substring(i + 1).split(',').map(_.trim)
+                .contains(name)
+            }
+          }
+          require(!inCluster, s"dropColumn: '$name' is a cluster column")
+          require(!man.bloomCols.contains(name),
+            s"dropColumn: '$name' is a Bloom-indexed column")
+          require(cur.fields.exists(f =>
+            f.name != name && !man.keyCols.contains(f.name)),
+            s"dropColumn: '$name' is the last non-key column")
+          val next = StructType(cur.fields.filterNot(_.name == name))
+          val stats2 = man.stats.map { case (b, fss) =>
+            b -> fss.map(f => f.copy(
+              mins = f.mins - name, maxs = f.maxs - name,
+              nulls = f.nulls - name))
+          }
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              schema = Some(next.json), stats = stats2,
+              colIds = man.colIds - name,
+              op = "dropColumn", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropColumn: lost the commit race to concurrent writers of " +
         s"$tablePath on every retry — re-run against the new table state")
   }
 
@@ -1458,9 +1655,108 @@ object MergeWriter {
                              paths: Seq[String]): DataFrame =
     m.schema match {
       case Some(s) =>
-        spark.read.schema(DataType.fromJson(s).asInstanceOf[StructType])
-          .parquet(paths: _*)
+        val sch = DataType.fromJson(s).asInstanceOf[StructType]
+        if (m.colIds.nonEmpty) {
+          // id-stamped table: hand the reader the id-annotated schema so
+          // files written under since-renamed column names still match.
+          // INTERNAL frames keep the id metadata (a compaction/split
+          // rewrite must re-write it); the public read surface strips
+          // via stripFrame.
+          ensureFieldIdRead(spark)
+          spark.read.schema(stampSchema(sch, m.colIds)).parquet(paths: _*)
+        } else spark.read.schema(sch).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  // ---- stable column identity (parquet field ids) --------------------------
+
+  /** The parquet-native field-id metadata key (`parquet.field.id`):
+    * Spark's writer stamps it into file footers
+    * (`spark.sql.parquet.fieldId.write.enabled`, default on) and its
+    * reader matches columns BY ID instead of name when the requested
+    * schema carries it — the public mechanism behind Iceberg field IDs
+    * and Delta column-mapping `id` mode, and what makes RENAME/DROP
+    * COLUMN metadata-only here (see [[Manifest.colIds]]).
+    */
+  private[sources] val FieldIdKey = "parquet.field.id"
+
+  private def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(FieldIdKey, id).build())
+
+  /** The clean logical schema annotated with the table's field ids — the
+    * schema handed to the PHYSICAL parquet reader/writer only; never
+    * surfaced to users (ids leak as duplicate-id hazards in derived
+    * frames — a self-join or a CDC old_/new_ projection would carry two
+    * columns with one id into the user's own parquet writes).
+    */
+  private[sources] def stampSchema(s: StructType,
+                                   ids: Map[String, Long]): StructType =
+    if (ids.isEmpty) s
+    else StructType(s.fields.map(f =>
+      ids.get(f.name).fold(f)(withFieldId(f, _))))
+
+  /** Stamp a frame's columns with the table's field ids (one zero-cost
+    * metadata projection) so the epoch write records them in the file
+    * footers. Columns without an assigned id (none, normally) lose any
+    * stray id metadata they carried in from another table's read.
+    */
+  private def stampFrame(df: DataFrame, ids: Map[String, Long]): DataFrame =
+    if (ids.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(FieldIdKey)
+      ids.get(f.name).foreach(mb.putLong(FieldIdKey, _))
+      col(f.name).as(f.name, mb.build())
+    }.toIndexedSeq: _*)
+
+  /** Strip field-id metadata from a frame's public surface (a no-op
+    * unless some column carries it).
+    */
+  private def stripFrame(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.metadata.contains(FieldIdKey))) df
+    else df.select(df.schema.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) col(f.name)
+      else col(f.name).as(f.name, new MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build())
+    }.toIndexedSeq: _*)
+
+  private def stripSchemaIds(s: StructType): StructType =
+    if (!s.fields.exists(_.metadata.contains(FieldIdKey))) s
+    else StructType(s.fields.map(f =>
+      if (!f.metadata.contains(FieldIdKey)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(FieldIdKey).build())))
+
+  /** Enable parquet field-id READ matching for this session (idempotent,
+    * set on first touch of an id-stamped table — the
+    * `nanosAsLong` precedent). A no-op for requested schemas without id
+    * metadata, so plain parquet reads are untouched.
+    */
+  private[sources] def ensureFieldIdRead(spark: SparkSession): Unit = {
+    val k = "spark.sql.parquet.fieldId.read.enabled"
+    if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
+  }
+
+  /** Rename a frame read at one manifest's schema into another
+    * manifest's column names by SHARED FIELD ID (the old side of a
+    * change feed that spans a rename), dropping columns whose id the
+    * target no longer carries. Identity when either side is not
+    * id-stamped.
+    */
+  private def alignToIds(df: DataFrame, from: Manifest,
+                         to: Manifest): DataFrame =
+    if (from.colIds.isEmpty || to.colIds.isEmpty) df
+    else {
+      val toNameById = to.colIds.map { case (n, id) => id -> n }
+      val picks = df.schema.fields.toIndexedSeq.flatMap { f =>
+        from.colIds.get(f.name) match {
+          case Some(id) => toNameById.get(id)
+            .map(nn => col(f.name).as(nn, f.metadata)) // dropped id: omit
+          case None => Some(col(f.name))
+        }
+      }
+      df.select(picks: _*)
     }
 
   /** Table-root contents that predate the manifest protocol (a plain or
@@ -1738,13 +2034,19 @@ object MergeWriter {
     require(currentManifest(fs, dir).isEmpty,
       s"createTable: $tablePath already holds a committed graft table")
     fs.mkdirs(dir)
+    val clean = stripSchemaIds(schema)
     commitManifest(fs, dir, Manifest(1L, buckets, Map.empty, Map.empty,
-      Some(schema.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
+      Some(clean.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
       "create", System.currentTimeMillis(),
       math.max(KeepManifests, retainVersions), math.max(0L, retainMs),
       // an empty table trivially holds no NULL key, and every later
       // epoch writes through the enforcing path
-      keysChecked = true))
+      keysChecked = true,
+      // born id-stamped: every epoch this table ever writes carries
+      // field ids, so RENAME/DROP COLUMN are metadata-only from day one
+      colIds = clean.fields.zipWithIndex
+        .map { case (f, i) => f.name -> (i + 1L) }.toMap,
+      nextColId = clean.fields.length + 1L))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -1899,10 +2201,31 @@ object MergeWriter {
           }
       }
       val epoch = "e-" + UUID.randomUUID()
+      // field-id stamping, the writeEpochAndCommit rule at member scope:
+      // carried ids by name + fresh ids for evolved columns; a member
+      // this commit creates is stamped from scratch; a legacy member
+      // with surviving files stays name-world
+      val cleanSchema = stripSchemaIds(merged.schema)
+      val (memberIds, memberNext) = st match {
+        case Some(p) if p.nextColId > 0L =>
+          var n = p.nextColId
+          val ids = cleanSchema.fields.map { f =>
+            f.name -> p.colIds.getOrElse(f.name, { val v = n; n += 1; v })
+          }.toMap
+          (ids, n)
+        case None =>
+          (cleanSchema.fields.zipWithIndex
+            .map { case (f, i) => f.name -> (i + 1L) }.toMap,
+            cleanSchema.fields.length + 1L)
+        case Some(_) => (Map.empty[String, Long], 0L)
+      }
+      val stamped =
+        if (memberIds.isEmpty) stripFrame(merged)
+        else stampFrame(merged, memberIds)
       // clusterBy applies at member CREATION (like `buckets`); an
       // existing member keeps its recorded clustering, empty included
       val cluster = st.map(_.clusterCols).getOrElse(clusterBy)
-      val clustered = clusterSort(merged
+      val clustered = clusterSort(stamped
         .withColumn(BucketCol, bucketExprChecked(keys, nb))
         .repartition(col(BucketCol)), cluster)
       clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
@@ -1918,17 +2241,18 @@ object MergeWriter {
         .getOrElse(bloomItems)
       if (bloom.nonEmpty && written.nonEmpty)
         writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", bloom, bloomN,
-          Some(merged.schema.json))
+          Some(cleanSchema.json))
       Some(Manifest(0L, nb,
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
-        Map.empty, Some(merged.schema.json), keys, cluster,
+        Map.empty, Some(cleanSchema.json), keys, cluster,
         st.map(_.stats).getOrElse(Map.empty) ++
           collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
             withColumnStats = cluster.nonEmpty),
         bloom, bloomN,
         // retention policy rides every group commit forward
         retainVersions = st.map(_.retainVersions).getOrElse(KeepManifests),
-        retainMs = st.map(_.retainMs).getOrElse(0L)))
+        retainMs = st.map(_.retainMs).getOrElse(0L),
+        colIds = memberIds, nextColId = memberNext))
     } finally { inc.unpersist(); () }
   }
 
@@ -2035,7 +2359,7 @@ object MergeWriter {
           s"(members: ${man.tables.keys.toSeq.sorted.mkString(", ")})"))
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
-    readWithSchema(spark, m, paths)
+    stripFrame(readWithSchema(spark, m, paths))
   }
 
   /** Post-commit auto-maintenance for the members a group load touched
@@ -2211,7 +2535,7 @@ object MergeWriter {
           s"$version (members: ${tables.keys.toSeq.sorted.mkString(", ")})"))
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
-    readWithSchema(spark, m, paths)
+    stripFrame(readWithSchema(spark, m, paths))
   }
 
   /** Operational introspection for groups ([[describeTable]] at group
@@ -2585,16 +2909,26 @@ object MergeWriter {
     * time from identity instead).
     */
   private def fileFingerprints(spark: SparkSession, epochRoot: String,
-                               schema: Option[String])
+                               schema: Option[String],
+                               ids: Map[String, Long] = Map.empty)
       : Map[(Int, String), String] = {
     val df = schema.map { s =>
       val sch = DataType.fromJson(s).asInstanceOf[StructType]
         .add(BucketCol, IntegerType)
       spark.read.schema(sch).parquet(epochRoot)
     }.getOrElse(spark.read.option("mergeSchema", "true").parquet(epochRoot))
-    val dataCols = df.columns.filterNot(_ == BucketCol).sorted
+    // fingerprint identity is SCHEMA-SIGNED; on an id-stamped table the
+    // signature (and the fold order) uses the stable field ids, so a
+    // RENAME does not orphan every recorded fingerprint — pairings keep
+    // dropping unchanged files across the rename boundary
+    val dataCols0 = df.columns.filterNot(_ == BucketCol)
+    val dataCols =
+      if (ids.isEmpty) dataCols0.sorted
+      else dataCols0.sortBy(c => ids.get(c).map(_.toString).getOrElse(c))
+    def sigName(c: String): String =
+      ids.get(c).map(id => s"#$id").getOrElse(c)
     val sig = java.util.UUID.nameUUIDFromBytes(
-      dataCols.map(c => c + ":" + df.schema(c).dataType.catalogString)
+      dataCols.map(c => sigName(c) + ":" + df.schema(c).dataType.catalogString)
         .mkString("|").getBytes(StandardCharsets.UTF_8)).toString.take(8)
     val cols = dataCols.map(col).toIndexedSeq
     df.withColumn("__fpf", input_file_name())
@@ -2631,7 +2965,32 @@ object MergeWriter {
                                   opName: String = "merge",
                                   fpSeed: Boolean = false): Unit = {
     val epoch = "e-" + UUID.randomUUID()
-    val data = rows
+    // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
+    // carries each column's id forward by name and assigns FRESH ids to
+    // evolved columns; a table this commit creates — or fully replaces
+    // (no pre-existing epoch pointer survives: truncating overwrite /
+    // relayout, which is also the LEGACY MIGRATION path) — is stamped
+    // from scratch; a legacy table with surviving old files stays
+    // name-world (those files carry no ids to match).
+    val cleanSchema = stripSchemaIds(rows.schema)
+    val replacesAll = prev.forall(p => (p.epochs.keySet -- dropBuckets).isEmpty)
+    val (colIds, nextColId) =
+      prev.filter(_.nextColId > 0L) match {
+        case Some(p) =>
+          var n = p.nextColId
+          val ids = cleanSchema.fields.map { f =>
+            f.name -> p.colIds.getOrElse(f.name, { val v = n; n += 1; v })
+          }.toMap
+          (ids, n)
+        case None if prev.isEmpty || replacesAll =>
+          (cleanSchema.fields.zipWithIndex
+            .map { case (f, i) => f.name -> (i + 1L) }.toMap,
+            cleanSchema.fields.length + 1L)
+        case None => (Map.empty[String, Long], 0L)
+      }
+    val stamped =
+      if (colIds.isEmpty) stripFrame(rows) else stampFrame(rows, colIds)
+    val data = stamped
       .withColumn(BucketCol, bucketExprChecked(keys, buckets))
     // cluster by bucket before the partitioned write: each bucket's rows
     // land wholly in one task → one file per bucket (small-file hygiene).
@@ -2658,7 +3017,7 @@ object MergeWriter {
       if (effFp && written.nonEmpty)
         withFingerprints(fileStats0,
           fileFingerprints(spark, s"$tablePath/$epoch",
-            Some(rows.schema.json)))
+            Some(cleanSchema.json), colIds))
       else fileStats0
     // an existing table's recorded bloom columns always apply (the param
     // only seeds creation, like clusterCols) — so deletes, txn merges and
@@ -2669,7 +3028,7 @@ object MergeWriter {
       .getOrElse(bloomN)
     if (effBloom.nonEmpty && written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tablePath/$epoch", effBloom,
-        effBloomN, Some(rows.schema.json))
+        effBloomN, Some(cleanSchema.json))
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -2708,13 +3067,19 @@ object MergeWriter {
       try {
         commitManifest(fs, new Path(tablePath),
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
-            txns, Some(rows.schema.json), keys, cluster, stats, bloom,
+            txns, Some(cleanSchema.json), keys, cluster, stats, bloom,
             bloomSz, opName, System.currentTimeMillis(),
             // retention + fingerprint policy ride every commit forward
             base.map(_.retainVersions).getOrElse(KeepManifests),
             base.map(_.retainMs).getOrElse(0L),
             base.map(_.fingerprint).getOrElse(effFp),
-            keysChecked = checked))
+            keysChecked = checked,
+            // a rebase over a non-conflicting commit keeps the id space
+            // monotone (a schema-moving concurrent commit conflicts
+            // above, so ids can never collide)
+            colIds = colIds,
+            nextColId = math.max(nextColId,
+              base.map(_.nextColId).getOrElse(0L))))
         return
       } catch {
         case e: java.io.IOException =>
@@ -2740,7 +3105,7 @@ object MergeWriter {
             }
           val schemaConflict = prev match {
             case Some(p) => !same(cur.schema, p.schema)
-            case None => !same(cur.schema, Some(rows.schema.json))
+            case None => !same(cur.schema, Some(cleanSchema.json))
           }
           // a creation race where the winner chose a different modulus is
           // unrebasable: this write's rows were hashed with `buckets`, so
@@ -3068,8 +3433,14 @@ object MergeWriter {
     // read each live epoch WITH its physical bucket column (partition
     // discovery over the epoch root typed by the stored schema +
     // BucketCol), keeping only the buckets the manifest assigns to it
+    // id-stamped tables read by field id (pre-rename files keep their
+    // old column names) and the rewrite re-records the ids verbatim —
+    // the read frame's id metadata flows through union/sort into the
+    // new files' footers
+    if (man.colIds.nonEmpty) ensureFieldIdRead(spark)
     val epochSchema = man.schema.map(s =>
-      DataType.fromJson(s).asInstanceOf[StructType].add(BucketCol, IntegerType))
+      stampSchema(DataType.fromJson(s).asInstanceOf[StructType], man.colIds)
+        .add(BucketCol, IntegerType))
     val live = man.epochs.groupBy(_._2)
       .map { case (e, m) =>
         epochSchema.fold(
@@ -3094,7 +3465,8 @@ object MergeWriter {
       stats =
         if (man.fingerprint)
           withFingerprints(stats0,
-            fileFingerprints(spark, s"$tableRoot/$epoch", man.schema))
+            fileFingerprints(spark, s"$tableRoot/$epoch", man.schema,
+              man.colIds))
         else stats0)
   }
 
@@ -3184,7 +3556,7 @@ object MergeWriter {
       case Some(m) =>
         val paths = m.epochs.toSeq.sortBy(_._1)
           .map { case (b, e) => bucketPath(tablePath, e, b) }
-        readWithSchema(spark, m, paths)
+        stripFrame(readWithSchema(spark, m, paths))
       case None => spark.read.parquet(tablePath).drop(BucketCol)
     }
   }
@@ -3217,8 +3589,8 @@ object MergeWriter {
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(tablePath, e, b) }
     // each retained version reads with ITS OWN recorded schema — a pinned
-    // read before an evolution sees the pre-evolution columns
-    readWithSchema(spark, m, paths)
+    // read before an evolution (or a rename) sees the old columns
+    stripFrame(readWithSchema(spark, m, paths))
   }
 
   /** [[readTableWhere]] AS OF a retained version: data skipping composes
@@ -3367,7 +3739,7 @@ object MergeWriter {
       }
     }
     val base =
-      if (paths.nonEmpty) readWithSchema(spark, man, paths)
+      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, paths))
       else man.schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -3587,7 +3959,7 @@ object MergeWriter {
       }
     }
     val base =
-      if (paths.nonEmpty) readWithSchema(spark, man, paths)
+      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, paths))
       else schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -4055,7 +4427,18 @@ object MergeWriter {
         }
         (full(mFrom), full(mTo))
       }
-    graft.operators.Reconcile.snapshotDiff(oldDf, newDf, keys, compareCols)
+    // a feed that spans a RENAME serves every version under the CURRENT
+    // column names (Delta CDF's column-mapping behavior): both sides
+    // align to the current manifest by shared field id, so `keys` /
+    // `compareCols` — callers pass current names — resolve on both
+    // frames; columns since dropped vanish from the feed. Identity for
+    // name-world tables.
+    val cur = currentManifest(fsFor(spark, dataPath), new Path(dataPath))
+      .getOrElse(mTo)
+    val oldAligned = stripFrame(alignToIds(oldDf, mFrom, cur))
+    val newAligned = stripFrame(alignToIds(newDf, mTo, cur))
+    graft.operators.Reconcile.snapshotDiff(oldAligned, newAligned, keys,
+      compareCols)
   }
 
   /** Test hook: replay the commit path of a table-creation race LOSER —
