@@ -414,6 +414,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         MergeWriter.renameColumn(spark, dir.toString, rc.fieldNames()(0),
           rc.newName())
         Seq.empty
+      case ut: TableChange.UpdateColumnType =>
+        // ALTER TABLE ... ALTER COLUMN ... TYPE — metadata-only safe
+        // widening (MergeWriter.widenColumn; old files' narrow pages
+        // read through the wide schema)
+        require(ut.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns " +
+            s"only, got ${ut.fieldNames().mkString(".")}")
+        MergeWriter.widenColumn(spark, dir.toString, ut.fieldNames()(0),
+          ut.newDataType())
+        Seq.empty
       case dc: TableChange.DeleteColumn =>
         // ALTER TABLE ... DROP COLUMN — metadata-only; the freed field
         // id is never reused, so a re-added namesake reads NULL for

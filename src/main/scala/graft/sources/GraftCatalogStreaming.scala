@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.read.{
   InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+  MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{
   DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
@@ -60,7 +60,7 @@ private[sources] class GraftMicroBatchStream(
     keys: Seq[String], compareCols: Seq[String],
     streamSchema: StructType, changes: Boolean,
     checkpointLocation: String, maxVersionsPerTrigger: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(keys.nonEmpty,
     s"graft streaming: $tablePath records no merge keys — the change " +
@@ -83,6 +83,15 @@ private[sources] class GraftMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  // Trigger.AvailableNow (the batch-like drain real pipelines schedule):
+  // pin the newest committed version at trigger start; the run drains
+  // to the pin — rate-limited as usual — and terminates, excluding
+  // commits that land mid-run (they are the NEXT run's work).
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = currentVersion()
+
   /** Rate-limited cursor advance: the initial snapshot is ONE batch
     * regardless (it diffs against nothing), afterwards at most
     * `maxVersionsPerTrigger` versions per batch — capped intermediate
@@ -91,7 +100,8 @@ private[sources] class GraftMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startV = versionOf(start)
-    val cur = currentVersion().getOrElse(startV)
+    val cur0 = currentVersion().getOrElse(startV)
+    val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
     val capped =
       if (startV < 0) cur
       else maxVersionsPerTrigger.fold(cur)(c => math.min(cur, startV + c))

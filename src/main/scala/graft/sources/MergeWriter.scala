@@ -957,6 +957,88 @@ object MergeWriter {
         s"$tablePath on every retry — re-run against the new table state")
   }
 
+  /** Safe type promotions for [[widenColumn]]: every stored value of
+    * `from` is exactly representable in `to`, the parquet readers
+    * (vectorized and row-based) read the narrow physical pages through
+    * the wide requested type (Spark's parquet type widening), and the
+    * stats canonical domain stays comparable — integral types
+    * canonicalize to longs and parse under a DOUBLE probe tag exactly
+    * (int values are ≤ 2^31, double-exact), so file pruning keeps
+    * working across the boundary. Long→double is OUT (2^63-adjacent
+    * longs are not double-exact — silent value drift).
+    */
+  private def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE as a METADATA-ONLY commit for SAFE
+    * WIDENINGS ([[canWiden]]): the recorded schema's field takes the
+    * wide type; old epoch files keep their narrow pages and read
+    * through the wide requested schema (no rewrite — Iceberg's type
+    * promotion). Merge-key columns refuse (`hash(int 5) != hash(long
+    * 5)` — the widened key would re-bin every row under a hash no
+    * future merge computes); Bloom columns accept integral→integral
+    * only (both sides canonicalize to the same `putLong`, so recorded
+    * sidecars keep answering; →double would leave sidecars whose hash
+    * domain no probe matches).
+    */
+  def widenColumn(spark: SparkSession, tablePath: String,
+                  name: String, to: DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"widenColumn: no committed graft table at $tablePath")
+        case Some(man) =>
+          val cur = man.schema.map(s =>
+            DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalStateException(
+              s"widenColumn: $tablePath records no schema (pre-schema " +
+                "manifest) — run one merge first"))
+          val f = cur.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"widenColumn: no column '$name' in $tablePath " +
+                s"(columns: ${cur.fieldNames.mkString(", ")})"))
+          if (f.dataType == to) return // idempotent
+          require(canWiden(f.dataType, to),
+            s"widenColumn: ${f.dataType.simpleString} -> " +
+              s"${to.simpleString} is not a safe widening (allowed: " +
+              "byte/short/int -> wider integral or double, float -> " +
+              "double); anything else needs a rewrite")
+          require(!man.keyCols.contains(name),
+            s"widenColumn: '$name' is a merge key — hash(int x) != " +
+              "hash(long x), so widening would re-bin every row; " +
+              "re-create the table to change a key's type")
+          require(!man.bloomCols.contains(name) || to != DoubleType,
+            s"widenColumn: '$name' is Bloom-indexed — widening to " +
+              "double leaves sidecars no probe can match; rebuild " +
+              "without the bloom index first")
+          val next = StructType(cur.fields.map(x =>
+            if (x.name == name) x.copy(dataType = to) else x))
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              schema = Some(next.json),
+              op = "widenColumn", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"widenColumn: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
   /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the column
     * leaves the recorded schema (readers stop requesting it) while the
     * immutable files keep the bytes until natural rewrite (compaction /
@@ -4437,8 +4519,19 @@ object MergeWriter {
       .getOrElse(mTo)
     val oldAligned = stripFrame(alignToIds(oldDf, mFrom, cur))
     val newAligned = stripFrame(alignToIds(newDf, mTo, cur))
-    graft.operators.Reconcile.snapshotDiff(oldAligned, newAligned, keys,
-      compareCols)
+    // a feed that spans a type WIDENING compares both sides in the wide
+    // type (the cast is the widening itself — exact by canWiden's rule)
+    def castTo(df: DataFrame, target: DataFrame): DataFrame = {
+      val want = target.schema.fields.map(x => x.name -> x.dataType).toMap
+      if (df.schema.fields.forall(x => want.get(x.name).forall(_ == x.dataType)))
+        df
+      else df.select(df.schema.fields.map { x =>
+        want.get(x.name).filter(_ != x.dataType)
+          .fold(col(x.name))(t => col(x.name).cast(t).as(x.name))
+      }.toIndexedSeq: _*)
+    }
+    graft.operators.Reconcile.snapshotDiff(castTo(oldAligned, newAligned),
+      newAligned, keys, compareCols)
   }
 
   /** Test hook: replay the commit path of a table-creation race LOSER —

@@ -193,6 +193,73 @@ class ColumnIdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // read of the epoch files (no id matching needed) sees the data
   }
 
+  test("widenColumn: metadata-only int->long / float->double") {
+    import spark.implicits._
+    val dir = tmp("cid-widen")
+    val rows = spark.range(0, 100).select(
+      col("id"),
+      col("id").cast("int").as("v"),
+      (col("id").cast("float") / 2.0f).as("f"))
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 2,
+      clusterBy = Seq("v"))
+    MergeWriter.setRetention(spark, dir, versions = 8)
+    val v1 = MergeWriter.availableVersions(spark, dir).last
+    val filesBefore = MergeWriter.readTable(spark, dir).inputFiles.toSet
+    MergeWriter.widenColumn(spark, dir, "v",
+      org.apache.spark.sql.types.LongType)
+    MergeWriter.widenColumn(spark, dir, "f",
+      org.apache.spark.sql.types.DoubleType)
+    val out = MergeWriter.readTable(spark, dir)
+    // no data file moved; old INT32/FLOAT pages read through wide schema
+    assert(out.inputFiles.toSet == filesBefore)
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.agg(sum("v")).collect().head.getLong(0) == 4950L)
+    assert(out.where(col("f") === 24.5d).count() == 1)
+    // a post-widen merge writes values past the narrow range
+    MergeWriter.merge(spark, dir,
+      Seq((1000L, 10000000000L, 0.5d)).toDF("id", "v", "f"), Seq("id"))
+    assert(MergeWriter.readTable(spark, dir)
+      .agg(max("v")).collect().head.getLong(0) == 10000000000L)
+    // stats pruning on the widened (clustered) column keeps working
+    val probe = MergeWriter.readTableRange(spark, dir, "v",
+      Some(10L), Some(20L))
+    assert(probe.collect().map(_.getLong(1)).toSet ==
+      (10L to 20L).toSet)
+    // a feed spanning the widening compares both sides in the wide type
+    val vN = MergeWriter.availableVersions(spark, dir).last
+    val feed = MergeWriter.changeFeed(spark, dir, v1, vN,
+      Seq("id"), Seq("v", "f")).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("op")))
+    assert(feed.toSeq == Seq((1000L, "insert")))
+    // guards: keys and unsafe promotions refuse
+    intercept[IllegalArgumentException] {
+      MergeWriter.widenColumn(spark, dir, "id",
+        org.apache.spark.sql.types.DoubleType) // long->double: lossy
+    }
+  }
+
+  test("SQL: ALTER COLUMN TYPE widens through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcid.ns")
+    spark.sql("CREATE TABLE gcid.ns.w (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gcid.ns.w " +
+      "SELECT id, CAST(id AS INT) FROM range(50)")
+    spark.sql("ALTER TABLE gcid.ns.w ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("gcid.ns.w").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // wide INSERT beyond INT range lands next to narrow files
+    spark.sql("INSERT INTO gcid.ns.w VALUES (500, 10000000000)")
+    val m = spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) AS s, CAST(MAX(v) AS BIGINT) AS mx " +
+        "FROM gcid.ns.w").collect().head
+    assert(m.getLong(0) == 1225L + 10000000000L)
+    assert(m.getLong(1) == 10000000000L)
+    spark.sql("DROP TABLE gcid.ns.w")
+  }
+
   test("legacy (pre-id) table: rename refused; full rewrite migrates") {
     import spark.implicits._
     val dir = tmp("cid-legacy")

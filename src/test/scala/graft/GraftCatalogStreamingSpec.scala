@@ -121,6 +121,39 @@ class GraftCatalogStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gcs.etl.lagsink")
   }
 
+  test("Trigger.AvailableNow drains to the trigger-start pin and stops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcs.etl")
+    spark.sql("CREATE TABLE gcs.etl.ansrc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='10')")
+    spark.sql("CREATE TABLE gcs.etl.ansink (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gcs.etl.ansrc SELECT id, id FROM range(20)")
+    spark.sql("INSERT INTO gcs.etl.ansrc SELECT id, -id FROM range(20, 30)")
+    val ckpt = Files.createTempDirectory("gcs-an-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1") // rate limit composes
+        .table("gcs.etl.ansrc")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .toTable("gcs.etl.ansink")
+      // AvailableNow TERMINATES by itself once the pin is drained
+      assert(q.awaitTermination(120000), "AvailableNow query must stop")
+    }
+    drain()
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcs.etl.ansink")
+      .collect().head.getLong(0) == 30)
+    // work committed between runs is the NEXT run's drain
+    spark.sql("INSERT INTO gcs.etl.ansrc VALUES (100, 100)")
+    spark.sql("INSERT INTO gcs.etl.ansrc VALUES (101, 101)")
+    drain()
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcs.etl.ansink")
+      .collect().head.getLong(0) == 32)
+    spark.sql("DROP TABLE gcs.etl.ansrc")
+    spark.sql("DROP TABLE gcs.etl.ansink")
+  }
+
   test("Complete mode: each epoch is an atomic full replace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcs.etl")
     spark.sql("CREATE TABLE gcs.etl.aggsrc (id BIGINT, grp STRING) " +
