@@ -693,6 +693,114 @@ object ScaleBench {
       sqlDmlBench(base, "sf0.1", 4); sqlDmlBench(rep, "rep10", 16)
     }
 
+    // Column identity at scale (round 11): RENAME / DROP / WIDEN are
+    // metadata-only commits, so their wall must be FLAT 1×→10× (one
+    // manifest rewrite, zero data I/O) — and the post-rename stats
+    // probe must keep its pruning ratio (stats keys migrated with the
+    // rename).
+    def schemaBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/schema10/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val path = s"$root/t"
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("value").cast("float").as("value"))
+      // many range-disjoint files per bucket, so the renamed-column
+      // probe has something to prune (one file per bucket can never
+      // skip — it spans the full range)
+      val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "8192")
+      try graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+        buckets = buckets, clusterBy = Seq("user_id"))
+      finally prev.fold(
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile"))(
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", _))
+      def sec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val renameSec = sec {
+        graft.sources.MergeWriter.renameColumn(spark, path,
+          "user_id", "actor_id")
+      }
+      val widenSec = sec {
+        graft.sources.MergeWriter.widenColumn(spark, path, "value",
+          org.apache.spark.sql.types.DoubleType)
+      }
+      val all = graft.sources.MergeWriter.readTable(spark, path)
+        .inputFiles.length
+      // 1% range window on the RENAMED clustered column
+      val hi = Tables.events(spark, dir)
+        .agg(max(col("user_id"))).head().getLong(0)
+      val probe = graft.sources.MergeWriter.readTableRange(spark, path,
+        "actor_id", Some(0L), Some(hi / 100))
+      val opened = probe.inputFiles.length
+      val dropSec = sec {
+        graft.sources.MergeWriter.dropColumn(spark, path, "event_type")
+      }
+      println(f"""{"dir":"$tag","schema_files":$all,"rename_sec":$renameSec%.3f,"widen_sec":$widenSec%.3f,"drop_sec":$dropSec%.3f,"renamed_probe_opened":$opened,"renamed_probe_frac":${opened.toDouble / all}%.3f}""")
+    }
+    if (sections("schema10")) {
+      schemaBench(base, "sf0.1", 4); schemaBench(rep, "rep10", 16)
+    }
+
+    // Catalog streaming at scale (round 11): after the snapshot batch,
+    // a drain that tails ONE small commit costs ∝ the commit's CHANGED
+    // DATA, not the table: the version diff reads only buckets whose
+    // pointer moved, fingerprint pairing drops the rewritten bucket's
+    // unchanged files (update-only commit → stable file boundaries),
+    // and the sink merge rewrites only the touched mirror buckets. The
+    // tail commit's keys are confined to one hash bucket (pmod(hash)) —
+    // a scattered key set touches every bucket by construction, which
+    // is the WRITE pattern's cost, not the stream's.
+    def streamBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/stream10/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val cname = "gss_" + tag.replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", root)
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"))
+      ev.createOrReplaceTempView("ss_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cname.b")
+      spark.sql(s"""CREATE TABLE $cname.b.src (event_id BIGINT,
+        user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='$buckets',
+        'clusterBy'='event_id','retainVersions'='8','fingerprint'='true')""")
+      spark.sql(s"""CREATE TABLE $cname.b.mirror (event_id BIGINT,
+        user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='$buckets')""")
+      val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "8192")
+      try {
+        spark.sql(s"INSERT INTO $cname.b.src SELECT * FROM ss_src")
+        val ckpt = s"$root/ckpt"
+        def drain(): Double = {
+          val t0 = System.nanoTime()
+          val q = spark.readStream.table(s"$cname.b.src")
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .toTable(s"$cname.b.mirror")
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val snapshotSec = drain() // ∝ table, reported for context
+        // update-only tail commit, keys confined to bucket 0
+        spark.sql(s"INSERT INTO $cname.b.src " +
+          s"SELECT event_id, user_id + 1, event_type FROM ss_src " +
+          s"WHERE pmod(hash(event_id), $buckets) = 0 " +
+          "ORDER BY event_id LIMIT 500")
+        val tailSec = drain() // the claim: ∝ the commit's changed files
+        println(f"""{"dir":"$tag","stream_snapshot_sec":$snapshotSec%.2f,"stream_tail_sec":$tailSec%.2f}""")
+      } finally prev.fold(
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile"))(
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", _))
+    }
+    if (sections("stream10")) {
+      streamBench(base, "sf0.1", 4); streamBench(rep, "rep10", 16)
+    }
+
     spark.stop()
   }
 }

@@ -230,7 +230,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                keys: Seq[String], buckets: Int,
                                clusterBy: Seq[String], bloomBy: Seq[String],
                                bloomItems: Long, retainVersions: Int,
-                               retainMs: Long,
+                               retainMs: Long, fingerprint: Boolean,
                                // Some(identDir -> target): a CREATE with
                                // a custom LOCATION must persist this
                                // pointer so later statements resolve it
@@ -280,6 +280,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       clusterBy = csv("clusterBy"), bloomBy = csv("bloomBy"),
       bloomItems = prop("bloomItems").map(_.toLong)
         .getOrElse(MergeWriter.DefaultBloomItems),
+      fingerprint = prop("fingerprint").exists(_.equalsIgnoreCase("true")),
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
       retainMs = prop("retainMs").map(_.toLong).getOrElse(0L),
@@ -327,7 +328,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try MergeWriter.createTable(spark, spec.path, schema, spec.keys,
       buckets = spec.buckets, clusterBy = spec.clusterBy,
       bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
-      retainVersions = spec.retainVersions, retainMs = spec.retainMs)
+      retainVersions = spec.retainVersions, retainMs = spec.retainMs,
+      fingerprint = spec.fingerprint)
     catch { case e: Throwable => removePointer(spec); throw e }
     new GraftSqlTable(spark, spec.path, spec.name)
   }
@@ -768,7 +770,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   MergeWriter.overwriteTable(spark, spec.path, rows,
                     spec.keys, buckets = spec.buckets,
                     clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
-                    bloomItems = spec.bloomItems, relayout = preexisting)
+                    bloomItems = spec.bloomItems, relayout = preexisting,
+                    fingerprint = spec.fingerprint)
                 }
                 written = true
               }

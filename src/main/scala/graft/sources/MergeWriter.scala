@@ -2055,7 +2055,8 @@ object MergeWriter {
                      bloomBy: Seq[String] = Seq.empty,
                      bloomItems: Long = DefaultBloomItems,
                      txn: Option[(String, Long)] = None,
-                     relayout: Boolean = false): Unit = {
+                     relayout: Boolean = false,
+                     fingerprint: Boolean = false): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
       s"overwriteTable: frame must not contain reserved column '$BucketCol'")
@@ -2073,12 +2074,13 @@ object MergeWriter {
       if (relayout) clusterBy else m.map(_.clusterCols).getOrElse(clusterBy)
     val base = if (relayout)
       m.map(_.copy(buckets = nb, clusterCols = cluster,
-        bloomCols = bloomBy, bloomItems = bloomItems))
+        bloomCols = bloomBy, bloomItems = bloomItems,
+        fingerprint = fingerprint))
     else m
     writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, base, txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
-      opName = "overwrite")
+      opName = "overwrite", fpSeed = fingerprint)
     gc(fs, dir)
   }
 
@@ -2097,7 +2099,8 @@ object MergeWriter {
                   bloomBy: Seq[String] = Seq.empty,
                   bloomItems: Long = DefaultBloomItems,
                   retainVersions: Int = KeepManifests,
-                  retainMs: Long = 0L): Unit = {
+                  retainMs: Long = 0L,
+                  fingerprint: Boolean = false): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
     val names = schema.fieldNames.toSet
     keys.foreach(k => require(names.contains(k),
@@ -2121,6 +2124,7 @@ object MergeWriter {
       Some(clean.json), keys, clusterBy, Map.empty, bloomBy, bloomItems,
       "create", System.currentTimeMillis(),
       math.max(KeepManifests, retainVersions), math.max(0L, retainMs),
+      fingerprint,
       // an empty table trivially holds no NULL key, and every later
       // epoch writes through the enforcing path
       keysChecked = true,

@@ -460,6 +460,31 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(1)).contains("pinned"))
   }
 
+  test("TBLPROPERTIES fingerprint=true seeds file-level change feeds") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.fp")
+    spark.sql("CREATE TABLE gcat.ns.fp (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'clusterBy'='id', " +
+      "'fingerprint'='true', 'retainVersions'='6')")
+    spark.sql("INSERT INTO gcat.ns.fp SELECT id, id FROM range(10)")
+    // the recorded manifest carries the fingerprint policy...
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val dir = new java.io.File(s"$wh/ns/fp")
+    val manifest = dir.listFiles().filter(_.getName.startsWith("_manifest-"))
+      .maxBy(_.getName)
+    val body = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    assert(body.contains("\"fpr\":true"),
+      "fingerprint TBLPROPERTY must reach the manifest")
+    // ... and the SQL change feed over it works end-to-end
+    spark.sql("INSERT INTO gcat.ns.fp VALUES (100, 100)")
+    val ch = spark.sql("SELECT id, op FROM gcat.ns.fp.changes " +
+      "WHERE _commit_version = 3").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ch.toSeq == Seq((100L, "insert")))
+    spark.sql("DROP TABLE gcat.ns.fp")
+  }
+
   test("a non-deterministic INSERT source is evaluated exactly once") {
     GraftCatalogSpec.evals.set(0)
     val bump = org.apache.spark.sql.functions.udf((x: Long) => {
