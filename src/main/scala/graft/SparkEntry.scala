@@ -4362,6 +4362,82 @@ object SparkEntry {
       s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(actor_id) AS BIGINT) AS sum_actor
         FROM $cat.etl.r WHERE actor_id % 2 = 0 GROUP BY event_type""")
+    }),
+
+    // SQL RESTORE (round 11): `CALL gc.system.restore` re-points the
+    // table at a retained version — Delta RESTORE / Iceberg
+    // rollback_to_snapshot, here a METADATA-ONLY manifest commit (the
+    // target's epochs are alive by retention; nothing is copied). Two
+    // bad commits (a destructive UPDATE, a stray INSERT) roll back in
+    // one statement, and because history rolls FORWARD the change feed
+    // serves the rollback as ordinary keyed changes (version 5 = the
+    // restore: click rows updated back, stray rows retracted) — a
+    // downstream replica syncs through the same feed it always tails.
+    "q177_sql_restore" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-restore"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"rst_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.rb (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='8',
+          'retainVersions'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.rb SELECT * FROM rst_src_$n") // v2
+      s.sql(s"UPDATE $cat.etl.rb SET user_id = -1 " +
+        "WHERE event_type = 'click'") // v3: the destructive mistake
+      s.sql(s"INSERT INTO $cat.etl.rb VALUES " +
+        "(10000000001, 1, 'bogus'), (10000000002, 2, 'bogus')") // v4
+      s.sql(s"CALL $cat.system.restore('etl.rb', 2)") // v5
+      s.sql(s"""
+        SELECT 'final' AS src, event_type AS op,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.rb GROUP BY event_type
+        UNION ALL
+        SELECT 'feed', op, CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(COALESCE(new_user_id, old_user_id)) AS BIGINT)
+        FROM $cat.etl.rb.changes WHERE _commit_version = 5
+        GROUP BY op""")
+    }),
+
+    // STORAGE-PARTITIONED JOIN (round 11, SPARK-37375): two graft
+    // tables co-keyed on event_id join with ZERO shuffle — the scans
+    // report their key-hash bucket layout as KeyGroupedPartitioning
+    // (the `bucket` transform, resolved against the catalog's own
+    // function), so Spark co-locates matching buckets instead of
+    // exchanging both sides. At 100 TB a side the deleted exchange IS
+    // the query; GraftSpjSpec asserts the plan has no ShuffleExchange —
+    // this oracle pins the VALUES.
+    "q178_spj_colocated_join" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-spj"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"spj_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.ja (event_id BIGINT, user_id BIGINT)
+        TBLPROPERTIES ('keys'='event_id','buckets'='16')""")
+      s.sql(s"""CREATE TABLE $cat.etl.jb (event_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='16')""")
+      s.sql(s"INSERT INTO $cat.etl.ja " +
+        s"SELECT event_id, user_id FROM spj_src_$n")
+      s.sql(s"INSERT INTO $cat.etl.jb " +
+        s"SELECT event_id, event_type FROM spj_src_$n WHERE event_id % 2 = 0")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"""SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(a.user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.ja a JOIN $cat.etl.jb b
+        ON a.event_id = b.event_id GROUP BY b.event_type""")
     })
   )
 
@@ -7651,6 +7727,33 @@ object SparkEntry {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(actor_id) AS BIGINT) AS sum_actor
         |FROM upd WHERE actor_id % 2 = 0 GROUP BY event_type""".stripMargin,
+
+    // The restored state is the original snapshot (both bad commits
+    // rolled back), and the restore commit's feed rows are the click
+    // rows updated back (new image = the original user_id) plus the two
+    // stray inserts retracted (old image = 1 and 2).
+    "q177_sql_restore" ->
+      """WITH feed AS (
+        |  SELECT 'update' AS op, user_id AS uid FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'delete', CAST(uid AS BIGINT)
+        |  FROM (VALUES (1), (2)) AS t(uid))
+        |SELECT 'final' AS src, event_type AS op,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'feed', op, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(uid) AS BIGINT)
+        |FROM feed GROUP BY op""".stripMargin,
+
+    // The co-located join's values: the even-id half joined back to the
+    // full key set.
+    "q178_spj_colocated_join" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -174,18 +174,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def metadataTable(ident: Identifier): Option[Table] = {
     val parts = ident.namespace().toIndexedSeq
-    if (parts.isEmpty) return None
+    // name match FIRST: every loadTable miss funnels here, and the
+    // common miss (a plain unknown table) must stay free of the
+    // pointer/manifest filesystem probes below
+    if (parts.isEmpty ||
+        (ident.name() != "history" && ident.name() != "changes"))
+      return None
     val entry = dirOf(parts)
     val parent = readPointer(entry).getOrElse(entry)
     if (!isTable(parent)) return None
     val name = (catName +: parts :+ ident.name()).mkString(".")
-    ident.name() match {
-      case "history" =>
-        Some(new GraftHistoryTable(spark, parent.toString, name))
-      case "changes" =>
-        Some(new GraftChangesTable(spark, parent.toString, name))
-      case _ => None
-    }
+    if (ident.name() == "history")
+      Some(new GraftHistoryTable(spark, parent.toString, name))
+    else Some(new GraftChangesTable(spark, parent.toString, name))
   }
 
   /** SQL time travel: `SELECT ... FROM gc.ns.t VERSION AS OF 3` — Spark
@@ -267,6 +268,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None =>
         declared match {
           case Some(l) if l.toString != identDir.toString =>
+            // A LOCATION that already holds a committed table would make
+            // this ident an ALIAS of foreign data — and a later DROP
+            // through the alias would delete that data. Fail before the
+            // pointer is ever persisted (adoption is not a supported
+            // operation; a racing create at the same location is still
+            // safe: the loser's MergeWriter.createTable fails on the
+            // manifest CAS and the failure path reclaims its pointer).
+            require(!isTable(l),
+              s"graft catalog: LOCATION '$l' already holds a committed " +
+                s"graft table — $ident cannot adopt it (read it through " +
+                "its own identifier, or drop it first)")
             (l, Some(identDir -> l))
           case _ => (identDir, None)
         }
@@ -305,17 +317,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       finally out.close()
     }
 
-  /** Reclaim a pointer whose CREATE failed or aborted before anything
-    * committed (never a pointer to a committed table).
+  /** Reclaim a pointer whose CREATE failed or aborted. The pointer file
+    * was created EXCLUSIVELY by this statement (`writePointer` fails a
+    * racing create), so removal is unconditionally safe — even if a
+    * concurrent create committed a table at the same target after our
+    * exclusive pointer write, that table belongs to the other ident and
+    * OUR failed statement must not leave an alias behind (a leaked
+    * alias would let DROP destroy the other table's data).
     */
   private def removePointer(spec: TableSpec): Unit =
-    spec.pointer.foreach { case (identDir, target) =>
-      if (!isTable(target)) {
-        fs.delete(pointerFile(identDir), false)
-        if (fs.exists(identDir) && fs.listStatus(identDir).isEmpty)
-          fs.delete(identDir, false)
-        ()
-      }
+    spec.pointer.foreach { case (identDir, _) =>
+      fs.delete(pointerFile(identDir), false)
+      if (fs.exists(identDir) && fs.listStatus(identDir).isEmpty)
+        fs.delete(identDir, false)
+      ()
     }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -624,6 +639,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"retention set on $p"
         }
       },
+      new Proc("restore", "re-point the table at a retained version's " +
+          "state (Delta RESTORE / Iceberg rollback): metadata-only, " +
+          "history rolls forward",
+        Array(inParam("table", SType), inParam("version", LongType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val v = in.getLong(1)
+          MergeWriter.restoreVersion(spark, p, v)
+          s"restored $p to version $v"
+        }
+      },
       new Proc("truncate_history", "collapse readable history to the " +
           "current state (right-to-be-forgotten completion)",
         Array(inParam("table", SType))) {
@@ -808,7 +834,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ()
       }
       // a fresh LOCATION-pinned CTAS wrote its pointer at stage time —
-      // nothing committed, so reclaim it (removePointer re-checks)
+      // nothing committed, so reclaim it (the pointer is this
+      // statement's own exclusive write; see removePointer)
       if (!written && !preexisting) removePointer(spec)
     }
   }
@@ -1062,7 +1089,7 @@ private[sources] class GraftTableScanBuilder(
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val p = super.build()
-    new GraftStreamableParquetScan(p, man.colIds, checkpointLocation => {
+    new GraftStreamableParquetScan(p, man, checkpointLocation => {
       require(streamable,
         s"graft catalog: $tablePath is a time-travel pin — one " +
           "immutable version has no change stream to tail")
@@ -1092,20 +1119,124 @@ private[sources] class GraftTableScanBuilder(
   */
 private[sources] class GraftStreamableParquetScan(
     p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    colIds: Map[String, Long],
+    man: MergeWriter.Manifest,
     streamFactory: String => MicroBatchStream)
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       p.sparkSession, p.hadoopConf, p.fileIndex,
-      MergeWriter.stampSchema(p.dataSchema, colIds),
-      MergeWriter.stampSchema(p.readDataSchema, colIds),
+      MergeWriter.stampSchema(p.dataSchema, man.colIds),
+      MergeWriter.stampSchema(p.readDataSchema, man.colIds),
       p.readPartitionSchema, p.pushedFilters, p.options,
       p.pushedAggregate, p.partitionFilters, p.dataFilters,
-      p.pushedVariantExtractions) {
+      p.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  if (colIds.nonEmpty) MergeWriter.ensureFieldIdRead(p.sparkSession)
+  if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(p.sparkSession)
+
+  // ---- STORAGE-PARTITIONED JOINS (SPARK-37375) --------------------
+  // The table's layout IS a bucketing: every row lives in bucket
+  // `pmod(hash(keys…), n)` by construction (MergeWriter). Report it as
+  // KeyGroupedPartitioning over the standard `bucket` transform —
+  // resolved against this catalog's own `bucket` function (GraftFns) —
+  // so a join of two co-keyed graft tables (same keys, same modulus)
+  // or a groupBy on the merge keys runs with ZERO shuffle when
+  // `spark.sql.sources.v2.bucketing.enabled` is on: at 100 TB a side,
+  // the exchange this deletes IS the query cost. Each split carries
+  // its bucket id (HasPartitionKey); Spark groups splits per bucket
+  // only when a join actually engages SPJ, so plain scans keep full
+  // split-level parallelism (and with the conf off, behavior is
+  // unchanged — the keyed splits are ordinary FilePartitions).
+  private lazy val basePartitions
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    super.planInputPartitions()
+
+  private lazy val keyedPartitions
+      : Option[Array[org.apache.spark.sql.connector.read.InputPartition]] = {
+    import org.apache.spark.sql.execution.datasources.{
+      FilePartition, PartitionedFile}
+    if (man.keyCols.isEmpty) None
+    else {
+      val fps = basePartitions.collect { case fp: FilePartition => fp }
+      if (fps.length != basePartitions.length) None
+      else {
+        def bucketOf(f: PartitionedFile): Option[Int] = {
+          val s = f.filePath.toString
+          val i = s.lastIndexOf("/" + MergeWriter.BucketCol + "=")
+          if (i < 0) None
+          else {
+            val rest = s.substring(i + MergeWriter.BucketCol.length + 2)
+            val j = rest.indexOf('/')
+            if (j <= 0) None
+            else scala.util.Try(rest.substring(0, j).toInt).toOption
+          }
+        }
+        val tagged = fps.flatMap(_.files).map(f => bucketOf(f).map(_ -> f))
+        if (tagged.contains(None)) None
+        else {
+          val maxSplit = FilePartition.maxSplitBytes(p.sparkSession,
+            p.fileIndex.listFiles(p.partitionFilters, p.dataFilters))
+          var idx = -1
+          val parts = tagged.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+            .flatMap { case (b, bf) =>
+              FilePartition.getFilePartitions(p.sparkSession,
+                bf.map(_._2).toSeq, maxSplit).map { fp =>
+                idx += 1
+                new GraftKeyedFilePartition(idx, fp.files, b)
+              }
+            }
+          Some(parts.toArray)
+        }
+      }
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPartitions match {
+      case Some(parts) =>
+        val groups = parts
+          .map(_.asInstanceOf[GraftKeyedFilePartition].bucket)
+          .distinct.length
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(man.buckets, man.keyCols: _*)), groups)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    keyedPartitions.getOrElse(basePartitions)
+
+  // the ids must reach ONLY the physical reader (the constructor's
+  // readDataSchema, which createReaderFactory hands to parquet):
+  // FileScan.readSchema() also becomes the scan relation's OUTPUT
+  // attributes after pushdown (V2ScanRelationPushDown.toOutputAttrs),
+  // and a leaked `parquet.field.id` there would be stamped into the
+  // user's own parquet writes (fieldId.write is default-on) — the
+  // duplicate-id hazard this design exists to prevent. Surface the
+  // unstamped pruned schema instead.
+  override def readSchema(): StructType = p.readSchema()
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream = streamFactory(checkpointLocation)
+}
+
+/** A file split that knows its bucket id — the unit Spark's
+  * storage-partitioned join groups by ([[GraftStreamableParquetScan]]).
+  * An ordinary [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * to the inherited parquet reader factory; the partition key only
+  * matters when SPJ engages.
+  */
+private[sources] class GraftKeyedFilePartition(
+    idx: Int,
+    fs0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    val bucket: Int)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs0)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(bucket)
 }
 
 /** Manifest-driven file listing behind the DSv2 parquet scan: the
@@ -1345,7 +1476,51 @@ private[sources] object GraftFns {
         else dot / (math.sqrt(nx) * math.sqrt(ny))
       }
     }
-    Seq(zHi, zLo, fp, cos)
+    // STORAGE-PARTITIONED JOINS (SPARK-37375; the Iceberg-public
+    // design): a graft scan reports KeyGroupedPartitioning over the
+    // `bucket(n, keys…)` transform, and Spark resolves that transform
+    // against THIS function (loadFunction with an empty namespace).
+    // produceResult must agree bit-for-bit with the WRITE side's bucket
+    // assignment `pmod(hash(keys…), n)` (MergeWriter.bucketExprChecked),
+    // so it evaluates Catalyst's own Murmur3Hash over the key args
+    // instead of a re-implementation that could drift per type.
+    val bucket = new v2fn.UnboundFunction {
+      override def name(): String = "bucket"
+      override def description(): String =
+        "graft bucket id: pmod(murmur3(keys…), numBuckets) — the " +
+          "table layout's own assignment, reported for " +
+          "storage-partitioned joins"
+      override def bind(inputType: StructType): v2fn.BoundFunction = {
+        require(inputType.fields.length >= 2,
+          "bucket takes (numBuckets, key, ...)")
+        require(inputType.fields.head.dataType ==
+          org.apache.spark.sql.types.IntegerType,
+          "bucket: numBuckets must be INT")
+        val types = inputType.fields.map(_.dataType)
+        new v2fn.ScalarFunction[java.lang.Integer] {
+          override def inputTypes(): Array[DT] = types
+          override def resultType(): DT =
+            org.apache.spark.sql.types.IntegerType
+          override def name(): String = "bucket"
+          override def canonicalName(): String = "graft.bucket"
+          override def isDeterministic: Boolean = true
+          @transient private lazy val hashExpr =
+            org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+              types.toIndexedSeq.zipWithIndex.drop(1).map { case (t, i) =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, t, nullable = true)
+              }, 42)
+          override def produceResult(in: InternalRow): java.lang.Integer = {
+            if (in.isNullAt(0)) return null
+            val n = in.getInt(0)
+            if (n <= 0) return null
+            val h = hashExpr.eval(in).asInstanceOf[Int]
+            ((h % n) + n) % n
+          }
+        }
+      }
+    }
+    Seq(zHi, zLo, fp, cos, bucket)
       .map(f => f.name() -> (f: v2fn.UnboundFunction)).toMap
   }
 }

@@ -122,7 +122,20 @@ private[sources] class GraftMicroBatchStream(
           fromV, toV)
       else GraftStreamCore.rowImageBatch(spark, tablePath, keys,
         compareCols, fromV, toV)
-    out.select(streamSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val picked = out.select(streamSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // the staged UnsafeRow transport re-reads the batch's bytes under
+    // the PINNED streamSchema — a type that drifted mid-stream (a
+    // widening commit after the stream resolved its schema) would
+    // reinterpret row slots, so fail loudly instead (Delta's mid-stream
+    // schema-change behavior): a restart re-resolves the evolved schema.
+    streamSchema.fields.foreach { f =>
+      val got = picked.schema(f.name).dataType
+      require(got == f.dataType,
+        s"graft streaming: column '${f.name}' changed type mid-stream " +
+          s"($got vs pinned ${f.dataType}) — restart the streaming " +
+          "query to pick up the evolved schema")
+    }
+    picked
   }
 
   override def planInputPartitions(start: Offset,

@@ -39,15 +39,19 @@ private[sources] class GraftHistoryTable(spark: SparkSession,
 
   override def name(): String = tableName
 
-  override def schema(): StructType =
-    MergeWriter.tableHistory(spark, tablePath).schema
+  // built once per loadTable: Spark calls Table.schema() several times
+  // during resolution, and each tableHistory lists + reads every
+  // retained manifest
+  private lazy val hist = MergeWriter.tableHistory(spark, tablePath)
+
+  override def schema(): StructType = hist.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = () => {
-    val df = MergeWriter.tableHistory(spark, tablePath)
+    val df = hist
     val s = df.schema
     val conv = CatalystTypeConverters.createToCatalystConverter(s)
     val collected = df.collect()
@@ -84,23 +88,28 @@ private[sources] class GraftChangesTable(spark: SparkSession,
       .getOrElse(throw new IllegalStateException(
         s"graft catalog: $tablePath lost its manifest after loadTable"))
 
-  private def keys: Seq[String] = {
+  private lazy val keys: Seq[String] = {
     require(man.keyCols.nonEmpty,
       s"graft catalog: $tablePath records no merge keys — the change " +
         "feed is keyed")
     man.keyCols
   }
 
-  private def compareCols: Seq[String] =
+  // derived once per loadTable (schema() is called repeatedly during
+  // resolution, and indexSchema reconstructs the typed schema each time)
+  private lazy val idxSchema: StructType =
     MergeWriter.indexSchema(spark, tablePath, man)
-      .fieldNames.toSeq.filterNot(keys.contains)
+
+  private lazy val compareCols: Seq[String] =
+    idxSchema.fieldNames.toSeq.filterNot(keys.contains)
+
+  private lazy val cdc: StructType =
+    GraftStreamCore.cdcSchema(idxSchema, keys, compareCols,
+      withVersion = true)
 
   override def name(): String = tableName
 
-  override def schema(): StructType =
-    GraftStreamCore.cdcSchema(
-      MergeWriter.indexSchema(spark, tablePath, man), keys, compareCols,
-      withVersion = true)
+  override def schema(): StructType = cdc
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -821,6 +821,58 @@ object MergeWriter {
         s"$tablePath on every retry — re-run against the new table state")
   }
 
+  /** RESTORE to a retained version (Delta `RESTORE TABLE ... TO VERSION
+    * AS OF` / Iceberg `rollback_to_snapshot`): a METADATA-ONLY commit
+    * that re-points the table at the target version's full state —
+    * buckets, epoch pointers, schema, column ids, stats, Bloom/cluster
+    * declarations all roll back; no data file is copied or moved (the
+    * target's epochs are alive by the retention contract), so at 100 TB
+    * this is one manifest write. History rolls FORWARD: the restore is
+    * itself a commit, so the change feed diffs the pre-restore state
+    * against the restored one (downstream consumers see the rollback as
+    * ordinary keyed changes) and a mistaken restore is restorable in
+    * turn. Deliberately NOT rolled back: the retention policy (an
+    * operational knob, not data), the txn ledger (replay dedupe must
+    * keep recognizing writer app ids that committed after the target —
+    * rolling it back would re-apply their replays as fresh data), and
+    * the field-id allocator `nextColId` (ids stamped into retained
+    * post-target epochs must never be reissued to new columns, or
+    * id-matching across versions would falsely pair them).
+    */
+  def restoreVersion(spark: SparkSession, tablePath: String,
+                     version: Long): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"restore: no committed graft table at $tablePath")
+        case Some(man) =>
+          if (man.version == version) return // already that state
+          val retained = manifestFiles(fs, dir)
+          val target = retained.find(_._1 == version)
+            .map(h => readManifest(fs, version, h._2))
+            .getOrElse(throw new IllegalArgumentException(
+              s"restore: version $version not retained for $tablePath " +
+                s"(readable: ${retained.map(_._1).mkString(", ")})"))
+          try {
+            commitManifest(fs, dir, target.copy(
+              version = man.version + 1,
+              txns = man.txns,
+              retainVersions = man.retainVersions, retainMs = man.retainMs,
+              nextColId = math.max(man.nextColId, target.nextColId),
+              op = "restore", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"restore: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
   /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: append nullable
     * columns to the recorded schema; no data file is touched — every
     * reader null-fills the new columns for existing rows (the same
@@ -4523,8 +4575,33 @@ object MergeWriter {
       .getOrElse(mTo)
     val oldAligned = stripFrame(alignToIds(oldDf, mFrom, cur))
     val newAligned = stripFrame(alignToIds(newDf, mTo, cur))
-    // a feed that spans a type WIDENING compares both sides in the wide
-    // type (the cast is the widening itself — exact by canWiden's rule)
+    // CONFORM both sides to the CURRENT schema (names already aligned by
+    // field id above): a version that PREDATES a column addition
+    // null-pads it, and a version that predates a type widening casts up
+    // to the wide type (exact — widening is the only recorded type
+    // change, by canWiden's rule). Without this, a feed window confined
+    // to old versions either fails resolution on an added column or
+    // serves narrow-typed rows under the wide schema the metadata table
+    // / CDC stream declared from the current manifest.
+    def conform(df: DataFrame): DataFrame = cur.schema match {
+      case Some(sj) =>
+        val cs = stripSchemaIds(DataType.fromJson(sj).asInstanceOf[StructType])
+        val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        if (cs.length == df.schema.length &&
+            cs.fields.forall(f => have.get(f.name).contains(f.dataType))) df
+        else df.select(cs.fields.toIndexedSeq.map { f =>
+          have.get(f.name) match {
+            case Some(t) if t == f.dataType => col(f.name)
+            case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      case None => df
+    }
+    val oldC = conform(oldAligned)
+    val newC = conform(newAligned)
+    // legacy fallback (no recorded current schema): align the old side's
+    // types to the new side's — the wide side of a widening
     def castTo(df: DataFrame, target: DataFrame): DataFrame = {
       val want = target.schema.fields.map(x => x.name -> x.dataType).toMap
       if (df.schema.fields.forall(x => want.get(x.name).forall(_ == x.dataType)))
@@ -4534,8 +4611,8 @@ object MergeWriter {
           .fold(col(x.name))(t => col(x.name).cast(t).as(x.name))
       }.toIndexedSeq: _*)
     }
-    graft.operators.Reconcile.snapshotDiff(castTo(oldAligned, newAligned),
-      newAligned, keys, compareCols)
+    graft.operators.Reconcile.snapshotDiff(castTo(oldC, newC),
+      newC, keys, compareCols)
   }
 
   /** Test hook: replay the commit path of a table-creation race LOSER —

@@ -290,4 +290,27 @@ class ColumnIdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, dir)
       .agg(sum("w")).collect().head.getLong(0) == 45L)
   }
+
+  test("catalog scan output attrs stay id-free (ids reach only the reader)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcid.ns")
+    spark.sql("CREATE TABLE gcid.ns.leak (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gcid.ns.leak SELECT id, id FROM range(10)")
+    spark.sql("ALTER TABLE gcid.ns.leak RENAME COLUMN v TO vv")
+    // projection + filter force pushdown re-resolution, where
+    // toOutputAttrs rebuilds attrs from scan.readSchema() — a stamped
+    // readSchema would leak parquet.field.id into the user's plan (and
+    // from there into their own parquet writes, fieldId.write is
+    // default-on)
+    val df = spark.sql("SELECT vv FROM gcid.ns.leak WHERE vv > 2")
+    assert(df.collect().length == 7) // ids still drive the READ mapping
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    val out = qe.optimizedPlan.output ++ qe.executedPlan.output
+    assert(out.forall(a => !a.metadata.contains("parquet.field.id")),
+      "field ids leaked into output attributes: " +
+        out.filter(_.metadata.contains("parquet.field.id")).mkString(", "))
+    spark.sql("DROP TABLE gcid.ns.leak")
+  }
 }

@@ -460,6 +460,73 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(1)).contains("pinned"))
   }
 
+  test("CALL gcat.system.restore: metadata-only rollback to a retained version") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    spark.sql("CREATE TABLE gcat.ns.rst (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='8')")
+    spark.sql("INSERT INTO gcat.ns.rst SELECT id, id FROM range(10)")
+    val vGood = spark.sql("SELECT MAX(version) AS v FROM gcat.ns.rst.history")
+      .collect().head.getLong(0)
+    spark.sql("INSERT INTO gcat.ns.rst VALUES (100, -1)") // the bad commit
+    spark.sql("UPDATE gcat.ns.rst SET v = 0 WHERE id = 3")
+    val filesAtGood = spark.sql(
+      s"SELECT * FROM gcat.ns.rst VERSION AS OF $vGood").inputFiles.toSet
+    spark.sql(s"CALL gcat.system.restore('ns.rst', $vGood)")
+    // the restored state IS version vGood's — served by the SAME files
+    // (nothing copied or rewritten: metadata-only)
+    val cur = spark.table("gcat.ns.rst")
+    assert(cur.count() == 10 && cur.inputFiles.toSet == filesAtGood)
+    assert(spark.sql("SELECT v FROM gcat.ns.rst WHERE id = 3")
+      .collect().head.getLong(0) == 3L)
+    // history rolled FORWARD: the restore is itself a commit...
+    val hist = spark.sql("SELECT version, op FROM gcat.ns.rst.history " +
+      "ORDER BY version DESC").collect()
+    assert(hist.head.getString(1) == "restore")
+    assert(hist.head.getLong(0) > vGood + 2)
+    // ...so the change feed sees the rollback as ordinary keyed changes
+    val feed = spark.sql("SELECT op, id FROM gcat.ns.rst.changes " +
+      s"WHERE _commit_version = ${hist.head.getLong(0)}").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed.contains(("delete", 100L)), s"rollback must retract the " +
+      s"bad insert, got ${feed.mkString(",")}")
+    assert(feed.contains(("update", 3L)))
+    // a non-retained target fails loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL gcat.system.restore('ns.rst', 9999)")
+    }
+    assert(e.getMessage.contains("not retained"))
+    spark.sql("DROP TABLE gcat.ns.rst")
+  }
+
+  test("LOCATION at a foreign committed table is refused; no alias leaks") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    val loc = Files.createTempDirectory("gcat-loc3").toString + "/owned"
+    spark.sql(s"CREATE TABLE gcat.ns.owner (id BIGINT) " +
+      s"TBLPROPERTIES ('keys'='id', 'buckets'='2') LOCATION '$loc'")
+    spark.sql("INSERT INTO gcat.ns.owner SELECT id FROM range(5)")
+    // a second ident at the same LOCATION would ALIAS the owner's data —
+    // and a later DROP through the alias would delete it. Refused before
+    // the pointer ever lands (plain CREATE and staged CTAS both).
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gcat.ns.thief (id BIGINT) " +
+        s"TBLPROPERTIES ('keys'='id') LOCATION '$loc'")
+    }
+    assert(e.getMessage.contains("already holds a committed"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gcat.ns.thief TBLPROPERTIES ('keys'='id') " +
+        s"LOCATION '$loc' AS SELECT 99L AS id")
+    }
+    assert(e2.getMessage.contains("already holds a committed"))
+    // no alias survives the failed statements
+    assert(!spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("thief"))
+    intercept[Exception] { spark.sql("DROP TABLE gcat.ns.thief") }
+    // the owner's table and data are untouched
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.ns.owner")
+      .collect().head.getLong(0) == 5)
+    spark.sql("DROP TABLE gcat.ns.owner")
+  }
+
   test("TBLPROPERTIES fingerprint=true seeds file-level change feeds") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
     spark.sql("DROP TABLE IF EXISTS gcat.ns.fp")

@@ -146,4 +146,40 @@ class GraftMetadataTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
     spark.sql("DROP TABLE gmt.ns.cdc")
   }
+
+  test(".changes spans schema evolution: added columns null-pad, " +
+      "pre-widening windows serve exact wide values") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.ev (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='12')")
+    def ver(): Long = spark.sql(
+      "SELECT MAX(version) AS v FROM gmt.ns.ev.history")
+      .collect().head.getLong(0)
+    spark.sql("INSERT INTO gmt.ns.ev SELECT id, CAST(id AS INT) " +
+      "FROM range(4)")
+    // an extreme negative value: a narrow int slot reinterpreted as a
+    // long would corrupt exactly this
+    spark.sql("INSERT INTO gmt.ns.ev VALUES (0, -2147483648)")
+    val vUpd = ver()
+    spark.sql("ALTER TABLE gmt.ns.ev ADD COLUMNS (score DOUBLE)")
+    spark.sql("INSERT INTO gmt.ns.ev VALUES (10, 7, 0.5)")
+    // the FULL window resolves even though pre-addition versions have no
+    // 'score' — those versions null-pad it
+    val feed = spark.sql("SELECT _commit_version, op, id, new_score " +
+      "FROM gmt.ns.ev.changes ORDER BY _commit_version, id").collect()
+    assert(feed.nonEmpty)
+    assert(feed.filter(_.getLong(0) <= vUpd).forall(_.isNullAt(3)),
+      "pre-addition versions must serve the added column as NULL")
+    assert(feed.exists(r => r.getLong(0) > vUpd && !r.isNullAt(3)))
+    // widen v, then a window CONFINED to pre-widening versions: the
+    // declared schema is BIGINT and the narrow stored values must be
+    // cast, not reinterpreted
+    spark.sql("ALTER TABLE gmt.ns.ev ALTER COLUMN v TYPE BIGINT")
+    val old = spark.sql("SELECT new_v FROM gmt.ns.ev.changes " +
+      s"WHERE _commit_version = $vUpd AND op = 'update'").collect()
+    assert(old.nonEmpty && old.exists(r => r.getLong(0) == -2147483648L),
+      s"pre-widening window must serve the exact widened value, got " +
+        old.map(_.get(0)).mkString(","))
+    spark.sql("DROP TABLE gmt.ns.ev")
+  }
 }
