@@ -801,6 +801,148 @@ object ScaleBench {
       streamBench(base, "sf0.1", 4); streamBench(rep, "rep10", 16)
     }
 
+    // Storage-partitioned joins at scale (round 11): the same co-keyed
+    // join with SPJ on (zero exchanges) vs off (both sides shuffled).
+    // The deleted exchange's cost grows with the data while the SPJ
+    // plan's extra cost is zero — the on/off gap must WIDEN from sf0.1
+    // to rep10. AQE off for a deterministic exchange count; broadcast
+    // off so the small scale measures the same join strategy.
+    def spjBench(dir: String, tag: String, buckets: Int): Unit = {
+      val whRoot = s"$work/spj11/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whRoot))
+      val cname = "gspjb_" + tag.replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", whRoot)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView("spjb_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cname.b")
+      spark.sql(s"""CREATE TABLE $cname.b.ja (event_id BIGINT,
+        user_id BIGINT)
+        TBLPROPERTIES ('keys'='event_id','buckets'='$buckets')""")
+      spark.sql(s"""CREATE TABLE $cname.b.jb (event_id BIGINT,
+        event_type STRING)
+        TBLPROPERTIES ('keys'='event_id','buckets'='$buckets')""")
+      spark.sql(s"INSERT INTO $cname.b.ja " +
+        "SELECT event_id, user_id FROM spjb_src")
+      spark.sql(s"INSERT INTO $cname.b.jb " +
+        "SELECT event_id, event_type FROM spjb_src WHERE event_id % 2 = 0")
+      def run(on: Boolean): (Double, Int, Long) = {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+          on.toString)
+        val df = spark.sql(s"""SELECT a.event_id, a.user_id, b.event_type
+          FROM $cname.b.ja a JOIN $cname.b.jb b
+          ON a.event_id = b.event_id""")
+        // execute the INSPECTED plan (a noop write would re-plan and
+        // leave these metrics untouched)
+        val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution
+        val t0 = System.nanoTime()
+        qe.toRdd.foreach(_ => ())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val exchanges = qe.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => s
+        }
+        val bytes = exchanges
+          .flatMap(_.metrics.get("dataSize").map(_.value)).sum
+        (sec, exchanges.length, bytes)
+      }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (onSec, onSh, onBy) =
+          Seq(run(on = true), run(on = true)).minBy(_._1)
+        val (offSec, offSh, offBy) =
+          Seq(run(on = false), run(on = false)).minBy(_._1)
+        println(f"""{"dir":"$tag","spj_on_sec":$onSec%.2f,"spj_off_sec":$offSec%.2f,"spj_on_shuffles":$onSh,"spj_off_shuffles":$offSh,"spj_on_shuffle_bytes":$onBy,"spj_off_shuffle_bytes":$offBy}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      }
+    }
+    if (sections("spj11")) {
+      spjBench(base, "sf0.1", 16); spjBench(rep, "rep10", 16)
+    }
+
+    // Runtime filtering at scale (round 11): fact ⋈ dim where the
+    // dim's ~20 surviving join keys are only known at RUNTIME (the
+    // flag column is data-dependent, so no static constraint folds
+    // onto the fact side). With DPP on, the fact scan must open a
+    // key-count-bounded file set at BOTH scales while the table's
+    // file count grows ~10× — the flat line is the 100 TB claim.
+    def dppBench(dir: String, tag: String): Unit = {
+      val whRoot = s"$work/dpp11/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whRoot))
+      val cname = "gdppb_" + tag.replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cname.warehouse", whRoot)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"))
+        .createOrReplaceTempView("dppb_src")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cname.b")
+      spark.sql(s"""CREATE TABLE $cname.b.fact (event_id BIGINT,
+        user_id BIGINT)
+        TBLPROPERTIES ('keys'='event_id','buckets'='16',
+        'clusterBy'='event_id')""")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "4096")
+      try spark.sql(s"INSERT INTO $cname.b.fact " +
+        "SELECT event_id, user_id FROM dppb_src")
+      finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+      // 40 candidate keys; ~half survive a data-dependent flag
+      Tables.events(spark, dir).select(col("event_id")).distinct()
+        .orderBy(col("event_id")).limit(40)
+        .withColumn("flag", pmod(hash(col("event_id")), lit(2)))
+        .write.mode("overwrite").parquet(s"$whRoot/dim")
+      spark.read.parquet(s"$whRoot/dim")
+        .createOrReplaceTempView("dppb_dim")
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+        val scans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b
+          }
+        scans.map(_.scan.toBatch.planInputPartitions().collect {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp.files.length
+        }.sum).max
+      }
+      val total = scanFiles(spark.table(s"$cname.b.fact"))
+      def run(on: Boolean): (Double, Int) = {
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+          on.toString)
+        val df = spark.sql(s"""SELECT COUNT(*) AS n, SUM(f.user_id) AS s
+          FROM $cname.b.fact f JOIN dppb_dim d
+          ON f.event_id = d.event_id WHERE d.flag = 0""")
+        val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution
+        val t0 = System.nanoTime()
+        qe.toRdd.foreach(_ => ())
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, scanFiles(df))
+      }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val (onSec, onFiles) =
+          Seq(run(on = true), run(on = true)).minBy(_._1)
+        val (offSec, offFiles) =
+          Seq(run(on = false), run(on = false)).minBy(_._1)
+        println(f"""{"dir":"$tag","dpp_on_sec":$onSec%.2f,"dpp_off_sec":$offSec%.2f,"dpp_on_files":$onFiles,"dpp_off_files":$offFiles,"total_files":$total}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      }
+    }
+    if (sections("dpp11")) { dppBench(base, "sf0.1"); dppBench(rep, "rep10") }
+
     spark.stop()
   }
 }

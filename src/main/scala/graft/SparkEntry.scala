@@ -4438,6 +4438,35 @@ object SparkEntry {
         CAST(SUM(a.user_id) AS BIGINT) AS sum_uid
         FROM $cat.etl.ja a JOIN $cat.etl.jb b
         ON a.event_id = b.event_id GROUP BY b.event_type""")
+    }),
+
+    // Runtime filtering (SPARK-35779): the dim's surviving join keys
+    // reach the fact scan AFTER the broadcast materializes and prune
+    // its manifest to their hash buckets (GraftStreamableParquetScan
+    // .filter) — the fact side opens a key-count-bounded file set
+    // regardless of table size. Values are plain join semantics, so
+    // the oracle is the same join over the raw events table.
+    "q179_runtime_filter_join" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-dpp"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"dpp_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.fact (event_id BIGINT,
+        user_id BIGINT) TBLPROPERTIES ('keys'='event_id','buckets'='16')""")
+      s.sql(s"INSERT INTO $cat.etl.fact " +
+        s"SELECT event_id, user_id FROM dpp_src_$n")
+      s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.fact f JOIN (
+          SELECT DISTINCT event_id FROM dpp_src_$n
+          WHERE event_type = 'view' AND event_id % 97 = 13) d
+        ON f.event_id = d.event_id""")
     })
   )
 
@@ -7754,6 +7783,16 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
+
+    // Plain join semantics — the runtime pruning the Spark side does is
+    // pure I/O removal, never a result change.
+    "q179_runtime_filter_join" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(f.user_id) AS BIGINT) AS sum_uid
+        |FROM events f JOIN (
+        |  SELECT DISTINCT event_id FROM events
+        |  WHERE event_type = 'view' AND event_id % 97 = 13) d
+        |ON f.event_id = d.event_id""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

@@ -1089,7 +1089,7 @@ private[sources] class GraftTableScanBuilder(
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val p = super.build()
-    new GraftStreamableParquetScan(p, man, checkpointLocation => {
+    new GraftStreamableParquetScan(p, tablePath, man, checkpointLocation => {
       require(streamable,
         s"graft catalog: $tablePath is a time-travel pin — one " +
           "immutable version has no change stream to tail")
@@ -1119,6 +1119,7 @@ private[sources] class GraftTableScanBuilder(
   */
 private[sources] class GraftStreamableParquetScan(
     p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    tablePath: String,
     man: MergeWriter.Manifest,
     streamFactory: String => MicroBatchStream)
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
@@ -1128,7 +1129,8 @@ private[sources] class GraftStreamableParquetScan(
       p.readPartitionSchema, p.pushedFilters, p.options,
       p.pushedAggregate, p.partitionFilters, p.dataFilters,
       p.pushedVariantExtractions)
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(p.sparkSession)
 
@@ -1205,9 +1207,73 @@ private[sources] class GraftStreamableParquetScan(
           .UnknownPartitioning(0)
     }
 
+  // ---- RUNTIME FILTERING (SPARK-35779 dynamic data pruning) -------
+  // Dynamic partition pruning hands the BUILD side's collected join-key
+  // values here after the broadcast materializes; the values prune
+  // through the SAME manifest machinery as static predicates — a
+  // fully-pinned key set resolves to its hash buckets driver-side
+  // (Murmur3 write parity, `bucketOfKeyTuple`) and every translated
+  // column prunes files by min/max stats and Bloom sidecars. A
+  // fact-joins-filtered-dim query therefore opens only the buckets the
+  // dim's surviving keys hash to — at 100 TB, the difference between a
+  // full fact scan and a few hundred files. Partition COUNT and bucket
+  // keys are deliberately preserved (pruned splits keep zero files
+  // rather than disappearing) so a plan that already engaged SPJ keeps
+  // its KeyGroupedPartitioning contract after filtering.
+  @volatile private var runtimeKeep
+      : Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns the PRUNED scan still outputs: the optimizer
+    // resolves these against the scan relation's attributes, and a
+    // runtime filter can only ever arrive on a join column — which is
+    // necessarily in the output
+    val avail = readSchema().fieldNames.toSet
+    (man.keyCols ++ man.clusterCols ++ man.bloomCols).distinct
+      .filter(avail.contains).map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // an empty build side arrives as a contradiction — nothing matches
+    if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse])) {
+      runtimeKeep = Some(Set.empty)
+      return
+    }
+    val preds = GraftFileIndex.fromV1Filters(filters.toSeq)
+    if (preds.nonEmpty) {
+      val buckets = GraftFileIndex.keyBuckets(man, p.dataSchema, preds)
+      val survivors = MergeWriter.indexCandidateFiles(
+        p.sparkSession, tablePath, man, preds, buckets)
+      runtimeKeep = Some(survivors.map(_._1.toString).toSet)
+    }
+  }
+
+  private def pruneRuntime(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition],
+      keep: Set[String])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    parts.map {
+      case kp: GraftKeyedFilePartition =>
+        new GraftKeyedFilePartition(kp.index,
+          kp.files.filter(f => keep.contains(f.filePath.toPath.toString)),
+          kp.bucket)
+      case fp: FilePartition =>
+        FilePartition(fp.index,
+          fp.files.filter(f => keep.contains(f.filePath.toPath.toString)))
+      case other => other
+    }
+  }
+
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    keyedPartitions.getOrElse(basePartitions)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val parts = keyedPartitions.getOrElse(basePartitions)
+    runtimeKeep.map(pruneRuntime(parts, _)).getOrElse(parts)
+  }
 
   // the ids must reach ONLY the physical reader (the constructor's
   // readDataSchema, which createReaderFactory hands to parquet):

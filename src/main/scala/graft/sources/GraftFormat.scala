@@ -549,6 +549,33 @@ object GraftFileIndex {
     if (buckets.exists(_.isEmpty)) None else Some(buckets.flatten.toSet)
   }
 
+  /** Ceiling on a RUNTIME In-set translated for pruning: the per-file
+    * stats/Bloom probe is a driver-side loop over values × files, so an
+    * unbounded DPP set on a huge table could cost more to prune than to
+    * scan. Past the cap the filter prunes nothing — the join itself
+    * still applies it exactly.
+    */
+  private[sources] val RuntimeInCap = 10000
+
+  /** Conservative DataSourceV2 runtime-filter translation (the v1
+    * `Filter` shapes [[org.apache.spark.sql.connector.read
+    * .SupportsRuntimeFiltering]] delivers — dynamic partition pruning
+    * hands the build side's collected join-key values as `In`). Same
+    * soundness contract as [[toPredicates]]: every translation keeps a
+    * superset of matching files, unrecognized shapes prune nothing.
+    */
+  private[sources] def fromV1Filters(fs: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[ColumnPredicate] = fs.flatMap {
+    case org.apache.spark.sql.sources.In(c, vs)
+        if vs.nonEmpty && vs.length <= RuntimeInCap && !vs.contains(null) =>
+      Seq(ColumnIn(c, vs.toSeq))
+    case org.apache.spark.sql.sources.EqualTo(c, v) if v != null =>
+      Seq(ColumnRange(c, Some(v), Some(v)))
+    case org.apache.spark.sql.sources.And(l, r) =>
+      fromV1Filters(Seq(l)) ++ fromV1Filters(Seq(r))
+    case _ => Seq.empty
+  }
+
   private def eq(a: AttributeReference, l: Literal): Seq[ColumnPredicate] = {
     val v = scalaOf(l)
     if (v == null) Seq.empty else Seq(ColumnRange(a.name, Some(v), Some(v)))
