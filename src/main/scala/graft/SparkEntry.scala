@@ -4433,11 +4433,23 @@ object SparkEntry {
         s"SELECT event_id, user_id FROM spj_src_$n")
       s.sql(s"INSERT INTO $cat.etl.jb " +
         s"SELECT event_id, event_type FROM spj_src_$n WHERE event_id % 2 = 0")
+      val prevSpj = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql(s"""SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        CAST(SUM(a.user_id) AS BIGINT) AS sum_uid
-        FROM $cat.etl.ja a JOIN $cat.etl.jb b
-        ON a.event_id = b.event_id GROUP BY b.event_type""")
+      try {
+        val df = s.sql(s"""SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(a.user_id) AS BIGINT) AS sum_uid
+          FROM $cat.etl.ja a JOIN $cat.etl.jb b
+          ON a.event_id = b.event_id GROUP BY b.event_type""")
+        // EXECUTE the zero-shuffle plan while the conf holds (a later
+        // count()/write would re-plan under the restored conf), then
+        // hand back the group-by-event-type result — a handful of rows
+        // — as a local frame
+        s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally prevSpj match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }),
 
     // Runtime filtering (SPARK-35779): the dim's surviving join keys

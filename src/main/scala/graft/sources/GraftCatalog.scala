@@ -797,7 +797,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     spec.keys, buckets = spec.buckets,
                     clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
                     bloomItems = spec.bloomItems, relayout = preexisting,
-                    fingerprint = spec.fingerprint)
+                    fingerprint = spec.fingerprint,
+                    expectFresh = !preexisting)
                 }
                 written = true
               }
@@ -1155,7 +1156,11 @@ private[sources] class GraftStreamableParquetScan(
       : Option[Array[org.apache.spark.sql.connector.read.InputPartition]] = {
     import org.apache.spark.sql.execution.datasources.{
       FilePartition, PartitionedFile}
-    if (man.keyCols.isEmpty) None
+    // with the conf off, SPJ can never engage — skip the per-bucket
+    // regrouping entirely and keep vanilla split packing
+    if (man.keyCols.isEmpty ||
+        !p.sparkSession.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)) None
     else {
       val fps = basePartitions.collect { case fp: FilePartition => fp }
       if (fps.length != basePartitions.length) None
@@ -1275,6 +1280,44 @@ private[sources] class GraftStreamableParquetScan(
     runtimeKeep.map(pruneRuntime(parts, _)).getOrElse(parts)
   }
 
+  // ---- EXACT ROW COUNTS FOR THE PLANNER ---------------------------
+  // The manifest records exact live-row counts per file, so the scan
+  // can report numRows for the statically-pruned file set (FileScan
+  // alone gives only compressed bytes × a guessed factor). Join-side
+  // selection — broadcast-vs-shuffle, AQE re-plans, DPP benefit
+  // estimation — keys off these numbers; at 100 TB the difference
+  // between "broadcast the pruned side" and "shuffle both" IS the
+  // query. Counts over kept files are a superset bound under partial
+  // predicates (a kept file may still hold non-matching rows) — the
+  // conservative direction for planning. Buckets without recorded
+  // stats fall back to the inherited estimate.
+  private lazy val rowsByPath: Map[String, Long] =
+    man.epochs.toSeq.flatMap { case (b, e) =>
+      // rows = -1 is the legacy "unknown" sentinel (pre-round-11
+      // unclustered commits) — leave those out so the completeness
+      // check below falls back to the inherited estimate
+      man.stats.getOrElse(b, Seq.empty).filter(_.rows >= 0).map { f =>
+        new Path(MergeWriter.bucketPath(tablePath, e, b),
+          f.name).toString -> f.rows
+      }
+    }.toMap
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = super.estimateStatistics()
+    if (base.numRows.isPresent) return base // aggregate-pushdown paths
+    val listed = p.fileIndex.listFiles(p.partitionFilters, p.dataFilters)
+      .flatMap(_.files)
+    val known = listed.flatMap(f => rowsByPath.get(f.getPath.toString))
+    if (known.length != listed.length) base
+    else new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(known.sum)
+    }
+  }
+
   // the ids must reach ONLY the physical reader (the constructor's
   // readDataSchema, which createReaderFactory hands to parquet):
   // FileScan.readSchema() also becomes the scan relation's OUTPUT
@@ -1329,11 +1372,27 @@ private[sources] class GraftPartitioningIndex(
 
   override def refresh(): Unit = ()
 
+  // one-entry memo: planning consults listFiles with IDENTICAL filters
+  // several times per query (partition planning, split sizing, stats
+  // estimation), and each call walks the manifest's stats/Bloom keep
+  // functions — driver work worth paying once. Sound because the
+  // manifest is pinned at construction: same filters ⇒ same files.
+  @volatile private var lastListing: Option[
+    ((Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]),
+     Seq[PartitionDirectory])] = None
+
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] =
-    inner.listFiles(partitionFilters, dataFilters)
+    lastListing match {
+      case Some((key, v)) if key == ((partitionFilters, dataFilters)) => v
+      case _ =>
+        val v = inner.listFiles(partitionFilters, dataFilters)
+        lastListing = Some(((partitionFilters, dataFilters), v))
+        v
+    }
 
   override def inputFiles: Array[String] = inner.inputFiles
 

@@ -128,9 +128,13 @@ private[sources] class GraftMicroBatchStream(
     // widening commit after the stream resolved its schema) would
     // reinterpret row slots, so fail loudly instead (Delta's mid-stream
     // schema-change behavior): a restart re-resolves the evolved schema.
+    // nullability-insensitive: containsNull/nullable flags vary by
+    // frame provenance (parquet read vs manifest JSON) without any slot
+    // reinterpretation hazard — only a VALUE-type drift is fatal
     streamSchema.fields.foreach { f =>
       val got = picked.schema(f.name).dataType
-      require(got == f.dataType,
+      require(org.apache.spark.sql.GraftColumnShim
+          .sameTypeIgnoreNullability(got, f.dataType),
         s"graft streaming: column '${f.name}' changed type mid-stream " +
           s"($got vs pinned ${f.dataType}) — restart the streaming " +
           "query to pick up the evolved schema")

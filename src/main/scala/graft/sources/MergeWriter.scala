@@ -1262,7 +1262,8 @@ object MergeWriter {
     }
   }
 
-  private def bucketPath(tablePath: String, epoch: String, bucket: Int): String =
+  private[sources] def bucketPath(tablePath: String, epoch: String,
+                                  bucket: Int): String =
     s"$tablePath/$epoch/$BucketCol=$bucket"
 
   /** How many leading columns get per-file min/max recorded — Delta's
@@ -1360,13 +1361,17 @@ object MergeWriter {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     if (!fs.exists(epochRoot)) return Map.empty
-    // column min/max only earn their footer reads on a CLUSTERED table —
-    // an unclustered hash bucket's files span the full value range of
+    // column min/max only earn their keep on a CLUSTERED table — an
+    // unclustered hash bucket's files span the full value range of
     // every column, so no range or point read could ever skip them.
-    // Unclustered tables record bytes-only stats (free, from the listing
-    // the write already does) — still everything auto-split needs.
-    if (!withColumnStats)
-      return fs.listStatus(epochRoot).toSeq
+    // Unclustered tables still record exact ROW counts (one concurrent
+    // footer metadata read per written file, bounded by the commit's
+    // touched buckets — Delta's numRecords baseline): the scan reports
+    // them to the planner (estimateStatistics), and broadcast-vs-
+    // shuffle decisions at 100 TB key off row counts, not min/max.
+    if (!withColumnStats) {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val perBucket = fs.listStatus(epochRoot).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(BucketCol + "="))
         .flatMap { bdir =>
@@ -1376,10 +1381,25 @@ object MergeWriter {
             b -> fs.listStatus(bdir.getPath).toSeq
               .filter(f => !f.isDirectory &&
                 f.getPath.getName.endsWith(".parquet"))
-              .map(f => FileStat(f.getPath.getName, f.getLen, -1L,
-                Map.empty, Map.empty))
+              .map { f => Future {
+                val reader = ParquetFileReader.open(
+                  HadoopInputFile.fromStatus(f, fs.getConf))
+                val rows =
+                  try {
+                    var n = 0L
+                    reader.getFooter.getBlocks.forEach(b =>
+                      n += b.getRowCount)
+                    n
+                  } finally reader.close()
+                FileStat(f.getPath.getName, f.getLen, rows,
+                  Map.empty, Map.empty)
+              } }
           }
-        }.toMap
+        }
+      return perBucket.map { case (b, futures) =>
+        b -> futures.map(Await.result(_, Duration.Inf))
+      }.toMap
+    }
     // footer reads are independent small metadata I/Os — do them
     // concurrently (a commit touching many bucket files would otherwise
     // serialize hundreds of reads on the driver; Delta distributes its
@@ -2108,13 +2128,25 @@ object MergeWriter {
                      bloomItems: Long = DefaultBloomItems,
                      txn: Option[(String, Long)] = None,
                      relayout: Boolean = false,
-                     fingerprint: Boolean = false): Unit = {
+                     fingerprint: Boolean = false,
+                     expectFresh: Boolean = false): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
       s"overwriteTable: frame must not contain reserved column '$BucketCol'")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     val m = currentManifest(fs, dir)
+    // a FRESH CTAS must never adopt-and-replace a table that committed
+    // at this path after the stage-time emptiness check (a racing
+    // CREATE at the same LOCATION): with no prior manifest the commit
+    // below is a version-1 CAS (single winner); with one, fail loudly
+    // instead of silently destroying the other statement's data
+    if (expectFresh) m.foreach { prev =>
+      throw new IllegalStateException(
+        s"overwriteTable: $tablePath already holds a committed table " +
+          s"(version ${prev.version}) — a fresh CREATE cannot adopt or " +
+          "replace it")
+    }
     m.foreach(validateKeys(_, keys, "overwriteTable"))
     if (txn.exists(t => m.exists(_.txns.get(t._1).exists(_ >= t._2)))) return
     // relayout (REPLACE TABLE AS SELECT): the DECLARED layout replaces

@@ -2359,4 +2359,28 @@ class MergeWriterSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((100L, 100)).toDF("id", "v"), Seq("id"), txn = Some(("app", 6L)))
     assert(MergeWriter.readTable(spark, dir).count() == 21)
   }
+
+  test("a fresh-CREATE overwrite refuses to clobber a racing commit") {
+    import spark.implicits._
+    // the CTAS race: statement A passed its stage-time emptiness check,
+    // then B committed a table at the same location while A's source
+    // query ran. A's commit must FAIL, not adopt-and-replace B's data.
+    val dir = Files.createTempDirectory("ctasrace").toString + "/t"
+    val b = Seq((1L, "B")).toDF("id", "who")
+    MergeWriter.merge(spark, dir, b, Seq("id"), buckets = 2)
+    val a = Seq((2L, "A")).toDF("id", "who")
+    val ex = intercept[IllegalStateException] {
+      MergeWriter.overwriteTable(spark, dir, a, Seq("id"), buckets = 2,
+        expectFresh = true)
+    }
+    assert(ex.getMessage.contains("already holds a committed table"))
+    // B's table is untouched
+    val rows = MergeWriter.readTable(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("who") == "B")
+    // and a genuinely fresh path still commits (version-1 CAS)
+    val dir2 = Files.createTempDirectory("ctasrace").toString + "/t2"
+    MergeWriter.overwriteTable(spark, dir2, a, Seq("id"), buckets = 2,
+      expectFresh = true)
+    assert(MergeWriter.readTable(spark, dir2).count() == 1)
+  }
 }
