@@ -142,7 +142,23 @@ object MergeWriter {
                                        mins: Map[String, String],
                                        maxs: Map[String, String],
                                        nulls: Map[String, Long] = Map.empty,
-                                       fp: String = "")
+                                       fp: String = "",
+                                       // DELETION VECTOR (merge-on-read
+                                       // delete, Delta's DV / Iceberg v2
+                                       // position deletes): name of the
+                                       // `_dv/` sidecar holding this
+                                       // file's dead row positions, and
+                                       // how many. Empty ⇔ every stored
+                                       // row is live. A file's min/max/
+                                       // null stats stay SOUND under row
+                                       // removal (they can only widen
+                                       // relative to the live rows —
+                                       // skipping keeps a superset), but
+                                       // exact-count serving must treat
+                                       // `rows` as physical and subtract
+                                       // or bail (statsAggregate bails).
+                                       dv: String = "",
+                                       dvn: Long = 0L)
 
   /** `clusterCols` (recorded at creation, like `keyCols`) order rows
     * WITHIN each bucket file write (`sortWithinPartitions` — a local
@@ -239,7 +255,24 @@ object MergeWriter {
                                        // column of the same name cannot
                                        // resurrect dropped data. 0 ⇔ not
                                        // id-stamped.
-                                       nextColId: Long = 0L)
+                                       nextColId: Long = 0L,
+                                       // DELETION-VECTOR policy (opt-in
+                                       // at creation, like fingerprint):
+                                       // when true, a small keyed delete
+                                       // commits per-file dead-position
+                                       // sidecars instead of rewriting
+                                       // its touched buckets — write
+                                       // I/O ∝ deleted rows, not bucket
+                                       // bytes. Reads filter dead rows
+                                       // through [[readWithSchema]]'s
+                                       // DV-aware core; compaction
+                                       // purges. Between a DV commit and
+                                       // the next compaction, catalog /
+                                       // format("graft") scans serve the
+                                       // table through a V1 bridge (the
+                                       // native parquet scan cannot
+                                       // position-filter).
+                                       deleteVectors: Boolean = false)
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -324,7 +357,10 @@ object MergeWriter {
         FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
           strMap(f.get("min")), strMap(f.get("max")), nulls.toMap,
           // absent in pre-fingerprint manifests — backward compatible
-          Option(f.get("h")).map(_.asText()).getOrElse(""))
+          Option(f.get("h")).map(_.asText()).getOrElse(""),
+          // absent in pre-deletion-vector manifests — backward compatible
+          Option(f.get("dv")).map(_.asText()).getOrElse(""),
+          Option(f.get("dvn")).map(_.asLong()).getOrElse(0L))
       }
     })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
@@ -349,7 +385,9 @@ object MergeWriter {
         n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
         b.result()
       }.getOrElse(Map.empty),
-      Option(node.get("ncid")).map(_.asLong()).getOrElse(0L))
+      Option(node.get("ncid")).map(_.asLong()).getOrElse(0L),
+      // absent in pre-deletion-vector manifests — backward compatible
+      Option(node.get("dvs")).exists(_.asBoolean()))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -400,6 +438,7 @@ object MergeWriter {
       .append(if (m.retainMs != 0L) ",\"retainms\":" + m.retainMs else "")
       .append(if (m.fingerprint) ",\"fpr\":true" else "")
       .append(if (m.keysChecked) ",\"kchk\":true" else "")
+      .append(if (m.deleteVectors) ",\"dvs\":true" else "")
       .append(if (m.colIds.nonEmpty)
         ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
           jsonStr(c) + ":" + id }.mkString(",") + "}" +
@@ -419,6 +458,8 @@ object MergeWriter {
                   .map { case (k, v) => jsonStr(k) + ":" + v }
                   .mkString("{", ",", "}")) +
               (if (fs.fp.isEmpty) "" else ",\"h\":" + jsonStr(fs.fp)) +
+              (if (fs.dv.isEmpty) "" else
+                ",\"dv\":" + jsonStr(fs.dv) + ",\"dvn\":" + fs.dvn) +
               "}").mkString(",") + "]"
         }.mkString(",") + "}"
       } else "")
@@ -692,6 +733,19 @@ object MergeWriter {
             now - st.getModificationTime > orphanRetentionMs)
           fs.delete(st.getPath, true)
       }
+    }
+    // deletion-vector sidecars: reclaim the ones no retained manifest
+    // references (superseded by a later DV commit's merged sidecar, or
+    // purged by compaction), age-guarded like epochs — a young orphan
+    // may be a concurrent DV delete mid-commit
+    val referencedDvs = keptManifests.iterator
+      .flatMap(_.stats.valuesIterator.flatMap(_.iterator
+        .map(_.dv).filter(_.nonEmpty))).toSet
+    val dvDir = new Path(dir, DvDirName)
+    if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+      if (!st.isDirectory && !referencedDvs.contains(st.getPath.getName) &&
+          now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, false)
     }
   }
 
@@ -1805,8 +1859,8 @@ object MergeWriter {
     * (legacy) fall back to the footer merge once; their next commit
     * records the schema.
     */
-  private def readWithSchema(spark: SparkSession, m: Manifest,
-                             paths: Seq[String]): DataFrame =
+  private def readPlain(spark: SparkSession, m: Manifest,
+                        paths: Seq[String]): DataFrame =
     m.schema match {
       case Some(s) =>
         val sch = DataType.fromJson(s).asInstanceOf[StructType]
@@ -1821,6 +1875,303 @@ object MergeWriter {
         } else spark.read.schema(sch).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+
+  // ---- deletion vectors (merge-on-read deletes) ----------------------------
+
+  /** Directory under the table root holding deletion-vector sidecars
+    * (underscore ⇒ invisible to parquet reads, like `_blooms.json`).
+    * One JSON per DV commit: `{"files": {"e-…/__bucket=K/part-….parquet":
+    * [pos, …], …}}` — each entry the FULL (old ∪ new) dead-position set
+    * of its file, so a file carries at most one live sidecar reference.
+    * Sidecars referenced by any retained manifest survive gc; the rest
+    * reclaim after the orphan window.
+    */
+  private[sources] val DvDirName = "_dv"
+
+  /** Ceiling on dead positions resolved per DV commit: the position set
+    * travels driver-side into the commit (and into read plans as an
+    * `InSet`), so it must stay metadata-sized. Past the cap the delete
+    * falls back to the ordinary bucket rewrite — correct either way,
+    * the DV path is purely an I/O optimization.
+    */
+  private[sources] val DvMaxPositionsPerCommit: Long = 100000L
+
+  /** DV'd-file count past which a DV commit auto-compacts (advisory,
+    * like auto-compaction): every DV'd file is one extra union branch
+    * in read plans and one V1-bridged SQL scan, so pressure must drain.
+    */
+  private[sources] val DvAutoCompactFiles: Int = 64
+
+  /** True iff any live file of the manifest carries a deletion vector —
+    * the read-side dispatch: DV-free manifests (every table that never
+    * opted in, and every DV table right after compaction) keep the
+    * native single-relation plan everywhere.
+    */
+  private[sources] def hasLiveDvs(m: Manifest): Boolean =
+    m.stats.valuesIterator.exists(_.exists(_.dv.nonEmpty))
+
+  /** A bucket's CONFLICT-DETECTION identity: its epoch pointer PLUS its
+    * files' deletion-vector references. A DV commit changes a bucket's
+    * logical content WITHOUT moving its pointer, so every "did this
+    * bucket change under me" decision (optimistic rebase, scan-to-commit
+    * guards, change-feed bucket pruning) must compare this signature —
+    * pointer equality alone would let a rebasing merge clobber a
+    * concurrent DV delete's positions (resurrecting deleted rows) and
+    * let a feed skip a bucket whose rows a DV just killed.
+    */
+  private def bucketSig(m: Manifest, b: Int)
+      : (Option[String], Seq[(String, String)]) =
+    (m.epochs.get(b),
+      m.stats.get(b).map(_.collect {
+        case f if f.dv.nonEmpty => (f.name, f.dv)
+      }.sortBy(_._1)).getOrElse(Seq.empty))
+
+  private def bucketSigOpt(m: Option[Manifest], b: Int)
+      : (Option[String], Seq[(String, String)]) =
+    m.map(bucketSig(_, b)).getOrElse((None, Seq.empty))
+
+  private def writeDvSidecar(fs: FileSystem, tableRoot: String, name: String,
+                             entries: Map[String, Array[Long]]): Unit = {
+    val body = "{\"files\":{" + entries.toSeq.sortBy(_._1)
+      .map { case (k, ps) => jsonStr(k) + ":[" + ps.mkString(",") + "]" }
+      .mkString(",") + "}}"
+    val p = new Path(s"$tableRoot/$DvDirName/$name")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** MERGE-ON-READ keyed delete (Delta's deletion vectors / Iceberg v2
+    * position deletes, on this protocol): resolve the doomed keys' LIVE
+    * row positions (one pruned, DV-filtered read of the touched buckets
+    * — reads only key columns plus file metadata, writes nothing bucket-
+    * sized), stage ONE `_dv/` sidecar holding each touched file's full
+    * dead-position set, and commit the next manifest version with the
+    * files' `dv` references updated — epoch pointers unmoved, write I/O
+    * ∝ deleted rows instead of ∝ touched-bucket bytes. At 100 TB with
+    * 256 MB buckets, a 100-key purge spread over 100 buckets is ~KBs of
+    * sidecar instead of ~25 GB of rewrite — the reference's deleted-item
+    * reconciliation (T19) and right-to-be-forgotten purges are exactly
+    * this shape. Readers filter dead positions through [[readDvAware]];
+    * compaction purges (fresh stats carry no `dv`), and commits racing a
+    * DV delete conflict through [[bucketSig]] (pointer + DV identity).
+    *
+    * Returns false — caller falls back to the copy-on-write rewrite —
+    * when the delete is too large to stay metadata-sized
+    * ([[DvMaxPositionsPerCommit]]) or a touched bucket lacks per-file
+    * stats (nowhere to hang the reference). Returns true when the
+    * delete committed OR proved a no-op (no stored row matches).
+    */
+  private def dvDelete(spark: SparkSession, fs: FileSystem,
+                       tablePath: String, man: Manifest,
+                       del: DataFrame, keys: Seq[String],
+                       touched: Seq[Int]): Boolean = {
+    val touchedStored = touched.filter(man.epochs.contains)
+    if (touchedStored.isEmpty) return true
+    if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
+      return false
+    if (del.count() > DvMaxPositionsPerCommit) return false
+    val paths = touchedStored.map(b =>
+      bucketPath(tablePath, man.epochs(b), b))
+    // LIVE rows matching the doomed keys, with physical positions: the
+    // DV-aware read keeps already-dead rows out, so the collected set is
+    // ≤ one row per doomed key (keyed-table invariant) — bounded by the
+    // cap checked above
+    val hits = readDvAware(spark, man, tablePath, paths, withPos = true)
+      .join(del.drop(BucketCol), keys, "left_semi")
+      .select(col("__graft_file"), col("__graft_pos"))
+      .collect()
+    if (hits.isEmpty) return true
+    val newDead: Map[String, Array[Long]] = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    // the sidecar entry carries the file's FULL (old ∪ new) dead set, so
+    // each file keeps exactly one live sidecar reference
+    val priorRefs = dvFileRefs(man).filter { case (k, _) =>
+      newDead.contains(k) }
+    val priorPos = dvPositions(fs, tablePath, priorRefs)
+    val mergedDead: Map[String, Array[Long]] = newDead.map { case (k, ps) =>
+      k -> (priorPos.getOrElse(k, Array.empty[Long]) ++ ps).distinct.sorted
+    }
+    val sidecar = "dv-" + UUID.randomUUID() + ".json"
+    // sidecar first, manifest last — the protocol's normal dance; a
+    // failed commit leaves an unreferenced sidecar for gc's age guard
+    writeDvSidecar(fs, tablePath, sidecar, mergedDead)
+    val relKeysByBucket: Map[Int, Map[String, Array[Long]]] =
+      touchedStored.map { b =>
+        b -> mergedDead.filter { case (k, _) =>
+          k.startsWith(s"${man.epochs(b)}/$BucketCol=$b/") }
+      }.toMap
+    var base = man
+    var attempt = 0
+    while (true) {
+      val stats2 = base.stats.map { case (b, fss) =>
+        relKeysByBucket.get(b).filter(_.nonEmpty) match {
+          case Some(dead) =>
+            b -> fss.map { f =>
+              dead.get(dvRelKey(base.epochs(b), b, f.name)) match {
+                case Some(ps) => f.copy(dv = sidecar, dvn = ps.length.toLong)
+                case None => f
+              }
+            }
+          case None => b -> fss
+        }
+      }
+      try {
+        commitManifest(fs, new Path(tablePath),
+          base.copy(version = base.version + 1, stats = stats2,
+            op = "delete", opTs = System.currentTimeMillis()))
+        // DV pressure drain (advisory, like auto-compaction): every DV'd
+        // file is one extra union branch in read plans and keeps SQL
+        // scans on the V1 bridge — past the ceiling, purge via compact
+        if (dvFileRefs(base.copy(stats = stats2)).size >= DvAutoCompactFiles)
+          try compact(spark, tablePath)
+          catch {
+            case _: java.io.IOException => ()
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        return true
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          val cur = currentManifest(fs, new Path(tablePath))
+            .getOrElse(throw e)
+          // rebase iff nothing this delete read-modified moved: same
+          // modulus and schema, and every touched bucket's signature
+          // (pointer + DV identity) unchanged since the positions were
+          // resolved — anything else means the resolved positions are
+          // stale (a rewrite renumbered rows, a racing DV marked more)
+          val contested = cur.buckets != man.buckets ||
+            cur.schema != man.schema ||
+            touchedStored.exists(b => bucketSig(cur, b) != bucketSig(man, b))
+          if (contested)
+            throw new java.util.ConcurrentModificationException(
+              s"delete: concurrent writer rewrote contested state of " +
+                s"$tablePath (version ${cur.version}) under a deletion-" +
+                "vector delete — re-run against the new table state")
+          base = cur
+      }
+    }
+    false // unreachable
+  }
+
+  /** Relative file key of a bucket file — the suffix `_metadata
+    * .file_path` resolves to via `substring_index(·, "/", -3)`:
+    * `e-<uuid>/__bucket=K/<name>`. Globally unique (uuid epochs).
+    */
+  private def dvRelKey(epoch: String, b: Int, name: String): String =
+    s"$epoch/$BucketCol=$b/$name"
+
+  /** relative file key → FileStat, for every live DV'd file. */
+  private def dvFileRefs(m: Manifest): Map[String, FileStat] =
+    m.epochs.flatMap { case (b, e) =>
+      m.stats.getOrElse(b, Seq.empty).collect {
+        case f if f.dv.nonEmpty => dvRelKey(e, b, f.name) -> f
+      }
+    }
+
+  /** Dead positions of the given relative file keys, resolved from their
+    * sidecars (each sidecar read once). A missing sidecar or entry fails
+    * loudly — serving a DV'd file UNFILTERED would resurrect deleted
+    * rows, the one lie this layer must never tell.
+    */
+  private def dvPositions(fs: FileSystem, tableRoot: String,
+                          refs: Map[String, FileStat])
+      : Map[String, Array[Long]] = {
+    val bySidecar = refs.groupBy(_._2.dv)
+    bySidecar.flatMap { case (sidecar, fileRefs) =>
+      val p = new Path(s"$tableRoot/$DvDirName/$sidecar")
+      val node = readJsonFile(fs, p)
+      val files = Option(node.get("files")).getOrElse(
+        throw new IllegalStateException(
+          s"deletion-vector sidecar $p has no 'files' entry"))
+      fileRefs.keys.map { relKey =>
+        val arr = Option(files.get(relKey)).getOrElse(
+          throw new IllegalStateException(
+            s"deletion-vector sidecar $p has no entry for $relKey"))
+        relKey -> (0 until arr.size()).map(arr.get(_).asLong()).toArray
+      }
+    }
+  }
+
+  /** The DV-aware read core behind [[readWithSchema]]: splits the asked
+    * paths into DV-free reads (ONE native multi-path parquet relation —
+    * the unchanged hot path) and per-DV'd-file reads filtered by
+    * `_metadata.row_index NOT IN positions` (`InSet` — O(1)/row), then
+    * unions. `withPos` additionally surfaces each row's relative file
+    * key and position as `__graft_file`/`__graft_pos` (the DV WRITE path
+    * needs them; metadata columns do not survive a union, so they must
+    * be projected per relation).
+    */
+  private def readDvAware(spark: SparkSession, m: Manifest, root: String,
+                          paths: Seq[String], withPos: Boolean): DataFrame = {
+    val refs = if (m.schema.isEmpty) Map.empty[String, FileStat]
+               else dvFileRefs(m)
+    def posCols(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df
+        .withColumn("__graft_file",
+          substring_index(col("_metadata.file_path"), "/", -3))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+    if (refs.isEmpty) return posCols(readPlain(spark, m, paths))
+    // classify: a path is either a single file (endsWith .parquet) or a
+    // bucket directory; a directory containing DV'd files expands to its
+    // manifest-listed file set so clean siblings keep the fast path
+    def suffixMatch(p: String, suffix: String): Boolean =
+      p == suffix || p.endsWith("/" + suffix)
+    val dirOfRef: Map[String, Seq[String]] = refs.keys.toSeq
+      .groupBy(k => k.substring(0, k.lastIndexOf('/')))
+    val clean = Seq.newBuilder[String]
+    val dvReads = Seq.newBuilder[(String, String)] // (absolute path, relKey)
+    paths.foreach { p =>
+      if (p.endsWith(".parquet")) {
+        refs.keys.find(suffixMatch(p, _)) match {
+          case Some(k) => dvReads += ((p, k))
+          case None => clean += p
+        }
+      } else {
+        dirOfRef.keys.find(suffixMatch(p, _)) match {
+          case Some(relDir) =>
+            // expand: the manifest's stats list EVERY file of the bucket
+            val b = relDir.substring(relDir.lastIndexOf('=') + 1).toInt
+            m.stats.getOrElse(b, Seq.empty).foreach { f =>
+              val k = dvRelKey(m.epochs(b), b, f.name)
+              if (refs.contains(k)) dvReads += ((s"$p/${f.name}", k))
+              else clean += s"$p/${f.name}"
+            }
+          case None => clean += p
+        }
+      }
+    }
+    val dvList = dvReads.result()
+    val cleanList = clean.result()
+    val positions = dvPositions(fsFor(spark, root), root,
+      refs.filter { case (k, _) => dvList.exists(_._2 == k) })
+    val parts =
+      (if (cleanList.nonEmpty) Seq(posCols(readPlain(spark, m, cleanList)))
+       else Seq.empty) ++
+      dvList.map { case (p, k) =>
+        val dead = positions(k)
+        posCols(readPlain(spark, m, Seq(p))
+          .where(!col("_metadata.row_index")
+            .isInCollection(dead.toSeq.map(java.lang.Long.valueOf))))
+      }
+    parts.reduce(_ union _)
+  }
+
+  /** Read committed epoch data with the manifest-recorded schema — a
+    * zero-job plan step, vs. `mergeSchema=true`'s distributed footer-merge
+    * (O(files) tasks on EVERY read of EVERY table). Pre-schema manifests
+    * (legacy) fall back to the footer merge once; their next commit
+    * records the schema. DV-bearing manifests route through the
+    * deletion-vector filter ([[readDvAware]]) — dead rows are invisible
+    * to every read built on this core (snapshots, point lookups, range
+    * reads, feeds, compaction/split survivor reads).
+    */
+  private def readWithSchema(spark: SparkSession, m: Manifest, root: String,
+                             paths: Seq[String]): DataFrame =
+    if (!hasLiveDvs(m)) readPlain(spark, m, paths)
+    else readDvAware(spark, m, root, paths, withPos = false)
 
   // ---- stable column identity (parquet field ids) --------------------------
 
@@ -1950,7 +2301,8 @@ object MergeWriter {
             bloomBy: Seq[String] = Seq.empty,
             bloomItems: Long = DefaultBloomItems,
             txn: Option[(String, Long)] = None,
-            fingerprint: Boolean = false): Unit = {
+            fingerprint: Boolean = false,
+            deleteVectors: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -2011,14 +2363,14 @@ object MergeWriter {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
-            bloomN = bloomItems, fpSeed = fingerprint)
+            bloomN = bloomItems, fpSeed = fingerprint, dvSeed = deleteVectors)
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val survivors =
             if (existingPaths.isEmpty) None
-            else Some(readWithSchema(spark, man, existingPaths)
+            else Some(readWithSchema(spark, man, tablePath, existingPaths)
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti"))
           val merged = survivors match {
             case None => inc.drop(BucketCol)
@@ -2096,7 +2448,7 @@ object MergeWriter {
           val existingPaths = touched.flatMap(b =>
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
-          else readWithSchema(spark, man, existingPaths).select(cols: _*)
+          else readWithSchema(spark, man, tablePath, existingPaths).select(cols: _*)
             .unionByName(inc.drop(BucketCol).select(cols: _*))
             .groupBy(keys.map(col): _*)
             .agg(sum(addCols.head).as(addCols.head),
@@ -2129,6 +2481,7 @@ object MergeWriter {
                      txn: Option[(String, Long)] = None,
                      relayout: Boolean = false,
                      fingerprint: Boolean = false,
+                     deleteVectors: Boolean = false,
                      expectFresh: Boolean = false): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
@@ -2159,12 +2512,12 @@ object MergeWriter {
     val base = if (relayout)
       m.map(_.copy(buckets = nb, clusterCols = cluster,
         bloomCols = bloomBy, bloomItems = bloomItems,
-        fingerprint = fingerprint))
+        fingerprint = fingerprint, deleteVectors = deleteVectors))
     else m
     writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, base, txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
-      opName = "overwrite", fpSeed = fingerprint)
+      opName = "overwrite", fpSeed = fingerprint, dvSeed = deleteVectors)
     gc(fs, dir)
   }
 
@@ -2184,7 +2537,8 @@ object MergeWriter {
                   bloomItems: Long = DefaultBloomItems,
                   retainVersions: Int = KeepManifests,
                   retainMs: Long = 0L,
-                  fingerprint: Boolean = false): Unit = {
+                  fingerprint: Boolean = false,
+                  deleteVectors: Boolean = false): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
     val names = schema.fieldNames.toSet
     keys.foreach(k => require(names.contains(k),
@@ -2216,7 +2570,8 @@ object MergeWriter {
       // field ids, so RENAME/DROP COLUMN are metadata-only from day one
       colIds = clean.fields.zipWithIndex
         .map { case (f, i) => f.name -> (i + 1L) }.toMap,
-      nextColId = clean.fields.length + 1L))
+      nextColId = clean.fields.length + 1L,
+      deleteVectors = deleteVectors))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -2360,7 +2715,7 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tableRoot, e, b)))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
           else {
-            val sv = readWithSchema(spark, man, existingPaths)
+            val sv = readWithSchema(spark, man, tableRoot, existingPaths)
               .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti")
             // ADDITIVE schema evolution, same semantics as [[merge]]'s
             // evolveSchema: untouched rows null-fill the new columns
@@ -2529,7 +2884,7 @@ object MergeWriter {
           s"(members: ${man.tables.keys.toSeq.sorted.mkString(", ")})"))
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
-    stripFrame(readWithSchema(spark, m, paths))
+    stripFrame(readWithSchema(spark, m, s"$groupPath/$name", paths))
   }
 
   /** Post-commit auto-maintenance for the members a group load touched
@@ -2705,7 +3060,7 @@ object MergeWriter {
           s"$version (members: ${tables.keys.toSeq.sorted.mkString(", ")})"))
     val paths = m.epochs.toSeq.sortBy(_._1)
       .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
-    stripFrame(readWithSchema(spark, m, paths))
+    stripFrame(readWithSchema(spark, m, s"$groupPath/$name", paths))
   }
 
   /** Operational introspection for groups ([[describeTable]] at group
@@ -3005,7 +3360,7 @@ object MergeWriter {
             man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
           val existing =
             if (existingPaths.isEmpty) None
-            else Some(readWithSchema(spark, man, existingPaths))
+            else Some(readWithSchema(spark, man, tablePath, existingPaths))
           // one frame, newest version per key wins; on version ties the
           // stored row (__pri 0) outranks the incoming one
           val all = existing match {
@@ -3133,7 +3488,8 @@ object MergeWriter {
                                   bloomCols: Seq[String] = Seq.empty,
                                   bloomN: Long = DefaultBloomItems,
                                   opName: String = "merge",
-                                  fpSeed: Boolean = false): Unit = {
+                                  fpSeed: Boolean = false,
+                                  dvSeed: Boolean = false): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
     // carries each column's id forward by name and assigns FRESH ids to
@@ -3249,7 +3605,10 @@ object MergeWriter {
             // above, so ids can never collide)
             colIds = colIds,
             nextColId = math.max(nextColId,
-              base.map(_.nextColId).getOrElse(0L))))
+              base.map(_.nextColId).getOrElse(0L)),
+            // the deletion-vector policy rides every commit forward,
+            // like fingerprint; the param only seeds creation
+            deleteVectors = base.map(_.deleteVectors).getOrElse(dvSeed)))
         return
       } catch {
         case e: java.io.IOException =>
@@ -3258,11 +3617,12 @@ object MergeWriter {
           val cur = currentManifest(fs, new Path(tablePath)).getOrElse(
             throw e) // commit failed yet no manifest: surface the original
           // data conflict iff any bucket THIS write read-modified changed
-          // pointer since it was read, or the schema moved underneath us
-          // (on a CREATION race, "moved" means the winner created a table
-          // of a different schema than the one being written)
+          // pointer OR deletion-vector state since it was read, or the
+          // schema moved underneath us (on a CREATION race, "moved" means
+          // the winner created a table of a different schema than the one
+          // being written)
           val conflicting = mine.exists(b =>
-            cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
+            bucketSig(cur, b) != bucketSigOpt(prev, b))
           // nullability-insensitive: the same logical schema serializes
           // with different nullability by provenance (Seq-derived vs
           // parquet-read frames)
@@ -3289,7 +3649,7 @@ object MergeWriter {
           val keyConflict = cur.keyCols.nonEmpty && cur.keyCols != keys
           if (conflicting || schemaConflict || bucketConflict || keyConflict) {
             val diff = mine.filter(b =>
-              cur.epochs.get(b) != prev.flatMap(_.epochs.get(b)))
+              bucketSig(cur, b) != bucketSigOpt(prev, b))
             throw new java.util.ConcurrentModificationException(
               s"merge: concurrent writer rewrote contested buckets " +
                 s"${diff.toSeq.sorted.mkString("{", ",", "}")} of " +
@@ -3350,7 +3710,7 @@ object MergeWriter {
       val schemaMoved = scanned.schema != man.schema
       val moved =
         if (modulusMoved) touched
-        else touched.filter(b => scanned.epochs.get(b) != man.epochs.get(b))
+        else touched.filter(b => bucketSig(scanned, b) != bucketSig(man, b))
       if (modulusMoved || schemaMoved || moved.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op: a concurrent writer committed to $tablePath between the " +
@@ -3393,12 +3753,20 @@ object MergeWriter {
         // no stored bucket holds any of these keys — nothing to rewrite,
         // and committing a no-change version would just churn gc
         if (existingPaths.isEmpty) return
-        val survivors = readWithSchema(spark, man, existingPaths)
-          .join(del.drop(BucketCol), keys, "left_anti")
-        val touchedStored = touched.filter(man.epochs.contains).toSet
-        writeEpochAndCommit(spark, fs, tablePath, survivors, keys,
-          man.buckets, Some(man), dropBuckets = touchedStored,
-          opName = "delete")
+        // DELETION-VECTOR fast path (opt-in policy): commit per-file
+        // dead positions instead of rewriting the touched buckets —
+        // write I/O ∝ deleted rows. Falls back to the rewrite when the
+        // delete is too large to stay metadata-sized (or stats are
+        // missing) — correct either way.
+        if (!(man.deleteVectors &&
+              dvDelete(spark, fs, tablePath, man, del, keys, touched))) {
+          val survivors = readWithSchema(spark, man, tablePath, existingPaths)
+            .join(del.drop(BucketCol), keys, "left_anti")
+          val touchedStored = touched.filter(man.epochs.contains).toSet
+          writeEpochAndCommit(spark, fs, tablePath, survivors, keys,
+            man.buckets, Some(man), dropBuckets = touchedStored,
+            opName = "delete")
+        }
         gc(fs, dir)
         maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
       } finally { del.unpersist(); () }
@@ -3457,7 +3825,7 @@ object MergeWriter {
         .union(del.select(keys.map(col): _*)).distinct()
       val survivors =
         if (existingPaths.isEmpty) None
-        else Some(readWithSchema(spark, man, existingPaths)
+        else Some(readWithSchema(spark, man, tablePath, existingPaths)
           .join(gone, keys, "left_anti"))
       val merged = survivors match {
         case None => up.drop(BucketCol)
@@ -3611,13 +3979,24 @@ object MergeWriter {
     val epochSchema = man.schema.map(s =>
       stampSchema(DataType.fromJson(s).asInstanceOf[StructType], man.colIds)
         .add(BucketCol, IntegerType))
-    val live = man.epochs.groupBy(_._2)
-      .map { case (e, m) =>
-        epochSchema.fold(
-          spark.read.option("mergeSchema", "true").parquet(s"$tableRoot/$e"))(
-          sch => spark.read.schema(sch).parquet(s"$tableRoot/$e"))
-          .filter(col(BucketCol).isin(m.keys.toSeq: _*))
-      }
+    val live: Iterable[DataFrame] =
+      if (hasLiveDvs(man))
+        // deletion vectors present: read each bucket through the
+        // DV-filtering core (dead rows must not survive the rewrite) and
+        // re-derive the physical bucket column — this rewrite is also
+        // what PURGES the vectors (fresh stats below carry no `dv`)
+        man.epochs.toSeq.sortBy(_._1).map { case (b, e) =>
+          readWithSchema(spark, man, tableRoot,
+            Seq(bucketPath(tableRoot, e, b)))
+            .withColumn(BucketCol, lit(b))
+        }
+      else man.epochs.groupBy(_._2)
+        .map { case (e, m) =>
+          epochSchema.fold(
+            spark.read.option("mergeSchema", "true").parquet(s"$tableRoot/$e"))(
+            sch => spark.read.schema(sch).parquet(s"$tableRoot/$e"))
+            .filter(col(BucketCol).isin(m.keys.toSeq: _*))
+        }
     val epoch = "e-" + UUID.randomUUID()
     val clustered = clusterSort(
       live.reduce(_ unionByName _).repartition(col(BucketCol)),
@@ -3696,7 +4075,7 @@ object MergeWriter {
     if (paths.isEmpty) man.copy(buckets = nb2, keyCols = keyRec)
     else {
       val epoch = "e-" + UUID.randomUUID()
-      val rebinned = readWithSchema(spark, man, paths)
+      val rebinned = readWithSchema(spark, man, tableRoot, paths)
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb2)))
       // clustering survives the split as a LOCAL sort (still no
       // exchange in the plan — sortWithinPartitions orders each scan
@@ -3726,7 +4105,7 @@ object MergeWriter {
       case Some(m) =>
         val paths = m.epochs.toSeq.sortBy(_._1)
           .map { case (b, e) => bucketPath(tablePath, e, b) }
-        stripFrame(readWithSchema(spark, m, paths))
+        stripFrame(readWithSchema(spark, m, tablePath, paths))
       case None => spark.read.parquet(tablePath).drop(BucketCol)
     }
   }
@@ -3760,7 +4139,7 @@ object MergeWriter {
       .map { case (b, e) => bucketPath(tablePath, e, b) }
     // each retained version reads with ITS OWN recorded schema — a pinned
     // read before an evolution (or a rename) sees the old columns
-    stripFrame(readWithSchema(spark, m, paths))
+    stripFrame(readWithSchema(spark, m, tablePath, paths))
   }
 
   /** [[readTableWhere]] AS OF a retained version: data skipping composes
@@ -3909,7 +4288,7 @@ object MergeWriter {
       }
     }
     val base =
-      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, paths))
+      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, tableRoot, paths))
       else man.schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -4129,7 +4508,7 @@ object MergeWriter {
       }
     }
     val base =
-      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, paths))
+      if (paths.nonEmpty) stripFrame(readWithSchema(spark, man, tableRoot, paths))
       else schema match {
         case Some(s) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -4204,6 +4583,11 @@ object MergeWriter {
           return scanFallback()
         val files = statsPerBucket.flatMap(_.get)
         if (files.exists(_.rows < 0)) return scanFallback()
+        // deletion vectors make per-file counts and min/max stale
+        // relative to LIVE rows (a dead row may have been the min) —
+        // metadata can no longer answer exactly, so scan (compaction
+        // purges the vectors and restores the metadata-only path)
+        if (files.exists(_.dvn > 0)) return scanFallback()
         val colTypes = minMaxCols.map(c =>
           schema.get.fields.find(_.name == c).map(_.dataType))
         if (colTypes.exists(_.isEmpty)) return scanFallback()
@@ -4527,8 +4911,12 @@ object MergeWriter {
     val bothSchemas = mFrom.schema.isDefined && mTo.schema.isDefined
     val (oldDf, newDf) =
       if (sameModulus && bothSchemas) {
+        // "changed" compares the full bucket SIGNATURE (epoch pointer +
+        // deletion-vector identity): a DV delete changes a bucket's
+        // logical rows without moving its pointer, and skipping it would
+        // silently drop the feed's delete rows
         val changed = (mFrom.epochs.keySet ++ mTo.epochs.keySet)
-          .filter(b => mFrom.epochs.get(b) != mTo.epochs.get(b))
+          .filter(b => bucketSig(mFrom, b) != bucketSig(mTo, b))
         // FILE granularity inside a changed bucket (fingerprint tables):
         // a merge rewrites the whole bucket, but the rewrite reproduces
         // every file whose row prefix was untouched — pair old/new files
@@ -4543,8 +4931,14 @@ object MergeWriter {
         def pairedDrop(b: Int): (Set[String], Set[String]) = {
           (mFrom.stats.get(b), mTo.stats.get(b)) match {
             case (Some(of), Some(nf)) =>
-              val oldByFp = of.filter(_.fp.nonEmpty).groupBy(_.fp)
-              val newByFp = nf.filter(_.fp.nonEmpty).groupBy(_.fp)
+              // pairing identity = content fingerprint PLUS deletion-
+              // vector reference: a file whose physical bytes match but
+              // whose DV moved between the versions holds DIFFERENT live
+              // rows on the two sides and must diff, while an untouched
+              // DV'd file (same fp, same dv) still pairs and skips
+              def pairKey(f: FileStat): String = f.fp + " " + f.dv
+              val oldByFp = of.filter(_.fp.nonEmpty).groupBy(pairKey)
+              val newByFp = nf.filter(_.fp.nonEmpty).groupBy(pairKey)
               val dropsO = Set.newBuilder[String]
               val dropsN = Set.newBuilder[String]
               oldByFp.foreach { case (fp, ofs) =>
@@ -4578,7 +4972,7 @@ object MergeWriter {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               DataType.fromJson(m.schema.get).asInstanceOf[StructType])
-          else readWithSchema(spark, m, paths)
+          else readWithSchema(spark, m, dataPath, paths)
         }
         (side(mFrom, b => drops.get(b).map(_._1).getOrElse(Set.empty)),
           side(mTo, b => drops.get(b).map(_._2).getOrElse(Set.empty)))
@@ -4593,7 +4987,7 @@ object MergeWriter {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               DataType.fromJson(sch).asInstanceOf[StructType])
             case None => spark.emptyDataFrame
-          } else readWithSchema(spark, m, paths)
+          } else readWithSchema(spark, m, dataPath, paths)
         }
         (full(mFrom), full(mTo))
       }
