@@ -232,6 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                clusterBy: Seq[String], bloomBy: Seq[String],
                                bloomItems: Long, retainVersions: Int,
                                retainMs: Long, fingerprint: Boolean,
+                               deleteVectors: Boolean,
                                // Some(identDir -> target): a CREATE with
                                // a custom LOCATION must persist this
                                // pointer so later statements resolve it
@@ -293,6 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomItems = prop("bloomItems").map(_.toLong)
         .getOrElse(MergeWriter.DefaultBloomItems),
       fingerprint = prop("fingerprint").exists(_.equalsIgnoreCase("true")),
+      deleteVectors = prop("deleteVectors")
+        .exists(_.equalsIgnoreCase("true")),
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
       retainMs = prop("retainMs").map(_.toLong).getOrElse(0L),
@@ -344,7 +347,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       buckets = spec.buckets, clusterBy = spec.clusterBy,
       bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
       retainVersions = spec.retainVersions, retainMs = spec.retainMs,
-      fingerprint = spec.fingerprint)
+      fingerprint = spec.fingerprint, deleteVectors = spec.deleteVectors)
     catch { case e: Throwable => removePointer(spec); throw e }
     new GraftSqlTable(spark, spec.path, spec.name)
   }
@@ -798,6 +801,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     clusterBy = spec.clusterBy, bloomBy = spec.bloomBy,
                     bloomItems = spec.bloomItems, relayout = preexisting,
                     fingerprint = spec.fingerprint,
+                    deleteVectors = spec.deleteVectors,
                     expectFresh = !preexisting)
                 }
                 written = true
@@ -950,6 +954,7 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       "buckets" -> man.buckets.toString,
       "clusterBy" -> man.clusterCols.mkString(","),
       "bloomBy" -> man.bloomCols.mkString(","),
+      "deleteVectors" -> man.deleteVectors.toString,
       "version" -> man.version.toString).asJava
 
   /** Batch reads keep the native parquet DSv2 path (vectorized +
@@ -962,7 +967,13 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val s = schema()
-    new GraftTableScanBuilder(spark, tablePath, man, s, options,
+    // a version with live deletion vectors cannot be served by the
+    // native parquet scan (it would resurrect dead rows) — bridge
+    // through the DV-aware storage read until compaction purges
+    if (MergeWriter.hasLiveDvs(man))
+      new GraftDvScanBuilder(spark, tablePath, man, s, options,
+        streamable = !pinned)
+    else new GraftTableScanBuilder(spark, tablePath, man, s, options,
       streamable = !pinned)
   }
 
@@ -1297,8 +1308,10 @@ private[sources] class GraftStreamableParquetScan(
       // unclustered commits) — leave those out so the completeness
       // check below falls back to the inherited estimate
       man.stats.getOrElse(b, Seq.empty).filter(_.rows >= 0).map { f =>
+        // live rows: deletion vectors subtract (defensive — DV-bearing
+        // versions bridge through GraftDvScan and never reach this scan)
         new Path(MergeWriter.bucketPath(tablePath, e, b),
-          f.name).toString -> f.rows
+          f.name).toString -> (f.rows - f.dvn)
       }
     }.toMap
 

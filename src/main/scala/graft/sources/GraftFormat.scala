@@ -14,7 +14,8 @@ import org.apache.spark.sql.graft.GraftSourceBridge
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister,
-  RelationProvider, StreamSinkProvider, StreamSourceProvider}
+  PrunedFilteredScan, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -96,6 +97,31 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val (man, dataPath) = pin(spark, parameters, pathOf(parameters))
     val dataSchema = MergeWriter.indexSchema(spark, dataPath, man)
+    // a pinned version with live deletion vectors cannot be served by
+    // the native parquet file scan (dead rows would resurrect) — route
+    // through the DV-aware storage read; pushed filters still prune
+    // files through the shared stats/Bloom/key-bucket machinery, and
+    // Spark re-evaluates every filter exactly (unhandledFilters default)
+    if (MergeWriter.hasLiveDvs(man))
+      return new BaseRelation with PrunedFilteredScan {
+        override def sqlContext: SQLContext = sqlContext0
+        private def sqlContext0 = spark.sqlContext
+        override def schema: StructType = dataSchema
+        override def needConversion: Boolean = false
+        override def buildScan(requiredColumns: Array[String],
+                               filters: Array[org.apache.spark.sql.sources.Filter])
+            : org.apache.spark.rdd.RDD[Row] = {
+          val preds = GraftDvBridge.toPredicates(filters.toSeq)
+          val base = GraftDvBridge.frame(spark, dataPath, man, preds)
+          val df =
+            if (requiredColumns.isEmpty) base
+            else base.select(requiredColumns.map(
+              org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+            .queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+        }
+      }
     if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(spark)
     HadoopFsRelation(new GraftFileIndex(spark, dataPath, man),
       new StructType(), dataSchema, None,
@@ -149,16 +175,19 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val bloomBy = csv(parameters, "bloomBy").getOrElse(Seq.empty)
     val bloomItems = parameters.get("bloomItems").map(_.toLong)
       .getOrElse(MergeWriter.DefaultBloomItems)
+    val deleteVectors = parameters.get("deleteVectors")
+      .exists(_.equalsIgnoreCase("true"))
     def doMerge(): Unit =
       MergeWriter.merge(spark, path, data, writeKeys(parameters, existing,
         path), buckets, clusterBy = clusterBy, bloomBy = bloomBy,
-        bloomItems = bloomItems)
+        bloomItems = bloomItems, deleteVectors = deleteVectors)
     mode match {
       case SaveMode.Append => doMerge()
       case SaveMode.Overwrite =>
         MergeWriter.overwriteTable(spark, path, data,
           writeKeys(parameters, existing, path), buckets,
-          clusterBy = clusterBy, bloomBy = bloomBy, bloomItems = bloomItems)
+          clusterBy = clusterBy, bloomBy = bloomBy, bloomItems = bloomItems,
+          deleteVectors = deleteVectors)
       case SaveMode.ErrorIfExists =>
         if (existing.isDefined) throw new IllegalArgumentException(
           s"graft write: $path already exists (SaveMode.ErrorIfExists)")
@@ -393,6 +422,15 @@ class GraftMergeSink(spark: SparkSession, path: String,
 class GraftFileIndex private[sources] (
     spark: SparkSession, tablePath: String,
     man: MergeWriter.Manifest) extends FileIndex {
+
+  // a native file scan serves files VERBATIM — a manifest with live
+  // deletion vectors must never plan through it (dead rows would
+  // resurrect); the catalog and format routes bridge such versions
+  // through the DV-aware storage read instead, so reaching here is a
+  // routing bug, not a user error
+  require(!MergeWriter.hasLiveDvs(man),
+    s"GraftFileIndex: $tablePath version ${man.version} carries live " +
+      "deletion vectors — route this read through GraftDvBridge")
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 

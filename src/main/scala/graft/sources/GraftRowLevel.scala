@@ -76,9 +76,15 @@ private[sources] class GraftRowLevelOperation(
     // the one catalog schema (keys NOT NULL) — shared with GraftSqlTable,
     // and the same scan builder, so an id-stamped table's field-id
     // restamping applies to the row-level scan too (a renamed column
-    // must read by id here as well)
+    // must read by id here as well). A version with live deletion
+    // vectors bridges through the DV-aware read — the row-level scan
+    // MUST NOT see dead rows (a MERGE matching a deleted key would
+    // wrongly take the MATCHED branch).
     val s = MergeWriter.sqlSchema(spark, tablePath, man)
-    new GraftTableScanBuilder(spark, tablePath, man, s, options,
+    if (MergeWriter.hasLiveDvs(man))
+      new GraftDvScanBuilder(spark, tablePath, man, s, options,
+        streamable = false)
+    else new GraftTableScanBuilder(spark, tablePath, man, s, options,
       streamable = false)
   }
 

@@ -4492,6 +4492,32 @@ object MergeWriter {
     }
   }
 
+  /** Pruned snapshot read of a PINNED manifest, empty predicate list
+    * allowed — the read behind the V1 bridge that serves SQL /
+    * `format("graft")` scans of DELETION-VECTOR-bearing versions (the
+    * native parquet file scan cannot position-filter; this core can).
+    * Pushed predicates prune files through the same stats/Bloom keep
+    * functions as every storage read; Spark re-evaluates them exactly
+    * on top.
+    */
+  private[sources] def readPinnedWhere(spark: SparkSession,
+                                       tableRoot: String, man: Manifest,
+                                       ranges: Seq[ColumnPredicate])
+      : DataFrame =
+    if (ranges.nonEmpty) whereReadFromManifest(spark, tableRoot, man, ranges)
+    else {
+      val paths = man.epochs.toSeq.sortBy(_._1)
+        .map { case (b, e) => bucketPath(tableRoot, e, b) }
+      if (paths.nonEmpty)
+        stripFrame(readWithSchema(spark, man, tableRoot, paths))
+      else man.schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stripSchemaIds(DataType.fromJson(s).asInstanceOf[StructType]))
+        case None => spark.emptyDataFrame
+      }
+    }
+
   private def whereReadFromManifest(spark: SparkSession, tableRoot: String,
                                     man: Manifest,
                                     ranges: Seq[ColumnPredicate]): DataFrame = {
