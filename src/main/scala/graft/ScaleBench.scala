@@ -943,6 +943,50 @@ object ScaleBench {
     }
     if (sections("dpp11")) { dppBench(base, "sf0.1"); dppBench(rep, "rep10") }
 
+    // Deletion vectors at scale (round 11): a 10-key purge on a
+    // deleteVectors table must stay METADATA-SIZED — bytes written flat
+    // (one sidecar + one manifest) and wall flat 1×→10× — while the
+    // copy-on-write delete pays the full touched-bucket rewrite, whose
+    // bytes grow with the corpus. Also times the post-delete full scan
+    // on both tables: the DV table reads through the V1 bridge until
+    // compaction, the CoW table natively — the read-side price of the
+    // write-side win, bounded by DvAutoCompactFiles.
+    def dvBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/dv11/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      def dirBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.exists()) 0L
+        else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+      }
+      def sec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val doomed = ev.select(col("event_id"))
+        .filter(pmod(col("event_id"), lit(10007)) === 13).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      for ((dv, mode) <- Seq((true, "dv"), (false, "cow"))) {
+        val path = s"$root/$mode"
+        graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+          buckets = buckets, clusterBy = Seq("event_id"),
+          deleteVectors = dv)
+        val before = dirBytes(path)
+        val delSec = sec {
+          graft.sources.MergeWriter.delete(spark, path,
+            doomed.toDF("event_id"), Seq("event_id"))
+        }
+        val written = dirBytes(path) - before
+        val scanSec = sec {
+          graft.sources.MergeWriter.readTable(spark, path).count()
+        }
+        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"delete_sec":$delSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")
+      }
+    }
+    if (sections("dv11")) { dvBench(base, "sf0.1", 4); dvBench(rep, "rep10", 16) }
+
     spark.stop()
   }
 }

@@ -4479,6 +4479,62 @@ object SparkEntry {
           SELECT DISTINCT event_id FROM dpp_src_$n
           WHERE event_type = 'view' AND event_id % 97 = 13) d
         ON f.event_id = d.event_id""")
+    }),
+
+    // DELETION VECTORS (merge-on-read deletes — Delta's DVs / Iceberg v2
+    // position deletes on the manifest protocol): two consecutive small
+    // keyed deletes on a `deleteVectors = true` table commit per-file
+    // dead-position sidecars instead of rewriting their touched buckets
+    // (write I/O ∝ deleted rows; the reference's deleted-item
+    // reconciliation, ref `delete_work_items.ts` semantics, is exactly
+    // this point-purge shape). The read back must agree with copy-on-
+    // write semantics bit-for-bit: dead rows invisible, survivors
+    // untouched, the second delete's sidecar carrying the union of any
+    // shared file's positions.
+    "q180_dv_delete" -> ((s, dir) => {
+      val path = scratchDir("graft-dv") + "/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      sources.MergeWriter.merge(s, path, docs, Seq("doc_id"), buckets = 8,
+        clusterBy = Seq("doc_id"), deleteVectors = true)
+      sources.MergeWriter.delete(s, path,
+        docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(31)) === 0),
+        Seq("doc_id"))
+      sources.MergeWriter.delete(s, path,
+        docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(53)) === 5),
+        Seq("doc_id"))
+      sources.MergeWriter.readTable(s, path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Deletion vectors through PURE SQL: DELETE takes the DV fast path
+    // (translatable predicate → keyed delete → position sidecar), and a
+    // row-level UPDATE then reads the table THROUGH the live vectors —
+    // a bridge that leaked dead rows would re-animate them as updated
+    // copies and hash-mismatch the oracle's aggregate.
+    "q181_dv_sql_delete" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-dvsql"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"dv_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.fact (event_id BIGINT,
+        user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id', 'buckets'='8',
+        'deleteVectors'='true')""")
+      s.sql(s"INSERT INTO $cat.etl.fact " +
+        s"SELECT event_id, user_id, event_type FROM dv_src_$n")
+      s.sql(s"DELETE FROM $cat.etl.fact WHERE event_id % 101 = 7")
+      s.sql(s"UPDATE $cat.etl.fact SET event_type = 'touched' " +
+        "WHERE user_id % 997 = 3")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.fact GROUP BY event_type""")
     })
   )
 
@@ -7805,6 +7861,22 @@ object SparkEntry {
         |  SELECT DISTINCT event_id FROM events
         |  WHERE event_type = 'view' AND event_id % 97 = 13) d
         |ON f.event_id = d.event_id""".stripMargin,
+
+    // Merge-on-read deletes must equal copy-on-write semantics exactly:
+    // the survivors are the documents minus both doomed key sets.
+    "q180_dv_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id % 31 = 0) AND NOT (doc_id % 53 = 5)""".stripMargin,
+
+    // SQL DELETE (DV fast path) then row-level UPDATE reading through
+    // the live vectors: the aggregate over the final state.
+    "q181_dv_sql_delete" ->
+      """SELECT CASE WHEN user_id % 997 = 3 THEN 'touched'
+        |  ELSE event_type END AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE NOT (event_id % 101 = 7)
+        |GROUP BY 1""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.
