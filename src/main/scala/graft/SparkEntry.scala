@@ -4535,6 +4535,45 @@ object SparkEntry {
       s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(user_id) AS BIGINT) AS sum_uid
         FROM $cat.etl.fact GROUP BY event_type""")
+    }),
+
+    // ANALYZE TABLE → cost-based optimizer statistics: one pass records
+    // per-column NDV (HyperLogLog++), null count, lengths and min/max in
+    // the manifest; the catalog scan reports them through DSv2
+    // `columnStats()`, which Spark's CBO consumes for join reordering
+    // and selectivity (AnalyzeStatsSpec pins the attributeStats
+    // consumption). The query result is plain join semantics — ANALYZE
+    // is a metadata commit and must never change answers.
+    "q182_analyze_cbo" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-analyze"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView(s"an_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.fact (event_id BIGINT,
+        user_id BIGINT, event_type STRING, value DOUBLE)
+        TBLPROPERTIES ('keys'='event_id', 'buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.fact SELECT * FROM an_src_$n")
+      val status = s.sql(
+        s"CALL $cat.system.analyze(table => 'etl.fact')")
+        .collect()(0).getString(0)
+      require(status.contains("ndv="),
+        s"analyze must report per-column NDVs, got: $status")
+      s.sql(s"""SELECT f.event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.user_id) AS BIGINT) AS sum_uid,
+        ROUND(SUM(f.value), 6) AS sum_value
+        FROM $cat.etl.fact f
+        JOIN (SELECT DISTINCT user_id FROM an_src_$n
+              WHERE user_id % 11 = 3) d
+        ON f.user_id = d.user_id
+        GROUP BY f.event_type""")
     })
   )
 
@@ -7877,6 +7916,15 @@ object SparkEntry {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE NOT (event_id % 101 = 7)
         |GROUP BY 1""".stripMargin,
+
+    // ANALYZE records planner statistics only — the joined aggregate
+    // must be byte-identical to plain SQL over the source rows.
+    "q182_analyze_cbo" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  ROUND(SUM(value), 6) AS sum_value
+        |FROM events WHERE user_id % 11 = 3
+        |GROUP BY event_type""".stripMargin,
 
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.

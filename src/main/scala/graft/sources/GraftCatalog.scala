@@ -642,6 +642,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"retention set on $p"
         }
       },
+      new Proc("analyze", "ANALYZE TABLE: one pass recording per-column " +
+          "NDV / null count / lengths / min-max in the manifest, served " +
+          "to the cost-based optimizer via the scan's columnStats",
+        Array(inParam("table", SType),
+          inParamDefault("columns", SType, "''"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val cols = csvArg(in.getUTF8String(1).toString)
+          val stats = MergeWriter.analyzeTable(spark, p, cols)
+          s"analyzed $p: " + stats.toSeq.sortBy(_._1)
+            .map { case (c, s) => s"$c(ndv=${s.ndv})" }.mkString(", ")
+        }
+      },
       new Proc("restore", "re-point the table at a retained version's " +
           "state (Delta RESTORE / Iceberg rollback): metadata-only, " +
           "history rolls forward",
@@ -1315,6 +1328,63 @@ private[sources] class GraftStreamableParquetScan(
       }
     }.toMap
 
+  /** ANALYZE-recorded column statistics ([[MergeWriter.analyzeTable]])
+    * in DSv2 form: Spark's `DataSourceV2Relation.transformV2Stats`
+    * turns these into catalyst `attributeStats`, which is what the
+    * cost-based optimizer (join reorder, filter selectivity) consumes
+    * when `spark.sql.cbo.enabled` is on. min/max must be CATALYST
+    * INTERNAL values (days-Int for dates, micros-Long for timestamps),
+    * decoded here from the manifest's canonical string domain.
+    */
+  private lazy val v2ColumnStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
+    val typeOf = p.readSchema().fields.map(f => f.name -> f.dataType).toMap
+    def internal(dt: DataType, s: String): Option[Object] =
+      if (s.isEmpty) None
+      else scala.util.Try[Object](dt match {
+        case ByteType => java.lang.Byte.valueOf(s.toLong.toByte)
+        case ShortType => java.lang.Short.valueOf(s.toLong.toShort)
+        case IntegerType => java.lang.Integer.valueOf(s.toLong.toInt)
+        case LongType => java.lang.Long.valueOf(s.toLong)
+        case DateType => java.lang.Integer.valueOf(s.toLong.toInt)
+        case TimestampType | TimestampNTZType =>
+          java.lang.Long.valueOf(s.toLong)
+        case FloatType => java.lang.Float.valueOf(s.toDouble.toFloat)
+        case DoubleType => java.lang.Double.valueOf(s.toDouble)
+        case _ => null
+      }).toOption.filter(_ != null)
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    man.colStats.foreach { case (c, cs) =>
+      typeOf.get(c).foreach { dt =>
+        val mn = internal(dt, cs.min)
+        val mx = internal(dt, cs.max)
+        out.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.nulls)
+            override def avgLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.avgLen)
+            override def maxLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.maxLen)
+            override def min(): java.util.Optional[Object] =
+              mn.fold(java.util.Optional.empty[Object]())(
+                java.util.Optional.of[Object])
+            override def max(): java.util.Optional[Object] =
+              mx.fold(java.util.Optional.empty[Object]())(
+                java.util.Optional.of[Object])
+          })
+      }
+    }
+    out
+  }
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val base = super.estimateStatistics()
@@ -1322,12 +1392,18 @@ private[sources] class GraftStreamableParquetScan(
     val listed = p.fileIndex.listFiles(p.partitionFilters, p.dataFilters)
       .flatMap(_.files)
     val known = listed.flatMap(f => rowsByPath.get(f.getPath.toString))
-    if (known.length != listed.length) base
+    val exactRows =
+      if (known.length == listed.length) Some(known.sum) else None
+    if (exactRows.isEmpty && man.colStats.isEmpty) base
     else new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         base.sizeInBytes()
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(known.sum)
+        exactRows.fold(base.numRows())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        v2ColumnStats
     }
   }
 

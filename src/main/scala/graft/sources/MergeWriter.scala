@@ -272,7 +272,35 @@ object MergeWriter {
                                        // table through a V1 bridge (the
                                        // native parquet scan cannot
                                        // position-filter).
-                                       deleteVectors: Boolean = false)
+                                       deleteVectors: Boolean = false,
+                                       // TABLE-LEVEL column statistics
+                                       // (ANALYZE TABLE — Delta ANALYZE
+                                       // / Iceberg puffin NDV sketches):
+                                       // per-column NDV, null count,
+                                       // avg/max byte length, canonical
+                                       // min/max, recorded by
+                                       // [[analyzeTable]] and served to
+                                       // Spark's CBO through the
+                                       // catalog scan. ESTIMATES by
+                                       // contract: commits carry them
+                                       // forward unchanged (Delta's
+                                       // behavior); `statsVersion`
+                                       // records the version analyzed
+                                       // so staleness is visible.
+                                       colStats: Map[String, ColStat] =
+                                         Map.empty,
+                                       statsVersion: Long = 0L)
+
+  /** One column's table-level statistics record (see
+    * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
+    * default 5% rsd — the CBO input every engine estimates), null count
+    * and lengths exact at analyze time, min/max in the same canonical
+    * string domain as the per-file stats ("" = not computable for the
+    * type). All values describe the LIVE rows of `statsVersion`.
+    */
+  private[sources] case class ColStat(ndv: Long, nulls: Long,
+                                      avgLen: Long, maxLen: Long,
+                                      min: String = "", max: String = "")
 
   /** Fail a keyed operation whose key list disagrees with the recorded
     * one (see [[Manifest.keyCols]]). A legacy manifest with no recorded
@@ -387,7 +415,21 @@ object MergeWriter {
       }.getOrElse(Map.empty),
       Option(node.get("ncid")).map(_.asLong()).getOrElse(0L),
       // absent in pre-deletion-vector manifests — backward compatible
-      Option(node.get("dvs")).exists(_.asBoolean()))
+      Option(node.get("dvs")).exists(_.asBoolean()),
+      // absent in pre-ANALYZE manifests — backward compatible
+      Option(node.get("cstats")).map { n =>
+        val b = Map.newBuilder[String, ColStat]
+        n.fields().forEachRemaining { e =>
+          val v = e.getValue
+          b += e.getKey -> ColStat(v.get("ndv").asLong(),
+            v.get("nulls").asLong(), v.get("avg").asLong(),
+            v.get("maxl").asLong(),
+            Option(v.get("min")).map(_.asText()).getOrElse(""),
+            Option(v.get("max")).map(_.asText()).getOrElse(""))
+        }
+        b.result()
+      }.getOrElse(Map.empty),
+      Option(node.get("cstatsv")).map(_.asLong()).getOrElse(0L))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -439,6 +481,14 @@ object MergeWriter {
       .append(if (m.fingerprint) ",\"fpr\":true" else "")
       .append(if (m.keysChecked) ",\"kchk\":true" else "")
       .append(if (m.deleteVectors) ",\"dvs\":true" else "")
+      .append(if (m.colStats.isEmpty) "" else
+        ",\"cstats\":{" + m.colStats.toSeq.sortBy(_._1).map { case (c, s) =>
+          jsonStr(c) + ":{\"ndv\":" + s.ndv + ",\"nulls\":" + s.nulls +
+            ",\"avg\":" + s.avgLen + ",\"maxl\":" + s.maxLen +
+            (if (s.min.isEmpty) "" else ",\"min\":" + jsonStr(s.min)) +
+            (if (s.max.isEmpty) "" else ",\"max\":" + jsonStr(s.max)) + "}"
+        }.mkString(",") + "}" +
+          ",\"cstatsv\":" + m.statsVersion)
       .append(if (m.colIds.nonEmpty)
         ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
           jsonStr(c) + ":" + id }.mkString(",") + "}" +
@@ -1245,6 +1295,125 @@ object MergeWriter {
             "retained_versions", "n_txns", "n_files", "total_bytes",
             "cluster_cols", "key_cols")
     }
+  }
+
+  /** ANALYZE TABLE for the manifest protocol (Delta's `ANALYZE TABLE
+    * ... COMPUTE STATISTICS FOR COLUMNS` / Iceberg's puffin NDV
+    * sketches): ONE distributed pass over the live rows computes each
+    * requested column's approximate NDV (HyperLogLog++ — the input
+    * Spark's cost-based optimizer needs for join reordering and
+    * selectivity), exact null count, avg/max byte length, and canonical
+    * min/max, and records them in the manifest ([[Manifest.colStats]]).
+    * The catalog scan reports them to Spark through
+    * `estimateStatistics().columnStats()`, so with
+    * `spark.sql.cbo.enabled` a graft table participates in cost-based
+    * planning like a Hive table with fresh ANALYZE stats — at 100 TB,
+    * join ORDER driven by real NDVs is routinely a 10-100× plan
+    * difference. Stats are estimates by contract: later commits carry
+    * them forward unchanged (Delta's behavior), `statsVersion` names
+    * the analyzed version, and re-running ANALYZE refreshes. Default
+    * columns = every top-level column of an eligible type.
+    */
+  def analyzeTable(spark: SparkSession, tablePath: String,
+                   columns: Seq[String] = Seq.empty): Map[String, ColStat] = {
+    import org.apache.spark.sql.types._
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val man0 = currentManifest(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"analyzeTable: $tablePath holds no committed graft table"))
+    val schema = indexSchema(spark, tablePath, man0)
+    def eligible(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           StringType | BinaryType | BooleanType => true
+      case _ => false
+    }
+    val cols =
+      if (columns.nonEmpty) columns
+      else schema.fields.filter(f => eligible(f.dataType)).map(_.name).toSeq
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"analyzeTable: column '$c' is not in the " +
+        s"schema of $tablePath")
+      require(eligible(f.get.dataType),
+        s"analyzeTable: column '$c' has unsupported type " +
+          f.get.dataType.simpleString)
+    }
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    def fixedLen(dt: DataType): Option[Long] = dt match {
+      case BooleanType | ByteType => Some(1L)
+      case ShortType => Some(2L)
+      case IntegerType | FloatType | DateType => Some(4L)
+      case LongType | DoubleType | TimestampType | TimestampNTZType =>
+        Some(8L)
+      case dtt: DecimalType => Some(dtt.defaultSize.toLong)
+      case _ => None // strings/binary: measured below
+    }
+    def rangeable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false // Spark's ANALYZE records no string min/max either
+    }
+    val t = readTable(spark, tablePath)
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
+      val dt = typeOf(c)
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(col(c)).as(s"__nn_$c")) ++
+        (if (fixedLen(dt).isEmpty)
+          Seq(avg(octet_length(col(c).cast("string"))).as(s"__avg_$c"),
+            max(octet_length(col(c).cast("string"))).as(s"__max_$c"))
+        else Seq.empty) ++
+        (if (rangeable(dt))
+          Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
+        else Seq.empty)
+    }
+    val row = t.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getAs[Long]("__rows")
+    def canon(c: String, field: String): String = {
+      val i = row.fieldIndex(s"${field}_$c")
+      if (row.isNullAt(i)) ""
+      else boundToCanon(typeOf(c), row.get(i)).map(_._2.toString)
+        .getOrElse("")
+    }
+    val computed = cols.map { c =>
+      val dt = typeOf(c)
+      val (avgL, maxL) = fixedLen(dt) match {
+        case Some(n) => (n, n)
+        case None =>
+          val ai = row.fieldIndex(s"__avg_$c")
+          val mi = row.fieldIndex(s"__max_$c")
+          (if (row.isNullAt(ai)) 0L
+           else math.round(row.getAs[Double](s"__avg_$c")),
+            if (row.isNullAt(mi)) 0L
+            else row.getAs[Int](s"__max_$c").toLong)
+      }
+      val (lo, hi) =
+        if (rangeable(dt)) (canon(c, "__lo"), canon(c, "__hi"))
+        else ("", "")
+      c -> ColStat(row.getAs[Long](s"__ndv_$c"),
+        rows - row.getAs[Long](s"__nn_$c"), avgL, maxL, lo, hi)
+    }.toMap
+    // metadata-only commit with the usual bounded rebase: losing the
+    // version CAS to a concurrent merge just means the stats are one
+    // commit staler than the head — still the estimates they claim to be
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => return computed
+        case Some(man) =>
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1, colStats = computed,
+                statsVersion = man0.version, op = "analyze",
+                opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return computed
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"analyzeTable: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
   }
 
   /** Commit history over the RETAINED manifest window (Delta's
@@ -3608,7 +3777,11 @@ object MergeWriter {
               base.map(_.nextColId).getOrElse(0L)),
             // the deletion-vector policy rides every commit forward,
             // like fingerprint; the param only seeds creation
-            deleteVectors = base.map(_.deleteVectors).getOrElse(dvSeed)))
+            deleteVectors = base.map(_.deleteVectors).getOrElse(dvSeed),
+            // ANALYZE statistics carry forward as estimates (Delta's
+            // behavior); statsVersion keeps naming the analyzed version
+            colStats = base.map(_.colStats).getOrElse(Map.empty),
+            statsVersion = base.map(_.statsVersion).getOrElse(0L)))
         return
       } catch {
         case e: java.io.IOException =>
@@ -4962,7 +5135,7 @@ object MergeWriter {
               // whose DV moved between the versions holds DIFFERENT live
               // rows on the two sides and must diff, while an untouched
               // DV'd file (same fp, same dv) still pairs and skips
-              def pairKey(f: FileStat): String = f.fp + " " + f.dv
+              def pairKey(f: FileStat): String = f.fp + "|" + f.dv
               val oldByFp = of.filter(_.fp.nonEmpty).groupBy(pairKey)
               val newByFp = nf.filter(_.fp.nonEmpty).groupBy(pairKey)
               val dropsO = Set.newBuilder[String]

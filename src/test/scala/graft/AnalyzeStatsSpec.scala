@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MergeWriter
+
+/** ANALYZE TABLE for the manifest protocol: one pass records per-column
+  * NDV / null count / lengths / min-max in the manifest; the catalog
+  * scan serves them through `estimateStatistics().columnStats()`, which
+  * Spark's `transformV2Stats` turns into the catalyst `attributeStats`
+  * the cost-based optimizer consumes — join reorder and selectivity at
+  * 100 TB keyed off real NDVs instead of defaults.
+  */
+class AnalyzeStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val wh = Files.createTempDirectory("gan-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gan",
+        classOf[graft.sources.GraftCatalog].getName)
+      .config("spark.sql.catalog.gan.warehouse", wh)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("analyzeTable records NDV / nulls / lengths / min-max and the " +
+       "analyzed version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("an").toString + "/t"
+    val rows = (0 until 1000).map(i => (i.toLong,
+      if (i % 10 == 0) null else s"g${i % 7}",
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19700 + i % 50))))
+      .toDF("id", "grp", "d")
+    MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4)
+    val stats = MergeWriter.analyzeTable(spark, dir)
+    val id = stats("id")
+    // HLL at default rsd: 1000 distinct ids within ~5%
+    assert(math.abs(id.ndv - 1000) <= 60, s"id ndv ${id.ndv}")
+    assert(id.nulls == 0 && id.avgLen == 8 && id.maxLen == 8)
+    assert(id.min == "0" && id.max == "999")
+    val grp = stats("grp")
+    assert(grp.ndv >= 6 && grp.ndv <= 8, s"grp ndv ${grp.ndv}")
+    assert(grp.nulls == 100)
+    assert(grp.maxLen == 2 && grp.avgLen == 2)
+    assert(grp.min.isEmpty && grp.max.isEmpty) // no string ranges
+    val d = stats("d")
+    assert(d.min == "19700" && d.max == "19749") // canonical epoch days
+    // the commit is metadata-only and visible in history as "analyze"
+    val hist = MergeWriter.tableHistory(spark, dir).collect()
+    assert(hist.head.getAs[String]("op") == "analyze")
+  }
+
+  test("CALL gan.system.analyze serves the CBO attributeStats through " +
+       "the catalog scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gan.ns")
+    spark.sql("CREATE TABLE gan.ns.t (id BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4')")
+    spark.sql("INSERT INTO gan.ns.t SELECT id, CONCAT('g', id % 5) " +
+      "FROM range(0, 2000)")
+    val status = spark.sql("CALL gan.system.analyze(table => 'ns.t')")
+      .collect().head.getString(0)
+    assert(status.contains("analyzed") && status.contains("ndv="))
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.sql("SELECT * FROM gan.ns.t")
+      val attrStats = df.queryExecution.optimizedPlan.stats.attributeStats
+      assert(attrStats.nonEmpty, "CBO saw no attributeStats")
+      val idStat = attrStats.toSeq
+        .find(_._1.name == "id").map(_._2)
+        .getOrElse(fail("no stats for id"))
+      assert(idStat.distinctCount.exists(n =>
+        (n.toLong - 2000).abs <= 150), s"id ndv ${idStat.distinctCount}")
+      assert(idStat.nullCount.exists(_ == 0))
+      assert(idStat.min.contains(0L) && idStat.max.contains(1999L),
+        s"id range ${idStat.min}..${idStat.max}")
+      val grpStat = attrStats.toSeq
+        .find(_._1.name == "grp").map(_._2)
+        .getOrElse(fail("no stats for grp"))
+      assert(grpStat.distinctCount.exists(n => n.toLong >= 4 &&
+        n.toLong <= 6))
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  test("stats survive later commits as estimates (carried forward, " +
+       "version named)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("an2").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"), Seq("id"))
+    MergeWriter.analyzeTable(spark, dir)
+    // a later merge keeps the recorded stats (estimates by contract)
+    MergeWriter.merge(spark, dir,
+      (100 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      Seq("id"))
+    val man = new String(Files.readAllBytes(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_manifest-"))
+        .map(_.toPath).maxBy(_.getFileName.toString)), "UTF-8")
+    assert(man.contains("\"cstats\":") && man.contains("\"cstatsv\":"))
+  }
+}
