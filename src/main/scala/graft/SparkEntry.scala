@@ -4574,6 +4574,42 @@ object SparkEntry {
               WHERE user_id % 11 = 3) d
         ON f.user_id = d.user_id
         GROUP BY f.event_type""")
+    }),
+
+    // VERSION TAGS (Iceberg named refs): pin the audited load under a
+    // name, keep loading, read back `VERSION AS OF 'tag'` — the
+    // write-audit-publish anchor. The tag must serve EXACTLY the state
+    // it pinned (here: the even-id half committed before the tag),
+    // bit-for-bit, regardless of the later commit; and it must survive
+    // count-based retention (the table keeps only 2 versions — without
+    // the tag pin, the audited version would be gc'd).
+    "q183_version_tags" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-tags"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"tag_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.fact (event_id BIGINT,
+        user_id BIGINT, event_type STRING)
+        TBLPROPERTIES ('keys'='event_id', 'buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.fact " +
+        s"SELECT * FROM tag_src_$n WHERE event_id % 2 = 0")
+      s.sql(s"CALL $cat.system.create_tag(table => 'etl.fact', " +
+        "tag => 'audited')")
+      s.sql(s"INSERT INTO $cat.etl.fact " +
+        s"SELECT * FROM tag_src_$n WHERE event_id % 2 = 1")
+      // extra commits push the tagged version past the count window —
+      // only the tag keeps it readable
+      s.sql(s"DELETE FROM $cat.etl.fact WHERE event_id % 1009 = 4")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        FROM $cat.etl.fact VERSION AS OF 'audited'
+        GROUP BY event_type""")
     })
   )
 
@@ -7916,6 +7952,13 @@ object SparkEntry {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE NOT (event_id % 101 = 7)
         |GROUP BY 1""".stripMargin,
+
+    // The tag pins the pre-second-load state: exactly the even-id half.
+    "q183_version_tags" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type""".stripMargin,
 
     // ANALYZE records planner statistics only — the joined aggregate
     // must be byte-identical to plain SQL over the source rows.

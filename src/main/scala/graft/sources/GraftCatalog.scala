@@ -196,10 +196,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = resolvedDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF wants a numeric manifest " +
-          s"version, got '$version'"))
+    // a numeric version, or a TAG name resolved through the current
+    // manifest (Iceberg's `VERSION AS OF 'tag'` shape)
+    val v = MergeWriter.resolveVersionRef(spark, dir.toString, version)
     new GraftSqlTable(spark, dir.toString,
       (catName +: ident.namespace().toIndexedSeq :+ ident.name())
         .mkString(".") + s"@v$v", versionAsOf = Some(v))
@@ -640,6 +639,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val p = tablePathOf(in.getUTF8String(0).toString)
           MergeWriter.setRetention(spark, p, in.getInt(1), in.getLong(2))
           s"retention set on $p"
+        }
+      },
+      new Proc("create_tag", "pin a retained version under a name " +
+          "(Iceberg tags): 'VERSION AS OF <tag>' resolves it and gc " +
+          "keeps it until the tag drops; version => 0 tags the current",
+        Array(inParam("table", SType), inParam("tag", SType),
+          inParamDefault("version", LongType, "0"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val tag = in.getUTF8String(1).toString
+          val v = in.getLong(2)
+          MergeWriter.createTag(spark, p, tag,
+            if (v <= 0) None else Some(v))
+          s"tagged $p as '$tag'"
+        }
+      },
+      new Proc("drop_tag", "drop a version tag; the pinned version " +
+          "becomes reclaimable by ordinary retention",
+        Array(inParam("table", SType), inParam("tag", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val tag = in.getUTF8String(1).toString
+          MergeWriter.dropTag(spark, p, tag)
+          s"dropped tag '$tag' on $p"
         }
       },
       new Proc("analyze", "ANALYZE TABLE: one pass recording per-column " +

@@ -76,7 +76,13 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     */
   private def pin(spark: SparkSession, parameters: Map[String, String],
                   path: String): (MergeWriter.Manifest, String) = {
-    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    // versionAsOf: a numeric version, or a TAG name resolved through
+    // the current manifest (group reads stay numeric — tags are a
+    // standalone-table concept)
+    val versionAsOf = parameters.get("versionAsOf").map { v =>
+      if (parameters.contains("member")) v.toLong
+      else MergeWriter.resolveVersionRef(spark, path, v)
+    }
     val tsAsOf = parameters.get("timestampAsOf").map(timestampMs)
     parameters.get("member") match {
       case Some(name) =>

@@ -289,7 +289,18 @@ object MergeWriter {
                                        // so staleness is visible.
                                        colStats: Map[String, ColStat] =
                                          Map.empty,
-                                       statsVersion: Long = 0L)
+                                       statsVersion: Long = 0L,
+                                       // VERSION TAGS (Iceberg's named
+                                       // refs): tag name → the manifest
+                                       // version it pins. A tagged
+                                       // version is immune to gc and
+                                       // count-based retention until
+                                       // the tag drops — the audit /
+                                       // WAP anchor ("the state we
+                                       // certified"). Names must not
+                                       // parse as a number (they share
+                                       // VERSION AS OF's namespace).
+                                       tags: Map[String, Long] = Map.empty)
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -429,7 +440,13 @@ object MergeWriter {
         }
         b.result()
       }.getOrElse(Map.empty),
-      Option(node.get("cstatsv")).map(_.asLong()).getOrElse(0L))
+      Option(node.get("cstatsv")).map(_.asLong()).getOrElse(0L),
+      // absent in pre-tag manifests — backward compatible
+      Option(node.get("tags")).map { n =>
+        val b = Map.newBuilder[String, Long]
+        n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }.getOrElse(Map.empty))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -489,6 +506,9 @@ object MergeWriter {
             (if (s.max.isEmpty) "" else ",\"max\":" + jsonStr(s.max)) + "}"
         }.mkString(",") + "}" +
           ",\"cstatsv\":" + m.statsVersion)
+      .append(if (m.tags.isEmpty) "" else
+        ",\"tags\":{" + m.tags.toSeq.sortBy(_._1).map { case (t, v) =>
+          jsonStr(t) + ":" + v }.mkString(",") + "}")
       .append(if (m.colIds.nonEmpty)
         ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
           jsonStr(c) + ":" + id }.mkString(",") + "}" +
@@ -728,11 +748,16 @@ object MergeWriter {
     val (dropByCount, keepByCount) =
       manifests.splitAt(math.max(0, manifests.size - keepCount))
     val ageCut = System.currentTimeMillis() - cur.retainMs
-    val (keptByAge, drop) =
+    val (keptByAge, dropAged) =
       if (cur.retainMs <= 0L) (Seq.empty, dropByCount)
       else dropByCount.partition { case (_, p) =>
         fs.getFileStatus(p).getModificationTime >= ageCut }
-    val keep = keptByAge ++ keepByCount
+    // a TAGGED version is pinned against reclamation regardless of the
+    // count/age windows — the tag is a promise that `VERSION AS OF
+    // 'name'` keeps answering until the tag drops
+    val tagged = cur.tags.values.toSet
+    val (keptByTag, drop) = dropAged.partition(m => tagged(m._1))
+    val keep = keptByTag ++ keptByAge ++ keepByCount
     val keptManifests = keep.map { case (v, p) =>
       if (v == cur.version) cur else readManifest(fs, v, p) }
     val referenced = keptManifests.flatMap(_.epochs.values).toSet
@@ -868,6 +893,15 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     currentManifest(fs, dir).foreach { man =>
+      // a tag pins its version against gc, so truncation under one
+      // would either break the tag or defeat the purge — the caller
+      // must decide (drop the tag first), never this code silently
+      val pinned = man.tags.filter(_._2 < man.version)
+      require(pinned.isEmpty,
+        s"truncateHistory: tags ${pinned.keys.toSeq.sorted.mkString(", ")} " +
+          s"pin pre-truncation versions of $tablePath — drop them first " +
+          "(a purge that silently kept tagged history would lie, one " +
+          "that silently broke tags would too)")
       // enough duplicates to push every pre-call version off the COUNT
       // window. Age retention (retainMs) still holds the old manifests
       // until their window passes — a right-to-be-forgotten purge on an
@@ -881,6 +915,92 @@ object MergeWriter {
       gc(fs, dir)
     }
   }
+
+  /** Create (or move) a VERSION TAG — Iceberg's named references,
+    * scaled to the manifest protocol: `tag` pins `version` (default:
+    * the current one) against gc and count-based retention until
+    * dropped, and every read surface that accepts a version accepts
+    * the tag name instead (`VERSION AS OF 'certified'`, the
+    * `versionAsOf` option, [[readTableVersion]] via
+    * [[resolveVersionRef]]). This is the audit / write-audit-publish
+    * anchor: load, validate against the tagged state, tag the new
+    * version on pass — or `restore` to the tag on fail. One metadata
+    * commit, rebase-safe like every policy write.
+    */
+  def createTag(spark: SparkSession, tablePath: String, tag: String,
+                version: Option[Long] = None): Unit = {
+    require(tag.nonEmpty && scala.util.Try(tag.toLong).isFailure,
+      s"createTag: '$tag' — tag names share VERSION AS OF's namespace " +
+        "with numeric versions, so a number cannot be a tag")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"createTag: $tablePath holds no committed graft table")
+        case Some(man) =>
+          val v = version.getOrElse(man.version)
+          val retained = manifestFiles(fs, dir).map(_._1)
+          require(retained.contains(v),
+            s"createTag: version $v not retained for $tablePath " +
+              s"(readable: ${retained.mkString(", ")})")
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1,
+                tags = man.tags + (tag -> v),
+                op = "tag", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"createTag: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
+  /** Drop a version tag; the version it pinned becomes reclaimable by
+    * the ordinary retention rules at the next gc.
+    */
+  def dropTag(spark: SparkSession, tablePath: String, tag: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => return
+        case Some(man) =>
+          if (!man.tags.contains(tag)) return
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1, tags = man.tags - tag,
+                op = "untag", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropTag: lost the commit race to concurrent writers of " +
+        s"$tablePath on every retry — re-run against the new table state")
+  }
+
+  /** A version REFERENCE — a numeric version or a tag name — resolved
+    * to the concrete version it names (tags resolve through the
+    * CURRENT manifest; an unknown ref fails loudly with both
+    * namespaces' candidates).
+    */
+  def resolveVersionRef(spark: SparkSession, tablePath: String,
+                        ref: String): Long =
+    scala.util.Try(ref.toLong).getOrElse {
+      val man = currentManifest(fsFor(spark, tablePath), new Path(tablePath))
+        .getOrElse(throw new IllegalArgumentException(
+          s"versionAsOf: $tablePath holds no committed graft table"))
+      man.tags.getOrElse(ref, throw new IllegalArgumentException(
+        s"versionAsOf: '$ref' is neither a numeric version nor a tag of " +
+          s"$tablePath (tags: ${man.tags.keys.toSeq.sorted.mkString(", ")})"))
+    }
 
   /** Set the table's retention policy (see [[Manifest.retainVersions]]):
     * a metadata-only commit every later commit carries forward.
@@ -1427,7 +1547,14 @@ object MergeWriter {
   def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val fs = fsFor(spark, tablePath)
-    manifestFiles(fs, new Path(tablePath)).reverse
+    val all = manifestFiles(fs, new Path(tablePath))
+    // tags live in the CURRENT manifest; each history row lists the
+    // tags naming it (Iceberg's refs view, folded into history)
+    val curTags: Map[Long, Seq[String]] = all.lastOption
+      .map { case (v, p) => readManifest(fs, v, p).tags }
+      .getOrElse(Map.empty)
+      .groupBy(_._2).map { case (v, ts) => v -> ts.keys.toSeq.sorted }
+    all.reverse
       .map { case (v, p) => readManifest(fs, v, p) }
       .map { m =>
         (m.version, if (m.op.isEmpty) null else m.op,
@@ -1436,10 +1563,11 @@ object MergeWriter {
           m.buckets, m.epochs.values.toSet.size,
           m.stats.values.map(_.size).sum,
           m.stats.values.flatMap(_.map(_.bytes)).sum,
-          m.txns.size)
+          m.txns.size,
+          curTags.get(m.version).map(_.mkString(",")).orNull)
       }
       .toDF("version", "op", "commit_ts", "buckets", "live_epochs",
-        "n_files", "total_bytes", "n_txns")
+        "n_files", "total_bytes", "n_txns", "tags")
   }
 
 
@@ -3781,7 +3909,10 @@ object MergeWriter {
             // ANALYZE statistics carry forward as estimates (Delta's
             // behavior); statsVersion keeps naming the analyzed version
             colStats = base.map(_.colStats).getOrElse(Map.empty),
-            statsVersion = base.map(_.statsVersion).getOrElse(0L)))
+            statsVersion = base.map(_.statsVersion).getOrElse(0L),
+            // tags ride every commit forward; they name VERSIONS, so a
+            // new commit changes nothing about what they pin
+            tags = base.map(_.tags).getOrElse(Map.empty)))
         return
       } catch {
         case e: java.io.IOException =>
