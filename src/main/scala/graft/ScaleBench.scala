@@ -987,6 +987,52 @@ object ScaleBench {
     }
     if (sections("dv11")) { dvBench(base, "sf0.1", 4); dvBench(rep, "rep10", 16) }
 
+    // Merge-on-read upserts at scale (round 11): a 10-key trickle
+    // upsert on a deleteVectors table lands as one overlay epoch plus a
+    // KB-scale sidecar — bytes written ∝ the batch, flat 1×→10× — while
+    // the copy-on-write merge rewrites every touched bucket. Scan cost
+    // after the upsert recorded for both (the MoR table pays the V1
+    // bridge until compaction).
+    def morBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/mor11/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      def dirBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.exists()) 0L
+        else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+      }
+      def sec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val someIds = ev.select(col("event_id"))
+        .filter(pmod(col("event_id"), lit(10007)) === 13).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      for ((dv, mode) <- Seq((true, "mor"), (false, "cow"))) {
+        val path = s"$root/$mode"
+        graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+          buckets = buckets, clusterBy = Seq("event_id"),
+          deleteVectors = dv)
+        val batch = someIds.map(id => (id, -1L, "touched", 0.0))
+          .toDF("event_id", "user_id", "event_type", "value")
+        val before = dirBytes(path)
+        val upSec = sec {
+          graft.sources.MergeWriter.merge(spark, path, batch,
+            Seq("event_id"))
+        }
+        val written = dirBytes(path) - before
+        val scanSec = sec {
+          graft.sources.MergeWriter.readTable(spark, path).count()
+        }
+        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"upsert_sec":$upSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")
+      }
+    }
+    if (sections("mor11")) {
+      morBench(base, "sf0.1", 4); morBench(rep, "rep10", 16)
+    }
+
     spark.stop()
   }
 }

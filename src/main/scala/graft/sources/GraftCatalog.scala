@@ -1345,9 +1345,10 @@ private[sources] class GraftStreamableParquetScan(
       // check below falls back to the inherited estimate
       man.stats.getOrElse(b, Seq.empty).filter(_.rows >= 0).map { f =>
         // live rows: deletion vectors subtract (defensive — DV-bearing
-        // versions bridge through GraftDvScan and never reach this scan)
-        new Path(MergeWriter.bucketPath(tablePath, e, b),
-          f.name).toString -> (f.rows - f.dvn)
+        // versions bridge through GraftDvScan and never reach this scan);
+        // overlay files resolve through their own epoch attribution
+        new Path(MergeWriter.fileReadPath(tablePath, man, b, f))
+          .toString -> (f.rows - f.dvn)
       }
     }.toMap
 

@@ -158,7 +158,15 @@ object MergeWriter {
                                        // `rows` as physical and subtract
                                        // or bail (statsAggregate bails).
                                        dv: String = "",
-                                       dvn: Long = 0L)
+                                       dvn: Long = 0L,
+                                       // EPOCH ATTRIBUTION for overlay
+                                       // files (merge-on-read upserts):
+                                       // the epoch directory this file
+                                       // lives in when it is NOT the
+                                       // bucket's base pointer epoch.
+                                       // "" = the base epoch (every
+                                       // pre-overlay file).
+                                       e: String = "")
 
   /** `clusterCols` (recorded at creation, like `keyCols`) order rows
     * WITHIN each bucket file write (`sortWithinPartitions` — a local
@@ -300,7 +308,24 @@ object MergeWriter {
                                        // certified"). Names must not
                                        // parse as a number (they share
                                        // VERSION AS OF's namespace).
-                                       tags: Map[String, Long] = Map.empty)
+                                       tags: Map[String, Long] = Map.empty,
+                                       // MERGE-ON-READ OVERLAYS
+                                       // (Iceberg v2's data-file adds
+                                       // beside position deletes): per
+                                       // bucket, EXTRA epoch dirs whose
+                                       // files hold this bucket's rows
+                                       // IN ADDITION to the base
+                                       // pointer epoch. A MoR upsert
+                                       // appends its incoming rows as
+                                       // one overlay and DVs the
+                                       // replaced keys' old positions,
+                                       // so no read-side key dedupe is
+                                       // ever needed. Any full bucket
+                                       // rewrite (CoW merge, delete,
+                                       // compact, split) clears the
+                                       // bucket's overlay list.
+                                       overlays: Map[Int, Seq[String]] =
+                                         Map.empty)
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -399,7 +424,9 @@ object MergeWriter {
           Option(f.get("h")).map(_.asText()).getOrElse(""),
           // absent in pre-deletion-vector manifests — backward compatible
           Option(f.get("dv")).map(_.asText()).getOrElse(""),
-          Option(f.get("dvn")).map(_.asLong()).getOrElse(0L))
+          Option(f.get("dvn")).map(_.asLong()).getOrElse(0L),
+          // absent for base-epoch files — backward compatible
+          Option(f.get("e")).map(_.asText()).getOrElse(""))
       }
     })
     Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
@@ -445,6 +472,16 @@ object MergeWriter {
       Option(node.get("tags")).map { n =>
         val b = Map.newBuilder[String, Long]
         n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }.getOrElse(Map.empty),
+      // absent in pre-overlay manifests — backward compatible
+      Option(node.get("ovl")).map { n =>
+        val b = Map.newBuilder[Int, Seq[String]]
+        n.fields().forEachRemaining { e =>
+          val arr = e.getValue
+          b += e.getKey.toInt ->
+            (0 until arr.size()).map(arr.get(_).asText())
+        }
         b.result()
       }.getOrElse(Map.empty))
   }
@@ -509,6 +546,10 @@ object MergeWriter {
       .append(if (m.tags.isEmpty) "" else
         ",\"tags\":{" + m.tags.toSeq.sortBy(_._1).map { case (t, v) =>
           jsonStr(t) + ":" + v }.mkString(",") + "}")
+      .append(if (m.overlays.isEmpty) "" else
+        ",\"ovl\":{" + m.overlays.toSeq.sortBy(_._1).map { case (b, es) =>
+          "\"" + b + "\":[" + es.map(jsonStr).mkString(",") + "]"
+        }.mkString(",") + "}")
       .append(if (m.colIds.nonEmpty)
         ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
           jsonStr(c) + ":" + id }.mkString(",") + "}" +
@@ -530,6 +571,7 @@ object MergeWriter {
               (if (fs.fp.isEmpty) "" else ",\"h\":" + jsonStr(fs.fp)) +
               (if (fs.dv.isEmpty) "" else
                 ",\"dv\":" + jsonStr(fs.dv) + ",\"dvn\":" + fs.dvn) +
+              (if (fs.e.isEmpty) "" else ",\"e\":" + jsonStr(fs.e)) +
               "}").mkString(",") + "]"
         }.mkString(",") + "}"
       } else "")
@@ -760,7 +802,8 @@ object MergeWriter {
     val keep = keptByTag ++ keptByAge ++ keepByCount
     val keptManifests = keep.map { case (v, p) =>
       if (v == cur.version) cur else readManifest(fs, v, p) }
-    val referenced = keptManifests.flatMap(_.epochs.values).toSet
+    val referenced = keptManifests.flatMap(m =>
+      m.epochs.values ++ m.overlays.values.flatten).toSet
     // bucket granularity too: a kept manifest may reference only SOME of
     // an epoch's bucket dirs (later merges re-pointed the others) — the
     // unreferenced siblings are dead data that an epoch-level sweep
@@ -768,7 +811,9 @@ object MergeWriter {
     // toSeq first: mapping the Map directly would re-key by epoch name
     // and silently collapse buckets sharing an epoch
     val referencedBuckets = keptManifests
-      .flatMap(_.epochs.toSeq.map { case (b, e) => (e, b) }).toSet
+      .flatMap(m => m.epochs.toSeq.map { case (b, e) => (e, b) } ++
+        m.overlays.toSeq.flatMap { case (b, es) => es.map(e => (e, b)) })
+      .toSet
     drop.foreach { case (_, p) => fs.delete(p, false) }
     val now = System.currentTimeMillis()
     fs.listStatus(dir).foreach { st =>
@@ -1086,6 +1131,10 @@ object MergeWriter {
               txns = man.txns,
               retainVersions = man.retainVersions, retainMs = man.retainMs,
               nextColId = math.max(man.nextColId, target.nextColId),
+              // tags name VERSIONS (policy, not data) — they survive the
+              // rollback; the writer policy flag stays current too
+              tags = man.tags,
+              deleteVectors = man.deleteVectors,
               op = "restore", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -2101,7 +2150,8 @@ object MergeWriter {
   private def maybeAutoCompact(spark: SparkSession, fs: FileSystem, dir: Path,
                                tablePath: String, threshold: Int): Unit =
     currentManifest(fs, dir).foreach { man =>
-      if (man.epochs.values.toSet.size > threshold)
+      if ((man.epochs.values.toSet ++ man.overlays.values.flatten).size >
+          threshold)
         // advisory: losing a commit race to a concurrent writer must not
         // fail the merge that already committed — a later merge retries
         try compact(spark, tablePath)
@@ -2207,8 +2257,34 @@ object MergeWriter {
   private[sources] def hasLiveDvs(m: Manifest): Boolean =
     m.stats.valuesIterator.exists(_.exists(_.dv.nonEmpty))
 
+  /** Every epoch directory holding live files of bucket `b`: the base
+    * pointer epoch plus any merge-on-read overlays, in commit order.
+    */
+  private def bucketEpochs(m: Manifest, b: Int): Seq[String] =
+    m.epochs.get(b).toSeq ++ m.overlays.getOrElse(b, Seq.empty)
+
+  /** The bucket directories a read of bucket `b` must cover. */
+  private def bucketDirPaths(root: String, m: Manifest, b: Int): Seq[String] =
+    bucketEpochs(m, b).map(e => bucketPath(root, e, b))
+
+  /** All live bucket directories of the manifest, bucket-ordered. */
+  private def allDirPaths(root: String, m: Manifest): Seq[String] =
+    m.epochs.keys.toSeq.sorted.flatMap(b => bucketDirPaths(root, m, b))
+
+  /** The epoch a stats-listed file actually lives in: its overlay
+    * attribution when present, else the bucket's base pointer epoch.
+    */
+  private def fileEpoch(m: Manifest, b: Int, f: FileStat): String =
+    if (f.e.nonEmpty) f.e else m.epochs(b)
+
+  /** Absolute path of a stats-listed file. */
+  private[sources] def fileReadPath(root: String, m: Manifest, b: Int,
+                           f: FileStat): String =
+    bucketPath(root, fileEpoch(m, b, f), b) + "/" + f.name
+
   /** A bucket's CONFLICT-DETECTION identity: its epoch pointer PLUS its
-    * files' deletion-vector references. A DV commit changes a bucket's
+    * merge-on-read overlay list PLUS its files' deletion-vector
+    * references. A DV commit or an overlay append changes a bucket's
     * logical content WITHOUT moving its pointer, so every "did this
     * bucket change under me" decision (optimistic rebase, scan-to-commit
     * guards, change-feed bucket pruning) must compare this signature —
@@ -2217,15 +2293,15 @@ object MergeWriter {
     * let a feed skip a bucket whose rows a DV just killed.
     */
   private def bucketSig(m: Manifest, b: Int)
-      : (Option[String], Seq[(String, String)]) =
-    (m.epochs.get(b),
+      : (Seq[String], Seq[(String, String)]) =
+    (bucketEpochs(m, b),
       m.stats.get(b).map(_.collect {
         case f if f.dv.nonEmpty => (f.name, f.dv)
       }.sortBy(_._1)).getOrElse(Seq.empty))
 
   private def bucketSigOpt(m: Option[Manifest], b: Int)
-      : (Option[String], Seq[(String, String)]) =
-    m.map(bucketSig(_, b)).getOrElse((None, Seq.empty))
+      : (Seq[String], Seq[(String, String)]) =
+    m.map(bucketSig(_, b)).getOrElse((Seq.empty, Seq.empty))
 
   private def writeDvSidecar(fs: FileSystem, tableRoot: String, name: String,
                              entries: Map[String, Array[Long]]): Unit = {
@@ -2236,6 +2312,153 @@ object MergeWriter {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** MERGE-ON-READ keyed upsert (Iceberg v2's merge-on-read writes:
+    * data-file adds beside position deletes): the incoming batch lands
+    * as ONE overlay epoch — clustered, Bloom'd, fingerprinted and
+    * id-stamped exactly like any epoch — while the replaced keys' OLD
+    * rows die by deletion vector, so no read ever needs key-level
+    * dedupe: the overlay rows are the only live copies. Write I/O is
+    * ∝ the BATCH (plus a KB-scale sidecar + manifest), not ∝ the
+    * touched buckets — at 100 TB with 256 MB buckets, a 1 000-row
+    * trickle upsert scattered over 200 buckets is ~MBs instead of
+    * ~50 GB of rewrite. The price is read-side and bounded exactly
+    * like DV deletes: extra union branches per overlay and the SQL V1
+    * bridge while vectors are live, drained by auto-compaction (any
+    * full bucket rewrite — CoW merge, delete, compact, split —
+    * collapses the bucket's overlays).
+    *
+    * Returns false — the caller falls back to copy-on-write — when the
+    * batch is too large to stay metadata-sized
+    * ([[DvMaxPositionsPerCommit]]), the incoming schema differs from
+    * the recorded one (evolution stays CoW), or a touched stored
+    * bucket lacks per-file stats. Returns true when the upsert
+    * committed.
+    */
+  private def morMerge(spark: SparkSession, fs: FileSystem,
+                       tablePath: String, man: Manifest,
+                       inc: DataFrame, keys: Seq[String],
+                       touched: Seq[Int],
+                       txn: Option[(String, Long)]): Boolean = {
+    if (man.schema.isEmpty) return false
+    val cleanSchema = stripSchemaIds(inc.drop(BucketCol).schema)
+    val recorded = DataType.fromJson(man.schema.get)
+    if (!org.apache.spark.sql.GraftColumnShim
+          .sameTypeIgnoreNullability(recorded, cleanSchema) ||
+        recorded.asInstanceOf[StructType].fieldNames.toSeq !=
+          cleanSchema.fieldNames.toSeq)
+      return false
+    val touchedStored = touched.filter(man.epochs.contains)
+    if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
+      return false
+    if (inc.count() > DvMaxPositionsPerCommit) return false
+    // 1. positions of the MATCHED keys' current live rows (≤ batch size
+    //    — keyed-table invariant; already-dead rows stay out via the
+    //    DV-aware read)
+    val storedPaths = touchedStored.flatMap(b =>
+      bucketDirPaths(tablePath, man, b))
+    val hits =
+      if (storedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else readDvAware(spark, man, tablePath, storedPaths, withPos = true)
+        .join(inc.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(col("__graft_file"), col("__graft_pos"))
+        .collect()
+    // 2. the overlay epoch: the batch written exactly like any epoch
+    val epoch = "e-" + UUID.randomUUID()
+    val stamped =
+      if (man.colIds.isEmpty) stripFrame(inc.drop(BucketCol))
+      else stampFrame(inc.drop(BucketCol), man.colIds)
+    val data = stamped.withColumn(BucketCol,
+      bucketExprChecked(keys, man.buckets))
+    val clustered = clusterSort(data.repartition(col(BucketCol)),
+      man.clusterCols)
+    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      .parquet(s"$tablePath/$epoch")
+    val written = listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
+    val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
+      withColumnStats = man.clusterCols.nonEmpty)
+    val statsFp =
+      if (man.fingerprint && written.nonEmpty)
+        withFingerprints(stats0,
+          fileFingerprints(spark, s"$tablePath/$epoch",
+            Some(cleanSchema.json), man.colIds))
+      else stats0
+    // overlay files carry their epoch attribution in the stats record
+    val overlayStats: Map[Int, Seq[FileStat]] =
+      statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
+    if (man.bloomCols.nonEmpty && written.nonEmpty)
+      writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
+        man.bloomItems, Some(cleanSchema.json))
+    // 3. deletion vectors for the replaced keys' old rows: the sidecar
+    //    entry is each file's FULL (prior ∪ new) dead set, as ever
+    val newDead: Map[String, Array[Long]] = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val sidecar = "dv-" + UUID.randomUUID() + ".json"
+    val mergedDead: Map[String, Array[Long]] =
+      if (newDead.isEmpty) Map.empty
+      else {
+        val priorRefs = dvFileRefs(man).filter { case (k, _) =>
+          newDead.contains(k) }
+        val priorPos = dvPositions(fs, tablePath, priorRefs)
+        newDead.map { case (k, ps) =>
+          k -> (priorPos.getOrElse(k, Array.empty[Long]) ++ ps)
+            .distinct.sorted
+        }
+      }
+    if (mergedDead.nonEmpty) writeDvSidecar(fs, tablePath, sidecar,
+      mergedDead)
+    // 4. one manifest commit: overlays appended, DVs re-pointed, fresh
+    //    buckets (no stored pointer yet) adopt the epoch as their BASE
+    var base = man
+    var attempt = 0
+    while (true) {
+      val freshBase = written.filterNot(base.epochs.contains)
+      val stats2 = (base.stats.map { case (b, fss) =>
+        val withDv =
+          if (mergedDead.isEmpty) fss
+          else fss.map { f =>
+            mergedDead.get(dvRelKey(fileEpoch(base, b, f), b, f.name)) match {
+              case Some(ps) => f.copy(dv = sidecar, dvn = ps.length.toLong)
+              case None => f
+            }
+          }
+        b -> (withDv ++ (if (written(b)) overlayStats.getOrElse(b, Seq.empty)
+                         else Seq.empty))
+      }) ++ overlayStats.filter { case (b, _) => !base.stats.contains(b) }
+      try {
+        commitManifest(fs, new Path(tablePath),
+          base.copy(version = base.version + 1,
+            epochs = base.epochs ++ freshBase.map(_ -> epoch).toMap,
+            overlays = base.overlays ++
+              written.intersect(base.epochs.keySet).map(b =>
+                b -> (base.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
+            stats = stats2,
+            txns = base.txns ++ txn,
+            op = "merge", opTs = System.currentTimeMillis()))
+        return true
+      } catch {
+        case ex: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5) throw ex
+          val cur = currentManifest(fs, new Path(tablePath))
+            .getOrElse(throw ex)
+          // rebase iff nothing this upsert read-modified moved: the
+          // resolved positions and the overlay append are both keyed to
+          // the touched buckets' signatures at scan time
+          val contested = cur.buckets != man.buckets ||
+            cur.schema != man.schema ||
+            (cur.keyCols.nonEmpty && cur.keyCols != keys) ||
+            touched.exists(b => bucketSig(cur, b) != bucketSig(man, b))
+          if (contested)
+            throw new java.util.ConcurrentModificationException(
+              s"merge: concurrent writer rewrote contested state of " +
+                s"$tablePath (version ${cur.version}) under a merge-on-" +
+                "read upsert — re-run against the new table state")
+          base = cur
+      }
+    }
+    false // unreachable
   }
 
   /** MERGE-ON-READ keyed delete (Delta's deletion vectors / Iceberg v2
@@ -2268,8 +2491,8 @@ object MergeWriter {
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
       return false
     if (del.count() > DvMaxPositionsPerCommit) return false
-    val paths = touchedStored.map(b =>
-      bucketPath(tablePath, man.epochs(b), b))
+    val paths = touchedStored.flatMap(b =>
+      bucketDirPaths(tablePath, man, b))
     // LIVE rows matching the doomed keys, with physical positions: the
     // DV-aware read keeps already-dead rows out, so the collected set is
     // ≤ one row per doomed key (keyed-table invariant) — bounded by the
@@ -2296,7 +2519,8 @@ object MergeWriter {
     val relKeysByBucket: Map[Int, Map[String, Array[Long]]] =
       touchedStored.map { b =>
         b -> mergedDead.filter { case (k, _) =>
-          k.startsWith(s"${man.epochs(b)}/$BucketCol=$b/") }
+          bucketEpochs(man, b).exists(e =>
+            k.startsWith(s"$e/$BucketCol=$b/")) }
       }.toMap
     var base = man
     var attempt = 0
@@ -2305,7 +2529,7 @@ object MergeWriter {
         relKeysByBucket.get(b).filter(_.nonEmpty) match {
           case Some(dead) =>
             b -> fss.map { f =>
-              dead.get(dvRelKey(base.epochs(b), b, f.name)) match {
+              dead.get(dvRelKey(fileEpoch(base, b, f), b, f.name)) match {
                 case Some(ps) => f.copy(dv = sidecar, dvn = ps.length.toLong)
                 case None => f
               }
@@ -2361,11 +2585,12 @@ object MergeWriter {
 
   /** relative file key → FileStat, for every live DV'd file. */
   private def dvFileRefs(m: Manifest): Map[String, FileStat] =
-    m.epochs.flatMap { case (b, e) =>
+    m.epochs.keys.flatMap { b =>
       m.stats.getOrElse(b, Seq.empty).collect {
-        case f if f.dv.nonEmpty => dvRelKey(e, b, f.name) -> f
+        case f if f.dv.nonEmpty =>
+          dvRelKey(fileEpoch(m, b, f), b, f.name) -> f
       }
-    }
+    }.toMap
 
   /** Dead positions of the given relative file keys, resolved from their
     * sidecars (each sidecar read once). A missing sidecar or entry fails
@@ -2429,13 +2654,18 @@ object MergeWriter {
       } else {
         dirOfRef.keys.find(suffixMatch(p, _)) match {
           case Some(relDir) =>
-            // expand: the manifest's stats list EVERY file of the bucket
+            // expand to the manifest-listed files OF THIS DIRECTORY'S
+            // EPOCH (a bucket's stats span base + overlay epochs; files
+            // attributed elsewhere live in other dirs)
             val b = relDir.substring(relDir.lastIndexOf('=') + 1).toInt
-            m.stats.getOrElse(b, Seq.empty).foreach { f =>
-              val k = dvRelKey(m.epochs(b), b, f.name)
-              if (refs.contains(k)) dvReads += ((s"$p/${f.name}", k))
-              else clean += s"$p/${f.name}"
-            }
+            val dirEpoch = relDir.substring(0, relDir.indexOf('/'))
+            m.stats.getOrElse(b, Seq.empty)
+              .filter(f => fileEpoch(m, b, f) == dirEpoch)
+              .foreach { f =>
+                val k = dvRelKey(dirEpoch, b, f.name)
+                if (refs.contains(k)) dvReads += ((s"$p/${f.name}", k))
+                else clean += s"$p/${f.name}"
+              }
           case None => clean += p
         }
       }
@@ -2661,10 +2891,22 @@ object MergeWriter {
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
             bloomN = bloomItems, fpSeed = fingerprint, dvSeed = deleteVectors)
+        case Some(man)
+            if man.deleteVectors && !evolveSchema &&
+              morMerge(spark, fs, tablePath, man, inc, keys, touched, txn) =>
+          // MERGE-ON-READ upsert took it (Iceberg v2's shape: the
+          // incoming rows landed as ONE overlay epoch, the replaced
+          // keys' old positions died by deletion vector) — write I/O
+          // ∝ the batch, not the touched buckets. morMerge returns
+          // false (fall through to copy-on-write below) when the batch
+          // is too large to stay metadata-sized, the schema moved, or
+          // stats are missing.
+          ()
         case Some(man) =>
           // manifest-level pruning: read ONLY the touched buckets' dirs
           val existingPaths = touched.flatMap(b =>
-            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+            (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+             else Seq.empty))
           val survivors =
             if (existingPaths.isEmpty) None
             else Some(readWithSchema(spark, man, tablePath, existingPaths)
@@ -2743,7 +2985,8 @@ object MergeWriter {
         case None => inc.drop(BucketCol)
         case Some(man) =>
           val existingPaths = touched.flatMap(b =>
-            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+            (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+             else Seq.empty))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
           else readWithSchema(spark, man, tablePath, existingPaths).select(cols: _*)
             .unionByName(inc.drop(BucketCol).select(cols: _*))
@@ -3009,7 +3252,8 @@ object MergeWriter {
         case None => inc.drop(BucketCol)
         case Some(man) =>
           val existingPaths = touched.flatMap(b =>
-            man.epochs.get(b).map(e => bucketPath(tableRoot, e, b)))
+            (if (man.epochs.contains(b)) bucketDirPaths(tableRoot, man, b)
+             else Seq.empty))
           if (existingPaths.isEmpty) inc.drop(BucketCol)
           else {
             val sv = readWithSchema(spark, man, tableRoot, existingPaths)
@@ -3179,8 +3423,7 @@ object MergeWriter {
       throw new IllegalArgumentException(
         s"readGroupTable: member '$name' not in group " +
           s"(members: ${man.tables.keys.toSeq.sorted.mkString(", ")})"))
-    val paths = m.epochs.toSeq.sortBy(_._1)
-      .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
+    val paths = allDirPaths(s"$groupPath/$name", m)
     stripFrame(readWithSchema(spark, m, s"$groupPath/$name", paths))
   }
 
@@ -3355,8 +3598,7 @@ object MergeWriter {
       throw new IllegalArgumentException(
         s"readGroupTableVersion: member '$name' not in group at version " +
           s"$version (members: ${tables.keys.toSeq.sorted.mkString(", ")})"))
-    val paths = m.epochs.toSeq.sortBy(_._1)
-      .map { case (b, e) => bucketPath(s"$groupPath/$name", e, b) }
+    val paths = allDirPaths(s"$groupPath/$name", m)
     stripFrame(readWithSchema(spark, m, s"$groupPath/$name", paths))
   }
 
@@ -3654,7 +3896,8 @@ object MergeWriter {
             keys, nb, None, opName = "mergeVersioned")
         case Some(man) =>
           val existingPaths = touched.flatMap(b =>
-            man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+            (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+             else Seq.empty))
           val existing =
             if (existingPaths.isEmpty) None
             else Some(readWithSchema(spark, man, tablePath, existingPaths))
@@ -3862,6 +4105,10 @@ object MergeWriter {
       // still holding the deleted rows — would stay visible)
       val epochs = (base.map(_.epochs).getOrElse(Map.empty) -- dropBuckets) ++
         written.map(_ -> epoch)
+      // a full bucket rewrite supersedes its merge-on-read overlays (the
+      // survivor read above already folded their rows in)
+      val overlays = (base.map(_.overlays).getOrElse(Map.empty)
+        -- dropBuckets) -- written
       // txn ledger survives every commit; the new txn (if any) rides the
       // SAME atomic rename as the data it applied
       val txns = base.map(_.txns).getOrElse(Map.empty) ++ txn
@@ -3912,7 +4159,8 @@ object MergeWriter {
             statsVersion = base.map(_.statsVersion).getOrElse(0L),
             // tags ride every commit forward; they name VERSIONS, so a
             // new commit changes nothing about what they pin
-            tags = base.map(_.tags).getOrElse(Map.empty)))
+            tags = base.map(_.tags).getOrElse(Map.empty),
+            overlays = overlays))
         return
       } catch {
         case e: java.io.IOException =>
@@ -4053,7 +4301,8 @@ object MergeWriter {
         requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
           "delete")
         val existingPaths = touched.flatMap(b =>
-          man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+          (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+             else Seq.empty))
         // no stored bucket holds any of these keys — nothing to rewrite,
         // and committing a no-change version would just churn gc
         if (existingPaths.isEmpty) return
@@ -4122,7 +4371,8 @@ object MergeWriter {
       // smuggle a duplicate past it
       requireUniqueKeys(up, keys, opName)
       val existingPaths = touched.flatMap(b =>
-        man.epochs.get(b).map(e => bucketPath(tablePath, e, b)))
+        (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+             else Seq.empty))
       // every changed key vacates its stored row: upserted keys get
       // re-inserted from `up`, deleted keys just end here
       val gone = up.select(keys.map(col): _*)
@@ -4289,9 +4539,9 @@ object MergeWriter {
         // DV-filtering core (dead rows must not survive the rewrite) and
         // re-derive the physical bucket column — this rewrite is also
         // what PURGES the vectors (fresh stats below carry no `dv`)
-        man.epochs.toSeq.sortBy(_._1).map { case (b, e) =>
+        man.epochs.keys.toSeq.sorted.map { b =>
           readWithSchema(spark, man, tableRoot,
-            Seq(bucketPath(tableRoot, e, b)))
+            bucketDirPaths(tableRoot, man, b))
             .withColumn(BucketCol, lit(b))
         }
       else man.epochs.groupBy(_._2)
@@ -4315,6 +4565,8 @@ object MergeWriter {
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
+      // the rewrite folded every overlay's rows in — collapse them
+      overlays = Map.empty,
       stats =
         if (man.fingerprint)
           withFingerprints(stats0,
@@ -4374,8 +4626,7 @@ object MergeWriter {
     // a legacy pre-keyCols manifest upgrades here: the supplied keys are
     // recorded for every later keyed call to validate
     val keyRec = if (man.keyCols.nonEmpty) man.keyCols else keys
-    val paths = man.epochs.toSeq.sortBy(_._1)
-      .map { case (b, e) => bucketPath(tableRoot, e, b) }
+    val paths = allDirPaths(tableRoot, man)
     if (paths.isEmpty) man.copy(buckets = nb2, keyCols = keyRec)
     else {
       val epoch = "e-" + UUID.randomUUID()
@@ -4393,6 +4644,7 @@ object MergeWriter {
       man.copy(buckets = nb2,
         epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
           .map(_ -> epoch).toMap,
+        overlays = Map.empty,
         keyCols = keyRec,
         stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
         withColumnStats = man.clusterCols.nonEmpty))
@@ -4407,8 +4659,7 @@ object MergeWriter {
     val fs = fsFor(spark, tablePath)
     currentManifest(fs, new Path(tablePath)) match {
       case Some(m) =>
-        val paths = m.epochs.toSeq.sortBy(_._1)
-          .map { case (b, e) => bucketPath(tablePath, e, b) }
+        val paths = allDirPaths(tablePath, m)
         stripFrame(readWithSchema(spark, m, tablePath, paths))
       case None => spark.read.parquet(tablePath).drop(BucketCol)
     }
@@ -4439,8 +4690,7 @@ object MergeWriter {
         s"readTableVersion: version $version not retained for $tablePath " +
           s"(readable: ${retained.map(_._1).mkString(", ")})"))
     val m = readManifest(fs, version, hit._2)
-    val paths = m.epochs.toSeq.sortBy(_._1)
-      .map { case (b, e) => bucketPath(tablePath, e, b) }
+    val paths = allDirPaths(tablePath, m)
     // each retained version reads with ITS OWN recorded schema — a pinned
     // read before an evolution (or a rename) sees the old columns
     stripFrame(readWithSchema(spark, m, tablePath, paths))
@@ -4585,9 +4835,10 @@ object MergeWriter {
       man.epochs.get(b).toSeq.flatMap { e =>
         man.stats.get(b) match {
           case Some(fss) =>
-            fss.filter(f => byBucket(b).exists(tupleCouldBeIn(e, b, f, _)))
-              .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
-          case None => Seq(bucketPath(tableRoot, e, b))
+            fss.filter(f => byBucket(b).exists(
+                tupleCouldBeIn(fileEpoch(man, b, f), b, f, _)))
+              .map(f => fileReadPath(tableRoot, man, b, f))
+          case None => bucketDirPaths(tableRoot, man, b)
         }
       }
     }
@@ -4810,8 +5061,7 @@ object MergeWriter {
       : DataFrame =
     if (ranges.nonEmpty) whereReadFromManifest(spark, tableRoot, man, ranges)
     else {
-      val paths = man.epochs.toSeq.sortBy(_._1)
-        .map { case (b, e) => bucketPath(tableRoot, e, b) }
+      val paths = allDirPaths(tableRoot, man)
       if (paths.nonEmpty)
         stripFrame(readWithSchema(spark, man, tableRoot, paths))
       else man.schema match {
@@ -4832,9 +5082,9 @@ object MergeWriter {
     val paths = man.epochs.toSeq.sortBy(_._1).flatMap { case (b, e) =>
       man.stats.get(b) match {
         case Some(fss) if keeps.nonEmpty =>
-          fss.filter(f => keeps.forall(_(e, b, f)))
-            .map(f => bucketPath(tableRoot, e, b) + "/" + f.name)
-        case _ => Seq(bucketPath(tableRoot, e, b))
+          fss.filter(f => keeps.forall(_(fileEpoch(man, b, f), b, f)))
+            .map(f => fileReadPath(tableRoot, man, b, f))
+        case _ => bucketDirPaths(tableRoot, man, b)
       }
     }
     val base =
@@ -5111,8 +5361,7 @@ object MergeWriter {
                                    man: Manifest): StructType =
     man.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse {
-        val paths = man.epochs.toSeq.sortBy(_._1)
-          .map { case (b, e) => bucketPath(tablePath, e, b) }
+        val paths = allDirPaths(tablePath, man)
         spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
       }
 
@@ -5161,9 +5410,10 @@ object MergeWriter {
       man.stats.get(b) match {
         case Some(fss) =>
           val kept =
-            if (keeps.isEmpty) fss else fss.filter(f => keeps.forall(_(e, b, f)))
+            if (keeps.isEmpty) fss
+            else fss.filter(f => keeps.forall(_(fileEpoch(man, b, f), b, f)))
           kept.map(f =>
-            (new Path(bucketPath(tableRoot, e, b), f.name), f.bytes))
+            (new Path(fileReadPath(tableRoot, man, b, f)), f.bytes))
         case None =>
           val d = new Path(bucketPath(tableRoot, e, b))
           if (fs.exists(d))
@@ -5271,11 +5521,13 @@ object MergeWriter {
               val newByFp = nf.filter(_.fp.nonEmpty).groupBy(pairKey)
               val dropsO = Set.newBuilder[String]
               val dropsN = Set.newBuilder[String]
+              // identity = epoch attribution + name: overlay files can
+              // reuse part-file names across epoch dirs within a bucket
               oldByFp.foreach { case (fp, ofs) =>
                 newByFp.get(fp).foreach { nfs =>
                   val k = math.min(ofs.size, nfs.size)
-                  dropsO ++= ofs.take(k).map(_.name)
-                  dropsN ++= nfs.take(k).map(_.name)
+                  dropsO ++= ofs.take(k).map(f => f.e + "/" + f.name)
+                  dropsN ++= nfs.take(k).map(f => f.e + "/" + f.name)
                 }
               }
               (dropsO.result(), dropsN.result())
@@ -5287,15 +5539,14 @@ object MergeWriter {
             changed.toSeq.map(b => b -> pairedDrop(b)).toMap
           else Map.empty
         def side(m: Manifest, dropOf: Int => Set[String]): DataFrame = {
-          val paths = m.epochs.toSeq.filter(e => changed(e._1)).sortBy(_._1)
-            .flatMap { case (b, e) =>
-              val dir = bucketPath(dataPath, e, b)
+          val paths = m.epochs.keys.toSeq.filter(changed).sorted
+            .flatMap { b =>
               val dropped = dropOf(b)
               m.stats.get(b) match {
                 case Some(fss) if dropped.nonEmpty =>
-                  fss.filterNot(f => dropped(f.name))
-                    .map(f => dir + "/" + f.name)
-                case _ => Seq(dir)
+                  fss.filterNot(f => dropped(f.e + "/" + f.name))
+                    .map(f => fileReadPath(dataPath, m, b, f))
+                case _ => bucketDirPaths(dataPath, m, b)
               }
             }
           if (paths.isEmpty)
@@ -5310,8 +5561,7 @@ object MergeWriter {
         // modulus/schema mismatch: full two-sided diff straight from
         // the manifests (no path-level version resolution needed)
         def full(m: Manifest): DataFrame = {
-          val paths = m.epochs.toSeq.sortBy(_._1)
-            .map { case (b, e) => bucketPath(dataPath, e, b) }
+          val paths = allDirPaths(dataPath, m)
           if (paths.isEmpty) m.schema match {
             case Some(sch) => spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -126,9 +126,9 @@ class DeleteVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     MergeWriter.delete(spark, dir, Seq(2L).toDF("id"), Seq("id"))
     assert(MergeWriter.readTable(spark, dir).where(
       col("id").isin(1L, 2L)).count() == 0)
-    // upsert OTHER keys: the touched buckets rewrite copy-on-write from
-    // the DV-filtered survivor read — dead keys must stay dead, and the
-    // rewritten buckets' dv references clear
+    // upsert OTHER keys: whichever write path takes it (merge-on-read
+    // for a batch this small, copy-on-write past the cap), dead keys
+    // must stay dead and the upserts land exactly once
     MergeWriter.merge(spark, dir,
       (0 until 100).map(i => (i.toLong, s"v2-$i", 0)).toDF("id", "body", "grp")
         .where(!col("id").isin(1L, 2L)),
@@ -136,8 +136,13 @@ class DeleteVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = MergeWriter.readTable(spark, dir)
     assert(t.count() == 98)
     assert(t.where(col("id").isin(1L, 2L)).count() == 0)
-    assert(!manifestText(dir).contains("\"dv\":"),
-      "full-bucket rewrite must clear dv references")
+    assert(t.where(col("id") === 3L).collect().head.getString(1) == "v2-3")
+    // a full rewrite is what PURGES the vectors and overlays
+    MergeWriter.compact(spark, dir)
+    val m = manifestText(dir)
+    assert(!m.contains("\"dv\":") && !m.contains("\"ovl\":"),
+      "compaction must clear dv references and overlays")
+    assert(MergeWriter.readTable(spark, dir).count() == 98)
   }
 
   test("compact purges deletion vectors and preserves content") {
