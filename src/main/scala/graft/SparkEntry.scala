@@ -4610,6 +4610,36 @@ object SparkEntry {
         CAST(SUM(user_id) AS BIGINT) AS sum_uid
         FROM $cat.etl.fact VERSION AS OF 'audited'
         GROUP BY event_type""")
+    }),
+
+    // MERGE-ON-READ upserts (Iceberg v2's write shape): three small
+    // keyed merges on a deleteVectors table land as overlay epochs +
+    // position deletes on the replaced rows — base pointers unmoved,
+    // write I/O ∝ each batch (mor11 in BENCH_SCALE.md measures it).
+    // Round 2 REPLACES a subset of round 1's overlay rows (the overlay
+    // file itself gets DV'd), round 3 is pure inserts; the final read
+    // must equal the same three upserts applied copy-on-write.
+    "q184_mor_upsert" -> ((s, dir) => {
+      val path = scratchDir("graft-mor") + "/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      sources.MergeWriter.merge(s, path, docs, Seq("doc_id"), buckets = 8,
+        clusterBy = Seq("doc_id"), deleteVectors = true,
+        fingerprint = true)
+      val r1 = docs.filter(pmod(col("doc_id"), lit(37)) === 1)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+      sources.MergeWriter.merge(s, path, r1, Seq("doc_id"))
+      val r2 = docs.filter(pmod(col("doc_id"), lit(74)) === 1)
+        .select(col("doc_id"), lit("yy").as("lang"),
+          (col("n_chars") + 2000).as("n_chars"))
+      sources.MergeWriter.merge(s, path, r2, Seq("doc_id"))
+      val r3 = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("new").as("lang"), lit(0L).as("n_chars"))
+      sources.MergeWriter.merge(s, path, r3, Seq("doc_id"))
+      sources.MergeWriter.readTable(s, path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
   )
 
@@ -7952,6 +7982,21 @@ object SparkEntry {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE NOT (event_id % 101 = 7)
         |GROUP BY 1""".stripMargin,
+
+    // Merge-on-read must equal copy-on-write exactly: base rows with
+    // the two update rounds applied (round 2 wins where both touched),
+    // plus the inserted synthetic ids.
+    "q184_mor_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 74 = 1 THEN 'yy'
+        |       WHEN doc_id % 37 = 1 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 74 = 1 THEN n_chars + 2000
+        |       WHEN doc_id % 37 = 1 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'new', CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
     // The tag pins the pre-second-load state: exactly the even-id half.
     "q183_version_tags" ->

@@ -2336,11 +2336,12 @@ object MergeWriter {
     * bucket lacks per-file stats. Returns true when the upsert
     * committed.
     */
-  private def morMerge(spark: SparkSession, fs: FileSystem,
+  private def morApply(spark: SparkSession, fs: FileSystem,
                        tablePath: String, man: Manifest,
-                       inc: DataFrame, keys: Seq[String],
-                       touched: Seq[Int],
-                       txn: Option[(String, Long)]): Boolean = {
+                       inc: DataFrame, delKeys: Option[DataFrame],
+                       keys: Seq[String], touched: Seq[Int],
+                       txn: Option[(String, Long)],
+                       opName: String = "merge"): Boolean = {
     if (man.schema.isEmpty) return false
     val cleanSchema = stripSchemaIds(inc.drop(BucketCol).schema)
     val recorded = DataType.fromJson(man.schema.get)
@@ -2352,30 +2353,44 @@ object MergeWriter {
     val touchedStored = touched.filter(man.epochs.contains)
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
       return false
-    if (inc.count() > DvMaxPositionsPerCommit) return false
-    // 1. positions of the MATCHED keys' current live rows (≤ batch size
-    //    — keyed-table invariant; already-dead rows stay out via the
-    //    DV-aware read)
+    val incCount = inc.count()
+    val doomed = delKeys match {
+      case Some(d) => inc.select(keys.map(col): _*)
+        .union(d.select(keys.map(col): _*)).distinct()
+      case None => inc.select(keys.map(col): _*).distinct()
+    }
+    if (incCount + delKeys.fold(0L)(_.count()) > DvMaxPositionsPerCommit)
+      return false
+    // 1. positions of the CHANGED keys' current live rows (≤ changeset
+    //    size — keyed-table invariant; already-dead rows stay out via
+    //    the DV-aware read). Upserted keys vacate their old copy;
+    //    deleted keys just end here.
     val storedPaths = touchedStored.flatMap(b =>
       bucketDirPaths(tablePath, man, b))
     val hits =
       if (storedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else readDvAware(spark, man, tablePath, storedPaths, withPos = true)
-        .join(inc.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(doomed, keys, "left_semi")
         .select(col("__graft_file"), col("__graft_pos"))
         .collect()
+    if (incCount == 0 && hits.isEmpty) return true // provable no-op
     // 2. the overlay epoch: the batch written exactly like any epoch
+    //    (a pure-delete changeset writes none)
     val epoch = "e-" + UUID.randomUUID()
-    val stamped =
-      if (man.colIds.isEmpty) stripFrame(inc.drop(BucketCol))
-      else stampFrame(inc.drop(BucketCol), man.colIds)
-    val data = stamped.withColumn(BucketCol,
-      bucketExprChecked(keys, man.buckets))
-    val clustered = clusterSort(data.repartition(col(BucketCol)),
-      man.clusterCols)
-    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
-      .parquet(s"$tablePath/$epoch")
-    val written = listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
+    val written: Set[Int] =
+      if (incCount == 0) Set.empty
+      else {
+        val stamped =
+          if (man.colIds.isEmpty) stripFrame(inc.drop(BucketCol))
+          else stampFrame(inc.drop(BucketCol), man.colIds)
+        val data = stamped.withColumn(BucketCol,
+          bucketExprChecked(keys, man.buckets))
+        val clustered = clusterSort(data.repartition(col(BucketCol)),
+          man.clusterCols)
+        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+          .parquet(s"$tablePath/$epoch")
+        listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
+      }
     val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
       withColumnStats = man.clusterCols.nonEmpty)
     val statsFp =
@@ -2435,7 +2450,7 @@ object MergeWriter {
                 b -> (base.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
             stats = stats2,
             txns = base.txns ++ txn,
-            op = "merge", opTs = System.currentTimeMillis()))
+            op = opName, opTs = System.currentTimeMillis()))
         return true
       } catch {
         case ex: java.io.IOException =>
@@ -2893,7 +2908,8 @@ object MergeWriter {
             bloomN = bloomItems, fpSeed = fingerprint, dvSeed = deleteVectors)
         case Some(man)
             if man.deleteVectors && !evolveSchema &&
-              morMerge(spark, fs, tablePath, man, inc, keys, touched, txn) =>
+              morApply(spark, fs, tablePath, man, inc, None, keys, touched,
+                txn) =>
           // MERGE-ON-READ upsert took it (Iceberg v2's shape: the
           // incoming rows landed as ONE overlay epoch, the replaced
           // keys' old positions died by deletion vector) — write I/O
@@ -4370,25 +4386,33 @@ object MergeWriter {
       // whose NOT-MATCHED clause fires twice for one source key would
       // smuggle a duplicate past it
       requireUniqueKeys(up, keys, opName)
-      val existingPaths = touched.flatMap(b =>
-        (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
-             else Seq.empty))
-      // every changed key vacates its stored row: upserted keys get
-      // re-inserted from `up`, deleted keys just end here
-      val gone = up.select(keys.map(col): _*)
-        .union(del.select(keys.map(col): _*)).distinct()
-      val survivors =
-        if (existingPaths.isEmpty) None
-        else Some(readWithSchema(spark, man, tablePath, existingPaths)
-          .join(gone, keys, "left_anti"))
-      val merged = survivors match {
-        case None => up.drop(BucketCol)
-        case Some(sv) =>
-          sv.unionByName(up.select(sv.columns.map(col).toIndexedSeq: _*))
+      // MERGE-ON-READ fast path (deleteVectors tables, small changeset):
+      // the upserts land as one overlay epoch, the changed keys' old
+      // rows die by deletion vector — a SQL UPDATE/MERGE then writes
+      // ∝ its changeset, never ∝ the touched buckets
+      if (!(man.deleteVectors &&
+            morApply(spark, fs, tablePath, man, up, Some(del), keys,
+              touched, None, opName))) {
+        val existingPaths = touched.flatMap(b =>
+          (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+               else Seq.empty))
+        // every changed key vacates its stored row: upserted keys get
+        // re-inserted from `up`, deleted keys just end here
+        val gone = up.select(keys.map(col): _*)
+          .union(del.select(keys.map(col): _*)).distinct()
+        val survivors =
+          if (existingPaths.isEmpty) None
+          else Some(readWithSchema(spark, man, tablePath, existingPaths)
+            .join(gone, keys, "left_anti"))
+        val merged = survivors match {
+          case None => up.drop(BucketCol)
+          case Some(sv) =>
+            sv.unionByName(up.select(sv.columns.map(col).toIndexedSeq: _*))
+        }
+        val touchedStored = touched.filter(man.epochs.contains).toSet
+        writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
+          Some(man), dropBuckets = touchedStored, opName = opName)
       }
-      val touchedStored = touched.filter(man.epochs.contains).toSet
-      writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-        Some(man), dropBuckets = touchedStored, opName = opName)
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
