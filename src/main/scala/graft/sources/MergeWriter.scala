@@ -1446,23 +1446,33 @@ object MergeWriter {
     val retained = manifestFiles(fs, new Path(tablePath)).map(_._1)
     currentManifest(fs, new Path(tablePath)) match {
       case Some(m) =>
-        Seq((m.version, m.buckets, m.epochs.values.toSet.size,
+        Seq((m.version, m.buckets,
+          (m.epochs.values.toSet ++ m.overlays.values.flatten).size,
           m.schema.map(s => DataType.fromJson(s).asInstanceOf[StructType]
             .toDDL).getOrElse(""),
           retained.mkString(","), m.txns.size,
           // from manifest stats alone — no listing (0/0 pre-stats)
           m.stats.values.map(_.size).sum,
           m.stats.values.flatMap(_.map(_.bytes)).sum,
-          m.clusterCols.mkString(","), m.keyCols.mkString(",")))
+          m.clusterCols.mkString(","), m.keyCols.mkString(","),
+          // merge-on-read pressure: DV'd files / dead rows / overlay
+          // epochs — what CALL gc.system.compact would drain
+          m.stats.values.flatMap(_.filter(_.dv.nonEmpty)).size,
+          m.stats.values.flatMap(_.map(_.dvn)).sum,
+          m.overlays.values.map(_.size).sum,
+          m.tags.toSeq.sortBy(_._1)
+            .map { case (t, v) => s"$t=$v" }.mkString(",")))
           .toDF("version", "buckets", "live_epochs", "schema_ddl",
             "retained_versions", "n_txns", "n_files", "total_bytes",
-            "cluster_cols", "key_cols")
+            "cluster_cols", "key_cols", "dv_files", "dv_rows",
+            "overlay_epochs", "tags")
       case None =>
         Seq.empty[(Long, Int, Int, String, String, Int, Int, Long,
-            String, String)]
+            String, String, Int, Long, Int, String)]
           .toDF("version", "buckets", "live_epochs", "schema_ddl",
             "retained_versions", "n_txns", "n_files", "total_bytes",
-            "cluster_cols", "key_cols")
+            "cluster_cols", "key_cols", "dv_files", "dv_rows",
+            "overlay_epochs", "tags")
     }
   }
 
@@ -2095,11 +2105,14 @@ object MergeWriter {
         require(f.isDefined && bloomPutKind(f.get.dataType).isDefined,
           s"buildBloomIndex: column '$c' missing or of unsupported type")
       }
-      man.epochs.values.toSet[String].foreach { e =>
-        if (!fs.exists(new Path(s"$tablePath/$e", BloomSidecar)))
-          writeBloomSidecar(spark, fs, s"$tablePath/$e", bloomBy,
-            bloomItems, man.schema)
-      }
+      // overlay epochs (merge-on-read upserts) need sidecars too — a
+      // point probe must be able to skip overlay files like any other
+      (man.epochs.values.toSet ++ man.overlays.values.flatten)
+        .foreach { e =>
+          if (!fs.exists(new Path(s"$tablePath/$e", BloomSidecar)))
+            writeBloomSidecar(spark, fs, s"$tablePath/$e", bloomBy,
+              bloomItems, man.schema)
+        }
       commitOrConflict(fs, dir,
         man.copy(version = man.version + 1, bloomCols = bloomBy,
           bloomItems = bloomItems), "buildBloomIndex")
@@ -4558,11 +4571,13 @@ object MergeWriter {
       stampSchema(DataType.fromJson(s).asInstanceOf[StructType], man.colIds)
         .add(BucketCol, IntegerType))
     val live: Iterable[DataFrame] =
-      if (hasLiveDvs(man))
-        // deletion vectors present: read each bucket through the
-        // DV-filtering core (dead rows must not survive the rewrite) and
-        // re-derive the physical bucket column — this rewrite is also
-        // what PURGES the vectors (fresh stats below carry no `dv`)
+      if (hasLiveDvs(man) || man.overlays.nonEmpty)
+        // deletion vectors or merge-on-read overlays present: read each
+        // bucket through the DV-filtering core over ALL its epochs
+        // (dead rows must not survive the rewrite; overlay rows must)
+        // and re-derive the physical bucket column — this rewrite is
+        // also what PURGES vectors and collapses overlays (fresh stats
+        // below carry neither)
         man.epochs.keys.toSeq.sorted.map { b =>
           readWithSchema(spark, man, tableRoot,
             bucketDirPaths(tableRoot, man, b))

@@ -193,6 +193,26 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MergeWriter.readTable(spark, dir).count() == 100001)
   }
 
+  test("compacting a PURE-INSERT overlay table (no vectors) keeps the " +
+       "overlay rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("morpi").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      (0 until 100).map(i => (i.toLong, "a")).toDF("id", "s"),
+      Seq("id"), buckets = 4, deleteVectors = true)
+    // brand-new keys only: overlay with zero vectors
+    MergeWriter.merge(spark, dir,
+      (100 until 130).map(i => (i.toLong, "b")).toDF("id", "s"), Seq("id"))
+    val m = manifestText(dir)
+    assert(m.contains("\"ovl\":") && !m.contains("\"dv\":"))
+    MergeWriter.compact(spark, dir)
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 130,
+      "compaction must fold pure-insert overlay rows in, not drop them")
+    assert(t.where(col("s") === "b").count() == 30)
+    assert(!manifestText(dir).contains("\"ovl\":"))
+  }
+
   test("exactly-once: a replayed MoR txn batch is a zero-commit skip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mort").toString + "/t"
