@@ -598,13 +598,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType => SType}
     val all: Seq[Proc] = Seq(
       new Proc("compact", "rewrite live buckets into one epoch " +
-          "(size-targeted when target_file_bytes > 0)",
+          "(size-targeted when target_file_bytes > 0); buckets => " +
+          "'3,17' rewrites ONLY those buckets — the merge-on-read " +
+          "pressure drain at 100 TB (never a full-table rewrite for a " +
+          "few DV'd/overlay buckets)",
         Array(inParam("table", SType),
-          inParamDefault("target_file_bytes", LongType, "0"))) {
+          inParamDefault("target_file_bytes", LongType, "0"),
+          inParamDefault("buckets", SType, "''"))) {
         override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
           val p = tablePathOf(in.getUTF8String(0).toString)
-          MergeWriter.compact(spark, p, in.getLong(1))
-          s"compacted $p"
+          val bs = csvArg(in.getUTF8String(2).toString)
+          if (bs.isEmpty) {
+            MergeWriter.compact(spark, p, in.getLong(1))
+            s"compacted $p"
+          } else {
+            MergeWriter.compactBuckets(spark, p, bs.map(_.toInt).toSet)
+            s"compacted buckets ${bs.mkString(",")} of $p"
+          }
         }
       },
       new Proc("cluster", "clustering retrofit (OPTIMIZE ZORDER): " +

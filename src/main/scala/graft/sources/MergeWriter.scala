@@ -2163,8 +2163,7 @@ object MergeWriter {
   private def maybeAutoCompact(spark: SparkSession, fs: FileSystem, dir: Path,
                                tablePath: String, threshold: Int): Unit =
     currentManifest(fs, dir).foreach { man =>
-      if ((man.epochs.values.toSet ++ man.overlays.values.flatten).size >
-          threshold)
+      if (man.epochs.values.toSet.size > threshold)
         // advisory: losing a commit race to a concurrent writer must not
         // fail the merge that already committed — a later merge retries
         try compact(spark, tablePath)
@@ -2569,15 +2568,6 @@ object MergeWriter {
         commitManifest(fs, new Path(tablePath),
           base.copy(version = base.version + 1, stats = stats2,
             op = "delete", opTs = System.currentTimeMillis()))
-        // DV pressure drain (advisory, like auto-compaction): every DV'd
-        // file is one extra union branch in read plans and keeps SQL
-        // scans on the V1 bridge — past the ceiling, purge via compact
-        if (dvFileRefs(base.copy(stats = stats2)).size >= DvAutoCompactFiles)
-          try compact(spark, tablePath)
-          catch {
-            case _: java.io.IOException => ()
-            case _: java.util.ConcurrentModificationException => ()
-          }
         return true
       } catch {
         case e: java.io.IOException =>
@@ -2958,6 +2948,7 @@ object MergeWriter {
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+      maybeAutoCompactMor(spark, fs, dir, tablePath)
     } finally { inc.unpersist(); () }
   }
 
@@ -3028,6 +3019,7 @@ object MergeWriter {
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+      maybeAutoCompactMor(spark, fs, dir, tablePath)
     } finally { inc.unpersist(); () }
   }
 
@@ -3946,6 +3938,7 @@ object MergeWriter {
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+      maybeAutoCompactMor(spark, fs, dir, tablePath)
     } finally { inc.unpersist(); () }
   }
 
@@ -4351,6 +4344,7 @@ object MergeWriter {
         }
         gc(fs, dir)
         maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+        maybeAutoCompactMor(spark, fs, dir, tablePath)
       } finally { del.unpersist(); () }
     }
   }
@@ -4429,6 +4423,7 @@ object MergeWriter {
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
       maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+      maybeAutoCompactMor(spark, fs, dir, tablePath)
     } finally { up.unpersist(); del.unpersist(); () }
   }
 
@@ -4613,6 +4608,88 @@ object MergeWriter {
               man.colIds))
         else stats0)
   }
+
+  /** PARTIAL compaction — rewrite ONLY the given buckets into one fresh
+    * epoch (Iceberg's `rewrite_data_files` with a filter / Delta's
+    * OPTIMIZE WHERE): the merge-on-read pressure drain. A 100 TB table
+    * with a handful of DV'd or overlay-carrying buckets must not pay a
+    * FULL-table rewrite to purge them — this rewrites just the
+    * pressured buckets (DV-aware read folds overlays in and drops dead
+    * rows; fresh stats carry neither), leaves every other bucket's
+    * pointer untouched, and commits one version. A bucket whose rows
+    * are all DV-dead drops its pointer. Unknown/empty bucket ids are
+    * ignored. Same CAS-or-conflict commit as [[compact]].
+    */
+  def compactBuckets(spark: SparkSession, tablePath: String,
+                     buckets: Set[Int]): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      val targets = buckets.filter(man.epochs.contains)
+      if (targets.isEmpty) return
+      if (man.colIds.nonEmpty) ensureFieldIdRead(spark)
+      val live = targets.toSeq.sorted.map { b =>
+        readWithSchema(spark, man, tablePath,
+          bucketDirPaths(tablePath, man, b))
+          .withColumn(BucketCol, lit(b))
+      }
+      val epoch = "e-" + UUID.randomUUID()
+      val clustered = clusterSort(
+        live.reduce(_ unionByName _).repartition(col(BucketCol)),
+        man.clusterCols)
+      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        .parquet(s"$tablePath/$epoch")
+      val written = listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
+      if (man.bloomCols.nonEmpty && written.nonEmpty)
+        writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
+          man.bloomItems, man.schema)
+      val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
+        withColumnStats = man.clusterCols.nonEmpty)
+      val fresh =
+        if (man.fingerprint && written.nonEmpty)
+          withFingerprints(stats0,
+            fileFingerprints(spark, s"$tablePath/$epoch", man.schema,
+              man.colIds))
+        else stats0
+      commitOrConflict(fs, dir, man.copy(
+        version = man.version + 1,
+        // rewritten buckets point at the fresh epoch; a fully-dead
+        // bucket (all rows DV'd) emits no directory and drops out
+        epochs = (man.epochs -- targets) ++ written.map(_ -> epoch),
+        overlays = man.overlays -- targets,
+        stats = (man.stats -- targets) ++ fresh,
+        op = "compact", opTs = System.currentTimeMillis()),
+        "compactBuckets")
+      gc(fs, dir)
+    }
+  }
+
+  /** Advisory merge-on-read pressure drain: when DV'd files or overlay
+    * entries pile past [[DvAutoCompactFiles]], rewrite ONLY the
+    * pressured buckets ([[compactBuckets]]) — never the whole table
+    * (at 100 TB a full rewrite for a few hot buckets would be the
+    * cluster's main load). Advisory like auto-compaction: a lost race
+    * never fails the commit that already landed.
+    */
+  private def maybeAutoCompactMor(spark: SparkSession, fs: FileSystem,
+                                  dir: Path, tablePath: String): Unit =
+    currentManifest(fs, dir).foreach { man =>
+      val pressured = man.epochs.keys.filter { b =>
+        man.overlays.get(b).exists(_.nonEmpty) ||
+          man.stats.getOrElse(b, Seq.empty).exists(_.dv.nonEmpty)
+      }.toSet
+      val dvFiles = man.stats.valuesIterator
+        .map(_.count(_.dv.nonEmpty)).sum
+      val overlayEntries = man.overlays.valuesIterator.map(_.size).sum
+      if (pressured.nonEmpty &&
+          (dvFiles >= DvAutoCompactFiles ||
+            overlayEntries >= DvAutoCompactFiles))
+        try compactBuckets(spark, tablePath, pressured)
+        catch {
+          case _: java.io.IOException => ()
+          case _: java.util.ConcurrentModificationException => ()
+        }
+    }
 
   /** Double a table's bucket count IN PLACE — the growth path past the
     * creation-time modulus (the last structural scale limit of a

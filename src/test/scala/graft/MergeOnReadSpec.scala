@@ -213,6 +213,49 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!manifestText(dir).contains("\"ovl\":"))
   }
 
+  test("compactBuckets drains ONLY the pressured buckets: other " +
+       "pointers untouched, content preserved, fully-dead bucket drops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("morpc").toString + "/t"
+    seed(dir, 400)
+    // MoR-pressure bucket(s): overlay + DVs around key 7
+    MergeWriter.merge(spark, dir,
+      Seq((7L, "UPD-7", 0)).toDF("id", "body", "grp"), Seq("id"))
+    val man = manifestText(dir)
+    assert(man.contains("\"ovl\":"))
+    // which bucket got the overlay? parse "ovl":{"K":[...]}
+    val i = man.indexOf("\"ovl\":{\"")
+    val pressured = man.substring(i + 8, man.indexOf('"', i + 8)).toInt
+    def pointerOf(m: String, b: Int): String = {
+      val j = m.indexOf(s""""$b":"e-""")
+      m.substring(j, m.indexOf('"', j + s""""$b":"""".length + 1))
+    }
+    val others = (0 until 4).filter(_ != pressured)
+    val beforePtrs = others.map(b => pointerOf(man, b))
+    MergeWriter.compactBuckets(spark, dir, Set(pressured))
+    val after = manifestText(dir)
+    assert(!after.contains("\"ovl\":") && !after.contains("\"dv\":"),
+      "the pressured bucket's overlay and vectors must drain")
+    assert(others.map(b => pointerOf(after, b)) == beforePtrs,
+      "unpressured buckets' pointers must not move")
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 400)
+    assert(t.where(col("id") === 7L).collect().head.getString(1) == "UPD-7")
+    // fully-dead bucket: DV every key of one bucket, partial-compact it
+    val bKeys = MergeWriter.readTable(spark, dir)
+      .withColumn("b", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("id")),
+        org.apache.spark.sql.functions.lit(4)))
+      .where(col("b") === pressured).select("id").as[Long].collect()
+    MergeWriter.delete(spark, dir, bKeys.toSeq.toDF("id"), Seq("id"))
+    MergeWriter.compactBuckets(spark, dir, Set(pressured))
+    val finalMan = manifestText(dir)
+    assert(!finalMan.contains(s""""$pressured":"e-""") ||
+      // the pointer may exist only if some row survived (hash ties)
+      MergeWriter.readTable(spark, dir).count() == 400 - bKeys.length)
+    assert(MergeWriter.readTable(spark, dir).count() == 400 - bKeys.length)
+  }
+
   test("exactly-once: a replayed MoR txn batch is a zero-commit skip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mort").toString + "/t"
