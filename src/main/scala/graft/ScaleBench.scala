@@ -47,6 +47,16 @@ object ScaleBench {
     val zipf = s"$work/zipf"
     val reps = 10
 
+    // shared micro-helpers for the write-amplification rehearsals
+    def elapsedSec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def dirBytesOf(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+    }
+
     // guard on the LAST artifact written, so a crash mid-generation
     // regenerates instead of leaving a permanently half-built dataset
     if (!new java.io.File(s"$rep/events.parquet").exists()) {
@@ -666,14 +676,11 @@ object ScaleBench {
         'clusterBy'='event_id')""")
       spark.sql(s"INSERT INTO $cname.b.t SELECT * FROM sdml_src")
       val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-      def sec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      val updSec = (1 to 3).map(i => sec {
+      val updSec = (1 to 3).map(i => elapsedSec {
         spark.sql(s"UPDATE $cname.b.t SET event_type = 'u$i' " +
           s"WHERE event_id = ${maxId - i}")
       }).min
-      val mrgSec = sec {
+      val mrgSec = elapsedSec {
         spark.sql(s"""MERGE INTO $cname.b.t t
           USING (WITH head AS (SELECT event_id, user_id, ts
                    FROM sdml_src ORDER BY event_id LIMIT 250)
@@ -715,14 +722,11 @@ object ScaleBench {
       finally prev.fold(
         spark.conf.unset("spark.sql.files.maxRecordsPerFile"))(
         spark.conf.set("spark.sql.files.maxRecordsPerFile", _))
-      def sec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      val renameSec = sec {
+      val renameSec = elapsedSec {
         graft.sources.MergeWriter.renameColumn(spark, path,
           "user_id", "actor_id")
       }
-      val widenSec = sec {
+      val widenSec = elapsedSec {
         graft.sources.MergeWriter.widenColumn(spark, path, "value",
           org.apache.spark.sql.types.DoubleType)
       }
@@ -734,7 +738,7 @@ object ScaleBench {
       val probe = graft.sources.MergeWriter.readTableRange(spark, path,
         "actor_id", Some(0L), Some(hi / 100))
       val opened = probe.inputFiles.length
-      val dropSec = sec {
+      val dropSec = elapsedSec {
         graft.sources.MergeWriter.dropColumn(spark, path, "event_type")
       }
       println(f"""{"dir":"$tag","schema_files":$all,"rename_sec":$renameSec%.3f,"widen_sec":$widenSec%.3f,"drop_sec":$dropSec%.3f,"renamed_probe_opened":$opened,"renamed_probe_frac":${opened.toDouble / all}%.3f}""")
@@ -956,14 +960,6 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val ev = Tables.events(spark, dir).select(col("event_id"),
         col("user_id"), col("event_type"), col("value"))
-      def dirBytes(p: String): Long = {
-        val f = new java.io.File(p)
-        if (!f.exists()) 0L
-        else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
-      }
-      def sec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val doomed = ev.select(col("event_id"))
         .filter(pmod(col("event_id"), lit(10007)) === 13).limit(10)
         .collect().map(_.getLong(0)).toSeq
@@ -973,13 +969,13 @@ object ScaleBench {
         graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
           buckets = buckets, clusterBy = Seq("event_id"),
           deleteVectors = dv)
-        val before = dirBytes(path)
-        val delSec = sec {
+        val before = dirBytesOf(path)
+        val delSec = elapsedSec {
           graft.sources.MergeWriter.delete(spark, path,
             doomed.toDF("event_id"), Seq("event_id"))
         }
-        val written = dirBytes(path) - before
-        val scanSec = sec {
+        val written = dirBytesOf(path) - before
+        val scanSec = elapsedSec {
           graft.sources.MergeWriter.readTable(spark, path).count()
         }
         println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"delete_sec":$delSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")
@@ -998,14 +994,6 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val ev = Tables.events(spark, dir).select(col("event_id"),
         col("user_id"), col("event_type"), col("value"))
-      def dirBytes(p: String): Long = {
-        val f = new java.io.File(p)
-        if (!f.exists()) 0L
-        else org.apache.commons.io.FileUtils.sizeOfDirectory(f)
-      }
-      def sec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val someIds = ev.select(col("event_id"))
         .filter(pmod(col("event_id"), lit(10007)) === 13).limit(10)
         .collect().map(_.getLong(0)).toSeq
@@ -1017,13 +1005,13 @@ object ScaleBench {
           deleteVectors = dv)
         val batch = someIds.map(id => (id, -1L, "touched", 0.0))
           .toDF("event_id", "user_id", "event_type", "value")
-        val before = dirBytes(path)
-        val upSec = sec {
+        val before = dirBytesOf(path)
+        val upSec = elapsedSec {
           graft.sources.MergeWriter.merge(spark, path, batch,
             Seq("event_id"))
         }
-        val written = dirBytes(path) - before
-        val scanSec = sec {
+        val written = dirBytesOf(path) - before
+        val scanSec = elapsedSec {
           graft.sources.MergeWriter.readTable(spark, path).count()
         }
         println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"upsert_sec":$upSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")

@@ -102,9 +102,12 @@ private[sources] class GraftDvScanBuilder(
     schema: StructType, options: CaseInsensitiveStringMap,
     streamable: Boolean)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownRequiredColumns {
 
   private var preds: Seq[MergeWriter.ColumnPredicate] = Seq.empty
+  private var required: StructType = schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     preds = GraftDvBridge.toPredicates(filters.toSeq)
@@ -113,8 +116,16 @@ private[sources] class GraftDvScanBuilder(
 
   override def pushedFilters(): Array[Filter] = Array.empty
 
+  /** Column pruning matters doubly here: the V1 bridge materializes
+    * rows, so an unpruned wide table would pay full width per scan for
+    * the whole DV window. An EMPTY pruned schema (COUNT(*)) keeps the
+    * full schema — the bridge must serve rows matching readSchema.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fields.nonEmpty) required = requiredSchema
+
   override def build(): Scan =
-    new GraftDvScan(spark, tablePath, man, schema, preds, options,
+    new GraftDvScan(spark, tablePath, man, required, preds, options,
       streamable)
 }
 

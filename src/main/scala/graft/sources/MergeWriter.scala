@@ -979,13 +979,21 @@ object MergeWriter {
         "with numeric versions, so a number cannot be a tag")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
+    // resolve the DEFAULT version ONCE, before any retry: a lost commit
+    // race must re-apply the tag to the version current AT THE CALL,
+    // never silently re-target the concurrent writer's newer state — a
+    // WAP pipeline that validated version N and tags "certified" must
+    // pin N or fail, not pin unaudited N+1
+    val v = version.getOrElse(currentManifest(fs, dir)
+      .map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"createTag: $tablePath holds no committed graft table")))
     var attempt = 0
     while (attempt <= 5) {
       currentManifest(fs, dir) match {
         case None => throw new IllegalArgumentException(
           s"createTag: $tablePath holds no committed graft table")
         case Some(man) =>
-          val v = version.getOrElse(man.version)
           val retained = manifestFiles(fs, dir).map(_._1)
           require(retained.contains(v),
             s"createTag: version $v not retained for $tablePath " +
@@ -1533,7 +1541,11 @@ object MergeWriter {
            DoubleType | DateType | TimestampType | TimestampNTZType => true
       case _ => false // Spark's ANALYZE records no string min/max either
     }
-    val t = readTable(spark, tablePath)
+    // aggregate over the PINNED version so the recorded statsVersion
+    // names exactly the rows the stats were computed from (a concurrent
+    // commit between the manifest read and the pass must not drift the
+    // provenance)
+    val t = readTableVersion(spark, tablePath, man0.version)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
       val dt = typeOf(c)
       Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
@@ -1619,7 +1631,10 @@ object MergeWriter {
         (m.version, if (m.op.isEmpty) null else m.op,
           if (m.opTs == 0L) null
           else new java.sql.Timestamp(m.opTs),
-          m.buckets, m.epochs.values.toSet.size,
+          m.buckets,
+          // base + merge-on-read overlay epochs — the same live_epochs
+          // definition describeTable reports
+          (m.epochs.values.toSet ++ m.overlays.values.flatten).size,
           m.stats.values.map(_.size).sum,
           m.stats.values.flatMap(_.map(_.bytes)).sum,
           m.txns.size,
@@ -2909,41 +2924,43 @@ object MergeWriter {
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
             bloomN = bloomItems, fpSeed = fingerprint, dvSeed = deleteVectors)
-        case Some(man)
-            if man.deleteVectors && !evolveSchema &&
-              morApply(spark, fs, tablePath, man, inc, None, keys, touched,
-                txn) =>
-          // MERGE-ON-READ upsert took it (Iceberg v2's shape: the
-          // incoming rows landed as ONE overlay epoch, the replaced
-          // keys' old positions died by deletion vector) — write I/O
-          // ∝ the batch, not the touched buckets. morMerge returns
-          // false (fall through to copy-on-write below) when the batch
-          // is too large to stay metadata-sized, the schema moved, or
-          // stats are missing.
-          ()
         case Some(man) =>
-          // manifest-level pruning: read ONLY the touched buckets' dirs
-          val existingPaths = touched.flatMap(b =>
-            (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
-             else Seq.empty))
-          val survivors =
-            if (existingPaths.isEmpty) None
-            else Some(readWithSchema(spark, man, tablePath, existingPaths)
-              .join(inc.select(keys.map(col): _*).distinct(), keys, "left_anti"))
-          val merged = survivors match {
-            case None => inc.drop(BucketCol)
-            case Some(sv) if evolveSchema =>
-              // ADDITIVE schema evolution (Delta mergeSchema): a column
-              // present on only one side null-fills on the other, so old
-              // rows read NULL in newly-added columns. Renames and type
-              // changes are out of scope — a type conflict fails loudly
-              // in the union.
-              sv.unionByName(inc.drop(BucketCol), allowMissingColumns = true)
-            case Some(sv) =>
-              sv.unionByName(inc.select(sv.columns.map(col).toIndexedSeq: _*))
+          // MERGE-ON-READ fast path (deleteVectors tables, small batch):
+          // the incoming rows land as ONE overlay epoch, the replaced
+          // keys' old positions die by deletion vector — write I/O
+          // ∝ the batch, not the touched buckets. morApply returns
+          // false (fall through to copy-on-write) when the batch is too
+          // large to stay metadata-sized, the schema moved, or stats
+          // are missing — same dispatch shape as delete()/applyChanges().
+          if (!(man.deleteVectors && !evolveSchema &&
+                morApply(spark, fs, tablePath, man, inc, None, keys,
+                  touched, txn))) {
+            // manifest-level pruning: read ONLY the touched buckets' dirs
+            val existingPaths = touched.flatMap(b =>
+              (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
+               else Seq.empty))
+            val survivors =
+              if (existingPaths.isEmpty) None
+              else Some(readWithSchema(spark, man, tablePath, existingPaths)
+                .join(inc.select(keys.map(col): _*).distinct(), keys,
+                  "left_anti"))
+            val merged = survivors match {
+              case None => inc.drop(BucketCol)
+              case Some(sv) if evolveSchema =>
+                // ADDITIVE schema evolution (Delta mergeSchema): a column
+                // present on only one side null-fills on the other, so
+                // old rows read NULL in newly-added columns. Renames and
+                // type changes are out of scope — a type conflict fails
+                // loudly in the union.
+                sv.unionByName(inc.drop(BucketCol),
+                  allowMissingColumns = true)
+              case Some(sv) =>
+                sv.unionByName(
+                  inc.select(sv.columns.map(col).toIndexedSeq: _*))
+            }
+            writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
+              Some(man), txn, clusterCols = cluster, fpSeed = fingerprint)
           }
-          writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-            Some(man), txn, clusterCols = cluster, fpSeed = fingerprint)
       }
       gc(fs, dir)
       maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)

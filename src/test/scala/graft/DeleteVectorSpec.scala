@@ -15,7 +15,8 @@ import graft.sources.MergeWriter
   * write I/O ∝ deleted rows — and every read path filters the dead
   * positions until compaction purges them.
   */
-class DeleteVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+class DeleteVectorSpec extends AnyFunSuite with BeforeAndAfterAll
+    with ManifestSpecHelpers {
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -26,21 +27,7 @@ class DeleteVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Raw text of the highest-numbered manifest (spec-side introspection
-    * without opening the private Manifest type).
-    */
-  private def manifestText(dir: String): String = {
-    val d = new java.io.File(dir)
-    val last = d.listFiles().filter(_.getName.startsWith("_manifest-"))
-      .map(_.getName).sorted.last
-    new String(Files.readAllBytes(new java.io.File(d, last).toPath), "UTF-8")
-  }
 
-  private def epochPointers(manifest: String): String = {
-    // the "epochs" object is first in the serialized manifest
-    val i = manifest.indexOf("\"epochs\":{")
-    manifest.substring(i, manifest.indexOf("}", i) + 1)
-  }
 
   private def seed(dir: String, n: Int): Unit = {
     import spark.implicits._

@@ -16,7 +16,8 @@ import graft.sources.MergeWriter
   * row-level MERGE/UPDATE, time travel and `CALL gc.system.compact`
   * must all agree with the copy-on-write semantics.
   */
-class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll
+    with ManifestSpecHelpers {
 
   private lazy val spark = {
     val wh = Files.createTempDirectory("gdv-wh").toString
@@ -34,12 +35,6 @@ class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def manifestText(dir: String): String = {
-    val d = new java.io.File(dir)
-    val last = d.listFiles().filter(_.getName.startsWith("_manifest-"))
-      .map(_.getName).sorted.last
-    new String(Files.readAllBytes(new java.io.File(d, last).toPath), "UTF-8")
-  }
 
   private def tableDir(name: String): String = {
     val wh = spark.conf.get("spark.sql.catalog.gdv.warehouse")

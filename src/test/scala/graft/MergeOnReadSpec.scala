@@ -16,7 +16,8 @@ import graft.sources.MergeWriter
   * with copy-on-write semantics exactly; any full bucket rewrite
   * collapses the overlays.
   */
-class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll
+    with ManifestSpecHelpers {
 
   private lazy val spark = {
     val wh = Files.createTempDirectory("gmor-wh").toString
@@ -34,17 +35,7 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def manifestText(dir: String): String = {
-    val d = new java.io.File(dir)
-    val last = d.listFiles().filter(_.getName.startsWith("_manifest-"))
-      .map(_.getName).sorted.last
-    new String(Files.readAllBytes(new java.io.File(d, last).toPath), "UTF-8")
-  }
 
-  private def epochPointers(m: String): String = {
-    val i = m.indexOf("\"epochs\":{")
-    m.substring(i, m.indexOf("}", i) + 1)
-  }
 
   private def seed(dir: String, n: Int): Unit = {
     import spark.implicits._
