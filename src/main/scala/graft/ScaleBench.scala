@@ -952,9 +952,12 @@ object ScaleBench {
     // (one sidecar + one manifest) and wall flat 1×→10× — while the
     // copy-on-write delete pays the full touched-bucket rewrite, whose
     // bytes grow with the corpus. Also times the post-delete full scan
-    // on both tables: the DV table reads through the V1 bridge until
-    // compaction, the CoW table natively — the read-side price of the
-    // write-side win, bounded by DvAutoCompactFiles.
+    // on both tables, through the storage core (scan_sec) AND the SQL
+    // catalog (catalog_scan_sec): since round 12 the DV table's catalog
+    // scan stays the native DSv2 plan with a reader-side row-index skip
+    // (row-based until compaction purges the vectors) — the remaining
+    // read-side price of the write-side win, bounded by
+    // DvAutoCompactFiles.
     def dvBench(dir: String, tag: String, buckets: Int): Unit = {
       val root = s"$work/dv11/$tag"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -978,7 +981,15 @@ object ScaleBench {
         val scanSec = elapsedSec {
           graft.sources.MergeWriter.readTable(spark, path).count()
         }
-        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"delete_sec":$delSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")
+        val cat = ("gsbdv" + tag + mode).replace(".", "_")
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+        // min-of-2: the first catalog scan in a fresh session pays
+        // one-time catalyst/codegen warmup that isn't the scan's cost
+        val catSec = Seq.fill(2)(
+          elapsedSec { spark.table(s"$cat.$mode").count() }).min
+        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"delete_sec":$delSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f,"catalog_scan_sec":$catSec%.3f}""")
       }
     }
     if (sections("dv11")) { dvBench(base, "sf0.1", 4); dvBench(rep, "rep10", 16) }
@@ -987,8 +998,9 @@ object ScaleBench {
     // upsert on a deleteVectors table lands as one overlay epoch plus a
     // KB-scale sidecar — bytes written ∝ the batch, flat 1×→10× — while
     // the copy-on-write merge rewrites every touched bucket. Scan cost
-    // after the upsert recorded for both (the MoR table pays the V1
-    // bridge until compaction).
+    // after the upsert recorded for both, storage-core and catalog (the
+    // MoR table's catalog scan stays native with the reader-side DV
+    // skip, row-based until compaction).
     def morBench(dir: String, tag: String, buckets: Int): Unit = {
       val root = s"$work/mor11/$tag"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -1014,7 +1026,15 @@ object ScaleBench {
         val scanSec = elapsedSec {
           graft.sources.MergeWriter.readTable(spark, path).count()
         }
-        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"upsert_sec":$upSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f}""")
+        val cat = ("gsbmor" + tag + mode).replace(".", "_")
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+        // min-of-2: the first catalog scan in a fresh session pays
+        // one-time catalyst/codegen warmup that isn't the scan's cost
+        val catSec = Seq.fill(2)(
+          elapsedSec { spark.table(s"$cat.$mode").count() }).min
+        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"upsert_sec":$upSec%.3f,"bytes_written":$written,"scan_sec":$scanSec%.3f,"catalog_scan_sec":$catSec%.3f}""")
       }
     }
     if (sections("mor11")) {

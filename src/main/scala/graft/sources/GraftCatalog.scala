@@ -33,7 +33,8 @@ import org.apache.spark.sql.execution.datasources.{
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.functions.{TextHash, ZOrder}
@@ -1011,17 +1012,14 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     * nothing to tail).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    val s = schema()
-    // a version with live deletion vectors cannot be served by the
-    // native parquet scan (it would resurrect dead rows) — bridge
-    // through the DV-aware storage read until compaction purges
-    if (MergeWriter.hasLiveDvs(man))
-      new GraftDvScanBuilder(spark, tablePath, man, s, options,
-        streamable = !pinned)
-    else new GraftTableScanBuilder(spark, tablePath, man, s, options,
+      : ScanBuilder =
+    // one native scan for every version, DV'd or clean: a version with
+    // live deletion vectors keeps the DSv2 parquet scan (file pruning,
+    // SPJ, runtime filtering, exact stats) and filters each DV'd file's
+    // dead row indexes inside the reader (GraftDvSkipReaderFactory) —
+    // Delta's per-file position-skip shape, not a V1 bridge
+    new GraftTableScanBuilder(spark, tablePath, man, schema(), options,
       streamable = !pinned)
-  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
@@ -1144,6 +1142,16 @@ private[sources] class GraftTableScanBuilder(
       new GraftPartitioningIndex(spark, tablePath, man, schema),
       schema, schema, options) {
 
+  /** Footer-metadata aggregate pushdown (COUNT/MIN/MAX from parquet
+    * statistics) counts DEAD rows on a DV'd version — refuse it while
+    * vectors are live; the scan's reader-side skip then feeds the
+    * ordinary aggregate exactly.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    !MergeWriter.hasLiveDvs(man) && super.pushAggregation(aggregation)
+
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val p = super.build()
@@ -1183,7 +1191,7 @@ private[sources] class GraftStreamableParquetScan(
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       p.sparkSession, p.hadoopConf, p.fileIndex,
       MergeWriter.stampSchema(p.dataSchema, man.colIds),
-      MergeWriter.stampSchema(p.readDataSchema, man.colIds),
+      GraftStreamableParquetScan.physicalReadSchema(p.readDataSchema, man),
       p.readPartitionSchema, p.pushedFilters, p.options,
       p.pushedAggregate, p.partitionFilters, p.dataFilters,
       p.pushedVariantExtractions)
@@ -1191,6 +1199,37 @@ private[sources] class GraftStreamableParquetScan(
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(p.sparkSession)
+
+  // ---- NATIVE DELETION-VECTOR READS -------------------------------
+  // A version with live DVs stays on THIS scan (pruning, SPJ, runtime
+  // filters, exact stats all keep working); the physical read schema
+  // gains the engine's temporary row-index column (the public
+  // `_metadata.row_index` plumbing — parquet readers fill it with each
+  // row's file position, correct under row-group/page skipping), and
+  // the reader factory wraps with a per-file binary-search skip of the
+  // file's dead positions. Spark disallows mixing columnar and
+  // row-based partitions in one scan, so a DV'd version reads
+  // row-based end to end (vectorized parquet decode, row handoff) —
+  // still a single native plan, vs the retired V1 bridge's
+  // second-plan + Row-RDD detour; compaction restores columnar batches
+  // and the window is bounded by MergeWriter.DvAutoCompactFiles.
+  private val dvLive = MergeWriter.hasLiveDvs(man)
+
+  private lazy val dvDead: Map[String, Array[Long]] =
+    MergeWriter.dvDeadByAbsPath(p.sparkSession, tablePath, man)
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = super.createReaderFactory()
+    if (!dvLive) inner
+    else {
+      val full = readDataSchema.fields ++ readPartitionSchema.fields
+      new GraftDvSkipReaderFactory(inner, dvDead,
+        full.map(_.dataType),
+        readDataSchema.fieldIndex(
+          GraftStreamableParquetScan.RowIndexTempCol))
+    }
+  }
 
   // ---- STORAGE-PARTITIONED JOINS (SPARK-37375) --------------------
   // The table's layout IS a bucketing: every row lives in bucket
@@ -1354,8 +1393,8 @@ private[sources] class GraftStreamableParquetScan(
       // unclustered commits) — leave those out so the completeness
       // check below falls back to the inherited estimate
       man.stats.getOrElse(b, Seq.empty).filter(_.rows >= 0).map { f =>
-        // live rows: deletion vectors subtract (defensive — DV-bearing
-        // versions bridge through GraftDvScan and never reach this scan);
+        // live rows: deletion vectors subtract (a DV'd version scans
+        // natively here too, so dvn keeps numRows exact for it);
         // overlay files resolve through their own epoch attribution
         new Path(MergeWriter.fileReadPath(tablePath, man, b, f))
           .toString -> (f.rows - f.dvn)
@@ -1455,6 +1494,109 @@ private[sources] class GraftStreamableParquetScan(
       : MicroBatchStream = streamFactory(checkpointLocation)
 }
 
+private[sources] object GraftStreamableParquetScan {
+
+  /** Spark's temporary row-index column name: a physical read schema
+    * carrying it makes both parquet readers (vectorized and row-based)
+    * populate each row's position within its file — the mechanism
+    * behind `_metadata.row_index` (ParquetRowIndexUtil matches the
+    * column by this name).
+    */
+  private[sources] val RowIndexTempCol: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** The schema handed to the PHYSICAL parquet reader: field-id
+    * stamped ([[MergeWriter.stampSchema]]), plus — only while the
+    * pinned version carries live deletion vectors — the row-index
+    * temp column the reader-side DV skip addresses dead rows by. The
+    * scan's OUTPUT schema ([[GraftStreamableParquetScan.readSchema]])
+    * never carries either.
+    */
+  def physicalReadSchema(read: StructType,
+                         man: MergeWriter.Manifest): StructType = {
+    val stamped = MergeWriter.stampSchema(read, man.colIds)
+    if (!MergeWriter.hasLiveDvs(man)) stamped
+    else StructType(stamped.fields :+
+      // nullable: the column is absent from the files (the reader
+      // GENERATES it); a required-but-missing column fails the
+      // parquet schema check
+      StructField(RowIndexTempCol, org.apache.spark.sql.types.LongType,
+        nullable = true))
+  }
+}
+
+/** Reader-side deletion-vector skip behind the native catalog scan of
+  * a DV-bearing version: every partition reads row-based (Spark
+  * forbids mixing columnar and row partitions in one scan), each file
+  * reads through the inherited parquet reader factory one at a time,
+  * and rows of a DV'd file whose row index binary-searches into the
+  * file's sorted dead positions are dropped before the row-index temp
+  * column is projected away. Clean files pay only the projection.
+  */
+private[sources] class GraftDvSkipReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dead: Map[String, Array[Long]],
+    fullTypes: Array[org.apache.spark.sql.types.DataType],
+    rowIndexOrdinal: Int)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val files = partition match {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"GraftDvSkipReaderFactory expects file partitions, got $other")
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        fullTypes.indices.filter(_ != rowIndexOrdinal)
+          .map(i => BoundReference(i, fullTypes(i), nullable = true)))
+      private var i = 0
+      private var cur
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+        null
+      private var curDead: Array[Long] = null
+      private var row: InternalRow = null
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (i >= files.length) return false
+            val f = files(i)
+            i += 1
+            cur = inner.createReader(FilePartition(0, Array(f)))
+            curDead = dead.getOrElse(f.filePath.toPath.toString, null)
+          } else if (!cur.next()) {
+            cur.close(); cur = null
+          } else {
+            val r = cur.get()
+            if (curDead == null || java.util.Arrays.binarySearch(
+                curDead, r.getLong(rowIndexOrdinal)) < 0) {
+              row = r
+              return true
+            }
+          }
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = proj(row)
+
+      override def close(): Unit =
+        if (cur != null) { cur.close(); cur = null }
+    }
+  }
+}
+
 /** A file split that knows its bucket id — the unit Spark's
   * storage-partitioned join groups by ([[GraftStreamableParquetScan]]).
   * An ordinary [[org.apache.spark.sql.execution.datasources.FilePartition]]
@@ -1485,7 +1627,8 @@ private[sources] class GraftPartitioningIndex(
     extends PartitioningAwareFileIndex(spark, Map.empty, Some(schema),
       NoopCache) {
 
-  private val inner = new GraftFileIndex(spark, tablePath, man)
+  private val inner =
+    new GraftFileIndex(spark, tablePath, man, dvAware = true)
 
   override def rootPaths: Seq[Path] = inner.rootPaths
 

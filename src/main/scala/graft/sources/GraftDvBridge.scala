@@ -2,30 +2,26 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{
-  BaseRelation, Filter, PrunedFilteredScan, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** READS OF DELETION-VECTOR-BEARING TABLE VERSIONS, bridged to V1.
+/** V1-FORMAT READS OF DELETION-VECTOR-BEARING TABLE VERSIONS, bridged
+  * to the DV-aware storage core.
   *
-  * The native parquet scan ([[GraftStreamableParquetScan]] /
-  * [[GraftFileIndex]]) serves files verbatim — it cannot filter the
-  * per-file dead positions a DV delete records — so a pinned manifest
-  * with live vectors routes its catalog and `format("graft")` reads
-  * through [[MergeWriter.readPinnedWhere]] (the DV-aware storage core)
+  * The plain V1 file relation behind `spark.read.format("graft")`
+  * serves files verbatim — it cannot filter the per-file dead
+  * positions a DV delete records — so a pinned manifest with live
+  * vectors routes that path through [[MergeWriter.readPinnedWhere]]
   * behind the standard V1 bridge (`needConversion = false`, internal
   * rows straight through — the same shape as [[GraftChangesScan]]).
-  * Delta gates DV-readers with a table feature for the same reason.
+  * Pushed comparison/IN/null filters still prune files (same stats and
+  * Bloom keep functions), and Spark re-evaluates every filter exactly.
   *
-  * What this costs, and for how long: while vectors are live the scan
-  * loses whole-stage-codegen'd vectorized batches, SPJ/runtime-filter
-  * integration and exact planner statistics — but KEEPS file pruning
-  * (pushed comparison/IN/null filters translate to the same stats and
-  * Bloom keep functions, and fully-pinned merge-key conjunctions still
-  * prune to their hash buckets). Compaction purges the vectors and the
-  * very next `loadTable` plans natively again; [[MergeWriter
+  * The CATALOG path no longer comes here: since round 12 the native
+  * DSv2 scan serves DV'd versions itself via a reader-side row-index
+  * skip ([[GraftDvSkipReaderFactory]]), keeping pruning, SPJ, runtime
+  * filtering and exact stats. Compaction purges the vectors and the
+  * very next load plans fully native again; [[MergeWriter
   * .DvAutoCompactFiles]] bounds the window. DV-free tables never enter
   * this file.
   */
@@ -64,15 +60,21 @@ private[sources] object GraftDvBridge {
   /** The DV-aware pruned frame of a pinned manifest: merge-key point
     * conjunctions prune to their hash buckets (the same driver-side
     * Murmur3 as [[GraftFileIndex.keyBuckets]]), then stats/Bloom file
-    * skipping and the DV position filter apply inside.
+    * skipping and the DV position filter apply inside. Bucket pruning
+    * narrows the WHOLE manifest — epochs, stats, and overlays together
+    * — so downstream DV checks never see pruned-away buckets' vector
+    * refs (a stale ref would force the per-file union read even when
+    * every surviving file is clean).
     */
   def frame(spark: SparkSession, tablePath: String,
             man: MergeWriter.Manifest,
             preds: Seq[MergeWriter.ColumnPredicate]): DataFrame = {
     val buckets = GraftFileIndex.keyBuckets(man,
       MergeWriter.indexSchema(spark, tablePath, man), preds)
-    val pinned = buckets.fold(man)(bs =>
-      man.copy(epochs = man.epochs.filter { case (b, _) => bs(b) }))
+    val pinned = buckets.fold(man)(bs => man.copy(
+      epochs = man.epochs.filter { case (b, _) => bs(b) },
+      stats = man.stats.filter { case (b, _) => bs(b) },
+      overlays = man.overlays.filter { case (b, _) => bs(b) }))
     MergeWriter.readPinnedWhere(spark, tablePath, pinned, preds)
   }
 
@@ -89,75 +91,4 @@ private[sources] object GraftDvBridge {
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
           .queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
-}
-
-/** Catalog-side scan builder for a DV-bearing pinned manifest — serves
-  * batch SQL reads (and the row-level DML target scan, which must not
-  * see dead rows: a MERGE matching a deleted key would wrongly take the
-  * MATCHED branch) and `readStream.table` (the stream core is DataFrame-
-  * based and DV-aware by construction).
-  */
-private[sources] class GraftDvScanBuilder(
-    spark: SparkSession, tablePath: String, man: MergeWriter.Manifest,
-    schema: StructType, options: CaseInsensitiveStringMap,
-    streamable: Boolean)
-    extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read
-      .SupportsPushDownRequiredColumns {
-
-  private var preds: Seq[MergeWriter.ColumnPredicate] = Seq.empty
-  private var required: StructType = schema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    preds = GraftDvBridge.toPredicates(filters.toSeq)
-    filters // pruning only — every filter still evaluates exactly
-  }
-
-  override def pushedFilters(): Array[Filter] = Array.empty
-
-  /** Column pruning matters doubly here: the V1 bridge materializes
-    * rows, so an unpruned wide table would pay full width per scan for
-    * the whole DV window. An EMPTY pruned schema (COUNT(*)) keeps the
-    * full schema — the bridge must serve rows matching readSchema.
-    */
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.fields.nonEmpty) required = requiredSchema
-
-  override def build(): Scan =
-    new GraftDvScan(spark, tablePath, man, required, preds, options,
-      streamable)
-}
-
-private[sources] class GraftDvScan(
-    spark: SparkSession, tablePath: String, man: MergeWriter.Manifest,
-    out: StructType, preds: Seq[MergeWriter.ColumnPredicate],
-    options: CaseInsensitiveStringMap, streamable: Boolean)
-    extends V1Scan {
-
-  override def readSchema(): StructType = out
-
-  override def description(): String =
-    s"GraftDvScan($tablePath, ${preds.size} pruning predicates)"
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T = {
-    val df = GraftDvBridge.frame(spark, tablePath, man, preds)
-      .select(out.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
-    GraftDvBridge.bridge(context, out, df).asInstanceOf[T]
-  }
-
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(streamable,
-      s"graft catalog: $tablePath is a time-travel pin — one " +
-        "immutable version has no change stream to tail")
-    require(man.keyCols.nonEmpty,
-      s"graft streaming: $tablePath records no merge keys")
-    val compareCols = out.fieldNames.toSeq.filterNot(man.keyCols.contains)
-    new GraftMicroBatchStream(spark, tablePath, man.keyCols, compareCols,
-      out, changes = false, checkpointLocation,
-      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
-  }
 }

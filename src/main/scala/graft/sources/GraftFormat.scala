@@ -427,16 +427,19 @@ class GraftMergeSink(spark: SparkSession, path: String,
   */
 class GraftFileIndex private[sources] (
     spark: SparkSession, tablePath: String,
-    man: MergeWriter.Manifest) extends FileIndex {
+    man: MergeWriter.Manifest, dvAware: Boolean = false) extends FileIndex {
 
-  // a native file scan serves files VERBATIM — a manifest with live
-  // deletion vectors must never plan through it (dead rows would
-  // resurrect); the catalog and format routes bridge such versions
-  // through the DV-aware storage read instead, so reaching here is a
+  // a plain V1 file scan serves files VERBATIM — a manifest with live
+  // deletion vectors must only plan through it when the consuming scan
+  // filters dead positions itself (`dvAware`: the catalog's native DSv2
+  // scan, which skips each DV'd file's dead row indexes reader-side).
+  // The V1 format route bridges such versions through the DV-aware
+  // storage read instead, so reaching here without the flag is a
   // routing bug, not a user error
-  require(!MergeWriter.hasLiveDvs(man),
+  require(dvAware || !MergeWriter.hasLiveDvs(man),
     s"GraftFileIndex: $tablePath version ${man.version} carries live " +
-      "deletion vectors — route this read through GraftDvBridge")
+      "deletion vectors — route this read through GraftDvBridge or a " +
+      "DV-skipping scan")
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 

@@ -77,14 +77,12 @@ private[sources] class GraftRowLevelOperation(
     // and the same scan builder, so an id-stamped table's field-id
     // restamping applies to the row-level scan too (a renamed column
     // must read by id here as well). A version with live deletion
-    // vectors bridges through the DV-aware read — the row-level scan
-    // MUST NOT see dead rows (a MERGE matching a deleted key would
-    // wrongly take the MATCHED branch).
-    val s = MergeWriter.sqlSchema(spark, tablePath, man)
-    if (MergeWriter.hasLiveDvs(man))
-      new GraftDvScanBuilder(spark, tablePath, man, s, options,
-        streamable = false)
-    else new GraftTableScanBuilder(spark, tablePath, man, s, options,
+    // vectors keeps this native scan too: the reader-side DV skip
+    // (GraftDvSkipReaderFactory) hides dead rows, which the row-level
+    // scan MUST NOT see (a MERGE matching a deleted key would wrongly
+    // take the MATCHED branch).
+    new GraftTableScanBuilder(spark, tablePath, man,
+      MergeWriter.sqlSchema(spark, tablePath, man), options,
       streamable = false)
   }
 

@@ -275,11 +275,11 @@ object MergeWriter {
                                        // through [[readWithSchema]]'s
                                        // DV-aware core; compaction
                                        // purges. Between a DV commit and
-                                       // the next compaction, catalog /
-                                       // format("graft") scans serve the
-                                       // table through a V1 bridge (the
-                                       // native parquet scan cannot
-                                       // position-filter).
+                                       // the next compaction, catalog
+                                       // scans keep the native DSv2
+                                       // plan (reader-side row-index
+                                       // skip); format("graft") scans
+                                       // serve through a V1 bridge.
                                        deleteVectors: Boolean = false,
                                        // TABLE-LEVEL column statistics
                                        // (ANALYZE TABLE — Delta ANALYZE
@@ -2272,7 +2272,8 @@ object MergeWriter {
 
   /** DV'd-file count past which a DV commit auto-compacts (advisory,
     * like auto-compaction): every DV'd file is one extra union branch
-    * in read plans and one V1-bridged SQL scan, so pressure must drain.
+    * in read plans and one per-file reader chain in catalog scans, so
+    * pressure must drain.
     */
   private[sources] val DvAutoCompactFiles: Int = 64
 
@@ -2351,8 +2352,9 @@ object MergeWriter {
     * touched buckets — at 100 TB with 256 MB buckets, a 1 000-row
     * trickle upsert scattered over 200 buckets is ~MBs instead of
     * ~50 GB of rewrite. The price is read-side and bounded exactly
-    * like DV deletes: extra union branches per overlay and the SQL V1
-    * bridge while vectors are live, drained by auto-compaction (any
+    * like DV deletes: extra union branches per overlay and row-based
+    * (not columnar) catalog scans while vectors are live, drained by
+    * auto-compaction (any
     * full bucket rewrite — CoW merge, delete, compact, split —
     * collapses the bucket's overlays).
     *
@@ -2647,6 +2649,31 @@ object MergeWriter {
         relKey -> (0 until arr.size()).map(arr.get(_).asLong()).toArray
       }
     }
+  }
+
+  /** Dead positions of EVERY live DV'd file of the manifest, keyed by
+    * normalized absolute file path and sorted ascending — the skip map
+    * the native DSv2 scan applies executor-side as a binary-search test
+    * on the parquet row index ([[GraftStreamableParquetScan]]). Resolved
+    * driver-side from the sidecars (each read once); size is bounded by
+    * [[DvAutoCompactFiles]] live DV'd files × the per-commit position
+    * cap, so the map stays metadata-sized in the serialized reader
+    * factory.
+    */
+  private[sources] def dvDeadByAbsPath(spark: SparkSession, root: String,
+                                       m: Manifest)
+      : Map[String, Array[Long]] = {
+    if (!hasLiveDvs(m)) return Map.empty
+    val refs = dvFileRefs(m)
+    val pos = dvPositions(fsFor(spark, root), root, refs)
+    m.epochs.keys.iterator.flatMap { b =>
+      m.stats.getOrElse(b, Seq.empty).iterator.collect {
+        case f if f.dv.nonEmpty =>
+          val dead = pos(dvRelKey(fileEpoch(m, b, f), b, f.name)).clone()
+          java.util.Arrays.sort(dead)
+          new Path(fileReadPath(root, m, b, f)).toString -> dead
+      }
+    }.toMap
   }
 
   /** The DV-aware read core behind [[readWithSchema]]: splits the asked
@@ -5181,9 +5208,10 @@ object MergeWriter {
   }
 
   /** Pruned snapshot read of a PINNED manifest, empty predicate list
-    * allowed — the read behind the V1 bridge that serves SQL /
+    * allowed — the read behind the V1 bridge that serves
     * `format("graft")` scans of DELETION-VECTOR-bearing versions (the
-    * native parquet file scan cannot position-filter; this core can).
+    * plain V1 file scan cannot position-filter; this core can; the
+    * CATALOG path filters positions inside its native DSv2 scan).
     * Pushed predicates prune files through the same stats/Bloom keep
     * functions as every storage read; Spark re-evaluates them exactly
     * on top.

@@ -10,11 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.MergeWriter
 
 /** Deletion vectors through the SQL surface: while a table version
-  * carries live vectors, catalog and `format("graft")` reads bridge
-  * through the DV-aware storage core (the native parquet scan cannot
-  * position-filter) — SELECT, point lookups, SQL DELETE (DV fast path),
-  * row-level MERGE/UPDATE, time travel and `CALL gc.system.compact`
-  * must all agree with the copy-on-write semantics.
+  * carries live vectors, CATALOG reads stay on the native DSv2 scan
+  * with a reader-side row-index skip (GraftDvSkipReaderFactory), and
+  * `format("graft")` reads bridge through the DV-aware storage core —
+  * SELECT, point lookups, SQL DELETE (DV fast path), row-level
+  * MERGE/UPDATE, time travel and `CALL gc.system.compact` must all
+  * agree with the copy-on-write semantics.
   */
 class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll
     with ManifestSpecHelpers {
@@ -41,7 +42,7 @@ class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll
     s"$wh/ns/$name"
   }
 
-  test("SQL DELETE takes the DV fast path; SELECT bridges correctly") {
+  test("SQL DELETE takes the DV fast path; SELECT stays native") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gdv.ns")
     spark.sql(
       "CREATE TABLE gdv.ns.t (id BIGINT, grp STRING, v DOUBLE) " +
@@ -59,7 +60,16 @@ class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll
       val i = m.indexOf("\"epochs\":{"); m.substring(i, m.indexOf("}", i))
     }
     assert(ptrs(after) == ptrs(before), "DV delete must not move pointers")
-    // full scan, filtered scan, point lookup — all through the bridge
+    // the DV'd version plans as the native DSv2 scan (round 12: the
+    // V1 bridge is retired for catalog reads) — row-based readers with
+    // the per-file dead-position skip, never a second-plan Row RDD
+    val dvPlan = spark.sql("SELECT v FROM gdv.ns.t WHERE id < 10")
+      .queryExecution.executedPlan.toString
+    assert(dvPlan.contains("BatchScan"),
+      s"DV'd catalog scan must stay the native DSv2 scan, got:\n$dvPlan")
+    assert(!dvPlan.contains("RowDataSourceScan"),
+      s"DV'd catalog scan must not fall back to a V1 bridge:\n$dvPlan")
+    // full scan, filtered scan, point lookup — all through the skip
     assert(spark.sql("SELECT COUNT(*) AS c FROM gdv.ns.t")
       .collect().head.getLong(0) == 497)
     assert(spark.sql("SELECT COUNT(*) AS c FROM gdv.ns.t WHERE id < 10")
@@ -93,8 +103,8 @@ class DeleteVectorSqlSpec extends AnyFunSuite with BeforeAndAfterAll
       s"MERGE matched a DV-deleted key (got $m)")
   }
 
-  test("time travel: the pre-delete version scans natively, the " +
-       "post-delete version through the bridge") {
+  test("time travel: the pre-delete version scans columnar, the " +
+       "post-delete version row-based with the DV skip") {
     spark.sql("CREATE TABLE gdv.ns.tt (id BIGINT, s STRING) " +
       "TBLPROPERTIES ('keys'='id', 'deleteVectors'='true')")
     spark.sql("INSERT INTO gdv.ns.tt SELECT id, 'x' FROM range(0, 100)")
