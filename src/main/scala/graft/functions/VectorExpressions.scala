@@ -93,7 +93,34 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** `value ∉ sorted` over a long column, with the probe set held as
+    * ONE plan-referenced `long[]` (binary search per row) instead of an
+    * `InSet` literal list. Deletion-vector reads drop dead row
+    * positions through this: a sidecar can carry up to the per-commit
+    * position cap per file, and embedding that as expression literals
+    * would bloat driver-side plan size and task serialization — the
+    * referenced array serializes once and stays inside whole-stage
+    * codegen.
+    */
+  case class NotInSortedLongs(child: Expression, sorted: Array[Long])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Predicate {
+    override protected def nullSafeEval(v: Any): Any =
+      java.util.Arrays.binarySearch(sorted, v.asInstanceOf[Long]) < 0
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val arr = ctx.addReferenceObj("deadPositions", sorted, "long[]")
+      defineCodeGen(ctx, ev,
+        c => s"(java.util.Arrays.binarySearch($arr, $c) < 0)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.GraftColumnShim.{column, expression}
+
+  def not_in_sorted_longs(c: Column, sorted: Array[Long]): Column =
+    column(NotInSortedLongs(expression(c), sorted))
 
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))

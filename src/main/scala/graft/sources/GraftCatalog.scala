@@ -1458,6 +1458,30 @@ private[sources] class GraftStreamableParquetScan(
     out
   }
 
+  /** ANALYZE column stats are whole-table estimates pinned to
+    * `statsVersion` — serve them to the CBO only when they still
+    * describe what this scan reads: (a) the listing is UNPRUNED (a
+    * filter-pruned numRows paired with whole-table NDV/null counts
+    * could report counts exceeding numRows), and (b) drift since the
+    * ANALYZE is small — with the analyze-time live-row total recorded
+    * (`statsRows`), current live rows within ±20%; for legacy
+    * manifests without it, only while nothing has committed after the
+    * ANALYZE itself. Withheld stats degrade to size-based estimates,
+    * never to confidently-wrong NDVs on a churned table.
+    */
+  private def colStatsServable(listedFiles: Int,
+                               exactRows: Option[Long]): Boolean = {
+    if (man.colStats.isEmpty) return false
+    val totalFiles = man.stats.valuesIterator.map(_.size).sum
+    if (listedFiles != totalFiles) return false
+    if (man.statsRows > 0L) exactRows match {
+      case Some(cur) =>
+        math.abs(cur - man.statsRows) * 5L <= man.statsRows
+      case None => man.version - man.statsVersion <= 1L
+    }
+    else man.version - man.statsVersion <= 1L
+  }
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val base = super.estimateStatistics()
@@ -1467,7 +1491,8 @@ private[sources] class GraftStreamableParquetScan(
     val known = listed.flatMap(f => rowsByPath.get(f.getPath.toString))
     val exactRows =
       if (known.length == listed.length) Some(known.sum) else None
-    if (exactRows.isEmpty && man.colStats.isEmpty) base
+    val serveCols = colStatsServable(listed.length, exactRows)
+    if (exactRows.isEmpty && !serveCols) base
     else new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         base.sizeInBytes()
@@ -1476,7 +1501,8 @@ private[sources] class GraftStreamableParquetScan(
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-        v2ColumnStats
+        if (serveCols) v2ColumnStats
+        else java.util.Collections.emptyMap()
     }
   }
 

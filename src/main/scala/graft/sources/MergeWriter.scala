@@ -298,6 +298,13 @@ object MergeWriter {
                                        colStats: Map[String, ColStat] =
                                          Map.empty,
                                        statsVersion: Long = 0L,
+                                       // live-row total at analyze time
+                                       // — the scan's staleness gate
+                                       // compares it to the CURRENT
+                                       // live total and withholds
+                                       // drifted stats from the CBO
+                                       // (0 = unknown / legacy)
+                                       statsRows: Long = 0L,
                                        // VERSION TAGS (Iceberg's named
                                        // refs): tag name → the manifest
                                        // version it pins. A tagged
@@ -468,6 +475,7 @@ object MergeWriter {
         b.result()
       }.getOrElse(Map.empty),
       Option(node.get("cstatsv")).map(_.asLong()).getOrElse(0L),
+      Option(node.get("cstatsr")).map(_.asLong()).getOrElse(0L),
       // absent in pre-tag manifests — backward compatible
       Option(node.get("tags")).map { n =>
         val b = Map.newBuilder[String, Long]
@@ -542,7 +550,8 @@ object MergeWriter {
             (if (s.min.isEmpty) "" else ",\"min\":" + jsonStr(s.min)) +
             (if (s.max.isEmpty) "" else ",\"max\":" + jsonStr(s.max)) + "}"
         }.mkString(",") + "}" +
-          ",\"cstatsv\":" + m.statsVersion)
+          ",\"cstatsv\":" + m.statsVersion +
+          ",\"cstatsr\":" + m.statsRows)
       .append(if (m.tags.isEmpty) "" else
         ",\"tags\":{" + m.tags.toSeq.sortBy(_._1).map { case (t, v) =>
           jsonStr(t) + ":" + v }.mkString(",") + "}")
@@ -1595,7 +1604,8 @@ object MergeWriter {
           try {
             commitManifest(fs, dir,
               man.copy(version = man.version + 1, colStats = computed,
-                statsVersion = man0.version, op = "analyze",
+                statsVersion = man0.version, statsRows = rows,
+                op = "analyze",
                 opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return computed
@@ -2382,14 +2392,21 @@ object MergeWriter {
     val touchedStored = touched.filter(man.epochs.contains)
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
       return false
-    val incCount = inc.count()
+    // cap probe with an early out: a large merge on a deleteVectors
+    // table must not pay full-count Spark jobs just to discover it
+    // belongs on the copy-on-write path — limit(cap+1) bounds the work,
+    // and a count that comes back under the limit is exact (nothing was
+    // truncated), so the counts double as the real sizes below
+    val capProbe = (DvMaxPositionsPerCommit + 1).toInt
+    val incCount = inc.limit(capProbe).count()
+    if (incCount > DvMaxPositionsPerCommit) return false
+    val delCount = delKeys.fold(0L)(_.limit(capProbe).count())
+    if (incCount + delCount > DvMaxPositionsPerCommit) return false
     val doomed = delKeys match {
       case Some(d) => inc.select(keys.map(col): _*)
         .union(d.select(keys.map(col): _*)).distinct()
       case None => inc.select(keys.map(col): _*).distinct()
     }
-    if (incCount + delKeys.fold(0L)(_.count()) > DvMaxPositionsPerCommit)
-      return false
     // 1. positions of the CHANGED keys' current live rows (≤ changeset
     //    size — keyed-table invariant; already-dead rows stay out via
     //    the DV-aware read). Upserted keys vacate their old copy;
@@ -2678,8 +2695,10 @@ object MergeWriter {
 
   /** The DV-aware read core behind [[readWithSchema]]: splits the asked
     * paths into DV-free reads (ONE native multi-path parquet relation —
-    * the unchanged hot path) and per-DV'd-file reads filtered by
-    * `_metadata.row_index NOT IN positions` (`InSet` — O(1)/row), then
+    * the unchanged hot path) and per-DV'd-file reads filtered by a
+    * binary search of the file's sorted dead positions (one referenced
+    * `long[]` per file — [[graft.functions.VectorExpressions
+    * .NotInSortedLongs]], O(log n)/row, plan-size ∝ nothing), then
     * unions. `withPos` additionally surfaces each row's relative file
     * key and position as `__graft_file`/`__graft_pos` (the DV WRITE path
     * needs them; metadata columns do not survive a union, so they must
@@ -2738,10 +2757,14 @@ object MergeWriter {
       (if (cleanList.nonEmpty) Seq(posCols(readPlain(spark, m, cleanList)))
        else Seq.empty) ++
       dvList.map { case (p, k) =>
-        val dead = positions(k)
+        // one referenced sorted long[] per DV'd file (binary search),
+        // not an InSet literal list — plan size stays metadata-light
+        // at the position cap
+        val dead = positions(k).clone()
+        java.util.Arrays.sort(dead)
         posCols(readPlain(spark, m, Seq(p))
-          .where(!col("_metadata.row_index")
-            .isInCollection(dead.toSeq.map(java.lang.Long.valueOf))))
+          .where(graft.functions.VectorExpressions.not_in_sorted_longs(
+            col("_metadata.row_index"), dead)))
       }
     parts.reduce(_ union _)
   }
@@ -4223,6 +4246,7 @@ object MergeWriter {
             // behavior); statsVersion keeps naming the analyzed version
             colStats = base.map(_.colStats).getOrElse(Map.empty),
             statsVersion = base.map(_.statsVersion).getOrElse(0L),
+            statsRows = base.map(_.statsRows).getOrElse(0L),
             // tags ride every commit forward; they name VERSIONS, so a
             // new commit changes nothing about what they pin
             tags = base.map(_.tags).getOrElse(Map.empty),

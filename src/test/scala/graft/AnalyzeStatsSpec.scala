@@ -106,6 +106,54 @@ class AnalyzeStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith("_manifest-"))
         .map(_.toPath).maxBy(_.getFileName.toString)), "UTF-8")
-    assert(man.contains("\"cstats\":") && man.contains("\"cstatsv\":"))
+    assert(man.contains("\"cstats\":") && man.contains("\"cstatsv\":") &&
+      man.contains("\"cstatsr\":"))
+  }
+
+  private def attrStats(sql: String) = {
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql(sql).queryExecution.optimizedPlan.stats
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  test("stats drifted past the gate are WITHHELD from the CBO; small " +
+       "drift keeps serving") {
+    spark.sql("CREATE TABLE gan.ns.drift (id BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4')")
+    spark.sql("INSERT INTO gan.ns.drift SELECT id, CONCAT('g', id % 5) " +
+      "FROM range(0, 1000)")
+    spark.sql("CALL gan.system.analyze(table => 'ns.drift')")
+    // 5% drift: the estimates still describe the table — keep serving
+    spark.sql("INSERT INTO gan.ns.drift SELECT id, 'late' " +
+      "FROM range(1000, 1050)")
+    assert(attrStats("SELECT * FROM gan.ns.drift").attributeStats.nonEmpty,
+      "5% drift must not withhold ANALYZE stats")
+    // 100% drift: a confidently-wrong NDV is worse than no estimate —
+    // the scan must withhold columnStats (numRows stays exact)
+    spark.sql("INSERT INTO gan.ns.drift SELECT id, 'churn' " +
+      "FROM range(1050, 2100)")
+    val churned = attrStats("SELECT * FROM gan.ns.drift")
+    assert(churned.attributeStats.isEmpty,
+      s"churned table served stale column stats: ${churned.attributeStats}")
+    assert(churned.rowCount.exists(_.toLong == 2100),
+      s"exact numRows must survive the withholding: ${churned.rowCount}")
+    // re-ANALYZE refreshes the gate
+    spark.sql("CALL gan.system.analyze(table => 'ns.drift')")
+    assert(attrStats("SELECT * FROM gan.ns.drift").attributeStats.nonEmpty)
+  }
+
+  test("a filter-pruned scan gets exact numRows but not whole-table " +
+       "column stats") {
+    // whole-table NDV/null counts paired with a pruned numRows could
+    // report counts exceeding numRows — the scan omits them when any
+    // file was pruned
+    val pruned = attrStats("SELECT * FROM gan.ns.drift WHERE id = 5")
+    assert(pruned.attributeStats.isEmpty,
+      s"pruned scan served whole-table column stats: " +
+        s"${pruned.attributeStats}")
+    assert(attrStats("SELECT * FROM gan.ns.drift").attributeStats.nonEmpty,
+      "the unpruned scan of the same table must keep serving")
   }
 }
