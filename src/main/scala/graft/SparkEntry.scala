@@ -4640,6 +4640,59 @@ object SparkEntry {
       sources.MergeWriter.merge(s, path, r3, Seq("doc_id"))
       sources.MergeWriter.readTable(s, path)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // SQL TIMESTAMP AS OF (wall-clock time travel — Delta/Iceberg's
+    // `FOR TIMESTAMP AS OF`): the catalog overload converts Spark's
+    // microseconds to the protocol's milliseconds and resolves the
+    // LATEST retained version whose manifest committed at or before the
+    // instant (inclusive). Two INSERT commits, then each historical
+    // state read back by its own commit INSTANT (taken from the
+    // manifest file) and cross-checked against VERSION AS OF — the
+    // auditor's "what did the table say at 3pm" query. Output is
+    // deterministic even though the instants are wall-clock.
+    "q185_timestamp_travel" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      val wh = scratchDir("graft-tsasof")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView(s"ts_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.o (o_orderkey BIGINT,
+        o_custkey BIGINT) TBLPROPERTIES ('keys'='o_orderkey',
+        'buckets'='8', 'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.o SELECT o_orderkey, o_custkey " +
+        s"FROM ts_src_$n WHERE o_orderkey % 3 <= 1")
+      Thread.sleep(50) // distinct commit instants
+      s.sql(s"INSERT INTO $cat.etl.o SELECT o_orderkey, o_custkey " +
+        s"FROM ts_src_$n WHERE o_orderkey % 3 = 2")
+      // commit instants from the manifest files themselves — exactly
+      // what TIMESTAMP AS OF resolves against
+      val times = new java.io.File(s"$wh/etl/o").listFiles()
+        .filter(_.getName.startsWith("_manifest-"))
+        .map(f => f.getName.stripPrefix("_manifest-")
+          .stripSuffix(".json").toLong -> f.lastModified()).toMap
+      val vs = times.keys.toSeq.sorted
+      val (v1, v2) = (vs(vs.length - 2), vs.last)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      def lit9(v: Long): String =
+        fmt.format(java.time.Instant.ofEpochMilli(v))
+      def probe(label: String, clause: String) =
+        s"""SELECT '$label' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+          FROM $cat.etl.o $clause"""
+      s.sql(Seq(
+        probe("ts_v1", s"TIMESTAMP AS OF '${lit9(times(v1))}'"),
+        probe("ts_between",
+          s"TIMESTAMP AS OF '${lit9(times(v2) - 1)}'"),
+        probe("ts_now", s"TIMESTAMP AS OF '${lit9(times(v2))}'"),
+        probe("v1", s"VERSION AS OF $v1"),
+        probe("cur", "")).mkString(" UNION ALL "))
     })
   )
 
@@ -7997,6 +8050,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 10000000, 'new', CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // Each probe's pin resolves to a known commit: ts_v1/ts_between/v1
+    // = the first INSERT's cohort, ts_now/cur = both cohorts.
+    "q185_timestamp_travel" ->
+      """SELECT 'ts_v1' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION ALL
+        |SELECT 'ts_between', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION ALL
+        |SELECT 'ts_now', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_custkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION ALL
+        |SELECT 'cur', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(o_custkey) AS BIGINT) FROM orders""".stripMargin,
 
     // The tag pins the pre-second-load state: exactly the even-id half.
     "q183_version_tags" ->
