@@ -4693,6 +4693,49 @@ object SparkEntry {
         probe("ts_now", s"TIMESTAMP AS OF '${lit9(times(v2))}'"),
         probe("v1", s"VERSION AS OF $v1"),
         probe("cur", "")).mkString(" UNION ALL "))
+    }),
+
+    // NAMED BRANCHES — write-audit-publish staging (Iceberg branch
+    // refs on the linear manifest protocol): `create_branch` forks a
+    // staging lineage, `INSERT INTO t.branch_<name>` stages keyed
+    // upserts main never sees, `SELECT FROM t.branch_<name>` is the
+    // audit read, `fast_forward` publishes the branch head as ONE main
+    // commit (conflicting loudly if main advanced since the fork). The
+    // three probes pin the isolation: main before publish = the base
+    // cohort only, the branch audit = base + staged, main after = the
+    // published whole. BranchWapSpec pins the conflict + refusal paths.
+    "q186_branch_wap" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-wap"))
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView(s"wap_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.docs (doc_id BIGINT,
+        n_chars BIGINT) TBLPROPERTIES ('keys'='doc_id', 'buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.docs SELECT doc_id, n_chars " +
+        s"FROM wap_src_$n WHERE doc_id % 4 != 3")
+      s.sql(s"CALL $cat.system.create_branch(table => 'etl.docs', " +
+        "branch => 'wap')")
+      s.sql(s"INSERT INTO $cat.etl.docs.branch_wap " +
+        s"SELECT doc_id, n_chars FROM wap_src_$n WHERE doc_id % 4 = 3")
+      def probe(label: String, t: String) =
+        s"""SELECT '$label' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_sum FROM $t"""
+      val before = s.sql(probe("main_before", s"$cat.etl.docs")
+        + " UNION ALL " + probe("branch_audit",
+          s"$cat.etl.docs.branch_wap")).collect()
+      s.sql(s"CALL $cat.system.fast_forward(table => 'etl.docs', " +
+        "branch => 'wap')")
+      import s.implicits._
+      // the pre-publish probes were materialized BEFORE the publish —
+      // rebuilding them lazily here would see the published state
+      before.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("src", "n_rows", "chars_sum")
+        .union(s.sql(probe("main_after", s"$cat.etl.docs")))
     })
   )
 
@@ -8050,6 +8093,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 10000000, 'new', CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // main_before = the unpublished base cohort, branch_audit = base +
+    // staged, main_after = the published whole.
+    "q186_branch_wap" ->
+      """SELECT 'main_before' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 4 != 3
+        |UNION ALL
+        |SELECT 'branch_audit', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'main_after', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT) FROM documents""".stripMargin,
 
     // Each probe's pin resolves to a known commit: ts_v1/ts_between/v1
     // = the first INSERT's cohort, ts_now/cur = both cohorts.

@@ -179,12 +179,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // common miss (a plain unknown table) must stay free of the
     // pointer/manifest filesystem probes below
     if (parts.isEmpty ||
-        (ident.name() != "history" && ident.name() != "changes"))
+        (ident.name() != "history" && ident.name() != "changes" &&
+          !ident.name().startsWith("branch_")))
       return None
     val entry = dirOf(parts)
     val parent = readPointer(entry).getOrElse(entry)
     if (!isTable(parent)) return None
     val name = (catName +: parts :+ ident.name()).mkString(".")
+    if (ident.name().startsWith("branch_")) {
+      // `t.branch_<name>` (Iceberg's branch identifier shape): the
+      // branch's staged head, readable for the WAP audit and writable
+      // (INSERT = keyed upsert staged on the branch, main untouched)
+      val b = ident.name().stripPrefix("branch_")
+      if (!MergeWriter.listBranches(spark, parent.toString).contains(b))
+        return None
+      return Some(new GraftSqlTable(spark, parent.toString, name,
+        branch = Some(b)))
+    }
     if (ident.name() == "history")
       Some(new GraftHistoryTable(spark, parent.toString, name))
     else Some(new GraftChangesTable(spark, parent.toString, name))
@@ -676,6 +687,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"dropped tag '$tag' on $p"
         }
       },
+      new Proc("create_branch", "fork a staging branch at the current " +
+          "version (write-audit-publish): INSERT INTO t.branch_<name> " +
+          "stages, SELECT audits, fast_forward publishes",
+        Array(inParam("table", SType), inParam("branch", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val b = in.getUTF8String(1).toString
+          MergeWriter.createBranch(spark, p, b)
+          s"created branch '$b' on $p"
+        }
+      },
+      new Proc("fast_forward", "publish a staging branch's head as the " +
+          "next main version; conflicts loudly if main advanced since " +
+          "the fork",
+        Array(inParam("table", SType), inParam("branch", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val b = in.getUTF8String(1).toString
+          MergeWriter.fastForward(spark, p, b)
+          s"fast-forwarded main of $p to branch '$b'"
+        }
+      },
+      new Proc("drop_branch", "abandon a staging branch; its staged " +
+          "epochs become reclaimable — main never saw them",
+        Array(inParam("table", SType), inParam("branch", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          val b = in.getUTF8String(1).toString
+          MergeWriter.dropBranch(spark, p, b)
+          s"dropped branch '$b' on $p"
+        }
+      },
       new Proc("analyze", "ANALYZE TABLE: one pass recording per-column " +
           "NDV / null count / lengths / min-max in the manifest, served " +
           "to the cost-based optimizer via the scan's columnStats",
@@ -958,7 +1001,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 class GraftSqlTable(spark: SparkSession, tablePath: String,
                     tableName: String,
                     versionAsOf: Option[Long] = None,
-                    timestampAsOf: Option[Long] = None)
+                    timestampAsOf: Option[Long] = None,
+                    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 with SupportsRowLevelOperations {
 
@@ -966,7 +1010,8 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     versionAsOf.isDefined || timestampAsOf.isDefined
 
   private lazy val man: MergeWriter.Manifest =
-    MergeWriter.pinManifest(spark, tablePath, versionAsOf, timestampAsOf)
+    MergeWriter.pinManifest(spark, tablePath, versionAsOf, timestampAsOf,
+      branch)
       .getOrElse(throw new IllegalStateException(
         s"graft catalog: $tablePath lost its manifest after loadTable"))
 
@@ -1019,13 +1064,13 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     // dead row indexes inside the reader (GraftDvSkipReaderFactory) —
     // Delta's per-file position-skip shape, not a V1 bridge
     new GraftTableScanBuilder(spark, tablePath, man, schema(), options,
-      streamable = !pinned)
+      streamable = !pinned && branch.isEmpty)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, write to the current table")
-    new GraftCatalogWriteBuilder(spark, tablePath, info)
+    new GraftCatalogWriteBuilder(spark, tablePath, info, branch)
   }
 
   /** DELETE pushes down when every predicate converts to a Column the
@@ -1041,6 +1086,10 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, delete from the current table")
+    require(branch.isEmpty,
+      s"graft catalog: $tableName is a staging branch — branch staging " +
+        "is INSERT-upsert only this protocol version (DELETE/UPDATE/" +
+        "MERGE target main)")
     require(man.keyCols.nonEmpty,
       s"graft catalog: DELETE needs recorded merge keys on $tablePath")
     val cond = predicates.toSeq.flatMap(p => GraftCatalog.v2ToColumn(p))
@@ -1067,6 +1116,10 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, write to the current table")
+    require(branch.isEmpty,
+      s"graft catalog: $tableName is a staging branch — branch staging " +
+        "is INSERT-upsert only this protocol version (DELETE/UPDATE/" +
+        "MERGE target main)")
     require(man.keyCols.nonEmpty,
       s"graft catalog: ${info.command} needs recorded merge keys on " +
         tablePath)
@@ -1086,7 +1139,8 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
   */
 private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
                                                 tablePath: String,
-                                                info: LogicalWriteInfo)
+                                                info: LogicalWriteInfo,
+                                                branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var replace = false
@@ -1104,10 +1158,14 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
           // guard + write through one combinator: deterministic sources
           // recompute key-narrow, non-deterministic ones pin one persist
           // so the guarded rows ARE the written rows
+          require(branch.isEmpty || !(replace || overwrite),
+            "graft catalog: INSERT OVERWRITE cannot target a staging " +
+              "branch — stage upserts, publish, then overwrite main")
           GraftCatalog.guardUniqueKeys(data, keys, "INSERT") { rows =>
             if (replace || overwrite)
               MergeWriter.overwriteTable(spark, tablePath, rows, keys)
-            else MergeWriter.merge(spark, tablePath, rows, keys)
+            else MergeWriter.merge(spark, tablePath, rows, keys,
+              ref = branch)
           }
         }
       }
@@ -1117,6 +1175,8 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
       // STREAMING QUERY's stable id (persisted in its checkpoint, so
       // restart replays dedupe with zero I/O); queryId is per-query, so
       // two queries writing one table never share a ledger entry
+      require(branch.isEmpty,
+        "graft catalog: streaming writes cannot target a staging branch")
       val appId = Option(info.options.get("txnAppId"))
         .getOrElse("graft-stream-" + info.queryId())
       new GraftStreamingWrite(spark, tablePath, info.schema(), appId,

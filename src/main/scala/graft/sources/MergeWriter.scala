@@ -332,7 +332,15 @@ object MergeWriter {
                                        // compact, split) clears the
                                        // bucket's overlay list.
                                        overlays: Map[Int, Seq[String]] =
-                                         Map.empty)
+                                         Map.empty,
+                                       // NAMED BRANCH staging (WAP):
+                                       // set (>= 0) only on `_branch-`
+                                       // manifests — the MAIN version
+                                       // the branch was created from.
+                                       // fast_forward publishes the
+                                       // branch head onto main iff main
+                                       // still sits at this version.
+                                       branchBase: Long = -1L)
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -491,7 +499,9 @@ object MergeWriter {
             (0 until arr.size()).map(arr.get(_).asText())
         }
         b.result()
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // set only on branch-staged manifests — backward compatible
+      Option(node.get("bbase")).map(_.asLong()).getOrElse(-1L))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -584,11 +594,30 @@ object MergeWriter {
               "}").mkString(",") + "]"
         }.mkString(",") + "}"
       } else "")
+      .append(if (m.branchBase < 0L) "" else ",\"bbase\":" + m.branchBase)
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
     publishAtomically(fs, dir,
       new Path(dir, f"$ManifestPrefix${m.version}%016d.json"), manifestBody(m))
+
+  /** [[commitManifest]] / [[currentManifest]] redirected by an optional
+    * branch ref — the ONE seam branch-targeted writes differ by: same
+    * epoch staging, same rebase loop, different manifest lineage.
+    */
+  private def refCommit(fs: FileSystem, dir: Path, ref: Option[String],
+                        m: Manifest): Unit = ref match {
+    case None => commitManifest(fs, dir, m)
+    case Some(b) => publishAtomically(fs, dir,
+      new Path(dir, f"${branchManPrefix(b)}${m.version}%016d.json"),
+      manifestBody(m))
+  }
+
+  private def refCurrent(fs: FileSystem, dir: Path,
+                         ref: Option[String]): Option[Manifest] = ref match {
+    case None => currentManifest(fs, dir)
+    case Some(b) => branchHead(fs, dir, b)
+  }
 
   /** Commit for maintenance operations (compact, splitBuckets,
     * truncateHistory) whose staged state was derived from ONE observed
@@ -809,8 +838,13 @@ object MergeWriter {
     val tagged = cur.tags.values.toSet
     val (keptByTag, drop) = dropAged.partition(m => tagged(m._1))
     val keep = keptByTag ++ keptByAge ++ keepByCount
+    // live branch lineages count as retained: their epochs, overlay
+    // dirs and DV sidecars are pinned until the branch publishes
+    // (fastForward folds them into main) or drops
     val keptManifests = keep.map { case (v, p) =>
-      if (v == cur.version) cur else readManifest(fs, v, p) }
+      if (v == cur.version) cur else readManifest(fs, v, p) } ++
+      branchManifestFiles(fs, dir).map { case (_, k, p) =>
+        readManifest(fs, k, p) }
     val referenced = keptManifests.flatMap(m =>
       m.epochs.values ++ m.overlays.values.flatten).toSet
     // bucket granularity too: a kept manifest may reference only SOME of
@@ -1046,6 +1080,151 @@ object MergeWriter {
     throw new java.util.ConcurrentModificationException(
       s"dropTag: lost the commit race to concurrent writers of " +
         s"$tablePath on every retry — re-run against the new table state")
+  }
+
+  // ---- NAMED BRANCHES (write-audit-publish staging) ------------------------
+  //
+  // Iceberg's branch refs, scaled to the linear manifest protocol: a
+  // branch is a SEPARATE manifest lineage in the table directory
+  // (`_branch-<name>-K.json`, K continuing from the main version it
+  // forked at), sharing the epoch/bucket data space. Branch writes run
+  // the ordinary merge machinery — survivor reads against the branch
+  // head, fresh epoch dirs under the same table root — but commit to
+  // the branch lineage, so MAIN NEVER SEES the staged state.
+  // `fastForward` publishes the branch head as the next main version
+  // iff main still sits at the branch's base (a concurrent main commit
+  // means the staging validated a stale world — loud conflict, restage).
+  // gc treats live branch manifests as retained: their epochs, overlay
+  // dirs and DV sidecars are pinned until the branch publishes or drops.
+
+  private[sources] val BranchPrefix = "_branch-"
+
+  private def branchManPrefix(name: String): String = s"$BranchPrefix$name-"
+
+  private def requireBranchName(op: String, name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"$op: branch name '$name' — use letters, digits and underscores " +
+        "(the name is part of the staged manifests' file names)")
+
+  /** All live branches' manifest files: (branch, K, path), K-ordered
+    * within a branch.
+    */
+  private def branchManifestFiles(fs: FileSystem, dir: Path)
+      : Seq[(String, Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(BranchPrefix) &&
+        p.getName.endsWith(".json"))
+      .flatMap { p =>
+        val core = p.getName.stripPrefix(BranchPrefix).stripSuffix(".json")
+        val i = core.lastIndexOf('-')
+        if (i <= 0) None
+        else scala.util.Try(core.substring(i + 1).toLong).toOption
+          .map(k => (core.substring(0, i), k, p))
+      }.sortBy(t => (t._1, t._2))
+
+  /** The branch's newest staged manifest, None when the branch does not
+    * exist.
+    */
+  private[sources] def branchHead(fs: FileSystem, dir: Path,
+                                  name: String): Option[Manifest] =
+    branchManifestFiles(fs, dir).filter(_._1 == name).lastOption
+      .map { case (_, k, p) => readManifest(fs, k, p) }
+
+  /** Live branch names of the table (empty when none are staged). */
+  def listBranches(spark: SparkSession,
+                                    tablePath: String): Seq[String] =
+    branchManifestFiles(fsFor(spark, tablePath), new Path(tablePath))
+      .map(_._1).distinct.sorted
+
+  /** Fork a branch at the CURRENT main version: one staged manifest
+    * whose content is the main head and whose `branchBase` records the
+    * fork point for the publish-time conflict check. Creation is a
+    * no-overwrite publish on the branch's first file — two racing
+    * creators of one name fail loudly, and main is untouched.
+    */
+  def createBranch(spark: SparkSession, tablePath: String,
+                   name: String): Unit = {
+    requireBranchName("createBranch", name)
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val man = currentManifest(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"createBranch: $tablePath holds no committed graft table"))
+    require(branchHead(fs, dir, name).isEmpty,
+      s"createBranch: branch '$name' already exists on $tablePath")
+    publishAtomically(fs, dir,
+      new Path(dir, f"${branchManPrefix(name)}${man.version}%016d.json"),
+      manifestBody(man.copy(branchBase = man.version, op = "branch-create",
+        opTs = System.currentTimeMillis())))
+  }
+
+  /** Publish the branch head as the next MAIN version — the WAP
+    * "publish" step. Requires main to still sit at the branch's fork
+    * version: a main commit since creation means the staged work (and
+    * its audit) validated a stale world, so the publish conflicts
+    * loudly instead of silently clobbering. On success the branch's
+    * staged manifests are removed (their epochs are now main-referenced).
+    */
+  def fastForward(spark: SparkSession, tablePath: String,
+                  name: String): Unit = {
+    requireBranchName("fastForward", name)
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val bh = branchHead(fs, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"fastForward: no branch '$name' on $tablePath"))
+    require(bh.branchBase >= 0L,
+      s"fastForward: branch '$name' carries no fork version " +
+        "(corrupt staging state)")
+    val cur = currentManifest(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"fastForward: $tablePath holds no committed graft table"))
+    if (cur.version != bh.branchBase)
+      throw new java.util.ConcurrentModificationException(
+        s"fastForward: main of $tablePath advanced to version " +
+          s"${cur.version} since branch '$name' forked at " +
+          s"${bh.branchBase} — the staged (and audited) state no longer " +
+          "applies; re-stage on a fresh branch")
+    try {
+      commitManifest(fs, dir, bh.copy(version = cur.version + 1,
+        branchBase = -1L, op = "fast_forward",
+        opTs = System.currentTimeMillis()))
+    } catch {
+      case e: java.io.IOException =>
+        // the no-overwrite CAS lost: a main commit raced the publish
+        throw new java.util.ConcurrentModificationException(
+          s"fastForward: a concurrent main commit on $tablePath beat " +
+            s"the publish of branch '$name' — the staged state no " +
+            "longer applies; re-stage on a fresh branch", e)
+    }
+    branchManifestFiles(fs, dir).filter(_._1 == name)
+      .foreach { case (_, _, p) => fs.delete(p, false) }
+    gc(fs, dir)
+  }
+
+  /** Abandon a branch: its staged manifests drop now; the epochs only
+    * they referenced become reclaimable by the ordinary orphan rules at
+    * the next gc. Main never saw any of it.
+    */
+  def dropBranch(spark: SparkSession, tablePath: String,
+                 name: String): Unit = {
+    requireBranchName("dropBranch", name)
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    branchManifestFiles(fs, dir).filter(_._1 == name)
+      .foreach { case (_, _, p) => fs.delete(p, false) }
+    gc(fs, dir)
+  }
+
+  /** Snapshot read of the branch head — the WAP "audit" read. */
+  def readBranch(spark: SparkSession, tablePath: String,
+                 name: String): DataFrame = {
+    val fs = fsFor(spark, tablePath)
+    val man = branchHead(fs, new Path(tablePath), name).getOrElse(
+      throw new IllegalArgumentException(
+        s"readBranch: no branch '$name' on $tablePath"))
+    readPinnedWhere(spark, tablePath, man, Seq.empty)
   }
 
   /** A version REFERENCE — a numeric version or a tag name — resolved
@@ -2912,7 +3091,12 @@ object MergeWriter {
             bloomItems: Long = DefaultBloomItems,
             txn: Option[(String, Long)] = None,
             fingerprint: Boolean = false,
-            deleteVectors: Boolean = false): Unit = {
+            deleteVectors: Boolean = false,
+            // target a STAGING BRANCH instead of main (see
+            // [[createBranch]]): reads-for-merge resolve against the
+            // branch head, the commit lands on the branch lineage, and
+            // main's state/history are untouched until [[fastForward]]
+            ref: Option[String] = None): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
       s"merge: incoming frame must not contain reserved column '$BucketCol'")
@@ -2930,9 +3114,14 @@ object MergeWriter {
     }
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
+    ref.foreach { b =>
+      requireBranchName("merge", b)
+      require(branchHead(fs, dir, b).isDefined,
+        s"merge: no branch '$b' on $tablePath — createBranch first")
+    }
     // legacy pre-manifest table: migrate with one full rewrite into the
     // manifest layout, then merge bucket-locally ever after
-    if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+    if (ref.isEmpty && currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
       // the root-level legacy files are reclaimed by gc() after this
       // merge commits (and by any later merge if this process dies first)
       // one-time migration read: mergeSchema merges heterogeneous legacy
@@ -2943,7 +3132,7 @@ object MergeWriter {
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys, buckets, None,
         clusterCols = clusterBy, bloomCols = bloomBy, bloomN = bloomItems)
     }
-    val m = currentManifest(fs, dir)
+    val m = refCurrent(fs, dir, ref)
     m.foreach(validateKeys(_, keys, "merge"))
     // keyed merge is replay-IDEMPOTENT by construction, so the optional
     // txn id is belt-and-braces for streaming sinks: it makes a
@@ -2966,7 +3155,8 @@ object MergeWriter {
         // empty batches never CREATE a table, but on an existing table a
         // txn-carrying empty batch still records its guard (else a
         // redelivery WITH rows would re-apply) — mergeAdditive's rule
-        txn.foreach(t => if (m.isDefined) commitTxnGuard(fs, dir, t))
+        txn.foreach(t => if (m.isDefined && ref.isEmpty)
+          commitTxnGuard(fs, dir, t))
         return
       }
       m match {
@@ -2982,7 +3172,7 @@ object MergeWriter {
           // false (fall through to copy-on-write) when the batch is too
           // large to stay metadata-sized, the schema moved, or stats
           // are missing — same dispatch shape as delete()/applyChanges().
-          if (!(man.deleteVectors && !evolveSchema &&
+          if (!(man.deleteVectors && !evolveSchema && ref.isEmpty &&
                 morApply(spark, fs, tablePath, man, inc, None, keys,
                   touched, txn))) {
             // manifest-level pruning: read ONLY the touched buckets' dirs
@@ -3009,13 +3199,19 @@ object MergeWriter {
                   inc.select(sv.columns.map(col).toIndexedSeq: _*))
             }
             writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-              Some(man), txn, clusterCols = cluster, fpSeed = fingerprint)
+              Some(man), txn, clusterCols = cluster, fpSeed = fingerprint,
+              ref = ref)
           }
       }
-      gc(fs, dir)
-      maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
-      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
-      maybeAutoCompactMor(spark, fs, dir, tablePath)
+      if (ref.isEmpty) {
+        // branch staging defers maintenance to the publish: gc would
+        // need the branch refs anyway, and compaction/split churn on a
+        // short-lived staging lineage is wasted work
+        gc(fs, dir)
+        maybeAutoSplit(spark, fs, dir, tablePath, autoSplitBytesPerBucket)
+        maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+        maybeAutoCompactMor(spark, fs, dir, tablePath)
+      }
     } finally { inc.unpersist(); () }
   }
 
@@ -4118,7 +4314,8 @@ object MergeWriter {
                                   bloomN: Long = DefaultBloomItems,
                                   opName: String = "merge",
                                   fpSeed: Boolean = false,
-                                  dvSeed: Boolean = false): Unit = {
+                                  dvSeed: Boolean = false,
+                                  ref: Option[String] = None): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
     // carries each column's id forward by name and assigns FRESH ids to
@@ -4224,7 +4421,7 @@ object MergeWriter {
         (base.map(_.epochs.keySet).getOrElse(Set.empty) -- dropBuckets --
           written).isEmpty
       try {
-        commitManifest(fs, new Path(tablePath),
+        refCommit(fs, new Path(tablePath), ref,
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
             txns, Some(cleanSchema.json), keys, cluster, stats, bloom,
             bloomSz, opName, System.currentTimeMillis(),
@@ -4250,13 +4447,16 @@ object MergeWriter {
             // tags ride every commit forward; they name VERSIONS, so a
             // new commit changes nothing about what they pin
             tags = base.map(_.tags).getOrElse(Map.empty),
-            overlays = overlays))
+            overlays = overlays,
+            // the fork version rides every branch commit (publish-time
+            // conflict check); -1 on main commits
+            branchBase = base.map(_.branchBase).getOrElse(-1L)))
         return
       } catch {
         case e: java.io.IOException =>
           attempt += 1
           if (attempt > 5) throw e
-          val cur = currentManifest(fs, new Path(tablePath)).getOrElse(
+          val cur = refCurrent(fs, new Path(tablePath), ref).getOrElse(
             throw e) // commit failed yet no manifest: surface the original
           // data conflict iff any bucket THIS write read-modified changed
           // pointer OR deletion-vector state since it was read, or the
@@ -5434,10 +5634,16 @@ object MergeWriter {
     */
   private[sources] def pinManifest(spark: SparkSession, tablePath: String,
                                    versionAsOf: Option[Long],
-                                   timestampMsAsOf: Option[Long])
+                                   timestampMsAsOf: Option[Long],
+                                   branch: Option[String] = None)
       : Option[Manifest] = {
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
+    branch.foreach { b =>
+      return Some(branchHead(fs, dir, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch: no branch '$b' on $tablePath")))
+    }
     versionAsOf match {
       case Some(v) =>
         val retained = manifestFiles(fs, dir)
