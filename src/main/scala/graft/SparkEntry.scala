@@ -4736,6 +4736,40 @@ object SparkEntry {
       before.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
         .toDF("src", "n_rows", "chars_sum")
         .union(s.sql(probe("main_after", s"$cat.etl.docs")))
+    }),
+
+    // t.files — the per-file physical inventory (Iceberg's files
+    // metadata table): the SQL surface an operator diagnoses
+    // merge-on-read pressure with. A DV delete and a MoR upsert
+    // pressure the table; the probe aggregates the inventory into
+    // LAYOUT-INDEPENDENT invariants (bucket count, live-row total, DV
+    // dead total, overlay-row total) that the oracle derives from the
+    // raw cohorts — per-file splits stay out of the hash.
+    "q187_files_inventory" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-files"))
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView(s"files_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.docs (doc_id BIGINT,
+        n_chars BIGINT) TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+        'clusterBy'='doc_id', 'deleteVectors'='true')""")
+      s.sql(s"INSERT INTO $cat.etl.docs SELECT doc_id, n_chars " +
+        s"FROM files_src_$n")
+      s.sql(s"DELETE FROM $cat.etl.docs WHERE doc_id % 10 = 7")
+      s.sql(s"INSERT INTO $cat.etl.docs SELECT doc_id, -n_chars " +
+        s"FROM files_src_$n WHERE doc_id % 10 = 2")
+      s.sql(s"""SELECT
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+        CAST(SUM(live_rows) AS BIGINT) AS live_total,
+        CAST(SUM(dv_dead) AS BIGINT) AS dead_total,
+        CAST(SUM(CASE WHEN overlay THEN live_rows ELSE 0 END) AS BIGINT)
+          AS overlay_total
+        FROM $cat.etl.docs.files""")
     })
   )
 
@@ -8093,6 +8127,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 10000000, 'new', CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // Layout-independent inventory invariants: live = all minus the
+    // deleted cohort (upserts replace in place); dead = deleted cohort
+    // + the replaced copies; overlay rows = the upsert batch.
+    "q187_files_inventory" ->
+      """SELECT CAST(8 AS BIGINT) AS n_buckets,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 10 != 7) AS live_total,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 10 IN (7, 2)) AS dead_total,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 10 = 2) AS overlay_total""".stripMargin,
 
     // main_before = the unpublished base cohort, branch_audit = base +
     // staged, main_after = the published whole.

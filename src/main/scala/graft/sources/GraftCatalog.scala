@@ -180,7 +180,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // pointer/manifest filesystem probes below
     if (parts.isEmpty ||
         (ident.name() != "history" && ident.name() != "changes" &&
-          !ident.name().startsWith("branch_")))
+          ident.name() != "files" && !ident.name().startsWith("branch_")))
       return None
     val entry = dirOf(parts)
     val parent = readPointer(entry).getOrElse(entry)
@@ -198,6 +198,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (ident.name() == "history")
       Some(new GraftHistoryTable(spark, parent.toString, name))
+    else if (ident.name() == "files")
+      Some(new GraftFilesTable(spark, parent.toString, name))
     else Some(new GraftChangesTable(spark, parent.toString, name))
   }
 

@@ -64,6 +64,44 @@ private[sources] class GraftHistoryTable(spark: SparkSession,
   }
 }
 
+/** `SELECT * FROM gc.ns.t.files` — the current version's per-file
+  * physical inventory (Iceberg's `t.files`): bucket, epoch, name,
+  * bytes, recorded/live rows, deletion-vector sidecar + dead count,
+  * overlay flag, stats coverage. Straight from the manifest (no
+  * listing, no file I/O) — the SQL surface an operator diagnoses
+  * merge-on-read pressure with ("which buckets carry DVs/overlays,
+  * how big are the files, is stats coverage intact"). Manifest-sized
+  * by contract, so a LocalScan like `t.history`.
+  */
+private[sources] class GraftFilesTable(spark: SparkSession,
+                                       tablePath: String,
+                                       tableName: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  private lazy val files = MergeWriter.tableFiles(spark, tablePath)
+
+  override def schema(): StructType = files.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => {
+    val df = files
+    val s = df.schema
+    val conv = CatalystTypeConverters.createToCatalystConverter(s)
+    val collected = df.collect()
+      .map(r => conv(r).asInstanceOf[InternalRow])
+    new LocalScan {
+      override def rows(): Array[InternalRow] = collected
+      override def readSchema(): StructType = s
+      override def description(): String = s"GraftFiles($tablePath)"
+    }
+  }
+}
+
 /** `SELECT * FROM gc.ns.t.changes` — the PER-VERSION change feed over
   * the retained window (Delta CDF's `table_changes`): every retained
   * version's keyed diff against its predecessor, with the CDC audit

@@ -1833,6 +1833,34 @@ object MergeWriter {
         "n_files", "total_bytes", "n_txns", "tags")
   }
 
+  /** Per-file physical inventory of the CURRENT version (Iceberg's
+    * `t.files`): one row per live data file, straight from the
+    * manifest's stats records — no listing, no file I/O. The
+    * operational debugging surface for merge-on-read pressure: which
+    * buckets carry deletion vectors or overlay epochs, file sizes and
+    * live-row counts, stats coverage. `rows`/`live_rows` are null for
+    * files committed before row counts were recorded (the legacy -1
+    * sentinel). Manifest-sized by contract, like `t.history`.
+    */
+  def tableFiles(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val man = currentManifest(fsFor(spark, tablePath), new Path(tablePath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"tableFiles: $tablePath holds no committed graft table"))
+    man.epochs.keys.toSeq.sorted.flatMap { b =>
+      val base = man.epochs(b)
+      man.stats.getOrElse(b, Seq.empty).map { f =>
+        val e = fileEpoch(man, b, f)
+        (b, e, f.name, f.bytes,
+          if (f.rows < 0L) None else Some(f.rows),
+          if (f.rows < 0L) None else Some(f.rows - f.dvn),
+          if (f.dv.isEmpty) None else Some(f.dv), f.dvn,
+          e != base, f.mins.size, f.fp.nonEmpty)
+      }
+    }.toDF("bucket", "epoch", "file", "bytes", "rows", "live_rows",
+      "dv", "dv_dead", "overlay", "stats_cols", "fingerprinted")
+  }
+
 
   /** Within-bucket cluster sort shared by every epoch write. A cluster
     * entry is a plain column name (1-D linear clustering), or

@@ -48,6 +48,47 @@ class GraftMetadataTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gmt.ns.h")
   }
 
+  test("t.files: a MoR-pressured table is diagnosable in plain SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.f (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id', " +
+      "'deleteVectors'='true')")
+    spark.sql("INSERT INTO gmt.ns.f SELECT id, id FROM range(0, 400)")
+    // a DV delete + a MoR upsert: pressure an operator would diagnose
+    spark.sql("DELETE FROM gmt.ns.f WHERE id IN (5, 105, 205)")
+    spark.sql("INSERT INTO gmt.ns.f SELECT id, -id FROM range(398, 410)")
+    val inv = spark.sql("""SELECT
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+        CAST(SUM(live_rows) AS BIGINT) AS live,
+        CAST(SUM(dv_dead) AS BIGINT) AS dead,
+        CAST(SUM(CASE WHEN overlay THEN live_rows ELSE 0 END) AS BIGINT)
+          AS overlay_rows,
+        CAST(COUNT(CASE WHEN dv IS NOT NULL THEN 1 END) AS BIGINT)
+          AS dvd_files
+      FROM gmt.ns.f.files""").collect().head
+    assert(inv.getLong(0) == 4, s"buckets: $inv")
+    // 400 - 3 deleted + 10 new (398,399 replaced in place via MoR DV)
+    assert(inv.getLong(1) == 407, s"live: $inv")
+    // 3 DV-deleted + 2 MoR-replaced old copies
+    assert(inv.getLong(2) == 5, s"dead: $inv")
+    assert(inv.getLong(3) == 12, s"overlay rows: $inv")
+    assert(inv.getLong(4) >= 1, s"dv'd files: $inv")
+    // per-file hygiene columns exist and are sane
+    val row = spark.sql("SELECT bucket, epoch, file, bytes, rows, " +
+      "stats_cols, fingerprinted FROM gmt.ns.f.files LIMIT 1")
+      .collect().head
+    assert(row.getLong(3) > 0 && row.getInt(5) >= 1)
+    // compaction drains the pressure and the inventory shows it
+    spark.sql("CALL gmt.system.compact(table => 'ns.f')")
+    val drained = spark.sql("SELECT CAST(SUM(dv_dead) AS BIGINT), " +
+      "CAST(SUM(CASE WHEN overlay THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(SUM(live_rows) AS BIGINT) FROM gmt.ns.f.files")
+      .collect().head
+    assert(drained.getLong(0) == 0 && drained.getLong(1) == 0 &&
+      drained.getLong(2) == 407, s"post-compact: $drained")
+    spark.sql("DROP TABLE gmt.ns.f")
+  }
+
   test("t.changes: per-version CDC with SQL version bounds, pruned I/O") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
     val path = s"$wh/ns/c"
