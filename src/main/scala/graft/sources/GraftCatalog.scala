@@ -1088,22 +1088,20 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, delete from the current table")
-    require(branch.isEmpty,
-      s"graft catalog: $tableName is a staging branch — branch staging " +
-        "is INSERT-upsert only this protocol version (DELETE/UPDATE/" +
-        "MERGE target main)")
     require(man.keyCols.nonEmpty,
       s"graft catalog: DELETE needs recorded merge keys on $tablePath")
     val cond = predicates.toSeq.flatMap(p => GraftCatalog.v2ToColumn(p))
       .reduceOption(_ && _).getOrElse(lit(true))
-    // resolve doomed keys against the SAME pinned version the statement
-    // analyzed, and let the delete re-validate its touched buckets
-    // against it — a commit racing the key-resolution read conflicts
-    // loudly instead of being part-overwritten
-    val doomed = MergeWriter.readTableVersion(spark, tablePath, man.version)
+    // resolve doomed keys against the SAME pinned manifest the statement
+    // analyzed (main head or branch head), and let the delete
+    // re-validate its touched buckets against it — a commit racing the
+    // key-resolution read conflicts loudly instead of being
+    // part-overwritten
+    val doomed = MergeWriter.readPinnedWhere(spark, tablePath, man,
+        Seq.empty)
       .where(cond).select(man.keyCols.map(col): _*).distinct()
     MergeWriter.delete(spark, tablePath, doomed, man.keyCols,
-      expectedVersion = Some(man.version))
+      expectedVersion = Some(man.version), ref = branch)
   }
 
   /** SQL MERGE INTO / UPDATE / general-predicate DELETE, via the
@@ -1118,14 +1116,11 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
     require(!pinned,
       s"graft catalog: $tableName is a time-travel pin — history is " +
         "immutable, write to the current table")
-    require(branch.isEmpty,
-      s"graft catalog: $tableName is a staging branch — branch staging " +
-        "is INSERT-upsert only this protocol version (DELETE/UPDATE/" +
-        "MERGE target main)")
     require(man.keyCols.nonEmpty,
       s"graft catalog: ${info.command} needs recorded merge keys on " +
         tablePath)
-    () => new GraftRowLevelOperation(spark, tablePath, man, info.command)
+    () => new GraftRowLevelOperation(spark, tablePath, man, info.command,
+      branch)
   }
 }
 

@@ -60,7 +60,8 @@ import org.apache.spark.unsafe.Platform
 private[sources] class GraftRowLevelOperation(
     spark: SparkSession, tablePath: String,
     man: MergeWriter.Manifest,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    ref: Option[String] = None)
     extends SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -106,7 +107,7 @@ private[sources] class GraftRowLevelOperation(
           // commit re-validates touched buckets against it
           // (MergeWriter.requireScanCurrent) so a commit landing during
           // the read/join phase conflicts instead of being clobbered
-          scannedVersion = man.version)
+          scannedVersion = man.version, ref = ref)
     }
 
   override def description(): String =
@@ -120,14 +121,15 @@ private[sources] class GraftDeltaWrite(spark: SparkSession,
                                        rowSchema: StructType,
                                        idSchema: StructType,
                                        queryId: String,
-                                       scannedVersion: Long)
+                                       scannedVersion: Long,
+                                       ref: Option[String] = None)
     extends DeltaWrite {
 
   override def description(): String = s"GraftDeltaWrite($cmd, $tablePath)"
 
   override def toBatch(): DeltaBatchWrite =
     new GraftDeltaBatchWrite(spark, tablePath, keys, cmd, rowSchema,
-      idSchema, s"$tablePath/_rowlevel-$queryId", scannedVersion)
+      idSchema, s"$tablePath/_rowlevel-$queryId", scannedVersion, ref)
 }
 
 private[sources] case class GraftDeltaMessage(upPath: Option[String],
@@ -141,7 +143,8 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
                                             rowSchema: StructType,
                                             idSchema: StructType,
                                             stagingDir: String,
-                                            scannedVersion: Long)
+                                            scannedVersion: Long,
+                                            ref: Option[String] = None)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -159,12 +162,12 @@ private[sources] class GraftDeltaBatchWrite(spark: SparkSession,
         // a pure DELETE's write schema carries no data columns (only row
         // ids travel) — it IS the storage layer's keyed delete
         MergeWriter.delete(spark, tablePath, delDf, keys,
-          expectedVersion = Some(scannedVersion))
+          expectedVersion = Some(scannedVersion), ref = ref)
       else
         MergeWriter.applyChanges(spark, tablePath,
           GraftRowLevel.decodeStaged(spark, ups, rowSchema), delDf, keys,
           opName = cmd.toString.toLowerCase,
-          expectedVersion = Some(scannedVersion))
+          expectedVersion = Some(scannedVersion), ref = ref)
     } finally cleanup()
   }
 

@@ -619,6 +619,13 @@ object MergeWriter {
     case Some(b) => branchHead(fs, dir, b)
   }
 
+  private def refManifestFiles(fs: FileSystem, dir: Path,
+                               ref: Option[String]): Seq[(Long, Path)] =
+    ref match {
+      case None => manifestFiles(fs, dir)
+      case Some(b) => manifestFiles(fs, dir, branchManPrefix(b))
+    }
+
   /** Commit for maintenance operations (compact, splitBuckets,
     * truncateHistory) whose staged state was derived from ONE observed
     * version: losing the version CAS to a concurrent merge means the
@@ -4567,9 +4574,11 @@ object MergeWriter {
   private def requireScanCurrent(fs: FileSystem, tablePath: String,
                                  man: Manifest,
                                  expectedVersion: Option[Long],
-                                 touched: Seq[Int], op: String): Unit =
+                                 touched: Seq[Int], op: String,
+                                 ref: Option[String] = None): Unit =
     expectedVersion.filter(_ != man.version).foreach { ev =>
-      val scanned = manifestFiles(fs, new Path(tablePath)).find(_._1 == ev)
+      val scanned = refManifestFiles(fs, new Path(tablePath), ref)
+        .find(_._1 == ev)
         .map { case (v, p) => readManifest(fs, v, p) }
         .getOrElse(throw new java.util.ConcurrentModificationException(
           s"$op: $tablePath moved from the statement's scanned version " +
@@ -4596,11 +4605,18 @@ object MergeWriter {
   def delete(spark: SparkSession, tablePath: String, keysToDelete: DataFrame,
              keys: Seq[String],
              autoCompactEpochs: Int = AutoCompactEpochs,
-             expectedVersion: Option[Long] = None): Unit = {
+             expectedVersion: Option[Long] = None,
+             ref: Option[String] = None): Unit = {
     require(keys.nonEmpty, "delete requires at least one key column")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
-    if (currentManifest(fs, dir).isEmpty && legacyData(fs, dir)) {
+    ref.foreach { b =>
+      requireBranchName("delete", b)
+      require(branchHead(fs, dir, b).isDefined,
+        s"delete: no branch '$b' on $tablePath — createBranch first")
+    }
+    if (ref.isEmpty && currentManifest(fs, dir).isEmpty &&
+        legacyData(fs, dir)) {
       // one-time migration read: mergeSchema merges heterogeneous legacy
       // footers (files written across an additive evolution) — runs once
       // per table, so the O(files) footer-job cost argument does not apply
@@ -4609,7 +4625,7 @@ object MergeWriter {
       writeEpochAndCommit(spark, fs, tablePath, legacy, keys,
         buckets = 64, prev = None)
     }
-    currentManifest(fs, dir).foreach { man =>
+    refCurrent(fs, dir, ref).foreach { man =>
       validateKeys(man, keys, "delete")
       val del = keysToDelete.select(keys.map(col): _*).distinct()
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(man.buckets)))
@@ -4617,7 +4633,7 @@ object MergeWriter {
       try {
         val touched = touchedBuckets(del)
         requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
-          "delete")
+          "delete", ref)
         val existingPaths = touched.flatMap(b =>
           (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
              else Seq.empty))
@@ -4629,18 +4645,22 @@ object MergeWriter {
         // write I/O ∝ deleted rows. Falls back to the rewrite when the
         // delete is too large to stay metadata-sized (or stats are
         // missing) — correct either way.
-        if (!(man.deleteVectors &&
+        // the DV fast path commits to MAIN inside its own loop —
+        // branch-staged deletes take the copy-on-write rewrite
+        if (!(man.deleteVectors && ref.isEmpty &&
               dvDelete(spark, fs, tablePath, man, del, keys, touched))) {
           val survivors = readWithSchema(spark, man, tablePath, existingPaths)
             .join(del.drop(BucketCol), keys, "left_anti")
           val touchedStored = touched.filter(man.epochs.contains).toSet
           writeEpochAndCommit(spark, fs, tablePath, survivors, keys,
             man.buckets, Some(man), dropBuckets = touchedStored,
-            opName = "delete")
+            opName = "delete", ref = ref)
         }
-        gc(fs, dir)
-        maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
-        maybeAutoCompactMor(spark, fs, dir, tablePath)
+        if (ref.isEmpty) {
+          gc(fs, dir)
+          maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+          maybeAutoCompactMor(spark, fs, dir, tablePath)
+        }
       } finally { del.unpersist(); () }
     }
   }
@@ -4664,11 +4684,12 @@ object MergeWriter {
                    upserts: DataFrame, deleteKeys: DataFrame,
                    keys: Seq[String], opName: String = "rowlevel",
                    autoCompactEpochs: Int = AutoCompactEpochs,
-                   expectedVersion: Option[Long] = None): Unit = {
+                   expectedVersion: Option[Long] = None,
+                   ref: Option[String] = None): Unit = {
     require(keys.nonEmpty, "applyChanges requires at least one key column")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
-    val man = currentManifest(fs, dir).getOrElse(
+    val man = refCurrent(fs, dir, ref).getOrElse(
       throw new IllegalStateException(
         s"applyChanges: $tablePath is not a manifest table"))
     validateKeys(man, keys, opName)
@@ -4684,7 +4705,7 @@ object MergeWriter {
         (touchedBuckets(up) ++ touchedBuckets(del)).distinct
       if (touched.isEmpty) return // empty changeset — no version churn
       requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
-        opName)
+        opName, ref)
       // SQL's cardinality check only guards MATCHED rows, so a MERGE
       // whose NOT-MATCHED clause fires twice for one source key would
       // smuggle a duplicate past it
@@ -4693,7 +4714,9 @@ object MergeWriter {
       // the upserts land as one overlay epoch, the changed keys' old
       // rows die by deletion vector — a SQL UPDATE/MERGE then writes
       // ∝ its changeset, never ∝ the touched buckets
-      if (!(man.deleteVectors &&
+      // morApply commits to MAIN inside its own loop — branch-staged
+      // changesets take the copy-on-write rewrite
+      if (!(man.deleteVectors && ref.isEmpty &&
             morApply(spark, fs, tablePath, man, up, Some(del), keys,
               touched, None, opName))) {
         val existingPaths = touched.flatMap(b =>
@@ -4714,12 +4737,15 @@ object MergeWriter {
         }
         val touchedStored = touched.filter(man.epochs.contains).toSet
         writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-          Some(man), dropBuckets = touchedStored, opName = opName)
+          Some(man), dropBuckets = touchedStored, opName = opName,
+          ref = ref)
       }
-      gc(fs, dir)
-      maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
-      maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
-      maybeAutoCompactMor(spark, fs, dir, tablePath)
+      if (ref.isEmpty) {
+        gc(fs, dir)
+        maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
+        maybeAutoCompact(spark, fs, dir, tablePath, autoCompactEpochs)
+        maybeAutoCompactMor(spark, fs, dir, tablePath)
+      }
     } finally { up.unpersist(); del.unpersist(); () }
   }
 

@@ -130,27 +130,54 @@ class BranchWapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.head == "fast_forward", s"history head: ${ops.head}")
   }
 
-  test("branch staging refuses what it cannot stage: row-level DML, " +
-       "INSERT OVERWRITE, streaming") {
+  test("row-level DML stages on the branch too: UPDATE, DELETE, MERGE " +
+       "land on the branch lineage, main untouched") {
     spark.sql("CREATE TABLE gwap.ns.r (id BIGINT, s STRING) " +
-      "TBLPROPERTIES ('keys'='id')")
-    spark.sql("INSERT INTO gwap.ns.r SELECT id, 'x' FROM range(0, 10)")
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gwap.ns.r SELECT id, 'x' FROM range(0, 40)")
     spark.sql("CALL gwap.system.create_branch(table => 'ns.r', " +
       "branch => 'b1')")
-    val up = intercept[Exception] {
-      spark.sql("UPDATE gwap.ns.r.branch_b1 SET s = 'y' WHERE id = 1")
-    }
-    assert(up.getMessage.contains("staging branch"), s"got: $up")
+    spark.sql("UPDATE gwap.ns.r.branch_b1 SET s = 'upd' WHERE id < 5")
+    spark.sql("DELETE FROM gwap.ns.r.branch_b1 WHERE id >= 35")
+    spark.sql("MERGE INTO gwap.ns.r.branch_b1 t USING " +
+      "(SELECT 100 AS id UNION ALL SELECT 3) src ON t.id = src.id " +
+      "WHEN MATCHED THEN UPDATE SET s = 'merged' " +
+      "WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, 'inserted')")
+    // main: blind to all three statements
+    val main = spark.sql("SELECT s, COUNT(*) AS n FROM gwap.ns.r GROUP BY s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(main == Map("x" -> 40L), s"main saw staged DML: $main")
+    // branch: all three applied
+    val b = spark.sql("SELECT s, COUNT(*) AS n FROM gwap.ns.r.branch_b1 " +
+      "GROUP BY s").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // 40 base − 5 updated (id<5; id=3 then merged) − 5 deleted = 30 x
+    assert(b == Map("x" -> 30L, "upd" -> 4L, "merged" -> 1L,
+      "inserted" -> 1L), s"branch state: $b")
+    spark.sql("CALL gwap.system.fast_forward(table => 'ns.r', " +
+      "branch => 'b1')")
+    val pub = spark.sql("SELECT s, COUNT(*) AS n FROM gwap.ns.r GROUP BY s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pub == b, s"published state: $pub")
+  }
+
+  test("branch staging refuses what it cannot stage: INSERT OVERWRITE " +
+       "and streaming writes; dropped branches stop resolving") {
+    spark.sql("CREATE TABLE gwap.ns.r2 (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('keys'='id')")
+    spark.sql("INSERT INTO gwap.ns.r2 SELECT id, 'x' FROM range(0, 10)")
+    spark.sql("CALL gwap.system.create_branch(table => 'ns.r2', " +
+      "branch => 'b1')")
     val ow = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE gwap.ns.r.branch_b1 SELECT 1, 'z'")
+      spark.sql("INSERT OVERWRITE gwap.ns.r2.branch_b1 SELECT 1, 'z'")
     }
     assert(ow.getMessage.contains("staging branch") ||
       ow.getMessage.contains("overwrite"), s"got: $ow")
-    spark.sql("CALL gwap.system.drop_branch(table => 'ns.r', " +
+    spark.sql("CALL gwap.system.drop_branch(table => 'ns.r2', " +
       "branch => 'b1')")
     // a dropped branch's identifier stops resolving
     val gone = intercept[Exception] {
-      spark.sql("SELECT * FROM gwap.ns.r.branch_b1").collect()
+      spark.sql("SELECT * FROM gwap.ns.r2.branch_b1").collect()
     }
     assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       gone.getMessage.contains("branch"), s"got: $gone")
