@@ -2594,7 +2594,8 @@ object MergeWriter {
                        inc: DataFrame, delKeys: Option[DataFrame],
                        keys: Seq[String], touched: Seq[Int],
                        txn: Option[(String, Long)],
-                       opName: String = "merge"): Boolean = {
+                       opName: String = "merge",
+                       ref: Option[String] = None): Boolean = {
     if (man.schema.isEmpty) return false
     val cleanSchema = stripSchemaIds(inc.drop(BucketCol).schema)
     val recorded = DataType.fromJson(man.schema.get)
@@ -2702,7 +2703,7 @@ object MergeWriter {
                          else Seq.empty))
       }) ++ overlayStats.filter { case (b, _) => !base.stats.contains(b) }
       try {
-        commitManifest(fs, new Path(tablePath),
+        refCommit(fs, new Path(tablePath), ref,
           base.copy(version = base.version + 1,
             epochs = base.epochs ++ freshBase.map(_ -> epoch).toMap,
             overlays = base.overlays ++
@@ -2716,7 +2717,7 @@ object MergeWriter {
         case ex: java.io.IOException =>
           attempt += 1
           if (attempt > 5) throw ex
-          val cur = currentManifest(fs, new Path(tablePath))
+          val cur = refCurrent(fs, new Path(tablePath), ref)
             .getOrElse(throw ex)
           // rebase iff nothing this upsert read-modified moved: the
           // resolved positions and the overlay append are both keyed to
@@ -2760,7 +2761,8 @@ object MergeWriter {
   private def dvDelete(spark: SparkSession, fs: FileSystem,
                        tablePath: String, man: Manifest,
                        del: DataFrame, keys: Seq[String],
-                       touched: Seq[Int]): Boolean = {
+                       touched: Seq[Int],
+                       ref: Option[String] = None): Boolean = {
     val touchedStored = touched.filter(man.epochs.contains)
     if (touchedStored.isEmpty) return true
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
@@ -2813,7 +2815,7 @@ object MergeWriter {
         }
       }
       try {
-        commitManifest(fs, new Path(tablePath),
+        refCommit(fs, new Path(tablePath), ref,
           base.copy(version = base.version + 1, stats = stats2,
             op = "delete", opTs = System.currentTimeMillis()))
         return true
@@ -2821,7 +2823,7 @@ object MergeWriter {
         case e: java.io.IOException =>
           attempt += 1
           if (attempt > 5) throw e
-          val cur = currentManifest(fs, new Path(tablePath))
+          val cur = refCurrent(fs, new Path(tablePath), ref)
             .getOrElse(throw e)
           // rebase iff nothing this delete read-modified moved: same
           // modulus and schema, and every touched bucket's signature
@@ -3207,9 +3209,9 @@ object MergeWriter {
           // false (fall through to copy-on-write) when the batch is too
           // large to stay metadata-sized, the schema moved, or stats
           // are missing — same dispatch shape as delete()/applyChanges().
-          if (!(man.deleteVectors && !evolveSchema && ref.isEmpty &&
+          if (!(man.deleteVectors && !evolveSchema &&
                 morApply(spark, fs, tablePath, man, inc, None, keys,
-                  touched, txn))) {
+                  touched, txn, ref = ref))) {
             // manifest-level pruning: read ONLY the touched buckets' dirs
             val existingPaths = touched.flatMap(b =>
               (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
@@ -4645,10 +4647,9 @@ object MergeWriter {
         // write I/O ∝ deleted rows. Falls back to the rewrite when the
         // delete is too large to stay metadata-sized (or stats are
         // missing) — correct either way.
-        // the DV fast path commits to MAIN inside its own loop —
-        // branch-staged deletes take the copy-on-write rewrite
-        if (!(man.deleteVectors && ref.isEmpty &&
-              dvDelete(spark, fs, tablePath, man, del, keys, touched))) {
+        if (!(man.deleteVectors &&
+              dvDelete(spark, fs, tablePath, man, del, keys, touched,
+                ref))) {
           val survivors = readWithSchema(spark, man, tablePath, existingPaths)
             .join(del.drop(BucketCol), keys, "left_anti")
           val touchedStored = touched.filter(man.epochs.contains).toSet
@@ -4714,11 +4715,9 @@ object MergeWriter {
       // the upserts land as one overlay epoch, the changed keys' old
       // rows die by deletion vector — a SQL UPDATE/MERGE then writes
       // ∝ its changeset, never ∝ the touched buckets
-      // morApply commits to MAIN inside its own loop — branch-staged
-      // changesets take the copy-on-write rewrite
-      if (!(man.deleteVectors && ref.isEmpty &&
+      if (!(man.deleteVectors &&
             morApply(spark, fs, tablePath, man, up, Some(del), keys,
-              touched, None, opName))) {
+              touched, None, opName, ref))) {
         val existingPaths = touched.flatMap(b =>
           (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
                else Seq.empty))

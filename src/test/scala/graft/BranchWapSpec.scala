@@ -161,6 +161,42 @@ class BranchWapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pub == b, s"published state: $pub")
   }
 
+  test("the DV/MoR fast paths stage on branches too: a trickle delete " +
+       "on a deleteVectors table stays metadata-sized") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wapdv").toString + "/t"
+    MergeWriter.merge(spark, dir,
+      (0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "s"),
+      Seq("id"), buckets = 4, clusterBy = Seq("id"), deleteVectors = true)
+    def dirBytes: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(dir))
+    }
+    MergeWriter.createBranch(spark, dir, "purge")
+    val before = dirBytes
+    MergeWriter.delete(spark, dir, Seq(5L, 105L, 205L).toDF("id"),
+      Seq("id"), ref = Some("purge"))
+    MergeWriter.merge(spark, dir,
+      Seq((300L, "touched")).toDF("id", "s"), Seq("id"),
+      ref = Some("purge"))
+    val written = dirBytes - before
+    assert(written < 50000,
+      s"staged DV delete + MoR upsert must stay metadata-sized, " +
+        s"wrote $written bytes")
+    // main blind; branch sees the delete + upsert through the vectors
+    assert(MergeWriter.readTable(spark, dir).count() == 500)
+    val b = MergeWriter.readBranch(spark, dir, "purge")
+    assert(b.count() == 497)
+    assert(b.where(col("id") === 5L).count() == 0)
+    assert(b.where(col("s") === "touched").count() == 1)
+    // publish: main carries the vectors; the native DV scan serves it
+    MergeWriter.fastForward(spark, dir, "purge")
+    val m = MergeWriter.readTable(spark, dir)
+    assert(m.count() == 497 && m.where(col("id") === 105L).count() == 0)
+  }
+
   test("branch staging refuses what it cannot stage: INSERT OVERWRITE " +
        "and streaming writes; dropped branches stop resolving") {
     spark.sql("CREATE TABLE gwap.ns.r2 (id BIGINT, s STRING) " +
