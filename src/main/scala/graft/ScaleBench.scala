@@ -1041,6 +1041,55 @@ object ScaleBench {
       morBench(base, "sf0.1", 4); morBench(rep, "rep10", 16)
     }
 
+    // Branch staging at scale (round 12): a write-audit-publish cycle
+    // on a deleteVectors table — stage a 10-key DV delete plus a
+    // 10-key MoR upsert on a branch, audit the branch head, publish.
+    // The scale claims: STAGED bytes stay metadata-sized (sidecar +
+    // overlay + branch manifests, flat 1×→10×), and the PUBLISH is one
+    // manifest commit regardless of staged volume — at 100 TB, the
+    // whole WAP cycle costs ∝ the changeset, never ∝ the table.
+    def wapBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/wap12/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val path = s"$root/t"
+      graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+        buckets = buckets, clusterBy = Seq("event_id"),
+        deleteVectors = true)
+      val ids = ev.select(col("event_id"))
+        .filter(pmod(col("event_id"), lit(10007)) === 13).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      val (doomed, touched) = ids.splitAt(10)
+      import spark.implicits._
+      graft.sources.MergeWriter.createBranch(spark, path, "stage")
+      val before = dirBytesOf(path)
+      val stageSec = elapsedSec {
+        graft.sources.MergeWriter.delete(spark, path,
+          doomed.toDF("event_id"), Seq("event_id"), ref = Some("stage"))
+        graft.sources.MergeWriter.merge(spark, path,
+          touched.map(id => (id, -1L, "touched", 0.0))
+            .toDF("event_id", "user_id", "event_type", "value"),
+          Seq("event_id"), ref = Some("stage"))
+      }
+      val stagedBytes = dirBytesOf(path) - before
+      val auditSec = elapsedSec {
+        graft.sources.MergeWriter.readBranch(spark, path, "stage").count()
+      }
+      val prePub = dirBytesOf(path)
+      val pubSec = elapsedSec {
+        graft.sources.MergeWriter.fastForward(spark, path, "stage")
+      }
+      val pubBytes = dirBytesOf(path) - prePub
+      val mainSec = elapsedSec {
+        graft.sources.MergeWriter.readTable(spark, path).count()
+      }
+      println(f"""{"dir":"$tag","table_bytes":$before,"stage_sec":$stageSec%.3f,"staged_bytes":$stagedBytes,"audit_sec":$auditSec%.3f,"publish_sec":$pubSec%.3f,"publish_bytes":$pubBytes,"main_scan_sec":$mainSec%.3f}""")
+    }
+    if (sections("wap12")) {
+      wapBench(base, "sf0.1", 4); wapBench(rep, "rep10", 16)
+    }
+
     spark.stop()
   }
 }
