@@ -180,7 +180,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // pointer/manifest filesystem probes below
     if (parts.isEmpty ||
         (ident.name() != "history" && ident.name() != "changes" &&
-          ident.name() != "files" && !ident.name().startsWith("branch_")))
+          ident.name() != "files" && ident.name() != "branches" &&
+          !ident.name().startsWith("branch_")))
       return None
     val entry = dirOf(parts)
     val parent = readPointer(entry).getOrElse(entry)
@@ -200,6 +201,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(new GraftHistoryTable(spark, parent.toString, name))
     else if (ident.name() == "files")
       Some(new GraftFilesTable(spark, parent.toString, name))
+    else if (ident.name() == "branches")
+      Some(new GraftBranchesTable(spark, parent.toString, name))
     else Some(new GraftChangesTable(spark, parent.toString, name))
   }
 

@@ -84,6 +84,16 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       else MergeWriter.resolveVersionRef(spark, path, v)
     }
     val tsAsOf = parameters.get("timestampAsOf").map(timestampMs)
+    // the `branch` option pins a staging branch's head (the WAP audit
+    // read through the format face); exclusive with time travel and
+    // groups — a branch is already one specific lineage head
+    val branch = parameters.get("branch")
+    branch.foreach { b =>
+      require(versionAsOf.isEmpty && tsAsOf.isEmpty &&
+        !parameters.contains("member"),
+        "graft: 'branch' cannot combine with versionAsOf/timestampAsOf/" +
+          "member — a branch read pins that branch's head")
+    }
     parameters.get("member") match {
       case Some(name) =>
         (MergeWriter.pinGroupMember(spark, path, name, versionAsOf, tsAsOf)
@@ -91,7 +101,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
             s"graft: $path has no committed group manifest")),
           s"$path/$name")
       case None =>
-        (MergeWriter.pinManifest(spark, path, versionAsOf, tsAsOf)
+        (MergeWriter.pinManifest(spark, path, versionAsOf, tsAsOf, branch)
           .getOrElse(throw new IllegalArgumentException(
             s"graft: $path has no committed manifest (not a graft table)")),
           path)

@@ -64,6 +64,40 @@ private[sources] class GraftHistoryTable(spark: SparkSession,
   }
 }
 
+/** `SELECT * FROM gc.ns.t.branches` — live staging branches (the
+  * branch half of Iceberg's refs view): one row per branch with the
+  * fork version, staged head, staged commit count and the head's
+  * op/commit time. The WAP operator's "what is in flight" probe.
+  */
+private[sources] class GraftBranchesTable(spark: SparkSession,
+                                          tablePath: String,
+                                          tableName: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  private lazy val branches = MergeWriter.tableBranches(spark, tablePath)
+
+  override def schema(): StructType = branches.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => {
+    val df = branches
+    val s = df.schema
+    val conv = CatalystTypeConverters.createToCatalystConverter(s)
+    val collected = df.collect()
+      .map(r => conv(r).asInstanceOf[InternalRow])
+    new LocalScan {
+      override def rows(): Array[InternalRow] = collected
+      override def readSchema(): StructType = s
+      override def description(): String = s"GraftBranches($tablePath)"
+    }
+  }
+}
+
 /** `SELECT * FROM gc.ns.t.files` — the current version's per-file
   * physical inventory (Iceberg's `t.files`): bucket, epoch, name,
   * bytes, recorded/live rows, deletion-vector sidecar + dead count,

@@ -1868,6 +1868,26 @@ object MergeWriter {
       "dv", "dv_dead", "overlay", "stats_cols", "fingerprinted")
   }
 
+  /** Live staging branches (Iceberg's refs view, branch half): one row
+    * per branch — fork version, staged head, staged commit count, the
+    * head's op and commit time. Empty when nothing is staged.
+    */
+  def tableBranches(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    branchManifestFiles(fs, dir).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (name, files) =>
+        val (_, k, p) = files.maxBy(_._2)
+        val head = readManifest(fs, k, p)
+        (name, head.branchBase, k, k - head.branchBase,
+          if (head.op.isEmpty) null else head.op,
+          if (head.opTs == 0L) null else new java.sql.Timestamp(head.opTs))
+      }
+      .toDF("branch", "base_version", "head_version", "staged_commits",
+        "head_op", "head_ts")
+  }
+
 
   /** Within-bucket cluster sort shared by every epoch write. A cluster
     * entry is a plain column name (1-D linear clustering), or

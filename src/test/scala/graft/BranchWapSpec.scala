@@ -113,6 +113,11 @@ class BranchWapSpec extends AnyFunSuite with BeforeAndAfterAll {
       "branch => 'wap')")
     spark.sql("INSERT INTO gwap.ns.t.branch_wap " +
       "SELECT id, 'staged' FROM range(80, 120)")
+    // t.branches: the "what is in flight" probe
+    val refs = spark.sql("SELECT branch, staged_commits FROM " +
+      "gwap.ns.t.branches").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(refs == Map("wap" -> 1L), s"branches view: $refs")
     // main blind to the staged insert; branch head serves the audit
     assert(spark.sql("SELECT COUNT(*) AS c FROM gwap.ns.t")
       .collect().head.getLong(0) == 80)
@@ -128,6 +133,8 @@ class BranchWapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ops = spark.sql("SELECT op FROM gwap.ns.t.history")
       .collect().map(_.getString(0))
     assert(ops.head == "fast_forward", s"history head: ${ops.head}")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gwap.ns.t.branches")
+      .collect().head.getLong(0) == 0, "publish must retire the ref")
   }
 
   test("row-level DML stages on the branch too: UPDATE, DELETE, MERGE " +
@@ -187,6 +194,9 @@ class BranchWapSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"wrote $written bytes")
     // main blind; branch sees the delete + upsert through the vectors
     assert(MergeWriter.readTable(spark, dir).count() == 500)
+    // the format face audits branches too: .option("branch", name)
+    assert(spark.read.format("graft").option("branch", "purge")
+      .load(dir).count() == 497)
     val b = MergeWriter.readBranch(spark, dir, "purge")
     assert(b.count() == 497)
     assert(b.where(col("id") === 5L).count() == 0)
