@@ -1275,14 +1275,19 @@ private[sources] class GraftStreamableParquetScan(
   // and the window is bounded by MergeWriter.DvAutoCompactFiles.
   private val dvLive = MergeWriter.hasLiveDvs(man)
 
-  private lazy val dvDead: Map[String, Array[Long]] =
-    MergeWriter.dvDeadByAbsPath(p.sparkSession, tablePath, man)
-
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val inner = super.createReaderFactory()
     if (!dvLive) inner
     else {
+      // dead positions restricted to the PRUNED file listing: a scan
+      // that skips a DV'd file pays neither its sidecar read
+      // driver-side nor its positions in the serialized factory
+      val listed = p.fileIndex
+        .listFiles(p.partitionFilters, p.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString).toSet
+      val dvDead = MergeWriter.dvDeadByAbsPath(p.sparkSession, tablePath,
+        man, Some(listed))
       val full = readDataSchema.fields ++ readPartitionSchema.fields
       new GraftDvSkipReaderFactory(inner, dvDead,
         full.map(_.dataType),

@@ -185,6 +185,17 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     require(!parameters.contains("member"),
       "graft write: group members commit through MergeWriter.mergeGroup " +
         "(cross-table atomicity); the 'member' option is read-only")
+    // a branch-targeted append stages on the branch lineage (main never
+    // sees it until fastForward); replacing modes cannot target a
+    // branch — same contract as the catalog face
+    val branch = parameters.get("branch")
+    branch.foreach { b =>
+      require(mode == SaveMode.Append,
+        "graft write: only SaveMode.Append can target a staging branch " +
+          "— stage upserts, publish, then overwrite main")
+      require(MergeWriter.listBranches(spark, path).contains(b),
+        s"graft write: no branch '$b' at $path — createBranch first")
+    }
     val existing = MergeWriter.pinManifest(spark, path, None, None)
     val buckets = parameters.get("buckets").map(_.toInt).getOrElse(64)
     val clusterBy = csv(parameters, "clusterBy").getOrElse(Seq.empty)
@@ -196,7 +207,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     def doMerge(): Unit =
       MergeWriter.merge(spark, path, data, writeKeys(parameters, existing,
         path), buckets, clusterBy = clusterBy, bloomBy = bloomBy,
-        bloomItems = bloomItems, deleteVectors = deleteVectors)
+        bloomItems = bloomItems, deleteVectors = deleteVectors,
+        ref = branch)
     mode match {
       case SaveMode.Append => doMerge()
       case SaveMode.Overwrite =>
@@ -231,6 +243,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     require(!parameters.contains("member"),
       "graft sink: group members commit through MergeWriter.mergeGroup " +
         "(cross-table atomicity); the 'member' option is read-only")
+    require(!parameters.contains("branch"),
+      "graft sink: streaming writes cannot target a staging branch")
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is not supported (layout is key-hash " +
         "buckets recorded in the manifest)")

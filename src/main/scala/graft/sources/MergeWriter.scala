@@ -696,16 +696,17 @@ object MergeWriter {
     * operation.
     */
   private def commitTxnGuard(fs: FileSystem, dir: Path,
-                             t: (String, Long)): Unit = {
+                             t: (String, Long),
+                             ref: Option[String] = None): Unit = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
-      currentManifest(fs, dir) match {
+      refCurrent(fs, dir, ref) match {
         case None => return // table vanished — nothing to guard
         case Some(man) =>
           if (man.txns.get(t._1).exists(_ >= t._2)) return
           try {
-            commitManifest(fs, dir, man.copy(version = man.version + 1,
+            refCommit(fs, dir, ref, man.copy(version = man.version + 1,
               txns = man.txns + t, op = "txn",
               opTs = System.currentTimeMillis()))
             return
@@ -1164,6 +1165,25 @@ object MergeWriter {
       new Path(dir, f"${branchManPrefix(name)}${man.version}%016d.json"),
       manifestBody(man.copy(branchBase = man.version, op = "branch-create",
         opTs = System.currentTimeMillis())))
+    // VERIFY after publish: the file-name CAS only collides when two
+    // racing creators fork at the SAME main version — a main commit
+    // between their reads gives them different file names and both
+    // publishes succeed. Exactly-one-creator is restored by a
+    // post-publish listing: seeing ANY other file under the name means
+    // a race happened; this creator retracts its root and fails loudly
+    // (both may retract in the worst interleaving — loud and clean, vs
+    // one creator silently staging on the other's base).
+    val others = branchManifestFiles(fs, dir)
+      .filter { case (n, k, _) => n == name && k != man.version }
+    if (others.nonEmpty) {
+      fs.delete(
+        new Path(dir, f"${branchManPrefix(name)}${man.version}%016d.json"),
+        false)
+      throw new java.util.ConcurrentModificationException(
+        s"createBranch: a racing createBranch('$name') on $tablePath " +
+          "forked at a different main version — this creator retracted; " +
+          "re-check the branch state and retry")
+    }
   }
 
   /** Publish the branch head as the next MAIN version — the WAP
@@ -1205,9 +1225,21 @@ object MergeWriter {
             s"the publish of branch '$name' — the staged state no " +
             "longer applies; re-stage on a fresh branch", e)
     }
-    branchManifestFiles(fs, dir).filter(_._1 == name)
+    // retire ONLY the published prefix (K ≤ the head this publish
+    // carried): a staged commit racing the publish lands at K+1 and
+    // must not be silently destroyed — it survives as a still-listed
+    // branch whose fork version now trails main, so the next
+    // fastForward conflicts loudly and the operator re-stages or drops
+    branchManifestFiles(fs, dir)
+      .filter { case (n, k, _) => n == name && k <= bh.version }
       .foreach { case (_, _, p) => fs.delete(p, false) }
     gc(fs, dir)
+    // staging DEFERRED auto-maintenance here: the published state may
+    // carry the whole staging window's epochs, overlays and DVs, and a
+    // WAP-only workload has no direct main write to drain the pressure
+    maybeAutoSplit(spark, fs, dir, tablePath, AutoSplitBytesPerBucket)
+    maybeAutoCompact(spark, fs, dir, tablePath, AutoCompactEpochs)
+    maybeAutoCompactMor(spark, fs, dir, tablePath)
   }
 
   /** Abandon a branch: its staged manifests drop now; the epochs only
@@ -1856,9 +1888,17 @@ object MergeWriter {
         s"tableFiles: $tablePath holds no committed graft table"))
     man.epochs.keys.toSeq.sorted.flatMap { b =>
       val base = man.epochs(b)
-      man.stats.getOrElse(b, Seq.empty).map { f =>
+      val fss = man.stats.getOrElse(b, Seq.empty)
+      if (fss.isEmpty)
+        // pre-stats legacy bucket: the manifest knows the epoch exists
+        // but records no per-file entries — surface ONE sentinel row
+        // (file = null) instead of silently under-reporting the bucket
+        Seq((b, base, Option.empty[String], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long], Option.empty[String],
+          0L, false, 0, false))
+      else fss.map { f =>
         val e = fileEpoch(man, b, f)
-        (b, e, f.name, f.bytes,
+        (b, e, Some(f.name), Some(f.bytes),
           if (f.rows < 0L) None else Some(f.rows),
           if (f.rows < 0L) None else Some(f.rows - f.dvn),
           if (f.dv.isEmpty) None else Some(f.dv), f.dvn,
@@ -2914,18 +2954,28 @@ object MergeWriter {
     * factory.
     */
   private[sources] def dvDeadByAbsPath(spark: SparkSession, root: String,
-                                       m: Manifest)
+                                       m: Manifest,
+                                       keepPaths: Option[Set[String]] = None)
       : Map[String, Array[Long]] = {
     if (!hasLiveDvs(m)) return Map.empty
-    val refs = dvFileRefs(m)
-    val pos = dvPositions(fsFor(spark, root), root, refs)
-    m.epochs.keys.iterator.flatMap { b =>
+    // restrict to the files the scan will actually open BEFORE touching
+    // sidecars: a pruned scan neither reads the pruned files' sidecars
+    // driver-side nor ships their positions in the reader factory
+    val wanted = m.epochs.keys.iterator.flatMap { b =>
       m.stats.getOrElse(b, Seq.empty).iterator.collect {
         case f if f.dv.nonEmpty =>
-          val dead = pos(dvRelKey(fileEpoch(m, b, f), b, f.name)).clone()
-          java.util.Arrays.sort(dead)
-          new Path(fileReadPath(root, m, b, f)).toString -> dead
+          (dvRelKey(fileEpoch(m, b, f), b, f.name),
+            new Path(fileReadPath(root, m, b, f)).toString, f)
       }
+    }.filter { case (_, abs, _) => keepPaths.forall(_.contains(abs)) }
+      .toSeq
+    if (wanted.isEmpty) return Map.empty
+    val refs = wanted.map { case (rel, _, f) => rel -> f }.toMap
+    val pos = dvPositions(fsFor(spark, root), root, refs)
+    wanted.map { case (rel, abs, _) =>
+      val dead = pos(rel).clone()
+      java.util.Arrays.sort(dead)
+      abs -> dead
     }.toMap
   }
 
@@ -3211,9 +3261,10 @@ object MergeWriter {
       if (touched.isEmpty) {
         // empty batches never CREATE a table, but on an existing table a
         // txn-carrying empty batch still records its guard (else a
-        // redelivery WITH rows would re-apply) — mergeAdditive's rule
-        txn.foreach(t => if (m.isDefined && ref.isEmpty)
-          commitTxnGuard(fs, dir, t))
+        // redelivery WITH rows would re-apply) — mergeAdditive's rule;
+        // a branch-targeted guard lands on the branch lineage (and
+        // publishes to main with the rest of the staged ledger)
+        txn.foreach(t => if (m.isDefined) commitTxnGuard(fs, dir, t, ref))
         return
       }
       m match {
@@ -5022,9 +5073,17 @@ object MergeWriter {
       val dvFiles = man.stats.valuesIterator
         .map(_.count(_.dv.nonEmpty)).sum
       val overlayEntries = man.overlays.valuesIterator.map(_.size).sum
+      // total DEAD POSITIONS pressure too: per-file dead sets are
+      // cumulative across commits (prior ∪ new), so a few files can
+      // carry far more positions than the per-commit cap — bounding
+      // only the FILE count would let the read-side skip arrays (and
+      // the serialized reader factory) grow without limit
+      val dvPositionsTotal = man.stats.valuesIterator
+        .flatMap(_.iterator.map(_.dvn)).sum
       if (pressured.nonEmpty &&
           (dvFiles >= DvAutoCompactFiles ||
-            overlayEntries >= DvAutoCompactFiles))
+            overlayEntries >= DvAutoCompactFiles ||
+            dvPositionsTotal >= DvMaxPositionsPerCommit * 4))
         try compactBuckets(spark, tablePath, pressured)
         catch {
           case _: java.io.IOException => ()
