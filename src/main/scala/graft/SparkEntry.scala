@@ -4770,6 +4770,100 @@ object SparkEntry {
         CAST(SUM(CASE WHEN overlay THEN live_rows ELSE 0 END) AS BIGINT)
           AS overlay_total
         FROM $cat.etl.docs.files""")
+    }),
+
+    // ANSI CHECK constraints end-to-end (Spark 4.1 DSv2 constraint
+    // surface + manifest persistence + write-side enforcement): inline
+    // PRIMARY KEY declares the merge keys, two CHECKs validate at
+    // create, a violating INSERT fails ATOMICALLY (nothing lands), and
+    // DROP CONSTRAINT lifts exactly one guard. Final state is pure
+    // relational arithmetic over `orders` — the DuckDB oracle
+    // reproduces it without any constraint machinery.
+    "q188_check_constraints" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-check"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView(s"check_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.ck (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING,
+        CONSTRAINT pk PRIMARY KEY (o_orderkey),
+        CONSTRAINT price_pos CHECK (o_totalprice > 0),
+        CONSTRAINT status_enum CHECK (o_orderstatus IN ('O','F','P'))
+      ) TBLPROPERTIES ('buckets'='8', 'clusterBy'='o_orderkey')""")
+      s.sql(s"INSERT INTO $cat.etl.ck SELECT * FROM check_src_$n")
+      // the violating batch must fail as a WHOLE (atomic commit):
+      // valid rows in the same statement land nowhere
+      val rejected = scala.util.Try(s.sql(
+        s"""INSERT INTO $cat.etl.ck
+           SELECT o_orderkey + 100000000, -o_totalprice, o_orderstatus
+           FROM check_src_$n WHERE o_orderkey % 100 < 50""")).isFailure
+      require(rejected, "q188: violating INSERT must be rejected")
+      s.sql(s"ALTER TABLE $cat.etl.ck DROP CONSTRAINT price_pos")
+      s.sql(s"""INSERT INTO $cat.etl.ck
+        SELECT o_orderkey + 100000000, -o_totalprice, o_orderstatus
+        FROM check_src_$n WHERE o_orderkey % 100 = 3""")
+      s.sql(s"""SELECT o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_negative,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS price_sum
+        FROM $cat.etl.ck GROUP BY o_orderstatus""")
+    }),
+
+    // Incremental column statistics (HLL sketch union on commit): after
+    // ONE ANALYZE, later merges keep the CBO's NDV/min-max/rowCount
+    // fresh — no re-scan, each commit folds one narrow agg over its own
+    // written rows into the stored sketches. The emitted row carries
+    // the EXACT planner-served facts (rowCount, min, max — hashable vs
+    // DuckDB); the approximate NDV is bound-checked in-process (±5%)
+    // and emitted as a boolean.
+    "q189_incremental_stats" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-incstats"))
+      Tables.part(s, dir).select(col("p_partkey"), col("p_size"))
+        .createOrReplaceTempView(s"stats_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.p (p_partkey BIGINT, p_size INT)
+        TBLPROPERTIES ('keys'='p_partkey', 'buckets'='8',
+        'clusterBy'='p_partkey')""")
+      s.sql(s"INSERT INTO $cat.etl.p SELECT * FROM stats_src_$n " +
+        "WHERE p_partkey % 2 = 0")
+      s.sql(s"CALL $cat.system.analyze(table => 'etl.p')")
+      // the post-ANALYZE half arrives through ordinary commits — the
+      // sketches union per commit, never a corpus re-scan
+      s.sql(s"INSERT INTO $cat.etl.p SELECT * FROM stats_src_$n " +
+        "WHERE p_partkey % 2 = 1")
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      val (nRows, lo, hi, ndvOk) =
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          val st = s.sql(s"SELECT * FROM $cat.etl.p")
+            .queryExecution.optimizedPlan.stats
+          val pk = st.attributeStats.toSeq
+            .find(_._1.name == "p_partkey").map(_._2)
+            .getOrElse(throw new IllegalStateException(
+              "q189: refreshed stats were not served to the CBO"))
+          val total = st.rowCount.map(_.toLong).getOrElse(-1L)
+          val ok = pk.distinctCount.exists(d =>
+            math.abs(d.toLong - total) * 20L <= total)
+          (total, pk.min.map(_.toString.toLong).getOrElse(-1L),
+            pk.max.map(_.toString.toLong).getOrElse(-1L), ok)
+        } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      import s.implicits._
+      Seq((nRows, lo, hi, ndvOk))
+        .toDF("n_rows", "pk_min", "pk_max", "ndv_fresh")
     })
   )
 
@@ -8131,6 +8225,32 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // Served planner facts are exact (rowCount from the manifest file
+    // inventory, min/max canonical); only the ndv_fresh BOOLEAN depends
+    // on the sketch, bound-checked in-process.
+    "q189_incremental_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(p_partkey) AS BIGINT) AS pk_min,
+        |  CAST(MAX(p_partkey) AS BIGINT) AS pk_max,
+        |  TRUE AS ndv_fresh
+        |FROM part""".stripMargin,
+
+    // Survivors = every original order (positive prices untouched by
+    // the REJECTED batch) plus the post-DROP negated cohort
+    // (o_orderkey % 100 = 3, key-offset so nothing collides).
+    "q188_check_constraints" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_negative,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, -o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 3
+        |) GROUP BY o_orderstatus""".stripMargin,
+
     "q187_files_inventory" ->
       """SELECT CAST(8 AS BIGINT) AS n_buckets,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents

@@ -18,6 +18,9 @@ import org.apache.spark.sql.connector.catalog.{
   TableCatalog, NamespaceChange, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.catalog.{functions => v2fn}
+import org.apache.spark.sql.connector.catalog.TableCatalogCapability
+import org.apache.spark.sql.connector.catalog.constraints.{
+  Check, Constraint, PrimaryKey}
 import org.apache.spark.sql.connector.expressions.{
   Expression => V2Expression, Literal => V2Literal, NamedReference,
   Transform}
@@ -88,6 +91,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catName
+
+  /** ANSI table constraints (Spark 4.1's DSv2 constraint SPIP): the
+    * catalog accepts `CREATE TABLE ... CHECK (...)` / `ALTER TABLE ...
+    * ADD CONSTRAINT`, persists CHECK predicates in the manifest, and
+    * enforces them on every write path (see
+    * [[MergeWriter.addCheckConstraint]]).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(warehouse)((p, s) => new Path(p, s))
@@ -368,6 +380,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(spark, spec.path, spec.name)
   }
 
+  /** `CREATE TABLE ... CHECK (...) / PRIMARY KEY (...)` — the
+    * constraint-carrying DSv2 create (Spark 4.1). CHECKs record in the
+    * creating table's manifest (the table is empty — validation is
+    * trivial); an inline PRIMARY KEY may DECLARE the merge keys (it is
+    * exactly what 'keys' means here), or must match a declared 'keys'
+    * property.
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog
+                             .TableInfo): Table = {
+    val pkCols = info.constraints().toSeq.collect {
+      case pk: PrimaryKey =>
+        pk.columns().map(_.fieldNames().mkString(".")).toSeq
+    }
+    require(pkCols.size <= 1,
+      s"graft catalog: CREATE TABLE $ident declares multiple PRIMARY KEYs")
+    val props = new util.HashMap[String, String](info.properties())
+    val declaredKeys = Option(props.get("keys"))
+      .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "keys")))
+    pkCols.headOption.foreach { pk =>
+      declaredKeys match {
+        case Some(ks) =>
+          val listed = ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(pk.sorted == listed.sorted,
+            s"graft catalog: PRIMARY KEY ${pk.mkString("(", ",", ")")} " +
+              s"must name the declared merge keys ($ks)")
+        case None => props.put("keys", pk.mkString(","))
+      }
+    }
+    val checks = info.constraints().toSeq.collect {
+      case c: Check => c.name() -> c.predicateSql()
+    }
+    info.constraints().foreach {
+      case _: Check | _: PrimaryKey => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported constraint $other — CHECK and " +
+          "PRIMARY KEY only")
+    }
+    val created = createTable(ident, info.schema(), info.partitions(),
+      props)
+    val dir = resolvedDir(ident)
+    try checks.foreach { case (n, sql) =>
+      MergeWriter.addCheckConstraint(spark, dir.toString, n, sql)
+    } catch { case e: Throwable => dropTable(ident); throw e }
+    if (checks.isEmpty) created else loadTable(ident)
+  }
+
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------
 
   /** CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT with ALL-OR-
@@ -469,11 +528,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"got ${dc.fieldNames().mkString(".")}")
         MergeWriter.dropColumn(spark, dir.toString, dc.fieldNames()(0))
         Seq.empty
+      case ac: TableChange.AddConstraint =>
+        // ALTER TABLE ... ADD CONSTRAINT — CHECK persists + enforces
+        // (validated against all existing rows first); a PRIMARY KEY
+        // naming exactly the recorded merge keys is accepted as the
+        // declaration of what the keyed table already guarantees
+        ac.constraint() match {
+          case c: Check =>
+            MergeWriter.addCheckConstraint(spark, dir.toString,
+              c.name(), c.predicateSql())
+          case pk: PrimaryKey =>
+            val declared = pk.columns().map(_.fieldNames().mkString("."))
+            val man = MergeWriter.pinManifest(spark, dir.toString,
+                None, None)
+              .getOrElse(throw new NoSuchTableException(ident))
+            require(declared.toSeq.sorted == man.keyCols.sorted,
+              s"graft catalog: PRIMARY KEY ${declared.mkString("(", ",", ")")} " +
+                s"must name the table's merge keys " +
+                s"${man.keyCols.mkString("(", ",", ")")} — the primary " +
+                "key IS the keyed-merge identity and cannot differ")
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported constraint $other — CHECK " +
+              "constraints enforce; PRIMARY KEY must match the merge " +
+              "keys; UNIQUE/FOREIGN KEY are not supported")
+        }
+        Seq.empty
+      case dc: TableChange.DropConstraint =>
+        val man = MergeWriter.pinManifest(spark, dir.toString, None, None)
+          .getOrElse(throw new NoSuchTableException(ident))
+        if (man.checks.contains(dc.name()))
+          MergeWriter.dropCheckConstraint(spark, dir.toString, dc.name())
+        else if (dc.name().equalsIgnoreCase(GraftCatalog.PkConstraintName))
+          throw new UnsupportedOperationException(
+            s"graft catalog: '${dc.name()}' declares the table's merge " +
+              "keys — it is inherent to the keyed table and cannot drop")
+        else require(dc.ifExists(),
+          s"graft catalog: no constraint '${dc.name()}' on $ident")
+        Seq.empty
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE supports SET TBLPROPERTIES " +
-          s"('retainVersions', 'retainMs'), ADD COLUMNS, RENAME COLUMN " +
-          s"and DROP COLUMN — got $other. Clustering/bloom retrofit " +
-          "through the maintenance API " +
+          s"('retainVersions', 'retainMs'), ADD COLUMNS, RENAME COLUMN, " +
+          s"DROP COLUMN and ADD/DROP CONSTRAINT — got $other. " +
+          "Clustering/bloom retrofit through the maintenance API " +
           "(CALL gc.system.cluster / build_bloom_index)")
     }.toMap
     if (adds.nonEmpty)
@@ -1053,6 +1149,37 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       "bloomBy" -> man.bloomCols.mkString(","),
       "deleteVectors" -> man.deleteVectors.toString,
       "version" -> man.version.toString).asJava
+
+  /** The table's ANSI constraints in DSv2 form: every recorded CHECK
+    * (enforced + validated — [[MergeWriter.addCheckConstraint]] proved
+    * all rows at add time and every write since went through the
+    * guard), plus the synthesized PRIMARY KEY naming the merge keys
+    * (the keyed-merge identity; `rely` only with the manifest's
+    * NOT-NULL evidence flag, so the optimizer never trusts an unproven
+    * key). Spark's own write-side enforcement (ResolveTableConstraints)
+    * picks the CHECKs up from here; the storage layer re-proves them on
+    * every path regardless.
+    */
+  override def constraints(): Array[Constraint] = {
+    val checks = man.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .rely(true).build(): Constraint
+    }
+    val pk =
+      if (man.keyCols.isEmpty) Seq.empty
+      else Seq(Constraint.primaryKey(GraftCatalog.PkConstraintName,
+          man.keyCols.map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(k)).toArray)
+        .enforced(false)
+        .validationStatus(
+          if (man.keysChecked) Constraint.ValidationStatus.VALID
+          else Constraint.ValidationStatus.UNVALIDATED)
+        .rely(man.keysChecked).build(): Constraint)
+    (checks ++ pk).toArray
+  }
 
   /** Batch reads keep the native parquet DSv2 path (vectorized +
     * manifest skipping); the SAME builder's scan also answers
@@ -1775,6 +1902,12 @@ object GraftCatalog {
     * entry directory (see `readPointer`).
     */
   private[sources] val LocPointer = "_loc"
+
+  /** Name of the synthesized PRIMARY KEY constraint every keyed table
+    * reports (the merge keys ARE the primary key — `rely` iff the
+    * manifest carries the NOT-NULL evidence flag).
+    */
+  private[sources] val PkConstraintName = "graft_pk"
 
   /** The statement-level duplicate-key guard for INSERT and CTAS/RTAS
     * (see [[MergeWriter.requireUniqueKeys]]), wrapped around the write

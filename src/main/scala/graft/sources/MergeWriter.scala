@@ -340,7 +340,48 @@ object MergeWriter {
                                        // fast_forward publishes the
                                        // branch head onto main iff main
                                        // still sits at this version.
-                                       branchBase: Long = -1L)
+                                       branchBase: Long = -1L,
+                                       // CHECK CONSTRAINTS (Delta's
+                                       // table constraints / ANSI
+                                       // CHECK): name → predicate SQL.
+                                       // Added by ALTER TABLE ADD
+                                       // CONSTRAINT after a one-pass
+                                       // validation of existing rows;
+                                       // every data-adding write path
+                                       // enforces them in a single
+                                       // codegen'd pass fused with the
+                                       // epoch write (a violating row
+                                       // fails the whole commit — ANSI
+                                       // semantics: NULL predicates
+                                       // pass). Ride every commit
+                                       // forward like tags; a rebase
+                                       // over a concurrent constraint
+                                       // change conflicts loudly (the
+                                       // batch was validated under the
+                                       // OLD set).
+                                       checks: Map[String, String] =
+                                         Map.empty,
+                                       // INCREMENTAL NDV SKETCHES
+                                       // (Iceberg puffin theta/HLL
+                                       // sketches, maintained like
+                                       // Delta's stats-on-write):
+                                       // per-column base64 DataSketches
+                                       // HLL, recorded by ANALYZE and
+                                       // UNIONED with each commit's
+                                       // written-rows sketch — one
+                                       // narrow agg job ∝ batch, never
+                                       // ∝ corpus — so `colStats.ndv`
+                                       // stays fresh on a hot table
+                                       // instead of rotting until the
+                                       // next full ANALYZE. HLL never
+                                       // subtracts: under deletes the
+                                       // NDV is an upper bound (the
+                                       // safe direction — the gate's
+                                       // statsRows drift check still
+                                       // applies). Empty ⇔ table not
+                                       // ANALYZEd with sketches.
+                                       colSketches: Map[String, String] =
+                                         Map.empty)
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -501,7 +542,11 @@ object MergeWriter {
         b.result()
       }.getOrElse(Map.empty),
       // set only on branch-staged manifests — backward compatible
-      Option(node.get("bbase")).map(_.asLong()).getOrElse(-1L))
+      Option(node.get("bbase")).map(_.asLong()).getOrElse(-1L),
+      // absent in pre-constraint manifests — backward compatible
+      strMap(node.get("checks")),
+      // absent in pre-sketch manifests — backward compatible
+      strMap(node.get("csk")))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -595,6 +640,12 @@ object MergeWriter {
         }.mkString(",") + "}"
       } else "")
       .append(if (m.branchBase < 0L) "" else ",\"bbase\":" + m.branchBase)
+      .append(if (m.checks.isEmpty) "" else
+        ",\"checks\":{" + m.checks.toSeq.sortBy(_._1).map { case (n, p) =>
+          jsonStr(n) + ":" + jsonStr(p) }.mkString(",") + "}")
+      .append(if (m.colSketches.isEmpty) "" else
+        ",\"csk\":{" + m.colSketches.toSeq.sortBy(_._1).map { case (c, s) =>
+          jsonStr(c) + ":" + jsonStr(s) }.mkString(",") + "}")
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
@@ -1090,6 +1141,171 @@ object MergeWriter {
         s"$tablePath on every retry — re-run against the new table state")
   }
 
+  // ---- CHECK CONSTRAINTS (ANSI table constraints) ---------------------
+  //
+  // Delta's table constraints on the manifest protocol: a named CHECK
+  // predicate is recorded in the manifest (name → SQL), validated
+  // against ALL existing rows when added (one pruned scan), and
+  // enforced on every data-adding write path — CoW epochs and
+  // merge-on-read overlays, main or branch, batch or streaming — by a
+  // filter fused into the epoch write's own pass (whole-stage codegen;
+  // no extra job). ANSI semantics: a row passes when the predicate is
+  // TRUE or NULL; a FALSE row fails the WHOLE commit with the
+  // constraint name and the violating row's referenced columns.
+  // Deletes never add rows, so survivor-only rewrites re-validate for
+  // free (survivors passed when written). At 100 TB the costs are the
+  // right shape: add-time validation is one corpus scan (exactly what
+  // the guarantee requires), enforcement is O(written rows).
+
+  /** Column names a CHECK predicate references (top-level parts of its
+    * unresolved attributes) — the seam for rejecting RENAME/DROP of a
+    * constrained column.
+    */
+  private def checkPredicateColumns(spark: SparkSession,
+                                    sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.distinct
+
+  /** Types `to_json` can serialize for the violation message — anything
+    * else is elided from the diagnostic rather than risked at analysis.
+    */
+  private def jsonSafe(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType |
+         org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case org.apache.spark.sql.types.ArrayType(e, _) => jsonSafe(e)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      jsonSafe(k) && jsonSafe(v)
+    case s: StructType => s.fields.forall(f => jsonSafe(f.dataType))
+    case _ => false
+  }
+
+  /** The single-pass write-side guard: TRUE/NULL rows stream through
+    * untouched; a FALSE row evaluates the (short-circuited) error arm
+    * and aborts the commit. Stays inside whole-stage codegen — the
+    * predicate is ordinary Catalyst, the error arm is never evaluated
+    * on the happy path.
+    */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+                            tablePath: String): DataFrame =
+    checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      val pass = coalesce(expr(sql).cast("boolean"), lit(true))
+      val refs = checkPredicateColumns(d.sparkSession, sql)
+        .flatMap(c => d.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .filter(f => jsonSafe(f.dataType))
+      val msg =
+        if (refs.isEmpty)
+          lit(s"graft: CHECK constraint '$name' CHECK ($sql) violated " +
+            s"on $tablePath")
+        else concat(
+          lit(s"graft: CHECK constraint '$name' CHECK ($sql) violated " +
+            s"on $tablePath by row "),
+          to_json(struct(refs.map(f => col(f.name)): _*)))
+      d.filter(pass.or(raise_error(msg).isNotNull))
+    }
+
+  /** Add a named CHECK constraint: validate the predicate parses and
+    * resolves over the current schema, prove EVERY existing live row
+    * satisfies it (one scan of the pinned current version — stats/DV
+    * aware like any read), then record it in a metadata-only commit.
+    * The validation and the recorded version can differ by a concurrent
+    * commit; that is safe because every committed row since the scan
+    * went through [[enforceChecks]] against SOME constraint set, and
+    * the rebase rule conflicts loudly when the set moves mid-write.
+    */
+  def addCheckConstraint(spark: SparkSession, tablePath: String,
+                         name: String, predicateSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"addCheckConstraint: constraint name '$name' — use letters, " +
+        "digits and underscores")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    val man0 = currentManifest(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"addCheckConstraint: $tablePath holds no committed graft table"))
+    require(!man0.checks.contains(name),
+      s"addCheckConstraint: constraint '$name' already exists on " +
+        s"$tablePath as CHECK (${man0.checks(name)}) — drop it first")
+    val schema = indexSchema(spark, tablePath, man0)
+    val names = schema.fieldNames.map(_.toLowerCase).toSet
+    checkPredicateColumns(spark, predicateSql).foreach(c =>
+      require(names.contains(c.toLowerCase),
+        s"addCheckConstraint: CHECK ($predicateSql) references column " +
+          s"'$c' which is not in the schema of $tablePath"))
+    // one pruned scan of the PINNED version: the proof the constraint
+    // claims — every live row passes (TRUE or NULL; FALSE fails)
+    val violating = readTableVersion(spark, tablePath, man0.version)
+      .filter(!coalesce(expr(predicateSql).cast("boolean"), lit(true)))
+      .limit(1).collect()
+    if (violating.nonEmpty)
+      throw new IllegalStateException(
+        s"addCheckConstraint: existing rows of $tablePath violate " +
+          s"CHECK ($predicateSql) — e.g. ${violating(0)}; constraint " +
+          "not added")
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"addCheckConstraint: $tablePath lost its manifest")
+        case Some(man) =>
+          // a concurrent data commit since the validation scan may have
+          // added rows the scan never saw — those went through an
+          // enforcement pass WITHOUT this constraint, so the proof no
+          // longer covers the table: re-validate instead of committing
+          if (man.version != man0.version &&
+              (man.epochs != man0.epochs || man.overlays != man0.overlays ||
+                dvFileRefs(man) != dvFileRefs(man0)))
+            throw new java.util.ConcurrentModificationException(
+              s"addCheckConstraint: $tablePath moved from version " +
+                s"${man0.version} to ${man.version} during validation — " +
+                "re-run against the new table state")
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1,
+                checks = man.checks + (name -> predicateSql),
+                op = "addconstraint", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addCheckConstraint: lost the commit race to concurrent writers " +
+        s"of $tablePath on every retry — re-run against the new table state")
+  }
+
+  /** Drop a named CHECK constraint (metadata-only commit; absent name
+    * is a no-op so SQL `DROP CONSTRAINT IF EXISTS` maps directly).
+    */
+  def dropCheckConstraint(spark: SparkSession, tablePath: String,
+                          name: String): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => return
+        case Some(man) =>
+          if (!man.checks.contains(name)) return
+          try {
+            commitManifest(fs, dir,
+              man.copy(version = man.version + 1, checks = man.checks - name,
+                op = "dropconstraint", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropCheckConstraint: lost the commit race to concurrent writers " +
+        s"of $tablePath on every retry — re-run against the new table state")
+  }
+
   // ---- NAMED BRANCHES (write-audit-publish staging) ------------------------
   //
   // Iceberg's branch refs, scaled to the linear manifest protocol: a
@@ -1484,6 +1700,13 @@ object MergeWriter {
             s"renameColumn: '$from' is a Bloom-indexed column — its " +
               "per-epoch sidecars are name-keyed; rebuild without the " +
               "bloom index first")
+          man.checks.foreach { case (cn, sql) =>
+            require(!checkPredicateColumns(spark, sql)
+                .exists(_.equalsIgnoreCase(from)),
+              s"renameColumn: '$from' is referenced by CHECK constraint " +
+                s"'$cn' CHECK ($sql) — drop the constraint, rename, and " +
+                "re-add it over the new name")
+          }
           def re(c: String): String = if (c == from) to else c
           def reCluster(entry: String): String = entry.indexOf(':') match {
             case -1 => re(entry)
@@ -1506,6 +1729,9 @@ object MergeWriter {
               clusterCols = man.clusterCols.map(reCluster),
               stats = stats2,
               colIds = man.colIds.map { case (c, id) => re(c) -> id },
+              colStats = man.colStats.map { case (c, s) => re(c) -> s },
+              colSketches = man.colSketches
+                .map { case (c, s) => re(c) -> s },
               op = "renameColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -1637,6 +1863,12 @@ object MergeWriter {
               s"(columns: ${cur.fieldNames.mkString(", ")})")
           require(!man.keyCols.contains(name),
             s"dropColumn: '$name' is a merge key")
+          man.checks.foreach { case (cn, sql) =>
+            require(!checkPredicateColumns(spark, sql)
+                .exists(_.equalsIgnoreCase(name)),
+              s"dropColumn: '$name' is referenced by CHECK constraint " +
+                s"'$cn' CHECK ($sql) — drop the constraint first")
+          }
           val inCluster = man.clusterCols.exists { e =>
             e.indexOf(':') match {
               case -1 => e == name
@@ -1660,6 +1892,8 @@ object MergeWriter {
             commitManifest(fs, dir, man.copy(version = man.version + 1,
               schema = Some(next.json), stats = stats2,
               colIds = man.colIds - name,
+              colStats = man.colStats - name,
+              colSketches = man.colSketches - name,
               op = "dropColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -1728,6 +1962,138 @@ object MergeWriter {
     * the analyzed version, and re-running ANALYZE refreshes. Default
     * columns = every top-level column of an eligible type.
     */
+  // ---- INCREMENTAL COLUMN STATISTICS (HLL sketch union on commit) -----
+  //
+  // ANALYZE records a per-column DataSketches HLL alongside the ColStat
+  // (Iceberg's puffin NDV sketches); every later data commit folds ONE
+  // narrow agg over its written rows into the stored sketches — NDV,
+  // min/max and statsVersion stay fresh without re-scanning the corpus
+  // (Delta's stats-on-write shape). The sketch input domain is the
+  // column CAST TO STRING on both the ANALYZE and the refresh side, so
+  // unions always merge consistent hashes. HLL cannot subtract: after
+  // deletes the NDV is an upper bound, which is the conservative
+  // direction for join planning, and the serve-side drift gate
+  // (statsRows ±20%) still bounds how far it can rot.
+
+  private[sources] case class BatchColStats(
+      sketches: Map[String, Array[Byte]],
+      lo: Map[String, String],
+      hi: Map[String, String])
+
+  private def statsRangeable(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** One narrow agg job over the rows a commit writes: per sketched
+    * column the batch's HLL bytes plus canonical min/max. Cost ∝
+    * written rows × sketched columns — never ∝ corpus.
+    */
+  private def batchColStats(frame: DataFrame,
+                            sketched: Set[String]): Option[BatchColStats] = {
+    val cols = frame.schema.fields.filter(f => sketched.contains(f.name))
+      .toSeq
+    if (cols.isEmpty) return None
+    val aggs = cols.flatMap { f =>
+      Seq(hll_sketch_agg(col(f.name).cast("string"))
+          .as(s"__sk_${f.name}")) ++
+        (if (statsRangeable(f.dataType))
+          Seq(min(col(f.name)).as(s"__lo_${f.name}"),
+            max(col(f.name)).as(s"__hi_${f.name}"))
+        else Seq.empty)
+    }
+    val row = frame.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def canon(f: StructField, which: String): String = {
+      val i = row.fieldIndex(s"${which}_${f.name}")
+      if (row.isNullAt(i)) ""
+      else boundToCanon(f.dataType, row.get(i)).map(_._2.toString)
+        .getOrElse("")
+    }
+    Some(BatchColStats(
+      cols.map { f =>
+        val i = row.fieldIndex(s"__sk_${f.name}")
+        f.name -> (if (row.isNullAt(i)) Array.empty[Byte]
+                   else row.getAs[Array[Byte]](i))
+      }.toMap.filter(_._2.nonEmpty),
+      cols.filter(f => statsRangeable(f.dataType))
+        .map(f => f.name -> canon(f, "__lo")).toMap,
+      cols.filter(f => statsRangeable(f.dataType))
+        .map(f => f.name -> canon(f, "__hi")).toMap))
+  }
+
+  /** Driver-side HLL union of the stored sketch (if any) and a batch
+    * sketch: returns the merged base64 plus its NDV estimate.
+    */
+  private def unionSketch(stored: Option[String],
+                          batch: Option[Array[Byte]]): (String, Long) = {
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    val u = new Union(12)
+    stored.filter(_.nonEmpty).foreach(s =>
+      u.update(HllSketch.heapify(java.util.Base64.getDecoder.decode(s))))
+    batch.filter(_.nonEmpty).foreach(b => u.update(HllSketch.heapify(b)))
+    val sk = u.getResult(TgtHllType.HLL_4)
+    (java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray),
+      math.round(sk.getEstimate))
+  }
+
+  /** Widen a canonical bound with the batch's (both numeric strings in
+    * the canonical domain; "" = unknown keeps the other side).
+    */
+  private def widenCanon(stored: String, batch: String,
+                         lower: Boolean): String =
+    if (batch.isEmpty) stored
+    else if (stored.isEmpty) batch
+    else scala.util.Try {
+      val a = BigDecimal(stored); val b = BigDecimal(batch)
+      if (lower == (b < a)) batch else stored
+    }.getOrElse(stored)
+
+  /** Fold a commit's batch sketches into the manifest it is about to
+    * publish: NDV = union estimate, min/max widened, `statsVersion` =
+    * this commit's version, `statsRows` re-derived EXACTLY from the new
+    * file inventory when every live file carries a row count (and
+    * likewise per-column null counts when every live file records
+    * them, DV-free); carried forward as the documented estimate
+    * otherwise. No-op when the commit carries no batch stats.
+    */
+  private def withRefreshedStats(m: Manifest,
+                                 batch: Option[BatchColStats]): Manifest =
+    batch match {
+      case None => m
+      case Some(b) =>
+        val liveFiles = m.stats.values.flatten.toSeq
+        val exactRows: Option[Long] =
+          if (liveFiles.nonEmpty && liveFiles.forall(_.rows >= 0L))
+            Some(liveFiles.map(f => f.rows - f.dvn).sum)
+          else None
+        val sketches = scala.collection.mutable.Map.empty[String, String]
+        val newStats = m.colStats.map { case (c, cs) =>
+          val (sk, ndv) = unionSketch(m.colSketches.get(c),
+            b.sketches.get(c))
+          sketches(c) = sk
+          val exactNulls =
+            if (liveFiles.nonEmpty &&
+                liveFiles.forall(f => f.dvn == 0L && f.nulls.contains(c)))
+              Some(liveFiles.map(_.nulls(c)).sum)
+            else None
+          c -> cs.copy(
+            ndv = if (b.sketches.contains(c) ||
+              m.colSketches.contains(c)) ndv else cs.ndv,
+            nulls = exactNulls.getOrElse(
+              exactRows.fold(cs.nulls)(r => math.min(cs.nulls, r))),
+            min = widenCanon(cs.min, b.lo.getOrElse(c, ""), lower = true),
+            max = widenCanon(cs.max, b.hi.getOrElse(c, ""), lower = false))
+        }
+        m.copy(colStats = newStats,
+          colSketches = m.colSketches ++ sketches,
+          statsVersion = m.version,
+          statsRows = exactRows.getOrElse(m.statsRows))
+    }
+
   def analyzeTable(spark: SparkSession, tablePath: String,
                    columns: Seq[String] = Seq.empty): Map[String, ColStat] = {
     import org.apache.spark.sql.types._
@@ -1775,7 +2141,10 @@ object MergeWriter {
     val t = readTableVersion(spark, tablePath, man0.version)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { c =>
       val dt = typeOf(c)
-      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+      // NDV comes from the stored HLL sketch (cast-to-string domain —
+      // the SAME domain every later commit's refresh unions into, so
+      // the estimate never jumps estimator mid-lineage)
+      Seq(hll_sketch_agg(col(c).cast("string")).as(s"__sk_$c"),
         count(col(c)).as(s"__nn_$c")) ++
         (if (fixedLen(dt).isEmpty)
           Seq(avg(octet_length(col(c).cast("string"))).as(s"__avg_$c"),
@@ -1793,6 +2162,12 @@ object MergeWriter {
       else boundToCanon(typeOf(c), row.get(i)).map(_._2.toString)
         .getOrElse("")
     }
+    val sketchOf: Map[String, String] = cols.flatMap { c =>
+      val i = row.fieldIndex(s"__sk_$c")
+      if (row.isNullAt(i)) None
+      else Some(c -> java.util.Base64.getEncoder
+        .encodeToString(row.getAs[Array[Byte]](i)))
+    }.toMap
     val computed = cols.map { c =>
       val dt = typeOf(c)
       val (avgL, maxL) = fixedLen(dt) match {
@@ -1808,7 +2183,7 @@ object MergeWriter {
       val (lo, hi) =
         if (rangeable(dt)) (canon(c, "__lo"), canon(c, "__hi"))
         else ("", "")
-      c -> ColStat(row.getAs[Long](s"__ndv_$c"),
+      c -> ColStat(unionSketch(sketchOf.get(c), None)._2,
         rows - row.getAs[Long](s"__nn_$c"), avgL, maxL, lo, hi)
     }.toMap
     // metadata-only commit with the usual bounded rebase: losing the
@@ -1823,6 +2198,7 @@ object MergeWriter {
             commitManifest(fs, dir,
               man.copy(version = man.version + 1, colStats = computed,
                 statsVersion = man0.version, statsRows = rows,
+                colSketches = sketchOf,
                 op = "analyze",
                 opTs = System.currentTimeMillis()))
             gc(fs, dir)
@@ -2701,9 +3077,13 @@ object MergeWriter {
     val written: Set[Int] =
       if (incCount == 0) Set.empty
       else {
+        // the overlay rows pass the same CHECK-constraint guard as any
+        // epoch write (fused into the write's own pass)
+        val incChecked = enforceChecks(inc.drop(BucketCol), man.checks,
+          tablePath)
         val stamped =
-          if (man.colIds.isEmpty) stripFrame(inc.drop(BucketCol))
-          else stampFrame(inc.drop(BucketCol), man.colIds)
+          if (man.colIds.isEmpty) stripFrame(incChecked)
+          else stampFrame(incChecked, man.colIds)
         val data = stamped.withColumn(BucketCol,
           bucketExprChecked(keys, man.buckets))
         val clustered = clusterSort(data.repartition(col(BucketCol)),
@@ -2744,6 +3124,14 @@ object MergeWriter {
       }
     if (mergedDead.nonEmpty) writeDvSidecar(fs, tablePath, sidecar,
       mergedDead)
+    // incremental stats: the overlay epoch's rows fold into the stored
+    // HLL sketches exactly like a CoW epoch's (one narrow scan of the
+    // freshly-written overlay files)
+    val batchSk =
+      if (man.colSketches.nonEmpty && written.nonEmpty)
+        batchColStats(spark.read.parquet(s"$tablePath/$epoch"),
+          man.colSketches.keySet)
+      else None
     // 4. one manifest commit: overlays appended, DVs re-pointed, fresh
     //    buckets (no stored pointer yet) adopt the epoch as their BASE
     var base = man
@@ -2764,14 +3152,14 @@ object MergeWriter {
       }) ++ overlayStats.filter { case (b, _) => !base.stats.contains(b) }
       try {
         refCommit(fs, new Path(tablePath), ref,
-          base.copy(version = base.version + 1,
+          withRefreshedStats(base.copy(version = base.version + 1,
             epochs = base.epochs ++ freshBase.map(_ -> epoch).toMap,
             overlays = base.overlays ++
               written.intersect(base.epochs.keySet).map(b =>
                 b -> (base.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
             stats = stats2,
             txns = base.txns ++ txn,
-            op = opName, opTs = System.currentTimeMillis()))
+            op = opName, opTs = System.currentTimeMillis()), batchSk))
         return true
       } catch {
         case ex: java.io.IOException =>
@@ -2785,6 +3173,8 @@ object MergeWriter {
           val contested = cur.buckets != man.buckets ||
             cur.schema != man.schema ||
             (cur.keyCols.nonEmpty && cur.keyCols != keys) ||
+            // the overlay rows were proven under man's constraint set
+            cur.checks != man.checks ||
             touched.exists(b => bucketSig(cur, b) != bucketSig(man, b))
           if (contested)
             throw new java.util.ConcurrentModificationException(
@@ -4425,6 +4815,12 @@ object MergeWriter {
                                   dvSeed: Boolean = false,
                                   ref: Option[String] = None): Unit = {
     val epoch = "e-" + UUID.randomUUID()
+    // CHECK-constraint guard fused into the epoch write's pass: every
+    // row this commit stores (incoming AND rewritten survivors — the
+    // latter passed when first written, so re-proving them is free on
+    // the happy path) streams through the recorded predicates
+    val effChecks = prev.map(_.checks).getOrElse(Map.empty)
+    val rowsChecked = enforceChecks(rows, effChecks, tablePath)
     // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
     // carries each column's id forward by name and assigns FRESH ids to
     // evolved columns; a table this commit creates — or fully replaces
@@ -4449,7 +4845,8 @@ object MergeWriter {
         case None => (Map.empty[String, Long], 0L)
       }
     val stamped =
-      if (colIds.isEmpty) stripFrame(rows) else stampFrame(rows, colIds)
+      if (colIds.isEmpty) stripFrame(rowsChecked)
+      else stampFrame(rowsChecked, colIds)
     val data = stamped
       .withColumn(BucketCol, bucketExprChecked(keys, buckets))
     // cluster by bucket before the partitioned write: each bucket's rows
@@ -4489,6 +4886,16 @@ object MergeWriter {
     if (effBloom.nonEmpty && written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tablePath/$epoch", effBloom,
         effBloomN, Some(cleanSchema.json))
+    // incremental stats: ONE narrow scan of the freshly-written epoch
+    // files (never the corpus, never a recompute of the input plan)
+    // yields this commit's per-column HLL batch; the union happens
+    // driver-side against whatever sketch the (possibly rebased) base
+    // manifest carries
+    val batchSk =
+      if (prev.exists(_.colSketches.nonEmpty) && written.nonEmpty)
+        batchColStats(spark.read.parquet(s"$tablePath/$epoch"),
+          prev.get.colSketches.keySet)
+      else None
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -4530,6 +4937,7 @@ object MergeWriter {
           written).isEmpty
       try {
         refCommit(fs, new Path(tablePath), ref,
+          withRefreshedStats(
           Manifest(base.map(_.version + 1).getOrElse(1L), buckets, epochs,
             txns, Some(cleanSchema.json), keys, cluster, stats, bloom,
             bloomSz, opName, System.currentTimeMillis(),
@@ -4558,7 +4966,12 @@ object MergeWriter {
             overlays = overlays,
             // the fork version rides every branch commit (publish-time
             // conflict check); -1 on main commits
-            branchBase = base.map(_.branchBase).getOrElse(-1L)))
+            branchBase = base.map(_.branchBase).getOrElse(-1L),
+            // constraints ride every commit forward; the rebase rule
+            // below conflicts when the set moved underneath this write
+            checks = effChecks,
+            colSketches = base.map(_.colSketches).getOrElse(Map.empty)),
+          batchSk))
         return
       } catch {
         case e: java.io.IOException =>
@@ -4597,7 +5010,11 @@ object MergeWriter {
           // keys is equally unrebasable: this write's bucket ids were
           // hashed from ITS key list (see [[Manifest.keyCols]])
           val keyConflict = cur.keyCols.nonEmpty && cur.keyCols != keys
-          if (conflicting || schemaConflict || bucketConflict || keyConflict) {
+          // a concurrent ADD/DROP CONSTRAINT invalidates this write's
+          // enforcement pass (the batch was proven under the OLD set)
+          val checkConflict = cur.checks != effChecks
+          if (conflicting || schemaConflict || bucketConflict ||
+              keyConflict || checkConflict) {
             val diff = mine.filter(b =>
               bucketSig(cur, b) != bucketSigOpt(prev, b))
             throw new java.util.ConcurrentModificationException(
@@ -4608,7 +5025,8 @@ object MergeWriter {
                 s"${if (bucketConflict) s", bucket count ${cur.buckets} != $buckets"
                    else ""}" +
                 s"${if (keyConflict) s", merge keys ${cur.keyCols.mkString("(", ",", ")")} != ${keys.mkString("(", ",", ")")}"
-                   else ""}) — " +
+                   else ""}" +
+                s"${if (checkConflict) ", CHECK constraints changed" else ""}) — " +
                 "re-run against the new table state")
           }
           base = Some(cur)

@@ -118,30 +118,75 @@ class AnalyzeStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
-  test("stats drifted past the gate are WITHHELD from the CBO; small " +
-       "drift keeps serving") {
+  test("commits after ANALYZE refresh the stats incrementally (HLL " +
+       "union): NDV tracks churn instead of rotting") {
     spark.sql("CREATE TABLE gan.ns.drift (id BIGINT, grp STRING) " +
       "TBLPROPERTIES ('keys'='id', 'buckets'='4')")
     spark.sql("INSERT INTO gan.ns.drift SELECT id, CONCAT('g', id % 5) " +
       "FROM range(0, 1000)")
     spark.sql("CALL gan.system.analyze(table => 'ns.drift')")
-    // 5% drift: the estimates still describe the table — keep serving
+    // small drift: stats keep serving (both under the old gate and the
+    // refresh — trivially fresh now)
     spark.sql("INSERT INTO gan.ns.drift SELECT id, 'late' " +
       "FROM range(1000, 1050)")
     assert(attrStats("SELECT * FROM gan.ns.drift").attributeStats.nonEmpty,
       "5% drift must not withhold ANALYZE stats")
-    // 100% drift: a confidently-wrong NDV is worse than no estimate —
-    // the scan must withhold columnStats (numRows stays exact)
+    // 100% growth: the per-commit sketch union keeps the NDV CURRENT —
+    // the CBO gets ~2100 distinct ids, never the stale 1000
     spark.sql("INSERT INTO gan.ns.drift SELECT id, 'churn' " +
       "FROM range(1050, 2100)")
     val churned = attrStats("SELECT * FROM gan.ns.drift")
+    assert(churned.rowCount.exists(_.toLong == 2100),
+      s"exact numRows: ${churned.rowCount}")
+    val idStat = churned.attributeStats.toSeq.find(_._1.name == "id")
+      .map(_._2).getOrElse(fail(
+        s"refreshed stats must keep serving: ${churned.attributeStats}"))
+    assert(idStat.distinctCount.exists(n => (n.toLong - 2100).abs <= 160),
+      s"NDV must track the churn: ${idStat.distinctCount}")
+    assert(idStat.max.contains(2099L),
+      s"max must widen with the batch: ${idStat.max}")
+    val grpStat = churned.attributeStats.toSeq.find(_._1.name == "grp")
+      .map(_._2).getOrElse(fail("no grp stats"))
+    assert(grpStat.distinctCount.exists(n => n.toLong >= 6 &&
+      n.toLong <= 8), s"grp ndv ${grpStat.distinctCount}") // 5 + late/churn
+  }
+
+  test("legacy sketch-less manifests keep the conservative gate: " +
+       "drifted stats are WITHHELD, not served wrong") {
+    spark.sql("CREATE TABLE gan.ns.legacy (id BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4')")
+    spark.sql("INSERT INTO gan.ns.legacy SELECT id, CONCAT('g', id % 5) " +
+      "FROM range(0, 1000)")
+    spark.sql("CALL gan.system.analyze(table => 'ns.legacy')")
+    // simulate a pre-sketch manifest: strip the csk field through the
+    // protocol's own JSON (backward-compat shape — stats present, no
+    // sketches to union)
+    val wh = spark.conf.get("spark.sql.catalog.gan.warehouse")
+    val dir = new java.io.File(s"$wh/ns/legacy")
+    val latest = dir.listFiles()
+      .filter(_.getName.startsWith("_manifest-"))
+      .maxBy(_.getName)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(latest)
+    node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("csk")
+    val v = latest.getName.stripPrefix("_manifest-")
+      .stripSuffix(".json").toLong
+    val next = new java.io.File(dir, f"_manifest-${v + 1}%016d.json")
+    Files.write(next.toPath, node.toString.getBytes("UTF-8"))
+    // 100% growth with nothing to union: a confidently-wrong NDV is
+    // worse than no estimate — the scan withholds columnStats
+    spark.sql("INSERT INTO gan.ns.legacy SELECT id, 'churn' " +
+      "FROM range(1000, 2100)")
+    val churned = attrStats("SELECT * FROM gan.ns.legacy")
     assert(churned.attributeStats.isEmpty,
-      s"churned table served stale column stats: ${churned.attributeStats}")
+      s"sketch-less churned table served stale column stats: " +
+        s"${churned.attributeStats}")
     assert(churned.rowCount.exists(_.toLong == 2100),
       s"exact numRows must survive the withholding: ${churned.rowCount}")
-    // re-ANALYZE refreshes the gate
-    spark.sql("CALL gan.system.analyze(table => 'ns.drift')")
-    assert(attrStats("SELECT * FROM gan.ns.drift").attributeStats.nonEmpty)
+    // re-ANALYZE restores both stats and sketches
+    spark.sql("CALL gan.system.analyze(table => 'ns.legacy')")
+    assert(attrStats("SELECT * FROM gan.ns.legacy").attributeStats.nonEmpty)
   }
 
   test("a filter-pruned scan gets exact numRows but not whole-table " +
