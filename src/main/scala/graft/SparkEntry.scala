@@ -4864,6 +4864,45 @@ object SparkEntry {
       import s.implicits._
       Seq((nRows, lo, hi, ndvOk))
         .toDF("n_rows", "pk_min", "pk_max", "ndv_fresh")
+    }),
+
+    // Column DEFAULT values, metadata-only at every step: declared at
+    // CREATE (CURRENT_DEFAULT feeds INSERTs that omit the column),
+    // retrofitted by ADD COLUMN ... DEFAULT (pre-existing rows READ the
+    // exists-default — no file rewrite), re-pointed by SET DEFAULT
+    // (future inserts only). The final state is pure CASE arithmetic
+    // over `customer` for the DuckDB oracle.
+    "q190_default_columns" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-defaults"))
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView(s"dflt_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.c (
+        c_custkey BIGINT, segment STRING DEFAULT 'UNKNOWN')
+        TBLPROPERTIES ('keys'='c_custkey', 'buckets'='8')""")
+      // cohort 0 omits the column -> CURRENT_DEFAULT 'UNKNOWN'
+      s.sql(s"INSERT INTO $cat.etl.c (c_custkey) " +
+        s"SELECT c_custkey FROM dflt_src_$n WHERE c_custkey % 3 = 0")
+      // cohort 1 carries its real segment
+      s.sql(s"INSERT INTO $cat.etl.c SELECT c_custkey, c_mktsegment " +
+        s"FROM dflt_src_$n WHERE c_custkey % 3 = 1")
+      // retrofit: every row ALREADY WRITTEN reads 'bronze' (exists-
+      // default, no rewrite); then future inserts switch to 'silver'
+      s.sql(s"ALTER TABLE $cat.etl.c " +
+        "ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+      s.sql(s"ALTER TABLE $cat.etl.c ALTER COLUMN tier SET DEFAULT " +
+        "'silver'")
+      s.sql(s"INSERT INTO $cat.etl.c (c_custkey) " +
+        s"SELECT c_custkey FROM dflt_src_$n WHERE c_custkey % 3 = 2")
+      s.sql(s"""SELECT tier, segment,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM $cat.etl.c GROUP BY tier, segment""")
     })
   )
 
@@ -8225,6 +8264,19 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // Cohort 0/1 predate the tier column -> exists-default 'bronze';
+    // cohort 2 lands after SET DEFAULT -> 'silver'; segment is UNKNOWN
+    // where omitted.
+    "q190_default_columns" ->
+      """SELECT
+        |  CASE WHEN c_custkey % 3 = 2 THEN 'silver' ELSE 'bronze' END
+        |    AS tier,
+        |  CASE WHEN c_custkey % 3 = 1 THEN c_mktsegment
+        |       ELSE 'UNKNOWN' END AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
     // Served planner facts are exact (rowCount from the manifest file
     // inventory, min/max canonical); only the ndv_fresh BOOLEAN depends
     // on the sketch, bound-checked in-process.

@@ -99,7 +99,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[MergeWriter.addCheckConstraint]]).
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column DEFAULT values: CREATE TABLE (x INT DEFAULT 5) / ALTER
+      // TABLE ADD COLUMN ... DEFAULT / ALTER COLUMN ... SET DEFAULT.
+      // The default rides the recorded schema's field metadata
+      // (CURRENT_DEFAULT for future INSERTs — applied by Spark's
+      // ResolveDefaultColumns; EXISTS_DEFAULT for rows written before
+      // the column existed — filled by the parquet readers), so it
+      // costs METADATA ONLY: no rewrite of existing files, at any scale
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(warehouse)((p, s) => new Path(p, s))
@@ -486,7 +494,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq(sp.property -> sp.value)
       case ac: TableChange.AddColumn =>
         // ALTER TABLE ADD COLUMNS — metadata-only additive evolution
-        // (MergeWriter.addColumns); top-level, appended, nullable
+        // (MergeWriter.addColumns); top-level, appended, nullable. A
+        // declared DEFAULT encodes into the field's metadata through
+        // Spark's own schema-change machinery (CURRENT_DEFAULT +
+        // EXISTS_DEFAULT), so pre-existing rows READ the default while
+        // no file is rewritten
         require(ac.fieldNames().length == 1,
           "graft catalog: ADD COLUMNS supports top-level columns only, " +
             s"got ${ac.fieldNames().mkString(".")}")
@@ -496,8 +508,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ac.isNullable,
           s"graft catalog: added column '${ac.fieldNames()(0)}' must be " +
             "nullable — existing rows null-fill")
-        adds += org.apache.spark.sql.types.StructField(
-          ac.fieldNames()(0), ac.dataType(), nullable = true)
+        val applied = org.apache.spark.sql.GraftColumnShim
+          .applySchemaChanges(new StructType(), Seq(ac))
+        adds += applied.fields.head
+        Seq.empty
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        // ALTER TABLE ... ALTER COLUMN ... SET/DROP DEFAULT: affects
+        // FUTURE inserts only (CURRENT_DEFAULT); rows already written —
+        // and the exists-default of pre-column files — keep reading
+        // what they read before (Delta's semantics)
+        val man = MergeWriter.pinManifest(spark, dir.toString, None, None)
+          .getOrElse(throw new NoSuchTableException(ident))
+        val cur = MergeWriter.sqlSchema(spark, dir.toString, man)
+        val next = org.apache.spark.sql.GraftColumnShim
+          .applySchemaChanges(cur, Seq(ud))
+        MergeWriter.replaceSchemaMetadata(spark, dir.toString, next)
         Seq.empty
       case rc: TableChange.RenameColumn =>
         // ALTER TABLE ... RENAME COLUMN — metadata-only via stable

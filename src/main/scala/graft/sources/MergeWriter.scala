@@ -1839,6 +1839,49 @@ object MergeWriter {
     * non-key column (a keyed table with no compared column has no
     * diffable content).
     */
+  /** Replace ONLY the per-column metadata of the recorded schema (the
+    * DEFAULT-value keys — `ALTER COLUMN ... SET/DROP DEFAULT`): names
+    * and types must match the recorded schema exactly; a metadata-only
+    * commit carries everything else forward. Field ids are re-stamped
+    * from the manifest (they are write-managed, never caller-supplied).
+    */
+  def replaceSchemaMetadata(spark: SparkSession, tablePath: String,
+                            next: StructType): Unit = {
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    var attempt = 0
+    while (attempt <= 5) {
+      currentManifest(fs, dir) match {
+        case None => throw new IllegalArgumentException(
+          s"replaceSchemaMetadata: no committed graft table at $tablePath")
+        case Some(man) =>
+          val cur = man.schema.map(s =>
+            DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalStateException(
+              s"replaceSchemaMetadata: $tablePath records no schema"))
+          require(cur.fieldNames.toSeq == next.fieldNames.toSeq,
+            s"replaceSchemaMetadata: column set must not change " +
+              s"(${cur.fieldNames.mkString(",")} vs " +
+              s"${next.fieldNames.mkString(",")})")
+          val metaByName = stripSchemaIds(next).fields
+            .map(f => f.name -> f.metadata).toMap
+          val merged = StructType(cur.fields.map(f =>
+            f.copy(metadata = metaByName(f.name))))
+          try {
+            commitManifest(fs, dir, man.copy(version = man.version + 1,
+              schema = Some(merged.json),
+              op = "alterDefault", opTs = System.currentTimeMillis()))
+            gc(fs, dir)
+            return
+          } catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"replaceSchemaMetadata: lost the commit race to concurrent " +
+        s"writers of $tablePath on every retry — re-run against the new " +
+        "table state")
+  }
+
   def dropColumn(spark: SparkSession, tablePath: String,
                  name: String): Unit = {
     val fs = fsFor(spark, tablePath)
@@ -4821,6 +4864,16 @@ object MergeWriter {
     // the happy path) streams through the recorded predicates
     val effChecks = prev.map(_.checks).getOrElse(Map.empty)
     val rowsChecked = enforceChecks(rows, effChecks, tablePath)
+    // schema-resident column METADATA (DEFAULT-value keys) carries
+    // forward from the recorded schema by name: the written frame's
+    // schema comes from the statement's source, which never knows the
+    // table's declared defaults — without this, one merge would erase
+    // them
+    val declaredMeta: Map[String, org.apache.spark.sql.types.Metadata] =
+      prev.flatMap(_.schema).map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType].fields
+          .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
+          .map(f => f.name -> f.metadata).toMap).getOrElse(Map.empty)
     // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
     // carries each column's id forward by name and assigns FRESH ids to
     // evolved columns; a table this commit creates — or fully replaces
@@ -4828,7 +4881,11 @@ object MergeWriter {
     // relayout, which is also the LEGACY MIGRATION path) — is stamped
     // from scratch; a legacy table with surviving old files stays
     // name-world (those files carry no ids to match).
-    val cleanSchema = stripSchemaIds(rows.schema)
+    val cleanSchema0 = stripSchemaIds(rows.schema)
+    val cleanSchema =
+      if (declaredMeta.isEmpty) cleanSchema0
+      else StructType(cleanSchema0.fields.map(f =>
+        declaredMeta.get(f.name).fold(f)(m => f.copy(metadata = m))))
     val replacesAll = prev.forall(p => (p.epochs.keySet -- dropBuckets).isEmpty)
     val (colIds, nextColId) =
       prev.filter(_.nextColId > 0L) match {

@@ -32,4 +32,19 @@ object GraftColumnShim {
   def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
                                 b: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
+  /** Apply DSv2 TableChanges to a schema through Spark's own machinery
+    * (`CatalogV2Util.applySchemaChanges` is `private[sql]`) — the one
+    * correct encoder of column DEFAULT metadata (CURRENT_DEFAULT +
+    * EXISTS_DEFAULT) for AddColumn / UpdateColumnDefaultValue.
+    */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+                         changes: Seq[org.apache.spark.sql.connector
+                           .catalog.TableChange])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      // provider "parquet": graft epochs ARE parquet files read by the
+      // stock parquet readers — exactly the provider whose
+      // default-value support the validator checks
+      .applySchemaChanges(schema, changes, Some("parquet"), "ALTER TABLE")
 }
