@@ -1090,6 +1090,63 @@ object ScaleBench {
       wapBench(base, "sf0.1", 4); wapBench(rep, "rep10", 16)
     }
 
+    // ---- gov12: governance surfaces at scale — CHECK-constraint
+    // enforcement and incremental-stats refresh must price ∝ BATCH
+    // (flat 1×→10×); the add-time validation scan and ANALYZE are
+    // corpus passes BY CONTRACT (the guarantee they claim requires
+    // reading everything) and should scale ~linearly; ADD COLUMN with
+    // a DEFAULT is one manifest write (flat, metadata-sized).
+    def govBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/gov12/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val path = s"$root/t"
+      // deleteVectors: the trickle merges below land as MoR overlays,
+      // so bucket-rewrite cost cannot mask the per-commit overhead
+      // being measured
+      graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+        buckets = buckets, clusterBy = Seq("event_id"),
+        deleteVectors = true)
+      import spark.implicits._
+      def batch(seed: Long) = (0 until 2000).map(i =>
+        (3000000000L + seed * 100000L + i, i.toLong, "late", 1.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+      val plainSec = elapsedSec {
+        graft.sources.MergeWriter.merge(spark, path, batch(1),
+          Seq("event_id"))
+      }
+      val addSec = elapsedSec { // corpus validation scan, by contract
+        graft.sources.MergeWriter.addCheckConstraint(spark, path,
+          "value_sane", "value > -1e18")
+      }
+      val chkSec = elapsedSec { // same trickle, now guard-enforced
+        graft.sources.MergeWriter.merge(spark, path, batch(2),
+          Seq("event_id"))
+      }
+      val anaSec = elapsedSec { // corpus stats pass, by contract
+        graft.sources.MergeWriter.analyzeTable(spark, path)
+      }
+      val refSec = elapsedSec { // trickle + per-commit sketch union
+        graft.sources.MergeWriter.merge(spark, path, batch(3),
+          Seq("event_id"))
+      }
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("CURRENT_DEFAULT", "'x'")
+        .putString("EXISTS_DEFAULT", "'x'").build()
+      val defSec = elapsedSec { // metadata-only retrofit
+        graft.sources.MergeWriter.addColumns(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tag",
+              org.apache.spark.sql.types.StringType, nullable = true,
+              meta))))
+      }
+      println(f"""{"dir":"$tag","plain_merge_sec":$plainSec%.3f,"add_constraint_sec":$addSec%.3f,"checked_merge_sec":$chkSec%.3f,"analyze_sec":$anaSec%.3f,"refresh_merge_sec":$refSec%.3f,"add_default_col_sec":$defSec%.3f}""")
+    }
+    if (sections("gov12")) {
+      govBench(base, "sf0.1", 4); govBench(rep, "rep10", 16)
+    }
+
     spark.stop()
   }
 }
