@@ -4903,6 +4903,47 @@ object SparkEntry {
         CAST(COUNT(*) AS BIGINT) AS n_rows,
         CAST(SUM(c_custkey) AS BIGINT) AS key_sum
         FROM $cat.etl.c GROUP BY tier, segment""")
+    }),
+
+    // t.partitions — the per-bucket rollup an operator drives partial
+    // compaction with: DV deletes + a MoR upsert pressure the table,
+    // the rollup NAMES the pressured buckets, CALL compact(buckets =>
+    // ...) drains exactly those, and the rollup shows it. Emitted
+    // facts are layout-independent (row totals + pressure booleans).
+    "q191_partitions_rollup" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-parts"))
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView(s"parts_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.d (doc_id BIGINT, n_chars BIGINT)
+        TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+        'clusterBy'='doc_id', 'deleteVectors'='true')""")
+      s.sql(s"INSERT INTO $cat.etl.d SELECT * FROM parts_src_$n")
+      s.sql(s"DELETE FROM $cat.etl.d WHERE doc_id % 11 = 4")
+      s.sql(s"INSERT INTO $cat.etl.d SELECT doc_id, -n_chars " +
+        s"FROM parts_src_$n WHERE doc_id % 11 = 5")
+      def roll(phase: String) = s.sql(s"""SELECT '$phase' AS phase,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM(live_rows) AS BIGINT) AS live,
+        CAST(SUM(dv_dead) AS BIGINT) AS dead,
+        SUM(overlay_epochs) > 0 AS pressured
+        FROM $cat.etl.d.partitions""")
+      val before = roll("pressured").collect()
+      val targets = s.sql(s"SELECT bucket FROM $cat.etl.d.partitions " +
+        "WHERE overlay_epochs > 0 OR dv_dead > 0").collect()
+        .map(_.getInt(0)).sorted
+      require(targets.nonEmpty, "q191: expected MoR pressure")
+      s.sql(s"CALL $cat.system.compact(table => 'etl.d', " +
+        s"buckets => '${targets.mkString(",")}')")
+      import s.implicits._
+      s.createDataFrame(
+        s.sparkContext.parallelize(before.toIndexedSeq, 1),
+        before.head.schema).unionByName(roll("drained"))
     })
   )
 
@@ -8264,6 +8305,22 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // live = all docs minus the %11=4 deletes (the %11=5 upsert
+    // replaces in place); dead before the drain = deleted + replaced
+    // old copies, 0 after; pressure flips false after the drain.
+    "q191_partitions_rollup" ->
+      """SELECT 'pressured' AS phase, CAST(8 AS BIGINT) AS n_buckets,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 11 != 4) AS live,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 11 IN (4, 5)) AS dead,
+        |  TRUE AS pressured
+        |UNION ALL
+        |SELECT 'drained', CAST(8 AS BIGINT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 11 != 4),
+        |  CAST(0 AS BIGINT), FALSE""".stripMargin,
+
     // Cohort 0/1 predate the tier column -> exists-default 'bronze';
     // cohort 2 lands after SET DEFAULT -> 'silver'; segment is UNKNOWN
     // where omitted.

@@ -201,6 +201,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (parts.isEmpty ||
         (ident.name() != "history" && ident.name() != "changes" &&
           ident.name() != "files" && ident.name() != "branches" &&
+          ident.name() != "partitions" &&
           !ident.name().startsWith("branch_")))
       return None
     val entry = dirOf(parts)
@@ -223,6 +224,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(new GraftFilesTable(spark, parent.toString, name))
     else if (ident.name() == "branches")
       Some(new GraftBranchesTable(spark, parent.toString, name))
+    else if (ident.name() == "partitions")
+      Some(new GraftPartitionsTable(spark, parent.toString, name))
     else Some(new GraftChangesTable(spark, parent.toString, name))
   }
 

@@ -136,6 +136,41 @@ private[sources] class GraftFilesTable(spark: SparkSession,
   }
 }
 
+/** `SELECT * FROM gc.ns.t.partitions` — per-BUCKET rollup of the
+  * current version (Iceberg's `t.partitions` for the key-hash layout):
+  * file/overlay counts, bytes, physical vs live rows, DV'd dead rows,
+  * stacked overlay epochs. The "which buckets need compaction" view;
+  * manifest-sized, LocalScan like `t.files`.
+  */
+private[sources] class GraftPartitionsTable(spark: SparkSession,
+                                            tablePath: String,
+                                            tableName: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  private lazy val parts = MergeWriter.tablePartitions(spark, tablePath)
+
+  override def schema(): StructType = parts.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => {
+    val df = parts
+    val s = df.schema
+    val conv = CatalystTypeConverters.createToCatalystConverter(s)
+    val collected = df.collect()
+      .map(r => conv(r).asInstanceOf[InternalRow])
+    new LocalScan {
+      override def rows(): Array[InternalRow] = collected
+      override def readSchema(): StructType = s
+      override def description(): String = s"GraftPartitions($tablePath)"
+    }
+  }
+}
+
 /** `SELECT * FROM gc.ns.t.changes` — the PER-VERSION change feed over
   * the retained window (Delta CDF's `table_changes`): every retained
   * version's keyed diff against its predecessor, with the CDC audit

@@ -2327,6 +2327,32 @@ object MergeWriter {
       "dv", "dv_dead", "overlay", "stats_cols", "fingerprinted")
   }
 
+  /** Per-BUCKET physical rollup (Iceberg's `t.partitions` shape for the
+    * key-hash layout): one row per live bucket — base epoch, file and
+    * overlay-file counts, bytes, physical/live rows, DV'd dead rows,
+    * and MoR pressure (overlay epochs stacked on the base). The
+    * operator's "which buckets need compaction" view, manifest-sized.
+    */
+  def tablePartitions(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val man = currentManifest(fsFor(spark, tablePath), new Path(tablePath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"tablePartitions: $tablePath holds no committed graft table"))
+    man.epochs.keys.toSeq.sorted.map { b =>
+      val base = man.epochs(b)
+      val fss = man.stats.getOrElse(b, Seq.empty)
+      val overlayEpochs = man.overlays.getOrElse(b, Seq.empty)
+      val known = fss.forall(_.rows >= 0L) && fss.nonEmpty
+      (b, base, fss.size,
+        fss.count(f => fileEpoch(man, b, f) != base),
+        fss.map(_.bytes).sum,
+        if (known) Some(fss.map(_.rows).sum) else None,
+        if (known) Some(fss.map(f => f.rows - f.dvn).sum) else None,
+        fss.map(_.dvn).sum, overlayEpochs.size)
+    }.toDF("bucket", "base_epoch", "n_files", "overlay_files", "bytes",
+      "rows", "live_rows", "dv_dead", "overlay_epochs")
+  }
+
   /** Live staging branches (Iceberg's refs view, branch half): one row
     * per branch — fork version, staged head, staged commit count, the
     * head's op and commit time. Empty when nothing is staged.

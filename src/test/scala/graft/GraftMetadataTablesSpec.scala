@@ -89,6 +89,44 @@ class GraftMetadataTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE gmt.ns.f")
   }
 
+  test("t.partitions: per-bucket rollup points compaction at the " +
+       "pressured buckets") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.p (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id', " +
+      "'deleteVectors'='true')")
+    spark.sql("INSERT INTO gmt.ns.p SELECT id, id FROM range(0, 400)")
+    spark.sql("DELETE FROM gmt.ns.p WHERE id IN (5, 105)")
+    spark.sql("INSERT INTO gmt.ns.p SELECT id, -id FROM range(398, 410)")
+    val roll = spark.sql("""SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM(live_rows) AS BIGINT) AS live,
+        CAST(SUM(dv_dead) AS BIGINT) AS dead,
+        CAST(SUM(overlay_epochs) AS BIGINT) AS pressure,
+        CAST(SUM(n_files) AS BIGINT) AS files,
+        CAST(SUM(overlay_files) AS BIGINT) AS ofiles
+      FROM gmt.ns.p.partitions""").collect().head
+    assert(roll.getLong(0) == 4, s"buckets: $roll")
+    assert(roll.getLong(1) == 408, s"live: $roll") // 400 - 2 + 10
+    assert(roll.getLong(2) == 4, s"dead: $roll")   // 2 DV + 2 replaced
+    assert(roll.getLong(3) >= 1 && roll.getLong(5) >= 1,
+      s"overlay pressure must be visible: $roll")
+    // the rollup NAMES the buckets partial compaction should drain
+    val pressured = spark.sql("SELECT bucket FROM gmt.ns.p.partitions " +
+      "WHERE overlay_epochs > 0 OR dv_dead > 0").collect()
+      .map(_.getInt(0)).sorted
+    assert(pressured.nonEmpty)
+    spark.sql("CALL gmt.system.compact(table => 'ns.p', " +
+      s"buckets => '${pressured.mkString(",")}')")
+    val after = spark.sql("SELECT CAST(SUM(dv_dead) AS BIGINT), " +
+      "CAST(SUM(overlay_epochs) AS BIGINT), " +
+      "CAST(SUM(live_rows) AS BIGINT) FROM gmt.ns.p.partitions")
+      .collect().head
+    assert(after.getLong(0) == 0 && after.getLong(1) == 0 &&
+      after.getLong(2) == 408, s"post-drain: $after")
+    spark.sql("DROP TABLE gmt.ns.p")
+  }
+
   test("t.changes: per-version CDC with SQL version bounds, pruned I/O") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
     val path = s"$wh/ns/c"
