@@ -4944,6 +4944,50 @@ object SparkEntry {
       s.createDataFrame(
         s.sparkContext.parallelize(before.toIndexedSeq, 1),
         before.head.schema).unionByName(roll("drained"))
+    }),
+
+    // IDENTITY columns (GENERATED BY DEFAULT AS IDENTITY): NULL/omitted
+    // inputs get unique step-aligned values past the manifest's
+    // high-water; explicit values are stored verbatim and push it.
+    // Assigned values are engine-specific by contract (gaps allowed),
+    // so the hashed output carries the DETERMINISTIC facts — counts,
+    // uniqueness, start/step alignment, the explicit value — never the
+    // values themselves.
+    "q192_identity_columns" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-identity"))
+      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        .createOrReplaceTempView(s"ident_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.sup (
+        sid BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1000
+          INCREMENT BY 5),
+        s_suppkey BIGINT, s_name STRING)
+        TBLPROPERTIES ('keys'='s_suppkey', 'buckets'='8')""")
+      s.sql(s"INSERT INTO $cat.etl.sup (s_suppkey, s_name) " +
+        s"SELECT s_suppkey, s_name FROM ident_src_$n " +
+        "WHERE s_suppkey % 2 = 0")
+      // one explicit surrogate (aligned so the step predicate stays
+      // uniform), then a second assigned cohort continues past it
+      s.sql(s"INSERT INTO $cat.etl.sup VALUES " +
+        "(2000001000, -1, 'explicit')")
+      s.sql(s"INSERT INTO $cat.etl.sup (s_suppkey, s_name) " +
+        s"SELECT s_suppkey, s_name FROM ident_src_$n " +
+        "WHERE s_suppkey % 2 = 1")
+      s.sql(s"""SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        COUNT(DISTINCT sid) = COUNT(*) AS sid_unique,
+        MIN(sid) >= 1000 AS min_ok,
+        MAX(CASE WHEN (sid - 1000) % 5 != 0 THEN 1 ELSE 0 END) = 0
+          AS step_aligned,
+        CAST(MAX(sid) AS BIGINT) >= 2000001000 AS hw_past_explicit,
+        CAST(SUM(CASE WHEN s_name = 'explicit' THEN sid ELSE 0 END)
+          AS BIGINT) AS explicit_sid
+        FROM $cat.etl.sup""")
     })
   )
 
@@ -8305,6 +8349,16 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // Deterministic identity facts: every supplier row lands once plus
+    // the explicit surrogate row; uniqueness/alignment/high-water hold
+    // by the assignment contract.
+    "q192_identity_columns" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM supplier) AS n_rows,
+        |  TRUE AS sid_unique, TRUE AS min_ok, TRUE AS step_aligned,
+        |  TRUE AS hw_past_explicit,
+        |  CAST(2000001000 AS BIGINT) AS explicit_sid""".stripMargin,
+
     // live = all docs minus the %11=4 deletes (the %11=5 upsert
     // replaces in place); dead before the drain = deleted + replaced
     // old copies, 0 after; pressure flips false after the drain.

@@ -107,7 +107,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // ResolveDefaultColumns; EXISTS_DEFAULT for rows written before
       // the column existed — filled by the parquet readers), so it
       // costs METADATA ONLY: no rewrite of existing files, at any scale
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // IDENTITY columns (GENERATED BY DEFAULT AS IDENTITY): spec in
+      // the schema's field metadata, high-water in the manifest, NULL
+      // inputs assigned in one distributed pass on every write path
+      // (see MergeWriter §identity columns). GENERATED ALWAYS is
+      // rejected at create — a keyed-upsert table restates its keys on
+      // every merge
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(warehouse)((p, s) => new Path(p, s))
@@ -429,8 +436,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: unsupported constraint $other — CHECK and " +
           "PRIMARY KEY only")
     }
-    val created = createTable(ident, info.schema(), info.partitions(),
-      props)
+    // IDENTITY specs arrive on the v2 Columns, not in info.schema()'s
+    // metadata — encode them with Spark's own keys so the manifest
+    // schema carries them and every write path's probe
+    // (IdentityColumn.getIdentityInfo) sees them
+    val idc = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val schemaWithIdentity = StructType(info.schema().fields.map { f =>
+      info.columns().find(_.name == f.name)
+        .flatMap(c => Option(c.identityColumnSpec())) match {
+        case Some(spec) =>
+          // declared NULLABLE on purpose: NULL is the "assign me"
+          // sentinel on every write path (BY DEFAULT semantics), so the
+          // write schema must admit it — the storage invariant (no
+          // stored NULLs) holds because assignment precedes every write
+          f.copy(nullable = true,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(idc.IDENTITY_INFO_START, spec.getStart)
+            .putLong(idc.IDENTITY_INFO_STEP, spec.getStep)
+            .putBoolean(idc.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+              spec.isAllowExplicitInsert)
+            .build())
+        case None => f
+      }
+    })
+    val created = createTable(ident, schemaWithIdentity,
+      info.partitions(), props)
     val dir = resolvedDir(ident)
     try checks.foreach { case (n, sql) =>
       MergeWriter.addCheckConstraint(spark, dir.toString, n, sql)

@@ -381,6 +381,22 @@ object MergeWriter {
                                        // applies). Empty ⇔ table not
                                        // ANALYZEd with sketches.
                                        colSketches: Map[String, String] =
+                                         Map.empty,
+                                       // IDENTITY columns (GENERATED BY
+                                       // DEFAULT AS IDENTITY): per
+                                       // column the HIGH-WATER value —
+                                       // the largest (step>0) /
+                                       // smallest (step<0) value any
+                                       // commit has stored, explicit or
+                                       // assigned. NULL inputs get
+                                       // fresh values past it; the
+                                       // commit CAS conflicts when a
+                                       // concurrent writer moved it
+                                       // (overlapping reservations must
+                                       // re-run, never collide). Spec
+                                       // (start/step) lives in the
+                                       // schema's field metadata.
+                                       idhw: Map[String, Long] =
                                          Map.empty)
 
   /** One column's table-level statistics record (see
@@ -546,7 +562,13 @@ object MergeWriter {
       // absent in pre-constraint manifests — backward compatible
       strMap(node.get("checks")),
       // absent in pre-sketch manifests — backward compatible
-      strMap(node.get("csk")))
+      strMap(node.get("csk")),
+      // absent in pre-identity manifests — backward compatible
+      Option(node.get("idhw")).map { n =>
+        val b = Map.newBuilder[String, Long]
+        n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+        b.result()
+      }.getOrElse(Map.empty))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -646,6 +668,9 @@ object MergeWriter {
       .append(if (m.colSketches.isEmpty) "" else
         ",\"csk\":{" + m.colSketches.toSeq.sortBy(_._1).map { case (c, s) =>
           jsonStr(c) + ":" + jsonStr(s) }.mkString(",") + "}")
+      .append(if (m.idhw.isEmpty) "" else
+        ",\"idhw\":{" + m.idhw.toSeq.sortBy(_._1).map { case (c, v) =>
+          jsonStr(c) + ":" + v }.mkString(",") + "}")
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
@@ -1305,6 +1330,87 @@ object MergeWriter {
       s"dropCheckConstraint: lost the commit race to concurrent writers " +
         s"of $tablePath on every retry — re-run against the new table state")
   }
+
+  // ---- IDENTITY COLUMNS (GENERATED BY DEFAULT AS IDENTITY) ------------
+  //
+  // Delta's identity columns on the manifest protocol: the spec
+  // (start/step) lives in the schema's field metadata (Spark's own
+  // encoding — `CREATE TABLE (id BIGINT GENERATED BY DEFAULT AS
+  // IDENTITY ...)`), the HIGH-WATER lives in the manifest (`idhw`).
+  // NULL inputs get fresh values in ONE distributed pass — value =
+  // hw + (rowOrdinal + 1) × step via partition-offset arithmetic, no
+  // global sort, GAPS ALLOWED (every identity implementation's
+  // contract) — and the commit reads the written epoch's extreme back
+  // to advance the high-water past assigned AND explicit values. A
+  // concurrent commit that moved `idhw` conflicts the CAS loudly
+  // (overlapping reservations re-run, never collide). BY DEFAULT
+  // semantics only: explicit non-NULL inputs are stored as given
+  // (GENERATED ALWAYS is rejected at create — on a keyed-upsert table
+  // every merge restates its keys, so always-generated would make the
+  // table unwritable).
+
+  /** Identity specs (start, step) declared in a schema's field
+    * metadata, via Spark's own encoding/probe.
+    */
+  private[sources] def identitySpecs(schema: StructType)
+      : Map[String, (Long, Long)] =
+    schema.fields.flatMap { f =>
+      val info = org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(f)
+      info.map(s => f.name -> (s.getStart, s.getStep))
+    }.toMap
+
+  /** Fill NULL identity inputs with fresh values past the table's
+    * high-water. One pass, codegen-friendly; ordinals come from
+    * partition-offset arithmetic (monotonically increasing ids), so
+    * assignment never serializes the batch through one task.
+    */
+  private def assignIdentity(df: DataFrame,
+                             specs: Map[String, (Long, Long)],
+                             hw: Map[String, Long]): DataFrame =
+    specs.foldLeft(df) { case (d, (c, (start, step))) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val base = hw.getOrElse(c, start - step)
+        val dt = d.schema(d.schema.fieldIndex(c)).dataType
+        d.withColumn(c, coalesce(col(c),
+          (lit(base) + (monotonically_increasing_id() + lit(1L)) *
+            lit(step)).cast(dt)))
+      }
+    }
+
+  /** The written epoch's per-column identity extreme (max for step>0,
+    * min for step<0) — ONE narrow agg over the freshly written files,
+    * the same cost shape as the stats refresh.
+    */
+  private def identityExtremes(spark: SparkSession, epochDir: String,
+                               specs: Map[String, (Long, Long)])
+      : Map[String, Long] = {
+    if (specs.isEmpty) return Map.empty
+    val df = spark.read.parquet(epochDir)
+    val cols = specs.filter { case (c, _) => df.columns.contains(c) }
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.toSeq.map { case (c, (_, step)) =>
+      (if (step > 0) max(col(c)) else min(col(c)))
+        .cast("long").as(s"__id_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.keys.flatMap { c =>
+      val i = row.fieldIndex(s"__id_$c")
+      if (row.isNullAt(i)) None else Some(c -> row.getLong(i))
+    }.toMap
+  }
+
+  /** Advance the high-water past this commit's extremes (direction per
+    * step sign). */
+  private def advanceIdhw(prior: Map[String, Long],
+                          specs: Map[String, (Long, Long)],
+                          ext: Map[String, Long]): Map[String, Long] =
+    prior ++ ext.map { case (c, e) =>
+      val (start, step) = specs(c)
+      val cur = prior.getOrElse(c, start - step)
+      c -> (if (step > 0) math.max(cur, e) else math.min(cur, e))
+    }
 
   // ---- NAMED BRANCHES (write-audit-publish staging) ------------------------
   //
@@ -3201,6 +3307,16 @@ object MergeWriter {
         batchColStats(spark.read.parquet(s"$tablePath/$epoch"),
           man.colSketches.keySet)
       else None
+    // identity high-water from the overlay files (same cost shape);
+    // specs come from the DECLARED schema — the incoming frame never
+    // carries the identity metadata
+    val morIdSpec = man.schema
+      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(identitySpecs(cleanSchema))
+    val morIdExt =
+      if (morIdSpec.nonEmpty && written.nonEmpty)
+        identityExtremes(spark, s"$tablePath/$epoch", morIdSpec)
+      else Map.empty[String, Long]
     // 4. one manifest commit: overlays appended, DVs re-pointed, fresh
     //    buckets (no stored pointer yet) adopt the epoch as their BASE
     var base = man
@@ -3228,6 +3344,7 @@ object MergeWriter {
                 b -> (base.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
             stats = stats2,
             txns = base.txns ++ txn,
+            idhw = advanceIdhw(base.idhw, morIdSpec, morIdExt),
             op = opName, opTs = System.currentTimeMillis()), batchSk))
         return true
       } catch {
@@ -3244,6 +3361,8 @@ object MergeWriter {
             (cur.keyCols.nonEmpty && cur.keyCols != keys) ||
             // the overlay rows were proven under man's constraint set
             cur.checks != man.checks ||
+            // identity values were reserved against man's high-water
+            (morIdSpec.nonEmpty && cur.idhw != man.idhw) ||
             touched.exists(b => bucketSig(cur, b) != bucketSig(man, b))
           if (contested)
             throw new java.util.ConcurrentModificationException(
@@ -3708,7 +3827,16 @@ object MergeWriter {
     // table keeps its recorded clustering
     val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
     val nb = m.map(_.buckets).getOrElse(buckets)
-    val inc = incoming
+    // IDENTITY assignment precedes bucketing: an assigned value may BE
+    // a merge key, and its bucket must derive from the FINAL value
+    val idSpec = m.flatMap(_.schema)
+      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(identitySpecs(incoming.schema))
+    val incomingAssigned =
+      if (idSpec.isEmpty) incoming
+      else assignIdentity(incoming, idSpec,
+        m.map(_.idhw).getOrElse(Map.empty))
+    val inc = incomingAssigned
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     try {
@@ -3905,7 +4033,17 @@ object MergeWriter {
         bloomCols = bloomBy, bloomItems = bloomItems,
         fingerprint = fingerprint, deleteVectors = deleteVectors))
     else m
-    writeEpochAndCommit(spark, fs, tablePath, rows, keys, nb, base, txn,
+    // IDENTITY assignment for the replacing rows (NULL inputs only, as
+    // ever); an overwrite does NOT reset the high-water — freed values
+    // are never reissued (Delta's semantics: monotone across replaces)
+    val owIdSpec = m.flatMap(_.schema)
+      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(identitySpecs(rows.schema))
+    val rowsAssigned =
+      if (owIdSpec.isEmpty) rows
+      else assignIdentity(rows, owIdSpec, m.map(_.idhw).getOrElse(Map.empty))
+    writeEpochAndCommit(spark, fs, tablePath, rowsAssigned, keys, nb, base,
+      txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
       opName = "overwrite", fpSeed = fingerprint, dvSeed = deleteVectors)
@@ -3931,6 +4069,22 @@ object MergeWriter {
                   fingerprint: Boolean = false,
                   deleteVectors: Boolean = false): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
+    identitySpecs(schema).foreach { case (c, (_, step)) =>
+      import org.apache.spark.sql.types._
+      val f = schema(schema.fieldIndex(c))
+      require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType,
+        s"createTable: identity column '$c' must be integral, got " +
+          f.dataType.simpleString)
+      require(step != 0L, s"createTable: identity column '$c' has step 0")
+      val info = org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(f).get
+      require(info.isAllowExplicitInsert,
+        s"createTable: identity column '$c' is GENERATED ALWAYS — on a " +
+          "keyed-upsert table every merge restates its keys, so " +
+          "always-generated is unwritable; declare GENERATED BY DEFAULT " +
+          "AS IDENTITY")
+    }
     val names = schema.fieldNames.toSet
     keys.foreach(k => require(names.contains(k),
       s"createTable: key column '$k' is not in the declared schema " +
@@ -4900,6 +5054,14 @@ object MergeWriter {
         DataType.fromJson(s).asInstanceOf[StructType].fields
           .filter(_.metadata != org.apache.spark.sql.types.Metadata.empty)
           .map(f => f.name -> f.metadata).toMap).getOrElse(Map.empty)
+    // a commit must never NARROW declared nullability: the written
+    // frame's non-nullness is provenance noise (an identity assignment
+    // or a Seq-derived source), while the DECLARED nullable admits the
+    // NULL sentinels and old epochs' stored NULLs
+    val declaredNullable: Set[String] =
+      prev.flatMap(_.schema).map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType].fields
+          .filter(_.nullable).map(_.name).toSet).getOrElse(Set.empty)
     // FIELD-ID stamping (see [[Manifest.colIds]]): an id-stamped table
     // carries each column's id forward by name and assigns FRESH ids to
     // evolved columns; a table this commit creates — or fully replaces
@@ -4908,10 +5070,27 @@ object MergeWriter {
     // from scratch; a legacy table with surviving old files stays
     // name-world (those files carry no ids to match).
     val cleanSchema0 = stripSchemaIds(rows.schema)
+    // the COMMITTED schema keeps the DECLARED column order (evolved
+    // columns append): the written frame's order is provenance noise —
+    // a by-name INSERT or a reordered API source must not flip the
+    // table's SQL column order (files read by name/field-id, so
+    // physical order never matters)
+    val declaredOrder: Map[String, Int] =
+      prev.flatMap(_.schema).map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType].fieldNames
+          .zipWithIndex.toMap).getOrElse(Map.empty)
+    val orderedFields =
+      if (declaredOrder.isEmpty) cleanSchema0.fields
+      else cleanSchema0.fields.sortBy(f =>
+        declaredOrder.getOrElse(f.name, Int.MaxValue))
     val cleanSchema =
-      if (declaredMeta.isEmpty) cleanSchema0
-      else StructType(cleanSchema0.fields.map(f =>
-        declaredMeta.get(f.name).fold(f)(m => f.copy(metadata = m))))
+      if (declaredMeta.isEmpty && declaredNullable.isEmpty &&
+          declaredOrder.isEmpty) cleanSchema0
+      else StructType(orderedFields.map { f0 =>
+        val f = if (declaredNullable.contains(f0.name)) f0.copy(nullable = true)
+                else f0
+        declaredMeta.get(f.name).fold(f)(m => f.copy(metadata = m))
+      })
     val replacesAll = prev.forall(p => (p.epochs.keySet -- dropBuckets).isEmpty)
     val (colIds, nextColId) =
       prev.filter(_.nextColId > 0L) match {
@@ -4979,6 +5158,13 @@ object MergeWriter {
         batchColStats(spark.read.parquet(s"$tablePath/$epoch"),
           prev.get.colSketches.keySet)
       else None
+    // identity high-water: one narrow agg over the written files moves
+    // it past both assigned and explicit values
+    val epochIdSpec = identitySpecs(cleanSchema)
+    val idExt =
+      if (epochIdSpec.nonEmpty && written.nonEmpty)
+        identityExtremes(spark, s"$tablePath/$epoch", epochIdSpec)
+      else Map.empty[String, Long]
     val mine = written.toSet ++ dropBuckets
     var base = prev
     var attempt = 0
@@ -5053,7 +5239,9 @@ object MergeWriter {
             // constraints ride every commit forward; the rebase rule
             // below conflicts when the set moved underneath this write
             checks = effChecks,
-            colSketches = base.map(_.colSketches).getOrElse(Map.empty)),
+            colSketches = base.map(_.colSketches).getOrElse(Map.empty),
+            idhw = advanceIdhw(base.map(_.idhw).getOrElse(Map.empty),
+              epochIdSpec, idExt)),
           batchSk))
         return
       } catch {
@@ -5096,8 +5284,12 @@ object MergeWriter {
           // a concurrent ADD/DROP CONSTRAINT invalidates this write's
           // enforcement pass (the batch was proven under the OLD set)
           val checkConflict = cur.checks != effChecks
+          // a concurrent commit that moved the identity high-water may
+          // have assigned values overlapping this batch's reservation
+          val idConflict = epochIdSpec.nonEmpty &&
+            cur.idhw != prev.map(_.idhw).getOrElse(Map.empty)
           if (conflicting || schemaConflict || bucketConflict ||
-              keyConflict || checkConflict) {
+              keyConflict || checkConflict || idConflict) {
             val diff = mine.filter(b =>
               bucketSig(cur, b) != bucketSigOpt(prev, b))
             throw new java.util.ConcurrentModificationException(
@@ -5109,7 +5301,8 @@ object MergeWriter {
                    else ""}" +
                 s"${if (keyConflict) s", merge keys ${cur.keyCols.mkString("(", ",", ")")} != ${keys.mkString("(", ",", ")")}"
                    else ""}" +
-                s"${if (checkConflict) ", CHECK constraints changed" else ""}) — " +
+                s"${if (checkConflict) ", CHECK constraints changed" else ""}" +
+                s"${if (idConflict) ", identity high-water moved" else ""}) — " +
                 "re-run against the new table state")
           }
           base = Some(cur)
@@ -5267,7 +5460,15 @@ object MergeWriter {
         s"applyChanges: $tablePath is not a manifest table"))
     validateKeys(man, keys, opName)
     val nb = man.buckets
-    val up = upserts
+    // IDENTITY assignment precedes bucketing (a MERGE's NOT-MATCHED
+    // INSERT action may supply NULL for an identity column)
+    val rlIdSpec = man.schema
+      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(Map.empty)
+    val upAssigned =
+      if (rlIdSpec.isEmpty) upserts
+      else assignIdentity(upserts, rlIdSpec, man.idhw)
+    val up = upAssigned
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     val del = deleteKeys.select(keys.map(col): _*).distinct()
