@@ -4988,6 +4988,53 @@ object SparkEntry {
         CAST(SUM(CASE WHEN s_name = 'explicit' THEN sid ELSE 0 END)
           AS BIGINT) AS explicit_sid
         FROM $cat.etl.sup""")
+    }),
+
+    // GENERATED columns (GENERATED ALWAYS AS expr): omitted inputs are
+    // COMPUTED from the row's stored columns on write, explicit
+    // mismatches fail the commit. Generated values are pure functions
+    // of stored columns, so the oracle reproduces them exactly with
+    // the same arithmetic.
+    "q193_generated_columns" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-generated"))
+      // the synthetic lineitem is not unique on (orderkey, linenumber)
+      // — dedupe with MAX aggregates (mirrored exactly in the oracle)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("l_quantity"),
+          max(col("l_returnflag")).as("l_returnflag"),
+          max(col("l_linestatus")).as("l_linestatus"))
+        .createOrReplaceTempView(s"gen_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.li (
+        l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+        l_returnflag STRING, l_linestatus STRING,
+        line_uid BIGINT GENERATED ALWAYS AS
+          (l_orderkey * 10 + l_linenumber),
+        flag_status STRING GENERATED ALWAYS AS
+          (CONCAT(l_returnflag, '-', l_linestatus)))
+        TBLPROPERTIES ('keys'='l_orderkey,l_linenumber', 'buckets'='8',
+        'clusterBy'='l_orderkey')""")
+      s.sql(s"""INSERT INTO $cat.etl.li
+        (l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         l_linestatus)
+        SELECT * FROM gen_src_$n""")
+      // a violating explicit generated value must be rejected whole
+      val rejected = scala.util.Try(s.sql(s"""INSERT INTO $cat.etl.li
+        VALUES (900000001, 1, 1.0, 'N', 'O', 12345, 'N-O')""")).isFailure
+      require(rejected, "q193: mismatched generated value must fail " +
+        "(900000001*10+1 != 12345)")
+      s.sql(s"""SELECT flag_status,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(line_uid) AS BIGINT) AS uid_sum,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS qty_sum
+        FROM $cat.etl.li GROUP BY flag_status""")
     })
   )
 
@@ -8349,6 +8396,21 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // Generated values are pure functions of stored columns — the
+    // oracle recomputes them; the rejected mismatch batch left nothing.
+    "q193_generated_columns" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity,
+        |    MAX(l_returnflag) AS l_returnflag,
+        |    MAX(l_linestatus) AS l_linestatus
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CONCAT(l_returnflag, '-', l_linestatus) AS flag_status,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT) AS uid_sum,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS qty_sum
+        |FROM src GROUP BY 1""".stripMargin,
+
     // Deterministic identity facts: every supplier row lands once plus
     // the explicit surrogate row; uniqueness/alignment/high-water hold
     // by the assignment contract.

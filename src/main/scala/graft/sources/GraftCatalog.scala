@@ -114,7 +114,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // (see MergeWriter §identity columns). GENERATED ALWAYS is
       // rejected at create — a keyed-upsert table restates its keys on
       // every merge
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // GENERATED ALWAYS AS (expr): expression in the schema's field
+      // metadata; every write computes NULL inputs from the row and
+      // validates explicit ones (fused single-pass, like CHECKs)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def dirOf(parts: Seq[String]): Path =
     parts.foldLeft(warehouse)((p, s) => new Path(p, s))
@@ -441,9 +445,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // schema carries them and every write path's probe
     // (IdentityColumn.getIdentityInfo) sees them
     val idc = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
     val schemaWithIdentity = StructType(info.schema().fields.map { f =>
-      info.columns().find(_.name == f.name)
-        .flatMap(c => Option(c.identityColumnSpec())) match {
+      val v2col = info.columns().find(_.name == f.name)
+      v2col.flatMap(c => Option(c.identityColumnSpec())) match {
         case Some(spec) =>
           // declared NULLABLE on purpose: NULL is the "assign me"
           // sentinel on every write path (BY DEFAULT semantics), so the
@@ -457,7 +463,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .putBoolean(idc.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
               spec.isAllowExplicitInsert)
             .build())
-        case None => f
+        case None =>
+          // GENERATED ALWAYS AS (expr): same nullable-sentinel shape —
+          // NULL/omitted inputs are COMPUTED, explicit inputs VALIDATED
+          // (MergeWriter.applyGenerated)
+          v2col.flatMap(c => Option(c.generationExpression())) match {
+            case Some(g) =>
+              f.copy(nullable = true,
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(genKey, g).build())
+            case None => f
+          }
       }
     })
     val created = createTable(ident, schemaWithIdentity,

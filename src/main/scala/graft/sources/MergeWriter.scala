@@ -1412,6 +1412,62 @@ object MergeWriter {
       c -> (if (step > 0) math.max(cur, e) else math.min(cur, e))
     }
 
+  // ---- GENERATED COLUMNS (GENERATED ALWAYS AS (expr)) -----------------
+  //
+  // Delta's generated columns: the generation expression rides the
+  // schema's field metadata (Spark's GENERATION_EXPRESSION key). On
+  // every write, a NULL/omitted input is COMPUTED from the row's other
+  // columns and an explicit input is VALIDATED against the expression
+  // (mismatch fails the commit — same fused single-pass guard as CHECK
+  // constraints). Needs no manifest state; survivors hold by induction.
+
+  /** Generation expressions declared in a schema's field metadata. */
+  private[sources] def generatedSpecs(schema: StructType)
+      : Map[String, String] =
+    schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)
+    }.toMap
+
+  /** Compute-or-validate generated columns: NULL inputs take the
+    * expression's value; non-NULL inputs must EQUAL it (null-safe
+    * compare) or the commit fails with the offending row.
+    */
+  private def applyGenerated(df: DataFrame, specs: Map[String, String],
+                             tablePath: String): DataFrame =
+    specs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, g)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val dt = d.schema(d.schema.fieldIndex(c)).dataType
+        val gen = expr(g).cast(dt)
+        val filled = d.withColumn(c, coalesce(col(c), gen))
+        filled.filter(col(c) <=> gen or raise_error(concat(
+          lit(s"graft: generated column '$c' GENERATED ALWAYS AS ($g) " +
+            s"on $tablePath received a conflicting explicit value "),
+          col(c).cast("string"))).isNotNull)
+      }
+    }
+
+  /** The entry-point combinator every data-adding path runs its
+    * INCOMING rows through: identity assignment first (a generated
+    * expression may reference the assigned key), then generated-column
+    * compute-or-validate. Declared specs come from the MANIFEST schema;
+    * a frame column the schema doesn't know is left alone.
+    */
+  private def applyDeclaredColumns(df: DataFrame, man: Option[Manifest],
+                                   tablePath: String): DataFrame = {
+    val declared = man.flatMap(_.schema)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(df.schema)
+    val idSpec = identitySpecs(declared)
+    val genSpec = generatedSpecs(declared)
+    val assigned =
+      if (idSpec.isEmpty) df
+      else assignIdentity(df, idSpec, man.map(_.idhw).getOrElse(Map.empty))
+    if (genSpec.isEmpty) assigned
+    else applyGenerated(assigned, genSpec, tablePath)
+  }
+
   // ---- NAMED BRANCHES (write-audit-publish staging) ------------------------
   //
   // Iceberg's branch refs, scaled to the linear manifest protocol: a
@@ -3827,15 +3883,10 @@ object MergeWriter {
     // table keeps its recorded clustering
     val cluster = m.map(_.clusterCols).getOrElse(clusterBy)
     val nb = m.map(_.buckets).getOrElse(buckets)
-    // IDENTITY assignment precedes bucketing: an assigned value may BE
-    // a merge key, and its bucket must derive from the FINAL value
-    val idSpec = m.flatMap(_.schema)
-      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
-      .getOrElse(identitySpecs(incoming.schema))
-    val incomingAssigned =
-      if (idSpec.isEmpty) incoming
-      else assignIdentity(incoming, idSpec,
-        m.map(_.idhw).getOrElse(Map.empty))
+    // IDENTITY assignment + GENERATED-column compute/validate precede
+    // bucketing: an assigned or computed value may BE a merge key, and
+    // its bucket must derive from the FINAL value
+    val incomingAssigned = applyDeclaredColumns(incoming, m, tablePath)
     val inc = incomingAssigned
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
@@ -4033,15 +4084,10 @@ object MergeWriter {
         bloomCols = bloomBy, bloomItems = bloomItems,
         fingerprint = fingerprint, deleteVectors = deleteVectors))
     else m
-    // IDENTITY assignment for the replacing rows (NULL inputs only, as
-    // ever); an overwrite does NOT reset the high-water — freed values
-    // are never reissued (Delta's semantics: monotone across replaces)
-    val owIdSpec = m.flatMap(_.schema)
-      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
-      .getOrElse(identitySpecs(rows.schema))
-    val rowsAssigned =
-      if (owIdSpec.isEmpty) rows
-      else assignIdentity(rows, owIdSpec, m.map(_.idhw).getOrElse(Map.empty))
+    // IDENTITY assignment + GENERATED compute/validate for the
+    // replacing rows; an overwrite does NOT reset the high-water —
+    // freed values are never reissued (Delta's semantics)
+    val rowsAssigned = applyDeclaredColumns(rows, m, tablePath)
     writeEpochAndCommit(spark, fs, tablePath, rowsAssigned, keys, nb, base,
       txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
@@ -4084,6 +4130,29 @@ object MergeWriter {
           "keyed-upsert table every merge restates its keys, so " +
           "always-generated is unwritable; declare GENERATED BY DEFAULT " +
           "AS IDENTITY")
+    }
+    locally {
+      val gens = generatedSpecs(schema)
+      gens.foreach { case (c, g) =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(g).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head
+          }).getOrElse(throw new IllegalArgumentException(
+            s"createTable: generated column '$c' has an unparseable " +
+              s"expression ($g)"))
+        refs.foreach { r =>
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+            s"createTable: generated column '$c' references unknown " +
+              s"column '$r'")
+          require(!r.equalsIgnoreCase(c),
+            s"createTable: generated column '$c' references itself")
+          require(!gens.keys.exists(_.equalsIgnoreCase(r)),
+            s"createTable: generated column '$c' references generated " +
+              s"column '$r' — generation expressions must use stored " +
+              "columns only")
+        }
+      }
     }
     val names = schema.fieldNames.toSet
     keys.foreach(k => require(names.contains(k),
@@ -5460,15 +5529,10 @@ object MergeWriter {
         s"applyChanges: $tablePath is not a manifest table"))
     validateKeys(man, keys, opName)
     val nb = man.buckets
-    // IDENTITY assignment precedes bucketing (a MERGE's NOT-MATCHED
-    // INSERT action may supply NULL for an identity column)
-    val rlIdSpec = man.schema
-      .map(s => identitySpecs(DataType.fromJson(s).asInstanceOf[StructType]))
-      .getOrElse(Map.empty)
-    val upAssigned =
-      if (rlIdSpec.isEmpty) upserts
-      else assignIdentity(upserts, rlIdSpec, man.idhw)
-    val up = upAssigned
+    // IDENTITY assignment + GENERATED compute/validate precede
+    // bucketing (a MERGE's NOT-MATCHED INSERT action may supply NULL
+    // for an identity or generated column)
+    val up = applyDeclaredColumns(upserts, Some(man), tablePath)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     val del = deleteKeys.select(keys.map(col): _*).distinct()
