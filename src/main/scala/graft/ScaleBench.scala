@@ -1141,7 +1141,32 @@ object ScaleBench {
               org.apache.spark.sql.types.StringType, nullable = true,
               meta))))
       }
-      println(f"""{"dir":"$tag","plain_merge_sec":$plainSec%.3f,"add_constraint_sec":$addSec%.3f,"checked_merge_sec":$chkSec%.3f,"analyze_sec":$anaSec%.3f,"refresh_merge_sec":$refSec%.3f,"add_default_col_sec":$defSec%.3f}""")
+      // identity + generated: a trickle on a declared-column table —
+      // assignment, generation, validation and the high-water read-back
+      // must all price ∝ batch (flat 1×→10×)
+      val idPath = s"$root/id"
+      val idCat = "govid_" + tag.replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$idCat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$idCat.warehouse", s"$root/idwh")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $idCat.ns")
+      spark.sql(s"""CREATE TABLE $idCat.ns.t (
+        sk BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        event_id BIGINT, value DOUBLE,
+        cents BIGINT GENERATED ALWAYS AS (CAST(value * 100 AS BIGINT)))
+        TBLPROPERTIES ('keys'='event_id', 'buckets'='$buckets',
+        'deleteVectors'='true')""")
+      ev.select(col("event_id"), col("value"))
+        .createOrReplaceTempView("gov_ev_" + tag.replace('.', '_'))
+      spark.sql(s"INSERT INTO $idCat.ns.t (event_id, value) " +
+        "SELECT event_id, value FROM gov_ev_" + tag.replace('.', '_'))
+      val idSec = elapsedSec {
+        spark.sql(s"INSERT INTO $idCat.ns.t (event_id, value) " +
+          "SELECT event_id + 4000000000, value FROM gov_ev_" +
+          tag.replace('.', '_') + " " +
+          "LIMIT 2000")
+      }
+      println(f"""{"dir":"$tag","plain_merge_sec":$plainSec%.3f,"add_constraint_sec":$addSec%.3f,"checked_merge_sec":$chkSec%.3f,"analyze_sec":$anaSec%.3f,"refresh_merge_sec":$refSec%.3f,"add_default_col_sec":$defSec%.3f,"identity_generated_merge_sec":$idSec%.3f}""")
     }
     if (sections("gov12")) {
       govBench(base, "sf0.1", 4); govBench(rep, "rep10", 16)
