@@ -409,9 +409,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * exactly what 'keys' means here), or must match a declared 'keys'
     * property.
     */
-  override def createTable(ident: Identifier,
-                           info: org.apache.spark.sql.connector.catalog
-                             .TableInfo): Table = {
+  /** The TableInfo → (schema, properties, checks) transformation
+    * shared by plain CREATE and the staged CTAS/RTAS variants: an
+    * inline PRIMARY KEY declares (or must match) the merge keys;
+    * IDENTITY and GENERATED specs arrive on the v2 Columns — NOT in
+    * `info.schema()`'s metadata — and are encoded with Spark's own
+    * keys so the manifest schema carries them; CHECK constraints are
+    * returned for the caller to record (or reject, for staged creates
+    * whose data lands before any constraint could validate it).
+    */
+  private def fromTableInfo(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog
+                              .TableInfo)
+      : (StructType, util.HashMap[String, String], Seq[(String, String)]) = {
     val pkCols = info.constraints().toSeq.collect {
       case pk: PrimaryKey =>
         pk.columns().map(_.fieldNames().mkString(".")).toSeq
@@ -477,14 +487,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
       }
     })
-    val created = createTable(ident, schemaWithIdentity,
-      info.partitions(), props)
+    (schemaWithIdentity, props, checks)
+  }
+
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog
+                             .TableInfo): Table = {
+    val (schema2, props, checks) = fromTableInfo(ident, info)
+    val created = createTable(ident, schema2, info.partitions(), props)
     val dir = resolvedDir(ident)
     try checks.foreach { case (n, sql) =>
       MergeWriter.addCheckConstraint(spark, dir.toString, n, sql)
     } catch { case e: Throwable => dropTable(ident); throw e }
     if (checks.isEmpty) created else loadTable(ident)
   }
+
+  /** Constraint-carrying CTAS/RTAS: PRIMARY KEY and IDENTITY/GENERATED
+    * specs flow through the staged schema; CHECK constraints are
+    * REJECTED loudly — the staged data would land before any
+    * validation could run (create the table, ADD CONSTRAINT, then
+    * INSERT ... SELECT). Without these overrides the default
+    * delegation would silently DROP the declared semantics.
+    */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog
+                             .TableInfo): StagedTable = {
+    requireNoCtasChecks(ident, info)
+    val (schema2, props, _) = fromTableInfo(ident, info)
+    stageCreate(ident, schema2, info.partitions(), props)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog
+                              .TableInfo): StagedTable = {
+    requireNoCtasChecks(ident, info)
+    val (schema2, props, _) = fromTableInfo(ident, info)
+    stageReplace(ident, schema2, info.partitions(), props)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector
+                                      .catalog.TableInfo): StagedTable = {
+    requireNoCtasChecks(ident, info)
+    val (schema2, props, _) = fromTableInfo(ident, info)
+    stageCreateOrReplace(ident, schema2, info.partitions(), props)
+  }
+
+  private def requireNoCtasChecks(ident: Identifier,
+                                  info: org.apache.spark.sql.connector
+                                    .catalog.TableInfo): Unit =
+    info.constraints().foreach {
+      case c: Check => throw new UnsupportedOperationException(
+        s"graft catalog: CTAS/RTAS on $ident cannot declare CHECK " +
+          s"constraint '${c.name()}' — the staged rows would commit " +
+          "before any validation; CREATE the table, ALTER TABLE ... " +
+          "ADD CONSTRAINT, then INSERT ... SELECT")
+      case _ => ()
+    }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------
 
@@ -1354,17 +1413,30 @@ private[sources] class GraftCatalogWriteBuilder(spark: SparkSession,
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          val keys = MergeWriter.pinManifest(spark, tablePath, None, None)
-            .map(_.keyCols).filter(_.nonEmpty).getOrElse(
+          val man = MergeWriter.pinManifest(spark, tablePath, None, None)
+          val keys = man.map(_.keyCols).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 s"graft catalog: $tablePath records no merge keys"))
+          // IDENTITY merge keys: rows whose key is the NULL "assign me"
+          // sentinel each receive a fresh UNIQUE value downstream, so
+          // the statement-level duplicate-key check must not treat the
+          // sentinels as one colliding key
+          val idKeys = man.flatMap(_.schema)
+            .map(sch => MergeWriter.identitySpecs(
+              org.apache.spark.sql.types.DataType.fromJson(sch)
+                .asInstanceOf[StructType]).keySet.intersect(keys.toSet))
+            .getOrElse(Set.empty)
+          val uniqueCheckRows: Option[Column] =
+            if (idKeys.isEmpty) None
+            else Some(idKeys.map(col(_).isNotNull).reduce(_ && _))
           // guard + write through one combinator: deterministic sources
           // recompute key-narrow, non-deterministic ones pin one persist
           // so the guarded rows ARE the written rows
           require(branch.isEmpty || !(replace || overwrite),
             "graft catalog: INSERT OVERWRITE cannot target a staging " +
               "branch — stage upserts, publish, then overwrite main")
-          GraftCatalog.guardUniqueKeys(data, keys, "INSERT") { rows =>
+          GraftCatalog.guardUniqueKeys(data, keys, "INSERT",
+            uniqueCheckRows) { rows =>
             if (replace || overwrite)
               MergeWriter.overwriteTable(spark, tablePath, rows, keys)
             else MergeWriter.merge(spark, tablePath, rows, keys,
@@ -1999,20 +2071,27 @@ object GraftCatalog {
     * is pinned with one persist for the statement's duration.
     */
   private[sources] def guardUniqueKeys(data: DataFrame, keys: Seq[String],
-                                       stmt: String)
+                                       stmt: String,
+                                       // rows the uniqueness check
+                                       // applies to (None = all) — the
+                                       // identity-key NULL sentinels
+                                       // are each assigned fresh values
+                                       checkOnly: Option[Column] = None)
                                       (write: DataFrame => Unit): Unit = {
     val nonDeterministic = data
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
       .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    def checkFrame(d: DataFrame): DataFrame =
+      checkOnly.fold(d)(d.filter)
     if (!nonDeterministic) {
-      MergeWriter.requireUniqueKeys(data, keys, stmt)
+      MergeWriter.requireUniqueKeys(checkFrame(data), keys, stmt)
       write(data)
     } else {
       val pinned = data.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        MergeWriter.requireUniqueKeys(pinned, keys, stmt)
+        MergeWriter.requireUniqueKeys(checkFrame(pinned), keys, stmt)
         write(pinned)
       } finally { pinned.unpersist(); () }
     }

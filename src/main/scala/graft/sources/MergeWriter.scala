@@ -6643,6 +6643,14 @@ object MergeWriter {
     val s = indexSchema(spark, tablePath, man)
     if (man.keyCols.isEmpty || !man.keysChecked) s
     else StructType(s.fields.map(f =>
+      // identity MERGE KEYS are reported NOT NULL like any key: Spark's
+      // row-level rewrites hard-require non-nullable row-id attributes
+      // (NULLABLE_ROW_ID_ATTRIBUTES), and UPDATE/MERGE on the table
+      // must keep working. The cost: SQL INSERT on an identity-KEYED
+      // table supplies explicit keys (the omitted/NULL sentinel is
+      // blocked by Spark's write resolution before storage could
+      // assign); API writes assign as ever. Non-key identity columns
+      // stay nullable-sentinel and fully SQL-usable.
       if (man.keyCols.contains(f.name)) f.copy(nullable = false) else f))
   }
 
