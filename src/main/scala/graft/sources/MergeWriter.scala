@@ -1431,20 +1431,28 @@ object MergeWriter {
 
   /** Compute-or-validate generated columns: NULL inputs take the
     * expression's value; non-NULL inputs must EQUAL it (null-safe
-    * compare) or the commit fails with the offending row.
+    * compare) or the commit fails with the offending row. With
+    * `recompute` the expression simply REPLACES the input — the
+    * row-level (UPDATE/MERGE) semantics, where a carried-along stale
+    * value is the norm, not a user assertion (Delta recomputes there
+    * too; INSERT keeps the validating shape).
     */
   private def applyGenerated(df: DataFrame, specs: Map[String, String],
-                             tablePath: String): DataFrame =
+                             tablePath: String,
+                             recompute: Boolean = false): DataFrame =
     specs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, g)) =>
       if (!d.columns.contains(c)) d
       else {
         val dt = d.schema(d.schema.fieldIndex(c)).dataType
         val gen = expr(g).cast(dt)
-        val filled = d.withColumn(c, coalesce(col(c), gen))
-        filled.filter(col(c) <=> gen or raise_error(concat(
-          lit(s"graft: generated column '$c' GENERATED ALWAYS AS ($g) " +
-            s"on $tablePath received a conflicting explicit value "),
-          col(c).cast("string"))).isNotNull)
+        if (recompute) d.withColumn(c, gen)
+        else {
+          val filled = d.withColumn(c, coalesce(col(c), gen))
+          filled.filter(col(c) <=> gen or raise_error(concat(
+            lit(s"graft: generated column '$c' GENERATED ALWAYS AS ($g) " +
+              s"on $tablePath received a conflicting explicit value "),
+            col(c).cast("string"))).isNotNull)
+        }
       }
     }
 
@@ -1455,7 +1463,9 @@ object MergeWriter {
     * a frame column the schema doesn't know is left alone.
     */
   private def applyDeclaredColumns(df: DataFrame, man: Option[Manifest],
-                                   tablePath: String): DataFrame = {
+                                   tablePath: String,
+                                   recomputeGenerated: Boolean = false)
+      : DataFrame = {
     val declared = man.flatMap(_.schema)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(df.schema)
@@ -1465,7 +1475,7 @@ object MergeWriter {
       if (idSpec.isEmpty) df
       else assignIdentity(df, idSpec, man.map(_.idhw).getOrElse(Map.empty))
     if (genSpec.isEmpty) assigned
-    else applyGenerated(assigned, genSpec, tablePath)
+    else applyGenerated(assigned, genSpec, tablePath, recomputeGenerated)
   }
 
   // ---- NAMED BRANCHES (write-audit-publish staging) ------------------------
@@ -5529,10 +5539,14 @@ object MergeWriter {
         s"applyChanges: $tablePath is not a manifest table"))
     validateKeys(man, keys, opName)
     val nb = man.buckets
-    // IDENTITY assignment + GENERATED compute/validate precede
-    // bucketing (a MERGE's NOT-MATCHED INSERT action may supply NULL
-    // for an identity or generated column)
-    val up = applyDeclaredColumns(upserts, Some(man), tablePath)
+    // IDENTITY assignment precedes bucketing (a MERGE's NOT-MATCHED
+    // INSERT action may supply NULL for an identity column); GENERATED
+    // columns are RECOMPUTED, not validated — an UPDATE that moved a
+    // source column carries the OLD generated value along, which is
+    // derivation input gone stale, never a user assertion (Delta's
+    // row-level semantics; the INSERT path keeps validating)
+    val up = applyDeclaredColumns(upserts, Some(man), tablePath,
+      recomputeGenerated = true)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(nb)))
       .persist()
     val del = deleteKeys.select(keys.map(col): _*).distinct()

@@ -68,12 +68,12 @@ class GeneratedColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 0L)
   }
 
-  test("UPDATE recomputes through validation; API merges compute " +
-       "NULLs; expression metadata survives commits") {
-    // UPDATE amount without restating the generated column: the
-    // row-level write re-derives it (NULL sentinel -> recompute)
-    spark.sql("UPDATE gen.ns.t SET amount = 9.75, amount_cents = NULL " +
-      "WHERE id = 1")
+  test("UPDATE recomputes generated columns from the moved source " +
+       "column; API merges compute NULLs; metadata survives commits") {
+    // a PLAIN update of the source column — the user never mentions
+    // the generated one; the row-level write RECOMPUTES it (the carried
+    // old value is stale derivation input, not a user assertion)
+    spark.sql("UPDATE gen.ns.t SET amount = 9.75 WHERE id = 1")
     assert(spark.sql("SELECT amount_cents FROM gen.ns.t WHERE id = 1")
       .collect()(0).getLong(0) == 975L)
     // the API merge path computes too (frame carries no metadata)
