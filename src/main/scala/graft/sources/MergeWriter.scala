@@ -3274,12 +3274,22 @@ object MergeWriter {
                        opName: String = "merge",
                        ref: Option[String] = None): Boolean = {
     if (man.schema.isEmpty) return false
-    val cleanSchema = stripSchemaIds(inc.drop(BucketCol).schema)
     val recorded = DataType.fromJson(man.schema.get)
+      .asInstanceOf[StructType]
+    // column ORDER is provenance noise (a by-name INSERT delivers the
+    // user-list order) — reorder to the recorded schema instead of
+    // silently refusing the fast path and paying a CoW bucket rewrite;
+    // only a genuinely different column SET or type falls back
+    val incNames = inc.drop(BucketCol).columns.toSeq
+    val inc0 =
+      if (incNames == recorded.fieldNames.toSeq) inc
+      else if (incNames.sorted == recorded.fieldNames.toSeq.sorted)
+        inc.select((recorded.fieldNames.toSeq :+ BucketCol)
+          .filter(inc.columns.contains).map(col): _*)
+      else return false
+    val cleanSchema = stripSchemaIds(inc0.drop(BucketCol).schema)
     if (!org.apache.spark.sql.GraftColumnShim
-          .sameTypeIgnoreNullability(recorded, cleanSchema) ||
-        recorded.asInstanceOf[StructType].fieldNames.toSeq !=
-          cleanSchema.fieldNames.toSeq)
+          .sameTypeIgnoreNullability(recorded, cleanSchema))
       return false
     val touchedStored = touched.filter(man.epochs.contains)
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
@@ -3320,7 +3330,7 @@ object MergeWriter {
       else {
         // the overlay rows pass the same CHECK-constraint guard as any
         // epoch write (fused into the write's own pass)
-        val incChecked = enforceChecks(inc.drop(BucketCol), man.checks,
+        val incChecked = enforceChecks(inc0.drop(BucketCol), man.checks,
           tablePath)
         val stamped =
           if (man.colIds.isEmpty) stripFrame(incChecked)

@@ -247,6 +247,26 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(MergeWriter.readTable(spark, dir).count() == 400 - bKeys.length)
   }
 
+  test("a REORDERED-column batch keeps the MoR fast path (column order " +
+       "is provenance noise, not a fallback trigger)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gmor-ord").toString + "/t"
+    seed(dir, 200)
+    // same column SET, different ORDER than the recorded schema — a
+    // by-name INSERT's shape; must still land as an overlay, never pay
+    // the CoW bucket rewrite
+    MergeWriter.merge(spark, dir,
+      Seq(("swapped", 3L, 1), ("fresh", 9999L, 2))
+        .toDF("body", "id", "grp"), Seq("id"))
+    val man = manifestText(dir)
+    assert(man.contains("\"ovl\":"),
+      "reordered batch must take the overlay path (manifest has no ovl)")
+    val rows = MergeWriter.readTable(spark, dir)
+      .filter(col("id").isin(3L, 9999L)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("body")).toMap
+    assert(rows == Map(3L -> "swapped", 9999L -> "fresh"))
+  }
+
   test("exactly-once: a replayed MoR txn batch is a zero-commit skip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mort").toString + "/t"
