@@ -5035,6 +5035,63 @@ object SparkEntry {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
           AS qty_sum
         FROM $cat.etl.li GROUP BY flag_status""")
+    }),
+
+    // The GOVERNED TABLE, end to end: one deleteVectors table carrying
+    // the whole declared-column family — identity surrogate, DEFAULT
+    // status, GENERATED column, PRIMARY KEY declaring the merge keys,
+    // CHECK constraint — through CREATE → bulk INSERT → ANALYZE →
+    // MoR trickle (sketch refresh) → rejected violating batch →
+    // row-level UPDATE (generated recompute). Every emitted fact is
+    // pure relational arithmetic over `orders` plus the identity
+    // uniqueness boolean.
+    "q194_governed_table" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-governed"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView(s"gov_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.gov (
+        rid BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        o_orderkey BIGINT, o_totalprice DOUBLE,
+        status STRING DEFAULT 'open',
+        okmod BIGINT GENERATED ALWAYS AS (o_orderkey % 97),
+        CONSTRAINT pk PRIMARY KEY (o_orderkey),
+        CONSTRAINT price_pos CHECK (o_totalprice > 0)
+      ) TBLPROPERTIES ('buckets'='8', 'clusterBy'='o_orderkey',
+        'deleteVectors'='true')""")
+      // cohort A: identity assigned, status defaulted, okmod computed
+      s.sql(s"""INSERT INTO $cat.etl.gov (o_orderkey, o_totalprice)
+        SELECT o_orderkey, o_totalprice FROM gov_src_$n
+        WHERE o_orderkey % 3 = 0""")
+      s.sql(s"CALL $cat.system.analyze(table => 'etl.gov')")
+      // cohort B: explicit status; commits refresh the stored sketches
+      s.sql(s"""INSERT INTO $cat.etl.gov
+        (o_orderkey, o_totalprice, status)
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM gov_src_$n
+        WHERE o_orderkey % 3 = 1""")
+      // the CHECK holds the line: a violating batch dies whole
+      val rejected = scala.util.Try(s.sql(s"""INSERT INTO $cat.etl.gov
+        (o_orderkey, o_totalprice)
+        SELECT o_orderkey + 500000000, -o_totalprice FROM gov_src_$n
+        WHERE o_orderkey % 3 = 0""")).isFailure
+      require(rejected, "q194: violating INSERT must be rejected")
+      // row-level UPDATE: generated column recomputed, not validated
+      s.sql(s"UPDATE $cat.etl.gov SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderkey % 100 = 7")
+      s.sql(s"""SELECT status,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        COUNT(DISTINCT rid) = COUNT(*) AS rid_unique,
+        CAST(SUM(okmod) AS BIGINT) AS okmod_sum,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS price_sum
+        FROM $cat.etl.gov GROUP BY status""")
     })
   )
 
@@ -8396,6 +8453,24 @@ object SparkEntry {
     // Layout-independent inventory invariants: live = all minus the
     // deleted cohort (upserts replace in place); dead = deleted cohort
     // + the replaced copies; overlay rows = the upsert batch.
+    // Cohort A (%3=0) defaults to 'open', cohort B (%3=1) carries its
+    // real status; the rejected batch left nothing; the UPDATE adds 1
+    // to %100=7 prices across both cohorts; okmod = o_orderkey % 97.
+    "q194_governed_table" ->
+      """WITH g AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus
+        |         ELSE 'open' END AS status,
+        |    o_orderkey % 97 AS okmod
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS rid_unique,
+        |  CAST(SUM(okmod) AS BIGINT) AS okmod_sum,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM g GROUP BY status""".stripMargin,
+
     // Generated values are pure functions of stored columns — the
     // oracle recomputes them; the rejected mismatch batch left nothing.
     "q193_generated_columns" ->
