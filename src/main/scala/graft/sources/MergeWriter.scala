@@ -1182,16 +1182,63 @@ object MergeWriter {
   // right shape: add-time validation is one corpus scan (exactly what
   // the guarantee requires), enforcement is O(written rows).
 
-  /** Column names a CHECK predicate references (top-level parts of its
-    * unresolved attributes) — the seam for rejecting RENAME/DROP of a
-    * constrained column.
+  /** Column names a CHECK predicate references, RESOLVED against the
+    * table's top-level fields — the seam for validating a new
+    * constraint and for rejecting RENAME/DROP of a constrained column.
+    * A multi-part reference is either struct access (`s.f` — the HEAD
+    * names the column) or a qualified reference (`t.price` — the
+    * SECOND part does); resolution prefers whichever part actually
+    * names a schema field, so qualified predicates neither get
+    * rejected as unknown nor slip past the alter guards.
     */
-  private def checkPredicateColumns(spark: SparkSession,
-                                    sql: String): Seq[String] =
+  private def checkPredicateColumns(spark: SparkSession, sql: String,
+                                    schema: StructType): Seq[String] = {
+    val names = schema.fieldNames
+    def resolve(parts: Seq[String]): String =
+      if (names.exists(_.equalsIgnoreCase(parts.head))) parts.head
+      else if (parts.length >= 2 &&
+        names.exists(_.equalsIgnoreCase(parts(1)))) parts(1)
+      else parts.head
     spark.sessionState.sqlParser.parseExpression(sql).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.nameParts.head
+        resolve(a.nameParts)
     }.distinct
+  }
+
+  /** Rewrite a CHECK predicate's QUALIFIED references (`t.price`) to
+    * the bare column the qualifier wraps, so the stored SQL resolves
+    * against the table's own attributes on every later read/write
+    * (enforcement binds the predicate to unqualified scans). Struct
+    * access whose head IS a column (`s.f`) passes through untouched.
+    */
+  private def normalizeCheckSql(spark: SparkSession, sql: String,
+                                schema: StructType): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val names = schema.fieldNames
+    spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.length >= 2 &&
+            !names.exists(_.equalsIgnoreCase(a.nameParts.head)) &&
+            names.exists(_.equalsIgnoreCase(a.nameParts(1))) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }.sql
+  }
+
+  /** Every (generatedColumn, expression, referencedColumn) triple of
+    * the schema's GENERATED ALWAYS AS expressions — the seam for
+    * rejecting RENAME/DROP of a referenced column, which would leave an
+    * unresolvable expression in the surviving field's metadata and fail
+    * every later write at analysis (Delta blocks these alters too).
+    */
+  private def generatedReferences(spark: SparkSession, schema: StructType)
+      : Seq[(String, String, String)] =
+    generatedSpecs(schema).toSeq.flatMap { case (c, g) =>
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(g)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.nameParts.head
+        }).getOrElse(Seq.empty).map(r => (c, g, r))
+    }
 
   /** Types `to_json` can serialize for the violation message — anything
     * else is elided from the diagnostic rather than risked at analysis.
@@ -1220,7 +1267,7 @@ object MergeWriter {
                             tablePath: String): DataFrame =
     checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
       val pass = coalesce(expr(sql).cast("boolean"), lit(true))
-      val refs = checkPredicateColumns(d.sparkSession, sql)
+      val refs = checkPredicateColumns(d.sparkSession, sql, d.schema)
         .flatMap(c => d.schema.fields.find(_.name.equalsIgnoreCase(c)))
         .filter(f => jsonSafe(f.dataType))
       val msg =
@@ -1258,19 +1305,23 @@ object MergeWriter {
         s"$tablePath as CHECK (${man0.checks(name)}) — drop it first")
     val schema = indexSchema(spark, tablePath, man0)
     val names = schema.fieldNames.map(_.toLowerCase).toSet
-    checkPredicateColumns(spark, predicateSql).foreach(c =>
+    // qualified references (`t.price`) lose their qualifier HERE, so
+    // the stored predicate binds to the table's own attributes on
+    // every later enforcement pass
+    val predicate = normalizeCheckSql(spark, predicateSql, schema)
+    checkPredicateColumns(spark, predicate, schema).foreach(c =>
       require(names.contains(c.toLowerCase),
-        s"addCheckConstraint: CHECK ($predicateSql) references column " +
+        s"addCheckConstraint: CHECK ($predicate) references column " +
           s"'$c' which is not in the schema of $tablePath"))
     // one pruned scan of the PINNED version: the proof the constraint
     // claims — every live row passes (TRUE or NULL; FALSE fails)
     val violating = readTableVersion(spark, tablePath, man0.version)
-      .filter(!coalesce(expr(predicateSql).cast("boolean"), lit(true)))
+      .filter(!coalesce(expr(predicate).cast("boolean"), lit(true)))
       .limit(1).collect()
     if (violating.nonEmpty)
       throw new IllegalStateException(
         s"addCheckConstraint: existing rows of $tablePath violate " +
-          s"CHECK ($predicateSql) — e.g. ${violating(0)}; constraint " +
+          s"CHECK ($predicate) — e.g. ${violating(0)}; constraint " +
           "not added")
     var attempt = 0
     while (attempt <= 5) {
@@ -1292,7 +1343,7 @@ object MergeWriter {
           try {
             commitManifest(fs, dir,
               man.copy(version = man.version + 1,
-                checks = man.checks + (name -> predicateSql),
+                checks = man.checks + (name -> predicate),
                 op = "addconstraint", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -1361,23 +1412,91 @@ object MergeWriter {
     }.toMap
 
   /** Fill NULL identity inputs with fresh values past the table's
-    * high-water. One pass, codegen-friendly; ordinals come from
-    * partition-offset arithmetic (monotonically increasing ids), so
-    * assignment never serializes the batch through one task.
+    * high-water via PER-PARTITION CONTIGUOUS RESERVATION: one narrow
+    * counting job sizes each partition (and counts its NULL inputs — a
+    * batch with none skips assignment entirely), a driver-side prefix
+    * sum turns the counts into contiguous ordinal ranges, and the
+    * assignment pass computes `hw + (offset[pid] + localOrdinal + 1) ×
+    * step` inside whole-stage codegen. The high-water therefore
+    * advances ∝ ROWS WRITTEN — never ∝ maxPartitionId·2³³ the way raw
+    * `monotonically_increasing_id` ordinals would, which on a
+    * ~10⁵-task cluster write burns ~8·10¹⁴ of the BIGINT space per
+    * commit. Gaps remain allowed (identity's universal contract), and
+    * the counting job relies on the frame's partitioning being stable
+    * across re-evaluation — Spark's own writer-retry guarantee (its
+    * sources replay deterministically and round-robin repartition
+    * sorts first, SPARK-23207). Narrow identity types (INT/SHORT) get
+    * a fused range guard: a fresh value outside the declared type's
+    * range fails the commit loudly in BOTH ANSI and legacy modes,
+    * never wrapping into colliding ids.
     */
   private def assignIdentity(df: DataFrame,
                              specs: Map[String, (Long, Long)],
-                             hw: Map[String, Long]): DataFrame =
-    specs.foldLeft(df) { case (d, (c, (start, step))) =>
-      if (!d.columns.contains(c)) d
-      else {
-        val base = hw.getOrElse(c, start - step)
-        val dt = d.schema(d.schema.fieldIndex(c)).dataType
-        d.withColumn(c, coalesce(col(c),
-          (lit(base) + (monotonically_increasing_id() + lit(1L)) *
-            lit(step)).cast(dt)))
+                             hw: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val present = specs.keys.toSeq.sorted.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    // ONE narrow job over the batch: per-partition row totals (the
+    // reservation sizes) and per-column NULL counts (the skip signal)
+    val perPart = df.select(present.map(col): _*).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var total = 0L
+        val nulls = new Array[Long](present.length)
+        it.foreach { r =>
+          total += 1L
+          var j = 0
+          while (j < nulls.length) {
+            if (r.isNullAt(j)) nulls(j) += 1L
+            j += 1
+          }
+        }
+        Iterator((pid, total, nulls))
+      }.collect()
+    val needs = present.indices
+      .filter(j => perPart.exists(_._3(j) > 0L)).map(present)
+    if (needs.isEmpty) return df
+    val nParts = perPart.iterator.map(_._1).foldLeft(-1)(math.max) + 1
+    val offsets = new Array[Long](math.max(nParts, 1))
+    locally {
+      val byPid = perPart.iterator.map(t => t._1 -> t._2).toMap
+      var acc = 0L
+      var i = 0
+      while (i < nParts) {
+        offsets(i) = acc; acc += byPid.getOrElse(i, 0L); i += 1
       }
     }
+    // the partition-contiguous ordinal, materialized ONCE (a temp
+    // column) so every identity column reads the same per-row value —
+    // never a second evaluation of the nondeterministic counter
+    val ordCol = "__graft_identity_ordinal"
+    val withOrd = df.withColumn(ordCol,
+      element_at(typedlit(offsets.toSeq), spark_partition_id() + lit(1)) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1L)))
+    val ordinal = col(ordCol)
+    needs.foldLeft(withOrd) { case (d, c) =>
+      val (start, step) = specs(c)
+      val base = hw.getOrElse(c, start - step)
+      val dt = d.schema(d.schema.fieldIndex(c)).dataType
+      val fresh = lit(base) + (ordinal + lit(1L)) * lit(step)
+      val guarded = dt match {
+        case LongType => fresh
+        case _ =>
+          val (lo, hi) = dt match {
+            case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+            case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+            case other => throw new IllegalStateException(
+              s"assignIdentity: unsupported identity type $other for '$c'")
+          }
+          when(fresh.between(lit(lo), lit(hi)), fresh)
+            .otherwise(raise_error(concat(
+              lit(s"graft: identity column '$c' (${dt.simpleString}) " +
+                "exhausted its declared type's range at value "),
+              fresh.cast("string"),
+              lit(" — widen the column or re-create the table"))))
+      }
+      d.withColumn(c, coalesce(col(c), guarded.cast(dt)))
+    }.drop(ordCol)
+  }
 
   /** The written epoch's per-column identity extreme (max for step>0,
     * min for step<0) — ONE narrow agg over the freshly written files,
@@ -1471,9 +1590,20 @@ object MergeWriter {
       .getOrElse(df.schema)
     val idSpec = identitySpecs(declared)
     val genSpec = generatedSpecs(declared)
+    // a direct API merge that OMITS a declared identity/generated
+    // column must not store NULLs for it — add the column as a typed
+    // NULL so assignment/computation always runs (the documented
+    // "assignment precedes every write" invariant)
+    val complete = (idSpec.keys ++ genSpec.keys).toSeq.distinct.sorted
+      .filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      .foldLeft(df) { (d, c) =>
+        d.withColumn(c,
+          lit(null).cast(declared(declared.fieldIndex(c)).dataType))
+      }
     val assigned =
-      if (idSpec.isEmpty) df
-      else assignIdentity(df, idSpec, man.map(_.idhw).getOrElse(Map.empty))
+      if (idSpec.isEmpty) complete
+      else assignIdentity(complete, idSpec,
+        man.map(_.idhw).getOrElse(Map.empty))
     if (genSpec.isEmpty) assigned
     else applyGenerated(assigned, genSpec, tablePath, recomputeGenerated)
   }
@@ -1873,11 +2003,17 @@ object MergeWriter {
               "per-epoch sidecars are name-keyed; rebuild without the " +
               "bloom index first")
           man.checks.foreach { case (cn, sql) =>
-            require(!checkPredicateColumns(spark, sql)
+            require(!checkPredicateColumns(spark, sql, cur)
                 .exists(_.equalsIgnoreCase(from)),
               s"renameColumn: '$from' is referenced by CHECK constraint " +
                 s"'$cn' CHECK ($sql) — drop the constraint, rename, and " +
                 "re-add it over the new name")
+          }
+          generatedReferences(spark, cur).foreach { case (gc, g, r) =>
+            require(!r.equalsIgnoreCase(from),
+              s"renameColumn: '$from' is referenced by generated column " +
+                s"'$gc' GENERATED ALWAYS AS ($g) — the stored expression " +
+                "would no longer resolve; re-create the table to rename it")
           }
           def re(c: String): String = if (c == from) to else c
           def reCluster(entry: String): String = entry.indexOf(':') match {
@@ -1904,6 +2040,9 @@ object MergeWriter {
               colStats = man.colStats.map { case (c, s) => re(c) -> s },
               colSketches = man.colSketches
                 .map { case (c, s) => re(c) -> s },
+              // the identity high-water is name-keyed too: a rename
+              // that orphaned it would silently re-issue stored values
+              idhw = man.idhw.map { case (c, v) => re(c) -> v },
               op = "renameColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -2079,10 +2218,15 @@ object MergeWriter {
           require(!man.keyCols.contains(name),
             s"dropColumn: '$name' is a merge key")
           man.checks.foreach { case (cn, sql) =>
-            require(!checkPredicateColumns(spark, sql)
+            require(!checkPredicateColumns(spark, sql, cur)
                 .exists(_.equalsIgnoreCase(name)),
               s"dropColumn: '$name' is referenced by CHECK constraint " +
                 s"'$cn' CHECK ($sql) — drop the constraint first")
+          }
+          generatedReferences(spark, cur).foreach { case (gc, g, r) =>
+            require(!r.equalsIgnoreCase(name),
+              s"dropColumn: '$name' is referenced by generated column " +
+                s"'$gc' GENERATED ALWAYS AS ($g) — drop '$gc' first")
           }
           val inCluster = man.clusterCols.exists { e =>
             e.indexOf(':') match {
@@ -2109,6 +2253,7 @@ object MergeWriter {
               colIds = man.colIds - name,
               colStats = man.colStats - name,
               colSketches = man.colSketches - name,
+              idhw = man.idhw - name,
               op = "dropColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return

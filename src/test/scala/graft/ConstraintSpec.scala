@@ -157,6 +157,26 @@ class ConstraintSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getDouble(0) == 1.0)
   }
 
+  test("a QUALIFIED CHECK predicate (t.col) is accepted, stored " +
+       "unqualified, and enforced; unknown references still fail") {
+    spark.sql(
+      """CREATE TABLE ck.ns.q (id BIGINT, price DOUBLE)
+        |TBLPROPERTIES ('keys'='id', 'buckets'='2')""".stripMargin)
+    val p = tablePath("q")
+    MergeWriter.addCheckConstraint(spark, p, "pos", "t.price > 0")
+    spark.sql("INSERT INTO ck.ns.q VALUES (1, 5.0)")
+    violates(spark.sql("INSERT INTO ck.ns.q VALUES (2, -1.0)"))
+    // RENAME of the constrained column is caught through the qualifier
+    val r = intercept[Exception](
+      MergeWriter.renameColumn(spark, p, "price", "cost"))
+    assert(Iterator.iterate(r: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x => Option(x.getMessage)
+        .exists(_.contains("CHECK constraint"))), s"got: ${r.getMessage}")
+    // a qualified reference to a column that does NOT exist fails loudly
+    intercept[Exception](
+      MergeWriter.addCheckConstraint(spark, p, "bad", "t.nope > 0"))
+  }
+
   test("constraints survive commits and surface on the DSv2 table") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
     import org.apache.spark.sql.connector.catalog.constraints.Check

@@ -95,6 +95,31 @@ class GeneratedColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .exists(_.contains("generated column"))))
   }
 
+  test("RENAME/DROP of a column referenced by a generated expression " +
+       "is rejected — the stored expression must keep resolving") {
+    spark.sql(
+      """CREATE TABLE gen.ns.guard (
+        |  id BIGINT, amount DOUBLE,
+        |  cents BIGINT GENERATED ALWAYS AS
+        |    (CAST(ROUND(amount * 100) AS BIGINT)))
+        |TBLPROPERTIES ('keys'='id', 'buckets'='2')""".stripMargin)
+    val p = tablePath("guard")
+    val r = intercept[Exception](
+      MergeWriter.renameColumn(spark, p, "amount", "amt"))
+    assert(Iterator.iterate(r: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x => Option(x.getMessage)
+        .exists(_.contains("generated column"))), s"got: ${r.getMessage}")
+    val d = intercept[Exception](
+      MergeWriter.dropColumn(spark, p, "amount"))
+    assert(Iterator.iterate(d: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(x => Option(x.getMessage)
+        .exists(_.contains("generated column"))), s"got: ${d.getMessage}")
+    // dropping the GENERATED column itself stays allowed (its spec
+    // rides the dropped field), and the referenced column frees up
+    MergeWriter.dropColumn(spark, p, "cents")
+    MergeWriter.renameColumn(spark, p, "amount", "amt")
+  }
+
   test("self-references and generated-on-generated are rejected at " +
        "create") {
     val e = intercept[Exception](spark.sql(
