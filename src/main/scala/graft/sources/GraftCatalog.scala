@@ -1768,6 +1768,32 @@ private[sources] class GraftStreamableParquetScan(
         case DoubleType => java.lang.Double.valueOf(s.toDouble)
         case _ => null
       }).toOption.filter(_ != null)
+    // ANALYZE's equi-height histogram, decoded from the manifest's
+    // compact "height|lo,hi,ndv;..." record (canonical internal double
+    // domain — exactly what catalyst's FilterEstimation compares filter
+    // literals in). transformV2Stats maps these bins 1:1 into catalyst
+    // HistogramBins, so selectivity on SKEWED columns tracks the real
+    // distribution instead of uniform-NDV assumptions.
+    def parseHist(s: String): Option[
+        org.apache.spark.sql.connector.read.colstats.Histogram] =
+      scala.util.Try {
+        val Array(h, binsTxt) = s.split('|')
+        val bs = binsTxt.split(';').map { b =>
+          val Array(loTxt, hiTxt, ndvTxt) = b.split(',')
+          val (binLo, binHi, binNdv) =
+            (loTxt.toDouble, hiTxt.toDouble, ndvTxt.toLong)
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = binLo
+            override def hi(): Double = binHi
+            override def ndv(): Long = binNdv
+          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+        }
+        new org.apache.spark.sql.connector.read.colstats.Histogram {
+          override def height(): Double = h.toDouble
+          override def bins(): Array[
+            org.apache.spark.sql.connector.read.colstats.HistogramBin] = bs
+        }: org.apache.spark.sql.connector.read.colstats.Histogram
+      }.toOption
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
@@ -1775,6 +1801,7 @@ private[sources] class GraftStreamableParquetScan(
       typeOf.get(c).foreach { dt =>
         val mn = internal(dt, cs.min)
         val mx = internal(dt, cs.max)
+        val hist = man.colHists.get(c).flatMap(parseHist)
         out.put(
           org.apache.spark.sql.connector.expressions.Expressions.column(c),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1792,6 +1819,11 @@ private[sources] class GraftStreamableParquetScan(
             override def max(): java.util.Optional[Object] =
               mx.fold(java.util.Optional.empty[Object]())(
                 java.util.Optional.of[Object])
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist.fold(java.util.Optional.empty[
+                org.apache.spark.sql.connector.read.colstats.Histogram]())(
+                java.util.Optional.of)
           })
       }
     }

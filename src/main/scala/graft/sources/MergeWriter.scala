@@ -397,6 +397,23 @@ object MergeWriter {
                                        // (start/step) lives in the
                                        // schema's field metadata.
                                        idhw: Map[String, Long] =
+                                         Map.empty,
+                                       // EQUI-HEIGHT HISTOGRAMS (ANALYZE
+                                       // — Spark's own histogram shape):
+                                       // per rangeable column, a compact
+                                       // "height|lo,hi,ndv;..." record
+                                       // in the canonical internal
+                                       // domain (days / micros /
+                                       // numeric as double). Served to
+                                       // the CBO with the other column
+                                       // stats (same freshness gate) so
+                                       // selectivity on SKEWED columns
+                                       // tracks the real distribution
+                                       // instead of uniform-NDV
+                                       // assumptions. ESTIMATES pinned
+                                       // to statsVersion, carried
+                                       // forward like colStats.
+                                       colHists: Map[String, String] =
                                          Map.empty)
 
   /** One column's table-level statistics record (see
@@ -568,7 +585,9 @@ object MergeWriter {
         val b = Map.newBuilder[String, Long]
         n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
         b.result()
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // absent in pre-histogram manifests — backward compatible
+      strMap(node.get("chist")))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -671,6 +690,9 @@ object MergeWriter {
       .append(if (m.idhw.isEmpty) "" else
         ",\"idhw\":{" + m.idhw.toSeq.sortBy(_._1).map { case (c, v) =>
           jsonStr(c) + ":" + v }.mkString(",") + "}")
+      .append(if (m.colHists.isEmpty) "" else
+        ",\"chist\":{" + m.colHists.toSeq.sortBy(_._1).map { case (c, h) =>
+          jsonStr(c) + ":" + jsonStr(h) }.mkString(",") + "}")
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
@@ -2043,6 +2065,7 @@ object MergeWriter {
               // the identity high-water is name-keyed too: a rename
               // that orphaned it would silently re-issue stored values
               idhw = man.idhw.map { case (c, v) => re(c) -> v },
+              colHists = man.colHists.map { case (c, h) => re(c) -> h },
               op = "renameColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -2254,6 +2277,7 @@ object MergeWriter {
               colStats = man.colStats - name,
               colSketches = man.colSketches - name,
               idhw = man.idhw - name,
+              colHists = man.colHists - name,
               op = "dropColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -2494,6 +2518,23 @@ object MergeWriter {
            DoubleType | DateType | TimestampType | TimestampNTZType => true
       case _ => false // Spark's ANALYZE records no string min/max either
     }
+    // EQUI-HEIGHT HISTOGRAM sizing: bin-boundary percentiles ride the
+    // SAME corpus pass as everything else; per-bin NDVs take one more
+    // pass (below). 0 bins disables.
+    val histBins = math.max(0,
+      spark.conf.get("spark.graft.analyze.histogramBins", "32").toInt)
+    // the column in the CANONICAL INTERNAL double domain (epoch days /
+    // micros / numeric value) — the domain catalyst's estimator
+    // compares filter literals in, so stored bin bounds match directly
+    def histDouble(c: String): org.apache.spark.sql.Column = typeOf(c) match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        // sessions run UTC (the canonical-domain convention): local
+        // wall-clock micros == the same UTC instant's micros
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => col(c).cast("double")
+    }
     // aggregate over the PINNED version so the recorded statsVersion
     // names exactly the rows the stats were computed from (a concurrent
     // commit between the manifest read and the pass must not drift the
@@ -2512,10 +2553,61 @@ object MergeWriter {
         else Seq.empty) ++
         (if (rangeable(dt))
           Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
+        else Seq.empty) ++
+        (if (rangeable(dt) && histBins > 0)
+          Seq(percentile_approx(histDouble(c),
+            typedlit((0 to histBins).map(_.toDouble / histBins)),
+            lit(10000)).as(s"__pct_$c"))
         else Seq.empty)
     }
     val row = t.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getAs[Long]("__rows")
+    // per-bin NDVs: ONE more corpus pass through Spark's own
+    // ApproxCountDistinctForIntervals (the aggregate vanilla ANALYZE's
+    // histogram path uses — one HLL per interval in a single scan).
+    // Total: 2 scans per ANALYZE, one fewer than vanilla's 3 (its
+    // percentile pass is fused into this pass 1). Duplicate endpoints
+    // (heavy hitters spanning bins) are kept, exactly as Spark keeps
+    // them — a bin with lo == hi IS the skew signal.
+    val histOf: Map[String, String] = {
+      val endpoints = cols.flatMap { c =>
+        if (!rangeable(typeOf(c)) || histBins <= 0) None
+        else {
+          val i = row.fieldIndex(s"__pct_$c")
+          if (row.isNullAt(i)) None
+          else Option(row.getSeq[Double](i).toArray).filter(_.length >= 2)
+            .map(c -> _)
+        }
+      }
+      if (endpoints.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.GraftColumnShim.{column, expression}
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray,
+          Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproxCountDistinctForIntervals
+        val aggs2 = endpoints.map { case (c, eps) =>
+          column(new ApproxCountDistinctForIntervals(
+            expression(histDouble(c)),
+            CreateArray(eps.toIndexedSeq.map(e => Literal(e))),
+            0.05, 0, 0).toAggregateExpression()).as(s"__hist_$c")
+        }
+        val row2 = t.agg(aggs2.head, aggs2.tail: _*).collect()(0)
+        endpoints.flatMap { case (c, eps) =>
+          val i = row2.fieldIndex(s"__hist_$c")
+          if (row2.isNullAt(i)) None
+          else {
+            val ndvs = row2.getSeq[Long](i)
+            val nBins = eps.length - 1
+            val height =
+              row.getAs[Long](s"__nn_$c").toDouble / nBins
+            Some(c -> (height.toString + "|" +
+              (0 until nBins).map(b =>
+                s"${eps(b)},${eps(b + 1)},${ndvs(b)}").mkString(";")))
+          }
+        }.toMap
+      }
+    }
     def canon(c: String, field: String): String = {
       val i = row.fieldIndex(s"${field}_$c")
       if (row.isNullAt(i)) ""
@@ -2559,6 +2651,7 @@ object MergeWriter {
               man.copy(version = man.version + 1, colStats = computed,
                 statsVersion = man0.version, statsRows = rows,
                 colSketches = sketchOf,
+                colHists = histOf,
                 op = "analyze",
                 opTs = System.currentTimeMillis()))
             gc(fs, dir)
@@ -5475,7 +5568,8 @@ object MergeWriter {
             checks = effChecks,
             colSketches = base.map(_.colSketches).getOrElse(Map.empty),
             idhw = advanceIdhw(base.map(_.idhw).getOrElse(Map.empty),
-              epochIdSpec, idExt)),
+              epochIdSpec, idExt),
+            colHists = base.map(_.colHists).getOrElse(Map.empty)),
           batchSk))
         return
       } catch {

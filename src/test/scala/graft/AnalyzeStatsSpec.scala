@@ -108,6 +108,9 @@ class AnalyzeStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.toPath).maxBy(_.getFileName.toString)), "UTF-8")
     assert(man.contains("\"cstats\":") && man.contains("\"cstatsv\":") &&
       man.contains("\"cstatsr\":"))
+    // the histogram record rides later commits forward the same way
+    assert(man.contains("\"chist\":"),
+      "equi-height histograms must carry forward with the other stats")
   }
 
   private def attrStats(sql: String) = {
@@ -187,6 +190,40 @@ class AnalyzeStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-ANALYZE restores both stats and sketches
     spark.sql("CALL gan.system.analyze(table => 'ns.legacy')")
     assert(attrStats("SELECT * FROM gan.ns.legacy").attributeStats.nonEmpty)
+  }
+
+  test("ANALYZE records equi-height histograms; skewed-column equality " +
+       "selectivity tracks the real distribution, not uniform NDV") {
+    spark.sql("CREATE TABLE gan.ns.skew (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4')")
+    // 90% of rows carry v=7 (the reference's per-org partitionKey skew
+    // shape); the rest spread over ~1000 values
+    spark.sql("INSERT INTO gan.ns.skew SELECT id, " +
+      "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 1000 END " +
+      "FROM range(0, 10000)")
+    spark.sql("CALL gan.system.analyze(table => 'ns.skew')")
+    val vStat = attrStats("SELECT * FROM gan.ns.skew").attributeStats
+      .toSeq.find(_._1.name == "v").map(_._2)
+      .getOrElse(fail("no stats for v"))
+    assert(vStat.histogram.isDefined, "ANALYZE must record a histogram")
+    val bins = vStat.histogram.get.bins
+    assert(bins.length >= 8, s"bins: ${bins.length}")
+    // equi-height over 90% skew: the heavy hitter OWNS most bins
+    // (duplicate endpoints — lo == hi == 7); that is the skew signal
+    // uniform NDV cannot carry
+    assert(bins.count(b => b.lo == 7.0 && b.hi == 7.0) >= bins.length / 2,
+      s"heavy hitter must span bins: ${bins.map(b => (b.lo, b.hi)).toSeq}")
+    // the CBO's equality selectivity now SEPARATES heavy from rare —
+    // under uniform-NDV both estimates would be identical (rows/ndv)
+    val heavy = attrStats("SELECT * FROM gan.ns.skew WHERE v = 7")
+      .rowCount.map(_.toLong)
+      .getOrElse(fail("no rowCount for the heavy filter"))
+    val rare = attrStats("SELECT * FROM gan.ns.skew WHERE v = 503")
+      .rowCount.map(_.toLong)
+      .getOrElse(fail("no rowCount for the rare filter"))
+    assert(heavy >= 10L * math.max(rare, 1L),
+      s"histogram selectivity must separate skew: heavy=$heavy rare=$rare")
+    assert(heavy >= 5000L, s"the 90% hitter must estimate large: $heavy")
   }
 
   test("a filter-pruned scan gets exact numRows but not whole-table " +
