@@ -5092,6 +5092,46 @@ object SparkEntry {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           AS price_sum
         FROM $cat.etl.gov GROUP BY status""")
+    }),
+
+    // EQUALITY DELETES (Iceberg v2's equality-delete files): on an
+    // 'eqDeletes'='true' table, small keyed upserts and deletes commit
+    // a DOOMED-KEY sidecar instead of probing stored rows for positions
+    // — the write path never reads (the trickle-CDC shape; the
+    // reference's SQS-fed state upserts, serverless.yml:400-407). Two
+    // stacked SQL upsert rounds (round 2's keys a subset of round 1's —
+    // sequence-number scoping must leave exactly the newest copy) and a
+    // blind SQL DELETE, read back through the native catalog scan,
+    // which resolves the doomed keys to row positions at plan time.
+    // Must equal copy-on-write semantics bit-for-bit.
+    "q195_eq_deletes" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-eqd"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView(s"eqd_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+        'clusterBy'='doc_id', 'eqDeletes'='true')""")
+      s.sql(s"INSERT INTO $cat.etl.docs " +
+        s"SELECT doc_id, lang, n_chars FROM eqd_src_$n")
+      // upsert round 1: %37=1 keys re-landed with new lang/length
+      s.sql(s"""INSERT INTO $cat.etl.docs
+        SELECT doc_id, 'zz', n_chars + 1000 FROM eqd_src_$n
+        WHERE doc_id % 37 = 1""")
+      // round 2 doubles down on a SUBSET of round 1's keys — the
+      // stacked eq-deletes must leave only the newest copy
+      s.sql(s"""INSERT INTO $cat.etl.docs
+        SELECT doc_id, 'ww', n_chars + 2000 FROM eqd_src_$n
+        WHERE doc_id % 74 = 1""")
+      // blind delete: no read resolves these keys at write time
+      s.sql(s"DELETE FROM $cat.etl.docs WHERE doc_id % 53 = 5")
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.etl.docs")
     })
   )
 
@@ -8470,6 +8510,18 @@ object SparkEntry {
         |  CAST(SUM(okmod) AS BIGINT) AS okmod_sum,
         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM g GROUP BY status""".stripMargin,
+
+    // Equality deletes must equal copy-on-write semantics exactly:
+    // base rows with the two upsert rounds applied (round 2 wins where
+    // both touched), minus the blind-deleted keys.
+    "q195_eq_deletes" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 74 = 1 THEN 'ww'
+        |       WHEN doc_id % 37 = 1 THEN 'zz' ELSE lang END AS lang,
+        |  CAST(CASE WHEN doc_id % 74 = 1 THEN n_chars + 2000
+        |       WHEN doc_id % 37 = 1 THEN n_chars + 1000
+        |       ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents WHERE NOT (doc_id % 53 = 5)""".stripMargin,
 
     // Generated values are pure functions of stored columns — the
     // oracle recomputes them; the rejected mismatch batch left nothing.

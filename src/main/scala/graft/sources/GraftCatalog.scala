@@ -283,6 +283,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                bloomItems: Long, retainVersions: Int,
                                retainMs: Long, fingerprint: Boolean,
                                deleteVectors: Boolean,
+                               eqDeletes: Boolean,
                                // Some(identDir -> target): a CREATE with
                                // a custom LOCATION must persist this
                                // pointer so later statements resolve it
@@ -345,7 +346,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(MergeWriter.DefaultBloomItems),
       fingerprint = prop("fingerprint").exists(_.equalsIgnoreCase("true")),
       deleteVectors = prop("deleteVectors")
-        .exists(_.equalsIgnoreCase("true")),
+        .exists(_.equalsIgnoreCase("true")) ||
+        prop("eqDeletes").exists(_.equalsIgnoreCase("true")),
+      eqDeletes = prop("eqDeletes").exists(_.equalsIgnoreCase("true")),
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
       retainMs = prop("retainMs").map(_.toLong).getOrElse(0L),
@@ -397,7 +400,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       buckets = spec.buckets, clusterBy = spec.clusterBy,
       bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
       retainVersions = spec.retainVersions, retainMs = spec.retainMs,
-      fingerprint = spec.fingerprint, deleteVectors = spec.deleteVectors)
+      fingerprint = spec.fingerprint, deleteVectors = spec.deleteVectors,
+      eqDeletes = spec.eqDeletes)
     catch { case e: Throwable => removePointer(spec); throw e }
     new GraftSqlTable(spark, spec.path, spec.name)
   }
@@ -1128,6 +1132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     bloomItems = spec.bloomItems, relayout = preexisting,
                     fingerprint = spec.fingerprint,
                     deleteVectors = spec.deleteVectors,
+                    eqDeletes = spec.eqDeletes,
                     expectFresh = !preexisting)
                 }
                 written = true
@@ -1283,6 +1288,7 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       "clusterBy" -> man.clusterCols.mkString(","),
       "bloomBy" -> man.bloomCols.mkString(","),
       "deleteVectors" -> man.deleteVectors.toString,
+      "eqDeletes" -> man.eqDeletes.toString,
       "version" -> man.version.toString).asJava
 
   /** The table's ANSI constraints in DSv2 form: every recorded CHECK
@@ -1485,7 +1491,8 @@ private[sources] class GraftTableScanBuilder(
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    !MergeWriter.hasLiveDvs(man) && super.pushAggregation(aggregation)
+    !MergeWriter.hasLiveDvs(man) && !MergeWriter.hasLiveEqds(man) &&
+      super.pushAggregation(aggregation)
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
@@ -1548,7 +1555,8 @@ private[sources] class GraftStreamableParquetScan(
   // still a single native plan, vs the retired V1 bridge's
   // second-plan + Row-RDD detour; compaction restores columnar batches
   // and the window is bounded by MergeWriter.DvAutoCompactFiles.
-  private val dvLive = MergeWriter.hasLiveDvs(man)
+  private val dvLive =
+    MergeWriter.hasLiveDvs(man) || MergeWriter.hasLiveEqds(man)
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
@@ -1561,8 +1569,14 @@ private[sources] class GraftStreamableParquetScan(
       val listed = p.fileIndex
         .listFiles(p.partitionFilters, p.dataFilters)
         .flatMap(_.files).map(_.getPath.toString).toSet
-      val dvDead = MergeWriter.dvDeadByAbsPath(p.sparkSession, tablePath,
-        man, Some(listed))
+      // equality deletes resolve to positions HERE (one bounded probe
+      // job — the read the write path skipped, paid lazily) and ride
+      // the same reader-side row-index skip as position DVs
+      val dvDead = MergeWriter.mergeDeadMaps(
+        MergeWriter.dvDeadByAbsPath(p.sparkSession, tablePath,
+          man, Some(listed)),
+        MergeWriter.eqdDeadByAbsPath(p.sparkSession, tablePath,
+          man, Some(listed)))
       val full = readDataSchema.fields ++ readPartitionSchema.fields
       new GraftDvSkipReaderFactory(inner, dvDead,
         full.map(_.dataType),
@@ -1728,7 +1742,11 @@ private[sources] class GraftStreamableParquetScan(
   // conservative direction for planning. Buckets without recorded
   // stats fall back to the inherited estimate.
   private lazy val rowsByPath: Map[String, Long] =
-    man.epochs.toSeq.flatMap { case (b, e) =>
+    // live equality deletes kill an UNRESOLVED number of stored rows —
+    // per-file live counts are unknowable from metadata, so fall back
+    // to the inherited size-based estimate rather than overcount
+    if (MergeWriter.hasLiveEqds(man)) Map.empty
+    else man.epochs.toSeq.flatMap { case (b, e) =>
       // rows = -1 is the legacy "unknown" sentinel (pre-round-11
       // unclustered commits) — leave those out so the completeness
       // check below falls back to the inherited estimate
@@ -1914,7 +1932,8 @@ private[sources] object GraftStreamableParquetScan {
   def physicalReadSchema(read: StructType,
                          man: MergeWriter.Manifest): StructType = {
     val stamped = MergeWriter.stampSchema(read, man.colIds)
-    if (!MergeWriter.hasLiveDvs(man)) stamped
+    if (!MergeWriter.hasLiveDvs(man) && !MergeWriter.hasLiveEqds(man))
+      stamped
     else StructType(stamped.fields :+
       // nullable: the column is absent from the files (the reader
       // GENERATES it); a required-but-missing column fails the

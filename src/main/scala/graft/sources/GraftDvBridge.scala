@@ -74,7 +74,8 @@ private[sources] object GraftDvBridge {
     val pinned = buckets.fold(man)(bs => man.copy(
       epochs = man.epochs.filter { case (b, _) => bs(b) },
       stats = man.stats.filter { case (b, _) => bs(b) },
-      overlays = man.overlays.filter { case (b, _) => bs(b) }))
+      overlays = man.overlays.filter { case (b, _) => bs(b) },
+      eqds = man.eqds.filter { case (b, _) => bs(b) }))
     MergeWriter.readPinnedWhere(spark, tablePath, pinned, preds)
   }
 

@@ -118,7 +118,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     // through the DV-aware storage read; pushed filters still prune
     // files through the shared stats/Bloom/key-bucket machinery, and
     // Spark re-evaluates every filter exactly (unhandledFilters default)
-    if (MergeWriter.hasLiveDvs(man))
+    if (MergeWriter.hasLiveDvs(man) || MergeWriter.hasLiveEqds(man))
       return new BaseRelation with PrunedFilteredScan {
         override def sqlContext: SQLContext = sqlContext0
         private def sqlContext0 = spark.sqlContext
@@ -202,20 +202,22 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val bloomBy = csv(parameters, "bloomBy").getOrElse(Seq.empty)
     val bloomItems = parameters.get("bloomItems").map(_.toLong)
       .getOrElse(MergeWriter.DefaultBloomItems)
-    val deleteVectors = parameters.get("deleteVectors")
+    val eqDeletes = parameters.get("eqDeletes")
+      .exists(_.equalsIgnoreCase("true"))
+    val deleteVectors = eqDeletes || parameters.get("deleteVectors")
       .exists(_.equalsIgnoreCase("true"))
     def doMerge(): Unit =
       MergeWriter.merge(spark, path, data, writeKeys(parameters, existing,
         path), buckets, clusterBy = clusterBy, bloomBy = bloomBy,
         bloomItems = bloomItems, deleteVectors = deleteVectors,
-        ref = branch)
+        eqDeletes = eqDeletes, ref = branch)
     mode match {
       case SaveMode.Append => doMerge()
       case SaveMode.Overwrite =>
         MergeWriter.overwriteTable(spark, path, data,
           writeKeys(parameters, existing, path), buckets,
           clusterBy = clusterBy, bloomBy = bloomBy, bloomItems = bloomItems,
-          deleteVectors = deleteVectors)
+          deleteVectors = deleteVectors, eqDeletes = eqDeletes)
       case SaveMode.ErrorIfExists =>
         if (existing.isDefined) throw new IllegalArgumentException(
           s"graft write: $path already exists (SaveMode.ErrorIfExists)")
@@ -460,10 +462,11 @@ class GraftFileIndex private[sources] (
   // The V1 format route bridges such versions through the DV-aware
   // storage read instead, so reaching here without the flag is a
   // routing bug, not a user error
-  require(dvAware || !MergeWriter.hasLiveDvs(man),
+  require(dvAware ||
+      (!MergeWriter.hasLiveDvs(man) && !MergeWriter.hasLiveEqds(man)),
     s"GraftFileIndex: $tablePath version ${man.version} carries live " +
-      "deletion vectors — route this read through GraftDvBridge or a " +
-      "DV-skipping scan")
+      "deletion vectors or equality deletes — route this read through " +
+      "GraftDvBridge or a dead-row-skipping scan")
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 

@@ -414,7 +414,48 @@ object MergeWriter {
                                        // to statsVersion, carried
                                        // forward like colStats.
                                        colHists: Map[String, String] =
-                                         Map.empty)
+                                         Map.empty,
+                                       // EQUALITY DELETES (Iceberg v2
+                                       // equality-delete files): per
+                                       // bucket, ordered sidecar
+                                       // records of DOOMED KEYS — each
+                                       // kills matching rows in the
+                                       // bucket's epochs with ordinal
+                                       // < upTo (base = 0, overlays in
+                                       // append order). Written by the
+                                       // write-only MoR upsert/delete
+                                       // (no position-resolving probe
+                                       // read in the write path — the
+                                       // trickle-CDC shape); format
+                                       // reads filter them by a
+                                       // broadcast anti-join, the
+                                       // native catalog scan resolves
+                                       // them to row positions at plan
+                                       // time, any full bucket rewrite
+                                       // purges. See [[EqDel]].
+                                       eqds: Map[Int, Seq[EqDel]] =
+                                         Map.empty,
+                                       // EQUALITY-DELETE policy (opt-in
+                                       // at creation; requires
+                                       // deleteVectors): when true,
+                                       // small keyed upserts/deletes
+                                       // commit doomed-KEY sidecars
+                                       // instead of probing stored rows
+                                       // for positions — the write path
+                                       // never reads.
+                                       eqDeletes: Boolean = false)
+
+  /** One equality-delete record of a bucket (see [[Manifest.eqds]]):
+    * `sidecar` names a parquet directory under `_eqd/` holding the
+    * doomed key tuples (typed exactly as the table's key columns,
+    * field-id stamped like any epoch file so renames stay metadata-
+    * only); `upTo` is the count of the bucket's live epochs (base +
+    * overlays) at commit time — the record kills matching rows ONLY in
+    * epochs with ordinal < upTo, so the same commit's own overlay (and
+    * every later one) is exempt, exactly Iceberg's sequence-number
+    * scoping; `n` is the doomed-key count (pressure accounting).
+    */
+  private[sources] case class EqDel(sidecar: String, upTo: Int, n: Long)
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -587,7 +628,21 @@ object MergeWriter {
         b.result()
       }.getOrElse(Map.empty),
       // absent in pre-histogram manifests — backward compatible
-      strMap(node.get("chist")))
+      strMap(node.get("chist")),
+      // absent in pre-equality-delete manifests — backward compatible
+      Option(node.get("eqds")).map { n =>
+        val b = Map.newBuilder[Int, Seq[EqDel]]
+        n.fields().forEachRemaining { e =>
+          val arr = e.getValue
+          b += e.getKey.toInt -> (0 until arr.size()).map { i =>
+            val d = arr.get(i)
+            EqDel(d.get("s").asText(), d.get("u").asInt(),
+              d.get("n").asLong())
+          }
+        }
+        b.result()
+      }.getOrElse(Map.empty),
+      Option(node.get("eqdel")).exists(_.asBoolean()))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
@@ -693,6 +748,14 @@ object MergeWriter {
       .append(if (m.colHists.isEmpty) "" else
         ",\"chist\":{" + m.colHists.toSeq.sortBy(_._1).map { case (c, h) =>
           jsonStr(c) + ":" + jsonStr(h) }.mkString(",") + "}")
+      .append(if (m.eqds.forall(_._2.isEmpty)) "" else
+        ",\"eqds\":{" + m.eqds.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+          .map { case (b, ds) =>
+            "\"" + b + "\":[" + ds.map(d =>
+              "{\"s\":" + jsonStr(d.sidecar) + ",\"u\":" + d.upTo +
+                ",\"n\":" + d.n + "}").mkString(",") + "]"
+          }.mkString(",") + "}")
+      .append(if (m.eqDeletes) ",\"eqdel\":true" else "")
       .append("}").toString()
 
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
@@ -1015,6 +1078,19 @@ object MergeWriter {
       if (!st.isDirectory && !referencedDvs.contains(st.getPath.getName) &&
           now - st.getModificationTime > orphanRetentionMs)
         fs.delete(st.getPath, false)
+    }
+    // equality-delete sidecars (parquet DIRECTORIES under _eqd/): same
+    // rule — reclaim the ones no retained manifest references (purged
+    // by compaction or a full rewrite), age-guarded for mid-commit
+    // writers
+    val referencedEqds = keptManifests.iterator
+      .flatMap(_.eqds.valuesIterator.flatMap(_.iterator.map(_.sidecar)))
+      .toSet
+    val eqDir = new Path(dir, EqDirName)
+    if (fs.exists(eqDir)) fs.listStatus(eqDir).foreach { st =>
+      if (!referencedEqds.contains(st.getPath.getName) &&
+          now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, true)
     }
   }
 
@@ -2715,7 +2791,7 @@ object MergeWriter {
     val man = currentManifest(fsFor(spark, tablePath), new Path(tablePath))
       .getOrElse(throw new IllegalArgumentException(
         s"tableFiles: $tablePath holds no committed graft table"))
-    man.epochs.keys.toSeq.sorted.flatMap { b =>
+    val rows = man.epochs.keys.toSeq.sorted.flatMap { b =>
       val base = man.epochs(b)
       val fss = man.stats.getOrElse(b, Seq.empty)
       if (fss.isEmpty)
@@ -2727,14 +2803,20 @@ object MergeWriter {
           0L, false, 0, false))
       else fss.map { f =>
         val e = fileEpoch(man, b, f)
+        // live equality deletes kill an unresolved number of this
+        // file's rows — live_rows goes honestly unknown until a
+        // rewrite resolves (physical `rows` stays exact)
+        val eqdLive = applicableEqds(man, b, e).nonEmpty
         (b, e, Some(f.name), Some(f.bytes),
           if (f.rows < 0L) None else Some(f.rows),
-          if (f.rows < 0L) None else Some(f.rows - f.dvn),
+          if (f.rows < 0L || eqdLive) None else Some(f.rows - f.dvn),
           if (f.dv.isEmpty) None else Some(f.dv), f.dvn,
           e != base, f.mins.size, f.fp.nonEmpty)
       }
-    }.toDF("bucket", "epoch", "file", "bytes", "rows", "live_rows",
-      "dv", "dv_dead", "overlay", "stats_cols", "fingerprinted")
+    }
+    rows.toDF("bucket", "epoch", "file", "bytes", "rows",
+      "live_rows", "dv", "dv_dead", "overlay", "stats_cols",
+      "fingerprinted")
   }
 
   /** Per-BUCKET physical rollup (Iceberg's `t.partitions` shape for the
@@ -2748,19 +2830,25 @@ object MergeWriter {
     val man = currentManifest(fsFor(spark, tablePath), new Path(tablePath))
       .getOrElse(throw new IllegalArgumentException(
         s"tablePartitions: $tablePath holds no committed graft table"))
-    man.epochs.keys.toSeq.sorted.map { b =>
+    val rows = man.epochs.keys.toSeq.sorted.map { b =>
       val base = man.epochs(b)
       val fss = man.stats.getOrElse(b, Seq.empty)
       val overlayEpochs = man.overlays.getOrElse(b, Seq.empty)
       val known = fss.forall(_.rows >= 0L) && fss.nonEmpty
+      // live equality deletes kill an unresolved number of stored rows
+      // — physical row counts stay exact, live counts go unknown until
+      // compaction resolves
+      val eqdLive = man.eqds.get(b).exists(_.nonEmpty)
       (b, base, fss.size,
         fss.count(f => fileEpoch(man, b, f) != base),
         fss.map(_.bytes).sum,
         if (known) Some(fss.map(_.rows).sum) else None,
-        if (known) Some(fss.map(f => f.rows - f.dvn).sum) else None,
+        if (known && !eqdLive) Some(fss.map(f => f.rows - f.dvn).sum)
+        else None,
         fss.map(_.dvn).sum, overlayEpochs.size)
-    }.toDF("bucket", "base_epoch", "n_files", "overlay_files", "bytes",
-      "rows", "live_rows", "dv_dead", "overlay_epochs")
+    }
+    rows.toDF("bucket", "base_epoch", "n_files", "overlay_files",
+      "bytes", "rows", "live_rows", "dv_dead", "overlay_epochs")
   }
 
   /** Live staging branches (Iceberg's refs view, branch half): one row
@@ -3424,6 +3512,72 @@ object MergeWriter {
   private[sources] def hasLiveDvs(m: Manifest): Boolean =
     m.stats.valuesIterator.exists(_.exists(_.dv.nonEmpty))
 
+  /** True iff any bucket carries a live equality-delete record (see
+    * [[Manifest.eqds]]) — reads must filter doomed keys, metadata
+    * count-serving must bail, and the V1 format route must bridge.
+    */
+  private[sources] def hasLiveEqds(m: Manifest): Boolean =
+    m.eqds.valuesIterator.exists(_.nonEmpty)
+
+  /** Directory under the table root holding equality-delete sidecars:
+    * one PARQUET directory per eq-delete commit, rows = the doomed key
+    * tuples typed as the table's key columns (field-id stamped, so a
+    * later key-column RENAME stays metadata-only — readers match by
+    * id). Referenced sidecars survive gc like `_dv/` entries.
+    */
+  private[sources] val EqDirName = "_eqd"
+
+  /** The equality-delete sidecars that apply to rows of `epoch` within
+    * bucket `b`: every record whose `upTo` exceeds the epoch's ordinal
+    * (base = 0, overlays in append order). An epoch the manifest does
+    * not list fails loudly — silently serving it UNFILTERED could
+    * resurrect deleted rows.
+    */
+  private def applicableEqds(m: Manifest, b: Int, epoch: String)
+      : Seq[String] = {
+    val ds = m.eqds.getOrElse(b, Seq.empty)
+    if (ds.isEmpty) Seq.empty
+    else {
+      val ord = bucketEpochs(m, b).indexOf(epoch)
+      require(ord >= 0, s"equality deletes: epoch $epoch is not a live " +
+        s"epoch of bucket $b (version ${m.version})")
+      ds.filter(_.upTo > ord).map(_.sidecar).distinct.sorted
+    }
+  }
+
+  /** The doomed-key tuples of the given sidecars as ONE typed frame of
+    * the table's key columns — the right side of the read-path
+    * anti-join. Schema comes from the manifest (id-stamped), so keys
+    * renamed since the sidecar was written still resolve.
+    */
+  private def eqdKeysDf(spark: SparkSession, root: String, m: Manifest,
+                        sidecars: Seq[String]): DataFrame = {
+    val full = DataType.fromJson(m.schema.getOrElse(
+      throw new IllegalStateException(
+        "equality deletes require a recorded schema"))).asInstanceOf[StructType]
+    val keySchema = StructType(m.keyCols.map(k => full(full.fieldIndex(k))))
+    val paths = sidecars.distinct.sorted.map(s => s"$root/$EqDirName/$s")
+    if (m.colIds.nonEmpty) {
+      ensureFieldIdRead(spark)
+      stripFrame(spark.read.schema(stampSchema(keySchema, m.colIds))
+        .parquet(paths: _*))
+    } else spark.read.schema(keySchema).parquet(paths: _*)
+  }
+
+  /** Stage an equality-delete sidecar: the doomed key tuples written as
+    * one small parquet directory under `_eqd/` (sidecar first, manifest
+    * last — a failed commit leaves an unreferenced directory for gc's
+    * age guard). Bounded by the per-commit key cap, so `coalesce(1)`
+    * keeps it one file.
+    */
+  private def writeEqdSidecar(spark: SparkSession, root: String,
+                              name: String, doomed: DataFrame,
+                              colIds: Map[String, Long]): Unit = {
+    val stamped = if (colIds.isEmpty) doomed else stampFrame(doomed, colIds)
+    stamped.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$root/$EqDirName/$name")
+  }
+
   /** Every epoch directory holding live files of bucket `b`: the base
     * pointer epoch plus any merge-on-read overlays, in commit order.
     */
@@ -3460,15 +3614,18 @@ object MergeWriter {
     * let a feed skip a bucket whose rows a DV just killed.
     */
   private def bucketSig(m: Manifest, b: Int)
-      : (Seq[String], Seq[(String, String)]) =
+      : (Seq[String], Seq[(String, String)], Seq[EqDel]) =
     (bucketEpochs(m, b),
       m.stats.get(b).map(_.collect {
         case f if f.dv.nonEmpty => (f.name, f.dv)
-      }.sortBy(_._1)).getOrElse(Seq.empty))
+      }.sortBy(_._1)).getOrElse(Seq.empty),
+      // equality deletes change a bucket's logical rows without moving
+      // its pointer OR its files' DV refs — same hazard, same signature
+      m.eqds.getOrElse(b, Seq.empty))
 
   private def bucketSigOpt(m: Option[Manifest], b: Int)
-      : (Seq[String], Seq[(String, String)]) =
-    m.map(bucketSig(_, b)).getOrElse((Seq.empty, Seq.empty))
+      : (Seq[String], Seq[(String, String)], Seq[EqDel]) =
+    m.map(bucketSig(_, b)).getOrElse((Seq.empty, Seq.empty, Seq.empty))
 
   private def writeDvSidecar(fs: FileSystem, tableRoot: String, name: String,
                              entries: Map[String, Array[Long]]): Unit = {
@@ -3555,7 +3712,7 @@ object MergeWriter {
       bucketDirPaths(tablePath, man, b))
     val hits =
       if (storedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else readDvAware(spark, man, tablePath, storedPaths, withPos = true)
+      else readFiltered(spark, man, tablePath, storedPaths, withPos = true)
         .join(doomed, keys, "left_semi")
         .select(col("__graft_file"), col("__graft_pos"))
         .collect()
@@ -3726,7 +3883,7 @@ object MergeWriter {
     // DV-aware read keeps already-dead rows out, so the collected set is
     // ≤ one row per doomed key (keyed-table invariant) — bounded by the
     // cap checked above
-    val hits = readDvAware(spark, man, tablePath, paths, withPos = true)
+    val hits = readFiltered(spark, man, tablePath, paths, withPos = true)
       .join(del.drop(BucketCol), keys, "left_semi")
       .select(col("__graft_file"), col("__graft_pos"))
       .collect()
@@ -3790,6 +3947,183 @@ object MergeWriter {
               s"delete: concurrent writer rewrote contested state of " +
                 s"$tablePath (version ${cur.version}) under a deletion-" +
                 "vector delete — re-run against the new table state")
+          base = cur
+      }
+    }
+    false // unreachable
+  }
+
+  /** WRITE-ONLY merge-on-read keyed upsert/delete (Iceberg v2's
+    * EQUALITY DELETES beside data-file adds): the incoming batch lands
+    * as one overlay epoch exactly like [[morApply]], but the changed
+    * keys' old rows die by a DOOMED-KEY sidecar instead of resolved
+    * positions — the write path performs NO read of stored data at
+    * all. This is the trickle-CDC shape at 100 TB: an at-least-once
+    * queue feeding keyed upserts (the reference's SQS-fed state loads,
+    * `serverless.yml:400-407`) pays ∝ its batch per trigger with zero
+    * probe I/O. The cost moves to the read side, bounded like DVs:
+    * format reads anti-join the doomed keys away ([[readFiltered]]),
+    * the native catalog scan resolves them to row positions at plan
+    * time ([[eqdDeadByAbsPath]]), and MoR pressure compaction purges.
+    *
+    * Scoping (Iceberg's sequence-number rule): the sidecar applies ONLY
+    * to epochs live BEFORE this commit (`EqDel.upTo` = the bucket's
+    * live-epoch count at commit), so the commit's own overlay rows —
+    * the doomed keys' replacements — survive, and stacked eq-delete
+    * upserts leave exactly one live copy per key with no read-side
+    * key dedupe.
+    *
+    * Returns false — caller falls back to copy-on-write — when the
+    * batch exceeds the per-commit key cap or the incoming schema moved
+    * (evolution stays CoW); unlike [[morApply]], missing per-file stats
+    * don't matter (nothing hangs on files). Returns true when the
+    * commit landed or the call proved a no-op.
+    */
+  private def eqdApply(spark: SparkSession, fs: FileSystem,
+                       tablePath: String, man: Manifest,
+                       incOpt: Option[DataFrame], delKeys: Option[DataFrame],
+                       keys: Seq[String], touched: Seq[Int],
+                       txn: Option[(String, Long)],
+                       opName: String = "merge",
+                       ref: Option[String] = None): Boolean = {
+    if (man.schema.isEmpty) return false
+    val recorded = DataType.fromJson(man.schema.get).asInstanceOf[StructType]
+    // column ORDER is provenance noise — reorder to the recorded schema
+    // (morApply's rule); a different column SET or type falls back
+    val inc0opt: Option[DataFrame] = incOpt match {
+      case None => None
+      case Some(inc) =>
+        val incNames = inc.drop(BucketCol).columns.toSeq
+        val reordered =
+          if (incNames == recorded.fieldNames.toSeq) inc
+          else if (incNames.sorted == recorded.fieldNames.toSeq.sorted)
+            inc.select((recorded.fieldNames.toSeq :+ BucketCol)
+              .filter(inc.columns.contains).map(col): _*)
+          else return false
+        if (!org.apache.spark.sql.GraftColumnShim.sameTypeIgnoreNullability(
+              recorded, stripSchemaIds(reordered.drop(BucketCol).schema)))
+          return false
+        Some(reordered)
+    }
+    val capProbe = (DvMaxPositionsPerCommit + 1).toInt
+    val incCount = incOpt.fold(0L)(_.limit(capProbe).count())
+    if (incCount > DvMaxPositionsPerCommit) return false
+    val delCount = delKeys.fold(0L)(_.limit(capProbe).count())
+    if (incCount + delCount > DvMaxPositionsPerCommit) return false
+    val touchedStored = touched.filter(man.epochs.contains)
+    // nothing to insert and nothing stored to delete from: provable no-op
+    if (incCount == 0 && (delCount == 0 || touchedStored.isEmpty))
+      return true
+    val doomed = (inc0opt.map(_.select(keys.map(col): _*)).toSeq ++
+      delKeys.map(_.select(keys.map(col): _*)).toSeq)
+      .reduce(_ union _).distinct()
+    // 1. the overlay epoch: the batch written exactly like any epoch
+    //    (a pure-delete changeset writes none)
+    val epoch = "e-" + UUID.randomUUID()
+    val written: Set[Int] =
+      if (incCount == 0) Set.empty
+      else {
+        val inc0 = inc0opt.get
+        val incChecked = enforceChecks(inc0.drop(BucketCol), man.checks,
+          tablePath)
+        val stamped =
+          if (man.colIds.isEmpty) stripFrame(incChecked)
+          else stampFrame(incChecked, man.colIds)
+        val data = stamped.withColumn(BucketCol,
+          bucketExprChecked(keys, man.buckets))
+        val clustered = clusterSort(data.repartition(col(BucketCol)),
+          man.clusterCols)
+        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+          .parquet(s"$tablePath/$epoch")
+        listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
+      }
+    val cleanSchemaJson = inc0opt
+      .map(i => stripSchemaIds(i.drop(BucketCol).schema).json)
+      .orElse(man.schema)
+    val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
+      withColumnStats = man.clusterCols.nonEmpty)
+    val statsFp =
+      if (man.fingerprint && written.nonEmpty)
+        withFingerprints(stats0,
+          fileFingerprints(spark, s"$tablePath/$epoch", cleanSchemaJson,
+            man.colIds))
+      else stats0
+    val overlayStats: Map[Int, Seq[FileStat]] =
+      statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
+    if (man.bloomCols.nonEmpty && written.nonEmpty)
+      writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
+        man.bloomItems, cleanSchemaJson)
+    // 2. the doomed-key sidecar (skipped when no touched bucket stores
+    //    anything — nothing to delete from). Sidecar first, manifest
+    //    last; a failed commit leaves an orphan for gc's age guard.
+    //    `n` records the batch bound (pressure accounting), not an
+    //    exact distinct count — counting would cost one more job.
+    val sidecar = "eqd-" + UUID.randomUUID()
+    if (touchedStored.nonEmpty)
+      writeEqdSidecar(spark, tablePath, sidecar, doomed, man.colIds)
+    val batchSk =
+      if (man.colSketches.nonEmpty && written.nonEmpty)
+        batchColStats(spark.read.parquet(s"$tablePath/$epoch"),
+          man.colSketches.keySet)
+      else None
+    val morIdSpec = identitySpecs(recorded)
+    val morIdExt =
+      if (morIdSpec.nonEmpty && written.nonEmpty)
+        identityExtremes(spark, s"$tablePath/$epoch", morIdSpec)
+      else Map.empty[String, Long]
+    // 3. one manifest commit: overlays appended, eq-delete records
+    //    appended with pre-commit epoch counts, fresh buckets adopt the
+    //    epoch as their base
+    var base = man
+    var attempt = 0
+    while (true) {
+      val freshBase = written.filterNot(base.epochs.contains)
+      val stats2 = (base.stats.map { case (b, fss) =>
+        b -> (fss ++ (if (written(b)) overlayStats.getOrElse(b, Seq.empty)
+                      else Seq.empty))
+      }) ++ overlayStats.filter { case (b, _) => !base.stats.contains(b) }
+      // upTo from the PRE-COMMIT base: the overlay appended below takes
+      // ordinal upTo, keeping this commit's own rows exempt
+      val eqds2 =
+        if (touchedStored.isEmpty) base.eqds
+        else base.eqds ++ touched.filter(base.epochs.contains).map { b =>
+          b -> (base.eqds.getOrElse(b, Seq.empty) :+
+            EqDel(sidecar, bucketEpochs(base, b).length, incCount + delCount))
+        }
+      try {
+        refCommit(fs, new Path(tablePath), ref,
+          withRefreshedStats(base.copy(version = base.version + 1,
+            epochs = base.epochs ++ freshBase.map(_ -> epoch).toMap,
+            overlays = base.overlays ++
+              written.intersect(base.epochs.keySet).map(b =>
+                b -> (base.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
+            stats = stats2,
+            eqds = eqds2,
+            txns = base.txns ++ txn,
+            idhw = advanceIdhw(base.idhw, morIdSpec, morIdExt),
+            op = opName, opTs = System.currentTimeMillis()), batchSk))
+        return true
+      } catch {
+        case ex: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5) throw ex
+          val cur = refCurrent(fs, new Path(tablePath), ref)
+            .getOrElse(throw ex)
+          // rebase iff nothing this upsert depends on moved: the batch
+          // was validated under man's schema/constraint/identity state,
+          // and the eq-delete scoping was computed against the touched
+          // buckets' epoch lists
+          val contested = cur.buckets != man.buckets ||
+            cur.schema != man.schema ||
+            (cur.keyCols.nonEmpty && cur.keyCols != keys) ||
+            cur.checks != man.checks ||
+            (morIdSpec.nonEmpty && cur.idhw != man.idhw) ||
+            touched.exists(b => bucketSig(cur, b) != bucketSig(man, b))
+          if (contested)
+            throw new java.util.ConcurrentModificationException(
+              s"$opName: concurrent writer rewrote contested state of " +
+                s"$tablePath (version ${cur.version}) under an equality-" +
+                "delete upsert — re-run against the new table state")
           base = cur
       }
     }
@@ -3870,6 +4204,81 @@ object MergeWriter {
       abs -> dead
     }.toMap
   }
+
+  /** Dead positions implied by the manifest's live EQUALITY DELETES,
+    * keyed like [[dvDeadByAbsPath]] — the plan-time resolution that
+    * lets the native DSv2 catalog scan serve an eq-delete-bearing
+    * version through the SAME reader-side row-index skip as position
+    * DVs (one skip mechanism, two delete encodings). Costs ONE bounded
+    * probe job per scan materialization: a pruned key-column read of
+    * only the files some eq-delete applies to, semi-joined against the
+    * doomed keys — positions ≤ doomed keys × live epochs, both capped
+    * per commit and pressure-drained by MoR auto-compaction, so the
+    * probe the WRITE path skipped is paid lazily (and only) by readers.
+    * Resolution is in-memory only — no manifest mutation, so it works
+    * on time-travel pins, branches and read-only replicas.
+    */
+  private[sources] def eqdDeadByAbsPath(spark: SparkSession, root: String,
+                                        m: Manifest,
+                                        keepPaths: Option[Set[String]] = None)
+      : Map[String, Array[Long]] = {
+    if (!hasLiveEqds(m)) return Map.empty
+    // (applicable sidecars, relKey, abs) of every file some eq-delete
+    // applies to, restricted to the scan's pruned listing
+    val cands: Seq[(Seq[String], String, String)] =
+      m.epochs.keys.toSeq.sorted.flatMap { b =>
+        if (m.eqds.getOrElse(b, Seq.empty).isEmpty) Seq.empty
+        else m.stats.getOrElse(b, Seq.empty).flatMap { f =>
+          val e = fileEpoch(m, b, f)
+          val sids = applicableEqds(m, b, e)
+          if (sids.isEmpty) None
+          else {
+            val abs = new Path(fileReadPath(root, m, b, f)).toString
+            if (keepPaths.forall(_.contains(abs)))
+              Some((sids, dvRelKey(e, b, f.name), abs))
+            else None
+          }
+        }
+      }
+    if (cands.isEmpty) return Map.empty
+    val full = DataType.fromJson(m.schema.getOrElse(
+      throw new IllegalStateException(
+        "equality deletes require a recorded schema"))).asInstanceOf[StructType]
+    val keySchema = StructType(m.keyCols.map(k => full(full.fieldIndex(k))))
+    val readSchema =
+      if (m.colIds.isEmpty) keySchema
+      else { ensureFieldIdRead(spark); stampSchema(keySchema, m.colIds) }
+    val absByRel = cands.map { case (_, rel, abs) => rel -> abs }.toMap
+    cands.groupBy(_._1).toSeq.flatMap { case (sids, fsOfGroup) =>
+      val doomed = eqdKeysDf(spark, root, m, sids)
+      spark.read.schema(readSchema).parquet(fsOfGroup.map(_._3): _*)
+        .withColumn("__graft_file",
+          substring_index(col("_metadata.file_path"), "/", -3))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(broadcast(doomed), m.keyCols, "left_semi")
+        .select(col("__graft_file"), col("__graft_pos"))
+        .collect().toSeq
+        .map(r => absByRel(r.getString(0)) -> r.getLong(1))
+    }.groupBy(_._1).map { case (p, xs) =>
+      val a = xs.map(_._2).toArray
+      java.util.Arrays.sort(a)
+      p -> a
+    }
+  }
+
+  /** Merge two dead-position maps (position DVs + resolved equality
+    * deletes) into one per-file sorted skip array.
+    */
+  private[sources] def mergeDeadMaps(a: Map[String, Array[Long]],
+                                     b: Map[String, Array[Long]])
+      : Map[String, Array[Long]] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else (a.keySet ++ b.keySet).iterator.map { k =>
+      val merged = (a.getOrElse(k, Array.empty[Long]) ++
+        b.getOrElse(k, Array.empty[Long])).distinct
+      java.util.Arrays.sort(merged)
+      k -> merged
+    }.toMap
 
   /** The DV-aware read core behind [[readWithSchema]]: splits the asked
     * paths into DV-free reads (ONE native multi-path parquet relation —
@@ -3958,8 +4367,43 @@ object MergeWriter {
     */
   private def readWithSchema(spark: SparkSession, m: Manifest, root: String,
                              paths: Seq[String]): DataFrame =
-    if (!hasLiveDvs(m)) readPlain(spark, m, paths)
-    else readDvAware(spark, m, root, paths, withPos = false)
+    if (!hasLiveDvs(m) && !hasLiveEqds(m)) readPlain(spark, m, paths)
+    else readFiltered(spark, m, root, paths, withPos = false)
+
+  /** The full merge-on-read filter stack: deletion-vector position
+    * skipping ([[readDvAware]]) PLUS equality-delete key filtering.
+    * Paths group by their applicable sidecar set (the bucket + epoch
+    * ordinal scoping of [[applicableEqds]] — a commit's own overlay is
+    * exempt from the eq-deletes committed beside it); each group with
+    * doomed keys anti-joins them away (broadcast — sidecars are
+    * key-cap-bounded by construction), groups without pay nothing.
+    * Every keyed read (snapshots, point lookups, feeds, compaction
+    * survivor reads, CoW rewrites) comes through here, so a blind
+    * eq-delete is invisible everywhere the moment its manifest lands.
+    */
+  private def readFiltered(spark: SparkSession, m: Manifest, root: String,
+                           paths: Seq[String], withPos: Boolean): DataFrame = {
+    if (!hasLiveEqds(m)) return readDvAware(spark, m, root, paths, withPos)
+    // (epoch, bucket) of a table-root-relative data path — every caller
+    // builds paths as `$root/$epoch/__bucket=$b[/$file]`
+    def epochBucketOf(p: String): (String, Int) = {
+      val rel = p.stripPrefix(root).stripPrefix("/")
+      val segs = rel.split('/')
+      require(segs.length >= 2 && segs(1).startsWith(BucketCol + "="),
+        s"equality deletes: unrecognized data path shape $p under $root")
+      (segs(0), segs(1).substring(BucketCol.length + 1).toInt)
+    }
+    val groups: Seq[(Seq[String], Seq[String])] = paths.groupBy { p =>
+      val (e, b) = epochBucketOf(p)
+      applicableEqds(m, b, e)
+    }.toSeq.sortBy(_._1.mkString(","))
+    groups.map { case (sids, ps) =>
+      val base = readDvAware(spark, m, root, ps, withPos)
+      if (sids.isEmpty) base
+      else base.join(broadcast(eqdKeysDf(spark, root, m, sids)),
+        m.keyCols, "left_anti")
+    }.reduce(_ union _)
+  }
 
   // ---- stable column identity (parquet field ids) --------------------------
 
@@ -4091,6 +4535,10 @@ object MergeWriter {
             txn: Option[(String, Long)] = None,
             fingerprint: Boolean = false,
             deleteVectors: Boolean = false,
+            // seed the WRITE-ONLY merge-on-read policy at creation
+            // (equality-delete sidecars instead of position probes;
+            // implies deleteVectors — see [[Manifest.eqDeletes]])
+            eqDeletes: Boolean = false,
             // target a STAGING BRANCH instead of main (see
             // [[createBranch]]): reads-for-merge resolve against the
             // branch head, the commit lands on the branch lineage, and
@@ -4167,7 +4615,9 @@ object MergeWriter {
         case None =>
           writeEpochAndCommit(spark, fs, tablePath, inc.drop(BucketCol),
             keys, nb, None, txn, clusterCols = cluster, bloomCols = bloomBy,
-            bloomN = bloomItems, fpSeed = fingerprint, dvSeed = deleteVectors)
+            bloomN = bloomItems, fpSeed = fingerprint,
+            dvSeed = deleteVectors || eqDeletes,
+            eqdSeed = eqDeletes)
         case Some(man) =>
           // MERGE-ON-READ fast path (deleteVectors tables, small batch):
           // the incoming rows land as ONE overlay epoch, the replaced
@@ -4176,9 +4626,15 @@ object MergeWriter {
           // false (fall through to copy-on-write) when the batch is too
           // large to stay metadata-sized, the schema moved, or stats
           // are missing — same dispatch shape as delete()/applyChanges().
+          // eqDeletes tables take the WRITE-ONLY path (doomed-key
+          // sidecar, no probe read); plain deleteVectors tables resolve
+          // positions; both fall through to copy-on-write on cap/schema
           if (!(man.deleteVectors && !evolveSchema &&
-                morApply(spark, fs, tablePath, man, inc, None, keys,
-                  touched, txn, ref = ref))) {
+                (if (man.eqDeletes)
+                  eqdApply(spark, fs, tablePath, man, Some(inc), None, keys,
+                    touched, txn, ref = ref)
+                else morApply(spark, fs, tablePath, man, inc, None, keys,
+                  touched, txn, ref = ref)))) {
             // manifest-level pruning: read ONLY the touched buckets' dirs
             val existingPaths = touched.flatMap(b =>
               (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
@@ -4310,6 +4766,7 @@ object MergeWriter {
                      relayout: Boolean = false,
                      fingerprint: Boolean = false,
                      deleteVectors: Boolean = false,
+                     eqDeletes: Boolean = false,
                      expectFresh: Boolean = false): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
@@ -4340,7 +4797,8 @@ object MergeWriter {
     val base = if (relayout)
       m.map(_.copy(buckets = nb, clusterCols = cluster,
         bloomCols = bloomBy, bloomItems = bloomItems,
-        fingerprint = fingerprint, deleteVectors = deleteVectors))
+        fingerprint = fingerprint,
+        deleteVectors = deleteVectors || eqDeletes, eqDeletes = eqDeletes))
     else m
     // IDENTITY assignment + GENERATED compute/validate for the
     // replacing rows; an overwrite does NOT reset the high-water —
@@ -4350,7 +4808,8 @@ object MergeWriter {
       txn,
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
-      opName = "overwrite", fpSeed = fingerprint, dvSeed = deleteVectors)
+      opName = "overwrite", fpSeed = fingerprint,
+      dvSeed = deleteVectors || eqDeletes, eqdSeed = eqDeletes)
     gc(fs, dir)
   }
 
@@ -4371,7 +4830,8 @@ object MergeWriter {
                   retainVersions: Int = KeepManifests,
                   retainMs: Long = 0L,
                   fingerprint: Boolean = false,
-                  deleteVectors: Boolean = false): Unit = {
+                  deleteVectors: Boolean = false,
+                  eqDeletes: Boolean = false): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
     identitySpecs(schema).foreach { case (c, (_, step)) =>
       import org.apache.spark.sql.types._
@@ -4443,7 +4903,8 @@ object MergeWriter {
       colIds = clean.fields.zipWithIndex
         .map { case (f, i) => f.name -> (i + 1L) }.toMap,
       nextColId = clean.fields.length + 1L,
-      deleteVectors = deleteVectors))
+      deleteVectors = deleteVectors || eqDeletes,
+      eqDeletes = eqDeletes))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -5363,6 +5824,7 @@ object MergeWriter {
                                   opName: String = "merge",
                                   fpSeed: Boolean = false,
                                   dvSeed: Boolean = false,
+                                  eqdSeed: Boolean = false,
                                   ref: Option[String] = None): Unit = {
     val epoch = "e-" + UUID.randomUUID()
     // CHECK-constraint guard fused into the epoch write's pass: every
@@ -5503,8 +5965,11 @@ object MergeWriter {
       val epochs = (base.map(_.epochs).getOrElse(Map.empty) -- dropBuckets) ++
         written.map(_ -> epoch)
       // a full bucket rewrite supersedes its merge-on-read overlays (the
-      // survivor read above already folded their rows in)
+      // survivor read above already folded their rows in) — and its
+      // equality-delete records (the survivor read filtered doomed keys)
       val overlays = (base.map(_.overlays).getOrElse(Map.empty)
+        -- dropBuckets) -- written
+      val eqds = (base.map(_.eqds).getOrElse(Map.empty)
         -- dropBuckets) -- written
       // txn ledger survives every commit; the new txn (if any) rides the
       // SAME atomic rename as the data it applied
@@ -5569,7 +6034,11 @@ object MergeWriter {
             colSketches = base.map(_.colSketches).getOrElse(Map.empty),
             idhw = advanceIdhw(base.map(_.idhw).getOrElse(Map.empty),
               epochIdSpec, idExt),
-            colHists = base.map(_.colHists).getOrElse(Map.empty)),
+            colHists = base.map(_.colHists).getOrElse(Map.empty),
+            eqds = eqds,
+            // the equality-delete policy rides every commit forward,
+            // like deleteVectors; the param only seeds creation
+            eqDeletes = base.map(_.eqDeletes).getOrElse(eqdSeed)),
           batchSk))
         return
       } catch {
@@ -5741,8 +6210,13 @@ object MergeWriter {
         // delete is too large to stay metadata-sized (or stats are
         // missing) — correct either way.
         if (!(man.deleteVectors &&
-              dvDelete(spark, fs, tablePath, man, del, keys, touched,
-                ref))) {
+              (if (man.eqDeletes)
+                // write-only blind delete: the doomed keys commit as an
+                // equality-delete sidecar, no position-resolving read
+                eqdApply(spark, fs, tablePath, man, None, Some(del), keys,
+                  touched, None, "delete", ref)
+              else dvDelete(spark, fs, tablePath, man, del, keys, touched,
+                ref)))) {
           val survivors = readWithSchema(spark, man, tablePath, existingPaths)
             .join(del.drop(BucketCol), keys, "left_anti")
           val touchedStored = touched.filter(man.epochs.contains).toSet
@@ -5816,8 +6290,11 @@ object MergeWriter {
       // rows die by deletion vector — a SQL UPDATE/MERGE then writes
       // ∝ its changeset, never ∝ the touched buckets
       if (!(man.deleteVectors &&
-            morApply(spark, fs, tablePath, man, up, Some(del), keys,
-              touched, None, opName, ref))) {
+            (if (man.eqDeletes)
+              eqdApply(spark, fs, tablePath, man, Some(up), Some(del), keys,
+                touched, None, opName, ref)
+            else morApply(spark, fs, tablePath, man, up, Some(del), keys,
+              touched, None, opName, ref)))) {
         val existingPaths = touched.flatMap(b =>
           (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
                else Seq.empty))
@@ -5987,7 +6464,7 @@ object MergeWriter {
       stampSchema(DataType.fromJson(s).asInstanceOf[StructType], man.colIds)
         .add(BucketCol, IntegerType))
     val live: Iterable[DataFrame] =
-      if (hasLiveDvs(man) || man.overlays.nonEmpty)
+      if (hasLiveDvs(man) || hasLiveEqds(man) || man.overlays.nonEmpty)
         // deletion vectors or merge-on-read overlays present: read each
         // bucket through the DV-filtering core over ALL its epochs
         // (dead rows must not survive the rewrite; overlay rows must)
@@ -6020,8 +6497,10 @@ object MergeWriter {
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
-      // the rewrite folded every overlay's rows in — collapse them
+      // the rewrite folded every overlay's rows in — collapse them,
+      // and it filtered every doomed key out — purge the eq-deletes
       overlays = Map.empty,
+      eqds = Map.empty,
       stats =
         if (man.fingerprint)
           withFingerprints(stats0,
@@ -6078,6 +6557,7 @@ object MergeWriter {
         // bucket (all rows DV'd) emits no directory and drops out
         epochs = (man.epochs -- targets) ++ written.map(_ -> epoch),
         overlays = man.overlays -- targets,
+        eqds = man.eqds -- targets,
         stats = (man.stats -- targets) ++ fresh,
         op = "compact", opTs = System.currentTimeMillis()),
         "compactBuckets")
@@ -6097,11 +6577,18 @@ object MergeWriter {
     currentManifest(fs, dir).foreach { man =>
       val pressured = man.epochs.keys.filter { b =>
         man.overlays.get(b).exists(_.nonEmpty) ||
+          man.eqds.get(b).exists(_.nonEmpty) ||
           man.stats.getOrElse(b, Seq.empty).exists(_.dv.nonEmpty)
       }.toSet
       val dvFiles = man.stats.valuesIterator
         .map(_.count(_.dv.nonEmpty)).sum
       val overlayEntries = man.overlays.valuesIterator.map(_.size).sum
+      // equality-delete pressure: entry count bounds the read-side
+      // anti-join branch count, total doomed keys bound the broadcast
+      // (and the catalog scan's plan-time resolution probe)
+      val eqdEntries = man.eqds.valuesIterator.map(_.size).sum
+      val eqdKeysTotal = man.eqds.valuesIterator
+        .flatMap(_.iterator.map(_.n)).sum
       // total DEAD POSITIONS pressure too: per-file dead sets are
       // cumulative across commits (prior ∪ new), so a few files can
       // carry far more positions than the per-commit cap — bounding
@@ -6112,7 +6599,9 @@ object MergeWriter {
       if (pressured.nonEmpty &&
           (dvFiles >= DvAutoCompactFiles ||
             overlayEntries >= DvAutoCompactFiles ||
-            dvPositionsTotal >= DvMaxPositionsPerCommit * 4))
+            eqdEntries >= DvAutoCompactFiles ||
+            dvPositionsTotal >= DvMaxPositionsPerCommit * 4 ||
+            eqdKeysTotal >= DvMaxPositionsPerCommit * 4))
         try compactBuckets(spark, tablePath, pressured)
         catch {
           case _: java.io.IOException => ()
@@ -6190,6 +6679,7 @@ object MergeWriter {
         epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
           .map(_ -> epoch).toMap,
         overlays = Map.empty,
+        eqds = Map.empty,
         keyCols = keyRec,
         stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
         withColumnStats = man.clusterCols.nonEmpty))
@@ -6714,6 +7204,10 @@ object MergeWriter {
         // metadata can no longer answer exactly, so scan (compaction
         // purges the vectors and restores the metadata-only path)
         if (files.exists(_.dvn > 0)) return scanFallback()
+        // equality deletes kill an UNKNOWN number of stored rows (the
+        // doomed keys were never resolved against the data) — metadata
+        // cannot answer counts at all while any record is live
+        if (hasLiveEqds(man)) return scanFallback()
         val colTypes = minMaxCols.map(c =>
           schema.get.fields.find(_.name == c).map(_.dataType))
         if (colTypes.exists(_.isEmpty)) return scanFallback()
@@ -7072,13 +7566,17 @@ object MergeWriter {
           (mFrom.stats.get(b), mTo.stats.get(b)) match {
             case (Some(of), Some(nf)) =>
               // pairing identity = content fingerprint PLUS deletion-
-              // vector reference: a file whose physical bytes match but
-              // whose DV moved between the versions holds DIFFERENT live
-              // rows on the two sides and must diff, while an untouched
-              // DV'd file (same fp, same dv) still pairs and skips
-              def pairKey(f: FileStat): String = f.fp + "|" + f.dv
-              val oldByFp = of.filter(_.fp.nonEmpty).groupBy(pairKey)
-              val newByFp = nf.filter(_.fp.nonEmpty).groupBy(pairKey)
+              // vector reference PLUS the file's applicable equality-
+              // delete set: a file whose physical bytes match but whose
+              // DV or eq-delete scope moved between the versions holds
+              // DIFFERENT live rows on the two sides and must diff,
+              // while an untouched file (same fp, same dv, same
+              // eq-deletes) still pairs and skips
+              def pairKey(m: Manifest)(f: FileStat): String =
+                f.fp + "|" + f.dv + "|" +
+                  applicableEqds(m, b, fileEpoch(m, b, f)).mkString(",")
+              val oldByFp = of.filter(_.fp.nonEmpty).groupBy(pairKey(mFrom))
+              val newByFp = nf.filter(_.fp.nonEmpty).groupBy(pairKey(mTo))
               val dropsO = Set.newBuilder[String]
               val dropsN = Set.newBuilder[String]
               // identity = epoch attribution + name: overlay files can

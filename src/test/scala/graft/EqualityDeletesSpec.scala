@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MergeWriter
+
+/** Equality deletes (Iceberg v2's equality-delete files on the manifest
+  * protocol): on an `eqDeletes = true` table, a small keyed upsert or
+  * delete commits a DOOMED-KEY sidecar instead of probing stored rows
+  * for positions — the WRITE path performs no read of stored data at
+  * all (the trickle-CDC shape). Every read must agree with copy-on-
+  * write semantics exactly: format reads anti-join the doomed keys
+  * away, the native catalog scan resolves them to row positions at
+  * plan time, and any full bucket rewrite purges the records.
+  */
+class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
+    with ManifestSpecHelpers {
+
+  private lazy val spark = {
+    val wh = Files.createTempDirectory("geqd-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.geqd",
+        classOf[graft.sources.GraftCatalog].getName)
+      .config("spark.sql.catalog.geqd.warehouse", wh)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def seed(dir: String, n: Int): Unit = {
+    import spark.implicits._
+    val rows = (0 until n).map(i => (i.toLong, s"v1-$i", i % 5))
+      .toDF("id", "body", "grp")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try MergeWriter.merge(spark, dir, rows, Seq("id"), buckets = 4,
+      clusterBy = Seq("id"), eqDeletes = true, fingerprint = true)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("a small upsert commits WRITE-ONLY: doomed-key sidecar, no " +
+       "position DVs, pointers unmoved, content equals CoW semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqd").toString + "/t"
+    seed(dir, 400)
+    val before = manifestText(dir)
+    val batch = Seq((7L, "UPD-7", 99), (133L, "UPD-133", 99),
+      (388L, "UPD-388", 99), (1000L, "NEW-1000", 99),
+      (1001L, "NEW-1001", 99)).toDF("id", "body", "grp")
+    MergeWriter.merge(spark, dir, batch, Seq("id"))
+    val after = manifestText(dir)
+    assert(epochPointers(after) == epochPointers(before),
+      "eq-delete upsert must not move base epoch pointers")
+    assert(after.contains("\"eqds\":"),
+      s"manifest must record the equality deletes: $after")
+    assert(after.contains("\"ovl\":"), "manifest must record the overlay")
+    assert(!after.contains("\"dv\":"),
+      "the write path must NOT resolve positions (no probe read)")
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 402)
+    val got = t.where(col("id").isin(7L, 133L, 388L, 1000L, 1001L, 8L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(7L -> "UPD-7", 133L -> "UPD-133", 388L -> "UPD-388",
+      1000L -> "NEW-1000", 1001L -> "NEW-1001", 8L -> "v1-8"))
+    // point lookup resolves the NEW copy only
+    val pt = MergeWriter.readKeys(spark, dir, Seq(7L).toDF("id"), Seq("id"))
+      .collect()
+    assert(pt.length == 1 && pt.head.getString(1) == "UPD-7")
+  }
+
+  test("stacked upserts of the SAME key leave exactly one live copy — " +
+       "sequence-number scoping exempts each commit's own overlay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqds").toString + "/t"
+    seed(dir, 100)
+    MergeWriter.merge(spark, dir,
+      Seq((42L, "gen2", 1)).toDF("id", "body", "grp"), Seq("id"))
+    MergeWriter.merge(spark, dir,
+      Seq((42L, "gen3", 2)).toDF("id", "body", "grp"), Seq("id"))
+    MergeWriter.merge(spark, dir,
+      Seq((42L, "gen4", 3)).toDF("id", "body", "grp"), Seq("id"))
+    val rows = MergeWriter.readTable(spark, dir)
+      .where(col("id") === 42L).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "gen4",
+      s"expected one live gen4 copy, got ${rows.toSeq}")
+    assert(MergeWriter.readTable(spark, dir).count() == 100)
+  }
+
+  test("pure delete is blind and write-only; deleting an absent key is " +
+       "a harmless no-op; time travel still serves the old version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqdd").toString + "/t"
+    seed(dir, 100)
+    val v1 = MergeWriter.availableVersions(spark, dir).last
+    MergeWriter.delete(spark, dir,
+      Seq(3L, 77L, 5000L).toDF("id"), Seq("id"))
+    val after = manifestText(dir)
+    assert(after.contains("\"eqds\":") && !after.contains("\"dv\":"),
+      s"delete must commit an eq-delete record, not position DVs: $after")
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 98)
+    assert(t.where(col("id").isin(3L, 77L)).count() == 0)
+    // pinned pre-delete version still serves the doomed rows
+    val pinned = MergeWriter.readTableVersion(spark, dir, v1)
+    assert(pinned.count() == 100 &&
+      pinned.where(col("id") === 3L).count() == 1)
+  }
+
+  test("the native catalog scan resolves eq-deletes to row positions at " +
+       "plan time — SQL reads stay on BatchScan and agree with CoW") {
+    val wh = spark.conf.get("spark.sql.catalog.geqd.warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geqd.ns")
+    spark.sql("CREATE TABLE geqd.ns.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'eqDeletes'='true')")
+    spark.sql("INSERT INTO geqd.ns.t SELECT id, 'a' FROM range(0, 100)")
+    // overlapping keys: 90..99 replaced, 100..109 fresh
+    spark.sql("INSERT INTO geqd.ns.t SELECT id, 'b' FROM range(90, 110)")
+    val man = manifestText(s"$wh/ns/t")
+    assert(man.contains("\"eqds\":") && !man.contains("\"dv\":"),
+      s"SQL upsert on an eqDeletes table must be write-only: $man")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM geqd.ns.t")
+      .collect().head.getLong(0) == 110)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM geqd.ns.t WHERE s = 'b'")
+      .collect().head.getLong(0) == 20)
+    assert(spark.sql("SELECT s FROM geqd.ns.t WHERE id = 95")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+    val plan = spark.sql("SELECT * FROM geqd.ns.t WHERE id = 95")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"),
+      s"eq-delete versions must stay on the native scan, got:\n$plan")
+    // SQL DELETE takes the write-only path too
+    spark.sql("DELETE FROM geqd.ns.t WHERE id IN (1, 2, 105)")
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.t")
+      .collect().head.getLong(0) == 107)
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.t WHERE id IN (1,2,105)")
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("a batch past the key cap falls back to copy-on-write and the " +
+       "rewritten buckets' eq-delete records purge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqdc").toString + "/t"
+    seed(dir, 100)
+    MergeWriter.delete(spark, dir, Seq(1L, 2L).toDF("id"), Seq("id"))
+    assert(manifestText(dir).contains("\"eqds\":"))
+    // > DvMaxPositionsPerCommit keys forces the CoW rewrite of every
+    // touched bucket, which folds the eq-deletes in and clears them
+    val big = (0 until 150001).map(i => (i.toLong, s"v2-$i", 1))
+      .toDF("id", "body", "grp")
+    MergeWriter.merge(spark, dir, big, Seq("id"))
+    val after = manifestText(dir)
+    assert(!after.contains("\"eqds\":"),
+      s"CoW rewrite must purge the rewritten buckets' eq-deletes: $after")
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 150001)
+    assert(t.where(col("id").isin(1L, 2L)).collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("v2-1", "v2-2"))
+  }
+
+  test("compaction purges eq-deletes; gc reclaims unreferenced sidecars") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqdp").toString + "/t"
+    seed(dir, 100)
+    MergeWriter.merge(spark, dir,
+      Seq((5L, "UPD-5", 9)).toDF("id", "body", "grp"), Seq("id"))
+    MergeWriter.delete(spark, dir, Seq(6L).toDF("id"), Seq("id"))
+    assert(new java.io.File(dir, "_eqd").listFiles().nonEmpty)
+    MergeWriter.compact(spark, dir)
+    val after = manifestText(dir)
+    assert(!after.contains("\"eqds\":"),
+      s"compaction must purge eq-delete records: $after")
+    val t = MergeWriter.readTable(spark, dir)
+    assert(t.count() == 99 && t.where(col("id") === 6L).count() == 0 &&
+      t.where(col("id") === 5L).collect().head.getString(1) == "UPD-5")
+    // once every RETAINED manifest is eq-delete-free (two compacts —
+    // KeepManifests retains the previous version too), gc reclaims the
+    // unreferenced sidecars
+    MergeWriter.compact(spark, dir)
+    MergeWriter.gcNow(spark, dir)
+    val eqd = new java.io.File(dir, "_eqd")
+    assert(!eqd.exists() || eqd.listFiles().isEmpty,
+      "gc must reclaim sidecars no retained manifest references")
+  }
+
+  test("the change feed sees eq-delete commits: updates, inserts and " +
+       "deletes all surface across one write-only commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqdf").toString + "/t"
+    seed(dir, 200)
+    val v1 = MergeWriter.availableVersions(spark, dir).last
+    MergeWriter.merge(spark, dir,
+      Seq((10L, "UPD-10", 1), (500L, "NEW-500", 1))
+        .toDF("id", "body", "grp"), Seq("id"))
+    val v2 = MergeWriter.availableVersions(spark, dir).last
+    val feed = MergeWriter.changeFeed(spark, dir, v1, v2, Seq("id"),
+      Seq("body", "grp"))
+    val ops = feed.select(col("id"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops == Set((10L, "update"), (500L, "insert")),
+      s"feed must surface the eq-delete upsert's changes, got $ops")
+    MergeWriter.delete(spark, dir, Seq(11L).toDF("id"), Seq("id"))
+    val v3 = MergeWriter.availableVersions(spark, dir).last
+    val ops2 = MergeWriter.changeFeed(spark, dir, v2, v3, Seq("id"),
+      Seq("body", "grp")).select(col("id"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops2 == Set((11L, "delete")),
+      s"feed must surface the blind delete, got $ops2")
+  }
+}
