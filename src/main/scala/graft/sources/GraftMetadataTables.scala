@@ -105,7 +105,12 @@ private[sources] class GraftBranchesTable(spark: SparkSession,
   * listing, no file I/O) — the SQL surface an operator diagnoses
   * merge-on-read pressure with ("which buckets carry DVs/overlays,
   * how big are the files, is stats coverage intact"). Manifest-sized
-  * by contract, so a LocalScan like `t.history`.
+  * by contract, so a LocalScan like `t.history` — up to the
+  * `spark.graft.metadata.localRows` threshold; past it (~400k files
+  * at 100 TB / 256 MB) the inventory plans as a DISTRIBUTED scan
+  * ([[GraftMetadataTables.scanFor]]), so a `t.files` join against
+  * query logs never funnels through the driver (Iceberg serves its
+  * metadata tables distributed for the same reason).
   */
 private[sources] class GraftFilesTable(spark: SparkSession,
                                        tablePath: String,
@@ -122,18 +127,8 @@ private[sources] class GraftFilesTable(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => {
-    val df = files
-    val s = df.schema
-    val conv = CatalystTypeConverters.createToCatalystConverter(s)
-    val collected = df.collect()
-      .map(r => conv(r).asInstanceOf[InternalRow])
-    new LocalScan {
-      override def rows(): Array[InternalRow] = collected
-      override def readSchema(): StructType = s
-      override def description(): String = s"GraftFiles($tablePath)"
-    }
-  }
+      : ScanBuilder = () =>
+    GraftMetadataTables.scanFor(files, s"GraftFiles($tablePath)")
 }
 
 /** `SELECT * FROM gc.ns.t.partitions` — per-BUCKET rollup of the
@@ -157,16 +152,41 @@ private[sources] class GraftPartitionsTable(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => {
-    val df = parts
+      : ScanBuilder = () =>
+    GraftMetadataTables.scanFor(parts, s"GraftPartitions($tablePath)")
+}
+
+private[sources] object GraftMetadataTables {
+
+  /** The local-vs-distributed dispatch behind `t.files` /
+    * `t.partitions`: a driver-local frame (≤ the
+    * `spark.graft.metadata.localRows` threshold — [[MergeWriter
+    * .tableFiles]] decides) collects into a [[LocalScan]] (zero jobs,
+    * constant-foldable); a parallelized one bridges its DISTRIBUTED
+    * plan through [[V1Scan]] so downstream joins run on executors.
+    */
+  def scanFor(df: org.apache.spark.sql.DataFrame, desc: String): Scan = {
     val s = df.schema
-    val conv = CatalystTypeConverters.createToCatalystConverter(s)
-    val collected = df.collect()
-      .map(r => conv(r).asInstanceOf[InternalRow])
-    new LocalScan {
-      override def rows(): Array[InternalRow] = collected
+    val isLocal = df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _ => false
+    }
+    if (isLocal) {
+      val conv = CatalystTypeConverters.createToCatalystConverter(s)
+      val collected = df.collect()
+        .map(r => conv(r).asInstanceOf[InternalRow])
+      new LocalScan {
+        override def rows(): Array[InternalRow] = collected
+        override def readSchema(): StructType = s
+        override def description(): String = desc
+      }
+    } else new V1Scan {
       override def readSchema(): StructType = s
-      override def description(): String = s"GraftPartitions($tablePath)"
+      override def description(): String = desc + "[distributed]"
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        GraftDvBridge.bridge(context, s, df).asInstanceOf[T]
     }
   }
 }

@@ -2814,10 +2814,29 @@ object MergeWriter {
           e != base, f.mins.size, f.fp.nonEmpty)
       }
     }
-    rows.toDF("bucket", "epoch", "file", "bytes", "rows",
+    val cols = Seq("bucket", "epoch", "file", "bytes", "rows",
       "live_rows", "dv", "dv_dead", "overlay", "stats_cols",
       "fingerprinted")
+    // manifest-sized tables stay a driver-local relation (one plan
+    // step, no job); past the threshold the inventory parallelizes so
+    // a downstream join (files × query logs at ~400k files / 100 TB)
+    // runs distributed instead of funneling through the driver —
+    // Iceberg serves its metadata tables as distributed scans for the
+    // same reason
+    if (rows.length <= localMetadataRows(spark)) rows.toDF(cols: _*)
+    else spark.sparkContext.parallelize(rows,
+      math.max(1, math.min(rows.length / 1024,
+        spark.sparkContext.defaultParallelism))).toDF(cols: _*)
   }
+
+  /** Row threshold under which a metadata table serves as a driver-
+    * local relation; above it the frame parallelizes and the catalog
+    * sub-table plans a distributed scan
+    * (`spark.graft.metadata.localRows`, default 4096).
+    */
+  private def localMetadataRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.metadata.localRows")
+      .map(_.toInt).getOrElse(4096)
 
   /** Per-BUCKET physical rollup (Iceberg's `t.partitions` shape for the
     * key-hash layout): one row per live bucket — base epoch, file and
@@ -2847,8 +2866,13 @@ object MergeWriter {
         else None,
         fss.map(_.dvn).sum, overlayEpochs.size)
     }
-    rows.toDF("bucket", "base_epoch", "n_files", "overlay_files",
+    val cols = Seq("bucket", "base_epoch", "n_files", "overlay_files",
       "bytes", "rows", "live_rows", "dv_dead", "overlay_epochs")
+    // same local-vs-distributed dispatch as [[tableFiles]]
+    if (rows.length <= localMetadataRows(spark)) rows.toDF(cols: _*)
+    else spark.sparkContext.parallelize(rows,
+      math.max(1, math.min(rows.length / 1024,
+        spark.sparkContext.defaultParallelism))).toDF(cols: _*)
   }
 
   /** Live staging branches (Iceberg's refs view, branch half): one row

@@ -261,4 +261,44 @@ class GraftMetadataTablesSpec extends AnyFunSuite with BeforeAndAfterAll {
         old.map(_.get(0)).mkString(","))
     spark.sql("DROP TABLE gmt.ns.ev")
   }
+
+  test("t.files/t.partitions plan LOCAL below the row threshold and " +
+       "DISTRIBUTED above it, with identical results") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.ns")
+    spark.sql("CREATE TABLE gmt.ns.dist (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id')")
+    spark.sql("INSERT INTO gmt.ns.dist SELECT id, id FROM range(0, 200)")
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def rowsOf(sql: String): Seq[String] =
+      spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val q = "SELECT bucket, file, rows, live_rows FROM gmt.ns.dist.files"
+    val qp = "SELECT bucket, n_files, live_rows FROM gmt.ns.dist.partitions"
+    // default threshold (4096): manifest-sized → driver-local scan
+    assert(planOf(q).contains("LocalTableScan"),
+      s"small t.files must plan as a local scan:\n${planOf(q)}")
+    val localRows = rowsOf(q)
+    val localParts = rowsOf(qp)
+    // threshold 0: every inventory row counts as 'large' → the frame
+    // parallelizes and the scan bridges the distributed plan
+    spark.conf.set("spark.graft.metadata.localRows", "0")
+    try {
+      // fresh loadTable (the sub-table caches its frame per load)
+      spark.sql("REFRESH TABLE gmt.ns.dist")
+      val distPlan = planOf(q)
+      assert(!distPlan.contains("LocalTableScan"),
+        s"past the threshold t.files must plan distributed:\n$distPlan")
+      assert(rowsOf(q) == localRows,
+        "distributed t.files must serve identical rows")
+      assert(rowsOf(qp) == localParts,
+        "distributed t.partitions must serve identical rows")
+      // the 100 TB shape: a join against another frame stays off the
+      // driver (no LocalTableScan feeding the join)
+      val joined = spark.sql(
+        s"""SELECT f.bucket, COUNT(*) AS n FROM gmt.ns.dist.files f
+           |JOIN gmt.ns.dist.partitions p ON f.bucket = p.bucket
+           |GROUP BY f.bucket""".stripMargin)
+      assert(joined.collect().length == 4)
+    } finally spark.conf.unset("spark.graft.metadata.localRows")
+  }
 }
