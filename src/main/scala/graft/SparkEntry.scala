@@ -5132,6 +5132,52 @@ object SparkEntry {
       // blind delete: no read resolves these keys at write time
       s.sql(s"DELETE FROM $cat.etl.docs WHERE doc_id % 53 = 5")
       s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.etl.docs")
+    }),
+
+    // VARIANT custom fields (Spark 4's VariantType — the open-format
+    // jsonb): the reference's raw custom-field side is truly dynamic
+    // (`[propName: string]: any`, revision_processor.ts:113). A
+    // `cf VARIANT` column stores THREE different document shapes in one
+    // table without schema churn — nested, flat, and missing-field —
+    // and `variant_get` extracts typed values with NULL for absent
+    // paths. The oracle recomputes the same extraction directly from
+    // the base columns, so a storage or extraction bug (shredding,
+    // path resolution, type coercion) hash-mismatches.
+    "q196_variant_fields" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-variant"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .createOrReplaceTempView(s"var_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.cf (o_orderkey BIGINT, cf VARIANT)
+        TBLPROPERTIES ('keys'='o_orderkey', 'buckets'='8')""")
+      // three shapes: nested meta (%3=0), flat with prio (%3=1),
+      // status-less (%3=2)
+      s.sql(s"""INSERT INTO $cat.etl.cf SELECT o_orderkey, PARSE_JSON(
+          CASE WHEN o_orderkey % 3 = 0 THEN to_json(named_struct(
+                 'status', o_orderstatus,
+                 'meta', named_struct('price', o_totalprice)))
+               WHEN o_orderkey % 3 = 1 THEN to_json(named_struct(
+                 'status', o_orderstatus, 'prio', o_orderpriority))
+               ELSE to_json(named_struct('price', o_totalprice)) END)
+        FROM var_src_$n""")
+      s.sql(s"""SELECT
+          COALESCE(variant_get(cf, '$$.status', 'string'), 'none')
+            AS status,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(COALESCE(
+            variant_get(cf, '$$.meta.price', 'double'),
+            variant_get(cf, '$$.price', 'double'), 0.0)
+            AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+          CAST(COUNT(variant_get(cf, '$$.prio', 'string')) AS BIGINT)
+            AS n_prio
+        FROM $cat.etl.cf GROUP BY 1""")
     })
   )
 
@@ -8522,6 +8568,20 @@ object SparkEntry {
         |       WHEN doc_id % 37 = 1 THEN n_chars + 1000
         |       ELSE n_chars END AS BIGINT) AS n_chars
         |FROM documents WHERE NOT (doc_id % 53 = 5)""".stripMargin,
+
+    // Variant extraction is a pure function of the constructed JSON —
+    // the oracle recomputes it from the base columns: status absent on
+    // %3=2 rows, price carried on %3∈{0,2}, prio only on %3=1.
+    "q196_variant_fields" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'none'
+        |            ELSE o_orderstatus END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN CAST(0 AS DECIMAL(18,2))
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_prio
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // Generated values are pure functions of stored columns — the
     // oracle recomputes them; the rejected mismatch batch left nothing.
