@@ -1041,6 +1041,61 @@ object ScaleBench {
       morBench(base, "sf0.1", 4); morBench(rep, "rep10", 16)
     }
 
+    // Equality deletes at scale (round 13): the TRICKLE-CDC shape — five
+    // consecutive 10-key upserts (the q140 trigger wall) on the same
+    // table, three write modes: eqd (write-only doomed-key sidecars, no
+    // probe read), mor (position DVs — one pruned probe read per
+    // trigger), cow (full bucket rewrites). The eqd trickle wall must
+    // undercut mor's (the probe is the per-trigger fixed cost eq-deletes
+    // delete) and both must stay flat 1×→10× while cow scales with
+    // bucket bytes. Read-side price recorded on both instruments: the
+    // storage scan pays the broadcast anti-join, the catalog scan pays
+    // the plan-time position resolution — both bounded by the doomed-key
+    // caps and drained by compaction.
+    def eqdBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/eq13/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val someIds = ev.select(col("event_id"))
+        .filter(pmod(col("event_id"), lit(1009)) === 13).limit(50)
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      for ((mode, dv, eqd) <- Seq(("eqd", true, true), ("mor", true, false),
+                                  ("cow", false, false))) {
+        val path = s"$root/$mode"
+        graft.sources.MergeWriter.merge(spark, path, ev, Seq("event_id"),
+          buckets = buckets, clusterBy = Seq("event_id"),
+          deleteVectors = dv, eqDeletes = eqd)
+        val before = dirBytesOf(path)
+        val rounds = someIds.grouped(10).toSeq.map { ids =>
+          val batch = ids.map(id => (id, -1L, "touched", 0.0))
+            .toDF("event_id", "user_id", "event_type", "value")
+          elapsedSec {
+            graft.sources.MergeWriter.merge(spark, path, batch,
+              Seq("event_id"))
+          }
+        }
+        val written = dirBytesOf(path) - before
+        val scanSec = elapsedSec {
+          graft.sources.MergeWriter.readTable(spark, path).count()
+        }
+        val cat = ("gsbeqd" + tag + mode).replace(".", "_")
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+        // min-of-2: the first catalog scan in a fresh session pays
+        // one-time catalyst/codegen warmup that isn't the scan's cost
+        val catSec = Seq.fill(2)(
+          elapsedSec { spark.table(s"$cat.$mode").count() }).min
+        val roundsJson = rounds.map(r => f"$r%.3f").mkString("[", ",", "]")
+        println(f"""{"dir":"$tag","mode":"$mode","table_bytes":$before,"trickle_sec":${rounds.sum}%.3f,"round_sec":$roundsJson,"bytes_written":$written,"scan_sec":$scanSec%.3f,"catalog_scan_sec":$catSec%.3f}""")
+      }
+    }
+    if (sections("eq13")) {
+      eqdBench(base, "sf0.1", 4); eqdBench(rep, "rep10", 16)
+    }
+
     // Branch staging at scale (round 12): a write-audit-publish cycle
     // on a deleteVectors table — stage a 10-key DV delete plus a
     // 10-key MoR upsert on a branch, audit the branch head, publish.
