@@ -5178,6 +5178,45 @@ object SparkEntry {
           CAST(COUNT(variant_get(cf, '$$.prio', 'string')) AS BIGINT)
             AS n_prio
         FROM $cat.etl.cf GROUP BY 1""")
+    }),
+
+    // DECLARATIVE MATERIALIZED VIEW with incremental refresh (the A8
+    // insights-snapshot pattern generalized — what q127 hand-rolls, as
+    // one CREATE + one CALL): the defining GROUP BY query is recorded
+    // at create, churn hits the SOURCE through ordinary SQL DML, and
+    // refresh_mv folds the change feed in — exactly-once,
+    // change-proportional, group liveness and WHERE flips included.
+    // The oracle recomputes the defining query over the churned state
+    // relationally, so any maintenance drift hash-mismatches.
+    "q197_materialized_view" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-mv"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView(s"mv_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.src (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+        'clusterBy'='doc_id', 'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.src " +
+        s"SELECT doc_id, lang, n_chars FROM mv_src_$n")
+      s.sql(s"""CALL $cat.system.create_mv(view => 'etl.mv',
+        source => 'etl.src',
+        query => 'SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+                  FROM src WHERE n_chars > 500 GROUP BY lang')""")
+      // churn through ordinary DML: updates (some flip the WHERE),
+      // deletes, inserts — three source commits, one refresh window
+      s.sql(s"UPDATE $cat.etl.src SET n_chars = n_chars + 10 " +
+        "WHERE doc_id % 50 = 3")
+      s.sql(s"DELETE FROM $cat.etl.src WHERE doc_id % 101 = 7")
+      s.sql(s"INSERT INTO $cat.etl.src SELECT doc_id + 10000000, " +
+        s"'new', n_chars FROM mv_src_$n WHERE doc_id % 97 = 0")
+      s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
+      s.sql(s"SELECT lang, n, chars FROM $cat.etl.mv")
     })
   )
 
@@ -8582,6 +8621,22 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT)
         |    AS n_prio
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // The MV must equal its defining query over the churned source:
+    // originals with the %50=3 bump applied minus the %101=7 deletes,
+    // plus the inserted synthetic docs, filtered and aggregated.
+    "q197_materialized_view" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    n_chars + CASE WHEN doc_id % 50 = 3 THEN 10 ELSE 0 END
+        |      AS n_chars
+        |  FROM documents WHERE NOT (doc_id % 101 = 7)
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'new', n_chars
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM s WHERE n_chars > 500 GROUP BY lang""".stripMargin,
 
     // Generated values are pure functions of stored columns — the
     // oracle recomputes them; the rejected mismatch batch left nothing.

@@ -1015,6 +1015,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"buckets split on $p"
         }
       },
+      new Proc("create_mv", "declarative MATERIALIZED VIEW: record a " +
+          "GROUP BY defining query (COUNT(*) required; COUNT(col)/" +
+          "SUM(col); optional WHERE) and materialize it as a keyed " +
+          "graft table; refresh_mv maintains it off the change feed — " +
+          "cost ∝ changed rows, never the source corpus",
+        Array(inParam("view", SType), inParam("source", SType),
+          inParam("query", SType),
+          inParamDefault("buckets", IntegerType, "16"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val view = in.getUTF8String(0).toString
+          val source = in.getUTF8String(1).toString
+          val viewDir = dirOf(view.split('.').toIndexedSeq
+            .filter(_.nonEmpty)).toString
+          MaterializedViews.create(spark, viewDir, tablePathOf(source),
+            source, in.getUTF8String(2).toString, in.getInt(3))
+          s"created materialized view $view over $source"
+        }
+      },
+      new Proc("refresh_mv", "advance a materialized view to its " +
+          "source's current version off the change feed (exactly-once; " +
+          "falls back to one full re-evaluation only when retention " +
+          "dropped the window)",
+        Array(inParam("view", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val view = in.getUTF8String(0).toString
+          val p = tablePathOf(view)
+          MaterializedViews.refresh(spark, p) match {
+            case None => s"$view is fresh"
+            case Some((-1L, to)) =>
+              s"$view fully re-evaluated at source version $to " +
+                "(refresh window aged out of retention)"
+            case Some((from, to)) =>
+              s"$view refreshed from source version $from to $to"
+          }
+        }
+      },
       new Proc("build_bloom_index", "declare per-file Bloom columns and " +
           "backfill sidecars for every live epoch",
         Array(inParam("table", SType), inParam("columns", SType),
@@ -1041,6 +1077,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         override protected def run(in: org.apache.spark.sql.catalyst.InternalRow) =
           MergeWriter.describeTable(spark,
             tablePathOf(in.getUTF8String(0).toString))
+      },
+      new TableProc("mv_status", "materialized-view freshness: source, " +
+          "refreshed-through source version, source head, fresh flag",
+        Array(inParam("view", SType))) {
+        override protected def run(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val (src, through, head) = MaterializedViews.status(spark,
+            tablePathOf(in.getUTF8String(0).toString))
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row(src, through, head, through >= head)),
+            StructType(Seq(StructField("source", StringType),
+              StructField("refreshed_version", LongType),
+              StructField("source_version", LongType),
+              StructField("fresh", BooleanType))))
+        }
       })
     (all.map(p => p.name() -> (p: procedures.UnboundProcedure)) ++
       tableProcs.map(p => p.name() -> (p: procedures.UnboundProcedure))).toMap

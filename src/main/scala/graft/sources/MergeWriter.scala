@@ -879,6 +879,15 @@ object MergeWriter {
         s"$attempts attempts (persistent commit contention)")
   }
 
+  /** Record an exactly-once txn anchor WITHOUT data (a consumer that
+    * proved its window contributes nothing must still advance, or it
+    * re-diffs the same window forever — the MV refresh's empty-delta
+    * case). Same ledger, same replay rule as the data-carrying commits.
+    */
+  private[sources] def recordTxn(spark: SparkSession, tablePath: String,
+                                 t: (String, Long)): Unit =
+    commitTxnGuard(fsFor(spark, tablePath), new Path(tablePath), t)
+
   /** THE commit primitive (Delta's pluggable LogStore, scaled to this
     * protocol): every manifest publish — table and group — funnels
     * through one `putIfAbsent` whose contract is the protocol's entire
@@ -6277,7 +6286,12 @@ object MergeWriter {
                    keys: Seq[String], opName: String = "rowlevel",
                    autoCompactEpochs: Int = AutoCompactEpochs,
                    expectedVersion: Option[Long] = None,
-                   ref: Option[String] = None): Unit = {
+                   ref: Option[String] = None,
+                   // exactly-once anchor (the mergeAdditive contract):
+                   // a changeset at or below the app's recorded version
+                   // is skipped whole; the ledger entry rides the same
+                   // atomic commit as the changes it describes
+                   txn: Option[(String, Long)] = None): Unit = {
     require(keys.nonEmpty, "applyChanges requires at least one key column")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
@@ -6285,6 +6299,8 @@ object MergeWriter {
       throw new IllegalStateException(
         s"applyChanges: $tablePath is not a manifest table"))
     validateKeys(man, keys, opName)
+    if (txn.exists(t => man.txns.get(t._1).exists(_ >= t._2)))
+      return // replay: the whole changeset already applied
     val nb = man.buckets
     // IDENTITY assignment precedes bucketing (a MERGE's NOT-MATCHED
     // INSERT action may supply NULL for an identity column); GENERATED
@@ -6302,7 +6318,13 @@ object MergeWriter {
     try {
       val touched =
         (touchedBuckets(up) ++ touchedBuckets(del)).distinct
-      if (touched.isEmpty) return // empty changeset — no version churn
+      if (touched.isEmpty) {
+        // an empty changeset is applied by definition, but its txn must
+        // still be recorded (mergeAdditive's rule: a redelivery WITH
+        // rows would re-apply)
+        txn.foreach(t => commitTxnGuard(fs, dir, t, ref))
+        return
+      }
       requireScanCurrent(fs, tablePath, man, expectedVersion, touched,
         opName, ref)
       // SQL's cardinality check only guards MATCHED rows, so a MERGE
@@ -6316,9 +6338,9 @@ object MergeWriter {
       if (!(man.deleteVectors &&
             (if (man.eqDeletes)
               eqdApply(spark, fs, tablePath, man, Some(up), Some(del), keys,
-                touched, None, opName, ref)
+                touched, txn, opName, ref)
             else morApply(spark, fs, tablePath, man, up, Some(del), keys,
-              touched, None, opName, ref)))) {
+              touched, txn, opName, ref)))) {
         val existingPaths = touched.flatMap(b =>
           (if (man.epochs.contains(b)) bucketDirPaths(tablePath, man, b)
                else Seq.empty))
@@ -6337,7 +6359,7 @@ object MergeWriter {
         }
         val touchedStored = touched.filter(man.epochs.contains).toSet
         writeEpochAndCommit(spark, fs, tablePath, merged, keys, nb,
-          Some(man), dropBuckets = touchedStored, opName = opName,
+          Some(man), txn, dropBuckets = touchedStored, opName = opName,
           ref = ref)
       }
       if (ref.isEmpty) {

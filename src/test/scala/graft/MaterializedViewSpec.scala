@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Declarative materialized views with incremental refresh: the
+  * defining GROUP BY query is recorded once, the MV is a first-class
+  * catalog table, and `refresh_mv` maintains it off the change feed —
+  * exactly-once, change-proportional, with group liveness (a vanished
+  * group leaves the view) and predicate flips handled on both sides.
+  */
+class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("gmv-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.gmv",
+      classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.gmv.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def defQuery(view: String = "src"): String =
+    s"SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM $view " +
+      "WHERE v >= 0 GROUP BY grp"
+
+  /** The defining query evaluated directly over the source — the MV
+    * must equal this after every refresh.
+    */
+  private def expected(src: String): Set[(String, Long, Long)] =
+    spark.sql(s"SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM $src " +
+      "WHERE v >= 0 GROUP BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def mvRows(t: String): Set[(String, Long, Long)] =
+    spark.sql(s"SELECT grp, n, sv FROM $t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("MV equals its defining query through inserts, updates, deletes " +
+       "and predicate flips; refresh is exactly-once under replay") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.src (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.src SELECT id, " +
+      "CONCAT('g', id % 5), id FROM range(0, 100)")
+    spark.sql(s"CALL gmv.system.create_mv(view => 'ns.mv', " +
+      s"source => 'ns.src', query => '${defQuery()}')")
+    assert(mvRows("gmv.ns.mv") == expected("gmv.ns.src"), "initial build")
+    // churn: inserts (new group too), updates (incl. group move and a
+    // predicate flip to v < 0), deletes
+    spark.sql("INSERT INTO gmv.ns.src SELECT id, 'g9', id " +
+      "FROM range(1000, 1010)")
+    spark.sql("UPDATE gmv.ns.src SET grp = 'g9', v = v + 7 WHERE id = 3")
+    spark.sql("UPDATE gmv.ns.src SET v = -1 WHERE id IN (10, 15)")
+    spark.sql("DELETE FROM gmv.ns.src WHERE id IN (20, 25, 1005)")
+    val s1 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mv')")
+      .collect().head.getString(0)
+    assert(s1.contains("refreshed"), s1)
+    assert(mvRows("gmv.ns.mv") == expected("gmv.ns.src"),
+      "MV must equal the defining query after churn + refresh")
+    // replay: a second refresh with no new source commits is a no-op
+    val s2 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mv')")
+      .collect().head.getString(0)
+    assert(s2.contains("fresh"), s2)
+    // a predicate flip BACK in (v >= 0 again) re-enters the view
+    spark.sql("UPDATE gmv.ns.src SET v = 40 WHERE id = 10")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mv')")
+    assert(mvRows("gmv.ns.mv") == expected("gmv.ns.src"))
+  }
+
+  test("group liveness: a group whose last row leaves VANISHES from " +
+       "the view (no zero rows)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.live (id BIGINT, grp STRING, " +
+      "v BIGINT) TBLPROPERTIES ('keys'='id', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.live VALUES (1, 'a', 1), (2, 'a', 2), " +
+      "(3, 'b', 3)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.livemv', " +
+      "source => 'ns.live', query => 'SELECT grp, COUNT(*) AS n, " +
+      "SUM(v) AS sv FROM live WHERE v >= 0 GROUP BY grp')")
+    spark.sql("DELETE FROM gmv.ns.live WHERE grp = 'b'")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.livemv')")
+    val grps = spark.sql("SELECT grp FROM gmv.ns.livemv").collect()
+      .map(_.getString(0)).toSet
+    assert(grps == Set("a"), s"vanished group must leave the view: $grps")
+    // and it comes back when rows return
+    spark.sql("INSERT INTO gmv.ns.live VALUES (9, 'b', 9)")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.livemv')")
+    assert(mvRows("gmv.ns.livemv") == expected("gmv.ns.live"))
+  }
+
+  test("freshness is visible via mv_status; a source commit with no " +
+       "view contribution still advances the anchor") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.st (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.st VALUES (1, 'a', 1)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.stmv', " +
+      "source => 'ns.st', query => 'SELECT grp, COUNT(*) AS n, " +
+      "SUM(v) AS sv FROM st WHERE v >= 0 GROUP BY grp')")
+    def status() = spark.sql(
+      "CALL gmv.system.mv_status(view => 'ns.stmv')").collect().head
+    assert(status().getBoolean(3), "fresh right after create")
+    // a commit whose rows are all OUTSIDE the WHERE: no contribution,
+    // but the anchor must advance or every refresh re-diffs it
+    spark.sql("INSERT INTO gmv.ns.st VALUES (50, 'z', -5)")
+    assert(!status().getBoolean(3), "stale after a source commit")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.stmv')")
+    val st = status()
+    assert(st.getBoolean(3),
+      s"anchor must advance past a no-contribution window: $st")
+    assert(mvRows("gmv.ns.stmv") == expected("gmv.ns.st"))
+  }
+
+  test("unmaintainable defining queries are rejected at create, with " +
+       "the reason") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.rj (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gmv.ns.rj VALUES (1, 'a', 1)")
+    def rejected(q: String): String = {
+      val e = intercept[Exception] {
+        spark.sql("CALL gmv.system.create_mv(view => 'ns.rjmv', " +
+          s"source => 'ns.rj', query => '$q')")
+      }
+      e.getMessage
+    }
+    assert(rejected("SELECT grp, MAX(v) AS m, COUNT(*) AS n FROM rj " +
+      "GROUP BY grp").contains("only COUNT(*)"))
+    assert(rejected("SELECT grp, SUM(v) AS sv FROM rj GROUP BY grp")
+      .contains("COUNT(*)"))
+    assert(rejected("SELECT id, grp FROM rj").contains("GROUP BY"))
+    assert(rejected("SELECT grp, COUNT(*) AS n FROM other GROUP BY grp")
+      .contains("declared source"))
+  }
+
+  test("retention fallback: a refresh window that aged out triggers ONE " +
+       "full re-evaluation, still exactly-once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    // retainVersions = 2 (the floor): history ages out fast
+    spark.sql("CREATE TABLE gmv.ns.rt (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2')")
+    spark.sql("INSERT INTO gmv.ns.rt VALUES (1, 'a', 1), (2, 'b', 2)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.rtmv', " +
+      "source => 'ns.rt', query => 'SELECT grp, COUNT(*) AS n, " +
+      "SUM(v) AS sv FROM rt WHERE v >= 0 GROUP BY grp')")
+    // many commits: the MV's refreshed-through version ages out
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO gmv.ns.rt VALUES (${100 + i}, 'c', $i)")
+    }
+    val s = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.rtmv')")
+      .collect().head.getString(0)
+    assert(s.contains("fully re-evaluated"), s)
+    assert(mvRows("gmv.ns.rtmv") == expected("gmv.ns.rt"))
+  }
+}
