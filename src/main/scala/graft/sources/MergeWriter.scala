@@ -4044,6 +4044,12 @@ object MergeWriter {
     val delCount = delKeys.fold(0L)(_.limit(capProbe).count())
     if (incCount + delCount > DvMaxPositionsPerCommit) return false
     val touchedStored = touched.filter(man.epochs.contains)
+    // a touched bucket without per-file stats falls back to CoW: the
+    // catalog scan's plan-time resolution enumerates an eq-delete's
+    // affected files FROM the stats records — an unlisted file would
+    // serve its doomed rows unfiltered (morApply's guard, same reason)
+    if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
+      return false
     // nothing to insert and nothing stored to delete from: provable no-op
     if (incCount == 0 && (delCount == 0 || touchedStored.isEmpty))
       return true

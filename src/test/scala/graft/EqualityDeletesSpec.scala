@@ -192,6 +192,58 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
       "gc must reclaim sidecars no retained manifest references")
   }
 
+  test("declared columns compose: identity assignment, CHECK " +
+       "enforcement and generated recompute all run on the write-only " +
+       "overlay path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geqd.ns")
+    spark.sql("""CREATE TABLE geqd.ns.gov (
+      id BIGINT, v BIGINT,
+      rid BIGINT GENERATED BY DEFAULT AS IDENTITY,
+      vmod BIGINT GENERATED ALWAYS AS (v % 7),
+      CONSTRAINT pk PRIMARY KEY (id),
+      CONSTRAINT v_pos CHECK (v >= 0)
+    ) TBLPROPERTIES ('buckets'='4', 'eqDeletes'='true')""")
+    spark.sql("INSERT INTO geqd.ns.gov (id, v) " +
+      "SELECT id, id * 3 FROM range(0, 50)")
+    // eqd upsert round: identity assigned fresh, generated recomputed,
+    // CHECK enforced — all inside the overlay write
+    spark.sql("INSERT INTO geqd.ns.gov (id, v) VALUES (7, 700), (99, 990)")
+    val rejected = scala.util.Try(spark.sql(
+      "INSERT INTO geqd.ns.gov (id, v) VALUES (100, -5)")).isFailure
+    assert(rejected, "CHECK must hold the line on the eqd overlay path")
+    val r = spark.sql("SELECT v, vmod, rid FROM geqd.ns.gov WHERE id = 7")
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) == 700 &&
+      r.head.getLong(1) == 0 && !r.head.isNullAt(2))
+    assert(spark.sql("SELECT COUNT(*), COUNT(DISTINCT rid) " +
+      "FROM geqd.ns.gov").collect().head match {
+        case row => row.getLong(0) == 51 && row.getLong(1) == 51
+      })
+  }
+
+  test("branch staging works on an eqDeletes table: staged write-only " +
+       "commits publish atomically, main untouched meanwhile") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqdb").toString + "/t"
+    seed(dir, 60)
+    MergeWriter.createBranch(spark, dir, "audit")
+    MergeWriter.merge(spark, dir,
+      Seq((5L, "staged-5", 1)).toDF("id", "body", "grp"), Seq("id"),
+      ref = Some("audit"))
+    MergeWriter.delete(spark, dir, Seq(6L).toDF("id"), Seq("id"),
+      ref = Some("audit"))
+    // main untouched
+    val main = MergeWriter.readTable(spark, dir)
+    assert(main.count() == 60 &&
+      main.where(col("id") === 5L).collect().head.getString(1) == "v1-5")
+    MergeWriter.fastForward(spark, dir, "audit")
+    val after = MergeWriter.readTable(spark, dir)
+    assert(after.count() == 59 &&
+      after.where(col("id") === 5L).collect().head.getString(1)
+        == "staged-5" &&
+      after.where(col("id") === 6L).count() == 0)
+  }
+
   test("the change feed sees eq-delete commits: updates, inserts and " +
        "deletes all surface across one write-only commit") {
     import spark.implicits._
