@@ -4262,20 +4262,27 @@ object MergeWriter {
                                         keepPaths: Option[Set[String]] = None)
       : Map[String, Array[Long]] = {
     if (!hasLiveEqds(m)) return Map.empty
-    // (applicable sidecars, relKey, abs) of every file some eq-delete
-    // applies to, restricted to the scan's pruned listing
-    val cands: Seq[(Seq[String], String, String)] =
+    // (epoch ordinal, relKey, abs) of every file some eq-delete applies
+    // to, restricted to the scan's pruned listing
+    val cands: Seq[(Int, String, String)] =
       m.epochs.keys.toSeq.sorted.flatMap { b =>
-        if (m.eqds.getOrElse(b, Seq.empty).isEmpty) Seq.empty
-        else m.stats.getOrElse(b, Seq.empty).flatMap { f =>
-          val e = fileEpoch(m, b, f)
-          val sids = applicableEqds(m, b, e)
-          if (sids.isEmpty) None
-          else {
-            val abs = new Path(fileReadPath(root, m, b, f)).toString
-            if (keepPaths.forall(_.contains(abs)))
-              Some((sids, dvRelKey(e, b, f.name), abs))
-            else None
+        val maxU = m.eqds.getOrElse(b, Seq.empty)
+          .foldLeft(0)((mx, d) => math.max(mx, d.upTo))
+        if (maxU == 0) Seq.empty
+        else {
+          val epochs = bucketEpochs(m, b)
+          m.stats.getOrElse(b, Seq.empty).flatMap { f =>
+            val e = fileEpoch(m, b, f)
+            val ord = epochs.indexOf(e)
+            require(ord >= 0, s"equality deletes: epoch $e is not a " +
+              s"live epoch of bucket $b (version ${m.version})")
+            if (ord >= maxU) None
+            else {
+              val abs = new Path(fileReadPath(root, m, b, f)).toString
+              if (keepPaths.forall(_.contains(abs)))
+                Some((ord, dvRelKey(e, b, f.name), abs))
+              else None
+            }
           }
         }
       }
@@ -4288,21 +4295,46 @@ object MergeWriter {
       if (m.colIds.isEmpty) keySchema
       else { ensureFieldIdRead(spark); stampSchema(keySchema, m.colIds) }
     val absByRel = cands.map { case (_, rel, abs) => rel -> abs }.toMap
-    cands.groupBy(_._1).toSeq.flatMap { case (sids, fsOfGroup) =>
-      val doomed = eqdKeysDf(spark, root, m, sids)
-      spark.read.schema(readSchema).parquet(fsOfGroup.map(_._3): _*)
-        .withColumn("__graft_file",
-          substring_index(col("_metadata.file_path"), "/", -3))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
-        .join(broadcast(doomed), m.keyCols, "left_semi")
-        .select(col("__graft_file"), col("__graft_pos"))
-        .collect().toSeq
-        .map(r => absByRel(r.getString(0)) -> r.getLong(1))
-    }.groupBy(_._1).map { case (p, xs) =>
-      val a = xs.map(_._2).toArray
-      java.util.Arrays.sort(a)
-      p -> a
-    }
+    // ONE probe job over all affected files, the per-file scoping
+    // folded into broadcast joins (no per-sidecar-set job fan-out):
+    // a row is dead iff some sidecar holding its key covers its file's
+    // epoch ordinal. Doomed keys tag the HIGHEST covering ordinal of
+    // their own hash bucket (coverage is a prefix: sidecar (b, upTo)
+    // kills ordinals < upTo, so max-upTo per key is exact); file rows
+    // tag their ordinal via a broadcast (relKey, ord) frame.
+    import spark.implicits._
+    val ordDf = broadcast(
+      cands.map { case (ord, rel, _) => (rel, ord) }
+        .toDF("__graft_file", "__ord"))
+    // (sidecar, bucket, upTo) — the scoping table
+    val scopeDf = broadcast(m.eqds.toSeq.flatMap { case (b, ds) =>
+      ds.map(d => (d.sidecar, b, d.upTo))
+    }.toDF("__sid", "__b", "__u"))
+    val sidecars = m.eqds.valuesIterator.flatten.map(_.sidecar)
+      .toSeq.distinct.sorted
+    val doomed = broadcast(sidecars.map { s =>
+        eqdKeysDf(spark, root, m, Seq(s)).withColumn("__sid", lit(s))
+      }.reduce(_ unionByName _)
+      .withColumn("__b",
+        pmod(hash(m.keyCols.map(col): _*), lit(m.buckets)))
+      .join(scopeDf, Seq("__sid", "__b"))
+      .groupBy(m.keyCols.map(col): _*)
+      .agg(max(col("__u")).as("__u")))
+    spark.read.schema(readSchema).parquet(cands.map(_._3): _*)
+      .withColumn("__graft_file",
+        substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(ordDf, Seq("__graft_file"))
+      .join(doomed, m.keyCols)
+      .where(col("__ord") < col("__u"))
+      .select(col("__graft_file"), col("__graft_pos"))
+      .collect().toSeq
+      .map(r => absByRel(r.getString(0)) -> r.getLong(1))
+      .groupBy(_._1).map { case (p, xs) =>
+        val a = xs.map(_._2).toArray
+        java.util.Arrays.sort(a)
+        p -> a
+      }
   }
 
   /** Merge two dead-position maps (position DVs + resolved equality
