@@ -1096,6 +1096,45 @@ object ScaleBench {
       eqdBench(base, "sf0.1", 4); eqdBench(rep, "rep10", 16)
     }
 
+    // Materialized-view maintenance at scale (round 13): create pays
+    // ONE full evaluation (∝ corpus — the only one the MV ever pays);
+    // a trickle churn's refresh must price ∝ the changed rows, flat
+    // 1×→10×, never re-evaluating the source. The refresh wall is the
+    // claim: an MV over 10× the data refreshes a 20-row churn in the
+    // same time as over 1×.
+    def mvBench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/mv13/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val src = s"$root/src"
+      graft.sources.MergeWriter.merge(spark, src, ev, Seq("event_id"),
+        buckets = buckets, clusterBy = Seq("event_id"), fingerprint = true)
+      val createSec = elapsedSec {
+        graft.sources.MaterializedViews.create(spark, s"$root/mv", src,
+          "src", "SELECT event_type, COUNT(*) AS n, SUM(user_id) AS su " +
+            "FROM src WHERE value >= 0 GROUP BY event_type")
+      }
+      import spark.implicits._
+      val someIds = ev.select(col("event_id"))
+        .filter(pmod(col("event_id"), lit(1009)) === 13).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      val batch = someIds.map(id => (id, -1L, "touched", 0.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+      graft.sources.MergeWriter.merge(spark, src, batch, Seq("event_id"))
+      graft.sources.MergeWriter.delete(spark, src,
+        someIds.take(5).toDF("event_id"), Seq("event_id"))
+      val refreshSec = elapsedSec {
+        graft.sources.MaterializedViews.refresh(spark, s"$root/mv")
+      }
+      val mvRows = graft.sources.MergeWriter
+        .readTable(spark, s"$root/mv").count()
+      println(f"""{"dir":"$tag","create_sec":$createSec%.3f,"refresh_sec":$refreshSec%.3f,"mv_rows":$mvRows}""")
+    }
+    if (sections("mv13")) {
+      mvBench(base, "sf0.1", 4); mvBench(rep, "rep10", 16)
+    }
+
     // Branch staging at scale (round 12): a write-audit-publish cycle
     // on a deleteVectors table — stage a 10-key DV delete plus a
     // 10-key MoR upsert on a branch, audit the branch head, publish.

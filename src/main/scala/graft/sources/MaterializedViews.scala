@@ -302,8 +302,19 @@ object MaterializedViews {
           col(a.col) * col("__sign")).otherwise(lit(0))).as(a.alias)
       }
     }
+    // persisted: the emptiness probe, the point-read keying and the
+    // fold all consume it — without the cache each would recompute the
+    // full feed diff
     val delta = signed.groupBy(d.groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*).persist()
+    try {
+      refreshWithDelta(spark, mvPath, d, delta, from, to)
+    } finally { delta.unpersist(); () }
+  }
+
+  private def refreshWithDelta(spark: SparkSession, mvPath: String,
+                               d: MvDef, delta: DataFrame,
+                               from: Long, to: Long): Option[(Long, Long)] = {
     // an advanced source version with an empty contribution (e.g. a
     // churn outside the WHERE) must still move the anchor, or every
     // later refresh re-diffs the same window
