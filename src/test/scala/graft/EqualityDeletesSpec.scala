@@ -244,6 +244,36 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
       after.where(col("id") === 6L).count() == 0)
   }
 
+  test("the CDC stream tails write-only commits: an eq-delete upsert " +
+       "and a blind delete surface as update/insert/delete batches") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geqd.ns")
+    spark.sql("CREATE TABLE geqd.ns.cdc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'eqDeletes'='true')")
+    spark.sql("INSERT INTO geqd.ns.cdc SELECT id, id FROM range(10)")
+    val ckpt = Files.createTempDirectory("geqd-cdc-ckpt").toString
+    val q = spark.readStream.table("geqd.ns.cdc.changes")
+      .writeStream.format("memory").queryName("geqd_cdc_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // snapshot as inserts
+      // write-only upsert: 5 replaced, 100 fresh — then a blind delete
+      spark.sql("INSERT INTO geqd.ns.cdc VALUES (5, -5), (100, 1)")
+      spark.sql("DELETE FROM geqd.ns.cdc WHERE id = 7")
+      q.processAllAvailable()
+      val ops = spark.sql(
+        "SELECT op, COUNT(*) AS n FROM geqd_cdc_sink GROUP BY op")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(ops("insert") == 11, s"10 snapshot + 1 live insert: $ops")
+      assert(ops("update") == 1, s"the replaced key must diff: $ops")
+      assert(ops("delete") == 1, s"the blind delete must surface: $ops")
+      val upd = spark.sql("SELECT id, new_v FROM geqd_cdc_sink " +
+        "WHERE op = 'update'").collect().head
+      assert(upd.getLong(0) == 5L && upd.getLong(1) == -5L)
+    } finally q.stop()
+    spark.sql("DROP TABLE geqd.ns.cdc")
+  }
+
   test("the change feed sees eq-delete commits: updates, inserts and " +
        "deletes all surface across one write-only commit") {
     import spark.implicits._
