@@ -312,15 +312,31 @@ object MaterializedViews {
     } finally { delta.unpersist(); () }
   }
 
+  /** Touched-group cap: past it the point-read keying (a bounded
+    * driver collect by contract) stops being bounded, so the refresh
+    * re-evaluates fully instead — for a churn that big the full
+    * evaluation is competitive anyway.
+    */
+  private val MaxIncrementalGroups = 100000L
+
   private def refreshWithDelta(spark: SparkSession, mvPath: String,
                                d: MvDef, delta: DataFrame,
                                from: Long, to: Long): Option[(Long, Long)] = {
+    // bounded size probe: 0 / incremental / too-big in one job
+    val probe = delta.limit((MaxIncrementalGroups + 1).toInt).count()
     // an advanced source version with an empty contribution (e.g. a
     // churn outside the WHERE) must still move the anchor, or every
     // later refresh re-diffs the same window
-    if (delta.limit(1).count() == 0L) {
+    if (probe == 0L) {
       MergeWriter.recordTxn(spark, mvPath, (txnApp(d.source), to))
       return Some((from, to))
+    }
+    if (probe > MaxIncrementalGroups) {
+      val full = evaluate(MergeWriter.readTable(spark, d.source),
+        d.groupCols, d.aggs, d.whereSql)
+      MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols,
+        txn = Some((txnApp(d.source), to)))
+      return Some((-1L, to))
     }
     // current MV rows for exactly the touched groups (bounded point
     // read), folded, then ONE atomic mixed commit: live groups upsert,
