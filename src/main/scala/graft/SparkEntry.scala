@@ -5217,6 +5217,61 @@ object SparkEntry {
         s"'new', n_chars FROM mv_src_$n WHERE doc_id % 97 = 0")
       s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
       s.sql(s"SELECT lang, n, chars FROM $cat.etl.mv")
+    }),
+
+    // STREAMING TRICKLE-CDC INTO AN eqDeletes TABLE — the write path
+    // the reference's SQS-fed state upserts need at 100 TB
+    // (serverless.yml:400-407): every micro-batch lands as ONE
+    // write-only commit (overlay + doomed-key sidecar, no probe read),
+    // exactly-once via the batch-id txn, and a blind keyed DELETE
+    // finishes the feed. Source files are partitioned BY KEY, so each
+    // key's rows arrive in one batch and the per-batch last-event-wins
+    // reduction makes the final state batch-order-insensitive. The
+    // read back resolves every stacked eq-delete — one live row per
+    // key, the newest.
+    "q198_streaming_cdc_eqd" -> ((s, dir) => {
+      val root = scratchDir("graft-cdceqd")
+      val src = root + "/in"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      // one file per key-partition: a key's whole history arrives in a
+      // single micro-batch
+      ev.repartition(8, col("user_id")).write.mode("overwrite").parquet(src)
+      val table = root + "/state"
+      sources.MergeWriter.createTable(s, table,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("last_event",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_type",
+            org.apache.spark.sql.types.StringType))),
+        keys = Seq("user_id"), buckets = 8, clusterBy = Seq("user_id"),
+        eqDeletes = true)
+      val q = streaming.StreamingFlow.fileStream(s, src, ev.schema,
+          maxFilesPerTrigger = 2)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", root + "/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // CDC reduction: the batch's last event per key wins
+          val winners = batch.groupBy(col("user_id"))
+            .agg(max(col("event_id")).as("last_event"),
+              expr("max_by(event_type, event_id)").as("last_type"))
+          sources.MergeWriter.merge(batch.sparkSession, table, winners,
+            Seq("user_id"), txn = Some(("cdceqd", bid)))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the blind purge: doomed keys commit as an eq-delete sidecar,
+      // discovered by readers, never resolved by the writer
+      sources.MergeWriter.delete(s, table,
+        ev.select(col("user_id")).distinct()
+          .filter(pmod(col("user_id"), lit(13)) === 4),
+        Seq("user_id"))
+      sources.MergeWriter.readTable(s, table)
+        .select(col("user_id"), col("last_event"), col("last_type"))
     })
   )
 
@@ -8621,6 +8676,17 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT)
         |    AS n_prio
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Last-event-wins CDC state per user, minus the blind purge — the
+    // streaming eq-delete pipeline must converge to exactly this.
+    "q198_streaming_cdc_eqd" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event, event_type AS last_type
+        |FROM ranked WHERE rn = 1 AND NOT (user_id % 13 = 4)""".stripMargin,
 
     // The MV must equal its defining query over the churned source:
     // originals with the %50=3 bump applied minus the %101=7 deletes,
