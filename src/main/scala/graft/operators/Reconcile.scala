@@ -52,7 +52,6 @@ object Reconcile {
   def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff requires at least one key column")
-    require(compareCols.nonEmpty, "snapshotDiff requires compared columns")
     val o = old.select((keys ++ compareCols).map(col): _*)
       .withColumn("__in_old", lit(1))
       .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")) :+
@@ -61,9 +60,15 @@ object Reconcile {
       .withColumn("__in_new", lit(1))
       .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+
         col("__in_new"): _*)
-    val changed = compareCols
-      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+    // compareCols MAY be empty: a presence-only diff (insert/delete,
+    // never update) — correct for a consumer whose derived state reads
+    // nothing but the keys, because keys are immutable in a keyed
+    // snapshot so an existing key cannot change
+    val changed =
+      if (compareCols.isEmpty) lit(false)
+      else compareCols
+        .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+        .reduce(_ || _)
     o.join(n, keys, "full_outer")
       .withColumn("op",
         when(col("__in_old").isNull, lit("insert"))

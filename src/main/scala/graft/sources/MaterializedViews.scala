@@ -219,7 +219,7 @@ object MaterializedViews {
     */
   def create(spark: SparkSession, mvPath: String, sourcePath: String,
              sourceName: String, query: String, buckets: Int = 16): Unit = {
-    val (groupCols, aggs, whereSql) =
+    val (groupCols, aggs, whereSql0) =
       parseDefinition(spark, query, sourceName)
     val srcMan = MergeWriter.pinManifest(spark, sourcePath, None, None)
       .getOrElse(throw new IllegalArgumentException(
@@ -227,21 +227,53 @@ object MaterializedViews {
     require(srcMan.keyCols.nonEmpty,
       s"create_mv: source $sourcePath records no merge keys — the " +
         "change feed that drives refresh is keyed")
+    val src = MergeWriter.readTable(spark, sourcePath)
+    // validate the WHERE against the SOURCE schema NOW — a qualified
+    // (`src.x`) or unknown reference must fail at create with the
+    // reason, not at the first refresh's feed projection (the
+    // CHECK-constraint rule: normalize qualifiers, reject unknowns)
+    val whereSql = whereSql0.map { w =>
+      val refs = MergeWriter.checkPredicateColumns(spark, w, src.schema)
+      val unknown = refs.filterNot(r =>
+        src.schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"create_mv: WHERE references unknown column(s) " +
+          s"${unknown.mkString(", ")} — source columns: " +
+          src.schema.fieldNames.mkString(", "))
+      MergeWriter.normalizeCheckSql(spark, w, src.schema)
+    }
     val fs = new Path(mvPath).getFileSystem(
       spark.sessionState.newHadoopConf())
-    require(!MergeWriter.hasManifest(fs, new Path(mvPath)),
+    val root = new Path(mvPath)
+    require(!MergeWriter.hasManifest(fs, root),
       s"create_mv: $mvPath already holds a table")
-    val initial = evaluate(MergeWriter.readTable(spark, sourcePath),
-      groupCols, aggs, whereSql)
-    fs.mkdirs(new Path(mvPath))
+    // a definition file WITHOUT a table is a crashed create's remnant
+    // (the definition is written last, below) — clear it so create is
+    // re-runnable
+    val defP = new Path(s"$mvPath/$MvFileName")
+    if (fs.exists(defP)) fs.delete(defP, false)
+    val initial = evaluate(src, groupCols, aggs, whereSql)
+    val preExisted = fs.exists(root)
+    fs.mkdirs(root)
+    try {
+      // table + initial rows first (the merge's txn ledger carries the
+      // refreshed-through anchor — even an empty initial result records
+      // it, the empty-changeset rule)
+      MergeWriter.createTable(spark, mvPath, initial.schema, groupCols,
+        buckets = buckets, clusterBy = groupCols.take(1))
+      MergeWriter.merge(spark, mvPath, initial, groupCols,
+        txn = Some((txnApp(sourcePath), srcMan.version)))
+    } catch {
+      case e: Throwable =>
+        if (!preExisted) fs.delete(root, true)
+        throw e
+    }
+    // definition LAST: its presence marks a COMPLETE MV (table +
+    // anchored initial rows already committed). A crash anywhere above
+    // leaves a path readDef rejects loudly — never an anchor-less MV
+    // that refresh would silently fold deltas into.
     writeDef(fs, mvPath, MvDef(sourcePath, query, groupCols, aggs,
       whereSql, srcMan.version))
-    // table first (an empty initial result must still create the MV),
-    // then the initial rows with the version anchor in one merge
-    MergeWriter.createTable(spark, mvPath, initial.schema, groupCols,
-      buckets = buckets, clusterBy = groupCols.take(1))
-    MergeWriter.merge(spark, mvPath, initial, groupCols,
-      txn = Some((txnApp(sourcePath), srcMan.version)))
   }
 
   /** Incremental refresh: advance the MV to the source's head off the
@@ -258,7 +290,15 @@ object MaterializedViews {
     val mvMan = MergeWriter.pinManifest(spark, mvPath, None, None)
       .getOrElse(throw new IllegalStateException(
         s"refresh_mv: $mvPath lost its manifest"))
-    val from = mvMan.txns.getOrElse(txnApp(d.source), d.createdVersion)
+    // the anchor is written by create's initial merge and advanced by
+    // every refresh — its ABSENCE means the MV's create never completed
+    // (or the ledger was lost). Trusting createdVersion here would fold
+    // deltas into a base that never held the initial evaluation.
+    val from = mvMan.txns.getOrElse(txnApp(d.source),
+      throw new IllegalStateException(
+        s"refresh_mv: $mvPath has no '${txnApp(d.source)}' anchor in " +
+          "its txn ledger — the create did not complete; drop the path " +
+          "and re-create the MV"))
     val to = srcMan.version
     if (to <= from) return None
     // retention fallback: a window whose base version aged out cannot

@@ -1298,8 +1298,8 @@ object MergeWriter {
     * names a schema field, so qualified predicates neither get
     * rejected as unknown nor slip past the alter guards.
     */
-  private def checkPredicateColumns(spark: SparkSession, sql: String,
-                                    schema: StructType): Seq[String] = {
+  private[sources] def checkPredicateColumns(spark: SparkSession, sql: String,
+                                             schema: StructType): Seq[String] = {
     val names = schema.fieldNames
     def resolve(parts: Seq[String]): String =
       if (names.exists(_.equalsIgnoreCase(parts.head))) parts.head
@@ -1318,8 +1318,8 @@ object MergeWriter {
     * (enforcement binds the predicate to unqualified scans). Struct
     * access whose head IS a column (`s.f`) passes through untouched.
     */
-  private def normalizeCheckSql(spark: SparkSession, sql: String,
-                                schema: StructType): String = {
+  private[sources] def normalizeCheckSql(spark: SparkSession, sql: String,
+                                         schema: StructType): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val names = schema.fieldNames
     spark.sessionState.sqlParser.parseExpression(sql).transform {
@@ -4050,9 +4050,14 @@ object MergeWriter {
     // serve its doomed rows unfiltered (morApply's guard, same reason)
     if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
       return false
-    // nothing to insert and nothing stored to delete from: provable no-op
-    if (incCount == 0 && (delCount == 0 || touchedStored.isEmpty))
+    // nothing to insert and nothing stored to delete from: provable
+    // no-op — but an exactly-once consumer's anchor must still advance
+    // (the empty-changeset rule merge()/applyChanges() follow), or a
+    // redelivered window re-applies forever
+    if (incCount == 0 && (delCount == 0 || touchedStored.isEmpty)) {
+      txn.foreach(t => commitTxnGuard(fs, new Path(tablePath), t, ref))
       return true
+    }
     val doomed = (inc0opt.map(_.select(keys.map(col): _*)).toSeq ++
       delKeys.map(_.select(keys.map(col): _*)).toSeq)
       .reduce(_ union _).distinct()

@@ -115,6 +115,36 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
       pinned.where(col("id") === 3L).count() == 1)
   }
 
+  test("a provable no-op changeset (nothing stored to delete from) still " +
+       "records its txn anchor — a redelivery with rows is skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("eqdnp").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("body", StringType), StructField("grp", IntegerType)))
+    MergeWriter.createTable(spark, dir, schema, Seq("id"), buckets = 4,
+      deleteVectors = true, eqDeletes = true)
+    val emptyUps = Seq.empty[(Long, String, Int)].toDF("id", "body", "grp")
+    // batch 1: a tombstone for a key never stored — provable no-op, but
+    // the exactly-once anchor MUST advance
+    MergeWriter.applyChanges(spark, dir, emptyUps, Seq(5L).toDF("id"),
+      Seq("id"), txn = Some(("eqd-noop-app", 1L)))
+    // redelivery of batch 1 WITH rows (at-least-once transport): the
+    // recorded anchor must make it a skip, not a second application
+    MergeWriter.applyChanges(spark, dir,
+      Seq((5L, "late", 1)).toDF("id", "body", "grp"),
+      spark.emptyDataset[Long].toDF("id"), Seq("id"),
+      txn = Some(("eqd-noop-app", 1L)))
+    assert(MergeWriter.readTable(spark, dir).count() == 0,
+      "replayed batch at the recorded version must be skipped whole")
+    // the next batch id applies normally
+    MergeWriter.applyChanges(spark, dir,
+      Seq((6L, "real", 1)).toDF("id", "body", "grp"),
+      spark.emptyDataset[Long].toDF("id"), Seq("id"),
+      txn = Some(("eqd-noop-app", 2L)))
+    assert(MergeWriter.readTable(spark, dir).count() == 1)
+  }
+
   test("the native catalog scan resolves eq-deletes to row positions at " +
        "plan time — SQL reads stay on BatchScan and agree with CoW") {
     val wh = spark.conf.get("spark.sql.catalog.geqd.warehouse")

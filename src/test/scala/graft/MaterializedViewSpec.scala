@@ -143,6 +143,64 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("declared source"))
   }
 
+  test("key-only definition (group/agg/WHERE all merge keys) refreshes " +
+       "via the presence-only feed") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.ko (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id,grp', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.ko VALUES (1, 'a', 1), (2, 'a', 2), " +
+      "(3, 'b', 3)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.komv', " +
+      "source => 'ns.ko', query => 'SELECT grp, COUNT(*) AS n " +
+      "FROM ko GROUP BY grp')")
+    def exp() = spark.sql("SELECT grp, COUNT(*) AS n FROM gmv.ns.ko " +
+      "GROUP BY grp").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def got() = spark.sql("SELECT grp, n FROM gmv.ns.komv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got() == exp(), "initial build")
+    // churn: inserts (new group), a non-key update (no contribution),
+    // deletes emptying a group
+    spark.sql("INSERT INTO gmv.ns.ko VALUES (10, 'c', 10), (11, 'a', 11)")
+    spark.sql("UPDATE gmv.ns.ko SET v = 99 WHERE id = 1")
+    spark.sql("DELETE FROM gmv.ns.ko WHERE grp = 'b'")
+    val s = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.komv')")
+      .collect().head.getString(0)
+    assert(s.contains("refreshed"), s)
+    assert(got() == exp(), "key-only MV must equal its defining query")
+  }
+
+  test("WHERE is validated at create: qualified references normalize, " +
+       "unknown columns are rejected with the reason") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.wv (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.wv VALUES (1, 'a', 1), (2, 'a', -2), " +
+      "(3, 'b', 3)")
+    // unknown column: fails AT CREATE, naming the column
+    val e = intercept[Exception] {
+      spark.sql("CALL gmv.system.create_mv(view => 'ns.wvmv', " +
+        "source => 'ns.wv', query => 'SELECT grp, COUNT(*) AS n " +
+        "FROM wv WHERE vv > 0 GROUP BY grp')")
+    }
+    assert(e.getMessage.contains("unknown column") &&
+      e.getMessage.contains("vv"), e.getMessage)
+    // qualified reference (`wv.v`): normalized at create, refresh works
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.wvmv', " +
+      "source => 'ns.wv', query => 'SELECT grp, COUNT(*) AS n " +
+      "FROM wv WHERE wv.v >= 0 GROUP BY grp')")
+    spark.sql("INSERT INTO gmv.ns.wv VALUES (10, 'c', 5), (11, 'c', -1)")
+    val s = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.wvmv')")
+      .collect().head.getString(0)
+    assert(s.contains("refreshed"), s)
+    val got = spark.sql("SELECT grp, n FROM gmv.ns.wvmv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val exp = spark.sql("SELECT grp, COUNT(*) AS n FROM gmv.ns.wv " +
+      "WHERE v >= 0 GROUP BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exp)
+  }
+
   test("retention fallback: a refresh window that aged out triggers ONE " +
        "full re-evaluation, still exactly-once") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
