@@ -1135,6 +1135,64 @@ object ScaleBench {
       mvBench(base, "sf0.1", 4); mvBench(rep, "rep10", 16)
     }
 
+    // Manifest segmentation at scale (round 14): the full-snapshot
+    // manifest is O(buckets) LOGICALLY, but a trickle commit must not
+    // WRITE O(buckets) — past the inline threshold the head carries a
+    // segment-hash list and the commit publishes only the touched
+    // ranges. The claim this rehearsal measures: trickle-commit
+    // metadata bytes stay FLAT as the bucket modulus grows 1×→64×
+    // (the full snapshot meanwhile grows linearly — reported for
+    // contrast), and the repeated-read cost after the first load is
+    // the small head only (segments are content-addressed and cached).
+    def manBench(buckets: Int): Unit = {
+      val root = s"$work/man14/b$buckets"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val path = s"$root/t"
+      val rows = spark.range(0, 200000).select(col("id"),
+        concat(lit("body-"), col("id")).as("body"),
+        pmod(col("id"), lit(97)).cast("int").as("grp"))
+      graft.sources.MergeWriter.merge(spark, path, rows, Seq("id"),
+        buckets = buckets, clusterBy = Seq("id"), eqDeletes = true,
+        deleteVectors = true, fingerprint = true)
+      def headFile(): java.io.File = {
+        val d = new java.io.File(path)
+        val n = d.listFiles().map(_.getName)
+          .filter(_.startsWith("_manifest-")).sorted.last
+        new java.io.File(d, n)
+      }
+      def segSizes(): Map[String, Long] = {
+        val d = new java.io.File(path, "_seg")
+        if (!d.exists()) Map.empty
+        else d.listFiles().filter(_.getName.startsWith("seg-"))
+          .map(f => f.getName -> f.length()).toMap
+      }
+      val segsBefore = segSizes()
+      val fullSnapshotBytes = headFile().length() + segsBefore.values.sum
+      // the trickle: a 10-key write-only eq-delete upsert (the CDC
+      // shape the design optimizes for)
+      import spark.implicits._
+      val batch = (0 until 10).map(i => (i * 13L + 7, s"UPD-$i", 1))
+        .toDF("id", "body", "grp")
+      val trickleSec = elapsedSec {
+        graft.sources.MergeWriter.merge(spark, path, batch, Seq("id"))
+      }
+      val segsAfter = segSizes()
+      val newSegBytes = (segsAfter.keySet -- segsBefore.keySet)
+        .map(segsAfter).sum
+      val headBytes = headFile().length()
+      val trickleMetaBytes = headBytes + newSegBytes
+      // repeated read: second pin of the same version re-reads the
+      // head only (segments cached) — wall is the claim
+      graft.sources.MergeWriter.readTable(spark, path).count()
+      val rereadSec = elapsedSec {
+        graft.sources.MergeWriter.readTable(spark, path).count()
+      }
+      println(f"""{"buckets":$buckets,"trickle_meta_bytes":$trickleMetaBytes,"head_bytes":$headBytes,"new_seg_bytes":$newSegBytes,"full_snapshot_meta_bytes":$fullSnapshotBytes,"trickle_sec":$trickleSec%.3f,"reread_sec":$rereadSec%.3f}""")
+    }
+    if (sections("man14")) {
+      Seq(128, 1024, 8192).foreach(manBench)
+    }
+
     // Branch staging at scale (round 12): a write-audit-publish cycle
     // on a deleteVectors table — stage a 10-key DV delete plus a
     // 10-key MoR upsert on a branch, audit the branch head, publish.

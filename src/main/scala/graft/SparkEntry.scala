@@ -5272,6 +5272,62 @@ object SparkEntry {
         Seq("user_id"))
       sources.MergeWriter.readTable(s, table)
         .select(col("user_id"), col("last_event"), col("last_type"))
+    }),
+
+    // MV WITH MIN/MAX AND A BROADCAST DIM JOIN (round 14): the
+    // reference's actual A8 shape — facts ⋈ small dimension, rolled up
+    // per category (`extract_flomatika_insights_processor.ts:328-473`)
+    // — as ONE declarative MV. MIN/MAX maintain by re-scan-on-retract
+    // (the churn below deletes the top event ids, forcing the
+    // retraction path); the fact churn folds against the broadcast dim
+    // change-proportionally. The MV must equal the relational
+    // recomputation over the churned source.
+    "q199_mv_minmax_dim" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-mvdim"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"mvdim_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.mmf (event_id BIGINT,
+        user_id BIGINT, event_type STRING) TBLPROPERTIES
+        ('keys'='event_id', 'buckets'='8', 'clusterBy'='event_id',
+         'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.mmf " +
+        s"SELECT event_id, user_id, event_type FROM mvdim_src_$n")
+      s.sql(s"""CREATE TABLE $cat.etl.mmd (event_type STRING,
+        category STRING) TBLPROPERTIES ('keys'='event_type',
+        'buckets'='2', 'retainVersions'='10')""")
+      s.sql(s"""INSERT INTO $cat.etl.mmd
+        SELECT DISTINCT event_type,
+          CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+               WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+               ELSE 'ops' END
+        FROM mvdim_src_$n""")
+      s.sql(s"""CALL $cat.system.create_mv(view => 'etl.mv',
+        source => 'etl.mmf', dim => 'etl.mmd',
+        query => 'SELECT category, COUNT(*) AS n, SUM(user_id) AS su,
+                  MIN(event_id) AS mn, MAX(event_id) AS mx
+                  FROM mmf JOIN mmd ON event_type = event_type
+                  GROUP BY category')""")
+      // churn: a keyed bump, the TOP-10 event ids deleted (forces the
+      // extremum re-scan), inserts incl. a type absent from the dim
+      // (the inner join drops it)
+      s.sql(s"UPDATE $cat.etl.mmf SET user_id = user_id + 7 " +
+        "WHERE event_id % 53 = 5")
+      val maxId = s.sql(s"SELECT MAX(event_id) FROM $cat.etl.mmf")
+        .collect().head.getLong(0)
+      s.sql(s"DELETE FROM $cat.etl.mmf WHERE event_id > ${maxId - 10}")
+      s.sql(s"INSERT INTO $cat.etl.mmf SELECT event_id + 100000000, " +
+        s"user_id, 'beta' FROM mvdim_src_$n WHERE event_id % 101 = 0")
+      s.sql(s"INSERT INTO $cat.etl.mmf SELECT event_id + 200000000, " +
+        s"user_id, 'click' FROM mvdim_src_$n WHERE event_id % 103 = 0")
+      s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
+      s.sql(s"SELECT category, n, su, mn, mx FROM $cat.etl.mv")
     })
   )
 
@@ -8703,6 +8759,36 @@ object SparkEntry {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM s WHERE n_chars > 500 GROUP BY lang""".stripMargin,
+
+    // The MV must equal its defining query (dim join + MIN/MAX) over
+    // the churned fact: bumps applied to surviving rows, the top-10
+    // event ids deleted, the two insert waves appended ('beta' has no
+    // dim row — the inner join drops it).
+    "q199_mv_minmax_dim" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+        |         WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+        |         ELSE 'ops' END AS category
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |s AS (
+        |  SELECT event_id,
+        |    user_id + CASE WHEN event_id % 53 = 5 THEN 7 ELSE 0 END
+        |      AS user_id,
+        |    event_type
+        |  FROM events
+        |  WHERE event_id <= (SELECT MAX(event_id) FROM events) - 10
+        |  UNION ALL
+        |  SELECT event_id + 100000000, user_id, 'beta'
+        |  FROM events WHERE event_id % 101 = 0
+        |  UNION ALL
+        |  SELECT event_id + 200000000, user_id, 'click'
+        |  FROM events WHERE event_id % 103 = 0)
+        |SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS su,
+        |  CAST(MIN(event_id) AS BIGINT) AS mn,
+        |  CAST(MAX(event_id) AS BIGINT) AS mx
+        |FROM s JOIN d USING (event_type) GROUP BY category""".stripMargin,
 
     // Generated values are pure functions of stored columns — the
     // oracle recomputes them; the rejected mismatch batch left nothing.

@@ -1017,19 +1017,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       },
       new Proc("create_mv", "declarative MATERIALIZED VIEW: record a " +
           "GROUP BY defining query (COUNT(*) required; COUNT(col)/" +
-          "SUM(col); optional WHERE) and materialize it as a keyed " +
-          "graft table; refresh_mv maintains it off the change feed — " +
-          "cost ∝ changed rows, never the source corpus",
+          "SUM(col)/MIN(col)/MAX(col); optional WHERE; optional INNER " +
+          "join to one dim table passed via dim =>) and materialize it " +
+          "as a keyed graft table; refresh_mv maintains it off the " +
+          "change feed — cost ∝ changed rows, never the source corpus",
         Array(inParam("view", SType), inParam("source", SType),
           inParam("query", SType),
-          inParamDefault("buckets", IntegerType, "16"))) {
+          inParamDefault("buckets", IntegerType, "16"),
+          inParamDefault("dim", SType, "''"))) {
         override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
           val view = in.getUTF8String(0).toString
           val source = in.getUTF8String(1).toString
+          val dim = Option(in.getUTF8String(4)).map(_.toString)
+            .filter(_.nonEmpty)
           val viewDir = dirOf(view.split('.').toIndexedSeq
             .filter(_.nonEmpty)).toString
           MaterializedViews.create(spark, viewDir, tablePathOf(source),
-            source, in.getUTF8String(2).toString, in.getInt(3))
+            source, in.getUTF8String(2).toString, in.getInt(3),
+            dim.map(dn => (tablePathOf(dn), dn)))
           s"created materialized view $view over $source"
         }
       },

@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{
   UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+  Alias, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.InnerLike
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -23,14 +24,34 @@ import org.apache.spark.sql.types.StructType
   * the q127 hand-rolled incremental rollup: what was a bespoke
   * pipeline becomes one `CALL gc.system.create_mv` + `refresh_mv`.
   *
-  * MAINTAINABLE SHAPE (the classic self-maintainable fragment):
-  * `SELECT <group cols>, <aggs> FROM <source> [WHERE pred] GROUP BY
-  * <group cols>` with aggs drawn from COUNT(*) / COUNT(col) /
-  * SUM(col), COUNT(*) required (it carries group liveness — a group
-  * whose last row leaves must VANISH from the view, not linger as a
-  * zero row). AVG = SUM + COUNT, divide at read. Anything else is
-  * rejected at create WITH the reason — a silently-full-recompute
-  * "incremental" MV would be a lie at 100 TB.
+  * MAINTAINABLE SHAPE (the self-maintainable fragment plus the two
+  * standard extensions):
+  * `SELECT <group cols>, <aggs> FROM <source> [JOIN <dim> ON a = b]
+  * [WHERE pred] GROUP BY <group cols>` with aggs drawn from COUNT(*) /
+  * COUNT(col) / SUM(col) / MIN(col) / MAX(col), COUNT(*) required (it
+  * carries group liveness — a group whose last row leaves must VANISH
+  * from the view, not linger as a zero row). AVG = SUM + COUNT, divide
+  * at read. Anything else is rejected at create WITH the reason — a
+  * silently-full-recompute "incremental" MV would be a lie at 100 TB.
+  *
+  * MIN/MAX maintain by RE-SCAN-ON-RETRACT (the standard warehouse
+  * extension): inserts fold additively (`least`/`greatest` against the
+  * stored extremum); a removal that TIES OR BEATS the stored extremum
+  * may have been the extremum, so those groups — and only those — are
+  * re-aggregated from the source in one pass restricted by a broadcast
+  * semi-join on the group columns. Retraction is rare by construction
+  * (the probability a churned row carried its group's extremum), and
+  * the re-scan's I/O is one column-pruned source pass, never a
+  * recompute of the whole view.
+  *
+  * DIM JOINS (the reference's actual A8 shape — facts ⋈ small
+  * dimension): the defining query may inner-join ONE dimension table
+  * on a single column equality. Refresh joins the source's change rows
+  * against the CURRENT dim by broadcast — change-proportional as long
+  * as the dim itself is unchanged. The dim's version is anchored in
+  * the MV's txn ledger; a refresh that finds the dim advanced falls
+  * back to ONE full re-evaluation (correct always — dims are
+  * slowly-changing by contract, so the fallback is rare) and re-pins.
   *
   * REFRESH (exact, atomic, change-proportional):
   * 1. the source's change feed from the refreshed-through version to
@@ -38,10 +59,12 @@ import org.apache.spark.sql.types.StructType
   *    rows);
   * 2. ±1-signed contribution images per CDC row — an insert adds its
   *    new image, a delete subtracts its old, an update does both —
-  *    each side independently re-filtered by the MV's WHERE (a
-  *    predicate flip alone moves a row in or out of the view);
+  *    each side joined to the dim (if any) and re-filtered by the MV's
+  *    WHERE (a predicate flip alone moves a row in or out of the
+  *    view);
   * 3. delta-aggregate by group, folded against the MV's current rows
-  *    for exactly the touched groups (a bounded point read);
+  *    for exactly the touched groups (a bounded point read); extremum
+  *    retractions collect into the re-scan set;
   * 4. ONE atomic mixed commit: live groups upsert, vanished groups
   *    delete, and the refreshed-through version rides the commit's
   *    txn ledger — exactly-once under replay/crash, like every
@@ -57,53 +80,95 @@ import org.apache.spark.sql.types.StructType
 object MaterializedViews {
 
   /** One parsed aggregate of the defining query: `fn` ∈ count_star /
-    * count / sum; `col` empty for count_star.
+    * count / sum / min / max; `col` empty for count_star.
     */
   private[sources] case class MvAgg(fn: String, col: String, alias: String)
+
+  /** The optional dimension join: `path`/`name` locate the dim table,
+    * `srcCol = dimCol` is the ON equality (resolved sides).
+    */
+  private[sources] case class MvDim(path: String, name: String,
+                                    srcCol: String, dimCol: String)
 
   private[sources] case class MvDef(source: String, query: String,
                                     groupCols: Seq[String],
                                     aggs: Seq[MvAgg],
                                     whereSql: Option[String],
-                                    createdVersion: Long)
+                                    createdVersion: Long,
+                                    dim: Option[MvDim] = None)
 
   private val MvFileName = "_mv.json"
   private def txnApp(source: String): String = s"mv:$source"
+  private def dimTxnApp(dimPath: String): String = s"mvdim:$dimPath"
 
   // ---- defining-query parsing ---------------------------------------------
 
   /** Parse + validate the defining query into the maintainable
     * fragment, rejecting anything the incremental algorithm cannot
-    * maintain exactly.
+    * maintain exactly. Returns (groupCols, aggs, whereSql, ON-equality
+    * column pair as written) — column OWNERSHIP (src vs dim) resolves
+    * in [[create]], which holds both schemas.
     */
   private[sources] def parseDefinition(spark: SparkSession, query: String,
-                                       sourceName: String)
-      : (Seq[String], Seq[MvAgg], Option[String]) = {
+                                       sourceName: String,
+                                       dimName: Option[String] = None)
+      : (Seq[String], Seq[MvAgg], Option[String],
+         Option[(String, String)]) = {
     val plan = spark.sessionState.sqlParser.parsePlan(query)
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(
         s"create_mv: defining query is not incrementally maintainable — " +
           s"$why. Maintainable shape: SELECT <group cols>, COUNT(*), " +
-          "[COUNT(col) / SUM(col) AS alias ...] FROM <source> " +
-          "[WHERE pred] GROUP BY <group cols> (AVG = SUM + COUNT, " +
-          "divide at read)")
+          "[COUNT(col) / SUM(col) / MIN(col) / MAX(col) AS alias ...] " +
+          "FROM <source> [JOIN <dim> ON a = b] [WHERE pred] " +
+          "GROUP BY <group cols> (AVG = SUM + COUNT, divide at read)")
     val agg = plan match {
       case a: Aggregate => a
       case _ => fail("it is not a single GROUP BY aggregation")
     }
-    val (rel, whereSql) = agg.child match {
-      case Filter(cond, r: UnresolvedRelation) => (r, Some(cond.sql))
-      case r: UnresolvedRelation => (r, None)
-      case _ => fail("FROM must be the source table (no joins/subqueries)")
-    }
-    if (!rel.multipartIdentifier.last.equalsIgnoreCase(
-        sourceName.split('.').last))
-      fail(s"FROM names '${rel.multipartIdentifier.mkString(".")}' but " +
-        s"the declared source is '$sourceName'")
+    def relName(r: UnresolvedRelation): String =
+      r.multipartIdentifier.last
+    def matches(r: UnresolvedRelation, declared: String): Boolean =
+      relName(r).equalsIgnoreCase(declared.split('.').last)
     def attrName(e: Expression): String = e match {
       case u: UnresolvedAttribute if u.nameParts.length == 1 =>
         u.nameParts.head
       case _ => fail(s"group/agg column '${e.sql}' must be a plain column")
+    }
+    // FROM shapes: source | source JOIN dim ON a = b, optional WHERE
+    def fromOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (Option[(String, String)]) = p match {
+      case r: UnresolvedRelation =>
+        if (!matches(r, sourceName))
+          fail(s"FROM names '${relName(r)}' but the declared source is " +
+            s"'$sourceName'")
+        if (dimName.isDefined)
+          fail(s"a dim ('${dimName.get}') was declared but the query " +
+            "has no JOIN")
+        None
+      case Join(l: UnresolvedRelation, r: UnresolvedRelation, jt, cond, _) =>
+        if (!jt.isInstanceOf[InnerLike])
+          fail(s"only INNER dim joins are maintainable, got ${jt.sql}")
+        val dn = dimName.getOrElse(fail(
+          "the query joins a table but no dim was declared — pass " +
+            "dim => '<table>'"))
+        if (!matches(l, sourceName) || !matches(r, dn))
+          fail(s"FROM must be '<source> JOIN <dim>' " +
+            s"(source '$sourceName' first, dim '$dn' second); got " +
+            s"'${relName(l)} JOIN ${relName(r)}'")
+        cond match {
+          case Some(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute))
+              if a.nameParts.length == 1 && b.nameParts.length == 1 =>
+            Some((a.nameParts.head, b.nameParts.head))
+          case _ => fail("the dim join's ON must be one plain-column " +
+            "equality (a = b)")
+        }
+      case _ => fail("FROM must be the source table, optionally joined " +
+        "to one dim (no subqueries)")
+    }
+    val (joinCols, whereSql) = agg.child match {
+      case Filter(cond, child) => (fromOf(child), Some(cond.sql))
+      case child => (fromOf(child), None)
     }
     val groupCols = agg.groupingExpressions.map(attrName)
     if (groupCols.isEmpty) fail("GROUP BY is required (a global " +
@@ -125,25 +190,28 @@ object MaterializedViews {
     val dup = (groupCols ++ aggs.map(_.alias))
       .groupBy(_.toLowerCase).collectFirst { case (n, vs) if vs.size > 1 => n }
     dup.foreach(n => fail(s"duplicate output column '$n'"))
-    (groupCols, aggs, whereSql)
+    (groupCols, aggs, whereSql, joinCols)
   }
 
   private def parseAgg(e: Expression, alias: String,
                        fail: String => Nothing): MvAgg = e match {
     case f: UnresolvedFunction =>
       val fn = f.nameParts.last.toLowerCase
+      // DISTINCT aggregates are NOT maintainable (a removal cannot tell
+      // whether another row still carries the value) — they must not
+      // slip through as their plain counterparts
       (fn, f.arguments) match {
+        case _ if f.isDistinct => fail(s"aggregate '${e.sql}' — " +
+          "DISTINCT aggregates are not incrementally maintainable")
         case ("count", Seq(Literal(1, _))) => MvAgg("count_star", "", alias)
-        case ("count", Seq(u: UnresolvedAttribute))
-            if u.nameParts.length == 1 =>
-          MvAgg("count", u.nameParts.head, alias)
-        case ("sum", Seq(u: UnresolvedAttribute))
-            if u.nameParts.length == 1 =>
-          MvAgg("sum", u.nameParts.head, alias)
+        case ("count" | "sum" | "min" | "max",
+              Seq(u: UnresolvedAttribute)) if u.nameParts.length == 1 =>
+          MvAgg(fn, u.nameParts.head, alias)
         case _ => fail(s"aggregate '${e.sql}' — only COUNT(*), " +
-          "COUNT(col) and SUM(col) are maintainable")
+          "COUNT(col), SUM(col), MIN(col) and MAX(col) are maintainable")
       }
-    case _ => fail(s"'$alias' must be a COUNT(*) / COUNT(col) / SUM(col)")
+    case _ => fail(s"'$alias' must be a COUNT(*) / COUNT(col) / " +
+      "SUM(col) / MIN(col) / MAX(col)")
   }
 
   // ---- definition persistence ----------------------------------------------
@@ -158,6 +226,9 @@ object MaterializedViews {
         ",\"col\":" + js(a.col) + ",\"alias\":" + js(a.alias) + "}")
         .mkString(",") + "]" +
       d.whereSql.map(w => ",\"where\":" + js(w)).getOrElse("") +
+      d.dim.map(x => ",\"dim\":{\"path\":" + js(x.path) +
+        ",\"name\":" + js(x.name) + ",\"sk\":" + js(x.srcCol) +
+        ",\"dk\":" + js(x.dimCol) + "}").getOrElse("") +
       ",\"createdv\":" + d.createdVersion + "}"
     val p = new Path(s"$mvPath/$MvFileName")
     val out = fs.create(p, false) // exclusive: one definition, immutable
@@ -188,39 +259,79 @@ object MaterializedViews {
           a.get("alias").asText())
       },
       Option(node.get("where")).map(_.asText()),
-      node.get("createdv").asLong())
+      node.get("createdv").asLong(),
+      Option(node.get("dim")).map(x => MvDim(x.get("path").asText(),
+        x.get("name").asText(), x.get("sk").asText(),
+        x.get("dk").asText())))
   }
 
   // ---- create / refresh / status -------------------------------------------
 
-  /** The defining aggregation evaluated over a source frame — the one
-    * full evaluation at create, and the rare retention-fallback path.
+  /** The dim side joined in: broadcast (dims are small by contract),
+    * the dim's join column renamed away so a same-named source column
+    * survives unambiguously.
     */
-  private def evaluate(src: DataFrame, groupCols: Seq[String],
-                       aggs: Seq[MvAgg],
-                       whereSql: Option[String]): DataFrame = {
-    val filtered = whereSql.fold(src)(w => src.where(expr(w)))
-    def aggExpr(a: MvAgg) = a.fn match {
-      case "count_star" => count(lit(1)).as(a.alias)
-      case "count" => count(col(a.col)).as(a.alias)
-      // 0-seeded (see object doc): additive maintenance cannot tell
-      // "all-NULL group" from "empty contribution"
-      case "sum" => coalesce(sum(col(a.col)), lit(0)).as(a.alias)
+  private def joinDim(src: DataFrame, dimDf: DataFrame,
+                      dim: MvDim): DataFrame =
+    src.join(broadcast(dimDf.withColumnRenamed(dim.dimCol, "__graft_dimk")),
+      col(dim.srcCol) === col("__graft_dimk"))
+      .drop("__graft_dimk")
+
+  /** The pre-aggregation frame of the defining query: source (⋈ dim)
+    * (WHERE), optionally restricted to a broadcast set of groups (the
+    * extremum re-scan).
+    */
+  private def preAgg(src: DataFrame, dimDf: Option[(DataFrame, MvDim)],
+                     whereSql: Option[String],
+                     restrictTo: Option[(DataFrame, Seq[String])])
+      : DataFrame = {
+    val joined = dimDf.fold(src) { case (df, dm) => joinDim(src, df, dm) }
+    val filtered = whereSql.fold(joined)(w => joined.where(expr(w)))
+    restrictTo.fold(filtered) { case (keys, cols) =>
+      filtered.join(broadcast(keys.select(cols.map(col): _*).distinct()),
+        cols, "left_semi")
     }
-    filtered.groupBy(groupCols.map(col): _*)
-      .agg(aggExpr(aggs.head), aggs.tail.map(aggExpr): _*)
   }
+
+  private def aggExprOf(a: MvAgg) = a.fn match {
+    case "count_star" => count(lit(1)).as(a.alias)
+    case "count" => count(col(a.col)).as(a.alias)
+    // 0-seeded (see object doc): additive maintenance cannot tell
+    // "all-NULL group" from "empty contribution"
+    case "sum" => coalesce(sum(col(a.col)), lit(0)).as(a.alias)
+    case "min" => min(col(a.col)).as(a.alias)
+    case "max" => max(col(a.col)).as(a.alias)
+  }
+
+  /** The defining aggregation evaluated over a source frame — the one
+    * full evaluation at create, the retention fallback, and (restricted
+    * by group) the extremum re-scan.
+    */
+  private def evaluate(src: DataFrame, dimDf: Option[(DataFrame, MvDim)],
+                       groupCols: Seq[String], aggs: Seq[MvAgg],
+                       whereSql: Option[String],
+                       restrictTo: Option[DataFrame] = None): DataFrame =
+    preAgg(src, dimDf, whereSql, restrictTo.map((_, groupCols)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggExprOf(aggs.head), aggs.tail.map(aggExprOf): _*)
+
+  private def dimFrame(spark: SparkSession,
+                       d: MvDef): Option[(DataFrame, MvDim)] =
+    d.dim.map(x => (MergeWriter.readTable(spark, x.path), x))
 
   /** Create the MV: parse + validate the defining query, evaluate it
     * ONCE over the source's current version, and commit the result as
     * a keyed graft table whose txn ledger records the
     * refreshed-through source version — the atomic exactly-once anchor
-    * every later refresh advances.
+    * every later refresh advances. With a dim, the dim's version is
+    * anchored too (refresh falls back to a full re-evaluation when the
+    * dim moved).
     */
   def create(spark: SparkSession, mvPath: String, sourcePath: String,
-             sourceName: String, query: String, buckets: Int = 16): Unit = {
-    val (groupCols, aggs, whereSql0) =
-      parseDefinition(spark, query, sourceName)
+             sourceName: String, query: String, buckets: Int = 16,
+             dim: Option[(String, String)] = None): Unit = {
+    val (groupCols, aggs, whereSql0, joinCols) =
+      parseDefinition(spark, query, sourceName, dim.map(_._2))
     val srcMan = MergeWriter.pinManifest(spark, sourcePath, None, None)
       .getOrElse(throw new IllegalArgumentException(
         s"create_mv: source $sourcePath is not a graft table"))
@@ -228,19 +339,62 @@ object MaterializedViews {
       s"create_mv: source $sourcePath records no merge keys — the " +
         "change feed that drives refresh is keyed")
     val src = MergeWriter.readTable(spark, sourcePath)
-    // validate the WHERE against the SOURCE schema NOW — a qualified
+    // dim resolution: pin its version (the refresh staleness anchor)
+    // and resolve the ON equality's sides against the two schemas
+    val dimResolved: Option[(MvDim, DataFrame, Long)] = dim.map {
+      case (dimPath, dimName) =>
+        val dimMan = MergeWriter.pinManifest(spark, dimPath, None, None)
+          .getOrElse(throw new IllegalArgumentException(
+            s"create_mv: dim $dimPath is not a graft table"))
+        val dimDf = MergeWriter.readTable(spark, dimPath)
+        val (a, b) = joinCols.get
+        def inSrc(c: String) = src.schema.fieldNames
+          .exists(_.equalsIgnoreCase(c))
+        def inDim(c: String) = dimDf.schema.fieldNames
+          .exists(_.equalsIgnoreCase(c))
+        val mv =
+          // natural-join shape (ON k = k): the shared name IS the join
+          // column on both sides
+          if (a.equalsIgnoreCase(b) && inSrc(a) && inDim(a))
+            MvDim(dimPath, dimName, a, b)
+          else (inSrc(a), inDim(a), inSrc(b), inDim(b)) match {
+            case (true, false, _, true) => MvDim(dimPath, dimName, a, b)
+            case (_, true, true, false) => MvDim(dimPath, dimName, b, a)
+            case (true, true, _, _) | (_, _, true, true) =>
+              throw new IllegalArgumentException(
+                s"create_mv: join column ambiguity — '$a'/'$b' must " +
+                  "each live in exactly one of source/dim")
+            case _ => throw new IllegalArgumentException(
+              s"create_mv: join columns '$a'/'$b' do not resolve to one " +
+                "source column and one dim column")
+          }
+        // every non-join dim column must not collide with a source
+        // column — plain-name references would be ambiguous
+        val clash = dimDf.schema.fieldNames
+          .filterNot(_.equalsIgnoreCase(mv.dimCol))
+          .filter(c => src.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(clash.isEmpty,
+          s"create_mv: dim column(s) ${clash.mkString(", ")} collide " +
+            "with source columns — rename them in the dim")
+        (mv, dimDf, dimMan.version)
+    }
+    val combined = StructType(src.schema.fields ++
+      dimResolved.map(_._2.schema.fields
+        .filterNot(f => f.name.equalsIgnoreCase(dimResolved.get._1.dimCol)))
+        .getOrElse(Array.empty))
+    // validate the WHERE against the (joined) schema NOW — a qualified
     // (`src.x`) or unknown reference must fail at create with the
     // reason, not at the first refresh's feed projection (the
     // CHECK-constraint rule: normalize qualifiers, reject unknowns)
     val whereSql = whereSql0.map { w =>
-      val refs = MergeWriter.checkPredicateColumns(spark, w, src.schema)
+      val refs = MergeWriter.checkPredicateColumns(spark, w, combined)
       val unknown = refs.filterNot(r =>
-        src.schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+        combined.fieldNames.exists(_.equalsIgnoreCase(r)))
       if (unknown.nonEmpty) throw new IllegalArgumentException(
         s"create_mv: WHERE references unknown column(s) " +
-          s"${unknown.mkString(", ")} — source columns: " +
-          src.schema.fieldNames.mkString(", "))
-      MergeWriter.normalizeCheckSql(spark, w, src.schema)
+          s"${unknown.mkString(", ")} — available columns: " +
+          combined.fieldNames.mkString(", "))
+      MergeWriter.normalizeCheckSql(spark, w, combined)
     }
     val fs = new Path(mvPath).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -252,7 +406,8 @@ object MaterializedViews {
     // re-runnable
     val defP = new Path(s"$mvPath/$MvFileName")
     if (fs.exists(defP)) fs.delete(defP, false)
-    val initial = evaluate(src, groupCols, aggs, whereSql)
+    val dimPair = dimResolved.map(x => (x._2, x._1))
+    val initial = evaluate(src, dimPair, groupCols, aggs, whereSql)
     val preExisted = fs.exists(root)
     fs.mkdirs(root)
     try {
@@ -263,6 +418,9 @@ object MaterializedViews {
         buckets = buckets, clusterBy = groupCols.take(1))
       MergeWriter.merge(spark, mvPath, initial, groupCols,
         txn = Some((txnApp(sourcePath), srcMan.version)))
+      dimResolved.foreach { case (mv, _, dimV) =>
+        MergeWriter.recordTxn(spark, mvPath, (dimTxnApp(mv.path), dimV))
+      }
     } catch {
       case e: Throwable =>
         if (!preExisted) fs.delete(root, true)
@@ -273,14 +431,48 @@ object MaterializedViews {
     // leaves a path readDef rejects loudly — never an anchor-less MV
     // that refresh would silently fold deltas into.
     writeDef(fs, mvPath, MvDef(sourcePath, query, groupCols, aggs,
-      whereSql, srcMan.version))
+      whereSql, srcMan.version, dimResolved.map(_._1)))
+  }
+
+  /** One full re-evaluation committed with fresh anchors — the
+    * retention / dim-moved / too-many-groups fallback. The dim version
+    * pins BEFORE the evaluation (a dim advancing mid-evaluation then
+    * re-derives dim-moved next refresh — the safe direction).
+    *
+    * `atomic = true` (retention / group-cap, dim unmoved): the src
+    * anchor rides the overwrite commit — exactly-once, and a crash
+    * re-derives the same fallback from the unchanged decision inputs.
+    * `atomic = false` (dim moved): the src anchor may already sit AT
+    * `to`, which would replay-skip a txn-anchored overwrite — so the
+    * overwrite commits unanchored and the anchors record in dependency
+    * order, dim LAST: any crash before the dim anchor re-derives
+    * dim-moved and re-runs the (idempotent) re-evaluation, and the src
+    * anchor is never ahead of data that contains its window.
+    */
+  private def fullReeval(spark: SparkSession, mvPath: String, d: MvDef,
+                         to: Long, atomic: Boolean): Unit = {
+    val dimV = d.dim.map(x => MergeWriter.pinManifest(spark, x.path,
+      None, None).map(_.version).getOrElse(-1L))
+    val dimP = dimFrame(spark, d)
+    val full = evaluate(MergeWriter.readTable(spark, d.source), dimP,
+      d.groupCols, d.aggs, d.whereSql)
+    if (atomic)
+      MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols,
+        txn = Some((txnApp(d.source), to)))
+    else {
+      MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols)
+      MergeWriter.recordTxn(spark, mvPath, (txnApp(d.source), to))
+    }
+    d.dim.zip(dimV).foreach { case (x, v) =>
+      MergeWriter.recordTxn(spark, mvPath, (dimTxnApp(x.path), v))
+    }
   }
 
   /** Incremental refresh: advance the MV to the source's head off the
     * change feed. Returns the applied (from, to) window — from = -1
-    * marks the retention-fallback full re-evaluation — or None when
-    * already fresh. Replay-safe: the txn ledger skips an
-    * already-folded window.
+    * marks a full re-evaluation (retention fallback, dim moved, or
+    * group-cap overflow) — or None when already fresh. Replay-safe:
+    * the txn ledger skips an already-folded window.
     */
   def refresh(spark: SparkSession, mvPath: String): Option[(Long, Long)] = {
     val d = readDef(spark, mvPath)
@@ -300,46 +492,73 @@ object MaterializedViews {
           "its txn ledger — the create did not complete; drop the path " +
           "and re-create the MV"))
     val to = srcMan.version
+    // a MOVED DIM invalidates every previously folded contribution
+    // (they joined the old dim) — one full re-evaluation re-pins it.
+    // Checked even when the source is fresh: the view must track the
+    // dim too.
+    val dimMoved = d.dim.exists { x =>
+      val cur = MergeWriter.pinManifest(spark, x.path, None, None)
+        .map(_.version).getOrElse(-1L)
+      !mvMan.txns.get(dimTxnApp(x.path)).contains(cur)
+    }
+    if (dimMoved) {
+      fullReeval(spark, mvPath, d, to, atomic = false)
+      return Some((-1L, to))
+    }
     if (to <= from) return None
     // retention fallback: a window whose base version aged out cannot
     // diff — ONE full re-evaluation (correct always, incremental
     // whenever the feed allows), same txn anchor
     if (!MergeWriter.availableVersions(spark, d.source).contains(from)) {
-      val full = evaluate(MergeWriter.readTable(spark, d.source),
-        d.groupCols, d.aggs, d.whereSql)
-      MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols,
-        txn = Some((txnApp(d.source), to)))
+      fullReeval(spark, mvPath, d, to, atomic = true)
       return Some((-1L, to))
     }
     val keys = srcMan.keyCols
-    // the feed carries every column the definition touches (group +
-    // agg + WHERE references); merge keys ride plain
+    // the feed carries every SOURCE column the definition touches
+    // (group + agg + WHERE + join references that live in the source);
+    // merge keys ride plain; dim-side columns arrive via the broadcast
+    // dim join below
+    val srcFields = MergeWriter.readTable(spark, d.source).schema.fieldNames
+    def inSrc(c: String) = srcFields.exists(_.equalsIgnoreCase(c))
     val whereCols = d.whereSql.toSeq.flatMap(w =>
       spark.sessionState.sqlParser.parseExpression(w).collect {
         case a: UnresolvedAttribute => a.nameParts.head
       })
     val needed = (d.groupCols ++ d.aggs.map(_.col).filter(_.nonEmpty) ++
-      whereCols).distinct.filterNot(keys.contains)
+      whereCols ++ d.dim.map(_.srcCol).toSeq)
+      .distinct.filter(inSrc).filterNot(keys.contains)
     val feed = MergeWriter.changeFeed(spark, d.source, from, to, keys,
       needed)
+    val dimP = dimFrame(spark, d)
     // ±1-signed contribution images: old for update/delete, new for
-    // update/insert, each side re-filtered by the MV's WHERE
+    // update/insert, each side joined to the (unchanged) dim and
+    // re-filtered by the MV's WHERE
     def side(prefix: String, ops: Seq[String], sign: Int): DataFrame = {
       val img = feed.where(col("op").isin(ops: _*))
         .select((keys.map(col) ++
           needed.map(c => col(s"$prefix$c").as(c)) :+
           lit(sign).as("__sign")): _*)
-      d.whereSql.fold(img)(w => img.where(expr(w)))
+      val joined = dimP.fold(img) { case (df, dm) => joinDim(img, df, dm) }
+      d.whereSql.fold(joined)(w => joined.where(expr(w)))
     }
     val signed = side("old_", Seq("update", "delete"), -1)
       .unionByName(side("new_", Seq("update", "insert"), 1))
-    val deltaAggs = d.aggs.map { a =>
+    val deltaAggs = d.aggs.flatMap { a =>
       a.fn match {
-        case "count_star" => sum(col("__sign")).as(a.alias)
-        case "count" => sum(when(col(a.col).isNotNull, col("__sign"))
-          .otherwise(0)).as(a.alias)
-        case "sum" => sum(when(col(a.col).isNotNull,
-          col(a.col) * col("__sign")).otherwise(lit(0))).as(a.alias)
+        case "count_star" => Seq(sum(col("__sign")).as(a.alias))
+        case "count" => Seq(sum(when(col(a.col).isNotNull, col("__sign"))
+          .otherwise(0)).as(a.alias))
+        case "sum" => Seq(sum(when(col(a.col).isNotNull,
+          col(a.col) * col("__sign")).otherwise(lit(0))).as(a.alias))
+        // min/max: the inserted side's extremum folds additively; the
+        // removed side's extremum decides retraction (a removal that
+        // ties or beats the stored extremum forces the re-scan)
+        case "min" => Seq(
+          min(when(col("__sign") === 1, col(a.col))).as(s"__ins_${a.alias}"),
+          min(when(col("__sign") === -1, col(a.col))).as(s"__del_${a.alias}"))
+        case "max" => Seq(
+          max(when(col("__sign") === 1, col(a.col))).as(s"__ins_${a.alias}"),
+          max(when(col("__sign") === -1, col(a.col))).as(s"__del_${a.alias}"))
       }
     }
     // persisted: the emptiness probe, the point-read keying and the
@@ -372,10 +591,7 @@ object MaterializedViews {
       return Some((from, to))
     }
     if (probe > MaxIncrementalGroups) {
-      val full = evaluate(MergeWriter.readTable(spark, d.source),
-        d.groupCols, d.aggs, d.whereSql)
-      MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols,
-        txn = Some((txnApp(d.source), to)))
+      fullReeval(spark, mvPath, d, to, atomic = true)
       return Some((-1L, to))
     }
     // current MV rows for exactly the touched groups (bounded point
@@ -385,30 +601,70 @@ object MaterializedViews {
     val cur = MergeWriter.readKeys(spark, mvPath,
       delta.select(d.groupCols.map(col): _*), d.groupCols)
     val starAlias = d.aggs.find(_.fn == "count_star").get.alias
+    val minmax = d.aggs.filter(a => a.fn == "min" || a.fn == "max")
     // cur's plan CONTAINS delta (the point read is keyed by it) — a
     // name-prefixed projection breaks the self-join ambiguity
-    val dd = delta.select((d.groupCols ++ d.aggs.map(_.alias))
-      .map(c => col(c).as(s"__d_$c")): _*)
-    val folded = cur.join(dd,
-        d.groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _),
-        "full_outer")
-      .select((d.groupCols.map(c =>
-          coalesce(col(c), col(s"__d_$c")).as(c)) ++
-        d.aggs.map { a =>
+    val deltaCols = d.groupCols ++ d.aggs.flatMap { a =>
+      if (minmax.contains(a)) Seq(s"__ins_${a.alias}", s"__del_${a.alias}")
+      else Seq(a.alias)
+    }
+    val dd = delta.select(deltaCols.map(c => col(c).as(s"__d_$c")): _*)
+    val joined = cur.join(dd,
+      d.groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _),
+      "full_outer")
+    // per min/max agg: additive fold (least/greatest skip NULLs) and
+    // the retraction test against the STORED extremum
+    val foldCols =
+      d.groupCols.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
+      d.aggs.map { a =>
+        if (minmax.contains(a)) {
+          val fold = if (a.fn == "min")
+            least(col(a.alias), col(s"__d___ins_${a.alias}"))
+          else greatest(col(a.alias), col(s"__d___ins_${a.alias}"))
+          fold.cast(mvSchema(a.alias).dataType).as(a.alias)
+        } else
           (coalesce(col(a.alias), lit(0)) +
             coalesce(col(s"__d_${a.alias}"), lit(0)))
             .cast(mvSchema(a.alias).dataType).as(a.alias)
-        }): _*)
-    val ups = folded.where(col(starAlias) > 0)
+      }
+    val rescanPred = minmax.map { a =>
+      val cmp = if (a.fn == "min")
+        col(s"__d___del_${a.alias}") <= col(a.alias)
+      else col(s"__d___del_${a.alias}") >= col(a.alias)
+      col(a.alias).isNotNull && col(s"__d___del_${a.alias}").isNotNull && cmp
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val folded = joined.select((foldCols :+
+      rescanPred.as("__graft_rescan")): _*)
+    val live = folded.where(col(starAlias) > 0)
+    val ups0 = live.where(!col("__graft_rescan")).drop("__graft_rescan")
     val dels = folded.where(col(starAlias) <= 0)
       .select(d.groupCols.map(col): _*)
+    // extremum re-scan: exactly the flagged live groups re-aggregate
+    // from the source in one restricted, column-pruned pass (their
+    // count/sum recompute too — exact either way)
+    val rescanKeys = live.where(col("__graft_rescan"))
+      .select(d.groupCols.map(col): _*)
+    // one cheap emptiness probe first: the common refresh retracts no
+    // extremum, and must not pay a source scan for an empty semi-join
+    val ups =
+      if (minmax.isEmpty || rescanKeys.limit(1).count() == 0L) ups0
+      else {
+        val rescan = evaluate(MergeWriter.readTable(spark, d.source),
+          dimFrame(spark, d), d.groupCols, d.aggs, d.whereSql,
+          restrictTo = Some(rescanKeys))
+        val cast = rescan.select((d.groupCols.map(col) ++ d.aggs.map(a =>
+          col(a.alias).cast(mvSchema(a.alias).dataType).as(a.alias))): _*)
+        ups0.unionByName(cast)
+      }
     MergeWriter.applyChanges(spark, mvPath, ups, dels, d.groupCols,
       opName = "refresh_mv", txn = Some((txnApp(d.source), to)))
     Some((from, to))
   }
 
   /** Freshness probe: (source path, refreshed-through version, source
-    * current version). Fresh ⇔ the two versions match.
+    * current version). Fresh ⇔ the two versions match (and the dim, if
+    * any, has not moved — a moved dim reports the source head + 1 so
+    * the flag reads stale).
     */
   def status(spark: SparkSession, mvPath: String): (String, Long, Long) = {
     val d = readDef(spark, mvPath)
@@ -417,7 +673,12 @@ object MaterializedViews {
         s"mv_status: $mvPath lost its manifest"))
     val srcV = MergeWriter.pinManifest(spark, d.source, None, None)
       .map(_.version).getOrElse(-1L)
+    val dimMoved = d.dim.exists { x =>
+      val cur = MergeWriter.pinManifest(spark, x.path, None, None)
+        .map(_.version).getOrElse(-1L)
+      !mvMan.txns.get(dimTxnApp(x.path)).contains(cur)
+    }
     (d.source, mvMan.txns.getOrElse(txnApp(d.source), d.createdVersion),
-      srcV)
+      if (dimMoved) srcV + 1 else srcV)
   }
 }

@@ -443,7 +443,24 @@ object MergeWriter {
                                        // instead of probing stored rows
                                        // for positions — the write path
                                        // never reads.
-                                       eqDeletes: Boolean = false)
+                                       eqDeletes: Boolean = false,
+                                       // MANIFEST SEGMENTATION
+                                       // bookkeeping (Iceberg's manifest
+                                       // list, adapted to this CAS): the
+                                       // ordered content hashes of the
+                                       // `_seg/` files this manifest was
+                                       // read from / written with, one
+                                       // per bucket range. NOT part of
+                                       // the logical table state — it
+                                       // rides `.copy()` only as a
+                                       // REUSE HINT for the next commit
+                                       // (reuse is granted solely by
+                                       // payload equality, never by the
+                                       // hint alone) and as gc's live-
+                                       // segment root set when read
+                                       // from disk. Empty ⇔ inline
+                                       // manifest.
+                                       segs: Seq[String] = Seq.empty)
 
   /** One equality-delete record of a bucket (see [[Manifest.eqds]]):
     * `sidecar` names a parquet directory under `_eqd/` holding the
@@ -514,12 +531,80 @@ object MergeWriter {
       .readTree(new String(bytes, StandardCharsets.UTF_8))
   }
 
+  // ---- per-bucket fragment parsers (shared by the inline manifest and
+  // ---- the `_seg/` segment files of a segmented manifest) ------------
+
+  private def parseEpochsNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[Int, String] = {
+    val epochs = scala.collection.mutable.Map.empty[Int, String]
+    Option(n).foreach(_.fields().forEachRemaining { e =>
+      epochs(e.getKey.toInt) = e.getValue.asText()
+    })
+    epochs.toMap
+  }
+
+  private def parseStatsNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[Int, Seq[FileStat]] = {
+    def strMap(x: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, String] = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      Option(x).foreach(_.fields().forEachRemaining(e =>
+        m(e.getKey) = e.getValue.asText()))
+      m.toMap
+    }
+    val stats = scala.collection.mutable.Map.empty[Int, Seq[FileStat]]
+    Option(n).foreach(_.fields().forEachRemaining { b =>
+      val arr = b.getValue
+      stats(b.getKey.toInt) = (0 until arr.size()).map { i =>
+        val f = arr.get(i)
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        // absent in pre-nullcount manifests — backward compatible
+        Option(f.get("nulls")).foreach(_.fields().forEachRemaining(e =>
+          nulls(e.getKey) = e.getValue.asLong()))
+        FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
+          strMap(f.get("min")), strMap(f.get("max")), nulls.toMap,
+          // absent in pre-fingerprint manifests — backward compatible
+          Option(f.get("h")).map(_.asText()).getOrElse(""),
+          // absent in pre-deletion-vector manifests — backward compatible
+          Option(f.get("dv")).map(_.asText()).getOrElse(""),
+          Option(f.get("dvn")).map(_.asLong()).getOrElse(0L),
+          // absent for base-epoch files — backward compatible
+          Option(f.get("e")).map(_.asText()).getOrElse(""))
+      }
+    })
+    stats.toMap
+  }
+
+  private def parseOvlNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[Int, Seq[String]] =
+    Option(n).map { x =>
+      val b = Map.newBuilder[Int, Seq[String]]
+      x.fields().forEachRemaining { e =>
+        val arr = e.getValue
+        b += e.getKey.toInt ->
+          (0 until arr.size()).map(arr.get(_).asText())
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private def parseEqdsNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[Int, Seq[EqDel]] =
+    Option(n).map { x =>
+      val b = Map.newBuilder[Int, Seq[EqDel]]
+      x.fields().forEachRemaining { e =>
+        val arr = e.getValue
+        b += e.getKey.toInt -> (0 until arr.size()).map { i =>
+          val d = arr.get(i)
+          EqDel(d.get("s").asText(), d.get("u").asInt(),
+            d.get("n").asLong())
+        }
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
   private def manifestFromNode(node: com.fasterxml.jackson.databind.JsonNode,
                                version: Long): Manifest = {
-    val epochs = scala.collection.mutable.Map.empty[Int, String]
-    node.get("epochs").fields().forEachRemaining { e =>
-      epochs(e.getKey.toInt) = e.getValue.asText()
-    }
+    val epochs = parseEpochsNode(node.get("epochs"))
     val txns = scala.collection.mutable.Map.empty[String, Long]
     // absent in pre-txn manifests — backward compatible
     Option(node.get("txns")).foreach(_.fields().forEachRemaining { t =>
@@ -539,28 +624,9 @@ object MergeWriter {
       m.toMap
     }
     // absent in pre-stats manifests — backward compatible
-    val stats = scala.collection.mutable.Map.empty[Int, Seq[FileStat]]
-    Option(node.get("stats")).foreach(_.fields().forEachRemaining { b =>
-      val arr = b.getValue
-      stats(b.getKey.toInt) = (0 until arr.size()).map { i =>
-        val f = arr.get(i)
-        val nulls = scala.collection.mutable.Map.empty[String, Long]
-        // absent in pre-nullcount manifests — backward compatible
-        Option(f.get("nulls")).foreach(_.fields().forEachRemaining(e =>
-          nulls(e.getKey) = e.getValue.asLong()))
-        FileStat(f.get("f").asText(), f.get("b").asLong(), f.get("r").asLong(),
-          strMap(f.get("min")), strMap(f.get("max")), nulls.toMap,
-          // absent in pre-fingerprint manifests — backward compatible
-          Option(f.get("h")).map(_.asText()).getOrElse(""),
-          // absent in pre-deletion-vector manifests — backward compatible
-          Option(f.get("dv")).map(_.asText()).getOrElse(""),
-          Option(f.get("dvn")).map(_.asLong()).getOrElse(0L),
-          // absent for base-epoch files — backward compatible
-          Option(f.get("e")).map(_.asText()).getOrElse(""))
-      }
-    })
-    Manifest(version, node.get("buckets").asInt(), epochs.toMap, txns.toMap,
-      schema, strArr("keys"), strArr("cluster"), stats.toMap,
+    val stats = parseStatsNode(node.get("stats"))
+    Manifest(version, node.get("buckets").asInt(), epochs, txns.toMap,
+      schema, strArr("keys"), strArr("cluster"), stats,
       // absent in pre-bloom manifests — backward compatible
       strArr("bloomcols"),
       Option(node.get("bloomn")).map(_.asLong()).getOrElse(DefaultBloomItems),
@@ -606,15 +672,7 @@ object MergeWriter {
         b.result()
       }.getOrElse(Map.empty),
       // absent in pre-overlay manifests — backward compatible
-      Option(node.get("ovl")).map { n =>
-        val b = Map.newBuilder[Int, Seq[String]]
-        n.fields().forEachRemaining { e =>
-          val arr = e.getValue
-          b += e.getKey.toInt ->
-            (0 until arr.size()).map(arr.get(_).asText())
-        }
-        b.result()
-      }.getOrElse(Map.empty),
+      parseOvlNode(node.get("ovl")),
       // set only on branch-staged manifests — backward compatible
       Option(node.get("bbase")).map(_.asLong()).getOrElse(-1L),
       // absent in pre-constraint manifests — backward compatible
@@ -630,23 +688,29 @@ object MergeWriter {
       // absent in pre-histogram manifests — backward compatible
       strMap(node.get("chist")),
       // absent in pre-equality-delete manifests — backward compatible
-      Option(node.get("eqds")).map { n =>
-        val b = Map.newBuilder[Int, Seq[EqDel]]
-        n.fields().forEachRemaining { e =>
-          val arr = e.getValue
-          b += e.getKey.toInt -> (0 until arr.size()).map { i =>
-            val d = arr.get(i)
-            EqDel(d.get("s").asText(), d.get("u").asInt(),
-              d.get("n").asLong())
-          }
-        }
-        b.result()
-      }.getOrElse(Map.empty),
+      parseEqdsNode(node.get("eqds")),
       Option(node.get("eqdel")).exists(_.asBoolean()))
   }
 
-  private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest =
-    manifestFromNode(readJsonFile(fs, p), version)
+  private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest = {
+    val node = readJsonFile(fs, p)
+    val base = manifestFromNode(node, version)
+    Option(node.get("segs")) match {
+      case None => base
+      case Some(arr) =>
+        // segmented head: per-bucket state lives in content-addressed
+        // `_seg/` files — fetch only what the process cache lacks
+        val dir = p.getParent
+        val hashes = (0 until arr.size()).map(arr.get(_).asText())
+        val pays = hashes.map(h => loadSegment(fs, dir, h))
+        base.copy(
+          epochs = pays.iterator.map(_.epochs).fold(Map.empty)(_ ++ _),
+          stats = pays.iterator.map(_.stats).fold(Map.empty)(_ ++ _),
+          overlays = pays.iterator.map(_.ovl).fold(Map.empty)(_ ++ _),
+          eqds = pays.iterator.map(_.eqds).fold(Map.empty)(_ ++ _),
+          segs = hashes)
+    }
+  }
 
   private def currentManifest(fs: FileSystem, dir: Path): Option[Manifest] =
     manifestFiles(fs, dir).lastOption.map { case (v, p) => readManifest(fs, v, p) }
@@ -665,12 +729,53 @@ object MergeWriter {
     * racing or replayed committer targeting the same version fails loudly
     * instead of clobbering a committed manifest.
     */
+  // ---- per-bucket fragment serializers (shared by the inline manifest
+  // ---- and the `_seg/` segment files of a segmented manifest) --------
+
+  private def epochsJsonObj(epochs: Map[Int, String]): String =
+    epochs.toSeq.sortBy(_._1)
+      .map { case (b, e) => "\"" + b + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+
+  private def statsJsonObj(stats: Map[Int, Seq[FileStat]]): String = {
+    def obj(kv: Map[String, String]): String =
+      kv.toSeq.sortBy(_._1).map { case (k, v) =>
+        jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
+    stats.toSeq.sortBy(_._1).map { case (b, fss) =>
+      "\"" + b + "\":[" + fss.map(fs =>
+        "{\"f\":" + jsonStr(fs.name) + ",\"b\":" + fs.bytes +
+          ",\"r\":" + fs.rows + ",\"min\":" + obj(fs.mins) +
+          ",\"max\":" + obj(fs.maxs) +
+          (if (fs.nulls.isEmpty) "" else
+            ",\"nulls\":" + fs.nulls.toSeq.sortBy(_._1)
+              .map { case (k, v) => jsonStr(k) + ":" + v }
+              .mkString("{", ",", "}")) +
+          (if (fs.fp.isEmpty) "" else ",\"h\":" + jsonStr(fs.fp)) +
+          (if (fs.dv.isEmpty) "" else
+            ",\"dv\":" + jsonStr(fs.dv) + ",\"dvn\":" + fs.dvn) +
+          (if (fs.e.isEmpty) "" else ",\"e\":" + jsonStr(fs.e)) +
+          "}").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+  }
+
+  private def ovlJsonObj(ovl: Map[Int, Seq[String]]): String =
+    ovl.toSeq.sortBy(_._1).map { case (b, es) =>
+      "\"" + b + "\":[" + es.map(jsonStr).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+
+  private def eqdsJsonObj(eqds: Map[Int, Seq[EqDel]]): String =
+    eqds.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+      .map { case (b, ds) =>
+        "\"" + b + "\":[" + ds.map(d =>
+          "{\"s\":" + jsonStr(d.sidecar) + ",\"u\":" + d.upTo +
+            ",\"n\":" + d.n + "}").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+
   private def manifestBody(m: Manifest): String =
     new StringBuilder()
-      .append("{\"buckets\":").append(m.buckets).append(",\"epochs\":{")
-      .append(m.epochs.toSeq.sortBy(_._1)
-        .map { case (b, e) => "\"" + b + "\":\"" + e + "\"" }.mkString(","))
-      .append("},\"txns\":{")
+      .append("{\"buckets\":").append(m.buckets).append(",\"epochs\":")
+      .append(epochsJsonObj(m.epochs))
+      .append(",\"txns\":{")
       // app ids are writer-chosen: escape them like any JSON string
       .append(m.txns.toSeq.sortBy(_._1).map { case (a, v) =>
         jsonStr(a) + ":" + v
@@ -707,34 +812,14 @@ object MergeWriter {
         ",\"tags\":{" + m.tags.toSeq.sortBy(_._1).map { case (t, v) =>
           jsonStr(t) + ":" + v }.mkString(",") + "}")
       .append(if (m.overlays.isEmpty) "" else
-        ",\"ovl\":{" + m.overlays.toSeq.sortBy(_._1).map { case (b, es) =>
-          "\"" + b + "\":[" + es.map(jsonStr).mkString(",") + "]"
-        }.mkString(",") + "}")
+        ",\"ovl\":" + ovlJsonObj(m.overlays))
       .append(if (m.colIds.nonEmpty)
         ",\"cids\":{" + m.colIds.toSeq.sortBy(_._1).map { case (c, id) =>
           jsonStr(c) + ":" + id }.mkString(",") + "}" +
           ",\"ncid\":" + m.nextColId
         else "")
-      .append(if (m.stats.nonEmpty) {
-        def obj(kv: Map[String, String]): String =
-          kv.toSeq.sortBy(_._1).map { case (k, v) =>
-            jsonStr(k) + ":" + jsonStr(v) }.mkString("{", ",", "}")
-        ",\"stats\":{" + m.stats.toSeq.sortBy(_._1).map { case (b, fss) =>
-          "\"" + b + "\":[" + fss.map(fs =>
-            "{\"f\":" + jsonStr(fs.name) + ",\"b\":" + fs.bytes +
-              ",\"r\":" + fs.rows + ",\"min\":" + obj(fs.mins) +
-              ",\"max\":" + obj(fs.maxs) +
-              (if (fs.nulls.isEmpty) "" else
-                ",\"nulls\":" + fs.nulls.toSeq.sortBy(_._1)
-                  .map { case (k, v) => jsonStr(k) + ":" + v }
-                  .mkString("{", ",", "}")) +
-              (if (fs.fp.isEmpty) "" else ",\"h\":" + jsonStr(fs.fp)) +
-              (if (fs.dv.isEmpty) "" else
-                ",\"dv\":" + jsonStr(fs.dv) + ",\"dvn\":" + fs.dvn) +
-              (if (fs.e.isEmpty) "" else ",\"e\":" + jsonStr(fs.e)) +
-              "}").mkString(",") + "]"
-        }.mkString(",") + "}"
-      } else "")
+      .append(if (m.stats.nonEmpty) ",\"stats\":" + statsJsonObj(m.stats)
+        else "")
       .append(if (m.branchBase < 0L) "" else ",\"bbase\":" + m.branchBase)
       .append(if (m.checks.isEmpty) "" else
         ",\"checks\":{" + m.checks.toSeq.sortBy(_._1).map { case (n, p) =>
@@ -749,18 +834,189 @@ object MergeWriter {
         ",\"chist\":{" + m.colHists.toSeq.sortBy(_._1).map { case (c, h) =>
           jsonStr(c) + ":" + jsonStr(h) }.mkString(",") + "}")
       .append(if (m.eqds.forall(_._2.isEmpty)) "" else
-        ",\"eqds\":{" + m.eqds.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
-          .map { case (b, ds) =>
-            "\"" + b + "\":[" + ds.map(d =>
-              "{\"s\":" + jsonStr(d.sidecar) + ",\"u\":" + d.upTo +
-                ",\"n\":" + d.n + "}").mkString(",") + "]"
-          }.mkString(",") + "}")
+        ",\"eqds\":" + eqdsJsonObj(m.eqds))
       .append(if (m.eqDeletes) ",\"eqdel\":true" else "")
       .append("}").toString()
 
+  // ==== MANIFEST SEGMENTATION =============================================
+  //
+  // The full-snapshot manifest carries every bucket's epoch pointer, file
+  // stats, overlay list and eq-delete records — O(buckets) bytes. Below
+  // [[SegInlineMaxBuckets]] that is a few KB and ONE file per commit is
+  // the right design. Past it, a 10-row trickle commit would rewrite (and
+  // every reader re-parse) metadata proportional to the TABLE, not the
+  // change — the one structural scale-killer at 10⁵–10⁶ buckets. So a
+  // large table's manifest splits the Iceberg way: the `_manifest-<v>`
+  // HEAD keeps the table-level fields plus an ordered list of per-bucket-
+  // range SEGMENT hashes (`segw`/`segs`), and the per-bucket state lives
+  // in content-addressed `_seg/seg-<sha256/128>.json` files. A commit
+  // serializes and writes ONLY the ranges whose state changed — an
+  // unchanged range's hash is reused straight from the base manifest
+  // (granted by payload equality against the process-wide segment cache,
+  // never by lineage alone) — so commit metadata I/O is
+  // O(head + touched ranges), and reads fetch only segments they have
+  // not already cached (segments are immutable: cache hits are exact).
+  // Crash-safety: segments are published BEFORE the head that references
+  // them through the same no-overwrite primitive (identical content ⇒ a
+  // lost race is a win), a crashed commit leaves orphan segments for
+  // gc's age guard, and gc keeps every segment referenced by a retained
+  // head (main, branch, or tagged). See PROTOCOL.md "Manifest
+  // segmentation".
+
+  /** Largest bucket modulus that keeps the single-file inline manifest.
+    * Above it, commits write segmented manifests. Readers accept both
+    * formats regardless (the head self-describes via `segs`).
+    */
+  private[sources] val SegInlineMaxBuckets = 64
+
+  /** Bucket-range width of one segment: fixed 64 while the segment
+    * count stays small, widening past 4096×64 buckets so the head's
+    * hash list stays bounded (≤ ~4096 hashes ≈ 140 KB) at any modulus.
+    */
+  private[sources] def segWidth(buckets: Int): Int =
+    math.max(SegInlineMaxBuckets, (buckets + 4095) / 4096)
+
+  private[sources] val SegDirName = "_seg"
+
+  /** One segment's per-bucket state — exactly the four Manifest maps,
+    * restricted to the segment's bucket range (eqds canonicalized to
+    * non-empty entries, matching the inline serializer).
+    */
+  private case class SegPayload(epochs: Map[Int, String],
+                                stats: Map[Int, Seq[FileStat]],
+                                ovl: Map[Int, Seq[String]],
+                                eqds: Map[Int, Seq[EqDel]])
+
+  /** Process-wide segment cache, keyed by (table dir, content hash).
+    * Segments are immutable (content-addressed), so entries never go
+    * stale; the LRU bound caps driver memory on wide scans of many
+    * tables.
+    */
+  private val segCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, SegPayload](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SegPayload]): Boolean =
+        size() > 16384
+    })
+
+  private def segBody(p: SegPayload): String = {
+    val sb = new StringBuilder("{\"epochs\":")
+    sb.append(epochsJsonObj(p.epochs))
+    if (p.stats.nonEmpty) sb.append(",\"stats\":").append(statsJsonObj(p.stats))
+    if (p.ovl.nonEmpty) sb.append(",\"ovl\":").append(ovlJsonObj(p.ovl))
+    if (p.eqds.nonEmpty) sb.append(",\"eqds\":").append(eqdsJsonObj(p.eqds))
+    sb.append("}").toString()
+  }
+
+  private def parseSegBody(
+      node: com.fasterxml.jackson.databind.JsonNode): SegPayload =
+    SegPayload(parseEpochsNode(node.get("epochs")),
+      parseStatsNode(node.get("stats")),
+      parseOvlNode(node.get("ovl")),
+      parseEqdsNode(node.get("eqds")))
+
+  /** 128-bit content hash (SHA-256 truncated): the segment's identity.
+    * Collision probability at any real segment count is negligible, and
+    * a collision would require two DIFFERENT payloads of the same table
+    * — the hash is scoped per table directory.
+    */
+  private def segHash(body: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body.getBytes(StandardCharsets.UTF_8))
+    d.take(16).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def segPath(dir: Path, hash: String): Path =
+    new Path(new Path(dir, SegDirName), s"seg-$hash.json")
+
+  /** Publish one segment if absent. Content-addressed: a concurrent
+    * writer losing the no-overwrite race published the SAME bytes, so a
+    * lost CAS is success. A crash mid-publish leaves a `.tmp-seg-`
+    * stage file for gc's age guard.
+    */
+  private def writeSegmentIfAbsent(fs: FileSystem, dir: Path, hash: String,
+                                   body: String): Unit = {
+    val target = segPath(dir, hash)
+    if (fs.exists(target)) return
+    val segDir = new Path(dir, SegDirName)
+    fs.mkdirs(segDir)
+    val tmp = new Path(segDir, s".tmp-seg-${UUID.randomUUID()}")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    commitPrimitive.putIfAbsent(fs, target, tmp, bytes)
+    fs.delete(tmp, false)
+  }
+
+  private def loadSegment(fs: FileSystem, dir: Path,
+                          hash: String): SegPayload = {
+    val key = dir.toString + "|" + hash
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val p = segPath(dir, hash)
+    val pay = parseSegBody(readJsonFile(fs, p))
+    segCache.put(key, pay)
+    pay
+  }
+
+  /** Split a per-bucket map into per-segment-range maps (one O(n) pass,
+    * not O(n × ranges)).
+    */
+  private def byRange[V](m: Map[Int, V], w: Int): Map[Int, Map[Int, V]] =
+    m.groupBy(_._1 / w)
+
+  /** The segmented commit: per-range payloads, reuse-by-equality against
+    * the base manifest's hashes (carried on [[Manifest.segs]] as hints),
+    * segment publishes for the changed ranges only, then the head CAS.
+    */
+  private def segmentedPublish(fs: FileSystem, dir: Path, target: Path,
+                               m: Manifest): Unit = {
+    val w = segWidth(m.buckets)
+    val nSeg = math.max(1, (m.buckets + w - 1) / w)
+    val epochsR = byRange(m.epochs, w)
+    val statsR = byRange(m.stats, w)
+    val ovlR = byRange(m.overlays, w)
+    val eqdsR = byRange(m.eqds.filter(_._2.nonEmpty), w)
+    val dirKey = dir.toString
+    // the base manifest's hashes are valid HINTS only if its width
+    // matches (a modulus change shifts every range)
+    val hints: Map[Int, String] =
+      if (m.segs.size == nSeg) m.segs.zipWithIndex.map(_.swap).toMap
+      else Map.empty
+    val hashes = (0 until nSeg).map { i =>
+      val pay = SegPayload(epochsR.getOrElse(i, Map.empty),
+        statsR.getOrElse(i, Map.empty), ovlR.getOrElse(i, Map.empty),
+        eqdsR.getOrElse(i, Map.empty))
+      val reuse = hints.get(i).filter { h =>
+        segCache.get(dirKey + "|" + h) == pay
+      }
+      reuse.getOrElse {
+        val body = segBody(pay)
+        val h = segHash(body)
+        writeSegmentIfAbsent(fs, dir, h, body)
+        segCache.put(dirKey + "|" + h, pay)
+        h
+      }
+    }
+    val head = manifestBody(m.copy(epochs = Map.empty, stats = Map.empty,
+      overlays = Map.empty, eqds = Map.empty, segs = Seq.empty))
+    val body = head.dropRight(1) + ",\"segw\":" + w + ",\"segs\":[" +
+      hashes.map(jsonStr).mkString(",") + "]}"
+    publishAtomically(fs, dir, target, body)
+  }
+
+  /** The one manifest-publish seam: inline below the bucket threshold,
+    * segmented above it.
+    */
+  private def publishManifest(fs: FileSystem, dir: Path, target: Path,
+                              m: Manifest): Unit =
+    if (m.buckets > SegInlineMaxBuckets)
+      segmentedPublish(fs, dir, target, m)
+    else publishAtomically(fs, dir, target, manifestBody(m))
+
   private def commitManifest(fs: FileSystem, dir: Path, m: Manifest): Unit =
-    publishAtomically(fs, dir,
-      new Path(dir, f"$ManifestPrefix${m.version}%016d.json"), manifestBody(m))
+    publishManifest(fs, dir,
+      new Path(dir, f"$ManifestPrefix${m.version}%016d.json"), m)
 
   /** [[commitManifest]] / [[currentManifest]] redirected by an optional
     * branch ref — the ONE seam branch-targeted writes differ by: same
@@ -769,9 +1025,8 @@ object MergeWriter {
   private def refCommit(fs: FileSystem, dir: Path, ref: Option[String],
                         m: Manifest): Unit = ref match {
     case None => commitManifest(fs, dir, m)
-    case Some(b) => publishAtomically(fs, dir,
-      new Path(dir, f"${branchManPrefix(b)}${m.version}%016d.json"),
-      manifestBody(m))
+    case Some(b) => publishManifest(fs, dir,
+      new Path(dir, f"${branchManPrefix(b)}${m.version}%016d.json"), m)
   }
 
   private def refCurrent(fs: FileSystem, dir: Path,
@@ -1100,6 +1355,21 @@ object MergeWriter {
       if (!referencedEqds.contains(st.getPath.getName) &&
           now - st.getModificationTime > orphanRetentionMs)
         fs.delete(st.getPath, true)
+    }
+    // manifest segments: keep every segment some retained head (main,
+    // branch, tagged) references; reclaim the rest — superseded ranges
+    // and crashed commits' orphans — past the age guard, along with
+    // stale `.tmp-seg-` stage files
+    val referencedSegs = keptManifests.iterator
+      .flatMap(_.segs.iterator).toSet
+    val segDir = new Path(dir, SegDirName)
+    if (fs.exists(segDir)) fs.listStatus(segDir).foreach { st =>
+      val n = st.getPath.getName
+      val live = n.startsWith("seg-") && n.endsWith(".json") &&
+        referencedSegs.contains(
+          n.stripPrefix("seg-").stripSuffix(".json"))
+      if (!live && now - st.getModificationTime > orphanRetentionMs)
+        fs.delete(st.getPath, false)
     }
   }
 
@@ -1786,10 +2056,10 @@ object MergeWriter {
         s"createBranch: $tablePath holds no committed graft table"))
     require(branchHead(fs, dir, name).isEmpty,
       s"createBranch: branch '$name' already exists on $tablePath")
-    publishAtomically(fs, dir,
+    publishManifest(fs, dir,
       new Path(dir, f"${branchManPrefix(name)}${man.version}%016d.json"),
-      manifestBody(man.copy(branchBase = man.version, op = "branch-create",
-        opTs = System.currentTimeMillis())))
+      man.copy(branchBase = man.version, op = "branch-create",
+        opTs = System.currentTimeMillis()))
     // VERIFY after publish: the file-name CAS only collides when two
     // racing creators fork at the SAME main version — a main commit
     // between their reads gives them different file names and both
@@ -4261,14 +4531,63 @@ object MergeWriter {
     * probe the WRITE path skipped is paid lazily (and only) by readers.
     * Resolution is in-memory only — no manifest mutation, so it works
     * on time-travel pins, branches and read-only replicas.
+    *
+    * CACHED PER VERSION (round 14): between compactions a trickle-CDC
+    * table is read many times at the same version, and the resolution
+    * is a pure function of (table, eq-delete records, file listing) —
+    * so the FULL resolution (all affected files) is computed once per
+    * (root, version, eq-delete fingerprint) and every scan filters it
+    * down to its own pruned listing (a driver-side map restriction,
+    * zero jobs). The fingerprint rides the sidecar UUIDs, so branch
+    * heads or rewritten versions sharing a version number can never
+    * collide. Trade-off, documented: the first scan probes ALL
+    * eqd-affected files even if its own predicates pruned some — the
+    * affected set is bounded by the per-commit caps and drained by
+    * pressure compaction, and every later scan of the version pays
+    * zero probe jobs.
     */
+  private val eqdResCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[Long]]])
+          : Boolean = size() > 64
+    })
+
+  /** Test hook: how many eq-delete probe JOBS have run in this process
+    * — the "second scan of an unchanged version runs zero probe jobs"
+    * assertion.
+    */
+  private[graft] val eqdProbeJobs = new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def eqdDeadByAbsPath(spark: SparkSession, root: String,
                                         m: Manifest,
                                         keepPaths: Option[Set[String]] = None)
       : Map[String, Array[Long]] = {
     if (!hasLiveEqds(m)) return Map.empty
-    // (epoch ordinal, relKey, abs) of every file some eq-delete applies
-    // to, restricted to the scan's pruned listing
+    val fp = m.eqds.toSeq.sortBy(_._1).map { case (b, ds) =>
+      b + ":" + ds.map(d => d.sidecar + "@" + d.upTo).mkString("+")
+    }.mkString("|")
+    val key = root + "#" + m.version + "#" + fp
+    val full = Option(eqdResCache.get(key)).getOrElse {
+      val r = eqdResolveAll(spark, root, m)
+      eqdResCache.put(key, r)
+      r
+    }
+    keepPaths match {
+      case None => full
+      case Some(ks) => full.filter { case (p, _) => ks.contains(p) }
+    }
+  }
+
+  /** The one probe job behind [[eqdDeadByAbsPath]]'s per-version cache:
+    * resolve EVERY file some eq-delete applies to.
+    */
+  private def eqdResolveAll(spark: SparkSession, root: String, m: Manifest)
+      : Map[String, Array[Long]] = {
+    eqdProbeJobs.incrementAndGet()
+    // (epoch ordinal, relKey, abs) of every file some eq-delete
+    // applies to
     val cands: Seq[(Int, String, String)] =
       m.epochs.keys.toSeq.sorted.flatMap { b =>
         val maxU = m.eqds.getOrElse(b, Seq.empty)
@@ -4282,12 +4601,8 @@ object MergeWriter {
             require(ord >= 0, s"equality deletes: epoch $e is not a " +
               s"live epoch of bucket $b (version ${m.version})")
             if (ord >= maxU) None
-            else {
-              val abs = new Path(fileReadPath(root, m, b, f)).toString
-              if (keepPaths.forall(_.contains(abs)))
-                Some((ord, dvRelKey(e, b, f.name), abs))
-              else None
-            }
+            else Some((ord, dvRelKey(e, b, f.name),
+              new Path(fileReadPath(root, m, b, f)).toString))
           }
         }
       }

@@ -145,6 +145,33 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(MergeWriter.readTable(spark, dir).count() == 1)
   }
 
+  test("eq-delete resolution is cached per version: the second scan of " +
+       "an unchanged version runs zero probe jobs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geqd.ns")
+    spark.sql("CREATE TABLE geqd.ns.cache (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'eqDeletes'='true')")
+    spark.sql("INSERT INTO geqd.ns.cache SELECT id, 'a' FROM range(0, 200)")
+    spark.sql("DELETE FROM geqd.ns.cache WHERE id IN (3, 77)")
+    def cnt(): Long = spark.sql(
+      "SELECT COUNT(*) FROM geqd.ns.cache").collect().head.getLong(0)
+    val before = MergeWriter.eqdProbeJobs.get()
+    assert(cnt() == 198)
+    val afterFirst = MergeWriter.eqdProbeJobs.get()
+    assert(afterFirst == before + 1, "first scan pays ONE probe job")
+    // repeated reads of the SAME version — different predicates too —
+    // pay zero further probe jobs
+    assert(cnt() == 198)
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.cache WHERE id < 50")
+      .collect().head.getLong(0) == 49)
+    assert(MergeWriter.eqdProbeJobs.get() == afterFirst,
+      "repeated scans of an unchanged version must hit the cache")
+    // a new eq-delete commit advances the version: exactly one new probe
+    spark.sql("DELETE FROM geqd.ns.cache WHERE id = 9")
+    assert(cnt() == 197)
+    assert(MergeWriter.eqdProbeJobs.get() == afterFirst + 1,
+      "a new version pays exactly one new probe")
+  }
+
   test("the native catalog scan resolves eq-deletes to row positions at " +
        "plan time — SQL reads stay on BatchScan and agree with CoW") {
     val wh = spark.conf.get("spark.sql.catalog.geqd.warehouse")

@@ -134,8 +134,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       e.getMessage
     }
-    assert(rejected("SELECT grp, MAX(v) AS m, COUNT(*) AS n FROM rj " +
+    assert(rejected("SELECT grp, AVG(v) AS m, COUNT(*) AS n FROM rj " +
       "GROUP BY grp").contains("only COUNT(*)"))
+    assert(rejected("SELECT grp, COUNT(DISTINCT v) AS dv, COUNT(*) AS n " +
+      "FROM rj GROUP BY grp").contains("maintainable"))
     assert(rejected("SELECT grp, SUM(v) AS sv FROM rj GROUP BY grp")
       .contains("COUNT(*)"))
     assert(rejected("SELECT id, grp FROM rj").contains("GROUP BY"))
@@ -199,6 +201,89 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE v >= 0 GROUP BY grp").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == exp)
+  }
+
+  test("MIN/MAX maintain by re-scan-on-retract: additive folds for " +
+       "inserts, exact recomputation when a group's extremum leaves") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.mm (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.mm VALUES (1, 'a', 5), (2, 'a', 9), " +
+      "(3, 'a', 9), (4, 'b', 3), (5, 'b', 7)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.mmmv', " +
+      "source => 'ns.mm', query => 'SELECT grp, COUNT(*) AS n, " +
+      "MIN(v) AS mn, MAX(v) AS mx FROM mm GROUP BY grp')")
+    def exp() = spark.sql("SELECT grp, COUNT(*) AS n, MIN(v) AS mn, " +
+      "MAX(v) AS mx FROM gmv.ns.mm GROUP BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def got() = spark.sql("SELECT grp, n, mn, mx FROM gmv.ns.mmmv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got() == exp(), "initial build")
+    // additive path: inserts only extend the extremes
+    spark.sql("INSERT INTO gmv.ns.mm VALUES (10, 'a', 20), (11, 'b', 1)")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mmmv')")
+    assert(got() == exp(), "insert-only fold")
+    // retraction: delete ONE of the two max=9 rows of 'a' (the re-scan
+    // must find the surviving 9... the max is 20 now — delete that too)
+    spark.sql("DELETE FROM gmv.ns.mm WHERE id IN (2, 10)")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mmmv')")
+    assert(got() == exp(), "max retraction re-scan (tie survivor)")
+    // retract a MIN via update (value moves up), new group via insert
+    spark.sql("UPDATE gmv.ns.mm SET v = 100 WHERE id = 4")
+    spark.sql("INSERT INTO gmv.ns.mm VALUES (20, 'c', 42)")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mmmv')")
+    assert(got() == exp(), "min retraction + new group")
+    // group vanishes entirely
+    spark.sql("DELETE FROM gmv.ns.mm WHERE grp = 'c'")
+    spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mmmv')")
+    assert(got() == exp(), "vanished group")
+  }
+
+  test("dim-join MV: refresh folds fact churn against the broadcast " +
+       "dim; a moved dim falls back to ONE full re-evaluation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.fact (id BIGINT, tk STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("CREATE TABLE gmv.ns.dim (tk STRING, category STRING) " +
+      "TBLPROPERTIES ('keys'='tk', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.dim VALUES ('t1', 'cheap'), " +
+      "('t2', 'cheap'), ('t3', 'costly')")
+    spark.sql("INSERT INTO gmv.ns.fact SELECT id, " +
+      "CONCAT('t', 1 + id % 3), id * 10 FROM range(0, 60)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.dimmv', " +
+      "source => 'ns.fact', dim => 'ns.dim', " +
+      "query => 'SELECT category, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM fact JOIN dim ON tk = tk GROUP BY category')")
+    def exp() = spark.sql("SELECT category, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM gmv.ns.fact f JOIN gmv.ns.dim d ON f.tk = d.tk " +
+      "GROUP BY category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got() = spark.sql("SELECT category, n, sv FROM gmv.ns.dimmv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got() == exp(), "initial build")
+    // fact churn: incremental, joined against the unchanged dim
+    spark.sql("INSERT INTO gmv.ns.fact VALUES (100, 't3', 5), " +
+      "(101, 't9', 1)") // t9 has no dim row: inner join drops it
+    spark.sql("DELETE FROM gmv.ns.fact WHERE id IN (3, 4)")
+    val s1 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.dimmv')")
+      .collect().head.getString(0)
+    assert(s1.contains("refreshed"), s1)
+    assert(got() == exp(), "fact churn")
+    // dim churn: t2 moves category — every folded contribution under
+    // the old dim is invalid; the refresh detects the moved anchor and
+    // re-evaluates fully
+    spark.sql("UPDATE gmv.ns.dim SET category = 'costly' WHERE tk = 't2'")
+    def status() = spark.sql(
+      "CALL gmv.system.mv_status(view => 'ns.dimmv')").collect().head
+    assert(!status().getBoolean(3), "a moved dim must read stale")
+    val s2 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.dimmv')")
+      .collect().head.getString(0)
+    assert(s2.contains("fully re-evaluated"), s2)
+    assert(got() == exp(), "dim churn → full re-evaluation")
+    assert(status().getBoolean(3), "fresh after the dim re-pin")
   }
 
   test("retention fallback: a refresh window that aged out triggers ONE " +
