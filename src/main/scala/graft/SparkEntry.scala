@@ -1326,12 +1326,17 @@ object SparkEntry {
           // commit (mutual consistency: a pair set without its bands
           // re-pairs on replay, bands without vectors can't verify) —
           // 1 manifest commit per trigger, down from round 8's 3, and
-          // Spark's batch id makes the whole triple exactly-once
+          // Spark's batch id makes the whole triple exactly-once.
+          // eqDeletes members (round 14): each trigger stages WRITE-ONLY
+          // (overlay + doomed-key sidecar, no survivor read) — per-
+          // trigger write I/O ∝ the batch, never the touched buckets,
+          // the eq13 trickle shape applied to the ingest index
           sources.MergeWriter.mergeGroup(sp, grpTable, Seq(
             ("vecs", batch, Seq("vec_id")),
             ("pairs", pairs, Seq("id_a", "id_b")),
             ("bands", bandsOfBatch, Seq("id", "band"))),
-            buckets = 8, txn = Some(("singest", bid)))
+            buckets = 8, txn = Some(("singest", bid)),
+            eqDeletes = Set("vecs", "pairs", "bands"))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -5414,7 +5414,11 @@ object MergeWriter {
                              clusterBy: Seq[String] = Seq.empty,
                              evolveSchema: Boolean = false,
                              bloomBy: Seq[String] = Seq.empty,
-                             bloomItems: Long = DefaultBloomItems)
+                             bloomItems: Long = DefaultBloomItems,
+                             // seeds apply at member CREATION only (like
+                             // clusterBy); an existing member keeps its
+                             // recorded flags
+                             eqdSeed: Boolean = false)
       : Option[Manifest] = {
     require(keys.nonEmpty, "mergeGroup requires at least one key column")
     require(!incoming.columns.contains(BucketCol),
@@ -5432,6 +5436,16 @@ object MergeWriter {
     try {
       val touched = touchedBuckets(inc)
       if (touched.isEmpty) return st
+      // WRITE-ONLY staging for eqDeletes members (eqdApply at group
+      // scope): the batch lands as one overlay epoch plus a doomed-key
+      // sidecar, no survivor read — falls back to the CoW rewrite below
+      // when the batch is too big, a touched stored bucket lacks stats,
+      // or the schema moved. The group-manifest CAS stays the one
+      // commit point either way.
+      st.filter(_.eqDeletes).foreach { man =>
+        stageEqdInto(spark, fs, tableRoot, man, inc, keys, touched)
+          .foreach(staged => return Some(staged))
+      }
       val merged = st match {
         case None => inc.drop(BucketCol)
         case Some(man) =>
@@ -5492,6 +5506,7 @@ object MergeWriter {
       if (bloom.nonEmpty && written.nonEmpty)
         writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", bloom, bloomN,
           Some(cleanSchema.json))
+      val writtenSet = written.toSet
       Some(Manifest(0L, nb,
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
         Map.empty, Some(cleanSchema.json), keys, cluster,
@@ -5502,8 +5517,111 @@ object MergeWriter {
         // retention policy rides every group commit forward
         retainVersions = st.map(_.retainVersions).getOrElse(KeepManifests),
         retainMs = st.map(_.retainMs).getOrElse(0L),
-        colIds = memberIds, nextColId = memberNext))
+        colIds = memberIds, nextColId = memberNext,
+        // a rewritten bucket folded its overlays in and filtered its
+        // doomed keys out — clear its merge-on-read state; untouched
+        // buckets keep theirs (dropping them would orphan live overlay
+        // files and resurrect eq-deleted rows)
+        overlays = st.map(_.overlays.filterNot { case (b, _) =>
+          writtenSet(b) }).getOrElse(Map.empty),
+        eqds = st.map(_.eqds.filterNot { case (b, _) => writtenSet(b) })
+          .getOrElse(Map.empty),
+        deleteVectors = st.map(_.deleteVectors).getOrElse(eqdSeed),
+        eqDeletes = st.map(_.eqDeletes).getOrElse(eqdSeed)))
     } finally { inc.unpersist(); () }
+  }
+
+  /** [[eqdApply]]'s write-only staging at GROUP-member scope: the batch
+    * lands as one overlay epoch plus a doomed-key sidecar under the
+    * member root, and the member's UNCOMMITTED manifest state is
+    * returned for the group commit to publish — the group-manifest CAS
+    * stays the one commit point, exactly like the CoW staging, so the
+    * cross-member atomicity (vecs + pairs + bands flip together) is
+    * untouched while each member's write I/O drops to ∝ its batch.
+    * Returns None — the caller falls back to the CoW rewrite — when the
+    * batch exceeds [[DvMaxPositionsPerCommit]], a touched stored bucket
+    * has no per-file stats (plan-time resolution enumerates affected
+    * files from them), the schema moved, or the member declares
+    * identity columns (their assignment runs on the single-table path
+    * only).
+    */
+  private def stageEqdInto(spark: SparkSession, fs: FileSystem,
+                           tableRoot: String, man: Manifest,
+                           inc: DataFrame, keys: Seq[String],
+                           touched: Seq[Int]): Option[Manifest] = {
+    if (man.schema.isEmpty) return None
+    val recorded = DataType.fromJson(man.schema.get).asInstanceOf[StructType]
+    if (identitySpecs(recorded).nonEmpty) return None
+    // column ORDER is provenance noise — reorder to the recorded
+    // schema; a different column SET or type falls back (eqdApply's
+    // rule)
+    val incNames = inc.drop(BucketCol).columns.toSeq
+    val reordered =
+      if (incNames == recorded.fieldNames.toSeq) inc
+      else if (incNames.sorted == recorded.fieldNames.toSeq.sorted)
+        inc.select((recorded.fieldNames.toSeq :+ BucketCol)
+          .filter(inc.columns.contains).map(col): _*)
+      else return None
+    if (!org.apache.spark.sql.GraftColumnShim.sameTypeIgnoreNullability(
+          recorded, stripSchemaIds(reordered.drop(BucketCol).schema)))
+      return None
+    val capProbe = (DvMaxPositionsPerCommit + 1).toInt
+    val incCount = reordered.limit(capProbe).count()
+    if (incCount > DvMaxPositionsPerCommit) return None
+    val touchedStored = touched.filter(man.epochs.contains)
+    if (touchedStored.exists(b => man.stats.get(b).forall(_.isEmpty)))
+      return None
+    val epoch = "e-" + UUID.randomUUID()
+    val incChecked = enforceChecks(reordered.drop(BucketCol), man.checks,
+      tableRoot)
+    val stamped =
+      if (man.colIds.isEmpty) stripFrame(incChecked)
+      else stampFrame(incChecked, man.colIds)
+    val data = stamped.withColumn(BucketCol,
+      bucketExprChecked(keys, man.buckets))
+    val clustered = clusterSort(data.repartition(col(BucketCol)),
+      man.clusterCols)
+    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      .parquet(s"$tableRoot/$epoch")
+    val written = listWrittenBuckets(fs, s"$tableRoot/$epoch").toSet
+    val stats0 = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
+      withColumnStats = man.clusterCols.nonEmpty)
+    val statsFp =
+      if (man.fingerprint && written.nonEmpty)
+        withFingerprints(stats0,
+          fileFingerprints(spark, s"$tableRoot/$epoch", man.schema,
+            man.colIds))
+      else stats0
+    val overlayStats: Map[Int, Seq[FileStat]] =
+      statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
+    if (man.bloomCols.nonEmpty && written.nonEmpty)
+      writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
+        man.bloomItems, man.schema)
+    // doomed-key sidecar, skipped when no touched bucket stores
+    // anything; upTo from the PRE-COMMIT state keeps this batch's own
+    // overlay exempt (eqdApply's sequence-number scoping)
+    val sidecar = "eqd-" + UUID.randomUUID()
+    if (touchedStored.nonEmpty)
+      writeEqdSidecar(spark, tableRoot, sidecar,
+        reordered.select(keys.map(col): _*).distinct(), man.colIds)
+    val freshBase = written.filterNot(man.epochs.contains)
+    val stats2 = (man.stats.map { case (b, fss) =>
+      b -> (fss ++ (if (written(b)) overlayStats.getOrElse(b, Seq.empty)
+                    else Seq.empty))
+    }) ++ overlayStats.filter { case (b, _) => !man.stats.contains(b) }
+    val eqds2 =
+      if (touchedStored.isEmpty) man.eqds
+      else man.eqds ++ touchedStored.map { b =>
+        b -> (man.eqds.getOrElse(b, Seq.empty) :+
+          EqDel(sidecar, bucketEpochs(man, b).length, incCount))
+      }
+    Some(man.copy(
+      epochs = man.epochs ++ freshBase.map(_ -> epoch).toMap,
+      overlays = man.overlays ++
+        written.intersect(man.epochs.keySet).map(b =>
+          b -> (man.overlays.getOrElse(b, Seq.empty) :+ epoch)).toMap,
+      stats = stats2,
+      eqds = eqds2))
   }
 
   /** MERGE into several member tables of one group and make ALL of them
@@ -5527,7 +5645,12 @@ object MergeWriter {
                  autoSplitBytesPerBucket: Long = AutoSplitBytesPerBucket,
                  evolveSchema: Boolean = false,
                  bloomBy: Map[String, Seq[String]] = Map.empty,
-                 bloomItems: Long = DefaultBloomItems)
+                 bloomItems: Long = DefaultBloomItems,
+                 // members that take the WRITE-ONLY equality-delete
+                 // path (applies at member creation, like clusterBy):
+                 // their batches land as overlay + doomed-key sidecar,
+                 // never a bucket rewrite — the trickle-ingest shape
+                 eqDeletes: Set[String] = Set.empty)
       : Unit = {
     require(merges.nonEmpty, "mergeGroup: at least one member merge")
     require(merges.map(_._1).distinct.size == merges.size,
@@ -5546,7 +5669,8 @@ object MergeWriter {
     val staged = merges.flatMap { case (name, rows, keys) =>
       stageMergeInto(spark, fs, s"$groupPath/$name", curTables.get(name),
         rows, keys, buckets, clusterBy.getOrElse(name, Seq.empty),
-        evolveSchema, bloomBy.getOrElse(name, Seq.empty), bloomItems)
+        evolveSchema, bloomBy.getOrElse(name, Seq.empty), bloomItems,
+        eqdSeed = eqDeletes.contains(name))
         .map(name -> _)
     }.toMap
     // OPTIMISTIC group commit with rebase-and-retry (writeEpochAndCommit's
@@ -5578,9 +5702,15 @@ object MergeWriter {
           // concurrently): its ledger entry makes ours a replay
           if (txn.exists(t => newCur.txns.get(t._1).exists(_ >= t._2)))
             return
+          // full member SIGNATURE, not epoch pointers alone: a write-
+          // only eq-delete commit appends overlays/eqds without moving
+          // any pointer, and an epochs-only compare would let a raced
+          // rebase clobber it
+          def memberSig(m: Option[Manifest]) =
+            m.map(x => (x.epochs, x.overlays, x.eqds))
           val contested = staged.keys.filter(n =>
-            newCur.tables.get(n).map(_.epochs) !=
-              cur.flatMap(_.tables.get(n)).map(_.epochs)).toSeq.sorted
+            memberSig(newCur.tables.get(n)) !=
+              memberSig(cur.flatMap(_.tables.get(n)))).toSeq.sorted
           if (contested.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"mergeGroup: concurrent writer rewrote contested members " +
@@ -5627,12 +5757,24 @@ object MergeWriter {
         g.tables.get(name).foreach { m =>
           val maxBucketBytes =
             m.stats.values.map(_.map(_.bytes).sum).maxOption.getOrElse(0L)
+          // merge-on-read pressure (write-only eq-delete members):
+          // overlays and eq-delete records stack WITHOUT moving base
+          // pointers, so the epoch-count trigger alone would never
+          // drain them — apply maybeAutoCompactMor's bounds at member
+          // scope (the member rewrite purges overlays + eqds)
+          val overlayEntries = m.overlays.valuesIterator.map(_.size).sum
+          val eqdEntries = m.eqds.valuesIterator.map(_.size).sum
+          val eqdKeysTotal = m.eqds.valuesIterator
+            .flatMap(_.iterator.map(_.n)).sum
           try {
             if (splitThreshold > 0 && m.keyCols.nonEmpty &&
                 m.stats.nonEmpty && m.buckets < AutoSplitMaxBuckets &&
                 maxBucketBytes > splitThreshold)
               splitGroupBuckets(spark, groupPath, name, m.keyCols)
-            else if (m.epochs.values.toSet.size > compactThreshold)
+            else if (m.epochs.values.toSet.size > compactThreshold ||
+                overlayEntries >= DvAutoCompactFiles ||
+                eqdEntries >= DvAutoCompactFiles ||
+                eqdKeysTotal >= DvMaxPositionsPerCommit * 4)
               compactGroupTable(spark, groupPath, name)
           } catch {
             case _: java.io.IOException => ()
@@ -5966,12 +6108,26 @@ object MergeWriter {
     val members = fs.listStatus(dir).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
     members.foreach { name =>
-      val referenced =
-        keptManifests.flatMap(_.get(name)).flatMap(_.epochs.values).toSet
+      // base pointers AND merge-on-read overlay epochs are referenced
+      // (an overlay-only sweep would reap live eq-delete batches)
+      val referenced = keptManifests.flatMap(_.get(name))
+        .flatMap(m => m.epochs.values ++ m.overlays.values.flatten).toSet
       val tdir = new Path(dir, name)
       if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("e-") && !referenced.contains(n) &&
+            now - st.getModificationTime > orphanRetentionMs)
+          fs.delete(st.getPath, true)
+      }
+      // member eq-delete sidecars: reclaim the ones no kept group
+      // version references (purged by compaction), age-guarded for
+      // mid-stage writers
+      val referencedEqds = keptManifests.flatMap(_.get(name))
+        .flatMap(_.eqds.valuesIterator.flatMap(_.iterator.map(_.sidecar)))
+        .toSet
+      val eqDir = new Path(tdir, EqDirName)
+      if (fs.exists(eqDir)) fs.listStatus(eqDir).foreach { st =>
+        if (!referencedEqds.contains(st.getPath.getName) &&
             now - st.getModificationTime > orphanRetentionMs)
           fs.delete(st.getPath, true)
       }

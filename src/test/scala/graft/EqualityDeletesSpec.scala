@@ -47,6 +47,15 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
     finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  /** Newest group manifest's raw JSON (group naming contract). */
+  private def groupManifestText(dir: String): String = {
+    val d = new java.io.File(dir)
+    val last = d.listFiles().filter(_.getName.startsWith("_group-manifest-"))
+      .map(_.getName).sorted.last
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(d, last).toPath), "UTF-8")
+  }
+
   test("a small upsert commits WRITE-ONLY: doomed-key sidecar, no " +
        "position DVs, pointers unmoved, content equals CoW semantics") {
     import spark.implicits._
@@ -299,6 +308,83 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
       after.where(col("id") === 5L).collect().head.getString(1)
         == "staged-5" &&
       after.where(col("id") === 6L).count() == 0)
+  }
+
+  test("GROUP members take the write-only path: overlay + doomed-key " +
+       "sidecar per trigger, one group commit, reads equal CoW, " +
+       "compaction purges") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("eqdgrp").toString + "/g"
+    def vecs(lo: Int, hi: Int, tag: String) =
+      (lo until hi).map(i => (i.toLong, s"$tag-$i")).toDF("id", "body")
+    def bands(lo: Int, hi: Int) =
+      (lo until hi).flatMap(i => (0 until 2).map(b => (i.toLong, b,
+        s"sig-$i-$b"))).toDF("id", "band", "sig")
+    // batch 1 creates both members with the eqd seed
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("vecs", vecs(0, 200, "v1"), Seq("id")),
+      ("bands", bands(0, 200), Seq("id", "band"))),
+      buckets = 4, txn = Some(("geqd", 1L)),
+      eqDeletes = Set("vecs", "bands"))
+    // batch 2 overlaps keys 150..199: must stage write-only (overlay +
+    // eqds in the group manifest, base pointers unmoved)
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("vecs", vecs(150, 250, "v2"), Seq("id")),
+      ("bands", bands(150, 250), Seq("id", "band"))),
+      buckets = 4, txn = Some(("geqd", 2L)),
+      eqDeletes = Set("vecs", "bands"))
+    val gman = groupManifestText(grp)
+    assert(gman.contains("\"eqds\":") && gman.contains("\"ovl\":"),
+      s"batch 2 must stage write-only: $gman")
+    // reads equal copy-on-write semantics: one live row per key, newest
+    val v = MergeWriter.readGroupTable(spark, grp, "vecs")
+    assert(v.count() == 250)
+    assert(v.where(col("id") === 175L).select("body").as[String]
+      .head() == "v2-175")
+    assert(v.where(col("id") === 10L).select("body").as[String]
+      .head() == "v1-10")
+    assert(MergeWriter.readGroupTable(spark, grp, "bands").count() == 500)
+    // point read through overlays + eq-deletes
+    val pk = MergeWriter.readGroupKeys(spark, grp, "vecs",
+      Seq(175L, 10L).toDF("id"), Seq("id"))
+    assert(pk.count() == 2 && pk.where(col("id") === 175L)
+      .select("body").as[String].head() == "v2-175")
+    // replay of batch 2 is a no-op (group txn ledger)
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("vecs", vecs(150, 250, "v3"), Seq("id"))),
+      buckets = 4, txn = Some(("geqd", 2L)),
+      eqDeletes = Set("vecs", "bands"))
+    assert(MergeWriter.readGroupTable(spark, grp, "vecs")
+      .where(col("id") === 175L).select("body").as[String]
+      .head() == "v2-175", "replayed batch must not re-apply")
+    // gc keeps live overlays + sidecars (reads stay correct)
+    MergeWriter.gcGroupNow(spark, grp)
+    assert(MergeWriter.readGroupTable(spark, grp, "vecs").count() == 250)
+    // member compaction folds overlays in, filters doomed keys out,
+    // purges the records; sidecars reclaim on the next gc
+    MergeWriter.compactGroupTable(spark, grp, "vecs")
+    val afterCompact = groupManifestText(grp)
+    val vecsPart = afterCompact.substring(afterCompact.indexOf("\"vecs\""))
+    assert(!vecsPart.takeWhile(_ != '}').contains("eqds"),
+      "compaction purges the member's eq-delete records")
+    val vc = MergeWriter.readGroupTable(spark, grp, "vecs")
+    assert(vc.count() == 250 && vc.where(col("id") === 175L)
+      .select("body").as[String].head() == "v2-175")
+    // the previous group version (still retained) references the
+    // sidecar — age it out with two more commits, then gc reclaims
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("vecs", vecs(300, 310, "v4"), Seq("id"))), buckets = 4,
+      eqDeletes = Set("vecs", "bands"))
+    MergeWriter.mergeGroup(spark, grp, Seq(
+      ("vecs", vecs(310, 320, "v5"), Seq("id"))), buckets = 4,
+      eqDeletes = Set("vecs", "bands"))
+    MergeWriter.gcGroupNow(spark, grp)
+    val sidecarsLeft = Option(new java.io.File(s"$grp/vecs/_eqd")
+      .listFiles()).map(_.length).getOrElse(0)
+    // only sidecars referenced by RETAINED versions may remain; the
+    // compacted-away one is gone
+    assert(sidecarsLeft <= 2,
+      s"unreferenced member sidecars reclaim after compaction: $sidecarsLeft")
   }
 
   test("the CDC stream tails write-only commits: an eq-delete upsert " +
