@@ -1196,6 +1196,61 @@ object ScaleBench {
       Seq(128, 1024, 8192).foreach(manBench)
     }
 
+    // Group-member write-path amplification (round 14): q140's ingest
+    // loop commits (vecs, bands) per trigger. With CoW staging the
+    // per-trigger write rewrites every touched bucket — cost grows
+    // with the STORED corpus even at fixed batch size. With eqDeletes
+    // members the trigger stages an overlay + doomed-key sidecar —
+    // write cost ∝ the batch, flat as the corpus grows. Fixed 2k-row
+    // batches against a 1× vs 10× seeded corpus, same JVM, both modes.
+    def gq14(dir: String, tag: String, mode: String, batchMod: Int): Unit = {
+      val root = s"$work/gq14/$tag-$mode"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val eqd = if (mode == "eqd") Set("vecs", "bands") else Set.empty[String]
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      // batchMod scales with the corpus so the four trickle batches
+      // hold ~the same ~100 vectors at 1× and 10× — the fixed-batch /
+      // growing-corpus shape the write-amplification claim is about.
+      // 8 buckets = q140's actual modulus; 4 batches × 8 buckets stays
+      // under the MoR pressure bound, so no drain rides the timing
+      // (drains are amortized maintenance, priced by compact7/eq13).
+      val seedRows = emb.filter(pmod(col("vec_id"), lit(batchMod)) =!= 0)
+      val seedBands = graft.operators.Similarity.srpBandRows(seedRows,
+        col("vec_id"), col("embedding"), bits = 32, bands = 4)
+      graft.sources.MergeWriter.mergeGroup(spark, root, Seq(
+        ("vecs", seedRows, Seq("vec_id")),
+        ("bands", seedBands, Seq("id", "band"))),
+        buckets = 8, eqDeletes = eqd)
+      val newRows = emb.filter(pmod(col("vec_id"), lit(batchMod)) === 0)
+        .withColumn("__i", pmod(col("vec_id") / batchMod, lit(4)))
+        .persist()
+      val batchTotal = newRows.count()
+      val bytes0 = dirBytesOf(root)
+      var wall = 0.0
+      (0 until 4).foreach { i =>
+        val b = newRows.filter(col("__i") === i).drop("__i")
+        val bb = graft.operators.Similarity.srpBandRows(b, col("vec_id"),
+          col("embedding"), bits = 32, bands = 4)
+        wall += elapsedSec {
+          graft.sources.MergeWriter.mergeGroup(spark, root, Seq(
+            ("vecs", b, Seq("vec_id")),
+            ("bands", bb, Seq("id", "band"))),
+            buckets = 8, eqDeletes = eqd)
+        }
+      }
+      val written = dirBytesOf(root) - bytes0
+      val readSec = elapsedSec {
+        graft.sources.MergeWriter.readGroupTable(spark, root, "vecs").count()
+      }
+      newRows.unpersist()
+      println(f"""{"gq14":"$tag-$mode","batch_rows_total":$batchTotal,"trickle_commit_sec":$wall%.3f,"trickle_bytes":$written,"read_sec":$readSec%.3f}""")
+    }
+    if (sections("gq14")) {
+      Seq("cow", "eqd").foreach(m => gq14(base, "sf0.1", m, 29))
+      Seq("cow", "eqd").foreach(m => gq14(rep, "rep10", m, 290))
+    }
+
     // Branch staging at scale (round 12): a write-audit-publish cycle
     // on a deleteVectors table — stage a 10-key DV delete plus a
     // 10-key MoR upsert on a branch, audit the branch head, publish.

@@ -5333,6 +5333,39 @@ object SparkEntry {
         s"user_id, 'click' FROM mvdim_src_$n WHERE event_id % 103 = 0")
       s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
       s.sql(s"SELECT category, n, su, mn, mx FROM $cat.etl.mv")
+    }),
+
+    // STREAMING MV MAINTENANCE (round 14): q129's exactly-once rollup
+    // driven through the declarative MV surface — each micro-batch
+    // merges into the SOURCE table and `refresh` folds the change feed
+    // into the MV, both exactly-once on their own ledgers, so the
+    // final view equals the one-shot aggregate whatever the batching
+    // was. The hand-rolled additiveRollupSink fold is subsumed: the
+    // rollup is DECLARED once and maintained by the engine.
+    "q200_streaming_mv" -> ((s, dir) => {
+      val root = scratchDir("graft-smv")
+      val src = root + "/in"
+      val batchInput = Tables.events(s, dir)
+        .select(col("event_id"),
+          date_trunc("hour", col("ts").cast("timestamp"))
+            .cast("timestamp_ntz").as("hour"),
+          col("event_type"))
+      batchInput.repartition(6).write.mode("overwrite").parquet(src)
+      val srcTable = root + "/events"
+      sources.MergeWriter.createTable(s, srcTable, batchInput.schema,
+        keys = Seq("event_id"), buckets = 8, retainVersions = 20)
+      sources.MaterializedViews.create(s, root + "/mv", srcTable, "events",
+        "SELECT hour, event_type, COUNT(*) AS n_events FROM events " +
+          "GROUP BY hour, event_type")
+      val q = streaming.StreamingFlow.mvMaintainedSink(
+        streaming.StreamingFlow.fileStream(s, src, batchInput.schema,
+          maxFilesPerTrigger = 2),
+        srcTable, Seq("event_id"), Seq(root + "/mv"), root + "/ckpt",
+        appId = "smv",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      sources.MergeWriter.readTable(s, root + "/mv")
+        .select(col("hour"), col("event_type"), col("n_events"))
     })
   )
 
@@ -8937,6 +8970,13 @@ object SparkEntry {
     // Whatever micro-batching the file source chose, the exactly-once
     // fold must land on the one-shot aggregate.
     "q129_streaming_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The MV-maintained streaming rollup must equal the same one-shot
+    // aggregate — batching-independent by the two exactly-once ledgers.
+    "q200_streaming_mv" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import graft.sources.MergeWriter
+import graft.sources.{MaterializedViews, MergeWriter}
 
 /** Structured Streaming skin over the batch operators — the reference's
   * SQS micro-batch + watermark semantics (SURVEY §2.5) re-expressed:
@@ -200,6 +200,40 @@ object StreamingFlow {
         val addCols = delta.columns.filterNot(keys.contains).toSeq
         MergeWriter.mergeAdditive(batch.sparkSession, tablePath, delta,
           keys, addCols, txn = (appId, batchId))
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** Streaming sink with MATERIALIZED-VIEW maintenance (round 14): each
+    * micro-batch lands in the SOURCE table as one exactly-once keyed
+    * merge (Spark's batch id as the txn version), then every attached
+    * MV refreshes off the source's change feed — cost ∝ the batch,
+    * never the corpus. This subsumes the hand-rolled additive rollup
+    * (q129's shape): declare the rollup ONCE as `create_mv` and attach
+    * it here; COUNT/SUM/MIN/MAX, WHERE predicates, group liveness and
+    * dim joins all come with the MV's maintenance instead of being
+    * re-implemented per sink.
+    *
+    * Crash-safe composition with NO cross-step transaction needed: a
+    * replayed batch's merge is skipped by the source's txn ledger, and
+    * `refresh` folds exactly the source-version window past the MV's
+    * own anchor — whether the crash hit before the merge, between
+    * merge and refresh, or between two MVs' refreshes, the replay
+    * converges (each step is independently exactly-once).
+    */
+  def mvMaintainedSink(stream: DataFrame, sourcePath: String,
+                       keys: Seq[String], mvPaths: Seq[String],
+                       checkpointDir: String, appId: String,
+                       trigger: Option[Trigger] = None,
+                       buckets: Int = 64): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        MergeWriter.merge(spark, sourcePath, batch, keys, buckets,
+          txn = Some((appId, batchId)))
+        mvPaths.foreach(p => MaterializedViews.refresh(spark, p))
       }
     trigger.fold(writer)(writer.trigger).start()
   }
