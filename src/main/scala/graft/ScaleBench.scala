@@ -1251,6 +1251,62 @@ object ScaleBench {
       Seq("cow", "eqd").foreach(m => gq14(rep, "rep10", m, 290))
     }
 
+    // Shredded variant paths at scale (round 14): a variant-path point
+    // probe on a trickle-grown table must price ∝ the MATCHING batch,
+    // not the corpus — the hidden shred columns feed file skipping, so
+    // the planned file set (and wall) stays flat as the batch count
+    // grows 10×, while the same probe on an undeclared table scans
+    // every file. Both tables are eqDeletes trickles (batch-disjoint
+    // files — the shape shredding exists for).
+    def shredBench(dir: String, tag: String, batches: Int): Unit = {
+      val root = s"$work/shred14/$tag-$batches"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")).persist()
+      val perBatch = docs.count()
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b
+        }.headOption.map(_.inputPartitions.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+          case _ => Seq.empty
+        }.distinct.size).getOrElse(-1)
+      for (mode <- Seq("shred", "plain")) {
+        val cat = ("gsbshred" + tag + mode + batches).replace(".", "_")
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+        val shredProp = if (mode == "shred")
+          ", 'shred'='$.b:bigint,$.lang:string'" else ""
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+        spark.sql(s"""CREATE TABLE $cat.ns.$mode (doc_id BIGINT, cf VARIANT)
+          TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+            'eqDeletes'='true'$shredProp)""")
+        docs.createOrReplaceTempView(s"shred_docs_$cat")
+        (0 until batches).foreach { k =>
+          spark.sql(s"""INSERT INTO $cat.ns.$mode
+            SELECT doc_id + ${k * 10000000L}, parse_json(to_json(
+              named_struct('b', ${k}L, 'lang', lang, 'n', n_chars)))
+            FROM shred_docs_$cat""")
+        }
+        val probe = () => spark.sql(s"SELECT COUNT(*) FROM $cat.ns.$mode " +
+          s"WHERE variant_get(cf, '$$.b', 'bigint') = ${batches - 1}")
+        val files = scanFiles(probe())
+        // min-of-2: first catalog scan pays one-time codegen warmup
+        val sec = Seq.fill(2)(elapsedSec { probe().collect() }).min
+        val rows = probe().collect().head.getLong(0)
+        println(f"""{"shred14":"$tag-$mode","batches":$batches,"rows_per_batch":$perBatch,"probe_rows":$rows,"files_planned":$files,"probe_sec":$sec%.3f}""")
+      }
+      docs.unpersist()
+      ()
+    }
+    if (sections("shred14")) {
+      shredBench(base, "sf0.1", 5)
+      shredBench(base, "sf0.1", 50)
+    }
+
     // Branch staging at scale (round 12): a write-audit-publish cycle
     // on a deleteVectors table — stage a 10-key DV delete plus a
     // 10-key MoR upsert on a branch, audit the branch head, publish.

@@ -5366,6 +5366,47 @@ object SparkEntry {
       q.awaitTermination()
       sources.MergeWriter.readTable(s, root + "/mv")
         .select(col("hour"), col("event_type"), col("n_events"))
+    }),
+
+    // SHREDDED VARIANT PATHS ('shred' TBLPROPERTY): typed extractions
+    // of the VARIANT column materialized as HIDDEN physical columns in
+    // every epoch file, feeding the ordinary min/max + Bloom file
+    // skipping — so the variant-path WHERE below prunes files instead
+    // of scanning the corpus (the boundary q196 documents, closed at
+    // file granularity). Three trickle inserts land as write-only
+    // eq-delete commits, so files stay batch-disjoint on the shredded
+    // paths; the oracle recomputes relationally from `documents`.
+    "q201_shredded_variant" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-shred"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .createOrReplaceTempView(s"shred_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.vdocs (doc_id BIGINT, cf VARIANT)
+        TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+          'eqDeletes'='true',
+          'shred'='$$.lang:string,$$.n:bigint')""")
+      // trickle by doc_id residue: each INSERT is one write-only
+      // commit whose overlay files carry only its cohort
+      (0 until 3).foreach { k =>
+        s.sql(s"""INSERT INTO $cat.etl.vdocs
+          SELECT doc_id, PARSE_JSON(to_json(named_struct(
+            'lang', lang, 'n', n_chars, 'src', source)))
+          FROM shred_src_$n WHERE doc_id % 3 = $k""")
+      }
+      s.sql(s"""SELECT
+          variant_get(cf, '$$.lang', 'string') AS lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(variant_get(cf, '$$.n', 'bigint')) AS BIGINT)
+            AS sum_chars
+        FROM $cat.etl.vdocs
+        WHERE variant_get(cf, '$$.n', 'bigint') > 500
+        GROUP BY 1""")
     })
   )
 
@@ -8980,6 +9021,13 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The shredded-variant aggregate equals the relational recompute
+    // over documents (same filter, same grouping).
+    "q201_shredded_variant" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars > 500 GROUP BY 1""".stripMargin,
 
     // The untouched cohort keeps its pre-cut row with NULL in the added
     // column; the evolved cohort is replaced wholesale.

@@ -284,6 +284,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                retainMs: Long, fingerprint: Boolean,
                                deleteVectors: Boolean,
                                eqDeletes: Boolean,
+                               // raw `shred` entries — resolved against
+                               // the declared schema at create time
+                               shred: Seq[String],
                                // Some(identDir -> target): a CREATE with
                                // a custom LOCATION must persist this
                                // pointer so later statements resolve it
@@ -349,6 +352,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .exists(_.equalsIgnoreCase("true")) ||
         prop("eqDeletes").exists(_.equalsIgnoreCase("true")),
       eqDeletes = prop("eqDeletes").exists(_.equalsIgnoreCase("true")),
+      shred = csv("shred"),
       retainVersions = prop("retainVersions").map(_.toInt)
         .getOrElse(MergeWriter.KeepManifests),
       retainMs = prop("retainMs").map(_.toLong).getOrElse(0L),
@@ -401,7 +405,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomBy = spec.bloomBy, bloomItems = spec.bloomItems,
       retainVersions = spec.retainVersions, retainMs = spec.retainMs,
       fingerprint = spec.fingerprint, deleteVectors = spec.deleteVectors,
-      eqDeletes = spec.eqDeletes)
+      eqDeletes = spec.eqDeletes,
+      shred = MergeWriter.parseShredProperty(spec.shred, schema))
     catch { case e: Throwable => removePointer(spec); throw e }
     new GraftSqlTable(spark, spec.path, spec.name)
   }
@@ -1190,7 +1195,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     fingerprint = spec.fingerprint,
                     deleteVectors = spec.deleteVectors,
                     eqDeletes = spec.eqDeletes,
-                    expectFresh = !preexisting)
+                    expectFresh = !preexisting,
+                    shred = MergeWriter.parseShredProperty(spec.shred,
+                      rows.schema))
                 }
                 written = true
               }
@@ -1346,6 +1353,8 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
       "bloomBy" -> man.bloomCols.mkString(","),
       "deleteVectors" -> man.deleteVectors.toString,
       "eqDeletes" -> man.eqDeletes.toString,
+      "shred" -> man.shredCols
+        .map(s => s"${s.column}.${s.path}:${s.typeDdl}").mkString(","),
       "version" -> man.version.toString).asJava
 
   /** The table's ANSI constraints in DSv2 form: every recorded CHECK

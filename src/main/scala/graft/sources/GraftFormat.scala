@@ -488,7 +488,9 @@ class GraftFileIndex private[sources] (
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
-    val preds = dataFilters.flatMap(GraftFileIndex.toPredicates)
+    val preds = dataFilters
+      .map(GraftFileIndex.rewriteShredRefs(man, _))
+      .flatMap(GraftFileIndex.toPredicates)
     val buckets = GraftFileIndex.keyBuckets(man, dataSchema, preds)
     val files =
       if (preds.isEmpty && buckets.isEmpty) allFiles
@@ -503,6 +505,35 @@ class GraftFileIndex private[sources] (
 
 object GraftFileIndex {
   import MergeWriter.{ColumnIn, ColumnNull, ColumnPredicate, ColumnRange}
+
+  /** Rewrite `variant_get`/`try_variant_get` subtrees that MATCH a
+    * declared shred (same variant column, same literal path, same
+    * target type) into references to the shred's HIDDEN stats column,
+    * so the ordinary [[toPredicates]] translation — equality, ranges,
+    * IN, OR, StartsWith, null tests — prunes files through the recorded
+    * min/max stats and Bloom sidecars. Used ONLY for file listing; the
+    * scan still evaluates the original filter exactly, so an unmatched
+    * (or mistyped) extraction simply prunes nothing. Both the strict
+    * and TRY forms rewrite: the hidden values carry try semantics (see
+    * [[MergeWriter.ShredSpec]] for the error-elision boundary — row
+    * results are identical either way).
+    */
+  private[sources] def rewriteShredRefs(man: MergeWriter.Manifest,
+                                        e: Expression): Expression = {
+    if (man.shredCols.isEmpty) return e
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    e.transformUp {
+      case VariantGet(a: AttributeReference, Literal(p, StringType), dt,
+                      _, _) if p != null &&
+          man.shredCols.exists(s => s.column.equalsIgnoreCase(a.name) &&
+            s.path == p.toString && s.dataType == dt) =>
+        val s = man.shredCols.find(s =>
+          s.column.equalsIgnoreCase(a.name) && s.path == p.toString &&
+            s.dataType == dt).get
+        AttributeReference(MergeWriter.shredColName(s), dt,
+          nullable = true)()
+    }
+  }
 
   private def external(value: Any, lit: Literal): Any =
     if (value == null) null

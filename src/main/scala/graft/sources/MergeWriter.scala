@@ -460,7 +460,18 @@ object MergeWriter {
                                        // segment root set when read
                                        // from disk. Empty ⇔ inline
                                        // manifest.
-                                       segs: Seq[String] = Seq.empty)
+                                       segs: Seq[String] = Seq.empty,
+                                       // SHREDDED VARIANT PATHS
+                                       // (declared at creation): typed
+                                       // extractions of a VARIANT
+                                       // column materialized as HIDDEN
+                                       // physical columns in every
+                                       // epoch file, so variant-path
+                                       // predicates ride the ordinary
+                                       // per-file min/max + Bloom
+                                       // skipping. See [[ShredSpec]].
+                                       shredCols: Seq[ShredSpec] =
+                                         Seq.empty)
 
   /** One equality-delete record of a bucket (see [[Manifest.eqds]]):
     * `sidecar` names a parquet directory under `_eqd/` holding the
@@ -473,6 +484,149 @@ object MergeWriter {
     * scoping; `n` is the doomed-key count (pressure accounting).
     */
   private[sources] case class EqDel(sidecar: String, upTo: Int, n: Long)
+
+  /** One declared SHREDDED VARIANT PATH (see [[Manifest.shredCols]]) —
+    * the file-skipping answer to "every variant-path predicate scans
+    * all files" while Spark's `PushVariantIntoScan` covers only the V1
+    * read path (parquet write-shredding, `VariantMetadata` — the same
+    * idea at row-group granularity; this is its FILE-granularity
+    * counterpart on the manifest's own stats machinery). `column` names
+    * a declared VARIANT column, `path` a variant extraction path
+    * (`$.status`), `typeDdl` the extraction's target type. Every epoch
+    * write materializes `try_variant_get(column, path, typeDdl)` as a
+    * hidden physical parquet column ([[shredColName]] — present in the
+    * files, absent from the table schema, invisible to every read), so
+    * the ordinary footer min/max stats and Bloom sidecars cover it; the
+    * scan's file listing rewrites a matching `variant_get`/
+    * `try_variant_get` predicate to that hidden column and prunes files
+    * through the SAME keep functions as any declared column.
+    *
+    * Boundary, stated plainly: shredding is declared at CREATE (the
+    * values live in immutable files — files written before a
+    * declaration simply record no stats under the hidden name and are
+    * never pruned, which is sound but useless, so declare up front);
+    * and the hidden values carry TRY semantics (`try_variant_get` —
+    * ingest must not fail on one uncastable row), so pruning a file can
+    * elide the per-row cast error the STRICT `variant_get` form would
+    * have raised for a row inside it. Row RESULTS are unaffected
+    * either way: a null extraction matches no equality/range predicate.
+    */
+  private[sources] case class ShredSpec(column: String, path: String,
+                                        typeDdl: String) {
+    def dataType: DataType =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typeDdl)
+  }
+
+  /** The hidden physical column name of one shred declaration —
+    * deterministic, readable, and collision-proofed by a content hash
+    * (two paths that sanitize identically still get distinct names).
+    * Derived from the LOGICAL column name: a rename changes the name
+    * for future epochs, old files' recorded stats stay keyed under the
+    * old name and simply never prune (sound).
+    */
+  private[sources] def shredColName(s: ShredSpec): String = {
+    def sane(x: String): String = x.map(c =>
+      if (c.isLetterOrDigit) c else '_')
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((s.column + "|" + s.path + "|" + s.typeDdl.toLowerCase)
+        .getBytes(StandardCharsets.UTF_8))
+    val h = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"_gshred_${sane(s.column)}_${sane(s.path.stripPrefix("$."))}_$h"
+  }
+
+  /** The shred-declaration validity rules, shared by [[createTable]]
+    * and the CTAS seed path: column exists and is VARIANT, path is a
+    * `$`-rooted extraction, type parses and canonicalizes into the
+    * stats domain, hidden names are collision-free.
+    */
+  private def validateShred(schema: StructType, shred: Seq[ShredSpec],
+                            stmt: String): Unit = {
+    shred.foreach { s =>
+      val f = schema.fields.find(_.name == s.column)
+      require(f.isDefined, s"$stmt: shred column '${s.column}' is " +
+        "not in the declared schema")
+      require(f.get.dataType ==
+          org.apache.spark.sql.types.VariantType,
+        s"$stmt: shred column '${s.column}' must be VARIANT, got " +
+          f.get.dataType.simpleString)
+      require(s.path.startsWith("$"),
+        s"$stmt: shred path '${s.path}' must start with '$$'")
+      val dt = scala.util.Try(s.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"$stmt: shred path '${s.path}' has an unparseable " +
+            s"type '${s.typeDdl}'"))
+      require(statsCanonType(dt),
+        s"$stmt: shred path '${s.path}' type ${dt.simpleString} " +
+          "cannot feed min/max stats — use an integral, floating, " +
+          "string, date or timestamp type")
+    }
+    require(shred.map(shredColName).distinct.size == shred.size,
+      s"$stmt: duplicate shred declarations")
+    shred.map(shredColName).foreach(n =>
+      require(!schema.fieldNames.contains(n),
+        s"$stmt: declared column '$n' collides with a shred " +
+          "column's hidden physical name"))
+  }
+
+  /** Parse the catalog's `shred` TBLPROPERTY against a declared schema:
+    * comma-separated entries `[<col>.]$.<path>:<type>` — the column
+    * prefix may be omitted when the schema declares exactly ONE VARIANT
+    * column. Validation (column exists and is VARIANT, type parses and
+    * canonicalizes) happens in [[createTable]]; this only resolves the
+    * grammar.
+    */
+  private[sources] def parseShredProperty(entries: Seq[String],
+                                          schema: StructType)
+      : Seq[ShredSpec] = entries.map { e0 =>
+    val e = e0.trim
+    val ci = e.lastIndexOf(':')
+    require(ci > 0 && ci < e.length - 1,
+      s"shred: bad entry '$e' — want [col.]$$.path:type")
+    val (lhs, ty) = (e.substring(0, ci).trim, e.substring(ci + 1).trim)
+    if (lhs.startsWith("$")) {
+      val vcols = schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.VariantType)
+      require(vcols.length == 1,
+        s"shred: entry '$e' omits the column name but the schema " +
+          s"declares ${vcols.length} VARIANT columns — qualify as " +
+          "<col>.$.path:type")
+      ShredSpec(vcols.head.name, lhs, ty)
+    } else {
+      val di = lhs.indexOf(".$")
+      require(di > 0,
+        s"shred: bad entry '$e' — want [col.]$$.path:type")
+      ShredSpec(lhs.substring(0, di), lhs.substring(di + 1), ty)
+    }
+  }
+
+  /** hidden-column name → declared extraction type, for the keep
+    * functions' bound canonicalization (the table schema doesn't carry
+    * these columns).
+    */
+  private[sources] def shredTypesOf(man: Manifest): Map[String, DataType] =
+    man.shredCols.map(s => shredColName(s) -> s.dataType).toMap
+
+  /** Materialize the hidden shred columns onto a frame about to be
+    * written as epoch files (drop-then-recompute: a rewrite source that
+    * read raw files may already carry them; recomputation is a pure
+    * projection, so the clustered sort order and partitioning are
+    * preserved). A spec whose variant column is absent from the frame
+    * (partial-projection internal writes) is skipped — its stats are
+    * simply not recorded for this epoch, which only disables pruning.
+    */
+  private def withShredCols(df: DataFrame, shred: Seq[ShredSpec])
+      : DataFrame = {
+    if (shred.isEmpty) return df
+    val dropped = df.drop(shred.map(shredColName): _*)
+    shred.foldLeft(dropped) { (d, s) =>
+      if (d.columns.contains(s.column))
+        d.withColumn(shredColName(s),
+          org.apache.spark.sql.functions.try_variant_get(
+            col(s.column), s.path, s.typeDdl))
+      else d
+    }
+  }
 
   /** One column's table-level statistics record (see
     * [[Manifest.colStats]]): NDV is approximate (HyperLogLog++ at the
@@ -690,6 +844,14 @@ object MergeWriter {
       // absent in pre-equality-delete manifests — backward compatible
       parseEqdsNode(node.get("eqds")),
       Option(node.get("eqdel")).exists(_.asBoolean()))
+      // absent in pre-shred manifests — backward compatible
+      .copy(shredCols = Option(node.get("shred")).map { arr =>
+        (0 until arr.size()).map { i =>
+          val e = arr.get(i)
+          ShredSpec(e.get("c").asText(), e.get("p").asText(),
+            e.get("t").asText())
+        }
+      }.getOrElse(Seq.empty))
   }
 
   private def readManifest(fs: FileSystem, version: Long, p: Path): Manifest = {
@@ -836,6 +998,10 @@ object MergeWriter {
       .append(if (m.eqds.forall(_._2.isEmpty)) "" else
         ",\"eqds\":" + eqdsJsonObj(m.eqds))
       .append(if (m.eqDeletes) ",\"eqdel\":true" else "")
+      .append(if (m.shredCols.isEmpty) "" else
+        ",\"shred\":[" + m.shredCols.map(s =>
+          "{\"c\":" + jsonStr(s.column) + ",\"p\":" + jsonStr(s.path) +
+            ",\"t\":" + jsonStr(s.typeDdl) + "}").mkString(",") + "]")
       .append("}").toString()
 
   // ==== MANIFEST SEGMENTATION =============================================
@@ -2392,7 +2558,19 @@ object MergeWriter {
                 s"'$gc' GENERATED ALWAYS AS ($g) — the stored expression " +
                 "would no longer resolve; re-create the table to rename it")
           }
-          def re(c: String): String = if (c == from) to else c
+          // shred declarations follow the rename; their HIDDEN stats
+          // keys remap too — the extraction is a pure function of the
+          // variant column (itself matched by field id), so old files'
+          // recorded min/max stay exact under the new hidden name. Old
+          // epochs' BLOOM sidecars stay keyed under the old hidden name
+          // and degrade to keep-all for those files (sound; the next
+          // rewrite re-keys them).
+          val shredRe: Map[String, String] = man.shredCols
+            .filter(_.column == from)
+            .map(s => shredColName(s) -> shredColName(s.copy(column = to)))
+            .toMap
+          def re(c: String): String =
+            if (c == from) to else shredRe.getOrElse(c, c)
           def reCluster(entry: String): String = entry.indexOf(':') match {
             case -1 => re(entry)
             case i => entry.substring(0, i + 1) +
@@ -2421,6 +2599,8 @@ object MergeWriter {
               // that orphaned it would silently re-issue stored values
               idhw = man.idhw.map { case (c, v) => re(c) -> v },
               colHists = man.colHists.map { case (c, h) => re(c) -> h },
+              shredCols = man.shredCols.map(s =>
+                if (s.column == from) s.copy(column = to) else s),
               op = "renameColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -2620,10 +2800,16 @@ object MergeWriter {
             f.name != name && !man.keyCols.contains(f.name)),
             s"dropColumn: '$name' is the last non-key column")
           val next = StructType(cur.fields.filterNot(_.name == name))
+          // a dropped variant column takes its shred declarations (and
+          // their hidden stats keys) with it — a later same-named
+          // column must not inherit stale extraction stats
+          val droppedShredKeys = man.shredCols.filter(_.column == name)
+            .map(shredColName).toSet
           val stats2 = man.stats.map { case (b, fss) =>
             b -> fss.map(f => f.copy(
-              mins = f.mins - name, maxs = f.maxs - name,
-              nulls = f.nulls - name))
+              mins = f.mins - name -- droppedShredKeys,
+              maxs = f.maxs - name -- droppedShredKeys,
+              nulls = f.nulls - name -- droppedShredKeys))
           }
           try {
             commitManifest(fs, dir, man.copy(version = man.version + 1,
@@ -2633,6 +2819,7 @@ object MergeWriter {
               colSketches = man.colSketches - name,
               idhw = man.idhw - name,
               colHists = man.colHists - name,
+              shredCols = man.shredCols.filterNot(_.column == name),
               op = "dropColumn", opTs = System.currentTimeMillis()))
             gc(fs, dir)
             return
@@ -3309,7 +3496,15 @@ object MergeWriter {
     * reads, bounded by the touched-bucket set of the commit it rides.
     */
   private def collectFileStats(fs: FileSystem, epochRoot: Path,
-                               withColumnStats: Boolean)
+                               withColumnStats: Boolean,
+                               // always-kept columns, exempt from the
+                               // cap and recorded even on unclustered
+                               // tables: the hidden shred columns —
+                               // the user DECLARED probe interest in
+                               // them, and trickle-appended files are
+                               // naturally value-clustered even when
+                               // the table isn't
+                               priorityCols: Set[String] = Set.empty)
       : Map[Int, Seq[FileStat]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -3324,7 +3519,7 @@ object MergeWriter {
     // touched buckets — Delta's numRecords baseline): the scan reports
     // them to the planner (estimateStatistics), and broadcast-vs-
     // shuffle decisions at 100 TB key off row counts, not min/max.
-    if (!withColumnStats) {
+    if (!withColumnStats && priorityCols.isEmpty) {
       implicit val ec: ExecutionContext = ExecutionContext.global
       val perBucket = fs.listStatus(epochRoot).toSeq
         .filter(st => st.isDirectory &&
@@ -3391,16 +3586,19 @@ object MergeWriter {
                 rows += blk.getRowCount
                 blk.getColumns.forEach { cc =>
                   val path = cc.getPath.toDotString
+                  // a shred-only collection (unclustered table with
+                  // declared shred paths) tracks just the priority set
+                  val tracked = withColumnStats || priorityCols(path)
                   // top-level primitives only (a nested field's range
                   // can't anchor a top-level column predicate)
-                  if (!path.contains('.')) {
+                  if (!path.contains('.') && tracked) {
                     val st = cc.getStatistics
                     if (st != null && st.isNumNullsSet && !nullDropped(path))
                       nullAcc(path) = nullAcc.getOrElse(path, 0L) +
                         st.getNumNulls
                     else { nullDropped += path; nullAcc.remove(path) }
                   }
-                  if (!path.contains('.') && !dropped(path)) {
+                  if (!path.contains('.') && tracked && !dropped(path)) {
                     canonMinMax(cc) match {
                       case Some(Some((tag, mn, mx))) => acc.get(path) match {
                         case Some((t0, m0, x0)) if t0 == tag =>
@@ -3416,11 +3614,17 @@ object MergeWriter {
                   }
                 }
               }
-              val kept = acc.take(StatsMaxCols)
+              // priority columns are exempt from the cap (they sit at
+              // the END of the physical schema, where a naive leading-
+              // columns cap would silently drop them on a wide table)
+              val kept = acc.filter(p => priorityCols(p._1)) ++
+                acc.filterNot(p => priorityCols(p._1)).take(StatsMaxCols)
+              val keptNulls = nullAcc.filter(p => priorityCols(p._1)) ++
+                nullAcc.filterNot(p => priorityCols(p._1)).take(StatsMaxCols)
               FileStat(f.getPath.getName, f.getLen, rows,
                 kept.map { case (c, (_, mn, _)) => c -> mn.toString }.toMap,
                 kept.map { case (c, (_, _, mx)) => c -> mx.toString }.toMap,
-                nullAcc.take(StatsMaxCols).toMap)
+                keptNulls.toMap)
             } finally reader.close()
           } }
         }
@@ -3428,6 +3632,20 @@ object MergeWriter {
     perBucket.map { case (b, futures) =>
       b -> futures.map(Await.result(_, Duration.Inf))
     }.toMap
+  }
+
+  /** The types whose bounds canonicalize into the stats domain
+    * ([[boundToCanon]]/[[canonMinMax]]) — the eligibility test for a
+    * shred declaration (a type outside this set could never prune).
+    */
+  private[sources] def statsCanonType(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | FloatType | DoubleType |
+           StringType => true
+      case _ => false
+    }
   }
 
   /** Convert a caller-supplied range bound into the canonical stats
@@ -3536,13 +3754,26 @@ object MergeWriter {
   private def writeBloomSidecar(spark: SparkSession, fs: FileSystem,
                                 epochRoot: String, bloomCols: Seq[String],
                                 bloomItems: Long,
-                                schemaJson: Option[String]): Unit = {
+                                schemaJson: Option[String],
+                                // shred declarations ride the sidecar
+                                // too: their hidden columns exist
+                                // physically in this epoch's files but
+                                // not in the table schema, so their
+                                // (name, type) pairs come from the
+                                // declaration, not the schema
+                                shred: Seq[ShredSpec] = Seq.empty): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
     val full = schemaJson.map(s =>
       DataType.fromJson(s).asInstanceOf[StructType])
+    val shredKinds: Seq[(String, DataType)] = shred
+      .map(s => (shredColName(s), s.dataType))
+      .filter { case (_, dt) => bloomPutKind(dt).isDefined }
     val base = full match {
       case Some(s) =>
-        val sub = StructType(s.fields.filter(f => bloomCols.contains(f.name)))
+        val sub = StructType(
+          s.fields.filter(f => bloomCols.contains(f.name)) ++
+            shredKinds.map { case (n, dt) =>
+              org.apache.spark.sql.types.StructField(n, dt) })
         if (sub.isEmpty) return
         spark.read.schema(sub).parquet(epochRoot)
       case None => // legacy pre-schema manifest: one bounded footer merge
@@ -3552,7 +3783,7 @@ object MergeWriter {
       base.schema.fields.find(_.name == c)
         .filter(f => bloomPutKind(f.dataType).isDefined)
         .map(f => (c, f.dataType))
-    }
+    } ++ shredKinds.filter(k => base.schema.fieldNames.contains(k._1))
     if (kinds.isEmpty) return
     val sel = base.select(
       org.apache.spark.sql.functions.input_file_name().as("__file") +:
@@ -4037,12 +4268,14 @@ object MergeWriter {
           bucketExprChecked(keys, man.buckets))
         val clustered = clusterSort(data.repartition(col(BucketCol)),
           man.clusterCols)
-        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        withShredCols(clustered, man.shredCols)
+          .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
           .parquet(s"$tablePath/$epoch")
         listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
       }
     val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
-      withColumnStats = man.clusterCols.nonEmpty)
+      withColumnStats = man.clusterCols.nonEmpty,
+      priorityCols = man.shredCols.map(shredColName).toSet)
     val statsFp =
       if (man.fingerprint && written.nonEmpty)
         withFingerprints(stats0,
@@ -4052,9 +4285,10 @@ object MergeWriter {
     // overlay files carry their epoch attribution in the stats record
     val overlayStats: Map[Int, Seq[FileStat]] =
       statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
-    if (man.bloomCols.nonEmpty && written.nonEmpty)
+    if ((man.bloomCols.nonEmpty || man.shredCols.nonEmpty) &&
+        written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
-        man.bloomItems, Some(cleanSchema.json))
+        man.bloomItems, Some(cleanSchema.json), man.shredCols)
     // 3. deletion vectors for the replaced keys' old rows: the sidecar
     //    entry is each file's FULL (prior ∪ new) dead set, as ever
     val newDead: Map[String, Array[Long]] = hits.groupBy(_.getString(0))
@@ -4347,7 +4581,8 @@ object MergeWriter {
           bucketExprChecked(keys, man.buckets))
         val clustered = clusterSort(data.repartition(col(BucketCol)),
           man.clusterCols)
-        clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+        withShredCols(clustered, man.shredCols)
+          .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
           .parquet(s"$tablePath/$epoch")
         listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
       }
@@ -4355,7 +4590,8 @@ object MergeWriter {
       .map(i => stripSchemaIds(i.drop(BucketCol).schema).json)
       .orElse(man.schema)
     val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
-      withColumnStats = man.clusterCols.nonEmpty)
+      withColumnStats = man.clusterCols.nonEmpty,
+      priorityCols = man.shredCols.map(shredColName).toSet)
     val statsFp =
       if (man.fingerprint && written.nonEmpty)
         withFingerprints(stats0,
@@ -4364,9 +4600,10 @@ object MergeWriter {
       else stats0
     val overlayStats: Map[Int, Seq[FileStat]] =
       statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
-    if (man.bloomCols.nonEmpty && written.nonEmpty)
+    if ((man.bloomCols.nonEmpty || man.shredCols.nonEmpty) &&
+        written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
-        man.bloomItems, cleanSchemaJson)
+        man.bloomItems, cleanSchemaJson, man.shredCols)
     // 2. the doomed-key sidecar (skipped when no touched bucket stores
     //    anything — nothing to delete from). Sidecar first, manifest
     //    last; a failed commit leaves an orphan for gc's age guard.
@@ -5158,10 +5395,13 @@ object MergeWriter {
                      fingerprint: Boolean = false,
                      deleteVectors: Boolean = false,
                      eqDeletes: Boolean = false,
-                     expectFresh: Boolean = false): Unit = {
+                     expectFresh: Boolean = false,
+                     shred: Seq[ShredSpec] = Seq.empty): Unit = {
     require(keys.nonEmpty, "overwriteTable requires at least one key column")
     require(!rows.columns.contains(BucketCol),
       s"overwriteTable: frame must not contain reserved column '$BucketCol'")
+    if (shred.nonEmpty)
+      validateShred(stripSchemaIds(rows.schema), shred, "overwriteTable")
     val fs = fsFor(spark, tablePath)
     val dir = new Path(tablePath)
     val m = currentManifest(fs, dir)
@@ -5189,7 +5429,8 @@ object MergeWriter {
       m.map(_.copy(buckets = nb, clusterCols = cluster,
         bloomCols = bloomBy, bloomItems = bloomItems,
         fingerprint = fingerprint,
-        deleteVectors = deleteVectors || eqDeletes, eqDeletes = eqDeletes))
+        deleteVectors = deleteVectors || eqDeletes, eqDeletes = eqDeletes,
+        shredCols = shred))
     else m
     // IDENTITY assignment + GENERATED compute/validate for the
     // replacing rows; an overwrite does NOT reset the high-water —
@@ -5200,7 +5441,8 @@ object MergeWriter {
       dropBuckets = m.map(_.epochs.keySet).getOrElse(Set.empty),
       clusterCols = cluster, bloomCols = bloomBy, bloomN = bloomItems,
       opName = "overwrite", fpSeed = fingerprint,
-      dvSeed = deleteVectors || eqDeletes, eqdSeed = eqDeletes)
+      dvSeed = deleteVectors || eqDeletes, eqdSeed = eqDeletes,
+      shredSeed = shred)
     gc(fs, dir)
   }
 
@@ -5222,8 +5464,10 @@ object MergeWriter {
                   retainMs: Long = 0L,
                   fingerprint: Boolean = false,
                   deleteVectors: Boolean = false,
-                  eqDeletes: Boolean = false): Unit = {
+                  eqDeletes: Boolean = false,
+                  shred: Seq[ShredSpec] = Seq.empty): Unit = {
     require(keys.nonEmpty, "createTable requires at least one key column")
+    validateShred(schema, shred, "createTable")
     identitySpecs(schema).foreach { case (c, (_, step)) =>
       import org.apache.spark.sql.types._
       val f = schema(schema.fieldIndex(c))
@@ -5295,7 +5539,8 @@ object MergeWriter {
         .map { case (f, i) => f.name -> (i + 1L) }.toMap,
       nextColId = clean.fields.length + 1L,
       deleteVectors = deleteVectors || eqDeletes,
-      eqDeletes = eqDeletes))
+      eqDeletes = eqDeletes,
+      shredCols = shred))
   }
 
   /** The touched-bucket set of a bucketed incoming frame — one bounded
@@ -5492,7 +5737,11 @@ object MergeWriter {
       val clustered = clusterSort(stamped
         .withColumn(BucketCol, bucketExprChecked(keys, nb))
         .repartition(col(BucketCol)), cluster)
-      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      // shred declarations apply at member CREATION only through the
+      // single-table API; an existing member's recorded shreds persist
+      val shred = st.map(_.shredCols).getOrElse(Seq.empty)
+      withShredCols(clustered, shred)
+        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
       val written = fs.listStatus(new Path(s"$tableRoot/$epoch")).toSeq
         .map(_.getPath.getName)
@@ -5503,16 +5752,17 @@ object MergeWriter {
       val bloom = st.map(_.bloomCols).getOrElse(bloomBy)
       val bloomN = st.filter(_.bloomCols.nonEmpty).map(_.bloomItems)
         .getOrElse(bloomItems)
-      if (bloom.nonEmpty && written.nonEmpty)
+      if ((bloom.nonEmpty || shred.nonEmpty) && written.nonEmpty)
         writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", bloom, bloomN,
-          Some(cleanSchema.json))
+          Some(cleanSchema.json), shred)
       val writtenSet = written.toSet
       Some(Manifest(0L, nb,
         st.map(_.epochs).getOrElse(Map.empty) ++ written.map(_ -> epoch),
         Map.empty, Some(cleanSchema.json), keys, cluster,
         st.map(_.stats).getOrElse(Map.empty) ++
           collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-            withColumnStats = cluster.nonEmpty),
+            withColumnStats = cluster.nonEmpty,
+            priorityCols = shred.map(shredColName).toSet),
         bloom, bloomN,
         // retention policy rides every group commit forward
         retainVersions = st.map(_.retainVersions).getOrElse(KeepManifests),
@@ -5527,7 +5777,8 @@ object MergeWriter {
         eqds = st.map(_.eqds.filterNot { case (b, _) => writtenSet(b) })
           .getOrElse(Map.empty),
         deleteVectors = st.map(_.deleteVectors).getOrElse(eqdSeed),
-        eqDeletes = st.map(_.eqDeletes).getOrElse(eqdSeed)))
+        eqDeletes = st.map(_.eqDeletes).getOrElse(eqdSeed),
+        shredCols = shred))
     } finally { inc.unpersist(); () }
   }
 
@@ -5581,11 +5832,13 @@ object MergeWriter {
       bucketExprChecked(keys, man.buckets))
     val clustered = clusterSort(data.repartition(col(BucketCol)),
       man.clusterCols)
-    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+    withShredCols(clustered, man.shredCols)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tableRoot/$epoch")
     val written = listWrittenBuckets(fs, s"$tableRoot/$epoch").toSet
     val stats0 = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-      withColumnStats = man.clusterCols.nonEmpty)
+      withColumnStats = man.clusterCols.nonEmpty,
+      priorityCols = man.shredCols.map(shredColName).toSet)
     val statsFp =
       if (man.fingerprint && written.nonEmpty)
         withFingerprints(stats0,
@@ -5594,9 +5847,10 @@ object MergeWriter {
       else stats0
     val overlayStats: Map[Int, Seq[FileStat]] =
       statsFp.map { case (b, fss) => b -> fss.map(_.copy(e = epoch)) }
-    if (man.bloomCols.nonEmpty && written.nonEmpty)
+    if ((man.bloomCols.nonEmpty || man.shredCols.nonEmpty) &&
+        written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
-        man.bloomItems, man.schema)
+        man.bloomItems, man.schema, man.shredCols)
     // doomed-key sidecar, skipped when no touched bucket stores
     // anything; upTo from the PRE-COMMIT state keeps this batch's own
     // overlay exempt (eqdApply's sequence-number scoping)
@@ -6372,7 +6626,9 @@ object MergeWriter {
                                   fpSeed: Boolean = false,
                                   dvSeed: Boolean = false,
                                   eqdSeed: Boolean = false,
-                                  ref: Option[String] = None): Unit = {
+                                  ref: Option[String] = None,
+                                  shredSeed: Seq[ShredSpec] = Seq.empty)
+      : Unit = {
     val epoch = "e-" + UUID.randomUUID()
     // CHECK-constraint guard fused into the epoch write's pass: every
     // row this commit stores (incoming AND rewritten survivors — the
@@ -6456,15 +6712,20 @@ object MergeWriter {
     // only seeds table creation (mirrors `buckets`)
     val effCluster = prev.map(_.clusterCols).filter(_.nonEmpty)
       .getOrElse(clusterCols)
+    // shred declarations are creation-time (the catalog path / a CTAS
+    // seed) and ride every commit forward like clusterCols
+    val effShred = prev.map(_.shredCols).getOrElse(shredSeed)
     val clustered = clusterSort(data.repartition(col(BucketCol)), effCluster)
-    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+    withShredCols(clustered, effShred)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tablePath/$epoch")
     val written = fs.listStatus(new Path(s"$tablePath/$epoch")).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.stripPrefix(BucketCol + "=").toInt)
     val fileStats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
-      withColumnStats = effCluster.nonEmpty)
+      withColumnStats = effCluster.nonEmpty,
+      priorityCols = effShred.map(shredColName).toSet)
     // content fingerprints (recorded at creation, like clusterCols):
     // one pass over the TOUCHED epoch, O(written data)
     val effFp = prev.map(_.fingerprint).getOrElse(fpSeed)
@@ -6481,9 +6742,9 @@ object MergeWriter {
       .getOrElse(bloomCols)
     val effBloomN = prev.filter(_.bloomCols.nonEmpty).map(_.bloomItems)
       .getOrElse(bloomN)
-    if (effBloom.nonEmpty && written.nonEmpty)
+    if ((effBloom.nonEmpty || effShred.nonEmpty) && written.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tablePath/$epoch", effBloom,
-        effBloomN, Some(cleanSchema.json))
+        effBloomN, Some(cleanSchema.json), effShred)
     // incremental stats: ONE narrow scan of the freshly-written epoch
     // files (never the corpus, never a recompute of the input plan)
     // yields this commit's per-column HLL batch; the union happens
@@ -6585,7 +6846,10 @@ object MergeWriter {
             eqds = eqds,
             // the equality-delete policy rides every commit forward,
             // like deleteVectors; the param only seeds creation
-            eqDeletes = base.map(_.eqDeletes).getOrElse(eqdSeed)),
+            eqDeletes = base.map(_.eqDeletes).getOrElse(eqdSeed),
+            // shred declarations ride every commit forward (the epoch
+            // above was written WITH their hidden columns)
+            shredCols = effShred),
           batchSk))
         return
       } catch {
@@ -7047,13 +7311,17 @@ object MergeWriter {
     val clustered = clusterSort(
       live.reduce(_ unionByName _).repartition(col(BucketCol)),
       man.clusterCols)
-    clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+    // rewrites re-materialize the hidden shred columns (the schema-
+    // projected live read dropped them; they're a pure function)
+    withShredCols(clustered, man.shredCols)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
       .parquet(s"$tableRoot/$epoch")
-    if (man.bloomCols.nonEmpty)
+    if (man.bloomCols.nonEmpty || man.shredCols.nonEmpty)
       writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
-        man.bloomItems, man.schema)
+        man.bloomItems, man.schema, man.shredCols)
     val stats0 = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-      withColumnStats = man.clusterCols.nonEmpty)
+      withColumnStats = man.clusterCols.nonEmpty,
+      priorityCols = man.shredCols.map(shredColName).toSet)
     man.copy(
       epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
         .map(_ -> epoch).toMap,
@@ -7097,14 +7365,17 @@ object MergeWriter {
       val clustered = clusterSort(
         live.reduce(_ unionByName _).repartition(col(BucketCol)),
         man.clusterCols)
-      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      withShredCols(clustered, man.shredCols)
+        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tablePath/$epoch")
       val written = listWrittenBuckets(fs, s"$tablePath/$epoch").toSet
-      if (man.bloomCols.nonEmpty && written.nonEmpty)
+      if ((man.bloomCols.nonEmpty || man.shredCols.nonEmpty) &&
+          written.nonEmpty)
         writeBloomSidecar(spark, fs, s"$tablePath/$epoch", man.bloomCols,
-          man.bloomItems, man.schema)
+          man.bloomItems, man.schema, man.shredCols)
       val stats0 = collectFileStats(fs, new Path(s"$tablePath/$epoch"),
-        withColumnStats = man.clusterCols.nonEmpty)
+        withColumnStats = man.clusterCols.nonEmpty,
+        priorityCols = man.shredCols.map(shredColName).toSet)
       val fresh =
         if (man.fingerprint && written.nonEmpty)
           withFingerprints(stats0,
@@ -7230,11 +7501,12 @@ object MergeWriter {
       // exchange in the plan — sortWithinPartitions orders each scan
       // task's fan-out before the per-bucket file writes)
       val clustered = clusterSort(rebinned, man.clusterCols)
-      clustered.write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
+      withShredCols(clustered, man.shredCols)
+        .write.mode(SaveMode.ErrorIfExists).partitionBy(BucketCol)
         .parquet(s"$tableRoot/$epoch")
-      if (man.bloomCols.nonEmpty)
+      if (man.bloomCols.nonEmpty || man.shredCols.nonEmpty)
         writeBloomSidecar(spark, fs, s"$tableRoot/$epoch", man.bloomCols,
-          man.bloomItems, man.schema)
+          man.bloomItems, man.schema, man.shredCols)
       man.copy(buckets = nb2,
         epochs = listWrittenBuckets(fs, s"$tableRoot/$epoch")
           .map(_ -> epoch).toMap,
@@ -7242,7 +7514,8 @@ object MergeWriter {
         eqds = Map.empty,
         keyCols = keyRec,
         stats = collectFileStats(fs, new Path(s"$tableRoot/$epoch"),
-        withColumnStats = man.clusterCols.nonEmpty))
+        withColumnStats = man.clusterCols.nonEmpty,
+        priorityCols = man.shredCols.map(shredColName).toSet))
     }
   }
 
@@ -7591,14 +7864,18 @@ object MergeWriter {
       : Seq[(String, Int, FileStat) => Boolean] = {
     val schema = man.schema.map(s =>
       DataType.fromJson(s).asInstanceOf[StructType])
+    // hidden shred columns aren't in the table schema — their probe
+    // type comes from the declaration
+    val shredTypes = shredTypesOf(man)
     def colType(c: String) =
       schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        .orElse(shredTypes.get(c))
     val sidecars = scala.collection.mutable.Map
       .empty[String, Map[String, Map[String, Array[Byte]]]]
     def mightHold(e: String, b: Int, f: FileStat, c: String,
                   tag: Char, v: Any): Boolean =
       fileIntersects(f, c, Some((tag, v)), Some((tag, v))) &&
-        (!man.bloomCols.contains(c) ||
+        (!(man.bloomCols.contains(c) || shredTypes.contains(c)) ||
           (sidecars.getOrElseUpdate(e, readBloomSidecar(fs, s"$tableRoot/$e"))
             .get(s"$BucketCol=$b/${f.name}").flatMap(_.get(c)) match {
             case Some(bytes) => bloomMightContain(bytes, tag, v)

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SHREDDED VARIANT PATHS: `'shred'='$.path:type'` at CREATE
+  * materializes `try_variant_get` extractions as hidden physical
+  * parquet columns in every epoch file, so a `variant_get` predicate
+  * on a declared path prunes FILES through the ordinary min/max-stats
+  * and Bloom keep functions — the file-granularity counterpart of
+  * parquet write-shredding while Spark's `PushVariantIntoScan` covers
+  * only the V1 read path. The hidden columns must never surface in the
+  * table's schema or results, must survive rewrites (compaction,
+  * split), and must follow renames.
+  */
+class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("gshred-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.gshr",
+      classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.gshr.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Distinct data files the executed DSv2 scan actually planned —
+    * what the manifest index handed to ParquetScan AFTER skipping.
+    */
+  private def plannedFiles(df: DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the plan")
+    scans.head.inputPartitions.flatMap {
+      case fp: FilePartition => fp.files.map(_.urlEncodedPath)
+      case _ => Seq.empty
+    }.distinct.size
+  }
+
+  /** Three trickle batches into an eqDeletes table — each lands as an
+    * overlay epoch (write-only path, no bucket rewrite), so files stay
+    * batch-disjoint on the shredded paths: batch k carries lang
+    * `l<k>` and scores in [k*100, k*100+49].
+    */
+  private def seedTrickle(table: String): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
+    spark.sql(s"""CREATE TABLE $table (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4', 'eqDeletes'='true',
+        'shred'='$$.lang:string,$$.score:bigint')""")
+    (0 until 3).foreach { k =>
+      spark.sql(s"""INSERT INTO $table
+        SELECT id + ${k * 1000}, PARSE_JSON(CONCAT(
+          '{"lang": "l$k", "score": ', ${k * 100} + id % 50,
+          ', "noise": "', id, '"}'))
+        FROM range(50)""")
+    }
+  }
+
+  test("a variant-path equality predicate prunes files through the " +
+       "hidden shred column's stats and Bloom sidecar") {
+    seedTrickle("gshr.ns.t1")
+    val all = spark.sql("SELECT id FROM gshr.ns.t1")
+    val filtered = spark.sql("""SELECT id FROM gshr.ns.t1
+      WHERE variant_get(cf, '$.lang', 'string') = 'l1'""")
+    val (na, nf) = (plannedFiles(all), plannedFiles(filtered))
+    assert(na >= 9, s"expected >= 9 batch-disjoint files, planned $na")
+    assert(nf * 2 <= na,
+      s"variant-path predicate pruned nothing: $nf of $na files")
+    // skipping is I/O-only: results equal the unpruned evaluation
+    assert(filtered.count() == 50)
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.t1
+      WHERE variant_get(cf, '$.lang', 'string') = 'zz'""")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("a variant-path range predicate prunes through min/max; a " +
+       "mistyped extraction prunes nothing but stays correct") {
+    seedTrickle("gshr.ns.t2")
+    val all = plannedFiles(spark.sql("SELECT id FROM gshr.ns.t2"))
+    val ranged = spark.sql("""SELECT id FROM gshr.ns.t2
+      WHERE variant_get(cf, '$.score', 'bigint') >= 200""")
+    assert(plannedFiles(ranged) * 2 <= all,
+      "range predicate on the shredded path pruned nothing")
+    assert(ranged.count() == 50)
+    // target type 'int' != declared 'bigint': no rewrite, no pruning —
+    // and exactly the same rows (the scan's exact filter always runs)
+    val mistyped = spark.sql("""SELECT id FROM gshr.ns.t2
+      WHERE variant_get(cf, '$.score', 'int') >= 200""")
+    assert(plannedFiles(mistyped) == all)
+    assert(mistyped.count() == 50)
+    // an undeclared path never rewrites either
+    val undeclared = spark.sql("""SELECT id FROM gshr.ns.t2
+      WHERE variant_get(cf, '$.noise', 'string') = '7'""")
+    assert(plannedFiles(undeclared) == all)
+  }
+
+  test("hidden columns never surface: schema, SELECT *, and the " +
+       "declared properties round-trip") {
+    seedTrickle("gshr.ns.t3")
+    val cols = spark.table("gshr.ns.t3").columns.toSeq
+    assert(cols == Seq("id", "cf"))
+    assert(!spark.sql("SELECT * FROM gshr.ns.t3").columns
+      .exists(_.startsWith("_gshred_")))
+    val props = spark.sql("SHOW TBLPROPERTIES gshr.ns.t3")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("shred") == "cf.$.lang:string,cf.$.score:bigint")
+  }
+
+  test("compaction and RENAME COLUMN keep shredded reads correct; " +
+       "rename remaps the declaration and the recorded stats") {
+    seedTrickle("gshr.ns.t4")
+    spark.sql("CALL gshr.system.compact(table => 'ns.t4')")
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.t4
+      WHERE variant_get(cf, '$.lang', 'string') = 'l2'""")
+      .collect().head.getLong(0) == 50L)
+    spark.sql("ALTER TABLE gshr.ns.t4 RENAME COLUMN cf TO doc")
+    val props = spark.sql("SHOW TBLPROPERTIES gshr.ns.t4")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("shred") == "doc.$.lang:string,doc.$.score:bigint")
+    val renamed = spark.sql("""SELECT id FROM gshr.ns.t4
+      WHERE variant_get(doc, '$.score', 'bigint') < 100""")
+    assert(renamed.count() == 50)
+    // fresh writes after the rename record stats under the NEW hidden
+    // name and keep pruning (old files' remapped min/max still prune;
+    // their sidecar blooms degrade to keep-all, sound)
+    spark.sql("""INSERT INTO gshr.ns.t4 SELECT id + 9000,
+      PARSE_JSON(CONCAT('{"lang": "l9", "score": ', 900 + id % 50, '}'))
+      FROM range(50)""")
+    val all = plannedFiles(spark.sql("SELECT id FROM gshr.ns.t4"))
+    val f9 = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.t4
+      WHERE variant_get(doc, '$.score', 'bigint') >= 900"""))
+    assert(f9 < all, "post-rename shredded pruning lost")
+  }
+
+  test("create-time validation: unknown column, non-variant column, " +
+       "non-canonicalizable type, ambiguous omitted column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
+    def failsWith(ddl: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(ddl))
+      assert(e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    failsWith("""CREATE TABLE gshr.ns.bad1 (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'shred'='nope.$.x:string')""",
+      "not in the declared schema")
+    failsWith("""CREATE TABLE gshr.ns.bad2 (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'shred'='id.$.x:string')""",
+      "must be VARIANT")
+    failsWith("""CREATE TABLE gshr.ns.bad3 (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'shred'='$.x:array<int>')""",
+      "cannot feed min/max stats")
+    failsWith("""CREATE TABLE gshr.ns.bad4 (id BIGINT, a VARIANT,
+      b VARIANT) TBLPROPERTIES ('keys'='id', 'shred'='$.x:string')""",
+      "omits the column name")
+    // nothing half-created
+    assert(spark.sql("SHOW TABLES IN gshr.ns").collect()
+      .map(_.getString(1)).forall(!_.startsWith("bad")))
+  }
+}
