@@ -1264,15 +1264,19 @@ object ScaleBench {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("n_chars")).persist()
       val perBatch = docs.count()
-      def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+      def scanFiles(df: org.apache.spark.sql.DataFrame): (Int, Long) =
         df.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => b
-        }.headOption.map(_.inputPartitions.flatMap {
-          case fp: org.apache.spark.sql.execution.datasources
-            .FilePartition => fp.files.map(_.urlEncodedPath).toSeq
-          case _ => Seq.empty
-        }.distinct.size).getOrElse(-1)
+        }.headOption.map { b =>
+          val fs = b.inputPartitions.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files
+                .map(f => (f.urlEncodedPath, f.fileSize)).toSeq
+            case _ => Seq.empty
+          }.distinct
+          (fs.size, fs.map(_._2).sum)
+        }.getOrElse((-1, -1L))
       for (mode <- Seq("shred", "plain")) {
         val cat = ("gsbshred" + tag + mode + batches).replace(".", "_")
         spark.conf.set(s"spark.sql.catalog.$cat",
@@ -1293,11 +1297,17 @@ object ScaleBench {
         }
         val probe = () => spark.sql(s"SELECT COUNT(*) FROM $cat.ns.$mode " +
           s"WHERE variant_get(cf, '$$.b', 'bigint') = ${batches - 1}")
-        val files = scanFiles(probe())
+        // file count off the exchange-free plan shape (COUNT wraps the
+        // scan in AQE, whose collect doesn't descend)
+        val (files, bytes) = scanFiles(spark.sql(
+          s"SELECT doc_id FROM $cat.ns.$mode " +
+            s"WHERE variant_get(cf, '$$.b', 'bigint') = ${batches - 1}"))
+        val (filesAll, bytesAll) = scanFiles(spark.sql(
+          s"SELECT doc_id FROM $cat.ns.$mode"))
         // min-of-2: first catalog scan pays one-time codegen warmup
         val sec = Seq.fill(2)(elapsedSec { probe().collect() }).min
         val rows = probe().collect().head.getLong(0)
-        println(f"""{"shred14":"$tag-$mode","batches":$batches,"rows_per_batch":$perBatch,"probe_rows":$rows,"files_planned":$files,"probe_sec":$sec%.3f}""")
+        println(f"""{"shred14":"$tag-$mode","batches":$batches,"rows_per_batch":$perBatch,"probe_rows":$rows,"files_planned":$files,"bytes_planned":$bytes,"files_total":$filesAll,"bytes_total":$bytesAll,"probe_sec":$sec%.3f}""")
       }
       docs.unpersist()
       ()
