@@ -270,7 +270,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Layout properties mirror the `format("graft")` writer options and
     * read from TBLPROPERTIES or OPTIONS (Spark prefixes the latter with
     * `option.`): `keys` (required), `buckets`, `clusterBy`, `bloomBy`,
-    * `bloomItems`. PARTITIONED BY is rejected — physical layout is
+    * `bloomItems`, `shred` (variant-path skipping:
+    * `'[col.]$.path:type,...'` — see [[MergeWriter.ShredSpec]]).
+    * PARTITIONED BY is rejected — physical layout is
     * key-hash buckets recorded in the manifest, not hive partitions.
     */
   /** The declared layout of a CREATE / CTAS / RTAS statement, parsed
@@ -1071,6 +1073,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           MergeWriter.buildBloomIndex(spark, p,
             csvArg(in.getUTF8String(1).toString), in.getLong(2))
           s"bloom index built on $p"
+        }
+      },
+      new Proc("build_shred_index", "declare shredded variant paths " +
+          "('[col.]$.path:type,...') on an existing table; future " +
+          "epochs materialize + prune, rewrite => true compacts once " +
+          "to materialize everywhere",
+        Array(inParam("table", SType), inParam("shred", SType),
+          inParamDefault("rewrite",
+            org.apache.spark.sql.types.BooleanType, "false"))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val p = tablePathOf(in.getUTF8String(0).toString)
+          MergeWriter.buildShredIndex(spark, p,
+            csvArg(in.getUTF8String(1).toString), in.getBoolean(2))
+          s"shred index declared on $p"
         }
       })
     val tableProcs: Seq[TableProc] = Seq(

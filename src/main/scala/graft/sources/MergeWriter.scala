@@ -1973,12 +1973,30 @@ object MergeWriter {
     * range fails the commit loudly in BOTH ANSI and legacy modes,
     * never wrapping into colliding ids.
     */
-  private def assignIdentity(df: DataFrame,
+  private def assignIdentity(df0: DataFrame,
                              specs: Map[String, (Long, Long)],
                              hw: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.types._
-    val present = specs.keys.toSeq.sorted.filter(df.columns.contains)
-    if (present.isEmpty) return df
+    val present = specs.keys.toSeq.sorted.filter(df0.columns.contains)
+    if (present.isEmpty) return df0
+    // the counting job and the assignment pass are TWO evaluations of
+    // the same frame: sound for deterministic plans (Spark's writer-
+    // retry replay guarantee — sources replay deterministically and
+    // round-robin repartition sorts first, SPARK-23207), but a plan
+    // carrying rand()/an impure UDF could size partitions differently
+    // between the passes, letting assigned ordinals collide. Pin such
+    // a frame ONCE (localCheckpoint materializes the rows and truncates
+    // the lineage, so both passes — and the epoch write after — read
+    // the same materialized partitions); deterministic plans skip the
+    // cost, mirroring guardUniqueKeys' pinning rule.
+    val df = {
+      val nonDeterministic = df0
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]
+        .queryExecution.analyzed
+        .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+      if (nonDeterministic) df0.localCheckpoint(eager = true) else df0
+    }
     // ONE narrow job over the batch: per-partition row totals (the
     // reservation sizes) and per-column NULL counts (the skip signal)
     val perPart = df.select(present.map(col): _*).rdd
@@ -3863,6 +3881,50 @@ object MergeWriter {
     * re-running with the same columns only fills epochs that lack a
     * sidecar (crash-resumable).
     */
+  /** Declare SHREDDED VARIANT PATHS on an EXISTING table (the
+    * retrofit face of the CREATE-time `shred` property — what
+    * [[buildBloomIndex]] is to `bloomBy`): validate the entries
+    * against the recorded schema and commit the declaration. Hidden
+    * columns live in immutable files, so the declaration alone makes
+    * every FUTURE epoch write materialize them (and prune); files
+    * written BEFORE it record no stats under the hidden names and are
+    * never pruned — sound, just unindexed — until natural rewrite or
+    * the optional `rewrite = true`, which compacts the table once to
+    * materialize the columns everywhere. Note the honest limit of the
+    * rewrite: compaction folds a bucket's batches into shared files,
+    * so its immediate pruning value depends on within-file value
+    * locality (clusterBy correlation); trickle epochs written AFTER
+    * the declaration prune regardless (the shred14 shape). Re-running
+    * with the same entries is a no-op; different entries fail loudly
+    * (one declaration story, like Blooms).
+    */
+  def buildShredIndex(spark: SparkSession, tablePath: String,
+                      entries: Seq[String],
+                      rewrite: Boolean = false): Unit = {
+    require(entries.nonEmpty, "buildShredIndex requires at least one entry")
+    val fs = fsFor(spark, tablePath)
+    val dir = new Path(tablePath)
+    currentManifest(fs, dir).foreach { man =>
+      val schema = man.schema.map(s =>
+        DataType.fromJson(s).asInstanceOf[StructType]).getOrElse(
+        throw new IllegalStateException(
+          s"buildShredIndex: $tablePath records no schema"))
+      val shred = parseShredProperty(entries, stripSchemaIds(schema))
+      require(man.shredCols.isEmpty || man.shredCols == shred,
+        s"buildShredIndex: table already declares shred paths " +
+          s"${man.shredCols.map(s => s.column + "." + s.path)
+            .mkString("(", ",", ")")} — drop/recreate the table to " +
+          "change the declaration")
+      validateShred(stripSchemaIds(schema), shred, "buildShredIndex")
+      if (man.shredCols.isEmpty)
+        commitOrConflict(fs, dir,
+          man.copy(version = man.version + 1, shredCols = shred,
+            op = "buildShredIndex", opTs = System.currentTimeMillis()),
+          "buildShredIndex")
+      if (rewrite) compact(spark, tablePath)
+    }
+  }
+
   def buildBloomIndex(spark: SparkSession, tablePath: String,
                       bloomBy: Seq[String],
                       bloomItems: Long = DefaultBloomItems): Unit = {

@@ -144,6 +144,48 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f9 < all, "post-rename shredded pruning lost")
   }
 
+  test("build_shred_index retrofits a declaration onto an existing " +
+       "table: future epochs prune, pre-declaration files stay " +
+       "unpruned but correct; re-run no-op, changed entries rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
+    spark.sql("""CREATE TABLE gshr.ns.retro (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4', 'eqDeletes'='true')""")
+    // two PRE-declaration batches
+    (0 until 2).foreach { k =>
+      spark.sql(s"""INSERT INTO gshr.ns.retro SELECT id + ${k * 1000},
+        PARSE_JSON(CONCAT('{"lang": "p$k", "n": ', id, '}'))
+        FROM range(40)""")
+    }
+    spark.sql("""CALL gshr.system.build_shred_index(table => 'ns.retro',
+      shred => '$.lang:string')""")
+    // three POST-declaration batches — these files carry the hidden
+    // column and must prune
+    (2 until 5).foreach { k =>
+      spark.sql(s"""INSERT INTO gshr.ns.retro SELECT id + ${k * 1000},
+        PARSE_JSON(CONCAT('{"lang": "p$k", "n": ', id, '}'))
+        FROM range(40)""")
+    }
+    val all = plannedFiles(spark.sql("SELECT id FROM gshr.ns.retro"))
+    val post = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.lang', 'string') = 'p3'"""))
+    val pre = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.lang', 'string') = 'p0'"""))
+    assert(post < all, s"post-declaration batch must prune: $post/$all")
+    // pre-declaration files have no hidden stats: kept (sound), but
+    // the POST-declaration files still prune out of the p0 probe
+    assert(pre < all, s"p0 probe must still skip post-decl files: $pre")
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.lang', 'string') = 'p0'""")
+      .collect().head.getLong(0) == 40L)
+    // idempotent re-run; a DIFFERENT declaration fails loudly
+    spark.sql("""CALL gshr.system.build_shred_index(table => 'ns.retro',
+      shred => '$.lang:string')""")
+    val e = intercept[Exception](spark.sql(
+      """CALL gshr.system.build_shred_index(table => 'ns.retro',
+        shred => '$.n:bigint')"""))
+    assert(e.getMessage.contains("already declares shred paths"))
+  }
+
   test("create-time validation: unknown column, non-variant column, " +
        "non-canonicalizable type, ambiguous omitted column") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
