@@ -521,17 +521,35 @@ object GraftFileIndex {
   private[sources] def rewriteShredRefs(man: MergeWriter.Manifest,
                                         e: Expression): Expression = {
     if (man.shredCols.isEmpty) return e
+    import org.apache.spark.sql.catalyst.expressions.GetStructField
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.sql.execution.datasources.VariantMetadata
+    def shredFor(col: String, path: String, dt: org.apache.spark.sql
+        .types.DataType): Option[MergeWriter.ShredSpec] =
+      man.shredCols.find(s => s.column.equalsIgnoreCase(col) &&
+        s.path == path && s.dataType == dt)
     e.transformUp {
+      // the raw extraction shape (the DSv2 catalog path — no scan
+      // rewrite exists there)
       case VariantGet(a: AttributeReference, Literal(p, StringType), dt,
                       _, _) if p != null &&
-          man.shredCols.exists(s => s.column.equalsIgnoreCase(a.name) &&
-            s.path == p.toString && s.dataType == dt) =>
-        val s = man.shredCols.find(s =>
-          s.column.equalsIgnoreCase(a.name) && s.path == p.toString &&
-            s.dataType == dt).get
+          shredFor(a.name, p.toString, dt).isDefined =>
+        val s = shredFor(a.name, p.toString, dt).get
         AttributeReference(MergeWriter.shredColName(s), dt,
           nullable = true)()
+      // the V1 route's post-PushVariantIntoScan shape: the rule
+      // rewrote the variant column to a struct of requested
+      // extractions (each field's metadata carries its path) and the
+      // filter to a struct-field access
+      case gsf @ GetStructField(a: AttributeReference, ord, _)
+          if VariantMetadata.isVariantStruct(a.dataType) =>
+        val f = a.dataType.asInstanceOf[StructType].fields(ord)
+        shredFor(a.name, VariantMetadata.fromMetadata(f.metadata).path,
+            f.dataType) match {
+          case Some(s) => AttributeReference(MergeWriter.shredColName(s),
+            f.dataType, nullable = true)()
+          case None => gsf
+        }
     }
   }
 

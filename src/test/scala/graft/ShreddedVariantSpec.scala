@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.scalatest.BeforeAndAfterAll
@@ -184,6 +185,63 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       """CALL gshr.system.build_shred_index(table => 'ns.retro',
         shred => '$.n:bigint')"""))
     assert(e.getMessage.contains("already declares shred paths"))
+  }
+
+  test("the V1 format(\"graft\") read prunes on shredded paths too " +
+       "(clustered table, within-file value locality), and time " +
+       "travel answers shred predicates from its pinned version") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
+    // PLAIN table (no eqDeletes — live eq-deletes route V1 reads
+    // through the DV bridge): the format route plans a V1
+    // HadoopFsRelation over GraftFileIndex — same keep functions.
+    // clusterBy(id) + maxRecordsPerFile splits each bucket into
+    // id-sorted files; tag = id/100 correlates, so per-file tag
+    // min/max are near-disjoint and the shred probe can skip.
+    spark.sql("""CREATE TABLE gshr.ns.v1t (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id',
+        'shred'='$.tag:string')""")
+    val before = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try {
+      spark.sql("""INSERT INTO gshr.ns.v1t SELECT id,
+        PARSE_JSON(CONCAT('{"tag": "t', CAST(id DIV 100 AS STRING),
+          '"}')) FROM range(300)""")
+    } finally {
+      before.fold(spark.conf
+        .unset("spark.sql.files.maxRecordsPerFile"))(v =>
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", v))
+    }
+    val v1 = spark.read.format("graft").load(s"$wh/ns/v1t")
+    def v1Files(df: org.apache.spark.sql.DataFrame): Long = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a V1 FileSourceScanExec")
+      df.collect()
+      scans.head.metrics("numFiles").value
+    }
+    val na = v1Files(v1.select("id"))
+    assert(na >= 8, s"expected >= 2 files per bucket, got $na")
+    val filt = v1.filter(
+      expr("variant_get(cf, '$.tag', 'string') = 't2'")).select("id")
+    assert(filt.count() == 100)
+    val nf = v1Files(v1.filter(
+      expr("variant_get(cf, '$.tag', 'string') = 't2'")).select("id"))
+    assert(nf < na, s"V1 shred pruning: $nf of $na files")
+    // time travel: a version pinned BEFORE a later t9 insert answers
+    // the shred predicate from its own stats (no t9 rows, no error)
+    val v0 = spark.sql("SELECT MAX(version) FROM gshr.ns.v1t.history")
+      .collect().head.getLong(0)
+    spark.sql("""INSERT INTO gshr.ns.v1t SELECT id + 1000,
+      PARSE_JSON('{"tag": "t9"}') FROM range(20)""")
+    assert(spark.sql(s"""SELECT COUNT(*) FROM gshr.ns.v1t
+        VERSION AS OF $v0
+        WHERE variant_get(cf, '$$.tag', 'string') = 't9'""")
+      .collect().head.getLong(0) == 0L)
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.v1t
+        WHERE variant_get(cf, '$.tag', 'string') = 't9'""")
+      .collect().head.getLong(0) == 20L)
   }
 
   test("create-time validation: unknown column, non-variant column, " +
