@@ -1576,6 +1576,22 @@ private[sources] class GraftTableScanBuilder(
     !MergeWriter.hasLiveDvs(man) && !MergeWriter.hasLiveEqds(man) &&
       super.pushAggregation(aggregation)
 
+  /** REFUSE the DSv2 variant-extraction pushdown: Spark 4.1.2's
+    * rewrite is broken for a relation with TWO OR MORE variant columns
+    * of which only some are extracted — the unreferenced column gets a
+    * trivial `$` extraction pushed and the rebuilt relation's
+    * attribute remap leaves the Filter referencing stale exprIds
+    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time; reproducible on
+    * stock DSv2 parquet with `spark.sql.sources.useV1SourceList=""`).
+    * Declining keeps the documented boundary — extraction evaluates
+    * above the scan (PROTOCOL §VARIANT) — and keeps predicates in the
+    * raw `variant_get` shape the shredded-path file skipping rewrites.
+    */
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read
+        .VariantExtraction]): Array[Boolean] =
+    Array.fill(extractions.length)(false)
+
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val p = super.build()

@@ -244,6 +244,34 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 20L)
   }
 
+  test("qualified entries shred TWO variant columns independently; " +
+       "array-index paths shred and prune like object paths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
+    spark.sql("""CREATE TABLE gshr.ns.multi (id BIGINT, a VARIANT,
+      b VARIANT) TBLPROPERTIES ('keys'='id', 'buckets'='4',
+        'eqDeletes'='true',
+        'shred'='a.$.kind:string,b.$.tags[0]:string')""")
+    (0 until 3).foreach { k =>
+      spark.sql(s"""INSERT INTO gshr.ns.multi SELECT id + ${k * 1000},
+        PARSE_JSON('{"kind": "k$k"}'),
+        PARSE_JSON('{"tags": ["g$k", "x"]}')
+        FROM range(40)""")
+    }
+    val all = plannedFiles(spark.sql("SELECT id FROM gshr.ns.multi"))
+    val onA = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.multi
+      WHERE variant_get(a, '$.kind', 'string') = 'k1'"""))
+    val onB = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.multi
+      WHERE variant_get(b, '$.tags[0]', 'string') = 'g2'"""))
+    assert(onA < all, s"column-a shred must prune: $onA/$all")
+    assert(onB < all, s"array-path shred must prune: $onB/$all")
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.multi
+      WHERE variant_get(b, '$.tags[0]', 'string') = 'g2'""")
+      .collect().head.getLong(0) == 40L)
+    // the same path probed on the WRONG column never rewrites
+    assert(plannedFiles(spark.sql("""SELECT id FROM gshr.ns.multi
+      WHERE variant_get(a, '$.tags[0]', 'string') = 'g2'""")) == all)
+  }
+
   test("create-time validation: unknown column, non-variant column, " +
        "non-canonicalizable type, ambiguous omitted column") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")

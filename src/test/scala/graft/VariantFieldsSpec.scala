@@ -105,6 +105,26 @@ class VariantFieldsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatch == 0, s"$mismatch rows disagree typed-vs-variant")
   }
 
+  test("a table with TWO variant columns filters on one of them — the " +
+       "catalog declines Spark 4.1.2's broken DSv2 variant-extraction " +
+       "pushdown (stale-exprId Filter on the rebuilt relation)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvar.ns")
+    spark.sql("CREATE TABLE gvar.ns.two (id BIGINT, a VARIANT, " +
+      "b VARIANT) TBLPROPERTIES ('keys'='id', 'buckets'='4')")
+    spark.sql("""INSERT INTO gvar.ns.two SELECT id,
+      PARSE_JSON('{"kind": "k1"}'), PARSE_JSON('{"tags": ["g"]}')
+      FROM range(40)""")
+    // without the refusal this binds a stale a#N against the rebuilt
+    // relation's fresh output (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    assert(spark.sql("""SELECT COUNT(*) FROM gvar.ns.two
+      WHERE variant_get(a, '$.kind', 'string') = 'k1'""")
+      .collect().head.getLong(0) == 40L)
+    assert(spark.sql("""SELECT variant_get(b, '$.tags[0]', 'string')
+      FROM gvar.ns.two
+      WHERE variant_get(a, '$.kind', 'string') = 'k1' LIMIT 1""")
+      .collect().head.getString(0) == "g")
+  }
+
   test("the manifest schema round-trips VARIANT (time travel reads the " +
        "pre-evolution version; DESCRIBE shows the type)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gvar.ns")
