@@ -295,8 +295,19 @@ object SparkEntry {
   private def ivfCentroidsFrame(s: SparkSession, dir: String): DataFrame =
     ivfCentroidsCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTrain(emb, emb.filter(col("vec_id") < 8),
+      val trained = Similarity.ivfTrain(emb, emb.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), iterations = 2)
+      // MATERIALIZE the trained model as a literal local frame (8 rows):
+      // a cached-plan handle can be evicted mid-session, and a consumer
+      // (q79/q80) would then silently re-run the full Lloyd training
+      // inside its own plan — the round-14 driver-instrument anomaly's
+      // one plausible mechanism. Model parameters are DATA, not lineage.
+      val rows = trained.collect().toSeq
+      trained.unpersist(blocking = false)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        trained.schema)
     })
 
   /** q117's PQ codebooks (4 subspaces × 16 dims, 8 codewords, 2 Lloyd
@@ -306,10 +317,20 @@ object SparkEntry {
   private val pqBooksCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def pqBooksFrame(s: SparkSession, dir: String): DataFrame =
-    pqBooksCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ =>
-      CacheRegistry.persist(Similarity.pqCodebooks(Tables.embeddings(s, dir),
+    pqBooksCache.computeIfAbsent((CacheRegistry.sessionKey(s), dir), _ => {
+      val books = Similarity.pqCodebooks(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"),
-        subspaces = 4, subDim = 16, seedCount = 8, iterations = 2)))
+        subspaces = 4, subDim = 16, seedCount = 8, iterations = 2)
+      // materialized like ivfCentroidsFrame: 4×8 codewords are data,
+      // not lineage — an evicted handle must not re-train inside a
+      // consumer's plan
+      val rows = books.collect().toSeq
+      books.unpersist(blocking = false)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        books.schema)
+    })
 
   /** DuckDB mirror of [[graft.sources.RawItemsFixture]] + T1 explode: CTE
     * `rrev` holds every revision row the explode emits (tracked changes,
@@ -1337,6 +1358,13 @@ object SparkEntry {
             ("bands", bandsOfBatch, Seq("id", "band"))),
             buckets = 8, txn = Some(("singest", bid)),
             eqDeletes = Set("vecs", "pairs", "bands"))
+          // drain cadence (round 15): a write-only sink never trips
+          // the read-path auto-drain, so every 3rd trigger compacts
+          // members whose stacked sidecars passed the bound — keeps
+          // the NEXT triggers' point-read anti-join depth flat
+          if (bid % 3 == 2)
+            sources.MergeWriter.drainGroupPressure(sp, grpTable,
+              overlayBound = 3, eqdBound = 3)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -613,6 +613,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty
           if sp.property == "retainVersions" || sp.property == "retainMs" =>
         Seq(sp.property -> sp.value)
+      case sp: TableChange.SetProperty if sp.property == "shred" =>
+        // point at the retrofit face: shred declarations on an existing
+        // table go through the maintenance procedure, not TBLPROPERTIES
+        // (the property is a CREATE-time seed only)
+        throw new UnsupportedOperationException(
+          "graft catalog: 'shred' is a CREATE-time property — declare " +
+            "shredded variant paths on an existing table with CALL " +
+            s"gc.system.build_shred_index('$ident', '${sp.value}')")
       case ac: TableChange.AddColumn =>
         // ALTER TABLE ADD COLUMNS — metadata-only additive evolution
         // (MergeWriter.addColumns); top-level, appended, nullable. A
@@ -715,8 +723,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: ALTER TABLE supports SET TBLPROPERTIES " +
           s"('retainVersions', 'retainMs'), ADD COLUMNS, RENAME COLUMN, " +
           s"DROP COLUMN and ADD/DROP CONSTRAINT — got $other. " +
-          "Clustering/bloom retrofit through the maintenance API " +
-          "(CALL gc.system.cluster / build_bloom_index)")
+          "Clustering/bloom/shred retrofit through the maintenance API " +
+          "(CALL gc.system.cluster / build_bloom_index / " +
+          "build_shred_index)")
     }.toMap
     if (adds.nonEmpty)
       MergeWriter.addColumns(spark, dir.toString, StructType(adds.toSeq))
@@ -1025,9 +1034,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new Proc("create_mv", "declarative MATERIALIZED VIEW: record a " +
           "GROUP BY defining query (COUNT(*) required; COUNT(col)/" +
           "SUM(col)/MIN(col)/MAX(col); optional WHERE; optional INNER " +
-          "join to one dim table passed via dim =>) and materialize it " +
-          "as a keyed graft table; refresh_mv maintains it off the " +
-          "change feed — cost ∝ changed rows, never the source corpus",
+          "joins to a star of dim tables passed via dim => 'd1[,d2...]' " +
+          "in join order) and materialize it as a keyed graft table; " +
+          "refresh_mv maintains it off the change feeds — cost ∝ " +
+          "changed rows, never the source corpus",
         Array(inParam("view", SType), inParam("source", SType),
           inParam("query", SType),
           inParamDefault("buckets", IntegerType, "16"),
@@ -1035,13 +1045,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
           val view = in.getUTF8String(0).toString
           val source = in.getUTF8String(1).toString
-          val dim = Option(in.getUTF8String(4)).map(_.toString)
+          val dims = Option(in.getUTF8String(4)).map(_.toString)
             .filter(_.nonEmpty)
+            .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
           val viewDir = dirOf(view.split('.').toIndexedSeq
             .filter(_.nonEmpty)).toString
           MaterializedViews.create(spark, viewDir, tablePathOf(source),
             source, in.getUTF8String(2).toString, in.getInt(3),
-            dim.map(dn => (tablePathOf(dn), dn)))
+            dims.map(dn => (tablePathOf(dn), dn)))
           s"created materialized view $view over $source"
         }
       },

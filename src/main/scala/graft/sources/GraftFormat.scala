@@ -488,8 +488,18 @@ class GraftFileIndex private[sources] (
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
+    // a STRICT variant_get in the filter promises a per-row cast error
+    // on uncastable values; pruning a file can elide it (the hidden
+    // stats carry try semantics). Row RESULTS are identical either
+    // way, so skipping stays ON by default (Spark 4 runs ANSI by
+    // default — gating on it would forfeit the entire optimization);
+    // `spark.graft.shred.rewriteStrict = false` opts a session into
+    // layout-independent deterministic errors at the cost of
+    // strict-form skipping. try_variant_get always prunes.
+    val rewriteStrict =
+      spark.conf.get("spark.graft.shred.rewriteStrict", "true").toBoolean
     val preds = dataFilters
-      .map(GraftFileIndex.rewriteShredRefs(man, _))
+      .map(GraftFileIndex.rewriteShredRefs(man, _, rewriteStrict))
       .flatMap(GraftFileIndex.toPredicates)
     val buckets = GraftFileIndex.keyBuckets(man, dataSchema, preds)
     val files =
@@ -513,13 +523,19 @@ object GraftFileIndex {
     * IN, OR, StartsWith, null tests — prunes files through the recorded
     * min/max stats and Bloom sidecars. Used ONLY for file listing; the
     * scan still evaluates the original filter exactly, so an unmatched
-    * (or mistyped) extraction simply prunes nothing. Both the strict
-    * and TRY forms rewrite: the hidden values carry try semantics (see
-    * [[MergeWriter.ShredSpec]] for the error-elision boundary — row
-    * results are identical either way).
+    * (or mistyped) extraction simply prunes nothing. The TRY form
+    * always rewrites (the hidden values carry try semantics, see
+    * [[MergeWriter.ShredSpec]]); the STRICT form rewrites only when
+    * `rewriteStrict` (default true) — pruning a file elides the
+    * per-row cast error a strict extraction would have raised for a
+    * row inside it, so `spark.graft.shred.rewriteStrict = false` lets
+    * a session trade strict-form skipping for layout-independent
+    * deterministic errors. Row results are identical either way.
     */
   private[sources] def rewriteShredRefs(man: MergeWriter.Manifest,
-                                        e: Expression): Expression = {
+                                        e: Expression,
+                                        rewriteStrict: Boolean = true)
+      : Expression = {
     if (man.shredCols.isEmpty) return e
     import org.apache.spark.sql.catalyst.expressions.GetStructField
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
@@ -532,7 +548,8 @@ object GraftFileIndex {
       // the raw extraction shape (the DSv2 catalog path — no scan
       // rewrite exists there)
       case VariantGet(a: AttributeReference, Literal(p, StringType), dt,
-                      _, _) if p != null &&
+                      failOnError, _)
+          if p != null && (rewriteStrict || !failOnError) &&
           shredFor(a.name, p.toString, dt).isDefined =>
         val s = shredFor(a.name, p.toString, dt).get
         AttributeReference(MergeWriter.shredColName(s), dt,
@@ -544,8 +561,9 @@ object GraftFileIndex {
       case gsf @ GetStructField(a: AttributeReference, ord, _)
           if VariantMetadata.isVariantStruct(a.dataType) =>
         val f = a.dataType.asInstanceOf[StructType].fields(ord)
-        shredFor(a.name, VariantMetadata.fromMetadata(f.metadata).path,
-            f.dataType) match {
+        val meta = VariantMetadata.fromMetadata(f.metadata)
+        if (!rewriteStrict && meta.failOnError) gsf
+        else shredFor(a.name, meta.path, f.dataType) match {
           case Some(s) => AttributeReference(MergeWriter.shredColName(s),
             f.dataType, nullable = true)()
           case None => gsf

@@ -44,14 +44,20 @@ import org.apache.spark.sql.types.StructType
   * the re-scan's I/O is one column-pruned source pass, never a
   * recompute of the whole view.
   *
-  * DIM JOINS (the reference's actual A8 shape — facts ⋈ small
-  * dimension): the defining query may inner-join ONE dimension table
-  * on a single column equality. Refresh joins the source's change rows
-  * against the CURRENT dim by broadcast — change-proportional as long
-  * as the dim itself is unchanged. The dim's version is anchored in
-  * the MV's txn ledger; a refresh that finds the dim advanced falls
-  * back to ONE full re-evaluation (correct always — dims are
-  * slowly-changing by contract, so the fallback is rare) and re-pins.
+  * DIM JOINS (the reference's actual A8 shape — facts ⋈ several small
+  * config dims, `extract_flomatika_insights_processor.ts:328-473`):
+  * the defining query may inner-join a STAR of dimension tables, each
+  * on a single column equality (each ON may reference the source or
+  * any earlier dim). Refresh joins the source's change rows against
+  * the CURRENT dims by broadcast — change-proportional as long as the
+  * dims are unchanged. Each dim's version is anchored in the MV's txn
+  * ledger; a refresh that finds a dim advanced folds the DIM's own
+  * change feed incrementally ([[dimIncremental]] — the reference's T13
+  * automap mutates `workflowSteps` mid-pipeline, so dim churn is a
+  * first-class event, not an anomaly): affected groups = the fact
+  * groups holding a changed join key, re-aggregated in one restricted
+  * pass. Full re-evaluation only when a window aged out of retention
+  * or the churn passed the cap.
   *
   * REFRESH (exact, atomic, change-proportional):
   * 1. the source's change feed from the refreshed-through version to
@@ -95,7 +101,7 @@ object MaterializedViews {
                                     aggs: Seq[MvAgg],
                                     whereSql: Option[String],
                                     createdVersion: Long,
-                                    dim: Option[MvDim] = None)
+                                    dims: Seq[MvDim] = Seq.empty)
 
   private val MvFileName = "_mv.json"
   private def txnApp(source: String): String = s"mv:$source"
@@ -106,14 +112,15 @@ object MaterializedViews {
   /** Parse + validate the defining query into the maintainable
     * fragment, rejecting anything the incremental algorithm cannot
     * maintain exactly. Returns (groupCols, aggs, whereSql, ON-equality
-    * column pair as written) — column OWNERSHIP (src vs dim) resolves
-    * in [[create]], which holds both schemas.
+    * column pairs as written, one per declared dim in join order) —
+    * column OWNERSHIP (src/earlier-dim vs dim) resolves in [[create]],
+    * which holds all the schemas.
     */
   private[sources] def parseDefinition(spark: SparkSession, query: String,
                                        sourceName: String,
-                                       dimName: Option[String] = None)
+                                       dimNames: Seq[String] = Seq.empty)
       : (Seq[String], Seq[MvAgg], Option[String],
-         Option[(String, String)]) = {
+         Seq[(String, String)]) = {
     val plan = spark.sessionState.sqlParser.parsePlan(query)
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(
@@ -135,41 +142,48 @@ object MaterializedViews {
         u.nameParts.head
       case _ => fail(s"group/agg column '${e.sql}' must be a plain column")
     }
-    // FROM shapes: source | source JOIN dim ON a = b, optional WHERE
+    // FROM shapes: source | source JOIN dim1 ON a = b [JOIN dim2 ON
+    // c = d ...] — a LEFT-DEEP chain of inner dim joins in declaration
+    // order (a star of broadcast dims; each ON may reference the
+    // source or any earlier dim), optional WHERE
     def fromOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : (Option[(String, String)]) = p match {
+        : Seq[(String, String)] = p match {
       case r: UnresolvedRelation =>
         if (!matches(r, sourceName))
-          fail(s"FROM names '${relName(r)}' but the declared source is " +
-            s"'$sourceName'")
-        if (dimName.isDefined)
-          fail(s"a dim ('${dimName.get}') was declared but the query " +
-            "has no JOIN")
-        None
-      case Join(l: UnresolvedRelation, r: UnresolvedRelation, jt, cond, _) =>
+          fail(s"FROM must start from the declared source " +
+            s"'$sourceName'; got '${relName(r)}'")
+        Seq.empty
+      case Join(l, r: UnresolvedRelation, jt, cond, _) =>
         if (!jt.isInstanceOf[InnerLike])
           fail(s"only INNER dim joins are maintainable, got ${jt.sql}")
-        val dn = dimName.getOrElse(fail(
-          "the query joins a table but no dim was declared — pass " +
-            "dim => '<table>'"))
-        if (!matches(l, sourceName) || !matches(r, dn))
-          fail(s"FROM must be '<source> JOIN <dim>' " +
-            s"(source '$sourceName' first, dim '$dn' second); got " +
-            s"'${relName(l)} JOIN ${relName(r)}'")
+        val pre = fromOf(l)
+        val idx = pre.length
+        if (idx >= dimNames.length)
+          fail(s"the query joins ${idx + 1} table(s) beyond the source " +
+            s"but only ${dimNames.length} dim(s) were declared — pass " +
+            "dims => 'd1,d2,...'")
+        if (!matches(r, dimNames(idx)))
+          fail(s"JOIN #${idx + 1} names '${relName(r)}' but declared " +
+            s"dim #${idx + 1} is '${dimNames(idx)}' (dims join in " +
+            "declaration order)")
         cond match {
           case Some(EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute))
               if a.nameParts.length == 1 && b.nameParts.length == 1 =>
-            Some((a.nameParts.head, b.nameParts.head))
-          case _ => fail("the dim join's ON must be one plain-column " +
+            pre :+ ((a.nameParts.head, b.nameParts.head))
+          case _ => fail("each dim join's ON must be one plain-column " +
             "equality (a = b)")
         }
-      case _ => fail("FROM must be the source table, optionally joined " +
-        "to one dim (no subqueries)")
+      case _ => fail("FROM must be the source table, optionally " +
+        "inner-joined to the declared dim tables (no subqueries)")
     }
     val (joinCols, whereSql) = agg.child match {
       case Filter(cond, child) => (fromOf(child), Some(cond.sql))
       case child => (fromOf(child), None)
     }
+    if (joinCols.length != dimNames.length)
+      fail(s"${dimNames.length} dim(s) declared " +
+        s"(${dimNames.mkString(", ")}) but the query joins only " +
+        s"${joinCols.length}")
     val groupCols = agg.groupingExpressions.map(attrName)
     if (groupCols.isEmpty) fail("GROUP BY is required (a global " +
       "aggregate has no merge key to maintain under)")
@@ -226,9 +240,10 @@ object MaterializedViews {
         ",\"col\":" + js(a.col) + ",\"alias\":" + js(a.alias) + "}")
         .mkString(",") + "]" +
       d.whereSql.map(w => ",\"where\":" + js(w)).getOrElse("") +
-      d.dim.map(x => ",\"dim\":{\"path\":" + js(x.path) +
-        ",\"name\":" + js(x.name) + ",\"sk\":" + js(x.srcCol) +
-        ",\"dk\":" + js(x.dimCol) + "}").getOrElse("") +
+      (if (d.dims.isEmpty) "" else
+        ",\"dims\":[" + d.dims.map(x => "{\"path\":" + js(x.path) +
+          ",\"name\":" + js(x.name) + ",\"sk\":" + js(x.srcCol) +
+          ",\"dk\":" + js(x.dimCol) + "}").mkString(",") + "]") +
       ",\"createdv\":" + d.createdVersion + "}"
     val p = new Path(s"$mvPath/$MvFileName")
     val out = fs.create(p, false) // exclusive: one definition, immutable
@@ -260,9 +275,17 @@ object MaterializedViews {
       },
       Option(node.get("where")).map(_.asText()),
       node.get("createdv").asLong(),
-      Option(node.get("dim")).map(x => MvDim(x.get("path").asText(),
-        x.get("name").asText(), x.get("sk").asText(),
-        x.get("dk").asText())))
+      // "dims" (round 15's star of dims); a pre-15 definition's single
+      // "dim" object reads as a one-element star
+      Option(node.get("dims")).map(arr =>
+        (0 until arr.size()).map { i =>
+          val x = arr.get(i)
+          MvDim(x.get("path").asText(), x.get("name").asText(),
+            x.get("sk").asText(), x.get("dk").asText())
+        }).getOrElse(
+        Option(node.get("dim")).map(x => MvDim(x.get("path").asText(),
+          x.get("name").asText(), x.get("sk").asText(),
+          x.get("dk").asText())).toSeq))
   }
 
   // ---- create / refresh / status -------------------------------------------
@@ -277,15 +300,16 @@ object MaterializedViews {
       col(dim.srcCol) === col("__graft_dimk"))
       .drop("__graft_dimk")
 
-  /** The pre-aggregation frame of the defining query: source (⋈ dim)
-    * (WHERE), optionally restricted to a broadcast set of groups (the
-    * extremum re-scan).
+  /** The pre-aggregation frame of the defining query: source (⋈ each
+    * dim in declaration order) (WHERE), optionally restricted to a
+    * broadcast set of groups (the extremum re-scan).
     */
-  private def preAgg(src: DataFrame, dimDf: Option[(DataFrame, MvDim)],
+  private def preAgg(src: DataFrame, dims: Seq[(DataFrame, MvDim)],
                      whereSql: Option[String],
                      restrictTo: Option[(DataFrame, Seq[String])])
       : DataFrame = {
-    val joined = dimDf.fold(src) { case (df, dm) => joinDim(src, df, dm) }
+    val joined = dims.foldLeft(src) { case (acc, (df, dm)) =>
+      joinDim(acc, df, dm) }
     val filtered = whereSql.fold(joined)(w => joined.where(expr(w)))
     restrictTo.fold(filtered) { case (keys, cols) =>
       filtered.join(broadcast(keys.select(cols.map(col): _*).distinct()),
@@ -307,31 +331,31 @@ object MaterializedViews {
     * full evaluation at create, the retention fallback, and (restricted
     * by group) the extremum re-scan.
     */
-  private def evaluate(src: DataFrame, dimDf: Option[(DataFrame, MvDim)],
+  private def evaluate(src: DataFrame, dims: Seq[(DataFrame, MvDim)],
                        groupCols: Seq[String], aggs: Seq[MvAgg],
                        whereSql: Option[String],
                        restrictTo: Option[DataFrame] = None): DataFrame =
-    preAgg(src, dimDf, whereSql, restrictTo.map((_, groupCols)))
+    preAgg(src, dims, whereSql, restrictTo.map((_, groupCols)))
       .groupBy(groupCols.map(col): _*)
       .agg(aggExprOf(aggs.head), aggs.tail.map(aggExprOf): _*)
 
-  private def dimFrame(spark: SparkSession,
-                       d: MvDef): Option[(DataFrame, MvDim)] =
-    d.dim.map(x => (MergeWriter.readTable(spark, x.path), x))
+  private def dimFrames(spark: SparkSession,
+                        d: MvDef): Seq[(DataFrame, MvDim)] =
+    d.dims.map(x => (MergeWriter.readTable(spark, x.path), x))
 
   /** Create the MV: parse + validate the defining query, evaluate it
     * ONCE over the source's current version, and commit the result as
     * a keyed graft table whose txn ledger records the
     * refreshed-through source version — the atomic exactly-once anchor
-    * every later refresh advances. With a dim, the dim's version is
-    * anchored too (refresh falls back to a full re-evaluation when the
-    * dim moved).
+    * every later refresh advances. Each dim's version is anchored too
+    * (refresh folds a moved dim's change feed incrementally, full
+    * re-evaluation only past the churn cap / out of retention).
     */
   def create(spark: SparkSession, mvPath: String, sourcePath: String,
              sourceName: String, query: String, buckets: Int = 16,
-             dim: Option[(String, String)] = None): Unit = {
+             dims: Seq[(String, String)] = Seq.empty): Unit = {
     val (groupCols, aggs, whereSql0, joinCols) =
-      parseDefinition(spark, query, sourceName, dim.map(_._2))
+      parseDefinition(spark, query, sourceName, dims.map(_._2))
     val srcMan = MergeWriter.pinManifest(spark, sourcePath, None, None)
       .getOrElse(throw new IllegalArgumentException(
         s"create_mv: source $sourcePath is not a graft table"))
@@ -339,49 +363,55 @@ object MaterializedViews {
       s"create_mv: source $sourcePath records no merge keys — the " +
         "change feed that drives refresh is keyed")
     val src = MergeWriter.readTable(spark, sourcePath)
-    // dim resolution: pin its version (the refresh staleness anchor)
-    // and resolve the ON equality's sides against the two schemas
-    val dimResolved: Option[(MvDim, DataFrame, Long)] = dim.map {
-      case (dimPath, dimName) =>
+    // dim resolution, in join order: pin each version (the refresh
+    // staleness anchor) and resolve each ON equality's sides against
+    // the ACCUMULATED left schema (source + earlier dims) vs this dim
+    var leftFields: Array[org.apache.spark.sql.types.StructField] =
+      src.schema.fields
+    val dimResolved: Seq[(MvDim, DataFrame, Long)] =
+      dims.zip(joinCols).map { case ((dimPath, dimName), (a, b)) =>
         val dimMan = MergeWriter.pinManifest(spark, dimPath, None, None)
           .getOrElse(throw new IllegalArgumentException(
             s"create_mv: dim $dimPath is not a graft table"))
+        require(dimMan.keyCols.nonEmpty,
+          s"create_mv: dim $dimPath records no merge keys — the " +
+            "change feed that drives incremental dim maintenance is keyed")
         val dimDf = MergeWriter.readTable(spark, dimPath)
-        val (a, b) = joinCols.get
-        def inSrc(c: String) = src.schema.fieldNames
-          .exists(_.equalsIgnoreCase(c))
+        def inLeft(c: String) = leftFields
+          .exists(_.name.equalsIgnoreCase(c))
         def inDim(c: String) = dimDf.schema.fieldNames
           .exists(_.equalsIgnoreCase(c))
         val mv =
           // natural-join shape (ON k = k): the shared name IS the join
           // column on both sides
-          if (a.equalsIgnoreCase(b) && inSrc(a) && inDim(a))
+          if (a.equalsIgnoreCase(b) && inLeft(a) && inDim(a))
             MvDim(dimPath, dimName, a, b)
-          else (inSrc(a), inDim(a), inSrc(b), inDim(b)) match {
+          else (inLeft(a), inDim(a), inLeft(b), inDim(b)) match {
             case (true, false, _, true) => MvDim(dimPath, dimName, a, b)
             case (_, true, true, false) => MvDim(dimPath, dimName, b, a)
             case (true, true, _, _) | (_, _, true, true) =>
               throw new IllegalArgumentException(
                 s"create_mv: join column ambiguity — '$a'/'$b' must " +
-                  "each live in exactly one of source/dim")
+                  "each live in exactly one of source(+earlier dims)/" +
+                  s"'$dimName'")
             case _ => throw new IllegalArgumentException(
               s"create_mv: join columns '$a'/'$b' do not resolve to one " +
-                "source column and one dim column")
+                s"source(+earlier dims) column and one '$dimName' column")
           }
-        // every non-join dim column must not collide with a source
-        // column — plain-name references would be ambiguous
+        // every non-join dim column must not collide with a column
+        // already in scope — plain-name references would be ambiguous
         val clash = dimDf.schema.fieldNames
           .filterNot(_.equalsIgnoreCase(mv.dimCol))
-          .filter(c => src.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          .filter(c => leftFields.exists(_.name.equalsIgnoreCase(c)))
         require(clash.isEmpty,
-          s"create_mv: dim column(s) ${clash.mkString(", ")} collide " +
-            "with source columns — rename them in the dim")
+          s"create_mv: dim '$dimName' column(s) ${clash.mkString(", ")} " +
+            "collide with source/earlier-dim columns — rename them in " +
+            "the dim")
+        leftFields = leftFields ++ dimDf.schema.fields
+          .filterNot(_.name.equalsIgnoreCase(mv.dimCol))
         (mv, dimDf, dimMan.version)
     }
-    val combined = StructType(src.schema.fields ++
-      dimResolved.map(_._2.schema.fields
-        .filterNot(f => f.name.equalsIgnoreCase(dimResolved.get._1.dimCol)))
-        .getOrElse(Array.empty))
+    val combined = StructType(leftFields)
     // validate the WHERE against the (joined) schema NOW — a qualified
     // (`src.x`) or unknown reference must fail at create with the
     // reason, not at the first refresh's feed projection (the
@@ -451,9 +481,9 @@ object MaterializedViews {
     */
   private def fullReeval(spark: SparkSession, mvPath: String, d: MvDef,
                          to: Long, atomic: Boolean): Unit = {
-    val dimV = d.dim.map(x => MergeWriter.pinManifest(spark, x.path,
+    val dimV = d.dims.map(x => MergeWriter.pinManifest(spark, x.path,
       None, None).map(_.version).getOrElse(-1L))
-    val dimP = dimFrame(spark, d)
+    val dimP = dimFrames(spark, d)
     val full = evaluate(MergeWriter.readTable(spark, d.source), dimP,
       d.groupCols, d.aggs, d.whereSql)
     if (atomic)
@@ -463,8 +493,129 @@ object MaterializedViews {
       MergeWriter.overwriteTable(spark, mvPath, full, d.groupCols)
       MergeWriter.recordTxn(spark, mvPath, (txnApp(d.source), to))
     }
-    d.dim.zip(dimV).foreach { case (x, v) =>
+    d.dims.zip(dimV).foreach { case (x, v) =>
       MergeWriter.recordTxn(spark, mvPath, (dimTxnApp(x.path), v))
+    }
+  }
+
+  /** INCREMENTAL DIM MAINTENANCE: fold a moved dim's own change feed
+    * instead of re-evaluating the whole view. A changed dim row can
+    * only perturb the fact groups holding its JOIN KEY, so the refresh
+    * (1) reads each moved dim's change feed for the distinct changed
+    * join-key values, (2) finds the affected groups — the groups of
+    * pre-agg rows carrying a changed key under the OLD dim versions or
+    * under the NEW (both sides, because a dim change can move rows
+    * across groups or across the WHERE), evaluated over the source AT
+    * the refreshed-through version so the later source-delta fold
+    * composes exactly, and (3) re-aggregates exactly those groups
+    * against the NEW dims — upserting the recomputed rows and deleting
+    * affected groups that vanished. Cost ∝ rows in the affected
+    * groups (three broadcast-semi-restricted source passes), never the
+    * view.
+    *
+    * Returns false — caller falls back to ONE full re-evaluation —
+    * when the fold cannot be exact or bounded: a dim anchor was never
+    * recorded, the source's refreshed-through version or a dim's
+    * anchored version aged out of retention, the dim-key churn passed
+    * [[MaxIncrementalGroups]], or the affected-group set did.
+    *
+    * Exactly-once: the mixed commit anchors on the FIRST moved dim's
+    * ledger entry; remaining dim anchors record after (dependency
+    * order — a crash between re-derives a smaller moved set and
+    * re-runs the idempotent fold).
+    */
+  private def dimIncremental(spark: SparkSession, mvPath: String,
+                             d: MvDef, srcFrom: Long,
+                             moved: Seq[(MvDim, Long, Long)]): Boolean = {
+    if (moved.exists(_._2 < 0)) return false
+    if (!MergeWriter.availableVersions(spark, d.source).contains(srcFrom))
+      return false
+    if (moved.exists { case (x, a, _) =>
+        !MergeWriter.availableVersions(spark, x.path).contains(a) })
+      return false
+    // per moved dim: the DISTINCT changed join-key values off its feed
+    // (key-col joins ride plain; non-key join cols as old_/new_ images)
+    val changedKeys: Map[String, DataFrame] = moved.map { case (x, a, c) =>
+      val dimKeys = MergeWriter.pinManifest(spark, x.path, None, None)
+        .map(_.keyCols).getOrElse(Seq.empty)
+      if (dimKeys.isEmpty) return false
+      // compare EVERY non-key dim column: an empty compare list is a
+      // presence-only diff, which would miss attribute UPDATEs — and
+      // over-inclusion (a changed column the view never reads) only
+      // re-aggregates groups to the same values. Dims are small by
+      // contract; the feed is bucket-pruned regardless.
+      val keyIsJoin = dimKeys.exists(_.equalsIgnoreCase(x.dimCol))
+      val nonKey = MergeWriter.readTable(spark, x.path).schema.fieldNames
+        .filterNot(cn => dimKeys.exists(_.equalsIgnoreCase(cn))).toSeq
+      val feed = MergeWriter.changeFeed(spark, x.path, a, c, dimKeys,
+        nonKey)
+      val ck =
+        if (keyIsJoin) feed.select(col(x.dimCol).as("__ck"))
+        else feed.select(col(s"old_${x.dimCol}").as("__ck"))
+          .unionByName(feed.select(col(s"new_${x.dimCol}").as("__ck")))
+      x.path -> ck.where(col("__ck").isNotNull).distinct().persist()
+    }.toMap
+    try {
+      if (changedKeys.valuesIterator.exists(
+          _.limit((MaxIncrementalGroups + 1).toInt).count() >
+            MaxIncrementalGroups))
+        return false
+      val srcAtFrom = MergeWriter.readTableVersion(spark, d.source,
+        srcFrom)
+      def dimsAt(old: Boolean): Seq[(DataFrame, MvDim)] = d.dims.map { x =>
+        val df = moved.find(_._1.path == x.path) match {
+          case Some((_, a, _)) if old =>
+            MergeWriter.readTableVersion(spark, x.path, a)
+          case _ => MergeWriter.readTable(spark, x.path)
+        }
+        (df, x)
+      }
+      // groups whose contribution involves a changed join key, under
+      // one dim-version set (each side applies ITS OWN dim + WHERE —
+      // a row passing the WHERE only under the other side is caught
+      // by that side)
+      def affectedGroups(dims: Seq[(DataFrame, MvDim)]): DataFrame = {
+        var f = preAgg(srcAtFrom, dims, d.whereSql, None)
+        val markers = moved.zipWithIndex.map { case ((x, _, _), i) =>
+          val ck = changedKeys(x.path).select(col("__ck").as(s"__ck_$i"))
+          f = f.join(broadcast(ck),
+            col(x.srcCol) === col(s"__ck_$i"), "left")
+          s"__ck_$i"
+        }
+        f.where(markers.map(m => col(m).isNotNull).reduce(_ || _))
+          .select(d.groupCols.map(col): _*).distinct()
+      }
+      val affected = affectedGroups(dimsAt(old = true))
+        .unionByName(affectedGroups(dimsAt(old = false)))
+        .distinct().persist()
+      try {
+        val probe = affected.limit((MaxIncrementalGroups + 1).toInt)
+          .count()
+        if (probe > MaxIncrementalGroups) return false
+        if (probe == 0L) {
+          // the churned dim keys touch no contributing group (absent
+          // from the source / outside the WHERE) — just re-pin
+          moved.foreach { case (x, _, c) =>
+            MergeWriter.recordTxn(spark, mvPath, (dimTxnApp(x.path), c)) }
+          return true
+        }
+        val mvSchema = MergeWriter.readTable(spark, mvPath).schema
+        val recomputed = evaluate(srcAtFrom, dimsAt(old = false),
+          d.groupCols, d.aggs, d.whereSql, restrictTo = Some(affected))
+        val cast = recomputed.select((d.groupCols.map(col) ++
+          d.aggs.map(a =>
+            col(a.alias).cast(mvSchema(a.alias).dataType).as(a.alias))): _*)
+        val dels = affected.join(
+          cast.select(d.groupCols.map(col): _*), d.groupCols, "left_anti")
+        val (x0, _, c0) = moved.head
+        MergeWriter.applyChanges(spark, mvPath, cast, dels, d.groupCols,
+          opName = "refresh_mv_dim", txn = Some((dimTxnApp(x0.path), c0)))
+        moved.tail.foreach { case (x, _, c) =>
+          MergeWriter.recordTxn(spark, mvPath, (dimTxnApp(x.path), c)) }
+        true
+      } finally { affected.unpersist(); () }
+    } finally {
+      changedKeys.valuesIterator.foreach { df => df.unpersist(); () }
     }
   }
 
@@ -492,20 +643,26 @@ object MaterializedViews {
           "its txn ledger — the create did not complete; drop the path " +
           "and re-create the MV"))
     val to = srcMan.version
-    // a MOVED DIM invalidates every previously folded contribution
-    // (they joined the old dim) — one full re-evaluation re-pins it.
-    // Checked even when the source is fresh: the view must track the
-    // dim too.
-    val dimMoved = d.dim.exists { x =>
+    // a MOVED DIM invalidates the folded contributions of exactly the
+    // fact groups holding the changed join keys — fold the DIM's own
+    // change feed (incremental, churn-proportional); full
+    // re-evaluation only when the dim window aged out or the churn
+    // passed the cap. Checked even when the source is fresh: the view
+    // must track the dim too.
+    val movedDims: Seq[(MvDim, Long, Long)] = d.dims.flatMap { x =>
       val cur = MergeWriter.pinManifest(spark, x.path, None, None)
         .map(_.version).getOrElse(-1L)
-      !mvMan.txns.get(dimTxnApp(x.path)).contains(cur)
+      val anchored = mvMan.txns.getOrElse(dimTxnApp(x.path), -1L)
+      if (anchored == cur) None else Some((x, anchored, cur))
     }
-    if (dimMoved) {
-      fullReeval(spark, mvPath, d, to, atomic = false)
-      return Some((-1L, to))
-    }
-    if (to <= from) return None
+    val dimFolded =
+      if (movedDims.isEmpty) false
+      else if (dimIncremental(spark, mvPath, d, from, movedDims)) true
+      else {
+        fullReeval(spark, mvPath, d, to, atomic = false)
+        return Some((-1L, to))
+      }
+    if (to <= from) return if (dimFolded) Some((from, to)) else None
     // retention fallback: a window whose base version aged out cannot
     // diff — ONE full re-evaluation (correct always, incremental
     // whenever the feed allows), same txn anchor
@@ -525,20 +682,21 @@ object MaterializedViews {
         case a: UnresolvedAttribute => a.nameParts.head
       })
     val needed = (d.groupCols ++ d.aggs.map(_.col).filter(_.nonEmpty) ++
-      whereCols ++ d.dim.map(_.srcCol).toSeq)
+      whereCols ++ d.dims.map(_.srcCol))
       .distinct.filter(inSrc).filterNot(keys.contains)
     val feed = MergeWriter.changeFeed(spark, d.source, from, to, keys,
       needed)
-    val dimP = dimFrame(spark, d)
+    val dimP = dimFrames(spark, d)
     // ±1-signed contribution images: old for update/delete, new for
-    // update/insert, each side joined to the (unchanged) dim and
+    // update/insert, each side joined to the (now-pinned) dims and
     // re-filtered by the MV's WHERE
     def side(prefix: String, ops: Seq[String], sign: Int): DataFrame = {
       val img = feed.where(col("op").isin(ops: _*))
         .select((keys.map(col) ++
           needed.map(c => col(s"$prefix$c").as(c)) :+
           lit(sign).as("__sign")): _*)
-      val joined = dimP.fold(img) { case (df, dm) => joinDim(img, df, dm) }
+      val joined = dimP.foldLeft(img) { case (acc, (df, dm)) =>
+        joinDim(acc, df, dm) }
       d.whereSql.fold(joined)(w => joined.where(expr(w)))
     }
     val signed = side("old_", Seq("update", "delete"), -1)
@@ -650,7 +808,7 @@ object MaterializedViews {
       if (minmax.isEmpty || rescanKeys.limit(1).count() == 0L) ups0
       else {
         val rescan = evaluate(MergeWriter.readTable(spark, d.source),
-          dimFrame(spark, d), d.groupCols, d.aggs, d.whereSql,
+          dimFrames(spark, d), d.groupCols, d.aggs, d.whereSql,
           restrictTo = Some(rescanKeys))
         val cast = rescan.select((d.groupCols.map(col) ++ d.aggs.map(a =>
           col(a.alias).cast(mvSchema(a.alias).dataType).as(a.alias))): _*)
@@ -673,12 +831,16 @@ object MaterializedViews {
         s"mv_status: $mvPath lost its manifest"))
     val srcV = MergeWriter.pinManifest(spark, d.source, None, None)
       .map(_.version).getOrElse(-1L)
-    val dimMoved = d.dim.exists { x =>
+    val dimMoved = d.dims.exists { x =>
       val cur = MergeWriter.pinManifest(spark, x.path, None, None)
         .map(_.version).getOrElse(-1L)
       !mvMan.txns.get(dimTxnApp(x.path)).contains(cur)
     }
-    (d.source, mvMan.txns.getOrElse(txnApp(d.source), d.createdVersion),
+    // agree with refresh: a ledger MISSING the source anchor means the
+    // create never completed (or the ledger was lost) — report
+    // refreshed-through -1 (never "fresh") instead of trusting
+    // createdVersion where refresh would throw
+    (d.source, mvMan.txns.getOrElse(txnApp(d.source), -1L),
       if (dimMoved) srcV + 1 else srcV)
   }
 }

@@ -559,7 +559,22 @@ object MergeWriter {
       require(statsCanonType(dt),
         s"$stmt: shred path '${s.path}' type ${dt.simpleString} " +
           "cannot feed min/max stats — use an integral, floating, " +
-          "string, date or timestamp type")
+          "string, date or timestamp_ntz type")
+      // TIMESTAMP (with local time zone) is excluded from SHRED
+      // eligibility even though ordinary column stats handle it fine:
+      // JSON-ingested variants store timestamps as STRINGS, and the
+      // write-time `try_variant_get(col, path, 'timestamp')`
+      // materialization casts string→timestamp under the WRITER
+      // session's zone. A reader in a different zone evaluates the
+      // same extraction to a different instant than the recorded
+      // min/max/Bloom values — the one shred case where pruning would
+      // not be conservative (a file holding matching rows could be
+      // skipped). TIMESTAMP_NTZ has no zone in either direction.
+      require(dt != org.apache.spark.sql.types.TimestampType,
+        s"$stmt: shred path '${s.path}' cannot use TIMESTAMP — the " +
+          "string→timestamp extraction is session-timezone-dependent, " +
+          "so recorded file stats could disagree with a reader in a " +
+          "different zone and prune matching files. Use TIMESTAMP_NTZ")
     }
     require(shred.map(shredColName).distinct.size == shred.size,
       s"$stmt: duplicate shred declarations")
@@ -1990,11 +2005,17 @@ object MergeWriter {
     // the same materialized partitions); deterministic plans skip the
     // cost, mirroring guardUniqueKeys' pinning rule.
     val df = {
-      val nonDeterministic = df0
+      val analyzed = df0
         .asInstanceOf[org.apache.spark.sql.classic.Dataset[
           org.apache.spark.sql.Row]]
         .queryExecution.analyzed
-        .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
+      // Expression.exists does not descend into SubqueryExpression
+      // inner plans, so scan the (recursively collected) subquery
+      // plans too — a rand() hiding inside an IN/EXISTS subquery
+      // re-sizes partitions between the two passes just as well
+      val nonDeterministic = (analyzed +: analyzed.subqueriesAll)
+        .exists(_.exists(p =>
+          p.expressions.exists(e => e.exists(!_.deterministic))))
       if (nonDeterministic) df0.localCheckpoint(eager = true) else df0
     }
     // ONE narrow job over the batch: per-partition row totals (the
@@ -3894,9 +3915,18 @@ object MergeWriter {
     * rewrite: compaction folds a bucket's batches into shared files,
     * so its immediate pruning value depends on within-file value
     * locality (clusterBy correlation); trickle epochs written AFTER
-    * the declaration prune regardless (the shred14 shape). Re-running
-    * with the same entries is a no-op; different entries fail loudly
-    * (one declaration story, like Blooms).
+    * the declaration prune regardless (the shred14 shape).
+    *
+    * Evolution is ADDITIVE: entries canonically equal to recorded
+    * declarations (same column, path, and PARSED type — DDL spelling,
+    * case and spacing are irrelevant) no-op; genuinely new entries
+    * merge into the declaration, so a hot path can be added to a
+    * populated table without a rebuild. Old files simply record no
+    * stats under the new hidden name and never prune on it
+    * (stats-absent is the ordinary conservative case) until natural
+    * rewrite or `rewrite = true`. Removing or retyping a recorded
+    * entry still requires drop/recreate — the values live in
+    * immutable files.
     */
   def buildShredIndex(spark: SparkSession, tablePath: String,
                       entries: Seq[String],
@@ -3910,17 +3940,21 @@ object MergeWriter {
         throw new IllegalStateException(
           s"buildShredIndex: $tablePath records no schema"))
       val shred = parseShredProperty(entries, stripSchemaIds(schema))
-      require(man.shredCols.isEmpty || man.shredCols == shred,
-        s"buildShredIndex: table already declares shred paths " +
-          s"${man.shredCols.map(s => s.column + "." + s.path)
-            .mkString("(", ",", ")")} — drop/recreate the table to " +
-          "change the declaration")
       validateShred(stripSchemaIds(schema), shred, "buildShredIndex")
-      if (man.shredCols.isEmpty)
+      // canonical identity: DDL spelling differences ('STRING' vs
+      // 'string', spacing) must not fail an idempotent re-declaration
+      def canon(s: ShredSpec): (String, String, DataType) =
+        (s.column, s.path, s.dataType)
+      val have = man.shredCols.map(canon).toSet
+      val fresh = shred.filterNot(s => have.contains(canon(s)))
+      if (fresh.nonEmpty) {
+        val merged = man.shredCols ++ fresh
+        validateShred(stripSchemaIds(schema), merged, "buildShredIndex")
         commitOrConflict(fs, dir,
-          man.copy(version = man.version + 1, shredCols = shred,
+          man.copy(version = man.version + 1, shredCols = merged,
             op = "buildShredIndex", opTs = System.currentTimeMillis()),
           "buildShredIndex")
+      }
       if (rewrite) compact(spark, tablePath)
     }
   }
@@ -4839,11 +4873,12 @@ object MergeWriter {
     * down to its own pruned listing (a driver-side map restriction,
     * zero jobs). The fingerprint rides the sidecar UUIDs, so branch
     * heads or rewritten versions sharing a version number can never
-    * collide. Trade-off, documented: the first scan probes ALL
-    * eqd-affected files even if its own predicates pruned some — the
-    * affected set is bounded by the per-commit caps and drained by
-    * pressure compaction, and every later scan of the version pays
-    * zero probe jobs.
+    * collide. A PRUNED first scan (round 15) probes only ITS OWN kept
+    * files — resolved under a (version, fingerprint, pruned-set hash)
+    * key — so a selective predicate over a wide eqd-bearing version
+    * never pays for files it will not read; an unpruned scan still
+    * builds (and caches) the full resolution, and once the full map
+    * exists every scan restricts it driver-side with zero jobs.
     */
   private val eqdResCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Map[String, Array[Long]]](
@@ -4859,6 +4894,13 @@ object MergeWriter {
     */
   private[graft] val eqdProbeJobs = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test hook: how many FILES the eq-delete probe jobs have read in
+    * this process — the "a pruned first scan probes only its own kept
+    * files" assertion.
+    */
+  private[graft] val eqdProbedFiles =
+    new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def eqdDeadByAbsPath(spark: SparkSession, root: String,
                                         m: Manifest,
                                         keepPaths: Option[Set[String]] = None)
@@ -4867,22 +4909,71 @@ object MergeWriter {
     val fp = m.eqds.toSeq.sortBy(_._1).map { case (b, ds) =>
       b + ":" + ds.map(d => d.sidecar + "@" + d.upTo).mkString("+")
     }.mkString("|")
-    val key = root + "#" + m.version + "#" + fp
-    val full = Option(eqdResCache.get(key)).getOrElse {
-      val r = eqdResolveAll(spark, root, m)
-      eqdResCache.put(key, r)
-      r
-    }
-    keepPaths match {
-      case None => full
-      case Some(ks) => full.filter { case (p, _) => ks.contains(p) }
+    val fullKey = root + "#" + m.version + "#" + fp
+    (Option(eqdResCache.get(fullKey)), keepPaths) match {
+      // full map already resolved: every restriction is driver-side
+      case (Some(full), None) => full
+      case (Some(full), Some(ks)) =>
+        full.filter { case (p, _) => ks.contains(p) }
+      case (None, None) =>
+        val r = eqdResolveAll(spark, root, m, None)
+        eqdResCache.put(fullKey, r)
+        r
+      case (None, Some(ks)) =>
+        // prune-aware first probe: resolve only THIS scan's kept files.
+        // The effective probe set is kept ∩ affected (metadata-only to
+        // compute): when the scan's pruning dropped no affected file,
+        // the resolution IS the full one — cache it under the full key
+        // so every later restriction is driver-side (the scan path
+        // always passes its listing, so this is how the full map gets
+        // built at all). A genuinely pruned set caches under ITS hash,
+        // making a repeated identical (or equi-effective) scan free.
+        val affected = eqdAffectedAbs(root, m)
+        val eff = affected.filter(ks.contains)
+        if (eff.length == affected.length) {
+          val r = eqdResolveAll(spark, root, m, None)
+          eqdResCache.put(fullKey, r)
+          r
+        } else {
+          val d = java.security.MessageDigest.getInstance("SHA-256")
+          eff.sorted.foreach(p =>
+            d.update(p.getBytes(StandardCharsets.UTF_8)))
+          val pk = fullKey + "#" +
+            d.digest().take(8).map(b => f"${b & 0xff}%02x").mkString
+          Option(eqdResCache.get(pk)).getOrElse {
+            val r = eqdResolveAll(spark, root, m, Some(ks))
+            eqdResCache.put(pk, r)
+            r
+          }
+        }
     }
   }
 
-  /** The one probe job behind [[eqdDeadByAbsPath]]'s per-version cache:
-    * resolve EVERY file some eq-delete applies to.
+  /** The files some live eq-delete APPLIES to — metadata only, no I/O
+    * (the candidate set [[eqdResolveAll]] would probe, as absolute
+    * paths).
     */
-  private def eqdResolveAll(spark: SparkSession, root: String, m: Manifest)
+  private def eqdAffectedAbs(root: String, m: Manifest): Seq[String] =
+    m.epochs.keys.toSeq.sorted.flatMap { b =>
+      val maxU = m.eqds.getOrElse(b, Seq.empty)
+        .foldLeft(0)((mx, d) => math.max(mx, d.upTo))
+      if (maxU == 0) Seq.empty
+      else {
+        val epochs = bucketEpochs(m, b)
+        m.stats.getOrElse(b, Seq.empty).flatMap { f =>
+          val ord = epochs.indexOf(fileEpoch(m, b, f))
+          if (ord < 0 || ord >= maxU) None
+          else Some(new Path(fileReadPath(root, m, b, f)).toString)
+        }
+      }
+    }
+
+  /** The one probe job behind [[eqdDeadByAbsPath]]'s per-version cache:
+    * resolve every file some eq-delete applies to — restricted to
+    * `keep` when the calling scan's pruning already dropped the rest.
+    */
+  private def eqdResolveAll(spark: SparkSession, root: String, m: Manifest,
+                            keep: Option[Set[String]])
       : Map[String, Array[Long]] = {
     eqdProbeJobs.incrementAndGet()
     // (epoch ordinal, relKey, abs) of every file some eq-delete
@@ -4904,7 +4995,8 @@ object MergeWriter {
               new Path(fileReadPath(root, m, b, f)).toString))
           }
         }
-      }
+      }.filter { case (_, _, abs) => keep.forall(_.contains(abs)) }
+    eqdProbedFiles.addAndGet(cands.size.toLong)
     if (cands.isEmpty) return Map.empty
     val full = DataType.fromJson(m.schema.getOrElse(
       throw new IllegalStateException(
@@ -6180,6 +6272,41 @@ object MergeWriter {
       GroupManifest(cur.version + 1, cur.tables + (name -> upd), cur.txns),
       "compactGroupTable")
     gcGroup(fs, dir)
+  }
+
+  /** STREAMING-CADENCE merge-on-read drain for a group: compact
+    * exactly the members whose MoR pressure (stacked overlay epochs,
+    * eq-delete sidecars, doomed keys) passed the given bounds. The
+    * write-only eq-delete ingest path keeps per-trigger I/O ∝ the
+    * batch, but every READ of a pressured member pays an anti-join
+    * over the stacked sidecars — a sink that only writes never trips
+    * the read-path auto-drain, so a trickle-CDC streaming loop calls
+    * this every few triggers with bounds tighter than the global
+    * auto-compaction thresholds (the drains already exist; this is
+    * their cadence). Cost ∝ the pressured members' live data, zero
+    * when nothing passed a bound. Races with a concurrent writer are
+    * advisory (the next call drains).
+    */
+  def drainGroupPressure(spark: SparkSession, groupPath: String,
+                         overlayBound: Int = 4, eqdBound: Int = 4,
+                         doomedBound: Long = 100000L): Unit = {
+    val fs = fsFor(spark, groupPath)
+    val dir = new Path(groupPath)
+    currentGroupManifest(fs, dir).foreach { g =>
+      g.tables.foreach { case (name, m) =>
+        val overlayEntries = m.overlays.valuesIterator.map(_.size).sum
+        val eqdEntries = m.eqds.valuesIterator.map(_.size).sum
+        val doomed = m.eqds.valuesIterator
+          .flatMap(_.iterator.map(_.n)).sum
+        if (overlayEntries >= overlayBound || eqdEntries >= eqdBound ||
+            doomed >= doomedBound)
+          try compactGroupTable(spark, groupPath, name)
+          catch {
+            case _: java.io.IOException => ()
+            case _: java.util.ConcurrentModificationException => ()
+          }
+      }
+    }
   }
 
   /** [[clusterTable]] for a GROUP member: rewrite the member's live

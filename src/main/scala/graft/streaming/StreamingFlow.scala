@@ -220,12 +220,24 @@ object StreamingFlow {
     * own anchor — whether the crash hit before the merge, between
     * merge and refresh, or between two MVs' refreshes, the replay
     * converges (each step is independently exactly-once).
+    *
+    * `refreshEvery` (round 15) DECOUPLES view freshness from trigger
+    * latency: the refreshes run serially inside `foreachBatch`, so one
+    * slow MV (an extremum re-scan burst, a moved dim) would otherwise
+    * stall source ingestion — with `refreshEvery = N` only every Nth
+    * batch (and always batch 0, so the views are never unanchored for
+    * a whole cadence on a fresh stream) pays the refresh, and the MV
+    * anchors make the skipped windows fold into the next refresh
+    * exactly-once. The views lag at most N-1 triggers; the SOURCE
+    * table is always current.
     */
   def mvMaintainedSink(stream: DataFrame, sourcePath: String,
                        keys: Seq[String], mvPaths: Seq[String],
                        checkpointDir: String, appId: String,
                        trigger: Option[Trigger] = None,
-                       buckets: Int = 64): StreamingQuery = {
+                       buckets: Int = 64,
+                       refreshEvery: Int = 1): StreamingQuery = {
+    require(refreshEvery >= 1, "mvMaintainedSink: refreshEvery >= 1")
     val writer = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -233,7 +245,8 @@ object StreamingFlow {
         val spark = batch.sparkSession
         MergeWriter.merge(spark, sourcePath, batch, keys, buckets,
           txn = Some((appId, batchId)))
-        mvPaths.foreach(p => MaterializedViews.refresh(spark, p))
+        if (batchId % refreshEvery == 0)
+          mvPaths.foreach(p => MaterializedViews.refresh(spark, p))
       }
     trigger.fold(writer)(writer.trigger).start()
   }

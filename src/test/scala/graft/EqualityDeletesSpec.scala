@@ -181,6 +181,52 @@ class EqualityDeletesSpec extends AnyFunSuite with BeforeAndAfterAll
       "a new version pays exactly one new probe")
   }
 
+  test("a PRUNED first scan probes only its own kept files; the full " +
+       "resolution is built only when an unpruned scan asks for it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geqd.ns")
+    spark.sql("CREATE TABLE geqd.ns.pruned (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='4', 'clusterBy'='id', " +
+      "'eqDeletes'='true')")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      spark.sql(
+        "INSERT INTO geqd.ns.pruned SELECT id, 'a' FROM range(0, 800)")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    // deletes spread across every bucket: every bucket carries eqds
+    spark.sql("DELETE FROM geqd.ns.pruned WHERE id % 100 = 7")
+    // FIRST scan is SELECTIVE (one key): bucket + stats pruning keep a
+    // strict subset of the eqd-affected files — the probe must read
+    // only those
+    val jobs0 = MergeWriter.eqdProbeJobs.get()
+    val files0 = MergeWriter.eqdProbedFiles.get()
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.pruned WHERE id = 42")
+      .collect().head.getLong(0) == 1L)
+    val prunedProbe = MergeWriter.eqdProbedFiles.get() - files0
+    assert(MergeWriter.eqdProbeJobs.get() == jobs0 + 1,
+      "the pruned first scan pays one probe job")
+    // the IDENTICAL pruned scan hits the pruned-set cache: zero jobs
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.pruned WHERE id = 42")
+      .collect().head.getLong(0) == 1L)
+    assert(MergeWriter.eqdProbeJobs.get() == jobs0 + 1,
+      "a repeated identical pruned scan runs zero probe jobs")
+    // an UNPRUNED scan now builds (and caches) the full resolution
+    val files1 = MergeWriter.eqdProbedFiles.get()
+    assert(spark.sql("SELECT COUNT(*) FROM geqd.ns.pruned")
+      .collect().head.getLong(0) == 792L)
+    val fullProbe = MergeWriter.eqdProbedFiles.get() - files1
+    assert(MergeWriter.eqdProbeJobs.get() == jobs0 + 2,
+      "the first unpruned scan pays its own (full) probe")
+    assert(prunedProbe < fullProbe,
+      s"the selective scan must probe fewer files than the full one " +
+        s"($prunedProbe vs $fullProbe)")
+    // and once the full map exists, ANY further restriction is free
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM geqd.ns.pruned WHERE id BETWEEN 100 AND 199")
+      .collect().head.getLong(0) == 99L)
+    assert(MergeWriter.eqdProbeJobs.get() == jobs0 + 2,
+      "post-full restrictions are driver-side, zero jobs")
+  }
+
   test("the native catalog scan resolves eq-deletes to row positions at " +
        "plan time — SQL reads stay on BatchScan and agree with CoW") {
     val wh = spark.conf.get("spark.sql.catalog.geqd.warehouse")

@@ -242,7 +242,7 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dim-join MV: refresh folds fact churn against the broadcast " +
-       "dim; a moved dim falls back to ONE full re-evaluation") {
+       "dim; a moved dim folds ITS change feed incrementally") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
     spark.sql("CREATE TABLE gmv.ns.fact (id BIGINT, tk STRING, v BIGINT) " +
       "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
@@ -272,18 +272,91 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getString(0)
     assert(s1.contains("refreshed"), s1)
     assert(got() == exp(), "fact churn")
-    // dim churn: t2 moves category — every folded contribution under
-    // the old dim is invalid; the refresh detects the moved anchor and
-    // re-evaluates fully
+    // dim churn: t2 moves category — only the fact groups holding the
+    // changed join key are perturbed; the refresh folds the DIM's own
+    // change feed (round 15) instead of re-evaluating the view
     spark.sql("UPDATE gmv.ns.dim SET category = 'costly' WHERE tk = 't2'")
     def status() = spark.sql(
       "CALL gmv.system.mv_status(view => 'ns.dimmv')").collect().head
     assert(!status().getBoolean(3), "a moved dim must read stale")
     val s2 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.dimmv')")
       .collect().head.getString(0)
-    assert(s2.contains("fully re-evaluated"), s2)
-    assert(got() == exp(), "dim churn → full re-evaluation")
+    assert(s2.contains("refreshed") && !s2.contains("fully"),
+      s"dim churn must fold incrementally, not re-evaluate: $s2")
+    assert(got() == exp(), "dim churn → incremental dim fold")
     assert(status().getBoolean(3), "fresh after the dim re-pin")
+    // a dim DELETE retracts every contribution through the vanished
+    // row (inner join); a dim INSERT admits previously-dropped facts
+    spark.sql("DELETE FROM gmv.ns.dim WHERE tk = 't1'")
+    spark.sql("INSERT INTO gmv.ns.dim VALUES ('t9', 'niche')")
+    val s3 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.dimmv')")
+      .collect().head.getString(0)
+    assert(s3.contains("refreshed") && !s3.contains("fully"), s3)
+    assert(got() == exp(), "dim delete+insert → incremental dim fold")
+    // dim AND fact churn in one window: the dim fold (at the folded
+    // source version) composes with the source-delta fold
+    spark.sql("UPDATE gmv.ns.dim SET category = 'cheap' WHERE tk = 't3'")
+    spark.sql("INSERT INTO gmv.ns.fact VALUES (200, 't3', 7), " +
+      "(201, 't9', 9)")
+    spark.sql("DELETE FROM gmv.ns.fact WHERE id = 5")
+    val s4 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.dimmv')")
+      .collect().head.getString(0)
+    assert(s4.contains("refreshed") && !s4.contains("fully"), s4)
+    assert(got() == exp(), "dim + fact churn in one refresh window")
+  }
+
+  test("multi-dim MV: a star of broadcast dims joins, folds fact churn " +
+       "and per-dim churn incrementally, and matches the relational " +
+       "recomputation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.f2 (id BIGINT, tk STRING, uk BIGINT, " +
+      "v BIGINT) TBLPROPERTIES ('keys'='id', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    spark.sql("CREATE TABLE gmv.ns.d2a (tk STRING, category STRING) " +
+      "TBLPROPERTIES ('keys'='tk', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("CREATE TABLE gmv.ns.d2b (uk BIGINT, region STRING) " +
+      "TBLPROPERTIES ('keys'='uk', 'buckets'='2', 'retainVersions'='20')")
+    spark.sql("INSERT INTO gmv.ns.d2a VALUES ('t1', 'cheap'), " +
+      "('t2', 'cheap'), ('t3', 'costly')")
+    spark.sql("INSERT INTO gmv.ns.d2b VALUES (0, 'emea'), (1, 'apac'), " +
+      "(2, 'amer')")
+    spark.sql("INSERT INTO gmv.ns.f2 SELECT id, CONCAT('t', 1 + id % 3), " +
+      "id % 3, id * 10 FROM range(0, 90)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.mv2', " +
+      "source => 'ns.f2', dim => 'ns.d2a,ns.d2b', " +
+      "query => 'SELECT category, region, COUNT(*) AS n, SUM(v) AS sv, " +
+      "MAX(v) AS mx FROM f2 JOIN d2a ON tk = tk JOIN d2b ON uk = uk " +
+      "GROUP BY category, region')")
+    def exp() = spark.sql("SELECT category, region, COUNT(*) AS n, " +
+      "SUM(v) AS sv, MAX(v) AS mx FROM gmv.ns.f2 f " +
+      "JOIN gmv.ns.d2a a ON f.tk = a.tk JOIN gmv.ns.d2b b ON f.uk = b.uk " +
+      "GROUP BY category, region").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def got() = spark.sql(
+      "SELECT category, region, n, sv, mx FROM gmv.ns.mv2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got() == exp(), "initial build")
+    // fact churn folds against both (unchanged) dims
+    spark.sql("INSERT INTO gmv.ns.f2 VALUES (300, 't1', 2, 5000), " +
+      "(301, 't7', 1, 1)") // t7 unmapped: inner join drops it
+    spark.sql("DELETE FROM gmv.ns.f2 WHERE id IN (7, 8)")
+    val s1 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mv2')")
+      .collect().head.getString(0)
+    assert(s1.contains("refreshed") && !s1.contains("fully"), s1)
+    assert(got() == exp(), "fact churn over two dims")
+    // BOTH dims churn in one window: each feed's changed keys restrict
+    // the re-aggregation; the folds compose
+    spark.sql("UPDATE gmv.ns.d2a SET category = 'mid' WHERE tk = 't2'")
+    spark.sql("UPDATE gmv.ns.d2b SET region = 'apj' WHERE uk = 1")
+    val s2 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.mv2')")
+      .collect().head.getString(0)
+    assert(s2.contains("refreshed") && !s2.contains("fully"), s2)
+    assert(got() == exp(), "both dims churned incrementally")
+    val st = spark.sql("CALL gmv.system.mv_status(view => 'ns.mv2')")
+      .collect().head
+    assert(st.getBoolean(3), "fresh after the two-dim fold")
   }
 
   test("streaming maintenance: mvMaintainedSink merges each micro-batch " +
@@ -322,6 +395,48 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent and the change feed diffs to nothing — unchanged
     run(root + "/ckpt2")
     assert(got() == exp, "a replayed stream must not change the view")
+  }
+
+  test("refreshEvery decouples view freshness from trigger latency: " +
+       "fewer refreshes than triggers, the skipped windows fold into " +
+       "the next refresh, and the final view converges") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{MaterializedViews, MergeWriter}
+    import graft.streaming.StreamingFlow
+    import spark.implicits._
+    val root = Files.createTempDirectory("gmv-cadence").toString
+    val src = root + "/in"
+    val rows = (0 until 240).map(i => (i.toLong, s"g${i % 3}", i % 7))
+      .toDF("id", "grp", "v")
+    rows.repartition(6).write.parquet(src)
+    val srcTable = root + "/src"
+    MergeWriter.createTable(spark, srcTable, rows.schema, Seq("id"),
+      buckets = 4, retainVersions = 20)
+    MaterializedViews.create(spark, root + "/mv", srcTable, "src",
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM src GROUP BY grp")
+    // 6 files / 2 per trigger = 3 triggers; refreshEvery = 100 →
+    // exactly ONE refresh (batch 0). The view must LAG (refresh count
+    // < trigger count), not error.
+    val q = StreamingFlow.mvMaintainedSink(
+      StreamingFlow.fileStream(spark, src, rows.schema,
+        maxFilesPerTrigger = 2),
+      srcTable, Seq("id"), Seq(root + "/mv"), root + "/ckpt",
+      appId = "tmvc",
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+      refreshEvery = 100)
+    q.awaitTermination()
+    val (_, through, head) = MaterializedViews.status(spark, root + "/mv")
+    assert(through < head,
+      s"with refreshEvery=100 over 3 triggers the view must lag " +
+        s"(refreshed $through, source $head)")
+    // one tail refresh folds ALL skipped windows exactly-once
+    MaterializedViews.refresh(spark, root + "/mv")
+    val got = MergeWriter.readTable(spark, root + "/mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, "the tail refresh must converge the lagged view")
   }
 
   test("retention fallback: a refresh window that aged out triggers ONE " +

@@ -147,7 +147,8 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("build_shred_index retrofits a declaration onto an existing " +
        "table: future epochs prune, pre-declaration files stay " +
-       "unpruned but correct; re-run no-op, changed entries rejected") {
+       "unpruned but correct; re-run no-op, new entries MERGE " +
+       "additively") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gshr.ns")
     spark.sql("""CREATE TABLE gshr.ns.retro (id BIGINT, cf VARIANT)
       TBLPROPERTIES ('keys'='id', 'buckets'='4', 'eqDeletes'='true')""")
@@ -178,13 +179,38 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.retro
       WHERE variant_get(cf, '$.lang', 'string') = 'p0'""")
       .collect().head.getLong(0) == 40L)
-    // idempotent re-run; a DIFFERENT declaration fails loudly
+    // idempotent re-run — including a CANONICALLY-equal respelling
+    // (type DDL case must not matter: the spec compares parsed types)
     spark.sql("""CALL gshr.system.build_shred_index(table => 'ns.retro',
       shred => '$.lang:string')""")
-    val e = intercept[Exception](spark.sql(
-      """CALL gshr.system.build_shred_index(table => 'ns.retro',
-        shred => '$.n:bigint')"""))
-    assert(e.getMessage.contains("already declares shred paths"))
+    spark.sql("""CALL gshr.system.build_shred_index(table => 'ns.retro',
+      shred => '$.lang:STRING')""")
+    // ADDITIVE evolution: a NEW path merges into the declaration
+    // without a rebuild — post-add epochs prune on it, pre-add files
+    // stay unpruned-but-correct (stats-absent)
+    spark.sql("""CALL gshr.system.build_shred_index(table => 'ns.retro',
+      shred => '$.n:bigint')""")
+    // post-add batches carry batch-disjoint n ranges so the added
+    // path's min/max can discriminate between their files
+    (5 until 7).foreach { k =>
+      spark.sql(s"""INSERT INTO gshr.ns.retro SELECT id + ${k * 1000},
+        PARSE_JSON(CONCAT('{"lang": "p$k", "n": ', id + ${k * 1000}, '}'))
+        FROM range(40)""")
+    }
+    val all2 = plannedFiles(spark.sql("SELECT id FROM gshr.ns.retro"))
+    val onN = plannedFiles(spark.sql("""SELECT id FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.n', 'bigint') >= 6000"""))
+    assert(onN < all2,
+      s"post-add epochs must prune on the added path: $onN/$all2")
+    // exactly batch 6's rows match; unindexed old files are read
+    // (kept, sound) but contribute nothing — no row lost, none invented
+    assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.n', 'bigint') >= 6000""")
+      .collect().head.getLong(0) == 40L,
+      "added-path pruning must keep results exact over unindexed files")
+    // and the ORIGINAL path still prunes after the merge
+    assert(plannedFiles(spark.sql("""SELECT id FROM gshr.ns.retro
+      WHERE variant_get(cf, '$.lang', 'string') = 'p6'""")) < all2)
   }
 
   test("the V1 format(\"graft\") read prunes on shredded paths too " +
@@ -292,8 +318,40 @@ class ShreddedVariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     failsWith("""CREATE TABLE gshr.ns.bad4 (id BIGINT, a VARIANT,
       b VARIANT) TBLPROPERTIES ('keys'='id', 'shred'='$.x:string')""",
       "omits the column name")
+    // TIMESTAMP (with local zone) is shred-ineligible: the string→
+    // timestamp extraction is session-timezone-dependent, so recorded
+    // stats could disagree with a reader in a different zone — the one
+    // case where pruning would not be conservative. NTZ is fine.
+    failsWith("""CREATE TABLE gshr.ns.bad5 (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'shred'='$.ts:timestamp')""",
+      "Use TIMESTAMP_NTZ")
+    spark.sql("""CREATE TABLE gshr.ns.okntz (id BIGINT, cf VARIANT)
+      TBLPROPERTIES ('keys'='id', 'shred'='$.ts:timestamp_ntz')""")
     // nothing half-created
     assert(spark.sql("SHOW TABLES IN gshr.ns").collect()
       .map(_.getString(1)).forall(!_.startsWith("bad")))
+  }
+
+  test("strict-form skipping is a session choice: default ON (both " +
+       "forms prune); rewriteStrict=false withholds the strict form " +
+       "for layout-independent deterministic errors, TRY still prunes") {
+    seedTrickle("gshr.ns.ansi")
+    val all = plannedFiles(spark.sql("SELECT id FROM gshr.ns.ansi"))
+    assert(plannedFiles(spark.sql("""SELECT id FROM gshr.ns.ansi
+      WHERE variant_get(cf, '$.lang', 'string') = 'l1'""")) < all,
+      "default: strict form prunes")
+    spark.conf.set("spark.graft.shred.rewriteStrict", "false")
+    try {
+      assert(plannedFiles(spark.sql("""SELECT id FROM gshr.ns.ansi
+        WHERE variant_get(cf, '$.lang', 'string') = 'l1'""")) == all,
+        "opt-out: strict form must NOT prune (deterministic errors)")
+      assert(plannedFiles(spark.sql("""SELECT id FROM gshr.ns.ansi
+        WHERE try_variant_get(cf, '$.lang', 'string') = 'l1'""")) < all,
+        "opt-out: the TRY form still prunes")
+      // row results identical regardless of the skipping decision
+      assert(spark.sql("""SELECT COUNT(*) FROM gshr.ns.ansi
+        WHERE variant_get(cf, '$.lang', 'string') = 'l1'""")
+        .collect().head.getLong(0) == 50L)
+    } finally spark.conf.unset("spark.graft.shred.rewriteStrict")
   }
 }
