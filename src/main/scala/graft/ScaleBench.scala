@@ -1135,6 +1135,65 @@ object ScaleBench {
       mvBench(base, "sf0.1", 4); mvBench(rep, "rep10", 16)
     }
 
+    // Incremental DIM maintenance at scale (round 15): a churned dim
+    // row must cost ∝ its AFFECTED GROUPS — bounded re-aggregation and
+    // a bounded MV write — never a full re-evaluation that rewrites
+    // the whole view. The view here has 4096 groups keyed 1:1 by the
+    // dim's join key, so the measurable claim is direct: churning k
+    // dim rows refreshes with MV-write bytes ∝ k (vs the create's
+    // full-view write), and the wall stays far under the full
+    // evaluation as k shrinks. The source-scan passes remain
+    // corpus-proportional in INPUT (three broadcast-restricted passes
+    // — reported honestly via the 10× corpus row), but shuffle and
+    // write are churn-bounded, which is the 100 TB property (a 10^8-
+    // group view must not rewrite per automap).
+    def mv15Bench(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/mv15/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), pmod(col("user_id"), lit(4096)).as("ub"))
+      val src = s"$root/src"
+      graft.sources.MergeWriter.merge(spark, src, ev, Seq("event_id"),
+        buckets = buckets, clusterBy = Seq("event_id"), fingerprint = true)
+      val dimPath = s"$root/dim"
+      val dim0 = spark.range(0, 4096).toDF("ub")
+        .select(col("ub"), concat(lit("g"), col("ub")).as("label"))
+      graft.sources.MergeWriter.merge(spark, dimPath, dim0, Seq("ub"),
+        buckets = 2)
+      val mv = s"$root/mv"
+      val createSec = elapsedSec {
+        graft.sources.MaterializedViews.create(spark, mv, src, "src",
+          "SELECT label, COUNT(*) AS n, SUM(user_id) AS su " +
+            "FROM src JOIN dim ON ub = ub GROUP BY label",
+          dims = Seq((dimPath, "dim")))
+      }
+      val createMb = dirBytesOf(mv) / 1e6
+      def churn(k: Int): (Double, Double) = {
+        val batch = spark.range(0, k.toLong).toDF("i")
+          .select((col("i") * (4096L / k)).as("ub"),
+            concat(lit(s"m$k-"), col("i")).as("label"))
+        graft.sources.MergeWriter.merge(spark, dimPath, batch, Seq("ub"))
+        val b0 = dirBytesOf(mv)
+        val sec = elapsedSec {
+          val w = graft.sources.MaterializedViews.refresh(spark, mv)
+          require(w.exists(_._1 >= 0),
+            s"mv15: dim churn of $k keys must fold incrementally, got $w")
+        }
+        (sec, (dirBytesOf(mv) - b0) / 1e6)
+      }
+      // unreported warmup churn: the FIRST refresh pays one-time JIT/
+      // manifest-cache costs that would otherwise masquerade as the
+      // smallest churn's wall
+      churn(2)
+      val (s4, mb4) = churn(4)
+      val (s256, mb256) = churn(256)
+      val mvRows = graft.sources.MergeWriter.readTable(spark, mv).count()
+      println(f"""{"dir":"$tag","create_sec":$createSec%.3f,"create_mb":$createMb%.2f,"dim4_sec":$s4%.3f,"dim4_mb":$mb4%.3f,"dim256_sec":$s256%.3f,"dim256_mb":$mb256%.3f,"mv_rows":$mvRows}""")
+    }
+    if (sections("mv15")) {
+      mv15Bench(base, "sf0.1", 8); mv15Bench(rep, "rep10", 16)
+    }
+
     // Manifest segmentation at scale (round 14): the full-snapshot
     // manifest is O(buckets) LOGICALLY, but a trickle commit must not
     // WRITE O(buckets) — past the inline threshold the head carries a

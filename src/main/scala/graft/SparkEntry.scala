@@ -5435,6 +5435,70 @@ object SparkEntry {
         FROM $cat.etl.vdocs
         WHERE variant_get(cf, '$$.n', 'bigint') > 500
         GROUP BY 1""")
+    }),
+
+    // MULTI-DIM MV WITH INCREMENTAL DIM MAINTENANCE (round 15): the
+    // complete A8 shape — facts ⋈ a STAR of small config dims
+    // (`extract_flomatika_insights_processor.ts:328-473` pulls view
+    // config + workItemTypeMaps + settings), declared as ONE MV. After
+    // the fact churn folds, BOTH dims move (the T13-automap event:
+    // `unmapped_workflow_step.ts:106-118` mutates workflowSteps
+    // mid-run) — the refresh folds each DIM's change feed (affected
+    // groups only), never a full re-evaluation. The MV must equal the
+    // relational recomputation over the churned source and FINAL dims.
+    "q202_mv_multidim" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-mvmd"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          pmod(col("user_id"), lit(4)).as("ub"))
+        .createOrReplaceTempView(s"mvmd_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.mdf (event_id BIGINT,
+        user_id BIGINT, event_type STRING, ub BIGINT) TBLPROPERTIES
+        ('keys'='event_id', 'buckets'='8', 'clusterBy'='event_id',
+         'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.mdf SELECT event_id, user_id, " +
+        s"event_type, ub FROM mvmd_src_$n")
+      s.sql(s"""CREATE TABLE $cat.etl.mdd1 (event_type STRING,
+        category STRING) TBLPROPERTIES ('keys'='event_type',
+        'buckets'='2', 'retainVersions'='10')""")
+      s.sql(s"""INSERT INTO $cat.etl.mdd1
+        SELECT DISTINCT event_type,
+          CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+               ELSE 'ops' END
+        FROM mvmd_src_$n""")
+      s.sql(s"""CREATE TABLE $cat.etl.mdd2 (ub BIGINT, region STRING)
+        TBLPROPERTIES ('keys'='ub', 'buckets'='2',
+        'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.mdd2 VALUES (0, 'emea'), " +
+        "(1, 'apac'), (2, 'amer'), (3, 'latam')")
+      s.sql(s"""CALL $cat.system.create_mv(view => 'etl.mv',
+        source => 'etl.mdf', dim => 'etl.mdd1,etl.mdd2',
+        query => 'SELECT category, region, COUNT(*) AS n,
+                  SUM(user_id) AS su
+                  FROM mdf JOIN mdd1 ON event_type = event_type
+                           JOIN mdd2 ON ub = ub
+                  GROUP BY category, region')""")
+      // fact churn folds against both (unchanged) dims
+      s.sql(s"UPDATE $cat.etl.mdf SET user_id = user_id + 3 " +
+        "WHERE event_id % 41 = 11")
+      s.sql(s"DELETE FROM $cat.etl.mdf WHERE event_id % 97 = 13")
+      s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
+      // BOTH dims churn (the automap event): each feed's changed keys
+      // re-scope exactly the affected groups — incremental, no -1
+      s.sql(s"UPDATE $cat.etl.mdd1 SET category = 'moved' " +
+        "WHERE event_type = 'click'")
+      s.sql(s"UPDATE $cat.etl.mdd2 SET region = 'apj' WHERE ub = 1")
+      val w = s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
+        .collect().head.getString(0)
+      require(w.contains("refreshed") && !w.contains("fully"),
+        s"q202: dim churn must fold incrementally, got: $w")
+      s.sql(s"SELECT category, region, n, su FROM $cat.etl.mv")
     })
   )
 
@@ -9056,6 +9120,31 @@ object SparkEntry {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars > 500 GROUP BY 1""".stripMargin,
+
+    // Relational recomputation over the churned facts and the FINAL
+    // dim states (post-automap: click→moved, ub 1→apj). ub derives
+    // from the ORIGINAL user_id (a stored column the bump never
+    // touches) — computed in a named alias so DuckDB's lateral column
+    // aliasing cannot bind it to the bumped value.
+    "q202_mv_multidim" ->
+      """WITH d1 AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'click' THEN 'moved'
+        |         WHEN event_type = 'view' THEN 'engage'
+        |         ELSE 'ops' END AS category
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |d2 AS (
+        |  SELECT * FROM (VALUES (0, 'emea'), (1, 'apj'), (2, 'amer'),
+        |    (3, 'latam')) AS t(ub, region)),
+        |s AS (
+        |  SELECT event_id, event_type, user_id % 4 AS ub,
+        |    user_id + CASE WHEN event_id % 41 = 11 THEN 3 ELSE 0 END
+        |      AS uid
+        |  FROM events WHERE event_id % 97 <> 13)
+        |SELECT category, region, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(uid) AS BIGINT) AS su
+        |FROM s JOIN d1 USING (event_type) JOIN d2 USING (ub)
+        |GROUP BY category, region""".stripMargin,
 
     // The untouched cohort keeps its pre-cut row with NULL in the added
     // column; the evolved cohort is replaced wholesale.

@@ -510,7 +510,11 @@ object MaterializedViews {
     * composes exactly, and (3) re-aggregates exactly those groups
     * against the NEW dims — upserting the recomputed rows and deleting
     * affected groups that vanished. Cost ∝ rows in the affected
-    * groups (three broadcast-semi-restricted source passes), never the
+    * groups: the per-dim restricted passes become file-pruned
+    * IN-list point reads when the churn fits [[PointKeyMax]] literals
+    * and the join column lives in the source (broadcast semi-joins
+    * otherwise), and the re-aggregation is one group-restricted pass.
+    * Shuffle and MV write are churn-bounded either way — never the
     * view.
     *
     * Returns false — caller falls back to ONE full re-evaluation —
@@ -562,6 +566,18 @@ object MaterializedViews {
         return false
       val srcAtFrom = MergeWriter.readTableVersion(spark, d.source,
         srcFrom)
+      val srcFields = srcAtFrom.schema.fieldNames
+      // bounded literal collection per moved dim: a tiny churn becomes
+      // an IN-list the pinned-version read can FILE-PRUNE on (stats +
+      // Bloom on a clustered/bloomed join column — the point-read
+      // shape); bigger churns restrict by broadcast semi-join instead
+      val PointKeyMax = 1024
+      val keyLits: Map[String, Option[Seq[Any]]] =
+        moved.map { case (x, _, _) =>
+          val head = changedKeys(x.path).limit(PointKeyMax + 1).collect()
+          x.path -> (if (head.length <= PointKeyMax)
+            Some(head.toSeq.map(_.get(0))) else None)
+        }.toMap
       def dimsAt(old: Boolean): Seq[(DataFrame, MvDim)] = d.dims.map { x =>
         val df = moved.find(_._1.path == x.path) match {
           case Some((_, a, _)) if old =>
@@ -570,24 +586,38 @@ object MaterializedViews {
         }
         (df, x)
       }
-      // groups whose contribution involves a changed join key, under
-      // one dim-version set (each side applies ITS OWN dim + WHERE —
+      // groups whose contribution involves dim x's changed keys, under
+      // one dim-version set (each side applies ITS OWN dims + WHERE —
       // a row passing the WHERE only under the other side is caught
       // by that side)
-      def affectedGroups(dims: Seq[(DataFrame, MvDim)]): DataFrame = {
-        var f = preAgg(srcAtFrom, dims, d.whereSql, None)
-        val markers = moved.zipWithIndex.map { case ((x, _, _), i) =>
-          val ck = changedKeys(x.path).select(col("__ck").as(s"__ck_$i"))
-          f = f.join(broadcast(ck),
-            col(x.srcCol) === col(s"__ck_$i"), "left")
-          s"__ck_$i"
+      def groupsVia(x: MvDim, dims: Seq[(DataFrame, MvDim)])
+          : DataFrame = {
+        val inSource = srcFields.exists(_.equalsIgnoreCase(x.srcCol))
+        if (inSource) {
+          val restricted = keyLits(x.path) match {
+            // a metadata-only dim commit moves the version with no
+            // changed keys: nothing restricts to nothing
+            case Some(vs) if vs.isEmpty => srcAtFrom.where(lit(false))
+            case Some(vs) => MergeWriter.readTableVersionWhere(spark,
+              d.source, srcFrom, Seq(MergeWriter.ColumnIn(x.srcCol, vs)))
+            case None => srcAtFrom.join(broadcast(changedKeys(x.path)
+                .select(col("__ck").as(x.srcCol))),
+              Seq(x.srcCol), "left_semi")
+          }
+          preAgg(restricted, dims, d.whereSql, None)
+            .select(d.groupCols.map(col): _*).distinct()
+        } else {
+          // the join key comes from an EARLIER dim: restrict post-join
+          preAgg(srcAtFrom, dims, d.whereSql, None)
+            .join(broadcast(changedKeys(x.path)),
+              col(x.srcCol) === col("__ck"), "left_semi")
+            .select(d.groupCols.map(col): _*).distinct()
         }
-        f.where(markers.map(m => col(m).isNotNull).reduce(_ || _))
-          .select(d.groupCols.map(col): _*).distinct()
       }
-      val affected = affectedGroups(dimsAt(old = true))
-        .unionByName(affectedGroups(dimsAt(old = false)))
-        .distinct().persist()
+      val affected = moved.map(_._1).flatMap(x =>
+          Seq(groupsVia(x, dimsAt(old = true)),
+            groupsVia(x, dimsAt(old = false))))
+        .reduce(_ unionByName _).distinct().persist()
       try {
         val probe = affected.limit((MaxIncrementalGroups + 1).toInt)
           .count()
