@@ -1302,8 +1302,18 @@ object ScaleBench {
       val readSec = elapsedSec {
         graft.sources.MergeWriter.readGroupTable(spark, root, "vecs").count()
       }
+      // round 15: the streaming sink's drain cadence
+      // (drainGroupPressure) bounds the read-side anti-join depth —
+      // re-measure the same read after one drain (no-op under cow)
+      val drainSec = elapsedSec {
+        graft.sources.MergeWriter.drainGroupPressure(spark, root,
+          overlayBound = 1, eqdBound = 1)
+      }
+      val readDrainedSec = elapsedSec {
+        graft.sources.MergeWriter.readGroupTable(spark, root, "vecs").count()
+      }
       newRows.unpersist()
-      println(f"""{"gq14":"$tag-$mode","batch_rows_total":$batchTotal,"trickle_commit_sec":$wall%.3f,"trickle_bytes":$written,"read_sec":$readSec%.3f}""")
+      println(f"""{"gq14":"$tag-$mode","batch_rows_total":$batchTotal,"trickle_commit_sec":$wall%.3f,"trickle_bytes":$written,"read_sec":$readSec%.3f,"drain_sec":$drainSec%.3f,"read_drained_sec":$readDrainedSec%.3f}""")
     }
     if (sections("gq14")) {
       Seq("cow", "eqd").foreach(m => gq14(base, "sf0.1", m, 29))
