@@ -439,6 +439,54 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, "the tail refresh must converge the lagged view")
   }
 
+  test("dim-churn fallbacks: a metadata-only dim commit folds as a " +
+       "no-op re-pin; a dim window that aged out of retention falls " +
+       "back to ONE full re-evaluation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
+    spark.sql("CREATE TABLE gmv.ns.f3 (id BIGINT, tk STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='id', 'buckets'='2', 'retainVersions'='20')")
+    // retention floor on the DIM: its refresh window ages out fast
+    spark.sql("CREATE TABLE gmv.ns.d3 (tk STRING, category STRING) " +
+      "TBLPROPERTIES ('keys'='tk', 'buckets'='2')")
+    spark.sql("INSERT INTO gmv.ns.d3 VALUES ('t1', 'a'), ('t2', 'b')")
+    spark.sql("INSERT INTO gmv.ns.f3 SELECT id, " +
+      "CONCAT('t', 1 + id % 2), id FROM range(0, 40)")
+    spark.sql("CALL gmv.system.create_mv(view => 'ns.fbmv', " +
+      "source => 'ns.f3', dim => 'ns.d3', " +
+      "query => 'SELECT category, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM f3 JOIN d3 ON tk = tk GROUP BY category')")
+    def exp() = spark.sql("SELECT category, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM gmv.ns.f3 f JOIN gmv.ns.d3 d ON f.tk = d.tk " +
+      "GROUP BY category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got() = spark.sql("SELECT category, n, sv FROM gmv.ns.fbmv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet
+    // METADATA-ONLY dim commit (a retention change — '3' differs from
+    // the floor default, so it commits a version): the version moves
+    // but the feed is empty — the refresh must re-pin the anchor
+    // without touching the view, and must NOT re-evaluate
+    spark.sql("ALTER TABLE gmv.ns.d3 SET TBLPROPERTIES " +
+      "('retainVersions' = '3')")
+    val s1 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.fbmv')")
+      .collect().head.getString(0)
+    assert(s1.contains("refreshed") && !s1.contains("fully"), s1)
+    assert(got() == exp(), "a metadata-only dim commit changes nothing")
+    val st1 = spark.sql("CALL gmv.system.mv_status(view => 'ns.fbmv')")
+      .collect().head
+    assert(st1.getBoolean(3), "fresh after the no-op re-pin")
+    // the dim's anchored window AGES OUT (retainVersions=2, many dim
+    // commits): the incremental fold cannot diff — ONE full
+    // re-evaluation, still correct
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO gmv.ns.d3 VALUES ('x$i', 'c')")
+    }
+    val s2 = spark.sql("CALL gmv.system.refresh_mv(view => 'ns.fbmv')")
+      .collect().head.getString(0)
+    assert(s2.contains("fully re-evaluated"), s2)
+    assert(got() == exp(), "aged-out dim window → full re-evaluation")
+  }
+
   test("retention fallback: a refresh window that aged out triggers ONE " +
        "full re-evaluation, still exactly-once") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns")
