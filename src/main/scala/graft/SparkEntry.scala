@@ -5499,6 +5499,57 @@ object SparkEntry {
       require(w.contains("refreshed") && !w.contains("fully"),
         s"q202: dim churn must fold incrementally, got: $w")
       s.sql(s"SELECT category, region, n, su FROM $cat.etl.mv")
+    }),
+
+    // TRANSPARENT MV QUERY REWRITE (round 15): an aggregate that is
+    // structurally a registered FRESH MV's defining query reads the
+    // VIEW instead of re-aggregating the source (warehouse QUERY
+    // REWRITE, exact-match fragment) — at 100 TB the substitution
+    // deletes the scan + shuffle for an answer the engine already
+    // maintains change-proportionally. The query asserts the full
+    // lifecycle in-plan: rewrite fires when fresh (no Aggregate in the
+    // optimized plan), DECLINES on a stale view (the as-written
+    // aggregate sees unfolded rows), and fires again after refresh.
+    "q203_mv_query_rewrite" -> ((s, dir) => {
+      val n = sqlCatSeq.incrementAndGet()
+      val cat = s"gsqlcat$n"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        scratchDir("graft-mvrw"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView(s"mvrw_src_$n")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      s.sql(s"""CREATE TABLE $cat.etl.src (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('keys'='doc_id', 'buckets'='8',
+        'retainVersions'='10')""")
+      s.sql(s"INSERT INTO $cat.etl.src " +
+        s"SELECT doc_id, lang, n_chars FROM mvrw_src_$n")
+      // COUNT(n_chars) rides along so the nullable SUM reconstructs
+      s.sql(s"""CALL $cat.system.create_mv(view => 'etl.mv',
+        source => 'etl.src',
+        query => 'SELECT lang, COUNT(*) AS n_docs,
+                  SUM(n_chars) AS sum_chars, COUNT(n_chars) AS n_vals
+                  FROM src GROUP BY lang')""")
+      s.sql(s"CALL $cat.system.enable_mv_rewrite(view => 'etl.mv')")
+      val q = s"SELECT lang, COUNT(*) AS n_docs, " +
+        s"SUM(n_chars) AS sum_chars FROM $cat.etl.src GROUP BY lang"
+      def aggs(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.size
+      require(aggs(s.sql(q)) == 0,
+        "q203: a fresh registered MV must answer the aggregate")
+      // stale decline: an unfolded source commit runs the plan as
+      // written (and sees the new cohort)
+      s.sql(s"INSERT INTO $cat.etl.src SELECT doc_id + 50000000, 'xx', " +
+        s"n_chars FROM mvrw_src_$n WHERE doc_id % 97 = 0")
+      require(aggs(s.sql(q)) > 0, "q203: a stale view must decline")
+      s.sql(s"CALL $cat.system.refresh_mv(view => 'etl.mv')")
+      val out = s.sql(q)
+      require(aggs(out) == 0, "q203: fresh again after refresh")
+      out
     })
   )
 
@@ -9145,6 +9196,18 @@ object SparkEntry {
         |  CAST(SUM(uid) AS BIGINT) AS su
         |FROM s JOIN d1 USING (event_type) JOIN d2 USING (ub)
         |GROUP BY category, region""".stripMargin,
+
+    // The rewritten read must equal the plain aggregate over the
+    // churned corpus (base + the xx cohort folded by the refresh).
+    "q203_mv_query_rewrite" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000000, 'xx', n_chars FROM documents
+        |  WHERE doc_id % 97 = 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY lang""".stripMargin,
 
     // The untouched cohort keeps its pre-cut row with NULL in the added
     // column; the evolved cohort is replaced wholesale.

@@ -1087,6 +1087,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bloom index built on $p"
         }
       },
+      new Proc("enable_mv_rewrite", "register a materialized view for " +
+          "transparent exact-match query rewrite: a matching aggregate " +
+          "over the MV's source reads the view instead (only when the " +
+          "view is refreshed through the query's pinned source " +
+          "version; source-only MVs). Also attaches the rewrite rule " +
+          "to this session; new sessions can set spark.sql.extensions=" +
+          "graft.sources.GraftSessionExtensions",
+        Array(inParam("view", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val view = in.getUTF8String(0).toString
+          MvRewrite.enable(spark, tablePathOf(view))
+          s"mv rewrite enabled for $view"
+        }
+      },
+      new Proc("disable_mv_rewrite", "unregister a materialized view " +
+          "from transparent query rewrite",
+        Array(inParam("view", SType))) {
+        override protected def exec(in: org.apache.spark.sql.catalyst.InternalRow) = {
+          val view = in.getUTF8String(0).toString
+          MvRewrite.disable(tablePathOf(view))
+          s"mv rewrite disabled for $view"
+        }
+      },
       new Proc("build_shred_index", "declare shredded variant paths " +
           "('[col.]$.path:type,...') on an existing table; future " +
           "epochs materialize + prune, rewrite => true compacts once " +
@@ -1341,6 +1364,14 @@ class GraftSqlTable(spark: SparkSession, tablePath: String,
 
   private def pinned: Boolean =
     versionAsOf.isDefined || timestampAsOf.isDefined
+
+  /** The table directory and pinned state, for [[MvRewriteRule]]'s
+    * relation matching: a time-travel/branch read must never rewrite
+    * to a materialized view (the MV tracks main's head, not the pin).
+    */
+  private[sources] def path: String = tablePath
+  private[sources] def pinnedRead: Boolean = pinned || branch.isDefined
+  private[sources] def pinnedVersion: Long = man.version
 
   private lazy val man: MergeWriter.Manifest =
     MergeWriter.pinManifest(spark, tablePath, versionAsOf, timestampAsOf,

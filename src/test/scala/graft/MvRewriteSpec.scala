@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent materialized-view query rewrite (MvRewriteRule via
+  * GraftSessionExtensions + the live-session experimental hook): an
+  * aggregate that is STRUCTURALLY a registered fresh MV's defining
+  * query reads the view instead of the source. The contract under
+  * test: rewrites fire only on exact structural + freshness matches,
+  * results are always identical to running the aggregate as written,
+  * and every non-match (stale view, different WHERE, unsupported
+  * aggregate, disabled conf, pinned read) silently runs the original
+  * plan.
+  */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("gmvr-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // the session-build injection path; enable_mv_rewrite additionally
+    // exercises the live-session experimental hook
+    .config("spark.sql.extensions",
+      classOf[graft.sources.GraftSessionExtensions].getName)
+    .config("spark.sql.catalog.gmvr",
+      classOf[graft.sources.GraftCatalog].getName)
+    .config("spark.sql.catalog.gmvr.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def aggCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size
+
+  /** True when the optimized plan kept NO aggregate — the MV answered. */
+  private def rewritten(df: DataFrame): Boolean = aggCount(df) == 0
+
+  private def rows(df: DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+
+  test("an exact-match aggregate over a FRESH registered MV reads the " +
+       "view (no Aggregate in the plan), with free output aliases; " +
+       "staleness, refresh, and disable flow through") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmvr.ns")
+    spark.sql("CREATE TABLE gmvr.ns.src (id BIGINT, grp STRING, " +
+      "v BIGINT) TBLPROPERTIES ('keys'='id', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    spark.sql("INSERT INTO gmvr.ns.src SELECT id, CONCAT('g', id % 5), " +
+      "id * 3 FROM range(0, 200)")
+    // COUNT(v) rides along so the nullable SUM is reconstructible
+    spark.sql("CALL gmvr.system.create_mv(view => 'ns.mv', " +
+      "source => 'ns.src', query => 'SELECT grp, COUNT(*) AS n, " +
+      "SUM(v) AS sv, COUNT(v) AS nv FROM src GROUP BY grp')")
+    val q = "SELECT grp, COUNT(*) AS total, SUM(v) AS vsum " +
+      "FROM gmvr.ns.src GROUP BY grp"
+    val direct = rows(spark.sql(q))
+    assert(!rewritten(spark.sql(q)), "not registered yet: no rewrite")
+    spark.sql("CALL gmvr.system.enable_mv_rewrite(view => 'ns.mv')")
+    val rdf = spark.sql(q)
+    assert(rewritten(rdf), s"fresh registered MV must answer:\n" +
+      rdf.queryExecution.optimizedPlan)
+    assert(rows(rdf) == direct, "rewritten result must equal direct")
+    // STALE: a source commit without refresh must NOT rewrite, and the
+    // as-written aggregate sees the new rows
+    spark.sql("INSERT INTO gmvr.ns.src VALUES (1000, 'g1', 7)")
+    val sdf = spark.sql(q)
+    assert(!rewritten(sdf), "a stale view must decline")
+    assert(rows(sdf) != direct, "the as-written aggregate sees new rows")
+    // refresh → rewrites again, with the folded rows
+    spark.sql("CALL gmvr.system.refresh_mv(view => 'ns.mv')")
+    val rdf2 = spark.sql(q)
+    assert(rewritten(rdf2), "fresh again after refresh")
+    assert(rows(rdf2) == rows(sdf), "rewritten equals as-written")
+    // conf kill-switch, then unregister
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(!rewritten(spark.sql(q)), "conf off: no rewrite")
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(rewritten(spark.sql(q)))
+    spark.sql("CALL gmvr.system.disable_mv_rewrite(view => 'ns.mv')")
+    assert(!rewritten(spark.sql(q)), "disabled: no rewrite")
+    spark.sql("CALL gmvr.system.enable_mv_rewrite(view => 'ns.mv')")
+  }
+
+  test("non-matches decline silently: different WHERE, unsupported " +
+       "aggregate, different grouping, time-travel pin") {
+    val q0 = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM gmvr.ns.src GROUP BY grp"
+    assert(rewritten(spark.sql(q0)), "baseline: exact match rewrites")
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.src " +
+        "WHERE v > 10 GROUP BY grp")), "extra WHERE declines")
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(DISTINCT v) AS n, SUM(v) AS sv " +
+        "FROM gmvr.ns.src GROUP BY grp")), "DISTINCT declines")
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(*) AS n, AVG(v) AS av FROM gmvr.ns.src " +
+        "GROUP BY grp")), "AVG (not in the view) declines")
+    assert(!rewritten(spark.sql(
+      "SELECT grp, v % 2 AS par, COUNT(*) AS n FROM gmvr.ns.src " +
+        "GROUP BY grp, v % 2")), "different grouping declines")
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv " +
+        "FROM gmvr.ns.src VERSION AS OF 1 GROUP BY grp")),
+      "a pinned read never rewrites")
+  }
+
+  test("a WHERE'd MV matches its WHERE exactly (canonicalized conjunct " +
+       "set, tolerating optimizer-inferred IsNotNull); the 0-seeded " +
+       "SUM reconstructs NULL for an all-NULL group via COUNT(col)") {
+    spark.sql("CREATE TABLE gmvr.ns.wsrc (id BIGINT, grp STRING, " +
+      "v BIGINT) TBLPROPERTIES ('keys'='id', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    // group g9 holds ONLY NULL v values — its true SUM is NULL
+    spark.sql("INSERT INTO gmvr.ns.wsrc SELECT id, CONCAT('g', id % 3), " +
+      "CASE WHEN id % 3 = 0 THEN CAST(NULL AS BIGINT) ELSE id END " +
+      "FROM range(0, 90)")
+    spark.sql("CALL gmvr.system.create_mv(view => 'ns.wmv', " +
+      "source => 'ns.wsrc', query => 'SELECT grp, COUNT(*) AS n, " +
+      "SUM(v) AS sv, COUNT(v) AS nv FROM wsrc WHERE id < 60 " +
+      "GROUP BY grp')")
+    spark.sql("CALL gmvr.system.enable_mv_rewrite(view => 'ns.wmv')")
+    val q = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.wsrc " +
+      "WHERE id < 60 GROUP BY grp"
+    val rdf = spark.sql(q)
+    assert(rewritten(rdf), s"matching WHERE must rewrite:\n" +
+      rdf.queryExecution.optimizedPlan)
+    val direct = spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM (SELECT id, grp, v " +
+        "FROM gmvr.ns.wsrc) WHERE id < 60 GROUP BY grp")
+    assert(rows(rdf) == rows(direct),
+      "rewritten equals as-written, incl. the all-NULL group's NULL sum")
+    assert(rdf.collect().exists(_.isNullAt(2)),
+      "the all-NULL group must surface SUM = NULL, not the stored 0")
+    // a different bound on the same column declines
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.wsrc " +
+        "WHERE id < 50 GROUP BY grp")), "different WHERE bound declines")
+  }
+}
