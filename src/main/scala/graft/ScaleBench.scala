@@ -1194,6 +1194,52 @@ object ScaleBench {
       mv15Bench(base, "sf0.1", 8); mv15Bench(rep, "rep10", 16)
     }
 
+    // Transparent MV query rewrite at scale (round 15): the
+    // substitution deletes the source scan + aggregate shuffle for an
+    // answer the engine already maintains. Measured: the SAME SQL with
+    // the rewrite off vs on (min-of-3 full collects), plus the
+    // rollup-point-query shape (a group-column WHERE evaluating as a
+    // one-row residual read of the view).
+    def mvrw15(dir: String, tag: String, buckets: Int): Unit = {
+      val root = s"$work/mvrw15/$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val cat = s"gsbrw$tag".replaceAll("[^A-Za-z0-9]", "")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView(s"mvrw_src_$cat")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.etl")
+      spark.sql(s"""CREATE TABLE $cat.etl.src (event_id BIGINT,
+        user_id BIGINT, event_type STRING) TBLPROPERTIES
+        ('keys'='event_id', 'buckets'='$buckets',
+         'retainVersions'='10')""")
+      spark.sql(s"INSERT INTO $cat.etl.src SELECT event_id, user_id, " +
+        s"event_type FROM mvrw_src_$cat")
+      spark.sql(s"""CALL $cat.system.create_mv(view => 'etl.mv',
+        source => 'etl.src', query => 'SELECT event_type,
+        COUNT(*) AS n, SUM(user_id) AS su, COUNT(user_id) AS nu
+        FROM src GROUP BY event_type')""")
+      spark.sql(s"CALL $cat.system.enable_mv_rewrite(view => 'etl.mv')")
+      val q = s"SELECT event_type, COUNT(*) AS n, SUM(user_id) AS su " +
+        s"FROM $cat.etl.src GROUP BY event_type"
+      val qPoint = s"SELECT event_type, COUNT(*) AS n FROM $cat.etl.src " +
+        s"WHERE event_type = 'click' GROUP BY event_type"
+      def minOf3(sql: String): Double =
+        (0 until 3).map(_ => elapsedSec { spark.sql(sql).collect(); () }).min
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val (offFull, offPoint) =
+        try (minOf3(q), minOf3(qPoint))
+        finally spark.conf.unset("spark.graft.mv.rewrite")
+      val (onFull, onPoint) = (minOf3(q), minOf3(qPoint))
+      val rows = spark.sql(q).count()
+      println(f"""{"mvrw15":"$tag","agg_off_sec":$offFull%.3f,"agg_on_sec":$onFull%.3f,"point_off_sec":$offPoint%.3f,"point_on_sec":$onPoint%.3f,"groups":$rows}""")
+    }
+    if (sections("mvrw15")) {
+      mvrw15(base, "sf0.1", 8); mvrw15(rep, "rep10", 32)
+    }
+
     // Manifest segmentation at scale (round 14): the full-snapshot
     // manifest is O(buckets) LOGICALLY, but a trickle commit must not
     // WRITE O(buckets) — past the inline threshold the head carries a

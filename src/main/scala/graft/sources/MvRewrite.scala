@@ -30,9 +30,13 @@ import org.apache.spark.sql.execution.datasources.v2.{
   *  - group columns, aggregates (COUNT(*) / COUNT(col) / SUM(col) /
   *    MIN / MAX, no DISTINCT, no FILTER) and the WHERE must match the
   *    recorded definition (WHERE by canonicalized conjunct-set
-  *    equality after the same coercion + constant folding the user's
-  *    condition went through; optimizer-inferred IsNotNull conjuncts
-  *    on columns the definition already constrains are tolerated);
+  *    containment after the same coercion + constant folding the
+  *    user's condition went through; optimizer-inferred IsNotNull
+  *    conjuncts on columns the definition already constrains are
+  *    tolerated, and extra conjuncts referencing ONLY group columns
+  *    become residual filters on the VIEW — a group-column predicate
+  *    commutes with grouping, so `WHERE grp = 'x'` over a per-grp
+  *    view reads one view row instead of scanning the corpus);
   *  - output aliases are free — the projection restores each output's
   *    original name, exprId, type and nullability contract;
   *  - the MV's 0-seeded SUM concession is reconstructed, not leaked: a
@@ -173,7 +177,8 @@ case class MvRewriteRule(spark: SparkSession)
         groupAttrs.size) return None
     if (groupAttrs.map(_.name.toLowerCase).sorted !=
         d.groupCols.map(_.toLowerCase).sorted) return None
-    if (!whereMatches(cond, d, srcOut)) return None
+    val residual = whereMatches(cond, d, srcOut, groupAttrs)
+      .getOrElse(return None)
 
     def mvAggFor(fn: String, colName: String): Option[MvAgg] =
       d.aggs.find(a => a.fn == fn &&
@@ -249,23 +254,52 @@ case class MvRewriteRule(spark: SparkSession)
           else raw
         Alias(typed, ne.name)(exprId = ne.exprId)
       }
+    // group-column residual conjuncts evaluate on the VIEW (a
+    // predicate on a group column commutes with grouping): remap each
+    // source attribute to the MV's same-named column and filter under
+    // the projection
+    val base: LogicalPlan =
+      if (residual.isEmpty) mvPlan
+      else {
+        val remapped = residual.map(_.transformUp {
+          case a: AttributeReference =>
+            mvAttr(a.name).getOrElse(return None)
+        }).reduce(And)
+        Filter(remapped, mvPlan)
+      }
     logInfo(s"graft mv rewrite: aggregate over ${table.path} answered " +
       s"by materialized view $mvPath (version $through)")
-    Some(Project(outs, mvPlan))
+    Some(Project(outs, base))
   }
 
-  /** WHERE equivalence: the recorded (create-normalized) predicate,
-    * resolved against the source relation's own attributes and run
-    * through the same coercion + constant folding the user's condition
-    * received, must equal it as a canonicalized conjunct set —
-    * tolerating extra user-side IsNotNull conjuncts on attributes the
-    * definition's conjuncts already reference (the optimizer infers
-    * those from null-rejecting comparisons).
+  /** WHERE matching, returning the RESIDUAL conjuncts to apply on the
+    * view (None = no rewrite). The recorded (create-normalized)
+    * predicate, resolved against the source relation's own attributes
+    * and run through the same coercion + constant folding the user's
+    * condition received, must be a canonicalized-conjunct SUBSET of
+    * the user's; each extra user conjunct must be either an
+    * optimizer-inferred IsNotNull on an attribute the definition's
+    * conjuncts already constrain (dropped — implied), or a
+    * deterministic, subquery-free predicate referencing ONLY group
+    * columns — which commutes with grouping and therefore evaluates on
+    * the view itself (the rollup-point-query shape: `WHERE grp = 'x'`
+    * over a per-grp view filters one view row instead of scanning the
+    * corpus).
     */
   private def whereMatches(cond: Option[Expression], d: MvDef,
-                           srcOut: Seq[Attribute]): Boolean =
+                           srcOut: Seq[Attribute],
+                           groupAttrs: Seq[AttributeReference])
+      : Option[Seq[Expression]] = {
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    def residualOk(e: Expression): Boolean =
+      e.deterministic &&
+        !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        e.references.forall(a => groupIds.contains(a.exprId))
     (cond, d.whereSql) match {
-      case (None, None) => true
+      case (None, None) => Some(Nil)
+      case (Some(c), None) =>
+        val cs = splitConjunctivePredicates(c)
+        if (cs.forall(residualOk)) Some(cs) else None
       case (Some(c), Some(w)) =>
         try {
           var ok = true
@@ -275,23 +309,27 @@ case class MvRewriteRule(spark: SparkSession)
                 srcOut.find(_.name.equalsIgnoreCase(u.nameParts.last))
                   .getOrElse { ok = false; u }
             }
-          if (!ok) return false
+          if (!ok) return None
           val probe = spark.sessionState.analyzer.execute(
             Filter(resolved, LocalRelation(srcOut)))
           val folded = org.apache.spark.sql.catalyst.optimizer
             .ConstantFolding(probe) match {
             case Filter(fc, _) => fc
-            case _ => return false
+            case _ => return None
           }
-          val userC = splitConjunctivePredicates(c).map(_.canonicalized)
+          val userCs = splitConjunctivePredicates(c)
+          val userCanon = userCs.map(_.canonicalized)
           val mvC = splitConjunctivePredicates(folded).map(_.canonicalized)
-          mvC.forall(userC.contains) && userC.forall(p =>
-            mvC.contains(p) || (p match {
-              case IsNotNull(a: Attribute) =>
-                mvC.exists(_.references.contains(a))
-              case _ => false
-            }))
-        } catch { case scala.util.control.NonFatal(_) => false }
-      case _ => false
+          if (!mvC.forall(userCanon.contains)) return None
+          val extras = userCs.filterNot(e => mvC.contains(e.canonicalized))
+          val resid = extras.filterNot {
+            case IsNotNull(a: Attribute) =>
+              mvC.exists(_.references.contains(a))
+            case _ => false
+          }
+          if (resid.forall(residualOk)) Some(resid) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case (None, Some(_)) => None
     }
+  }
 }

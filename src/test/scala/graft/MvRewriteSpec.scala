@@ -145,4 +145,37 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.wsrc " +
         "WHERE id < 50 GROUP BY grp")), "different WHERE bound declines")
   }
+
+  test("GROUP-COLUMN residual conjuncts evaluate on the view (the " +
+       "rollup-point-query shape); non-group residuals decline") {
+    // over the no-WHERE MV on ns.src (registered in test 1)
+    val q = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.src " +
+      "WHERE grp = 'g1' GROUP BY grp"
+    val rdf = spark.sql(q)
+    assert(rewritten(rdf),
+      s"a group-column WHERE must rewrite with a view-side residual:\n" +
+        rdf.queryExecution.optimizedPlan)
+    val direct = spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM (SELECT grp, v " +
+        "FROM gmvr.ns.src) WHERE grp = 'g1' GROUP BY grp")
+    assert(rows(rdf) == rows(direct), "residual rewrite must be exact")
+    // composes over a WHERE'd MV too: matching base WHERE + group
+    // residual (ns.wmv: WHERE id < 60 GROUP BY grp)
+    val qw = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM gmvr.ns.wsrc WHERE id < 60 AND grp IN ('g0', 'g1') " +
+      "GROUP BY grp"
+    val rdw = spark.sql(qw)
+    assert(rewritten(rdw), s"base WHERE + group residual must " +
+      s"rewrite:\n${rdw.queryExecution.optimizedPlan}")
+    val dirw = spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM (SELECT id, grp, v " +
+        "FROM gmvr.ns.wsrc) WHERE id < 60 AND grp IN ('g0', 'g1') " +
+        "GROUP BY grp")
+    assert(rows(rdw) == rows(dirw))
+    // a residual touching a NON-group column cannot commute: decline
+    assert(!rewritten(spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.src " +
+        "WHERE grp = 'g1' AND v > 0 GROUP BY grp")),
+      "a non-group residual must decline")
+  }
 }
