@@ -175,9 +175,15 @@ case class MvRewriteRule(spark: SparkSession)
     }
     if (groupAttrs.map(_.name.toLowerCase).distinct.size !=
         groupAttrs.size) return None
-    if (groupAttrs.map(_.name.toLowerCase).sorted !=
-        d.groupCols.map(_.toLowerCase).sorted) return None
-    val residual = whereMatches(cond, d, srcOut, groupAttrs)
+    // exact match: same group columns, project the view. ROLLUP: the
+    // query groups by a (possibly empty) strict SUBSET of the view's
+    // group columns — re-aggregate the VIEW (COUNT→SUM of counts,
+    // SUM→SUM, MIN→MIN, MAX→MAX), still exact and view-proportional.
+    val mvGroupsLower = d.groupCols.map(_.toLowerCase).toSet
+    val qGroupsLower = groupAttrs.map(_.name.toLowerCase).toSet
+    if (!qGroupsLower.subsetOf(mvGroupsLower)) return None
+    val exact = qGroupsLower == mvGroupsLower
+    val residual = whereMatches(cond, d, srcOut)
       .getOrElse(return None)
 
     def mvAggFor(fn: String, colName: String): Option[MvAgg] =
@@ -227,37 +233,23 @@ case class MvRewriteRule(spark: SparkSession)
       .queryExecution.analyzed
     def mvAttr(name: String): Option[Attribute] =
       mvPlan.output.find(_.name.equalsIgnoreCase(name))
-    val outs: Seq[NamedExpression] =
-      agg.aggregateExpressions.zip(picks).map { case (ne, p) =>
-        val raw: Expression = p match {
-          case PickGroup(c) => mvAttr(c).getOrElse(return None)
-          case PickAgg(a) if a.fn == "sum" =>
-            val sumA = mvAttr(a.alias).getOrElse(return None)
-            val srcAttr = srcOut.find(_.name.equalsIgnoreCase(a.col))
-              .getOrElse(return None)
-            if (!srcAttr.nullable) sumA
-            else d.aggs.find(x => x.fn == "count" &&
-                x.col.equalsIgnoreCase(a.col)) match {
-              // reconstruct the 0-seed concession exactly: an all-NULL
-              // group's true SUM is NULL, and COUNT(col)=0 detects it
-              case Some(cn) => If(
-                EqualTo(mvAttr(cn.alias).getOrElse(return None),
-                  Literal(0L)),
-                Literal(null, sumA.dataType), sumA)
-              case None => return None
-            }
-          case PickAgg(a) => mvAttr(a.alias).getOrElse(return None)
-        }
-        if (raw.dataType != ne.toAttribute.dataType) return None
-        val typed =
-          if (!ne.toAttribute.nullable && raw.nullable) KnownNotNull(raw)
-          else raw
-        Alias(typed, ne.name)(exprId = ne.exprId)
+    // the sum-reconstruction gate, shared by both paths: a nullable
+    // source column's 0-seeded SUM is usable only with its COUNT(col)
+    // rider (the all-NULL-group detector)
+    def sumRider(a: MvAgg): Option[Option[MvAgg]] = {
+      val srcAttr = srcOut.find(_.name.equalsIgnoreCase(a.col))
+        .getOrElse(return Some(None))
+      if (!srcAttr.nullable) Some(None)
+      else d.aggs.find(x => x.fn == "count" &&
+        x.col.equalsIgnoreCase(a.col)) match {
+        case Some(cn) => Some(Some(cn))
+        case None => None
       }
+    }
     // group-column residual conjuncts evaluate on the VIEW (a
-    // predicate on a group column commutes with grouping): remap each
-    // source attribute to the MV's same-named column and filter under
-    // the projection
+    // predicate on a view group column commutes with its grouping):
+    // remap each source attribute to the MV's same-named column and
+    // filter before projecting / re-aggregating
     val base: LogicalPlan =
       if (residual.isEmpty) mvPlan
       else {
@@ -267,10 +259,82 @@ case class MvRewriteRule(spark: SparkSession)
         }).reduce(And)
         Filter(remapped, mvPlan)
       }
+    def finish(e: Expression, ne: NamedExpression): NamedExpression = {
+      if (e.dataType != ne.toAttribute.dataType)
+        throw new MatchDecline
+      val typed =
+        if (!ne.toAttribute.nullable && e.nullable) KnownNotNull(e)
+        else e
+      Alias(typed, ne.name)(exprId = ne.exprId)
+    }
+    val rewrittenPlan: LogicalPlan =
+      if (exact) {
+        val outs = agg.aggregateExpressions.zip(picks).map { case (ne, p) =>
+          val raw: Expression = p match {
+            case PickGroup(c) => mvAttr(c).getOrElse(return None)
+            case PickAgg(a) if a.fn == "sum" =>
+              val sumA = mvAttr(a.alias).getOrElse(return None)
+              sumRider(a).getOrElse(return None) match {
+                // reconstruct the 0-seed concession exactly: an
+                // all-NULL group's true SUM is NULL, COUNT(col)=0
+                // detects it
+                case Some(cn) => If(
+                  EqualTo(mvAttr(cn.alias).getOrElse(return None),
+                    Literal(0L)),
+                  Literal(null, sumA.dataType), sumA)
+                case None => sumA
+              }
+            case PickAgg(a) => mvAttr(a.alias).getOrElse(return None)
+          }
+          finish(raw, ne)
+        }
+        Project(outs, base)
+      } else {
+        // ROLLUP: re-aggregate the view by the query's (subset) group
+        // columns — per-view-row partials combine exactly (no DISTINCT
+        // in the fragment): COUNT → SUM of stored counts, SUM → SUM,
+        // MIN → MIN, MAX → MAX; the 0-seeded SUM reconstructs from the
+        // SUMMED COUNT(col) rider
+        def sumOf(e: Expression): Expression =
+          Sum(e).toAggregateExpression()
+        val outs = agg.aggregateExpressions.zip(picks).map { case (ne, p) =>
+          val raw: Expression = p match {
+            case PickGroup(c) => mvAttr(c).getOrElse(return None)
+            case PickAgg(a) => a.fn match {
+              case "count_star" | "count" =>
+                sumOf(mvAttr(a.alias).getOrElse(return None))
+              case "min" =>
+                Min(mvAttr(a.alias).getOrElse(return None))
+                  .toAggregateExpression()
+              case "max" =>
+                Max(mvAttr(a.alias).getOrElse(return None))
+                  .toAggregateExpression()
+              case "sum" =>
+                val total = sumOf(mvAttr(a.alias).getOrElse(return None))
+                sumRider(a).getOrElse(return None) match {
+                  case Some(cn) => If(
+                    EqualTo(sumOf(mvAttr(cn.alias)
+                      .getOrElse(return None)), Literal(0L)),
+                    Literal(null, total.dataType), total)
+                  case None => total
+                }
+              case _ => return None
+            }
+          }
+          finish(raw, ne)
+        }
+        val groupExprs = groupAttrs.map(a =>
+          mvAttr(a.name).getOrElse(return None))
+        Aggregate(groupExprs, outs, base)
+      }
     logInfo(s"graft mv rewrite: aggregate over ${table.path} answered " +
-      s"by materialized view $mvPath (version $through)")
-    Some(Project(outs, base))
+      s"by materialized view $mvPath (version $through" +
+      s"${if (exact) "" else ", rolled up"})")
+    Some(rewrittenPlan)
   }
+
+  /** Local decline signal for the output builder (caught in apply). */
+  private class MatchDecline extends RuntimeException
 
   /** WHERE matching, returning the RESIDUAL conjuncts to apply on the
     * view (None = no rewrite). The recorded (create-normalized)
@@ -287,14 +351,17 @@ case class MvRewriteRule(spark: SparkSession)
     * corpus).
     */
   private def whereMatches(cond: Option[Expression], d: MvDef,
-                           srcOut: Seq[Attribute],
-                           groupAttrs: Seq[AttributeReference])
+                           srcOut: Seq[Attribute])
       : Option[Seq[Expression]] = {
-    val groupIds = groupAttrs.map(_.exprId).toSet
+    // residuals may reference any of the VIEW's group columns (not
+    // just the query's): a view-group-column predicate commutes with
+    // the view's grouping, and under a rollup it filters view rows
+    // before the re-aggregation — both exact
     def residualOk(e: Expression): Boolean =
       e.deterministic &&
         !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
-        e.references.forall(a => groupIds.contains(a.exprId))
+        e.references.forall(a =>
+          d.groupCols.exists(_.equalsIgnoreCase(a.name)))
     (cond, d.whereSql) match {
       case (None, None) => Some(Nil)
       case (Some(c), None) =>

@@ -178,4 +178,65 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         "WHERE grp = 'g1' AND v > 0 GROUP BY grp")),
       "a non-group residual must decline")
   }
+
+  test("ROLLUP rewrite: a subset (or empty) grouping re-aggregates the " +
+       "VIEW — counts sum, sums sum (0-seed reconstructed through the " +
+       "summed COUNT rider), extrema re-extremize; residuals on a " +
+       "non-queried view group column filter view rows first") {
+    spark.sql("CREATE TABLE gmvr.ns.rsrc (id BIGINT, grp STRING, " +
+      "par BIGINT, v BIGINT) TBLPROPERTIES ('keys'='id', 'buckets'='2', " +
+      "'retainVersions'='20')")
+    // grp g2 × par 1 holds only NULL v — exercises the rollup's
+    // NULL-sum reconstruction through the SUMMED rider
+    spark.sql("INSERT INTO gmvr.ns.rsrc SELECT id, " +
+      "CONCAT('g', id % 3), id % 2, " +
+      "CASE WHEN id % 6 = 5 THEN CAST(NULL AS BIGINT) ELSE id END " +
+      "FROM range(0, 120)")
+    spark.sql("CALL gmvr.system.create_mv(view => 'ns.rmv', " +
+      "source => 'ns.rsrc', query => 'SELECT grp, par, COUNT(*) AS n, " +
+      "SUM(v) AS sv, COUNT(v) AS nv, MIN(v) AS mn, MAX(v) AS mx " +
+      "FROM rsrc GROUP BY grp, par')")
+    spark.sql("CALL gmvr.system.enable_mv_rewrite(view => 'ns.rmv')")
+    def readsView(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("ns/rmv")
+    def srcAggs(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("ns/rsrc")
+    // subset grouping
+    val q1 = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, " +
+      "MAX(v) AS mx FROM gmvr.ns.rsrc GROUP BY grp"
+    val r1 = spark.sql(q1)
+    assert(readsView(r1) && !srcAggs(r1),
+      s"subset grouping must roll up the view:\n" +
+        r1.queryExecution.executedPlan)
+    val d1 = spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, " +
+        "MAX(v) AS mx FROM (SELECT grp, v FROM gmvr.ns.rsrc) GROUP BY grp")
+    assert(r1.collect().map(_.toSeq).toSet ==
+      d1.collect().map(_.toSeq).toSet, "rollup must equal direct")
+    // GLOBAL aggregate (empty grouping) rolls up too
+    val q2 = "SELECT COUNT(*) AS n, SUM(v) AS sv FROM gmvr.ns.rsrc"
+    val r2 = spark.sql(q2)
+    assert(readsView(r2) && !srcAggs(r2), "global aggregate rolls up")
+    assert(r2.collect().head.toSeq ==
+      spark.sql("SELECT COUNT(*) AS n, SUM(v) AS sv FROM " +
+        "(SELECT v FROM gmvr.ns.rsrc)").collect().head.toSeq)
+    // residual on the NON-queried view group column (par) filters view
+    // rows before the re-aggregation — and the g2/par=1 all-NULL slice
+    // must surface SUM = NULL, not 0
+    val q3 = "SELECT grp, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM gmvr.ns.rsrc WHERE par = 1 GROUP BY grp"
+    val r3 = spark.sql(q3)
+    assert(readsView(r3) && !srcAggs(r3), "par residual rolls up")
+    val d3 = spark.sql(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM (SELECT grp, par, v " +
+        "FROM gmvr.ns.rsrc) WHERE par = 1 GROUP BY grp")
+    assert(r3.collect().map(_.toSeq).toSet ==
+      d3.collect().map(_.toSeq).toSet)
+    assert(r3.collect().exists(_.isNullAt(2)),
+      "the all-NULL slice must roll up to SUM = NULL")
+    // a non-view grouping column can never roll up
+    val q4 = "SELECT grp, v % 2 AS b, COUNT(*) AS n " +
+      "FROM gmvr.ns.rsrc GROUP BY grp, v % 2"
+    assert(srcAggs(spark.sql(q4)), "non-view grouping declines")
+  }
 }
