@@ -139,7 +139,15 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         }
       }
     if (man.colIds.nonEmpty) MergeWriter.ensureFieldIdRead(spark)
-    HadoopFsRelation(new GraftFileIndex(spark, dataPath, man),
+    // mainHead marks an UNPINNED plain-table read (no versionAsOf /
+    // timestampAsOf / branch / member): the only relation shape the MV
+    // rewrite may substitute — a pinned or branch lineage must never
+    // rewrite to a view that tracks main's head
+    val mainHead = !parameters.contains("versionAsOf") &&
+      !parameters.contains("timestampAsOf") &&
+      !parameters.contains("branch") && !parameters.contains("member")
+    HadoopFsRelation(new GraftFileIndex(spark, dataPath, man,
+        mainHead = mainHead),
       new StructType(), dataSchema, None,
       // id-stamped tables read through a format that restamps the
       // physical read schemas with the table's field ids (rename-proof
@@ -453,7 +461,16 @@ class GraftMergeSink(spark: SparkSession, path: String,
   */
 class GraftFileIndex private[sources] (
     spark: SparkSession, tablePath: String,
-    man: MergeWriter.Manifest, dvAware: Boolean = false) extends FileIndex {
+    man: MergeWriter.Manifest, dvAware: Boolean = false,
+    mainHead: Boolean = false) extends FileIndex {
+
+  /** [[MvRewriteRule]] matching surface: the table dir, whether this
+    * is an unpinned main-head read, and the version it pinned at
+    * relation build (the rewrite's exactness anchor).
+    */
+  private[sources] def tablePathStr: String = tablePath
+  private[sources] def isMainHead: Boolean = mainHead
+  private[sources] def manifestVersion: Long = man.version
 
   // a plain V1 file scan serves files VERBATIM — a manifest with live
   // deletion vectors must only plan through it when the consuming scan

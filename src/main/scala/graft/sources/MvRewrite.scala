@@ -130,20 +130,35 @@ case class MvRewriteRule(spark: SparkSession)
   }
 
   /** The graft source under the aggregate: its table path, output and
-    * the table handle (for the pinned-version freshness check). Both
-    * the pre-pushdown relation (extensions path) and the pushed scan
-    * relation (experimental path) match; pinned reads never do.
+    * the version the relation pinned at load (the rewrite's exactness
+    * anchor). Three relation shapes match — the pre-pushdown DSv2
+    * relation (extensions path), the pushed scan relation
+    * (experimental path), and the V1 `format("graft")` relation (a
+    * HadoopFsRelation over the manifest-driven [[GraftFileIndex]]);
+    * pinned / branch / group-member reads never do.
     */
   private def sourceOf(p: LogicalPlan)
-      : Option[(String, Seq[Attribute], GraftSqlTable)] = p match {
+      : Option[(String, Seq[Attribute], Long)] = p match {
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftSqlTable if !t.pinnedRead => Some((t.path, r.output, t))
+      case t: GraftSqlTable if !t.pinnedRead =>
+        Some((t.path, r.output, t.pinnedVersion))
       case _ => None
     }
     case s: DataSourceV2ScanRelation => s.relation.table match {
-      case t: GraftSqlTable if !t.pinnedRead => Some((t.path, s.output, t))
+      case t: GraftSqlTable if !t.pinnedRead =>
+        Some((t.path, s.output, t.pinnedVersion))
       case _ => None
     }
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex if g.isMainHead =>
+            Some((g.tablePathStr, l.output, g.manifestVersion))
+          case _ => None
+        }
+        case _ => None
+      }
     case _ => None
   }
 
@@ -157,16 +172,17 @@ case class MvRewriteRule(spark: SparkSession)
       case Filter(c, ch) => (Some(c), sourceOf(stripProjects(ch)))
       case other => (None, sourceOf(other))
     }
-    val (path, srcOut, table) = src.getOrElse(return None)
+    val (path, srcOut, pinnedV) = src.getOrElse(return None)
     MvRewrite.candidates(path).iterator
       .flatMap { case (mvPath, d) =>
-        matchOne(agg, cond, srcOut, table, mvPath, d)
+        matchOne(agg, cond, srcOut, path, pinnedV, mvPath, d)
       }
       .nextOption()
   }
 
   private def matchOne(agg: Aggregate, cond: Option[Expression],
-                       srcOut: Seq[Attribute], table: GraftSqlTable,
+                       srcOut: Seq[Attribute], srcPath: String,
+                       pinnedV: Long,
                        mvPath: String, d: MvDef): Option[LogicalPlan] = {
     // group columns: plain attributes naming exactly the definition's
     val groupAttrs = agg.groupingExpressions.map {
@@ -227,7 +243,7 @@ case class MvRewriteRule(spark: SparkSession)
     // relation pinned at load — a lagging snapshot or a stale view
     // declines, and the aggregate runs as written
     val (_, through, _) = MaterializedViews.status(spark, mvPath)
-    if (through != table.pinnedVersion) return None
+    if (through != pinnedV) return None
 
     val mvPlan = MergeWriter.readTable(spark, mvPath)
       .queryExecution.analyzed
@@ -327,7 +343,7 @@ case class MvRewriteRule(spark: SparkSession)
           mvAttr(a.name).getOrElse(return None))
         Aggregate(groupExprs, outs, base)
       }
-    logInfo(s"graft mv rewrite: aggregate over ${table.path} answered " +
+    logInfo(s"graft mv rewrite: aggregate over $srcPath answered " +
       s"by materialized view $mvPath (version $through" +
       s"${if (exact) "" else ", rolled up"})")
     Some(rewrittenPlan)

@@ -239,4 +239,27 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM gmvr.ns.rsrc GROUP BY grp, v % 2"
     assert(srcAggs(spark.sql(q4)), "non-view grouping declines")
   }
+
+  test("the V1 format(\"graft\") relation rewrites too (main-head reads " +
+       "only — a versionAsOf pin declines)") {
+    import org.apache.spark.sql.functions._
+    // ns.src + ns.mv registered in test 1; read the same table through
+    // the V1 data-source face
+    val srcPath = s"$wh/ns/src"
+    val v1 = spark.read.format("graft").load(srcPath)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(rewritten(v1),
+      s"a main-head V1 read must rewrite:\n" +
+        v1.queryExecution.optimizedPlan)
+    val direct = spark.sql("SELECT grp, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM (SELECT grp, v FROM gmvr.ns.src) GROUP BY grp")
+    assert(rows(v1) == rows(direct), "V1 rewrite must be exact")
+    // a PINNED V1 read must never rewrite (the view tracks the head)
+    val cur = graft.sources.MergeWriter
+      .availableVersions(spark, srcPath).max
+    val pinned = spark.read.format("graft")
+      .option("versionAsOf", cur.toString).load(srcPath)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(!rewritten(pinned), "a pinned V1 read must decline")
+  }
 }
